@@ -1,0 +1,28 @@
+"""Query plans: the engine's declared, oracle-testable surface.
+
+``QUERIES`` maps name -> callable(spark, sf_dir) -> DataFrame.
+``ORACLES`` maps name -> equivalent DuckDB SQL (omitted for ops that are
+not SQL-expressible; the driver then records a rows-only check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dataingestiontohana_spark.plans import (
+    llm_dedup,
+    llm_similarity,
+    llm_text,
+    relational,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+for mod in (relational, llm_text, llm_dedup, llm_similarity):
+    QUERIES.update(mod.QUERIES)
+    ORACLES.update(mod.ORACLES)

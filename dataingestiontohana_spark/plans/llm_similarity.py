@@ -1,0 +1,207 @@
+"""Similarity search over the `embeddings` table (array<float> dim 64):
+brute-force cosine top-k (exact baseline) and an LSH-bucketed
+approximate variant (the scale path).
+
+Scale design:
+- Brute-force top-k against a single query vector is a *map-only* pass:
+  the query vector is a literal folded into the projection, cosine is
+  built-in (zip_with/aggregate), and top-k is a global sort-limit that
+  Spark executes as per-partition top-k + merge on the driver — no full
+  shuffle. This is the exact-oracle baseline.
+- Many-query batch ANN uses random-hyperplane LSH (Charikar '02): each
+  vector gets a b-bit signature; candidates share a signature bucket,
+  so the join is equi on the bucket key instead of a cartesian product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataingestiontohana_spark.catalog import load_table
+from dataingestiontohana_spark.functions.vector import cosine_similarity, dot
+
+DIM = 64
+
+
+def q23a_label_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(F.count("*").alias("n")).orderBy("label")
+
+
+def q23b_vec_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.where(F.size("embedding") == DIM)
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(10)
+    )
+
+
+def q33_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 against the vec_id=0 query vector.
+
+    The query vector is collected once (1 row) and folded in as a
+    literal array — the scan stays map-only, no join, no shuffle.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = e.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    return (
+        e.where(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.round(cosine_similarity(F.col("embedding"), qlit), 4).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+def q34_knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid similarity: mean vector per label, then each label's
+    centroid-pair cosine — a grouped vector aggregation (array-typed
+    agg via per-dimension avg, one shuffle on label)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = [
+        F.avg(F.element_at(F.col("embedding"), i + 1).cast("double")).alias(f"d{i}")
+        for i in range(DIM)
+    ]
+    cents = (
+        e.groupBy("label")
+        .agg(*dims)
+        .select("label", F.array(*[F.col(f"d{i}") for i in range(DIM)]).alias("c"))
+    )
+    a = cents.select(F.col("label").alias("label_a"), F.col("c").alias("ca"))
+    b = cents.select(F.col("label").alias("label_b"), F.col("c").alias("cb"))
+    return (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(cosine_similarity(F.col("ca"), F.col("cb")), 4).alias("cos_sim"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+def lsh_signatures(vecs: DataFrame, bits: int = 16, seed: int = 42) -> DataFrame:
+    """Random-hyperplane LSH signatures (bits-length bit string).
+
+    Hyperplanes are derived deterministically from xxhash64(seed, bit,
+    dim) mapped to +-1 — sign of the dot product is the bit. Built-ins
+    only; signature computation is a map-only projection.
+    """
+    planes = [
+        F.array(
+            *[
+                F.when(
+                    F.xxhash64(F.lit(seed), F.lit(b), F.lit(i))
+                    .bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0))
+                for i in range(DIM)
+            ]
+        )
+        for b in range(bits)
+    ]
+    sig = F.concat(
+        *[
+            F.when(dot(F.col("embedding"), p) > 0, F.lit("1")).otherwise(F.lit("0"))
+            for p in planes
+        ]
+    )
+    return vecs.withColumn("lsh_sig", sig)
+
+
+def q35_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate near-neighbor pairs: vectors sharing an 8-bit LSH
+    band (2 bands of 8 bits), verified by exact cosine >= 0.35.
+    Bucket equi-join replaces the O(n^2) cartesian product."""
+    e = lsh_signatures(load_table(spark, sf_dir, "embeddings"))
+    banded = e.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), F.substring("lsh_sig", 1, 8).alias("bucket")),
+                F.struct(F.lit(1).alias("band"), F.substring("lsh_sig", 9, 8).alias("bucket")),
+            )
+        ).alias("bb"),
+    ).select("vec_id", "embedding", "bb.band", "bb.bucket")
+    a = banded.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "band", "bucket"
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.35)
+        .orderBy("id_a", "id_b")
+    )
+
+
+QUERIES = {
+    "q23a_label_counts": q23a_label_counts,
+    "q23b_vec_dims": q23b_vec_dims,
+    "q33_cosine_topk": q33_cosine_topk,
+    "q34_knn_per_label": q34_knn_per_label,
+    "q35_ann_lsh": q35_ann_lsh,
+}
+
+# q33/q34 have exact float-arithmetic oracles in DuckDB (same double
+# math, rounded); q35 hinges on Spark's xxhash64 hyperplanes -> rows-
+# only check + pytest invariants.
+ORACLES = {
+    "q23a_label_counts": """
+        SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label ORDER BY label
+    """,
+    "q23b_vec_dims": """
+        SELECT vec_id FROM embeddings WHERE len(embedding) = 64
+        ORDER BY vec_id LIMIT 10
+    """,
+    "q33_cosine_topk": """
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        s AS (
+          SELECT vec_id,
+                 ROUND(
+                   list_sum(list_transform(list_zip(embedding, qv),
+                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(qv,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+                 AS cos_sim
+          FROM embeddings, q WHERE vec_id != 0)
+        SELECT vec_id, cos_sim FROM s
+        ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    "q34_knn_per_label": """
+        WITH e AS (
+          SELECT label, unnest(embedding) AS v,
+                 unnest(range(1, 65)) AS dim
+          FROM embeddings),
+        c AS (
+          SELECT label, dim, AVG(CAST(v AS DOUBLE)) AS m
+          FROM e GROUP BY label, dim),
+        cent AS (
+          SELECT label, list(m ORDER BY dim) AS c FROM c GROUP BY label)
+        SELECT a.label AS label_a, b.label AS label_b,
+               ROUND(
+                 list_sum(list_transform(list_zip(a.c, b.c), p -> p[1] * p[2]))
+                 / (sqrt(list_sum(list_transform(a.c, x -> x * x)))
+                  * sqrt(list_sum(list_transform(b.c, x -> x * x)))), 4)
+               AS cos_sim
+        FROM cent a JOIN cent b ON a.label < b.label
+        ORDER BY label_a, label_b
+    """,
+}

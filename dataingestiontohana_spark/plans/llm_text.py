@@ -1,0 +1,214 @@
+"""Text-analysis surface over the `documents` table (SURVEY §2.2
+"LLM-data ops"): language stats, exact-dup counting, token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+Everything here is built-in-function-only (whole-stage codegen) — these
+are scan-shaped single-pass operators that stream over 100 TB without
+any shuffle except the final small aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataingestiontohana_spark.catalog import load_table
+from dataingestiontohana_spark.functions.text import normalize_text
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# language-ID heuristic. Chosen to be expressible identically in the
+# DuckDB oracle (plain word-boundary regex counts).
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "is"],
+    "de": ["der", "die", "und", "ist"],
+    "fr": ["le", "la", "et", "est"],
+    "es": ["el", "los", "y", "es"],
+    "zh": ["de", "shi", "zai", "he"],
+}
+
+
+def q21_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q22_exact_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("total"),
+        F.countDistinct("text").alias("uniq"),
+    )
+
+
+def q25_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting per document + corpus rollup by source.
+
+    At scale: a single codegen'd projection over the scan, then a tiny
+    agg — no UDF, no explode.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (
+        d.select("doc_id", "source", n_tokens.alias("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def q26_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length, mean word length, stopword
+    ratio — the standard cheap filters of a pretraining-data pipeline
+    (cf. Gopher/C4 quality heuristics). Returns the per-doc score for
+    the lowest-scoring 100 docs (deterministic total order).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = F.size(toks)
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "and", "of", "is"))
+    )
+    score = (
+        F.when(F.col("n_chars") < 50, 0.0).otherwise(1.0)
+        * F.round(F.col("n_chars") / n_tokens, 4)
+        + F.round(stop_hits / n_tokens, 4)
+    )
+    return (
+        d.select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            F.round(score, 4).alias("quality"),
+        )
+        .orderBy("quality", "doc_id")
+        .limit(100)
+    )
+
+
+def q27_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language-ID heuristic: count marker-word hits per
+    language, argmax wins ('und' = undetermined when all zero). Output:
+    predicted-language histogram.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(normalize_text(F.col("text")), " ")
+    hit_cols = []
+    for lang, markers in _LANG_MARKERS.items():
+        hits = F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        hit_cols.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    # argmax via array_max over (hits, lang) structs: max hits, then max
+    # lang alphabetically on ties — deterministic and oracle-expressible.
+    best = F.array_max(F.array(*hit_cols))
+    pred = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return (
+        d.select(pred.alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count("*").alias("docs"))
+        .orderBy("pred_lang")
+    )
+
+
+def q28_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over normalized text, grouped to
+    find exact near-byte duplicates (keeps min doc_id as canonical)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.md5(normalize_text(F.col("text"))).alias("fp"),
+            "doc_id",
+        )
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .where(F.col("n_copies") > 1)
+        .orderBy("canonical_id")
+    )
+
+
+QUERIES = {
+    "q21_lang_stats": q21_lang_stats,
+    "q22_exact_dedup_count": q22_exact_dedup_count,
+    "q25_token_stats": q25_token_stats,
+    "q26_quality_score": q26_quality_score,
+    "q27_lang_id": q27_lang_id,
+    "q28_fingerprint": q28_fingerprint,
+}
+
+_MARKER_SQL = {
+    lang: "len(list_filter(regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), t -> t IN ({})))".format(
+        ", ".join(f"'{m}'" for m in markers)
+    )
+    for lang, markers in _LANG_MARKERS.items()
+}
+
+ORACLES = {
+    "q21_lang_stats": """
+        SELECT lang, COUNT(*) AS docs, ROUND(AVG(n_chars), 2) AS avg_chars
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "q22_exact_dedup_count": """
+        SELECT COUNT(*) AS total, COUNT(DISTINCT text) AS uniq FROM documents
+    """,
+    "q25_token_stats": """
+        WITH t AS (
+          SELECT doc_id, source,
+                 len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+          FROM documents)
+        SELECT source, COUNT(*) AS docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               ROUND(AVG(n_tokens), 2) AS avg_tokens
+        FROM t GROUP BY source ORDER BY source
+    """,
+    "q26_quality_score": """
+        WITH t AS (
+          SELECT doc_id, n_chars,
+                 regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents),
+        s AS (
+          SELECT doc_id, len(toks) AS n_tokens,
+                 (CASE WHEN n_chars < 50 THEN 0.0 ELSE 1.0 END)
+                   * ROUND(n_chars / len(toks), 4)
+                 + ROUND(len(list_filter(toks,
+                     x -> x IN ('the','a','and','of','is'))) / len(toks), 4)
+                 AS quality
+          FROM t)
+        SELECT doc_id, n_tokens, ROUND(quality, 4) AS quality
+        FROM s ORDER BY quality, doc_id LIMIT 100
+    """,
+    "q27_lang_id": """
+        WITH hits AS (
+          SELECT doc_id, {structs} AS cands
+          FROM documents),
+        best AS (
+          SELECT doc_id, list_max(cands) AS b FROM hits)
+        SELECT CASE WHEN b.hits > 0 THEN b.lang ELSE 'und' END AS pred_lang,
+               COUNT(*) AS docs
+        FROM best GROUP BY 1 ORDER BY pred_lang
+    """.format(
+        structs="["
+        + ", ".join(
+            "{{'hits': {expr}, 'lang': '{lang}'}}".format(expr=expr, lang=lang)
+            for lang, expr in _MARKER_SQL.items()
+        )
+        + "]"
+    ),
+    "q28_fingerprint": """
+        WITH f AS (
+          SELECT md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+                 doc_id
+          FROM documents)
+        SELECT fp, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+        FROM f GROUP BY fp HAVING COUNT(*) > 1 ORDER BY canonical_id
+    """,
+}

@@ -1,0 +1,491 @@
+"""Batch relational surface: the 24 declared queries of SURVEY.md §2.3.
+
+The reference exhibits no relational query engine (it is a streaming-ETL
+tutorial, `/root/reference/README.md:1`); this module supplies the batch
+query surface the new engine declares on top of the same data model.
+Each query is built with the DataFrame API (Catalyst plans it: predicate
+pushdown, column pruning, broadcast-vs-shuffle join choice, partial
+aggregation are all automatic) and carries the identical ANSI-SQL oracle
+string run by DuckDB.
+
+Scale notes (100 TB design intent, verified on the local plans):
+- Filters/projections sit directly on the parquet scan (PushedFilters).
+- nation/region are always broadcast (25 / 5 rows at every SF).
+- Aggregations are hash-agg with map-side partial aggregation.
+- Window queries shuffle once on the partition key only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dataingestiontohana_spark.catalog import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- Q1-Q4
+
+
+def q01_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan + filter + project. Filter pushes into the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def q02_compound_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN + BETWEEN compound predicate; both push down."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.where(
+            F.col("o_orderstatus").isin("F", "O")
+            & F.col("o_totalprice").between(1000, 5000)
+        )
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )
+
+
+def q03_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("b"),
+        F.substring("p_name", 1, 5).alias("pfx"),
+        F.length("p_type").alias("tl"),
+    ).orderBy("p_partkey")
+
+
+def q04_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date cast + net-price math.
+
+    The product of two 2-decimal doubles is a true 4-decimal value that
+    often sits exactly on a .xx5 rounding boundary; rounding the raw
+    double diverges between engines (decimal-string HALF_UP vs binary).
+    Recovering the exact value as DECIMAL(18,4) first makes ROUND(.,2)
+    deterministic — the oracle does the identical cast.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    net = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.where(F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_shipdate").cast("date").alias("d"),
+            F.round(net, 2).cast("double").alias("net"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# ------------------------------------------------------------- joins Q5-Q9
+
+
+def q05_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-way equi-join; nation (25 rows) is explicitly broadcast."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
+        .select("c_custkey", "c_name", "n_name")
+        .orderBy("c_custkey")
+    )
+
+
+def q06_multiway_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way join + grouped revenue.
+
+    Join order: filter region first (1 row), broadcast region+nation so
+    the only shuffles are the two fact-table joins and the final agg.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+def q07_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + COUNT(col) null semantics (unmatched -> 0)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").alias("cnt"))
+        .orderBy("o_orderkey")
+    )
+
+
+def q08_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS -> left-semi join; the subquery filter applies pre-join."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 49)
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_semi")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+def q09_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS -> left-anti join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+# ------------------------------------------------------- aggregation Q10-Q13
+
+
+def q10_hash_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: hash agg with partial (map-side) aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sq"),
+            F.round(F.avg("l_extendedprice"), 2).alias("ap"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q11_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("uc"))
+        .orderBy("o_orderstatus")
+    )
+
+
+def q12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    return (
+        n.rollup("n_regionkey", "n_nationkey")
+        .agg(F.count("*").alias("c"))
+        .orderBy(
+            F.col("n_regionkey").asc_nulls_first(),
+            F.col("n_nationkey").asc_nulls_first(),
+        )
+    )
+
+
+def q13_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("c"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+# ------------------------------------------------------------ windows Q14-Q16
+
+
+def q14_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window + top-k per group: one shuffle on o_custkey."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+def q15_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+    ).orderBy("user_id", "event_id")
+
+
+def q16_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS-frame running sum. The test data has duplicate l_linenumber
+    values within an order, so the frame order adds l_quantity as a
+    tiebreak — that makes the *multiset* of running sums deterministic
+    (tied rows contribute identical quantities in either order)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_quantity").over(w), 2).alias("run"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+# ---------------------------------------------------------------- set ops Q17
+
+
+def q17_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT binds tighter than UNION/EXCEPT (SQL standard):
+    ((customer ∩ supplier) ∪ nation[r=0]) \\ {999}, all DISTINCT forms.
+    """
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    n = (
+        _t(spark, sf_dir, "nation")
+        .where(F.col("n_regionkey") == 0)
+        .select(F.col("n_nationkey").alias("k"))
+    )
+    nine = spark.createDataFrame([(999,)], "k int")
+    return c.intersect(s).union(n).distinct().subtract(nine).orderBy("k")
+
+
+# ------------------------------------------------- dedup / json / time Q18-Q20
+
+
+def q18_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the reference's exactly-once kernel: duplicate
+    suppression by key (`/root/reference/README.md:130-139`)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("c"))
+        .orderBy("event_type")
+    )
+
+
+def q19_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q20_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch analogue of a tumbling event-time window (SURVEY §2.2)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("h"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("c"), F.round(F.sum("value"), 2).alias("sv"))
+        .orderBy("h", "event_type")
+    )
+
+
+# ------------------------------------------------------------ audit Q24
+# Q21-Q23 (text/embeddings) live in llm_text.py / llm_similarity.py.
+
+
+def q24_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's own oracle (SURVEY §5.1): exactly-once <=>
+    rows = distinct keys = key span (loss check `README.md:94-99`,
+    dup check `README.md:121-126`). Run here on the events table's
+    monotonically increasing event_id as the counter proxy; the
+    streaming harness runs the same audit on its sensor sink.
+    """
+    e = _t(spark, sf_dir, "events")
+    return e.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("event_id").alias("uniq"),
+        (F.max("event_id") - F.min("event_id") + F.lit(1)).alias("span"),
+    )
+
+
+QUERIES = {
+    "q01_filter_project": q01_filter_project,
+    "q02_compound_predicates": q02_compound_predicates,
+    "q03_string_functions": q03_string_functions,
+    "q04_date_math": q04_date_math,
+    "q05_inner_join": q05_inner_join,
+    "q06_multiway_join_agg": q06_multiway_join_agg,
+    "q07_left_outer_join": q07_left_outer_join,
+    "q08_semi_join": q08_semi_join,
+    "q09_anti_join": q09_anti_join,
+    "q10_hash_agg": q10_hash_agg,
+    "q11_distinct_agg": q11_distinct_agg,
+    "q12_rollup": q12_rollup,
+    "q13_cube": q13_cube,
+    "q14_topk_per_group": q14_topk_per_group,
+    "q15_lag": q15_lag,
+    "q16_running_sum": q16_running_sum,
+    "q17_set_ops": q17_set_ops,
+    "q18_dedup": q18_dedup,
+    "q19_json_extract": q19_json_extract,
+    "q20_time_bucket": q20_time_bucket,
+    "q24_ingest_audit": q24_ingest_audit,
+}
+
+ORACLES = {
+    "q01_filter_project": """
+        SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber
+    """,
+    "q02_compound_predicates": """
+        SELECT o_orderkey, o_orderstatus FROM orders
+        WHERE o_orderstatus IN ('F','O') AND o_totalprice BETWEEN 1000 AND 5000
+        ORDER BY o_orderkey
+    """,
+    "q03_string_functions": """
+        SELECT p_partkey, UPPER(p_brand) AS b, SUBSTRING(p_name, 1, 5) AS pfx,
+               LENGTH(p_type) AS tl
+        FROM part ORDER BY p_partkey
+    """,
+    "q04_date_math": """
+        SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS d,
+               CAST(ROUND(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,4)), 2) AS DOUBLE) AS net
+        FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    "q05_inner_join": """
+        SELECT c_custkey, c_name, n_name FROM customer
+        JOIN nation ON c_nationkey = n_nationkey ORDER BY c_custkey
+    """,
+    "q06_multiway_join_agg": """
+        SELECT n_name,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name ORDER BY revenue DESC, n_name
+    """,
+    "q07_left_outer_join": """
+        SELECT o_orderkey, COUNT(l_orderkey) AS cnt FROM orders
+        LEFT JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderkey ORDER BY o_orderkey
+    """,
+    "q08_semi_join": """
+        SELECT p_partkey, p_name FROM part
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_partkey = p_partkey AND l_quantity > 49)
+        ORDER BY p_partkey
+    """,
+    "q09_anti_join": """
+        SELECT c_custkey FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey
+    """,
+    "q10_hash_agg": """
+        SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sq,
+               ROUND(AVG(l_extendedprice), 2) AS ap, COUNT(*) AS cnt
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q11_distinct_agg": """
+        SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS uc FROM orders
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "q12_rollup": """
+        SELECT n_regionkey, n_nationkey, COUNT(*) AS c FROM nation
+        GROUP BY ROLLUP (n_regionkey, n_nationkey)
+        ORDER BY n_regionkey NULLS FIRST, n_nationkey NULLS FIRST
+    """,
+    "q13_cube": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS c FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    "q14_topk_per_group": """
+        SELECT * FROM (
+          SELECT o_custkey, o_orderkey,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) t
+        WHERE rn <= 3 ORDER BY o_custkey, rn
+    """,
+    "q15_lag": """
+        SELECT user_id, event_id, value,
+               ROUND(value - LAG(value) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id), 2) AS delta
+        FROM events ORDER BY user_id, event_id
+    """,
+    "q16_running_sum": """
+        SELECT l_orderkey, l_linenumber,
+               ROUND(SUM(l_quantity) OVER (PARTITION BY l_orderkey
+                     ORDER BY l_linenumber, l_quantity
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run
+        FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+    "q17_set_ops": """
+        SELECT c_nationkey AS k FROM customer
+        INTERSECT SELECT s_nationkey FROM supplier
+        UNION SELECT n_nationkey FROM nation WHERE n_regionkey = 0
+        EXCEPT SELECT 999
+        ORDER BY k
+    """,
+    "q18_dedup": """
+        SELECT event_type, COUNT(*) AS c FROM
+          (SELECT DISTINCT user_id, event_type FROM events) t
+        GROUP BY event_type ORDER BY event_type
+    """,
+    "q19_json_extract": """
+        SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k
+        FROM events WHERE event_type = 'purchase' ORDER BY event_id
+    """,
+    "q20_time_bucket": """
+        SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS c,
+               ROUND(SUM(value), 2) AS sv
+        FROM events GROUP BY 1, 2 ORDER BY h, event_type
+    """,
+    "q24_ingest_audit": """
+        SELECT COUNT(*) AS n_rows, COUNT(DISTINCT event_id) AS uniq,
+               MAX(event_id) - MIN(event_id) + 1 AS span
+        FROM events
+    """,
+}

@@ -1,0 +1,57 @@
+"""Unit tests for vector similarity primitives and the LSH ANN path."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from dataingestiontohana_spark.functions.vector import (
+    cosine_similarity,
+    dot,
+    l2_norm,
+)
+from dataingestiontohana_spark.plans.llm_similarity import lsh_signatures
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_dot_and_norm_match_python(spark):
+    a = [1.0, 2.0, 3.0]
+    b = [4.0, -5.0, 6.0]
+    df = spark.createDataFrame(
+        [(a, b)], "a array<float>, b array<float>"
+    )
+    row = df.select(
+        dot(F.col("a"), F.col("b")).alias("d"),
+        l2_norm(F.col("a")).alias("n"),
+        cosine_similarity(F.col("a"), F.col("b")).alias("c"),
+    ).head()
+    assert row["d"] == sum(x * y for x, y in zip(a, b))
+    assert abs(row["n"] - math.sqrt(14)) < 1e-12
+    expected = row["d"] / (math.sqrt(14) * math.sqrt(16 + 25 + 36))
+    assert abs(row["c"] - expected) < 1e-12
+
+
+def test_lsh_identical_vectors_same_signature(spark):
+    v = [0.1 * i for i in range(64)]
+    w = [0.1 * (64 - i) for i in range(64)]
+    df = _vecs(spark, [(1, v), (2, v), (3, w)])
+    sigs = {r["vec_id"]: r["lsh_sig"] for r in lsh_signatures(df).collect()}
+    assert sigs[1] == sigs[2]
+    assert len(sigs[1]) == 16
+    assert set(sigs[1]) <= {"0", "1"}
+
+
+def test_lsh_opposite_vectors_opposite_signature(spark):
+    # distinct powers of two: no +-1-weighted subset sums to exactly 0,
+    # so no hyperplane is orthogonal to v (sign ties would break the
+    # antisymmetry this test asserts)
+    v = [2.0 ** (-i) for i in range(64)]
+    neg = [-x for x in v]
+    df = _vecs(spark, [(1, v), (2, neg)])
+    sigs = {r["vec_id"]: r["lsh_sig"] for r in lsh_signatures(df).collect()}
+    flipped = "".join("1" if c == "0" else "0" for c in sigs[1])
+    assert sigs[2] == flipped
