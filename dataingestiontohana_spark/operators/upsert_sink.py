@@ -1,0 +1,200 @@
+"""Keyed-upsert relational sink — the engine's main bespoke physical
+component (SURVEY §4.2): Spark's JDBC writer is append/overwrite only,
+so exactly-once into a relational table needs a keyed MERGE/UPSERT in
+`foreachBatch`, exactly the reference's recipe (idempotent upsert on the
+message's sequence number as primary key, `/root/reference/README.md:
+132-139`, HANA "Insert mode: UPSERT" in `images/HanaConfigExactlyOnce.
+png`).
+
+Dialect seam: the SQL text differs per target database; the write
+protocol (stage batch -> execute keyed upsert per row chunk) does not.
+`HanaDialect` emits the reference's `UPSERT ... WITH PRIMARY KEY`;
+`DuckDBDialect`/`SQLiteDialect` are the locally-testable stand-ins.
+
+Scale notes:
+- `partition` write mode opens one DBAPI connection per Spark partition
+  (executemany chunks) — the shape for a real client-server database
+  under a 1000-executor cluster; batch size bounds round trips.
+- `driver` mode streams partitions through the driver with a single
+  connection — required for single-writer embedded DBs (DuckDB/SQLite)
+  and what the test harness uses.
+- Re-running a half-applied batch converges (UPSERT is idempotent per
+  key), which is the exactly-once contract under mid-batch crash.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Iterable
+
+from pyspark.sql import DataFrame
+
+
+class UpsertDialect:
+    """SQL-text seam for the keyed-upsert protocol."""
+
+    name = "ansi"
+
+    def qid(self, ident: str) -> str:
+        return '"' + ident.replace('"', '""') + '"'
+
+    def create_table_sql(
+        self, table: str, columns: list[tuple[str, str]], key_cols: list[str]
+    ) -> str:
+        """No key_cols -> no PRIMARY KEY: the reference's at-least-once
+        table holds duplicate counters (`images/HanaTableDuplicate.png`);
+        the PK exists only in the exactly-once configuration."""
+        cols = ", ".join(f"{self.qid(n)} {t}" for n, t in columns)
+        pk = (
+            ", PRIMARY KEY (" + ", ".join(self.qid(k) for k in key_cols) + ")"
+            if key_cols
+            else ""
+        )
+        return f"CREATE TABLE IF NOT EXISTS {self.qid(table)} ({cols}{pk})"
+
+    def insert_sql(self, table: str, col_names: list[str]) -> str:
+        cols = ", ".join(self.qid(c) for c in col_names)
+        ph = ", ".join("?" for _ in col_names)
+        return f"INSERT INTO {self.qid(table)} ({cols}) VALUES ({ph})"
+
+    def upsert_sql(self, table: str, col_names: list[str], key_cols: list[str]) -> str:
+        """ANSI MERGE with a VALUES row constructor."""
+        cols = ", ".join(self.qid(c) for c in col_names)
+        ph = ", ".join("?" for _ in col_names)
+        on = " AND ".join(f"t.{self.qid(k)} = s.{self.qid(k)}" for k in key_cols)
+        sets = ", ".join(
+            f"{self.qid(c)} = s.{self.qid(c)}"
+            for c in col_names
+            if c not in key_cols
+        )
+        svals = ", ".join(f"s.{self.qid(c)}" for c in col_names)
+        return (
+            f"MERGE INTO {self.qid(table)} t USING (VALUES ({ph})) AS s ({cols}) "
+            f"ON {on} WHEN MATCHED THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({svals})"
+        )
+
+
+class HanaDialect(UpsertDialect):
+    """SAP HANA: the reference target. `UPSERT ... WITH PRIMARY KEY` is
+    HANA's native idempotent write (the operator config the reference
+    flips for exactly-once, `images/HanaConfigExactlyOnce.png`)."""
+
+    name = "hana"
+
+    def upsert_sql(self, table: str, col_names: list[str], key_cols: list[str]) -> str:
+        cols = ", ".join(self.qid(c) for c in col_names)
+        ph = ", ".join("?" for _ in col_names)
+        return (
+            f"UPSERT {self.qid(table)} ({cols}) VALUES ({ph}) WITH PRIMARY KEY"
+        )
+
+
+class DuckDBDialect(UpsertDialect):
+    name = "duckdb"
+
+    def upsert_sql(self, table: str, col_names: list[str], key_cols: list[str]) -> str:
+        cols = ", ".join(self.qid(c) for c in col_names)
+        ph = ", ".join("?" for _ in col_names)
+        sets = ", ".join(
+            f"{self.qid(c)} = excluded.{self.qid(c)}"
+            for c in col_names
+            if c not in key_cols
+        )
+        conflict = ", ".join(self.qid(k) for k in key_cols)
+        return (
+            f"INSERT INTO {self.qid(table)} ({cols}) VALUES ({ph}) "
+            f"ON CONFLICT ({conflict}) DO UPDATE SET {sets}"
+        )
+
+
+class SQLiteDialect(DuckDBDialect):
+    name = "sqlite"
+
+
+DIALECTS = {d.name: d for d in (UpsertDialect(), HanaDialect(), DuckDBDialect(), SQLiteDialect())}
+
+
+@dataclass
+class UpsertSink:
+    """Keyed-upsert (or append) writer for one target table.
+
+    connection_factory: zero-arg callable returning a DBAPI connection.
+    Must be picklable for `write_mode='partition'` (executor-side).
+    """
+
+    table: str
+    key_cols: list[str]
+    dialect: UpsertDialect
+    connection_factory: Callable[[], object]
+    batch_size: int = 10_000
+    write_mode: str = "driver"  # 'driver' | 'partition'
+
+    def ensure_table(
+        self, columns: list[tuple[str, str]], with_pk: bool = True
+    ) -> None:
+        con = self.connection_factory()
+        try:
+            con.execute(self.create_sql(columns, with_pk))
+            _commit(con)
+        finally:
+            con.close()
+
+    def create_sql(self, columns: list[tuple[str, str]], with_pk: bool = True) -> str:
+        return self.dialect.create_table_sql(
+            self.table, columns, self.key_cols if with_pk else []
+        )
+
+    # -- write paths ----------------------------------------------------
+
+    def write(self, df: DataFrame, upsert: bool = True) -> None:
+        cols = df.columns
+        sql = (
+            self.dialect.upsert_sql(self.table, cols, self.key_cols)
+            if upsert
+            else self.dialect.insert_sql(self.table, cols)
+        )
+        if self.write_mode == "driver":
+            con = self.connection_factory()
+            try:
+                _execute_rows(con, sql, _iter_rows(df), self.batch_size)
+                _commit(con)
+            finally:
+                con.close()
+        else:
+            factory, batch = self.connection_factory, self.batch_size
+
+            def write_partition(rows: Iterable) -> None:
+                con = factory()
+                try:
+                    _execute_rows(con, sql, (tuple(r) for r in rows), batch)
+                    _commit(con)
+                finally:
+                    con.close()
+
+            df.foreachPartition(write_partition)
+
+
+def _iter_rows(df: DataFrame):
+    for row in df.toLocalIterator():
+        yield tuple(row)
+
+
+def _execute_rows(con, sql: str, rows: Iterable[tuple], batch_size: int) -> None:
+    chunk: list[tuple] = []
+    for r in rows:
+        chunk.append(r)
+        if len(chunk) >= batch_size:
+            con.executemany(sql, chunk)
+            chunk.clear()
+    if chunk:
+        con.executemany(sql, chunk)
+
+
+def _commit(con) -> None:
+    commit = getattr(con, "commit", None)
+    if callable(commit):
+        try:
+            commit()
+        except Exception:  # duckdb autocommits; commit() may raise
+            pass

@@ -1,0 +1,140 @@
+"""Delivery-semantics harness: automates the reference's manual
+chaos experiment (SURVEY §5.1) — ingest a replayable CSV stream, kill
+mid-run via the fault injector, restart from the checkpoint, audit the
+sink on counter continuity:
+
+- exactly-once (keyed upsert):  rows = uniq = span   (README.md:158-164)
+- at-least-once (append):       no gaps, dups allowed (README.md:121-126)
+- at-most-once (lab mode):      gaps / loss           (README.md:94-99)
+"""
+
+from __future__ import annotations
+
+import functools
+import sqlite3
+
+import pytest
+
+from dataingestiontohana_spark.operators.upsert_sink import (
+    SQLiteDialect,
+    UpsertSink,
+)
+from dataingestiontohana_spark.sources.generator import write_sensor_csv_files
+from dataingestiontohana_spark.streaming.audit import audit_sink
+from dataingestiontohana_spark.streaming.fault import FaultInjector, InjectedFault
+from dataingestiontohana_spark.streaming.pipeline import (
+    DeliveryMode,
+    IngestionPipeline,
+)
+
+N_ROWS = 100
+N_FILES = 10
+
+
+@pytest.fixture()
+def source_dir(spark, tmp_path):
+    d = tmp_path / "source"
+    write_sensor_csv_files(spark, str(d), N_ROWS, N_FILES)
+    return str(d)
+
+
+def make_sink(db_path: str) -> UpsertSink:
+    return UpsertSink(
+        table="sensor_sink",
+        key_cols=["counter"],
+        dialect=SQLiteDialect(),
+        connection_factory=functools.partial(sqlite3.connect, db_path),
+    )
+
+
+def make_pipeline(spark, source_dir, tmp_path, mode, fault=None) -> IngestionPipeline:
+    return IngestionPipeline(
+        spark=spark,
+        source_dir=source_dir,
+        checkpoint_dir=str(tmp_path / "checkpoint"),
+        sink=make_sink(str(tmp_path / "sink.db")),
+        mode=mode,
+        fault=fault,
+    )
+
+
+def run_audit(tmp_path):
+    con = sqlite3.connect(str(tmp_path / "sink.db"))
+    try:
+        return audit_sink(con, "sensor_sink")
+    finally:
+        con.close()
+
+
+def test_exactly_once_clean_run(spark, source_dir, tmp_path):
+    p = make_pipeline(spark, source_dir, tmp_path, DeliveryMode.EXACTLY_ONCE)
+    assert p.run_to_completion() is None
+    a = run_audit(tmp_path)
+    assert a.exactly_once and a.n_rows == N_ROWS
+
+
+def test_exactly_once_survives_crash(spark, source_dir, tmp_path):
+    fault = FaultInjector(str(tmp_path / "flag"), FaultInjector.AFTER_WRITE, at_batch=2)
+    fault.arm()
+    p = make_pipeline(spark, source_dir, tmp_path, DeliveryMode.EXACTLY_ONCE, fault)
+    err = p.run_to_completion()
+    assert err is not None  # the injected fault killed the query
+
+    mid = run_audit(tmp_path)
+    assert 0 < mid.n_rows < N_ROWS  # crashed mid-stream
+
+    # operator restarts the graph (README.md:90); checkpoint resumes
+    p2 = make_pipeline(spark, source_dir, tmp_path, DeliveryMode.EXACTLY_ONCE)
+    assert p2.run_to_completion() is None
+    a = run_audit(tmp_path)
+    assert a.exactly_once and a.n_rows == N_ROWS  # no loss, no dups
+
+
+def test_at_least_once_crash_duplicates_no_loss(spark, source_dir, tmp_path):
+    # crash lands AFTER the DB write, BEFORE the offset commit: the
+    # classic at-least-once window (the reference hits it by hand-
+    # rolling the ack loop; Structured Streaming hits it on replay)
+    fault = FaultInjector(str(tmp_path / "flag"), FaultInjector.AFTER_WRITE, at_batch=2)
+    fault.arm()
+    p = make_pipeline(spark, source_dir, tmp_path, DeliveryMode.AT_LEAST_ONCE, fault)
+    assert p.run_to_completion() is not None
+
+    p2 = make_pipeline(spark, source_dir, tmp_path, DeliveryMode.AT_LEAST_ONCE)
+    assert p2.run_to_completion() is None
+    a = run_audit(tmp_path)
+    assert not a.has_loss  # every counter landed
+    assert a.has_duplicates  # the replayed batch landed twice
+    assert a.uniq == a.span == N_ROWS
+
+
+def test_at_most_once_loses_data(spark, source_dir, tmp_path):
+    # lab mode: the DB write fails but offsets commit anyway -> loss
+    fault = FaultInjector(str(tmp_path / "flag"), FaultInjector.FAIL_WRITE, at_batch=1)
+    fault.arm()
+    p = make_pipeline(spark, source_dir, tmp_path, DeliveryMode.AT_MOST_ONCE, fault)
+    assert p.run_to_completion() is None  # stream survives; data doesn't
+    a = run_audit(tmp_path)
+    assert a.has_loss and not a.has_duplicates
+    assert a.n_rows == N_ROWS - N_ROWS // N_FILES  # exactly one batch lost
+
+
+def test_upsert_is_idempotent(spark, tmp_path):
+    from dataingestiontohana_spark.sources.generator import sensor_rows
+    from dataingestiontohana_spark.streaming.pipeline import SENSOR_SQL_COLUMNS
+
+    sink = make_sink(str(tmp_path / "sink.db"))
+    sink.ensure_table(SENSOR_SQL_COLUMNS)
+    rows = sensor_rows(spark, 20)
+    sink.write(rows, upsert=True)
+    sink.write(rows, upsert=True)  # replay converges
+    a = run_audit(tmp_path)
+    assert a.exactly_once and a.n_rows == 20
+
+
+def test_fault_injector_fires_once(tmp_path):
+    f = FaultInjector(str(tmp_path / "flag"), FaultInjector.BEFORE_WRITE, at_batch=1)
+    f.arm()
+    f.check(FaultInjector.BEFORE_WRITE)  # batch 0: passes
+    with pytest.raises(InjectedFault):
+        f.check(FaultInjector.BEFORE_WRITE)  # batch 1: fires
+    f.check(FaultInjector.BEFORE_WRITE)  # disarmed: passes
