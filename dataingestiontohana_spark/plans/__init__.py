@@ -12,9 +12,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from dataingestiontohana_spark.plans import (
+    ingestion,
     llm_dedup,
     llm_similarity,
     llm_text,
+    multimodal,
     relational,
 )
 
@@ -23,6 +25,6 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
-for mod in (relational, llm_text, llm_dedup, llm_similarity):
+for mod in (relational, llm_text, llm_dedup, llm_similarity, multimodal, ingestion):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

@@ -1,0 +1,72 @@
+"""Declared multimodal queries: binary-column plumbing over the
+documents table (text bytes as opaque content) with an exact oracle,
+plus the decode/frame-sample pipeline on synthetic media (rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataingestiontohana_spark.catalog import load_table
+from dataingestiontohana_spark.operators.multimodal import (
+    KIND_IMAGE,
+    KIND_VIDEO,
+    decode_media,
+    media_byte_features,
+    sample_frames,
+    synth_media_bytes,
+    text_as_media,
+)
+
+
+def q36_media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas byte features with a DuckDB oracle: the Arrow/pandas
+    path must be byte-identical to the declarative SQL computation."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        media_byte_features(text_as_media(d))
+        .orderBy("media_id")
+    )
+
+
+def _synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
+    rows = []
+    for i in range(n):
+        kind = KIND_VIDEO if i % 4 == 0 else KIND_IMAGE
+        nf = 6 if kind == KIND_VIDEO else 1
+        rows.append((i, kind, synth_media_bytes(i, kind, 32, 16, nf)))
+    return spark.createDataFrame(rows, "media_id long, kind int, content binary")
+
+
+def q37_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode pipeline on deterministic synthetic media (rows-only:
+    binary codecs aren't expressible in SQL)."""
+    return decode_media(_synthetic_media(spark)).orderBy("media_id")
+
+
+def q38_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (every 2nd frame): the row-expanding
+    mapInPandas shape, aggregated per video (rows-only)."""
+    frames = sample_frames(_synthetic_media(spark), every_k=2)
+    return (
+        frames.groupBy("media_id")
+        .agg(F.count("*").alias("n_sampled"))
+        .orderBy("media_id")
+    )
+
+
+QUERIES = {
+    "q36_media_byte_features": q36_media_byte_features,
+    "q37_media_decode": q37_media_decode,
+    "q38_frame_sample": q38_frame_sample,
+}
+
+ORACLES = {
+    "q36_media_byte_features": """
+        SELECT doc_id AS media_id,
+               CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+               md5(text) AS digest
+        FROM documents ORDER BY media_id
+    """,
+}
