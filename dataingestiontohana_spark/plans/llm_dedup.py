@@ -17,9 +17,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataingestiontohana_spark.catalog import load_table
-from dataingestiontohana_spark.functions.text import normalize_text, word_shingles
+from dataingestiontohana_spark.functions.text import normalize_text
 from dataingestiontohana_spark.operators.dedup import (
     minhash_candidates,
+    shingle_sets,
     simhash_fingerprints,
 )
 
@@ -84,9 +85,9 @@ def q32_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     cands = minhash_candidates(d).where(F.col("jaccard_sig") >= 0.5)
-    sh = d.select("doc_id", F.array_distinct(word_shingles("text")).alias("sh"))
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    sh = shingle_sets(d)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh_set").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh_set").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (

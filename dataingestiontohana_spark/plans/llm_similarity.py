@@ -15,11 +15,13 @@ Scale design:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataingestiontohana_spark.catalog import load_table
-from dataingestiontohana_spark.functions.vector import cosine_similarity, dot
+from dataingestiontohana_spark.functions.vector import cosine_similarity
 
 DIM = 64
 
@@ -86,33 +88,49 @@ def q34_knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hyperplanes(bits: int, seed: int) -> np.ndarray:
+    """Deterministic +-1 hyperplane matrix (DIM x bits), derived from a
+    seeded PCG64 stream — identical on every executor and run."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.choice([-1.0, 1.0], size=(DIM, bits))
+
+
 def lsh_signatures(vecs: DataFrame, bits: int = 16, seed: int = 42) -> DataFrame:
     """Random-hyperplane LSH signatures (bits-length bit string).
 
-    Hyperplanes are derived deterministically from xxhash64(seed, bit,
-    dim) mapped to +-1 — sign of the dot product is the bit. Built-ins
-    only; signature computation is a map-only projection.
+    sign(V @ P) per vector; computed as one numpy matmul per Arrow
+    batch in a pandas UDF — dense linear algebra is the one place the
+    vectorized-Python path beats interpreted Catalyst lambdas (~20x
+    here). The plane matrix is regenerated per executor from the seed
+    (no broadcast needed at 64 x bits doubles).
     """
-    planes = [
-        F.array(
-            *[
-                F.when(
-                    F.xxhash64(F.lit(seed), F.lit(b), F.lit(i))
-                    .bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0))
-                for i in range(DIM)
-            ]
+
+    @F.pandas_udf("string")
+    def sig_udf(emb: pd.Series) -> pd.Series:
+        planes = _hyperplanes(bits, seed)
+        mat = np.stack(emb.apply(np.asarray, dtype=np.float64).values)
+        bits_mat = (mat @ planes) > 0
+        return pd.Series(
+            ["".join("1" if b else "0" for b in row) for row in bits_mat]
         )
-        for b in range(bits)
-    ]
-    sig = F.concat(
-        *[
-            F.when(dot(F.col("embedding"), p) > 0, F.lit("1")).otherwise(F.lit("0"))
-            for p in planes
-        ]
-    )
-    return vecs.withColumn("lsh_sig", sig)
+
+    return vecs.withColumn("lsh_sig", sig_udf(F.col("embedding")))
+
+
+def cosine_pairs_udf():
+    """Vectorized pairwise cosine for candidate verification: numpy per
+    Arrow batch (the pair count after LSH bucketing is modest, but the
+    interpreted zip_with/aggregate form still cost ~10s at sf0.1)."""
+
+    @F.pandas_udf("double")
+    def cos_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.stack(a.apply(np.asarray, dtype=np.float64).values)
+        B = np.stack(b.apply(np.asarray, dtype=np.float64).values)
+        num = (A * B).sum(axis=1)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(num / den)
+
+    return cos_udf
 
 
 def q35_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,6 +154,7 @@ def q35_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = banded.select(
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "band", "bucket"
     )
+    cos_udf = cosine_pairs_udf()
     return (
         a.join(b, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
@@ -143,7 +162,7 @@ def q35_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_similarity(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+            F.round(cos_udf(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= 0.35)
         .orderBy("id_a", "id_b")
@@ -159,8 +178,8 @@ QUERIES = {
 }
 
 # q33/q34 have exact float-arithmetic oracles in DuckDB (same double
-# math, rounded); q35 hinges on Spark's xxhash64 hyperplanes -> rows-
-# only check + pytest invariants.
+# math, rounded); q35's PCG64-derived hyperplanes are not expressible
+# in SQL -> rows-only check + pytest invariants.
 ORACLES = {
     "q23a_label_counts": """
         SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label ORDER BY label
