@@ -18,6 +18,7 @@ from dataingestiontohana_spark.plans import (
     llm_text,
     multimodal,
     relational,
+    relational_ext,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -25,6 +26,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
-for mod in (relational, llm_text, llm_dedup, llm_similarity, multimodal, ingestion):
+for mod in (
+    relational,
+    relational_ext,
+    llm_text,
+    llm_dedup,
+    llm_similarity,
+    multimodal,
+    ingestion,
+):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

@@ -1,0 +1,313 @@
+"""Extended relational surface: operator categories beyond the §2.3
+core — ALL-variant set ops, pivot/unpivot, as-of join, range join,
+exact percentiles, batch sessionization, correlated subqueries,
+GROUPING SETS, and general window frames. All oracle-checked.
+
+Scale notes are per-query; the recurring themes: broadcast the small
+side of every non-equi join, express as-of joins as a union-tag +
+last-ignorenulls window (sort-merge shape, one shuffle) instead of a
+per-row subquery, and keep sessionization as two window passes over one
+partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dataingestiontohana_spark.catalog import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def q41_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL / INTERSECT ALL / EXCEPT ALL multiplicity semantics.
+    INTERSECT binds tighter (SQL standard), so the oracle's chain
+    parses as (c UNION ALL (s INTERSECT ALL c)) EXCEPT ALL n."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    n = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("k"))
+    u = c.unionAll(s.intersectAll(c)).exceptAll(n)
+    return u.groupBy("k").agg(F.count("*").alias("cnt")).orderBy("k")
+
+
+def q42_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per priority x status (fixed column set so
+    the plan is a single hash agg — no second pass to discover values)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("o_orderpriority")
+    )
+
+
+def q43_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-part numeric columns to long form."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.unpivot(
+            ["p_partkey"],
+            ["p_size", "p_retailprice"],
+            "measure",
+            "val",
+        )
+        .select("p_partkey", "measure", F.round(F.col("val"), 2).alias("val"))
+        .orderBy("p_partkey", "measure")
+    )
+
+
+def q44_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks the customer's most recent order at
+    event time (user_id+1 = custkey mapping on the synthetic data).
+
+    Spark has no native ASOF JOIN; the scalable formulation is the
+    union-tag + last(ignorenulls) window: interleave orders and events
+    on (custkey, time), carry the latest order date forward. One
+    shuffle on custkey; contrast with the per-event correlated scalar
+    subquery the oracle runs (fine for DuckDB, quadratic on a cluster).
+    """
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") + 1).alias("ck"),
+        F.col("ts").alias("t"),
+        F.lit(None).cast("timestamp").alias("odate"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderdate").alias("t"),
+        F.col("o_orderdate").alias("odate"),
+    )
+    # orders sort before events at identical t (is_event=0 first) so an
+    # order exactly at event time counts as "already placed" (<= in the
+    # oracle)
+    merged = o.unionByName(e).withColumn(
+        "is_event", F.col("event_id").isNotNull().cast("int")
+    )
+    w = (
+        Window.partitionBy("ck")
+        .orderBy("t", "is_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        merged.withColumn("last_odate", F.last("odate", ignorenulls=True).over(w))
+        .where(F.col("is_event") == 1)
+        .select("event_id", F.col("last_odate").alias("last_order_date"))
+        .orderBy("event_id")
+    )
+
+
+def q45_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi) join: events bucketed into value bands via a
+    broadcast banding table — the non-equi condition never shuffles the
+    fact side because the band table broadcasts."""
+    e = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    return (
+        e.join(
+            F.broadcast(bands),
+            (e.value >= bands.lo) & (e.value < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("c"), F.round(F.sum("value"), 2).alias("sv"))
+        .orderBy("band")
+    )
+
+
+def q46_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median/p90) per order status.
+    Spark `percentile` and DuckDB `quantile_cont` share the linear-
+    interpolation definition; at true scale swap for percentile_approx
+    and accept the error bound."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def q47_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: a new session starts after a >30min gap
+    (lag + cumulative-sum-of-boundaries, both windows share one
+    partitioning on user_id — exactly one shuffle)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = e.select(
+        "user_id", "event_id", F.sum(new_sess).over(run).alias("session_id")
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q48_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers above their nation's average balance (decorrelated to
+    an agg + broadcast join, which is what Catalyst does to the SQL
+    form as well)."""
+    c = _t(spark, sf_dir, "customer")
+    nat_avg = c.groupBy("c_nationkey").agg(F.avg("c_acctbal").alias("nav"))
+    return (
+        c.join(F.broadcast(nat_avg), "c_nationkey")
+        .where(F.col("c_acctbal") > F.col("nav"))
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+def q49_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond ROLLUP/CUBE): by-status,
+    by-priority, and grand total in one pass."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
+def q50_first_last_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last value over a full-partition frame (the frame spec
+    matters: last_value needs unbounded following)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            F.first("l_partkey").over(w).alias("first_part"),
+            F.last("l_partkey").over(w).alias("last_part"),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey")
+    )
+
+
+QUERIES = {
+    "q41_set_ops_all": q41_set_ops_all,
+    "q42_pivot": q42_pivot,
+    "q43_unpivot": q43_unpivot,
+    "q44_asof_join": q44_asof_join,
+    "q45_range_join": q45_range_join,
+    "q46_percentiles": q46_percentiles,
+    "q47_sessionize": q47_sessionize,
+    "q48_correlated_subquery": q48_correlated_subquery,
+    "q49_grouping_sets": q49_grouping_sets,
+    "q50_first_last_window": q50_first_last_window,
+}
+
+ORACLES = {
+    "q41_set_ops_all": """
+        WITH u AS (
+          SELECT c_nationkey AS k FROM customer
+          UNION ALL SELECT s_nationkey FROM supplier
+          INTERSECT ALL SELECT c_nationkey FROM customer
+          EXCEPT ALL SELECT n_nationkey FROM nation)
+        SELECT k, COUNT(*) AS cnt FROM u GROUP BY k ORDER BY k
+    """,
+    "q42_pivot": """
+        SELECT o_orderpriority,
+               COUNT(*) FILTER (o_orderstatus = 'F') AS "F",
+               COUNT(*) FILTER (o_orderstatus = 'O') AS "O",
+               COUNT(*) FILTER (o_orderstatus = 'P') AS "P"
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "q43_unpivot": """
+        SELECT p_partkey, 'p_size' AS measure,
+               ROUND(CAST(p_size AS DOUBLE), 2) AS val FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice', ROUND(p_retailprice, 2) FROM part
+        ORDER BY p_partkey, measure
+    """,
+    "q44_asof_join": """
+        SELECT e.event_id,
+               (SELECT MAX(o.o_orderdate) FROM orders o
+                WHERE o.o_custkey = e.user_id + 1
+                  AND o.o_orderdate <= e.ts) AS last_order_date
+        FROM events e ORDER BY e.event_id
+    """,
+    "q45_range_join": """
+        WITH bands(band, lo, hi) AS (
+          VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0),
+                 ('high', 150.0, 1e9))
+        SELECT band, COUNT(*) AS c, ROUND(SUM(value), 2) AS sv
+        FROM events JOIN bands ON value >= lo AND value < hi
+        GROUP BY band ORDER BY band
+    """,
+    "q46_percentiles": """
+        SELECT o_orderstatus,
+               ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+               ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "q47_sessionize": """
+        WITH g AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                      OR LAG(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events),
+        s AS (
+          SELECT user_id, event_id,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM g)
+        SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+               COUNT(*) AS n_events
+        FROM s GROUP BY user_id ORDER BY user_id
+    """,
+    "q48_correlated_subquery": """
+        SELECT c_custkey FROM customer c
+        WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        ORDER BY c_custkey
+    """,
+    "q49_grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    "q50_first_last_window": """
+        SELECT l_orderkey, l_linenumber, l_partkey,
+               FIRST_VALUE(l_partkey) OVER w AS first_part,
+               LAST_VALUE(l_partkey) OVER w AS last_part
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_orderkey
+                     ORDER BY l_linenumber, l_partkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+        ORDER BY l_orderkey, l_linenumber, l_partkey
+    """,
+}

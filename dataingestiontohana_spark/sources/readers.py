@@ -1,0 +1,89 @@
+"""Batch source connectors (SURVEY §2.2 scans/sources row).
+
+Parquet is the first-class path (columnar, predicate pushdown, column
+pruning). CSV/JSON take explicit schemas — schema inference is a full
+extra pass over the data and is disabled here by contract. JDBC has two
+paths: the real `spark.read.jdbc` (needs a driver jar on the
+classpath; supports predicate-partitioned parallel reads for scale)
+and a DBAPI bridge for embedded/driverless databases, which pulls
+through Arrow on the driver and is explicitly a small-table path
+(dimension loads, test stand-ins — never the 100 TB fact table).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType | str, header: bool = True
+) -> DataFrame:
+    return spark.read.schema(schema).option("header", str(header).lower()).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType | str) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """Parallel JDBC read. With partition_column + bounds, Spark issues
+    num_partitions range-predicate queries concurrently — the only way
+    a JDBC scan keeps a cluster busy. Requires the vendor driver jar
+    (`spark.jars`); raises the underlying error if absent."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def read_dbapi(
+    spark: SparkSession,
+    connection_factory: Callable[[], object],
+    query: str,
+    schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """Driver-side DBAPI -> Arrow -> DataFrame bridge for databases
+    without a JDBC jar (DuckDB/SQLite test stand-ins, small dims).
+
+    The result set materializes on the driver — callers own keeping it
+    small; the JDBC path above is the distributed-scan alternative.
+    """
+    import pandas as pd
+
+    con = connection_factory()
+    try:
+        cur = con.execute(query)
+        fetch_arrow = getattr(cur, "fetch_arrow_table", None)
+        if fetch_arrow is not None:  # duckdb fast path
+            pdf = fetch_arrow().to_pandas()
+        else:
+            cols = [d[0] for d in cur.description]
+            pdf = pd.DataFrame(cur.fetchall(), columns=cols)
+    finally:
+        con.close()
+    if schema is not None:
+        return spark.createDataFrame(pdf, schema=schema)
+    return spark.createDataFrame(pdf)

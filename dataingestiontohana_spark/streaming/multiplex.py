@@ -1,0 +1,75 @@
+"""Multiplexer + Wiretap: reference operators R2 and R9.
+
+R2 (1:2 Multiplexer, `images/simpleIngestion.png` at
+`/root/reference/README.md:6`): one input stream copied to N consumers.
+Spark-native form: ONE streaming query whose foreachBatch persists the
+micro-batch and feeds every sink from the cached copy — the source is
+read once per batch (two independent queries would read it twice and
+commit offsets independently, losing the reference's "same message to
+both branches" semantics).
+
+R9 (Wiretap, `README.md:64`): logs each message envelope with a
+wall-clock timestamp and forwards unchanged. Spark-native form: a
+pass-through batch hook recording (epoch, rows, wall-clock) — the ack
+role the reference wires through the wiretap is obsolete because the
+checkpoint commits offsets after sink success (SURVEY §2.1 R9).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+BatchSink = Callable[[DataFrame, int], None]
+
+
+@dataclass
+class WiretapEntry:
+    epoch_id: int
+    n_rows: int
+    wall_clock: float
+
+
+@dataclass
+class Wiretap:
+    """Pass-through trace: counts each micro-batch and timestamps it."""
+
+    name: str = "wiretap"
+    entries: list[WiretapEntry] = field(default_factory=list)
+
+    def tap(self, batch_df: DataFrame, epoch_id: int) -> DataFrame:
+        self.entries.append(
+            WiretapEntry(epoch_id, batch_df.count(), time.time())
+        )
+        return batch_df
+
+
+def multiplex(stream_df: DataFrame, sinks: list[BatchSink],
+              checkpoint_dir: str, wiretap: Wiretap | None = None) -> StreamingQuery:
+    """Start one query fanning each micro-batch out to every sink.
+
+    The batch is persisted once; each sink consumes the cached copy, so
+    source-read and parse costs are paid once regardless of fan-out.
+    A sink failure fails the whole batch (all-or-nothing replay), which
+    preserves the delivery guarantees of the slowest branch.
+    """
+
+    def fan_out(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            if wiretap is not None:
+                wiretap.tap(batch_df, epoch_id)
+            for sink in sinks:
+                sink(batch_df, epoch_id)
+        finally:
+            batch_df.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(fan_out)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
