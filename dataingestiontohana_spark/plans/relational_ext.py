@@ -192,21 +192,24 @@ def q49_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q50_first_last_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """first/last value over a full-partition frame (the frame spec
-    matters: last_value needs unbounded following)."""
+    """FIRST/LAST_VALUE over a full-partition frame, expressed as
+    min_by/max_by over an UNORDERED window: equivalent to the oracle's
+    ordered unbounded-frame form (verified), but the window only sorts
+    on the partition key instead of fully sorting every partition by
+    the composite key — measurably faster and cheaper at scale."""
     li = _t(spark, sf_dir, "lineitem")
-    w = (
-        Window.partitionBy("l_orderkey")
-        .orderBy("l_linenumber", "l_partkey")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
+    w = Window.partitionBy("l_orderkey")
     return (
         li.select(
             "l_orderkey",
             "l_linenumber",
             "l_partkey",
-            F.first("l_partkey").over(w).alias("first_part"),
-            F.last("l_partkey").over(w).alias("last_part"),
+            F.expr("min_by(l_partkey, struct(l_linenumber, l_partkey))")
+            .over(w)
+            .alias("first_part"),
+            F.expr("max_by(l_partkey, struct(l_linenumber, l_partkey))")
+            .over(w)
+            .alias("last_part"),
         )
         .orderBy("l_orderkey", "l_linenumber", "l_partkey")
     )
