@@ -16,6 +16,7 @@ from dataingestiontohana_spark.plans import (
     llm_dedup,
     llm_similarity,
     llm_text,
+    llm_text2,
     multimodal,
     relational,
     relational_ext,
@@ -30,6 +31,7 @@ for mod in (
     relational,
     relational_ext,
     llm_text,
+    llm_text2,
     llm_dedup,
     llm_similarity,
     multimodal,

@@ -133,6 +133,17 @@ def cosine_pairs_udf():
     return cos_udf
 
 
+def q36b_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: top-10 near the vec_id=0 query via nprobe=4 of 16
+    coarse clusters (rows-only; recall-vs-exact pinned by pytest)."""
+    from dataingestiontohana_spark.operators.ivf import ivf_topk, sample_centroids
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.where(F.col("vec_id") == 0).head()["embedding"]]
+    cents = sample_centroids(e, k=16)
+    return ivf_topk(e.where(F.col("vec_id") != 0), qvec, cents, k=10, nprobe=4)
+
+
 def q35_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate near-neighbor pairs: vectors sharing an 8-bit LSH
     band (2 bands of 8 bits), verified by exact cosine >= 0.35.
@@ -175,6 +186,7 @@ QUERIES = {
     "q33_cosine_topk": q33_cosine_topk,
     "q34_knn_per_label": q34_knn_per_label,
     "q35_ann_lsh": q35_ann_lsh,
+    "q36b_ivf_topk": q36b_ivf_topk,
 }
 
 # q33/q34 have exact float-arithmetic oracles in DuckDB (same double

@@ -1,0 +1,64 @@
+"""Property test: MinHash signature agreement estimates true shingle
+Jaccard (Broder's theorem: P[min-hash agrees] = J)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataingestiontohana_spark.operators.dedup import (
+    NUM_HASHES,
+    minhash_signatures,
+    shingle_sets,
+)
+
+WORDS = [f"w{i}" for i in range(200)]
+
+
+def make_doc(rng: random.Random, n: int) -> str:
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+def mutate(rng: random.Random, doc: str, frac: float) -> str:
+    toks = doc.split()
+    k = int(len(toks) * frac)
+    for idx in rng.sample(range(len(toks)), k):
+        toks[idx] = rng.choice(WORDS)
+    return " ".join(toks)
+
+
+@pytest.mark.parametrize("seed", [1, 7])
+def test_signature_agreement_tracks_true_jaccard(spark, seed):
+    rng = random.Random(seed)
+    docs = []
+    for i in range(8):
+        base = make_doc(rng, 120)
+        docs.append((2 * i, base))
+        docs.append((2 * i + 1, mutate(rng, base, rng.choice([0.02, 0.1, 0.3]))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    sets_ = {
+        r["doc_id"]: set(r["sh_set"]) for r in shingle_sets(df).collect()
+    }
+    sigs = {
+        r["doc_id"]: list(r["sig"]) for r in minhash_signatures(df).collect()
+    }
+    for i in range(8):
+        a, b = 2 * i, 2 * i + 1
+        true_j = len(sets_[a] & sets_[b]) / len(sets_[a] | sets_[b])
+        est = sum(x == y for x, y in zip(sigs[a], sigs[b])) / NUM_HASHES
+        # 16 hashes -> std err ~ sqrt(J(1-J)/16) <= 0.125; allow 3 sigma
+        assert abs(true_j - est) <= 0.4, (i, true_j, est)
+
+
+def test_disjoint_docs_rarely_agree(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"a{i}" for i in range(100))),
+         (2, " ".join(f"b{i}" for i in range(100)))],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: list(r["sig"]) for r in minhash_signatures(df).collect()}
+    agree = sum(x == y for x, y in zip(sigs[1], sigs[2]))
+    assert agree <= 2  # true J = 0; each agreement is a hash collision
