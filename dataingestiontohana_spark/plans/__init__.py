@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from dataingestiontohana_spark.plans import (
+    cdc,
     ingestion,
     llm_dedup,
     llm_similarity,
@@ -36,6 +37,7 @@ for mod in (
     llm_similarity,
     multimodal,
     ingestion,
+    cdc,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

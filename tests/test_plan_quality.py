@@ -1,0 +1,80 @@
+"""Plan-quality regression tests: the physical plans the engine
+promises at scale — filter/column pushdown into the parquet scan,
+broadcast joins for small dims, single-shuffle windows. A passing
+result (correct rows) with a regressed plan is still a failure at
+100 TB, so the plans themselves are pinned here.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dataingestiontohana_spark.plans import QUERIES
+
+from tests.conftest import SF001
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _full(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_q01_filter_and_columns_pushed_to_scan(spark):
+    df = QUERIES["q01_filter_project"](spark, SF001)
+    full = _full(df)
+    assert "GreaterThan(l_quantity,45.0)" in full  # predicate at the scan
+    assert (
+        "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"
+        in full
+    )  # 3 of 11 columns read
+
+
+def test_q05_small_dim_broadcasts(spark):
+    df = QUERIES["q05_inner_join"](spark, SF001)
+    assert "BroadcastHashJoin" in _executed(df)
+
+
+def test_q06_all_joins_broadcast_no_sortmerge_at_small_sf(spark):
+    df = QUERIES["q06_multiway_join_agg"](spark, SF001)
+    plan = _executed(df)
+    assert "BroadcastHashJoin" in plan
+    # region filter reached the region scan, not a post-join filter
+    assert "PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)" in _full(df)
+
+
+def test_q08_semi_join_stays_semi(spark):
+    df = QUERIES["q08_semi_join"](spark, SF001)
+    assert "LeftSemi" in _optimized(df)
+
+
+def test_q09_anti_join_stays_anti(spark):
+    df = QUERIES["q09_anti_join"](spark, SF001)
+    assert "LeftAnti" in _optimized(df)
+
+
+def test_q10_partial_aggregation_present(spark):
+    # map-side partial agg: two HashAggregate nodes around the exchange
+    df = QUERIES["q10_hash_agg"](spark, SF001)
+    assert _executed(df).count("HashAggregate") >= 2
+
+
+def test_q14_window_single_shuffle(spark):
+    df = QUERIES["q14_topk_per_group"](spark, SF001)
+    plan = _executed(df)
+    # one hash exchange for the window partition key; the final global
+    # sort adds a range exchange — nothing else
+    assert plan.count("hashpartitioning") <= 1
+
+
+def test_q20_aggregation_pushes_column_pruning(spark):
+    df = QUERIES["q20_time_bucket"](spark, SF001)
+    full = _full(df)
+    # events has 6 columns; the scan must read only ts/event_type/value
+    assert "props" not in full.split("ReadSchema")[-1]
