@@ -21,6 +21,7 @@ from dataingestiontohana_spark.plans import (
     multimodal,
     relational,
     relational_ext,
+    udf_surface,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -38,6 +39,7 @@ for mod in (
     multimodal,
     ingestion,
     cdc,
+    udf_surface,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
