@@ -147,29 +147,37 @@ def q36b_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q35_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate near-neighbor pairs: vectors sharing an 8-bit LSH
     band (2 bands of 8 bits), verified by exact cosine >= 0.35.
-    Bucket equi-join replaces the O(n^2) cartesian product."""
-    e = lsh_signatures(load_table(spark, sf_dir, "embeddings"))
-    banded = e.select(
+
+    Bucket equi-join replaces the O(n^2) cartesian product, and the
+    bucket join + pair dedup move ONLY (id, bucket) rows — the 64-float
+    embedding arrays are joined back per side after the pair set is
+    deduplicated, so the widest shuffle carries ids, not payloads.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    sig = lsh_signatures(e).select("vec_id", "lsh_sig")
+    banded = sig.select(
         "vec_id",
-        "embedding",
         F.explode(
             F.array(
                 F.struct(F.lit(0).alias("band"), F.substring("lsh_sig", 1, 8).alias("bucket")),
                 F.struct(F.lit(1).alias("band"), F.substring("lsh_sig", 9, 8).alias("bucket")),
             )
         ).alias("bb"),
-    ).select("vec_id", "embedding", "bb.band", "bb.bucket")
-    a = banded.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "band", "bucket"
-    )
-    b = banded.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "band", "bucket"
-    )
-    cos_udf = cosine_pairs_udf()
-    return (
+    ).select("vec_id", "bb.band", "bb.bucket")
+    a = banded.select(F.col("vec_id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("vec_id").alias("id_b"), "band", "bucket")
+    pairs = (
         a.join(b, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    emb_a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    emb_b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cos_udf = cosine_pairs_udf()
+    return (
+        pairs.join(emb_a, "id_a")
+        .join(emb_b, "id_b")
         .select(
             "id_a",
             "id_b",
