@@ -21,6 +21,7 @@ from dataingestiontohana_spark.plans import (
     multimodal,
     relational,
     relational_ext,
+    sampling,
     udf_surface,
 )
 
@@ -40,6 +41,7 @@ for mod in (
     ingestion,
     cdc,
     udf_surface,
+    sampling,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

@@ -1,0 +1,241 @@
+"""Dataset sampling / splitting / mixing — the selection layer of a
+training-data pipeline (declared queries q57-q62).
+
+Everything here is deterministic and shuffle-light by construction:
+
+- Splits and samples use an arithmetic multiplicative hash
+  (Knuth 2654435761) instead of ``rand()`` — reproducible across runs,
+  engines, and cluster sizes, and computable in whole-stage codegen
+  with zero shuffle before the final aggregation. At 100 TB a split is
+  a map-only scan: no repartition, no sort, no sampling pass.
+- Stratified sampling keys the hash on the row id, so the kept set is
+  stable under repartitioning (unlike ``TABLESAMPLE`` / ``df.sample``
+  whose output depends on partition layout).
+- Dataset mixing expresses per-source weights as a hash threshold: a
+  weighted interleave of N corpora is then one predicate, not N
+  sampled unions.
+
+Reference parity: the reference (Andyyh2005/DataIngestionToHANA) has
+no sampling surface (README.md:1-168 is delivery-semantics only);
+scope comes from the driver's LLM-data north star (BASELINE.json:6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dataingestiontohana_spark.catalog import load_table
+
+# Knuth's multiplicative hash constant; doc_id fits far below the
+# int64 overflow boundary (ANSI mode would throw, not wrap).
+_KNUTH = 2654435761
+
+
+def _bucket(id_col: F.Column, modulus: int, salt: int = 0) -> F.Column:
+    """Deterministic bucket in [0, modulus): ((id + salt) * K) % m."""
+    return ((id_col + F.lit(salt)) * F.lit(_KNUTH)) % F.lit(modulus)
+
+
+def q57_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split of the corpus.
+
+    One codegen'd projection + tiny agg; the split column is a pure
+    function of doc_id, so any engine (or a later incremental run over
+    new files) assigns identical rows to identical splits.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    b = _bucket(F.col("doc_id"), 100)
+    split = (
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+def q58_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 30% per-language sample (stratified on lang).
+
+    The keep-predicate hashes the row id, not the partition: stable
+    under repartitioning/AQE, unlike df.sample/TABLESAMPLE. Map-only
+    until the final per-stratum aggregation.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    kept = d.where(_bucket(F.col("doc_id"), 10, salt=17) < 3)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("sampled_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q59_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing: per-source keep rates applied as hash
+    thresholds (web-ish sources downsampled, curated kept whole).
+
+    At scale this replaces N sampled unions with a single predicate on
+    one scan — no shuffle, no N-way union of separate jobs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    # keep-rate percent per source; unknown sources default to 25%
+    rate = (
+        F.when(F.col("source") == "web", F.lit(40))
+        .when(F.col("source") == "wiki", F.lit(100))
+        .when(F.col("source") == "books", F.lit(100))
+        .otherwise(F.lit(25))
+    )
+    kept = d.where(_bucket(F.col("doc_id"), 100, salt=101) < rate)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def q60_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucketing of orders by price (NTILE over a total
+    order), then per-bucket stats — the quantile-binning step used to
+    stratify curricula / detect outlier bands.
+
+    NTILE needs a global sort; Spark plans it as a single range
+    partitioned sort (sampled boundaries), which is the right shape —
+    but at 100 TB prefer approx percentile cutoffs + a map-side CASE
+    (see q46) when exact equal-count buckets aren't required.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(4).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def q61_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 tokens by frequency (vocabulary head).
+
+    explode -> two-level aggregation. The token count aggregation gets
+    map-side partial combine, so the shuffle carries (token, count)
+    pairs, not token occurrences; the top-k is a single-partition sort
+    of the (small) distinct-token set.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+        ).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.desc("c"), F.asc("tok"))
+    return (
+        counts.select("tok", "c", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 20)
+        .orderBy("rn")
+    )
+
+
+def q62_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist of order price within order status —
+    the distributional-position features used for quality-score
+    calibration. Rounded to 6 places (both engines compute the same
+    rational numbers; rounding guards double formatting)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+QUERIES = {
+    "q57_hash_split": q57_hash_split,
+    "q58_stratified_sample": q58_stratified_sample,
+    "q59_dataset_mix": q59_dataset_mix,
+    "q60_ntile_buckets": q60_ntile_buckets,
+    "q61_token_topk": q61_token_topk,
+    "q62_rank_dist": q62_rank_dist,
+}
+
+ORACLES = {
+    "q57_hash_split": """
+        SELECT CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                    WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS docs,
+               SUM(n_chars) AS total_chars,
+               ROUND(AVG(n_chars), 2) AS avg_chars
+        FROM documents GROUP BY split ORDER BY split
+    """,
+    "q58_stratified_sample": """
+        SELECT lang, COUNT(*) AS sampled_docs,
+               ROUND(AVG(n_chars), 2) AS avg_chars
+        FROM documents
+        WHERE ((doc_id + 17) * 2654435761) % 10 < 3
+        GROUP BY lang ORDER BY lang
+    """,
+    "q59_dataset_mix": """
+        SELECT source, COUNT(*) AS kept_docs, SUM(n_chars) AS kept_chars
+        FROM documents
+        WHERE ((doc_id + 101) * 2654435761) % 100 <
+              CASE WHEN source = 'web' THEN 40
+                   WHEN source IN ('wiki', 'books') THEN 100
+                   ELSE 25 END
+        GROUP BY source ORDER BY source
+    """,
+    "q60_ntile_buckets": """
+        SELECT bucket, COUNT(*) AS n,
+               ROUND(MIN(o_totalprice), 2) AS lo,
+               ROUND(MAX(o_totalprice), 2) AS hi
+        FROM (SELECT o_totalprice,
+                     NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+              FROM orders) t
+        GROUP BY bucket ORDER BY bucket
+    """,
+    "q61_token_topk": """
+        SELECT tok, c, rn FROM (
+            SELECT tok, c,
+                   ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS rn
+            FROM (SELECT tok, COUNT(*) AS c
+                  FROM (SELECT unnest(string_split(
+                            trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                            ' ')) AS tok
+                        FROM documents) u
+                  GROUP BY tok) g
+        ) r WHERE rn <= 20 ORDER BY rn
+    """,
+    "q62_rank_dist": """
+        SELECT o_orderkey, o_orderstatus,
+               ROUND(PERCENT_RANK() OVER
+                     (PARTITION BY o_orderstatus ORDER BY o_totalprice), 6) AS pr,
+               ROUND(CUME_DIST() OVER
+                     (PARTITION BY o_orderstatus ORDER BY o_totalprice), 6) AS cd
+        FROM orders ORDER BY o_orderkey
+    """,
+}

@@ -1,0 +1,67 @@
+"""Properties of the sampling/splitting layer (q57-q62) beyond the
+oracle gate: determinism under repartitioning and map-only plans —
+the two guarantees that make hash-splits safe at 100 TB where
+df.sample/TABLESAMPLE are not (their output depends on partition
+layout)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataingestiontohana_spark.catalog import load_table
+from dataingestiontohana_spark.plans.sampling import (
+    _bucket,
+    q57_hash_split,
+    q58_stratified_sample,
+)
+
+from tests.conftest import SF001
+
+
+def _kept_ids(df, modulus=10, salt=17, keep=3):
+    return {
+        r.doc_id
+        for r in df.where(_bucket(F.col("doc_id"), modulus, salt) < keep)
+        .select("doc_id")
+        .collect()
+    }
+
+
+def test_sample_stable_under_repartition(spark):
+    d = load_table(spark, SF001, "documents")
+    base = _kept_ids(d)
+    assert base  # non-degenerate sample
+    assert _kept_ids(d.repartition(7)) == base
+    assert _kept_ids(d.repartition(1)) == base
+    assert _kept_ids(d.orderBy(F.desc("doc_id"))) == base
+
+
+def test_split_is_exhaustive_and_disjoint(spark):
+    d = load_table(spark, SF001, "documents")
+    stats = {r.split: r.docs for r in q57_hash_split(spark, SF001).collect()}
+    assert sum(stats.values()) == d.count()  # every doc in exactly one split
+    assert set(stats) == {"train", "val", "test"}
+    # 80/10/10 within multiplicative-hash tolerance
+    total = sum(stats.values())
+    assert 0.7 < stats["train"] / total < 0.9
+
+
+def test_split_plan_is_map_only_before_agg(spark):
+    # exactly two exchanges — the aggregation shuffle and the final
+    # presentation orderBy; the split itself adds no repartition/sort,
+    # and the partial aggregate sits directly on the scan
+    plan = q57_hash_split(spark, SF001)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2
+    partial = plan.index("partial_count")
+    assert "Exchange" not in plan[partial:]  # nothing below the partial agg
+
+
+def test_stratified_sample_filter_reaches_scan(spark):
+    full = (
+        q58_stratified_sample(spark, SF001)
+        ._jdf.queryExecution()
+        .toString()
+    )
+    # the hash predicate is not a parquet-pushable filter, but column
+    # pruning must still reach the scan: only the 3 needed columns read
+    assert "ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>" in full
