@@ -188,6 +188,76 @@ def q35_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q63_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding space (mean per dimension).
+
+    posexplode -> (label, dim) aggregation: the shuffle carries partial
+    (sum, count) pairs for labels x dims (a few hundred groups), never
+    whole vectors — at 100 TB the map-side combine collapses each
+    partition to <= |labels| x dim rows before the exchange. The same
+    shape is the k-means update step (operators/ivf.py reuses it).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "label", F.posexplode("embedding").alias("dim0", "valf")
+    ).select(
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("valf").cast("double").alias("val"),
+    )
+    return (
+        v.groupBy("label", "dim")
+        .agg(F.round(F.avg("val"), 6).alias("c"))
+        .orderBy("label", "dim")
+    )
+
+
+def q64_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5 least-typical vectors per label: lowest cosine to the label
+    centroid — the embedding-space outlier filter used to prune
+    mislabeled / noisy training rows.
+
+    The centroid table (|labels| x dim rows) and its norms are
+    broadcast; the per-vector dot/norm is one exploded-join aggregation
+    keyed on vec_id. No shuffle ever carries an embedding array: the
+    wide data stays columnar in the scan, the exchanges move scalar
+    partial sums only.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim0", "valf")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("valf").cast("double").alias("val"),
+    )
+    c = v.groupBy("label", "dim").agg(F.avg("val").alias("c"))
+    cn = c.groupBy("label").agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nc"))
+    d = (
+        v.join(F.broadcast(c), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("val") * F.col("c")).alias("dot"),
+            F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nv"),
+        )
+    )
+    scored = d.join(F.broadcast(cn), "label").select(
+        "label",
+        "vec_id",
+        F.round(F.col("dot") / (F.col("nv") * F.col("nc")), 6).alias("cos_c"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("label").orderBy(F.asc("cos_c"), F.asc("vec_id"))
+    return (
+        scored.select("label", "vec_id", "cos_c", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 5)
+        .select("label", "vec_id", "cos_c")
+        .orderBy("label", "vec_id")
+    )
+
+
 QUERIES = {
     "q23a_label_counts": q23a_label_counts,
     "q23b_vec_dims": q23b_vec_dims,
@@ -195,6 +265,8 @@ QUERIES = {
     "q34_knn_per_label": q34_knn_per_label,
     "q35_ann_lsh": q35_ann_lsh,
     "q36b_ivf_topk": q36b_ivf_topk,
+    "q63_label_centroids": q63_label_centroids,
+    "q64_centroid_outliers": q64_centroid_outliers,
 }
 
 # q33/q34 have exact float-arithmetic oracles in DuckDB (same double
@@ -223,6 +295,34 @@ ORACLES = {
           FROM embeddings, q WHERE vec_id != 0)
         SELECT vec_id, cos_sim FROM s
         ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    "q63_label_centroids": """
+        SELECT label, dim, ROUND(AVG(val), 6) AS c FROM (
+            SELECT label,
+                   CAST(unnest(embedding) AS DOUBLE) AS val,
+                   generate_subscripts(embedding, 1) AS dim
+            FROM embeddings) v
+        GROUP BY label, dim ORDER BY label, dim
+    """,
+    "q64_centroid_outliers": """
+        WITH v AS (SELECT vec_id, label,
+                          CAST(unnest(embedding) AS DOUBLE) AS val,
+                          generate_subscripts(embedding, 1) AS dim
+                   FROM embeddings),
+        c AS (SELECT label, dim, AVG(val) AS c FROM v GROUP BY label, dim),
+        cn AS (SELECT label, SQRT(SUM(c * c)) AS nc FROM c GROUP BY label),
+        d AS (SELECT v.vec_id, v.label, SUM(v.val * c.c) AS dot,
+                     SQRT(SUM(v.val * v.val)) AS nv
+              FROM v JOIN c ON v.label = c.label AND v.dim = c.dim
+              GROUP BY v.vec_id, v.label)
+        SELECT label, vec_id, cos_c FROM (
+            SELECT d.label, d.vec_id,
+                   ROUND(d.dot / (d.nv * cn.nc), 6) AS cos_c,
+                   ROW_NUMBER() OVER (PARTITION BY d.label
+                       ORDER BY ROUND(d.dot / (d.nv * cn.nc), 6) ASC,
+                                d.vec_id ASC) AS rn
+            FROM d JOIN cn ON d.label = cn.label) t
+        WHERE rn <= 5 ORDER BY label, vec_id
     """,
     "q34_knn_per_label": """
         WITH e AS (

@@ -78,3 +78,15 @@ def test_q20_aggregation_pushes_column_pruning(spark):
     full = _full(df)
     # events has 6 columns; the scan must read only ts/event_type/value
     assert "props" not in full.split("ReadSchema")[-1]
+
+
+def test_q64_centroid_joins_broadcast_no_vector_shuffle(spark):
+    df = QUERIES["q64_centroid_outliers"](spark, SF001)
+    plan = _executed(df)
+    assert "BroadcastHashJoin" in plan  # centroids + norms broadcast
+    assert "SortMergeJoin" not in plan
+    # no exchange carries the embedding array column: explode happens
+    # map-side, aggregates reduce to scalars before every shuffle
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "embedding" not in line
