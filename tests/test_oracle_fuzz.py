@@ -83,3 +83,102 @@ def test_random_query_matches_oracle(spark, duck, seed):
     ddf = duck.execute(sql).fetch_arrow_table().to_pandas()
     ok, msg = compare(sdf, ddf)
     assert ok, f"seed={seed} sql={sql}: {msg}"
+
+
+def build_join_case(rng: random.Random):
+    """Random join shape: orders x customer, random join type, filter
+    on one side, aggregate by nation key."""
+    how, kw = rng.choice(
+        [("JOIN", "inner"), ("LEFT JOIN", "left"), ("RIGHT JOIN", "right")]
+    )
+    threshold = rng.choice([50_000, 150_000, 300_000])
+    min_orders = rng.choice([0, 1, 5])
+
+    def build(spark):
+        o = load_table(spark, SF0001, "orders").where(
+            F.col("o_totalprice") < threshold
+        )
+        c = load_table(spark, SF0001, "customer")
+        joined = o.join(c, o.o_custkey == c.c_custkey, kw)
+        return (
+            joined.groupBy("c_nationkey")
+            .agg(F.count("o_orderkey").alias("n_orders"))
+            .where(F.col("n_orders") >= min_orders)
+            .orderBy(F.col("c_nationkey").asc_nulls_first())
+        )
+
+    sql = (
+        f"SELECT c_nationkey, COUNT(o_orderkey) AS n_orders "
+        f"FROM (SELECT * FROM orders WHERE o_totalprice < {threshold}) o "
+        f"{how} customer ON o_custkey = c_custkey "
+        f"GROUP BY c_nationkey HAVING COUNT(o_orderkey) >= {min_orders} "
+        f"ORDER BY c_nationkey NULLS FIRST"
+    )
+    return build, sql
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_join_matches_oracle(spark, duck, seed):
+    rng = random.Random(2000 + seed)
+    build, sql = build_join_case(rng)
+    ok, msg = compare(build(spark), duck.execute(sql).fetch_arrow_table().to_pandas())
+    assert ok, f"seed={seed} sql={sql}: {msg}"
+
+
+WINDOW_FAMILIES = [
+    (
+        "row_number",
+        lambda: F.row_number(),
+        "ROW_NUMBER()",
+    ),
+    (
+        "rank",
+        lambda: F.rank(),
+        "RANK()",
+    ),
+    (
+        "dense_rank",
+        lambda: F.dense_rank(),
+        "DENSE_RANK()",
+    ),
+    (
+        "lag_key",
+        lambda: F.lag("o_orderkey", 1, -1),
+        "COALESCE(LAG(o_orderkey, 1) OVER w, -1)",
+    ),
+]
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_window_matches_oracle(spark, duck, seed):
+    """Window functions over a total order (price desc, key) partitioned
+    by order status — every family deterministic by construction."""
+    from pyspark.sql.window import Window
+
+    rng = random.Random(3000 + seed)
+    fam_name, fam, fam_sql = rng.choice(WINDOW_FAMILIES)
+    keep = rng.choice([3, 7, 11])
+
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    col = fam() if fam_name != "lag_key" else fam()
+    sdf = (
+        load_table(spark, SF0001, "orders")
+        .select("o_orderkey", "o_orderstatus", col.over(w).alias("v"))
+        .where(F.col("v") <= keep)
+        .orderBy("o_orderkey")
+    )
+    over = "(PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC)"
+    expr = (
+        f"{fam_sql} OVER {over}"
+        if fam_name != "lag_key"
+        else f"COALESCE(LAG(o_orderkey, 1) OVER {over}, -1)"
+    )
+    sql = (
+        f"SELECT o_orderkey, o_orderstatus, v FROM "
+        f"(SELECT o_orderkey, o_orderstatus, {expr} AS v FROM orders) t "
+        f"WHERE v <= {keep} ORDER BY o_orderkey"
+    )
+    ok, msg = compare(sdf, duck.execute(sql).fetch_arrow_table().to_pandas())
+    assert ok, f"seed={seed} fam={fam_name} sql={sql}: {msg}"
