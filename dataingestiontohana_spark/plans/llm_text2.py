@@ -51,9 +51,46 @@ def q52_observe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q65_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch vs exact in one pass: HLL++ cardinality and quantile
+    sketch against their exact counterparts, with relative errors.
+
+    This is the scale path for corpus profiling — at 100 TB
+    COUNT(DISTINCT text) is a full shuffle of every distinct string,
+    while approx_count_distinct ships one small HLL buffer per
+    partition; approx_percentile likewise replaces a global sort with
+    mergeable sketches. Rows-only check (HLL internals are
+    engine-specific); the error bounds are pinned by pytest.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    row = d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("text").alias("exact_distinct"),
+        F.approx_count_distinct("text", 0.02).alias("approx_distinct"),
+        F.expr("percentile(n_chars, 0.5)").alias("exact_p50"),
+        F.expr("approx_percentile(n_chars, 0.5, 10000)").alias("approx_p50"),
+        F.expr("percentile(n_chars, 0.99)").alias("exact_p99"),
+        F.expr("approx_percentile(n_chars, 0.99, 10000)").alias("approx_p99"),
+    )
+    rel = (F.col("approx_distinct") - F.col("exact_distinct")) / F.col(
+        "exact_distinct"
+    )
+    return row.select(
+        "n_rows",
+        "exact_distinct",
+        "approx_distinct",
+        F.round(F.abs(rel), 4).alias("distinct_rel_err"),
+        F.round("exact_p50", 2).alias("exact_p50"),
+        F.col("approx_p50").cast("double").alias("approx_p50"),
+        F.round("exact_p99", 2).alias("exact_p99"),
+        F.col("approx_p99").cast("double").alias("approx_p99"),
+    )
+
+
 QUERIES = {
     "q51_bpe_token_stats": q51_bpe_token_stats,
     "q52_observe_audit": q52_observe_audit,
+    "q65_sketch_audit": q65_sketch_audit,
 }
 
 ORACLES = {

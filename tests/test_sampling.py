@@ -65,3 +65,16 @@ def test_stratified_sample_filter_reaches_scan(spark):
     # the hash predicate is not a parquet-pushable filter, but column
     # pruning must still reach the scan: only the 3 needed columns read
     assert "ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>" in full
+
+
+def test_sketch_audit_error_bounds(spark):
+    from dataingestiontohana_spark.plans.llm_text2 import q65_sketch_audit
+
+    r = q65_sketch_audit(spark, SF001).collect()[0]
+    # HLL++ at rsd=0.02: allow 3 sigma
+    assert r.distinct_rel_err <= 0.06
+    # accuracy=10000 >> rows at sf0.001: the sketch returns a true data
+    # element; percentile() interpolates between elements, so allow the
+    # one-element gap but nothing more
+    assert abs(r.approx_p50 - r.exact_p50) / r.exact_p50 <= 0.01
+    assert abs(r.approx_p99 - r.exact_p99) / r.exact_p99 <= 0.01

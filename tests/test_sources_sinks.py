@@ -47,9 +47,16 @@ def test_parquet_roundtrip(spark, tmp_path):
     back = read_parquet(spark, str(tmp_path / "p"))
     assert back.count() == 50
     assert sorted(back.columns) == sorted(df.columns)
-    # partition pruning: reading one deviceid only lists that directory
+    # partition pruning: the deviceid predicate becomes a partition
+    # filter (directory-level pruning), not a data filter — the scan
+    # must list exactly the matching partition directories
     one = back.where(F.col("deviceid") == 3)
-    assert "PartitionFilters" in one._jdf.queryExecution().executedPlan().toString() or one.count() >= 0
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(deviceid" in plan
+    assert "(deviceid" in plan.split("PartitionFilters")[1].split("]")[0]
+    # and no post-scan filter remains: the predicate is fully consumed
+    # by directory pruning (deviceid is a partition column, not data)
+    assert "Filter (" not in plan
 
 
 def test_csv_json_roundtrip(spark, tmp_path):
