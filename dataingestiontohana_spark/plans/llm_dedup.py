@@ -18,6 +18,9 @@ from pyspark.sql import functions as F
 
 from dataingestiontohana_spark.catalog import load_table
 from dataingestiontohana_spark.functions.text import normalize_text
+from dataingestiontohana_spark.operators.connected_components import (
+    connected_components,
+)
 from dataingestiontohana_spark.operators.dedup import (
     minhash_candidates,
     shingle_sets,
@@ -103,11 +106,32 @@ def q32_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q66_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster rollup: MinHash LSH pairs -> connected
+    components (iterative min-label propagation) -> cluster-size
+    distribution. The end-to-end shape of corpus dedup: LSH proposes
+    pairs, components turn pairs into clusters, one canonical doc per
+    cluster survives. Rows-only (iterative, not SQL-expressible);
+    semantics pinned by a union-find cross-check in pytest.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidates(d).where(F.col("jaccard_sig") >= 0.5)
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
 QUERIES = {
     "q29_exact_dedup": q29_exact_dedup,
     "q30_minhash_near_dup": q30_minhash_near_dup,
     "q31_simhash_clusters": q31_simhash_clusters,
     "q32_ngram_jaccard": q32_ngram_jaccard,
+    "q66_dedup_clusters": q66_dedup_clusters,
 }
 
 # q29 is SQL-expressible; the LSH pipelines (q30-q32) hinge on Spark's
