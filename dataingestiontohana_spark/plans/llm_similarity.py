@@ -258,6 +258,35 @@ def q64_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q67_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector component statistics via higher-order array functions
+    (transform / filter / aggregate / exists), all JVM-side.
+
+    This is the bounded-array case where higher-order built-ins are the
+    right tool: 64 elements per row, no explode row-blowup, one map-only
+    projection over the scan. (Contrast per-token TEXT work, where the
+    interpreted-lambda penalty multiplies by unbounded token counts —
+    see operators/dedup.py.) 10 highest-norm vectors.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    n_pos = F.size(F.filter(v, lambda x: x > 0))
+    has_big = F.exists(v, lambda x: F.abs(x) > 0.45).cast("int")
+    frac_small = F.size(F.filter(v, lambda x: F.abs(x) < 0.1)) / F.size(v)
+    return (
+        e.select(
+            "vec_id",
+            F.round(norm, 6).alias("l2_norm"),
+            n_pos.alias("n_pos"),
+            has_big.alias("has_big"),
+            F.round(frac_small, 6).alias("frac_small"),
+        )
+        .orderBy(F.desc("l2_norm"), "vec_id")
+        .limit(10)
+    )
+
+
 QUERIES = {
     "q23a_label_counts": q23a_label_counts,
     "q23b_vec_dims": q23b_vec_dims,
@@ -267,6 +296,7 @@ QUERIES = {
     "q36b_ivf_topk": q36b_ivf_topk,
     "q63_label_centroids": q63_label_centroids,
     "q64_centroid_outliers": q64_centroid_outliers,
+    "q67_vector_stats": q67_vector_stats,
 }
 
 # q33/q34 have exact float-arithmetic oracles in DuckDB (same double
@@ -295,6 +325,20 @@ ORACLES = {
           FROM embeddings, q WHERE vec_id != 0)
         SELECT vec_id, cos_sim FROM s
         ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    "q67_vector_stats": """
+        SELECT vec_id,
+               ROUND(SQRT(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)
+                 AS l2_norm,
+               CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER)
+                 AS n_pos,
+               CAST(len(list_filter(embedding, x -> ABS(x) > 0.45)) > 0
+                    AS INTEGER) AS has_big,
+               ROUND(CAST(len(list_filter(embedding, x -> ABS(x) < 0.1))
+                          AS DOUBLE) / len(embedding), 6) AS frac_small
+        FROM embeddings
+        ORDER BY l2_norm DESC, vec_id LIMIT 10
     """,
     "q63_label_centroids": """
         SELECT label, dim, ROUND(AVG(val), 6) AS c FROM (
