@@ -215,6 +215,52 @@ def q50_first_last_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q68_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime scalar-function breadth: extraction, end-of-month,
+    date arithmetic, day-difference — one codegen'd projection over the
+    scan (map-only; the only shuffle is the presentation sort)."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return (
+        o.select(
+            "o_orderkey",
+            F.year(d).alias("y"),
+            F.month(d).alias("m"),
+            F.quarter(d).alias("q"),
+            F.last_day(d).alias("eom"),
+            F.date_add(d, 30).alias("plus30"),
+            F.datediff(d, F.lit("1995-01-01").cast("date")).alias("since"),
+        )
+        .where(F.col("y") >= 1996)
+        .orderBy("o_orderkey")
+    )
+
+
+def q69_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching: supplier ids within levenshtein
+    distance 1 of a customer id (the name's numeric suffix) in the same
+    nation — the fuzzy-key record-linkage shape.
+
+    The equi part (nationkey) drives the join; levenshtein runs only on
+    within-nation pairs. At 100 TB the equi prefix is what keeps this
+    from being a cartesian product — always factor a blocking key out
+    of a fuzzy predicate (same idea as LSH: block first, verify after).
+    """
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", F.substring("c_name", 10, 99).alias("cn")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", F.substring("s_name", 10, 99).alias("sn")
+    )
+    dist = F.levenshtein("cn", "sn")
+    return (
+        c.join(s, c.c_nationkey == s.s_nationkey)
+        .where(dist <= 1)
+        .select("c_custkey", "s_suppkey", dist.alias("dist"))
+        .orderBy("c_custkey", "s_suppkey")
+    )
+
+
 QUERIES = {
     "q41_set_ops_all": q41_set_ops_all,
     "q42_pivot": q42_pivot,
@@ -226,9 +272,33 @@ QUERIES = {
     "q48_correlated_subquery": q48_correlated_subquery,
     "q49_grouping_sets": q49_grouping_sets,
     "q50_first_last_window": q50_first_last_window,
+    "q68_datetime_functions": q68_datetime_functions,
+    "q69_fuzzy_name_join": q69_fuzzy_name_join,
 }
 
 ORACLES = {
+    "q68_datetime_functions": """
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INTEGER) AS y,
+               CAST(month(o_orderdate) AS INTEGER) AS m,
+               CAST(quarter(o_orderdate) AS INTEGER) AS q,
+               last_day(CAST(o_orderdate AS DATE)) AS eom,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE)
+                 AS plus30,
+               CAST(date_diff('day', DATE '1995-01-01',
+                              CAST(o_orderdate AS DATE)) AS INTEGER) AS since
+        FROM orders
+        WHERE year(o_orderdate) >= 1996
+        ORDER BY o_orderkey
+    """,
+    "q69_fuzzy_name_join": """
+        SELECT c_custkey, s_suppkey,
+               CAST(levenshtein(substring(c_name, 10), substring(s_name, 10))
+                    AS INTEGER) AS dist
+        FROM customer JOIN supplier ON c_nationkey = s_nationkey
+        WHERE levenshtein(substring(c_name, 10), substring(s_name, 10)) <= 1
+        ORDER BY c_custkey, s_suppkey
+    """,
     "q41_set_ops_all": """
         WITH u AS (
           SELECT c_nationkey AS k FROM customer
