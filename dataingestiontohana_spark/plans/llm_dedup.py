@@ -23,6 +23,7 @@ from dataingestiontohana_spark.operators.connected_components import (
 )
 from dataingestiontohana_spark.operators.dedup import (
     minhash_candidates,
+    shingle_hash_rows,
     shingle_sets,
     simhash_fingerprints,
 )
@@ -126,12 +127,43 @@ def q66_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q70_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: test-split documents sharing any
+    3-gram shingle with a train-split document, with the overlap size.
+
+    The canonical eval-leakage check for a training corpus. Shape at
+    100 TB: shingle rows shuffle once on the 8-byte shingle hash; the
+    train side is distinct-reduced per shingle BEFORE the join (so a
+    shingle that appears in millions of train docs contributes one
+    row); the result aggregates back to one row per contaminated test
+    doc. Rows-only (shingles hinge on xxhash64); semantics pinned by a
+    planted-contamination pytest.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from dataingestiontohana_spark.plans.sampling import _bucket
+
+    b = _bucket(F.col("doc_id"), 100)
+    train = d.where(b < 80)
+    test = d.where(b >= 90)
+    train_sh = (
+        shingle_hash_rows(train).select("sh").distinct()
+    )
+    test_sh = shingle_hash_rows(test)
+    return (
+        test_sh.join(train_sh, "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "q29_exact_dedup": q29_exact_dedup,
     "q30_minhash_near_dup": q30_minhash_near_dup,
     "q31_simhash_clusters": q31_simhash_clusters,
     "q32_ngram_jaccard": q32_ngram_jaccard,
     "q66_dedup_clusters": q66_dedup_clusters,
+    "q70_split_contamination": q70_split_contamination,
 }
 
 # q29 is SQL-expressible; the LSH pipelines (q30-q32) hinge on Spark's

@@ -78,3 +78,43 @@ def test_sketch_audit_error_bounds(spark):
     # one-element gap but nothing more
     assert abs(r.approx_p50 - r.exact_p50) / r.exact_p50 <= 0.01
     assert abs(r.approx_p99 - r.exact_p99) / r.exact_p99 <= 0.01
+
+
+def test_split_contamination_matches_python_shingles(spark):
+    from dataingestiontohana_spark.plans.llm_dedup import q70_split_contamination
+
+    got = {
+        r.doc_id: r.n_shared_shingles
+        for r in q70_split_contamination(spark, SF001).collect()
+    }
+
+    # recompute in pure Python from the raw documents
+    import re
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF001, "documents").collect()
+    }
+
+    def shingles(text):
+        toks = re.sub(r"\s+", " ", text.lower().strip()).split(" ")
+        return {tuple(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    knuth = 2654435761
+    train = {i for i in docs if (i * knuth) % 100 < 80}
+    test = {i for i in docs if (i * knuth) % 100 >= 90}
+    train_sh = set()
+    for i in train:
+        train_sh |= shingles(docs[i])
+    want = {}
+    for i in test:
+        # count of this doc's shingle OCCURRENCES that hit the train set
+        toks = re.sub(r"\s+", " ", docs[i].lower().strip()).split(" ")
+        n = sum(
+            1
+            for j in range(len(toks) - 2)
+            if tuple(toks[j : j + 3]) in train_sh
+        )
+        if n:
+            want[i] = n
+    assert got == want
