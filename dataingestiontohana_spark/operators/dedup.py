@@ -58,6 +58,104 @@ def shingle_hash_rows(
     )
 
 
+def shingle_string_rows(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, sh) rows — the n-gram word shingle as a *string*.
+
+    Same lead-window shape as :func:`shingle_hash_rows` (whole-stage
+    codegen, one shuffle on the id, no higher-order lambdas), but the
+    shingle identity is the literal ``"w1 w2 w3"`` text. That makes the
+    result portable across engines (DuckDB can rebuild the identical
+    shingles from ``string_split``), which is what lets the exact
+    set-similarity queries be oracle-checked; the hashed variant stays
+    the scale path when 8-byte identities are preferred over strings.
+    """
+    tok = docs.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    t = tok.select(
+        id_col,
+        F.col("tok").alias("t0"),
+        F.lead("tok", 1).over(w).alias("t1"),
+        F.lead("tok", 2).over(w).alias("t2"),
+    )
+    assert n == 3, "shingle width fixed at 3 (extend lead chain to change)"
+    return t.where(F.col("t2").isNotNull()).select(
+        id_col, F.concat_ws(" ", "t0", "t1", "t2").alias("sh")
+    )
+
+
+def exact_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT set-similarity self-join: all pairs with 3-gram-shingle
+    Jaccard >= ``threshold`` — no LSH, no recall loss.
+
+    Scale shape (AllPairs / PPJoin prefix filtering, Bayardo et al.
+    WWW'07; Xiao et al. WWW'08): order every document's shingles by
+    global document-frequency ascending (rarest first) and keep only
+    the prefix of length ``|A| - ceil(t*|A|) + 1``; any pair with
+    Jaccard >= t MUST share a prefix shingle (pigeonhole on the sorted
+    order), so the candidate join runs prefix-to-prefix. This is
+    lossless AND skew-resistant — hot shingles ("the of the") sort
+    last and fall out of prefixes, so the inverted-index join never
+    explodes on a stop-shingle bucket. Verification then computes the
+    exact intersection via one more shingle-row join (never an
+    all-pairs cartesian, never a collected set on the driver).
+
+    Returns (id_a, id_b, inter, uni, jaccard) with jaccard the plain
+    IEEE division inter/uni — bit-identical across engines, so no
+    rounding is needed for oracle comparison.
+    """
+    sh = shingle_string_rows(docs, id_col, text_col).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy("df", "sh")
+    ranked = (
+        sh.join(dfreq, "sh")
+        .join(sizes, id_col)
+        .select(id_col, "sh", "sz", F.row_number().over(w).alias("pos"))
+    )
+    prefix_len = F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1
+    prefix = ranked.where(F.col("pos") <= prefix_len).select(id_col, "sh")
+    cand = (
+        prefix.select(F.col(id_col).alias("id_a"), "sh")
+        .join(prefix.select(F.col(id_col).alias("id_b"), "sh"), "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # exact |A ∩ B| for candidates only: shingle-row join, id-only payload
+    a_sh = sh.select(F.col(id_col).alias("id_a"), "sh")
+    b_sh = sh.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        cand.join(a_sh, "id_a")
+        .join(b_sh, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    uni = F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            uni.cast("bigint").alias("uni"),
+            (F.col("inter") / uni).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def shingle_sets(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -22,9 +22,10 @@ from dataingestiontohana_spark.operators.connected_components import (
     connected_components,
 )
 from dataingestiontohana_spark.operators.dedup import (
+    exact_jaccard_pairs,
     minhash_candidates,
-    shingle_hash_rows,
     shingle_sets,
+    shingle_string_rows,
     simhash_fingerprints,
 )
 
@@ -83,40 +84,35 @@ def q31_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q32_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard for the MinHash candidate pairs (the verify
-    stage of the near-dup pipeline). Only within-bucket pairs pay the
-    set-intersection cost.
+    """EXACT 3-gram-shingle Jaccard >= 0.5 pairs over the whole corpus
+    via a prefix-filtered set-similarity self-join (AllPairs/PPJoin) —
+    no LSH, no recall loss, and therefore DuckDB-oracle-checkable.
+    See operators/dedup.py:exact_jaccard_pairs for the scale analysis.
+    (The probabilistic MinHash road to the same pairs is q30; its
+    verify stage is pinned against this exact result in pytest.)
     """
     d = load_table(spark, sf_dir, "documents")
-    cands = minhash_candidates(d).where(F.col("jaccard_sig") >= 0.5)
-    sh = shingle_sets(d)
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh_set").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh_set").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
     return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(inter / union, 4).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= 0.5)
+        exact_jaccard_pairs(d, 0.5)
+        .select("id_a", "id_b", "inter", "uni", "jaccard")
         .orderBy("id_a", "id_b")
     )
 
 
 def q66_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup cluster rollup: MinHash LSH pairs -> connected
-    components (iterative min-label propagation) -> cluster-size
-    distribution. The end-to-end shape of corpus dedup: LSH proposes
-    pairs, components turn pairs into clusters, one canonical doc per
-    cluster survives. Rows-only (iterative, not SQL-expressible);
-    semantics pinned by a union-find cross-check in pytest.
+    """Near-dup cluster rollup: exact Jaccard >= 0.5 pairs ->
+    connected components (iterative min-label propagation) ->
+    cluster-size distribution. The end-to-end shape of corpus dedup:
+    the set-similarity join proposes edges, components turn edges into
+    clusters, one canonical doc per cluster survives. Because the edge
+    set is exact (prefix-filtered join, not LSH), the whole pipeline
+    is deterministic and oracle-checked via a DuckDB recursive-CTE
+    transitive closure; the Spark side stays the iterative
+    min-label-propagation operator that scales (a recursive CTE over
+    100 TB of edges is not a thing).
     """
     d = load_table(spark, sf_dir, "documents")
-    pairs = minhash_candidates(d).where(F.col("jaccard_sig") >= 0.5)
+    pairs = exact_jaccard_pairs(d, 0.5).select("id_a", "id_b")
     comp = connected_components(pairs)
     return (
         comp.groupBy("component")
@@ -136,8 +132,9 @@ def q70_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     train side is distinct-reduced per shingle BEFORE the join (so a
     shingle that appears in millions of train docs contributes one
     row); the result aggregates back to one row per contaminated test
-    doc. Rows-only (shingles hinge on xxhash64); semantics pinned by a
-    planted-contamination pytest.
+    doc. String shingles (codegen lead-window, identical shape to the
+    hashed variant) keep the check DuckDB-oracle-able; semantics are
+    additionally pinned by a planted-contamination pytest.
     """
     d = load_table(spark, sf_dir, "documents")
     from dataingestiontohana_spark.plans.sampling import _bucket
@@ -145,10 +142,8 @@ def q70_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = _bucket(F.col("doc_id"), 100)
     train = d.where(b < 80)
     test = d.where(b >= 90)
-    train_sh = (
-        shingle_hash_rows(train).select("sh").distinct()
-    )
-    test_sh = shingle_hash_rows(test)
+    train_sh = shingle_string_rows(train).select("sh").distinct()
+    test_sh = shingle_string_rows(test).distinct()
     return (
         test_sh.join(train_sh, "sh")
         .groupBy("doc_id")
@@ -166,9 +161,48 @@ QUERIES = {
     "q70_split_contamination": q70_split_contamination,
 }
 
-# q29 is SQL-expressible; the LSH pipelines (q30-q32) hinge on Spark's
-# xxhash64, which DuckDB cannot reproduce -> rows-only checks (the
-# pytest suite pins their semantics on planted-duplicate fixtures).
+# q29/q32/q66/q70 are SQL-expressible (exact fingerprints / exact
+# set-similarity on portable string shingles). The probabilistic LSH
+# pipelines (q30 MinHash, q31 SimHash) hinge on Spark's xxhash64,
+# which DuckDB cannot reproduce -> rows-only checks (the pytest suite
+# pins their semantics on planted-duplicate fixtures and against the
+# exact q32 result).
+
+# Shared CTE: identical normalization/tokenization/3-gram shingling to
+# functions/text.py tokens() + operators/dedup.py shingle_string_rows.
+_SHINGLES_CTE = """
+        tok AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                              ' ') AS toks
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                 AS sh
+          FROM tok)
+"""
+
+# Exact Jaccard >= 0.5 pairs: DuckDB verifies by brute blocked join
+# (any qualifying pair shares a shingle); the Spark side's prefix
+# filter is lossless, so the two agree exactly.
+_EXACT_PAIRS_SQL = f"""
+        WITH {_SHINGLES_CTE},
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, inter,
+               CAST(sa.sz + sb.sz - inter AS BIGINT) AS uni,
+               inter * 1.0 / (sa.sz + sb.sz - inter) AS jaccard
+        FROM inter
+        JOIN sizes sa ON inter.id_a = sa.doc_id
+        JOIN sizes sb ON inter.id_b = sb.doc_id
+        WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+"""
+
 ORACLES = {
     "q29_exact_dedup": """
         WITH f AS (
@@ -177,5 +211,40 @@ ORACLES = {
           FROM documents)
         SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         FROM f GROUP BY fp ORDER BY doc_id
+    """,
+    "q32_ngram_jaccard": f"""
+        SELECT * FROM ({_EXACT_PAIRS_SQL}) ORDER BY id_a, id_b
+    """,
+    # Connected components via recursive-CTE transitive closure over the
+    # exact near-dup edges (tiny graph at oracle scale; Spark does the
+    # scalable iterative min-label propagation instead).
+    "q66_dedup_clusters": f"""
+        WITH RECURSIVE
+        pairs AS ({_EXACT_PAIRS_SQL}),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        lbl AS (
+          SELECT a AS node, LEAST(a, MIN(b)) AS component
+          FROM reach GROUP BY a),
+        clusters AS (
+          SELECT component, COUNT(*) AS cluster_size
+          FROM lbl GROUP BY component)
+        SELECT cluster_size, COUNT(*) AS n_clusters
+        FROM clusters GROUP BY cluster_size ORDER BY cluster_size
+    """,
+    "q70_split_contamination": f"""
+        WITH {_SHINGLES_CTE},
+        train_sh AS (
+          SELECT DISTINCT sh FROM sh WHERE (doc_id * 2654435761) % 100 < 80),
+        test_sh AS (
+          SELECT doc_id, sh FROM sh WHERE (doc_id * 2654435761) % 100 >= 90)
+        SELECT doc_id, COUNT(*) AS n_shared_shingles
+        FROM test_sh JOIN train_sh USING (sh)
+        GROUP BY doc_id ORDER BY doc_id
     """,
 }

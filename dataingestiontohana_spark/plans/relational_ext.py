@@ -123,17 +123,31 @@ def q45_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q46_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (median/p90) per order status.
-    Spark `percentile` and DuckDB `quantile_cont` share the linear-
-    interpolation definition; at true scale swap for percentile_approx
-    and accept the error bound."""
+def q46_percentiles(
+    spark: SparkSession, sf_dir: str, mode: str = "exact"
+) -> DataFrame:
+    """Percentiles (median/p90) per order status, two declared modes.
+
+    mode="exact" (the oracle-checked default): Spark `percentile` and
+    DuckDB `quantile_cont` share the linear-interpolation definition.
+    Exact percentile buffers every group value in one aggregation
+    buffer — with 3 statuses that's 3 tasks holding n/3 values each,
+    fine at survey scale, wrong at 100 TB.
+
+    mode="approx" (the scale path): percentile_approx — a mergeable
+    KLL-style sketch with map-side partial aggregation, constant
+    memory per task, rank error <= n/accuracy. Same schema; its error
+    envelope against the exact answer is pinned in pytest
+    (tests/test_sampling.py), not by the SQL oracle.
+    """
+    fn = "percentile" if mode == "exact" else "percentile_approx"
+    acc = "" if mode == "exact" else ", 10000"
     o = _t(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderstatus")
         .agg(
-            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
-            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+            F.round(F.expr(f"{fn}(o_totalprice, 0.5{acc})"), 2).alias("p50"),
+            F.round(F.expr(f"{fn}(o_totalprice, 0.9{acc})"), 2).alias("p90"),
         )
         .orderBy("o_orderstatus")
     )

@@ -24,9 +24,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from dataingestiontohana_spark.catalog import load_table
+from dataingestiontohana_spark.operators.ranks import bucketed_ranks, exact_ntile
 
 # Knuth's multiplicative hash constant; doc_id fits far below the
 # int64 overflow boundary (ANSI mode would throw, not wrap).
@@ -110,19 +110,24 @@ def q59_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q60_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quartile bucketing of orders by price (NTILE over a total
-    order), then per-bucket stats — the quantile-binning step used to
-    stratify curricula / detect outlier bands.
+    """Quartile bucketing of orders by price (exact NTILE semantics),
+    then per-bucket stats — the quantile-binning step used to stratify
+    curricula / detect outlier bands.
 
-    NTILE needs a global sort; Spark plans it as a single range
-    partitioned sort (sampled boundaries), which is the right shape —
-    but at 100 TB prefer approx percentile cutoffs + a map-side CASE
-    (see q46) when exact equal-count buckets aren't required.
+    A literal ``NTILE(4) OVER (ORDER BY ...)`` is a single-partition
+    window — one task sorts the whole table. Instead the exact global
+    row_number comes from the two-pass bucketed-rank operator
+    (operators/ranks.py: value-range buckets + per-bucket offsets),
+    and NTILE's tile arithmetic is applied to it as a map-side
+    expression. Identical output, no unbounded partition anywhere.
     """
     o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = bucketed_ranks(
+        o, "o_totalprice", part_cols=(), tie_cols=("o_orderkey",)
+    )
+    tile = exact_ntile(F.col("g_rn"), F.col("g_n"), 4)
     return (
-        o.select("o_totalprice", F.ntile(4).over(w).alias("bucket"))
+        ranked.select("o_totalprice", tile.alias("bucket"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -136,10 +141,15 @@ def q60_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q61_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level top-20 tokens by frequency (vocabulary head).
 
-    explode -> two-level aggregation. The token count aggregation gets
-    map-side partial combine, so the shuffle carries (token, count)
-    pairs, not token occurrences; the top-k is a single-partition sort
-    of the (small) distinct-token set.
+    explode -> aggregation -> orderBy().limit(20). The token count
+    aggregation gets map-side partial combine, so the shuffle carries
+    (token, count) pairs, not token occurrences; the limit plans as
+    TakeOrderedAndProject — per-partition top-20 heaps merged on the
+    driver — so NO task ever holds the full distinct vocabulary
+    (unlike a row_number over an unpartitioned window, which funnels
+    tens of millions of distinct tokens through one task at 100 TB).
+    Ties at the boundary are broken by the token string, so the result
+    is deterministic.
     """
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
@@ -148,27 +158,35 @@ def q61_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tok")
     )
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.orderBy(F.desc("c"), F.asc("tok"))
-    return (
-        counts.select("tok", "c", F.row_number().over(w).alias("rn"))
-        .where(F.col("rn") <= 20)
-        .orderBy("rn")
-    )
+    return counts.orderBy(F.desc("c"), F.asc("tok")).limit(20)
 
 
 def q62_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank / cume_dist of order price within order status —
     the distributional-position features used for quality-score
     calibration. Rounded to 6 places (both engines compute the same
-    rational numbers; rounding guards double formatting)."""
+    rational numbers; rounding guards double formatting).
+
+    o_orderstatus has 3 distinct values, so the naive
+    ``PARTITION BY o_orderstatus`` window gives 3 tasks the whole
+    table. The ranks instead come from the two-pass bucketed-rank
+    operator (operators/ranks.py) and the SQL definitions are applied
+    arithmetically: percent_rank = (rank-1)/(n-1), cume_dist =
+    |{value <= v}| / n — exactly what the window functions compute,
+    with every window bounded to ~n/256 rows.
+    """
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    ranked = bucketed_ranks(o, "o_totalprice", part_cols=("o_orderstatus",))
+    pr = F.when(F.col("g_n") == 1, F.lit(0.0)).otherwise(
+        (F.col("g_rank") - 1) / (F.col("g_n") - 1)
+    )
+    cd = F.col("g_cume") / F.col("g_n")
     return (
-        o.select(
+        ranked.select(
             "o_orderkey",
             "o_orderstatus",
-            F.round(F.percent_rank().over(w), 6).alias("pr"),
-            F.round(F.cume_dist().over(w), 6).alias("cd"),
+            F.round(pr, 6).alias("pr"),
+            F.round(cd, 6).alias("cd"),
         )
         .orderBy("o_orderkey")
     )
@@ -219,16 +237,14 @@ ORACLES = {
         GROUP BY bucket ORDER BY bucket
     """,
     "q61_token_topk": """
-        SELECT tok, c, rn FROM (
-            SELECT tok, c,
-                   ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS rn
-            FROM (SELECT tok, COUNT(*) AS c
-                  FROM (SELECT unnest(string_split(
-                            trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
-                            ' ')) AS tok
-                        FROM documents) u
-                  GROUP BY tok) g
-        ) r WHERE rn <= 20 ORDER BY rn
+        SELECT tok, c
+        FROM (SELECT tok, COUNT(*) AS c
+              FROM (SELECT unnest(string_split(
+                        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                        ' ')) AS tok
+                    FROM documents) u
+              GROUP BY tok) g
+        ORDER BY c DESC, tok ASC LIMIT 20
     """,
     "q62_rank_dist": """
         SELECT o_orderkey, o_orderstatus,
