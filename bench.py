@@ -14,8 +14,14 @@ import re
 import sys
 import time
 
-from dataingestiontohana_spark.plans import QUERIES
+from dataingestiontohana_spark.plans.bundles import build_registry
 from dataingestiontohana_spark.session import get_spark
+
+# Bench the DRIVER-FACING registry (singles + bundles) — the same
+# entries the correctness gate adjudicates, so BENCH_r{N}.json and
+# CORRECTNESS_r{N}.json share keys. Each fine query still executes in
+# full inside its bundle (a bundle is the union of its parts).
+QUERIES, _ = build_registry()
 
 
 def materialize(df) -> None:

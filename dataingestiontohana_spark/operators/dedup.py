@@ -193,15 +193,41 @@ def minhash_signatures(
     )
 
 
+def cap_lsh_buckets(
+    banded: DataFrame, cap: int, keys: tuple[str, str] = ("band", "bucket")
+) -> DataFrame:
+    """Drop LSH buckets holding more than ``cap`` members.
+
+    The guard against degenerate bands going quadratic: a bucket of k
+    members emits k^2/2 candidate pairs, so one pathological bucket
+    (near-empty docs sharing a constant band, adversarial near-equal
+    corpora) can dominate the whole join. Members of oversized buckets
+    usually still pair through their other, more selective bands; truly
+    identical documents are the exact-dedup pass's job (q29), not
+    LSH's. The size join keys on the same (band, bucket) columns as the
+    candidate join, so it reuses that shuffle partitioning.
+    """
+    sizes = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("__bsz"))
+    return (
+        banded.join(sizes, list(keys))
+        .where(F.col("__bsz") <= cap)
+        .drop("__bsz")
+    )
+
+
 def minhash_candidates(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = 256,
 ) -> DataFrame:
     """LSH candidate pairs (id_a, id_b, jaccard_sig).
 
     Signatures are banded (4 bands x 4 hashes); a pair becomes a
     candidate iff some band hashes identically. The bucket equi-join
     keeps the shuffle O(rows x bands) instead of the O(rows^2)
-    cartesian pairing, which is the entire point at scale.
+    cartesian pairing, which is the entire point at scale; buckets
+    above ``max_bucket`` members are dropped (see cap_lsh_buckets).
     """
     sig = minhash_signatures(docs, id_col, text_col)
     bands = sig.select(
@@ -219,6 +245,7 @@ def minhash_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "sig", "bb.band", "bb.bucket")
+    bands = cap_lsh_buckets(bands, max_bucket)
 
     a = bands.select(
         F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"

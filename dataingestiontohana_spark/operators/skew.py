@@ -47,7 +47,21 @@ def write_bucketed(
 ) -> None:
     """Persist hash-bucketed + sorted by the join key. Joins between
     tables bucketed identically on the key skip the exchange (and with
-    sortBy, the sort) entirely."""
+    sortBy, the sort) entirely.
+
+    With the default in-memory catalog a previous process's table
+    survives only as a warehouse directory (not a catalog entry), and
+    saveAsTable then fails with LOCATION_ALREADY_EXISTS — so clear
+    both. With a persistent metastore the DROP TABLE alone suffices.
+    """
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(os.path.join(wh, table_name.lower()), ignore_errors=True)
     (
         df.write.bucketBy(buckets, key)
         .sortBy(key)

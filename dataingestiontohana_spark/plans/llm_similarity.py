@@ -164,6 +164,9 @@ def q35_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("vec_id", "bb.band", "bb.bucket")
+    from dataingestiontohana_spark.operators.dedup import cap_lsh_buckets
+
+    banded = cap_lsh_buckets(banded, cap=256)
     a = banded.select(F.col("vec_id").alias("id_a"), "band", "bucket")
     b = banded.select(F.col("vec_id").alias("id_b"), "band", "bucket")
     pairs = (

@@ -275,6 +275,89 @@ def q69_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q71_decimal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal(38,x) aggregation + interval arithmetic breadth.
+
+    Money math runs in DECIMAL end-to-end: the per-row product is
+    recovered as decimal(18,4) (exact — the inputs are 2-decimal
+    values), summed as decimal(38,4) with NO floating error regardless
+    of aggregation order, and only the final average division drops to
+    double. Interval arithmetic: +45 days, quarter truncation +3
+    months, day spans — all date-typed on both engines.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    dec = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec).cast("decimal(38,4)").alias("sum_net"),
+            (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("avg_net"),
+            F.expr(
+                "CAST(CAST(MAX(l_shipdate) AS DATE) + INTERVAL 45 DAY AS DATE)"
+            ).alias("max_ship_plus45"),
+            F.expr(
+                "CAST(trunc(CAST(MAX(l_shipdate) AS DATE), 'QUARTER')"
+                " + INTERVAL 3 MONTH AS DATE)"
+            ).alias("next_quarter"),
+            F.expr(
+                "CAST(datediff(CAST(MAX(l_shipdate) AS DATE),"
+                " CAST(MIN(l_shipdate) AS DATE)) AS BIGINT)"
+            ).alias("ship_span_days"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def bucketed_fact_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """orders/lineitem persisted hash-bucketed on the join key (16
+    buckets, sorted) — the one-time layout cost that turns every later
+    orderkey equi-join into a zero-exchange sort-merge join. Table
+    names are sf-scoped so concurrent scales don't collide."""
+    import re as _re
+
+    from dataingestiontohana_spark.operators.skew import write_bucketed
+
+    tag = _re.sub(r"\W+", "_", sf_dir).strip("_")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    write_bucketed(o, f"b_orders_{tag}", "o_orderkey")
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        f"b_lineitem_{tag}",
+        "o_orderkey",
+    )
+    return spark.table(f"b_orders_{tag}"), spark.table(f"b_lineitem_{tag}")
+
+
+def q72_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketed layout: both sides pre-bucketed on
+    o_orderkey, so the join plans as SortMergeJoin with NO exchange
+    under it (asserted in tests/test_skew_bucketing.py) — at 100 TB
+    this converts the dominant per-query fact-fact shuffle into a
+    one-time write-side layout. Result is identical to the plain join
+    (the oracle joins the raw parquet), revenue in exact decimal."""
+    bo, bl = bucketed_fact_tables(spark, sf_dir)
+    dec = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        bl.join(bo, "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(dec).cast("decimal(38,4)").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 QUERIES = {
     "q41_set_ops_all": q41_set_ops_all,
     "q42_pivot": q42_pivot,
@@ -288,9 +371,32 @@ QUERIES = {
     "q50_first_last_window": q50_first_last_window,
     "q68_datetime_functions": q68_datetime_functions,
     "q69_fuzzy_name_join": q69_fuzzy_name_join,
+    "q71_decimal_interval": q71_decimal_interval,
+    "q72_bucketed_join": q72_bucketed_join,
 }
 
 ORACLES = {
+    "q71_decimal_interval": """
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_net,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_net,
+               CAST(CAST(MAX(l_shipdate) AS DATE) + INTERVAL 45 DAY AS DATE)
+                 AS max_ship_plus45,
+               CAST(date_trunc('quarter', CAST(MAX(l_shipdate) AS DATE))
+                    + INTERVAL 3 MONTH AS DATE) AS next_quarter,
+               CAST(CAST(MAX(l_shipdate) AS DATE)
+                    - CAST(MIN(l_shipdate) AS DATE) AS BIGINT) AS ship_span_days
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "q72_bucketed_join": """
+        SELECT o_orderpriority, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
     "q68_datetime_functions": """
         SELECT o_orderkey,
                CAST(year(o_orderdate) AS INTEGER) AS y,

@@ -62,3 +62,29 @@ def test_disjoint_docs_rarely_agree(spark):
     sigs = {r["doc_id"]: list(r["sig"]) for r in minhash_signatures(df).collect()}
     agree = sum(x == y for x, y in zip(sigs[1], sigs[2]))
     assert agree <= 2  # true J = 0; each agreement is a hash collision
+
+
+def test_lsh_bucket_cap_bounds_degenerate_corpora(spark):
+    """An all-identical corpus collides every band into one bucket;
+    without a cap the candidate join goes quadratic (k^2/2 pairs from
+    one bucket). The cap drops the degenerate buckets and bounds the
+    pair count; identical docs are exact-dedup's job (q29), not LSH's."""
+    from pyspark.sql import functions as F
+
+    from dataingestiontohana_spark.catalog import load_table
+    from dataingestiontohana_spark.operators.dedup import minhash_candidates
+    from tests.conftest import SF0001
+
+    docs = spark.range(600).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma delta epsilon zeta eta").alias("text"),
+    )
+    assert minhash_candidates(docs, max_bucket=256).count() == 0
+    # sanity: the quadratic blow-up the cap is preventing is real
+    assert minhash_candidates(docs, max_bucket=10**9).count() == 600 * 599 // 2
+    # and the cap is invisible on a normal corpus
+    d = load_table(spark, SF0001, "documents")
+    assert (
+        minhash_candidates(d).count()
+        == minhash_candidates(d, max_bucket=10**9).count()
+    )

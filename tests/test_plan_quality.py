@@ -90,3 +90,63 @@ def test_q64_centroid_joins_broadcast_no_vector_shuffle(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "embedding" not in line
+
+
+# ---------------------------------------------------------------------------
+# No declared query may contain an unbounded single-partition window:
+# a Window with an empty PARTITION BY funnels its whole input through
+# ONE task, which is the shape that dies at 100 TB. The only sanctioned
+# uses are windows over already-reduced inputs (below an Aggregate or a
+# Limit, e.g. the 256-row bucket-offset window in operators/ranks.py).
+
+
+def _nodes(plan):
+    stack = [plan]
+    while stack:
+        n = stack.pop()
+        yield n
+        ch = n.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+
+
+def _subtree_is_reduced(window_node):
+    for n in _nodes(window_node):
+        if n is window_node:
+            continue
+        name = n.nodeName()
+        if "Aggregate" in name or "Limit" in name:
+            return True
+    return False
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_unbounded_single_partition_window(spark, name):
+    df = QUERIES[name](spark, SF001)
+    plan = df._jdf.queryExecution().optimizedPlan()
+    for node in _nodes(plan):
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            assert _subtree_is_reduced(node), (
+                f"{name}: unpartitioned Window over unreduced input "
+                "(single-partition at scale)"
+            )
+
+
+def test_q72_bucketed_join_is_exchange_free(spark):
+    from dataingestiontohana_spark.operators.skew import plan_has_exchange
+    from dataingestiontohana_spark.plans.relational_ext import (
+        bucketed_fact_tables,
+    )
+
+    bo, bl = bucketed_fact_tables(spark, SF001)
+    # at tiny SF the planner prefers broadcast (also exchange-free but
+    # not the point); force sort-merge to expose the bucketed layout
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert not plan_has_exchange(bl.join(bo, "o_orderkey")), (
+            "bucketed orderkey join must plan with no shuffle exchange"
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
