@@ -57,12 +57,127 @@ def synth_media_bytes(media_id: int, kind: int, width: int, height: int,
     return header + bytes(out[:need])
 
 
-def _decode_payload(content: bytes) -> tuple[int, int, int, np.ndarray]:
-    """The codec seam. Real formats are intentionally unimplemented."""
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _parse_png(b: bytes) -> tuple[int, int, np.ndarray | None]:
+    """Pure-stdlib PNG parse: IHDR dimensions always; full pixel decode
+    (zlib inflate + scanline unfilter) for 8-bit non-interlaced
+    grayscale. Color/16-bit/interlaced images return metadata only."""
+    w, h = struct.unpack(">II", b[16:24])
+    bit_depth, color_type, _comp, _filt, interlace = b[24:29]
+    if not (bit_depth == 8 and color_type == 0 and interlace == 0):
+        return w, h, None
+    # concatenate IDAT chunk payloads
+    idat = bytearray()
+    off = 8
+    while off + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[off : off + 4])
+        typ = b[off + 4 : off + 8]
+        if typ == b"IDAT":
+            idat += b[off + 8 : off + 8 + length]
+        if typ == b"IEND":
+            break
+        off += 12 + length
+    import zlib
+
+    raw = zlib.decompress(bytes(idat))
+    # unfilter: each scanline = 1 filter byte + w bytes (bpp=1)
+    out = np.zeros((h, w), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        line = np.frombuffer(raw, np.uint8, w, pos + 1).astype(np.int32)
+        pos += 1 + w
+        up = out[y - 1].astype(np.int32) if y else np.zeros(w, np.int32)
+        if f == 0:
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + up) % 256
+        else:  # Sub/Average/Paeth carry a left dependency -> per byte
+            cur = np.zeros(w, np.int32)
+            for x in range(w):
+                a = cur[x - 1] if x else 0
+                bb = up[x]
+                c = (out[y - 1, x - 1] if (x and y) else 0)
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + bb) // 2
+                else:  # Paeth
+                    p = a + bb - c
+                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                cur[x] = (line[x] + pred) % 256
+        out[y] = cur
+    return w, h, out.reshape(-1)
+
+
+def _parse_jpeg(b: bytes) -> tuple[int, int]:
+    """JPEG segment walk to the SOFn frame header (dimensions).
+    Entropy-coded pixel data needs a DCT codec -> metadata only."""
+    sof = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+           0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            break
+        marker = b[i + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            i += 2
+            continue
+        if marker in sof:
+            hh = int.from_bytes(b[i + 5 : i + 7], "big")
+            ww = int.from_bytes(b[i + 7 : i + 9], "big")
+            return ww, hh
+        i += 2 + int.from_bytes(b[i + 2 : i + 4], "big")
+    raise ValueError("JPEG: no SOF frame header found")
+
+
+def _parse_wav(b: bytes) -> tuple[int, np.ndarray | None]:
+    """RIFF/WAVE chunk walk: sample count always; samples for 8-bit
+    PCM mono (byte-per-sample, numpy-sliceable without a codec)."""
+    off = 12
+    bits = channels = 1
+    data = None
+    while off + 8 <= len(b):
+        cid = b[off : off + 4]
+        (length,) = struct.unpack("<I", b[off + 4 : off + 8])
+        body = b[off + 8 : off + 8 + length]
+        if cid == b"fmt ":
+            channels = struct.unpack("<H", body[2:4])[0]
+            bits = struct.unpack("<H", body[14:16])[0]
+        elif cid == b"data":
+            data = body
+        off += 8 + length + (length & 1)
+    if data is None:
+        raise ValueError("WAV: no data chunk")
+    n = len(data) // max(1, bits // 8) // max(1, channels)
+    if bits == 8 and channels == 1:
+        return n, np.frombuffer(data, np.uint8)
+    return n, None
+
+
+def _decode_payload(content: bytes) -> tuple[int, int, int, np.ndarray | None]:
+    """The codec seam: SGM1 (synthetic) decodes fully; real PNG decodes
+    fully for 8-bit grayscale and metadata-only otherwise; JPEG/WAV
+    parse to dimensions/samples. Formats needing a real codec stack
+    (MP4, compressed audio, DCT pixel data) raise — swapping in
+    PIL/librosa later only changes this function."""
+    if content[: len(_PNG_MAGIC)] == _PNG_MAGIC:
+        w, h, px = _parse_png(content)
+        return w, h, 1, px
+    if content[:2] == b"\xff\xd8":
+        w, h = _parse_jpeg(content)
+        return w, h, 1, None
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        n, px = _parse_wav(content)
+        return n, 1, 1, px
     if len(content) < _HEADER_SIZE or content[:4] != _MAGIC:
         raise NotImplementedError(
-            "real media codecs (JPEG/PNG/WAV/MP4) are stubbed in this "
-            "environment; only the SGM1 synthetic container is decodable"
+            "unsupported media container: SGM1/PNG/JPEG/WAV are parsed "
+            "natively; codec-bound formats (MP4, MP3, ...) are stubbed "
+            "in this environment"
         )
     _, kind, w, h, nf = struct.unpack(_HEADER_FMT, content[:_HEADER_SIZE])
     px = np.frombuffer(content, dtype=np.uint8, offset=_HEADER_SIZE)
@@ -87,8 +202,8 @@ def decode_media(df: DataFrame) -> DataFrame:
                         h,
                         nf,
                         len(content),
-                        round(float(px.mean()), 4),
-                        round(float(px.std()), 4),
+                        round(float(px.mean()), 4) if px is not None else None,
+                        round(float(px.std()), 4) if px is not None else None,
                     )
                 )
             yield pd.DataFrame(

@@ -55,10 +55,106 @@ def test_frame_sampling_and_redecode(spark, media):
     assert all(r["n_frames"] == 1 and r["n_bytes"] == 11 + 8 * 4 for r in decoded)
 
 
-def test_real_codec_is_stubbed(spark):
-    fake_jpeg = spark.createDataFrame(
-        [(9, KIND_IMAGE, b"\xff\xd8\xff\xe0 not a real jpeg")],
+def test_codec_bound_formats_are_stubbed(spark):
+    mp4ish = spark.createDataFrame(
+        [(9, KIND_VIDEO, b"\x00\x00\x00\x18ftypmp42 not decodable here")],
         "media_id long, kind int, content binary",
     )
     with pytest.raises(Exception, match="NotImplementedError|stubbed"):
-        decode_media(fake_jpeg).collect()
+        decode_media(mp4ish).collect()
+
+
+# --- real-format fixtures, built with stdlib only ---------------------------
+
+
+def _png_encode(arr, filters):
+    """Minimal 8-bit grayscale PNG encoder with chosen per-row filter
+    types — exercises every unfilter branch of the decoder."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = arr.shape
+    raw = bytearray()
+    for y in range(h):
+        f = filters[y % len(filters)]
+        line = arr[y].astype(int)
+        enc = []
+        for x in range(w):
+            a = int(arr[y, x - 1]) if x else 0
+            b = int(arr[y - 1, x]) if y else 0
+            c = int(arr[y - 1, x - 1]) if (x and y) else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc.append((line[x] - pred) % 256)
+        raw.append(f)
+        raw += bytes(enc)
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_real_png_decodes_pixels_exactly(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(13, 17), dtype=np.uint8)
+    png = _png_encode(arr, filters=[0, 1, 2, 3, 4])  # all filter types
+    df = spark.createDataFrame(
+        [(21, KIND_IMAGE, png)], "media_id long, kind int, content binary"
+    )
+    r = decode_media(df).collect()[0]
+    assert (r["width"], r["height"], r["n_frames"]) == (17, 13, 1)
+    assert r["mean_px"] == round(float(arr.mean()), 4)
+    assert r["std_px"] == round(float(arr.std()), 4)
+
+
+def test_real_jpeg_and_wav_metadata(spark):
+    import struct
+
+    # SOI + SOF0 (precision 8, 480x640, 1 component) + EOI
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + struct.pack(">H", 11)
+        + b"\x08" + struct.pack(">HH", 480, 640) + b"\x01\x01\x11\x00"
+        + b"\xff\xd9"
+    )
+    samples = bytes(range(200)) * 4  # 800 8-bit PCM samples
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(samples)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+        + b"data" + struct.pack("<I", len(samples)) + samples
+    )
+    df = spark.createDataFrame(
+        [(31, KIND_IMAGE, jpeg), (32, 2, wav)],
+        "media_id long, kind int, content binary",
+    )
+    out = {r["media_id"]: r for r in decode_media(df).collect()}
+    assert (out[31]["width"], out[31]["height"]) == (640, 480)
+    assert out[31]["mean_px"] is None  # DCT pixels need a real codec
+    assert out[32]["width"] == 800 and out[32]["height"] == 1
+    assert out[32]["mean_px"] == round(sum(samples) / len(samples), 4)
