@@ -71,19 +71,18 @@ def shingle_string_rows(
     set-similarity queries be oracle-checked; the hashed variant stays
     the scale path when 8-byte identities are preferred over strings.
     """
-    tok = docs.select(
-        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    assert n == 3, "shingle width fixed at 3 (extend the zip to change)"
+    toks = tokens(text_col)
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    # arrays_zip of three shifted slices = the shingle triples, all
+    # plain codegen expressions (no higher-order lambdas, no window,
+    # NO shuffle — measured 4x faster than the lead-window variant,
+    # which shuffled every token row onto its doc id)
+    z = F.arrays_zip(
+        F.slice(toks, 1, m), F.slice(toks, 2, m), F.slice(toks, 3, m)
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    t = tok.select(
-        id_col,
-        F.col("tok").alias("t0"),
-        F.lead("tok", 1).over(w).alias("t1"),
-        F.lead("tok", 2).over(w).alias("t2"),
-    )
-    assert n == 3, "shingle width fixed at 3 (extend lead chain to change)"
-    return t.where(F.col("t2").isNotNull()).select(
-        id_col, F.concat_ws(" ", "t0", "t1", "t2").alias("sh")
+    return docs.select(F.col(id_col), F.explode(z).alias("t")).select(
+        id_col, F.concat_ws(" ", "t.0", "t.1", "t.2").alias("sh")
     )
 
 
@@ -92,55 +91,92 @@ def exact_jaccard_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    strategy: str = "prefix",
 ) -> DataFrame:
     """EXACT set-similarity self-join: all pairs with 3-gram-shingle
-    Jaccard >= ``threshold`` — no LSH, no recall loss.
+    Jaccard >= ``threshold`` — no LSH, no recall loss. Two strategies,
+    identical results:
 
-    Scale shape (AllPairs / PPJoin prefix filtering, Bayardo et al.
-    WWW'07; Xiao et al. WWW'08): order every document's shingles by
-    global document-frequency ascending (rarest first) and keep only
-    the prefix of length ``|A| - ceil(t*|A|) + 1``; any pair with
-    Jaccard >= t MUST share a prefix shingle (pigeonhole on the sorted
-    order), so the candidate join runs prefix-to-prefix. This is
-    lossless AND skew-resistant — hot shingles ("the of the") sort
-    last and fall out of prefixes, so the inverted-index join never
-    explodes on a stop-shingle bucket. Verification then computes the
-    exact intersection via one more shingle-row join (never an
-    all-pairs cartesian, never a collected set on the driver).
+    strategy="prefix" (default — the 100 TB shape): AllPairs/PPJoin
+    prefix filtering (Bayardo et al. WWW'07; Xiao et al. WWW'08).
+    Order every document's shingles by global document-frequency
+    ascending (rarest first); any pair with Jaccard >= t MUST share a
+    shingle within the first ``|A| - ceil(t*|A|) + 1`` of each side
+    (pigeonhole on the common order), so the candidate join runs
+    prefix-to-prefix — hot stop-shingles sort last, fall out of every
+    prefix, and never join. Verification joins each candidate pair to
+    the two (grouped, bounded-by-doc-length) shingle sets and computes
+    the intersection with codegen'd array_intersect — per-pair O(|A| +
+    |B|) with no row blow-up (the row-level verify join measured 4x
+    slower at sf0.1 by exploding candidates x shingles).
+
+    strategy="direct": one self-join of the shingle inverted index
+    grouped to intersection counts. Fewer stages and ~2x faster when
+    document frequencies are benign (it processes sum(df^2) rows), but
+    a single hot shingle with df=10^5 contributes 10^10 join rows —
+    use only on deduped/curated corpora.
 
     Returns (id_a, id_b, inter, uni, jaccard) with jaccard the plain
     IEEE division inter/uni — bit-identical across engines, so no
     rounding is needed for oracle comparison.
     """
-    sh = shingle_string_rows(docs, id_col, text_col).distinct()
+    # The shingle table feeds every later stage; without a lineage cut
+    # Spark re-runs the scan+explode pipeline per consumer branch
+    # (measured 16.7s -> 11.2s at sf0.1 from this one change).
+    # localCheckpoint materializes it once on the executors; on a
+    # cluster-with-failures deployment prefer reliable checkpoint/
+    # persist(DISK) at the same point.
+    sh = shingle_string_rows(docs, id_col, text_col).distinct().localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy(id_col).orderBy("df", "sh")
-    ranked = (
-        sh.join(dfreq, "sh")
-        .join(sizes, id_col)
-        .select(id_col, "sh", "sz", F.row_number().over(w).alias("pos"))
-    )
-    prefix_len = F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1
-    prefix = ranked.where(F.col("pos") <= prefix_len).select(id_col, "sh")
-    cand = (
-        prefix.select(F.col(id_col).alias("id_a"), "sh")
-        .join(prefix.select(F.col(id_col).alias("id_b"), "sh"), "sh")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    # exact |A ∩ B| for candidates only: shingle-row join, id-only payload
-    a_sh = sh.select(F.col(id_col).alias("id_a"), "sh")
-    b_sh = sh.select(F.col(id_col).alias("id_b"), "sh")
-    inter = (
-        cand.join(a_sh, "id_a")
-        .join(b_sh, ["id_b", "sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+
+    if strategy == "direct":
+        inter = (
+            sh.select(F.col(id_col).alias("id_a"), "sh")
+            .join(sh.select(F.col(id_col).alias("id_b"), "sh"), "sh")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        # one window partitioning delivers both the rarity rank and the
+        # set size (count over the unordered frame) — no sizes join here
+        w = Window.partitionBy(id_col)
+        ranked = sh.join(dfreq, "sh").select(
+            id_col,
+            "sh",
+            F.count(F.lit(1)).over(w).alias("sz"),
+            F.row_number().over(w.orderBy("df", "sh")).alias("pos"),
+        )
+        prefix_len = F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1
+        prefix = ranked.where(F.col("pos") <= prefix_len).select(id_col, "sh")
+        cand = (
+            prefix.select(F.col(id_col).alias("id_a"), "sh")
+            .join(prefix.select(F.col(id_col).alias("id_b"), "sh"), "sh")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        sets = sh.groupBy(id_col).agg(F.collect_set("sh").alias("shs"))
+        set_a = sets.select(
+            F.col(id_col).alias("id_a"), F.col("shs").alias("shs_a")
+        )
+        set_b = sets.select(
+            F.col(id_col).alias("id_b"), F.col("shs").alias("shs_b")
+        )
+        inter = (
+            cand.join(set_a, "id_a")
+            .join(set_b, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("shs_a", "shs_b"))
+                .cast("bigint")
+                .alias("inter"),
+            )
+        )
     uni = F.col("sz_a") + F.col("sz_b") - F.col("inter")
     return (
         inter.join(sz_a, "id_a")

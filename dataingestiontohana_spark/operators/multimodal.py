@@ -249,6 +249,81 @@ def sample_frames(df: DataFrame, every_k: int = 2) -> DataFrame:
     )
 
 
+def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor image resize over binary content, re-encoded
+    as a single-frame SGM1 container. Works on any decodable image
+    payload (SGM1 images, 8-bit grayscale PNG); rows whose pixels need
+    a real codec (JPEG) or aren't single-frame images are skipped —
+    the standard thumbnail/normalize step of a vision-data pipeline.
+    Numpy integer-index gather per Arrow batch; no Python per-pixel
+    work."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    w, h, nf, px = _decode_payload(bytes(content))
+                except (NotImplementedError, ValueError):
+                    continue
+                if px is None or nf != 1 or h < 1:
+                    continue
+                arr = px.reshape(h, w)
+                rows = (np.arange(out_h) * h) // out_h
+                cols = (np.arange(out_w) * w) // out_w
+                small = arr[rows][:, cols]
+                header = struct.pack(
+                    _HEADER_FMT, _MAGIC, KIND_IMAGE, out_w, out_h, 1
+                )
+                out.append((mid, out_w, out_h, header + small.tobytes()))
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "content"]
+            )
+
+    return df.mapInPandas(
+        batches, schema="media_id long, width int, height int, content binary"
+    )
+
+
+def audio_features(df: DataFrame, n_bands: int = 8) -> DataFrame:
+    """Spectral features for decodable audio payloads (8-bit PCM WAV,
+    SGM1 audio): RMS level plus ``n_bands`` equal-width rFFT magnitude
+    band energies — the embedding-ish fingerprint step of an audio
+    pipeline, numpy-vectorized per Arrow batch."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, kind, content in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"]
+            ):
+                if kind != KIND_AUDIO:
+                    continue
+                try:
+                    _w, _h, _nf, px = _decode_payload(bytes(content))
+                except (NotImplementedError, ValueError):
+                    continue
+                if px is None or len(px) == 0:
+                    continue
+                x = px.astype(np.float64) / 255.0
+                x = x - x.mean()
+                rms = float(np.sqrt((x * x).mean()))
+                mag = np.abs(np.fft.rfft(x))
+                bands = [
+                    round(float(b.mean()), 6) if len(b) else 0.0
+                    for b in np.array_split(mag, n_bands)
+                ]
+                out.append((mid, len(px), round(rms, 6), bands))
+            yield pd.DataFrame(
+                out, columns=["media_id", "n_samples", "rms", "bands"]
+            )
+
+    return df.mapInPandas(
+        batches,
+        schema="media_id long, n_samples int, rms double, bands array<double>",
+    )
+
+
 def text_as_media(docs: DataFrame) -> DataFrame:
     """Wrap document text bytes as an opaque binary content column —
     the storage convention every multimodal operator consumes."""

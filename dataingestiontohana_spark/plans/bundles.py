@@ -175,6 +175,15 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("mean_px", "double"), ("std_px", "double"),
     ],
     "q38_frame_sample": [("media_id", "bigint"), ("n_sampled", "bigint")],
+    "q37b_media_resize": [
+        ("media_id", "bigint"), ("width", "int"), ("height", "int"),
+        ("n_bytes", "int"),
+    ],
+    "q38b_audio_features": [
+        ("media_id", "bigint"), ("n_samples", "int"), ("rms", "double"),
+        ("b0", "double"), ("b1", "double"), ("b2", "double"),
+        ("b3", "double"),
+    ],
     "q39_sensor_generate": [
         ("counter", "int"), ("deviceid", "int"), ("temperature", "double"),
         ("humidity", "double"), ("co2", "double"), ("co", "double"),
@@ -218,7 +227,10 @@ BUNDLES: dict[str, list[str]] = {
     # rows-only bundles (>=1 part lacks an oracle -> whole bundle rows-only)
     "q30_31_lsh_neardup": ["q30_minhash_near_dup", "q31_simhash_clusters"],
     "q35_36b_ann": ["q35_ann_lsh", "q36b_ivf_topk"],
-    "q37_38_media": ["q37_media_decode", "q38_frame_sample"],
+    "q37_38_media": [
+        "q37_media_decode", "q38_frame_sample",
+        "q37b_media_resize", "q38b_audio_features",
+    ],
     "q39_40_ingest": ["q39_sensor_generate", "q40_sensor_csv_roundtrip"],
 }
 

@@ -70,18 +70,25 @@ def q65_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserts they are 1. Tighter sketch-error properties stay in pytest.
     """
     d = load_table(spark, sf_dir, "documents")
-    row = d.agg(
+    # two single-row aggregations cross-joined: mixing COUNT(DISTINCT)
+    # (Expand-based) with ObjectHashAggregate sketches in ONE agg forces
+    # a sort-based fallback over the expanded rows (measured 3.1s vs
+    # 1.1s split at sf0.1)
+    exact = d.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("text").alias("exact_distinct"),
-        F.approx_count_distinct("text", 0.02).alias("approx_distinct"),
         F.expr("percentile(n_chars, 0.5)").alias("exact_p50"),
-        F.expr("approx_percentile(n_chars, 0.5, 10000)").alias("approx_p50"),
         F.expr("percentile(n_chars, 0.99)").alias("exact_p99"),
-        F.expr("approx_percentile(n_chars, 0.99, 10000)").alias("approx_p99"),
         F.expr("percentile(n_chars, 0.45)").alias("lo50"),
         F.expr("percentile(n_chars, 0.55)").alias("hi50"),
         F.expr("percentile(n_chars, 0.98)").alias("lo99"),
     )
+    approx = d.agg(
+        F.approx_count_distinct("text", 0.02).alias("approx_distinct"),
+        F.expr("approx_percentile(n_chars, 0.5, 10000)").alias("approx_p50"),
+        F.expr("approx_percentile(n_chars, 0.99, 10000)").alias("approx_p99"),
+    )
+    row = exact.crossJoin(approx)
     rel = F.abs(
         (F.col("approx_distinct") - F.col("exact_distinct"))
         / F.col("exact_distinct")

@@ -10,10 +10,13 @@ from pyspark.sql import functions as F
 
 from dataingestiontohana_spark.catalog import load_table
 from dataingestiontohana_spark.operators.multimodal import (
+    KIND_AUDIO,
     KIND_IMAGE,
     KIND_VIDEO,
+    audio_features,
     decode_media,
     media_byte_features,
+    resize_images,
     sample_frames,
     synth_media_bytes,
     text_as_media,
@@ -33,9 +36,14 @@ def q36_media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
     rows = []
     for i in range(n):
-        kind = KIND_VIDEO if i % 4 == 0 else KIND_IMAGE
+        kind = (
+            KIND_VIDEO if i % 4 == 0
+            else KIND_AUDIO if i % 4 == 1
+            else KIND_IMAGE
+        )
         nf = 6 if kind == KIND_VIDEO else 1
-        rows.append((i, kind, synth_media_bytes(i, kind, 32, 16, nf)))
+        w, h = (256, 1) if kind == KIND_AUDIO else (32, 16)
+        rows.append((i, kind, synth_media_bytes(i, kind, w, h, nf)))
     return spark.createDataFrame(rows, "media_id long, kind int, content binary")
 
 
@@ -56,10 +64,39 @@ def q38_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q37b_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail normalization: every decodable image nearest-neighbor
+    resized to 8x8, audited by output byte length (rows-only)."""
+    resized = resize_images(_synthetic_media(spark), out_w=8, out_h=8)
+    return resized.select(
+        "media_id",
+        "width",
+        "height",
+        F.length("content").cast("int").alias("n_bytes"),
+    ).orderBy("media_id")
+
+
+def q38b_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio spectral fingerprint: RMS + first rFFT band energies per
+    audio payload (rows-only)."""
+    feats = audio_features(_synthetic_media(spark), n_bands=8)
+    return feats.select(
+        "media_id",
+        "n_samples",
+        "rms",
+        F.col("bands")[0].alias("b0"),
+        F.col("bands")[1].alias("b1"),
+        F.col("bands")[2].alias("b2"),
+        F.col("bands")[3].alias("b3"),
+    ).orderBy("media_id")
+
+
 QUERIES = {
     "q36_media_byte_features": q36_media_byte_features,
     "q37_media_decode": q37_media_decode,
     "q38_frame_sample": q38_frame_sample,
+    "q37b_media_resize": q37b_media_resize,
+    "q38b_audio_features": q38b_audio_features,
 }
 
 ORACLES = {

@@ -327,11 +327,21 @@ def bucketed_fact_tables(
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
-    write_bucketed(o, f"b_orders_{tag}", "o_orderkey")
-    write_bucketed(
-        li.withColumnRenamed("l_orderkey", "o_orderkey"),
-        f"b_lineitem_{tag}",
-        "o_orderkey",
+
+    def ensure(df, name):
+        # a bucketed layout is a ONE-TIME cost: reuse the existing table
+        # when it is current (row-count check against the static source)
+        if spark.catalog.tableExists(name):
+            try:
+                if spark.table(name).count() == df.count():
+                    return
+            except Exception:
+                pass
+        write_bucketed(df, name, "o_orderkey")
+
+    ensure(o, f"b_orders_{tag}")
+    ensure(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), f"b_lineitem_{tag}"
     )
     return spark.table(f"b_orders_{tag}"), spark.table(f"b_lineitem_{tag}")
 

@@ -88,3 +88,22 @@ def test_lsh_bucket_cap_bounds_degenerate_corpora(spark):
         minhash_candidates(d).count()
         == minhash_candidates(d, max_bucket=10**9).count()
     )
+
+
+def test_exact_jaccard_strategies_agree(spark):
+    """prefix-filtered and direct inverted-index strategies must return
+    identical exact pair sets (the prefix filter is lossless)."""
+    from dataingestiontohana_spark.catalog import load_table
+    from dataingestiontohana_spark.operators.dedup import exact_jaccard_pairs
+    from tests.conftest import SF0001
+
+    d = load_table(spark, SF0001, "documents")
+    cols = ["id_a", "id_b", "inter", "uni"]
+    a = set(map(tuple, exact_jaccard_pairs(d, 0.5).select(cols).collect()))
+    b = set(
+        map(
+            tuple,
+            exact_jaccard_pairs(d, 0.5, strategy="direct").select(cols).collect(),
+        )
+    )
+    assert a == b and len(a) > 0

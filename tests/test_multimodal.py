@@ -158,3 +158,63 @@ def test_real_jpeg_and_wav_metadata(spark):
     assert out[31]["mean_px"] is None  # DCT pixels need a real codec
     assert out[32]["width"] == 800 and out[32]["height"] == 1
     assert out[32]["mean_px"] == round(sum(samples) / len(samples), 4)
+
+
+def test_resize_matches_numpy_reference(spark):
+    """Nearest-neighbor resize must equal the numpy gather, for both a
+    real PNG and the synthetic container."""
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        _decode_payload,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+    png = _png_encode(arr, filters=[0])
+    sgm = synth_media_bytes(5, KIND_IMAGE, 32, 16)
+    df = spark.createDataFrame(
+        [(1, KIND_IMAGE, png), (5, KIND_IMAGE, sgm)],
+        "media_id long, kind int, content binary",
+    )
+    out = {r["media_id"]: r for r in resize_images(df, 8, 8).collect()}
+    assert set(out) == {1, 5}
+    # decode the resized SGM1 payload and compare pixels exactly
+    w, h, nf, px = _decode_payload(bytes(out[1]["content"]))
+    assert (w, h, nf) == (8, 8, 1)
+    rows = (np.arange(8) * 16) // 8
+    cols = (np.arange(8) * 24) // 8
+    assert (px.reshape(8, 8) == arr[rows][:, cols]).all()
+
+
+def test_audio_features_match_numpy(spark):
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        KIND_AUDIO,
+        _decode_payload,
+        audio_features,
+    )
+
+    wav_samples = bytes(((i * 37) % 256) for i in range(512))
+    import struct as _s
+
+    wav = (
+        b"RIFF" + _s.pack("<I", 36 + len(wav_samples)) + b"WAVE"
+        + b"fmt " + _s.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+        + b"data" + _s.pack("<I", len(wav_samples)) + wav_samples
+    )
+    df = spark.createDataFrame(
+        [(7, KIND_AUDIO, wav), (8, KIND_IMAGE, b"ignored")],
+        "media_id long, kind int, content binary",
+    )
+    rows = audio_features(df, n_bands=8).collect()
+    assert len(rows) == 1 and rows[0]["media_id"] == 7
+    x = np.frombuffer(wav_samples, np.uint8).astype(np.float64) / 255.0
+    x = x - x.mean()
+    assert rows[0]["rms"] == round(float(np.sqrt((x * x).mean())), 6)
+    mag = np.abs(np.fft.rfft(x))
+    want_b0 = round(float(np.array_split(mag, 8)[0].mean()), 6)
+    assert rows[0]["bands"][0] == want_b0
+    assert len(rows[0]["bands"]) == 8
