@@ -244,7 +244,7 @@ SINGLES: list[str] = [
     "q20_time_bucket", "q24_ingest_audit", "q47_sessionize",
     "q48_correlated_subquery", "q69_fuzzy_name_join",
     "q36_media_byte_features", "q65_sketch_audit", "q66_dedup_clusters",
-    "q71_decimal_interval", "q72_bucketed_join",
+    "q71_decimal_interval", "q72_bucketed_join", "q73_embed_neardup",
 ]
 
 _SLOT_OF = {

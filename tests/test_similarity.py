@@ -45,6 +45,30 @@ def test_lsh_identical_vectors_same_signature(spark):
     assert set(sigs[1]) <= {"0", "1"}
 
 
+def test_embed_neardup_flags_planted_duplicate(spark, tmp_path):
+    """q73 semantics on planted data: an exact copy of a probe vector is
+    flagged with cos ~= 1, an orthogonal vector is not flagged."""
+    from dataingestiontohana_spark.plans.llm_similarity import q73_embed_neardup
+
+    probe = [1.0] + [0.0] * 63
+    dup = list(probe)
+    ortho = [0.0, 1.0] + [0.0] * 62
+    near = [0.9, 0.1] + [0.0] * 62  # cos ~= 0.9939 vs probe
+    df = spark.createDataFrame(
+        [(0, probe, 0), (5, dup, 0), (7, ortho, 1), (9, near, 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    rows = {
+        (r["probe_id"], r["vec_id"]): r["cos_sim"]
+        for r in q73_embed_neardup(spark, str(tmp_path)).collect()
+    }
+    assert rows[(0, 5)] == 1.0
+    assert abs(rows[(0, 9)] - 0.993884) < 1e-6
+    assert (0, 7) not in rows
+    assert (0, 0) not in rows  # self-pair excluded
+
+
 def test_lsh_opposite_vectors_opposite_signature(spark):
     # distinct powers of two: no +-1-weighted subset sums to exactly 0,
     # so no hyperplane is orthogonal to v (sign ties would break the
