@@ -15,6 +15,7 @@ from dataingestiontohana_spark.plans import (
     cdc,
     ingestion,
     llm_dedup,
+    llm_quality,
     llm_similarity,
     llm_text,
     llm_text2,
@@ -36,6 +37,7 @@ for mod in (
     llm_text,
     llm_text2,
     llm_dedup,
+    llm_quality,
     llm_similarity,
     multimodal,
     ingestion,
