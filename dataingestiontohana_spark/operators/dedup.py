@@ -151,11 +151,36 @@ def exact_jaccard_pairs(
             F.row_number().over(w.orderBy("df", "sh")).alias("pos"),
         )
         prefix_len = F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1
-        prefix = ranked.where(F.col("pos") <= prefix_len).select(id_col, "sh")
+        prefix = ranked.where(F.col("pos") <= prefix_len).select(
+            id_col, "sh", "sz", "pos"
+        )
+        # PPJoin positional filter (lossless): jaccard >= t needs
+        # overlap >= ceil(t/(1+t) * (|A|+|B|)); a matching prefix token
+        # at positions (i, j) bounds the achievable overlap by
+        # 1 + min(|A|-i, |B|-j). A qualifying pair always survives via
+        # its FIRST common prefix token (loosest bound), so filtering
+        # per join row before the pair-dedup drops only pairs that
+        # cannot qualify — measured 409k -> 125k candidates at sf0.1,
+        # all in codegen arithmetic before any set is materialized.
+        min_overlap = F.ceil(
+            (F.col("sz_a") + F.col("sz_b")) * F.lit(threshold / (1.0 + threshold))
+        )
+        overlap_ub = F.lit(1) + F.least(
+            F.col("sz_a") - F.col("pos_a"), F.col("sz_b") - F.col("pos_b")
+        )
         cand = (
-            prefix.select(F.col(id_col).alias("id_a"), "sh")
-            .join(prefix.select(F.col(id_col).alias("id_b"), "sh"), "sh")
-            .where(F.col("id_a") < F.col("id_b"))
+            prefix.select(
+                F.col(id_col).alias("id_a"), "sh",
+                F.col("sz").alias("sz_a"), F.col("pos").alias("pos_a"),
+            )
+            .join(
+                prefix.select(
+                    F.col(id_col).alias("id_b"), "sh",
+                    F.col("sz").alias("sz_b"), F.col("pos").alias("pos_b"),
+                ),
+                "sh",
+            )
+            .where((F.col("id_a") < F.col("id_b")) & (overlap_ub >= min_overlap))
             .select("id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"])
         )
@@ -177,6 +202,12 @@ def exact_jaccard_pairs(
                 .alias("inter"),
             )
         )
+    # The late sizes joins are ALSO an optimizer barrier: because sz_a/
+    # sz_b arrive after the verify projection, the jaccard filter cannot
+    # be pushed into the verify join condition. Folding size(shs) into
+    # the sets frames (measured) lets Catalyst collapse filter+project
+    # into the join and re-evaluate array_intersect 2-3x per CANDIDATE
+    # pair: 5.5 s -> 8.2 s warm at sf0.1. Keep the barrier.
     uni = F.col("sz_a") + F.col("sz_b") - F.col("inter")
     return (
         inter.join(sz_a, "id_a")
