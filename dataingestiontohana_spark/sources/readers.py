@@ -32,6 +32,13 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType | str) -> Dat
     return spark.read.schema(schema).json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning class as parquet
+    (both ship in Spark core; Avro needs the external spark-avro
+    package and is deliberately absent here)."""
+    return spark.read.orc(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

@@ -54,3 +54,75 @@ def running_device_stats(sensor_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, n_events long, first_ts timestamp, last_ts timestamp"
+)
+SESSION_STATE_SCHEMA = "n_events long, first_ms long, last_ms long"
+
+
+def closed_user_sessions(
+    events: DataFrame,
+    gap_ms: int = 30 * 60 * 1000,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Custom sessionization with EXPLICIT state + event-time timers:
+    a session closes (and only then emits) once the watermark passes
+    gap_ms beyond its last event — the full GroupState lifecycle
+    (exists/get/update/remove/hasTimedOut/setTimeoutTimestamp), which
+    the built-in `session_window` aggregation cannot express when the
+    per-session logic grows beyond an aggregate (this is the shape for
+    e.g. emit-once funnels or per-session anomaly flags).
+
+    Scale: state is one (count, first, last) triple per OPEN session,
+    hash-partitioned by user — O(active users), not O(events); the
+    timer eviction is the state-bound guarantee under unbounded input.
+    """
+
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, first_ms, last_ms = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    (
+                        key[0],
+                        n,
+                        pd.Timestamp(first_ms, unit="ms"),
+                        pd.Timestamp(last_ms, unit="ms"),
+                    )
+                ],
+                columns=["user_id", "n_events", "first_ts", "last_ts"],
+            )
+            return
+        n, first_ms, last_ms = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            ms = (pdf[ts_col].astype("int64") // 1_000_000).astype("int64")
+            n += len(pdf)
+            lo, hi = int(ms.min()), int(ms.max())
+            first_ms = lo if first_ms is None else min(first_ms, lo)
+            last_ms = hi if last_ms is None else max(last_ms, hi)
+        state.update((n, first_ms, last_ms))
+        # close when the WATERMARK (event time) passes last event + gap
+        state.setTimeoutTimestamp(last_ms + gap_ms)
+        yield pd.DataFrame(
+            columns=["user_id", "n_events", "first_ts", "last_ts"]
+        )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

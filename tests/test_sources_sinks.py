@@ -29,6 +29,7 @@ from dataingestiontohana_spark.sources.readers import (
     read_csv,
     read_dbapi,
     read_json,
+    read_orc,
     read_parquet,
 )
 from dataingestiontohana_spark.streaming.multiplex import Wiretap, multiplex
@@ -57,6 +58,20 @@ def test_parquet_roundtrip(spark, tmp_path):
     # and no post-scan filter remains: the predicate is fully consumed
     # by directory pruning (deviceid is a partition column, not data)
     assert "Filter (" not in plan
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    df = sensor_rows(spark, 50)
+    df.write.mode("overwrite").orc(str(tmp_path / "o"))
+    back = read_orc(spark, str(tmp_path / "o"))
+    assert back.count() == 50
+    assert sorted(back.columns) == sorted(df.columns)
+    # ORC scans take predicate pushdown + column pruning like parquet
+    one = back.where(F.col("counter") == 3).select("counter", "temperature")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(counter), EqualTo(counter,3)]" in plan
+    assert "temperature" in plan.split("ReadSchema")[1].splitlines()[0]
+    assert "humidity" not in plan.split("ReadSchema")[1].splitlines()[0]
 
 
 def test_csv_json_roundtrip(spark, tmp_path):
