@@ -33,6 +33,35 @@ def write_parquet(
     w.parquet(path)
 
 
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction: rewrite a parquet dataset into files of
+    ~``target_bytes``. Streaming sinks emit one file per trigger per
+    partition; at 100 TB that litter costs the NEXT reader listing RPCs
+    and a task per tiny file. Sizing uses the Hadoop FileSystem API, so
+    any supported scheme (s3a/hdfs/file) works; the rewrite is one scan
+    + one round-robin repartition (no key skew by construction).
+    Returns the target file count.
+
+    (For partitioned layouts, compact per partition directory so the
+    directory structure — and read-time pruning — survives.)
+    """
+    jvm = spark._jvm
+    jsc = spark._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(src)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    total = fs.getContentSummary(hpath).getLength()
+    n = max(1, -(-total // target_bytes))  # ceil
+    spark.read.parquet(src).repartition(int(n)).write.mode(
+        "overwrite"
+    ).parquet(dst)
+    return int(n)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", "true").csv(path)
 

@@ -92,6 +92,27 @@ def test_q64_centroid_joins_broadcast_no_vector_shuffle(spark):
             assert "embedding" not in line
 
 
+def test_q75_tfidf_partial_agg_and_no_window(spark):
+    df = QUERIES["q75_tfidf_doc_scores"](spark, SF001)
+    plan = _executed(df)
+    # tf/df/doc-score aggregations all get map-side partial combine
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "Window" not in plan  # no window anywhere in TF-IDF
+    # the global top-20 is per-partition heaps, not a sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q74_repetition_filter_is_map_only_plus_topk(spark):
+    df = QUERIES["q74_repetition_filter"](spark, SF001)
+    plan = _executed(df)
+    # single scan, no join/agg/window — fractions computed in the
+    # projection; the only cross-row step is TakeOrderedAndProject
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange") == 0
+
+
 # ---------------------------------------------------------------------------
 # No declared query may contain an unbounded single-partition window:
 # a Window with an empty PARTITION BY funnels its whole input through

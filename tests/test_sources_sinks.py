@@ -4,6 +4,7 @@ fan-out, wiretap trace."""
 from __future__ import annotations
 
 import functools
+import os
 import sqlite3
 
 import duckdb
@@ -144,3 +145,20 @@ def test_multiplex_fans_out_to_two_sinks(spark, tmp_path):
     assert seen_a == seen_b
     assert [e.n_rows for e in tap.entries] == seen_a
     assert all(e.wall_clock > 0 for e in tap.entries)
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from dataingestiontohana_spark.operators.sinks import compact_parquet
+
+    src, dst = str(tmp_path / "litter"), str(tmp_path / "compact")
+    # 40 tiny files (one per partition), the streaming-sink litter shape
+    sensor_rows(spark, 2000).repartition(40).write.parquet(src)
+    n_src = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_src == 40
+    compact_parquet(spark, src, dst, target_bytes=1 << 30)  # 1 GiB -> 1 file
+    n_dst = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+    assert n_dst == 1
+    # content survives byte-for-byte (same rows)
+    a = spark.read.parquet(src).orderBy("counter").collect()
+    b = spark.read.parquet(dst).orderBy("counter").collect()
+    assert a == b
