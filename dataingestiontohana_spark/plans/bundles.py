@@ -245,7 +245,7 @@ SINGLES: list[str] = [
     "q48_correlated_subquery", "q69_fuzzy_name_join",
     "q36_media_byte_features", "q65_sketch_audit", "q66_dedup_clusters",
     "q71_decimal_interval", "q72_bucketed_join", "q73_embed_neardup",
-    "q74_repetition_filter", "q75_tfidf_doc_scores",
+    "q74_repetition_filter", "q75_tfidf_doc_scores", "q76_variant_extract",
 ]
 
 _SLOT_OF = {

@@ -368,6 +368,42 @@ def q72_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q76_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT surface (Spark 4): nested JSON is parsed
+    once into the binary VARIANT encoding and fields come out through
+    typed `variant_get` path extraction — the open-schema ingestion
+    shape (no fixed struct schema; each row may carry different keys).
+
+    The JSON text is constructed from string/int columns only (no
+    doubles — float-to-text formatting differs across engines, which
+    would poison the oracle); the DuckDB oracle runs the identical
+    construction through its JSON path functions. One scan, one
+    aggregation; the parse + both extractions live in the projection.
+    """
+    e = _t(spark, sf_dir, "events")
+    j = F.concat(
+        F.lit('{"meta":{"type":"'),
+        F.col("event_type"),
+        F.lit('"},"k":'),
+        F.coalesce(F.get_json_object("props", "$.k"), F.lit("null")),
+        F.lit("}"),
+    )
+    v = F.parse_json(j)
+    return (
+        e.select(
+            F.variant_get(v, "$.meta.type", "string").alias("vtype"),
+            F.variant_get(v, "$.k", "int").alias("k"),
+        )
+        .groupBy("vtype")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("vtype")
+    )
+
+
 QUERIES = {
     "q41_set_ops_all": q41_set_ops_all,
     "q42_pivot": q42_pivot,
@@ -383,9 +419,23 @@ QUERIES = {
     "q69_fuzzy_name_join": q69_fuzzy_name_join,
     "q71_decimal_interval": q71_decimal_interval,
     "q72_bucketed_join": q72_bucketed_join,
+    "q76_variant_extract": q76_variant_extract,
 }
 
 ORACLES = {
+    "q76_variant_extract": """
+        WITH v AS (
+          SELECT '{"meta":{"type":"' || event_type || '"},"k":' ||
+                 COALESCE(json_extract_string(props, '$.k'), 'null') || '}'
+                 AS j
+          FROM events)
+        SELECT json_extract_string(j, '$.meta.type') AS vtype,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(json_extract_string(j, '$.k') AS INTEGER))
+                    AS BIGINT) AS sum_k,
+               MAX(CAST(json_extract_string(j, '$.k') AS INTEGER)) AS max_k
+        FROM v GROUP BY vtype ORDER BY vtype
+    """,
     "q71_decimal_interval": """
         SELECT l_returnflag, COUNT(*) AS n,
                CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
