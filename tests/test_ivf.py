@@ -67,3 +67,32 @@ def test_ivf_scans_fraction_of_data(spark, vecs):
         F.col("cluster_id").isin(list(range(4)))
     ).count()  # any 4 clusters ~ a quarter of the data
     assert probed < total
+
+
+def test_persisted_index_prunes_partitions(spark, vecs, tmp_path):
+    """The IN-list on cluster_id becomes DIRECTORY pruning over the
+    persisted index: the scan lists only the probed clusters' files and
+    the result equals the non-persisted path exactly."""
+    from dataingestiontohana_spark.operators.ivf import (
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+
+    cents = sample_centroids(vecs, k=8)
+    qvec = [float(x) for x in vecs.where(F.col("vec_id") == 0).head()["embedding"]]
+    idx = str(tmp_path / "ivf_index")
+    write_ivf_index(vecs, cents, idx)
+
+    got = ivf_topk_from_index(spark, idx, qvec, cents, k=10, nprobe=2)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the IN-list is a PARTITION filter (directory pruning), not a data
+    # filter: it must appear under PartitionFilters in the scan node
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "cluster_id" in pf and " IN (" in pf
+    # and is fully consumed there — no residual data filter on cluster_id
+    assert "PushedFilters: []" in plan or "cluster_id" not in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0]
+    # identical answer to the in-memory assignment path
+    mem = ivf_topk(vecs, qvec, cents, k=10, nprobe=2).collect()
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in mem]
