@@ -18,8 +18,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
-def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+def read_parquet(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame:
+    """merge_schema unions the footers of every file — the
+    schema-evolution read (a column added mid-stream appears as null in
+    the old files). Off by default: the footer union is a full file
+    listing + footer read per file, which at 100 TB is a real cost to
+    pay only when the layout actually evolved."""
+    return (
+        spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(path)
+    )
 
 
 def read_csv(

@@ -162,3 +162,20 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     a = spark.read.parquet(src).orderBy("counter").collect()
     b = spark.read.parquet(dst).orderBy("counter").collect()
     assert a == b
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """A column added mid-stream: mergeSchema=True surfaces it (null
+    for the old files); the default read keeps the cheap single-footer
+    path and the original columns."""
+    p = str(tmp_path / "evolve")
+    spark.range(3).selectExpr("id", "id * 2 AS a").write.parquet(p)
+    spark.range(3, 6).selectExpr(
+        "id", "id * 2 AS a", "id * 3 AS b"
+    ).write.mode("append").parquet(p)
+
+    merged = read_parquet(spark, p, merge_schema=True)
+    assert sorted(merged.columns) == ["a", "b", "id"]
+    rows = {r["id"]: r["b"] for r in merged.collect()}
+    assert rows[1] is None and rows[4] == 12  # old files null-padded
+    assert merged.count() == 6
