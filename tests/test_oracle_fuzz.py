@@ -182,3 +182,47 @@ def test_random_window_matches_oracle(spark, duck, seed):
     )
     ok, msg = compare(sdf, duck.execute(sql).fetch_arrow_table().to_pandas())
     assert ok, f"seed={seed} fam={fam_name} sql={sql}: {msg}"
+
+
+# ---------------------------------------------------------------------------
+# Set-similarity join fuzz: random small-vocabulary corpora (maximum
+# shingle sharing — worst case for the prefix filter) with planted
+# near-dups; the PPJoin prefix + positional filters must stay LOSSLESS
+# against DuckDB's brute-force join on every seed.
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_exact_jaccard_random_corpus(spark, tmp_path, seed):
+    import duckdb as _duckdb
+
+    from dataingestiontohana_spark.operators.dedup import exact_jaccard_pairs
+    from dataingestiontohana_spark.plans.llm_dedup import _EXACT_PAIRS_SQL
+
+    rng = random.Random(4000 + seed)
+    vocab = [f"w{i}" for i in range(10)]  # tiny vocab: heavy collisions
+    docs = []
+    for i in range(50):
+        n = rng.randint(3, 25)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    for j in range(4):  # planted near-dups (append one word)
+        base = docs[rng.randrange(50)][1]
+        docs.append((100 + j, base + " " + rng.choice(vocab)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    got = (
+        exact_jaccard_pairs(df, 0.5)
+        .select("id_a", "id_b", "inter", "uni", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+    p = str(tmp_path / "docs_pq")
+    df.write.parquet(p)
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    ddf = con.execute(
+        f"SELECT * FROM ({_EXACT_PAIRS_SQL}) ORDER BY id_a, id_b"
+    ).fetch_arrow_table().to_pandas()
+    con.close()
+    ok, msg = compare(got, ddf)
+    assert ok, f"seed={seed}: {msg}"
