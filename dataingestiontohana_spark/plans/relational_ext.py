@@ -281,9 +281,14 @@ def q71_decimal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Money math runs in DECIMAL end-to-end: the per-row product is
     recovered as decimal(18,4) (exact — the inputs are 2-decimal
     values), summed as decimal(38,4) with NO floating error regardless
-    of aggregation order, and only the final average division drops to
-    double. Interval arithmetic: +45 days, quarter truncation +3
-    months, day spans — all date-typed on both engines.
+    of aggregation order, and the average STAYS decimal — the sum is
+    widened to scale 8 before dividing and the quotient is pinned to
+    an explicit DECIMAL(38,6), so both engines round the same exact
+    rational at the same scale (a double-typed average diverges in the
+    last ulp because Spark converts BigDecimal->double while DuckDB
+    converts scaled-int->double). Interval arithmetic: +45 days,
+    quarter truncation +3 months, day spans — all date-typed on both
+    engines.
     """
     li = _t(spark, sf_dir, "lineitem")
     dec = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
@@ -294,7 +299,11 @@ def q71_decimal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(dec).cast("decimal(38,4)").alias("sum_net"),
-            (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("avg_net"),
+            F.expr(
+                "CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)"
+                " AS DECIMAL(18,4))) AS DECIMAL(38,8))"
+                " / COUNT(1) AS DECIMAL(38,6))"
+            ).alias("avg_net"),
             F.expr(
                 "CAST(CAST(MAX(l_shipdate) AS DATE) + INTERVAL 45 DAY AS DATE)"
             ).alias("max_ship_plus45"),
@@ -440,8 +449,9 @@ ORACLES = {
         SELECT l_returnflag, COUNT(*) AS n,
                CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
                              AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_net,
-               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                             AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_net,
+               CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DECIMAL(38,8))
+                    / COUNT(*) AS DECIMAL(38,6)) AS avg_net,
                CAST(CAST(MAX(l_shipdate) AS DATE) + INTERVAL 45 DAY AS DATE)
                  AS max_ship_plus45,
                CAST(date_trunc('quarter', CAST(MAX(l_shipdate) AS DATE))
