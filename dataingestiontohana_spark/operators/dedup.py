@@ -125,8 +125,15 @@ def exact_jaccard_pairs(
     # (measured 16.7s -> 11.2s at sf0.1 from this one change).
     # localCheckpoint materializes it once on the executors; on a
     # cluster-with-failures deployment prefer reliable checkpoint/
-    # persist(DISK) at the same point.
-    sh = shingle_string_rows(docs, id_col, text_col).distinct().localCheckpoint()
+    # persist(DISK) at the same point. eager=False so merely
+    # CONSTRUCTING the DataFrame (registry enumeration, schema
+    # analysis) runs no Spark job — materialization happens at the
+    # first action on the result.
+    sh = (
+        shingle_string_rows(docs, id_col, text_col)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))

@@ -261,7 +261,14 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
-            for mid, content in zip(pdf["media_id"], pdf["content"]):
+            for mid, kind, content in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"]
+            ):
+                # kind gate, like audio_features: an SGM1 *audio*
+                # payload also decodes (w x 1 px, nf=1) and would
+                # otherwise be emitted as a bogus image thumbnail
+                if kind != KIND_IMAGE:
+                    continue
                 try:
                     w, h, nf, px = _decode_payload(bytes(content))
                 except (NotImplementedError, ValueError):

@@ -46,42 +46,65 @@ def bucketed_ranks(
     - ``g_cume``:  count of group rows with value <= this row's value
     - ``g_rn``:    row_number() with ties broken by ``tie_cols``
                    (only when tie_cols given)
+
+    NULL handling (matches the window functions this replaces): rows
+    with a NULL ``value_col`` land in sentinel bucket -1, which sorts
+    before every value bucket — they rank first and tie with each
+    other, exactly rank()/cume_dist() under default NULLS FIRST
+    ordering. NULL ``part_cols`` form their own group (the internal
+    joins key on a struct of the part columns, and struct equality is
+    null-safe), same as window PARTITION BY. Float/double NaN sorts
+    LAST in Spark's ordering; NaN rows land in sentinel bucket
+    ``n_buckets`` (after every value bucket, tied together) and are
+    excluded from the min/max bucketing stats they would poison.
     """
+    from pyspark.sql.types import DoubleType, FloatType
+
     part = list(part_cols)
     v = F.col(value_col)
+    is_float = isinstance(df.schema[value_col].dataType, (DoubleType, FloatType))
+    nan = F.isnan(v) if is_float else F.lit(False)
+    # one struct key instead of the raw part columns: struct equality
+    # treats NULL fields as equal, so NULL-partition rows survive the
+    # stats/offsets joins exactly as PARTITION BY would keep them
+    pk = F.struct(*[F.col(c) for c in part]) if part else F.lit(0)
+    df = df.withColumn("__pk", pk)
 
-    stats = df.groupBy(*part).agg(
-        F.min(value_col).alias("__vmin"),
-        F.max(value_col).alias("__vmax"),
+    finite = F.when(~nan, v)  # NULL for NaN: min/max then skip it
+    stats = df.groupBy("__pk").agg(
+        F.min(finite).alias("__vmin"),
+        F.max(finite).alias("__vmax"),
         F.count(F.lit(1)).alias("g_n"),
     )
-    joined = (
-        df.join(F.broadcast(stats), part) if part
-        else df.crossJoin(F.broadcast(stats))
-    )
+    joined = df.join(F.broadcast(stats), "__pk")
     width = (F.col("__vmax") - F.col("__vmin")) / F.lit(n_buckets)
-    bucket = F.when(F.col("__vmax") == F.col("__vmin"), F.lit(0)).otherwise(
-        F.least(
-            F.floor((v - F.col("__vmin")) / width),
-            F.lit(n_buckets - 1),
+    bucket = (
+        F.when(v.isNull(), F.lit(-1))  # NULLS FIRST sentinel bucket
+        .when(nan, F.lit(n_buckets))  # NaN sorts last in Spark
+        .when(F.col("__vmax") == F.col("__vmin"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((v - F.col("__vmin")) / width),
+                F.lit(n_buckets - 1),
+            )
         )
     )
     b = joined.withColumn("__bucket", bucket.cast("int"))
 
-    counts = b.groupBy(*part, "__bucket").agg(F.count(F.lit(1)).alias("__bc"))
+    counts = b.groupBy("__pk", "__bucket").agg(F.count(F.lit(1)).alias("__bc"))
     w_off = (
-        Window.partitionBy(*part)
+        Window.partitionBy("__pk")
         .orderBy("__bucket")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = counts.select(
-        *part,
+        "__pk",
         "__bucket",
         F.coalesce(F.sum("__bc").over(w_off), F.lit(0)).alias("__offset"),
     )
 
-    b = b.join(F.broadcast(offsets), [*part, "__bucket"])
-    w_rank = Window.partitionBy(*part, "__bucket").orderBy(value_col)
+    b = b.join(F.broadcast(offsets), ["__pk", "__bucket"])
+    w_rank = Window.partitionBy("__pk", "__bucket").orderBy(value_col)
     w_cume = w_rank.rangeBetween(Window.unboundedPreceding, Window.currentRow)
     out = b.withColumn(
         "g_rank", (F.col("__offset") + F.rank().over(w_rank)).cast("bigint")
@@ -89,11 +112,11 @@ def bucketed_ranks(
         "g_cume", (F.col("__offset") + F.count(F.lit(1)).over(w_cume)).cast("bigint")
     )
     if tie_cols:
-        w_rn = Window.partitionBy(*part, "__bucket").orderBy(value_col, *tie_cols)
+        w_rn = Window.partitionBy("__pk", "__bucket").orderBy(value_col, *tie_cols)
         out = out.withColumn(
             "g_rn", (F.col("__offset") + F.row_number().over(w_rn)).cast("bigint")
         )
-    return out.drop("__vmin", "__vmax", "__bucket", "__offset")
+    return out.drop("__pk", "__vmin", "__vmax", "__bucket", "__offset")
 
 
 def exact_ntile(rn: F.Column, n: F.Column, k: int) -> F.Column:

@@ -43,7 +43,11 @@ def salted_join(
 
 
 def write_bucketed(
-    df: DataFrame, table_name: str, key: str, buckets: int = 16
+    df: DataFrame,
+    table_name: str,
+    key: str,
+    buckets: int = 16,
+    manifest: dict | None = None,
 ) -> None:
     """Persist hash-bucketed + sorted by the join key. Joins between
     tables bucketed identically on the key skip the exchange (and with
@@ -53,21 +57,83 @@ def write_bucketed(
     survives only as a warehouse directory (not a catalog entry), and
     saveAsTable then fails with LOCATION_ALREADY_EXISTS — so clear
     both. With a persistent metastore the DROP TABLE alone suffices.
+
+    Deletion safety: a table the catalog knows is dropped through the
+    catalog (DROP TABLE purges a managed table's directory itself).
+    The filesystem fallback only fires for the stale-directory case —
+    table NOT in the catalog — and only for an unqualified name in the
+    default database whose directory actually looks like a Spark table
+    dir (part-*/_SUCCESS/_committed artifacts, nothing else), so an
+    unrelated directory sharing the name is never removed.
     """
     import os
     import shutil
     from urllib.parse import urlparse
 
     spark = df.sparkSession
+    known = spark.catalog.tableExists(table_name)
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(os.path.join(wh, table_name.lower()), ignore_errors=True)
+    if not known and "." not in table_name:
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        stale = os.path.join(wh, table_name.lower())
+        if os.path.isdir(stale) and _is_spark_table_dir(stale):
+            shutil.rmtree(stale, ignore_errors=True)
     (
         df.write.bucketBy(buckets, key)
         .sortBy(key)
         .mode("overwrite")
         .format("parquet")
         .saveAsTable(table_name)
+    )
+    if manifest is not None:
+        import json
+
+        loc = table_location(spark, table_name)
+        with open(os.path.join(loc, _MANIFEST_NAME), "w") as f:
+            json.dump(manifest, f)
+
+
+_MANIFEST_NAME = "_graft_manifest.json"
+
+
+def table_location(spark, table_name: str) -> str:
+    """Local filesystem path of a catalog table's data directory."""
+    from urllib.parse import urlparse
+
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}").collect():
+        if r.col_name == "Location":
+            return urlparse(r.data_type).path
+    raise ValueError(f"no location for table {table_name}")
+
+
+def read_manifest(spark, table_name: str) -> dict | None:
+    """The manifest written alongside a bucketed layout, or None.
+    Underscore-prefixed files are invisible to parquet readers, so the
+    manifest rides inside the table directory itself and disappears
+    with the table."""
+    import json
+    import os
+
+    try:
+        path = os.path.join(table_location(spark, table_name), _MANIFEST_NAME)
+        with open(path) as f:
+            return json.load(f)
+    except (ValueError, OSError, json.JSONDecodeError):
+        return None
+
+
+def _is_spark_table_dir(path: str) -> bool:
+    """Every entry is a Spark write artifact (part files, _SUCCESS,
+    committer metadata, checksums) — the shape saveAsTable leaves
+    behind. Anything else means the directory isn't ours to delete."""
+    import os
+
+    entries = os.listdir(path)
+    return all(
+        e.startswith(
+            ("part-", "_SUCCESS", "_committed", "_started", _MANIFEST_NAME, ".")
+        )
+        for e in entries
     )
 
 

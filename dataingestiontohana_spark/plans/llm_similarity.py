@@ -215,11 +215,26 @@ def q73_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation and the oracle's sequential fold cannot flip a pair in
     or out; the reported cos_sim is then rounded to 6 decimals on both
     sides (q33/q63 precedent) so the comparison is exact-stringable.
+
+    Driver-memory bound: the probe collect is capped at
+    ``_MAX_PROBE_BATCH`` rows (64-dim float64 ≈ 0.5 KB/row → ~16 MB at
+    the cap). An oversized probe shard fails fast with a clear error
+    instead of silently OOM-ing the driver; real deployments would
+    split the shard and run per-split.
     """
     e = load_table(spark, sf_dir, "embeddings")
+    _MAX_PROBE_BATCH = 32768
     probes = (
-        e.where(F.col("vec_id") % 97 == 0).select("vec_id", "embedding").collect()
+        e.where(F.col("vec_id") % 97 == 0)
+        .select("vec_id", "embedding")
+        .limit(_MAX_PROBE_BATCH + 1)
+        .collect()
     )
+    if len(probes) > _MAX_PROBE_BATCH:
+        raise ValueError(
+            f"probe batch exceeds {_MAX_PROBE_BATCH} rows; split the "
+            "ingest shard before embedding near-dup detection"
+        )
     pids = np.array([r["vec_id"] for r in probes], dtype=np.int64)
     pmat = np.stack(
         [np.asarray(r["embedding"], dtype=np.float64) for r in probes]

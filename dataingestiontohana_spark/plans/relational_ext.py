@@ -12,6 +12,8 @@ partitioning.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -326,10 +328,20 @@ def bucketed_fact_tables(
     """orders/lineitem persisted hash-bucketed on the join key (16
     buckets, sorted) — the one-time layout cost that turns every later
     orderkey equi-join into a zero-exchange sort-merge join. Table
-    names are sf-scoped so concurrent scales don't collide."""
+    names are sf-scoped so concurrent scales don't collide.
+
+    Freshness: a manifest (source-file fingerprint + row count) is
+    written next to the layout at write time; reuse compares the
+    fingerprint, which is pure filesystem metadata. The previous probe
+    re-counted BOTH the layout and the source per invocation — two
+    full scans per query, which at 100 TB would cost more than the
+    join savings."""
     import re as _re
 
-    from dataingestiontohana_spark.operators.skew import write_bucketed
+    from dataingestiontohana_spark.operators.skew import (
+        read_manifest,
+        write_bucketed,
+    )
 
     tag = _re.sub(r"\W+", "_", sf_dir).strip("_")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
@@ -337,22 +349,45 @@ def bucketed_fact_tables(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
 
-    def ensure(df, name):
-        # a bucketed layout is a ONE-TIME cost: reuse the existing table
-        # when it is current (row-count check against the static source)
+    def ensure(df, name, source):
+        fp = _source_fingerprint(os.path.join(sf_dir, f"{source}.parquet"))
         if spark.catalog.tableExists(name):
-            try:
-                if spark.table(name).count() == df.count():
-                    return
-            except Exception:
-                pass
-        write_bucketed(df, name, "o_orderkey")
+            m = read_manifest(spark, name)
+            if m is not None and m.get("fingerprint") == fp:
+                return
+        write_bucketed(df, name, "o_orderkey", manifest={"fingerprint": fp})
 
-    ensure(o, f"b_orders_{tag}")
+    ensure(o, f"b_orders_{tag}", "orders")
     ensure(
-        li.withColumnRenamed("l_orderkey", "o_orderkey"), f"b_lineitem_{tag}"
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        f"b_lineitem_{tag}",
+        "lineitem",
     )
     return spark.table(f"b_orders_{tag}"), spark.table(f"b_lineitem_{tag}")
+
+
+def _source_fingerprint(path: str) -> str:
+    """Identity of a source dataset from filesystem metadata only
+    (relative name, size, mtime of every data file) — no scan. The
+    distributed-filesystem analogue is the FileStatus listing the
+    driver already fetches to plan a read."""
+    import hashlib
+
+    h = hashlib.md5()
+    files = [path]
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(d, f)
+            for d, _, fs in os.walk(path)
+            for f in fs
+            if not f.startswith((".", "_"))
+        )
+    for p in files:
+        st = os.stat(p)
+        h.update(
+            f"{os.path.relpath(p, path)}:{st.st_size}:{st.st_mtime_ns};".encode()
+        )
+    return h.hexdigest()
 
 
 def q72_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:

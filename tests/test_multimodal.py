@@ -188,6 +188,27 @@ def test_resize_matches_numpy_reference(spark):
     assert (px.reshape(8, 8) == arr[rows][:, cols]).all()
 
 
+def test_resize_skips_non_image_kinds(spark):
+    """An SGM1 *audio* payload also decodes (w x 1, nf=1) and used to
+    pass the gate and come out as a bogus 8x8 'thumbnail' (ADVICE r2);
+    resize must filter on the kind column like audio_features does."""
+    from dataingestiontohana_spark.operators.multimodal import (
+        KIND_AUDIO,
+        KIND_VIDEO,
+        resize_images,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, KIND_IMAGE, synth_media_bytes(1, KIND_IMAGE, 32, 16)),
+            (2, KIND_AUDIO, synth_media_bytes(2, KIND_AUDIO, 256, 1)),
+            (3, KIND_VIDEO, synth_media_bytes(3, KIND_VIDEO, 8, 4, n_frames=6)),
+        ],
+        "media_id long, kind int, content binary",
+    )
+    assert [r["media_id"] for r in resize_images(df, 8, 8).collect()] == [1]
+
+
 def test_audio_features_match_numpy(spark):
     import numpy as np
 

@@ -139,6 +139,44 @@ def test_bucketed_ranks_match_window_functions(spark):
     ).count() == 0
 
 
+def test_bucketed_ranks_null_and_nan_match_window_functions(spark):
+    """NULL values, NULL partition keys, and float NaN must rank
+    exactly as the window functions do (NULLS FIRST, NaN last, NULL
+    partition key = its own group) — the operator is generic and the
+    divergence would be silent (ADVICE r2: NULL rows were dropped by
+    the null-unsafe internal joins)."""
+    from pyspark.sql.window import Window
+
+    from dataingestiontohana_spark.operators.ranks import bucketed_ranks
+
+    rows = [
+        # (id, grp, val) — NULL grp group, NULL vals, NaN vals, ties
+        (1, "a", 10.0), (2, "a", None), (3, "a", float("nan")),
+        (4, "a", 10.0), (5, "a", 3.0), (6, None, 7.0), (7, None, None),
+        (8, None, 7.0), (9, "b", None), (10, "b", None), (11, "b", 5.0),
+        (12, "a", float("nan")), (13, "a", 1e9), (14, "a", -2.5),
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, val double")
+    w = Window.partitionBy("grp").orderBy("val")
+    want = df.select(
+        "id",
+        F.rank().over(w).alias("rank"),
+        F.count(F.lit(1)).over(
+            w.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cume_n"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("n"),
+    )
+    got = bucketed_ranks(df, "val", part_cols=("grp",), n_buckets=4)
+    assert got.count() == len(rows)  # no rows silently dropped
+    joined = got.join(want, "id")
+    bad = joined.where(
+        (F.col("g_rank") != F.col("rank"))
+        | (F.col("g_cume") != F.col("cume_n"))
+        | (F.col("g_n") != F.col("n"))
+    )
+    assert bad.count() == 0, bad.collect()
+
+
 def test_split_contamination_matches_python_shingles(spark):
     from dataingestiontohana_spark.plans.llm_dedup import q70_split_contamination
 
