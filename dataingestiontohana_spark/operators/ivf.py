@@ -27,15 +27,20 @@ from pyspark.sql import functions as F
 
 
 def sample_centroids(
-    vecs: DataFrame, k: int = 16, id_col: str = "vec_id", seed: int = 42
+    vecs: DataFrame, k: int = 16, id_col: str = "vec_id"
 ) -> np.ndarray:
-    """Deterministic centroid pick: the k vectors whose xxhash64(id,
-    seed) are smallest — stable under any partitioning, no RNG on the
-    executors."""
+    """Deterministic centroid pick: the k vectors whose Knuth
+    multiplicative hash of the id is smallest — stable under any
+    partitioning, no RNG on the executors, and portable plain-integer
+    arithmetic (the same expression the q57 sampling splits use), so
+    the whole IVF pipeline is reproducible in ANSI SQL and
+    DuckDB-oracle-checkable. Centroid order (= cluster_id space) is
+    the hash order with id tiebreak."""
+    h = F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(4294967296))
     rows = (
         vecs.select(id_col, "embedding")
-        .withColumn("_h", F.xxhash64(F.col(id_col), F.lit(seed)))
-        .orderBy("_h")
+        .withColumn("_h", h)
+        .orderBy("_h", id_col)
         .limit(k)
         .collect()
     )

@@ -381,8 +381,17 @@ QUERIES = {
 }
 
 # q33/q34 have exact float-arithmetic oracles in DuckDB (same double
-# math, rounded); q35's PCG64-derived hyperplanes are not expressible
-# in SQL -> rows-only check + pytest invariants.
+# math, rounded). q35/q36b are deterministic too, so they get FULL
+# value oracles: the seeded hyperplane matrix embeds as literal +-1
+# sign coefficients (generated below — PCG64 runs at module import,
+# identically everywhere), and the IVF centroid pick uses the same
+# portable Knuth multiplicative hash as the q57 sampling splits.
+# Float-divergence safety (measured at sf0.001/0.01/0.1): min
+# |hyperplane projection| 1.8e-6, min IVF top-2 assignment gap 2.9e-5,
+# min probe-cut gap 2.8e-3, min distance of any candidate cosine to a
+# 4-decimal rounding boundary 8.7e-9 — all orders of magnitude above
+# the ~1e-13 cross-engine summation-order divergence, so no sign,
+# argmax, or rounding decision can flip between engines.
 ORACLES = {
     "q23a_label_counts": """
         SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label ORDER BY label
@@ -486,3 +495,91 @@ ORACLES = {
         ORDER BY label_a, label_b
     """,
 }
+
+
+def _q35_oracle_sql(bits: int = 16, seed: int = 42) -> str:
+    """The hyperplane-LSH pipeline re-derived in ANSI SQL: the seeded
+    +-1 plane matrix is a deterministic function of (bits, seed), so it
+    embeds as literal sign coefficients — each signature bit is the
+    sign of a +-sum over the 64 components. The rest mirrors
+    q35_ann_lsh stage by stage: band split, 256-cap on bucket size,
+    bucket self-join, distinct pairs, exact-cosine verify at the same
+    rounding and threshold."""
+    planes = _hyperplanes(bits, seed)
+    bit_exprs = []
+    for j in range(bits):
+        terms = "".join(
+            ("+" if planes[i, j] > 0 else "-") + f"v[{i + 1}]"
+            for i in range(DIM)
+        )
+        bit_exprs.append(f"(CASE WHEN ({terms}) > 0 THEN '1' ELSE '0' END)")
+    sig = "\n || ".join(bit_exprs)
+    return f"""
+        WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        sig AS (SELECT vec_id, {sig} AS lsh_sig FROM v),
+        banded AS (
+          SELECT * FROM (
+            SELECT vec_id, 0 AS band, substr(lsh_sig, 1, 8) AS bucket FROM sig
+            UNION ALL
+            SELECT vec_id, 1 AS band, substr(lsh_sig, 9, 8) AS bucket FROM sig)
+          QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 256),
+        pairs AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket
+           AND a.vec_id < b.vec_id),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+        scored AS (
+          SELECT id_a, id_b,
+                 ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4)
+                   AS cos_sim
+          FROM pairs JOIN n a ON pairs.id_a = a.vec_id
+                     JOIN n b ON pairs.id_b = b.vec_id)
+        SELECT id_a, id_b, cos_sim FROM scored
+        WHERE cos_sim >= 0.35 ORDER BY id_a, id_b
+    """
+
+
+def _q36b_oracle_sql(k: int = 16, nprobe: int = 4, topk: int = 10) -> str:
+    """The IVF pipeline re-derived in ANSI SQL. Centroids = the k
+    vectors with smallest Knuth multiplicative id-hash (exact integer
+    arithmetic, identical in any engine); cluster_id = position in
+    (hash, id) order; assignment = argmax cosine with lowest-index
+    tiebreak (numpy argmax picks the first maximum); probe set = the
+    nprobe centroids nearest the query; final exact top-k within the
+    probed clusters at the same rounding and ordering."""
+    return f"""
+        WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+        cents AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cid,
+                 v AS cv, nrm AS cnrm
+          FROM (SELECT vec_id, v, nrm,
+                       (vec_id * 2654435761) % 4294967296 AS h
+                FROM n ORDER BY h, vec_id LIMIT {k})),
+        q AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = 0),
+        probes AS (
+          SELECT cid FROM cents, q
+          ORDER BY list_dot_product(cv, qv) / (cnrm * qnrm) DESC, cid
+          LIMIT {nprobe}),
+        assigned AS (
+          SELECT n.vec_id, c.cid AS cluster_id
+          FROM n CROSS JOIN cents c
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY n.vec_id
+              ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+                       c.cid) = 1)
+        SELECT n.vec_id, a.cluster_id,
+               ROUND(list_dot_product(n.v, q.qv) / (n.nrm * q.qnrm), 4)
+                 AS cos_sim
+        FROM assigned a JOIN n ON a.vec_id = n.vec_id CROSS JOIN q
+        WHERE a.cluster_id IN (SELECT cid FROM probes) AND n.vec_id != 0
+        ORDER BY cos_sim DESC, n.vec_id LIMIT {topk}
+    """
+
+
+ORACLES["q35_ann_lsh"] = _q35_oracle_sql()
+ORACLES["q36b_ivf_topk"] = _q36b_oracle_sql()
