@@ -45,19 +45,28 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature (array<bigint>, length num_hashes).
+    """MinHash signature (array<string>, length num_hashes).
 
-    hash_i(S) = min over shingles s of xxhash64(i, s). xxhash64 is
-    Spark's built-in 64-bit hash; seeding by prepending the hash index
-    gives num_hashes independent-enough hash families without any UDF.
-    Empty shingle sets get a sentinel signature of i (so two empty docs
-    still collide, and never collide with non-empty ones by accident).
+    hash_i(S) = min over shingles s of md5(i || '|' || s): fixed-width
+    lowercase hex orders identically to the 128-bit value it encodes,
+    so MIN over the string is min-hashing, and — because DuckDB's md5
+    is byte-identical — the same family is reproducible in ANSI SQL
+    (that portability is why md5, not xxhash64; see operators/dedup.py
+    for the codegen column formulation used in the scale path).
+    Empty shingle sets get a sentinel signature of str(i) (so two empty
+    docs still collide, and never with non-empty ones: a bare digit is
+    never a 32-char digest).
     """
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.coalesce(
-            F.array_min(F.transform(shingles, lambda s: F.xxhash64(i, s))),
-            i.cast("bigint"),
+            F.array_min(
+                F.transform(
+                    shingles,
+                    lambda s: F.md5(F.concat_ws("|", i.cast("string"), s)),
+                )
+            ),
+            i.cast("string"),
         ),
     )
 
@@ -66,20 +75,28 @@ def simhash_bits(col: Column | str, bits: int = 64) -> Column:
     """SimHash bit vector (array<int> of 0/1, length ``bits``).
 
     Classic bit-voting: each token votes +1/-1 on every bit of its
-    64-bit hash; the sign of the per-bit sum is the fingerprint bit.
-    Entirely built-in expressions (aggregate + zip_with + shiftright).
+    hash; the sign of the per-bit sum is the fingerprint bit. Bit j is
+    bit (j mod 4) of hex nibble (j div 4) of md5(token) — the same
+    DuckDB-reproducible bit source as the lane-packed operator path
+    (operators/dedup.py:simhash_fingerprints), so both formulations
+    fingerprint identically. Entirely built-in expressions.
     """
-    toks = tokens(col)
+    hexes = F.transform(tokens(col), lambda t: F.md5(t))
     zero = F.array_repeat(F.lit(0), bits)
     votes = F.aggregate(
-        toks,
+        hexes,
         zero,
-        lambda acc, t: F.zip_with(
+        lambda acc, hx: F.zip_with(
             acc,
             F.array(
                 *[
                     F.when(
-                        F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) == 1,
+                        F.shiftright(
+                            F.conv(F.substring(hx, j // 4 + 1, 1), 16, 10)
+                            .cast("int"),
+                            j % 4,
+                        ).bitwiseAND(F.lit(1))
+                        == 1,
                         F.lit(1),
                     ).otherwise(F.lit(-1))
                     for j in range(bits)

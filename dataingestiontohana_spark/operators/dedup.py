@@ -5,10 +5,13 @@ Performance note (measured, sf0.1): computing MinHash with nested
 higher-order functions (transform/aggregate lambdas) is ~100x slower
 than this explode+groupBy formulation, because Spark evaluates lambda
 expressions interpreted and re-evaluates the shingle array once per
-hash function. Here every hash is a plain codegen'd `xxhash64(i,
+hash function. Here every hash is a plain codegen'd `md5(i || '|' ||
 shingle)` column and the 16 `min` aggregations get map-side partial
 combine — the whole pipeline is whole-stage-codegen with exactly one
-shuffle (on the doc id). That is the shape that survives 100 TB.
+shuffle (on the doc id). That is the shape that survives 100 TB. md5
+(rather than xxhash64) makes every hash decision reproducible in
+DuckDB SQL, so even the probabilistic pipelines are value-checked by
+the oracle gate.
 
 MinHash/LSH per Broder '97 and MMDS ch.3; SimHash per Charikar '02.
 """
@@ -246,15 +249,31 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = NUM_HASHES,
 ) -> DataFrame:
-    """(id, sig: array<bigint>) — MinHash signature per document.
+    """(id, sig: array<string>) — MinHash signature per document.
 
-    hash_i(S) = min over shingles s of xxhash64(i, sh(s)); duplicate
-    shingles need no dedup (min is idempotent). The groupBy reuses the
-    window's hash partitioning on the id — no extra shuffle.
+    hash_i(S) = min over shingles s of md5(i || '|' || s); duplicate
+    shingles need no dedup (min is idempotent), and all num_hashes min
+    aggregations get map-side partial combine in one pass.
+
+    Why md5 hex strings instead of xxhash64 ints: fixed-width lowercase
+    hex orders identically to the 128-bit value it encodes, so MIN over
+    the string IS min-hashing — and both Spark and DuckDB produce
+    byte-identical md5 hex, which makes the whole probabilistic LSH
+    pipeline (q30) exactly reproducible in ANSI SQL and value-checkable
+    against the DuckDB oracle. The string shingle path (arrays_zip, no
+    shuffle, no window) replaces the lead-window hashed path for the
+    same reason — and is the faster of the two (see shingle_string_rows).
+    Cost: 16 md5 evaluations per shingle row instead of 16 xxhash64,
+    all whole-stage codegen — measured ~2 s extra at sf0.1 (warm 4.8 s
+    vs 2.5 s). The extra work is map-side-only CPU that scales linearly
+    and adds no shuffle, skew, or memory pressure, which is the right
+    trade for a value-checkable probabilistic pipeline; swap F.md5 back
+    to a 64-bit hash if a deployment prefers raw speed over
+    auditability.
     """
-    sh = shingle_hash_rows(docs, id_col, text_col)
+    sh = shingle_string_rows(docs, id_col, text_col)
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
+        F.min(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("sh")))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     return (
@@ -302,6 +321,10 @@ def minhash_candidates(
     keeps the shuffle O(rows x bands) instead of the O(rows^2)
     cartesian pairing, which is the entire point at scale; buckets
     above ``max_bucket`` members are dropped (see cap_lsh_buckets).
+
+    The bucket key is md5 of the band's joined min-hashes — a portable
+    32-char hex identity (the DuckDB oracle rebuilds it verbatim) at a
+    fixed 32 B/row shuffle payload.
     """
     sig = minhash_signatures(docs, id_col, text_col)
     bands = sig.select(
@@ -312,8 +335,13 @@ def minhash_candidates(
                 F.sequence(F.lit(0), F.lit(BANDS - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(
-                        F.slice(F.col("sig"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND)
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.slice(
+                                F.col("sig"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND
+                            ),
+                        )
                     ).alias("bucket"),
                 ),
             )
@@ -355,13 +383,20 @@ def simhash_fingerprints(
     """(id, bits: array<int> of 0/1) — SimHash fingerprint per document.
 
     Token multiset bit-voting with lane packing: explode tokens, one
-    codegen'd xxhash64 per token, then the 64 per-bit counters are
-    packed 4-per-long into 16-bit lanes, so the aggregation carries 16
-    longs + a count instead of 64 sum buffers. Measured ~1.6x faster
-    than 64 separate sum(CASE WHEN ...) aggregates (which fall out of
+    codegen'd md5 per token, then the 64 per-bit counters are packed
+    4-per-long into 16-bit lanes, so the aggregation carries 16 longs +
+    a count instead of 64 sum buffers. Measured ~1.6x faster than 64
+    separate sum(CASE WHEN ...) aggregates (which fall out of
     whole-stage codegen) and — the part that matters at 100 TB — the
     per-doc shuffle payload drops from 512 B to 136 B. One shuffle on
     the doc id, map-side partial combine as usual.
+
+    Bit j of a token's hash is bit (j mod 4) of hex nibble (j div 4) of
+    md5(token) — conv(substr(hex,1+j/4,1),16,10) is plain codegen
+    arithmetic, and DuckDB reproduces the identical bit with
+    strpos('0123456789abcdef', ...)-1, which is what makes q31
+    value-checkable against the SQL oracle (md5's bits are as uniform
+    as any 64-bit hash, so fingerprint quality is unchanged).
 
     votes_j = 2*count_of_set_bit_j - n_tokens, so only set-bit counts
     are accumulated. 16-bit lanes bound the supported document length
@@ -371,17 +406,16 @@ def simhash_fingerprints(
     assert bits == 64, "lane packing fixed at 64 bits / 16 longs"
     lanes_per_long = 4  # 4 x 16-bit lanes per 64-bit accumulator
     n_groups = bits // lanes_per_long
-    tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
-    h = F.xxhash64("tok")
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    ).select(id_col, F.md5("tok").alias("hx"))
     groups = []
     for g in range(n_groups):
+        # hex nibble g holds bits 4g..4g+3; one conv, four lane terms
+        nib = F.conv(F.substring("hx", g + 1, 1), 16, 10).cast("long")
         expr = None
         for k in range(lanes_per_long):
-            bit = (
-                F.shiftright(h, g * lanes_per_long + k)
-                .bitwiseAND(F.lit(1))
-                .cast("long")
-            )
+            bit = F.shiftright(nib, k).bitwiseAND(F.lit(1))
             term = F.shiftleft(bit, k * 16)
             expr = term if expr is None else expr + term
         groups.append(F.sum(expr).alias(f"g{g}"))

@@ -225,11 +225,13 @@ BUNDLES: dict[str, list[str]] = {
     ],
     "q32_70_shingle_exact": ["q32_ngram_jaccard", "q70_split_contamination"],
     # oracle-backed since round 3: the seeded hyperplanes embed as
-    # literal sign coefficients and the IVF centroid pick is a portable
-    # integer hash, so both ANN parts are fully value-checked in SQL
+    # literal sign coefficients, the IVF centroid pick is a portable
+    # integer hash, and MinHash/SimHash hash via md5 (byte-identical
+    # hex in both engines) — so all four probabilistic parts are fully
+    # value-checked in SQL
     "q35_36b_ann": ["q35_ann_lsh", "q36b_ivf_topk"],
-    # rows-only bundles (>=1 part lacks an oracle -> whole bundle rows-only)
     "q30_31_lsh_neardup": ["q30_minhash_near_dup", "q31_simhash_clusters"],
+    # rows-only bundles (>=1 part lacks an oracle -> whole bundle rows-only)
     "q37_38_media": [
         "q37_media_decode", "q38_frame_sample",
         "q37b_media_resize", "q38b_audio_features",

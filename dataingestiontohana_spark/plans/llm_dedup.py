@@ -81,6 +81,9 @@ def q31_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-bit fingerprint (hamming-adjacent under <=3 differing bands)."""
     d = load_table(spark, sf_dir, "documents")
     fp = simhash_fingerprints(d)
+    # bucket = the band's 16 bits joined as "0,1,..." — a portable
+    # string identity the DuckDB oracle rebuilds with string_agg
+    # (31 B/row; collision-free by construction, unlike a rehash)
     banded = fp.select(
         "doc_id",
         F.explode(
@@ -88,8 +91,8 @@ def q31_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence(F.lit(0), F.lit(3)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.slice(F.col("bits"), b * 16 + 1, 16))
+                    F.concat_ws(
+                        ",", F.slice(F.col("bits"), b * 16 + 1, 16)
                     ).alias("bucket"),
                 ),
             )
@@ -182,12 +185,15 @@ QUERIES = {
     "q70_split_contamination": q70_split_contamination,
 }
 
-# q29/q32/q66/q70 are SQL-expressible (exact fingerprints / exact
-# set-similarity on portable string shingles). The probabilistic LSH
-# pipelines (q30 MinHash, q31 SimHash) hinge on Spark's xxhash64,
-# which DuckDB cannot reproduce -> rows-only checks (the pytest suite
-# pins their semantics on planted-duplicate fixtures and against the
-# exact q32 result).
+# ALL six dedup queries are SQL-expressible and oracle-checked —
+# including the probabilistic LSH pipelines: since round 3 every hash
+# decision in q30 (MinHash) and q31 (SimHash) derives from md5, which
+# both engines produce byte-identically. MinHash exploits that
+# fixed-width lowercase hex orders like the 128-bit value it encodes
+# (MIN over the string IS min-hashing); SimHash bit j is plain
+# arithmetic on hex nibble j/4 (conv in Spark, strpos-1 in DuckDB).
+# The pytest suite additionally pins their semantics on
+# planted-duplicate fixtures and against the exact q32 result.
 
 # Shared CTE: identical normalization/tokenization/3-gram shingling to
 # functions/text.py tokens() + operators/dedup.py shingle_string_rows.
@@ -269,3 +275,92 @@ ORACLES = {
         GROUP BY doc_id ORDER BY doc_id
     """,
 }
+
+
+def _q30_oracle_sql(num_hashes: int = 16, bands: int = 4, cap: int = 256) -> str:
+    """The MinHash+LSH pipeline stage-by-stage in ANSI SQL: 16 min-md5
+    signature slots, 4-slot band buckets (md5 of the '|'-joined mins —
+    identical to the Spark bucket), the 256 cap on bucket membership,
+    the bucket self-join, and signature-agreement scoring. agree/16 is
+    a dyadic rational (k/2^4), exactly representable in a double, so
+    ROUND(.,4) and the >= 0.5 cut are engine-exact."""
+    rpb = num_hashes // bands
+    mins = ",\n                 ".join(
+        f"MIN(md5('{i}|' || sh)) AS h{i}" for i in range(num_hashes)
+    )
+    band_rows = "\n            UNION ALL\n            ".join(
+        "SELECT doc_id, {b} AS band, md5({expr}) AS bucket FROM sig".format(
+            b=b,
+            expr=" || '|' || ".join(f"h{b * rpb + j}" for j in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return f"""
+        WITH {_SHINGLES_CTE},
+        sig AS (
+          SELECT doc_id,
+                 {mins}
+          FROM sh GROUP BY doc_id),
+        banded AS (
+          SELECT * FROM (
+            {band_rows})
+          QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= {cap}),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket
+           AND a.doc_id < b.doc_id),
+        scored AS (
+          SELECT id_a, id_b,
+                 ROUND(({agree}) / {num_hashes}.0, 4) AS jaccard_sig
+          FROM pairs JOIN sig sa ON pairs.id_a = sa.doc_id
+                     JOIN sig sb ON pairs.id_b = sb.doc_id)
+        SELECT id_a, id_b, jaccard_sig FROM scored
+        WHERE jaccard_sig >= 0.5 ORDER BY id_a, id_b
+    """
+
+
+def _q31_oracle_sql(bits: int = 64, band_bits: int = 16) -> str:
+    """The SimHash pipeline in ANSI SQL: per-token md5, bit j of the
+    hash = bit (j mod 4) of hex nibble (j div 4) (exactly the Spark
+    lane-packed arithmetic), majority vote per (doc, bit), bands as the
+    ','-joined 16-bit strings, bucket self-join to distinct pairs.
+    Pure integer arithmetic throughout — no float decision anywhere."""
+    return f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+                 AS tok
+          FROM documents),
+        bitsrc AS (SELECT doc_id, md5(tok) AS hx FROM tok),
+        votes AS (
+          SELECT doc_id, j,
+                 SUM(((strpos('0123456789abcdef',
+                              substr(hx, CAST(1 + j // 4 AS INTEGER), 1)) - 1
+                       >> CAST(j % 4 AS INTEGER)) & 1)) AS cnt,
+                 COUNT(*) AS n
+          FROM bitsrc CROSS JOIN range(0, {bits}) r(j)
+          GROUP BY doc_id, j),
+        fp AS (
+          SELECT doc_id, j,
+                 CASE WHEN 2 * cnt > n THEN 1 ELSE 0 END AS b
+          FROM votes),
+        banded AS (
+          SELECT doc_id, j // {band_bits} AS band,
+                 string_agg(CAST(b AS VARCHAR), ',' ORDER BY j) AS bucket
+          FROM fp GROUP BY doc_id, j // {band_bits})
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id
+        ORDER BY id_a, id_b
+    """
+
+
+ORACLES["q30_minhash_near_dup"] = _q30_oracle_sql()
+ORACLES["q31_simhash_clusters"] = _q31_oracle_sql()
