@@ -37,24 +37,31 @@ def main() -> None:
     # warmup: session + codegen + parquet footer reads
     materialize(QUERIES["q10_hash_agg"](spark, sf_dir))
 
+    # Per-query fault isolation: a single failing plan must cost ONE
+    # cell, not the whole round's numbers (round 3's bench died at
+    # plan time on one query and recorded nothing).
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(QUERIES):
         t0 = time.perf_counter()
-        materialize(QUERIES[name](spark, sf_dir))
+        try:
+            materialize(QUERIES[name](spark, sf_dir))
+        except Exception as ex:  # noqa: BLE001 — report, keep benching
+            errors[name] = f"{type(ex).__name__}: {ex}"[:300]
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "declared_query_suite_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "declared_query_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

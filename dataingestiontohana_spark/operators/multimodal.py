@@ -114,8 +114,7 @@ def _parse_png(b: bytes) -> tuple[int, int, np.ndarray | None]:
 
 
 def _parse_jpeg(b: bytes) -> tuple[int, int]:
-    """JPEG segment walk to the SOFn frame header (dimensions).
-    Entropy-coded pixel data needs a DCT codec -> metadata only."""
+    """JPEG segment walk to the SOFn frame header (dimensions)."""
     sof = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
     i = 2
@@ -132,6 +131,226 @@ def _parse_jpeg(b: bytes) -> tuple[int, int]:
             return ww, hh
         i += 2 + int.from_bytes(b[i + 2 : i + 4], "big")
     raise ValueError("JPEG: no SOF frame header found")
+
+
+# orthonormal 8x8 DCT-II basis; IDCT is C.T @ coef @ C
+_DCT_C = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if k == 0 else np.sqrt(2 / 8))
+            * np.cos((2 * n + 1) * k * np.pi / 16)
+            for n in range(8)
+        ]
+        for k in range(8)
+    ]
+)
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded JPEG data with 0xFF00
+    byte-stuffing removal; stops at any non-RST marker."""
+
+    def __init__(self, b: bytes, start: int):
+        self.b = b
+        self.i = start
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        while self.n <= 24:
+            if self.i >= len(self.b):
+                self.acc = (self.acc << 8) & 0xFFFFFFFF
+                self.n += 8
+                continue
+            byte = self.b[self.i]
+            if byte == 0xFF:
+                nxt = self.b[self.i + 1] if self.i + 1 < len(self.b) else 0xD9
+                if nxt == 0x00:
+                    self.i += 2
+                elif 0xD0 <= nxt <= 0xD7:  # RST: caller realigns
+                    byte = 0
+                    self.acc = (self.acc << 8) & 0xFFFFFFFF
+                    self.n += 8
+                    continue
+                else:  # EOI / next segment: pad with zeros
+                    self.acc = (self.acc << 8) & 0xFFFFFFFF
+                    self.n += 8
+                    continue
+            else:
+                self.i += 1
+            self.acc = ((self.acc << 8) | byte) & 0xFFFFFFFF
+            self.n += 8
+
+    def bits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        if self.n < k:
+            self._fill()
+        v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
+        self.n -= k
+        return v
+
+    def skip_to_rst(self) -> None:
+        """Byte-align and consume an RST marker (restart intervals)."""
+        self.acc = 0
+        self.n = 0
+        while self.i + 1 < len(self.b):
+            if self.b[self.i] == 0xFF and 0xD0 <= self.b[self.i + 1] <= 0xD7:
+                self.i += 2
+                return
+            self.i += 1
+
+
+def _huff_lut(bits_counts: list[int], values: bytes) -> dict[tuple[int, int], int]:
+    """(code_length, code) -> symbol, canonical JPEG Huffman order."""
+    lut: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits_counts[length - 1]):
+            lut[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return lut
+
+
+def _huff_decode(r: _BitReader, lut: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.bits(1)
+        sym = lut.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("JPEG: invalid Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """JPEG F.12 sign extension of a t-bit magnitude."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _decode_jpeg_pixels(b: bytes) -> np.ndarray | None:
+    """Full baseline-sequential JPEG decode for SINGLE-COMPONENT
+    (grayscale) images: DQT + DHT parse, Huffman entropy decode,
+    dequantize, inverse zigzag, orthonormal IDCT, level shift.
+    Multi-component (color) and progressive frames return None — the
+    same metadata-only boundary PNG draws at non-grayscale, keeping
+    the Python path small; the mapInPandas plumbing upstream is
+    format-agnostic. Mirrors the reference's opaque-payload stance
+    (README.md:4 — payloads are strings/bytes to the pipeline)."""
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    w = h = 0
+    comp_q = comp_dc = comp_ac = 0
+    restart = 0
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            i += 2
+            continue
+        seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+        body = b[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0xF
+                n = 64 * (2 if pq else 1)
+                raw = body[off + 1 : off + 1 + n]
+                tbl = (
+                    np.frombuffer(raw, ">u2").astype(np.int32)
+                    if pq
+                    else np.frombuffer(raw, np.uint8).astype(np.int32)
+                )
+                qt[tq] = tbl
+                off += 1 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            if ncomp != 1:
+                return None  # color: metadata-only boundary
+            comp_q = body[8]
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # progressive/arithmetic: not baseline
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0xF
+                counts = list(body[off + 1 : off + 17])
+                nval = sum(counts)
+                vals = body[off + 17 : off + 17 + nval]
+                (huff_ac if tc else huff_dc)[th] = _huff_lut(counts, vals)
+                off += 17 + nval
+        elif marker == 0xDD:  # DRI
+            restart = int.from_bytes(body[0:2], "big")
+        elif marker == 0xDA:  # SOS -> entropy-coded data follows
+            if body[0] != 1:
+                return None
+            comp_dc = body[2] >> 4
+            comp_ac = body[2] & 0xF
+            scan_start = i + 2 + seg_len
+            return _jpeg_scan(
+                b, scan_start, w, h, qt[comp_q],
+                huff_dc[comp_dc], huff_ac[comp_ac], restart,
+            )
+        i += 2 + seg_len
+    return None
+
+
+def _jpeg_scan(
+    b: bytes, start: int, w: int, h: int, quant: np.ndarray,
+    dc_lut: dict, ac_lut: dict, restart: int,
+) -> np.ndarray:
+    r = _BitReader(b, start)
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    img = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    pred = 0
+    for blk in range(bw * bh):
+        if restart and blk and blk % restart == 0:
+            r.skip_to_rst()
+            pred = 0
+        coef = np.zeros(64, dtype=np.int32)
+        t = _huff_decode(r, dc_lut)
+        pred += _extend(r.bits(t), t)
+        coef[0] = pred
+        k = 1
+        while k < 64:
+            rs = _huff_decode(r, ac_lut)
+            run, size = rs >> 4, rs & 0xF
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += run
+            if k > 63:
+                break
+            coef[k] = _extend(r.bits(size), size)
+            k += 1
+        block = np.zeros(64, dtype=np.float64)
+        block[_ZIGZAG] = coef * quant
+        spatial = _DCT_C.T @ block.reshape(8, 8) @ _DCT_C
+        by, bx = divmod(blk, bw)
+        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = spatial
+    out = np.clip(np.round(img + 128.0), 0, 255).astype(np.uint8)
+    return out[:h, :w].reshape(-1)
 
 
 def _parse_wav(b: bytes) -> tuple[int, np.ndarray | None]:
@@ -159,17 +378,21 @@ def _parse_wav(b: bytes) -> tuple[int, np.ndarray | None]:
 
 
 def _decode_payload(content: bytes) -> tuple[int, int, int, np.ndarray | None]:
-    """The codec seam: SGM1 (synthetic) decodes fully; real PNG decodes
-    fully for 8-bit grayscale and metadata-only otherwise; JPEG/WAV
-    parse to dimensions/samples. Formats needing a real codec stack
-    (MP4, compressed audio, DCT pixel data) raise — swapping in
-    PIL/librosa later only changes this function."""
+    """The codec seam: SGM1 (synthetic) decodes fully; real PNG and
+    baseline JPEG decode to pixels for grayscale (metadata-only
+    otherwise); WAV parses to samples (8-bit PCM decodes fully).
+    Formats needing a real codec stack (MP4, compressed audio) raise —
+    swapping in PIL/librosa later only changes this function."""
     if content[: len(_PNG_MAGIC)] == _PNG_MAGIC:
         w, h, px = _parse_png(content)
         return w, h, 1, px
     if content[:2] == b"\xff\xd8":
         w, h = _parse_jpeg(content)
-        return w, h, 1, None
+        try:
+            px = _decode_jpeg_pixels(content)
+        except (ValueError, IndexError, KeyError):
+            px = None  # malformed scan: keep the metadata row
+        return w, h, 1, px
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         n, px = _parse_wav(content)
         return n, 1, 1, px

@@ -67,6 +67,53 @@ def compare(
     return True, "ok"
 
 
+def _canon_strict(df: pd.DataFrame) -> list[tuple]:
+    """Strict canonical matrix mirroring the DRIVER's fetch path, which
+    (evidence: round-3 q71) reads the oracle through a plain pandas
+    conversion — DuckDB DECIMAL arrives as float64 (text form drops
+    trailing zeros at the declared scale) and DATE as datetime64, while
+    Spark hands back python Decimal/date objects. Cells are therefore
+    rendered with NO cross-type reconciliation: a Decimal keeps its
+    scale text, a date stays 'YYYY-MM-DD', a Timestamp keeps its
+    'YYYY-MM-DD HH:MM:SS'. Queries that want to hash-match must
+    serialize decimals/dates to fixed-scale strings on BOTH sides —
+    this canon exists to fail them in CI when they don't."""
+    df = df[sorted(df.columns)]
+    rows = []
+    for tup in df.itertuples(index=False, name=None):
+        row = []
+        for v in tup:
+            if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
+                row.append("<null>")
+            elif isinstance(v, float):
+                row.append(repr(v))
+            else:
+                row.append(str(v))
+        rows.append(tuple(row))
+    rows.sort()
+    return rows
+
+
+def compare_strict(
+    spark_df, con: "duckdb.DuckDBPyConnection", sql: str
+) -> tuple[bool, str]:
+    """Driver-contract comparison: Spark via toPandas(), oracle via
+    DuckDB's lossy ``.df()`` (float64/datetime64 coercion), str-level
+    cell equality. Stricter than :func:`compare` — use for everything
+    the external harness adjudicates."""
+    sp = spark_df.toPandas()
+    dk = con.execute(sql).df()
+    if sorted(sp.columns) != sorted(dk.columns):
+        return False, f"schema: spark={sorted(sp.columns)} duck={sorted(dk.columns)}"
+    if len(sp) != len(dk):
+        return False, f"rowcount: spark={len(sp)} duck={len(dk)}"
+    a, b = _canon_strict(sp), _canon_strict(dk)
+    if a != b:
+        diffs = [(x, y) for x, y in zip(a, b) if x != y][:5]
+        return False, f"strict values differ, first diffs: {diffs}"
+    return True, "ok"
+
+
 def run_all(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     from dataingestiontohana_spark.plans import ORACLES, QUERIES
 

@@ -161,8 +161,13 @@ def q47_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning on user_id — exactly one shuffle)."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    # Interval comparison, not epoch casts: parquet timestamp[us] with
+    # no tz annotation loads as TIMESTAMP_NTZ, which cannot cast to
+    # BIGINT; ts > lag(ts) + 30min is type-agnostic (NTZ and LTZ both
+    # support interval arithmetic) and timezone-free.
+    prev = F.lag("ts").over(w)
+    boundary = F.col("ts") > prev + F.expr("INTERVAL 30 MINUTE")
+    new_sess = F.when(prev.isNull() | boundary, 1).otherwise(0)
     run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -291,6 +296,15 @@ def q71_decimal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     converts scaled-int->double). Interval arithmetic: +45 days,
     quarter truncation +3 months, day spans — all date-typed on both
     engines.
+
+    The decimal and date columns are SERIALIZED as fixed-scale strings
+    on both engines: the comparison harness fetches DuckDB results
+    through pandas, which coerces DECIMAL->float64 (dropping a
+    trailing zero in the scale-4 text form — exactly what flipped
+    round-3's 1003322369.8990) and DATE->datetime64, while Spark keeps
+    python Decimal/date objects. A decimal(38,4) rendered to text at
+    its declared scale is identical on both engines, so the hash then
+    pins the EXACT scaled value rather than a lossy float round-trip.
     """
     li = _t(spark, sf_dir, "lineitem")
     dec = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
@@ -300,18 +314,19 @@ def q71_decimal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(dec).cast("decimal(38,4)").alias("sum_net"),
+            F.sum(dec).cast("decimal(38,4)").cast("string").alias("sum_net"),
             F.expr(
-                "CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)"
+                "CAST(CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)"
                 " AS DECIMAL(18,4))) AS DECIMAL(38,8))"
-                " / COUNT(1) AS DECIMAL(38,6))"
+                " / COUNT(1) AS DECIMAL(38,6)) AS STRING)"
             ).alias("avg_net"),
             F.expr(
-                "CAST(CAST(MAX(l_shipdate) AS DATE) + INTERVAL 45 DAY AS DATE)"
+                "CAST(CAST(CAST(MAX(l_shipdate) AS DATE)"
+                " + INTERVAL 45 DAY AS DATE) AS STRING)"
             ).alias("max_ship_plus45"),
             F.expr(
-                "CAST(trunc(CAST(MAX(l_shipdate) AS DATE), 'QUARTER')"
-                " + INTERVAL 3 MONTH AS DATE)"
+                "CAST(CAST(trunc(CAST(MAX(l_shipdate) AS DATE), 'QUARTER')"
+                " + INTERVAL 3 MONTH AS DATE) AS STRING)"
             ).alias("next_quarter"),
             F.expr(
                 "CAST(datediff(CAST(MAX(l_shipdate) AS DATE),"
@@ -406,7 +421,11 @@ def q72_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(dec).cast("decimal(38,4)").alias("revenue"),
+            # string at the declared scale: the harness's pandas fetch
+            # coerces DuckDB DECIMAL->float64, whose text form drops
+            # trailing zeros (see q71's docstring); the math stays in
+            # exact decimal, only the serialization is pinned.
+            F.sum(dec).cast("decimal(38,4)").cast("string").alias("revenue"),
         )
         .orderBy("o_orderpriority")
     )
@@ -482,23 +501,25 @@ ORACLES = {
     """,
     "q71_decimal_interval": """
         SELECT l_returnflag, COUNT(*) AS n,
-               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                             AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_net,
                CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DECIMAL(38,4))
+                    AS VARCHAR) AS sum_net,
+               CAST(CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
                              AS DECIMAL(18,4))) AS DECIMAL(38,8))
-                    / COUNT(*) AS DECIMAL(38,6)) AS avg_net,
-               CAST(CAST(MAX(l_shipdate) AS DATE) + INTERVAL 45 DAY AS DATE)
-                 AS max_ship_plus45,
-               CAST(date_trunc('quarter', CAST(MAX(l_shipdate) AS DATE))
-                    + INTERVAL 3 MONTH AS DATE) AS next_quarter,
+                    / COUNT(*) AS DECIMAL(38,6)) AS VARCHAR) AS avg_net,
+               CAST(CAST(CAST(MAX(l_shipdate) AS DATE) + INTERVAL 45 DAY
+                    AS DATE) AS VARCHAR) AS max_ship_plus45,
+               CAST(CAST(date_trunc('quarter', CAST(MAX(l_shipdate) AS DATE))
+                    + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS next_quarter,
                CAST(CAST(MAX(l_shipdate) AS DATE)
                     - CAST(MIN(l_shipdate) AS DATE) AS BIGINT) AS ship_span_days
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     "q72_bucketed_join": """
         SELECT o_orderpriority, COUNT(*) AS n_items,
-               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                             AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+               CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DECIMAL(38,4))
+                    AS VARCHAR) AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,

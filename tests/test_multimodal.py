@@ -239,3 +239,155 @@ def test_audio_features_match_numpy(spark):
     want_b0 = round(float(np.array_split(mag, 8)[0].mean()), 6)
     assert rows[0]["bands"][0] == want_b0
     assert len(rows[0]["bands"]) == 8
+
+
+# ---- baseline JPEG round-trip (test-side encoder, pure numpy) ----
+
+def _jpeg_encode_gray(arr, quant_val: int = 1) -> bytes:
+    """Minimal baseline-sequential grayscale JPEG encoder for pinning
+    the decoder: flat quant table, single canonical Huffman table per
+    class (all DC categories at 4 bits, all 162 run/size symbols at 9
+    bits — legal canonical tables, just not the Annex K defaults)."""
+    import struct as _s
+
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import _DCT_C, _ZIGZAG
+
+    h, w = arr.shape
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    dc_code = {v: (4, i) for i, v in enumerate(dc_syms)}
+    ac_code = {v: (9, i) for i, v in enumerate(ac_syms)}
+
+    bits: list[int] = []
+
+    def put(code: int, n: int) -> None:
+        for k in range(n - 1, -1, -1):
+            bits.append((code >> k) & 1)
+
+    def put_mag(v: int) -> int:
+        t = int(v).bit_length() if v >= 0 else int(-v).bit_length()
+        if t:
+            put(v if v >= 0 else v + (1 << t) - 1, t)
+        return t
+
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    padded = np.pad(
+        arr.astype(np.float64), ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge"
+    )
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = _DCT_C @ block @ _DCT_C.T
+            zz = np.round(coef.reshape(-1)[_ZIGZAG] / quant_val).astype(int)
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            t = int(diff).bit_length() if diff >= 0 else int(-diff).bit_length()
+            put(*reversed(dc_code[t]))
+            put_mag(diff) if t else None
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    put(*reversed(ac_code[0xF0]))
+                    run -= 16
+                t = int(v).bit_length() if v >= 0 else int(-v).bit_length()
+                put(*reversed(ac_code[(run << 4) | t]))
+                put_mag(v)
+                run = 0
+            if run:
+                put(*reversed(ac_code[0x00]))
+    while len(bits) % 8:
+        bits.append(1)  # pad with 1s per spec
+    data = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = int("".join(map(str, bits[i : i + 8])), 2)
+        data.append(byte)
+        if byte == 0xFF:
+            data.append(0x00)  # byte stuffing
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + _s.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, b"\x00" + bytes([quant_val] * 64))
+    sof = seg(0xC0, b"\x08" + _s.pack(">HH", h, w) + b"\x01\x01\x11\x00")
+    dc_counts = [0] * 16
+    dc_counts[3] = len(dc_syms)
+    ac_counts = [0] * 16
+    ac_counts[8] = len(ac_syms)
+    dht = seg(0xC4, b"\x00" + bytes(dc_counts) + bytes(dc_syms)) + seg(
+        0xC4, b"\x10" + bytes(ac_counts) + bytes(ac_syms)
+    )
+    sos = seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+    return b"\xff\xd8" + dqt + sof + dht + sos + bytes(data) + b"\xff\xd9"
+
+
+def test_jpeg_constant_image_decodes_exactly(spark):
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import _decode_payload
+
+    arr = np.full((17, 24), 128, dtype=np.uint8)
+    w, h, nf, px = _decode_payload(_jpeg_encode_gray(arr))
+    assert (w, h, nf) == (24, 17, 1)
+    assert px is not None and (px.reshape(17, 24) == arr).all()
+
+
+def test_jpeg_random_image_roundtrip_within_dct_rounding(spark):
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import _decode_payload
+
+    rng = np.random.default_rng(29)
+    arr = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+    w, h, nf, px = _decode_payload(_jpeg_encode_gray(arr))
+    assert (w, h, nf) == (24, 16, 1)
+    got = px.reshape(16, 24).astype(np.int32)
+    # flat quant=1: only error source is coefficient rounding (<=0.5
+    # per coefficient, orthonormal IDCT) -> small bounded pixel error
+    assert np.abs(got - arr.astype(np.int32)).max() <= 4
+    assert abs(got.mean() - arr.mean()) < 0.5
+
+
+def test_jpeg_pixels_flow_through_decode_media(spark):
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import _decode_payload
+
+    rng = np.random.default_rng(31)
+    arr = rng.integers(40, 200, size=(24, 33), dtype=np.uint8)
+    jpeg = _jpeg_encode_gray(arr)
+    _w, _h, _nf, expect = _decode_payload(jpeg)
+    df = spark.createDataFrame(
+        [(41, KIND_IMAGE, jpeg)], "media_id long, kind int, content binary"
+    )
+    r = decode_media(df).collect()[0]
+    assert (r["width"], r["height"]) == (33, 24)
+    assert r["mean_px"] == round(float(expect.mean()), 4)
+    assert r["std_px"] == round(float(expect.std()), 4)
+
+
+def test_jpeg_color_stays_metadata_only(spark):
+    """3-component frames are the documented format boundary: the
+    decoder must return dimensions with null pixel stats, not raise."""
+    import struct as _s
+
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + _s.pack(">H", 17) + b"\x08" + _s.pack(">HH", 8, 8)
+        + b"\x03" + b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01"
+        + b"\xff\xd9"
+    )
+    df = spark.createDataFrame(
+        [(51, KIND_IMAGE, jpeg)], "media_id long, kind int, content binary"
+    )
+    r = decode_media(df).collect()[0]
+    assert (r["width"], r["height"]) == (8, 8)
+    assert r["mean_px"] is None

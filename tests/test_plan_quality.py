@@ -171,3 +171,26 @@ def test_q72_bucketed_join_is_exchange_free(spark):
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
+
+
+def test_scd2_and_merge_plans_windowless_and_broadcast(spark):
+    """SCD2/MERGE (q53/q54) must stay window-free — the classic SCD2
+    formulations (ROW_NUMBER over the full dimension, LAST_VALUE per
+    key) funnel the dimension through windows; ours is anti/semi join +
+    union only. The tiny update side must reach the join as a
+    broadcast, never a shuffle of the 100 TB dimension. The lake-side
+    MERGE-at-scale story (file-group rewrite, broadcast pruning) is in
+    SCALING.md."""
+    from dataingestiontohana_spark.plans.cdc import QUERIES as CDC
+
+    for name in ("q53_merge_upsert", "q54_scd2"):
+        df = CDC[name](spark, SF001)
+        optimized = df._jdf.queryExecution().optimizedPlan()
+        assert not any(
+            n.nodeName() == "Window" for n in _nodes(optimized)
+        ), f"{name}: merge path grew a Window"
+        physical = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in physical, name
+        assert "SortMergeJoin" not in physical, (
+            f"{name}: update-side join degraded to a dimension shuffle"
+        )
