@@ -45,30 +45,40 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature (array<string>, length num_hashes).
+    """MinHash signature (array<bigint>, length num_hashes).
 
-    hash_i(S) = min over shingles s of md5(i || '|' || s): fixed-width
-    lowercase hex orders identically to the 128-bit value it encodes,
-    so MIN over the string is min-hashing, and — because DuckDB's md5
-    is byte-identical — the same family is reproducible in ANSI SQL
-    (that portability is why md5, not xxhash64; see operators/dedup.py
-    for the codegen column formulation used in the scale path).
-    Empty shingle sets get a sentinel signature of str(i) (so two empty
-    docs still collide, and never with non-empty ones: a bare digit is
-    never a 32-char digest).
+    hash_i(S) = min over shingles s of (a_i * x(s) + b_i) mod p — the
+    standard universal-hash permutation family over a single
+    md5-derived base x(s) (leading 60 bits of md5(s) mod p,
+    p = 2^31 - 1), with the same fixed seeded (a_i, b_i) constants as
+    the operator-path formulation in operators/dedup.py, so both
+    formulations fingerprint identically and stay reproducible in
+    DuckDB ANSI SQL (md5 is byte-identical across engines; the rest is
+    64-bit-safe integer arithmetic). Empty shingle sets get a sentinel
+    signature of -(i+1) (so two empty docs still collide, and never
+    with non-empty ones: real hash values are non-negative).
     """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.coalesce(
-            F.array_min(
-                F.transform(
-                    shingles,
-                    lambda s: F.md5(F.concat_ws("|", i.cast("string"), s)),
-                )
-            ),
-            i.cast("string"),
-        ),
+    from dataingestiontohana_spark.operators.dedup import (
+        MINHASH_COEFFS,
+        MINHASH_PRIME,
     )
+
+    def x_of(s: Column) -> Column:
+        return (
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+            % MINHASH_PRIME
+        )
+
+    mins = [
+        F.coalesce(
+            F.array_min(
+                F.transform(shingles, lambda s: (a * x_of(s) + b) % MINHASH_PRIME)
+            ),
+            F.lit(-(i + 1)).cast("bigint"),
+        )
+        for i, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
+    ]
+    return F.array(*mins)
 
 
 def simhash_bits(col: Column | str, bits: int = 64) -> Column:

@@ -5,13 +5,13 @@ Performance note (measured, sf0.1): computing MinHash with nested
 higher-order functions (transform/aggregate lambdas) is ~100x slower
 than this explode+groupBy formulation, because Spark evaluates lambda
 expressions interpreted and re-evaluates the shingle array once per
-hash function. Here every hash is a plain codegen'd `md5(i || '|' ||
-shingle)` column and the 16 `min` aggregations get map-side partial
-combine — the whole pipeline is whole-stage-codegen with exactly one
-shuffle (on the doc id). That is the shape that survives 100 TB. md5
-(rather than xxhash64) makes every hash decision reproducible in
-DuckDB SQL, so even the probabilistic pipelines are value-checked by
-the oracle gate.
+hash function. Here each shingle row pays ONE codegen'd md5; the 16
+permutation slots are (a_i*x + b_i) mod p integer columns over that
+base, and the 16 `min` aggregations get map-side partial combine — the
+whole pipeline is whole-stage-codegen with exactly one shuffle (on the
+doc id). That is the shape that survives 100 TB. md5 (rather than
+xxhash64) makes every hash decision reproducible in DuckDB SQL, so
+even the probabilistic pipelines are value-checked by the oracle gate.
 
 MinHash/LSH per Broder '97 and MMDS ch.3; SimHash per Charikar '02.
 """
@@ -27,6 +27,24 @@ from dataingestiontohana_spark.functions.text import tokens
 NUM_HASHES = 16
 BANDS = 4  # 4 bands x 4 rows: catches Jaccard >~ 0.5 pairs w.h.p.
 ROWS_PER_BAND = NUM_HASHES // BANDS
+
+# Universal-hash permutation family for MinHash: g_i(x) = (a_i*x + b_i)
+# mod MINHASH_PRIME over a single md5-derived base x. Fixed seeded
+# constants so the DuckDB oracle (plans/llm_dedup.py) embeds the
+# identical literals; p = 2^31 - 1 keeps a_i*x + b_i < 2^62 (exact in
+# 64-bit signed integers on every engine).
+MINHASH_PRIME = 2_147_483_647
+
+def _minhash_coeffs(n: int, seed: int = 0x5EED_CAFE) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MINHASH_PRIME), rng.randrange(0, MINHASH_PRIME))
+        for _ in range(n)
+    ]
+
+MINHASH_COEFFS = _minhash_coeffs(NUM_HASHES)
 
 
 def shingle_hash_rows(
@@ -251,33 +269,48 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<string>) — MinHash signature per document.
 
-    hash_i(S) = min over shingles s of md5(i || '|' || s); duplicate
-    shingles need no dedup (min is idempotent), and all num_hashes min
-    aggregations get map-side partial combine in one pass.
+    hash_i(S) = min over shingles s of g_i(s), with the textbook
+    universal-hash permutation family g_i(s) = (a_i * x(s) + b_i)
+    mod p over ONE md5-derived base value x(s) — the construction used
+    by every practical MinHash implementation (datasketch, Spark
+    MLlib's MinHashLSH). p = 2^31 - 1 (Mersenne prime), x = the
+    leading 60 bits of md5(s) reduced mod p, and (a_i, b_i) are fixed
+    seeded constants, so each slot applies a genuinely different
+    pseudo-permutation. (A cheaper Kirsch-Mitzenmacher g_i = h1 + i*h2
+    was tried and is WRONG here: the argmin under h1 + i*h2 walks the
+    lower convex hull of the (h1, h2) point set, so all 16 slots share
+    a handful of candidate minimizers and their agreements correlate
+    catastrophically — measured per-pair agreement of 0.06 and 0.94 on
+    pairs with true J ~ 0.55.) Duplicate shingles need no dedup (min
+    is idempotent), and all num_hashes min aggregations get map-side
+    partial combine in one pass.
 
-    Why md5 hex strings instead of xxhash64 ints: fixed-width lowercase
-    hex orders identically to the 128-bit value it encodes, so MIN over
-    the string IS min-hashing — and both Spark and DuckDB produce
-    byte-identical md5 hex, which makes the whole probabilistic LSH
+    Why this shape: md5 is the one strong hash Spark and DuckDB
+    produce byte-identically, which makes the whole probabilistic LSH
     pipeline (q30) exactly reproducible in ANSI SQL and value-checkable
-    against the DuckDB oracle. The string shingle path (arrays_zip, no
-    shuffle, no window) replaces the lead-window hashed path for the
-    same reason — and is the faster of the two (see shingle_string_rows).
-    Cost: 16 md5 evaluations per shingle row instead of 16 xxhash64,
-    all whole-stage codegen — measured ~2 s extra at sf0.1 (warm 4.8 s
-    vs 2.5 s). The extra work is map-side-only CPU that scales linearly
-    and adds no shuffle, skew, or memory pressure, which is the right
-    trade for a value-checkable probabilistic pipeline; swap F.md5 back
-    to a 64-bit hash if a deployment prefers raw speed over
-    auditability.
+    against the DuckDB oracle. The permutation family costs one md5
+    per shingle row instead of the sixteen the first oracle-exact
+    formulation paid (measured 10.5 s -> ~4 s cold at sf0.1): each
+    remaining slot is three codegen'd integer ops, and the agg state
+    shrinks from 16 x 32 B hex strings to 16 x 8 B longs — less map
+    CPU AND a narrower partial-agg payload. a_i, x < p < 2^31 keeps
+    a_i * x + b_i < 2^62: no 64-bit overflow on either engine. The
+    string shingle path (arrays_zip, no shuffle, no window) replaces
+    the lead-window hashed path for the same portability reason — and
+    is the faster of the two (see shingle_string_rows).
     """
     sh = shingle_string_rows(docs, id_col, text_col)
+    x = (
+        F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("bigint")
+        % MINHASH_PRIME
+    )
+    hashed = sh.select(id_col, x.alias("__x"))
     mins = [
-        F.min(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("sh")))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min((a * F.col("__x") + b) % MINHASH_PRIME).alias(f"h{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
     ]
     return (
-        sh.groupBy(id_col)
+        hashed.groupBy(id_col)
         .agg(*mins)
         .select(
             id_col,
@@ -322,9 +355,9 @@ def minhash_candidates(
     cartesian pairing, which is the entire point at scale; buckets
     above ``max_bucket`` members are dropped (see cap_lsh_buckets).
 
-    The bucket key is md5 of the band's joined min-hashes — a portable
-    32-char hex identity (the DuckDB oracle rebuilds it verbatim) at a
-    fixed 32 B/row shuffle payload.
+    The bucket key is md5 of the band's '|'-joined min-hash values
+    (decimal-rendered) — a portable 32-char hex identity (the DuckDB
+    oracle rebuilds it verbatim) at a fixed 32 B/row shuffle payload.
     """
     sig = minhash_signatures(docs, id_col, text_col)
     bands = sig.select(
@@ -338,8 +371,13 @@ def minhash_candidates(
                     F.md5(
                         F.concat_ws(
                             "|",
-                            F.slice(
-                                F.col("sig"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND
+                            F.transform(
+                                F.slice(
+                                    F.col("sig"),
+                                    b * ROWS_PER_BAND + 1,
+                                    ROWS_PER_BAND,
+                                ),
+                                lambda h: h.cast("string"),
                             ),
                         )
                     ).alias("bucket"),

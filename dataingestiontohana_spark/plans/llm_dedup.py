@@ -188,10 +188,11 @@ QUERIES = {
 # ALL six dedup queries are SQL-expressible and oracle-checked —
 # including the probabilistic LSH pipelines: since round 3 every hash
 # decision in q30 (MinHash) and q31 (SimHash) derives from md5, which
-# both engines produce byte-identically. MinHash exploits that
-# fixed-width lowercase hex orders like the 128-bit value it encodes
-# (MIN over the string IS min-hashing); SimHash bit j is plain
-# arithmetic on hex nibble j/4 (conv in Spark, strpos-1 in DuckDB).
+# both engines produce byte-identically. MinHash uses the standard
+# (a_i*x + b_i) mod p universal-hash permutation family over one
+# md5-derived base per shingle (one strong hash, three integer ops per
+# slot); SimHash bit j is plain arithmetic on hex nibble j/4 (conv in
+# Spark, strpos-1 in DuckDB).
 # The pytest suite additionally pins their semantics on
 # planted-duplicate fixtures and against the exact q32 result.
 
@@ -278,20 +279,43 @@ ORACLES = {
 
 
 def _q30_oracle_sql(num_hashes: int = 16, bands: int = 4, cap: int = 256) -> str:
-    """The MinHash+LSH pipeline stage-by-stage in ANSI SQL: 16 min-md5
-    signature slots, 4-slot band buckets (md5 of the '|'-joined mins —
-    identical to the Spark bucket), the 256 cap on bucket membership,
-    the bucket self-join, and signature-agreement scoring. agree/16 is
-    a dyadic rational (k/2^4), exactly representable in a double, so
-    ROUND(.,4) and the >= 0.5 cut are engine-exact."""
+    """The MinHash+LSH pipeline stage-by-stage in ANSI SQL: the
+    universal-hash permutation family g_i = (a_i*x + b_i) mod p over
+    the md5-derived base x (leading 15 hex chars of md5(shingle),
+    rebuilt nibble-by-nibble with strpos — big-endian, exactly Spark's
+    conv(substr(md5,..),16,10) — then reduced mod p = 2^31-1), with
+    the identical seeded (a_i, b_i) literals as operators/dedup.py;
+    16 MIN(g_i) signature slots, 4-slot band buckets (md5 of the
+    '|'-joined decimal-rendered mins — identical to the Spark bucket),
+    the 256 cap on bucket membership, the bucket self-join, and
+    signature-agreement scoring. All-integer hashing end to end, every
+    intermediate < 2^62; agree/16 is a dyadic rational (k/2^4),
+    exactly representable in a double, so ROUND(.,4) and the >= 0.5
+    cut are engine-exact."""
+    from dataingestiontohana_spark.operators.dedup import (
+        MINHASH_COEFFS,
+        MINHASH_PRIME,
+    )
+
     rpb = num_hashes // bands
+
+    def hex_uint(start: int, width: int) -> str:  # 1-based hex char positions
+        return " + ".join(
+            f"(strpos('0123456789abcdef', substr(hx, {start + p}, 1)) - 1)"
+            f" * CAST({16 ** (width - 1 - p)} AS BIGINT)"
+            for p in range(width)
+        )
+
     mins = ",\n                 ".join(
-        f"MIN(md5('{i}|' || sh)) AS h{i}" for i in range(num_hashes)
+        f"MIN(({a} * x + {b}) % {MINHASH_PRIME}) AS h{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
     )
     band_rows = "\n            UNION ALL\n            ".join(
         "SELECT doc_id, {b} AS band, md5({expr}) AS bucket FROM sig".format(
             b=b,
-            expr=" || '|' || ".join(f"h{b * rpb + j}" for j in range(rpb)),
+            expr=" || '|' || ".join(
+                f"CAST(h{b * rpb + j} AS VARCHAR)" for j in range(rpb)
+            ),
         )
         for b in range(bands)
     )
@@ -301,10 +325,14 @@ def _q30_oracle_sql(num_hashes: int = 16, bands: int = 4, cap: int = 256) -> str
     )
     return f"""
         WITH {_SHINGLES_CTE},
+        hv AS (
+          SELECT doc_id,
+                 ({hex_uint(1, 15)}) % {MINHASH_PRIME} AS x
+          FROM (SELECT doc_id, md5(sh) AS hx FROM sh)),
         sig AS (
           SELECT doc_id,
                  {mins}
-          FROM sh GROUP BY doc_id),
+          FROM hv GROUP BY doc_id),
         banded AS (
           SELECT * FROM (
             {band_rows})
