@@ -267,7 +267,7 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = NUM_HASHES,
 ) -> DataFrame:
-    """(id, sig: array<string>) — MinHash signature per document.
+    """(id, sig: array<bigint>) — MinHash signature per document.
 
     hash_i(S) = min over shingles s of g_i(s), with the textbook
     universal-hash permutation family g_i(s) = (a_i * x(s) + b_i)

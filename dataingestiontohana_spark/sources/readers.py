@@ -48,6 +48,54 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """XML scan via the built-in ``xml`` data source (in Spark core
+    since 4.0 — no external spark-xml package needed). ``row_tag``
+    names the repeated element that becomes one row. As with CSV/JSON,
+    pass an explicit schema to skip the inference pass; XML files split
+    per-file (not intra-file), so at scale many medium files beat one
+    giant document."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def read_text(
+    spark: SparkSession, path: str, whole_file: bool = False
+) -> DataFrame:
+    """Raw text scan: one string column ``value`` per line — the
+    ingestion format of unprocessed document dumps. whole_file=True
+    yields one row per FILE instead (document-per-file corpora);
+    that mode cannot split a file across tasks, so it relies on
+    many-files parallelism just like binaryFile. NOTE: passed as the
+    ``text()`` keyword, not ``.option("wholetext", ...)`` — the option
+    spelling is silently ignored by this Spark build (verified)."""
+    return spark.read.text(path, wholetext=whole_file)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Binary-file scan (``binaryFile`` source): (path, modificationTime,
+    length, content binary) — the ingestion edge of the multimodal
+    pipeline (operators/multimodal.py consumes the ``content`` column).
+    One row per file, parallelism = file count; small-file explosion is
+    the scale hazard, so production corpora should be compacted into
+    parquet with the same (path, content) shape after first read.
+    ``glob`` filters by pathGlobFilter (e.g. "*.png") at listing time —
+    files that don't match are never opened."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

@@ -27,11 +27,14 @@ from dataingestiontohana_spark.sources.generator import (
     write_sensor_csv_files,
 )
 from dataingestiontohana_spark.sources.readers import (
+    read_binary_files,
     read_csv,
     read_dbapi,
     read_json,
     read_orc,
     read_parquet,
+    read_text,
+    read_xml,
 )
 from dataingestiontohana_spark.streaming.multiplex import Wiretap, multiplex
 from dataingestiontohana_spark.streaming.pipeline import SENSOR_SQL_COLUMNS
@@ -179,3 +182,59 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     rows = {r["id"]: r["b"] for r in merged.collect()}
     assert rows[1] is None and rows[4] == 12  # old files null-padded
     assert merged.count() == 6
+
+
+def test_xml_read_with_explicit_schema(spark, tmp_path):
+    """Built-in xml source (Spark >= 4.0): rowTag picks the repeated
+    element; an explicit schema skips the inference pass."""
+    p = tmp_path / "x.xml"
+    p.write_text(
+        "<rows><row><id>1</id><name>ada</name></row>"
+        "<row><id>2</id><name>bob</name></row></rows>"
+    )
+    df = read_xml(spark, str(p), row_tag="row", schema="id bigint, name string")
+    assert sorted((r["id"], r["name"]) for r in df.collect()) == [
+        (1, "ada"),
+        (2, "bob"),
+    ]
+
+
+def test_text_read_lines_and_whole_file(spark, tmp_path):
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "a.txt").write_text("alpha\nbeta")
+    (d / "b.txt").write_text("gamma")
+    lines = read_text(spark, str(d))
+    assert sorted(r["value"] for r in lines.collect()) == ["alpha", "beta", "gamma"]
+    whole = read_text(spark, str(d), whole_file=True)
+    assert sorted(r["value"] for r in whole.collect()) == ["alpha\nbeta", "gamma"]
+
+
+def test_binary_files_feed_media_decode(spark, tmp_path):
+    """binaryFile is the multimodal ingestion edge: files on disk ->
+    (path, content) rows -> the decode_media pipeline, with
+    pathGlobFilter pruning non-matching files at listing time."""
+    from dataingestiontohana_spark.operators.multimodal import (
+        KIND_IMAGE,
+        decode_media,
+        synth_media_bytes,
+    )
+
+    d = tmp_path / "media"
+    d.mkdir()
+    payload = synth_media_bytes(7, KIND_IMAGE, 8, 4)
+    (d / "img7.bin").write_bytes(payload)
+    (d / "ignore.txt").write_text("not media")
+
+    bf = read_binary_files(spark, str(d), glob="*.bin")
+    assert bf.count() == 1  # glob pruned the .txt at listing time
+    row = bf.select("path", "length", "content").collect()[0]
+    assert row["path"].endswith("img7.bin") and row["length"] == len(payload)
+
+    media = bf.select(
+        F.lit(7).cast("long").alias("media_id"),
+        F.lit(KIND_IMAGE).alias("kind"),
+        "content",
+    )
+    dec = decode_media(media).collect()[0]
+    assert (dec["width"], dec["height"]) == (8, 4)
