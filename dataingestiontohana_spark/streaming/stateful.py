@@ -1,4 +1,5 @@
-"""Custom stateful streaming operator via applyInPandasWithState.
+"""Custom stateful streaming operators: applyInPandasWithState and the
+Spark 4 transformWithStateInPandas arbitrary-state API.
 
 The reference's only stateful operator is Simulate Error's boolean flag
 held across messages (`/root/reference/README.md:45-63`, R8). The
@@ -6,6 +7,13 @@ engine generalizes that shape to the canonical custom-state operator:
 per-key state carried across micro-batches with explicit update logic —
 here a per-device running monitor (count, cumulative value, max
 counter seen) that emits one updated row per device per batch.
+
+Two state APIs on purpose: ``applyInPandasWithState`` (one positional
+state tuple + timeout conf — the Spark 3.x shape) and the Spark 4
+``StatefulProcessor``/``transformWithStateInPandas`` model, which
+carries MULTIPLE named state variables per key (value/list/map state)
+with independent lifecycles — the idiomatic target for new stateful
+operators.
 
 Scale: state is partitioned by the grouping key in the state store;
 each micro-batch shuffles only that key. State size is O(distinct
@@ -126,3 +134,88 @@ def closed_user_sessions(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+ALERT_OUTPUT_SCHEMA = (
+    "deviceid int, n_readings long, n_alerts long, max_temp double"
+)
+
+
+def device_alert_monitor(
+    sensor_stream: DataFrame, temp_threshold: float = 25.0
+) -> DataFrame:
+    """Per-device over-threshold alert tracking via the Spark 4
+    ``transformWithStateInPandas`` arbitrary-state API.
+
+    Two independently-named ValueState variables per device ("totals":
+    reading/alert counts; "peak": max temperature) — the multi-variable
+    state model that ``applyInPandasWithState``'s single positional
+    tuple cannot express (there, every state change rewrites the whole
+    tuple; here each variable has its own slot in the state store and
+    can be evolved/TTL'd independently). Emits one updated row per
+    device per micro-batch that saw data (update mode).
+
+    Scale: identical state-store partitioning to the GroupState path —
+    state is hash-partitioned by deviceid, O(devices) entries, and each
+    micro-batch shuffles only the new rows.
+
+    Runtime requirement: the transformWithState Python runner speaks
+    protobuf to its JVM-side state server, so the cluster needs the
+    ``protobuf`` package next to pyspark (absent in this build sandbox
+    — the wire-up test skips there; the processor's update logic is
+    unit-tested against fake state handles instead).
+    """
+    return sensor_stream.groupBy("deviceid").transformWithStateInPandas(
+        statefulProcessor=make_alert_processor(temp_threshold),
+        outputStructType=ALERT_OUTPUT_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )
+
+
+def make_alert_processor(temp_threshold: float):
+    """Build the StatefulProcessor for :func:`device_alert_monitor`.
+
+    Factory (not a module-level class) because StatefulProcessor's
+    import pulls streaming-runtime modules best kept off the executor
+    import path until used; the returned instance pickles with its
+    threshold baked in.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    threshold = float(temp_threshold)
+
+    class _AlertProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n_readings long, n_alerts long"
+            )
+            self._peak = handle.getValueState("peak", "max_temp double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, alerts = (
+                tuple(self._totals.get()) if self._totals.exists() else (0, 0)
+            )
+            peak = self._peak.get()[0] if self._peak.exists() else None
+            for pdf in rows:
+                if pdf.empty:
+                    continue
+                n += len(pdf)
+                alerts += int((pdf["temperature"] > threshold).sum())
+                hi = float(pdf["temperature"].max())
+                peak = hi if peak is None else max(peak, hi)
+            self._totals.update((n, alerts))
+            if peak is not None:
+                self._peak.update((peak,))
+            yield pd.DataFrame(
+                [(key[0], n, alerts, round(peak, 4) if peak is not None else None)],
+                columns=["deviceid", "n_readings", "n_alerts", "max_temp"],
+            )
+
+        def close(self) -> None:
+            pass
+
+    return _AlertProcessor()
