@@ -1,0 +1,108 @@
+"""Context-window chunking: split documents into fixed-size token
+windows with overlap — the standard prep step that turns a cleaned
+corpus into training-window rows (every LLM data pipeline ends here
+before tokenizer/packing stages).
+
+Two formulations, identical output:
+
+- :func:`chunk_windows` — the SCALE path. Pure built-in expressions:
+  tokenize once, compute the chunk count arithmetically, explode a
+  chunk-index sequence, slice the token array per index. Map-only (no
+  shuffle, no Python); row growth is ~n_tokens/stride per doc, the
+  output's intrinsic size.
+- :func:`make_chunk_udtf` — the same logic as a Spark 4 Python UDTF
+  (lateral-join table function). The API-surface variant: useful when
+  the per-chunk logic outgrows SQL (real tokenizers, packing
+  heuristics); kept row-identical to the declarative path by the test
+  suite so either can stand in for the other.
+
+Chunk layout: starts at 0, stride, 2*stride, ... with
+stride = chunk_tokens - overlap; the number of chunks is
+ceil(max(n_tokens - overlap, 1) / stride), so every token lands in
+at least one chunk, consecutive chunks share exactly ``overlap``
+tokens, and a short document yields one (short) chunk. The emitted
+``chunk_fp`` is md5 of the space-joined window — a portable 32-char
+identity that keeps the row narrow and DuckDB-checkable (the full
+text is recoverable by re-slicing; pipelines that need the window
+text materialize it with ``with_text=True``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dataingestiontohana_spark.functions.text import tokens
+
+DEFAULT_CHUNK_TOKENS = 128
+DEFAULT_OVERLAP = 16
+
+
+def chunk_windows(
+    docs: DataFrame,
+    chunk_tokens: int = DEFAULT_CHUNK_TOKENS,
+    overlap: int = DEFAULT_OVERLAP,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    with_text: bool = False,
+) -> DataFrame:
+    """(id, chunk_id, n_tokens, chunk_fp[, chunk_text]) rows."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(text_col)
+    n = F.size(toks)
+    n_chunks = F.ceil(F.greatest(n - overlap, F.lit(1)) / F.lit(stride)).cast(
+        "int"
+    )
+    base = docs.select(
+        F.col(id_col), toks.alias("__toks"), n_chunks.alias("__nc")
+    ).select(
+        id_col,
+        "__toks",
+        F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias("chunk_id"),
+    )
+    window = F.slice(F.col("__toks"), F.col("chunk_id") * stride + 1, chunk_tokens)
+    cols = [
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.size(window).alias("n_tokens"),
+        F.md5(F.concat_ws(" ", window)).alias("chunk_fp"),
+    ]
+    if with_text:
+        cols.append(F.concat_ws(" ", window).alias("chunk_text"))
+    return base.select(*cols)
+
+
+def make_chunk_udtf(
+    chunk_tokens: int = DEFAULT_CHUNK_TOKENS, overlap: int = DEFAULT_OVERLAP
+):
+    """Build the UDTF class for ``spark.udtf.register`` — lateral form:
+    ``SELECT d.doc_id, c.* FROM documents d, LATERAL chunk_doc(d.text) c``.
+
+    Python-side normalization/tokenization mirrors functions.text
+    tokens() exactly (lower, collapse whitespace, trim, split on one
+    space), and the fingerprint is the same md5-of-joined-window, so
+    the output is row-identical to :func:`chunk_windows`.
+    """
+    import hashlib
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+
+    @udtf(returnType="chunk_id int, n_tokens int, chunk_fp string")
+    class ChunkDoc:
+        def eval(self, text: str):
+            norm = re.sub(r"\s+", " ", (text or "").lower()).strip()
+            toks = norm.split(" ")
+            n_chunks = -(-max(len(toks) - overlap, 1) // stride)  # ceil div
+            for k in range(n_chunks):
+                w = toks[k * stride : k * stride + chunk_tokens]
+                joined = " ".join(w)
+                yield k, len(w), hashlib.md5(joined.encode()).hexdigest()
+
+    return ChunkDoc

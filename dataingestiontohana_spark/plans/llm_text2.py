@@ -106,10 +106,25 @@ def q65_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q77_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (128-token windows, 16-token overlap):
+    the corpus-to-training-windows step. Map-only explode of an
+    arithmetic chunk-index sequence + token-array slices — see
+    operators/chunking.py for the layout contract and the row-identical
+    Python UDTF variant."""
+    from dataingestiontohana_spark.operators.chunking import chunk_windows
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_windows(d, chunk_tokens=128, overlap=16).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
 QUERIES = {
     "q51_bpe_token_stats": q51_bpe_token_stats,
     "q52_observe_audit": q52_observe_audit,
     "q65_sketch_audit": q65_sketch_audit,
+    "q77_chunk_windows": q77_chunk_windows,
 }
 
 ORACLES = {
@@ -139,5 +154,32 @@ ORACLES = {
                CAST(1 AS BIGINT) AS p50_ok,
                CAST(1 AS BIGINT) AS p99_ok
         FROM documents
+    """,
+    # Chunk layout mirrored arithmetically: stride = 112, n_chunks =
+    # ceil(max(n_tokens - 16, 1) / 112); list_slice is 1-based
+    # inclusive like Spark's slice, both truncate at the array end.
+    "q77_chunk_windows": """
+        WITH tok AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                              ' ') AS toks
+          FROM documents),
+        meta AS (
+          SELECT doc_id, toks,
+                 CAST(ceil(greatest(len(toks) - 16, 1) / 112.0) AS INT) AS nc
+          FROM tok),
+        chunks AS (
+          SELECT doc_id, toks,
+                 CAST(unnest(range(0, nc)) AS INT) AS chunk_id
+          FROM meta),
+        out AS (
+          SELECT doc_id, chunk_id,
+                 CAST(len(list_slice(toks, chunk_id * 112 + 1,
+                                     chunk_id * 112 + 128)) AS INT) AS n_tokens,
+                 md5(array_to_string(list_slice(toks, chunk_id * 112 + 1,
+                                                chunk_id * 112 + 128), ' '))
+                 AS chunk_fp
+          FROM chunks)
+        SELECT * FROM out ORDER BY doc_id, chunk_id
     """,
 }

@@ -1,0 +1,87 @@
+"""Context-window chunking: layout contract (coverage, overlap, short
+docs) and declarative-vs-UDTF row identity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataingestiontohana_spark.catalog import load_table
+from dataingestiontohana_spark.operators.chunking import (
+    chunk_windows,
+    make_chunk_udtf,
+)
+from tests.conftest import SF0001
+
+
+def _doc(spark, text: str):
+    return spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+
+def test_layout_contract(spark):
+    # 250 tokens, chunk 100, overlap 20 -> stride 80;
+    # ceil(max(250-20,1)/80) = 3 chunks: [0:100], [80:180], [160:250]
+    text = " ".join(f"t{i}" for i in range(250))
+    rows = (
+        chunk_windows(_doc(spark, text), 100, 20, with_text=True)
+        .orderBy("chunk_id")
+        .collect()
+    )
+    assert [r["chunk_id"] for r in rows] == [0, 1, 2]
+    assert [r["n_tokens"] for r in rows] == [100, 100, 90]
+    # consecutive chunks share exactly `overlap` tokens
+    a, b = rows[0]["chunk_text"].split(" "), rows[1]["chunk_text"].split(" ")
+    assert a[-20:] == b[:20]
+    # full coverage, in order
+    merged = a + b[20:] + rows[2]["chunk_text"].split(" ")[20:]
+    assert merged == text.split(" ")
+
+
+def test_short_and_exact_boundary_docs(spark):
+    short = chunk_windows(_doc(spark, "a b c"), 100, 20).collect()
+    assert len(short) == 1 and short[0]["n_tokens"] == 3
+    exact = chunk_windows(
+        _doc(spark, " ".join(f"t{i}" for i in range(100))), 100, 20
+    ).collect()
+    assert len(exact) == 1 and exact[0]["n_tokens"] == 100
+    # one token past the boundary spills into a second (overlap+1) chunk
+    spill = (
+        chunk_windows(
+            _doc(spark, " ".join(f"t{i}" for i in range(101))), 100, 20
+        )
+        .orderBy("chunk_id")
+        .collect()
+    )
+    assert [r["n_tokens"] for r in spill] == [100, 21]
+
+
+def test_invalid_overlap_rejected(spark):
+    with pytest.raises(ValueError):
+        chunk_windows(_doc(spark, "x"), 100, 100)
+    with pytest.raises(ValueError):
+        make_chunk_udtf(100, -1)
+
+
+def test_udtf_matches_declarative_on_corpus(spark):
+    """The Python UDTF (lateral form) must be row-identical to the
+    codegen path on real documents — including whitespace-normalization
+    edge cases."""
+    d = load_table(spark, SF0001, "documents")
+    want = sorted(
+        map(tuple, chunk_windows(d, 64, 8).collect())
+    )
+
+    spark.udtf.register("chunk_doc_64_8", make_chunk_udtf(64, 8))
+    d.createOrReplaceTempView("docs_for_chunking")
+    got = sorted(
+        map(
+            tuple,
+            spark.sql(
+                """
+                SELECT d.doc_id, c.chunk_id, c.n_tokens, c.chunk_fp
+                FROM docs_for_chunking d, LATERAL chunk_doc_64_8(d.text) c
+                """
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
