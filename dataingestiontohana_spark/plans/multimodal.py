@@ -33,7 +33,19 @@ def q36_media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# all four media parts (decode / frames / resize / audio) consume the
+# same synthetic frame; building it four times re-runs the driver-side
+# payload synthesis and re-ships it to the executors per part. One
+# lazily-localCheckpointed frame per (application, n) is shared
+# instead, mirroring llm_dedup's edge-set cache.
+_MEDIA_CACHE: dict[tuple[str, int], DataFrame] = {}
+
+
 def _synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
+    key = (spark.sparkContext.applicationId, n)
+    df = _MEDIA_CACHE.get(key)
+    if df is not None:
+        return df
     rows = []
     for i in range(n):
         kind = (
@@ -44,7 +56,11 @@ def _synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
         nf = 6 if kind == KIND_VIDEO else 1
         w, h = (256, 1) if kind == KIND_AUDIO else (32, 16)
         rows.append((i, kind, synth_media_bytes(i, kind, w, h, nf)))
-    return spark.createDataFrame(rows, "media_id long, kind int, content binary")
+    df = spark.createDataFrame(
+        rows, "media_id long, kind int, content binary"
+    ).localCheckpoint(eager=False)
+    _MEDIA_CACHE[key] = df
+    return df
 
 
 def q37_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -113,6 +113,20 @@ def test_q74_repetition_filter_is_map_only_plus_topk(spark):
     assert plan.count("Exchange") == 0
 
 
+def test_q77_chunking_is_map_only(spark):
+    """Chunk-window generation must stay map-side: one scan, the
+    explode in the projection path, no join/window/aggregate — the only
+    exchange allowed is the final presentation sort."""
+    df = QUERIES["q77_chunk_windows"](spark, SF001)
+    plan = _executed(df)
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "HashAggregate" not in plan
+    assert "Generate explode" in plan
+    # exactly the rangepartitioning exchange of the output orderBy
+    assert plan.count("Exchange") == 1 and "rangepartitioning" in plan
+
+
 # ---------------------------------------------------------------------------
 # No declared query may contain an unbounded single-partition window:
 # a Window with an empty PARTITION BY funnels its whole input through
