@@ -139,3 +139,50 @@ def test_bucketed_fact_tables_reuses_manifest(spark):
     bucketed_fact_tables(spark, sf)  # warm: must NOT rewrite
     assert os.path.getmtime(loc) == mtime
     assert read_manifest(spark, f"b_orders_{tag}") == m1
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
+    """Runtime row-group filtering: a selective (non-broadcastable)
+    dim side injects a bloom filter into the fact scan —
+    might_contain(bloom_filter_agg(dim keys)) — so fact rows that
+    cannot join die at the scan instead of riding the shuffle. At
+    100 TB this is the difference between shuffling the full fact
+    table and shuffling the ~join-selectivity fraction; default
+    thresholds (creation side <= 10 MB, application side >= 10 GB)
+    only engage it at real scale, so the test lowers them to make the
+    optimizer show its hand at test size."""
+    import pyspark.sql.functions as F
+
+    fact_p, dim_p = str(tmp_path / "fact"), str(tmp_path / "dim")
+    spark.range(100_000).selectExpr(
+        "id", "id % 1000 AS k", "id * 2 AS v"
+    ).write.parquet(fact_p)
+    spark.range(2_000).selectExpr("id AS k", "id * 3 AS w").where(
+        "k % 50 = 0"
+    ).write.parquet(dim_p)
+
+    conf = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        fact = spark.read.parquet(fact_p)
+        dim = spark.read.parquet(dim_p).where("w % 2 = 0")
+        j = fact.join(dim, "k").select("id", "k", "v", "w")
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+        with_bloom = sorted(map(tuple, j.collect()))
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    # semantics unchanged: same rows as the uninstrumented join
+    fact = spark.read.parquet(fact_p)
+    dim = spark.read.parquet(dim_p).where("w % 2 = 0")
+    plain = sorted(
+        map(tuple, fact.join(dim, "k").select("id", "k", "v", "w").collect())
+    )
+    assert with_bloom == plain and len(plain) > 0
