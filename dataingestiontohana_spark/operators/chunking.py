@@ -106,3 +106,70 @@ def make_chunk_udtf(
                 yield k, len(w), hashlib.md5(joined.encode()).hexdigest()
 
     return ChunkDoc
+
+
+_KNUTH = 2654435761  # Knuth multiplicative hash; portable across engines
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    budget_tokens: int = 2048,
+    n_buckets: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pack chunk rows into fixed-token-budget training sequences:
+    (bucket, pack_id, n_chunks, n_tokens, fill) — one row per packed
+    sequence.
+
+    Layout: each chunk lands in a deterministic bucket (Knuth
+    multiplicative hash of the doc id — portable, so co-located with
+    its document's other chunks), chunks order by (doc_id, chunk_id)
+    within the bucket, and a chunk belongs to pack
+    floor(tokens_before_it / budget) — the concat-stream-then-cut
+    packing, where the chunk straddling a cut starts the next
+    sequence's attention span. This is the window-expressible packing:
+    true greedy no-split packing is sequentially dependent per bucket
+    and cannot parallelize beyond buckets either.
+
+    Scale: ONE window (cumulative sum) partitioned by bucket — the
+    parallel unit is the bucket, so n_buckets scales with the cluster;
+    the per-pack aggregation then reduces on (bucket, pack_id). No
+    single-partition window anywhere (the engine-wide plan test
+    enforces this).
+    """
+    bucket = ((F.col(id_col)) * F.lit(_KNUTH)) % F.lit(n_buckets)
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col, "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = chunks.select(
+        F.col(id_col), "chunk_id", "n_tokens", bucket.alias("bucket")
+    ).select(
+        "bucket",
+        id_col,
+        "chunk_id",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("__before"),
+    )
+    packed = staged.select(
+        "bucket",
+        F.floor(F.col("__before") / budget_tokens).cast("int").alias("pack_id"),
+        "n_tokens",
+    )
+    return (
+        packed.groupBy("bucket", "pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_chunks"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            "pack_id",
+            "n_chunks",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.lit(budget_tokens), 4).alias("fill"),
+        )
+    )

@@ -109,6 +109,10 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("doc_id", "bigint"), ("chunk_id", "int"),
         ("n_tokens", "int"), ("chunk_fp", "string"),
     ],
+    "q78_pack_chunks": [
+        ("bucket", "int"), ("pack_id", "int"), ("n_chunks", "int"),
+        ("n_tokens", "bigint"), ("fill", "double"),
+    ],
     "q26_quality_score": [
         ("doc_id", "bigint"), ("n_tokens", "int"), ("quality", "double"),
     ],
@@ -214,7 +218,7 @@ BUNDLES: dict[str, list[str]] = {
     "q21_27_52_language": ["q21_lang_stats", "q27_lang_id", "q52_observe_audit"],
     "q25_51_61_tokens": [
         "q25_token_stats", "q51_bpe_token_stats", "q61_token_topk",
-        "q77_chunk_windows",
+        "q77_chunk_windows", "q78_pack_chunks",
     ],
     "q26_28_quality": ["q26_quality_score", "q28_fingerprint"],
     "q22_29_exact_dedup": ["q22_exact_dedup_count", "q29_exact_dedup"],

@@ -120,11 +120,30 @@ def q77_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q78_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token packing: the chunk rows from q77 packed into 2048-token
+    training sequences across 8 deterministic buckets (one partitioned
+    cumulative-sum window + a per-pack reduce — see
+    operators/chunking.py::pack_chunks for the layout contract)."""
+    from dataingestiontohana_spark.operators.chunking import (
+        chunk_windows,
+        pack_chunks,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return pack_chunks(
+        chunk_windows(d, chunk_tokens=128, overlap=16),
+        budget_tokens=2048,
+        n_buckets=8,
+    ).orderBy("bucket", "pack_id")
+
+
 QUERIES = {
     "q51_bpe_token_stats": q51_bpe_token_stats,
     "q52_observe_audit": q52_observe_audit,
     "q65_sketch_audit": q65_sketch_audit,
     "q77_chunk_windows": q77_chunk_windows,
+    "q78_pack_chunks": q78_pack_chunks,
 }
 
 ORACLES = {
@@ -181,5 +200,45 @@ ORACLES = {
                  AS chunk_fp
           FROM chunks)
         SELECT * FROM out ORDER BY doc_id, chunk_id
+    """,
+    # Same chunk CTEs as q77, then the bucketed concat-stream packing:
+    # bucket = Knuth hash of doc_id mod 8; a chunk joins the pack where
+    # its cumulative start falls (floor(before/2048)). 2048 = 2^11 so
+    # the fill division is exact in binary and ROUND(.,4) matches.
+    "q78_pack_chunks": """
+        WITH tok AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                              ' ') AS toks
+          FROM documents),
+        meta AS (
+          SELECT doc_id, toks,
+                 CAST(ceil(greatest(len(toks) - 16, 1) / 112.0) AS INT) AS nc
+          FROM tok),
+        chunks AS (
+          SELECT doc_id, toks,
+                 CAST(unnest(range(0, nc)) AS INT) AS chunk_id
+          FROM meta),
+        chunk_rows AS (
+          SELECT doc_id, chunk_id,
+                 CAST(len(list_slice(toks, chunk_id * 112 + 1,
+                                     chunk_id * 112 + 128)) AS INT) AS n_tokens
+          FROM chunks),
+        staged AS (
+          SELECT (doc_id * 2654435761) % 8 AS bucket, n_tokens,
+                 SUM(n_tokens) OVER (
+                   PARTITION BY (doc_id * 2654435761) % 8
+                   ORDER BY doc_id, chunk_id
+                   ROWS UNBOUNDED PRECEDING) - n_tokens AS before
+          FROM chunk_rows),
+        packs AS (
+          SELECT CAST(bucket AS INT) AS bucket,
+                 CAST(floor(before / 2048.0) AS INT) AS pack_id, n_tokens
+          FROM staged)
+        SELECT bucket, pack_id,
+               CAST(COUNT(*) AS INT) AS n_chunks,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               ROUND(SUM(n_tokens) / 2048.0, 4) AS fill
+        FROM packs GROUP BY bucket, pack_id ORDER BY bucket, pack_id
     """,
 }

@@ -85,3 +85,57 @@ def test_udtf_matches_declarative_on_corpus(spark):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_packing_conserves_tokens_and_fills(spark):
+    """Packing contract: token totals conserved, pack ids contiguous
+    from 0 per bucket, and every non-final pack's start-span is full
+    (>= budget - max_chunk + 1 tokens assigned by start position)."""
+    from dataingestiontohana_spark.operators.chunking import (
+        chunk_windows,
+        pack_chunks,
+    )
+
+    d = load_table(spark, SF0001, "documents")
+    chunks = chunk_windows(d, 64, 8)
+    packs = pack_chunks(chunks, budget_tokens=512, n_buckets=4).collect()
+
+    total_chunk_tokens = chunks.agg(F.sum("n_tokens")).head()[0]
+    assert sum(r["n_tokens"] for r in packs) == total_chunk_tokens
+    assert sum(r["n_chunks"] for r in packs) == chunks.count()
+
+    by_bucket: dict[int, list] = {}
+    for r in packs:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert set(by_bucket) == {0, 1, 2, 3}
+    for rows in by_bucket.values():
+        ids = sorted(r["pack_id"] for r in rows)
+        assert ids == list(range(len(ids)))  # contiguous from 0
+        for r in rows:
+            if r["pack_id"] != ids[-1]:
+                # starts cover [p*512, (p+1)*512): at least 512-64+1
+                # tokens begin inside every non-final pack
+                assert r["n_tokens"] >= 512 - 64 + 1
+            assert abs(r["fill"] - round(r["n_tokens"] / 512, 4)) < 1e-9
+
+
+def test_packing_window_is_bucket_partitioned(spark):
+    """The cumsum window must partition on bucket (never a global
+    single-partition window)."""
+    from dataingestiontohana_spark.operators.chunking import (
+        chunk_windows,
+        pack_chunks,
+    )
+
+    d = load_table(spark, SF0001, "documents")
+    plan = (
+        pack_chunks(chunk_windows(d, 64, 8), 512, 4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        s = line.strip().lstrip("+-: ").strip()
+        if s.startswith("Window "):
+            parts = s.split("], [")
+            assert len(parts) >= 3 and parts[1].strip() != "", s
