@@ -97,7 +97,15 @@ def make_chunk_udtf(
     @udtf(returnType="chunk_id int, n_tokens int, chunk_fp string")
     class ChunkDoc:
         def eval(self, text: str):
-            norm = re.sub(r"\s+", " ", (text or "").lower()).strip()
+            # ASCII-only whitespace on purpose: python's unicode-aware
+            # \s (and bare str.strip()) would also eat NBSP and
+            # friends, which Spark's Java regex/trim and DuckDB's RE2
+            # (both ASCII) do not — without re.ASCII + the explicit
+            # strip set, the three engines disagree on any document
+            # containing them (caught by the nasty-whitespace test)
+            norm = re.sub(
+                r"\s+", " ", (text or "").lower(), flags=re.ASCII
+            ).strip(" \t\n\r\f\v")
             toks = norm.split(" ")
             n_chunks = -(-max(len(toks) - overlap, 1) // stride)  # ceil div
             for k in range(n_chunks):

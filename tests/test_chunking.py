@@ -139,3 +139,33 @@ def test_packing_window_is_bucket_partitioned(spark):
         if s.startswith("Window "):
             parts = s.split("], [")
             assert len(parts) >= 3 and parts[1].strip() != "", s
+
+
+def test_udtf_matches_declarative_on_nasty_whitespace(spark):
+    """Tabs, newlines, runs of spaces, and non-breaking spaces: Java
+    regex and RE2 treat \\s as ASCII-only, so the UDTF must too
+    (re.ASCII) — NBSP stays inside tokens on every engine."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a\tb\nc   d\r\ne"),
+            (2, "x y z "),  # NBSP binds x y into one token
+            (3, "  leading and trailing  "),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    want = sorted(map(tuple, chunk_windows(docs, 4, 1).collect()))
+    spark.udtf.register("chunk_nasty", make_chunk_udtf(4, 1))
+    docs.createOrReplaceTempView("nasty_docs")
+    got = sorted(
+        map(
+            tuple,
+            spark.sql(
+                """
+                SELECT d.doc_id, c.chunk_id, c.n_tokens, c.chunk_fp
+                FROM nasty_docs d, LATERAL chunk_nasty(d.text) c
+                """
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) >= 4
