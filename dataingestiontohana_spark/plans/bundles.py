@@ -240,7 +240,10 @@ BUNDLES: dict[str, list[str]] = {
     # value-checked in SQL
     "q35_36b_ann": ["q35_ann_lsh", "q36b_ivf_topk"],
     "q30_31_lsh_neardup": ["q30_minhash_near_dup", "q31_simhash_clusters"],
-    # rows-only bundles (>=1 part lacks an oracle -> whole bundle rows-only)
+    # the ONLY remaining rows-only bundle: binary codecs are not
+    # SQL-expressible (>=1 part lacks an oracle -> whole bundle
+    # rows-only). q39_40 left this club in round 4 when the generator
+    # switched to md5-derived values the oracle recomputes verbatim.
     "q37_38_media": [
         "q37_media_decode", "q38_frame_sample",
         "q37b_media_resize", "q38b_audio_features",

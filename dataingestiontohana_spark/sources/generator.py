@@ -46,18 +46,37 @@ SENSOR_SCHEMA = T.StructType(
 SENSOR_DDL = ", ".join(f"{n} {t}" for n, t in SENSOR_FIELDS)
 
 
+def _hash60(counter, salt: int):
+    """Deterministic 60-bit integer from md5("{salt}|{counter}") — the
+    portable hash idiom (see operators/dedup.py): both Spark and DuckDB
+    produce byte-identical md5 hex, and the leading 15 hex chars parse
+    into an exact 64-bit-safe integer on both engines, which is what
+    lets the generator's every value be recomputed in the q39 oracle.
+    (xxhash64 was the original source; it kept the generator rows-only
+    because DuckDB cannot evaluate it.)"""
+    hx = F.md5(F.concat_ws("|", F.lit(str(salt)), counter.cast("string")))
+    return F.conv(F.substring(hx, 1, 15), 16, 10).cast("bigint")
+
+
 def _unit(counter, salt: int):
-    """Deterministic uniform-ish [0,1) derived from (counter, salt) via
-    xxhash64 — reproducible on any partitioning, JVM-side."""
-    h = F.xxhash64(counter, F.lit(salt))
-    return (F.pmod(h, F.lit(1_000_000)).cast("double")) / 1_000_000.0
+    """Deterministic uniform-ish [0,1) derived from (counter, salt) —
+    reproducible on any partitioning, JVM-side, and in ANSI SQL.
+
+    Granularity is deliberately 1e-4: every sensor field multiplies a
+    unit by 1/2/5/9/10/60/600/1000 and none of those products gains
+    decimals, so each emitted value is an EXACT 4-decimal rational and
+    ROUND(., 4) has no midpoint to disagree on between Spark's
+    BigDecimal HALF_UP and DuckDB's scaled-binary rounding (with 1e-6
+    units the two engines split real midpoint cases: 1.1955 vs
+    1.1954)."""
+    return (F.pmod(_hash60(counter, salt), F.lit(10_000)).cast("double")) / 10_000.0
 
 
 def _sensor_columns(counter) -> list:
     c = counter.cast("int")
     return [
         c.alias("counter"),
-        (F.pmod(F.xxhash64(counter, F.lit(0)), F.lit(5)) + 2)
+        (F.pmod(_hash60(counter, 0), F.lit(5)) + 2)
         .cast("int")
         .alias("deviceid"),
         F.round(25.0 + _unit(counter, 1) * 1.0, 4).alias("temperature"),
@@ -66,7 +85,7 @@ def _sensor_columns(counter) -> list:
         F.round(_unit(counter, 4) * 10.0, 4).alias("co"),
         F.round(_unit(counter, 5) * 5.0, 4).alias("lpg"),
         F.round(_unit(counter, 6) * 2.0, 4).alias("smoke"),
-        (F.pmod(F.xxhash64(counter, F.lit(7)), F.lit(2))).cast("int").alias("presence"),
+        (F.pmod(_hash60(counter, 7), F.lit(2))).cast("int").alias("presence"),
         F.round(_unit(counter, 8) * 1000.0, 4).alias("light"),
         F.round(30.0 + _unit(counter, 9) * 60.0, 4).alias("sound"),
     ]
