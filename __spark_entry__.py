@@ -40,7 +40,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL per registry entry; keys absent here
-    (probabilistic LSH/ANN, media stubs, generators) get the driver's
-    weaker rows-only check and are pinned by pytest invariants."""
+    """DuckDB-runnable ANSI SQL per registry entry; the one key absent
+    here (media decode — binary codecs are not SQL-expressible) gets
+    the driver's weaker rows-only check and is pinned by numpy-backed
+    pytest invariants."""
     return dict(_DRIVER_ORACLES)

@@ -169,3 +169,35 @@ def test_udtf_matches_declarative_on_nasty_whitespace(spark):
         )
     )
     assert got == want and len(got) >= 4
+
+
+def test_chunking_works_on_a_stream(spark, tmp_path):
+    """Batch/stream unification: chunk_windows is map-only built-ins,
+    so the same call works unchanged on a streaming DataFrame — the
+    shape for chunking documents as they are ingested."""
+    import json
+    import os
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.json"), "w") as f:
+        for i in range(6):
+            f.write(json.dumps({"doc_id": i, "text": " ".join(
+                f"w{i}_{j}" for j in range(10))}) + "\n")
+
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    got: list = []
+    q = (
+        chunk_windows(stream, chunk_tokens=4, overlap=1)
+        .writeStream.foreachBatch(
+            lambda df, eid: got.extend(map(tuple, df.collect()))
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    q.stop()
+
+    batch = spark.read.schema("doc_id long, text string").json(src)
+    want = sorted(map(tuple, chunk_windows(batch, 4, 1).collect()))
+    assert sorted(got) == want and len(want) == 6 * 3  # 10 toks -> 3 chunks
