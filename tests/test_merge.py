@@ -1,0 +1,54 @@
+"""Lake-side MERGE: the partition-scoped file-group rewrite — only
+touched partition directories change on disk (SCALING.md MERGE
+story; the CDC-result merge itself is oracle-checked via q53/q54).
+"""
+
+from __future__ import annotations
+
+
+def test_merge_into_partitioned_rewrites_only_touched_partitions(
+    spark, tmp_path
+):
+    """The file-group-rewrite MERGE: untouched partition directories
+    keep their exact files; only the updated partition is rewritten;
+    the logical result equals a full-table merge."""
+    import os
+
+    from dataingestiontohana_spark.operators.merge import (
+        merge_into_partitioned,
+        merge_upsert,
+    )
+
+    path = str(tmp_path / "dim")
+    spark.range(100).selectExpr(
+        "id AS k", "id * 10 AS v", "CAST(id % 5 AS INT) AS p"
+    ).write.partitionBy("p").parquet(path)
+
+    def files_of(p):
+        d = os.path.join(path, f"p={p}")
+        return sorted(
+            f for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    before = {p: files_of(p) for p in range(5)}
+    full_before = spark.read.parquet(path)
+    updates = spark.createDataFrame(
+        [(2, 999, 2), (7, 888, 2), (500, 777, 2)], "k long, v long, p int"
+    )
+    expect = sorted(
+        map(tuple, merge_upsert(full_before, updates, "k")
+            .select("k", "v", "p").collect())
+    )
+
+    touched = merge_into_partitioned(spark, path, updates, "k", "p")
+    assert touched == [2]
+
+    after = {p: files_of(p) for p in range(5)}
+    for p in (0, 1, 3, 4):
+        assert after[p] == before[p]  # untouched partitions byte-stable
+    assert after[2] != before[2]  # the touched one was rewritten
+
+    got = sorted(
+        map(tuple, spark.read.parquet(path).select("k", "v", "p").collect())
+    )
+    assert got == expect and len(got) == 101  # 100 rows + 1 insert
