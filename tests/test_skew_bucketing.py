@@ -186,3 +186,45 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
         map(tuple, fact.join(dim, "k").select("id", "k", "v", "w").collect())
     )
     assert with_bloom == plain and len(plain) > 0
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join: a 90%-hot key must be split at runtime — the
+    final adaptive plan carries SortMergeJoin(skew=true) with an
+    AQEShuffleRead marked skewed. Thresholds are lowered to test
+    scale (defaults: 256 MB partition, factor 5 — exactly the knobs a
+    100 TB deployment leaves alone); results must equal the join
+    without the split."""
+    conf = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        left = spark.range(400_000).selectExpr(
+            "CASE WHEN id % 10 < 9 THEN CAST(0 AS LONG) ELSE id END AS k",
+            "id AS v",
+        )
+        right = spark.range(400_000).selectExpr("id AS k", "id * 2 AS w")
+        j = left.join(right, "k").selectExpr(
+            "count(*) AS n", "sum(v) AS sv", "sum(w) AS sw"
+        )
+        row = j.collect()[0]
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan
+        assert "skewed" in plan  # the AQEShuffleRead split marker
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    # semantics: every left row joins exactly once (right keys unique)
+    assert row["n"] == 400_000
+    expect = spark.range(400_000).selectExpr(
+        "sum(id) AS sv",
+        "sum(2 * (CASE WHEN id % 10 < 9 THEN CAST(0 AS LONG) ELSE id END)) AS sw",
+    ).collect()[0]
+    assert (row["sv"], row["sw"]) == (expect["sv"], expect["sw"])
