@@ -201,3 +201,38 @@ def test_chunking_works_on_a_stream(spark, tmp_path):
     batch = spark.read.schema("doc_id long, text string").json(src)
     want = sorted(map(tuple, chunk_windows(batch, 4, 1).collect()))
     assert sorted(got) == want and len(want) == 6 * 3  # 10 toks -> 3 chunks
+
+
+def test_fuzz_udtf_matches_declarative(spark):
+    """Property fuzz: on random ASCII texts (letters, digits,
+    punctuation, all ASCII whitespace) and random (chunk, overlap)
+    shapes, the codegen path and the Python UDTF agree row-for-row.
+    Deterministic seed — a failure reproduces exactly."""
+    import random
+    import string
+
+    rng = random.Random(20260813)
+    alphabet = string.ascii_letters + string.digits + "  \t\n\r.,!?-"
+    cases = []
+    for doc_id in range(40):
+        n = rng.randrange(0, 400)
+        cases.append((doc_id, "".join(rng.choice(alphabet) for _ in range(n))))
+    docs = spark.createDataFrame(cases, "doc_id long, text string")
+
+    for chunk, overlap in [(8, 0), (8, 3), (16, 15), (64, 8)]:
+        want = sorted(map(tuple, chunk_windows(docs, chunk, overlap).collect()))
+        name = f"chunk_fuzz_{chunk}_{overlap}"
+        spark.udtf.register(name, make_chunk_udtf(chunk, overlap))
+        docs.createOrReplaceTempView("fuzz_docs")
+        got = sorted(
+            map(
+                tuple,
+                spark.sql(
+                    f"""
+                    SELECT d.doc_id, c.chunk_id, c.n_tokens, c.chunk_fp
+                    FROM fuzz_docs d, LATERAL {name}(d.text) c
+                    """
+                ).collect(),
+            )
+        )
+        assert got == want, (chunk, overlap)
