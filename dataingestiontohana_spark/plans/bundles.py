@@ -119,6 +119,10 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q28_fingerprint": [
         ("fp", "string"), ("canonical_id", "bigint"), ("n_copies", "bigint"),
     ],
+    "q79_pii_redaction": [
+        ("source", "string"), ("emails", "bigint"), ("ips", "bigint"),
+        ("phones", "bigint"), ("corpus_fp", "string"),
+    ],
     "q22_exact_dedup_count": [("total", "bigint"), ("uniq", "bigint")],
     "q29_exact_dedup": [("doc_id", "bigint"), ("n_copies", "bigint")],
     "q23a_label_counts": [("label", "int"), ("n", "bigint")],
@@ -220,7 +224,9 @@ BUNDLES: dict[str, list[str]] = {
         "q25_token_stats", "q51_bpe_token_stats", "q61_token_topk",
         "q77_chunk_windows", "q78_pack_chunks",
     ],
-    "q26_28_quality": ["q26_quality_score", "q28_fingerprint"],
+    "q26_28_quality": [
+        "q26_quality_score", "q28_fingerprint", "q79_pii_redaction",
+    ],
     "q22_29_exact_dedup": ["q22_exact_dedup_count", "q29_exact_dedup"],
     "q23_embed_audit": ["q23a_label_counts", "q23b_vec_dims"],
     "q33_34_similarity": ["q33_cosine_topk", "q34_knn_per_label"],

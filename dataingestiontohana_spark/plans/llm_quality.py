@@ -160,3 +160,121 @@ ORACLES = {
         LIMIT 20
     """,
 }
+
+
+# PII patterns: simple char-class regexes chosen to mean the same
+# thing in Java regex (Spark) and RE2 (DuckDB) — no lookaround, no
+# backreferences. Replacement order is fixed (email, ip, phone):
+# applying them sequentially is part of the operator contract.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d{1,3}[- ]\d{3}[- ]\d{3}[- ]\d{4}"
+
+
+def redact_pii(col):
+    """text -> (n_emails, n_ips, n_phones, redacted) — count then
+    sequentially replace each PII class with a typed token. Pure
+    codegen regexp columns: at 100 TB this is a map-only scan."""
+    n_e = F.regexp_count(col, F.lit(PII_EMAIL))
+    n_i = F.regexp_count(col, F.lit(PII_IPV4))
+    n_p = F.regexp_count(col, F.lit(PII_PHONE))
+    red = F.regexp_replace(col, PII_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IPV4, "<IP>")
+    red = F.regexp_replace(red, PII_PHONE, "<PHONE>")
+    return n_e, n_i, n_p, red
+
+
+def q79_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the curation pass every training corpus gets.
+
+    The shipped documents contain no PII, so the query PLANTS
+    deterministic PII first (every 7th doc gains an email, every 11th
+    an IPv4, every 13th a phone — all derived from doc_id, so the
+    DuckDB oracle builds the identical corpus), then counts and
+    redacts. Output is per-source totals plus an md5 over all redacted
+    text (order-canonicalized), so the oracle verifies both the counts
+    AND the exact redacted bytes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" contact user"), did.cast("string"), F.lit("@example.com")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" from 10.0."), (did % 256).cast("string"), F.lit(".77")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 0,
+            F.concat(
+                F.lit(" call +1 555 01"),
+                (did % 10).cast("string"),
+                F.lit(" 0000"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    n_e, n_i, n_p, red = redact_pii(planted)
+    per_doc = d.select(
+        "source",
+        "doc_id",
+        n_e.alias("n_emails"),
+        n_i.alias("n_ips"),
+        n_p.alias("n_phones"),
+        F.md5(red).alias("red_fp"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.sum("n_emails").cast("bigint").alias("emails"),
+            F.sum("n_ips").cast("bigint").alias("ips"),
+            F.sum("n_phones").cast("bigint").alias("phones"),
+            F.md5(F.concat_ws("", F.sort_array(F.collect_list("red_fp"))))
+            .alias("corpus_fp"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["q79_pii_redaction"] = q79_pii_redaction
+
+# The oracle rebuilds the identical planted corpus (doc_id-derived
+# PII) and applies the same three patterns in the same order; DuckDB
+# counts via len(regexp_extract_all) and redacts with the 'g' flag.
+ORACLES["q79_pii_redaction"] = rf"""
+    WITH planted AS (
+      SELECT source, doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.77' ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                     THEN ' call +1 555 01' || CAST(doc_id % 10 AS VARCHAR)
+                          || ' 0000' ELSE '' END AS t
+      FROM documents),
+    red AS (
+      SELECT source,
+             len(regexp_extract_all(t, '{PII_EMAIL}')) AS n_emails,
+             len(regexp_extract_all(t, '{PII_IPV4}')) AS n_ips,
+             len(regexp_extract_all(t, '{PII_PHONE}')) AS n_phones,
+             md5(regexp_replace(regexp_replace(regexp_replace(t,
+                 '{PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{PII_IPV4}', '<IP>', 'g'),
+                 '{PII_PHONE}', '<PHONE>', 'g')) AS red_fp
+      FROM planted)
+    SELECT source,
+           CAST(SUM(n_emails) AS BIGINT) AS emails,
+           CAST(SUM(n_ips) AS BIGINT) AS ips,
+           CAST(SUM(n_phones) AS BIGINT) AS phones,
+           md5(string_agg(red_fp, '' ORDER BY red_fp)) AS corpus_fp
+    FROM red GROUP BY source ORDER BY source
+"""

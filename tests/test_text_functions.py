@@ -79,3 +79,29 @@ def test_simhash_similar_docs_close_fingerprints(spark):
     ham = lambda a, b: sum(x != y for x, y in zip(a, b))  # noqa: E731
     assert ham(bits[1], bits[2]) < ham(bits[1], bits[3])
     assert ham(bits[1], bits[2]) <= 8
+
+
+def test_redact_pii_counts_and_replaces(spark):
+    from pyspark.sql import functions as F
+
+    from dataingestiontohana_spark.plans.llm_quality import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-ample.co.uk or x@y.io; ip 192.168.0.1; "
+                "call +44 123 456 7890 now"),
+            (2, "no pii here, just v1.2 of the 3.4 release"),
+        ],
+        "id long, text string",
+    )
+    n_e, n_i, n_p, red = redact_pii(F.col("text"))
+    rows = {r["id"]: r for r in df.select(
+        "id", n_e.alias("e"), n_i.alias("i"), n_p.alias("p"),
+        red.alias("red")).collect()}
+    assert (rows[1]["e"], rows[1]["i"], rows[1]["p"]) == (2, 1, 1)
+    assert "<EMAIL>" in rows[1]["red"] and "<IP>" in rows[1]["red"]
+    assert "<PHONE>" in rows[1]["red"]
+    assert "@" not in rows[1]["red"] and "192.168" not in rows[1]["red"]
+    # version numbers are not IPv4s (need all four octets)
+    assert (rows[2]["e"], rows[2]["i"], rows[2]["p"]) == (0, 0, 0)
+    assert rows[2]["red"] == "no pii here, just v1.2 of the 3.4 release"
