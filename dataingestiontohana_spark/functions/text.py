@@ -59,8 +59,8 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     with non-empty ones: real hash values are non-negative).
     """
     from dataingestiontohana_spark.operators.dedup import (
-        MINHASH_COEFFS,
         MINHASH_PRIME,
+        minhash_coeffs,
     )
 
     def x_of(s: Column) -> Column:
@@ -76,7 +76,7 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
             ),
             F.lit(-(i + 1)).cast("bigint"),
         )
-        for i, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
     return F.array(*mins)
 

@@ -145,7 +145,13 @@ def pack_chunks(
     single-partition window anywhere (the engine-wide plan test
     enforces this).
     """
-    bucket = ((F.col(id_col)) * F.lit(_KNUTH)) % F.lit(n_buckets)
+    # overflow-free reduced form of (doc_id * K) % n_buckets (modular
+    # identity — same value for every id; the naive product exceeds
+    # int64 at id ~ 3.47e9, a realistic corpus size)
+    bucket = F.pmod(
+        F.pmod(F.col(id_col), F.lit(n_buckets)) * F.lit(_KNUTH % n_buckets),
+        F.lit(n_buckets),
+    )
     from pyspark.sql.window import Window
 
     w = (

@@ -35,7 +35,10 @@ ROWS_PER_BAND = NUM_HASHES // BANDS
 # 64-bit signed integers on every engine).
 MINHASH_PRIME = 2_147_483_647
 
-def _minhash_coeffs(n: int, seed: int = 0x5EED_CAFE) -> list[tuple[int, int]]:
+def minhash_coeffs(n: int, seed: int = 0x5EED_CAFE) -> list[tuple[int, int]]:
+    """First n (a_i, b_i) pairs of the seeded family. Sequential draws
+    from one seeded RNG, so coeff lists for different n share a common
+    prefix — num_hashes=8 signatures are a prefix of num_hashes=16's."""
     import random
 
     rng = random.Random(seed)
@@ -44,7 +47,7 @@ def _minhash_coeffs(n: int, seed: int = 0x5EED_CAFE) -> list[tuple[int, int]]:
         for _ in range(n)
     ]
 
-MINHASH_COEFFS = _minhash_coeffs(NUM_HASHES)
+MINHASH_COEFFS = minhash_coeffs(NUM_HASHES)
 
 
 def shingle_hash_rows(
@@ -307,7 +310,7 @@ def minhash_signatures(
     hashed = sh.select(id_col, x.alias("__x"))
     mins = [
         F.min((a * F.col("__x") + b) % MINHASH_PRIME).alias(f"h{i}")
-        for i, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
     return (
         hashed.groupBy(id_col)

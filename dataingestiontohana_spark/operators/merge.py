@@ -69,6 +69,7 @@ def merge_into_partitioned(
     updates: DataFrame,
     key: str,
     part_col: str,
+    check_partition_moves: bool = False,
 ) -> list:
     """Partition-scoped MERGE into a partitioned parquet table — the
     concrete form of the 100 TB story in SCALING.md: a CDC batch must
@@ -85,6 +86,18 @@ def merge_into_partitioned(
        written frame and leaves every other partition's files
        untouched on disk (asserted file-for-file in the test).
 
+    PRECONDITION — the partition value must be immutable per key (the
+    standard partitioned-CDC contract: part_col is derived from the
+    key or otherwise never changes). An update that MOVES a key to a
+    new partition would leave the stale row in the old partition
+    untouched — silent duplication. A partition-changing change must
+    ship as an explicit delete + insert, or go through the full-table
+    `merge_upsert`. Pass ``check_partition_moves=True`` to verify the
+    precondition against the table (one key+partition column-pruned
+    scan of the UNtouched partitions — opt-in because the scan is
+    exactly the cost this operator exists to avoid); violations raise
+    with the offending keys.
+
     The eager localCheckpoint between read and write is load-bearing:
     it materializes the merged slice on the executors and cuts the
     plan's lineage to `path`, without which Spark rejects overwriting
@@ -97,6 +110,20 @@ def merge_into_partitioned(
     shape; the jars are absent in this image.
     """
     touched = [r[0] for r in updates.select(part_col).distinct().collect()]
+    if check_partition_moves:
+        moved = (
+            spark.read.parquet(path)
+            .where(~F.col(part_col).isin(touched))
+            .select(key)
+            .join(F.broadcast(updates.select(key).distinct()), key, "inner")
+            .limit(20)
+            .collect()
+        )
+        if moved:
+            raise ValueError(
+                "updates move keys across partitions (stale copies would "
+                f"survive): {[r[0] for r in moved]}"
+            )
     slice_df = spark.read.parquet(path).where(F.col(part_col).isin(touched))
     merged = merge_upsert(slice_df, updates, key).localCheckpoint(eager=True)
     (

@@ -318,6 +318,11 @@ def _jpeg_scan(
     b: bytes, start: int, w: int, h: int, quant: np.ndarray,
     dc_lut: dict, ac_lut: dict, restart: int,
 ) -> np.ndarray:
+    if w <= 0 or h <= 0:
+        # SOS arrived before (or without) a SOF: no dimensions — treat
+        # as malformed rather than returning an empty pixel array the
+        # caller would take NaN statistics over
+        raise ValueError("jpeg scan without frame dimensions")
     r = _BitReader(b, start)
     bw, bh = (w + 7) // 8, (h + 7) // 8
     img = np.zeros((bh * 8, bw * 8), dtype=np.float64)
@@ -341,7 +346,10 @@ def _jpeg_scan(
                 continue
             k += run
             if k > 63:
-                break
+                # a valid baseline stream never runs past the block;
+                # breaking here would leave `size` magnitude bits
+                # unread and silently desynchronize every later block
+                raise ValueError("jpeg AC run past block end")
             coef[k] = _extend(r.bits(size), size)
             k += 1
         block = np.zeros(64, dtype=np.float64)
@@ -475,9 +483,11 @@ def sample_frames(df: DataFrame, every_k: int = 2) -> DataFrame:
 def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Nearest-neighbor image resize over binary content, re-encoded
     as a single-frame SGM1 container. Works on any decodable image
-    payload (SGM1 images, 8-bit grayscale PNG); rows whose pixels need
-    a real codec (JPEG) or aren't single-frame images are skipped —
-    the standard thumbnail/normalize step of a vision-data pipeline.
+    payload (SGM1 images, 8-bit grayscale PNG, and — since the
+    baseline-JPEG decoder landed — grayscale baseline JPEG); rows
+    whose pixels remain undecodable (color/progressive JPEG, 16-bit or
+    interlaced PNG) or aren't single-frame images are skipped — the
+    standard thumbnail/normalize step of a vision-data pipeline.
     Numpy integer-index gather per Arrow batch; no Python per-pixel
     work."""
 

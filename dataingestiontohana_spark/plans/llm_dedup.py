@@ -201,7 +201,7 @@ QUERIES = {
 _SHINGLES_CTE = """
         tok AS (
           SELECT doc_id,
-                 string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                 string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')),
                               ' ') AS toks
           FROM documents),
         sh AS (
@@ -234,7 +234,7 @@ _EXACT_PAIRS_SQL = f"""
 ORACLES = {
     "q29_exact_dedup": """
         WITH f AS (
-          SELECT md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+          SELECT md5(trim(lower(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))) AS fp,
                  doc_id
           FROM documents)
         SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
@@ -293,8 +293,8 @@ def _q30_oracle_sql(num_hashes: int = 16, bands: int = 4, cap: int = 256) -> str
     exactly representable in a double, so ROUND(.,4) and the >= 0.5
     cut are engine-exact."""
     from dataingestiontohana_spark.operators.dedup import (
-        MINHASH_COEFFS,
         MINHASH_PRIME,
+        minhash_coeffs,
     )
 
     rpb = num_hashes // bands
@@ -308,7 +308,7 @@ def _q30_oracle_sql(num_hashes: int = 16, bands: int = 4, cap: int = 256) -> str
 
     mins = ",\n                 ".join(
         f"MIN(({a} * x + {b}) % {MINHASH_PRIME}) AS h{i}"
-        for i, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     )
     band_rows = "\n            UNION ALL\n            ".join(
         "SELECT doc_id, {b} AS band, md5({expr}) AS bucket FROM sig".format(
@@ -362,7 +362,7 @@ def _q31_oracle_sql(bits: int = 64, band_bits: int = 16) -> str:
         WITH tok AS (
           SELECT doc_id,
                  unnest(string_split(
-                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+                   trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' '))
                  AS tok
           FROM documents),
         bitsrc AS (SELECT doc_id, md5(tok) AS hx FROM tok),

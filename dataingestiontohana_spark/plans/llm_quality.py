@@ -116,7 +116,7 @@ QUERIES = {
 _TOK_CTE = """
         tok AS (
           SELECT doc_id,
-                 string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                 string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')),
                               ' ') AS toks
           FROM documents)
 """

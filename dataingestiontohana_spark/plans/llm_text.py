@@ -147,7 +147,7 @@ QUERIES = {
 }
 
 _MARKER_SQL = {
-    lang: "len(list_filter(regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), t -> t IN ({})))".format(
+    lang: "len(list_filter(regexp_split_to_array(trim(lower(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), ' '), t -> t IN ({})))".format(
         ", ".join(f"'{m}'" for m in markers)
     )
     for lang, markers in _LANG_MARKERS.items()
@@ -164,7 +164,7 @@ ORACLES = {
     "q25_token_stats": """
         WITH t AS (
           SELECT doc_id, source,
-                 len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+                 len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS n_tokens
           FROM documents)
         SELECT source, COUNT(*) AS docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
                ROUND(AVG(n_tokens), 2) AS avg_tokens
@@ -173,7 +173,7 @@ ORACLES = {
     "q26_quality_score": """
         WITH t AS (
           SELECT doc_id, n_chars,
-                 regexp_split_to_array(trim(text), '\\s+') AS toks
+                 regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS toks
           FROM documents),
         s AS (
           SELECT doc_id, len(toks) AS n_tokens,
@@ -205,7 +205,7 @@ ORACLES = {
     ),
     "q28_fingerprint": """
         WITH f AS (
-          SELECT md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+          SELECT md5(trim(lower(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))) AS fp,
                  doc_id
           FROM documents)
         SELECT fp, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies

@@ -146,6 +146,27 @@ QUERIES = {
     "q78_pack_chunks": q78_pack_chunks,
 }
 
+# Shared chunk-layout CTEs for q77/q78 (stride 112 = 128 - 16):
+# tokenize exactly like functions/text.py tokens(), chunk count =
+# ceil(max(n_tokens - overlap, 1) / stride), one row per chunk index.
+# ONE constant on purpose — q78 packs exactly q77's chunks, and a
+# layout edit must not be able to desynchronize them.
+_CHUNK_CTES = """
+        tok AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')),
+                              ' ') AS toks
+          FROM documents),
+        meta AS (
+          SELECT doc_id, toks,
+                 CAST(ceil(greatest(len(toks) - 16, 1) / 112.0) AS INT) AS nc
+          FROM tok),
+        chunks AS (
+          SELECT doc_id, toks,
+                 CAST(unnest(range(0, nc)) AS INT) AS chunk_id
+          FROM meta)
+"""
+
 ORACLES = {
     "q51_bpe_token_stats": """
         WITH t AS (
@@ -174,23 +195,10 @@ ORACLES = {
                CAST(1 AS BIGINT) AS p99_ok
         FROM documents
     """,
-    # Chunk layout mirrored arithmetically: stride = 112, n_chunks =
-    # ceil(max(n_tokens - 16, 1) / 112); list_slice is 1-based
-    # inclusive like Spark's slice, both truncate at the array end.
-    "q77_chunk_windows": """
-        WITH tok AS (
-          SELECT doc_id,
-                 string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
-                              ' ') AS toks
-          FROM documents),
-        meta AS (
-          SELECT doc_id, toks,
-                 CAST(ceil(greatest(len(toks) - 16, 1) / 112.0) AS INT) AS nc
-          FROM tok),
-        chunks AS (
-          SELECT doc_id, toks,
-                 CAST(unnest(range(0, nc)) AS INT) AS chunk_id
-          FROM meta),
+    # list_slice is 1-based inclusive like Spark's slice; both
+    # truncate at the array end.
+    "q77_chunk_windows": f"""
+        WITH {_CHUNK_CTES},
         out AS (
           SELECT doc_id, chunk_id,
                  CAST(len(list_slice(toks, chunk_id * 112 + 1,
@@ -201,24 +209,12 @@ ORACLES = {
           FROM chunks)
         SELECT * FROM out ORDER BY doc_id, chunk_id
     """,
-    # Same chunk CTEs as q77, then the bucketed concat-stream packing:
-    # bucket = Knuth hash of doc_id mod 8; a chunk joins the pack where
-    # its cumulative start falls (floor(before/2048)). 2048 = 2^11 so
-    # the fill division is exact in binary and ROUND(.,4) matches.
-    "q78_pack_chunks": """
-        WITH tok AS (
-          SELECT doc_id,
-                 string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
-                              ' ') AS toks
-          FROM documents),
-        meta AS (
-          SELECT doc_id, toks,
-                 CAST(ceil(greatest(len(toks) - 16, 1) / 112.0) AS INT) AS nc
-          FROM tok),
-        chunks AS (
-          SELECT doc_id, toks,
-                 CAST(unnest(range(0, nc)) AS INT) AS chunk_id
-          FROM meta),
+    # Same chunk CTEs as q77 (shared constant), then the bucketed
+    # concat-stream packing: bucket = Knuth hash of doc_id mod 8; a
+    # chunk joins the pack where its cumulative start falls
+    # (floor(before/2048)). 2048 = 2^11 keeps the fill division exact.
+    "q78_pack_chunks": f"""
+        WITH {_CHUNK_CTES},
         chunk_rows AS (
           SELECT doc_id, chunk_id,
                  CAST(len(list_slice(toks, chunk_id * 112 + 1,

@@ -46,6 +46,11 @@ def _synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
     df = _MEDIA_CACHE.get(key)
     if df is not None:
         return df
+    # bound the cache: entries for stopped sessions are unreachable but
+    # would otherwise accumulate across session restarts in one process
+    # (pytest, repeated bench runs) — latest application only
+    for k in [k for k in _MEDIA_CACHE if k[0] != key[0]]:
+        _MEDIA_CACHE.pop(k, None)
     rows = []
     for i in range(n):
         kind = (

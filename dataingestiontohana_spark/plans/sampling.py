@@ -28,14 +28,21 @@ from pyspark.sql import functions as F
 from dataingestiontohana_spark.catalog import load_table
 from dataingestiontohana_spark.operators.ranks import bucketed_ranks, exact_ntile
 
-# Knuth's multiplicative hash constant; doc_id fits far below the
-# int64 overflow boundary (ANSI mode would throw, not wrap).
+# Knuth's multiplicative hash constant.
 _KNUTH = 2654435761
 
 
 def _bucket(id_col: F.Column, modulus: int, salt: int = 0) -> F.Column:
-    """Deterministic bucket in [0, modulus): ((id + salt) * K) % m."""
-    return ((id_col + F.lit(salt)) * F.lit(_KNUTH)) % F.lit(modulus)
+    """Deterministic bucket in [0, modulus): ((id + salt) * K) % m,
+    computed in the overflow-free reduced form
+    ((x % m) * (K % m)) % m — algebraically IDENTICAL (modular
+    multiplication identity) for every id, so the oracles' naive
+    (doc_id * K) % m SQL matches verbatim, but each intermediate stays
+    below m^2 (~10^4 here) instead of the naive product, which exceeds
+    int64 once id >= 2^63/K ~ 3.47e9 — a realistic doc count at
+    100 TB (ANSI mode throws; legacy mode wraps negative)."""
+    x = F.pmod(id_col + F.lit(salt), F.lit(modulus))
+    return F.pmod(x * F.lit(_KNUTH % modulus), F.lit(modulus))
 
 
 def q57_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -240,7 +247,7 @@ ORACLES = {
         SELECT tok, c
         FROM (SELECT tok, COUNT(*) AS c
               FROM (SELECT unnest(string_split(
-                        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                        trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')),
                         ' ')) AS tok
                     FROM documents) u
               GROUP BY tok) g

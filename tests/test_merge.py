@@ -52,3 +52,33 @@ def test_merge_into_partitioned_rewrites_only_touched_partitions(
         map(tuple, spark.read.parquet(path).select("k", "v", "p").collect())
     )
     assert got == expect and len(got) == 101  # 100 rows + 1 insert
+
+
+def test_merge_into_partitioned_detects_partition_moves(spark, tmp_path):
+    """The partition-immutability precondition: an update that moves a
+    key to a different partition is rejected with check_partition_moves
+    (silently duplicating the key is the failure mode being guarded)."""
+    import pytest
+
+    from dataingestiontohana_spark.operators.merge import (
+        merge_into_partitioned,
+    )
+
+    path = str(tmp_path / "dim")
+    spark.range(20).selectExpr(
+        "id AS k", "id AS v", "CAST(id % 2 AS INT) AS p"
+    ).write.partitionBy("p").parquet(path)
+
+    # k=4 lives in p=0; the update claims p=1 — a partition move
+    moving = spark.createDataFrame([(4, 99, 1)], "k long, v long, p int")
+    with pytest.raises(ValueError, match="move keys across partitions"):
+        merge_into_partitioned(
+            spark, path, moving, "k", "p", check_partition_moves=True
+        )
+    # a partition-stable update passes the same check
+    stable = spark.createDataFrame([(4, 99, 0)], "k long, v long, p int")
+    merge_into_partitioned(
+        spark, path, stable, "k", "p", check_partition_moves=True
+    )
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got[4] == 99 and len(got) == 20

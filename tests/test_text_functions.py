@@ -105,3 +105,26 @@ def test_redact_pii_counts_and_replaces(spark):
     # version numbers are not IPv4s (need all four octets)
     assert (rows[2]["e"], rows[2]["i"], rows[2]["p"]) == (0, 0, 0)
     assert rows[2]["red"] == "no pii here, just v1.2 of the 3.4 release"
+
+
+def test_tokenize_whitespace_class_matches_duckdb(spark):
+    """Java's \\s is [ \\t\\n\\x0B\\f\\r]; RE2's \\s EXCLUDES \\x0B.
+    The oracles therefore spell the class explicitly — this pins that
+    Spark tokens() and the oracle CTE regex agree on every ASCII
+    whitespace character, vertical tab included."""
+    import duckdb
+
+    nasty = "a\x0bb\tc\nd\fe\rf  g"
+    df = spark.createDataFrame([(1, nasty)], "doc_id long, text string")
+    spark_toks = df.select(tokens(F.col("text")).alias("t")).head()["t"]
+    assert spark_toks == ["a", "b", "c", "d", "e", "f", "g"]
+
+    con = duckdb.connect()
+    (duck_toks,) = con.execute(
+        r"""
+        SELECT string_split(
+          trim(regexp_replace(lower(?), '[ \t\n\x0b\f\r]+', ' ', 'g')), ' ')
+        """,
+        [nasty],
+    ).fetchone()
+    assert list(duck_toks) == spark_toks
