@@ -262,3 +262,27 @@ ORACLES = {
         FROM orders ORDER BY o_orderkey
     """,
 }
+
+
+def vocab_topk_sketch(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Sketch-mode vocabulary head: approx_top_k over exploded tokens.
+
+    q61's exact agg + TakeOrderedAndProject already scales (map-side
+    combine, per-partition heaps); this is the MERGEABLE alternative —
+    the frequent-items sketch can be built per shard/micro-batch and
+    merged later, which the exact form cannot. With maxItemsTracked
+    (default 10k) above the true vocabulary size the sketch is exact;
+    the test pins it against q61's exact head on the shipped corpus.
+    """
+    from dataingestiontohana_spark.functions.text import tokens
+
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    return toks.select(
+        F.expr(f"approx_top_k(tok, {k})").alias("top")
+    ).select(
+        F.posexplode("top").alias("rank", "entry")
+    ).select(
+        F.col("entry.item").alias("tok"),
+        F.col("entry.count").cast("bigint").alias("c"),
+        F.col("rank"),
+    )

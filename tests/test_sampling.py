@@ -210,3 +210,24 @@ def test_split_contamination_matches_python_shingles(spark):
         if n:
             want[i] = n
     assert got == want
+
+
+def test_vocab_topk_sketch_matches_exact_head(spark):
+    """approx_top_k (mergeable frequent-items sketch) with
+    maxItemsTracked above the true vocabulary size equals the exact
+    q61 vocabulary head — same tokens, same counts."""
+    from dataingestiontohana_spark.catalog import load_table
+    from dataingestiontohana_spark.plans.sampling import (
+        q61_token_topk,
+        vocab_topk_sketch,
+    )
+    from tests.conftest import SF0001
+
+    d = load_table(spark, SF0001, "documents")
+    exact = {
+        (r["tok"], r["c"]) for r in q61_token_topk(spark, SF0001).collect()
+    }
+    sketch = {
+        (r["tok"], r["c"]) for r in vocab_topk_sketch(d, 20).collect()
+    }
+    assert sketch == exact
