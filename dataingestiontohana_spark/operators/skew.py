@@ -141,3 +141,56 @@ def plan_has_exchange(df: DataFrame) -> bool:
     """True if the physical plan contains a shuffle exchange — the
     test hook for asserting co-located joins."""
     return "Exchange" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def warehouse_table_dir(spark, table_name: str) -> str:
+    """The directory saveAsTable would use for an unqualified managed
+    table — where a previous process's layout survives when the
+    in-memory catalog forgot it."""
+    import os
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    return os.path.join(wh, table_name.lower())
+
+
+def read_manifest_dir(path: str) -> dict | None:
+    """Path-based manifest read for directories the catalog does not
+    (yet) know about."""
+    import json
+    import os
+
+    try:
+        with open(os.path.join(path, _MANIFEST_NAME)) as f:
+            return json.load(f)
+    except (ValueError, OSError, json.JSONDecodeError):
+        return None
+
+
+def register_bucketed_dir(
+    spark,
+    table_name: str,
+    schema,
+    key: str,
+    path: str,
+    buckets: int = 16,
+) -> None:
+    """Adopt an existing bucketed layout directory as an EXTERNAL
+    table — the cross-process reuse path. The files were produced by
+    this engine's own write_bucketed (same Spark bucket hashing and
+    file naming), so re-declaring the identical CLUSTERED BY spec is
+    sound and the adopted table joins exchange-free exactly like the
+    original; only the catalog entry is recreated, zero data moves.
+    At 100 TB this is the difference between re-shuffling the fact
+    table per process and a metadata-only CREATE TABLE."""
+    cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+    )
+    spark.sql(
+        f"""
+        CREATE TABLE {table_name} ({cols})
+        USING parquet
+        CLUSTERED BY (`{key}`) SORTED BY (`{key}`) INTO {buckets} BUCKETS
+        LOCATION '{path}'
+        """
+    )

@@ -365,10 +365,26 @@ def bucketed_fact_tables(
     )
 
     def ensure(df, name, source):
+        from dataingestiontohana_spark.operators.skew import (
+            read_manifest_dir,
+            register_bucketed_dir,
+            warehouse_table_dir,
+        )
+
         fp = _source_fingerprint(os.path.join(sf_dir, f"{source}.parquet"))
         if spark.catalog.tableExists(name):
             m = read_manifest(spark, name)
             if m is not None and m.get("fingerprint") == fp:
+                return
+        else:
+            # cross-process reuse: a previous process's layout survives
+            # as a warehouse directory the in-memory catalog forgot —
+            # adopt it (metadata-only CREATE TABLE) instead of paying
+            # the bucketed rewrite again
+            d = warehouse_table_dir(spark, name)
+            m = read_manifest_dir(d)
+            if m is not None and m.get("fingerprint") == fp:
+                register_bucketed_dir(spark, name, df.schema, "o_orderkey", d)
                 return
         write_bucketed(df, name, "o_orderkey", manifest={"fingerprint": fp})
 

@@ -228,3 +228,49 @@ def test_aqe_splits_skewed_join_partition(spark):
         "sum(2 * (CASE WHEN id % 10 < 9 THEN CAST(0 AS LONG) ELSE id END)) AS sw",
     ).collect()[0]
     assert (row["sv"], row["sw"]) == (expect["sv"], expect["sw"])
+
+
+def test_adopted_bucketed_dir_joins_exchange_free(spark, tmp_path):
+    """Cross-process layout reuse: a bucketed directory adopted via
+    metadata-only CREATE TABLE (register_bucketed_dir) must behave
+    exactly like the original managed table — bucket spec honored, the
+    equi-join plans with zero exchange, identical rows."""
+    import shutil
+
+    from dataingestiontohana_spark.operators.skew import (
+        read_manifest_dir,
+        register_bucketed_dir,
+        table_location,
+        write_bucketed,
+    )
+
+    df = spark.range(10_000).selectExpr("id AS k", "id * 2 AS v")
+    write_bucketed(df, "t_reuse_src", "k", manifest={"fingerprint": "fp1"})
+    src_dir = table_location(spark, "t_reuse_src")
+
+    # survive-the-catalog simulation: copy the directory aside (DROP
+    # of a managed table would purge it), then adopt the copy
+    adopted_dir = str(tmp_path / "adopted_layout")
+    shutil.copytree(src_dir.removeprefix("file:"), adopted_dir)
+    assert read_manifest_dir(adopted_dir) == {"fingerprint": "fp1"}
+
+    spark.sql("DROP TABLE IF EXISTS t_reuse_adopted")
+    register_bucketed_dir(
+        spark, "t_reuse_adopted", df.schema, "k", adopted_dir
+    )
+
+    # broadcast would hide the point; force sort-merge
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a, b = spark.table("t_reuse_adopted"), spark.table("t_reuse_src")
+        j = a.join(b, "k").select(
+            a["k"], a["v"].alias("va"), b["v"].alias("vb")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan and plan.count("Exchange") == 0
+        assert j.count() == 10_000
+        assert j.where("va != vb").count() == 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_reuse_adopted")
+        spark.sql("DROP TABLE IF EXISTS t_reuse_src")
