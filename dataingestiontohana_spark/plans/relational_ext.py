@@ -383,10 +383,20 @@ def bucketed_fact_tables(
             # the bucketed rewrite again
             d = warehouse_table_dir(spark, name)
             m = read_manifest_dir(d)
-            if m is not None and m.get("fingerprint") == fp:
-                register_bucketed_dir(spark, name, df.schema, "o_orderkey", d)
+            # bucket count must match the declared spec — a manifest
+            # without the key predates it and was written with 16
+            if (
+                m is not None
+                and m.get("fingerprint") == fp
+                and m.get("buckets", 16) == 16
+            ):
+                register_bucketed_dir(
+                    spark, name, df.schema, "o_orderkey", d, buckets=16
+                )
                 return
-        write_bucketed(df, name, "o_orderkey", manifest={"fingerprint": fp})
+        write_bucketed(
+            df, name, "o_orderkey", manifest={"fingerprint": fp, "buckets": 16}
+        )
 
     ensure(o, f"b_orders_{tag}", "orders")
     ensure(
