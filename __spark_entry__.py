@@ -40,8 +40,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL per registry entry; the one key absent
-    here (media decode — binary codecs are not SQL-expressible) gets
-    the driver's weaker rows-only check and is pinned by numpy-backed
-    pytest invariants."""
+    """DuckDB-runnable ANSI SQL per registry entry — since round 5 a
+    key exists for EVERY entry in ``queries()`` (media decode was the
+    last holdout: its synthetic payload bytes are md5-expanded from an
+    ASCII seed, so the oracle recomputes every byte and the adjudicated
+    columns are exact integer byte moments)."""
     return dict(_DRIVER_ORACLES)

@@ -39,20 +39,26 @@ KIND_IMAGE, KIND_AUDIO, KIND_VIDEO = 1, 2, 3
 MEDIA_SCHEMA = "media_id long, kind int, content binary"
 DECODED_SCHEMA = (
     "media_id long, kind int, width int, height int, n_frames int, "
-    "n_bytes int, mean_px double, std_px double"
+    "n_bytes int, mean_px double, std_px double, "
+    "px_sum bigint, px_sqsum bigint"
 )
 
 
 def synth_media_bytes(media_id: int, kind: int, width: int, height: int,
                       n_frames: int = 1) -> bytes:
-    """Deterministic fake media: header + sha256-expanded payload."""
+    """Deterministic fake media: header + md5-expanded payload.
+
+    Payload byte ``i`` is byte ``i % 16`` of
+    ``md5(f"{media_id}:{kind}:{i // 16}")`` — an ASCII seed so a SQL
+    oracle (DuckDB ``md5`` over VARCHAR) can recompute every byte and
+    therefore every integer pixel statistic, the same maneuver that
+    made the sensor generator fully value-checkable (q39)."""
     header = struct.pack(_HEADER_FMT, _MAGIC, kind, width, height, n_frames)
     need = width * height * n_frames
     out = bytearray()
     counter = 0
-    seed = struct.pack(">qB", media_id, kind)
     while len(out) < need:
-        out += hashlib.sha256(seed + struct.pack(">I", counter)).digest()
+        out += hashlib.md5(f"{media_id}:{kind}:{counter}".encode()).digest()
         counter += 1
     return header + bytes(out[:need])
 
@@ -416,7 +422,12 @@ def _decode_payload(content: bytes) -> tuple[int, int, int, np.ndarray | None]:
 
 
 def decode_media(df: DataFrame) -> DataFrame:
-    """binary media -> typed metadata + basic pixel statistics."""
+    """binary media -> typed metadata + pixel statistics.
+
+    ``mean_px``/``std_px`` are the human-facing floats; ``px_sum`` /
+    ``px_sqsum`` are EXACT integer moments (sum of byte values, sum of
+    squared byte values) — mergeable partial-aggregate state at scale
+    and bit-reproducible by a SQL oracle, unlike any float path."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -425,18 +436,17 @@ def decode_media(df: DataFrame) -> DataFrame:
                 pdf["media_id"], pdf["kind"], pdf["content"]
             ):
                 w, h, nf, px = _decode_payload(bytes(content))
-                rows.append(
-                    (
-                        mid,
-                        kind,
-                        w,
-                        h,
-                        nf,
-                        len(content),
-                        round(float(px.mean()), 4) if px is not None else None,
-                        round(float(px.std()), 4) if px is not None else None,
+                if px is not None:
+                    px64 = px.astype(np.int64)
+                    stats = (
+                        round(float(px.mean()), 4),
+                        round(float(px.std()), 4),
+                        int(px64.sum()),
+                        int((px64 * px64).sum()),
                     )
-                )
+                else:
+                    stats = (None, None, None, None)
+                rows.append((mid, kind, w, h, nf, len(content)) + stats)
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -448,6 +458,8 @@ def decode_media(df: DataFrame) -> DataFrame:
                     "n_bytes",
                     "mean_px",
                     "std_px",
+                    "px_sum",
+                    "px_sqsum",
                 ],
             )
 
@@ -457,7 +469,10 @@ def decode_media(df: DataFrame) -> DataFrame:
 def sample_frames(df: DataFrame, every_k: int = 2) -> DataFrame:
     """Video frame sampling: emit one row per kept frame (frame payload
     re-encoded as a single-frame image container). Row-expanding
-    mapInPandas — the operator shape of a real decoder."""
+    mapInPandas — the operator shape of a real decoder. Each row also
+    carries ``frame_px_sum``, the exact byte-sum checksum of the kept
+    frame's pixels, so frame SLICING (not just the kept-frame count)
+    is verifiable by an integer oracle."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -472,11 +487,16 @@ def sample_frames(df: DataFrame, every_k: int = 2) -> DataFrame:
                 for fi in range(0, nf, every_k):
                     payload = frames[fi].tobytes()
                     header = struct.pack(_HEADER_FMT, _MAGIC, KIND_IMAGE, w, h, 1)
-                    out.append((mid, fi, header + payload))
-            yield pd.DataFrame(out, columns=["media_id", "frame_idx", "frame"])
+                    checksum = int(frames[fi].astype(np.int64).sum())
+                    out.append((mid, fi, header + payload, checksum))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "frame_idx", "frame", "frame_px_sum"],
+            )
 
     return df.mapInPandas(
-        batches, schema="media_id long, frame_idx int, frame binary"
+        batches,
+        schema="media_id long, frame_idx int, frame binary, frame_px_sum bigint",
     )
 
 
@@ -553,14 +573,31 @@ def audio_features(df: DataFrame, n_bands: int = 8) -> DataFrame:
                     round(float(b.mean()), 6) if len(b) else 0.0
                     for b in np.array_split(mag, n_bands)
                 ]
-                out.append((mid, len(px), round(rms, 6), bands))
+                px64 = px.astype(np.int64)
+                out.append(
+                    (
+                        mid,
+                        len(px),
+                        round(rms, 6),
+                        bands,
+                        int(px64.sum()),
+                        int((px64 * px64).sum()),
+                    )
+                )
             yield pd.DataFrame(
-                out, columns=["media_id", "n_samples", "rms", "bands"]
+                out,
+                columns=[
+                    "media_id", "n_samples", "rms", "bands",
+                    "px_sum", "px_sqsum",
+                ],
             )
 
     return df.mapInPandas(
         batches,
-        schema="media_id long, n_samples int, rms double, bands array<double>",
+        schema=(
+            "media_id long, n_samples int, rms double, bands array<double>, "
+            "px_sum bigint, px_sqsum bigint"
+        ),
     )
 
 

@@ -170,7 +170,6 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q70_split_contamination": [
         ("doc_id", "bigint"), ("n_shared_shingles", "bigint"),
     ],
-    # rows-only bundle parts (no oracle; schema still drives slotting)
     "q30_minhash_near_dup": [
         ("id_a", "bigint"), ("id_b", "bigint"), ("jaccard_sig", "double"),
     ],
@@ -184,17 +183,19 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q37_media_decode": [
         ("media_id", "bigint"), ("kind", "int"), ("width", "int"),
         ("height", "int"), ("n_frames", "int"), ("n_bytes", "int"),
-        ("mean_px", "double"), ("std_px", "double"),
+        ("px_sum", "bigint"), ("px_sqsum", "bigint"),
     ],
-    "q38_frame_sample": [("media_id", "bigint"), ("n_sampled", "bigint")],
+    "q38_frame_sample": [
+        ("media_id", "bigint"), ("frame_idx", "int"),
+        ("frame_px_sum", "bigint"),
+    ],
     "q37b_media_resize": [
         ("media_id", "bigint"), ("width", "int"), ("height", "int"),
-        ("n_bytes", "int"),
+        ("n_bytes", "int"), ("px_sum", "bigint"), ("px_sqsum", "bigint"),
     ],
     "q38b_audio_features": [
-        ("media_id", "bigint"), ("n_samples", "int"), ("rms", "double"),
-        ("b0", "double"), ("b1", "double"), ("b2", "double"),
-        ("b3", "double"),
+        ("media_id", "bigint"), ("n_samples", "int"),
+        ("px_sum", "bigint"), ("px_sqsum", "bigint"),
     ],
     "q39_sensor_generate": [
         ("counter", "int"), ("deviceid", "int"), ("temperature", "double"),
@@ -246,10 +247,10 @@ BUNDLES: dict[str, list[str]] = {
     # value-checked in SQL
     "q35_36b_ann": ["q35_ann_lsh", "q36b_ivf_topk"],
     "q30_31_lsh_neardup": ["q30_minhash_near_dup", "q31_simhash_clusters"],
-    # the ONLY remaining rows-only bundle: binary codecs are not
-    # SQL-expressible (>=1 part lacks an oracle -> whole bundle
-    # rows-only). q39_40 left this club in round 4 when the generator
-    # switched to md5-derived values the oracle recomputes verbatim.
+    # oracle-backed since round 5: the synthetic SGM1 payload bytes are
+    # md5-expanded from an ASCII seed, so DuckDB recomputes every byte;
+    # the adjudicated parts emit exact integer byte moments (see
+    # plans/multimodal.py). No rows-only bundle remains.
     "q37_38_media": [
         "q37_media_decode", "q38_frame_sample",
         "q37b_media_resize", "q38b_audio_features",

@@ -1,6 +1,18 @@
 """Declared multimodal queries: binary-column plumbing over the
 documents table (text bytes as opaque content) with an exact oracle,
-plus the decode/frame-sample pipeline on synthetic media (rows-only).
+plus the decode / frame-sample / resize / audio pipeline on synthetic
+media — fully value-oracle-backed since round 5.
+
+Oracle strategy (the q39 md5-grid maneuver applied to media): the
+synthetic SGM1 payload bytes are md5-expanded from an ASCII seed
+(`operators/multimodal.py:synth_media_bytes`), so DuckDB recomputes
+every byte with `md5()` + hex-digit arithmetic. The driver-adjudicated
+parts emit EXACT INTEGER byte moments (px_sum, px_sqsum, per-frame
+checksums) instead of floats: the integer moments determine mean/std/
+rms exactly (mean = sum/n, var = sqsum/n - mean^2), so the check is
+strictly stronger than comparing rounded floats — and immune to
+cross-engine float formatting. Float outputs (mean_px, std_px, rms,
+FFT bands) stay on the operators and are numpy-pinned in pytest.
 """
 
 from __future__ import annotations
@@ -61,55 +73,106 @@ def _synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
         nf = 6 if kind == KIND_VIDEO else 1
         w, h = (256, 1) if kind == KIND_AUDIO else (32, 16)
         rows.append((i, kind, synth_media_bytes(i, kind, w, h, nf)))
-    df = spark.createDataFrame(
-        rows, "media_id long, kind int, content binary"
-    ).localCheckpoint(eager=False)
+    # 64 items x ~3 KB: spread over defaultParallelism(32) partitions,
+    # EVERY downstream mapInPandas pays 32 python-worker invocations
+    # for ~2 rows each — and the bundle chains five such operators.
+    # Coalesce the fixture to 4 partitions (measured: bundle 23 s -> ~3 s
+    # cold at sf0.001). Real media tables read from parquet with
+    # size-based partitioning; this is fixture plumbing, not the
+    # operator's scale shape.
+    df = (
+        spark.createDataFrame(rows, "media_id long, kind int, content binary")
+        .coalesce(4)
+        .localCheckpoint(eager=False)
+    )
     _MEDIA_CACHE[key] = df
     return df
 
 
 def q37_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode pipeline on deterministic synthetic media (rows-only:
-    binary codecs aren't expressible in SQL)."""
-    return decode_media(_synthetic_media(spark)).orderBy("media_id")
-
-
-def q38_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling (every 2nd frame): the row-expanding
-    mapInPandas shape, aggregated per video (rows-only)."""
-    frames = sample_frames(_synthetic_media(spark), every_k=2)
+    """Decode pipeline on deterministic synthetic media. The driver
+    surface is the exact-integer byte moments (px_sum, px_sqsum) plus
+    metadata; these determine the operator's mean/std floats exactly."""
     return (
-        frames.groupBy("media_id")
-        .agg(F.count("*").alias("n_sampled"))
+        decode_media(_synthetic_media(spark))
+        .select(
+            "media_id", "kind", "width", "height", "n_frames",
+            "n_bytes", "px_sum", "px_sqsum",
+        )
         .orderBy("media_id")
     )
 
 
+def q38_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (every 2nd frame): the row-expanding
+    mapInPandas shape, with each kept frame pinned to its exact
+    byte-sum checksum (verifies the SLICE, not just the count)."""
+    frames = sample_frames(_synthetic_media(spark), every_k=2)
+    return frames.select("media_id", "frame_idx", "frame_px_sum").orderBy(
+        "media_id", "frame_idx"
+    )
+
+
 def q37b_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Thumbnail normalization: every decodable image nearest-neighbor
-    resized to 8x8, audited by output byte length (rows-only)."""
+    """Thumbnail normalization: every image nearest-neighbor resized to
+    8x8, then RE-DECODED — the re-encode/decode round trip audited by
+    the exact byte moments of the 64 gathered pixels."""
+    from dataingestiontohana_spark.operators.multimodal import KIND_IMAGE as _KI
+
     resized = resize_images(_synthetic_media(spark), out_w=8, out_h=8)
-    return resized.select(
-        "media_id",
-        "width",
-        "height",
-        F.length("content").cast("int").alias("n_bytes"),
+    decoded = decode_media(
+        resized.select("media_id", F.lit(_KI).alias("kind"), "content")
+    )
+    return decoded.select(
+        "media_id", "width", "height", "n_bytes", "px_sum", "px_sqsum"
     ).orderBy("media_id")
 
 
 def q38b_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio spectral fingerprint: RMS + first rFFT band energies per
-    audio payload (rows-only)."""
+    """Audio feature extraction: sample count + exact integer sample
+    moments per audio payload (rms/FFT-band floats stay on the
+    operator, numpy-pinned in pytest — sums determine rms exactly:
+    rms = sqrt(n*sqsum - sum^2) / (255*n))."""
     feats = audio_features(_synthetic_media(spark), n_bands=8)
     return feats.select(
-        "media_id",
-        "n_samples",
-        "rms",
-        F.col("bands")[0].alias("b0"),
-        F.col("bands")[1].alias("b1"),
-        F.col("bands")[2].alias("b2"),
-        F.col("bands")[3].alias("b3"),
+        "media_id", "n_samples", "px_sum", "px_sqsum"
     ).orderBy("media_id")
+
+
+# DuckDB reconstruction of the synthetic corpus built by
+# `_synthetic_media`: 64 items, kind by media_id % 4, payload bytes
+# md5-expanded from the ASCII seed "{media_id}:{kind}:{chunk}". A
+# payload byte at offset pos is hex pair (pos%16) of chunk pos//16;
+# hex digits decode via strpos on the hex alphabet. Videos need
+# ceil(3072/16) = 192 chunks — the fixed range bound (DuckDB 1.0 range
+# does not accept lateral correlation).
+_MEDIA_BYTES_CTE = """
+media AS (
+  SELECT CAST(i AS BIGINT) AS media_id,
+         CASE WHEN i%4=0 THEN 3 WHEN i%4=1 THEN 2 ELSE 1 END AS kind,
+         CASE WHEN i%4=1 THEN 256 ELSE 32 END AS width,
+         CASE WHEN i%4=1 THEN 1 ELSE 16 END AS height,
+         CASE WHEN i%4=0 THEN 6 ELSE 1 END AS n_frames
+  FROM range(64) t(i)
+),
+chunks AS (
+  SELECT m.media_id, m.kind, m.width, m.height, m.n_frames,
+         m.width*m.height*m.n_frames AS need,
+         CAST(c.j AS INT) AS counter,
+         md5(m.media_id || ':' || m.kind || ':' || c.j) AS h
+  FROM media m, range(192) c(j)
+  WHERE c.j*16 < m.width*m.height*m.n_frames
+),
+mbytes AS (
+  SELECT media_id, kind, width, height, n_frames, need,
+         counter*16 + CAST(g.j AS INT) AS pos,
+         16*(strpos('0123456789abcdef', substr(h, CAST(2*g.j+1 AS INT), 1))-1)
+           + (strpos('0123456789abcdef', substr(h, CAST(2*g.j+2 AS INT), 1))-1)
+           AS b
+  FROM chunks, range(16) g(j)
+  WHERE counter*16 + g.j < need
+)
+"""
 
 
 QUERIES = {
@@ -126,5 +189,50 @@ ORACLES = {
                CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
                md5(text) AS digest
         FROM documents ORDER BY media_id
+    """,
+    "q37_media_decode": f"""
+        WITH {_MEDIA_BYTES_CTE}
+        SELECT media_id, kind, width, height, n_frames,
+               CAST(11 + need AS INTEGER) AS n_bytes,
+               CAST(SUM(b) AS BIGINT) AS px_sum,
+               CAST(SUM(b*b) AS BIGINT) AS px_sqsum
+        FROM mbytes
+        GROUP BY media_id, kind, width, height, n_frames, need
+        ORDER BY media_id
+    """,
+    "q38_frame_sample": f"""
+        WITH {_MEDIA_BYTES_CTE}
+        SELECT media_id,
+               CAST(pos // (width*height) AS INTEGER) AS frame_idx,
+               CAST(SUM(b) AS BIGINT) AS frame_px_sum
+        FROM mbytes
+        WHERE kind = 3 AND (pos // (width*height)) % 2 = 0
+        GROUP BY media_id, frame_idx
+        ORDER BY media_id, frame_idx
+    """,
+    # resize gather for 32x16 -> 8x8: rows (arange(8)*16)//8 = even y,
+    # cols (arange(8)*32)//8 = x % 4 == 0; output container = 11-byte
+    # header + 64 pixels
+    "q37b_media_resize": f"""
+        WITH {_MEDIA_BYTES_CTE}
+        SELECT media_id,
+               CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+               CAST(75 AS INTEGER) AS n_bytes,
+               CAST(SUM(b) AS BIGINT) AS px_sum,
+               CAST(SUM(b*b) AS BIGINT) AS px_sqsum
+        FROM mbytes
+        WHERE kind = 1 AND (pos // 32) % 2 = 0 AND (pos % 32) % 4 = 0
+        GROUP BY media_id
+        ORDER BY media_id
+    """,
+    "q38b_audio_features": f"""
+        WITH {_MEDIA_BYTES_CTE}
+        SELECT media_id, CAST(need AS INTEGER) AS n_samples,
+               CAST(SUM(b) AS BIGINT) AS px_sum,
+               CAST(SUM(b*b) AS BIGINT) AS px_sqsum
+        FROM mbytes
+        WHERE kind = 2
+        GROUP BY media_id, need
+        ORDER BY media_id
     """,
 }

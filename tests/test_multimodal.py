@@ -55,6 +55,44 @@ def test_frame_sampling_and_redecode(spark, media):
     assert all(r["n_frames"] == 1 and r["n_bytes"] == 11 + 8 * 4 for r in decoded)
 
 
+def test_integer_byte_moments_match_numpy(media):
+    """px_sum/px_sqsum are the exact integer moments of the decoded
+    bytes — the driver-adjudicated surface since round 5 (they
+    determine mean/std exactly and are immune to float formatting)."""
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import _decode_payload
+
+    rows = {r["media_id"]: r for r in decode_media(media).collect()}
+    for mid, kind, content in [
+        (1, KIND_IMAGE, synth_media_bytes(1, KIND_IMAGE, 32, 16)),
+        (2, KIND_VIDEO, synth_media_bytes(2, KIND_VIDEO, 8, 4, n_frames=6)),
+    ]:
+        _w, _h, _nf, px = _decode_payload(content)
+        px64 = px.astype(np.int64)
+        assert rows[mid]["px_sum"] == int(px64.sum())
+        assert rows[mid]["px_sqsum"] == int((px64 * px64).sum())
+        # moments determine the floats: mean = sum/n
+        assert rows[mid]["mean_px"] == round(rows[mid]["px_sum"] / len(px), 4)
+
+
+def test_frame_checksums_match_slices(media):
+    """frame_px_sum pins the actual frame SLICE, not just the count."""
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import _decode_payload
+
+    content = synth_media_bytes(2, KIND_VIDEO, 8, 4, n_frames=6)
+    _w, _h, nf, px = _decode_payload(content)
+    frames = px.reshape(nf, 4, 8).astype(np.int64)
+    got = {
+        r["frame_idx"]: r["frame_px_sum"]
+        for r in sample_frames(media, every_k=2).collect()
+        if r["media_id"] == 2
+    }
+    assert got == {fi: int(frames[fi].sum()) for fi in range(0, nf, 2)}
+
+
 def test_codec_bound_formats_are_stubbed(spark):
     mp4ish = spark.createDataFrame(
         [(9, KIND_VIDEO, b"\x00\x00\x00\x18ftypmp42 not decodable here")],
