@@ -50,7 +50,11 @@ def chunk_windows(
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = tokens(text_col)
+    # NULL text behaves like '' (one 1-token chunk of the empty token),
+    # matching the UDTF's `text or ""` — without the coalesce the
+    # declarative path emits n_tokens = NULL for NULL docs and the two
+    # formulations silently diverge (round-4 advice)
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
     n = F.size(toks)
     n_chunks = F.ceil(F.greatest(n - overlap, F.lit(1)) / F.lit(stride)).cast(
         "int"
@@ -117,22 +121,47 @@ def make_chunk_udtf(
 
 
 _KNUTH = 2654435761  # Knuth multiplicative hash; portable across engines
+_M32 = 4294967296
+
+
+def knuth_bucket(id_col: str, n_buckets: int) -> F.Column:
+    """High-bits multiplicative bucket: floor(((id*K) mod 2^32) *
+    n_buckets / 2^32).
+
+    The earlier low-bits form ``(id*K) mod m`` degenerates for even m
+    (K odd => it reduces to a permutation of ``id mod m``: the hash
+    contributed zero mixing, and stride-patterned id spaces skew whole
+    residue classes into one bucket — round-4 advice). The high bits
+    of the 32-bit product DO mix low-bit id structure. Overflow-free
+    via 16-bit limb decomposition (the naive ``id*K`` exceeds int64 at
+    id ~ 3.47e9): x*K = (x>>16)*K*2^16 + (x&0xFFFF)*K (mod 2^32), every
+    intermediate < 2^49 — the same portable expression `operators/
+    ivf.py::sample_centroids` uses, reproducible verbatim in ANSI SQL.
+    """
+    x = F.pmod(F.col(id_col), F.lit(_M32))
+    hi = (
+        F.pmod(F.floor(x / F.lit(65536)) * F.lit(_KNUTH), F.lit(_M32))
+        * F.lit(65536)
+    )
+    lo = F.pmod(x, F.lit(65536)) * F.lit(_KNUTH)
+    h = F.pmod(F.pmod(hi, F.lit(_M32)) + F.pmod(lo, F.lit(_M32)), F.lit(_M32))
+    return F.floor(h * F.lit(n_buckets) / F.lit(_M32)).cast("int")
 
 
 def pack_chunks(
     chunks: DataFrame,
     budget_tokens: int = 2048,
-    n_buckets: int = 8,
+    n_buckets: int | None = None,
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Pack chunk rows into fixed-token-budget training sequences:
     (bucket, pack_id, n_chunks, n_tokens, fill) — one row per packed
     sequence.
 
-    Layout: each chunk lands in a deterministic bucket (Knuth
-    multiplicative hash of the doc id — portable, so co-located with
-    its document's other chunks), chunks order by (doc_id, chunk_id)
-    within the bucket, and a chunk belongs to pack
+    Layout: each chunk lands in a deterministic bucket (high-bits
+    Knuth multiplicative hash of the doc id — portable, so co-located
+    with its document's other chunks), chunks order by (doc_id,
+    chunk_id) within the bucket, and a chunk belongs to pack
     floor(tokens_before_it / budget) — the concat-stream-then-cut
     packing, where the chunk straddling a cut starts the next
     sequence's attention span. This is the window-expressible packing:
@@ -140,18 +169,18 @@ def pack_chunks(
     and cannot parallelize beyond buckets either.
 
     Scale: ONE window (cumulative sum) partitioned by bucket — the
-    parallel unit is the bucket, so n_buckets scales with the cluster;
-    the per-pack aggregation then reduces on (bucket, pack_id). No
-    single-partition window anywhere (the engine-wide plan test
-    enforces this).
+    parallel unit is the bucket. ``n_buckets`` defaults to the
+    cluster's ``defaultParallelism`` so the window parallelism tracks
+    the cluster automatically (on a 1000-executor cluster the cumsum
+    fans out 1000+ ways with no parameter tuning); pass an explicit
+    value when the bucket layout itself is part of the output contract
+    (the declared q78 pins 8 for oracle stability). The per-pack
+    aggregation then reduces on (bucket, pack_id). No single-partition
+    window anywhere (the engine-wide plan test enforces this).
     """
-    # overflow-free reduced form of (doc_id * K) % n_buckets (modular
-    # identity — same value for every id; the naive product exceeds
-    # int64 at id ~ 3.47e9, a realistic corpus size)
-    bucket = F.pmod(
-        F.pmod(F.col(id_col), F.lit(n_buckets)) * F.lit(_KNUTH % n_buckets),
-        F.lit(n_buckets),
-    )
+    if n_buckets is None:
+        n_buckets = chunks.sparkSession.sparkContext.defaultParallelism
+    bucket = knuth_bucket(id_col, n_buckets)
     from pyspark.sql.window import Window
 
     w = (

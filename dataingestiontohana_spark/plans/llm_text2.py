@@ -154,7 +154,7 @@ QUERIES = {
 _CHUNK_CTES = """
         tok AS (
           SELECT doc_id,
-                 string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')),
+                 string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')),
                               ' ') AS toks
           FROM documents),
         meta AS (
@@ -210,9 +210,12 @@ ORACLES = {
         SELECT * FROM out ORDER BY doc_id, chunk_id
     """,
     # Same chunk CTEs as q77 (shared constant), then the bucketed
-    # concat-stream packing: bucket = Knuth hash of doc_id mod 8; a
-    # chunk joins the pack where its cumulative start falls
-    # (floor(before/2048)). 2048 = 2^11 keeps the fill division exact.
+    # concat-stream packing: bucket = high 3 bits of the 32-bit Knuth
+    # product (16-bit limb decomposition keeps every intermediate
+    # int64-safe — the exact expression of operators/chunking.py::
+    # knuth_bucket); a chunk joins the pack where its cumulative start
+    # falls (floor(before/2048)). 2048 = 2^11 keeps the fill division
+    # exact.
     "q78_pack_chunks": f"""
         WITH {_CHUNK_CTES},
         chunk_rows AS (
@@ -220,13 +223,20 @@ ORACLES = {
                  CAST(len(list_slice(toks, chunk_id * 112 + 1,
                                      chunk_id * 112 + 128)) AS INT) AS n_tokens
           FROM chunks),
+        hashed AS (
+          SELECT doc_id, chunk_id, n_tokens,
+                 ((((doc_id % 4294967296) // 65536) * 2654435761 % 4294967296)
+                    * 65536 % 4294967296
+                  + (doc_id % 65536) * 2654435761 % 4294967296)
+                 % 4294967296 AS h32
+          FROM chunk_rows),
         staged AS (
-          SELECT (doc_id * 2654435761) % 8 AS bucket, n_tokens,
+          SELECT (h32 * 8) // 4294967296 AS bucket, n_tokens,
                  SUM(n_tokens) OVER (
-                   PARTITION BY (doc_id * 2654435761) % 8
+                   PARTITION BY (h32 * 8) // 4294967296
                    ORDER BY doc_id, chunk_id
                    ROWS UNBOUNDED PRECEDING) - n_tokens AS before
-          FROM chunk_rows),
+          FROM hashed),
         packs AS (
           SELECT CAST(bucket AS INT) AS bucket,
                  CAST(floor(before / 2048.0) AS INT) AS pack_id, n_tokens
