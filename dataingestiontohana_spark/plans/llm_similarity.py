@@ -191,6 +191,130 @@ def q35_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# broadcast budget for the probe shard, mirroring the role of Spark's
+# own broadcast-join build-side limit: ~0.5 KB/row (64 x float64 + id)
+# -> ~1M probe rows. Probes beyond the budget should use
+# embed_neardup_cogrouped (no driver materialization at any size).
+_PROBE_BROADCAST_BYTES = 512 << 20
+
+
+def embed_neardup_broadcast(
+    corpus: DataFrame, probes: DataFrame, tau: float
+) -> DataFrame:
+    """Probe-vs-corpus exact-cosine scoring, broadcast formulation:
+    the probe shard transits the driver ONCE into a torrent broadcast
+    (`sparkContext.broadcast` — the identical mechanics to the build
+    side of Spark's own BroadcastHashJoin), and each Arrow batch of
+    corpus vectors does ONE B x 64 @ 64 x P matmul against
+    ``bc.value``. The corpus streams through map-only: no join, no
+    shuffle, no per-pair Python, and — unlike shipping the matrix in
+    the task closure — the probe matrix crosses the network once per
+    EXECUTOR, not once per task (at 100k corpus tasks that is the
+    difference between 16 MB and 1.6 TB of closure traffic).
+
+    Driver memory is bounded by a byte budget, not a row cap: a cheap
+    count() prepass (columnar scan of the filter+id columns only)
+    fails fast BEFORE any vector transfer when the shard exceeds the
+    broadcast budget, exactly like a broadcast join that overflows
+    its threshold."""
+    spark = corpus.sparkSession
+    probes = probes.select("vec_id", "embedding")
+    n_probes = probes.count()
+    est_bytes = n_probes * (8 + DIM * 8)
+    if est_bytes > _PROBE_BROADCAST_BYTES:
+        raise ValueError(
+            f"probe shard ~{est_bytes >> 20} MB exceeds the "
+            f"{_PROBE_BROADCAST_BYTES >> 20} MB broadcast budget; use "
+            "embed_neardup_cogrouped (executor-side, unbounded) instead"
+        )
+    pdf = probes.toPandas()
+    out_schema = "probe_id bigint, vec_id bigint, cos_sim double"
+    if pdf.empty:
+        return spark.createDataFrame([], out_schema)
+    pids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    pmat = np.stack(pdf["embedding"].apply(np.asarray, dtype=np.float64).values)
+    bc = spark.sparkContext.broadcast((pids, pmat))
+
+    def score(batches):
+        b_pids, b_pmat = bc.value
+        pnorm = np.linalg.norm(b_pmat, axis=1)
+        for cdf in batches:
+            if cdf.empty:
+                continue
+            mat = np.stack(cdf["embedding"].apply(np.asarray, dtype=np.float64).values)
+            sims = (mat @ b_pmat.T) / (
+                np.linalg.norm(mat, axis=1)[:, None] * pnorm[None, :]
+            )
+            bi, pj = np.nonzero(sims >= tau)
+            out = pd.DataFrame(
+                {
+                    "probe_id": b_pids[pj],
+                    "vec_id": cdf["vec_id"].values[bi],
+                    "cos_sim": sims[bi, pj],
+                }
+            )
+            yield out[out.probe_id != out.vec_id]
+
+    return corpus.select("vec_id", "embedding").mapInPandas(score, out_schema)
+
+
+def embed_neardup_cogrouped(
+    corpus: DataFrame,
+    probes: DataFrame,
+    tau: float,
+    n_salts: int | None = None,
+) -> DataFrame:
+    """Probe-vs-corpus exact-cosine scoring with NO driver
+    materialization at any probe size — the scale path past the
+    broadcast budget. The corpus is salted into ``n_salts`` buckets
+    (xxhash64 of the id), the probe shard is replicated to every salt
+    (an executor-side explode — P x n_salts small rows through one
+    shuffle), and a grouped cogroup matmul scores each corpus bucket
+    against the full probe set. Costs one corpus shuffle (the price of
+    dropping the broadcast); each task holds corpus/n_salts rows plus
+    the probe matrix, so n_salts sizes task memory and defaults to the
+    cluster parallelism."""
+    spark = corpus.sparkSession
+    if n_salts is None:
+        n_salts = spark.sparkContext.defaultParallelism
+    salted = corpus.select(
+        F.pmod(F.xxhash64("vec_id"), F.lit(n_salts)).alias("salt"),
+        "vec_id",
+        "embedding",
+    )
+    repl = probes.select(
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("salt"),
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pemb"),
+    ).withColumn("salt", F.col("salt").cast("bigint"))
+
+    def score(cdf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"probe_id": [], "vec_id": [], "cos_sim": []})
+        if cdf.empty or pdf.empty:
+            return empty
+        mat = np.stack(cdf["embedding"].apply(np.asarray, dtype=np.float64).values)
+        pmat = np.stack(pdf["pemb"].apply(np.asarray, dtype=np.float64).values)
+        sims = (mat @ pmat.T) / (
+            np.linalg.norm(mat, axis=1)[:, None]
+            * np.linalg.norm(pmat, axis=1)[None, :]
+        )
+        bi, pj = np.nonzero(sims >= tau)
+        out = pd.DataFrame(
+            {
+                "probe_id": pdf["probe_id"].values[pj],
+                "vec_id": cdf["vec_id"].values[bi],
+                "cos_sim": sims[bi, pj],
+            }
+        )
+        return out[out.probe_id != out.vec_id]
+
+    return (
+        salted.groupBy("salt")
+        .cogroup(repl.groupBy("salt"))
+        .applyInPandas(score, "probe_id bigint, vec_id bigint, cos_sim double")
+    )
+
+
 def q73_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection: an incoming probe
     batch (every vec_id divisible by 97 — standing in for 'the new
@@ -199,15 +323,11 @@ def q73_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the embedding-space member of the dedup family (exact / MinHash /
     SimHash / n-gram Jaccard / embedding-cosine).
 
-    Scale design: the probe batch is bounded (an ingest shard), so it
-    collects to the driver once (same bounded-collect pattern as the
-    IVF centroid fetch) and rides into a ``mapInPandas`` closure as a
-    P x 64 numpy matrix. Each Arrow batch of corpus vectors does ONE
-    B x 64 @ 64 x P matmul — the corpus streams through map-only, no
-    join, no shuffle, no per-pair Python. At 1000 executors this is
-    embarrassingly parallel over corpus splits; the alternative
-    broadcast-nested-loop join would push P copies of every corpus
-    vector through Arrow.
+    Scale design: `embed_neardup_broadcast` — probe matrix torrent-
+    broadcast (once per executor), corpus streamed map-only through
+    one matmul per Arrow batch. Byte-budgeted like a broadcast join,
+    with `embed_neardup_cogrouped` (pytest-pinned equal) as the
+    unbounded executor-side path past the budget.
 
     The 0.32 threshold sits in a measured empty band of the score
     distribution at every shipped SF (nearest scores: 0.3197 / 0.3200
@@ -215,57 +335,14 @@ def q73_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation and the oracle's sequential fold cannot flip a pair in
     or out; the reported cos_sim is then rounded to 6 decimals on both
     sides (q33/q63 precedent) so the comparison is exact-stringable.
-
-    Driver-memory bound: the probe collect is capped at
-    ``_MAX_PROBE_BATCH`` rows (64-dim float64 ≈ 0.5 KB/row → ~16 MB at
-    the cap). An oversized probe shard fails fast with a clear error
-    instead of silently OOM-ing the driver; real deployments would
-    split the shard and run per-split.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    _MAX_PROBE_BATCH = 32768
-    probes = (
-        e.where(F.col("vec_id") % 97 == 0)
-        .select("vec_id", "embedding")
-        .limit(_MAX_PROBE_BATCH + 1)
-        .collect()
+    scored = embed_neardup_broadcast(
+        e, e.where(F.col("vec_id") % 97 == 0), tau=0.32
     )
-    if len(probes) > _MAX_PROBE_BATCH:
-        raise ValueError(
-            f"probe batch exceeds {_MAX_PROBE_BATCH} rows; split the "
-            "ingest shard before embedding near-dup detection"
-        )
-    pids = np.array([r["vec_id"] for r in probes], dtype=np.int64)
-    pmat = np.stack(
-        [np.asarray(r["embedding"], dtype=np.float64) for r in probes]
-    )
-    tau = 0.32
-
-    def score(batches):
-        pnorm = np.linalg.norm(pmat, axis=1)
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            mat = np.stack(pdf["embedding"].apply(np.asarray, dtype=np.float64).values)
-            sims = (mat @ pmat.T) / (
-                np.linalg.norm(mat, axis=1)[:, None] * pnorm[None, :]
-            )
-            bi, pj = np.nonzero(sims >= tau)
-            out = pd.DataFrame(
-                {
-                    "probe_id": pids[pj],
-                    "vec_id": pdf["vec_id"].values[bi],
-                    "cos_sim": sims[bi, pj],
-                }
-            )
-            yield out[out.probe_id != out.vec_id]
-
-    return (
-        e.select("vec_id", "embedding")
-        .mapInPandas(score, "probe_id bigint, vec_id bigint, cos_sim double")
-        .select("probe_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"))
-        .orderBy("probe_id", "vec_id")
-    )
+    return scored.select(
+        "probe_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim")
+    ).orderBy("probe_id", "vec_id")
 
 
 def q63_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -79,3 +79,42 @@ def test_lsh_opposite_vectors_opposite_signature(spark):
     sigs = {r["vec_id"]: r["lsh_sig"] for r in lsh_signatures(df).collect()}
     flipped = "".join("1" if c == "0" else "0" for c in sigs[1])
     assert sigs[2] == flipped
+
+
+def test_cogrouped_neardup_matches_broadcast_path(spark):
+    """The executor-side salted-cogroup formulation (the path past the
+    broadcast budget) must produce exactly the broadcast path's pairs."""
+    from dataingestiontohana_spark.catalog import load_table
+    from dataingestiontohana_spark.plans.llm_similarity import (
+        embed_neardup_broadcast,
+        embed_neardup_cogrouped,
+    )
+    from tests.conftest import SF0001
+
+    e = load_table(spark, SF0001, "embeddings")
+    probes = e.where(F.col("vec_id") % 97 == 0)
+    want = sorted(
+        (r["probe_id"], r["vec_id"], round(r["cos_sim"], 6))
+        for r in embed_neardup_broadcast(e, probes, tau=0.32).collect()
+    )
+    got = sorted(
+        (r["probe_id"], r["vec_id"], round(r["cos_sim"], 6))
+        for r in embed_neardup_cogrouped(e, probes, tau=0.32, n_salts=5).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_probe_broadcast_budget_fails_fast(spark, monkeypatch):
+    """An over-budget probe shard must fail BEFORE any vector transfer
+    (count prepass), pointing at the cogrouped path."""
+    import pytest
+
+    import dataingestiontohana_spark.plans.llm_similarity as sim
+
+    df = spark.createDataFrame(
+        [(i, [0.0] * 64) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    monkeypatch.setattr(sim, "_PROBE_BROADCAST_BYTES", 3 * (8 + 64 * 8))
+    with pytest.raises(ValueError, match="cogrouped"):
+        sim.embed_neardup_broadcast(df, df, tau=0.5)
