@@ -110,6 +110,18 @@ def merge_into_partitioned(
     shape; the jars are absent in this image.
     """
     touched = [r[0] for r in updates.select(part_col).distinct().collect()]
+    if any(v is None for v in touched):
+        # isin(touched) is NULL (not true) for NULL partition values, so
+        # the null-partition slice would be excluded from the read-back
+        # merge — yet dynamic overwrite would still replace the
+        # __HIVE_DEFAULT_PARTITION__ directory with ONLY the update
+        # rows, silently deleting its pre-existing rows (round-4
+        # advice). Refuse rather than guess a semantics.
+        raise ValueError(
+            f"updates contain NULL {part_col!r} partition values; "
+            "partition-scoped MERGE requires a concrete partition per "
+            "update row (map NULLs to a sentinel partition upstream)"
+        )
     if check_partition_moves:
         moved = (
             spark.read.parquet(path)

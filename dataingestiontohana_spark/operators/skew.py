@@ -16,6 +16,8 @@ are for the cases you control statically:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -183,14 +185,22 @@ def register_bucketed_dir(
     original; only the catalog entry is recreated, zero data moves.
     At 100 TB this is the difference between re-shuffling the fact
     table per process and a metadata-only CREATE TABLE."""
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", table_name):
+        raise ValueError(f"invalid table identifier: {table_name!r}")
     cols = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
     )
+    # LOCATION is a SQL string literal: escape embedded quotes so a
+    # path containing ' cannot break (or inject into) the statement.
+    # NOTE: the manifest read above assumes a driver-visible filesystem
+    # path (local fs or a mounted store); on object stores pass a path
+    # the driver can open.
+    loc = path.replace("'", "''")
     spark.sql(
         f"""
-        CREATE TABLE {table_name} ({cols})
+        CREATE TABLE `{table_name}` ({cols})
         USING parquet
         CLUSTERED BY (`{key}`) SORTED BY (`{key}`) INTO {buckets} BUCKETS
-        LOCATION '{path}'
+        LOCATION '{loc}'
         """
     )

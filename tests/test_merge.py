@@ -82,3 +82,29 @@ def test_merge_into_partitioned_detects_partition_moves(spark, tmp_path):
     )
     got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
     assert got[4] == 99 and len(got) == 20
+
+
+def test_merge_into_partitioned_rejects_null_partition_updates(
+    spark, tmp_path
+):
+    """NULL partition values in the update batch must be refused:
+    isin(touched) would exclude the null-partition slice from the
+    read-back, yet dynamic overwrite would still replace the
+    __HIVE_DEFAULT_PARTITION__ directory with only the update rows,
+    deleting its pre-existing rows (round-4 advice)."""
+    import pytest
+
+    from dataingestiontohana_spark.operators.merge import (
+        merge_into_partitioned,
+    )
+
+    path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(1, 10, 0), (2, 20, None), (3, 30, None)], "k long, v long, p int"
+    ).write.partitionBy("p").parquet(path)
+
+    nullish = spark.createDataFrame([(2, 99, None)], "k long, v long, p int")
+    with pytest.raises(ValueError, match="NULL 'p' partition"):
+        merge_into_partitioned(spark, path, nullish, "k", "p")
+    # table untouched: the null-partition rows survived
+    assert spark.read.parquet(path).count() == 3

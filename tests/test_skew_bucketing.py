@@ -274,3 +274,34 @@ def test_adopted_bucketed_dir_joins_exchange_free(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_reuse_adopted")
         spark.sql("DROP TABLE IF EXISTS t_reuse_src")
+
+
+def test_register_bucketed_dir_quotes_identifiers_and_paths(spark, tmp_path):
+    """DDL safety: a quote-bearing LOCATION must not break the CREATE
+    TABLE statement, and a non-identifier table name is rejected
+    rather than interpolated (round-4 advice)."""
+    import pytest
+
+    from dataingestiontohana_spark.operators.skew import (
+        register_bucketed_dir,
+        write_bucketed,
+    )
+
+    df = spark.range(50).selectExpr("id AS k", "id * 2 AS v")
+    quoted_dir = str(tmp_path / "o'brien")
+    write_bucketed(df, "adopt_quoted_src", "k", buckets=4)
+    # adopt from a path containing a single quote: copy the layout dir
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.copytree(f"{warehouse}/adopt_quoted_src", quoted_dir)
+    register_bucketed_dir(
+        spark, "adopt_quoted", df.schema, "k", quoted_dir, buckets=4
+    )
+    assert spark.table("adopt_quoted").count() == 50
+    with pytest.raises(ValueError, match="invalid table identifier"):
+        register_bucketed_dir(
+            spark, "x; DROP TABLE y", df.schema, "k", quoted_dir, buckets=4
+        )
+    spark.sql("DROP TABLE IF EXISTS adopt_quoted")
+    spark.sql("DROP TABLE IF EXISTS adopt_quoted_src")
