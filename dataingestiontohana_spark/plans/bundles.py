@@ -105,6 +105,9 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("total_bpe", "bigint"), ("avg_bpe", "double"),
     ],
     "q61_token_topk": [("tok", "string"), ("c", "bigint")],
+    "q61b_vocab_sketch_audit": [
+        ("tok", "string"), ("c", "bigint"), ("sketch_ok", "bigint"),
+    ],
     "q77_chunk_windows": [
         ("doc_id", "bigint"), ("chunk_id", "int"),
         ("n_tokens", "int"), ("chunk_fp", "string"),
@@ -223,7 +226,7 @@ BUNDLES: dict[str, list[str]] = {
     "q21_27_52_language": ["q21_lang_stats", "q27_lang_id", "q52_observe_audit"],
     "q25_51_61_tokens": [
         "q25_token_stats", "q51_bpe_token_stats", "q61_token_topk",
-        "q77_chunk_windows", "q78_pack_chunks",
+        "q61b_vocab_sketch_audit", "q77_chunk_windows", "q78_pack_chunks",
     ],
     "q26_28_quality": [
         "q26_quality_score", "q28_fingerprint", "q79_pii_redaction",

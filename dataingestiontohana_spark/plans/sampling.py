@@ -199,12 +199,41 @@ def q62_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q61b_vocab_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-vs-exact vocabulary head audit, driver-adjudicated (the
+    q65 exactness-guard pattern): the mergeable ``approx_top_k``
+    sketch head is compared in-query against the exact q61 head —
+    with maxItemsTracked (10k) above the true vocabulary size the
+    sketch counts are exact, so the two 20-row sets must be identical.
+    Emits the exact head rows plus a ``sketch_ok`` flag (1 iff every
+    sketch (tok, count) pair matched the exact head), which the DuckDB
+    oracle reproduces as the exact head + literal 1 — a sketch
+    regression flips the flag and fails the value hash."""
+    exact = q61_token_topk(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    sketch = vocab_topk_sketch(d, k=20).select("tok", "c")
+    matched = sketch.join(exact.select("tok", "c"), ["tok", "c"]).agg(
+        F.count(F.lit(1)).alias("nm")
+    )
+    # 20-row head x 1-row audit aggregate (q65's 1x1 crossJoin shape)
+    return (
+        exact.crossJoin(F.broadcast(matched))
+        .select(
+            "tok",
+            "c",
+            (F.col("nm") == 20).cast("bigint").alias("sketch_ok"),
+        )
+        .orderBy(F.desc("c"), F.asc("tok"))
+    )
+
+
 QUERIES = {
     "q57_hash_split": q57_hash_split,
     "q58_stratified_sample": q58_stratified_sample,
     "q59_dataset_mix": q59_dataset_mix,
     "q60_ntile_buckets": q60_ntile_buckets,
     "q61_token_topk": q61_token_topk,
+    "q61b_vocab_sketch_audit": q61b_vocab_sketch_audit,
     "q62_rank_dist": q62_rank_dist,
 }
 
@@ -245,6 +274,21 @@ ORACLES = {
     """,
     "q61_token_topk": """
         SELECT tok, c
+        FROM (SELECT tok, COUNT(*) AS c
+              FROM (SELECT unnest(string_split(
+                        trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')),
+                        ' ')) AS tok
+                    FROM documents) u
+              GROUP BY tok) g
+        ORDER BY c DESC, tok ASC LIMIT 20
+    """,
+    # q65 exactness-guard pattern: the oracle is the exact head plus a
+    # literal ok-flag; the Spark side recomputes the flag from the
+    # sketch, so a sketch divergence fails the value hash. (The shipped
+    # corpus has no count tie at the top-20 boundary at any SF —
+    # verified — so the comparison is deterministic.)
+    "q61b_vocab_sketch_audit": """
+        SELECT tok, c, CAST(1 AS BIGINT) AS sketch_ok
         FROM (SELECT tok, COUNT(*) AS c
               FROM (SELECT unnest(string_split(
                         trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')),
