@@ -26,6 +26,7 @@ counterparts are trigger pacing (`trigger(processingTime=...)`) and
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from dataclasses import dataclass, field
 from enum import Enum
 
@@ -60,8 +61,18 @@ class IngestionPipeline:
     max_files_per_trigger: int = 1
     fault: FaultInjector | None = None
     queries_seen: list[int] = field(default_factory=list)
+    # Optional replacement source producing ALREADY-TYPED sensor rows
+    # (e.g. the registered "sensorgen" Python Data Source via
+    # sources.pyds.sensor_source_stream). When set, source_dir is
+    # ignored and the CSV parse step is skipped — the delivery
+    # semantics (checkpoint replay + upsert idempotence) are source-
+    # agnostic, which is exactly what the sensorgen kill/restart test
+    # proves for the custom source's offset determinism.
+    typed_source: Callable[[SparkSession], DataFrame] | None = None
 
     def source_stream(self) -> DataFrame:
+        if self.typed_source is not None:
+            return self.typed_source(self.spark)
         return (
             self.spark.readStream.format("text")
             .option("maxFilesPerTrigger", str(self.max_files_per_trigger))
@@ -69,7 +80,10 @@ class IngestionPipeline:
         )
 
     def _write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
-        typed = parse_sensor_csv(batch_df, "value")
+        if self.typed_source is not None:
+            typed = batch_df
+        else:
+            typed = parse_sensor_csv(batch_df, "value")
         fault = self.fault
         if fault:
             fault.check(FaultInjector.BEFORE_WRITE)
