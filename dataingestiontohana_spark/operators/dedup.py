@@ -388,7 +388,15 @@ def minhash_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "sig", "bb.band", "bb.bucket")
-    bands = cap_lsh_buckets(bands, max_bucket)
+    # Materialize the signature pipeline once: without the checkpoint
+    # the md5-per-shingle scan + 16-way min groupBy recomputes for BOTH
+    # sides of the bucket-size join AND both sides of the candidate
+    # self-join (4x the dominant cost, and the source of the bench's
+    # run-to-run spread); the second checkpoint pins the capped frame
+    # so the self-join reads a materialized RDD on each side. Same
+    # lineage-cut pattern as exact_jaccard_pairs above.
+    bands = bands.localCheckpoint(eager=False)
+    bands = cap_lsh_buckets(bands, max_bucket).localCheckpoint(eager=False)
 
     a = bands.select(
         F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"

@@ -98,6 +98,9 @@ def q31_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+    # one materialization of the token-vote fingerprint aggregation —
+    # without it both sides of the self-join recompute the simhash scan
+    banded = banded.localCheckpoint(eager=False)
     a = banded.select(F.col("doc_id").alias("id_a"), "band", "bucket")
     b = banded.select(F.col("doc_id").alias("id_b"), "band", "bucket")
     return (
