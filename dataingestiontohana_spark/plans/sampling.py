@@ -209,7 +209,9 @@ def q61b_vocab_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch (tok, count) pair matched the exact head), which the DuckDB
     oracle reproduces as the exact head + literal 1 — a sketch
     regression flips the flag and fails the value hash."""
-    exact = q61_token_topk(spark, sf_dir)
+    # 20-row head, materialized once: without the checkpoint the exact
+    # token scan+agg recomputes for the output rows AND the match join
+    exact = q61_token_topk(spark, sf_dir).localCheckpoint(eager=False)
     d = load_table(spark, sf_dir, "documents")
     sketch = vocab_topk_sketch(d, k=20).select("tok", "c")
     matched = sketch.join(exact.select("tok", "c"), ["tok", "c"]).agg(
