@@ -126,6 +126,7 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("source", "string"), ("emails", "bigint"), ("ips", "bigint"),
         ("phones", "bigint"), ("corpus_fp", "string"),
     ],
+    "q80_bm25_topk": [("doc_id", "bigint"), ("bm25", "double")],
     "q22_exact_dedup_count": [("total", "bigint"), ("uniq", "bigint")],
     "q29_exact_dedup": [("doc_id", "bigint"), ("n_copies", "bigint")],
     "q23a_label_counts": [("label", "int"), ("n", "bigint")],
@@ -230,6 +231,7 @@ BUNDLES: dict[str, list[str]] = {
     ],
     "q26_28_quality": [
         "q26_quality_score", "q28_fingerprint", "q79_pii_redaction",
+        "q80_bm25_topk",
     ],
     "q22_29_exact_dedup": ["q22_exact_dedup_count", "q29_exact_dedup"],
     "q23_embed_audit": ["q23a_label_counts", "q23b_vec_dims"],

@@ -106,9 +106,79 @@ def q75_tfidf_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("tfidf_sum"), F.asc("doc_id")).limit(20)
 
 
+# Okapi BM25 (Robertson/Sparck Jones, the TREC-standard retrieval
+# scorer) with the textbook constants; the query term set is a fixed
+# literal spanning common and rare corpus terms so idf variation is
+# exercised ('dup' has df ~ 5% of docs).
+BM25_K1, BM25_B = 1.2, 0.75
+BM25_TERMS = ("join", "vector", "stream", "dup")
+
+
+def q80_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by Okapi BM25 against a fixed term query.
+
+    score(d) = sum over query terms t of
+      ln(1 + (N - df + 0.5)/(df + 0.5))
+        * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+
+    Scale shape = q75's two-aggregation dataflow with the tf branch
+    PRE-FILTERED to the query terms before its shuffle (the filter is
+    pushed below the groupBy, so shuffle 1 carries only query-term
+    hits — for a 4-term query over 100 TB that is a tiny fraction of
+    the corpus); df is aggregated from the already-tiny tf frame and
+    broadcast back; dl/avgdl come from the full token pass (one
+    groupBy(doc_id), the unavoidable document-length scan) with the
+    corpus stats riding a 1-row broadcast crossJoin. Top-20 is
+    TakeOrderedAndProject. Scores rounded to 6 on both sides (1-ulp
+    ln/libm divergence, the q75 precedent)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        tok.where(F.col("t").isin(*BM25_TERMS))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    # literal 2.2, NOT BM25_K1 + 1: python's 1.2 + 1 is the double
+    # below 2.2 (2.1999999999999997), while the SQL text "2.2" parses
+    # to the nearest double — a last-ulp mismatch that could flip the
+    # 6-decimal rounding
+    wt = (
+        F.col("tf") * F.lit(2.2)
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1)
+            * (
+                F.lit(1 - BM25_B)
+                + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+            )
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * wt), 6).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20)
+
+
 QUERIES = {
     "q74_repetition_filter": q74_repetition_filter,
     "q75_tfidf_doc_scores": q75_tfidf_doc_scores,
+    "q80_bm25_topk": q80_bm25_topk,
 }
 
 # Identical normalization to functions/text.py tokens(): lowercase,
@@ -157,6 +227,30 @@ ORACLES = {
         FROM tf JOIN df USING (t) CROSS JOIN n
         GROUP BY doc_id
         ORDER BY tfidf_sum DESC, doc_id ASC
+        LIMIT 20
+    """,
+    # Okapi BM25 with identical literal structure to the Spark side
+    # (same association order for every float op; ln/round the q75
+    # precedent). avgdl is exact: integer sum / count on both engines.
+    "q80_bm25_topk": f"""
+        WITH {_TOK_CTE},
+        base AS (
+          SELECT doc_id, unnest(toks) AS t FROM tok),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM base GROUP BY doc_id),
+        stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+        tf AS (
+          SELECT doc_id, t, COUNT(*) AS tf
+          FROM base WHERE t IN ('join', 'vector', 'stream', 'dup')
+          GROUP BY doc_id, t),
+        df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t)
+        SELECT doc_id,
+               ROUND(SUM(
+                 ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+               ), 6) AS bm25
+        FROM tf JOIN df USING (t) JOIN dl USING (doc_id) CROSS JOIN stats
+        GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id ASC
         LIMIT 20
     """,
 }
