@@ -601,6 +601,99 @@ def audio_features(df: DataFrame, n_bands: int = 8) -> DataFrame:
     )
 
 
+def dhash_images(df: DataFrame, hash_w: int = 8, hash_h: int = 8) -> DataFrame:
+    """Difference-hash (dHash) perceptual image fingerprint:
+    (media_id, dhash) with dhash a ``hash_w*hash_h``-bit hex string.
+
+    The standard near-duplicate image primitive (Krawetz's dHash): the
+    image is nearest-neighbor-gathered to (hash_w+1) x hash_h pixels
+    and bit (y, x) is set iff pixel (y, x+1) > pixel (y, x) — so the
+    hash captures the gradient structure and survives brightness
+    shifts, re-encodes, and small noise. Bit i = y*hash_w + x, packed
+    MSB-first into hex (nibble j = bits 4j..4j+3). Every step is
+    integer-exact, so the SQL oracle reproduces the hash verbatim for
+    the synthetic corpus.
+
+    Pipeline shape: one mapInPandas (map-only, embarrassingly
+    parallel); pairing happens downstream on 16-bit hash bands — the
+    image-space member of the banded-LSH dedup family (q30/q31 for
+    text, q35 for embeddings)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, kind, content in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"]
+            ):
+                if kind != KIND_IMAGE:
+                    continue
+                try:
+                    w, h, nf, px = _decode_payload(bytes(content))
+                except (NotImplementedError, ValueError):
+                    continue
+                if px is None or nf != 1 or h < 1 or w < hash_w + 1:
+                    continue
+                arr = px.reshape(h, w)
+                rows = (np.arange(hash_h) * h) // hash_h
+                cols = (np.arange(hash_w + 1) * w) // (hash_w + 1)
+                small = arr[rows][:, cols].astype(np.int32)
+                bits = (small[:, 1:] > small[:, :-1]).astype(np.uint8).reshape(-1)
+                value = 0
+                for b in bits:
+                    value = (value << 1) | int(b)
+                out.append((mid, format(value, f"0{hash_w * hash_h // 4}x")))
+            yield pd.DataFrame(out, columns=["media_id", "dhash"])
+
+    return df.mapInPandas(batches, schema="media_id long, dhash string")
+
+
+def dhash_neardup_pairs(
+    hashes: DataFrame, max_hamming: int = 10, n_bands: int = 4
+) -> DataFrame:
+    """(id_a, id_b, hamming) — image near-duplicate pairs via banded
+    LSH over 64-bit dHashes: candidates share at least one 16-bit hash
+    band (equi-join, NOT all-pairs — two images within ``max_hamming``
+    almost always leave >= 1 band untouched), then the exact Hamming
+    distance filters. Hamming is 16 codegen'd nibble-XOR popcounts —
+    no Python in the pairing path."""
+    width = 16 // n_bands  # hex chars per band (4 for 64-bit / 4 bands)
+    banded = hashes.select(
+        "media_id",
+        "dhash",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda k: F.struct(
+                    k.alias("band"),
+                    F.substring(F.col("dhash"), k * width + 1, width).alias(
+                        "bucket"
+                    ),
+                ),
+            )
+        ).alias("bb"),
+    ).select("media_id", "dhash", "bb.band", "bb.bucket")
+    a = banded.select(
+        F.col("media_id").alias("id_a"), F.col("dhash").alias("ha"),
+        "band", "bucket",
+    )
+    b = banded.select(
+        F.col("media_id").alias("id_b"), F.col("dhash").alias("hb"),
+        "band", "bucket",
+    )
+    nib = lambda c, j: F.conv(F.substring(c, j + 1, 1), 16, 10).cast("int")  # noqa: E731
+    ham = None
+    for j in range(16):
+        term = F.bit_count(nib("ha", j).bitwiseXOR(nib("hb", j)))
+        ham = term if ham is None else ham + term
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def text_as_media(docs: DataFrame) -> DataFrame:
     """Wrap document text bytes as an opaque binary content column —
     the storage convention every multimodal operator consumes."""

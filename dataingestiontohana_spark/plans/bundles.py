@@ -201,6 +201,10 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("media_id", "bigint"), ("n_samples", "int"),
         ("px_sum", "bigint"), ("px_sqsum", "bigint"),
     ],
+    "q81_image_dhash": [("media_id", "bigint"), ("dhash", "string")],
+    "q82_image_neardup": [
+        ("id_a", "bigint"), ("id_b", "bigint"), ("hamming", "int"),
+    ],
     "q39_sensor_generate": [
         ("counter", "int"), ("deviceid", "int"), ("temperature", "double"),
         ("humidity", "double"), ("co2", "double"), ("co", "double"),
@@ -259,6 +263,7 @@ BUNDLES: dict[str, list[str]] = {
     "q37_38_media": [
         "q37_media_decode", "q38_frame_sample",
         "q37b_media_resize", "q38b_audio_features",
+        "q81_image_dhash", "q82_image_neardup",
     ],
     "q39_40_ingest": ["q39_sensor_generate", "q40_sensor_csv_roundtrip"],
 }

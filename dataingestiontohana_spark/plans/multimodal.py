@@ -128,6 +128,63 @@ def q37b_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def _probe_media(spark: SparkSession) -> DataFrame:
+    """Perturbed copies of the synthetic images (media_id + 1000):
+    payload bytes at positions divisible by 37 get +8 mod 256 — a
+    small 'brightness splash' on ~3% of pixels, the planted near-dup
+    set for perceptual-hash detection. Deterministic, so the oracle
+    rebuilds the identical probes."""
+    import struct as _s
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        _HEADER_FMT,
+        _MAGIC,
+    )
+
+    rows = []
+    for i in range(64):
+        if i % 4 in (0, 1):  # images only
+            continue
+        full = synth_media_bytes(i, KIND_IMAGE, 32, 16)
+        payload = bytearray(full[11:])
+        for p in range(0, len(payload), 37):
+            payload[p] = (payload[p] + 8) % 256
+        header = _s.pack(_HEADER_FMT, _MAGIC, KIND_IMAGE, 32, 16, 1)
+        rows.append((i + 1000, KIND_IMAGE, header + bytes(payload)))
+    return spark.createDataFrame(
+        rows, "media_id long, kind int, content binary"
+    ).coalesce(2)
+
+
+def _dhash_frame(spark: SparkSession) -> DataFrame:
+    from dataingestiontohana_spark.operators.multimodal import dhash_images
+
+    both = _synthetic_media(spark).where(F.col("kind") == KIND_IMAGE).unionByName(
+        _probe_media(spark)
+    )
+    return dhash_images(both)
+
+
+def q81_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dHash fingerprints for the 32 synthetic images plus
+    their 32 perturbed probes — each 64-bit hash value-checked bit-for-
+    bit by the integer oracle."""
+    return _dhash_frame(spark).orderBy("media_id")
+
+
+def q82_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs: banded-LSH candidates over the
+    dHashes + exact Hamming verify — the image-space member of the
+    dedup family, detecting each probe against its original."""
+    from dataingestiontohana_spark.operators.multimodal import (
+        dhash_neardup_pairs,
+    )
+
+    return dhash_neardup_pairs(_dhash_frame(spark), max_hamming=10).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def q38b_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature extraction: sample count + exact integer sample
     moments per audio payload (rms/FFT-band floats stay on the
@@ -175,12 +232,57 @@ mbytes AS (
 """
 
 
+# dHash reconstruction: gather positions for the 32x16 -> 9x8 grid are
+# row 2*(i//8) (so byte offset 64*(i//8)) and cols (x*32)//9; bit i
+# compares col x+1 against col x; bits pack MSB-first into hex nibbles
+# (nibble i//4, weight 8 >> (i%4)). pbytes = image bytes plus the
+# perturbed probes (+8 mod 256 at every 37th payload position,
+# media_id + 1000) — the planted near-dup set.
+_DHASH_CTES = f"""
+{_MEDIA_BYTES_CTE},
+ib AS (
+  SELECT media_id, pos, b FROM mbytes WHERE kind = 1
+),
+pbytes AS (
+  SELECT media_id, pos, b FROM ib
+  UNION ALL
+  SELECT media_id + 1000, pos,
+         CASE WHEN pos % 37 = 0 THEN (b + 8) % 256 ELSE b END
+  FROM ib
+),
+dbits AS (
+  SELECT m.media_id, CAST(g.i AS INT) AS i,
+         CASE WHEN b1.b > b0.b THEN 1 ELSE 0 END AS bit
+  FROM (SELECT DISTINCT media_id FROM pbytes) m
+  CROSS JOIN range(64) g(i)
+  JOIN pbytes b0 ON b0.media_id = m.media_id
+       AND b0.pos = 64*(g.i//8) + ((g.i%8)*32)//9
+  JOIN pbytes b1 ON b1.media_id = m.media_id
+       AND b1.pos = 64*(g.i//8) + (((g.i%8)+1)*32)//9
+),
+nibs AS (
+  SELECT media_id, i//4 AS nib,
+         SUM(bit * (CASE i%4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                             WHEN 2 THEN 2 ELSE 1 END)) AS nv
+  FROM dbits GROUP BY media_id, i//4
+),
+hashes AS (
+  SELECT media_id,
+         string_agg(substr('0123456789abcdef', CAST(nv AS INT) + 1, 1),
+                    '' ORDER BY nib) AS dhash
+  FROM nibs GROUP BY media_id
+)
+"""
+
+
 QUERIES = {
     "q36_media_byte_features": q36_media_byte_features,
     "q37_media_decode": q37_media_decode,
     "q38_frame_sample": q38_frame_sample,
     "q37b_media_resize": q37b_media_resize,
     "q38b_audio_features": q38b_audio_features,
+    "q81_image_dhash": q81_image_dhash,
+    "q82_image_neardup": q82_image_neardup,
 }
 
 ORACLES = {
@@ -234,5 +336,36 @@ ORACLES = {
         WHERE kind = 2
         GROUP BY media_id, need
         ORDER BY media_id
+    """,
+    "q81_image_dhash": f"""
+        WITH {_DHASH_CTES}
+        SELECT media_id, dhash FROM hashes ORDER BY media_id
+    """,
+    "q82_image_neardup": f"""
+        WITH {_DHASH_CTES},
+        banded AS (
+          SELECT media_id, dhash, CAST(k.j AS INT) AS band,
+                 substr(dhash, CAST(k.j*4 + 1 AS INT), 4) AS bucket
+          FROM hashes CROSS JOIN range(4) k(j)
+        ),
+        cand AS (
+          SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+                 a.dhash AS ha, b.dhash AS hb
+          FROM banded a
+          JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                        AND a.media_id < b.media_id
+        ),
+        ham AS (
+          SELECT id_a, id_b,
+                 SUM(bit_count(xor(
+                   strpos('0123456789abcdef',
+                          substr(ha, CAST(j.n + 1 AS INT), 1)) - 1,
+                   strpos('0123456789abcdef',
+                          substr(hb, CAST(j.n + 1 AS INT), 1)) - 1))) AS hamming
+          FROM cand CROSS JOIN range(16) j(n)
+          GROUP BY id_a, id_b
+        )
+        SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+        FROM ham WHERE hamming <= 10 ORDER BY id_a, id_b
     """,
 }

@@ -429,3 +429,71 @@ def test_jpeg_color_stays_metadata_only(spark):
     r = decode_media(df).collect()[0]
     assert (r["width"], r["height"]) == (8, 8)
     assert r["mean_px"] is None
+
+
+def test_dhash_is_brightness_invariant_and_locality_sensitive(spark):
+    """The defining dHash properties: a uniform brightness shift leaves
+    the hash IDENTICAL (gradients unchanged), and a small local
+    perturbation moves it only a few bits, while an unrelated image is
+    ~32 bits away."""
+    import struct as _s
+
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        _HEADER_FMT,
+        _MAGIC,
+        dhash_images,
+    )
+
+    rng = np.random.default_rng(13)
+    arr = rng.integers(30, 200, size=(16, 32), dtype=np.uint8)
+    header = _s.pack(_HEADER_FMT, _MAGIC, KIND_IMAGE, 32, 16, 1)
+
+    def sgm(a):
+        return header + a.astype(np.uint8).tobytes()
+
+    brighter = arr + 20  # stays < 256: gradients identical
+    local = arr.copy()
+    local[5, 7] += 40  # one pixel: at most a couple of comparisons
+    other = rng.integers(0, 256, size=(16, 32), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, KIND_IMAGE, sgm(arr)), (2, KIND_IMAGE, sgm(brighter)),
+         (3, KIND_IMAGE, sgm(local)), (4, KIND_IMAGE, sgm(other))],
+        "media_id long, kind int, content binary",
+    )
+    h = {r["media_id"]: r["dhash"] for r in dhash_images(df).collect()}
+
+    def ham(a, b):
+        return sum(bin(int(x, 16) ^ int(y, 16)).count("1") for x, y in zip(a, b))
+
+    assert h[1] == h[2]  # brightness-shift invariant
+    assert ham(h[1], h[3]) <= 4  # local change: few bits
+    assert 16 <= ham(h[1], h[4]) <= 48  # unrelated: ~half the bits
+
+
+def test_dhash_neardup_pairs_find_planted_probe(spark):
+    """Band-LSH pairing flags a perturbed copy against its original."""
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        dhash_images,
+        dhash_neardup_pairs,
+    )
+
+    a = synth_media_bytes(11, KIND_IMAGE, 32, 16)
+    probe = bytearray(a)
+    for p in range(11, len(a), 41):
+        probe[p] = (probe[p] + 6) % 256
+    b = synth_media_bytes(12, KIND_IMAGE, 32, 16)  # unrelated
+    df = spark.createDataFrame(
+        [(11, KIND_IMAGE, a), (1011, KIND_IMAGE, bytes(probe)),
+         (12, KIND_IMAGE, b)],
+        "media_id long, kind int, content binary",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dhash_neardup_pairs(dhash_images(df), max_hamming=10).collect()
+    }
+    assert (11, 1011) in pairs and pairs[(11, 1011)] <= 10
+    assert (11, 12) not in pairs and (12, 1011) not in pairs
