@@ -145,6 +145,9 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("vec_id", "bigint"), ("l2_norm", "double"), ("n_pos", "int"),
         ("has_big", "int"), ("frac_small", "double"),
     ],
+    "q83_kmeans": [
+        ("cluster_id", "int"), ("n", "bigint"), ("cnorm_q", "bigint"),
+    ],
     "q53_merge_upsert": [
         ("c_custkey", "bigint"), ("bal", "double"), ("c_mktsegment", "string"),
     ],
@@ -242,6 +245,7 @@ BUNDLES: dict[str, list[str]] = {
     "q33_34_similarity": ["q33_cosine_topk", "q34_knn_per_label"],
     "q63_64_67_centroids": [
         "q63_label_centroids", "q64_centroid_outliers", "q67_vector_stats",
+        "q83_kmeans",
     ],
     "q53_54_cdc": ["q53_merge_upsert", "q54_scd2"],
     "q55_56_udf": ["q55_udaf_geomean", "q56_group_normalize"],

@@ -345,6 +345,132 @@ def q73_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id", "vec_id")
 
 
+KMEANS_K, KMEANS_ITERS = 8, 2
+
+
+def q83_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (Lloyd's algorithm), k=8, 2 iterations —
+    the iterative-algorithm member of the embedding family, fully
+    value-checked by a DuckDB oracle that replays both iterations.
+
+    Per iteration: (1) ASSIGN — argmax-cosine against the current
+    centroids via the IVF map-only Arrow matmul (`assign_clusters`,
+    numpy-first-max = lowest-cid tiebreak); (2) UPDATE — posexplode to
+    (cluster, dim, val) and average (one shuffle keyed (cluster, dim)
+    carrying scalar partial sums — embedding arrays never enter the
+    exchange, the q63 shape), then ROUND each component to 6 decimals.
+    The rounding is load-bearing: it re-grids the centroids so the two
+    engines' aggregation-order float drift (last-ulp) cannot compound
+    across iterations — both sides enter the next assign with
+    bit-identical centroid literals. k x 64 rounded components come to
+    the driver per iteration (the Spark MLlib KMeans shape: centers
+    are driver state, assignment is distributed).
+
+    Output: per cluster, the final member count and the integer-
+    quantized centroid norm sum_d round(c_d*1e6)^2 — exact integer
+    surface, no float hashing. Init = the k smallest Knuth-hash ids
+    (the q36b centroid pick). Empty clusters fail fast (none occur on
+    the shipped data; production k-means would re-seed them)."""
+    from dataingestiontohana_spark.operators.ivf import (
+        assign_clusters,
+        sample_centroids,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = sample_centroids(e, k=KMEANS_K)
+    for _ in range(KMEANS_ITERS):
+        assigned = assign_clusters(e, cents)
+        upd = (
+            assigned.select(
+                "cluster_id", F.posexplode("embedding").alias("dim", "val")
+            )
+            .groupBy("cluster_id", "dim")
+            .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("c"))
+            .collect()
+        )
+        seen = {r["cluster_id"] for r in upd}
+        if seen != set(range(KMEANS_K)):
+            raise ValueError(f"empty k-means cluster(s): {set(range(KMEANS_K)) - seen}")
+        cents = np.zeros((KMEANS_K, DIM))
+        for r in upd:
+            cents[r["cluster_id"], r["dim"]] = r["c"]
+    counts = (
+        assign_clusters(e, cents)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    norms = spark.createDataFrame(
+        [
+            (cid, int(sum(int(round(c * 1e6)) ** 2 for c in cents[cid])))
+            for cid in range(KMEANS_K)
+        ],
+        "cluster_id int, cnorm_q bigint",
+    )
+    return (
+        counts.join(F.broadcast(norms), "cluster_id")
+        .select("cluster_id", "n", "cnorm_q")
+        .orderBy("cluster_id")
+    )
+
+
+def _q83_oracle_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """Both Lloyd iterations replayed in ANSI SQL: assign = argmax
+    cosine with cid tiebreak (QUALIFY ROW_NUMBER, the q36b pattern),
+    update = AVG per (cluster, dim) rounded to the same 6-decimal grid
+    — so the engines enter each iteration with identical centroids and
+    the final counts + integer-quantized norms match exactly."""
+    pre = """
+        WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+        e AS (SELECT vec_id, unnest(v) AS val,
+                     unnest(range(0, 64)) AS dim FROM v),
+        c0 AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cid, v AS cv
+          FROM (SELECT vec_id, v,
+                       (vec_id * 2654435761) % 4294967296 AS h
+                FROM n ORDER BY h, vec_id LIMIT {k}))
+    """.format(k=k)
+    steps = []
+    prev = "c0"
+    for it in range(1, iters + 1):
+        steps.append(f"""
+        a{it} AS (
+          SELECT n.vec_id, c.cid
+          FROM n CROSS JOIN {prev} c
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY n.vec_id
+              ORDER BY list_dot_product(n.v, c.cv)
+                       / (n.nrm * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                       c.cid) = 1),
+        u{it} AS (
+          SELECT a{it}.cid, e.dim, ROUND(AVG(e.val), 6) AS c
+          FROM a{it} JOIN e ON a{it}.vec_id = e.vec_id
+          GROUP BY a{it}.cid, e.dim),
+        c{it} AS (
+          SELECT cid, list(c ORDER BY dim) AS cv FROM u{it} GROUP BY cid)""")
+        prev = f"c{it}"
+    final = f"""
+        afin AS (
+          SELECT n.vec_id, c.cid
+          FROM n CROSS JOIN {prev} c
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY n.vec_id
+              ORDER BY list_dot_product(n.v, c.cv)
+                       / (n.nrm * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                       c.cid) = 1),
+        norms AS (
+          SELECT cid,
+                 SUM(CAST(ROUND(c * 1000000) AS BIGINT)
+                     * CAST(ROUND(c * 1000000) AS BIGINT)) AS cnorm_q
+          FROM u{iters} GROUP BY cid)
+        SELECT a.cid AS cluster_id, COUNT(*) AS n,
+               CAST(ANY_VALUE(norms.cnorm_q) AS BIGINT) AS cnorm_q
+        FROM afin a JOIN norms ON a.cid = norms.cid
+        GROUP BY a.cid
+        ORDER BY cluster_id"""
+    return pre + "," + ",".join(steps) + ",\n" + final
+
+
 def q63_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the embedding space (mean per dimension).
 
@@ -455,6 +581,7 @@ QUERIES = {
     "q63_label_centroids": q63_label_centroids,
     "q64_centroid_outliers": q64_centroid_outliers,
     "q67_vector_stats": q67_vector_stats,
+    "q83_kmeans": q83_kmeans,
 }
 
 # q33/q34 have exact float-arithmetic oracles in DuckDB (same double
@@ -659,4 +786,5 @@ def _q36b_oracle_sql(k: int = 16, nprobe: int = 4, topk: int = 10) -> str:
 
 
 ORACLES["q35_ann_lsh"] = _q35_oracle_sql()
+ORACLES["q83_kmeans"] = _q83_oracle_sql()
 ORACLES["q36b_ivf_topk"] = _q36b_oracle_sql()
