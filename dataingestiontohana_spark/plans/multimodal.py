@@ -156,13 +156,26 @@ def _probe_media(spark: SparkSession) -> DataFrame:
     ).coalesce(2)
 
 
+# like _MEDIA_CACHE: q81 emits the hashes, q82 pairs them, and q82's
+# band self-join reads the frame twice — one lazy checkpoint instead
+# of re-running the dhash mapInPandas up to 4x per bundle action
+_DHASH_CACHE: dict[str, DataFrame] = {}
+
+
 def _dhash_frame(spark: SparkSession) -> DataFrame:
     from dataingestiontohana_spark.operators.multimodal import dhash_images
 
+    key = spark.sparkContext.applicationId
+    df = _DHASH_CACHE.get(key)
+    if df is not None:
+        return df
+    _DHASH_CACHE.clear()
     both = _synthetic_media(spark).where(F.col("kind") == KIND_IMAGE).unionByName(
         _probe_media(spark)
     )
-    return dhash_images(both)
+    df = dhash_images(both).localCheckpoint(eager=False)
+    _DHASH_CACHE[key] = df
+    return df
 
 
 def q81_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
