@@ -208,6 +208,14 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q82_image_neardup": [
         ("id_a", "bigint"), ("id_b", "bigint"), ("hamming", "int"),
     ],
+    "q20_time_bucket": [
+        ("h", "timestamp"), ("event_type", "string"), ("c", "bigint"),
+        ("sv", "double"),
+    ],
+    "q84_hypertable_rollup": [
+        ("grain", "string"), ("d", "timestamp"), ("h", "timestamp"),
+        ("c", "bigint"), ("sv", "double"),
+    ],
     "q39_sensor_generate": [
         ("counter", "int"), ("deviceid", "int"), ("temperature", "double"),
         ("humidity", "double"), ("co2", "double"), ("co", "double"),
@@ -270,6 +278,9 @@ BUNDLES: dict[str, list[str]] = {
         "q81_image_dhash", "q82_image_neardup",
     ],
     "q39_40_ingest": ["q39_sensor_generate", "q40_sensor_csv_roundtrip"],
+    # round 5: the q20 single grew into a bundle with the hypertable
+    # multi-grain rollup (one-scan grouping sets over time grains)
+    "q20_84_timegrain": ["q20_time_bucket", "q84_hypertable_rollup"],
 }
 
 # fine queries exported unchanged, in this order (headline queries
@@ -279,7 +290,7 @@ SINGLES: list[str] = [
     "q05_inner_join", "q06_multiway_join_agg", "q07_left_outer_join",
     "q08_semi_join", "q09_anti_join", "q10_hash_agg", "q11_distinct_agg",
     "q14_topk_per_group", "q16_running_sum", "q18_dedup", "q19_json_extract",
-    "q20_time_bucket", "q24_ingest_audit", "q47_sessionize",
+    "q24_ingest_audit", "q47_sessionize",
     "q48_correlated_subquery", "q69_fuzzy_name_join",
     "q36_media_byte_features", "q65_sketch_audit", "q66_dedup_clusters",
     "q71_decimal_interval", "q72_bucketed_join", "q73_embed_neardup",

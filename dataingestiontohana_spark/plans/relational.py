@@ -328,6 +328,21 @@ def q20_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q21-Q23 (text/embeddings) live in llm_text.py / llm_similarity.py.
 
 
+def q84_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain time rollup (hour-within-day, day, grand total) in
+    ONE aggregation — see operators/rollup.py::hypertable_rollup for
+    the scale contract (one scan for all grains, grouping sets with
+    map-side partial combine)."""
+    from dataingestiontohana_spark.operators.rollup import hypertable_rollup
+
+    e = _t(spark, sf_dir, "events")
+    return hypertable_rollup(
+        e,
+        "ts",
+        [F.count(F.lit(1)).alias("c"), F.round(F.sum("value"), 2).alias("sv")],
+    ).orderBy("grain", "d", "h")
+
+
 def q24_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's own oracle (SURVEY §5.1): exactly-once <=>
     rows = distinct keys = key span (loss check `README.md:94-99`,
@@ -364,6 +379,7 @@ QUERIES = {
     "q18_dedup": q18_dedup,
     "q19_json_extract": q19_json_extract,
     "q20_time_bucket": q20_time_bucket,
+    "q84_hypertable_rollup": q84_hypertable_rollup,
     "q24_ingest_audit": q24_ingest_audit,
 }
 
@@ -482,6 +498,17 @@ ORACLES = {
         SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS c,
                ROUND(SUM(value), 2) AS sv
         FROM events GROUP BY 1, 2 ORDER BY h, event_type
+    """,
+    "q84_hypertable_rollup": """
+        SELECT CASE WHEN GROUPING(h) = 0 THEN 'hour'
+                    WHEN GROUPING(d) = 0 THEN 'day'
+                    ELSE 'total' END AS grain,
+               d, h, COUNT(*) AS c, ROUND(SUM(value), 2) AS sv
+        FROM (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+                     date_trunc('hour', ts) AS h, value
+              FROM events) t
+        GROUP BY ROLLUP(d, h)
+        ORDER BY grain, d, h
     """,
     "q24_ingest_audit": """
         SELECT COUNT(*) AS n_rows, COUNT(DISTINCT event_id) AS uniq,

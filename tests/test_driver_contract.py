@@ -27,7 +27,7 @@ for t in ("events", "documents", "embeddings"):
         f"read_parquet('/root/testdata/sf0.001/{t}.parquet')")
 # one nanos-timestamp query, one mapInPandas query, one variant query:
 # the three paths most sensitive to session bootstrap
-for name in ("q20_time_bucket", "q73_embed_neardup", "q76_variant_extract"):
+for name in ("q20_84_timegrain", "q73_embed_neardup", "q76_variant_extract"):
     sp = sorted(tuple(str(x) for x in r)
                 for r in qs[name](spark, "/root/testdata/sf0.001").collect())
     dk = sorted(tuple(str(x) for x in r)
