@@ -344,26 +344,19 @@ def cap_lsh_buckets(
     )
 
 
-def minhash_candidates(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    max_bucket: int = 256,
+def minhash_bands(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """LSH candidate pairs (id_a, id_b, jaccard_sig).
-
-    Signatures are banded (4 bands x 4 hashes); a pair becomes a
-    candidate iff some band hashes identically. The bucket equi-join
-    keeps the shuffle O(rows x bands) instead of the O(rows^2)
-    cartesian pairing, which is the entire point at scale; buckets
-    above ``max_bucket`` members are dropped (see cap_lsh_buckets).
-
-    The bucket key is md5 of the band's '|'-joined min-hash values
-    (decimal-rendered) — a portable 32-char hex identity (the DuckDB
-    oracle rebuilds it verbatim) at a fixed 32 B/row shuffle payload.
+    """(id, sig, band, bucket) — the banded-LSH frame: one row per
+    (document, band), bucket = md5 of the band's '|'-joined min-hash
+    values (decimal-rendered) — a portable 32-char hex identity (the
+    DuckDB oracle rebuilds it verbatim) at a fixed 32 B/row shuffle
+    payload. This is also the SIGNATURE-STORE row format
+    (operators/dedup_store.py): persisting it lets a new shard dedup
+    against an existing corpus without recomputing corpus signatures.
     """
     sig = minhash_signatures(docs, id_col, text_col)
-    bands = sig.select(
+    return sig.select(
         id_col,
         "sig",
         F.explode(
@@ -388,6 +381,31 @@ def minhash_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "sig", "bb.band", "bb.bucket")
+
+
+def signature_jaccard(sig_a: F.Column, sig_b: F.Column) -> F.Column:
+    """Estimated Jaccard = fraction of agreeing signature slots."""
+    agree = F.size(
+        F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda eq: eq)
+    )
+    return F.round(agree / F.lit(NUM_HASHES), 4)
+
+
+def minhash_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = 256,
+) -> DataFrame:
+    """LSH candidate pairs (id_a, id_b, jaccard_sig).
+
+    Signatures are banded (4 bands x 4 hashes); a pair becomes a
+    candidate iff some band hashes identically. The bucket equi-join
+    keeps the shuffle O(rows x bands) instead of the O(rows^2)
+    cartesian pairing, which is the entire point at scale; buckets
+    above ``max_bucket`` members are dropped (see cap_lsh_buckets).
+    """
+    bands = minhash_bands(docs, id_col, text_col)
     # Materialize the signature pipeline once: without the checkpoint
     # the md5-per-shingle scan + 16-way min groupBy recomputes for BOTH
     # sides of the bucket-size join AND both sides of the candidate
@@ -410,16 +428,10 @@ def minhash_candidates(
         .select("id_a", "id_b", "sig_a", "sig_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    agree = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-            lambda eq: eq,
-        )
-    )
     return pairs.select(
         "id_a",
         "id_b",
-        F.round(agree / F.lit(NUM_HASHES), 4).alias("jaccard_sig"),
+        signature_jaccard(F.col("sig_a"), F.col("sig_b")).alias("jaccard_sig"),
     )
 
 

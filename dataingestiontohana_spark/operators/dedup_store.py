@@ -1,0 +1,122 @@
+"""Incremental MinHash dedup against a PERSISTED signature store —
+the production ingest flow: a new shard is checked against the
+existing corpus without recomputing a single corpus signature.
+
+At 100 TB, recomputing corpus MinHash signatures per ingest batch is
+the dominant cost a naive pipeline pays; the store amortizes it:
+
+- ``write_signature_store`` persists the banded signature frame
+  (`operators/dedup.py::minhash_bands` row format: id, sig, band,
+  bucket) partitioned by ``band`` — 4 directories whose files a
+  band-bucket join reads with partition pruning.
+- ``dedup_against_store`` computes signatures for the NEW shard only
+  (work scales with the shard, not the corpus), bucket-equi-joins them
+  against the store (new-vs-corpus) and against themselves
+  (new-vs-new), and returns near-dup pairs above the threshold.
+  Shuffle carries (id, sig, band, bucket) rows — never shingles.
+- ``append_to_store`` adds the accepted shard's rows so the next
+  shard sees it (parquet append into the band partitions).
+
+Upgrade path for the store side of the join: persist via
+`operators/skew.py::write_bucketed` keyed on ``bucket`` and the
+corpus side of the candidate join becomes exchange-free too; the
+plain partitioned-parquet form keeps this module storage-agnostic.
+
+Bucket-size capping (`cap_lsh_buckets`) applies to the UNION of store
+and shard rows, matching what a from-scratch run over the combined
+corpus would drop — so incremental results track batch results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataingestiontohana_spark.operators.dedup import (
+    cap_lsh_buckets,
+    minhash_bands,
+    signature_jaccard,
+)
+
+
+def write_signature_store(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the corpus's banded signatures, partitioned by band."""
+    minhash_bands(docs, id_col, text_col).write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(path)
+
+
+def append_to_store(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Add an accepted shard's signatures to the store."""
+    minhash_bands(docs, id_col, text_col).write.mode("append").partitionBy(
+        "band"
+    ).parquet(path)
+
+
+def dedup_against_store(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    path: str,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = 256,
+) -> DataFrame:
+    """(id_a, id_b, jaccard_sig, vs) — near-dup pairs involving the new
+    shard: ``vs = 'store'`` for shard-vs-corpus pairs, ``'new'`` for
+    duplicates inside the shard itself. ``id_a < id_b`` per pair.
+
+    Work: signature computation over the SHARD only; the store
+    contributes an equi-join on (band, bucket) — with the store
+    partitioned by band, each join task reads one band directory.
+    """
+    store = spark.read.parquet(path).select(id_col, "sig", "band", "bucket")
+    shard = minhash_bands(new_docs, id_col, text_col).localCheckpoint(
+        eager=False
+    )
+    combined = cap_lsh_buckets(
+        store.withColumn("__new", F.lit(False)).unionByName(
+            shard.withColumn("__new", F.lit(True))
+        ),
+        max_bucket,
+    ).localCheckpoint(eager=False)
+    a = combined.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"),
+        F.col("__new").alias("new_a"), "band", "bucket",
+    )
+    b = combined.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"),
+        F.col("__new").alias("new_b"), "band", "bucket",
+    )
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        # keep only pairs touching the shard: corpus-internal pairs
+        # were the previous runs' responsibility
+        .where(F.col("new_a") | F.col("new_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b", "new_a", "new_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            signature_jaccard(F.col("sig_a"), F.col("sig_b")).alias(
+                "jaccard_sig"
+            ),
+            F.when(F.col("new_a") & F.col("new_b"), F.lit("new"))
+            .otherwise(F.lit("store"))
+            .alias("vs"),
+        )
+        .where(F.col("jaccard_sig") >= threshold)
+    )

@@ -1,0 +1,91 @@
+"""Incremental MinHash dedup against the persisted signature store:
+the incremental path must agree with a from-scratch batch run."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataingestiontohana_spark.catalog import load_table
+from dataingestiontohana_spark.operators.dedup import minhash_candidates
+from dataingestiontohana_spark.operators.dedup_store import (
+    append_to_store,
+    dedup_against_store,
+    write_signature_store,
+)
+from tests.conftest import SF0001
+
+
+def test_incremental_matches_batch(spark, tmp_path):
+    """Store = even doc_ids; shard = odd doc_ids. Incremental pairs
+    (shard-vs-store + shard-internal) must equal exactly the batch
+    pairs over the full corpus that involve a shard doc."""
+    store_path = str(tmp_path / "sigstore")
+    d = load_table(spark, SF0001, "documents")
+    corpus = d.where(F.col("doc_id") % 2 == 0)
+    shard = d.where(F.col("doc_id") % 2 == 1)
+
+    write_signature_store(corpus, store_path)
+    got = {
+        (r["id_a"], r["id_b"]): (r["jaccard_sig"], r["vs"])
+        for r in dedup_against_store(
+            spark, shard, store_path, threshold=0.5
+        ).collect()
+    }
+
+    batch = {
+        (r["id_a"], r["id_b"]): r["jaccard_sig"]
+        for r in minhash_candidates(d)
+        .where(F.col("jaccard_sig") >= 0.5)
+        .collect()
+        if r["id_a"] % 2 == 1 or r["id_b"] % 2 == 1
+    }
+    assert {k: v[0] for k, v in got.items()} == batch and len(batch) > 0
+    # vs labels are consistent with parity
+    for (ia, ib), (_, vs) in got.items():
+        assert vs == ("new" if (ia % 2 == 1 and ib % 2 == 1) else "store")
+
+
+def test_append_makes_next_shard_see_previous(spark, tmp_path):
+    """After append, a later shard deduplicates against the earlier
+    shard's docs too — the rolling-ingest contract."""
+    store_path = str(tmp_path / "sigstore")
+    d = load_table(spark, SF0001, "documents")
+    corpus = d.where(F.col("doc_id") % 3 == 0)
+    shard1 = d.where(F.col("doc_id") % 3 == 1)
+    shard2 = d.where(F.col("doc_id") % 3 == 2)
+
+    write_signature_store(corpus, store_path)
+    append_to_store(shard1, store_path)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_against_store(
+            spark, shard2, store_path, threshold=0.5
+        ).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidates(d)
+        .where(F.col("jaccard_sig") >= 0.5)
+        .collect()
+        if r["id_a"] % 3 == 2 or r["id_b"] % 3 == 2
+    }
+    assert got == want and len(want) > 0
+
+
+def test_store_join_prunes_band_partitions(spark, tmp_path):
+    """The store scan must carry the band partition column so a
+    band-restricted read prunes directories (the layout contract)."""
+    import os
+
+    store_path = str(tmp_path / "sigstore")
+    d = load_table(spark, SF0001, "documents")
+    write_signature_store(d, store_path)
+    assert sorted(
+        e for e in os.listdir(store_path) if e.startswith("band=")
+    ) == ["band=0", "band=1", "band=2", "band=3"]
+    one_band = spark.read.parquet(store_path).where(F.col("band") == 2)
+    plan = one_band._jdf.queryExecution().executedPlan().toString()
+    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf_lines and any("band" in ln for ln in pf_lines), plan
+    n_all = spark.read.parquet(store_path).count()
+    assert one_band.count() * 4 == n_all  # one band = quarter of rows
