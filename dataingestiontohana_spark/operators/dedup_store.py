@@ -80,7 +80,14 @@ def dedup_against_store(
     contributes an equi-join on (band, bucket) — with the store
     partitioned by band, each join task reads one band directory.
     """
-    store = spark.read.parquet(path).select(id_col, "sig", "band", "bucket")
+    # explicit schema: a freshly-initialized EMPTY store has no data
+    # files to infer from, and the first ingest must still run
+    store_schema = f"{id_col} long, sig array<bigint>, bucket string, band int"
+    store = (
+        spark.read.schema(store_schema)
+        .parquet(path)
+        .select(id_col, "sig", "band", "bucket")
+    )
     shard = minhash_bands(new_docs, id_col, text_col).localCheckpoint(
         eager=False
     )

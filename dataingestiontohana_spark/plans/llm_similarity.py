@@ -166,7 +166,11 @@ def q35_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "bb.band", "bb.bucket")
     from dataingestiontohana_spark.operators.dedup import cap_lsh_buckets
 
-    banded = cap_lsh_buckets(banded, cap=256)
+    # materialize the pandas-UDF signature pass once: the bucket-size
+    # join and the candidate self-join would otherwise recompute it up
+    # to 4x (the q30/q31 band-frame pattern)
+    banded = banded.localCheckpoint(eager=False)
+    banded = cap_lsh_buckets(banded, cap=256).localCheckpoint(eager=False)
     a = banded.select(F.col("vec_id").alias("id_a"), "band", "bucket")
     b = banded.select(F.col("vec_id").alias("id_b"), "band", "bucket")
     pairs = (

@@ -89,3 +89,65 @@ def test_store_join_prunes_band_partitions(spark, tmp_path):
     assert pf_lines and any("band" in ln for ln in pf_lines), plan
     n_all = spark.read.parquet(store_path).count()
     assert one_band.count() * 4 == n_all  # one band = quarter of rows
+
+
+def test_streaming_ingest_dedups_against_store(spark, tmp_path):
+    """The rolling-ingest composition on a live stream: each micro-batch
+    is near-dup-checked against the signature store inside foreachBatch,
+    survivors are appended to both the corpus sink and the store — so a
+    doc duplicated across micro-batches lands exactly once."""
+    import json
+    import os
+
+    from pyspark.sql import functions as SF
+
+    store_path = str(tmp_path / "sigstore")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    # batch files arrive in order (one file per trigger); doc 20 in the
+    # second batch duplicates doc 10 from the first
+    with open(os.path.join(src, "b0.json"), "w") as f:
+        f.write(json.dumps({"doc_id": 10, "text": base}) + "\n")
+        f.write(json.dumps({"doc_id": 11, "text": "completely different words " * 8}) + "\n")
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        f.write(json.dumps({"doc_id": 20, "text": base}) + "\n")
+        f.write(json.dumps({"doc_id": 21, "text": "novel content entirely here " * 8}) + "\n")
+
+    # distinct mtimes force the file-source ordering b0 -> b1
+    os.utime(os.path.join(src, "b0.json"), (1_000_000, 1_000_000))
+    os.utime(os.path.join(src, "b1.json"), (2_000_000, 2_000_000))
+
+    # seed an empty store so the first batch has something to read
+    write_signature_store(
+        spark.createDataFrame([], "doc_id long, text string"), store_path
+    )
+    accepted: list[int] = []
+
+    def ingest(batch_df, epoch_id):
+        batch_df = batch_df.localCheckpoint(eager=True)
+        # reject docs duplicating the store, and for shard-internal
+        # pairs keep the smaller id (canonical-survivor convention)
+        dups = (
+            dedup_against_store(spark, batch_df, store_path, threshold=0.8)
+            .select(SF.greatest("id_a", "id_b").alias("dup_id"))
+        )
+        keep = batch_df.join(
+            dups, batch_df["doc_id"] == dups["dup_id"], "left_anti"
+        ).localCheckpoint(eager=True)
+        accepted.extend(r["doc_id"] for r in keep.select("doc_id").collect())
+        append_to_store(keep, store_path)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert sorted(accepted) == [10, 11, 21]  # 20 rejected as a store dup
