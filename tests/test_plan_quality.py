@@ -208,3 +208,59 @@ def test_scd2_and_merge_plans_windowless_and_broadcast(spark):
         assert "SortMergeJoin" not in physical, (
             f"{name}: update-side join degraded to a dimension shuffle"
         )
+
+
+def test_q80_bm25_broadcasts_and_takeordered(spark):
+    """BM25: df and corpus stats ride broadcasts, top-k is
+    TakeOrderedAndProject, and the tf filter reaches below its
+    aggregation (only query-term hits cross the shuffle)."""
+    df = QUERIES["q80_bm25_topk"](spark, SF001)
+    plan = _executed(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row stats crossJoin
+    assert "CartesianProduct" not in plan
+
+
+def test_q82_dhash_pairing_no_cartesian(spark):
+    """Image near-dup pairs via band equi-join: never a cartesian or
+    nested-loop product."""
+    df = QUERIES["q82_image_neardup"](spark, SF001)
+    plan = _executed(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q84_rollup_single_scan_single_aggregate(spark):
+    """Hypertable rollup: all grains from ONE scan through ONE Expand +
+    aggregation pair — not one scan per grain."""
+    df = QUERIES["q84_hypertable_rollup"](spark, SF001)
+    plan = _executed(df)
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Expand") == 1
+    assert "HashAggregate" in plan  # partial+final pair over the expand
+
+
+def test_kmeans_update_shuffles_scalars_not_arrays(spark):
+    """The k-means update exchange carries (cluster_id, dim, val)
+    scalar partials — embedding arrays must not enter an exchange."""
+    from pyspark.sql import functions as F
+
+    from dataingestiontohana_spark.catalog import load_table
+    from dataingestiontohana_spark.operators.ivf import (
+        assign_clusters,
+        sample_centroids,
+    )
+
+    e = load_table(spark, SF001, "embeddings")
+    cents = sample_centroids(e, k=8)
+    upd = (
+        assign_clusters(e, cents)
+        .select("cluster_id", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("cluster_id", "dim")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("c"))
+    )
+    plan = _executed(upd)
+    ex_lines = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert ex_lines and all("embedding" not in ln for ln in ex_lines), plan
+    assert "partial_avg" in plan or "partial" in plan  # map-side combine
