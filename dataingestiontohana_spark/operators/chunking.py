@@ -32,6 +32,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# knuth_bucket: the shared portable high-bits multiplicative bucket
+# (functions/hashing.py) — the earlier low-bits (id*K) mod m form
+# degenerated for even m (round-4 advice), and the single shared
+# implementation keeps ivf / pack_chunks / the q78 oracle bit-identical
+from dataingestiontohana_spark.functions.hashing import knuth_bucket
 from dataingestiontohana_spark.functions.text import tokens
 
 DEFAULT_CHUNK_TOKENS = 128
@@ -120,32 +125,7 @@ def make_chunk_udtf(
     return ChunkDoc
 
 
-_KNUTH = 2654435761  # Knuth multiplicative hash; portable across engines
-_M32 = 4294967296
 
-
-def knuth_bucket(id_col: str, n_buckets: int) -> F.Column:
-    """High-bits multiplicative bucket: floor(((id*K) mod 2^32) *
-    n_buckets / 2^32).
-
-    The earlier low-bits form ``(id*K) mod m`` degenerates for even m
-    (K odd => it reduces to a permutation of ``id mod m``: the hash
-    contributed zero mixing, and stride-patterned id spaces skew whole
-    residue classes into one bucket — round-4 advice). The high bits
-    of the 32-bit product DO mix low-bit id structure. Overflow-free
-    via 16-bit limb decomposition (the naive ``id*K`` exceeds int64 at
-    id ~ 3.47e9): x*K = (x>>16)*K*2^16 + (x&0xFFFF)*K (mod 2^32), every
-    intermediate < 2^49 — the same portable expression `operators/
-    ivf.py::sample_centroids` uses, reproducible verbatim in ANSI SQL.
-    """
-    x = F.pmod(F.col(id_col), F.lit(_M32))
-    hi = (
-        F.pmod(F.floor(x / F.lit(65536)) * F.lit(_KNUTH), F.lit(_M32))
-        * F.lit(65536)
-    )
-    lo = F.pmod(x, F.lit(65536)) * F.lit(_KNUTH)
-    h = F.pmod(F.pmod(hi, F.lit(_M32)) + F.pmod(lo, F.lit(_M32)), F.lit(_M32))
-    return F.floor(h * F.lit(n_buckets) / F.lit(_M32)).cast("int")
 
 
 def pack_chunks(

@@ -74,7 +74,17 @@ def dedup_against_store(
 ) -> DataFrame:
     """(id_a, id_b, jaccard_sig, vs) — near-dup pairs involving the new
     shard: ``vs = 'store'`` for shard-vs-corpus pairs, ``'new'`` for
-    duplicates inside the shard itself. ``id_a < id_b`` per pair.
+    duplicates inside the shard itself. ``id_a <= id_b`` per pair;
+    ``id_a == id_b`` flags a RE-OFFERED id — a shard doc whose id is
+    already in the store (the crash-replay case: an earlier attempt
+    appended but the stream checkpoint never committed). Its
+    jaccard_sig compares the store copy's signature with the shard
+    copy's, so an unchanged replay scores 1.0 and a changed-text
+    replay scores lower but is still flagged; either way a
+    reject-the-greater-id consumer drops it instead of re-accepting.
+    The store copies of re-offered ids are EXCLUDED from general
+    pairing (the shard copy supersedes them), which also keeps pair
+    signatures deterministic when the replayed text changed.
 
     Work: signature computation over the SHARD only; the store
     contributes an equi-join on (band, bucket) — with the store
@@ -91,8 +101,31 @@ def dedup_against_store(
     shard = minhash_bands(new_docs, id_col, text_col).localCheckpoint(
         eager=False
     )
+    shard_ids = shard.select(id_col).distinct()
+    # re-offered ids: one signature row per side (band rows carry the
+    # same sig), compared store-copy vs shard-copy
+    replayed = (
+        store.join(F.broadcast(shard_ids), id_col, "left_semi")
+        .dropDuplicates([id_col])
+        .select(id_col, F.col("sig").alias("sig_store"))
+        .join(
+            shard.dropDuplicates([id_col]).select(
+                id_col, F.col("sig").alias("sig_shard")
+            ),
+            id_col,
+        )
+        .select(
+            F.col(id_col).alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            signature_jaccard(F.col("sig_store"), F.col("sig_shard")).alias(
+                "jaccard_sig"
+            ),
+            F.lit("store").alias("vs"),
+        )
+    )
+    store_active = store.join(F.broadcast(shard_ids), id_col, "left_anti")
     combined = cap_lsh_buckets(
-        store.withColumn("__new", F.lit(False)).unionByName(
+        store_active.withColumn("__new", F.lit(False)).unionByName(
             shard.withColumn("__new", F.lit(True))
         ),
         max_bucket,
@@ -114,16 +147,17 @@ def dedup_against_store(
         .select("id_a", "id_b", "sig_a", "sig_b", "new_a", "new_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    return (
-        pairs.select(
-            "id_a",
-            "id_b",
-            signature_jaccard(F.col("sig_a"), F.col("sig_b")).alias(
-                "jaccard_sig"
-            ),
-            F.when(F.col("new_a") & F.col("new_b"), F.lit("new"))
-            .otherwise(F.lit("store"))
-            .alias("vs"),
-        )
-        .where(F.col("jaccard_sig") >= threshold)
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        signature_jaccard(F.col("sig_a"), F.col("sig_b")).alias("jaccard_sig"),
+        F.when(F.col("new_a") & F.col("new_b"), F.lit("new"))
+        .otherwise(F.lit("store"))
+        .alias("vs"),
+    )
+    # id collisions are flagged UNCONDITIONALLY (identity, not content,
+    # makes them duplicates — accepting a changed-text replay would
+    # append a second store row under the same id)
+    return scored.where(F.col("jaccard_sig") >= threshold).unionByName(
+        replayed
     )

@@ -36,18 +36,11 @@ def sample_centroids(
     the whole IVF pipeline is reproducible in ANSI SQL and
     DuckDB-oracle-checkable. Centroid order (= cluster_id space) is
     the hash order with id tiebreak."""
-    # (id * K) % 2^32 decomposed into 16-bit halves so every
-    # intermediate stays < 2^49 (the naive product exceeds int64 for
-    # id >= 2^63/K ~ 3.47e9; same values for every id):
-    # x*K = (x>>16)*K*2^16 + (x&0xFFFF)*K  (mod 2^32)
-    K, M32 = 2654435761, 4294967296
-    x = F.pmod(F.col(id_col), F.lit(M32))
-    hi = F.pmod(F.floor(x / F.lit(65536)) * F.lit(K), F.lit(M32)) * F.lit(65536)
-    lo = F.pmod(x, F.lit(65536)) * F.lit(K)
-    h = F.pmod(F.pmod(hi, F.lit(M32)) + F.pmod(lo, F.lit(M32)), F.lit(M32))
+    from dataingestiontohana_spark.functions.hashing import knuth_hash32
+
     rows = (
         vecs.select(id_col, "embedding")
-        .withColumn("_h", h)
+        .withColumn("_h", knuth_hash32(id_col))
         .orderBy("_h", id_col)
         .limit(k)
         .collect()

@@ -618,6 +618,8 @@ def dhash_images(df: DataFrame, hash_w: int = 8, hash_h: int = 8) -> DataFrame:
     parallel); pairing happens downstream on 16-bit hash bands — the
     image-space member of the banded-LSH dedup family (q30/q31 for
     text, q35 for embeddings)."""
+    if (hash_w * hash_h) % 4:
+        raise ValueError("hash_w*hash_h must be a multiple of 4 (hex packing)")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -648,15 +650,28 @@ def dhash_images(df: DataFrame, hash_w: int = 8, hash_h: int = 8) -> DataFrame:
 
 
 def dhash_neardup_pairs(
-    hashes: DataFrame, max_hamming: int = 10, n_bands: int = 4
+    hashes: DataFrame,
+    max_hamming: int = 10,
+    n_bands: int = 4,
+    hash_bits: int = 64,
 ) -> DataFrame:
     """(id_a, id_b, hamming) — image near-duplicate pairs via banded
-    LSH over 64-bit dHashes: candidates share at least one 16-bit hash
-    band (equi-join, NOT all-pairs — two images within ``max_hamming``
+    LSH over dHashes: candidates share at least one hash band
+    (equi-join, NOT all-pairs — two images within ``max_hamming``
     almost always leave >= 1 band untouched), then the exact Hamming
-    distance filters. Hamming is 16 codegen'd nibble-XOR popcounts —
-    no Python in the pairing path."""
-    width = 16 // n_bands  # hex chars per band (4 for 64-bit / 4 bands)
+    distance filters. Hamming is codegen'd nibble-XOR popcounts — no
+    Python in the pairing path.
+
+    ``hash_bits`` must equal the producing ``dhash_images`` call's
+    hash_w*hash_h (default 64): a mismatch would make the substring
+    reads run past the hex string and silently null out every Hamming
+    distance, so the band split is validated against it."""
+    n_hex = hash_bits // 4
+    if hash_bits % 4 or n_hex % n_bands:
+        raise ValueError(
+            f"hash_bits={hash_bits} must be a multiple of 4*n_bands={n_bands}"
+        )
+    width = n_hex // n_bands  # hex chars per band
     banded = hashes.select(
         "media_id",
         "dhash",
@@ -682,7 +697,7 @@ def dhash_neardup_pairs(
     )
     nib = lambda c, j: F.conv(F.substring(c, j + 1, 1), 16, 10).cast("int")  # noqa: E731
     ham = None
-    for j in range(16):
+    for j in range(n_hex):
         term = F.bit_count(nib("ha", j).bitwiseXOR(nib("hb", j)))
         ham = term if ham is None else ham + term
     return (

@@ -36,20 +36,37 @@ def hypertable_rollup(
 
     grain = fine | coarse | 'total', decoded from grouping_id
     (0 keeps both grain columns, 1 nulls the fine one, 3 nulls both).
+
+    Internal grain columns use collision-safe names, so an input
+    column named d/h is fine; the OUTPUT claims grain/d/h, so an agg
+    aliased to one of those is rejected rather than silently shadowed.
     """
+    reserved = {"grain", "d", "h", "__rb_d", "__rb_h", "__rb_gid"}
     rolled = (
         df.select(
-            F.date_trunc(coarse, F.col(ts_col)).alias("d"),
-            F.date_trunc(fine, F.col(ts_col)).alias("h"),
+            F.date_trunc(coarse, F.col(ts_col)).alias("__rb_d"),
+            F.date_trunc(fine, F.col(ts_col)).alias("__rb_h"),
             "*",
         )
-        .rollup("d", "h")
-        .agg(F.grouping_id().alias("__gid"), *aggs)
+        .rollup("__rb_d", "__rb_h")
+        .agg(F.grouping_id().alias("__rb_gid"), *aggs)
     )
+    out_cols = [
+        c for c in rolled.columns if c not in ("__rb_gid", "__rb_d", "__rb_h")
+    ]
+    clash = sorted(set(out_cols) & reserved)
+    if clash:
+        raise ValueError(
+            f"aggregate aliases collide with rollup output columns: {clash}"
+        )
     grain = (
-        F.when(F.col("__gid") == 0, F.lit(fine))
-        .when(F.col("__gid") == 1, F.lit(coarse))
+        F.when(F.col("__rb_gid") == 0, F.lit(fine))
+        .when(F.col("__rb_gid") == 1, F.lit(coarse))
         .otherwise(F.lit("total"))
     )
-    out_cols = [c for c in rolled.columns if c not in ("__gid", "d", "h")]
-    return rolled.select(grain.alias("grain"), "d", "h", *out_cols)
+    return rolled.select(
+        grain.alias("grain"),
+        F.col("__rb_d").alias("d"),
+        F.col("__rb_h").alias("h"),
+        *out_cols,
+    )

@@ -201,6 +201,10 @@ def q35_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embed_neardup_cogrouped (no driver materialization at any size).
 _PROBE_BROADCAST_BYTES = 512 << 20
 
+# last probe broadcast per application — replaced (and unpersisted) on
+# the next call so long-lived sessions don't accumulate probe matrices
+_PROBE_BC: dict[str, object] = {}
+
 
 def embed_neardup_broadcast(
     corpus: DataFrame, probes: DataFrame, tau: float
@@ -237,7 +241,19 @@ def embed_neardup_broadcast(
         return spark.createDataFrame([], out_schema)
     pids = pdf["vec_id"].to_numpy(dtype=np.int64)
     pmat = np.stack(pdf["embedding"].apply(np.asarray, dtype=np.float64).values)
+    # retire the previous call's broadcast (non-blocking) so repeated
+    # invocations in one long-lived session hold at most ONE probe
+    # matrix per executor instead of accumulating them for the
+    # application lifetime. The newest broadcast stays alive because
+    # the returned DataFrame is lazy — consumers may run it later.
+    prev = _PROBE_BC.pop(spark.sparkContext.applicationId, None)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:  # already destroyed / context gone
+            pass
     bc = spark.sparkContext.broadcast((pids, pmat))
+    _PROBE_BC[spark.sparkContext.applicationId] = bc
 
     def score(batches):
         b_pids, b_pmat = bc.value

@@ -52,13 +52,16 @@ class FileCommit(WriterCommitMessage):
 
 
 def _write_rows(path: str, iterator) -> FileCommit:
-    """Executor-side: stream rows into one uniquely-named JSONL file."""
+    """Executor-side: stream rows into one uniquely-named JSONL file.
+    ``default=str`` renders non-JSON-native cells (timestamp, date,
+    Decimal, ...) via their string form so the sink accepts the same
+    schemas the engine's typed frames carry."""
     os.makedirs(path, exist_ok=True)
     fname = os.path.join(path, f"part-{uuid.uuid4().hex}.jsonl")
     n = 0
     with open(fname, "w") as f:
         for row in iterator:
-            f.write(json.dumps(row.asDict()) + "\n")
+            f.write(json.dumps(row.asDict(), default=str) + "\n")
             n += 1
     return FileCommit(path=fname, rows=n)
 
@@ -88,19 +91,32 @@ def _drop_files(messages) -> None:
 
 
 class JsonlBatchWriter(DataSourceWriter):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, overwrite: bool):
         self.path = options["path"]
+        self.overwrite = overwrite
 
     def write(self, iterator) -> FileCommit:
         return _write_rows(self.path, iterator)
 
     def commit(self, messages) -> None:
         manifest = _load_manifest(self.path)
-        batch = manifest.get("batch", [])
-        batch.extend(
+        new = [
             {"path": m.path, "rows": m.rows} for m in messages if m is not None
-        )
-        manifest["batch"] = batch
+        ]
+        if self.overwrite:
+            # mode('overwrite'): the new file set REPLACES the whole
+            # manifest (streaming entries included) and the previously
+            # committed files are removed — append would silently
+            # return both writes' rows
+            for entry in manifest.values():
+                for e in entry:
+                    try:
+                        os.remove(e["path"])
+                    except OSError:
+                        pass
+            manifest = {"batch": new}
+        else:
+            manifest["batch"] = manifest.get("batch", []) + new
         _store_manifest(self.path, manifest)
 
     def abort(self, messages) -> None:
@@ -143,7 +159,7 @@ class JsonlManifestSink(DataSource):
         return "jsonlsink"
 
     def writer(self, schema, overwrite: bool) -> JsonlBatchWriter:
-        return JsonlBatchWriter(self.options)
+        return JsonlBatchWriter(self.options, overwrite)
 
     def streamWriter(self, schema, overwrite: bool) -> JsonlStreamWriter:
         return JsonlStreamWriter(self.options)
