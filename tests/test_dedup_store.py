@@ -151,3 +151,22 @@ def test_streaming_ingest_dedups_against_store(spark, tmp_path):
     q.stop()
 
     assert sorted(accepted) == [10, 11, 21]  # 20 rejected as a store dup
+
+
+def test_reoffered_ids_are_flagged_as_store_dups(spark, tmp_path):
+    """Crash-replay contract: a shard whose ids are ALREADY in the
+    store (earlier attempt appended, checkpoint never committed) is
+    flagged doc-for-doc as (id, id) store pairs — unconditionally, so
+    a reject-the-greater-id consumer drops every re-offer instead of
+    double-accepting."""
+    store_path = str(tmp_path / "sigstore")
+    d = load_table(spark, SF0001, "documents").limit(40)
+    write_signature_store(d, store_path)
+    flagged = {
+        (r["id_a"], r["id_b"]): (r["jaccard_sig"], r["vs"])
+        for r in dedup_against_store(spark, d, store_path).collect()
+        if r["id_a"] == r["id_b"]
+    }
+    ids = {r["doc_id"] for r in d.select("doc_id").collect()}
+    assert set(flagged) == {(i, i) for i in ids}
+    assert all(v == (1.0, "store") for v in flagged.values())

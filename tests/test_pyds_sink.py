@@ -103,3 +103,33 @@ def test_exactly_once_sensorgen_to_jsonlsink_kill_restart(spark, tmp_path):
     all_files = set(glob.glob(os.path.join(out, "part-*.jsonl")))
     committed = set(manifested_files(out))
     assert committed <= all_files and len(all_files) > len(committed)
+
+
+def test_batch_overwrite_replaces_not_appends(spark, tmp_path):
+    """mode('overwrite') must replace the manifested data (and remove
+    the prior files), not accumulate both writes."""
+    out = str(tmp_path / "out")
+    register_jsonl_sink(spark)
+    for hi in (50, 30):
+        spark.range(hi).selectExpr("id AS counter").write.format(
+            "jsonlsink"
+        ).option("path", out).mode("overwrite").save()
+    got = sorted(
+        r["counter"] for r in read_manifested(spark, out, SCHEMA).collect()
+    )
+    assert got == list(range(30))
+    # prior files physically removed, not just unmanifested
+    assert sorted(glob.glob(os.path.join(out, "part-*.jsonl"))) == (
+        manifested_files(out)
+    )
+
+
+def test_write_serializes_timestamps(spark, tmp_path):
+    """Typed frames (timestamps etc.) must write without TypeError."""
+    out = str(tmp_path / "out")
+    register_jsonl_sink(spark)
+    spark.sql(
+        "SELECT 1 AS k, TIMESTAMP '2024-01-02 03:04:05' AS ts"
+    ).write.format("jsonlsink").option("path", out).mode("append").save()
+    rows = read_manifested(spark, out, "k long, ts string").collect()
+    assert rows[0]["ts"].startswith("2024-01-02 03:04:05")
