@@ -22,9 +22,13 @@ Upgrade path for the store side of the join: persist via
 corpus side of the candidate join becomes exchange-free too; the
 plain partitioned-parquet form keeps this module storage-agnostic.
 
-Bucket-size capping (`cap_lsh_buckets`) applies to the UNION of store
-and shard rows, matching what a from-scratch run over the combined
-corpus would drop — so incremental results track batch results.
+Bucket-size capping counts store + shard members per (band, bucket) —
+the same totals a from-scratch combined run would see, so incremental
+results track batch results — but computes them WITHOUT a corpus
+shuffle: the store is first filtered map-only (broadcast semi-join on
+the shard's touched buckets) and only that bounded slice is counted.
+The candidate join broadcasts the shard bands into the store scan, so
+the store side of the whole operation never enters an exchange.
 """
 
 from __future__ import annotations
@@ -33,7 +37,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataingestiontohana_spark.operators.dedup import (
-    cap_lsh_buckets,
     minhash_bands,
     signature_jaccard,
 )
@@ -124,36 +127,76 @@ def dedup_against_store(
         )
     )
     store_active = store.join(F.broadcast(shard_ids), id_col, "left_anti")
-    combined = cap_lsh_buckets(
-        store_active.withColumn("__new", F.lit(False)).unionByName(
-            shard.withColumn("__new", F.lit(True))
-        ),
-        max_bucket,
+
+    # ---- bucket capping WITHOUT a corpus shuffle -------------------
+    # The cap must count store + shard members per (band, bucket) —
+    # the same totals a from-scratch run over the combined corpus
+    # would see (the batch-equivalence tests pin this). Counting the
+    # whole store would shuffle 100 TB; instead the store is first
+    # FILTERED map-only (broadcast semi-join) to the buckets the shard
+    # touches — all other buckets cannot produce pairs — and only that
+    # bounded slice enters the count aggregate.
+    shard_counts = (
+        shard.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__ns"))
     ).localCheckpoint(eager=False)
-    a = combined.select(
-        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"),
-        F.col("__new").alias("new_a"), "band", "bucket",
+    touched = shard_counts.select("band", "bucket")
+    store_touched = store_active.join(
+        F.broadcast(touched), ["band", "bucket"], "left_semi"
+    ).localCheckpoint(eager=False)
+    store_counts = store_touched.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("__nc")
     )
-    b = combined.select(
-        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"),
-        F.col("__new").alias("new_b"), "band", "bucket",
+    ok_buckets = (
+        shard_counts.join(store_counts, ["band", "bucket"], "left_outer")
+        .where(
+            F.col("__ns") + F.coalesce(F.col("__nc"), F.lit(0)) <= max_bucket
+        )
+        .select("band", "bucket")
     )
-    pairs = (
+    shard_ok = shard.join(F.broadcast(ok_buckets), ["band", "bucket"], "left_semi")
+    store_ok = store_touched.join(
+        F.broadcast(ok_buckets), ["band", "bucket"], "left_semi"
+    )
+
+    # ---- candidate pairs: the store side NEVER shuffles ------------
+    # shard bands broadcast into the store scan (BroadcastHashJoin) ->
+    # shard-vs-store pairs stream out of the map side; shard-vs-shard
+    # pairs come from the tiny shard self-join.
+    sb = shard_ok.select(
+        F.col(id_col).alias("__sid"), F.col("sig").alias("__ssig"),
+        "band", "bucket",
+    )
+    store_pairs = (
+        store_ok.join(F.broadcast(sb), ["band", "bucket"])
+        .select(
+            F.least(F.col(id_col), F.col("__sid")).alias("id_a"),
+            F.greatest(F.col(id_col), F.col("__sid")).alias("id_b"),
+            F.col("sig").alias("sig_a"),
+            F.col("__ssig").alias("sig_b"),
+            F.lit("store").alias("vs"),
+        )
+    )
+    a = sb.select(
+        F.col("__sid").alias("id_a"), F.col("__ssig").alias("sig_a"),
+        "band", "bucket",
+    )
+    b = sb.select(
+        F.col("__sid").alias("id_b"), F.col("__ssig").alias("sig_b"),
+        "band", "bucket",
+    )
+    new_pairs = (
         a.join(b, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        # keep only pairs touching the shard: corpus-internal pairs
-        # were the previous runs' responsibility
-        .where(F.col("new_a") | F.col("new_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b", "new_a", "new_b")
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", "sig_a", "sig_b", F.lit("new").alias("vs"))
+    )
+    pairs = store_pairs.unionByName(new_pairs).dropDuplicates(
+        ["id_a", "id_b"]
     )
     scored = pairs.select(
         "id_a",
         "id_b",
         signature_jaccard(F.col("sig_a"), F.col("sig_b")).alias("jaccard_sig"),
-        F.when(F.col("new_a") & F.col("new_b"), F.lit("new"))
-        .otherwise(F.lit("store"))
-        .alias("vs"),
+        "vs",
     )
     # id collisions are flagged UNCONDITIONALLY (identity, not content,
     # makes them duplicates — accepting a changed-text replay would

@@ -170,3 +170,18 @@ def test_reoffered_ids_are_flagged_as_store_dups(spark, tmp_path):
     ids = {r["doc_id"] for r in d.select("doc_id").collect()}
     assert set(flagged) == {(i, i) for i in ids}
     assert all(v == (1.0, "store") for v in flagged.values())
+
+
+def test_store_side_never_sort_merge_joins(spark, tmp_path):
+    """The 100 TB contract: every join against the store is broadcast
+    (shard side broadcast into the store scan) — the corpus-scale store
+    must never enter a SortMergeJoin exchange."""
+    store_path = str(tmp_path / "sigstore")
+    d = load_table(spark, SF0001, "documents")
+    write_signature_store(d.where(F.col("doc_id") % 2 == 0), store_path)
+    out = dedup_against_store(
+        spark, d.where(F.col("doc_id") % 2 == 1), store_path
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan
