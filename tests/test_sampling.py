@@ -231,3 +231,29 @@ def test_vocab_topk_sketch_matches_exact_head(spark):
         (r["tok"], r["c"]) for r in vocab_topk_sketch(d, 20).collect()
     }
     assert sketch == exact
+
+
+def test_knuth_hash32_matches_python_reference(spark):
+    """The shared portable hash (functions/hashing.py) must equal the
+    plain-integer reference on edge ids (0, 1, 2^31, 2^32-1, huge,
+    negative) — the same values every SQL oracle transcribes."""
+    from dataingestiontohana_spark.functions.hashing import (
+        KNUTH,
+        M32,
+        knuth_bucket,
+        knuth_hash32,
+    )
+
+    ids = [0, 1, 7, 65535, 65536, 2**31, 2**32 - 1, 2**40 + 123, -5]
+    df = spark.createDataFrame([(i,) for i in ids], "x long")
+    got = {
+        r["x"]: (r["h"], r["b"])
+        for r in df.select(
+            "x",
+            knuth_hash32("x").alias("h"),
+            knuth_bucket("x", 8).alias("b"),
+        ).collect()
+    }
+    for i in ids:
+        h = ((i % M32) * KNUTH) % M32
+        assert got[i] == (h, (h * 8) // M32), i
