@@ -87,3 +87,31 @@ def stream_stream_left_outer(
     return _bounded(
         left, right, key, left_ts, right_ts, watermark, lower, upper, "leftOuter"
     )
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Enrich a stream with a static dimension table — the standard
+    device-metadata lookup the reference's sensor rows would get
+    before landing (deviceid -> location/model/...), absent from the
+    reference because its pipeline lands raw rows only.
+
+    The dimension is broadcast: each micro-batch does a map-side hash
+    join, the stream never shuffles, and no streaming state is kept
+    (unlike a stream-stream join there is nothing to evict).
+
+    Refresh contract (verified): a file-backed static side resolves
+    its FILE LISTING at query start — files appended or rewritten
+    later are NOT seen by the running query. A slowly-changing
+    dimension therefore refreshes by re-reading inside ``foreachBatch``
+    (``stream_static_enrich(batch_df, spark.read.parquet(dim_path),
+    ...)`` per batch — the pattern the test pins) or by backing the
+    dim with a snapshot-capable table format. At 100 TB stream scale
+    the only constraint is the dimension staying broadcast-sized
+    (dims that outgrow it should pre-bucket and use a regular join).
+    """
+    return stream.join(F.broadcast(dim), key, how)

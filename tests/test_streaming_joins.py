@@ -119,3 +119,59 @@ def test_left_outer_emits_null_padded_after_watermark(spark, tmp_path):
     assert by_ad[1] == [100]          # matched normally
     assert by_ad[2] == [None]         # click outside bound -> unmatched
     assert by_ad[3] == [None]         # never clicked -> null-padded row
+
+
+def test_stream_static_enrich_broadcasts_and_refreshes(spark, tmp_path):
+    """Stream-static enrichment: map-side broadcast join per
+    micro-batch; slowly-changing dims refresh via the foreachBatch
+    re-read pattern (a running query's STATIC plan pins its file
+    listing at start — verified — so the refresh happens by resolving
+    the dimension inside the batch function)."""
+    import json
+    import os
+
+    from dataingestiontohana_spark.streaming.joins import stream_static_enrich
+
+    src = str(tmp_path / "src")
+    dim_dir = str(tmp_path / "dim")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, "lab"), (2, "roof")], "deviceid int, location string"
+    ).write.parquet(dim_dir)
+
+    with open(os.path.join(src, "a.json"), "w") as f:
+        f.write(json.dumps({"counter": 0, "deviceid": 1}) + "\n")
+        f.write(json.dumps({"counter": 1, "deviceid": 2}) + "\n")
+        f.write(json.dumps({"counter": 2, "deviceid": 9}) + "\n")  # no dim row
+
+    got: list[tuple] = []
+
+    def enrich(batch_df, epoch_id):
+        # re-resolve the dimension per batch: THE refresh pattern
+        dim = spark.read.parquet(dim_dir)
+        out = stream_static_enrich(batch_df, dim, "deviceid").select(
+            "counter", "deviceid", "location"
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+        got.extend(map(tuple, out.collect()))
+
+    stream = spark.readStream.schema("counter long, deviceid int").json(src)
+    q = (
+        stream.writeStream.foreachBatch(enrich)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    assert sorted(got) == [(0, 1, "lab"), (1, 2, "roof"), (2, 9, None)]
+
+    # dim grows between micro-batches; the re-read picks it up live
+    spark.createDataFrame(
+        [(9, "yard")], "deviceid int, location string"
+    ).write.mode("append").parquet(dim_dir)
+    with open(os.path.join(src, "b.json"), "w") as f:
+        f.write(json.dumps({"counter": 3, "deviceid": 9}) + "\n")
+    got.clear()
+    q.processAllAvailable()
+    q.stop()
+    assert got == [(3, 9, "yard")]
