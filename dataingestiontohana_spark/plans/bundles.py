@@ -95,6 +95,9 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("lang", "string"), ("docs", "bigint"), ("avg_chars", "double"),
     ],
     "q27_lang_id": [("pred_lang", "string"), ("docs", "bigint")],
+    "q85_hash_embed": [
+        ("doc_id", "bigint"), ("dim", "int"), ("v", "bigint"),
+    ],
     "q52_observe_audit": [("lang", "string"), ("docs", "bigint")],
     "q25_token_stats": [
         ("source", "string"), ("docs", "bigint"),
@@ -239,7 +242,10 @@ BUNDLES: dict[str, list[str]] = {
     "q46_60_62_distribution": [
         "q46_percentiles", "q60_ntile_buckets", "q62_rank_dist",
     ],
-    "q21_27_52_language": ["q21_lang_stats", "q27_lang_id", "q52_observe_audit"],
+    "q21_27_52_language": [
+        "q21_lang_stats", "q27_lang_id", "q52_observe_audit",
+        "q85_hash_embed",
+    ],
     "q25_51_61_tokens": [
         "q25_token_stats", "q51_bpe_token_stats", "q61_token_topk",
         "q61b_vocab_sketch_audit", "q77_chunk_windows", "q78_pack_chunks",

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataingestiontohana_spark.catalog import load_table
-from dataingestiontohana_spark.functions.text import normalize_text
+from dataingestiontohana_spark.functions.text import normalize_text, tokens
 
 # Tiny per-language stopword marker sets for the n-gram/stopword
 # language-ID heuristic. Chosen to be expressible identically in the
@@ -137,6 +137,42 @@ def q28_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q85_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing text embedder (Weinberger et al. 2009, the
+    'hashing trick'): each token lands in dimension md5(token) mod 64
+    with a sign bit from the next md5 nibble; a document's embedding
+    is the per-dimension signed count — the stubbed-model stand-in for
+    a neural embedder, mapping text into a fixed 64-dim space with NO
+    vocabulary state (the property that makes it mergeable across 100
+    TB shards: signed counts sum). Emitted in sparse exploded form
+    (doc_id, dim, v) with exact integers, so the DuckDB oracle
+    recomputes every component verbatim; dense/normalized assembly for
+    cosine consumers is a map-only array_agg away.
+
+    Scale: explode -> one groupBy(doc_id, dim) with map-side combine;
+    shuffle rows are (doc_id, dim, partial count) scalars.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    hx = F.md5("tok")
+    val = F.conv(F.substring(hx, 1, 15), 16, 10).cast("bigint")
+    sgn = F.when(
+        F.conv(F.substring(hx, 16, 1), 16, 10).cast("int") % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        tok.select(
+            "doc_id",
+            F.pmod(val, F.lit(64)).cast("int").alias("dim"),
+            sgn.alias("s"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("s").cast("bigint").alias("v"))
+        .where(F.col("v") != 0)
+        .orderBy("doc_id", "dim")
+    )
+
+
 QUERIES = {
     "q21_lang_stats": q21_lang_stats,
     "q22_exact_dedup_count": q22_exact_dedup_count,
@@ -144,7 +180,37 @@ QUERIES = {
     "q26_quality_score": q26_quality_score,
     "q27_lang_id": q27_lang_id,
     "q28_fingerprint": q28_fingerprint,
+    "q85_hash_embed": q85_hash_embed,
 }
+
+# feature-hash dimension: md5's leading 15 hex chars as a big-endian
+# uint (the minhash-base construction), reduced mod 64; sign from the
+# parity of hex char 16
+_HASH_EMBED_ORACLE = """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')),
+                    ' ')) AS tok
+      FROM documents),
+    h AS (
+      SELECT doc_id, md5(tok) AS hx FROM tok),
+    comp AS (
+      SELECT doc_id,
+             CAST(({hex15}) % 64 AS INT) AS dim,
+             CASE WHEN (strpos('0123456789abcdef', substr(hx, 16, 1)) - 1) % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM h)
+    SELECT doc_id, dim, CAST(SUM(s) AS BIGINT) AS v
+    FROM comp GROUP BY doc_id, dim
+    HAVING SUM(s) != 0
+    ORDER BY doc_id, dim
+""".format(
+    hex15=" + ".join(
+        f"(strpos('0123456789abcdef', substr(hx, {1 + p}, 1)) - 1)"
+        f" * CAST({16 ** (14 - p)} AS BIGINT)"
+        for p in range(15)
+    )
+)
 
 _MARKER_SQL = {
     lang: "len(list_filter(regexp_split_to_array(trim(lower(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), ' '), t -> t IN ({})))".format(
@@ -212,3 +278,5 @@ ORACLES = {
         FROM f GROUP BY fp HAVING COUNT(*) > 1 ORDER BY canonical_id
     """,
 }
+
+ORACLES["q85_hash_embed"] = _HASH_EMBED_ORACLE
