@@ -238,3 +238,27 @@ def test_binary_files_feed_media_decode(spark, tmp_path):
     )
     dec = decode_media(media).collect()[0]
     assert (dec["width"], dec["height"]) == (8, 4)
+
+
+def test_json_quarantine_mirrors_csv_contract(spark):
+    """The JSON envelope's dead-letter behavior must match the CSV
+    one: clean rows type, malformed bodies land verbatim in _corrupt,
+    and the stream survives."""
+    from dataingestiontohana_spark.sources.csv_envelope import (
+        parse_json_quarantine,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ('{"counter": 7, "temperature": 21.5}',),
+            ("not json at all {",),
+        ],
+        "value string",
+    )
+    out = parse_json_quarantine(
+        df, "counter int, temperature double"
+    ).collect()
+    rows = {r["counter"]: r for r in out}
+    assert rows[7]["temperature"] == 21.5 and rows[7]["_corrupt"] is None
+    bad = rows[None]
+    assert bad["_corrupt"] == "not json at all {"
