@@ -219,6 +219,13 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("grain", "string"), ("d", "timestamp"), ("h", "timestamp"),
         ("c", "bigint"), ("sv", "double"),
     ],
+    "q24_ingest_audit": [
+        ("n_rows", "bigint"), ("uniq", "bigint"), ("span", "bigint"),
+    ],
+    "q86_profile": [
+        ("col_name", "string"), ("n", "bigint"), ("n_null", "bigint"),
+        ("n_distinct", "bigint"), ("min_v", "double"), ("max_v", "double"),
+    ],
     "q39_sensor_generate": [
         ("counter", "int"), ("deviceid", "int"), ("temperature", "double"),
         ("humidity", "double"), ("co2", "double"), ("co", "double"),
@@ -287,6 +294,9 @@ BUNDLES: dict[str, list[str]] = {
     # round 5: the q20 single grew into a bundle with the hypertable
     # multi-grain rollup (one-scan grouping sets over time grains)
     "q20_84_timegrain": ["q20_time_bucket", "q84_hypertable_rollup"],
+    # round 5: q24 grew into a bundle with the one-scan per-column
+    # dataset profiler (ingest-acceptance stats)
+    "q24_86_audit": ["q24_ingest_audit", "q86_profile"],
 }
 
 # fine queries exported unchanged, in this order (headline queries
@@ -296,7 +306,7 @@ SINGLES: list[str] = [
     "q05_inner_join", "q06_multiway_join_agg", "q07_left_outer_join",
     "q08_semi_join", "q09_anti_join", "q10_hash_agg", "q11_distinct_agg",
     "q14_topk_per_group", "q16_running_sum", "q18_dedup", "q19_json_extract",
-    "q24_ingest_audit", "q47_sessionize",
+    "q47_sessionize",
     "q48_correlated_subquery", "q69_fuzzy_name_join",
     "q36_media_byte_features", "q65_sketch_audit", "q66_dedup_clusters",
     "q71_decimal_interval", "q72_bucketed_join", "q73_embed_neardup",

@@ -358,6 +358,35 @@ def q24_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q86_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling: per-column stats (count / nulls / distinct /
+    min / max) for lineitem's numeric measures in ONE scan — the
+    ingest-acceptance check every landed table gets before it enters a
+    pipeline. Unpivot to (column, value) rows then a 4-key aggregation
+    with map-side partial combine: at 100 TB this is one pass with a
+    4-row shuffle payload per map task, not one scan per column.
+    All-exact outputs (counts are integers; min/max return an input
+    double verbatim), so the oracle comparison needs no rounding."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        [], _PROFILE_COLS, "col_name", "val"
+    )
+    return (
+        long.groupBy("col_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("val").isNull().cast("bigint")).alias("n_null"),
+            F.countDistinct("val").alias("n_distinct"),
+            F.min("val").alias("min_v"),
+            F.max("val").alias("max_v"),
+        )
+        .orderBy("col_name")
+    )
+
+
 QUERIES = {
     "q01_filter_project": q01_filter_project,
     "q02_compound_predicates": q02_compound_predicates,
@@ -381,6 +410,7 @@ QUERIES = {
     "q20_time_bucket": q20_time_bucket,
     "q84_hypertable_rollup": q84_hypertable_rollup,
     "q24_ingest_audit": q24_ingest_audit,
+    "q86_profile": q86_profile,
 }
 
 ORACLES = {
@@ -514,5 +544,22 @@ ORACLES = {
         SELECT COUNT(*) AS n_rows, COUNT(DISTINCT event_id) AS uniq,
                MAX(event_id) - MIN(event_id) + 1 AS span
         FROM events
+    """,
+    "q86_profile": """
+        WITH long AS (
+          SELECT col_name, val FROM (
+            SELECT 'l_quantity' AS col_name, l_quantity AS val FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', l_discount FROM lineitem
+            UNION ALL
+            SELECT 'l_tax', l_tax FROM lineitem))
+        SELECT col_name, COUNT(*) AS n,
+               CAST(SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_null,
+               COUNT(DISTINCT val) AS n_distinct,
+               MIN(val) AS min_v, MAX(val) AS max_v
+        FROM long GROUP BY col_name ORDER BY col_name
     """,
 }
