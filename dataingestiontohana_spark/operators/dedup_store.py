@@ -12,8 +12,11 @@ the dominant cost a naive pipeline pays; the store amortizes it:
 - ``dedup_against_store`` computes signatures for the NEW shard only
   (work scales with the shard, not the corpus), bucket-equi-joins them
   against the store (new-vs-corpus) and against themselves
-  (new-vs-new), and returns near-dup pairs above the threshold.
-  Shuffle carries (id, sig, band, bucket) rows — never shingles.
+  (new-vs-new), and returns near-dup pairs above the threshold PLUS
+  re-offered-id (id, id) rows which are returned UNCONDITIONALLY,
+  below-threshold included (identity makes them duplicates — see the
+  function docstring's crash-replay contract). Shuffle carries
+  (id, sig, band, bucket) rows — never shingles.
 - ``append_to_store`` adds the accepted shard's rows so the next
   shard sees it (parquet append into the band partitions).
 

@@ -669,7 +669,8 @@ def dhash_neardup_pairs(
     n_hex = hash_bits // 4
     if hash_bits % 4 or n_hex % n_bands:
         raise ValueError(
-            f"hash_bits={hash_bits} must be a multiple of 4*n_bands={n_bands}"
+            f"hash_bits={hash_bits} must be a multiple of "
+            f"4*n_bands = {4 * n_bands}"
         )
     width = n_hex // n_bands  # hex chars per band
     banded = hashes.select(

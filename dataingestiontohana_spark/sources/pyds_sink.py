@@ -61,7 +61,12 @@ def _write_rows(path: str, iterator) -> FileCommit:
     n = 0
     with open(fname, "w") as f:
         for row in iterator:
-            f.write(json.dumps(row.asDict(), default=str) + "\n")
+            # recursive=True: Row.asDict is shallow by default, and a
+            # nested struct cell would otherwise serialize as the
+            # repr string "Row(...)" instead of a JSON object
+            f.write(
+                json.dumps(row.asDict(recursive=True), default=str) + "\n"
+            )
             n += 1
     return FileCommit(path=fname, rows=n)
 
@@ -99,25 +104,28 @@ class JsonlBatchWriter(DataSourceWriter):
         return _write_rows(self.path, iterator)
 
     def commit(self, messages) -> None:
-        manifest = _load_manifest(self.path)
+        old = _load_manifest(self.path)
         new = [
             {"path": m.path, "rows": m.rows} for m in messages if m is not None
         ]
         if self.overwrite:
             # mode('overwrite'): the new file set REPLACES the whole
-            # manifest (streaming entries included) and the previously
-            # committed files are removed — append would silently
-            # return both writes' rows
-            for entry in manifest.values():
+            # manifest (streaming entries included). ORDER MATTERS:
+            # write the new manifest FIRST, then delete the files it
+            # no longer references — a crash between the two leaves
+            # unreferenced-but-present old files (harmless orphans),
+            # whereas deleting first would leave a manifest pointing
+            # at removed files and break every reader.
+            _store_manifest(self.path, {"batch": new})
+            for entry in old.values():
                 for e in entry:
                     try:
                         os.remove(e["path"])
                     except OSError:
                         pass
-            manifest = {"batch": new}
         else:
-            manifest["batch"] = manifest.get("batch", []) + new
-        _store_manifest(self.path, manifest)
+            old["batch"] = old.get("batch", []) + new
+            _store_manifest(self.path, old)
 
     def abort(self, messages) -> None:
         _drop_files(messages)

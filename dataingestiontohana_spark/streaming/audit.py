@@ -38,16 +38,24 @@ def audit_sink(connection, table: str, key: str = "counter") -> SinkAudit:
     return SinkAudit(n_rows=row[0], uniq=row[1], span=row[2])
 
 
-class ProgressRecorder:
+from pyspark.sql.streaming import StreamingQueryListener  # noqa: E402
+
+
+class ProgressRecorder(StreamingQueryListener):
     """StreamingQueryListener capturing per-micro-batch progress — the
     engine-side counterpart of the reference's Wiretap traces
     (`README.md:64` wiretap screenshots): batch id, input rows,
     processed rates, and per-operator state metrics, recorded as plain
     dicts for the monitoring sink of the operator's choice.
 
-    Listener callbacks run on the driver off the query thread; the
-    captured dicts are tiny (one per micro-batch), so this adds no
-    executor-side work at any scale. Use::
+    A real ``StreamingQueryListener`` subclass — pyspark's
+    ``addListener`` dereferences the ``_jlistener`` JVM bridge the ABC
+    provides as a lazy property, so duck-typing is NOT sufficient
+    (a plain object raises AttributeError at addListener). Listener
+    callbacks run on the driver off the query thread (and are ASYNC:
+    drain before asserting on them); the captured dicts are tiny (one
+    per micro-batch), so this adds no executor-side work at any
+    scale. Use::
 
         rec = ProgressRecorder()
         spark.streams.addListener(rec)
@@ -57,13 +65,11 @@ class ProgressRecorder:
     """
 
     def __init__(self) -> None:
+        super().__init__()
         self.progress: list[dict] = []
         self.started: list[str] = []
         self.terminated: list[str] = []
 
-    # StreamingQueryListener duck-typing: pyspark's listener bridge
-    # only calls these three methods, so subclassing the ABC is not
-    # required (and keeps this importable without a live session)
     def onQueryStarted(self, event) -> None:
         self.started.append(str(event.id))
 

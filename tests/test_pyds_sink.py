@@ -133,3 +133,17 @@ def test_write_serializes_timestamps(spark, tmp_path):
     ).write.format("jsonlsink").option("path", out).mode("append").save()
     rows = read_manifested(spark, out, "k long, ts string").collect()
     assert rows[0]["ts"].startswith("2024-01-02 03:04:05")
+
+
+def test_write_serializes_nested_structs(spark, tmp_path):
+    """Struct cells must land as JSON objects (recursive asDict), not
+    repr strings."""
+    out = str(tmp_path / "out")
+    register_jsonl_sink(spark)
+    spark.sql(
+        "SELECT named_struct('k', 1, 'name', 'x') AS s, 7 AS id"
+    ).write.format("jsonlsink").option("path", out).mode("append").save()
+    rows = read_manifested(
+        spark, out, "id long, s struct<k: long, name: string>"
+    ).collect()
+    assert rows[0]["s"]["k"] == 1 and rows[0]["s"]["name"] == "x"

@@ -224,34 +224,15 @@ def test_exactly_once_sensorgen_kill_restart(spark, tmp_path):
 
 def test_progress_recorder_captures_batches(spark, tmp_path):
     """The listener-based wiretap: per-batch input rows recorded for
-    the whole run, start/termination observed."""
-    from pyspark.sql.streaming import StreamingQueryListener
-
+    the whole run, start/termination observed — registered DIRECTLY
+    (ProgressRecorder is a real StreamingQueryListener subclass; the
+    first cut duck-typed and crashed in addListener)."""
     from dataingestiontohana_spark.sources.pyds import register_sensor_source
     from dataingestiontohana_spark.streaming.audit import ProgressRecorder
 
-    class _Bridge(StreamingQueryListener):
-        """pyspark requires a StreamingQueryListener subclass; the
-        recorder supplies the callbacks."""
-
-        def __init__(self, rec):
-            self._rec = rec
-
-        def onQueryStarted(self, e):
-            self._rec.onQueryStarted(e)
-
-        def onQueryProgress(self, e):
-            self._rec.onQueryProgress(e)
-
-        def onQueryIdle(self, e):
-            self._rec.onQueryIdle(e)
-
-        def onQueryTerminated(self, e):
-            self._rec.onQueryTerminated(e)
-
     register_sensor_source(spark)
     rec = ProgressRecorder()
-    bridge = _Bridge(rec)
+    bridge = rec
     spark.streams.addListener(bridge)
     try:
         q = (
