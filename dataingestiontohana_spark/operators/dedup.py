@@ -422,16 +422,21 @@ def minhash_candidates(
     b = bands.select(
         F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket"
     )
-    pairs = (
+    # score BEFORE the pair dedupe: the agreement is identical on every
+    # band's copy of a pair, and computing it first narrows the
+    # dropDuplicates exchange from two 16-long signature arrays
+    # (~256 B/row) to one 8 B double per row
+    return (
         a.join(b, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select(
+            "id_a",
+            "id_b",
+            signature_jaccard(F.col("sig_a"), F.col("sig_b")).alias(
+                "jaccard_sig"
+            ),
+        )
         .dropDuplicates(["id_a", "id_b"])
-    )
-    return pairs.select(
-        "id_a",
-        "id_b",
-        signature_jaccard(F.col("sig_a"), F.col("sig_b")).alias("jaccard_sig"),
     )
 
 
