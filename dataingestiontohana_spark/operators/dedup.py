@@ -383,12 +383,20 @@ def minhash_bands(
     ).select(id_col, "sig", "bb.band", "bb.bucket")
 
 
-def signature_jaccard(sig_a: F.Column, sig_b: F.Column) -> F.Column:
-    """Estimated Jaccard = fraction of agreeing signature slots."""
-    agree = F.size(
-        F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda eq: eq)
-    )
-    return F.round(agree / F.lit(NUM_HASHES), 4)
+def signature_jaccard(
+    sig_a: F.Column, sig_b: F.Column, num_hashes: int = NUM_HASHES
+) -> F.Column:
+    """Estimated Jaccard = fraction of agreeing signature slots.
+
+    Unrolled as ``num_hashes`` element_at equality terms instead of a
+    zip_with/filter lambda pair: higher-order-function lambdas run
+    INTERPRETED per row (the engine-wide ban on per-token HOF work),
+    while the unrolled sum stays inside whole-stage codegen."""
+    agree = None
+    for i in range(1, num_hashes + 1):
+        term = (F.element_at(sig_a, i) == F.element_at(sig_b, i)).cast("int")
+        agree = term if agree is None else agree + term
+    return F.round(agree / F.lit(num_hashes), 4)
 
 
 def minhash_candidates(
