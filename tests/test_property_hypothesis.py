@@ -1,0 +1,98 @@
+"""Property-based tests (hypothesis) over the engine's pure-python
+kernels — the layers whose invariants hold for ALL inputs, not just
+fixtures: chunk layout arithmetic, the synthetic media container, and
+the stdlib PNG codec round trip. No SparkSession per example (these
+exercise the python halves the Spark expressions are pinned against),
+so hundreds of examples run in seconds."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dataingestiontohana_spark.operators.chunking import make_chunk_udtf
+from dataingestiontohana_spark.operators.multimodal import (
+    KIND_IMAGE,
+    _decode_payload,
+    synth_media_bytes,
+)
+
+# chunk/overlap shapes with 0 <= overlap < chunk
+_chunk_shapes = st.tuples(st.integers(2, 64), st.integers(0, 63)).filter(
+    lambda t: t[1] < t[0]
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    text=st.text(
+        alphabet=st.sampled_from("ab \t\n.x"), min_size=0, max_size=400
+    ),
+    shape=_chunk_shapes,
+)
+def test_chunk_layout_invariants(text, shape):
+    """For EVERY text and (chunk, overlap): chunks are contiguous from
+    0; every chunk holds 1..chunk tokens; consecutive chunks overlap by
+    exactly `overlap` tokens (except a short final chunk); and the
+    chunks reassemble the exact token sequence."""
+    chunk, overlap = shape
+    stride = chunk - overlap
+    eval_fn = make_chunk_udtf(chunk, overlap).func().eval
+    rows = list(eval_fn(text))
+
+    import re
+
+    norm = re.sub(r"\s+", " ", text.lower(), flags=re.ASCII).strip(
+        " \t\n\r\f\v"
+    )
+    toks = norm.split(" ")
+
+    assert [r[0] for r in rows] == list(range(len(rows)))  # contiguous ids
+    assert len(rows) >= 1
+    for k, n_tokens, _fp in rows:
+        assert 1 <= n_tokens <= chunk
+        # chunk k covers tokens [k*stride, k*stride + n_tokens)
+        assert n_tokens == len(toks[k * stride : k * stride + chunk])
+    # full coverage: the last chunk reaches the final token
+    last_k, last_n, _ = rows[-1]
+    assert last_k * stride + last_n == len(toks)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    media_id=st.integers(0, 2**40),
+    w=st.integers(1, 48),
+    h=st.integers(1, 24),
+    nf=st.integers(1, 4),
+)
+def test_sgm1_container_roundtrip(media_id, w, h, nf):
+    """synth_media_bytes -> _decode_payload is an exact round trip for
+    every (id, kind, w, h, frames): dimensions recovered, payload
+    length w*h*nf, decode deterministic."""
+    b = synth_media_bytes(media_id, KIND_IMAGE, w, h, nf)
+    assert len(b) == 11 + w * h * nf
+    gw, gh, gnf, px = _decode_payload(b)
+    assert (gw, gh, gnf) == (w, h, nf)
+    assert px is not None and len(px) == w * h * nf
+    assert b == synth_media_bytes(media_id, KIND_IMAGE, w, h, nf)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    seed=st.integers(0, 2**31),
+    w=st.integers(1, 24),
+    h=st.integers(1, 16),
+    filters=st.lists(st.integers(0, 4), min_size=1, max_size=5),
+)
+def test_png_codec_roundtrip_exact(seed, w, h, filters):
+    """The stdlib PNG encode (test encoder, any filter mix) ->
+    _parse_png decode recovers every pixel exactly, for all sizes and
+    filter-type sequences."""
+    from tests.test_multimodal import _png_encode
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    gw, gh, gnf, px = _decode_payload(_png_encode(arr, filters=filters))
+    assert (gw, gh, gnf) == (w, h, 1)
+    assert px is not None and (px.reshape(h, w) == arr).all()
