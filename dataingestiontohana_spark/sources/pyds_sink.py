@@ -194,3 +194,29 @@ def read_manifested(spark: SparkSession, path: str, schema: str) -> DataFrame:
     if not files:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).json(files)
+
+
+def vacuum_orphans(path: str, min_age_seconds: float = 3600.0) -> list[str]:
+    """Delete data files NOT referenced by the manifest — the debris
+    of crashed attempts (task failures after data write, aborted
+    batches). Safe by the manifest protocol: readers only ever see
+    manifested files, so removing unmanifested ones cannot change any
+    result. ``min_age_seconds`` guards the race with an in-flight
+    batch whose files are written but not yet committed (default: an
+    hour — far beyond any micro-batch). Returns the removed paths."""
+    import time
+
+    keep = set(manifested_files(path))
+    removed: list[str] = []
+    now = time.time()
+    for fname in os.listdir(path):
+        full = os.path.join(path, fname)
+        if not fname.startswith("part-") or full in keep:
+            continue
+        try:
+            if now - os.path.getmtime(full) >= min_age_seconds:
+                os.remove(full)
+                removed.append(full)
+        except OSError:
+            pass
+    return sorted(removed)

@@ -147,3 +147,35 @@ def test_write_serializes_nested_structs(spark, tmp_path):
         spark, out, "id long, s struct<k: long, name: string>"
     ).collect()
     assert rows[0]["s"]["k"] == 1 and rows[0]["s"]["name"] == "x"
+
+
+def test_vacuum_removes_only_aged_orphans(spark, tmp_path):
+    """Vacuum deletes unmanifested debris past the age guard, never
+    committed files, never fresh (possibly in-flight) files."""
+    import os
+    import time
+
+    from dataingestiontohana_spark.sources.pyds_sink import vacuum_orphans
+
+    out = str(tmp_path / "out")
+    register_jsonl_sink(spark)
+    spark.range(10).selectExpr("id AS counter").write.format(
+        "jsonlsink"
+    ).option("path", out).mode("append").save()
+    committed = set(manifested_files(out))
+
+    old_orphan = os.path.join(out, "part-orphan-old.jsonl")
+    new_orphan = os.path.join(out, "part-orphan-new.jsonl")
+    for p in (old_orphan, new_orphan):
+        with open(p, "w") as f:
+            f.write('{"counter": 999}\n')
+    os.utime(old_orphan, (time.time() - 7200, time.time() - 7200))
+
+    removed = vacuum_orphans(out, min_age_seconds=3600)
+    assert removed == [old_orphan]
+    assert os.path.exists(new_orphan)  # age guard: maybe in-flight
+    assert set(manifested_files(out)) == committed
+    got = sorted(
+        r["counter"] for r in read_manifested(spark, out, SCHEMA).collect()
+    )
+    assert got == list(range(10))  # results unchanged
