@@ -164,3 +164,110 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     )
     ids = sorted(r["event_id"] for r in out.collect())
     assert ids == [1, 2, 3]
+
+
+def test_windowed_agg_upserts_exactly_once_across_crash(spark, tmp_path):
+    """The CONTINUOUS-AGGREGATE composition: tumbling window counts in
+    update mode -> keyed upsert on (window_start, event_type) -> kill
+    mid-run -> checkpoint restart. The landed table must equal a batch
+    recomputation over the full source exactly — updated window rows
+    overwrite their previous values (idempotent by window key), and
+    replayed batches converge."""
+    import functools
+    import sqlite3
+
+    from dataingestiontohana_spark.operators.upsert_sink import (
+        SQLiteDialect,
+        UpsertSink,
+    )
+    from dataingestiontohana_spark.streaming.fault import (
+        FaultInjector,
+    )
+
+    src = str(tmp_path / "src")
+    db = str(tmp_path / "agg.db")
+    # three micro-batches; batch 1 ADDS rows to batch 0's 10:00 window
+    # (the update-mode overwrite case) and batch 2 opens a new window
+    write_batch(src, 0, [
+        ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:20:00"),
+    ])
+    write_batch(src, 1, [
+        ev(3, "2024-01-01 10:40:00"), ev(4, "2024-01-01 11:10:00", etype="view"),
+    ])
+    write_batch(src, 2, [
+        ev(5, "2024-01-01 12:30:00"), ev(6, "2024-01-01 12:45:00", etype="view"),
+    ])
+
+    sink = UpsertSink(
+        table="win_agg",
+        key_cols=["ws", "event_type"],
+        dialect=SQLiteDialect(),
+        connection_factory=functools.partial(sqlite3.connect, db),
+    )
+    sink.ensure_table(
+        [("ws", "TEXT"), ("event_type", "TEXT"), ("c", "INTEGER"),
+         ("sv", "DOUBLE")],
+    )
+    fault = FaultInjector(
+        str(tmp_path / "flag"), FaultInjector.AFTER_WRITE, at_batch=1
+    )
+    fault.arm()
+
+    def agg(stream):
+        return tumbling_counts(stream, size="1 hour", watermark="2 hours").select(
+            F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            "event_type", "c", "sv",
+        )
+
+    def upsert(batch_df, epoch_id):
+        sink.write(batch_df, upsert=True)
+        fault.check(FaultInjector.AFTER_WRITE)
+
+    def run():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+        )
+        q = (
+            agg(stream)
+            .writeStream.foreachBatch(upsert)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        except Exception:
+            pass
+        try:
+            q.stop()
+            q.awaitTermination(30)
+        except Exception:
+            pass
+        return q.exception()
+
+    assert run() is not None  # injected crash after a sink write
+    assert run() is None  # checkpoint restart drains the rest
+
+    batch = spark.read.schema(SCHEMA).json(src)
+    want = sorted(
+        map(
+            tuple,
+            batch.groupBy(
+                F.date_format(
+                    F.window("ts", "1 hour").start, "yyyy-MM-dd HH:mm:ss"
+                ).alias("ws"),
+                "event_type",
+            )
+            .agg(F.count("*").alias("c"), F.round(F.sum("value"), 2).alias("sv"))
+            .collect(),
+        )
+    )
+    con = sqlite3.connect(db)
+    got = sorted(
+        map(tuple, con.execute(
+            'SELECT ws, event_type, c, sv FROM "win_agg"').fetchall())
+    )
+    con.close()
+    assert got == want and len(got) >= 4
