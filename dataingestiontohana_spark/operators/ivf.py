@@ -154,3 +154,15 @@ def ivf_topk_from_index(
         k,
         id_col,
     )
+
+
+def append_to_ivf_index(vecs: DataFrame, centroids: np.ndarray, path: str) -> None:
+    """Incremental index maintenance: assign the NEW vectors map-only
+    (same frozen centroids — the coarse quantizer must not move, or
+    existing postings would be misfiled) and append into the cluster
+    directories. Ingest work scales with the shard; existing postings
+    never rewrite. Periodic re-clustering (new centroids + full
+    write_ivf_index) is the standard compaction when drift accumulates."""
+    assign_clusters(vecs, centroids).write.mode("append").partitionBy(
+        "cluster_id"
+    ).parquet(path)

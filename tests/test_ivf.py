@@ -96,3 +96,38 @@ def test_persisted_index_prunes_partitions(spark, vecs, tmp_path):
     # identical answer to the in-memory assignment path
     mem = ivf_topk(vecs, qvec, cents, k=10, nprobe=2).collect()
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in mem]
+
+
+def test_ivf_index_append_equals_full_rebuild(spark, tmp_path):
+    """Appending a shard to the persisted index yields exactly the
+    results of rebuilding the index over the full corpus (frozen
+    centroids), and queries still prune to the probed partitions."""
+    from pyspark.sql import functions as F
+
+    from dataingestiontohana_spark.catalog import load_table
+    from dataingestiontohana_spark.operators.ivf import (
+        append_to_ivf_index,
+        ivf_topk_from_index,
+        sample_centroids,
+        write_ivf_index,
+    )
+    from tests.conftest import SF0001
+
+    e = load_table(spark, SF0001, "embeddings")
+    cents = sample_centroids(e, k=16)
+    qvec = [float(x) for x in e.where(F.col("vec_id") == 0).head()["embedding"]]
+
+    base = e.where((F.col("vec_id") % 5 != 0) & (F.col("vec_id") != 0))
+    shard = e.where((F.col("vec_id") % 5 == 0) & (F.col("vec_id") != 0))
+
+    inc_path = str(tmp_path / "ivf_inc")
+    full_path = str(tmp_path / "ivf_full")
+    write_ivf_index(base, cents, inc_path)
+    append_to_ivf_index(shard, cents, inc_path)
+    write_ivf_index(e.where(F.col("vec_id") != 0), cents, full_path)
+
+    inc = sorted(map(tuple, ivf_topk_from_index(
+        spark, inc_path, qvec, cents, k=10, nprobe=4).collect()))
+    full = sorted(map(tuple, ivf_topk_from_index(
+        spark, full_path, qvec, cents, k=10, nprobe=4).collect()))
+    assert inc == full and len(inc) == 10
