@@ -135,6 +135,9 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q23a_label_counts": [("label", "int"), ("n", "bigint")],
     "q23b_vec_dims": [("vec_id", "bigint")],
     "q33_cosine_topk": [("vec_id", "bigint"), ("cos_sim", "double")],
+    "q87_random_projection": [
+        ("vec_id", "bigint"), ("dim", "int"), ("p", "double"),
+    ],
     "q34_knn_per_label": [
         ("label_a", "int"), ("label_b", "int"), ("cos_sim", "double"),
     ],
@@ -263,7 +266,9 @@ BUNDLES: dict[str, list[str]] = {
     ],
     "q22_29_exact_dedup": ["q22_exact_dedup_count", "q29_exact_dedup"],
     "q23_embed_audit": ["q23a_label_counts", "q23b_vec_dims"],
-    "q33_34_similarity": ["q33_cosine_topk", "q34_knn_per_label"],
+    "q33_34_similarity": [
+        "q33_cosine_topk", "q34_knn_per_label", "q87_random_projection",
+    ],
     "q63_64_67_centroids": [
         "q63_label_centroids", "q64_centroid_outliers", "q67_vector_stats",
         "q83_kmeans",

@@ -365,6 +365,66 @@ def q73_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id", "vec_id")
 
 
+RP_DIMS, RP_SEED = 16, 1729
+
+
+def q87_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded random-projection dimensionality reduction (the
+    Johnson-Lindenstrauss transform with a +-1 Achlioptas matrix):
+    64-dim embeddings -> 16 dims, p_j = (sum_i +-e_i) / sqrt(16).
+    The standard pre-ANN compression step — distances are preserved
+    within JL bounds at a quarter of the bytes.
+
+    Scale shape: 16 codegen'd +-sum expressions per row — map-only, no
+    shuffle except the output explode's intrinsic row growth. The
+    seeded plane matrix embeds as literal sign coefficients in BOTH
+    engines (the q35 maneuver), and each +-chain folds left-to-right
+    identically in Spark and DuckDB, so the rounded doubles are
+    bit-identical and the oracle needs no quantization tricks."""
+    e = load_table(spark, sf_dir, "embeddings")
+    planes = _hyperplanes(RP_DIMS, RP_SEED)  # DIM x RP_DIMS of +-1
+    scale = 1.0 / float(np.sqrt(RP_DIMS))
+    comps = []
+    for j in range(RP_DIMS):
+        acc = None
+        for i in range(DIM):
+            term = F.element_at("embedding", i + 1).cast("double")
+            term = term if planes[i, j] > 0 else -term
+            acc = term if acc is None else acc + term
+        comps.append(F.round(acc * F.lit(scale), 6))
+    return (
+        e.select(
+            "vec_id",
+            F.posexplode(F.array(*comps)).alias("dim", "p"),
+        )
+        .orderBy("vec_id", "dim")
+    )
+
+
+def _q87_oracle_sql() -> str:
+    planes = _hyperplanes(RP_DIMS, RP_SEED)
+    scale = 1.0 / float(np.sqrt(RP_DIMS))
+    cols = []
+    for j in range(RP_DIMS):
+        chain = "".join(
+            ("+" if planes[i, j] > 0 else "-") + f"v[{i + 1}]"
+            for i in range(DIM)
+        )
+        cols.append(
+            f"SELECT vec_id, {j} AS dim, ROUND(({chain}) * {scale!r}, 6) AS p"
+            " FROM v"
+        )
+    union = "\n          UNION ALL\n          ".join(cols)
+    return f"""
+        WITH v AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings)
+        {union}
+        ORDER BY vec_id, dim
+    """
+
+
 KMEANS_K, KMEANS_ITERS = 8, 2
 
 
@@ -602,6 +662,7 @@ QUERIES = {
     "q64_centroid_outliers": q64_centroid_outliers,
     "q67_vector_stats": q67_vector_stats,
     "q83_kmeans": q83_kmeans,
+    "q87_random_projection": q87_random_projection,
 }
 
 # q33/q34 have exact float-arithmetic oracles in DuckDB (same double
@@ -807,4 +868,5 @@ def _q36b_oracle_sql(k: int = 16, nprobe: int = 4, topk: int = 10) -> str:
 
 ORACLES["q35_ann_lsh"] = _q35_oracle_sql()
 ORACLES["q83_kmeans"] = _q83_oracle_sql()
+ORACLES["q87_random_projection"] = _q87_oracle_sql()
 ORACLES["q36b_ivf_topk"] = _q36b_oracle_sql()
