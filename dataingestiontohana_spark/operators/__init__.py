@@ -1,7 +1,34 @@
 """DataFrame -> DataFrame operators (the engine's composite ops)."""
 
+from dataingestiontohana_spark.operators.chunking import (  # noqa: F401
+    chunk_windows,
+    pack_chunks,
+)
 from dataingestiontohana_spark.operators.dedup import (  # noqa: F401
+    exact_jaccard_pairs,
+    minhash_bands,
     minhash_candidates,
     minhash_signatures,
     simhash_fingerprints,
+)
+from dataingestiontohana_spark.operators.dedup_store import (  # noqa: F401
+    append_to_store,
+    dedup_against_store,
+    write_signature_store,
+)
+from dataingestiontohana_spark.operators.ivf import (  # noqa: F401
+    append_to_ivf_index,
+    ivf_topk,
+    ivf_topk_from_index,
+    write_ivf_index,
+)
+from dataingestiontohana_spark.operators.multimodal import (  # noqa: F401
+    decode_media,
+    dhash_images,
+    dhash_neardup_pairs,
+    resize_images,
+    sample_frames,
+)
+from dataingestiontohana_spark.operators.rollup import (  # noqa: F401
+    hypertable_rollup,
 )
