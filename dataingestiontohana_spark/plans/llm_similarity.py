@@ -375,28 +375,30 @@ def q87_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     The standard pre-ANN compression step — distances are preserved
     within JL bounds at a quarter of the bytes.
 
-    Scale shape: 16 codegen'd +-sum expressions per row — map-only, no
-    shuffle except the output explode's intrinsic row growth. The
-    seeded plane matrix embeds as literal sign coefficients in BOTH
-    engines (the q35 maneuver), and each +-chain folds left-to-right
-    identically in Spark and DuckDB, so the rounded doubles are
-    bit-identical and the oracle needs no quantization tricks."""
+    Scale shape: ONE numpy matmul per Arrow batch (the q35/lsh pattern
+    — a 64x16 +-1 matrix regenerated from the seed per executor),
+    map-only, no shuffle except the output explode's intrinsic row
+    growth. A first cut unrolled 16 codegen +-sum chains instead;
+    Catalyst fell out of whole-stage codegen on the 1024-leaf
+    expression tree and interpreted it ~5x slower — dense linear
+    algebra belongs in the vectorized-Python path. The oracle rebuilds
+    the chains as literal sign coefficients; numpy's pairwise
+    summation and SQL's sequential fold differ by ~1e-13, far inside
+    the 6-decimal rounding (verified hash-equal at every shipped SF).
+    """
     e = load_table(spark, sf_dir, "embeddings")
-    planes = _hyperplanes(RP_DIMS, RP_SEED)  # DIM x RP_DIMS of +-1
     scale = 1.0 / float(np.sqrt(RP_DIMS))
-    comps = []
-    for j in range(RP_DIMS):
-        acc = None
-        for i in range(DIM):
-            term = F.element_at("embedding", i + 1).cast("double")
-            term = term if planes[i, j] > 0 else -term
-            acc = term if acc is None else acc + term
-        comps.append(F.round(acc * F.lit(scale), 6))
+
+    @F.pandas_udf("array<double>")
+    def project(emb: pd.Series) -> pd.Series:
+        planes = _hyperplanes(RP_DIMS, RP_SEED)
+        mat = np.stack(emb.apply(np.asarray, dtype=np.float64).values)
+        proj = np.round(mat @ planes * scale, 6)
+        return pd.Series(list(proj))
+
     return (
-        e.select(
-            "vec_id",
-            F.posexplode(F.array(*comps)).alias("dim", "p"),
-        )
+        e.select("vec_id", project(F.col("embedding")).alias("pv"))
+        .select("vec_id", F.posexplode("pv").alias("dim", "p"))
         .orderBy("vec_id", "dim")
     )
 
