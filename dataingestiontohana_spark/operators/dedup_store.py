@@ -169,13 +169,18 @@ def dedup_against_store(
         F.col(id_col).alias("__sid"), F.col("sig").alias("__ssig"),
         "band", "bucket",
     )
+    # score BEFORE the pair dedupe (the minhash_candidates pattern):
+    # the agreement is identical on every band copy of a pair, and
+    # scoring first narrows the dropDuplicates exchange from two
+    # 16-long signature arrays to one 8 B double per row
     store_pairs = (
         store_ok.join(F.broadcast(sb), ["band", "bucket"])
         .select(
             F.least(F.col(id_col), F.col("__sid")).alias("id_a"),
             F.greatest(F.col(id_col), F.col("__sid")).alias("id_b"),
-            F.col("sig").alias("sig_a"),
-            F.col("__ssig").alias("sig_b"),
+            signature_jaccard(F.col("sig"), F.col("__ssig")).alias(
+                "jaccard_sig"
+            ),
             F.lit("store").alias("vs"),
         )
     )
@@ -190,16 +195,17 @@ def dedup_against_store(
     new_pairs = (
         a.join(b, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b", F.lit("new").alias("vs"))
+        .select(
+            "id_a",
+            "id_b",
+            signature_jaccard(F.col("sig_a"), F.col("sig_b")).alias(
+                "jaccard_sig"
+            ),
+            F.lit("new").alias("vs"),
+        )
     )
-    pairs = store_pairs.unionByName(new_pairs).dropDuplicates(
+    scored = store_pairs.unionByName(new_pairs).dropDuplicates(
         ["id_a", "id_b"]
-    )
-    scored = pairs.select(
-        "id_a",
-        "id_b",
-        signature_jaccard(F.col("sig_a"), F.col("sig_b")).alias("jaccard_sig"),
-        "vs",
     )
     # id collisions are flagged UNCONDITIONALLY (identity, not content,
     # makes them duplicates — accepting a changed-text replay would

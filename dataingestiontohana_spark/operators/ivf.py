@@ -124,15 +124,69 @@ def ivf_topk(
     )
 
 
+_IVF_MANIFEST = "_ivf_centroids.json"
+
+
+def _centroid_digest(centroids: np.ndarray) -> str:
+    import hashlib
+
+    return hashlib.md5(
+        np.ascontiguousarray(centroids, dtype=np.float64).tobytes()
+    ).hexdigest()
+
+
+def _write_ivf_manifest(path: str, centroids: np.ndarray) -> None:
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, _IVF_MANIFEST), "w") as f:
+        json.dump(
+            {"k": int(centroids.shape[0]), "dim": int(centroids.shape[1]),
+             "digest": _centroid_digest(centroids)},
+            f,
+        )
+
+
+def _check_ivf_manifest(path: str, centroids: np.ndarray, op: str) -> None:
+    """The coarse quantizer is part of the index's identity: postings
+    filed under one centroid set are garbage under another (silently —
+    probes just miss true neighbors). Same adoption rule as the
+    bucketed-layout manifest (operators/skew.py): a mismatch is an
+    error, never a guess. A pre-manifest index (missing sidecar) is
+    also refused — rebuild with write_ivf_index."""
+    import json
+    import os
+
+    try:
+        with open(os.path.join(path, _IVF_MANIFEST)) as f:
+            m = json.load(f)
+    except (OSError, ValueError) as ex:
+        raise ValueError(
+            f"{op}: no centroid manifest at {path}; rebuild the index "
+            "with write_ivf_index"
+        ) from ex
+    if m.get("digest") != _centroid_digest(centroids):
+        raise ValueError(
+            f"{op}: supplied centroids do not match the index at {path} "
+            f"(k={m.get('k')}, dim={m.get('dim')}) — appending or probing "
+            "with a different coarse quantizer silently corrupts results; "
+            "re-cluster with write_ivf_index instead"
+        )
+
+
 def write_ivf_index(vecs: DataFrame, centroids: np.ndarray, path: str) -> None:
     """Persist the inverted-file layout: one directory per cluster
-    (`partitionBy("cluster_id")`). The one-time layout cost that turns
-    every later probe into a storage-level partition prune — at 100 TB
-    a query reads ~nprobe/k of the bytes, verified by plan + file-list
-    in tests/test_ivf.py."""
+    (`partitionBy("cluster_id")`), plus a centroid-manifest sidecar
+    that append/query validate against (the quantizer IS the index
+    identity). The one-time layout cost that turns every later probe
+    into a storage-level partition prune — at 100 TB a query reads
+    ~nprobe/k of the bytes, verified by plan + file-list in
+    tests/test_ivf.py."""
     assign_clusters(vecs, centroids).write.mode("overwrite").partitionBy(
         "cluster_id"
     ).parquet(path)
+    _write_ivf_manifest(path, centroids)
 
 
 def ivf_topk_from_index(
@@ -146,7 +200,9 @@ def ivf_topk_from_index(
 ) -> DataFrame:
     """Query the persisted IVF index: the IN-list on the partition
     column becomes directory-level pruning (PartitionFilters in the
-    scan node — never touches non-probed clusters' files)."""
+    scan node — never touches non-probed clusters' files). The
+    centroids must be the index's own (manifest-validated)."""
+    _check_ivf_manifest(path, centroids, "ivf_topk_from_index")
     return _probe_topk(
         spark.read.parquet(path),
         _probe_ids(query_vec, centroids, nprobe),
@@ -162,7 +218,11 @@ def append_to_ivf_index(vecs: DataFrame, centroids: np.ndarray, path: str) -> No
     existing postings would be misfiled) and append into the cluster
     directories. Ingest work scales with the shard; existing postings
     never rewrite. Periodic re-clustering (new centroids + full
-    write_ivf_index) is the standard compaction when drift accumulates."""
+    write_ivf_index) is the standard compaction when drift accumulates.
+    The manifest check makes the frozen-quantizer precondition a hard
+    error: re-deriving centroids over the grown corpus and appending
+    with them would silently misfile every new posting."""
+    _check_ivf_manifest(path, centroids, "append_to_ivf_index")
     assign_clusters(vecs, centroids).write.mode("append").partitionBy(
         "cluster_id"
     ).parquet(path)

@@ -206,12 +206,21 @@ def vacuum_orphans(path: str, min_age_seconds: float = 3600.0) -> list[str]:
     hour — far beyond any micro-batch). Returns the removed paths."""
     import time
 
-    keep = set(manifested_files(path))
+    # compare BASENAMES: part files are uuid-unique, and raw-string
+    # path comparison would treat 'out' vs './out' vs an absolute
+    # spelling as different files — deleting committed data a relative
+    # writer manifested. A missing directory is an empty sink (the
+    # same contract as read_manifested), not a crash.
+    keep = {os.path.basename(p) for p in manifested_files(path)}
     removed: list[str] = []
     now = time.time()
-    for fname in os.listdir(path):
+    try:
+        entries = os.listdir(path)
+    except OSError:
+        return removed
+    for fname in entries:
         full = os.path.join(path, fname)
-        if not fname.startswith("part-") or full in keep:
+        if not fname.startswith("part-") or fname in keep:
             continue
         try:
             if now - os.path.getmtime(full) >= min_age_seconds:

@@ -131,3 +131,35 @@ def test_ivf_index_append_equals_full_rebuild(spark, tmp_path):
     full = sorted(map(tuple, ivf_topk_from_index(
         spark, full_path, qvec, cents, k=10, nprobe=4).collect()))
     assert inc == full and len(inc) == 10
+
+
+def test_ivf_index_refuses_mismatched_centroids(spark, tmp_path):
+    """The frozen-quantizer precondition is a hard error: appending or
+    probing with re-derived centroids would silently misfile postings,
+    so the centroid manifest must refuse them (the bucketed-layout
+    adoption rule)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dataingestiontohana_spark.catalog import load_table
+    from dataingestiontohana_spark.operators.ivf import (
+        append_to_ivf_index,
+        ivf_topk_from_index,
+        sample_centroids,
+        write_ivf_index,
+    )
+    from tests.conftest import SF0001
+
+    e = load_table(spark, SF0001, "embeddings")
+    cents = sample_centroids(e, k=8)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(e.where(F.col("vec_id") != 0), cents, path)
+
+    other = sample_centroids(e.where(F.col("vec_id") > 50), k=8)
+    qvec = [float(x) for x in e.where(F.col("vec_id") == 0).head()["embedding"]]
+    with pytest.raises(ValueError, match="do not match the index"):
+        append_to_ivf_index(e.limit(5), other, path)
+    with pytest.raises(ValueError, match="do not match the index"):
+        ivf_topk_from_index(spark, path, qvec, other)
+    # the index's own centroids still work
+    assert ivf_topk_from_index(spark, path, qvec, cents, k=5).count() == 5
