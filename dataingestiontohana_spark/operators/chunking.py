@@ -136,7 +136,11 @@ def pack_chunks(
 ) -> DataFrame:
     """Pack chunk rows into fixed-token-budget training sequences:
     (bucket, pack_id, n_chunks, n_tokens, fill) — one row per packed
-    sequence.
+    sequence. NOTE: the default ``n_buckets`` follows the cluster's
+    ``defaultParallelism``, so bucket/pack_id assignments VARY with
+    cluster size under the default — pass an explicit ``n_buckets``
+    whenever those columns are part of your output contract (same
+    input, same packing, on any cluster).
 
     Layout: each chunk lands in a deterministic bucket (high-bits
     Knuth multiplicative hash of the doc id — portable, so co-located

@@ -44,6 +44,14 @@ from dataingestiontohana_spark.operators.dedup import (
     signature_jaccard,
 )
 
+# Broadcast budget for the shard's banded signature frame (the shard is
+# broadcast three ways: touched buckets, shard ids, and the full band
+# rows for the candidate join). ~200 B per band row (id + 16x8 B sig +
+# bucket prefix + overhead); past this, fail fast instead of OOMing the
+# executors — the same contract as llm_similarity._PROBE_BROADCAST_BYTES.
+_SHARD_BROADCAST_BYTES = 512 << 20
+_BYTES_PER_BAND_ROW = 200
+
 
 def write_signature_store(
     docs: DataFrame,
@@ -78,16 +86,27 @@ def dedup_against_store(
     text_col: str = "text",
     max_bucket: int = 256,
 ) -> DataFrame:
-    """(id_a, id_b, jaccard_sig, vs) — near-dup pairs involving the new
-    shard: ``vs = 'store'`` for shard-vs-corpus pairs, ``'new'`` for
-    duplicates inside the shard itself. ``id_a <= id_b`` per pair;
+    """(id_a, id_b, jaccard_sig, vs, reject) — near-dup pairs involving
+    the new shard: ``vs = 'store'`` for shard-vs-corpus pairs, ``'new'``
+    for duplicates inside the shard itself. ``id_a <= id_b`` per pair;
     ``id_a == id_b`` flags a RE-OFFERED id — a shard doc whose id is
     already in the store (the crash-replay case: an earlier attempt
     appended but the stream checkpoint never committed). Its
     jaccard_sig compares the store copy's signature with the shard
     copy's, so an unchanged replay scores 1.0 and a changed-text
-    replay scores lower but is still flagged; either way a
-    reject-the-greater-id consumer drops it instead of re-accepting.
+    replay scores lower but is still flagged.
+
+    ``reject`` names the id a consumer should DROP from the shard's
+    accepted set, and is the column to consume — NOT min/max over the
+    pair. Greater-id rejection is only safe when ids are assigned
+    monotonically across shards; for a store pair whose store copy has
+    the LARGER id, rejecting the greater id would drop a doc already
+    persisted and accept its shard near-duplicate, leaving both copies
+    in the corpus. ``reject`` is therefore always the SHARD-side id for
+    store pairs (the store copy is immutable precedent), the greater id
+    for shard-internal pairs (canonical-survivor convention), and the
+    id itself for re-offers.
+
     The store copies of re-offered ids are EXCLUDED from general
     pairing (the shard copy supersedes them), which also keeps pair
     signatures deterministic when the replayed text changed.
@@ -95,17 +114,38 @@ def dedup_against_store(
     Work: signature computation over the SHARD only; the store
     contributes an equi-join on (band, bucket) — with the store
     partitioned by band, each join task reads one band directory.
+    Raises ValueError when the shard's banded frame exceeds the
+    broadcast budget (``_SHARD_BROADCAST_BYTES``) — split the ingest
+    shard, or run the batch path (`minhash_candidates` over the
+    combined corpus) for a bulk backfill.
     """
+    shard = minhash_bands(new_docs, id_col, text_col).localCheckpoint(
+        eager=False
+    )
+    # fail fast BEFORE any join when the shard exceeds the broadcast
+    # budget: the count is a columnar prepass over the (checkpointed)
+    # banded frame, reused by every downstream branch
+    est_bytes = shard.count() * _BYTES_PER_BAND_ROW
+    if est_bytes > _SHARD_BROADCAST_BYTES:
+        raise ValueError(
+            f"ingest shard's banded signature frame ~{est_bytes >> 20} MB "
+            f"exceeds the {_SHARD_BROADCAST_BYTES >> 20} MB broadcast "
+            "budget; split the shard into smaller ingest batches, or use "
+            "operators.dedup.minhash_candidates over the combined corpus "
+            "for a bulk backfill"
+        )
     # explicit schema: a freshly-initialized EMPTY store has no data
-    # files to infer from, and the first ingest must still run
-    store_schema = f"{id_col} long, sig array<bigint>, bucket string, band int"
+    # files to infer from, and the first ingest must still run. The id
+    # type is derived from the shard (write/append accept any id type,
+    # so the read path must too).
+    id_type = shard.schema[id_col].dataType.simpleString()
+    store_schema = (
+        f"{id_col} {id_type}, sig array<bigint>, bucket string, band int"
+    )
     store = (
         spark.read.schema(store_schema)
         .parquet(path)
         .select(id_col, "sig", "band", "bucket")
-    )
-    shard = minhash_bands(new_docs, id_col, text_col).localCheckpoint(
-        eager=False
     )
     shard_ids = shard.select(id_col).distinct()
     # re-offered ids: one signature row per side (band rows carry the
@@ -127,6 +167,7 @@ def dedup_against_store(
                 "jaccard_sig"
             ),
             F.lit("store").alias("vs"),
+            F.col(id_col).alias("reject"),
         )
     )
     store_active = store.join(F.broadcast(shard_ids), id_col, "left_anti")
@@ -182,6 +223,9 @@ def dedup_against_store(
                 "jaccard_sig"
             ),
             F.lit("store").alias("vs"),
+            # the store copy is immutable precedent: always reject the
+            # SHARD side, whichever of the pair's ids is greater
+            F.col("__sid").alias("reject"),
         )
     )
     a = sb.select(
@@ -202,6 +246,8 @@ def dedup_against_store(
                 "jaccard_sig"
             ),
             F.lit("new").alias("vs"),
+            # shard-internal: canonical-survivor convention (keep-least)
+            F.col("id_b").alias("reject"),
         )
     )
     scored = store_pairs.unionByName(new_pairs).dropDuplicates(

@@ -61,6 +61,22 @@ def _row_estimate_is_single(node) -> bool:
     return False
 
 
+def _scan_widths(executed_plan) -> list[int]:
+    """Pruned output width of every file-scan node in the physical plan
+    (the column count the scan actually reads after pruning). Walks the
+    plan tree rather than parsing ``toString`` — long ReadSchemas are
+    truncated with ``...`` in the string form."""
+    widths: list[int] = []
+    for n in _nodes(executed_plan):
+        name = n.nodeName()
+        if name.startswith("Scan ") or name.startswith("FileScan"):
+            try:
+                widths.append(n.output().size())
+            except Exception:
+                pass
+    return widths
+
+
 def lint_plan(df: DataFrame, strict: bool = False) -> list[str]:
     """Return the scale-killer findings for this DataFrame's plan
     (empty list = clean). ``strict=True`` raises ValueError instead."""
@@ -99,6 +115,18 @@ def lint_plan(df: DataFrame, strict: bool = False) -> list[str]:
             "row-at-a-time python UDF (BatchEvalPython): per-row serde, "
             "~10-100x slower than an Arrow-batched pandas UDF"
         )
+
+    out_width = len(df.columns)
+    width_cap = max(2 * out_width, out_width + 8)
+    for scan_width in _scan_widths(df._jdf.queryExecution().executedPlan()):
+        if scan_width > width_cap:
+            problems.append(
+                f"whole-row scan feeding a narrow projection: a parquet "
+                f"ReadSchema of {scan_width} columns serves a "
+                f"{out_width}-column result (cap {width_cap}) — project "
+                f"the needed columns before wide transforms so column "
+                f"pruning reaches the scan"
+            )
 
     if strict and problems:
         raise ValueError("plan lint: " + "; ".join(problems))

@@ -127,11 +127,12 @@ def test_streaming_ingest_dedups_against_store(spark, tmp_path):
 
     def ingest(batch_df, epoch_id):
         batch_df = batch_df.localCheckpoint(eager=True)
-        # reject docs duplicating the store, and for shard-internal
-        # pairs keep the smaller id (canonical-survivor convention)
+        # the operator names the id to drop: shard side for store
+        # pairs, greater id for shard-internal pairs, the id itself
+        # for re-offers — consume `reject`, don't recompute it
         dups = (
             dedup_against_store(spark, batch_df, store_path, threshold=0.8)
-            .select(SF.greatest("id_a", "id_b").alias("dup_id"))
+            .select(SF.col("reject").alias("dup_id"))
         )
         keep = batch_df.join(
             dups, batch_df["doc_id"] == dups["dup_id"], "left_anti"
@@ -156,9 +157,9 @@ def test_streaming_ingest_dedups_against_store(spark, tmp_path):
 def test_reoffered_ids_are_flagged_as_store_dups(spark, tmp_path):
     """Crash-replay contract: a shard whose ids are ALREADY in the
     store (earlier attempt appended, checkpoint never committed) is
-    flagged doc-for-doc as (id, id) store pairs — unconditionally, so
-    a reject-the-greater-id consumer drops every re-offer instead of
-    double-accepting."""
+    flagged doc-for-doc as (id, id) store pairs — unconditionally, with
+    ``reject`` naming the id, so a consumer drops every re-offer
+    instead of double-accepting."""
     store_path = str(tmp_path / "sigstore")
     d = load_table(spark, SF0001, "documents").limit(40)
     write_signature_store(d, store_path)
@@ -170,6 +171,73 @@ def test_reoffered_ids_are_flagged_as_store_dups(spark, tmp_path):
     ids = {r["doc_id"] for r in d.select("doc_id").collect()}
     assert set(flagged) == {(i, i) for i in ids}
     assert all(v == (1.0, "store") for v in flagged.values())
+
+
+def test_store_pair_rejects_shard_side_even_when_store_id_greater(
+    spark, tmp_path
+):
+    """Ids are NOT monotone across shards in general: when the store
+    copy of a near-dup pair has the larger id, the consumer must still
+    drop the SHARD copy — the store doc is already persisted. The
+    `reject` column encodes this; greatest(id_a, id_b) would get it
+    wrong here."""
+    store_path = str(tmp_path / "sigstore")
+    base = "some shared duplicated content repeated over and over " * 6
+    store_docs = spark.createDataFrame(
+        [(100, base), (200, "unrelated store material entirely " * 8)],
+        "doc_id long, text string",
+    )
+    shard = spark.createDataFrame(
+        [(3, base), (4, "fresh novel shard words " * 8)],
+        "doc_id long, text string",
+    )
+    write_signature_store(store_docs, store_path)
+    rows = dedup_against_store(
+        spark, shard, store_path, threshold=0.8
+    ).collect()
+    pair = [r for r in rows if (r["id_a"], r["id_b"]) == (3, 100)]
+    assert len(pair) == 1 and pair[0]["vs"] == "store"
+    assert pair[0]["reject"] == 3  # the shard copy, NOT greatest()
+
+
+def test_string_keyed_store_roundtrips(spark, tmp_path):
+    """write/append accept any id type; the incremental read path must
+    derive the id type from the shard instead of hardcoding long."""
+    store_path = str(tmp_path / "sigstore")
+    base = "identical text shared by both sides of the store " * 6
+    corpus = spark.createDataFrame(
+        [("doc-a", base), ("doc-b", "different corpus words " * 8)],
+        "doc_id string, text string",
+    )
+    shard = spark.createDataFrame(
+        [("doc-z", base)], "doc_id string, text string"
+    )
+    write_signature_store(corpus, store_path)
+    rows = dedup_against_store(
+        spark, shard, store_path, threshold=0.8
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in rows} == {("doc-a", "doc-z")}
+    assert rows[0]["reject"] == "doc-z"
+
+
+def test_oversized_shard_fails_fast(spark, tmp_path, monkeypatch):
+    """A shard past the broadcast budget must raise with guidance, not
+    OOM the executors mid-join."""
+    import pytest
+
+    from dataingestiontohana_spark.operators import dedup_store as ds
+
+    store_path = str(tmp_path / "sigstore")
+    write_signature_store(
+        spark.createDataFrame([], "doc_id long, text string"), store_path
+    )
+    shard = spark.createDataFrame(
+        [(i, f"document number {i} body text") for i in range(50)],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(ds, "_SHARD_BROADCAST_BYTES", 1024)
+    with pytest.raises(ValueError, match="broadcast budget"):
+        ds.dedup_against_store(spark, shard, store_path)
 
 
 def test_store_side_never_sort_merge_joins(spark, tmp_path):

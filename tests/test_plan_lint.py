@@ -52,6 +52,20 @@ def test_flags_row_at_a_time_python_udf(spark):
     assert any("BatchEvalPython" in p for p in problems)
 
 
+def test_flags_whole_row_scan_feeding_narrow_projection(spark):
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet")
+    # concat over every column defeats pruning: the scan reads all 16
+    # lineitem columns to serve a 2-column result.
+    wide = li.withColumn("h", F.md5(F.concat_ws("|", *li.columns)))
+    problems = lint_plan(wide.select("l_orderkey", "h"))
+    assert any("whole-row scan" in p for p in problems)
+
+
+def test_allows_pruned_scan(spark):
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet")
+    assert lint_plan(li.select("l_orderkey", "l_quantity")) == []
+
+
 def test_strict_raises(spark):
     a = spark.range(10)
     b = spark.range(10).selectExpr("id AS j")
