@@ -61,6 +61,22 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+
+    # Streaming-ingestion throughput (SURVEY §6): exactly-once
+    # IngestionPipeline rows/s with no artificial pacing — the
+    # reference's actual workload, reported alongside the batch suite.
+    # Fault-isolated like the per-query loop: a streaming failure costs
+    # this sub-object, not the round's batch numbers.
+    try:
+        from bench_streaming import run_streaming_bench
+
+        out["streaming"] = run_streaming_bench(
+            spark,
+            n_rows=int(os.environ.get("SPARK_GRAFT_STREAM_ROWS", 50_000)),
+            n_files=int(os.environ.get("SPARK_GRAFT_STREAM_FILES", 10)),
+        )
+    except Exception as ex:  # noqa: BLE001 — report, keep the batch line
+        out["streaming_error"] = f"{type(ex).__name__}: {ex}"[:300]
     print(json.dumps(out))
     spark.stop()
 

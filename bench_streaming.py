@@ -1,0 +1,127 @@
+"""Streaming-ingestion throughput bench — the reference's ACTUAL
+workload (producer -> consumer -> relational sink, exactly-once), with
+NO artificial pacing: the reference's 5 s "Processing Data" sleep
+(`README.md:30-43`) exists only to widen its failure window, so the
+honest throughput number removes it (SURVEY §6's commitment).
+
+Drives `IngestionPipeline` end-to-end: sensor CSV text files (the
+durable log standing in for the Kafka topic) -> csv-envelope parse ->
+keyed UPSERT into a SQLite sink (the locally-testable HANA stand-in),
+EXACTLY_ONCE mode — checkpointed offsets + idempotent upsert on
+`counter`, the `README.md:132-155` recipe.
+
+Reported numbers:
+- cold: fresh checkpoint + fresh sink, first run in the session
+  (includes stream-init + first-micro-batch codegen).
+- warm: second run, new checkpoint/sink, warmed JVM — the steady-state
+  number a capacity plan should use.
+- audit: rows == uniq == span on `counter` (the exactly-once proof,
+  asserted — a bench run that loses or duplicates rows is invalid).
+
+Standalone: prints ONE JSON line. Embedded: `bench.py` calls
+`run_streaming_bench(spark)` and folds the dict into its own line.
+
+Env knobs: SPARK_GRAFT_STREAM_ROWS (default 100000),
+SPARK_GRAFT_STREAM_FILES (default 20 -> 20 micro-batches at
+maxFilesPerTrigger=1).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import shutil
+import sqlite3
+import tempfile
+import time
+
+from dataingestiontohana_spark.operators.upsert_sink import (
+    SQLiteDialect,
+    UpsertSink,
+)
+from dataingestiontohana_spark.sources.generator import write_sensor_csv_files
+from dataingestiontohana_spark.streaming.pipeline import (
+    DeliveryMode,
+    IngestionPipeline,
+)
+
+
+def _one_run(spark, source_dir: str, work: str, tag: str, n_rows: int) -> dict:
+    """One cold-start pipeline run over the full source log. Returns
+    rate + audit; raises if delivery was not exactly-once."""
+    db = os.path.join(work, f"sink_{tag}.db")
+    pipe = IngestionPipeline(
+        spark=spark,
+        source_dir=source_dir,
+        checkpoint_dir=os.path.join(work, f"ck_{tag}"),
+        sink=UpsertSink(
+            table="sensor_sink",
+            key_cols=["counter"],
+            dialect=SQLiteDialect(),
+            connection_factory=functools.partial(sqlite3.connect, db),
+        ),
+        mode=DeliveryMode.EXACTLY_ONCE,
+    )
+    t0 = time.perf_counter()
+    err = pipe.run_to_completion()
+    elapsed = time.perf_counter() - t0
+    if err is not None:
+        raise RuntimeError(f"streaming bench run failed: {err}")
+    con = sqlite3.connect(db)
+    rows, uniq, lo, hi = con.execute(
+        'SELECT COUNT(*), COUNT(DISTINCT "counter"), '
+        'MIN("counter"), MAX("counter") FROM "sensor_sink"'
+    ).fetchone()
+    con.close()
+    span = hi - lo + 1 if rows else 0
+    if not (rows == uniq == span == n_rows):
+        raise RuntimeError(
+            f"exactly-once audit failed: rows={rows} uniq={uniq} "
+            f"span={span} expected={n_rows}"
+        )
+    return {
+        "sec": round(elapsed, 3),
+        "rows_per_sec": round(n_rows / elapsed, 1),
+        "audit": {"rows": rows, "uniq": uniq, "span": span},
+    }
+
+
+def run_streaming_bench(spark, n_rows: int | None = None,
+                        n_files: int | None = None) -> dict:
+    """Cold + warm exactly-once ingest runs; returns the metrics dict."""
+    n_rows = n_rows or int(os.environ.get("SPARK_GRAFT_STREAM_ROWS", 100_000))
+    n_files = n_files or int(os.environ.get("SPARK_GRAFT_STREAM_FILES", 20))
+    work = tempfile.mkdtemp(prefix="stream_bench_")
+    try:
+        source_dir = os.path.join(work, "source")
+        write_sensor_csv_files(spark, source_dir, n_rows, n_files)
+        cold = _one_run(spark, source_dir, work, "cold", n_rows)
+        warm = _one_run(spark, source_dir, work, "warm", n_rows)
+        return {
+            "mode": "exactly_once",
+            "rows": n_rows,
+            "micro_batches": n_files,
+            "cold": cold,
+            "warm": warm,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def main() -> None:
+    from dataingestiontohana_spark.session import get_spark
+
+    spark = get_spark("bench-streaming")
+    r = run_streaming_bench(spark)
+    print(json.dumps({
+        "metric": "streaming_ingest_rows_per_sec",
+        "value": r["warm"]["rows_per_sec"],
+        "unit": "rows/sec",
+        **r,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
