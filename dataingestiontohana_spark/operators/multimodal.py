@@ -1,13 +1,18 @@
 """Multimodal columns: image/audio/video as opaque `binary` columns
 with typed metadata, processed via Arrow-batched `mapInPandas`.
 
-The container has no imaging/audio libraries, so the actual
-codec step is STUBBED: `decode_media` parses this module's synthetic
-deterministic media format (a fixed header + pseudo-pixel payload) and
-raises `NotImplementedError` for real formats (JPEG/PNG/WAV/...). The
-Spark-side plumbing — schema contracts, Arrow batch iteration, UDF
-signatures, per-partition batching — is real and tested; swapping in
-PIL/librosa later only changes the inner `_decode_payload` call.
+The container has no imaging/audio libraries, so the codecs here are
+pure-stdlib: the synthetic SGM1 format decodes fully; real PNG decodes
+every 8-bit non-interlaced color type (grayscale/RGB/palette/
+gray+alpha/RGBA) via zlib inflate + scanline unfilter, with a matching
+pure-stdlib encoder (`encode_png`); baseline JPEG decodes grayscale
+(color JPEG is metadata-only); 8-bit PCM WAV decodes to samples.
+Codec-bound formats (MP4, MP3, progressive JPEG, 16-bit/interlaced
+PNG) stay metadata-only or raise `NotImplementedError`. The Spark-side
+plumbing — schema contracts, Arrow batch iteration, UDF signatures,
+per-partition batching — is identical to what a PIL/librosa-backed
+deployment would use; swapping in real codecs only changes the inner
+`_decode_payload` call.
 
 Scale notes: media bytes never pass through Python row-at-a-time —
 `mapInPandas` moves whole Arrow record batches; feature extraction
@@ -39,7 +44,7 @@ KIND_IMAGE, KIND_AUDIO, KIND_VIDEO = 1, 2, 3
 MEDIA_SCHEMA = "media_id long, kind int, content binary"
 DECODED_SCHEMA = (
     "media_id long, kind int, width int, height int, n_frames int, "
-    "n_bytes int, mean_px double, std_px double, "
+    "channels int, n_bytes int, mean_px double, std_px double, "
     "px_sum bigint, px_sqsum bigint"
 )
 
@@ -66,49 +71,69 @@ def synth_media_bytes(media_id: int, kind: int, width: int, height: int,
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
-def _parse_png(b: bytes) -> tuple[int, int, np.ndarray | None]:
-    """Pure-stdlib PNG parse: IHDR dimensions always; full pixel decode
-    (zlib inflate + scanline unfilter) for 8-bit non-interlaced
-    grayscale. Color/16-bit/interlaced images return metadata only."""
+# PNG color type -> bytes per pixel at bit depth 8 (before palette
+# expansion; type 3 scanlines carry 1 index byte per pixel)
+_PNG_BPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _parse_png(b: bytes) -> tuple[int, int, int, np.ndarray | None]:
+    """Pure-stdlib PNG parse -> (w, h, channels, flat_bytes).
+
+    IHDR dimensions always; full pixel decode (zlib inflate + scanline
+    unfilter) for every 8-bit non-interlaced color type: grayscale (0),
+    RGB (2), palette (3, expanded through PLTE to RGB), gray+alpha (4),
+    RGBA (6). 16-bit and interlaced images return metadata only
+    (channels=0, px=None). The flat byte array is row-major
+    channel-interleaved, length w*h*channels."""
     w, h = struct.unpack(">II", b[16:24])
     bit_depth, color_type, _comp, _filt, interlace = b[24:29]
-    if not (bit_depth == 8 and color_type == 0 and interlace == 0):
-        return w, h, None
-    # concatenate IDAT chunk payloads
+    if not (bit_depth == 8 and color_type in _PNG_BPP and interlace == 0):
+        return w, h, 0, None
+    bpp = _PNG_BPP[color_type]
+    # concatenate IDAT chunk payloads; grab PLTE for palette images
     idat = bytearray()
+    plte = b""
     off = 8
     while off + 8 <= len(b):
         (length,) = struct.unpack(">I", b[off : off + 4])
         typ = b[off + 4 : off + 8]
         if typ == b"IDAT":
             idat += b[off + 8 : off + 8 + length]
+        elif typ == b"PLTE":
+            plte = b[off + 8 : off + 8 + length]
         if typ == b"IEND":
             break
         off += 12 + length
+    if color_type == 3 and (not plte or len(plte) % 3):
+        return w, h, 0, None  # malformed palette: metadata only
     import zlib
 
     raw = zlib.decompress(bytes(idat))
-    # unfilter: each scanline = 1 filter byte + w bytes (bpp=1)
-    out = np.zeros((h, w), dtype=np.uint8)
+    # unfilter: each scanline = 1 filter byte + w*bpp bytes; the left
+    # neighbor of byte x is byte x-bpp (per-channel lanes, PNG spec)
+    stride = w * bpp
+    out = np.zeros((h, stride), dtype=np.uint8)
     pos = 0
     for y in range(h):
         f = raw[pos]
-        line = np.frombuffer(raw, np.uint8, w, pos + 1).astype(np.int32)
-        pos += 1 + w
-        up = out[y - 1].astype(np.int32) if y else np.zeros(w, np.int32)
+        line = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int32)
+        pos += 1 + stride
+        up = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
         if f == 0:
             cur = line
         elif f == 2:  # Up
             cur = (line + up) % 256
-        else:  # Sub/Average/Paeth carry a left dependency -> per byte
-            cur = np.zeros(w, np.int32)
-            for x in range(w):
-                a = cur[x - 1] if x else 0
+        elif f == 1:  # Sub: per-lane cumulative sum mod 256
+            cur = line.copy()
+            for r in range(bpp):
+                cur[r::bpp] = np.cumsum(cur[r::bpp]) % 256
+        else:  # Average/Paeth mix left + up -> sequential per byte
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
                 bb = up[x]
-                c = (out[y - 1, x - 1] if (x and y) else 0)
-                if f == 1:
-                    pred = a
-                elif f == 3:
+                c = int(out[y - 1, x - bpp]) if (x >= bpp and y) else 0
+                if f == 3:
                     pred = (a + bb) // 2
                 else:  # Paeth
                     p = a + bb - c
@@ -116,7 +141,85 @@ def _parse_png(b: bytes) -> tuple[int, int, np.ndarray | None]:
                     pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
                 cur[x] = (line[x] + pred) % 256
         out[y] = cur
-    return w, h, out.reshape(-1)
+    flat = out.reshape(-1)
+    if color_type == 3:
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        return w, h, 3, pal[flat].reshape(-1)
+    return w, h, bpp, flat
+
+
+def encode_png(
+    arr: np.ndarray,
+    color_type: int = 0,
+    filters: tuple[int, ...] = (0,),
+    palette: np.ndarray | None = None,
+) -> bytes:
+    """Pure-stdlib 8-bit PNG encoder — the inverse of `_parse_png`,
+    used both as the re-encode step of image normalization and to
+    build real-format fixtures the decoder is property-tested against.
+
+    arr shape by color type: 0 grayscale (h, w); 2 RGB (h, w, 3);
+    4 gray+alpha (h, w, 2); 6 RGBA (h, w, 4); 3 palette indices (h, w)
+    with ``palette`` an (n<=256, 3) uint8 array. ``filters`` cycles
+    per scanline (types 0-4), exercising every unfilter branch."""
+    import zlib
+
+    if color_type not in _PNG_BPP:
+        raise ValueError(f"unsupported color type {color_type}")
+    bpp = _PNG_BPP[color_type]
+    a8 = np.asarray(arr, dtype=np.uint8)
+    if color_type in (0, 3):
+        h, w = a8.shape
+        lines = a8.reshape(h, w)
+    else:
+        h, w, ch = a8.shape
+        if ch != bpp:
+            raise ValueError(f"color type {color_type} needs {bpp} channels")
+        lines = a8.reshape(h, w * bpp)
+    stride = w * bpp
+    raw = bytearray()
+    for y in range(h):
+        f = filters[y % len(filters)]
+        line = lines[y].astype(np.int32)
+        up = lines[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        left = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]]) \
+            if stride > bpp else np.zeros(stride, np.int32)
+        ul = np.concatenate([np.zeros(bpp, np.int32), up[:-bpp]]) \
+            if (stride > bpp and y) else np.zeros(stride, np.int32)
+        if f == 0:
+            pred = np.zeros(stride, np.int32)
+        elif f == 1:
+            pred = left
+        elif f == 2:
+            pred = up
+        elif f == 3:
+            pred = (left + up) // 2
+        else:  # Paeth
+            p = left + up - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+            )
+        raw.append(f)
+        raw += ((line - pred) % 256).astype(np.uint8).tobytes()
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        import zlib as _z
+
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", _z.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    out = _PNG_MAGIC + chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette color type needs a palette")
+        out += chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes())
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
 
 
 def _parse_jpeg(b: bytes) -> tuple[int, int]:
@@ -391,25 +494,32 @@ def _parse_wav(b: bytes) -> tuple[int, np.ndarray | None]:
     return n, None
 
 
-def _decode_payload(content: bytes) -> tuple[int, int, int, np.ndarray | None]:
-    """The codec seam: SGM1 (synthetic) decodes fully; real PNG and
-    baseline JPEG decode to pixels for grayscale (metadata-only
-    otherwise); WAV parses to samples (8-bit PCM decodes fully).
-    Formats needing a real codec stack (MP4, compressed audio) raise —
-    swapping in PIL/librosa later only changes this function."""
+def _decode_payload(
+    content: bytes,
+) -> tuple[int, int, int, int, np.ndarray | None]:
+    """The codec seam -> (w, h, n_frames, channels, flat_bytes).
+
+    SGM1 (synthetic) decodes fully; real PNG decodes every 8-bit
+    non-interlaced color type (grayscale/RGB/palette/gray+alpha/RGBA —
+    palette expands to RGB, channels reports the EXPANDED channel
+    count); baseline JPEG decodes grayscale pixels (color JPEG is
+    metadata-only: channels=0, px=None); WAV parses to samples (8-bit
+    PCM decodes fully). ``channels`` is 0 whenever px is None. Formats
+    needing a real codec stack (MP4, compressed audio) raise — swapping
+    in PIL/librosa later only changes this function."""
     if content[: len(_PNG_MAGIC)] == _PNG_MAGIC:
-        w, h, px = _parse_png(content)
-        return w, h, 1, px
+        w, h, ch, px = _parse_png(content)
+        return w, h, 1, ch, px
     if content[:2] == b"\xff\xd8":
         w, h = _parse_jpeg(content)
         try:
             px = _decode_jpeg_pixels(content)
         except (ValueError, IndexError, KeyError):
             px = None  # malformed scan: keep the metadata row
-        return w, h, 1, px
+        return w, h, 1, (1 if px is not None else 0), px
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         n, px = _parse_wav(content)
-        return n, 1, 1, px
+        return n, 1, 1, (1 if px is not None else 0), px
     if len(content) < _HEADER_SIZE or content[:4] != _MAGIC:
         raise NotImplementedError(
             "unsupported media container: SGM1/PNG/JPEG/WAV are parsed "
@@ -418,7 +528,25 @@ def _decode_payload(content: bytes) -> tuple[int, int, int, np.ndarray | None]:
         )
     _, kind, w, h, nf = struct.unpack(_HEADER_FMT, content[:_HEADER_SIZE])
     px = np.frombuffer(content, dtype=np.uint8, offset=_HEADER_SIZE)
-    return w, h, nf, px
+    return w, h, nf, 1, px
+
+
+def _to_luma(px: np.ndarray, w: int, h: int, channels: int) -> np.ndarray:
+    """(h, w) integer luma grid from a flat decoded byte array.
+
+    Multi-channel images reduce by EXACT integer Rec.601 luma
+    ((299*R + 587*G + 114*B) // 1000) so every pixel-grid consumer
+    (thumbnails, perceptual hashes) is bit-reproducible by a SQL
+    oracle; gray+alpha keeps the gray channel; alpha never contributes
+    (perceptual structure lives in color, and premultiplying would make
+    fully-transparent regions compare unequal across encoders)."""
+    if channels == 1:
+        return px.reshape(h, w)
+    grid = px.reshape(h, w, channels).astype(np.int32)
+    if channels == 2:  # gray + alpha
+        return grid[:, :, 0].astype(np.uint8)
+    r, g, b = grid[:, :, 0], grid[:, :, 1], grid[:, :, 2]
+    return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
 
 
 def decode_media(df: DataFrame) -> DataFrame:
@@ -435,7 +563,7 @@ def decode_media(df: DataFrame) -> DataFrame:
             for mid, kind, content in zip(
                 pdf["media_id"], pdf["kind"], pdf["content"]
             ):
-                w, h, nf, px = _decode_payload(bytes(content))
+                w, h, nf, ch, px = _decode_payload(bytes(content))
                 if px is not None:
                     px64 = px.astype(np.int64)
                     stats = (
@@ -446,7 +574,7 @@ def decode_media(df: DataFrame) -> DataFrame:
                     )
                 else:
                     stats = (None, None, None, None)
-                rows.append((mid, kind, w, h, nf, len(content)) + stats)
+                rows.append((mid, kind, w, h, nf, ch, len(content)) + stats)
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -455,6 +583,7 @@ def decode_media(df: DataFrame) -> DataFrame:
                     "width",
                     "height",
                     "n_frames",
+                    "channels",
                     "n_bytes",
                     "mean_px",
                     "std_px",
@@ -482,8 +611,8 @@ def sample_frames(df: DataFrame, every_k: int = 2) -> DataFrame:
             ):
                 if kind != KIND_VIDEO:
                     continue
-                w, h, nf, px = _decode_payload(bytes(content))
-                frames = px.reshape(nf, h, w)
+                w, h, nf, ch, px = _decode_payload(bytes(content))
+                frames = px.reshape(nf, h, w * ch)
                 for fi in range(0, nf, every_k):
                     payload = frames[fi].tobytes()
                     header = struct.pack(_HEADER_FMT, _MAGIC, KIND_IMAGE, w, h, 1)
@@ -503,13 +632,14 @@ def sample_frames(df: DataFrame, every_k: int = 2) -> DataFrame:
 def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Nearest-neighbor image resize over binary content, re-encoded
     as a single-frame SGM1 container. Works on any decodable image
-    payload (SGM1 images, 8-bit grayscale PNG, and — since the
-    baseline-JPEG decoder landed — grayscale baseline JPEG); rows
-    whose pixels remain undecodable (color/progressive JPEG, 16-bit or
-    interlaced PNG) or aren't single-frame images are skipped — the
-    standard thumbnail/normalize step of a vision-data pipeline.
-    Numpy integer-index gather per Arrow batch; no Python per-pixel
-    work."""
+    payload: SGM1 images, every 8-bit non-interlaced PNG color type
+    (grayscale/RGB/palette/gray+alpha/RGBA — multi-channel images are
+    first reduced to integer Rec.601 luma, so thumbnails are always
+    single-channel), and grayscale baseline JPEG. Rows whose pixels
+    remain undecodable (color/progressive JPEG, 16-bit or interlaced
+    PNG) or aren't single-frame images are skipped — the standard
+    thumbnail/normalize step of a vision-data pipeline. Numpy
+    integer-index gather per Arrow batch; no Python per-pixel work."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -523,12 +653,12 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 if kind != KIND_IMAGE:
                     continue
                 try:
-                    w, h, nf, px = _decode_payload(bytes(content))
+                    w, h, nf, ch, px = _decode_payload(bytes(content))
                 except (NotImplementedError, ValueError):
                     continue
                 if px is None or nf != 1 or h < 1:
                     continue
-                arr = px.reshape(h, w)
+                arr = _to_luma(px, w, h, ch)
                 rows = (np.arange(out_h) * h) // out_h
                 cols = (np.arange(out_w) * w) // out_w
                 small = arr[rows][:, cols]
@@ -560,7 +690,7 @@ def audio_features(df: DataFrame, n_bands: int = 8) -> DataFrame:
                 if kind != KIND_AUDIO:
                     continue
                 try:
-                    _w, _h, _nf, px = _decode_payload(bytes(content))
+                    _w, _h, _nf, _ch, px = _decode_payload(bytes(content))
                 except (NotImplementedError, ValueError):
                     continue
                 if px is None or len(px) == 0:
@@ -630,12 +760,12 @@ def dhash_images(df: DataFrame, hash_w: int = 8, hash_h: int = 8) -> DataFrame:
                 if kind != KIND_IMAGE:
                     continue
                 try:
-                    w, h, nf, px = _decode_payload(bytes(content))
+                    w, h, nf, ch, px = _decode_payload(bytes(content))
                 except (NotImplementedError, ValueError):
                     continue
                 if px is None or nf != 1 or h < 1 or w < hash_w + 1:
                     continue
-                arr = px.reshape(h, w)
+                arr = _to_luma(px, w, h, ch)
                 rows = (np.arange(hash_h) * h) // hash_h
                 cols = (np.arange(hash_w + 1) * w) // (hash_w + 1)
                 small = arr[rows][:, cols].astype(np.int32)

@@ -198,6 +198,83 @@ def q82_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Color-PNG corpus: 36 REAL PNG files (12 RGB, 12 RGBA, 12 palette),
+# 16x8 px, pixel bytes md5-expanded from "{media_id}:png:{chunk}" and
+# encoded through the pure-stdlib encoder with a per-row filter mix
+# (0,1,2,3,4) — so decoding exercises EVERY unfilter branch on every
+# image. The zlib encode/decode round trip cancels in the oracle: the
+# adjudicated moments are over decoded channel bytes, which DuckDB
+# recomputes from the md5 expansion (palette entries are closed-form:
+# entry k = ((k*37)%256, (k*59)%256, (k*83)%256), index = byte % 64).
+_PNG_CACHE: dict[str, DataFrame] = {}
+_PNG_W, _PNG_H = 16, 8
+
+
+def _png_color_corpus(spark: SparkSession) -> DataFrame:
+    import hashlib
+
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import encode_png
+
+    key = spark.sparkContext.applicationId
+    df = _PNG_CACHE.get(key)
+    if df is not None:
+        return df
+    _PNG_CACHE.clear()
+
+    def md5_expand(mid: int, need: int) -> bytes:
+        out = bytearray()
+        c = 0
+        while len(out) < need:
+            out += hashlib.md5(f"{mid}:png:{c}".encode()).digest()
+            c += 1
+        return bytes(out[:need])
+
+    pal = np.array(
+        [[(k * 37) % 256, (k * 59) % 256, (k * 83) % 256] for k in range(64)],
+        dtype=np.uint8,
+    )
+    filters = (0, 1, 2, 3, 4)
+    rows = []
+    for i in range(36):
+        ct = (2, 6, 3)[i % 3]
+        if ct == 3:
+            raw = md5_expand(i, _PNG_W * _PNG_H)
+            idx = (np.frombuffer(raw, np.uint8) % 64).reshape(_PNG_H, _PNG_W)
+            png = encode_png(idx, 3, filters, palette=pal)
+        else:
+            ch = 3 if ct == 2 else 4
+            raw = md5_expand(i, _PNG_W * _PNG_H * ch)
+            arr = np.frombuffer(raw, np.uint8).reshape(_PNG_H, _PNG_W, ch)
+            png = encode_png(arr, ct, filters)
+        rows.append((i, KIND_IMAGE, png))
+    df = (
+        spark.createDataFrame(rows, "media_id long, kind int, content binary")
+        .coalesce(2)
+        .localCheckpoint(eager=False)
+    )
+    _PNG_CACHE[key] = df
+    return df
+
+
+def q88_png_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real color-PNG decode: RGB, RGBA, and palette images (with a
+    full per-row filter mix) flow through the production `decode_media`
+    operator; the adjudicated columns are the exact integer moments of
+    the decoded channel bytes — a bitwise proof of the zlib + unfilter
+    + palette-expansion path (cites `README.md`'s image-rich pipeline
+    surface; codec parity per `operators/multimodal.py::_parse_png`)."""
+    return (
+        decode_media(_png_color_corpus(spark))
+        .select(
+            "media_id", "width", "height", "channels",
+            "px_sum", "px_sqsum",
+        )
+        .orderBy("media_id")
+    )
+
+
 def q38b_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature extraction: sample count + exact integer sample
     moments per audio payload (rms/FFT-band floats stay on the
@@ -288,6 +365,45 @@ hashes AS (
 """
 
 
+# DuckDB reconstruction of the color-PNG corpus (see _png_color_corpus):
+# the encode->decode round trip cancels, so the oracle recomputes the
+# DECODED channel bytes straight from the md5 expansion. raw_ch = bytes
+# of raw payload per pixel (3 RGB / 4 RGBA / 1 palette index); palette
+# rows expand 1 index byte -> 3 closed-form palette bytes.
+_PNG_COLOR_CTE = """
+png_media AS (
+  SELECT CAST(i AS BIGINT) AS media_id,
+         CASE i%3 WHEN 0 THEN 2 WHEN 1 THEN 6 ELSE 3 END AS color_type,
+         CASE i%3 WHEN 0 THEN 3 WHEN 1 THEN 4 ELSE 1 END AS raw_ch
+  FROM range(36) t(i)
+),
+png_chunks AS (
+  SELECT m.media_id, m.color_type, 128*m.raw_ch AS need,
+         CAST(c.j AS INT) AS counter,
+         md5(m.media_id || ':png:' || c.j) AS h
+  FROM png_media m, range(32) c(j)
+  WHERE c.j*16 < 128*m.raw_ch
+),
+png_raw AS (
+  SELECT media_id, color_type,
+         16*(strpos('0123456789abcdef', substr(h, CAST(2*g.j+1 AS INT), 1))-1)
+           + (strpos('0123456789abcdef', substr(h, CAST(2*g.j+2 AS INT), 1))-1)
+           AS b
+  FROM png_chunks, range(16) g(j)
+  WHERE counter*16 + g.j < need
+),
+png_px AS (
+  SELECT media_id, color_type, b FROM png_raw WHERE color_type IN (2, 6)
+  UNION ALL
+  SELECT media_id, color_type, ((b%64)*37)%256 FROM png_raw WHERE color_type=3
+  UNION ALL
+  SELECT media_id, color_type, ((b%64)*59)%256 FROM png_raw WHERE color_type=3
+  UNION ALL
+  SELECT media_id, color_type, ((b%64)*83)%256 FROM png_raw WHERE color_type=3
+)
+"""
+
+
 QUERIES = {
     "q36_media_byte_features": q36_media_byte_features,
     "q37_media_decode": q37_media_decode,
@@ -296,6 +412,7 @@ QUERIES = {
     "q38b_audio_features": q38b_audio_features,
     "q81_image_dhash": q81_image_dhash,
     "q82_image_neardup": q82_image_neardup,
+    "q88_png_color": q88_png_color,
 }
 
 ORACLES = {
@@ -353,6 +470,18 @@ ORACLES = {
     "q81_image_dhash": f"""
         WITH {_DHASH_CTES}
         SELECT media_id, dhash FROM hashes ORDER BY media_id
+    """,
+    "q88_png_color": f"""
+        WITH {_PNG_COLOR_CTE}
+        SELECT media_id,
+               CAST(16 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+               CAST(CASE color_type WHEN 6 THEN 4 ELSE 3 END AS INTEGER)
+                 AS channels,
+               CAST(SUM(b) AS BIGINT) AS px_sum,
+               CAST(SUM(b*b) AS BIGINT) AS px_sqsum
+        FROM png_px
+        GROUP BY media_id, color_type
+        ORDER BY media_id
     """,
     "q82_image_neardup": f"""
         WITH {_DHASH_CTES},

@@ -68,7 +68,7 @@ def test_integer_byte_moments_match_numpy(media):
         (1, KIND_IMAGE, synth_media_bytes(1, KIND_IMAGE, 32, 16)),
         (2, KIND_VIDEO, synth_media_bytes(2, KIND_VIDEO, 8, 4, n_frames=6)),
     ]:
-        _w, _h, _nf, px = _decode_payload(content)
+        _w, _h, _nf, _ch, px = _decode_payload(content)
         px64 = px.astype(np.int64)
         assert rows[mid]["px_sum"] == int(px64.sum())
         assert rows[mid]["px_sqsum"] == int((px64 * px64).sum())
@@ -83,7 +83,7 @@ def test_frame_checksums_match_slices(media):
     from dataingestiontohana_spark.operators.multimodal import _decode_payload
 
     content = synth_media_bytes(2, KIND_VIDEO, 8, 4, n_frames=6)
-    _w, _h, nf, px = _decode_payload(content)
+    _w, _h, nf, _ch, px = _decode_payload(content)
     frames = px.reshape(nf, 4, 8).astype(np.int64)
     got = {
         r["frame_idx"]: r["frame_px_sum"]
@@ -171,6 +171,71 @@ def test_real_png_decodes_pixels_exactly(spark):
     assert r["std_px"] == round(float(arr.std()), 4)
 
 
+def test_library_encoder_matches_independent_test_encoder():
+    """encode_png must emit the SAME bytes as this file's independently
+    written grayscale encoder — pins PNG conformance so a mirrored
+    encoder/decoder bug can't cancel in the round-trip tests."""
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import encode_png
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, size=(9, 14), dtype=np.uint8)
+    assert encode_png(arr, 0, (0, 1, 2, 3, 4)) == _png_encode(
+        arr, filters=[0, 1, 2, 3, 4]
+    )
+
+
+def test_color_png_decode_resize_dhash_flow(spark):
+    """RGB / RGBA / palette PNGs flow through the full image pipeline:
+    decode_media reports channels and moments over ALL channel bytes;
+    resize and dhash reduce to exact integer Rec.601 luma instead of
+    skipping color rows."""
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        dhash_images,
+        encode_png,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, size=(12, 16, 3), dtype=np.uint8)
+    rgba = rng.integers(0, 256, size=(12, 16, 4), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(12, 16)).astype(np.uint8)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    rows = [
+        (1, KIND_IMAGE, encode_png(rgb, 2, (0, 1, 2, 3, 4))),
+        (2, KIND_IMAGE, encode_png(rgba, 6, (4, 3, 2, 1, 0))),
+        (3, KIND_IMAGE, encode_png(idx, 3, (2,), palette=pal)),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind int, content binary"
+    )
+    dec = {r["media_id"]: r for r in decode_media(df).collect()}
+    for mid, arr, ch in [(1, rgb, 3), (2, rgba, 4), (3, pal[idx], 3)]:
+        flat = arr.reshape(-1).astype(np.int64)
+        assert dec[mid]["channels"] == ch
+        assert dec[mid]["px_sum"] == int(flat.sum())
+        assert dec[mid]["px_sqsum"] == int((flat * flat).sum())
+    # resize + dhash run on the luma grid (no color row is skipped)
+    assert {r["media_id"] for r in
+            resize_images(df, 4, 4).collect()} == {1, 2, 3}
+    hashes = dhash_images(df).collect()
+    assert {r["media_id"] for r in hashes} == {1, 2, 3}
+    # dhash of the RGB image equals the dhash of its luma reduction
+    r64 = rgb.astype(np.int64)
+    luma = ((299 * r64[:, :, 0] + 587 * r64[:, :, 1]
+             + 114 * r64[:, :, 2]) // 1000).astype(np.uint8)
+    gray_df = spark.createDataFrame(
+        [(9, KIND_IMAGE, _png_encode(luma, filters=[0]))],
+        "media_id long, kind int, content binary",
+    )
+    want = dhash_images(gray_df).collect()[0]["dhash"]
+    got = {r["media_id"]: r["dhash"] for r in hashes}[1]
+    assert got == want
+
+
 def test_real_jpeg_and_wav_metadata(spark):
     import struct
 
@@ -219,7 +284,7 @@ def test_resize_matches_numpy_reference(spark):
     out = {r["media_id"]: r for r in resize_images(df, 8, 8).collect()}
     assert set(out) == {1, 5}
     # decode the resized SGM1 payload and compare pixels exactly
-    w, h, nf, px = _decode_payload(bytes(out[1]["content"]))
+    w, h, nf, _ch, px = _decode_payload(bytes(out[1]["content"]))
     assert (w, h, nf) == (8, 8, 1)
     rows = (np.arange(8) * 16) // 8
     cols = (np.arange(8) * 24) // 8
@@ -373,7 +438,7 @@ def test_jpeg_constant_image_decodes_exactly(spark):
     from dataingestiontohana_spark.operators.multimodal import _decode_payload
 
     arr = np.full((17, 24), 128, dtype=np.uint8)
-    w, h, nf, px = _decode_payload(_jpeg_encode_gray(arr))
+    w, h, nf, _ch, px = _decode_payload(_jpeg_encode_gray(arr))
     assert (w, h, nf) == (24, 17, 1)
     assert px is not None and (px.reshape(17, 24) == arr).all()
 
@@ -385,7 +450,7 @@ def test_jpeg_random_image_roundtrip_within_dct_rounding(spark):
 
     rng = np.random.default_rng(29)
     arr = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
-    w, h, nf, px = _decode_payload(_jpeg_encode_gray(arr))
+    w, h, nf, _ch, px = _decode_payload(_jpeg_encode_gray(arr))
     assert (w, h, nf) == (24, 16, 1)
     got = px.reshape(16, 24).astype(np.int32)
     # flat quant=1: only error source is coefficient rounding (<=0.5
@@ -402,7 +467,7 @@ def test_jpeg_pixels_flow_through_decode_media(spark):
     rng = np.random.default_rng(31)
     arr = rng.integers(40, 200, size=(24, 33), dtype=np.uint8)
     jpeg = _jpeg_encode_gray(arr)
-    _w, _h, _nf, expect = _decode_payload(jpeg)
+    _w, _h, _nf, _ch, expect = _decode_payload(jpeg)
     df = spark.createDataFrame(
         [(41, KIND_IMAGE, jpeg)], "media_id long, kind int, content binary"
     )

@@ -72,7 +72,7 @@ def test_sgm1_container_roundtrip(media_id, w, h, nf):
     length w*h*nf, decode deterministic."""
     b = synth_media_bytes(media_id, KIND_IMAGE, w, h, nf)
     assert len(b) == 11 + w * h * nf
-    gw, gh, gnf, px = _decode_payload(b)
+    gw, gh, gnf, _ch, px = _decode_payload(b)
     assert (gw, gh, gnf) == (w, h, nf)
     assert px is not None and len(px) == w * h * nf
     assert b == synth_media_bytes(media_id, KIND_IMAGE, w, h, nf)
@@ -93,6 +93,58 @@ def test_png_codec_roundtrip_exact(seed, w, h, filters):
 
     rng = np.random.default_rng(seed)
     arr = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
-    gw, gh, gnf, px = _decode_payload(_png_encode(arr, filters=filters))
+    gw, gh, gnf, _ch, px = _decode_payload(_png_encode(arr, filters=filters))
     assert (gw, gh, gnf) == (w, h, 1)
     assert px is not None and (px.reshape(h, w) == arr).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    seed=st.integers(0, 2**31),
+    w=st.integers(1, 24),
+    h=st.integers(1, 16),
+    color_type=st.sampled_from([2, 4, 6]),
+    filters=st.lists(st.integers(0, 4), min_size=1, max_size=5),
+)
+def test_png_color_roundtrip_exact(seed, w, h, color_type, filters):
+    """encode_png -> _parse_png recovers every channel byte exactly for
+    RGB (2), gray+alpha (4), and RGBA (6), across all sizes and filter
+    mixes — the multi-byte-per-pixel unfilter lanes (left neighbor =
+    x - bpp) exercised property-style."""
+    from dataingestiontohana_spark.operators.multimodal import (
+        _PNG_BPP,
+        _parse_png,
+        encode_png,
+    )
+
+    ch = _PNG_BPP[color_type]
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    gw, gh, gch, px = _parse_png(encode_png(arr, color_type, tuple(filters)))
+    assert (gw, gh, gch) == (w, h, ch)
+    assert px is not None and (px.reshape(h, w, ch) == arr).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    seed=st.integers(0, 2**31),
+    w=st.integers(1, 24),
+    h=st.integers(1, 16),
+    n_pal=st.integers(1, 256),
+    filters=st.lists(st.integers(0, 4), min_size=1, max_size=5),
+)
+def test_png_palette_roundtrip_expands_plte(seed, w, h, n_pal, filters):
+    """Palette PNGs decode to the PLTE-expanded RGB bytes (channels=3),
+    for any palette size and filter mix."""
+    from dataingestiontohana_spark.operators.multimodal import (
+        _parse_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, n_pal, size=(h, w)).astype(np.uint8)
+    pal = rng.integers(0, 256, size=(n_pal, 3), dtype=np.uint8)
+    png = encode_png(idx, 3, tuple(filters), palette=pal)
+    gw, gh, gch, px = _parse_png(png)
+    assert (gw, gh, gch) == (w, h, 3)
+    assert px is not None and (px.reshape(h, w, 3) == pal[idx]).all()
