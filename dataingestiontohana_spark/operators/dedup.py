@@ -116,6 +116,7 @@ def exact_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     strategy: str = "prefix",
+    max_df: int = 1000,
 ) -> DataFrame:
     """EXACT set-similarity self-join: all pairs with 3-gram-shingle
     Jaccard >= ``threshold`` — no LSH, no recall loss. Two strategies,
@@ -138,7 +139,16 @@ def exact_jaccard_pairs(
     grouped to intersection counts. Fewer stages and ~2x faster when
     document frequencies are benign (it processes sum(df^2) rows), but
     a single hot shingle with df=10^5 contributes 10^10 join rows —
-    use only on deduped/curated corpora.
+    use only on deduped/curated corpora. The hazard is GUARDED
+    mechanically: a document-frequency prepass (one aggregation over
+    the already-checkpointed shingle frame, reused downstream) raises
+    ValueError when any shingle's df exceeds ``max_df`` (default
+    1000 -> <= 5x10^5 join rows per shingle) instead of launching a
+    quadratic join — the direct strategy is the ONLY declared operator
+    that runs a Spark job at construction time, exactly because
+    failing before the join is the point. Raise ``max_df`` only with a
+    deliberate row-budget; the prefix strategy needs no cap (hot
+    shingles fall out of every prefix by construction).
 
     Returns (id_a, id_b, inter, uni, jaccard) with jaccard the plain
     IEEE division inter/uni — bit-identical across engines, so no
@@ -163,6 +173,23 @@ def exact_jaccard_pairs(
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
 
     if strategy == "direct":
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .orderBy(F.col("df").desc())
+            .limit(1)
+            .collect()
+        )
+        if hot:
+            raise ValueError(
+                f"exact_jaccard_pairs(strategy='direct'): hot shingle "
+                f"{hot[0]['sh']!r} has document frequency {hot[0]['df']} > "
+                f"max_df={max_df}; the inverted-index self-join would "
+                f"process ~df^2/2 rows for that shingle alone. Use "
+                f"strategy='prefix' (hot shingles fall out of every "
+                f"prefix), or raise max_df with a deliberate row budget"
+            )
         inter = (
             sh.select(F.col(id_col).alias("id_a"), "sh")
             .join(sh.select(F.col(id_col).alias("id_b"), "sh"), "sh")

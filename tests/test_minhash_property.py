@@ -138,3 +138,30 @@ def test_num_hashes_beyond_sixteen(spark):
         minhash_signature(word_shingles("text"), num_hashes=24).alias("sig")
     ).head()["sig"]
     assert len(col24) == 24 and list(col24[:16]) == sig16[1]
+
+
+def test_direct_strategy_fails_fast_on_hot_shingle(spark):
+    """The planted-hot-shingle guard: a shingle shared by more docs
+    than max_df must raise BEFORE the quadratic inverted-index join
+    launches (the prefix strategy stays immune by construction)."""
+    import pytest
+
+    from dataingestiontohana_spark.operators.dedup import exact_jaccard_pairs
+
+    hot = "alpha beta gamma"  # one shared 3-gram shingle across all docs
+    docs = spark.createDataFrame(
+        [(i, f"{hot} unique{i} filler{i} tail{i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="hot shingle"):
+        exact_jaccard_pairs(docs, 0.5, strategy="direct", max_df=10)
+    # benign corpus under the same cap still runs
+    benign = spark.createDataFrame(
+        [(i, f"doc{i} words{i} body{i} close{i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    assert exact_jaccard_pairs(
+        benign, 0.5, strategy="direct", max_df=10
+    ).count() == 0
+    # prefix strategy needs no cap even on the hot corpus
+    exact_jaccard_pairs(docs, 0.9).count()
