@@ -17,8 +17,14 @@ Option mapping from the reference's consumer panel:
 
 Requires the spark-sql-kafka connector jar on the classpath
 (`spark.jars.packages=org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>`);
-absent in this container, so `.load()`/`.start()` raise — the builders
-and option logic are unit-tested, the wire protocol is not.
+absent in this container, so `.load()`/`.start()` raise. The builders
+and option logic are unit-tested, and everything DOWNSTREAM of the
+connector (envelope projection, typed parse, commit tokens, offset
+replay, the producer->consumer->upsert graph) runs end-to-end against
+`sources/kafkafake.py` — a Python Data Source with the connector's
+exact schema and per-partition offset semantics
+(tests/test_kafka_integration.py); only the wire protocol itself
+needs the jar.
 """
 
 from __future__ import annotations
