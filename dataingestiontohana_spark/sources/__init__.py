@@ -10,3 +10,9 @@ from dataingestiontohana_spark.sources.generator import (  # noqa: F401
 from dataingestiontohana_spark.sources.csv_envelope import (  # noqa: F401
     parse_sensor_csv,
 )
+from dataingestiontohana_spark.sources.kafkafake import (  # noqa: F401
+    FakeKafkaBroker,
+    fake_kafka_source,
+    register_fake_kafka,
+    write_stream_to_fake_kafka,
+)
