@@ -529,3 +529,93 @@ def simhash_fingerprints(
                 F.when(cnt * 2 > F.col("n_tok"), F.lit(1)).otherwise(F.lit(0))
             )
     return agg.select(id_col, F.array(*bit_cols).alias("bits"))
+
+
+def substring_dup_stats(
+    docs: DataFrame,
+    window: int = 48,
+    stride: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document exact substring-duplication scoring — the windowed
+    form of the exact-substring signal from Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" (ACL'22): long
+    verbatim spans shared across documents are what most inflates a
+    language model's memorization, and Jaccard/MinHash (set overlap)
+    does not see them when the surrounding text differs.
+
+    Slides ``window``-char windows every ``stride`` chars, hashes each
+    (md5 over the raw substring — substring semantics are identical
+    1-based (pos, len) in Spark and ANSI SQL, so the whole operator is
+    oracle-replayable), counts each window content's distinct-document
+    frequency, and reports per doc:
+
+        (id, n_windows, dup_windows, dup_frac)
+
+    where dup_windows counts windows whose content occurs in at least
+    one OTHER document (distinct-doc df >= 2 — in-document repetition
+    alone does not count; that is q74's repetition filter). Documents
+    shorter than ``window`` emit no row. ``dup_frac`` is the exact
+    IEEE quotient of the two counts (bit-identical across engines).
+
+    Scale shape (the Lee et al. map-reduce): one explode to window
+    rows (codegen substring+md5, map-only), ONE shuffle on the window
+    hash for the distinct-doc frequency (map-side combine on (h, id)),
+    and a hash-equi join of window rows against the duplicated-hash
+    set — never a doc-x-doc comparison. Window rows per doc =
+    len/stride (~bounded fan-out), so the explode is linear in corpus
+    bytes.
+    """
+    base = docs.where(F.length(text_col) >= window).select(id_col, text_col)
+    wins = (
+        base.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor(
+                        (F.length(text_col) - F.lit(window))
+                        / F.lit(stride)
+                    ).cast("int"),
+                )
+            ).alias("_k"),
+        )
+        .select(
+            id_col,
+            F.md5(
+                F.expr(
+                    f"substring({text_col}, 1 + _k*{stride}, {window})"
+                )
+            ).alias("h"),
+        )
+        .localCheckpoint(eager=False)  # consumed by df-agg AND the join
+    )
+    dup_h = (
+        wins.select("h", id_col)
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .where(F.col("__nd") >= 2)
+        .select("h", F.lit(1).alias("_dup"))
+    )
+    return (
+        wins.join(dup_h, "h", "left_outer")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0)))
+            .cast("bigint")
+            .alias("dup_windows"),
+        )
+        .select(
+            id_col,
+            "n_windows",
+            "dup_windows",
+            (
+                F.col("dup_windows").cast("double")
+                / F.col("n_windows").cast("double")
+            ).alias("dup_frac"),
+        )
+    )

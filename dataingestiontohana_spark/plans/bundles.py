@@ -154,6 +154,10 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q83_kmeans": [
         ("cluster_id", "int"), ("n", "bigint"), ("cnorm_q", "bigint"),
     ],
+    "q90_semantic_dedup": [
+        ("cluster_id", "int"), ("id_a", "bigint"), ("id_b", "bigint"),
+        ("cos_sim", "double"), ("reject", "bigint"),
+    ],
     "q53_merge_upsert": [
         ("c_custkey", "bigint"), ("bal", "double"), ("c_mktsegment", "string"),
     ],
@@ -182,6 +186,10 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     ],
     "q70_split_contamination": [
         ("doc_id", "bigint"), ("n_shared_shingles", "bigint"),
+    ],
+    "q89_substring_dup": [
+        ("doc_id", "bigint"), ("n_windows", "bigint"),
+        ("dup_windows", "bigint"), ("dup_frac", "double"),
     ],
     "q30_minhash_near_dup": [
         ("id_a", "bigint"), ("id_b", "bigint"), ("jaccard_sig", "double"),
@@ -275,14 +283,16 @@ BUNDLES: dict[str, list[str]] = {
     ],
     "q63_64_67_centroids": [
         "q63_label_centroids", "q64_centroid_outliers", "q67_vector_stats",
-        "q83_kmeans",
+        "q83_kmeans", "q90_semantic_dedup",
     ],
     "q53_54_cdc": ["q53_merge_upsert", "q54_scd2"],
     "q55_56_udf": ["q55_udaf_geomean", "q56_group_normalize"],
     "q57_58_59_sampling": [
         "q57_hash_split", "q58_stratified_sample", "q59_dataset_mix",
     ],
-    "q32_70_shingle_exact": ["q32_ngram_jaccard", "q70_split_contamination"],
+    "q32_70_shingle_exact": [
+        "q32_ngram_jaccard", "q70_split_contamination", "q89_substring_dup",
+    ],
     # oracle-backed since round 3: the seeded hyperplanes embed as
     # literal sign coefficients, the IVF centroid pick is a portable
     # integer hash, and MinHash/SimHash hash via md5 (byte-identical

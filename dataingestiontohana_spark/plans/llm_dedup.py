@@ -179,6 +179,22 @@ def q70_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q89_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication scoring (Lee et al. ACL'22, the
+    windowed 50-gram form): per-doc fraction of 48-char windows
+    (stride 16) whose content appears verbatim in another document —
+    the memorization signal that set-overlap dedup (q30/q32) cannot
+    see when surrounding text differs. See
+    operators/dedup.py::substring_dup_stats for the one-shuffle
+    map-reduce shape."""
+    from dataingestiontohana_spark.operators.dedup import (
+        substring_dup_stats,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return substring_dup_stats(d, window=48, stride=16).orderBy("doc_id")
+
+
 QUERIES = {
     "q29_exact_dedup": q29_exact_dedup,
     "q30_minhash_near_dup": q30_minhash_near_dup,
@@ -186,6 +202,7 @@ QUERIES = {
     "q32_ngram_jaccard": q32_ngram_jaccard,
     "q66_dedup_clusters": q66_dedup_clusters,
     "q70_split_contamination": q70_split_contamination,
+    "q89_substring_dup": q89_substring_dup,
 }
 
 # ALL six dedup queries are SQL-expressible and oracle-checked —
@@ -277,6 +294,32 @@ ORACLES = {
         SELECT doc_id, COUNT(*) AS n_shared_shingles
         FROM test_sh JOIN train_sh USING (sh)
         GROUP BY doc_id ORDER BY doc_id
+    """,
+    # Window positions via a fixed range + WHERE (DuckDB 1.0's range
+    # table function rejects lateral column args); bound 64 covers
+    # texts up to 1+63*16+47 = 1056 chars (corpus max is 577).
+    "q89_substring_dup": """
+        WITH wins AS (
+          SELECT doc_id,
+                 md5(substr(text, 1 + CAST(k.j AS INT)*16, 48)) AS h
+          FROM documents, range(64) k(j)
+          WHERE length(text) >= 48
+            AND k.j <= (length(text) - 48) // 16),
+        duph AS (
+          SELECT h FROM (SELECT DISTINCT h, doc_id FROM wins)
+          GROUP BY h HAVING COUNT(*) >= 2),
+        per AS (
+          SELECT w.doc_id,
+                 COUNT(*) AS n_windows,
+                 SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END)
+                   AS dup_windows
+          FROM wins w LEFT JOIN duph d ON w.h = d.h
+          GROUP BY w.doc_id)
+        SELECT doc_id, CAST(n_windows AS BIGINT) AS n_windows,
+               CAST(dup_windows AS BIGINT) AS dup_windows,
+               CAST(dup_windows AS DOUBLE) / CAST(n_windows AS DOUBLE)
+                 AS dup_frac
+        FROM per ORDER BY doc_id
     """,
 }
 

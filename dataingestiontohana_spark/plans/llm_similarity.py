@@ -652,6 +652,78 @@ def q67_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_dedup_pairs(
+    vecs: DataFrame,
+    k: int = 16,
+    tau: float = 0.35,
+    max_cluster: int = 4096,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster the embedding space, then compare pairs ONLY within a
+    cluster — the clustering bounds the quadratic the way LSH bands do
+    for text, but on semantic geometry rather than lexical overlap.
+
+    Returns (cluster_id, id_a, id_b, cos_sim, reject) for within-
+    cluster pairs with cosine >= tau; ``reject`` is the greater id
+    (keep-least canonical-survivor convention, matching the dedup
+    family). Scale: assignment is the map-only Arrow matmul
+    (`operators/ivf.py::assign_clusters`); the pair join shuffles
+    (id, cluster_id) PAIRS only — embeddings join back per side after
+    the pair set exists (the q35 slim-shuffle pattern); clusters
+    larger than ``max_cluster`` are excluded from pairing (the LSH
+    bucket-cap convention — at production scale pick k ~ N/1e4 so
+    expected cluster size stays far below the cap)."""
+    from dataingestiontohana_spark.operators.ivf import (
+        assign_clusters,
+        sample_centroids,
+    )
+
+    cents = sample_centroids(vecs, k=k)
+    assigned = (
+        assign_clusters(vecs, cents)
+        .select("vec_id", "cluster_id")
+        .localCheckpoint(eager=False)  # sizes join + both pair sides
+    )
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("__cs")
+    )
+    ok = (
+        assigned.join(F.broadcast(sizes), "cluster_id")
+        .where(F.col("__cs") <= max_cluster)
+        .drop("__cs")
+    )
+    a = ok.select(F.col("vec_id").alias("id_a"), "cluster_id")
+    b = ok.select(F.col("vec_id").alias("id_b"), "cluster_id")
+    pairs = a.join(b, "cluster_id").where(F.col("id_a") < F.col("id_b"))
+    ea = vecs.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va")
+    )
+    eb = vecs.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb")
+    )
+    cos = cosine_pairs_udf()
+    return (
+        pairs.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "cluster_id",
+            "id_a",
+            "id_b",
+            F.round(cos(F.col("__va"), F.col("__vb")), 4).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= tau)
+        .withColumn("reject", F.col("id_b"))
+    )
+
+
+def q90_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: 16 deterministic clusters
+    (the portable IVF centroid pick, oracle-replayable), within-cluster
+    cosine >= 0.35 pairs with the keep-least reject convention."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(e, k=16, tau=0.35).orderBy("id_a", "id_b")
+
+
 QUERIES = {
     "q23a_label_counts": q23a_label_counts,
     "q23b_vec_dims": q23b_vec_dims,
@@ -665,6 +737,7 @@ QUERIES = {
     "q67_vector_stats": q67_vector_stats,
     "q83_kmeans": q83_kmeans,
     "q87_random_projection": q87_random_projection,
+    "q90_semantic_dedup": q90_semantic_dedup,
 }
 
 # q33/q34 have exact float-arithmetic oracles in DuckDB (same double
@@ -868,7 +941,53 @@ def _q36b_oracle_sql(k: int = 16, nprobe: int = 4, topk: int = 10) -> str:
     """
 
 
+def _q90_oracle_sql(
+    k: int = 16, tau: float = 0.35, max_cluster: int = 4096
+) -> str:
+    """SemDeDup replayed in SQL: the same portable centroid pick and
+    argmax-cosine assignment as the q36b oracle, then within-cluster
+    pairs (size-capped, like the Spark side) scored at the same
+    4-decimal rounding."""
+    return f"""
+        WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+        cents AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cid,
+                 v AS cv, nrm AS cnrm
+          FROM (SELECT vec_id, v, nrm,
+                       (vec_id * 2654435761) % 4294967296 AS h
+                FROM n ORDER BY h, vec_id LIMIT {k})),
+        assigned AS (
+          SELECT n.vec_id, c.cid AS cluster_id
+          FROM n CROSS JOIN cents c
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY n.vec_id
+              ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+                       c.cid) = 1),
+        sizes AS (
+          SELECT cluster_id, COUNT(*) AS cs FROM assigned GROUP BY 1),
+        ok AS (
+          SELECT a.vec_id, a.cluster_id
+          FROM assigned a JOIN sizes s USING (cluster_id)
+          WHERE s.cs <= {max_cluster}),
+        scored AS (
+          SELECT a.cluster_id, a.vec_id AS id_a, b.vec_id AS id_b,
+                 ROUND(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 4)
+                   AS cos_sim
+          FROM ok a
+          JOIN ok b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+          JOIN n na ON na.vec_id = a.vec_id
+          JOIN n nb ON nb.vec_id = b.vec_id)
+        SELECT cluster_id, id_a, id_b, cos_sim,
+               id_b AS reject
+        FROM scored WHERE cos_sim >= {tau}
+        ORDER BY id_a, id_b
+    """
+
+
 ORACLES["q35_ann_lsh"] = _q35_oracle_sql()
 ORACLES["q83_kmeans"] = _q83_oracle_sql()
 ORACLES["q87_random_projection"] = _q87_oracle_sql()
 ORACLES["q36b_ivf_topk"] = _q36b_oracle_sql()
+ORACLES["q90_semantic_dedup"] = _q90_oracle_sql()

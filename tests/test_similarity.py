@@ -118,3 +118,54 @@ def test_probe_broadcast_budget_fails_fast(spark, monkeypatch):
     monkeypatch.setattr(sim, "_PROBE_BROADCAST_BYTES", 3 * (8 + 64 * 8))
     with pytest.raises(ValueError, match="cogrouped"):
         sim.embed_neardup_broadcast(df, df, tau=0.5)
+
+
+def test_semantic_dedup_finds_planted_cluster_twins(spark):
+    """SemDeDup: a near-copy of a corpus vector must land in the same
+    cluster and surface as a high-cosine pair with the keep-least
+    reject; the pair join must never leave the cluster (every emitted
+    pair's members share an assignment)."""
+    import numpy as np
+
+    from dataingestiontohana_spark.catalog import load_table
+    from dataingestiontohana_spark.operators.ivf import (
+        assign_clusters,
+        sample_centroids,
+    )
+    from dataingestiontohana_spark.plans.llm_similarity import (
+        semantic_dedup_pairs,
+    )
+    from tests.conftest import SF0001
+
+    e = load_table(spark, SF0001, "embeddings").select("vec_id", "embedding")
+    base = e.orderBy("vec_id").limit(3).collect()
+    rng = np.random.default_rng(11)
+    twins = [
+        (
+            9_000 + i,
+            [
+                float(x) + float(d)
+                for x, d in zip(
+                    r["embedding"], rng.normal(0, 1e-3, len(r["embedding"]))
+                )
+            ],
+        )
+        for i, r in enumerate(base)
+    ]
+    corpus = e.unionByName(
+        spark.createDataFrame(twins, "vec_id long, embedding array<double>")
+    ).localCheckpoint(eager=True)
+    pairs = semantic_dedup_pairs(corpus, k=8, tau=0.9).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    for i, r in enumerate(base):
+        assert (r["vec_id"], 9_000 + i) in found
+    # reject = greater id, and pairs never cross clusters
+    assigned = {
+        a["vec_id"]: a["cluster_id"]
+        for a in assign_clusters(
+            corpus, sample_centroids(corpus, k=8)
+        ).select("vec_id", "cluster_id").collect()
+    }
+    for r in pairs:
+        assert r["reject"] == r["id_b"] > r["id_a"]
+        assert assigned[r["id_a"]] == assigned[r["id_b"]]

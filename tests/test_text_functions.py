@@ -128,3 +128,37 @@ def test_tokenize_whitespace_class_matches_duckdb(spark):
         [nasty],
     ).fetchone()
     assert list(duck_toks) == spark_toks
+
+
+def test_substring_dup_stats_planted(spark):
+    """Planted verbatim spans: doc 2 shares doc 1's opening 64 chars
+    inside otherwise-different text; doc 3 is doc 1 verbatim; doc 4
+    shares nothing. In-doc repetition alone (doc 5) does NOT count."""
+    from dataingestiontohana_spark.operators.dedup import (
+        substring_dup_stats,
+    )
+
+    shared = "x" * 0 + "the quick brown fox jumps over the lazy dog again and then some more"  # 69 chars
+    rows = [
+        (1, shared + " unique tail one with extra words here padding"),
+        (2, shared + " completely different continuation text body!!"),
+        (3, shared + " unique tail one with extra words here padding"),
+        (4, "entirely novel content with no overlap whatsoever at all present"),
+        (5, "zzz " * 40),  # self-repetition only
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in substring_dup_stats(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            window=48,
+            stride=16,
+        ).collect()
+    }
+    # docs 1 and 3 are identical -> every window duplicated
+    assert out[1]["dup_frac"] == 1.0 and out[3]["dup_frac"] == 1.0
+    # doc 2 shares the opening span only: some but not all windows
+    assert 0 < out[2]["dup_windows"] < out[2]["n_windows"]
+    # doc 4 shares nothing
+    assert out[4]["dup_windows"] == 0 and out[4]["dup_frac"] == 0.0
+    # doc 5's windows repeat only within itself: df counts DISTINCT docs
+    assert out[5]["dup_windows"] == 0
