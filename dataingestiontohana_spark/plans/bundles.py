@@ -122,6 +122,11 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q26_quality_score": [
         ("doc_id", "bigint"), ("n_tokens", "int"), ("quality", "double"),
     ],
+    "q91_token_rarity": [
+        ("doc_id", "bigint"), ("n_tokens", "bigint"), ("freq_sum", "bigint"),
+        ("min_freq", "bigint"), ("rare_tokens", "bigint"),
+        ("rare_frac", "double"),
+    ],
     "q28_fingerprint": [
         ("fp", "string"), ("canonical_id", "bigint"), ("n_copies", "bigint"),
     ],
@@ -274,7 +279,7 @@ BUNDLES: dict[str, list[str]] = {
     ],
     "q26_28_quality": [
         "q26_quality_score", "q28_fingerprint", "q79_pii_redaction",
-        "q80_bm25_topk",
+        "q80_bm25_topk", "q91_token_rarity",
     ],
     "q22_29_exact_dedup": ["q22_exact_dedup_count", "q29_exact_dedup"],
     "q23_embed_audit": ["q23a_label_counts", "q23b_vec_dims"],

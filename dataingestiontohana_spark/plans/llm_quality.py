@@ -372,3 +372,83 @@ ORACLES["q79_pii_redaction"] = rf"""
            md5(string_agg(red_fp, '' ORDER BY red_fp)) AS corpus_fp
     FROM red GROUP BY source ORDER BY source
 """
+
+
+def q91_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality scoring — the CCNet/unigram-LM filter
+    shape (Wenzek et al. 2020): build corpus-wide token frequencies,
+    score each document by how rare its tokens are, filter on the
+    score. The adjudicated columns are the INTEGER-EXACT core of that
+    signal — per-doc token count, summed corpus frequency of its
+    tokens, minimum frequency, and the exact fraction of rare
+    (corpus-frequency <= 2) tokens. A unigram-LM logprob is the
+    monotone transform -sum(ln(cf/N))/n of these statistics, so every
+    rank/filter decision an LM filter makes is determined by them —
+    while staying bit-reproducible across engines (ln() is the one
+    piece libm/StrictMath may disagree on in the last ulp, so it stays
+    OUT of the adjudicated surface; see q65's sketch-envelope
+    precedent).
+
+    Scale shape: one explode to token rows, one shuffle on the token
+    for corpus frequencies (map-side combine collapses each partition
+    to its vocabulary first), then a token-to-frequency equi-join.
+    The join key is Zipf-skewed — hot stopwords carry millions of
+    rows — but the frequency side is ONE row per key, which is
+    exactly the shape AQE's skew-join split handles (and the hot keys
+    cost O(their row count), never a blow-up: this is a 1:N join, not
+    N:M). Per-doc aggregation then reduces on doc_id."""
+    from dataingestiontohana_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokens("text")).alias("w")
+    ).localCheckpoint(eager=False)  # frequency agg + the scoring join
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cf"))
+    return (
+        tok.join(freq, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cf").cast("bigint").alias("freq_sum"),
+            F.min("cf").cast("bigint").alias("min_freq"),
+            F.sum(F.when(F.col("cf") <= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("rare_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "freq_sum",
+            "min_freq",
+            "rare_tokens",
+            (
+                F.col("rare_tokens").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("rare_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["q91_token_rarity"] = q91_token_rarity
+
+ORACLES["q91_token_rarity"] = f"""
+    WITH {_TOK_CTE},
+    t AS (SELECT doc_id, unnest(toks) AS w FROM tok),
+    freq AS (SELECT w, COUNT(*) AS cf FROM t GROUP BY w),
+    per AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_tokens,
+             SUM(f.cf) AS freq_sum,
+             MIN(f.cf) AS min_freq,
+             SUM(CASE WHEN f.cf <= 2 THEN 1 ELSE 0 END) AS rare_tokens
+      FROM t JOIN freq f USING (w)
+      GROUP BY t.doc_id)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(freq_sum AS BIGINT) AS freq_sum,
+           CAST(min_freq AS BIGINT) AS min_freq,
+           CAST(rare_tokens AS BIGINT) AS rare_tokens,
+           CAST(rare_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             AS rare_frac
+    FROM per ORDER BY doc_id
+"""
