@@ -264,3 +264,45 @@ def test_kmeans_update_shuffles_scalars_not_arrays(spark):
     ex_lines = [ln for ln in plan.splitlines() if "Exchange" in ln]
     assert ex_lines and all("embedding" not in ln for ln in ex_lines), plan
     assert "partial_avg" in plan or "partial" in plan  # map-side combine
+
+
+def test_q89_substring_dup_no_cartesian_and_partial_agg(spark):
+    """The Lee et al. window pipeline: hash-equi joins only (never
+    doc-x-doc), the df aggregation gets map-side combine, and no
+    window function anywhere."""
+    df = QUERIES["q89_substring_dup"](spark, SF001)
+    plan = _executed(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
+
+
+def test_q90_semantic_dedup_pair_join_ships_ids_not_vectors(spark):
+    """SemDeDup's within-cluster self-join must exchange (id, cluster)
+    pairs only — the 64-double embedding arrays join back per side
+    AFTER the pair set exists, so no exchange carries an embedding."""
+    df = QUERIES["q90_semantic_dedup"](spark, SF001)
+    plan = _executed(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "embedding" not in ln and "__va" not in ln and "__vb" not in ln, ln
+
+
+def test_q91_token_rarity_partial_agg_no_window(spark):
+    """Vocabulary aggregation collapses map-side before the exchange;
+    the frequency join is equi (1:N), no window, no product."""
+    df = QUERIES["q91_token_rarity"](spark, SF001)
+    plan = _executed(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
+
+
+def test_q88_png_color_is_map_only_decode(spark):
+    """The color-PNG decode is one mapInPandas over the corpus frame —
+    no join, no aggregation, only the presentation sort."""
+    df = QUERIES["q88_png_color"](spark, SF001)
+    plan = _executed(df)
+    assert "Join" not in plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
