@@ -262,3 +262,49 @@ def test_json_quarantine_mirrors_csv_contract(spark):
     assert rows[7]["temperature"] == 21.5 and rows[7]["_corrupt"] is None
     bad = rows[None]
     assert bad["_corrupt"] == "not json at all {"
+
+
+def test_upsert_sink_partition_write_mode_executor_side(spark, tmp_path):
+    """write_mode='partition' — the real-cluster shape: one DBAPI
+    connection PER SPARK PARTITION, opened on the executor (the
+    connection factory and SQL text must survive pickling into the
+    foreachPartition closure). SQLite serializes concurrent writers
+    via file locking (timeout bounds the wait), so the result must
+    still be exactly the keyed-upsert outcome: re-writing the same
+    batch converges, no duplicates."""
+    import functools
+    import sqlite3
+
+    from dataingestiontohana_spark.operators.upsert_sink import (
+        SQLiteDialect,
+        UpsertSink,
+    )
+    from dataingestiontohana_spark.sources.generator import sensor_rows
+
+    db = str(tmp_path / "sink.db")
+    sink = UpsertSink(
+        table="sensor_sink",
+        key_cols=["counter"],
+        dialect=SQLiteDialect(),
+        connection_factory=functools.partial(
+            sqlite3.connect, db, timeout=30
+        ),
+        write_mode="partition",
+        batch_size=50,
+    )
+    from dataingestiontohana_spark.streaming.pipeline import (
+        SENSOR_SQL_COLUMNS,
+    )
+
+    sink.ensure_table(SENSOR_SQL_COLUMNS, with_pk=True)
+    rows = sensor_rows(spark, 200).repartition(4)
+    sink.write(rows, upsert=True)
+    sink.write(rows, upsert=True)  # idempotent replay converges
+
+    con = sqlite3.connect(db)
+    n, uniq, lo, hi = con.execute(
+        'SELECT COUNT(*), COUNT(DISTINCT "counter"), MIN("counter"), '
+        'MAX("counter") FROM "sensor_sink"'
+    ).fetchone()
+    con.close()
+    assert n == uniq == (hi - lo + 1) == 200
