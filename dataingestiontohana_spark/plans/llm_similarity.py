@@ -681,8 +681,8 @@ def semantic_dedup_pairs(
     cents = sample_centroids(vecs, k=k)
     assigned = (
         assign_clusters(vecs, cents)
-        .select("vec_id", "cluster_id")
-        .localCheckpoint(eager=False)  # sizes join + both pair sides
+        .select("vec_id", "cluster_id", "embedding")
+        .localCheckpoint(eager=False)  # sizes join + the grouped scorer
     )
     sizes = assigned.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("__cs")
@@ -692,24 +692,51 @@ def semantic_dedup_pairs(
         .where(F.col("__cs") <= max_cluster)
         .drop("__cs")
     )
-    a = ok.select(F.col("vec_id").alias("id_a"), "cluster_id")
-    b = ok.select(F.col("vec_id").alias("id_b"), "cluster_id")
-    pairs = a.join(b, "cluster_id").where(F.col("id_a") < F.col("id_b"))
-    ea = vecs.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va")
+
+    # One dense matmul per cluster (applyInPandas) — the actual
+    # SemDeDup computation shape. The only exchange ships each
+    # embedding ONCE to its cluster's task (linear in N); emitting
+    # (id, cluster) pair rows and joining vectors back per side
+    # (the q35 pattern) would instead shuffle O(sum c_i^2) pair rows,
+    # which dominates as clusters grow. Raw cosines return from the
+    # kernel; the engine-side F.round keeps the 4-decimal HALF_UP
+    # semantics identical to every other similarity query (python
+    # round() is half-even — rounding in the kernel would diverge
+    # from the SQL oracle on boundary values).
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                columns=["cluster_id", "id_a", "id_b", "cos_sim"]
+            )
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.stack(
+            pdf["embedding"].apply(np.asarray, dtype=np.float64).values
+        )
+        # dot-then-divide (not normalize-then-dot): mirrors the
+        # oracle's dot(a,b)/(|a||b|) structure so rounding margins
+        # stay the measured ones
+        nrm = np.linalg.norm(mat, axis=1)
+        sims = (mat @ mat.T) / np.outer(nrm, nrm)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame(
+            {
+                "cluster_id": pdf["cluster_id"].iloc[0],
+                "id_a": ids[iu],
+                "id_b": ids[ju],
+                "cos_sim": sims[iu, ju],
+            }
+        )
+
+    scored = ok.groupBy("cluster_id").applyInPandas(
+        score, schema="cluster_id int, id_a long, id_b long, cos_sim double"
     )
-    eb = vecs.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb")
-    )
-    cos = cosine_pairs_udf()
     return (
-        pairs.join(ea, "id_a")
-        .join(eb, "id_b")
-        .select(
+        scored.select(
             "cluster_id",
             "id_a",
             "id_b",
-            F.round(cos(F.col("__va"), F.col("__vb")), 4).alias("cos_sim"),
+            F.round("cos_sim", 4).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= tau)
         .withColumn("reject", F.col("id_b"))

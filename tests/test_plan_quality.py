@@ -277,16 +277,16 @@ def test_q89_substring_dup_no_cartesian_and_partial_agg(spark):
     assert "Window" not in plan
 
 
-def test_q90_semantic_dedup_pair_join_ships_ids_not_vectors(spark):
-    """SemDeDup's within-cluster self-join must exchange (id, cluster)
-    pairs only — the 64-double embedding arrays join back per side
-    AFTER the pair set exists, so no exchange carries an embedding."""
+def test_q90_semantic_dedup_one_grouped_matmul_no_pair_join(spark):
+    """SemDeDup scores each cluster with ONE dense matmul
+    (applyInPandas): each embedding crosses the wire once to its
+    cluster's task — there is NO pair-row join (which would shuffle
+    O(sum c_i^2) rows) and no sort-merge join anywhere."""
     df = QUERIES["q90_semantic_dedup"](spark, SF001)
     plan = _executed(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
-    for ln in plan.splitlines():
-        if "Exchange hashpartitioning" in ln:
-            assert "embedding" not in ln and "__va" not in ln and "__vb" not in ln, ln
+    assert "FlatMapGroupsInPandas" in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_q91_token_rarity_partial_agg_no_window(spark):
