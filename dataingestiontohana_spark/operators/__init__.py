@@ -10,6 +10,7 @@ from dataingestiontohana_spark.operators.dedup import (  # noqa: F401
     minhash_candidates,
     minhash_signatures,
     simhash_fingerprints,
+    substring_dup_stats,
 )
 from dataingestiontohana_spark.operators.dedup_store import (  # noqa: F401
     append_to_store,
@@ -19,6 +20,7 @@ from dataingestiontohana_spark.operators.dedup_store import (  # noqa: F401
 from dataingestiontohana_spark.operators.ivf import (  # noqa: F401
     append_to_ivf_index,
     ivf_topk,
+    ivf_topk_batch,
     ivf_topk_from_index,
     write_ivf_index,
 )
@@ -26,6 +28,7 @@ from dataingestiontohana_spark.operators.multimodal import (  # noqa: F401
     decode_media,
     dhash_images,
     dhash_neardup_pairs,
+    encode_png,
     resize_images,
     sample_frames,
 )

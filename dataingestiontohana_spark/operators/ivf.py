@@ -226,3 +226,110 @@ def append_to_ivf_index(vecs: DataFrame, centroids: np.ndarray, path: str) -> No
     assign_clusters(vecs, centroids).write.mode("append").partitionBy(
         "cluster_id"
     ).parquet(path)
+
+
+def ivf_topk_batch(
+    vecs: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    qid_col: str = "query_id",
+) -> DataFrame:
+    """Top-k cosine per query for a BATCH of queries over the IVF
+    layout — the production retrieval shape (one query at a time
+    re-scans the corpus per query; batching amortizes the scan across
+    the whole query set).
+
+    How it scales:
+    - The query matrix transits the driver once (Q x d, bounded like
+      the probe broadcast budget — llm_similarity's q73 contract) and
+      ships in the task closure with a per-query probe-cluster mask
+      computed in numpy against the centroids.
+    - The corpus scan filters to the UNION of all probed clusters
+      (IN-list on cluster_id — directory pruning over a persisted
+      index layout), so un-probed clusters are never read.
+    - One mapInPandas does a B x d @ d x Q matmul per Arrow batch and
+      emits (query_id, vec_id, cos_sim) ONLY where the vector's
+      cluster is probed by that query — output rows = sum over
+      queries of their probed-cluster sizes, the same work a
+      per-query loop does, in one pass.
+    - Per-query top-k is a rank window PARTITIONED by query_id (never
+      a global single-partition window).
+
+    Exactness: per (query, candidate) the cosine is dot-then-divide
+    float64, identical to the single-query path — pytest pins batch ==
+    per-query-loop row-for-row.
+
+    Returns (query_id, vec_id, cos_sim, rank) with rank 1..k per
+    query, ordered by (query_id, rank).
+    """
+    import pandas as pd
+    from pyspark.sql.window import Window
+
+    qrows = queries.select(qid_col, "embedding").collect()
+    if not qrows:
+        return vecs.sparkSession.createDataFrame(
+            [], f"{qid_col} long, {id_col} long, cos_sim double, rank int"
+        )
+    qids = np.array([r[qid_col] for r in qrows], dtype=np.int64)
+    qmat = np.array([list(r["embedding"]) for r in qrows], dtype=np.float64)
+    qnrm = np.linalg.norm(qmat, axis=1)
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    # probe mask: [Q x n_clusters] bool — query q probes cluster c
+    sims_qc = (qmat / qnrm[:, None]) @ cn.T
+    order = np.argsort(-sims_qc, axis=1, kind="stable")
+    probe = np.zeros_like(sims_qc, dtype=bool)
+    for qi in range(len(qids)):
+        probe[qi, order[qi, :nprobe]] = True
+    probed_union = sorted({int(c) for c in np.nonzero(probe.any(axis=0))[0]})
+
+    qids_l = qids.tolist()
+    qmat_l = qmat.tolist()
+    qnrm_l = qnrm.tolist()
+    probe_l = probe.tolist()
+
+    def score(it):
+        qm = np.asarray(qmat_l)
+        qn = np.asarray(qnrm_l)
+        qi_ids = np.asarray(qids_l)
+        pmask = np.asarray(probe_l)
+        for pdf in it:
+            if pdf.empty:
+                continue
+            mat = np.stack(
+                pdf["embedding"].apply(np.asarray, dtype=np.float64).values
+            )
+            nrm = np.linalg.norm(mat, axis=1)
+            cos = (mat @ qm.T) / np.outer(nrm, qn)  # B x Q
+            clusters = pdf["cluster_id"].to_numpy()
+            keep = pmask[:, clusters].T  # B x Q: query probes row's cluster
+            bi, qi = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "query_id": qi_ids[qi],
+                    id_col: pdf[id_col].to_numpy()[bi],
+                    "cos_sim": cos[bi, qi],
+                }
+            )
+
+    assigned = assign_clusters(vecs, centroids).where(
+        F.col("cluster_id").isin(probed_union)
+    )
+    scored = assigned.select(id_col, "cluster_id", "embedding").mapInPandas(
+        score, schema=f"query_id long, {id_col} long, cos_sim double"
+    )
+    # round BEFORE ranking: the single-query path orders by the
+    # ROUNDED cosine (then id), so batch == loop needs the same key
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.col(id_col))
+    return (
+        scored.select(
+            F.col("query_id").alias(qid_col),
+            id_col,
+            F.round("cos_sim", 4).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy(qid_col, "rank")
+    )

@@ -163,3 +163,65 @@ def test_ivf_index_refuses_mismatched_centroids(spark, tmp_path):
         ivf_topk_from_index(spark, path, qvec, other)
     # the index's own centroids still work
     assert ivf_topk_from_index(spark, path, qvec, cents, k=5).count() == 5
+
+
+def test_ivf_topk_batch_equals_per_query_loop(spark):
+    """The batched retrieval must reproduce the single-query operator
+    row-for-row for every query in the batch — same probes, same
+    rounded cosines, same tie-breaks."""
+    from dataingestiontohana_spark.catalog import load_table
+    from dataingestiontohana_spark.operators.ivf import (
+        ivf_topk,
+        ivf_topk_batch,
+        sample_centroids,
+    )
+    from tests.conftest import SF001
+
+    e = load_table(spark, SF001, "embeddings").select("vec_id", "embedding")
+    cents = sample_centroids(e, k=16)
+    qids = [1, 5, 9, 23]
+    queries = e.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = ivf_topk_batch(
+        e, queries, cents, k=8, nprobe=4
+    ).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["cos_sim"], r["rank"])
+        )
+    for qid in qids:
+        qvec = [
+            float(x)
+            for x in e.where(F.col("vec_id") == qid).head()["embedding"]
+        ]
+        want = [
+            (r["vec_id"], r["cos_sim"])
+            for r in ivf_topk(e, qvec, cents, k=8, nprobe=4).collect()
+        ]
+        assert [(v, c) for v, c, _ in got[qid]] == want, qid
+        assert [rk for _, _, rk in got[qid]] == list(range(1, 9))
+
+
+def test_ivf_topk_batch_scan_prunes_to_probed_union(spark):
+    """The corpus filter must be the IN-list union of probed clusters
+    — un-probed clusters never enter the scoring stage."""
+    from dataingestiontohana_spark.catalog import load_table
+    from dataingestiontohana_spark.operators.ivf import (
+        ivf_topk_batch,
+        sample_centroids,
+    )
+    from tests.conftest import SF001
+
+    e = load_table(spark, SF001, "embeddings").select("vec_id", "embedding")
+    cents = sample_centroids(e, k=16)
+    queries = e.where(F.col("vec_id") == 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    df = ivf_topk_batch(e, queries, cents, k=5, nprobe=2)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "cluster_id" in plan and ("IN" in plan or "in(" in plan.lower())
+    # one query, nprobe=2: every returned row's cluster is one of 2
+    rows = df.collect()
+    assert 0 < len(rows) <= 5
