@@ -652,6 +652,25 @@ def q67_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q36c_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVF retrieval: every vec_id % 97 == 1 vector queries the
+    corpus at once — one scan filtered to the union of probed
+    clusters, one matmul per Arrow batch, per-query ranked top-8
+    (`operators/ivf.py::ivf_topk_batch`). The oracle replays probe
+    selection, assignment, and ranking per query in SQL."""
+    from dataingestiontohana_spark.operators.ivf import (
+        ivf_topk_batch,
+        sample_centroids,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = sample_centroids(e, k=16)
+    queries = e.where(F.col("vec_id") % 97 == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk_batch(e, queries, cents, k=8, nprobe=4)
+
+
 def semantic_dedup_pairs(
     vecs: DataFrame,
     k: int = 16,
@@ -765,6 +784,7 @@ QUERIES = {
     "q83_kmeans": q83_kmeans,
     "q87_random_projection": q87_random_projection,
     "q90_semantic_dedup": q90_semantic_dedup,
+    "q36c_ivf_batch_topk": q36c_ivf_batch_topk,
 }
 
 # q33/q34 have exact float-arithmetic oracles in DuckDB (same double
@@ -1018,3 +1038,55 @@ ORACLES["q83_kmeans"] = _q83_oracle_sql()
 ORACLES["q87_random_projection"] = _q87_oracle_sql()
 ORACLES["q36b_ivf_topk"] = _q36b_oracle_sql()
 ORACLES["q90_semantic_dedup"] = _q90_oracle_sql()
+
+
+def _q36c_oracle_sql(k: int = 16, nprobe: int = 4, topk: int = 8) -> str:
+    """Batched IVF replayed per query: probe pick = top-nprobe
+    centroids by (cosine DESC, cid) per query (numpy's stable argsort
+    on the Spark side), ranking = ROW_NUMBER over (rounded cosine
+    DESC, vec_id) per query."""
+    return f"""
+        WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+        cents AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cid,
+                 v AS cv, nrm AS cnrm
+          FROM (SELECT vec_id, v, nrm,
+                       (vec_id * 2654435761) % 4294967296 AS h
+                FROM n ORDER BY h, vec_id LIMIT {k})),
+        qs AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
+               FROM n WHERE vec_id % 97 = 1),
+        probes AS (
+          SELECT query_id, cid FROM (
+            SELECT q.query_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                     ORDER BY list_dot_product(c.cv, q.qv) / (c.cnrm * q.qnrm)
+                       DESC, c.cid) AS pr
+            FROM qs q CROSS JOIN cents c)
+          WHERE pr <= {nprobe}),
+        assigned AS (
+          SELECT n.vec_id, c.cid AS cluster_id
+          FROM n CROSS JOIN cents c
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY n.vec_id
+              ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+                       c.cid) = 1),
+        scored AS (
+          SELECT q.query_id, n.vec_id,
+                 ROUND(list_dot_product(n.v, q.qv) / (n.nrm * q.qnrm), 4)
+                   AS cos_sim
+          FROM assigned a
+          JOIN probes p ON a.cluster_id = p.cid
+          JOIN qs q ON q.query_id = p.query_id
+          JOIN n ON n.vec_id = a.vec_id)
+        SELECT query_id, vec_id, cos_sim, CAST(rnk AS INT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, vec_id) AS rnk
+              FROM scored)
+        WHERE rnk <= {topk}
+        ORDER BY query_id, rnk
+    """
+
+
+ORACLES["q36c_ivf_batch_topk"] = _q36c_oracle_sql()
