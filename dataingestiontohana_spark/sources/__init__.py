@@ -13,6 +13,7 @@ from dataingestiontohana_spark.sources.csv_envelope import (  # noqa: F401
 from dataingestiontohana_spark.sources.kafkafake import (  # noqa: F401
     FakeKafkaBroker,
     fake_kafka_source,
+    read_fake_topic,
     register_fake_kafka,
     write_stream_to_fake_kafka,
 )

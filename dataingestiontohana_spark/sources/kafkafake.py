@@ -45,6 +45,8 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
+    InputPartition,
     SimpleDataSourceStreamReader,
 )
 
@@ -206,8 +208,30 @@ class FakeKafkaStreamReader(SimpleDataSourceStreamReader):
         return iter(rows)
 
 
+class FakeKafkaBatchReader(DataSourceReader):
+    """Batch read of the whole topic log (the connector's
+    ``spark.read.format("kafka")`` mode): one input partition per
+    topic partition, preserving Kafka's parallelism unit — a task
+    reads exactly one partition's offset range."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.topic = options["topic"]
+
+    def partitions(self):
+        return [
+            InputPartition(k)
+            for k in FakeKafkaBroker(self.path).partitions(self.topic)
+        ]
+
+    def read(self, partition: InputPartition):
+        hi = FakeKafkaBroker(self.path)._log_len(self.topic, partition.value)
+        yield from _read_slice(self.path, self.topic, partition.value, 0, hi)
+
+
 class FakeKafkaSource(DataSource):
-    """``format("kafkafake")``: options path, topic, startingOffsets."""
+    """``format("kafkafake")``: options path, topic, startingOffsets.
+    Batch + streaming, like the real connector."""
 
     @classmethod
     def name(cls) -> str:
@@ -215,6 +239,9 @@ class FakeKafkaSource(DataSource):
 
     def schema(self) -> str:
         return KAFKA_ENVELOPE_SCHEMA
+
+    def reader(self, schema) -> FakeKafkaBatchReader:
+        return FakeKafkaBatchReader(self.options)
 
     def simpleStreamReader(self, schema) -> FakeKafkaStreamReader:
         return FakeKafkaStreamReader(self.options)
@@ -239,6 +266,18 @@ def fake_kafka_source(
         .option("path", path)
         .option("topic", topic)
         .option("startingOffsets", starting_offsets)
+        .load()
+    )
+
+
+def read_fake_topic(spark: SparkSession, path: str, topic: str) -> DataFrame:
+    """Batch read of the whole topic — the connector's
+    ``spark.read.format("kafka")`` mode (one task per partition)."""
+    register_fake_kafka(spark)
+    return (
+        spark.read.format("kafkafake")
+        .option("path", path)
+        .option("topic", topic)
         .load()
     )
 

@@ -294,3 +294,30 @@ def test_fake_kafka_producer_consumer_upsert_pipeline(spark, tmp_path):
     ).fetchone()
     con.close()
     assert rows == uniq == (hi - lo + 1) == 60
+
+
+def test_fake_kafka_batch_read_one_task_per_partition(spark, tmp_path):
+    """Batch mode (spark.read.format('kafka') parity): the whole log
+    reads back with one input partition per topic partition and the
+    same envelope schema as the stream."""
+    from dataingestiontohana_spark.sources.kafkafake import (
+        FakeKafkaBroker,
+        read_fake_topic,
+    )
+
+    b = FakeKafkaBroker(str(tmp_path / "broker"))
+    b.create_topic("t", partitions=3)
+    for i in range(30):
+        b.produce("t", f"v-{i}", key=str(i), timestamp_ms=1_700_000_000_000)
+    df = read_fake_topic(spark, str(tmp_path / "broker"), "t")
+    assert df.rdd.getNumPartitions() == 3
+    rows = df.collect()
+    assert len(rows) == 30
+    assert sorted(bytes(r["value"]).decode() for r in rows) == sorted(
+        f"v-{i}" for i in range(30)
+    )
+    # per-partition offsets dense from 0
+    by_p = {}
+    for r in rows:
+        by_p.setdefault(r["partition"], []).append(r["offset"])
+    assert all(sorted(v) == list(range(len(v))) for v in by_p.values())
