@@ -619,3 +619,92 @@ def substring_dup_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def segment_dedup_clean(
+    docs: DataFrame,
+    seg_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level segment deduplication WITH removal — the
+    line-dedup stage of C4 (Raffel et al. 2020) and RefinedWeb
+    (Penedo et al. 2023), adapted to segment granularity because the
+    driver corpus carries no newlines: a "line" here is a run of
+    ``seg_tokens`` consecutive normalized tokens (non-overlapping;
+    the final partial run counts). Any segment content occurring in
+    >= 2 DISTINCT documents (cross-document boilerplate, exactly the
+    navigation/footer text line-dedup exists to strip) is removed
+    from EVERY document, and the cleaned document is fingerprinted.
+
+    q89 *scores* substring duplication; this operator performs the
+    *removal* and proves the cleaned output, which is the part a
+    training pipeline actually ships. Per-doc output:
+
+        (id, n_segments, removed_segments, removed_tokens, kept_fp)
+
+    kept_fp = md5 of the kept segments re-joined in original order
+    (md5('') for a fully-boilerplate doc) — so the oracle adjudicates
+    the reconstructed cleaned TEXT, not just counts.
+
+    Scale shape: one map-only explode to segment rows (array slices in
+    codegen, ~n_tokens/seg_tokens rows per doc), ONE shuffle on the
+    16-byte segment hash for the distinct-doc frequency, a hash
+    equi-join back, and a per-doc aggregation whose collect_list holds
+    only the doc's own kept segments (bounded by the doc length — the
+    same per-doc state any reconstruction needs).
+    """
+    from dataingestiontohana_spark.functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    nseg = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
+    segments = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * seg_tokens + 1, seg_tokens)
+        ),
+    )
+    segs = (
+        docs.select(F.col(id_col), F.posexplode(segments).alias("i", "seg"))
+        .select(
+            id_col,
+            "i",
+            "seg",
+            F.md5("seg").alias("h"),
+            F.size(F.split(F.col("seg"), " ")).alias("seg_toks"),
+        )
+        .localCheckpoint(eager=False)  # frequency agg AND the join-back
+    )
+    shared = (
+        segs.select("h", id_col)
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .where(F.col("__nd") >= 2)
+        .select("h", F.lit(1).alias("_shared"))
+    )
+    marked = segs.join(shared, "h", "left_outer").withColumn(
+        "_shared", F.coalesce(F.col("_shared"), F.lit(0))
+    )
+    kept_struct = F.when(
+        F.col("_shared") == 0, F.struct(F.col("i"), F.col("seg"))
+    )  # NULL (dropped by collect_list) for removed segments
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.sum("_shared").cast("bigint").alias("removed_segments"),
+            F.sum(F.col("_shared") * F.col("seg_toks"))
+            .cast("bigint")
+            .alias("removed_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s["seg"],
+                    ),
+                    " ",
+                )
+            ).alias("kept_fp"),
+        )
+    )

@@ -1,0 +1,249 @@
+"""Portable frequency/membership sketches: Count-Min and Bloom,
+built from plain DataFrame aggregations over md5-derived hashes.
+
+Why hand-rolled rather than Spark's built-in sketch aggregates
+(``count_min_sketch`` exists as a SQL function, bloom filters exist
+inside the engine as a join optimization): the built-ins return opaque
+engine-specific binary buffers that no second engine can recompute, so
+their numbers can only ever be audited as "within the error envelope"
+(the q65 pattern). These constructions instead make the sketch's
+*table itself* a DataFrame — rows of (depth, bucket, count) for CMS,
+rows of bit positions for Bloom — derived from md5, the one strong
+hash Spark and DuckDB both expose byte-identically. Every estimate is
+then exactly reproducible in ANSI SQL, so the classic sketch theorems
+(CMS never underestimates; Bloom has no false negatives) are checked
+VALUE-exactly by the oracle gate, not just asserted in pytest.
+
+Scale shape (the reason these exist at 100 TB):
+
+- CMS build: one map-only pass computing ``depth`` codegen'd md5
+  buckets per token row, then ONE shuffle on (depth, bucket) with
+  map-side combine — the reduced state is depth*width counters TOTAL,
+  regardless of corpus size. That replaces a full vocabulary shuffle
+  (billions of distinct keys) with a fixed few-KB table: the
+  frequency-oracle path for Zipf-heavy token streams.
+- Bloom build: the *test/blocklist* side reduces to at most ``m_bits``
+  distinct integer positions — small enough to broadcast — so the
+  100-TB *train* side is probed map-only with a BroadcastHashJoin,
+  where an exact semi-join (q70) must shuffle every train shingle.
+
+References: Cormode & Muthukrishnan (2005), "An improved data stream
+summary: the count-min sketch and its applications"; Bloom (1970),
+"Space/time trade-offs in hash coding with allowable errors"; cf. the
+reference's idempotent-ingest thesis (README.md:133) — same
+determinism discipline applied to approximate structures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# first 8 md5 hex chars -> uniform 32-bit int. Small enough that every
+# intermediate (and the SQL oracle's nibble reconstruction) stays far
+# below 2^62.
+_HEX_WIDTH = 8
+
+
+def _md5_int(col: Column, salt: int) -> Column:
+    """Portable uniform hash: int(md5(salt ':' value)[:8], 16).
+
+    Byte-identical in DuckDB via the nibble reconstruction emitted by
+    :func:`hex_uint_sql` — see plans/llm_dedup.py's q30/q31 oracles for
+    the precedent.
+    """
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), col)), 1, _HEX_WIDTH),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def hex_uint_sql(hex_expr: str, salt: int) -> str:
+    """The DuckDB-side twin of :func:`_md5_int`: big-endian nibble
+    reconstruction of the first 8 hex chars of md5('salt:' || value).
+
+    ``hex_expr`` is a SQL expression producing the *raw value* string.
+    """
+    hx = f"md5('{salt}:' || {hex_expr})"
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({hx}, {p + 1}, 1)) - 1)"
+        f" * CAST({16 ** (_HEX_WIDTH - 1 - p)} AS BIGINT)"
+        for p in range(_HEX_WIDTH)
+    ) + ")"
+
+
+# ---------------------------------------------------------------- CMS
+
+
+def cms_table(
+    items: DataFrame, col: str = "w", depth: int = 4, width: int = 32
+) -> DataFrame:
+    """Count-Min sketch as a DataFrame: (depth, bucket, cnt), one row
+    per non-empty counter (at most depth*width rows).
+
+    Each input row lands in one bucket per depth via independent
+    md5-salted hashes; the single groupBy is on (depth, bucket) —
+    map-side combine collapses each partition to <= depth*width
+    partial counters before the shuffle, so shuffle volume is O(
+    partitions * depth * width), independent of row count.
+    """
+    buckets = F.array(
+        *[(_md5_int(F.col(col), i) % width) for i in range(depth)]
+    )
+    return (
+        items.select(F.posexplode(buckets).alias("depth", "bucket"))
+        .groupBy("depth", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    probes: DataFrame,
+    cms: DataFrame,
+    col: str = "w",
+    depth: int = 4,
+    width: int = 32,
+) -> DataFrame:
+    """Point-query the sketch for each distinct probe value:
+    (col, cms_est) where cms_est = min over depths of the bucket count.
+
+    The sketch table is tiny (<= depth*width rows) and is broadcast;
+    the probe side never shuffles on the value. A probe value absent
+    from the build stream still returns its (collision-only) counter
+    value — callers compare against exact counts to read off the
+    overestimate, which theorem 1 of Cormode & Muthukrishnan bounds by
+    eps*N with eps = e/width at probability 1 - e^-depth.
+    """
+    pb = probes.select(F.col(col)).distinct()
+    pos = pb.select(
+        col,
+        F.posexplode(
+            F.array(*[(_md5_int(F.col(col), i) % width) for i in range(depth)])
+        ).alias("depth", "bucket"),
+    )
+    return (
+        pos.join(F.broadcast(cms), ["depth", "bucket"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )
+
+
+def cms_sql_ctes(
+    item_cte: str,
+    col: str = "w",
+    depth: int = 4,
+    width: int = 32,
+    probe_cte: str | None = None,
+) -> str:
+    """ANSI-SQL CTE block recomputing the identical sketch: emits
+    ``cms`` (depth, bucket, cnt) and ``cms_est`` (col, cms_est) over
+    an existing CTE ``item_cte`` holding the item rows.
+
+    ``probe_cte`` defaults to the distinct values of ``item_cte``.
+    """
+    probe = probe_cte or f"(SELECT DISTINCT {col} FROM {item_cte})"
+    bucket_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT {i} AS depth, ({hex_uint_sql(col, i)}) % {width} AS bucket"
+        f" FROM {item_cte}"
+        for i in range(depth)
+    )
+    probe_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT {col}, {i} AS depth,"
+        f" ({hex_uint_sql(col, i)}) % {width} AS bucket FROM pbv"
+        for i in range(depth)
+    )
+    return f"""
+    cms AS (
+      SELECT depth, bucket, COUNT(*) AS cnt FROM (
+      {bucket_rows}) GROUP BY depth, bucket),
+    pbv AS (SELECT {col} FROM {probe} pb),
+    cms_est AS (
+      SELECT {col}, MIN(COALESCE(cms.cnt, 0)) AS cms_est FROM (
+      {probe_rows}) p
+      LEFT JOIN cms USING (depth, bucket)
+      GROUP BY {col})"""
+
+
+# -------------------------------------------------------------- Bloom
+
+
+def bloom_positions(
+    items: DataFrame, col: str = "sh", k: int = 3, m_bits: int = 4096
+) -> DataFrame:
+    """The Bloom filter's set bits as a DataFrame: distinct integer
+    ``pos`` rows (at most m_bits of them). k md5-salted hashes per
+    item; the distinct-reduce caps the frame at m_bits rows no matter
+    how many items went in — always broadcastable.
+    """
+    return (
+        items.select(
+            F.explode(
+                F.array(
+                    *[(_md5_int(F.col(col), j) % m_bits) for j in range(k)]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    probes: DataFrame,
+    bloom: DataFrame,
+    col: str = "sh",
+    k: int = 3,
+    m_bits: int = 4096,
+) -> DataFrame:
+    """Membership-test each probe row against the filter: adds a
+    ``bloom_hit`` int column (1 = all k positions set — a *maybe*;
+    0 = definitely absent). Map-only over the probe side: the k
+    position lookups are a BroadcastHashJoin against the <= m_bits
+    position rows, then an all-k conjunction folded per input row.
+
+    No-false-negative guarantee: any probe value that was inserted
+    hits all k of its own positions by construction, so bloom_hit = 1
+    whenever exact membership holds.
+    """
+    other = [c for c in probes.columns]
+    pos = probes.select(
+        *other,
+        F.posexplode(
+            F.array(*[(_md5_int(F.col(col), j) % m_bits) for j in range(k)])
+        ).alias("j", "pos"),
+    )
+    hit = (
+        pos.join(
+            F.broadcast(bloom.withColumn("__set", F.lit(1))), "pos", "left"
+        )
+        .groupBy(*other)
+        .agg(
+            (F.sum(F.coalesce(F.col("__set"), F.lit(0))) == F.lit(k))
+            .cast("int")
+            .alias("bloom_hit")
+        )
+    )
+    return hit
+
+
+def bloom_sql_ctes(
+    build_cte: str, col: str = "sh", k: int = 3, m_bits: int = 4096
+) -> str:
+    """ANSI-SQL CTE ``bloom`` (pos) recomputing the identical filter
+    over an existing CTE ``build_cte`` of item rows."""
+    rows = "\n      UNION ALL\n      ".join(
+        f"SELECT ({hex_uint_sql(col, j)}) % {m_bits} AS pos FROM {build_cte}"
+        for j in range(k)
+    )
+    return f"""
+    bloom AS (
+      SELECT DISTINCT pos FROM (
+      {rows}))"""
+
+
+def bloom_probe_sql(col: str, k: int = 3, m_bits: int = 4096) -> str:
+    """SQL scalar expression fragment list: the k positions of a probe
+    value, for callers composing their own probe join."""
+    return ", ".join(
+        f"({hex_uint_sql(col, j)}) % {m_bits} AS p{j}" for j in range(k)
+    )

@@ -196,6 +196,26 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("doc_id", "bigint"), ("n_windows", "bigint"),
         ("dup_windows", "bigint"), ("dup_frac", "double"),
     ],
+    "q92_segment_dedup": [
+        ("source", "string"), ("docs", "bigint"), ("segments", "bigint"),
+        ("removed_segments", "bigint"), ("removed_tokens", "bigint"),
+        ("corpus_fp", "string"),
+    ],
+    "q93_gopher_rules": [
+        ("source", "string"), ("docs", "bigint"),
+        ("pass_wordcount", "bigint"), ("pass_meanlen", "bigint"),
+        ("pass_symbol", "bigint"), ("pass_alpha", "bigint"),
+        ("pass_stop", "bigint"), ("pass_all", "bigint"),
+    ],
+    "q94_cms_heavy_hitters": [
+        ("w", "string"), ("exact_cnt", "bigint"), ("cms_est", "bigint"),
+        ("over_cnt", "bigint"), ("no_underest", "bigint"),
+    ],
+    "q95_bloom_decontaminate": [
+        ("doc_id", "bigint"), ("n_shingles", "bigint"),
+        ("bloom_hits", "bigint"), ("exact_hits", "bigint"),
+        ("false_pos", "bigint"), ("no_false_neg", "bigint"),
+    ],
     "q30_minhash_near_dup": [
         ("id_a", "bigint"), ("id_b", "bigint"), ("jaccard_sig", "double"),
     ],
@@ -280,12 +300,15 @@ BUNDLES: dict[str, list[str]] = {
     "q25_51_61_tokens": [
         "q25_token_stats", "q51_bpe_token_stats", "q61_token_topk",
         "q61b_vocab_sketch_audit", "q77_chunk_windows", "q78_pack_chunks",
+        "q94_cms_heavy_hitters",
     ],
     "q26_28_quality": [
         "q26_quality_score", "q28_fingerprint", "q79_pii_redaction",
-        "q80_bm25_topk", "q91_token_rarity",
+        "q80_bm25_topk", "q91_token_rarity", "q93_gopher_rules",
     ],
-    "q22_29_exact_dedup": ["q22_exact_dedup_count", "q29_exact_dedup"],
+    "q22_29_exact_dedup": [
+        "q22_exact_dedup_count", "q29_exact_dedup", "q92_segment_dedup",
+    ],
     "q23_embed_audit": ["q23a_label_counts", "q23b_vec_dims"],
     "q33_34_similarity": [
         "q33_cosine_topk", "q34_knn_per_label", "q87_random_projection",
@@ -301,6 +324,7 @@ BUNDLES: dict[str, list[str]] = {
     ],
     "q32_70_shingle_exact": [
         "q32_ngram_jaccard", "q70_split_contamination", "q89_substring_dup",
+        "q95_bloom_decontaminate",
     ],
     # oracle-backed since round 3: the seeded hyperplanes embed as
     # literal sign coefficients, the IVF centroid pick is a portable

@@ -438,3 +438,191 @@ def _q31_oracle_sql(bits: int = 64, band_bits: int = 16) -> str:
 
 ORACLES["q30_minhash_near_dup"] = _q30_oracle_sql()
 ORACLES["q31_simhash_clusters"] = _q31_oracle_sql()
+
+
+def q92_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style line-dedup WITH removal, per source: strip
+    every 8-token segment whose content recurs across >= 2 distinct
+    documents (cross-document boilerplate) and fingerprint the cleaned
+    corpus. The adjudicated ``corpus_fp`` is the md5 over each doc's
+    cleaned-text md5 (sorted), so the oracle value-checks the actual
+    reconstructed post-removal TEXT of every document — the removal is
+    proven, not just counted. See operators/dedup.py::
+    segment_dedup_clean for the one-shuffle map-reduce shape."""
+    from dataingestiontohana_spark.operators.dedup import (
+        segment_dedup_clean,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    per = segment_dedup_clean(d, seg_tokens=8)
+    return (
+        per.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs"),
+            F.sum("n_segments").cast("bigint").alias("segments"),
+            F.sum("removed_segments").cast("bigint").alias("removed_segments"),
+            F.sum("removed_tokens").cast("bigint").alias("removed_tokens"),
+            F.md5(
+                F.array_join(F.array_sort(F.collect_list("kept_fp")), "")
+            ).alias("corpus_fp"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["q92_segment_dedup"] = q92_segment_dedup
+
+ORACLES["q92_segment_dedup"] = """
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')),
+                          ' ') AS toks
+      FROM documents),
+    meta AS (
+      SELECT doc_id, toks,
+             CAST(ceil(len(toks) / 8.0) AS INT) AS nseg
+      FROM tok),
+    segrows AS (
+      SELECT doc_id, CAST(unnest(range(0, nseg)) AS INT) AS i, toks
+      FROM meta),
+    segs AS (
+      SELECT doc_id, i,
+             array_to_string(list_slice(toks, i*8 + 1, i*8 + 8), ' ') AS seg
+      FROM segrows),
+    withh AS (
+      SELECT doc_id, i, seg, md5(seg) AS h,
+             len(string_split(seg, ' ')) AS seg_toks
+      FROM segs),
+    shared AS (
+      SELECT h FROM (SELECT DISTINCT h, doc_id FROM withh)
+      GROUP BY h HAVING COUNT(*) >= 2),
+    marked AS (
+      SELECT w.doc_id, w.i, w.seg, w.seg_toks,
+             CASE WHEN s.h IS NULL THEN 0 ELSE 1 END AS shr
+      FROM withh w LEFT JOIN shared s USING (h)),
+    perdoc AS (
+      SELECT doc_id,
+             COUNT(*) AS n_segments,
+             SUM(shr) AS removed_segments,
+             SUM(shr * seg_toks) AS removed_tokens,
+             md5(coalesce(string_agg(CASE WHEN shr = 0 THEN seg END,
+                                     ' ' ORDER BY i), '')) AS kept_fp
+      FROM marked GROUP BY doc_id)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(p.n_segments) AS BIGINT) AS segments,
+           CAST(SUM(p.removed_segments) AS BIGINT) AS removed_segments,
+           CAST(SUM(p.removed_tokens) AS BIGINT) AS removed_tokens,
+           md5(string_agg(p.kept_fp, '' ORDER BY p.kept_fp)) AS corpus_fp
+    FROM perdoc p JOIN documents d USING (doc_id)
+    GROUP BY d.source ORDER BY d.source
+"""
+
+
+_BLOOM_K, _BLOOM_M = 3, 131072  # ~33% fill at sf0.1's test shingles
+
+
+def q95_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter train/test decontamination — the broadcast scale
+    path for q70's exact shuffle join: the test split's distinct
+    shingles reduce to <= m_bits integer positions (operators/
+    sketches.py), which broadcast to every executor, so the 100-TB
+    train side is probed MAP-ONLY (BroadcastHashJoin on the position)
+    instead of shuffling every train shingle on its string key.
+
+    Per train doc: shingle count, bloom-maybe count, exact overlap
+    count (the audit side — recomputed via the exact join purely to
+    adjudicate the filter's quality), false positives, and the
+    ``no_false_neg`` theorem flag (Bloom 1970: an inserted element
+    always hits all its own positions), which must be 1 on every row.
+    The identical filter is recomputed by the oracle from the same
+    md5-salted positions, so even the false-positive counts are
+    value-checked.
+    """
+    from dataingestiontohana_spark.operators.sketches import (
+        bloom_positions,
+        bloom_probe,
+    )
+    from dataingestiontohana_spark.plans.sampling import _bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    b = _bucket(F.col("doc_id"), 100)
+    train = d.where(b < 80)
+    test = d.where(b >= 90)
+    test_sh = shingle_string_rows(test).select("sh").distinct()
+    bloom = bloom_positions(test_sh, "sh", k=_BLOOM_K, m_bits=_BLOOM_M)
+    train_sh = shingle_string_rows(train).distinct()
+    probed = bloom_probe(
+        train_sh, bloom, "sh", k=_BLOOM_K, m_bits=_BLOOM_M
+    )
+    exact = probed.join(
+        test_sh.withColumn("_in", F.lit(1)), "sh", "left_outer"
+    ).withColumn("_in", F.coalesce(F.col("_in"), F.lit(0)))
+    return (
+        exact.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum("bloom_hit").cast("bigint").alias("bloom_hits"),
+            F.sum("_in").cast("bigint").alias("exact_hits"),
+            (F.sum("bloom_hit") - F.sum("_in"))
+            .cast("bigint")
+            .alias("false_pos"),
+            F.min(
+                (F.col("bloom_hit") >= F.col("_in")).cast("bigint")
+            ).alias("no_false_neg"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["q95_bloom_decontaminate"] = q95_bloom_decontaminate
+
+
+def _q95_oracle_sql() -> str:
+    """The identical Bloom filter in ANSI SQL: positions from the same
+    md5-salted hashes (operators/sketches.py portability contract)."""
+    from dataingestiontohana_spark.operators.sketches import (
+        bloom_sql_ctes,
+        hex_uint_sql,
+    )
+
+    bloom = bloom_sql_ctes("te", "sh", k=_BLOOM_K, m_bits=_BLOOM_M)
+    probe_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, sh, ({hex_uint_sql('sh', j)}) % {_BLOOM_M} AS pos"
+        " FROM tr"
+        for j in range(_BLOOM_K)
+    )
+    return f"""
+        WITH {_SHINGLES_CTE},
+        te AS (
+          SELECT DISTINCT sh FROM sh
+          WHERE (doc_id * 2654435761) % 100 >= 90),
+        tr AS (
+          SELECT DISTINCT doc_id, sh FROM sh
+          WHERE (doc_id * 2654435761) % 100 < 80),
+        {bloom},
+        ppos AS (
+          {probe_rows}),
+        phits AS (
+          SELECT doc_id, sh,
+                 SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS hits
+          FROM ppos LEFT JOIN bloom b USING (pos)
+          GROUP BY doc_id, sh),
+        marked AS (
+          SELECT p.doc_id, p.sh,
+                 CASE WHEN p.hits = {_BLOOM_K} THEN 1 ELSE 0 END AS bloom_hit,
+                 CASE WHEN t.sh IS NULL THEN 0 ELSE 1 END AS ex
+          FROM phits p LEFT JOIN te t USING (sh))
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(bloom_hit) AS BIGINT) AS bloom_hits,
+               CAST(SUM(ex) AS BIGINT) AS exact_hits,
+               CAST(SUM(bloom_hit) - SUM(ex) AS BIGINT) AS false_pos,
+               CAST(MIN(CASE WHEN bloom_hit >= ex THEN 1 ELSE 0 END)
+                    AS BIGINT) AS no_false_neg
+        FROM marked GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+ORACLES["q95_bloom_decontaminate"] = _q95_oracle_sql()

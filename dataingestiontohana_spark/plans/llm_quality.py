@@ -452,3 +452,112 @@ ORACLES["q91_token_rarity"] = f"""
              AS rare_frac
     FROM per ORDER BY doc_id
 """
+
+
+# Gopher rule constants (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", App. A1.1) —
+# thresholds kept verbatim. The stopword inventory is Gopher's list
+# plus 'a', adapted to the synthetic corpus the way production
+# pipelines adapt it per-language: the driver vocabulary carries only
+# 'the'/'a' as function words, so Gopher's verbatim list would make
+# the containment gate constant-false (a dead column proves nothing);
+# with 'a' included the gate genuinely discriminates per document.
+# ONE list on purpose: the Spark plan and the SQL oracle must agree.
+GOPHER_STOPS = ("the", "a", "be", "to", "of", "and", "that", "have", "with")
+
+
+def q93_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality RULES as named pass/fail gates,
+    aggregated per source — the rule-based filter stage of a
+    MassiveText-style pipeline (word-count bounds, mean-word-length
+    bounds, symbol-to-word ratio, alphabetic-word fraction, stopword
+    containment). q26 scores documents on a continuous heuristic;
+    this is the complementary hard-gate form whose decisions are the
+    filter itself.
+
+    Every rule is evaluated in EXACT integer arithmetic (ratio
+    thresholds as cross-multiplications: mean word length in [3,10]
+    becomes 3*n <= chars <= 10*n), so pass counts are bit-reproducible
+    and fully value-adjudicated — no float thresholds to disagree on.
+
+    Scale shape: entirely map-only per document (tokenize once, array
+    folds in codegen), then one tiny per-source aggregation. The 100 TB
+    cost is exactly one scan of the text column.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    chars = F.length(F.concat_ws("", toks))
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    symbols = F.regexp_count(F.col("text"), F.lit(r"[#…]|\.\.\."))
+    stop_hits = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(w) for w in GOPHER_STOPS]))
+    )
+    flags = {
+        # 50 <= words <= 100,000
+        "pass_wordcount": (n >= 50) & (n <= 100000),
+        # 3 <= mean word length <= 10, cross-multiplied
+        "pass_meanlen": (3 * n <= chars) & (chars <= 10 * n),
+        # symbol-to-word ratio (#, ellipsis) <= 0.1
+        "pass_symbol": 10 * symbols <= n,
+        # >= 80% of words contain an alphabetic character
+        "pass_alpha": 5 * alpha >= 4 * n,
+        # at least 2 distinct stopwords present
+        "pass_stop": stop_hits >= 2,
+    }
+    per_doc = d.select(
+        "source",
+        *[v.cast("int").alias(k) for k, v in flags.items()],
+    )
+    agg = [F.count(F.lit(1)).cast("bigint").alias("docs")] + [
+        F.sum(k).cast("bigint").alias(k) for k in flags
+    ]
+    all_pass = F.sum(
+        F.when(
+            sum(F.col(k) for k in flags) == F.lit(len(flags)), 1
+        ).otherwise(0)
+    ).cast("bigint")
+    return (
+        per_doc.groupBy("source")
+        .agg(*agg, all_pass.alias("pass_all"))
+        .orderBy("source")
+    )
+
+
+QUERIES["q93_gopher_rules"] = q93_gopher_rules
+
+_GOPHER_STOPS_SQL = ", ".join(f"'{w}'" for w in GOPHER_STOPS)
+
+ORACLES["q93_gopher_rules"] = f"""
+    WITH {_TOK_CTE},
+    per AS (
+      SELECT d.source,
+             len(t.toks) AS n,
+             length(array_to_string(t.toks, '')) AS chars,
+             len(list_filter(t.toks, x -> regexp_matches(x, '[a-z]')))
+               AS alpha,
+             len(regexp_extract_all(d.text, '[#…]|\\.\\.\\.')) AS symbols,
+             len(list_intersect(t.toks, [{_GOPHER_STOPS_SQL}])) AS stop_hits
+      FROM documents d JOIN tok t USING (doc_id)),
+    f AS (
+      SELECT source,
+             CASE WHEN n >= 50 AND n <= 100000 THEN 1 ELSE 0 END
+               AS pass_wordcount,
+             CASE WHEN 3*n <= chars AND chars <= 10*n THEN 1 ELSE 0 END
+               AS pass_meanlen,
+             CASE WHEN 10*symbols <= n THEN 1 ELSE 0 END AS pass_symbol,
+             CASE WHEN 5*alpha >= 4*n THEN 1 ELSE 0 END AS pass_alpha,
+             CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS pass_stop
+      FROM per)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(pass_wordcount) AS BIGINT) AS pass_wordcount,
+           CAST(SUM(pass_meanlen) AS BIGINT) AS pass_meanlen,
+           CAST(SUM(pass_symbol) AS BIGINT) AS pass_symbol,
+           CAST(SUM(pass_alpha) AS BIGINT) AS pass_alpha,
+           CAST(SUM(pass_stop) AS BIGINT) AS pass_stop,
+           CAST(SUM(CASE WHEN pass_wordcount + pass_meanlen + pass_symbol
+                        + pass_alpha + pass_stop = 5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS pass_all
+    FROM f GROUP BY source ORDER BY source
+"""

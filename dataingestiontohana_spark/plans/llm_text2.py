@@ -138,12 +138,65 @@ def q78_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket", "pack_id")
 
 
+def q94_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-sketch heavy hitters vs exact token counts — the
+    frequency-oracle path for a Zipf token stream, with the sketch's
+    one-sided-error theorem carried as value-checked columns.
+
+    Unlike q65's engine-opaque HLL/percentile buffers (auditable only
+    as error-envelope flags), this sketch is the PORTABLE construction
+    of operators/sketches.py: the CMS table is itself a DataFrame of
+    (depth, bucket, count) rows built from md5-salted bucket hashes,
+    so DuckDB recomputes the identical sketch and every estimate is
+    value-compared, including the collision overestimates. width=32 is
+    deliberately smaller than the vocabulary to force real collisions;
+    ``no_underest`` (cms_est >= exact, Cormode-Muthukrishnan Thm 1)
+    must still hold on every row — a genuine invariant, not a fixture.
+
+    Scale shape: the build is one map-only pass (4 codegen'd md5s per
+    token row) + ONE shuffle reduced map-side to <= 4*32 counters per
+    partition; the estimate probe broadcasts the <=128-row sketch. At
+    100 TB this replaces a full-vocabulary shuffle with a fixed-size
+    state — the same motivation as q65, now with an exact audit.
+    """
+    from dataingestiontohana_spark.functions.text import tokens
+    from dataingestiontohana_spark.operators.sketches import (
+        cms_estimate,
+        cms_table,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens("text")).alias("w")).localCheckpoint(
+        eager=False
+    )  # consumed by the sketch build AND the exact-count audit
+    cms = cms_table(tok, "w", depth=4, width=32)
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = cms_estimate(freq, cms, "w", depth=4, width=32)
+    return (
+        freq.join(est, "w")
+        .select(
+            "w",
+            F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+            F.col("cms_est").cast("bigint").alias("cms_est"),
+            (F.col("cms_est") - F.col("exact_cnt"))
+            .cast("bigint")
+            .alias("over_cnt"),
+            (F.col("cms_est") >= F.col("exact_cnt"))
+            .cast("bigint")
+            .alias("no_underest"),
+        )
+        .orderBy(F.desc("exact_cnt"), "w")
+        .limit(20)
+    )
+
+
 QUERIES = {
     "q51_bpe_token_stats": q51_bpe_token_stats,
     "q52_observe_audit": q52_observe_audit,
     "q65_sketch_audit": q65_sketch_audit,
     "q77_chunk_windows": q77_chunk_windows,
     "q78_pack_chunks": q78_pack_chunks,
+    "q94_cms_heavy_hitters": q94_cms_heavy_hitters,
 }
 
 # Shared chunk-layout CTEs for q77/q78 (stride 112 = 128 - 16):
@@ -248,3 +301,34 @@ ORACLES = {
         FROM packs GROUP BY bucket, pack_id ORDER BY bucket, pack_id
     """,
 }
+
+
+def _q94_oracle_sql() -> str:
+    """Identical CMS recomputed in ANSI SQL: the sketch table and every
+    estimate are value-compared, not just envelope-checked (see the
+    q94 docstring; hash portability per operators/sketches.py)."""
+    from dataingestiontohana_spark.operators.sketches import cms_sql_ctes
+
+    ctes = cms_sql_ctes("t", "w", depth=4, width=32,
+                        probe_cte="(SELECT w FROM freq)")
+    return f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')),
+                              ' ') AS toks
+          FROM documents),
+        t AS (SELECT unnest(toks) AS w FROM tok),
+        freq AS (SELECT w, COUNT(*) AS exact_cnt FROM t GROUP BY w),
+        {ctes}
+        SELECT f.w,
+               CAST(f.exact_cnt AS BIGINT) AS exact_cnt,
+               CAST(e.cms_est AS BIGINT) AS cms_est,
+               CAST(e.cms_est - f.exact_cnt AS BIGINT) AS over_cnt,
+               CAST(CASE WHEN e.cms_est >= f.exact_cnt THEN 1 ELSE 0 END
+                    AS BIGINT) AS no_underest
+        FROM freq f JOIN cms_est e USING (w)
+        ORDER BY exact_cnt DESC, w LIMIT 20
+    """
+
+
+ORACLES["q94_cms_heavy_hitters"] = _q94_oracle_sql()

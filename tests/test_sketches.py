@@ -1,0 +1,128 @@
+"""Planted-fixture and invariant tests for the portable sketches
+(operators/sketches.py) and the segment-dedup removal operator —
+tighter properties than the oracle sweep can express (the sweep proves
+engine agreement; these prove the operators mean what they claim).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from dataingestiontohana_spark.operators.dedup import segment_dedup_clean
+from dataingestiontohana_spark.operators.sketches import (
+    bloom_positions,
+    bloom_probe,
+    cms_estimate,
+    cms_table,
+)
+
+
+def _items(spark, values):
+    return spark.createDataFrame([(v,) for v in values], "w string")
+
+
+class TestCountMin:
+    def test_never_underestimates_and_exact_without_collision(self, spark):
+        # 200 values over width 32 guarantees collisions somewhere;
+        # the one-sided error theorem must hold for EVERY value.
+        vals = [f"tok{i}" for i in range(50) for _ in range(i % 7 + 1)]
+        items = _items(spark, vals)
+        cms = cms_table(items, "w", depth=4, width=32)
+        est = cms_estimate(items, cms, "w", depth=4, width=32)
+        exact = {v: vals.count(v) for v in set(vals)}
+        rows = {r["w"]: r["cms_est"] for r in est.collect()}
+        assert set(rows) == set(exact)
+        assert all(rows[v] >= exact[v] for v in exact)
+
+    def test_counter_mass_per_depth_equals_stream_length(self, spark):
+        vals = [f"v{i % 13}" for i in range(100)]
+        cms = cms_table(_items(spark, vals), "w", depth=4, width=8)
+        per_depth = {
+            r["depth"]: r["s"]
+            for r in cms.groupBy("depth").agg(F.sum("cnt").alias("s")).collect()
+        }
+        assert per_depth == {d: len(vals) for d in range(4)}
+
+    def test_absent_probe_reports_collision_mass_only(self, spark):
+        build = _items(spark, ["a"] * 10)
+        cms = cms_table(build, "w", depth=4, width=1024)
+        est = cms_estimate(
+            _items(spark, ["zz-absent"]), cms, "w", depth=4, width=1024
+        )
+        # with 1 distinct built value and width 1024, all four salted
+        # hashes colliding is (1/1024)^4 — the min must be 0 here
+        assert est.collect()[0]["cms_est"] == 0
+
+
+class TestBloom:
+    def test_no_false_negatives(self, spark):
+        inserted = [f"sh{i}" for i in range(300)]
+        bloom = bloom_positions(_items(spark, inserted), "w", k=3, m_bits=4096)
+        probed = bloom_probe(_items(spark, inserted), bloom, "w", 3, 4096)
+        assert all(r["bloom_hit"] == 1 for r in probed.collect())
+
+    def test_definite_absence_on_sparse_filter(self, spark):
+        bloom = bloom_positions(_items(spark, ["only"]), "w", k=3, m_bits=65536)
+        probed = bloom_probe(
+            _items(spark, [f"absent{i}" for i in range(50)]),
+            bloom, "w", 3, 65536,
+        )
+        hits = sum(r["bloom_hit"] for r in probed.collect())
+        # 3 set bits in 65536: P[all 3 probe positions hit] ~ 1e-13
+        assert hits == 0
+
+    def test_position_frame_is_bounded_by_m_bits(self, spark):
+        bloom = bloom_positions(
+            _items(spark, [f"x{i}" for i in range(500)]), "w", k=3, m_bits=64
+        )
+        n = bloom.count()
+        assert n <= 64
+        assert bloom.distinct().count() == n
+
+
+class TestSegmentDedup:
+    def test_planted_boilerplate_removed_and_text_proven(self, spark):
+        boiler = " ".join(f"b{i}" for i in range(8))  # one full segment
+        u1 = " ".join(f"u{i}" for i in range(8))
+        u2 = " ".join(f"w{i}" for i in range(8))
+        docs = spark.createDataFrame(
+            [
+                (1, f"{boiler} {u1}"),   # boiler + unique
+                (2, f"{boiler} {u2}"),   # boiler + different unique
+                (3, boiler),             # entirely boilerplate
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in segment_dedup_clean(docs, 8).collect()}
+        assert out[1]["removed_segments"] == 1
+        assert out[1]["removed_tokens"] == 8
+        assert out[1]["kept_fp"] == hashlib.md5(u1.encode()).hexdigest()
+        assert out[2]["kept_fp"] == hashlib.md5(u2.encode()).hexdigest()
+        # fully-boilerplate doc cleans to the empty string
+        assert out[3]["removed_segments"] == 1
+        assert out[3]["kept_fp"] == hashlib.md5(b"").hexdigest()
+
+    def test_unique_docs_untouched(self, spark):
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"t{i}_{j}" for j in range(20))) for i in range(5)],
+            "doc_id long, text string",
+        )
+        out = segment_dedup_clean(docs, 8).collect()
+        assert all(r["removed_segments"] == 0 for r in out)
+        # 20 tokens -> ceil(20/8) = 3 segments each
+        assert all(r["n_segments"] == 3 for r in out)
+
+    def test_partial_tail_segment_counts_tokens_exactly(self, spark):
+        shared_tail = "s0 s1 s2"  # 3-token partial segment, shared
+        docs = spark.createDataFrame(
+            [
+                (1, " ".join(f"a{j}" for j in range(8)) + " " + shared_tail),
+                (2, " ".join(f"c{j}" for j in range(8)) + " " + shared_tail),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in segment_dedup_clean(docs, 8).collect()}
+        assert out[1]["removed_segments"] == 1
+        assert out[1]["removed_tokens"] == 3
