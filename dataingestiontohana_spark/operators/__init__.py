@@ -9,6 +9,7 @@ from dataingestiontohana_spark.operators.dedup import (  # noqa: F401
     minhash_bands,
     minhash_candidates,
     minhash_signatures,
+    segment_dedup_clean,
     simhash_fingerprints,
     substring_dup_stats,
 )
@@ -34,4 +35,10 @@ from dataingestiontohana_spark.operators.multimodal import (  # noqa: F401
 )
 from dataingestiontohana_spark.operators.rollup import (  # noqa: F401
     hypertable_rollup,
+)
+from dataingestiontohana_spark.operators.sketches import (  # noqa: F401
+    bloom_positions,
+    bloom_probe,
+    cms_estimate,
+    cms_table,
 )
