@@ -18,6 +18,11 @@ from dataingestiontohana_spark.operators.dedup_store import (  # noqa: F401
     dedup_against_store,
     write_signature_store,
 )
+from dataingestiontohana_spark.operators.layout import (  # noqa: F401
+    rowgroup_skip_stats,
+    zorder_write,
+    zvalue,
+)
 from dataingestiontohana_spark.operators.ivf import (  # noqa: F401
     append_to_ivf_index,
     ivf_topk,
