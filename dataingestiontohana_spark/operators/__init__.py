@@ -1,5 +1,10 @@
 """DataFrame -> DataFrame operators (the engine's composite ops)."""
 
+from dataingestiontohana_spark.operators.bpe import (  # noqa: F401
+    bpe_encode,
+    learn_bpe,
+    word_counts,
+)
 from dataingestiontohana_spark.operators.chunking import (  # noqa: F401
     chunk_windows,
     pack_chunks,
