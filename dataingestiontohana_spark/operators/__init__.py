@@ -47,8 +47,10 @@ from dataingestiontohana_spark.operators.rollup import (  # noqa: F401
     hypertable_rollup,
 )
 from dataingestiontohana_spark.operators.sketches import (  # noqa: F401
+    bloom_merge,
     bloom_positions,
     bloom_probe,
     cms_estimate,
+    cms_merge,
     cms_table,
 )

@@ -247,3 +247,36 @@ def bloom_probe_sql(col: str, k: int = 3, m_bits: int = 4096) -> str:
     return ", ".join(
         f"({hex_uint_sql(col, j)}) % {m_bits} AS p{j}" for j in range(k)
     )
+
+
+# ---------------------------------------------------- mergeability
+
+
+def cms_merge(*tables: DataFrame) -> DataFrame:
+    """Union Count-Min sketches by counter addition — CMS is LINEAR:
+    sketch(A ⊎ B) equals the elementwise sum of sketch(A) and
+    sketch(B), exactly (not approximately), because every counter is
+    a plain sum over its bucket's stream. That is what makes the
+    sketch an incremental corpus statistic: build one small
+    (depth, bucket, cnt) table per ingest shard, store them, and fold
+    with this function — no re-scan of history, ever. The merge
+    itself reduces <= depth*width rows per shard.
+    """
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("depth", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def bloom_merge(*position_sets: DataFrame) -> DataFrame:
+    """Union Bloom filters by OR-ing their bits — i.e. the distinct
+    union of position rows. Exact for the same reason as
+    :func:`cms_merge`: the filter is a pure set of hash positions.
+    The result stays hard-capped at m_bits rows.
+    """
+    out = position_sets[0]
+    for t in position_sets[1:]:
+        out = out.unionByName(t)
+    return out.distinct()

@@ -306,3 +306,46 @@ def test_q88_png_color_is_map_only_decode(spark):
     plan = _executed(df)
     assert "Join" not in plan
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_q92_segment_dedup_one_hash_shuffle_no_window(spark):
+    """The C4 segment strip: hash-equi joins only, map-side combine on
+    the frequency aggregation, no window, no product."""
+    df = QUERIES["q92_segment_dedup"](spark, SF001)
+    plan = _executed(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
+
+
+def test_q93_gopher_rules_is_map_only_plus_tiny_agg(spark):
+    """Rule gates are per-row codegen expressions; the only exchange
+    is the per-source aggregation of int flags — no join at all."""
+    df = QUERIES["q93_gopher_rules"](spark, SF001)
+    plan = _executed(df)
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan  # no row-wise python
+
+
+def test_q94_cms_probe_broadcasts_the_sketch(spark):
+    """The <=128-row CMS table must broadcast into the probe join —
+    a shuffle join here would defeat the sketch's entire purpose."""
+    df = QUERIES["q94_cms_heavy_hitters"](spark, SF001)
+    plan = _executed(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_q95_bloom_probe_is_broadcast_not_shuffle(spark):
+    """The position set (<= m_bits rows) broadcasts; the train side
+    must NOT sort-merge on the position (that is the exabyte exchange
+    the Bloom path exists to avoid). The exact-join audit half is an
+    equi join and may shuffle — but only on the reduced distinct
+    (doc, shingle) frame, never as a product."""
+    df = QUERIES["q95_bloom_decontaminate"](spark, SF001)
+    plan = _executed(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # no single-partition window funnel anywhere
+    assert "Window" not in plan

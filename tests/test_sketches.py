@@ -126,3 +126,60 @@ class TestSegmentDedup:
         out = {r["doc_id"]: r for r in segment_dedup_clean(docs, 8).collect()}
         assert out[1]["removed_segments"] == 1
         assert out[1]["removed_tokens"] == 3
+
+
+class TestMergeability:
+    def test_cms_merge_is_exactly_linear(self, spark):
+        """sketch(A) + sketch(B) == sketch(A union-all B), counter for
+        counter — the property that makes shard-wise builds lossless."""
+        from dataingestiontohana_spark.operators.sketches import cms_merge
+
+        a_vals = [f"t{i % 11}" for i in range(60)]
+        b_vals = [f"t{i % 7}" for i in range(40)]
+        sa = cms_table(_items(spark, a_vals), "w", depth=4, width=16)
+        sb = cms_table(_items(spark, b_vals), "w", depth=4, width=16)
+        merged = {
+            (r["depth"], r["bucket"]): r["cnt"]
+            for r in cms_merge(sa, sb).collect()
+        }
+        whole = {
+            (r["depth"], r["bucket"]): r["cnt"]
+            for r in cms_table(
+                _items(spark, a_vals + b_vals), "w", depth=4, width=16
+            ).collect()
+        }
+        assert merged == whole
+
+    def test_bloom_merge_equals_whole_build(self, spark):
+        from dataingestiontohana_spark.operators.sketches import bloom_merge
+
+        a = [f"a{i}" for i in range(80)]
+        b = [f"b{i}" for i in range(80)]
+        pa = bloom_positions(_items(spark, a), "w", k=3, m_bits=2048)
+        pb = bloom_positions(_items(spark, b), "w", k=3, m_bits=2048)
+        merged = {r["pos"] for r in bloom_merge(pa, pb).collect()}
+        whole = {
+            r["pos"]
+            for r in bloom_positions(
+                _items(spark, a + b), "w", k=3, m_bits=2048
+            ).collect()
+        }
+        assert merged == whole
+
+    def test_merged_estimates_match_whole_stream(self, spark):
+        from dataingestiontohana_spark.operators.sketches import cms_merge
+
+        a_vals = ["x"] * 5 + ["y"] * 3
+        b_vals = ["x"] * 2 + ["z"] * 4
+        merged = cms_merge(
+            cms_table(_items(spark, a_vals), "w", depth=4, width=256),
+            cms_table(_items(spark, b_vals), "w", depth=4, width=256),
+        )
+        est = {
+            r["w"]: r["cms_est"]
+            for r in cms_estimate(
+                _items(spark, ["x", "y", "z"]), merged, "w", 4, 256
+            ).collect()
+        }
+        # wide sketch, 3 values: collisions essentially impossible
+        assert est == {"x": 7, "y": 3, "z": 4}
