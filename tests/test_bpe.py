@@ -99,3 +99,57 @@ def test_max_types_guard(spark):
     docs = _docs(spark, ["a b c d e f"])
     with pytest.raises(ValueError):
         learn_bpe(docs, n_merges=1, max_types=3)
+
+
+# ---- pure-python kernel properties (no Spark session needed) ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dataingestiontohana_spark.operators.bpe import _merge_word
+
+_sym = st.sampled_from(["a", "b", "c", "ab", "bc"])
+_word = st.lists(_sym, min_size=0, max_size=12).map(tuple)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_word, _sym, _sym)
+def test_merge_word_properties(symbols, left, right):
+    out = _merge_word(symbols, (left, right))
+    # total character mass is preserved
+    assert "".join(out) == "".join(symbols)
+    assert len(out) <= len(symbols)
+    # a pair absent from the input leaves it untouched
+    if all(
+        not (symbols[i] == left and symbols[i + 1] == right)
+        for i in range(len(symbols) - 1)
+    ):
+        assert out == symbols
+    # for distinct left/right no adjacent (left, right) pair survives
+    if left != right:
+        assert all(
+            not (out[i] == left and out[i + 1] == right)
+            for i in range(len(out) - 1)
+        )
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.sampled_from(["a", "b"]), min_size=0, max_size=9).map(tuple))
+def test_merge_word_same_symbol_is_leftmost_greedy(symbols):
+    """('a','a','a') under ('a','a') -> ('aa','a'): leftmost-first,
+    non-overlapping — the reference algorithm's exact behavior."""
+    out = _merge_word(symbols, ("a", "a"))
+    i = 0
+    expect = []
+    while i < len(symbols):
+        if (
+            i + 1 < len(symbols)
+            and symbols[i] == "a"
+            and symbols[i + 1] == "a"
+        ):
+            expect.append("aa")
+            i += 2
+        else:
+            expect.append(symbols[i])
+            i += 1
+    assert out == tuple(expect)
