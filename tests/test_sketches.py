@@ -183,3 +183,74 @@ class TestMergeability:
         }
         # wide sketch, 3 values: collisions essentially impossible
         assert est == {"x": 7, "y": 3, "z": 4}
+
+
+class TestStreamingSketchStore:
+    def test_incremental_stream_build_equals_batch_sketch(
+        self, spark, tmp_path
+    ):
+        """Rolling corpus statistics on a live stream: each micro-batch
+        builds its shard CMS inside foreachBatch and folds it into a
+        persisted sketch store via cms_merge. After the stream drains,
+        the stored sketch equals the one-shot batch build over the
+        whole corpus COUNTER FOR COUNTER — the linearity theorem on the
+        actual streaming path, with restart-safe tiny state (<=
+        depth*width rows) instead of a re-scan of history."""
+        import json
+        import os
+
+        from dataingestiontohana_spark.operators.sketches import cms_merge
+
+        src = str(tmp_path / "src")
+        store = str(tmp_path / "cms_store")
+        os.makedirs(src)
+        texts = {
+            0: "spark scan join join filter",
+            1: "join filter scan scan scan",
+            2: "window agg spark spark join",
+        }
+        for b, t in texts.items():
+            with open(os.path.join(src, f"b{b}.json"), "w") as f:
+                f.write(json.dumps({"doc_id": b, "text": t}) + "\n")
+            os.utime(
+                os.path.join(src, f"b{b}.json"),
+                (1_000_000 + b, 1_000_000 + b),
+            )
+
+        def fold(batch_df, epoch_id):
+            from pyspark.sql import functions as SF
+
+            tok = batch_df.select(
+                SF.explode(SF.split(SF.col("text"), " ")).alias("w")
+            )
+            shard = cms_table(tok, "w", depth=4, width=16)
+            if os.path.exists(os.path.join(store, "_SUCCESS")):
+                prev = spark.read.parquet(store)
+                merged = cms_merge(prev, shard).localCheckpoint(eager=True)
+            else:
+                merged = shard
+            merged.write.mode("overwrite").parquet(store)
+
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        all_tok = spark.createDataFrame(
+            [(w,) for t in texts.values() for w in t.split()], "w string"
+        )
+        whole = {
+            (r["depth"], r["bucket"]): r["cnt"]
+            for r in cms_table(all_tok, "w", depth=4, width=16).collect()
+        }
+        stored = {
+            (r["depth"], r["bucket"]): r["cnt"]
+            for r in spark.read.parquet(store).collect()
+        }
+        assert stored == whole
