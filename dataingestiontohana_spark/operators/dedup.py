@@ -658,14 +658,20 @@ def segment_dedup_clean(
 
     toks = tokens(F.col(text_col))
     nseg = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
-    segments = F.transform(
-        F.sequence(F.lit(0), nseg - 1),
-        lambda i: F.concat_ws(
-            " ", F.slice(toks, i * seg_tokens + 1, seg_tokens)
-        ),
+    # explode the INDEX sequence, then build each segment as a plain
+    # projected slice+concat_ws — whole-stage codegen. (Building the
+    # segment array with a transform() lambda runs interpreted
+    # per-element: the measured ~2x tax this repo keeps re-finding.)
+    seg = F.concat_ws(
+        " ", F.slice(F.col("__toks"), F.col("i") * seg_tokens + 1, seg_tokens)
     )
     segs = (
-        docs.select(F.col(id_col), F.posexplode(segments).alias("i", "seg"))
+        docs.select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            F.explode(F.sequence(F.lit(0), nseg - 1)).alias("i"),
+        )
+        .select(F.col(id_col), F.col("i"), seg.alias("seg"))
         .select(
             id_col,
             "i",
