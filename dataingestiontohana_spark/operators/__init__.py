@@ -43,6 +43,12 @@ from dataingestiontohana_spark.operators.multimodal import (  # noqa: F401
     resize_images,
     sample_frames,
 )
+from dataingestiontohana_spark.operators.pq import (  # noqa: F401
+    pq_adc_scores,
+    pq_codebook,
+    pq_encode,
+    quantize_embeddings,
+)
 from dataingestiontohana_spark.operators.rollup import (  # noqa: F401
     hypertable_rollup,
 )

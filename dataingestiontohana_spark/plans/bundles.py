@@ -230,6 +230,10 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("query_id", "bigint"), ("vec_id", "bigint"),
         ("cos_sim", "double"), ("rank", "int"),
     ],
+    "q96_pq_topk": [
+        ("vec_id", "bigint"), ("pq_dist", "bigint"),
+        ("exact_dist", "bigint"),
+    ],
     "q37_media_decode": [
         ("media_id", "bigint"), ("kind", "int"), ("width", "int"),
         ("height", "int"), ("n_frames", "int"), ("n_bytes", "int"),
@@ -331,7 +335,10 @@ BUNDLES: dict[str, list[str]] = {
     # integer hash, and MinHash/SimHash hash via md5 (byte-identical
     # hex in both engines) — so all four probabilistic parts are fully
     # value-checked in SQL
-    "q35_36b_ann": ["q35_ann_lsh", "q36b_ivf_topk", "q36c_ivf_batch_topk"],
+    "q35_36b_ann": [
+        "q35_ann_lsh", "q36b_ivf_topk", "q36c_ivf_batch_topk",
+        "q96_pq_topk",
+    ],
     "q30_31_lsh_neardup": ["q30_minhash_near_dup", "q31_simhash_clusters"],
     # oracle-backed since round 5: the synthetic SGM1 payload bytes are
     # md5-expanded from an ASCII seed, so DuckDB recomputes every byte;

@@ -1090,3 +1090,116 @@ def _q36c_oracle_sql(k: int = 16, nprobe: int = 4, topk: int = 8) -> str:
 
 
 ORACLES["q36c_ivf_batch_topk"] = _q36c_oracle_sql()
+
+
+def q96_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (Jégou et al. 2011): top-10 near the
+    vec_id=0 query by ADC over 8-subspace / 16-code PQ codes — the
+    ~64x-compression companion to q36b's IVF pruning (see
+    operators/pq.py for the FAISS IVF-PQ framing and the exact-int64
+    portability contract that lets DuckDB replay codes, ADC sums and
+    ranking byte-identically). Two-stage retrieval, the production
+    IVFADC-R shape (Jégou et al. §V): the ADC scan shortlists 50
+    candidates from codes alone, then ONLY those 50 are re-ranked by
+    exact quantized L2 — measured recall@10 0.8 vs 0.3 for raw ADC
+    ranking at sf0.1 (pytest gate). ``pq_dist`` and ``exact_dist``
+    both ship per row so the approximation error itself is
+    value-adjudicated."""
+    from dataingestiontohana_spark.operators.pq import (
+        pq_adc_scores,
+        pq_codebook,
+        pq_encode,
+        quantize_embeddings,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    eq = quantize_embeddings(e).localCheckpoint(eager=False)
+    q_ev = [int(x) for x in eq.where(F.col("vec_id") == 0).head()["ev"]]
+    cb = pq_codebook(eq, k_codes=16)
+    corpus = eq.where(F.col("vec_id") != 0)
+    scored = pq_adc_scores(pq_encode(corpus, cb, m_sub=8), cb, q_ev, m_sub=8)
+    shortlist = scored.orderBy("pq_dist", "vec_id").limit(50)
+    qlit = F.array(*[F.lit(v).cast("bigint") for v in q_ev])
+    exact = corpus.select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with("ev", qlit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("exact_dist"),
+    )
+    # re-rank ONLY the shortlist by exact distance (50 rows: the
+    # exact side joins against a broadcastable frame)
+    return (
+        shortlist.join(exact, "vec_id")
+        .select("vec_id", "pq_dist", "exact_dist")
+        .orderBy("exact_dist", "vec_id")
+        .limit(10)
+    )
+
+
+QUERIES["q96_pq_topk"] = q96_pq_topk
+
+
+def _q96_oracle_sql(
+    k_codes: int = 16, m_sub: int = 8, sub: int = 8, topk: int = 10
+) -> str:
+    """The PQ pipeline replayed in ANSI SQL: same 1e-6 ROUND grid,
+    same Knuth-sampled codebook, integer argmin codes (lowest-code
+    ties), integer LUT sums — every number exact in both engines."""
+
+    def sq_sum(a: str, b: str) -> str:
+        return " + ".join(
+            f"({a}[CAST(s.s*{sub}+{t+1} AS INT)] - {b}[CAST(s.s*{sub}+{t+1} AS INT)])"
+            f" * ({a}[CAST(s.s*{sub}+{t+1} AS INT)] - {b}[CAST(s.s*{sub}+{t+1} AS INT)])"
+            for t in range(sub)
+        )
+
+    return f"""
+        WITH eq AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))
+                 AS ev
+          FROM embeddings),
+        cb AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS code, ev AS cv
+          FROM (SELECT vec_id, ev,
+                       (vec_id * 2654435761) % 4294967296 AS h
+                FROM eq ORDER BY h, vec_id LIMIT {k_codes})),
+        qv AS (SELECT ev AS q FROM eq WHERE vec_id = 0),
+        corpus AS (SELECT vec_id, ev FROM eq WHERE vec_id <> 0),
+        subd AS (
+          SELECT c.vec_id, s.s, cb.code,
+                 {sq_sum('c.ev', 'cb.cv')} AS d2
+          FROM corpus c, range({m_sub}) s(s), cb),
+        codes AS (
+          SELECT vec_id, s, code FROM subd
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                     ORDER BY d2, code) = 1),
+        lut AS (
+          SELECT s.s, cb.code, {sq_sum('cb.cv', 'qv.q')} AS d2q
+          FROM cb, range({m_sub}) s(s), qv),
+        pq AS (
+          SELECT c.vec_id, SUM(l.d2q) AS pq_dist
+          FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.code
+          GROUP BY c.vec_id),
+        ex AS (
+          SELECT c.vec_id,
+                 list_sum(list_transform(range(1, 65),
+                   i -> (c.ev[CAST(i AS INT)] - qv.q[CAST(i AS INT)])
+                      * (c.ev[CAST(i AS INT)] - qv.q[CAST(i AS INT)])))
+                 AS exact_dist
+          FROM corpus c, qv)
+        ,shortlist AS (
+          SELECT vec_id, pq_dist FROM pq
+          ORDER BY pq_dist, vec_id LIMIT 50)
+        SELECT s.vec_id,
+               CAST(s.pq_dist AS BIGINT) AS pq_dist,
+               CAST(ex.exact_dist AS BIGINT) AS exact_dist
+        FROM shortlist s JOIN ex USING (vec_id)
+        ORDER BY exact_dist, vec_id LIMIT {topk}
+    """
+
+
+ORACLES["q96_pq_topk"] = _q96_oracle_sql()
