@@ -267,6 +267,15 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("grain", "string"), ("d", "timestamp"), ("h", "timestamp"),
         ("c", "bigint"), ("sv", "double"),
     ],
+    "q97_funnel": [
+        ("users", "bigint"), ("viewed", "bigint"), ("clicked", "bigint"),
+        ("purchased", "bigint"), ("click_rate", "double"),
+        ("purchase_rate", "double"),
+    ],
+    "q98_retention": [
+        ("cohort_week", "int"), ("users", "bigint"), ("w0", "bigint"),
+        ("w1", "bigint"), ("w2", "bigint"), ("w3", "bigint"),
+    ],
     "q24_ingest_audit": [
         ("n_rows", "bigint"), ("uniq", "bigint"), ("span", "bigint"),
     ],
@@ -352,7 +361,10 @@ BUNDLES: dict[str, list[str]] = {
     "q39_40_ingest": ["q39_sensor_generate", "q40_sensor_csv_roundtrip"],
     # round 5: the q20 single grew into a bundle with the hypertable
     # multi-grain rollup (one-scan grouping sets over time grains)
-    "q20_84_timegrain": ["q20_time_bucket", "q84_hypertable_rollup"],
+    "q20_84_timegrain": [
+        "q20_time_bucket", "q84_hypertable_rollup", "q97_funnel",
+        "q98_retention",
+    ],
     # round 5: q24 grew into a bundle with the one-scan per-column
     # dataset profiler (ingest-acceptance stats)
     "q24_86_audit": ["q24_ingest_audit", "q86_profile"],

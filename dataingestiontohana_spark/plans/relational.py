@@ -563,3 +563,153 @@ ORACLES = {
         FROM long GROUP BY col_name ORDER BY col_name
     """,
 }
+
+
+def q97_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream: view ->
+    click -> purchase, strictly time-ordered PER USER (a click only
+    counts after that user's first view; a purchase only after that
+    click) — the product-analytics primitive every event warehouse
+    ships, and a shape windows alone cannot express without a
+    whole-user sort.
+
+    Formulation: three stage aggregations, each one shuffle of
+    REDUCED rows keyed on user_id, chained by broadcast joins of the
+    per-user stage-timestamp frames (|users| rows — broadcastable at
+    any realistic user count vs 100 TB of events; conditional
+    aggregation keeps every stage single-pass over its input). Counts
+    and the exact integer->double conversion ratios are
+    bit-reproducible.
+    """
+    e = _t(spark, sf_dir, "events")
+    s1 = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.where(F.col("event_type") == "click")
+        .join(F.broadcast(s1), "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(s2), "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    # one lazy single-row plan (the q65 crossJoin-of-aggs pattern) —
+    # no driver-side counting, one action end to end
+    row = (
+        e.agg(F.countDistinct("user_id").alias("users"))
+        .crossJoin(s1.agg(F.count(F.lit(1)).alias("viewed")))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("clicked")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("purchased")))
+    )
+    rate = lambda num, den: F.when(F.col(den) == 0, F.lit(0.0)).otherwise(  # noqa: E731
+        F.col(num).cast("double") / F.col(den).cast("double")
+    )
+    return row.select(
+        F.col("users").cast("bigint").alias("users"),
+        F.col("viewed").cast("bigint").alias("viewed"),
+        F.col("clicked").cast("bigint").alias("clicked"),
+        F.col("purchased").cast("bigint").alias("purchased"),
+        rate("clicked", "viewed").alias("click_rate"),
+        rate("purchased", "clicked").alias("purchase_rate"),
+    )
+
+
+def q98_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week,
+    counted as retained in each of the next 3 weeks if they emitted
+    ANY event then — the other half of the product-analytics pair
+    (q97 funnels within a journey; this tracks the journey across
+    calendar time).
+
+    Shape: one aggregation to (user, first_week), one distinct
+    (user, week) reduction, a broadcast join of the cohort frame
+    (|users| rows), then conditional counts per cohort — every
+    exchange carries user-keyed scalars, never raw events. Week
+    arithmetic is integer (days since 2024-01-01, floor-div 7), so
+    counts are engine-exact.
+    """
+    e = _t(spark, sf_dir, "events")
+    wk = F.floor(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")) / 7
+    ).cast("int")
+    uw = e.select("user_id", wk.alias("week")).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    j = uw.join(F.broadcast(cohort), "user_id").withColumn(
+        "offset", F.col("week") - F.col("cohort_week")
+    )
+    agg = [F.countDistinct("user_id").alias("users")] + [
+        F.countDistinct(
+            F.when(F.col("offset") == k, F.col("user_id"))
+        ).alias(f"w{k}")
+        for k in range(4)
+    ]
+    return j.groupBy("cohort_week").agg(*agg).orderBy("cohort_week")
+
+
+QUERIES["q97_funnel"] = q97_funnel
+QUERIES["q98_retention"] = q98_retention
+
+ORACLES["q97_funnel"] = """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id),
+    c AS (
+      SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS users,
+             (SELECT COUNT(*) FROM s1) AS viewed,
+             (SELECT COUNT(*) FROM s2) AS clicked,
+             (SELECT COUNT(*) FROM s3) AS purchased)
+    SELECT CAST(users AS BIGINT) AS users,
+           CAST(viewed AS BIGINT) AS viewed,
+           CAST(clicked AS BIGINT) AS clicked,
+           CAST(purchased AS BIGINT) AS purchased,
+           CASE WHEN viewed = 0 THEN 0.0
+                ELSE CAST(clicked AS DOUBLE) / CAST(viewed AS DOUBLE) END
+             AS click_rate,
+           CASE WHEN clicked = 0 THEN 0.0
+                ELSE CAST(purchased AS DOUBLE) / CAST(clicked AS DOUBLE) END
+             AS purchase_rate
+    FROM c
+"""
+
+ORACLES["q98_retention"] = """
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+                  AS INT) AS week
+      FROM events),
+    cohort AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id),
+    j AS (
+      SELECT uw.user_id, cohort.cohort_week,
+             uw.week - cohort.cohort_week AS off
+      FROM uw JOIN cohort USING (user_id))
+    SELECT cohort_week,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+           CAST(COUNT(DISTINCT CASE WHEN off = 0 THEN user_id END)
+                AS BIGINT) AS w0,
+           CAST(COUNT(DISTINCT CASE WHEN off = 1 THEN user_id END)
+                AS BIGINT) AS w1,
+           CAST(COUNT(DISTINCT CASE WHEN off = 2 THEN user_id END)
+                AS BIGINT) AS w2,
+           CAST(COUNT(DISTINCT CASE WHEN off = 3 THEN user_id END)
+                AS BIGINT) AS w3
+    FROM j GROUP BY cohort_week ORDER BY cohort_week
+"""
