@@ -276,6 +276,11 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("cohort_week", "int"), ("users", "bigint"), ("w0", "bigint"),
         ("w1", "bigint"), ("w2", "bigint"), ("w3", "bigint"),
     ],
+    "q99_gapfill_locf": [
+        ("event_type", "string"), ("h", "timestamp"), ("obs", "bigint"),
+        ("filled_c", "bigint"), ("filled_sv", "double"),
+        ("imputed", "bigint"),
+    ],
     "q24_ingest_audit": [
         ("n_rows", "bigint"), ("uniq", "bigint"), ("span", "bigint"),
     ],
@@ -363,7 +368,7 @@ BUNDLES: dict[str, list[str]] = {
     # multi-grain rollup (one-scan grouping sets over time grains)
     "q20_84_timegrain": [
         "q20_time_bucket", "q84_hypertable_rollup", "q97_funnel",
-        "q98_retention",
+        "q98_retention", "q99_gapfill_locf",
     ],
     # round 5: q24 grew into a bundle with the one-scan per-column
     # dataset profiler (ingest-acceptance stats)

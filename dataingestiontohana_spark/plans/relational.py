@@ -713,3 +713,102 @@ ORACLES["q98_retention"] = """
                 AS BIGINT) AS w3
     FROM j GROUP BY cohort_week ORDER BY cohort_week
 """
+
+
+def q99_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with last-observation-carried-forward —
+    the hypertable `time_bucket_gapfill`/`locf` pair (TimescaleDB's
+    names for it): densify the hourly per-type spectrum so every
+    (event_type, hour) slot exists, then impute empty slots from the
+    most recent observed bucket.
+
+    LOCF is expressed as gaps-and-islands — ``grp`` = running count
+    of NON-NULL observations per type (rows-unbounded window), then
+    MAX within (type, grp) — instead of IGNORE NULLS window syntax,
+    so the identical formulation runs in ANSI SQL. Windows partition
+    on event_type: never single-partition. The spectrum comes from a
+    1-row bounds frame cross-joined onto the type list (the sanctioned
+    literal-attach shape) and THEN exploded, so the only wide data
+    pass is the one bucket aggregation; imputed values copy already-
+    rounded numbers, so every cell is engine-exact.
+    """
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    b = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.round(F.sum("value"), 2).alias("sv"),
+    )
+    bounds = e.agg(
+        F.min(F.date_trunc("hour", "ts")).alias("mn"),
+        F.max(F.date_trunc("hour", "ts")).alias("mx"),
+    )
+    spec = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("interval 1 hour"))
+            ).alias("h"),
+        )
+    )
+    j = spec.join(b, ["event_type", "h"], "left_outer")
+    run = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = j.withColumn("grp", F.count("c").over(run))
+    isl = Window.partitionBy("event_type", "grp")
+    return (
+        g.select(
+            "event_type",
+            "h",
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("obs"),
+            F.coalesce(F.max("c").over(isl), F.lit(0))
+            .cast("bigint")
+            .alias("filled_c"),
+            F.coalesce(F.max("sv").over(isl), F.lit(0.0)).alias("filled_sv"),
+            (F.col("c").isNull()).cast("bigint").alias("imputed"),
+        )
+        .orderBy("event_type", "h")
+    )
+
+
+QUERIES["q99_gapfill_locf"] = q99_gapfill_locf
+
+ORACLES["q99_gapfill_locf"] = """
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c,
+             ROUND(SUM(value), 2) AS sv
+      FROM events GROUP BY 1, 2),
+    bounds AS (
+      SELECT MIN(date_trunc('hour', ts)) AS mn,
+             MAX(date_trunc('hour', ts)) AS mx
+      FROM events),
+    hours AS (
+      SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+      FROM bounds),
+    spec AS (
+      SELECT t.event_type, hours.h
+      FROM (SELECT DISTINCT event_type FROM events) t, hours),
+    j AS (
+      SELECT s.event_type, s.h, b.c, b.sv
+      FROM spec s LEFT JOIN b USING (event_type, h)),
+    g AS (
+      SELECT *, COUNT(c) OVER (PARTITION BY event_type ORDER BY h
+                               ROWS UNBOUNDED PRECEDING) AS grp
+      FROM j)
+    SELECT event_type, h,
+           CAST(COALESCE(c, 0) AS BIGINT) AS obs,
+           CAST(COALESCE(MAX(c) OVER (PARTITION BY event_type, grp), 0)
+                AS BIGINT) AS filled_c,
+           COALESCE(MAX(sv) OVER (PARTITION BY event_type, grp), 0.0)
+             AS filled_sv,
+           CAST(CASE WHEN c IS NULL THEN 1 ELSE 0 END AS BIGINT) AS imputed
+    FROM g ORDER BY event_type, h
+"""
