@@ -41,6 +41,22 @@ from pyspark.sql import functions as F
 # word-final from word-internal occurrences
 EOW = "</w>"
 
+# the executor-side twin of functions/text.py::tokens(): lowercase +
+# split on JAVA \s (ASCII whitespace ONLY — python's str.split() also
+# splits on NBSP and other Unicode spaces, which would desynchronize
+# encoding from the vocabulary the merges were learned on)
+_WS = "[ \t\n\x0b\f\r]+"
+
+
+def _py_tokens(text: str) -> list[str]:
+    import re
+
+    return [
+        w
+        for w in re.split(_WS, text.lower().strip(" \t\n\x0b\f\r"))
+        if w
+    ]
+
 
 def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, cnt): the corpus reduced to its distinct-word frequency
@@ -156,7 +172,7 @@ def bpe_encode(
         for pdf in batches:
             n_words, n_sub = [], []
             for text in pdf[text_col].fillna(""):
-                words = text.lower().split()
+                words = _py_tokens(text)
                 n_words.append(len(words))
                 total = 0
                 for w in words:

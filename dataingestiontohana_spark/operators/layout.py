@@ -79,7 +79,7 @@ def zorder_write(
     path: str,
     n_files: int = 8,
     bits: int = 16,
-) -> dict[str, int]:
+) -> dict[str, tuple]:
     """Write ``df`` as parquet clustered on the z-curve of ``cols``.
 
     One aggregation computes the per-column min/max (the quantization
@@ -96,15 +96,11 @@ def zorder_write(
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
-    bounds = df.agg(*aggs).collect()[0].asDict()
+    row = df.agg(*aggs).collect()[0].asDict()
+    bounds = {c: (row[f"__lo_{c}"], row[f"__hi_{c}"]) for c in cols}
     qs = [
-        _quantize(
-            F.col(c),
-            F.lit(bounds[f"__lo_{c}"]),
-            F.lit(bounds[f"__hi_{c}"]),
-            bits,
-        )
-        for c in cols
+        _quantize(F.col(c), F.lit(lo), F.lit(hi), bits)
+        for c, (lo, hi) in bounds.items()
     ]
     (
         df.withColumn("__z", zvalue(qs, bits))

@@ -96,6 +96,11 @@ def pq_encode(
     batches; the codebook broadcasts by closure (k_codes*dim int64 —
     a few KB)."""
     dim = codebook.shape[1]
+    if dim % m_sub:
+        raise ValueError(
+            f"dim={dim} not divisible by m_sub={m_sub}: trailing "
+            "components would be silently dropped from codes"
+        )
     sub = dim // m_sub
     cb_list = codebook.tolist()
 
@@ -128,6 +133,11 @@ def pq_adc_scores(
     entries), then every stored code row costs m_sub table lookups
     and one integer sum. Map-only."""
     dim = codebook.shape[1]
+    if dim % m_sub:
+        raise ValueError(
+            f"dim={dim} not divisible by m_sub={m_sub}: trailing "
+            "components would be silently dropped from the ADC tables"
+        )
     sub = dim // m_sub
     q = np.asarray(query_ev, dtype=np.int64)
     lut = np.empty((m_sub, codebook.shape[0]), dtype=np.int64)

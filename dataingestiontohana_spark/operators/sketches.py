@@ -251,11 +251,17 @@ def bloom_sql_ctes(
       {rows}))"""
 
 
-def bloom_probe_sql(col: str, k: int = 3, m_bits: int = 4096) -> str:
-    """SQL scalar expression fragment list: the k positions of a probe
-    value, for callers composing their own probe join."""
-    return ", ".join(
-        f"({hex_uint_sql(col, j)}) % {m_bits} AS p{j}" for j in range(k)
+def bloom_probe_sql(
+    probe_cte: str, col: str = "sh", k: int = 3, m_bits: int = 4096
+) -> str:
+    """UNION ALL of the k salted probe-position rows over an existing
+    CTE of probe rows — the SQL twin of :func:`bloom_probe`'s position
+    derivation (the q95 oracle composes its probe from this, so the
+    two formulations cannot drift)."""
+    return "\n      UNION ALL\n      ".join(
+        f"SELECT *, ({hex_uint_sql(col, j)}) % {m_bits} AS pos"
+        f" FROM {probe_cte}"
+        for j in range(k)
     )
 
 

@@ -218,12 +218,11 @@ QUERIES = {
 
 # Shared CTE: identical normalization/tokenization/3-gram shingling to
 # functions/text.py tokens() + operators/dedup.py shingle_string_rows.
-_SHINGLES_CTE = """
-        tok AS (
-          SELECT doc_id,
-                 string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')),
-                              ' ') AS toks
-          FROM documents),
+from dataingestiontohana_spark.functions.text import (  # noqa: E402
+    TOKENS_SQL_CTE as _TOK_SQL,
+)
+
+_SHINGLES_CTE = f"""{_TOK_SQL},
         sh AS (
           SELECT DISTINCT doc_id,
                  unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
@@ -473,12 +472,8 @@ def q92_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["q92_segment_dedup"] = q92_segment_dedup
 
-ORACLES["q92_segment_dedup"] = """
-    WITH tok AS (
-      SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')),
-                          ' ') AS toks
-      FROM documents),
+ORACLES["q92_segment_dedup"] = f"""
+    WITH {_TOK_SQL},
     meta AS (
       SELECT doc_id, toks,
              CAST(ceil(len(toks) / 8.0) AS INT) AS nseg
@@ -517,7 +512,7 @@ ORACLES["q92_segment_dedup"] = """
            md5(string_agg(p.kept_fp, '' ORDER BY p.kept_fp)) AS corpus_fp
     FROM perdoc p JOIN documents d USING (doc_id)
     GROUP BY d.source ORDER BY d.source
-"""
+"""  # noqa: E501
 
 
 _BLOOM_K, _BLOOM_M = 3, 131072  # ~33% fill at sf0.1's test shingles
@@ -583,16 +578,12 @@ def _q95_oracle_sql() -> str:
     """The identical Bloom filter in ANSI SQL: positions from the same
     md5-salted hashes (operators/sketches.py portability contract)."""
     from dataingestiontohana_spark.operators.sketches import (
+        bloom_probe_sql,
         bloom_sql_ctes,
-        hex_uint_sql,
     )
 
     bloom = bloom_sql_ctes("te", "sh", k=_BLOOM_K, m_bits=_BLOOM_M)
-    probe_rows = "\n      UNION ALL\n      ".join(
-        f"SELECT doc_id, sh, ({hex_uint_sql('sh', j)}) % {_BLOOM_M} AS pos"
-        " FROM tr"
-        for j in range(_BLOOM_K)
-    )
+    probe_rows = bloom_probe_sql("tr", "sh", k=_BLOOM_K, m_bits=_BLOOM_M)
     return f"""
         WITH {_SHINGLES_CTE},
         te AS (

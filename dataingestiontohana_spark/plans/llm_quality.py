@@ -183,13 +183,9 @@ QUERIES = {
 
 # Identical normalization to functions/text.py tokens(): lowercase,
 # collapse whitespace, split on single spaces.
-_TOK_CTE = """
-        tok AS (
-          SELECT doc_id,
-                 string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')),
-                              ' ') AS toks
-          FROM documents)
-"""
+from dataingestiontohana_spark.functions.text import (  # noqa: E402
+    TOKENS_SQL_CTE as _TOK_CTE,
+)
 
 ORACLES = {
     "q74_repetition_filter": f"""

@@ -1120,7 +1120,13 @@ def q96_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = pq_adc_scores(pq_encode(corpus, cb, m_sub=8), cb, q_ev, m_sub=8)
     shortlist = scored.orderBy("pq_dist", "vec_id").limit(50)
     qlit = F.array(*[F.lit(v).cast("bigint") for v in q_ev])
-    exact = corpus.select(
+    # semi-join FIRST so the 64-dim exact distance is computed for the
+    # 50 shortlisted vectors only — the whole point of the ADC
+    # shortlist is that the corpus-wide pass touches codes, not floats
+    survivors = corpus.join(
+        F.broadcast(shortlist.select("vec_id")), "vec_id", "left_semi"
+    )
+    exact = survivors.select(
         "vec_id",
         F.aggregate(
             F.zip_with("ev", qlit, lambda a, b: (a - b) * (a - b)),
@@ -1128,8 +1134,6 @@ def q96_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("exact_dist"),
     )
-    # re-rank ONLY the shortlist by exact distance (50 rows: the
-    # exact side joins against a broadcastable frame)
     return (
         shortlist.join(exact, "vec_id")
         .select("vec_id", "pq_dist", "exact_dist")

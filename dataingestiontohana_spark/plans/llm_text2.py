@@ -311,12 +311,10 @@ def _q94_oracle_sql() -> str:
 
     ctes = cms_sql_ctes("t", "w", depth=4, width=32,
                         probe_cte="(SELECT w FROM freq)")
+    from dataingestiontohana_spark.functions.text import TOKENS_SQL_CTE
+
     return f"""
-        WITH tok AS (
-          SELECT doc_id,
-                 string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')),
-                              ' ') AS toks
-          FROM documents),
+        WITH {TOKENS_SQL_CTE},
         t AS (SELECT unnest(toks) AS w FROM tok),
         freq AS (SELECT w, COUNT(*) AS exact_cnt FROM t GROUP BY w),
         {ctes}

@@ -574,12 +574,12 @@ def q97_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-user sort.
 
     Formulation: three stage aggregations, each one shuffle of
-    REDUCED rows keyed on user_id, chained by broadcast joins of the
-    per-user stage-timestamp frames (|users| rows — broadcastable at
-    any realistic user count vs 100 TB of events; conditional
-    aggregation keeps every stage single-pass over its input). Counts
-    and the exact integer->double conversion ratios are
-    bit-reproducible.
+    REDUCED rows keyed on user_id, chained by joins of the per-user
+    stage-timestamp frames (|users| rows — Catalyst broadcasts them
+    when they fit under autoBroadcastJoinThreshold and falls back to
+    a shuffle join at extreme user counts; no forced hint, so the
+    plan degrades safely instead of OOMing). Counts and the exact
+    integer->double conversion ratios are bit-reproducible.
     """
     e = _t(spark, sf_dir, "events")
     s1 = (
@@ -587,16 +587,20 @@ def q97_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
     )
+    # no broadcast hint on the per-user stage frames: they are |users|
+    # rows, which fits under autoBroadcastJoinThreshold at any sane
+    # scale but NOT at extreme user counts — let Catalyst/AQE pick
+    # broadcast when it fits and fall back to a shuffle join safely
     s2 = (
         e.where(F.col("event_type") == "click")
-        .join(F.broadcast(s1), "user_id")
+        .join(s1, "user_id")
         .where(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
     )
     s3 = (
         e.where(F.col("event_type") == "purchase")
-        .join(F.broadcast(s2), "user_id")
+        .join(s2, "user_id")
         .where(F.col("ts") > F.col("t2"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
@@ -630,11 +634,14 @@ def q98_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar time).
 
     Shape: one aggregation to (user, first_week), one distinct
-    (user, week) reduction, a broadcast join of the cohort frame
-    (|users| rows), then conditional counts per cohort — every
+    (user, week) reduction, a join of the cohort frame (|users| rows
+    — broadcast when it fits, no forced hint), then conditional
+    counts per cohort — every
     exchange carries user-keyed scalars, never raw events. Week
-    arithmetic is integer (days since 2024-01-01, floor-div 7), so
-    counts are engine-exact.
+    arithmetic is FLOOR division of day counts (both sides: Spark
+    F.floor, SQL floor(x/7.0) — NOT DuckDB's `//`, which truncates
+    toward zero and would diverge for pre-epoch-date events), so
+    counts are engine-exact for any event date.
     """
     e = _t(spark, sf_dir, "events")
     wk = F.floor(
@@ -642,7 +649,7 @@ def q98_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("int")
     uw = e.select("user_id", wk.alias("week")).distinct()
     cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
-    j = uw.join(F.broadcast(cohort), "user_id").withColumn(
+    j = uw.join(cohort, "user_id").withColumn(
         "offset", F.col("week") - F.col("cohort_week")
     )
     agg = [F.countDistinct("user_id").alias("users")] + [
@@ -692,8 +699,8 @@ ORACLES["q97_funnel"] = """
 ORACLES["q98_retention"] = """
     WITH uw AS (
       SELECT DISTINCT user_id,
-             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
-                  AS INT) AS week
+             CAST(floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                        / 7.0) AS INT) AS week
       FROM events),
     cohort AS (
       SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id),

@@ -55,8 +55,8 @@ def layouts(spark, tmp_path_factory):
         .write.mode("overwrite")
         .parquet(tpath)
     )
-    lo_u, hi_u = bounds["__lo_user_id"], bounds["__hi_user_id"]
-    lo_t, hi_t = bounds["__lo_ts_sec"], bounds["__hi_ts_sec"]
+    lo_u, hi_u = bounds["user_id"]
+    lo_t, hi_t = bounds["ts_sec"]
     return ev, zpath, tpath, (lo_u, hi_u), (lo_t, hi_t)
 
 
