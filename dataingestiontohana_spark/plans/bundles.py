@@ -91,6 +91,14 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("o_orderkey", "bigint"), ("o_orderstatus", "string"),
         ("pr", "double"), ("cd", "double"),
     ],
+    "q100_linear_trend": [
+        ("event_type", "string"), ("n", "bigint"),
+        ("slope_q4_per_hour", "double"), ("intercept_q4", "double"),
+    ],
+    "q101_mad_outliers": [
+        ("event_type", "string"), ("n", "bigint"), ("med", "double"),
+        ("mad", "double"), ("outliers", "bigint"),
+    ],
     "q21_lang_stats": [
         ("lang", "string"), ("docs", "bigint"), ("avg_chars", "double"),
     ],
@@ -310,6 +318,7 @@ BUNDLES: dict[str, list[str]] = {
     "q44_45_interval_joins": ["q44_asof_join", "q45_range_join"],
     "q46_60_62_distribution": [
         "q46_percentiles", "q60_ntile_buckets", "q62_rank_dist",
+        "q101_mad_outliers",
     ],
     "q21_27_52_language": [
         "q21_lang_stats", "q27_lang_id", "q52_observe_audit",
@@ -368,7 +377,7 @@ BUNDLES: dict[str, list[str]] = {
     # multi-grain rollup (one-scan grouping sets over time grains)
     "q20_84_timegrain": [
         "q20_time_bucket", "q84_hypertable_rollup", "q97_funnel",
-        "q98_retention", "q99_gapfill_locf",
+        "q98_retention", "q99_gapfill_locf", "q100_linear_trend",
     ],
     # round 5: q24 grew into a bundle with the one-scan per-column
     # dataset profiler (ingest-acceptance stats)

@@ -819,3 +819,142 @@ ORACLES["q99_gapfill_locf"] = """
            CAST(CASE WHEN c IS NULL THEN 1 ELSE 0 END AS BIGINT) AS imputed
     FROM g ORDER BY event_type, h
 """
+
+
+def q100_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend of event value over time (OLS slope +
+    intercept) — the regression/trend member of the analytics family,
+    computed from EXACT INTEGER sufficient statistics so the result
+    is bit-reproducible: x = whole hours since 2024-01-01 (int), y =
+    value on the 1e-4 ROUND grid (int), and n/Sx/Sy/Sxx/Sxy are exact
+    int64 sums. slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) is then ONE
+    division of two exact integers — both engines produce the nearest
+    double identically — and the intercept derives from slope with a
+    fixed expression shape. (regr_slope/regr_intercept exist in both
+    engines but sum doubles in engine-specific order; the
+    sufficient-statistics form sidesteps that entirely — the same
+    maneuver as q91's integer rarity stats.)
+
+    Scale shape: one scan, one hash aggregation with map-side partial
+    combine carrying five int64 cells per group. Nothing else.
+    """
+    e = _t(spark, sf_dir, "events")
+    x = F.floor(
+        (
+            F.unix_timestamp(F.col("ts").cast("timestamp"))
+            - F.unix_timestamp(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        )
+        / 3600
+    ).cast("bigint")
+    y = F.round(F.col("value") * 10000, 0).cast("bigint")
+    g = (
+        e.select("event_type", x.alias("x"), y.alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    num = g["n"] * g["sxy"] - g["sx"] * g["sy"]
+    den = g["n"] * g["sxx"] - g["sx"] * g["sx"]
+    slope = num.cast("double") / den.cast("double")
+    intercept = (
+        g["sy"].cast("double") - slope * g["sx"].cast("double")
+    ) / g["n"].cast("double")
+    return g.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        slope.alias("slope_q4_per_hour"),
+        intercept.alias("intercept_q4"),
+    ).orderBy("event_type")
+
+
+def q101_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection per event type: median absolute
+    deviation (the estimator that, unlike stddev, a burst of
+    anomalies cannot inflate) with the standard |x - med| > 3*MAD
+    flag — the data-quality gate an ingest pipeline runs before
+    accepting a batch.
+
+    Exact interpolated percentiles on both sides (Spark `percentile`
+    == DuckDB `quantile_cont`, the q65 identity), two reduced passes:
+    medians per type (|types| rows, broadcast back), then MAD over
+    the deviation column, then one conditional count. Displayed
+    med/mad round to 4; the outlier comparison uses the unrounded
+    doubles, which are identical in both engines because the
+    interpolation arithmetic is.
+    """
+    e = _t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.first("med"), 4).alias("med"),
+            F.round(F.first("mad"), 4).alias("mad"),
+            F.sum(
+                (F.col("adev") > 3 * F.col("mad")).cast("int")
+            )
+            .cast("bigint")
+            .alias("outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["q100_linear_trend"] = q100_linear_trend
+QUERIES["q101_mad_outliers"] = q101_mad_outliers
+
+ORACLES["q100_linear_trend"] = """
+    WITH p AS (
+      SELECT event_type,
+             CAST(floor(date_diff('second',
+                        TIMESTAMP '2024-01-01 00:00:00', ts) / 3600.0)
+                  AS BIGINT) AS x,
+             CAST(round(value * 10000, 0) AS BIGINT) AS y
+      FROM events),
+    g AS (
+      SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*x) AS sxx, SUM(x*y) AS sxy
+      FROM p GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+             AS slope_q4_per_hour,
+           (CAST(sy AS DOUBLE)
+              - (CAST(n*sxy - sx*sy AS DOUBLE)
+                 / CAST(n*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS intercept_q4
+    FROM g ORDER BY event_type
+"""
+
+ORACLES["q101_mad_outliers"] = """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(d.med), 4) AS med,
+           ROUND(MIN(m.mad), 4) AS mad,
+           CAST(SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type ORDER BY d.event_type
+"""
