@@ -118,15 +118,26 @@ def simhash_bits(col: Column | str, bits: int = 64) -> Column:
     return F.transform(votes, lambda v: F.when(v > 0, F.lit(1)).otherwise(F.lit(0)))
 
 
-# The ANSI-SQL twin of tokens() for DuckDB oracles — THE single source
-# of the normalization/tokenization CTE. Every oracle that tokenizes
-# `documents` must compose from this constant (llm_quality, llm_dedup,
-# llm_text2 all import it); a hand-copied variant that drifts from
+# The ANSI-SQL twins of normalize_text()/tokens() for DuckDB oracles —
+# THE single source of the normalization expression and the
+# tokenization CTE. Every oracle that normalizes or tokenizes text
+# must compose from these (llm_quality, llm_dedup, llm_text, llm_text2
+# and sampling all do); a hand-copied variant that drifts from
 # tokens() desynchronizes its oracle silently until the sweep fails.
-TOKENS_SQL_CTE = """
+
+
+def normalize_sql(expr: str = "text") -> str:
+    """SQL expression string: normalize_text() over ``expr``."""
+    return (
+        "trim(regexp_replace(lower(" + expr + "), "
+        "'[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))"
+    )
+
+
+TOKENS_SQL_CTE = f"""
         tok AS (
           SELECT doc_id,
-                 string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')),
+                 string_split({normalize_sql('text')},
                               ' ') AS toks
           FROM documents)
 """

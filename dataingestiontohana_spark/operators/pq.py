@@ -138,6 +138,12 @@ def pq_adc_scores(
             f"dim={dim} not divisible by m_sub={m_sub}: trailing "
             "components would be silently dropped from the ADC tables"
         )
+    if len(query_ev) != dim:
+        raise ValueError(
+            f"query has {len(query_ev)} components, codebook dim is "
+            f"{dim}: a longer query would silently score on its "
+            f"first {dim} components only"
+        )
     sub = dim // m_sub
     q = np.asarray(query_ev, dtype=np.int64)
     lut = np.empty((m_sub, codebook.shape[0]), dtype=np.int64)

@@ -220,6 +220,7 @@ QUERIES = {
 # functions/text.py tokens() + operators/dedup.py shingle_string_rows.
 from dataingestiontohana_spark.functions.text import (  # noqa: E402
     TOKENS_SQL_CTE as _TOK_SQL,
+    normalize_sql as _nsql,
 )
 
 _SHINGLES_CTE = f"""{_TOK_SQL},
@@ -407,7 +408,7 @@ def _q31_oracle_sql(bits: int = 64, band_bits: int = 16) -> str:
         WITH tok AS (
           SELECT doc_id,
                  unnest(string_split(
-                   trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' '))
+                   {_nsql('text')}, ' '))
                  AS tok
           FROM documents),
         bitsrc AS (SELECT doc_id, md5(tok) AS hx FROM tok),

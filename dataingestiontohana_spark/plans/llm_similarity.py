@@ -1118,7 +1118,15 @@ def q96_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = pq_codebook(eq, k_codes=16)
     corpus = eq.where(F.col("vec_id") != 0)
     scored = pq_adc_scores(pq_encode(corpus, cb, m_sub=8), cb, q_ev, m_sub=8)
-    shortlist = scored.orderBy("pq_dist", "vec_id").limit(50)
+    # materialize the 50-row shortlist ONCE: it feeds both the
+    # semi-join and the final join, and without the checkpoint the
+    # corpus-wide encode+ADC scan would execute twice (TakeOrdered
+    # subplans are not reliably exchange-reused)
+    shortlist = (
+        scored.orderBy("pq_dist", "vec_id")
+        .limit(50)
+        .localCheckpoint(eager=False)
+    )
     qlit = F.array(*[F.lit(v).cast("bigint") for v in q_ev])
     # semi-join FIRST so the 64-dim exact distance is computed for the
     # 50 shortlisted vectors only — the whole point of the ADC

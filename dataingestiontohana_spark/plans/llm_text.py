@@ -13,6 +13,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataingestiontohana_spark.catalog import load_table
+from dataingestiontohana_spark.functions.text import (
+    normalize_sql as _nsql,
+)
+
+_NORM = _nsql('text')
 from dataingestiontohana_spark.functions.text import normalize_text, tokens
 
 # Tiny per-language stopword marker sets for the n-gram/stopword
@@ -189,7 +194,7 @@ QUERIES = {
 _HASH_EMBED_ORACLE = """
     WITH tok AS (
       SELECT doc_id,
-             unnest(string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')),
+             unnest(string_split({norm},
                     ' ')) AS tok
       FROM documents),
     h AS (
@@ -205,6 +210,7 @@ _HASH_EMBED_ORACLE = """
     HAVING SUM(s) != 0
     ORDER BY doc_id, dim
 """.format(
+    norm=_NORM,
     hex15=" + ".join(
         f"(strpos('0123456789abcdef', substr(hx, {1 + p}, 1)) - 1)"
         f" * CAST({16 ** (14 - p)} AS BIGINT)"

@@ -7,6 +7,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataingestiontohana_spark.catalog import load_table
+from dataingestiontohana_spark.functions.text import (
+    normalize_sql as _nsql,
+)
+
+_NORM_COAL = _nsql("coalesce(text, '')")
 
 # GPT-2-style coarse approximation: letter runs, digit runs, single
 # punctuation — a pattern whose semantics agree between Java regex
@@ -204,10 +209,10 @@ QUERIES = {
 # ceil(max(n_tokens - overlap, 1) / stride), one row per chunk index.
 # ONE constant on purpose — q78 packs exactly q77's chunks, and a
 # layout edit must not be able to desynchronize them.
-_CHUNK_CTES = """
+_CHUNK_CTES = f"""
         tok AS (
           SELECT doc_id,
-                 string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')),
+                 string_split({_NORM_COAL},
                               ' ') AS toks
           FROM documents),
         meta AS (

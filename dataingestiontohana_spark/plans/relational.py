@@ -827,10 +827,14 @@ def q100_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed from EXACT INTEGER sufficient statistics so the result
     is bit-reproducible: x = whole hours since 2024-01-01 (int), y =
     value on the 1e-4 ROUND grid (int), and n/Sx/Sy/Sxx/Sxy are exact
-    int64 sums. slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) is then ONE
-    division of two exact integers — both engines produce the nearest
-    double identically — and the intercept derives from slope with a
-    fixed expression shape. (regr_slope/regr_intercept exist in both
+    DECIMAL(38,0) sums (HUGEINT in the oracle — int64 would overflow
+    the n*Sxy products at ~11x sf0.1, and under Spark 4 ANSI mode
+    that THROWS while DuckDB's HUGEINT sails on). slope =
+    (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) is then ONE division of two
+    exact integers — both engines produce the nearest double
+    identically — and the intercept derives from slope with a fixed
+    expression shape; a one-hour (den = 0) group emits slope 0.0
+    instead of tripping ANSI divide-by-zero. (regr_slope/regr_intercept exist in both
     engines but sum doubles in engine-specific order; the
     sufficient-statistics form sidesteps that entirely — the same
     maneuver as q91's integer rarity stats.)
@@ -847,20 +851,31 @@ def q100_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         / 3600
     ).cast("bigint")
     y = F.round(F.col("value") * 10000, 0).cast("bigint")
+    # sums and cross-products in DECIMAL(38,0): SUM(x*y) alone clears
+    # int64 at ~1e12 rows and the n*Sxy products at ~11x sf0.1 (under
+    # Spark 4 ANSI mode an int64 overflow THROWS; DuckDB's HUGEINT
+    # would sail on — the worst kind of divergence). 38 digits give
+    # ~1e12x headroom and both engines stay exact-integer.
+    dec = "decimal(38,0)"
     g = (
         e.select("event_type", x.alias("x"), y.alias("y"))
         .groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("x").alias("sx"),
-            F.sum("y").alias("sy"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
-            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.count(F.lit(1)).cast(dec).alias("n"),
+            F.sum(F.col("x").cast(dec)).alias("sx"),
+            F.sum(F.col("y").cast(dec)).alias("sy"),
+            F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+            F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
         )
     )
     num = g["n"] * g["sxy"] - g["sx"] * g["sy"]
     den = g["n"] * g["sxx"] - g["sx"] * g["sx"]
-    slope = num.cast("double") / den.cast("double")
+    # den = 0 when a type has all events in ONE hour (or n = 1): the
+    # slope is undefined — emit 0.0 rather than tripping ANSI
+    # divide-by-zero (the q97 ratio-guard convention)
+    slope = F.when(den == 0, F.lit(0.0)).otherwise(
+        num.cast("double") / den.cast("double")
+    )
     intercept = (
         g["sy"].cast("double") - slope * g["sx"].cast("double")
     ) / g["n"].cast("double")
@@ -922,21 +937,29 @@ ORACLES["q100_linear_trend"] = """
       SELECT event_type,
              CAST(floor(date_diff('second',
                         TIMESTAMP '2024-01-01 00:00:00', ts) / 3600.0)
-                  AS BIGINT) AS x,
-             CAST(round(value * 10000, 0) AS BIGINT) AS y
+                  AS HUGEINT) AS x,
+             CAST(round(value * 10000, 0) AS HUGEINT) AS y
       FROM events),
     g AS (
-      SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
              SUM(x*x) AS sxx, SUM(x*y) AS sxy
-      FROM p GROUP BY event_type)
+      FROM p GROUP BY event_type),
+    d AS (
+      SELECT event_type, n, sx, sy,
+             n*sxy - sx*sy AS num, n*sxx - sx*sx AS den
+      FROM g),
+    sl AS (
+      SELECT event_type, n, sx, sy,
+             CASE WHEN den = 0 THEN 0.0
+                  ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END
+               AS slope
+      FROM d)
     SELECT event_type, CAST(n AS BIGINT) AS n,
-           CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
-             AS slope_q4_per_hour,
-           (CAST(sy AS DOUBLE)
-              - (CAST(n*sxy - sx*sy AS DOUBLE)
-                 / CAST(n*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+           slope AS slope_q4_per_hour,
+           (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
              / CAST(n AS DOUBLE) AS intercept_q4
-    FROM g ORDER BY event_type
+    FROM sl ORDER BY event_type
 """
 
 ORACLES["q101_mad_outliers"] = """

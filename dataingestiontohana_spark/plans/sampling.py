@@ -26,6 +26,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataingestiontohana_spark.catalog import load_table
+from dataingestiontohana_spark.functions.text import (
+    normalize_sql as _nsql,
+)
+
+_NORM = _nsql('text')
 from dataingestiontohana_spark.operators.ranks import bucketed_ranks, exact_ntile
 
 # Knuth's multiplicative hash constant.
@@ -274,11 +279,11 @@ ORACLES = {
               FROM orders) t
         GROUP BY bucket ORDER BY bucket
     """,
-    "q61_token_topk": """
+    "q61_token_topk": f"""
         SELECT tok, c
         FROM (SELECT tok, COUNT(*) AS c
               FROM (SELECT unnest(string_split(
-                        trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')),
+                        {_NORM},
                         ' ')) AS tok
                     FROM documents) u
               GROUP BY tok) g
@@ -289,11 +294,11 @@ ORACLES = {
     # sketch, so a sketch divergence fails the value hash. (The shipped
     # corpus has no count tie at the top-20 boundary at any SF —
     # verified — so the comparison is deterministic.)
-    "q61b_vocab_sketch_audit": """
+    "q61b_vocab_sketch_audit": f"""
         SELECT tok, c, CAST(1 AS BIGINT) AS sketch_ok
         FROM (SELECT tok, COUNT(*) AS c
               FROM (SELECT unnest(string_split(
-                        trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')),
+                        {_NORM},
                         ' ')) AS tok
                     FROM documents) u
               GROUP BY tok) g

@@ -18,9 +18,14 @@ from dataingestiontohana_spark.operators.pq import (
 
 from tests.conftest import SF001
 
+# the recall floors below were measured at sf0.1 (the bench scale);
+# run the gate against the same corpus so the asserted margins are
+# the measured ones (embeddings are 5,000 rows there — still cheap)
+SF01 = "/root/testdata/sf0.1"
 
-def _setup(spark):
-    e = load_table(spark, SF001, "embeddings")
+
+def _setup(spark, sf=SF001):
+    e = load_table(spark, sf, "embeddings")
     eq = quantize_embeddings(e).localCheckpoint(eager=True)
     cb = pq_codebook(eq, k_codes=16)
     return eq, cb
@@ -82,8 +87,9 @@ def test_recall_at_10_vs_exact(spark):
     of the true top-10, and the shipped two-stage form (ADC
     shortlist-50 -> exact re-rank, what q96 returns) recovers most of
     it. Floors reflect the 16-entry sampled codebook at sf0.1
-    (measured 0.3 raw / 0.8 re-ranked); asserted, not assumed."""
-    eq, cb = _setup(spark)
+    (measured 0.3 raw / 0.8 re-ranked); asserted, not assumed — AT
+    sf0.1, the scale the numbers were measured on."""
+    eq, cb = _setup(spark, SF01)
     q_ev = np.asarray(
         [int(x) for x in eq.where(F.col("vec_id") == 0).head()["ev"]],
         dtype=np.int64,
