@@ -193,6 +193,11 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q59_dataset_mix": [
         ("source", "string"), ("kept_docs", "bigint"), ("kept_chars", "bigint"),
     ],
+    "q102_dist_drift": [
+        ("bin", "int"), ("c_a", "bigint"), ("c_b", "bigint"),
+        ("cum_a", "bigint"), ("cum_b", "bigint"), ("ks", "double"),
+        ("psi", "double"),
+    ],
     "q32_ngram_jaccard": [
         ("id_a", "bigint"), ("id_b", "bigint"), ("inter", "bigint"),
         ("uni", "bigint"), ("jaccard", "double"),
@@ -348,6 +353,7 @@ BUNDLES: dict[str, list[str]] = {
     "q55_56_udf": ["q55_udaf_geomean", "q56_group_normalize"],
     "q57_58_59_sampling": [
         "q57_hash_split", "q58_stratified_sample", "q59_dataset_mix",
+        "q102_dist_drift",
     ],
     "q32_70_shingle_exact": [
         "q32_ngram_jaccard", "q70_split_contamination", "q89_substring_dup",

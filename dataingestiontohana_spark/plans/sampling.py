@@ -337,3 +337,128 @@ def vocab_topk_sketch(docs: DataFrame, k: int = 20) -> DataFrame:
         F.col("entry.count").cast("bigint").alias("c"),
         F.col("rank"),
     )
+
+
+def q102_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two deterministic user-hash splits
+    of the event stream: binned two-sample Kolmogorov-Smirnov plus
+    Population Stability Index — the monitoring gate that decides
+    whether serving data still looks like training data.
+
+    Exactness strategy: values land in 64 fixed-width bins (floor of
+    an IEEE division — identical in both engines), all counts and
+    cumulative counts are exact integers, and the KS statistic is
+    computed as max |cumA*nB - cumB*nA| in DECIMAL(38,0) — one exact
+    integer maximum, then ONE division for the reported ks (the q100
+    sufficient-statistics maneuver). PSI alone carries an ln() and
+    rounds to 6 (the q75 libm precedent), summed over bins observed
+    in BOTH splits (the standard zero-bin exclusion, made
+    deterministic). Output: one row per occupied bin with both
+    cumulative histograms, plus the global ks/psi attached via a
+    1-row crossJoin (literal-attach shape).
+
+    Scale: one scan, one 64-row aggregation with map-side combine,
+    windows over the 64-row bin frame (reduced input — the sanctioned
+    below-Aggregate shape), nothing else.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    split_a = _bucket(F.col("user_id"), 100) < 50
+    binc = F.least(F.lit(63), F.floor(F.col("value") / 10).cast("int"))
+    dec = "decimal(38,0)"
+    g = (
+        e.select(binc.alias("bin"), split_a.cast("int").alias("a"))
+        .groupBy("bin")
+        .agg(
+            F.sum("a").cast(dec).alias("c_a"),
+            F.sum(1 - F.col("a")).cast(dec).alias("c_b"),
+        )
+    )
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = g.select(
+        "bin",
+        "c_a",
+        "c_b",
+        F.sum("c_a").over(w).alias("cum_a"),
+        F.sum("c_b").over(w).alias("cum_b"),
+    ).localCheckpoint(eager=False)  # feeds the summary agg AND output
+    tot = cum.agg(
+        F.max("cum_a").alias("n_a"), F.max("cum_b").alias("n_b")
+    )
+    withtot = cum.crossJoin(F.broadcast(tot))
+    ksdiff = F.abs(
+        F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+    )
+    psi_term = F.when(
+        (F.col("c_a") > 0) & (F.col("c_b") > 0),
+        (
+            F.col("c_a").cast("double") / F.col("n_a").cast("double")
+            - F.col("c_b").cast("double") / F.col("n_b").cast("double")
+        )
+        * F.log(
+            (F.col("c_a") * F.col("n_b")).cast("double")
+            / ((F.col("c_b") * F.col("n_a")).cast("double"))
+        ),
+    ).otherwise(F.lit(0.0))
+    summary = withtot.agg(
+        F.max(ksdiff).alias("ks_num"),
+        F.round(F.sum(psi_term), 6).alias("psi"),
+    )
+    return (
+        withtot.crossJoin(F.broadcast(summary))
+        .select(
+            "bin",
+            F.col("c_a").cast("bigint").alias("c_a"),
+            F.col("c_b").cast("bigint").alias("c_b"),
+            F.col("cum_a").cast("bigint").alias("cum_a"),
+            F.col("cum_b").cast("bigint").alias("cum_b"),
+            (
+                F.col("ks_num").cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("ks"),
+            "psi",
+        )
+        .orderBy("bin")
+    )
+
+
+QUERIES["q102_dist_drift"] = q102_dist_drift
+
+ORACLES["q102_dist_drift"] = """
+    WITH g AS (
+      SELECT LEAST(63, CAST(floor(value / 10) AS INT)) AS bin,
+             CAST(SUM(CASE WHEN (user_id * 2654435761) % 100 < 50
+                           THEN 1 ELSE 0 END) AS HUGEINT) AS c_a,
+             CAST(SUM(CASE WHEN (user_id * 2654435761) % 100 < 50
+                           THEN 0 ELSE 1 END) AS HUGEINT) AS c_b
+      FROM events GROUP BY 1),
+    cum AS (
+      SELECT bin, c_a, c_b,
+             SUM(c_a) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+               AS cum_a,
+             SUM(c_b) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+               AS cum_b
+      FROM g),
+    tot AS (SELECT MAX(cum_a) AS n_a, MAX(cum_b) AS n_b FROM cum),
+    summary AS (
+      SELECT MAX(abs(cum_a * n_b - cum_b * n_a)) AS ks_num,
+             ROUND(SUM(CASE WHEN c_a > 0 AND c_b > 0
+               THEN (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                     - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                    * ln(CAST(c_a * n_b AS DOUBLE)
+                         / CAST(c_b * n_a AS DOUBLE))
+               ELSE 0.0 END), 6) AS psi
+      FROM cum, tot)
+    SELECT bin,
+           CAST(c_a AS BIGINT) AS c_a,
+           CAST(c_b AS BIGINT) AS c_b,
+           CAST(cum_a AS BIGINT) AS cum_a,
+           CAST(cum_b AS BIGINT) AS cum_b,
+           CAST(ks_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS ks,
+           psi
+    FROM cum, tot, summary
+    ORDER BY bin
+"""
