@@ -252,9 +252,9 @@ _EXACT_PAIRS_SQL = f"""
 """
 
 ORACLES = {
-    "q29_exact_dedup": """
+    "q29_exact_dedup": f"""
         WITH f AS (
-          SELECT md5(trim(lower(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))) AS fp,
+          SELECT md5({_nsql("text")}) AS fp,
                  doc_id
           FROM documents)
         SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies

@@ -15,10 +15,11 @@ from pyspark.sql import functions as F
 from dataingestiontohana_spark.catalog import load_table
 from dataingestiontohana_spark.functions.text import (
     normalize_sql as _nsql,
+    normalize_text,
+    tokens,
 )
 
-_NORM = _nsql('text')
-from dataingestiontohana_spark.functions.text import normalize_text, tokens
+_NORM = _nsql("text")
 
 # Tiny per-language stopword marker sets for the n-gram/stopword
 # language-ID heuristic. Chosen to be expressible identically in the
@@ -219,7 +220,8 @@ _HASH_EMBED_ORACLE = """
 )
 
 _MARKER_SQL = {
-    lang: "len(list_filter(regexp_split_to_array(trim(lower(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), ' '), t -> t IN ({})))".format(
+    lang: ("len(list_filter(regexp_split_to_array(" + _NORM
+           + ", ' '), t -> t IN ({})))").format(
         ", ".join(f"'{m}'" for m in markers)
     )
     for lang, markers in _LANG_MARKERS.items()
@@ -275,9 +277,9 @@ ORACLES = {
         )
         + "]"
     ),
-    "q28_fingerprint": """
+    "q28_fingerprint": f"""
         WITH f AS (
-          SELECT md5(trim(lower(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))) AS fp,
+          SELECT md5({_NORM}) AS fp,
                  doc_id
           FROM documents)
         SELECT fp, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies

@@ -840,7 +840,7 @@ def q100_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     maneuver as q91's integer rarity stats.)
 
     Scale shape: one scan, one hash aggregation with map-side partial
-    combine carrying five int64 cells per group. Nothing else.
+    combine carrying five DECIMAL(38,0) cells per group. Nothing else.
     """
     e = _t(spark, sf_dir, "events")
     x = F.floor(

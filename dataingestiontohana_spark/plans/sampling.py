@@ -29,9 +29,9 @@ from dataingestiontohana_spark.catalog import load_table
 from dataingestiontohana_spark.functions.text import (
     normalize_sql as _nsql,
 )
-
-_NORM = _nsql('text')
 from dataingestiontohana_spark.operators.ranks import bucketed_ranks, exact_ntile
+
+_NORM = _nsql("text")
 
 # Knuth's multiplicative hash constant.
 _KNUTH = 2654435761
@@ -364,11 +364,17 @@ def q102_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events")
+    # NULL user_id lands in split B on BOTH sides (when->otherwise here
+    # mirrors the oracle's CASE ELSE; a bare cast would drop the row
+    # from both histograms while the oracle counts it in B)
     split_a = _bucket(F.col("user_id"), 100) < 50
     binc = F.least(F.lit(63), F.floor(F.col("value") / 10).cast("int"))
     dec = "decimal(38,0)"
     g = (
-        e.select(binc.alias("bin"), split_a.cast("int").alias("a"))
+        e.select(
+            binc.alias("bin"),
+            F.when(split_a, 1).otherwise(0).alias("a"),
+        )
         .groupBy("bin")
         .agg(
             F.sum("a").cast(dec).alias("c_a"),

@@ -6,6 +6,7 @@ from dataingestiontohana_spark.session import get_spark
 
 SF0001 = "/root/testdata/sf0.001"
 SF001 = "/root/testdata/sf0.01"
+SF01 = "/root/testdata/sf0.1"
 
 
 @pytest.fixture(scope="session")

@@ -16,12 +16,10 @@ from dataingestiontohana_spark.operators.pq import (
     quantize_embeddings,
 )
 
-from tests.conftest import SF001
-
-# the recall floors below were measured at sf0.1 (the bench scale);
-# run the gate against the same corpus so the asserted margins are
-# the measured ones (embeddings are 5,000 rows there — still cheap)
-SF01 = "/root/testdata/sf0.1"
+# the recall floors were measured at sf0.1 (the bench scale); the
+# recall gate runs against that same corpus so the asserted margins
+# are the measured ones (embeddings are 5,000 rows there — cheap)
+from tests.conftest import SF001, SF01
 
 
 def _setup(spark, sf=SF001):
