@@ -361,9 +361,16 @@ def q102_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows over the 64-row bin frame (reduced input — the sanctioned
     below-Aggregate shape), nothing else.
     """
+    e = load_table(spark, sf_dir, "events")
+    return _drift_frame(e)
+
+
+def _drift_frame(e: DataFrame) -> DataFrame:
+    """The q102 dataflow over any events-shaped frame (user_id,
+    value) — split out so the NULL-routing contract is directly
+    testable on planted frames (tests/test_sampling.py)."""
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "events")
     # NULL user_id lands in split B on BOTH sides (when->otherwise here
     # mirrors the oracle's CASE ELSE; a bare cast would drop the row
     # from both histograms while the oracle counts it in B)

@@ -257,3 +257,24 @@ def test_knuth_hash32_matches_python_reference(spark):
     for i in ids:
         h = ((i % M32) * KNUTH) % M32
         assert got[i] == (h, (h * 8) // M32), i
+
+
+class TestDriftNullRouting:
+    def test_null_user_lands_in_split_b_not_dropped(self, spark):
+        """The q102 NULL contract: a NULL user_id row must be COUNTED
+        (in split B), matching the oracle's CASE ELSE — not silently
+        dropped from both histograms (the bare-cast bug the round-6
+        review caught)."""
+        from dataingestiontohana_spark.plans.sampling import _drift_frame
+
+        rows = [(1, 5.0), (2, 15.0), (None, 5.0), (None, 25.0)]
+        e = spark.createDataFrame(rows, "user_id long, value double")
+        out = {r["bin"]: r for r in _drift_frame(e).collect()}
+        total = sum(r["c_a"] + r["c_b"] for r in out.values())
+        assert total == 4  # every row counted exactly once
+        # both NULL rows are in split B
+        assert sum(r["c_b"] for r in out.values()) >= 2
+        assert out[0]["c_a"] + out[0]["c_b"] == 2  # bin 0: values 5.0 x2
+        # cumulative histograms end at the per-split totals
+        last = max(out)
+        assert out[last]["cum_a"] + out[last]["cum_b"] == 4
