@@ -198,6 +198,11 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("cum_a", "bigint"), ("cum_b", "bigint"), ("ks", "double"),
         ("psi", "double"),
     ],
+    "q103_chi2_independence": [
+        ("event_type", "string"), ("c_a", "bigint"), ("c_b", "bigint"),
+        ("chi2", "double"), ("dof", "bigint"),
+        ("reject_independence", "bigint"),
+    ],
     "q32_ngram_jaccard": [
         ("id_a", "bigint"), ("id_b", "bigint"), ("inter", "bigint"),
         ("uni", "bigint"), ("jaccard", "double"),
@@ -353,7 +358,7 @@ BUNDLES: dict[str, list[str]] = {
     "q55_56_udf": ["q55_udaf_geomean", "q56_group_normalize"],
     "q57_58_59_sampling": [
         "q57_hash_split", "q58_stratified_sample", "q59_dataset_mix",
-        "q102_dist_drift",
+        "q102_dist_drift", "q103_chi2_independence",
     ],
     "q32_70_shingle_exact": [
         "q32_ngram_jaccard", "q70_split_contamination", "q89_substring_dup",

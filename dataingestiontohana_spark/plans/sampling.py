@@ -475,3 +475,111 @@ ORACLES["q102_dist_drift"] = """
     FROM cum, tot, summary
     ORDER BY bin
 """
+
+
+def q103_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between the user-hash split and
+    the event-type distribution — the A/B-testing / bias-audit
+    companion to q102's drift gate (is the categorical mix the same in
+    both halves?).
+
+    Exactness: the 2xK contingency counts, row/column totals and every
+    cell's (o*n - row*col) numerator are exact integers (DECIMAL(38,0)
+    — same headroom note as q100); each cell term
+    (o*n - row*col)^2 / (n*row*col) is then a FIXED double expression
+    over exact operands, and only the final sum rounds (6 places, the
+    cross-partition summation-order ulp). NULL user_id rows land in
+    split B on both sides (the q102 convention). The 0.05 critical
+    value for dof = K-1 degrees of freedom ships as the adjudicated
+    ``reject_independence`` flag.
+
+    Scale: one scan, one K-row aggregation with map-side combine,
+    then driver-scale arithmetic on the K-row frame.
+    """
+    e = load_table(spark, sf_dir, "events")
+    split_a = _bucket(F.col("user_id"), 100) < 50
+    dec = "decimal(38,0)"
+    g = (
+        e.select(
+            "event_type",
+            F.when(split_a, 1).otherwise(0).alias("a"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("a").cast(dec).alias("c_a"),
+            F.sum(1 - F.col("a")).cast(dec).alias("c_b"),
+        )
+        .localCheckpoint(eager=False)  # totals agg AND per-row output
+    )
+    tot = g.agg(
+        F.sum("c_a").alias("col_a"),
+        F.sum("c_b").alias("col_b"),
+        F.sum(F.col("c_a") + F.col("c_b")).alias("n"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    wt = g.crossJoin(F.broadcast(tot))
+    row_tot = F.col("c_a") + F.col("c_b")
+
+    def term(obs, col_tot):
+        num = (obs * F.col("n") - row_tot * col_tot).cast("double")
+        den = (F.col("n") * row_tot * col_tot).cast("double")
+        return (num * num) / den
+
+    summary = wt.agg(
+        F.round(
+            F.sum(term(F.col("c_a"), F.col("col_a")))
+            + F.sum(term(F.col("c_b"), F.col("col_b"))),
+            6,
+        ).alias("chi2"),
+        (F.first("k") - 1).cast("bigint").alias("dof"),
+    ).withColumn(
+        # dof = 4 at the shipped K = 5: chi2_0.95 = 9.487729
+        "reject_independence",
+        (F.col("chi2") > F.lit(9.487729)).cast("bigint"),
+    )
+    return (
+        g.crossJoin(F.broadcast(summary))
+        .select(
+            "event_type",
+            F.col("c_a").cast("bigint").alias("c_a"),
+            F.col("c_b").cast("bigint").alias("c_b"),
+            "chi2",
+            "dof",
+            "reject_independence",
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["q103_chi2_independence"] = q103_chi2_independence
+
+ORACLES["q103_chi2_independence"] = """
+    WITH g AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN (user_id * 2654435761) % 100 < 50
+                           THEN 1 ELSE 0 END) AS HUGEINT) AS c_a,
+             CAST(SUM(CASE WHEN (user_id * 2654435761) % 100 < 50
+                           THEN 0 ELSE 1 END) AS HUGEINT) AS c_b
+      FROM events GROUP BY 1),
+    tot AS (
+      SELECT SUM(c_a) AS col_a, SUM(c_b) AS col_b,
+             SUM(c_a + c_b) AS n, COUNT(*) AS k
+      FROM g),
+    s AS (
+      SELECT ROUND(
+               SUM(CAST(c_a * n - (c_a + c_b) * col_a AS DOUBLE)
+                   * CAST(c_a * n - (c_a + c_b) * col_a AS DOUBLE)
+                   / CAST(n * (c_a + c_b) * col_a AS DOUBLE))
+             + SUM(CAST(c_b * n - (c_a + c_b) * col_b AS DOUBLE)
+                   * CAST(c_b * n - (c_a + c_b) * col_b AS DOUBLE)
+                   / CAST(n * (c_a + c_b) * col_b AS DOUBLE)), 6) AS chi2,
+             CAST(MIN(k) - 1 AS BIGINT) AS dof
+      FROM g, tot)
+    SELECT event_type,
+           CAST(c_a AS BIGINT) AS c_a,
+           CAST(c_b AS BIGINT) AS c_b,
+           chi2, dof,
+           CAST(CASE WHEN chi2 > 9.487729 THEN 1 ELSE 0 END AS BIGINT)
+             AS reject_independence
+    FROM g, s ORDER BY event_type
+"""
