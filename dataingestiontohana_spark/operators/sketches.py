@@ -296,3 +296,151 @@ def bloom_merge(*position_sets: DataFrame) -> DataFrame:
     for t in position_sets[1:]:
         out = out.unionByName(t)
     return out.distinct()
+
+
+# ---------------------------------------------------------------- HLL
+
+# p: register-index bits (m = 2^p registers); the remaining value
+# bits of the 32-bit md5-derived hash feed the leading-zero rank.
+_HLL_P = 8
+_HLL_HASH_BITS = 32
+
+
+def hll_registers(
+    items: DataFrame, col: str = "w", p: int = _HLL_P
+) -> DataFrame:
+    """HyperLogLog register table as a DataFrame: (bucket, reg) —
+    at most 2^p rows, one per OCCUPIED register.
+
+    Flajolet et al. (2007), "HyperLogLog: the analysis of a
+    near-optimal cardinality estimation algorithm": each value's
+    32-bit md5 hash splits into a p-bit register index (top bits) and
+    a (32-p)-bit suffix w; the register keeps the max over its stream
+    of rho(w) = position of the leftmost 1-bit of w (1-based; w = 0
+    contributes the sentinel rank 32-p+1). The rank derives from
+    ``bin()`` — minimal binary text, identical in Spark and DuckDB —
+    so the whole register table is recomputable in ANSI SQL and the
+    estimate is VALUE-exact under the oracle gate, unlike the opaque
+    buffer behind ``approx_count_distinct`` (auditable only as an
+    error envelope, the q65 pattern).
+
+    Scale shape: one map-only pass (one codegen'd md5 per row), then
+    ONE shuffle on bucket with map-side combine — every partition
+    reduces to <= 2^p (bucket, max-rank) partials before the
+    exchange, so shuffle volume is O(partitions * 2^p) no matter how
+    many input rows. Duplicates collapse into the max for free, which
+    is exactly why HLL needs no pre-distinct at 100 TB.
+    """
+    vbits = _HLL_HASH_BITS - p
+    h = _md5_int(F.col(col), 0)
+    w = h % (1 << vbits)
+    # exact-multiple division: h < 2^32 so the double quotient is
+    # exact before floor (the q78 Knuth-bucket precedent)
+    bucket = F.floor(h / F.lit(1 << vbits)).cast("int")
+    rho = (
+        F.when(w == 0, F.lit(vbits + 1))
+        .otherwise(F.lit(vbits + 1) - F.length(F.bin(w)))
+        .cast("int")
+    )
+    return (
+        items.select(bucket.alias("bucket"), rho.alias("reg"))
+        .groupBy("bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+
+
+def hll_merge(*tables: DataFrame) -> DataFrame:
+    """Union HLL sketches by element-wise register MAX — like CMS and
+    Bloom the structure is a pure stream reduction, so
+    sketch(A ∪ B) == merge(sketch(A), sketch(B)) EXACTLY: max is
+    associative, commutative, idempotent. Per-shard register tables
+    (<= 2^p rows each) fold without ever re-scanning history."""
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("bucket").agg(F.max("reg").alias("reg"))
+
+
+def hll_estimate(registers: DataFrame, p: int = _HLL_P) -> DataFrame:
+    """One-row frame (v_empty, s_scaled, est) from a register table.
+
+    Exactness strategy (the q102 sufficient-statistics maneuver): the
+    harmonic-mean denominator sum(2^-M_j) is carried as the exact
+    integer S = sum(2^(rmax - M_j)) with rmax = 32-p+1 (empty
+    registers contribute 2^rmax each; S <= 2^p * 2^rmax fits easily
+    in DECIMAL(38,0)), so the raw estimate alpha*m^2*2^rmax / S is
+    ONE IEEE division of exact operands — bit-identical across
+    engines. The small-range correction (raw <= 2.5m with empty
+    registers -> linear counting m*ln(m/V), Flajolet §4) branches on
+    that deterministic double, and its ln() rounds to 6 places (the
+    q75 libm precedent). alpha_m uses the standard 0.7213/(1+1.079/m)
+    closed form for m >= 128, spelled as the same literal arithmetic
+    in both engines.
+    """
+    m = 1 << p
+    rmax = _HLL_HASH_BITS - p + 1
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    agg = registers.agg(
+        F.count(F.lit(1)).alias("occupied"),
+        F.sum(
+            F.expr(f"shiftleft(1, {rmax} - reg)").cast("decimal(38,0)")
+        ).alias("s_occ"),
+    )
+    v = F.lit(m) - F.col("occupied")
+    s = (F.col("s_occ") + v.cast("decimal(38,0)") * F.lit(1 << rmax)).cast(
+        "decimal(38,0)"
+    )
+    raw = (
+        alpha
+        * F.lit(float(m))
+        * F.lit(float(m))
+        * F.lit(float(1 << rmax))
+        / s.cast("double")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")), 6),
+    ).otherwise(F.round(raw, 6))
+    return agg.select(
+        v.cast("bigint").alias("v_empty"),
+        s.cast("bigint").alias("s_scaled"),
+        est.alias("est"),
+    )
+
+
+def hll_sql_ctes(item_cte: str, col: str = "w", p: int = _HLL_P) -> str:
+    """ANSI-SQL CTE block recomputing the identical sketch: emits
+    ``hll_regs`` (bucket, reg) and ``hll_est`` (v_empty, s_scaled,
+    est) over an existing CTE of item rows — the DuckDB twin of
+    :func:`hll_registers` + :func:`hll_estimate`, kept in ONE place so
+    the two formulations cannot drift."""
+    vbits = _HLL_HASH_BITS - p
+    m = 1 << p
+    rmax = vbits + 1
+    alpha = f"(0.7213 / (1.0 + 1.079 / {float(m)}))"
+    return f"""
+    hll_h AS (SELECT ({hex_uint_sql(col, 0)}) AS hv FROM {item_cte}),
+    hll_regs AS (
+      SELECT CAST(hv // {1 << vbits} AS INT) AS bucket,
+             MAX(CASE WHEN hv % {1 << vbits} = 0 THEN {rmax}
+                      ELSE {rmax} - length(bin(hv % {1 << vbits}))
+                 END) AS reg
+      FROM hll_h GROUP BY 1),
+    hll_s AS (
+      SELECT CAST({m} - COUNT(*) AS HUGEINT) AS v_empty,
+             SUM(CAST(1 AS HUGEINT) << ({rmax} - reg))
+               + CAST({m} - COUNT(*) AS HUGEINT) * {1 << rmax} AS s_scaled
+      FROM hll_regs),
+    hll_est AS (
+      SELECT CAST(v_empty AS BIGINT) AS v_empty,
+             CAST(s_scaled AS BIGINT) AS s_scaled,
+             CASE WHEN ({alpha} * {float(m)} * {float(m)}
+                        * {float(1 << rmax)} / CAST(s_scaled AS DOUBLE))
+                       <= {2.5 * m} AND v_empty > 0
+                  THEN round({float(m)}
+                             * ln({float(m)} / CAST(v_empty AS DOUBLE)), 6)
+                  ELSE round({alpha} * {float(m)} * {float(m)}
+                             * {float(1 << rmax)}
+                             / CAST(s_scaled AS DOUBLE), 6)
+             END AS est
+      FROM hll_s)"""

@@ -229,6 +229,11 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("w", "string"), ("exact_cnt", "bigint"), ("cms_est", "bigint"),
         ("over_cnt", "bigint"), ("no_underest", "bigint"),
     ],
+    "q104_hll_cardinality": [
+        ("bucket", "int"), ("reg", "int"), ("v_empty", "bigint"),
+        ("s_scaled", "bigint"), ("est", "double"),
+        ("exact_distinct", "bigint"), ("err_pct", "double"),
+    ],
     "q95_bloom_decontaminate": [
         ("doc_id", "bigint"), ("n_shingles", "bigint"),
         ("bloom_hits", "bigint"), ("exact_hits", "bigint"),
@@ -337,7 +342,7 @@ BUNDLES: dict[str, list[str]] = {
     "q25_51_61_tokens": [
         "q25_token_stats", "q51_bpe_token_stats", "q61_token_topk",
         "q61b_vocab_sketch_audit", "q77_chunk_windows", "q78_pack_chunks",
-        "q94_cms_heavy_hitters",
+        "q94_cms_heavy_hitters", "q104_hll_cardinality",
     ],
     "q26_28_quality": [
         "q26_quality_score", "q28_fingerprint", "q79_pii_redaction",

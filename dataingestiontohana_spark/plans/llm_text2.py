@@ -195,6 +195,67 @@ def q94_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q104_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog vocabulary-cardinality audit — the
+    third mergeable sketch of operators/sketches.py (CMS = frequency,
+    Bloom = membership, HLL = cardinality), with the register table
+    itself a DataFrame so DuckDB recomputes every register and the
+    estimate is VALUE-exact, not envelope-checked.
+
+    Emits one row per OCCUPIED register (bucket, reg) with the
+    one-row summary attached via the q65 1xN crossJoin shape:
+    v_empty / s_scaled (the exact integer harmonic-sum sufficient
+    statistic), the HLL estimate, the exact distinct-token count, and
+    ``err_pct`` — the signed relative error in percent, rounded to 4.
+    The theoretical standard error at p=8 (m=256 registers) is
+    1.04/sqrt(m) ~= 6.5%%; tests/test_sketches.py asserts a 3-sigma
+    envelope and the merge-associativity law on top of this exact
+    oracle gate.
+
+    Scale shape (WHY this exists at 100 TB): the exact side's
+    distinct-count shuffles the full vocabulary; the HLL side reduces
+    every partition to <= 256 (bucket, max-rank) partials before ONE
+    tiny exchange — fixed state, any corpus size, and per-shard
+    register tables fold incrementally (hll_merge) without re-scanning
+    history. The exact count is carried here as the audit column, the
+    same role as q94's exact_cnt.
+    """
+    from dataingestiontohana_spark.functions.text import tokens
+    from dataingestiontohana_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens("text")).alias("w")).localCheckpoint(
+        eager=False
+    )  # consumed by the register build AND the exact-distinct audit
+    regs = hll_registers(tok, "w").localCheckpoint(eager=False)
+    est = hll_estimate(regs)
+    exact = tok.agg(F.count_distinct(F.col("w")).alias("exact_distinct"))
+    summary = est.crossJoin(F.broadcast(exact))
+    return (
+        regs.crossJoin(F.broadcast(summary))
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("reg").cast("int").alias("reg"),
+            F.col("v_empty").cast("bigint").alias("v_empty"),
+            F.col("s_scaled").cast("bigint").alias("s_scaled"),
+            F.col("est").alias("est"),
+            F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+            F.round(
+                (F.col("est") - F.col("exact_distinct"))
+                * F.lit(100.0)
+                / F.col("exact_distinct").cast("double"),
+                4,
+            ).alias("err_pct"),
+        )
+        .orderBy("bucket")
+    )
+
+
 QUERIES = {
     "q51_bpe_token_stats": q51_bpe_token_stats,
     "q52_observe_audit": q52_observe_audit,
@@ -202,6 +263,7 @@ QUERIES = {
     "q77_chunk_windows": q77_chunk_windows,
     "q78_pack_chunks": q78_pack_chunks,
     "q94_cms_heavy_hitters": q94_cms_heavy_hitters,
+    "q104_hll_cardinality": q104_hll_cardinality,
 }
 
 # Shared chunk-layout CTEs for q77/q78 (stride 112 = 128 - 16):
@@ -335,3 +397,29 @@ def _q94_oracle_sql() -> str:
 
 
 ORACLES["q94_cms_heavy_hitters"] = _q94_oracle_sql()
+
+
+def _q104_oracle_sql() -> str:
+    """Identical HLL recomputed in ANSI SQL — register table, exact
+    harmonic-sum integer, estimate, audit columns (see the q104
+    docstring; CTE twin in operators/sketches.py::hll_sql_ctes)."""
+    from dataingestiontohana_spark.functions.text import TOKENS_SQL_CTE
+    from dataingestiontohana_spark.operators.sketches import hll_sql_ctes
+
+    return f"""
+        WITH {TOKENS_SQL_CTE},
+        t AS (SELECT unnest(toks) AS w FROM tok),
+        {hll_sql_ctes('t', 'w')},
+        ex AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT)
+                      AS exact_distinct FROM t)
+        SELECT CAST(r.bucket AS INT) AS bucket,
+               CAST(r.reg AS INT) AS reg,
+               e.v_empty, e.s_scaled, e.est, ex.exact_distinct,
+               round((e.est - ex.exact_distinct) * 100.0
+                     / CAST(ex.exact_distinct AS DOUBLE), 4) AS err_pct
+        FROM hll_regs r, hll_est e, ex
+        ORDER BY bucket
+    """
+
+
+ORACLES["q104_hll_cardinality"] = _q104_oracle_sql()

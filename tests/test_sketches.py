@@ -254,3 +254,94 @@ class TestStreamingSketchStore:
             for r in spark.read.parquet(store).collect()
         }
         assert stored == whole
+
+
+class TestHyperLogLog:
+    def test_registers_bounded_and_rank_range(self, spark):
+        from dataingestiontohana_spark.operators.sketches import (
+            hll_registers,
+        )
+
+        items = _items(spark, [f"tok{i}" for i in range(500)])
+        regs = hll_registers(items, "w", p=8).collect()
+        assert len(regs) <= 256
+        assert all(0 <= r["bucket"] < 256 for r in regs)
+        # rank range: 1 .. (32-8)+1
+        assert all(1 <= r["reg"] <= 25 for r in regs)
+
+    def test_duplicates_do_not_move_registers(self, spark):
+        # HLL needs no pre-distinct: max-rank is idempotent under
+        # repetition, the property that lets it skip the vocabulary
+        # shuffle at 100 TB.
+        from dataingestiontohana_spark.operators.sketches import (
+            hll_registers,
+        )
+
+        once = _items(spark, [f"t{i}" for i in range(100)])
+        thrice = _items(spark, [f"t{i}" for i in range(100)] * 3)
+        a = sorted(map(tuple, hll_registers(once, "w").collect()))
+        b = sorted(map(tuple, hll_registers(thrice, "w").collect()))
+        assert a == b
+
+    def test_merge_equals_whole_build(self, spark):
+        # merge law: registers(A ∪ B ∪ C) == fold of per-shard tables
+        # (max is associative/commutative/idempotent) — the incremental
+        # corpus-statistic contract, same as cms_merge/bloom_merge.
+        from dataingestiontohana_spark.operators.sketches import (
+            hll_merge,
+            hll_registers,
+        )
+
+        vals = [f"doc{i}" for i in range(300)]
+        whole = hll_registers(_items(spark, vals), "w")
+        shards = [
+            hll_registers(_items(spark, vals[i::3]), "w") for i in range(3)
+        ]
+        a = sorted(map(tuple, whole.collect()))
+        b = sorted(map(tuple, hll_merge(*shards).collect()))
+        assert a == b
+
+    def test_estimate_within_three_sigma(self, spark):
+        # theoretical standard error at m=256 is 1.04/sqrt(256) = 6.5%;
+        # assert a 3-sigma envelope on a planted 2000-value stream
+        from dataingestiontohana_spark.operators.sketches import (
+            hll_estimate,
+            hll_registers,
+        )
+
+        n = 2000
+        items = _items(spark, [f"item-{i}" for i in range(n)])
+        est = hll_estimate(hll_registers(items, "w")).collect()[0]["est"]
+        assert abs(est - n) / n < 3 * 1.04 / 16.0
+
+    def test_sql_twin_matches_dataframe_path(self, spark):
+        # the DuckDB CTE block must reproduce registers AND estimate
+        # byte-exactly (the oracle-portability contract)
+        import duckdb
+
+        from dataingestiontohana_spark.operators.sketches import (
+            hll_estimate,
+            hll_registers,
+            hll_sql_ctes,
+        )
+
+        vals = [f"w{i}" for i in range(64)]
+        items = _items(spark, vals)
+        regs = sorted(map(tuple, hll_registers(items, "w").collect()))
+        e = hll_estimate(hll_registers(items, "w")).collect()[0]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE items(w VARCHAR); INSERT INTO items "
+            + "SELECT 'w' || CAST(range AS VARCHAR) FROM range(64)"
+        )
+        sql = f"WITH i AS (SELECT w FROM items), {hll_sql_ctes('i', 'w')}"
+        dregs = con.execute(
+            sql + " SELECT bucket, reg FROM hll_regs ORDER BY bucket"
+        ).fetchall()
+        dest = con.execute(sql + " SELECT * FROM hll_est").fetchall()[0]
+        assert [tuple(map(int, r)) for r in dregs] == regs
+        assert (int(dest[0]), int(dest[1]), dest[2]) == (
+            e["v_empty"],
+            e["s_scaled"],
+            e["est"],
+        )
