@@ -225,6 +225,10 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("pass_symbol", "bigint"), ("pass_alpha", "bigint"),
         ("pass_stop", "bigint"), ("pass_all", "bigint"),
     ],
+    "q105_pmi_bigrams": [
+        ("w1", "string"), ("w2", "string"), ("c_xy", "bigint"),
+        ("c_x", "bigint"), ("c_y", "bigint"), ("pmi", "double"),
+    ],
     "q94_cms_heavy_hitters": [
         ("w", "string"), ("exact_cnt", "bigint"), ("cms_est", "bigint"),
         ("over_cnt", "bigint"), ("no_underest", "bigint"),
@@ -347,6 +351,7 @@ BUNDLES: dict[str, list[str]] = {
     "q26_28_quality": [
         "q26_quality_score", "q28_fingerprint", "q79_pii_redaction",
         "q80_bm25_topk", "q91_token_rarity", "q93_gopher_rules",
+        "q105_pmi_bigrams",
     ],
     "q22_29_exact_dedup": [
         "q22_exact_dedup_count", "q29_exact_dedup", "q92_segment_dedup",

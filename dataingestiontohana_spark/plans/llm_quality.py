@@ -557,3 +557,122 @@ ORACLES["q93_gopher_rules"] = f"""
                 AS BIGINT) AS pass_all
     FROM f GROUP BY source ORDER BY source
 """
+
+
+def q105_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: the 30 most frequent word bigrams with
+    their pointwise mutual information — the phrase-mining signal
+    (Church & Hanks 1990) a curation pipeline uses to build phrase
+    vocabularies and spot boilerplate n-grams.
+
+    pmi(x,y) = ln( p(x,y) / (p(x)p(y)) ) computed from EXACT integer
+    sufficient statistics: c_xy (bigram count), c_x/c_y (unigram
+    counts), n_bi/n_uni (stream totals), combined as ONE division of
+    two exact DECIMAL(38,0) products cast to double — both engines
+    produce the nearest double identically — then a single ln()
+    rounded to 6 (the q75 libm precedent).
+
+    Scale shape: bigrams come from word_shingles(n=2) — a transform
+    over an index sequence, row count unchanged until ONE explode —
+    then shuffle 1 = groupBy(bg) with map-side combine and the top-30
+    as TakeOrderedAndProject (per-partition heaps, no window). The
+    unigram aggregation (shuffle 2, vocabulary-keyed) is REDUCED to
+    the <= 60 distinct top-bigram terms by a broadcast semi-join
+    BEFORE anything joins back, so the joins that attach c_x/c_y
+    broadcast <= 60-row frames — the full vocabulary is aggregated
+    but never joined wide. Totals attach via 1-row crossJoin
+    (literal-attach shape). Ties at the top-30 boundary break on the
+    bigram string, so the cut is deterministic.
+    """
+    from dataingestiontohana_spark.functions.text import (
+        tokens,
+        word_shingles,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    bg = d.select(F.explode(word_shingles(F.col("text"), 2)).alias("bg"))
+    bc = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_xy"))
+    bc = bc.localCheckpoint(eager=False)  # feeds top-30 AND the total
+    top = (
+        bc.orderBy(F.desc("c_xy"), F.asc("bg"))
+        .limit(30)
+        .select(
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+            "c_xy",
+        )
+        .localCheckpoint(eager=False)  # feeds term set AND both joins
+    )
+    uni = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # feeds the total AND the semi
+    )
+    terms = (
+        top.select(F.col("w1").alias("tok"))
+        .unionByName(top.select(F.col("w2").alias("tok")))
+        .distinct()
+    )
+    tc = uni.join(F.broadcast(terms), "tok", "left_semi")
+    n_uni = uni.agg(F.sum("c").cast("decimal(38,0)").alias("n_uni"))
+    n_bi = bc.agg(F.sum("c_xy").cast("decimal(38,0)").alias("n_bi"))
+    dec = "decimal(38,0)"
+    num = (
+        F.col("c_xy").cast(dec) * F.col("n_uni") * F.col("n_uni")
+    ).cast("double")
+    den = (F.col("n_bi") * F.col("c_x").cast(dec) * F.col("c_y").cast(dec)).cast(
+        "double"
+    )
+    return (
+        top.join(
+            F.broadcast(tc.select(F.col("tok").alias("w1"), F.col("c").alias("c_x"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(tc.select(F.col("tok").alias("w2"), F.col("c").alias("c_y"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_xy").cast("bigint").alias("c_xy"),
+            F.col("c_x").cast("bigint").alias("c_x"),
+            F.col("c_y").cast("bigint").alias("c_y"),
+            F.round(F.log(num / den), 6).alias("pmi"),
+        )
+        .orderBy(F.desc("c_xy"), "w1", "w2")
+    )
+
+
+QUERIES["q105_pmi_bigrams"] = q105_pmi_bigrams
+
+ORACLES["q105_pmi_bigrams"] = f"""
+    WITH {_TOK_CTE},
+    bgs AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1]))
+             AS bg
+      FROM tok),
+    bc AS (SELECT bg, COUNT(*) AS c_xy FROM bgs GROUP BY bg),
+    top AS (
+      SELECT split_part(bg, ' ', 1) AS w1,
+             split_part(bg, ' ', 2) AS w2, c_xy
+      FROM bc ORDER BY c_xy DESC, bg LIMIT 30),
+    uc AS (SELECT unnest(toks) AS tok FROM tok),
+    uni AS (SELECT tok, COUNT(*) AS c FROM uc GROUP BY tok),
+    nu AS (SELECT CAST(SUM(c) AS HUGEINT) AS n_uni FROM uni),
+    nb AS (SELECT CAST(SUM(c_xy) AS HUGEINT) AS n_bi FROM bc)
+    SELECT t.w1, t.w2,
+           CAST(t.c_xy AS BIGINT) AS c_xy,
+           CAST(x.c AS BIGINT) AS c_x,
+           CAST(y.c AS BIGINT) AS c_y,
+           round(ln(CAST(CAST(t.c_xy AS HUGEINT) * n_uni * n_uni AS DOUBLE)
+                    / CAST(n_bi * x.c * y.c AS DOUBLE)), 6) AS pmi
+    FROM top t
+    JOIN uni x ON x.tok = t.w1
+    JOIN uni y ON y.tok = t.w2, nu, nb
+    ORDER BY c_xy DESC, w1, w2
+"""
