@@ -229,6 +229,18 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("w1", "string"), ("w2", "string"), ("c_xy", "bigint"),
         ("c_x", "bigint"), ("c_y", "bigint"), ("pmi", "double"),
     ],
+    "q47_sessionize": [
+        ("user_id", "bigint"), ("n_sessions", "bigint"),
+        ("n_events", "bigint"),
+    ],
+    "q106_markov_transitions": [
+        ("src", "string"), ("dst", "string"), ("cnt", "bigint"),
+        ("src_total", "bigint"), ("prob", "double"),
+    ],
+    "q107_hourly_autocorr": [
+        ("event_type", "string"), ("pairs", "bigint"),
+        ("sum_x", "bigint"), ("r1", "double"),
+    ],
     "q94_cms_heavy_hitters": [
         ("w", "string"), ("exact_cnt", "bigint"), ("cms_est", "bigint"),
         ("over_cnt", "bigint"), ("no_underest", "bigint"),
@@ -403,6 +415,13 @@ BUNDLES: dict[str, list[str]] = {
     # round 5: q24 grew into a bundle with the one-scan per-column
     # dataset profiler (ingest-acceptance stats)
     "q24_86_audit": ["q24_ingest_audit", "q86_profile"],
+    # round 6: the q47 single grew into the event-sequence bundle —
+    # sessionization, the first-order Markov transition matrix, and
+    # lag-1 autocorrelation of the hourly arrival series
+    "q47_106_107_sequences": [
+        "q47_sessionize", "q106_markov_transitions",
+        "q107_hourly_autocorr",
+    ],
 }
 
 # fine queries exported unchanged, in this order (headline queries
@@ -412,7 +431,6 @@ SINGLES: list[str] = [
     "q05_inner_join", "q06_multiway_join_agg", "q07_left_outer_join",
     "q08_semi_join", "q09_anti_join", "q10_hash_agg", "q11_distinct_agg",
     "q14_topk_per_group", "q16_running_sum", "q18_dedup", "q19_json_extract",
-    "q47_sessionize",
     "q48_correlated_subquery", "q69_fuzzy_name_join",
     "q36_media_byte_features", "q65_sketch_audit", "q66_dedup_clusters",
     "q71_decimal_interval", "q72_bucketed_join", "q73_embed_neardup",

@@ -981,3 +981,198 @@ ORACLES["q101_mad_outliers"] = """
     FROM dev d JOIN mad m USING (event_type)
     GROUP BY d.event_type ORDER BY d.event_type
 """
+
+
+def q106_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every (src, dst) event-type pair, how many times a
+    user's next event was dst given src, and the conditional
+    probability — the sequence model behind next-action prediction
+    and bot detection (uniform rows flag scripted traffic).
+
+    Exactness: counts are exact integers; prob is ONE division of two
+    exact integers per row (nearest double, identical in both
+    engines), displayed at full precision.
+
+    Scale shape: the ONLY full-data operation is the lead() window
+    PARTITIONED BY user_id — millions of small per-user frames, the
+    shape Spark's window exec is built for (nothing funnels through
+    one task; contrast the banned unpartitioned rank). Order within a
+    user is (ts, event_id) so simultaneous events sequence
+    deterministically. The pair aggregation reduces to at most
+    |types|^2 rows with map-side combine, and src totals come from
+    re-aggregating THAT tiny frame — no second scan, no broadcast of
+    anything user-sized.
+    """
+    e = _t(spark, sf_dir, "events")
+    return _transition_frame(e)
+
+
+def _transition_frame(e: DataFrame) -> DataFrame:
+    """The q106 dataflow over any events-shaped frame (user_id, ts,
+    event_id, event_type) — split out so the per-user sequencing
+    contract (transitions never cross a user boundary; simultaneous
+    events order by event_id) is directly testable on planted frames
+    (tests/test_sequences.py)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("dst", F.lead("event_type").over(w))
+        .where(F.col("dst").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)  # feeds totals AND output join
+    )
+    tot = pairs.groupBy("src").agg(F.sum("cnt").alias("src_total"))
+    return (
+        pairs.join(F.broadcast(tot), "src")
+        .select(
+            "src",
+            "dst",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.col("src_total").cast("bigint").alias("src_total"),
+            (F.col("cnt").cast("double") / F.col("src_total").cast("double")
+             ).alias("prob"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+def q107_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each event type's hourly arrival-count
+    series — the periodicity/burstiness detector (high positive r =
+    sustained load waves, near 0 = Poisson-like arrivals) a pipeline
+    runs before choosing partition layouts for time-keyed data.
+
+    Exactness (the q100 sufficient-statistics maneuver end-to-end):
+    the series is EXACT INTEGER hourly counts; consecutive present
+    hours pair via lead() over the reduced per-type hourly frame
+    (~720 rows per type — the sanctioned below-Aggregate window
+    shape); n/Sx/Sy/Sxx/Syy/Sxy accumulate in DECIMAL(38,0); and
+    r = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2))
+    is exact-integer operands through one double multiply, one
+    IEEE-correctly-rounded sqrt, one division — bit-identical across
+    engines, no rounding needed. Gap hours pair across the gap (the
+    series is the OBSERVED hours, documented; q99 covers gap-fill).
+    Zero/degenerate variance emits r = 0.0 (the q100 den-guard).
+
+    Scale shape: one scan -> groupBy(event_type, hour) with map-side
+    combine (|types| * |hours| rows), windows and the final per-type
+    aggregation all on that reduced frame. Nothing else touches the
+    full table.
+    """
+    e = _t(spark, sf_dir, "events")
+    return _autocorr_frame(e)
+
+
+def _autocorr_frame(e: DataFrame) -> DataFrame:
+    """The q107 dataflow over any events-shaped frame (event_type, ts)
+    — split out so the pairing semantics (observed hours only; gap
+    hours pair across the gap) and the exact-statistics r are directly
+    testable on planted frames (tests/test_sequences.py)."""
+    from pyspark.sql import Window
+
+    hour = F.floor(
+        (
+            F.unix_timestamp(F.col("ts").cast("timestamp"))
+            - F.unix_timestamp(
+                F.lit("2024-01-01 00:00:00").cast("timestamp")
+            )
+        )
+        / 3600
+    ).cast("bigint")
+    hourly = (
+        e.select("event_type", hour.alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    dec = "decimal(38,0)"
+    pairs = (
+        hourly.withColumn("y", F.lead("x").over(w))
+        .where(F.col("y").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast(dec).alias("n"),
+            F.sum(F.col("x").cast(dec)).alias("sx"),
+            F.sum(F.col("y").cast(dec)).alias("sy"),
+            F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+            F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+            F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        )
+    )
+    num = (pairs["n"] * pairs["sxy"] - pairs["sx"] * pairs["sy"]).cast(
+        "double"
+    )
+    dx = (pairs["n"] * pairs["sxx"] - pairs["sx"] * pairs["sx"]).cast(
+        "double"
+    )
+    dy = (pairs["n"] * pairs["syy"] - pairs["sy"] * pairs["sy"]).cast(
+        "double"
+    )
+    r = F.when((dx <= 0) | (dy <= 0), F.lit(0.0)).otherwise(
+        num / F.sqrt(dx * dy)
+    )
+    return pairs.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("pairs"),
+        F.col("sx").cast("bigint").alias("sum_x"),
+        r.alias("r1"),
+    ).orderBy("event_type")
+
+
+QUERIES["q106_markov_transitions"] = q106_markov_transitions
+QUERIES["q107_hourly_autocorr"] = q107_hourly_autocorr
+
+ORACLES["q106_markov_transitions"] = """
+    WITH seq AS (
+      SELECT event_type AS src,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events),
+    pairs AS (
+      SELECT src, dst, COUNT(*) AS cnt
+      FROM seq WHERE dst IS NOT NULL GROUP BY src, dst),
+    tot AS (SELECT src, SUM(cnt) AS src_total FROM pairs GROUP BY src)
+    SELECT p.src, p.dst,
+           CAST(p.cnt AS BIGINT) AS cnt,
+           CAST(t.src_total AS BIGINT) AS src_total,
+           CAST(p.cnt AS DOUBLE) / CAST(t.src_total AS DOUBLE) AS prob
+    FROM pairs p JOIN tot t USING (src)
+    ORDER BY src, dst
+"""
+
+ORACLES["q107_hourly_autocorr"] = """
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(floor(date_diff('second',
+                        TIMESTAMP '2024-01-01 00:00:00', ts) / 3600.0)
+                  AS BIGINT) AS h,
+             COUNT(*) AS x
+      FROM events GROUP BY 1, 2),
+    lagged AS (
+      SELECT event_type, x,
+             LEAD(x) OVER (PARTITION BY event_type ORDER BY h) AS y
+      FROM hourly),
+    g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx,
+             SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
+      FROM lagged WHERE y IS NOT NULL GROUP BY event_type)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS pairs,
+           CAST(sx AS BIGINT) AS sum_x,
+           CASE WHEN (n*sxx - sx*sx) <= 0 OR (n*syy - sy*sy) <= 0
+                THEN 0.0
+                ELSE CAST(n*sxy - sx*sy AS DOUBLE)
+                     / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                            * CAST(n*syy - sy*sy AS DOUBLE))
+           END AS r1
+    FROM g ORDER BY event_type
+"""
