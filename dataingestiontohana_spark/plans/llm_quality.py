@@ -572,9 +572,10 @@ def q105_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     produce the nearest double identically — then a single ln()
     rounded to 6 (the q75 libm precedent).
 
-    Scale shape: bigrams come from word_shingles(n=2) — a transform
-    over an index sequence, row count unchanged until ONE explode —
-    then shuffle 1 = groupBy(bg) with map-side combine and the top-30
+    Scale shape: bigrams come from word_bigrams() — arrays_zip of two
+    codegen'd slices, row count unchanged until ONE explode (the
+    transform()-lambda formulation ran interpreted: 7.5 s vs 0.8 s at
+    sf0.1) — then shuffle 1 = groupBy(bg) with map-side combine and the top-30
     as TakeOrderedAndProject (per-partition heaps, no window). The
     unigram aggregation (shuffle 2, vocabulary-keyed) is REDUCED to
     the <= 60 distinct top-bigram terms by a broadcast semi-join
@@ -586,11 +587,13 @@ def q105_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from dataingestiontohana_spark.functions.text import (
         tokens,
-        word_shingles,
+        word_bigrams,
     )
 
     d = load_table(spark, sf_dir, "documents")
-    bg = d.select(F.explode(word_shingles(F.col("text"), 2)).alias("bg"))
+    bg = d.select(F.explode(word_bigrams(F.col("text"))).alias("p")).select(
+        F.concat_ws(" ", F.col("p.0"), F.col("p.1")).alias("bg")
+    )
     bc = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_xy"))
     bc = bc.localCheckpoint(eager=False)  # feeds top-30 AND the total
     top = (
@@ -603,19 +606,26 @@ def q105_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)  # feeds term set AND both joins
     )
-    uni = (
-        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)  # feeds the total AND the semi
-    )
+    toks = d.select(
+        F.explode(tokens(F.col("text"))).alias("tok")
+    ).localCheckpoint(eager=False)  # feeds the total AND the term counts
     terms = (
         top.select(F.col("w1").alias("tok"))
         .unionByName(top.select(F.col("w2").alias("tok")))
         .distinct()
     )
-    tc = uni.join(F.broadcast(terms), "tok", "left_semi")
-    n_uni = uni.agg(F.sum("c").cast("decimal(38,0)").alias("n_uni"))
+    # the unigram counts only matter for the <= 60 surviving terms, so
+    # the token stream is broadcast-semi-FILTERED before its groupBy —
+    # the shuffle carries term hits only, never the full vocabulary;
+    # and the stream total is a keyless count, no vocabulary shuffle
+    # at all (the first cut aggregated every distinct token: ~1 s at
+    # sf0.1, a billion-key exchange at 100 TB, all to read 60 rows)
+    tc = (
+        toks.join(F.broadcast(terms), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_uni = toks.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n_uni"))
     n_bi = bc.agg(F.sum("c_xy").cast("decimal(38,0)").alias("n_bi"))
     dec = "decimal(38,0)"
     num = (
