@@ -229,6 +229,10 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("w1", "string"), ("w2", "string"), ("c_xy", "bigint"),
         ("c_x", "bigint"), ("c_y", "bigint"), ("pmi", "double"),
     ],
+    "q108_textrank": [
+        ("tok", "string"), ("freq", "bigint"), ("degree", "int"),
+        ("w_sum", "bigint"), ("rank_fp", "bigint"), ("rank", "double"),
+    ],
     "q47_sessionize": [
         ("user_id", "bigint"), ("n_sessions", "bigint"),
         ("n_events", "bigint"),
@@ -363,7 +367,7 @@ BUNDLES: dict[str, list[str]] = {
     "q26_28_quality": [
         "q26_quality_score", "q28_fingerprint", "q79_pii_redaction",
         "q80_bm25_topk", "q91_token_rarity", "q93_gopher_rules",
-        "q105_pmi_bigrams",
+        "q105_pmi_bigrams", "q108_textrank",
     ],
     "q22_29_exact_dedup": [
         "q22_exact_dedup_count", "q29_exact_dedup", "q92_segment_dedup",

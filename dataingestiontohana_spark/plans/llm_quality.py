@@ -686,3 +686,188 @@ ORACLES["q105_pmi_bigrams"] = f"""
     JOIN uni y ON y.tok = t.w2, nu, nb
     ORDER BY c_xy DESC, w1, w2
 """
+
+
+# TextRank (Mihalcea & Tarau 2004): PageRank over the word
+# co-occurrence graph, restricted to the top-N frequency candidates
+# (the standard candidate-filter step). All rank arithmetic is
+# FIXED-POINT: scores are integers scaled by 1e12, every contribution
+# is (rank*cnt) // w and every damping step (85*sum) // 100 — floor
+# divisions of non-negative integers, identical in Python and DuckDB
+# (`//` truncation == floor for non-negatives), so ten iterations stay
+# bit-exact across engines with NO floating point until the final
+# display division.
+_TR_SCALE = 10**12
+_TR_ITERS = 10
+_TR_CANDIDATES = 100
+_TR_TOPK = 20
+
+
+def q108_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus keywords by TextRank — fixed-point PageRank over
+    the adjacency (bigram) co-occurrence graph of the 100 most
+    frequent tokens.
+
+    Scale shape: the distributed work is the two corpus passes — the
+    candidate head (token aggregation with map-side combine, top-100
+    as TakeOrderedAndProject) and the edge build (codegen
+    word_bigrams explode, both endpoints broadcast-semi-filtered to
+    the 100 candidates BEFORE the pair aggregation, so that shuffle
+    carries only candidate-pair hits). The graph itself is then at
+    most C(100,2) weighted edges — DRIVER-TINY by construction, the
+    same reduced-state argument as the BPE merge loop and the q83
+    k-means replay — and the 10 rank iterations run as exact python
+    integer arithmetic on it. Self-loops are excluded; isolated
+    candidates keep the teleport mass. Ties (the top-100 cut, the
+    final top-20 cut) break on the token string.
+
+    The DuckDB oracle replays EVERYTHING: candidate cut, edge counts,
+    per-node incident weight, and all ten fixed-point iterations as
+    unrolled CTEs — rank_fp is value-compared as an exact integer.
+    """
+    from dataingestiontohana_spark.functions.text import (
+        tokens,
+        word_bigrams,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    cand = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(_TR_CANDIDATES)
+        .localCheckpoint(eager=False)  # feeds two semis + the output
+    )
+    bgp = (
+        d.select(F.explode(word_bigrams(F.col("text"))).alias("p"))
+        .select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+        .where(F.col("w1") != F.col("w2"))
+    )
+    edges = (
+        bgp.join(
+            F.broadcast(cand.select(F.col("tok").alias("w1"))), "w1", "left_semi"
+        )
+        .join(
+            F.broadcast(cand.select(F.col("tok").alias("w2"))), "w2", "left_semi"
+        )
+        .select(
+            F.least("w1", "w2").alias("a"),
+            F.greatest("w1", "w2").alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # reduced state: <= C(100,2) rows + the 100-row candidate head
+    erows = edges.collect()
+    crows = cand.collect()
+    nodes = sorted(r["tok"] for r in crows)
+    freq = {r["tok"]: r["freq"] for r in crows}
+    w: dict[str, int] = {v: 0 for v in nodes}
+    deg: dict[str, int] = {v: 0 for v in nodes}
+    adj: list[tuple[str, str, int]] = []
+    for r in erows:
+        adj.append((r["a"], r["b"], r["cnt"]))
+        adj.append((r["b"], r["a"], r["cnt"]))
+        for v in (r["a"], r["b"]):
+            w[v] += r["cnt"]
+            deg[v] += 1
+    n = len(nodes)
+    tele = (15 * _TR_SCALE) // (100 * n)
+    rank = {v: _TR_SCALE // n for v in nodes}
+    for _ in range(_TR_ITERS):
+        s = {v: 0 for v in nodes}
+        for u, v, cnt in adj:
+            s[v] += (rank[u] * cnt) // w[u]
+        rank = {v: tele + (85 * s[v]) // 100 for v in nodes}
+    out = spark.createDataFrame(
+        [
+            (v, int(freq[v]), int(deg[v]), int(w[v]), int(rank[v]))
+            for v in nodes
+        ],
+        "tok string, freq bigint, degree int, w_sum bigint, rank_fp bigint",
+    )
+    return (
+        out.select(
+            "tok",
+            "freq",
+            "degree",
+            "w_sum",
+            "rank_fp",
+            (F.col("rank_fp").cast("double") / F.lit(float(_TR_SCALE))).alias(
+                "rank"
+            ),
+        )
+        .orderBy(F.desc("rank_fp"), "tok")
+        .limit(_TR_TOPK)
+    )
+
+
+QUERIES["q108_textrank"] = q108_textrank
+
+
+def _q108_oracle_sql() -> str:
+    """The full TextRank replay in ANSI SQL: candidate cut, edge
+    build, incident weights, and the ten fixed-point iterations as
+    unrolled CTEs (all `//` operands are non-negative, so DuckDB's
+    truncation == Python floor)."""
+    s = _TR_SCALE
+    iters = "".join(
+        f"""
+    r{k + 1} AS (
+      SELECT c.tok AS node,
+             (SELECT (15 * {s}) // (100 * COUNT(*)) FROM cand)
+             + (85 * COALESCE(
+                 (SELECT SUM((CAST(r.rank AS HUGEINT) * d.cnt) // w.w)
+                  FROM dir d
+                  JOIN wsum w ON w.u = d.u
+                  JOIN r{k} r ON r.node = d.u
+                  WHERE d.v = c.tok), 0)) // 100 AS rank
+      FROM cand c),"""
+        for k in range(_TR_ITERS)
+    )
+    return f"""
+    WITH {{_TOK_CTE}},
+    cand AS (
+      SELECT tok, COUNT(*) AS freq
+      FROM (SELECT unnest(toks) AS tok FROM tok)
+      GROUP BY tok ORDER BY freq DESC, tok LIMIT {_TR_CANDIDATES}),
+    bgs AS (
+      SELECT split_part(bgx, ' ', 1) AS w1, split_part(bgx, ' ', 2) AS w2
+      FROM (SELECT unnest(list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i + 1])) AS bgx
+            FROM tok)),
+    e AS (
+      SELECT least(w1, w2) AS a, greatest(w1, w2) AS b,
+             COUNT(*) AS cnt
+      FROM bgs
+      WHERE w1 <> w2
+        AND w1 IN (SELECT tok FROM cand)
+        AND w2 IN (SELECT tok FROM cand)
+      GROUP BY 1, 2),
+    dir AS (SELECT a AS u, b AS v, cnt FROM e
+            UNION ALL SELECT b, a, cnt FROM e),
+    wsum AS (SELECT u, SUM(cnt) AS w FROM dir GROUP BY u),
+    degs AS (SELECT u, COUNT(*) AS degree FROM dir GROUP BY u),
+    r0 AS (
+      SELECT tok AS node,
+             CAST({s} // (SELECT COUNT(*) FROM cand) AS HUGEINT) AS rank
+      FROM cand),{iters}
+    final AS (
+      SELECT c.tok, c.freq,
+             COALESCE(d.degree, 0) AS degree,
+             COALESCE(w.w, 0) AS w_sum,
+             r.rank AS rank_fp
+      FROM cand c
+      LEFT JOIN degs d ON d.u = c.tok
+      LEFT JOIN wsum w ON w.u = c.tok
+      JOIN r{_TR_ITERS} r ON r.node = c.tok)
+    SELECT tok, CAST(freq AS BIGINT) AS freq, CAST(degree AS INT) AS degree,
+           CAST(w_sum AS BIGINT) AS w_sum, CAST(rank_fp AS BIGINT) AS rank_fp,
+           CAST(rank_fp AS DOUBLE) / {float(s)} AS rank
+    FROM final
+    ORDER BY rank_fp DESC, tok LIMIT {_TR_TOPK}
+    """
+
+
+ORACLES["q108_textrank"] = _q108_oracle_sql().format(_TOK_CTE=_TOK_CTE)
