@@ -233,6 +233,13 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("tok", "string"), ("freq", "bigint"), ("degree", "int"),
         ("w_sum", "bigint"), ("rank_fp", "bigint"), ("rank", "double"),
     ],
+    "q75_tfidf_doc_scores": [
+        ("doc_id", "bigint"), ("tfidf_sum", "double"),
+    ],
+    "q109_rrf_fusion": [
+        ("doc_id", "bigint"), ("ra", "int"), ("rb", "int"),
+        ("rrf", "double"),
+    ],
     "q47_sessionize": [
         ("user_id", "bigint"), ("n_sessions", "bigint"),
         ("n_events", "bigint"),
@@ -426,6 +433,10 @@ BUNDLES: dict[str, list[str]] = {
         "q47_sessionize", "q106_markov_transitions",
         "q107_hourly_autocorr",
     ],
+    # round 6: the q75 single grew into the retrieval bundle —
+    # TF-IDF salience plus reciprocal-rank fusion of the BM25 and
+    # TF-IDF rankings (hybrid retrieval)
+    "q75_109_retrieval": ["q75_tfidf_doc_scores", "q109_rrf_fusion"],
 }
 
 # fine queries exported unchanged, in this order (headline queries
@@ -438,7 +449,7 @@ SINGLES: list[str] = [
     "q48_correlated_subquery", "q69_fuzzy_name_join",
     "q36_media_byte_features", "q65_sketch_audit", "q66_dedup_clusters",
     "q71_decimal_interval", "q72_bucketed_join", "q73_embed_neardup",
-    "q74_repetition_filter", "q75_tfidf_doc_scores", "q76_variant_extract",
+    "q74_repetition_filter", "q76_variant_extract",
 ]
 
 _SLOT_OF = {

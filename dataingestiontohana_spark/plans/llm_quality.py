@@ -83,6 +83,16 @@ def q75_tfidf_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     differ by 1 ulp between JVM and libm.
     """
     d = load_table(spark, sf_dir, "documents")
+    return (
+        _tfidf_frame(d)
+        .orderBy(F.desc("tfidf_sum"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _tfidf_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, tfidf_sum) for every document — the q75 dataflow minus
+    the top-k, shared with the q109 rank-fusion pool."""
     n_docs = d.count()  # scalar: one number to the driver
     base = d.select(
         "doc_id", tokens(F.col("text")).alias("toks")
@@ -93,7 +103,7 @@ def q75_tfidf_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
     )
     df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    scored = (
+    return (
         tf.join(df_, "tok")
         .withColumn(
             "tfidf",
@@ -103,7 +113,6 @@ def q75_tfidf_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum("tfidf"), 6).alias("tfidf_sum"))
     )
-    return scored.orderBy(F.desc("tfidf_sum"), F.asc("doc_id")).limit(20)
 
 
 # Okapi BM25 (Robertson/Sparck Jones, the TREC-standard retrieval
@@ -132,6 +141,12 @@ def q80_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject. Scores rounded to 6 on both sides (1-ulp
     ln/libm divergence, the q75 precedent)."""
     d = load_table(spark, sf_dir, "documents")
+    return _bm25_frame(d).orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20)
+
+
+def _bm25_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, bm25) for every document matching the fixed query —
+    the q80 dataflow minus the top-k, shared with q109."""
     tok = d.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("t")
     )
@@ -165,14 +180,13 @@ def q80_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    scored = (
+    return (
         tf.join(F.broadcast(df_), "t")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.round(F.sum(idf * wt), 6).alias("bm25"))
     )
-    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20)
 
 
 QUERIES = {
@@ -871,3 +885,120 @@ def _q108_oracle_sql() -> str:
 
 
 ORACLES["q108_textrank"] = _q108_oracle_sql().format(_TOK_CTE=_TOK_CTE)
+
+
+# Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009): the
+# standard hybrid-retrieval combiner. k=60 is the paper's constant;
+# pools of 50 per ranker.
+RRF_K = 60
+RRF_POOL = 50
+
+
+def q109_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: the BM25 ranking (q80's fixed term query) and
+    the TF-IDF salience ranking fused by reciprocal-rank —
+    rrf(d) = sum over rankers of 1/(k + rank_i(d)) over each ranker's
+    top-50 pool, top-20 fused results out.
+
+    Exactness: ranks are integers from total orders (score desc,
+    doc_id — scores carry the q75/q80 round-to-6, so both engines
+    agree on the order); each 1/(k+rank) is one IEEE division of
+    exact operands and the fusion is ONE addition in fixed expression
+    order — no rounding needed anywhere.
+
+    Scale shape: both ranker dataflows are the audited q75/q80 shapes
+    (shared helpers — the fused query inherits their shuffle
+    discipline); the pools are 50-row TakeOrderedAndProject heads, so
+    the row_number windows and the full-outer join operate on <= 50
+    rows each (the sanctioned below-Limit shape). Missing membership
+    contributes 0 via coalesce, exactly the paper's convention.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    a = (
+        _bm25_frame(d)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(RRF_POOL)
+    )
+    b = (
+        _tfidf_frame(d)
+        .orderBy(F.desc("tfidf_sum"), F.asc("doc_id"))
+        .limit(RRF_POOL)
+    )
+    ra = a.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("ra"),
+    )
+    rb = b.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("tfidf_sum"), F.asc("doc_id")))
+        .alias("rb"),
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("ra")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rb")), F.lit(0.0))
+    return (
+        ra.join(rb, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.col("ra").cast("int").alias("ra"),
+            F.col("rb").cast("int").alias("rb"),
+            rrf.alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+QUERIES["q109_rrf_fusion"] = q109_rrf_fusion
+
+ORACLES["q109_rrf_fusion"] = f"""
+    WITH {_TOK_CTE},
+    base AS (
+      SELECT doc_id, unnest(toks) AS t FROM tok),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM base GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, t, COUNT(*) AS tf
+      FROM base WHERE t IN ('join', 'vector', 'stream', 'dup')
+      GROUP BY doc_id, t),
+    df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+    bm AS (
+      SELECT doc_id,
+             ROUND(SUM(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+             ), 6) AS bm25
+      FROM tf JOIN df USING (t) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id ASC LIMIT {RRF_POOL}),
+    tf2 AS (
+      SELECT b.doc_id, b.t, COUNT(*) AS tf, ANY_VALUE(d.dl) AS dl
+      FROM base b JOIN dl d USING (doc_id) GROUP BY b.doc_id, b.t),
+    df2 AS (SELECT t, COUNT(*) AS df FROM tf2 GROUP BY t),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    ti AS (
+      SELECT doc_id,
+             ROUND(SUM((tf * 1.0 / dl) * ln(n_docs * 1.0 / df)), 6)
+               AS tfidf_sum
+      FROM tf2 JOIN df2 USING (t) CROSS JOIN n
+      GROUP BY doc_id
+      ORDER BY tfidf_sum DESC, doc_id ASC LIMIT {RRF_POOL}),
+    ra AS (SELECT doc_id,
+                  ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS ra
+           FROM bm),
+    rb AS (SELECT doc_id,
+                  ROW_NUMBER() OVER (ORDER BY tfidf_sum DESC, doc_id) AS rb
+           FROM ti)
+    SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+           CAST(ra.ra AS INT) AS ra,
+           CAST(rb.rb AS INT) AS rb,
+           COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + ra.ra), 0.0)
+           + COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + rb.rb), 0.0) AS rrf
+    FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+    ORDER BY rrf DESC, doc_id ASC LIMIT 20
+"""
