@@ -717,6 +717,32 @@ _TR_CANDIDATES = 100
 _TR_TOPK = 20
 
 
+def fixed_point_pagerank(
+    nodes: list[str],
+    adj: list[tuple[str, str, int]],
+    w: dict[str, int],
+    iters: int = _TR_ITERS,
+    scale: int = _TR_SCALE,
+) -> dict[str, int]:
+    """The exact integer PageRank kernel q108 runs on the reduced
+    co-occurrence graph (directed weighted edges (u, v, cnt); w[u] =
+    u's total outgoing weight). Pure python ints so it is directly
+    property-testable (tests/test_textrank.py) and byte-matches the
+    oracle's unrolled-CTE replay: contributions floor-divide as
+    (rank*cnt) // w, damping as (85*sum) // 100, teleport mass
+    (15*scale) // (100*n) — all operands non-negative, so python
+    floor == DuckDB truncation."""
+    n = len(nodes)
+    tele = (15 * scale) // (100 * n)
+    rank = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        s = {v: 0 for v in nodes}
+        for u, v, cnt in adj:
+            s[v] += (rank[u] * cnt) // w[u]
+        rank = {v: tele + (85 * s[v]) // 100 for v in nodes}
+    return rank
+
+
 def q108_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 corpus keywords by TextRank — fixed-point PageRank over
     the adjacency (bigram) co-occurrence graph of the 100 most
@@ -786,14 +812,7 @@ def q108_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         for v in (r["a"], r["b"]):
             w[v] += r["cnt"]
             deg[v] += 1
-    n = len(nodes)
-    tele = (15 * _TR_SCALE) // (100 * n)
-    rank = {v: _TR_SCALE // n for v in nodes}
-    for _ in range(_TR_ITERS):
-        s = {v: 0 for v in nodes}
-        for u, v, cnt in adj:
-            s[v] += (rank[u] * cnt) // w[u]
-        rank = {v: tele + (85 * s[v]) // 100 for v in nodes}
+    rank = fixed_point_pagerank(nodes, adj, w)
     out = spark.createDataFrame(
         [
             (v, int(freq[v]), int(deg[v]), int(w[v]), int(rank[v]))
