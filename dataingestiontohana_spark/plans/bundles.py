@@ -106,6 +106,10 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q85_hash_embed": [
         ("doc_id", "bigint"), ("dim", "int"), ("v", "bigint"),
     ],
+    "q110_unigram_surprise": [
+        ("doc_id", "bigint"), ("n_tokens", "bigint"),
+        ("lp_sum_q6", "bigint"), ("avg_lp", "double"), ("ppl", "double"),
+    ],
     "q52_observe_audit": [("lang", "string"), ("docs", "bigint")],
     "q25_token_stats": [
         ("source", "string"), ("docs", "bigint"),
@@ -364,7 +368,7 @@ BUNDLES: dict[str, list[str]] = {
     ],
     "q21_27_52_language": [
         "q21_lang_stats", "q27_lang_id", "q52_observe_audit",
-        "q85_hash_embed",
+        "q85_hash_embed", "q110_unigram_surprise",
     ],
     "q25_51_61_tokens": [
         "q25_token_stats", "q51_bpe_token_stats", "q61_token_topk",

@@ -288,3 +288,99 @@ ORACLES = {
 }
 
 ORACLES["q85_hash_embed"] = _HASH_EMBED_ORACLE
+
+
+def q110_unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 most SURPRISING documents under the corpus's own unigram
+    language model — the perplexity-filter primitive (CCNet-style LM
+    filtering, here with the corpus itself as the model so no external
+    artifact is needed): avg_lp = mean over tokens of ln p(tok),
+    ppl = exp(-avg_lp). High-ppl docs are the gibberish/low-quality
+    tail a curation pipeline quarantines.
+
+    Exactness: each TYPE's log-probability quantizes ONCE to the exact
+    integer round(ln(c/N)*1e6) (one ln of one IEEE division, SQL-ROUND
+    to an int64 — the q100 1e-4-grid maneuver at 1e-6); per-doc sums
+    of those ints are order-independent; avg_lp is one IEEE division
+    (sum / (n_tok*1e6)) and only ppl = exp(-avg_lp) re-enters libm,
+    rounded to 6 (q75 precedent).
+
+    Scale shape: explode -> groupBy(doc_id, tok) for per-doc type
+    counts (map-side combine collapses repeats), vocabulary counts
+    aggregate from THAT frame (the q75 two-aggregation shape), join
+    back on tok (sort-merge on the shared token partitioning), final
+    groupBy(doc_id). N rides a 1-row broadcast crossJoin. Top-20 is
+    TakeOrderedAndProject.
+    """
+    from dataingestiontohana_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)  # feeds vocab agg AND the join
+    )
+    vocab = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
+    n_total = vocab.agg(F.sum("c").cast("decimal(38,0)").alias("n"))
+    lp = F.round(
+        F.log(F.col("c").cast("double") / F.col("n").cast("double"))
+        * F.lit(1000000.0),
+        0,
+    ).cast("bigint")
+    scored = (
+        tf.join(vocab, "tok")
+        .crossJoin(F.broadcast(n_total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("tf") * lp).cast("bigint").alias("lp_sum_q6"),
+        )
+    )
+    avg_lp = F.col("lp_sum_q6").cast("double") / (
+        F.col("n_tokens") * F.lit(1000000)
+    ).cast("double")
+    return (
+        scored.select(
+            "doc_id",
+            "n_tokens",
+            "lp_sum_q6",
+            avg_lp.alias("avg_lp"),
+            F.round(F.exp(-avg_lp), 6).alias("ppl"),
+        )
+        .orderBy("avg_lp", "doc_id")
+        .limit(20)
+    )
+
+
+QUERIES["q110_unigram_surprise"] = q110_unigram_surprise
+
+from dataingestiontohana_spark.functions.text import (  # noqa: E402
+    TOKENS_SQL_CTE as _TOK_CTE110,
+)
+
+ORACLES["q110_unigram_surprise"] = f"""
+    WITH {_TOK_CTE110},
+    tf AS (
+      SELECT doc_id, tok2 AS tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS tok2 FROM tok)
+      GROUP BY doc_id, tok2),
+    vocab AS (SELECT tok, SUM(tf) AS c FROM tf GROUP BY tok),
+    n AS (SELECT CAST(SUM(c) AS HUGEINT) AS n FROM vocab),
+    scored AS (
+      SELECT doc_id,
+             CAST(SUM(tf) AS BIGINT) AS n_tokens,
+             CAST(SUM(tf * CAST(round(ln(CAST(c AS DOUBLE)
+                                          / CAST(n.n AS DOUBLE))
+                                      * 1000000.0, 0) AS BIGINT))
+                  AS BIGINT) AS lp_sum_q6
+      FROM tf JOIN vocab USING (tok) CROSS JOIN n
+      GROUP BY doc_id)
+    SELECT doc_id, n_tokens, lp_sum_q6,
+           CAST(lp_sum_q6 AS DOUBLE)
+             / CAST(n_tokens * 1000000 AS DOUBLE) AS avg_lp,
+           round(exp(-(CAST(lp_sum_q6 AS DOUBLE)
+                       / CAST(n_tokens * 1000000 AS DOUBLE))), 6) AS ppl
+    FROM scored
+    ORDER BY avg_lp, doc_id LIMIT 20
+"""
