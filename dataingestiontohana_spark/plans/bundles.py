@@ -110,6 +110,11 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("doc_id", "bigint"), ("n_tokens", "bigint"),
         ("lp_sum_q6", "bigint"), ("avg_lp", "double"), ("ppl", "double"),
     ],
+    "q111_source_entropy": [
+        ("source", "string"), ("types", "bigint"), ("n_tokens", "bigint"),
+        ("ent_sum_q6", "bigint"), ("entropy", "double"),
+        ("h_norm", "double"),
+    ],
     "q52_observe_audit": [("lang", "string"), ("docs", "bigint")],
     "q25_token_stats": [
         ("source", "string"), ("docs", "bigint"),
@@ -396,6 +401,7 @@ BUNDLES: dict[str, list[str]] = {
     "q57_58_59_sampling": [
         "q57_hash_split", "q58_stratified_sample", "q59_dataset_mix",
         "q102_dist_drift", "q103_chi2_independence",
+        "q111_source_entropy",
     ],
     "q32_70_shingle_exact": [
         "q32_ngram_jaccard", "q70_split_contamination", "q89_substring_dup",

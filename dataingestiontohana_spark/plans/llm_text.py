@@ -384,3 +384,94 @@ ORACLES["q110_unigram_surprise"] = f"""
     FROM scored
     ORDER BY avg_lp, doc_id LIMIT 20
 """
+
+
+def q111_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per source — the diversity /
+    mode-collapse monitor for a training mixture (a source whose
+    entropy collapses is emitting templated or duplicated text; the
+    normalized form H/ln(types) compares sources of different
+    vocabulary sizes on one scale).
+
+    Exactness (the q110 integer-grid maneuver): H = -(1/N) * sum over
+    types of c*ln(c/N); each type's ln(c/N) quantizes ONCE to the
+    exact int64 round(ln(c/N)*1e6), the weighted sum is exact integer
+    arithmetic, and H is one IEEE division. Only h_norm's ln(types)
+    re-enters libm (round 6).
+
+    Scale shape: ONE full-data shuffle — groupBy(source, tok) with
+    map-side combine; everything after operates on the (source,
+    vocabulary) frame: per-source totals reduce it to |sources| rows
+    broadcast back, and the entropy aggregation reduces it again.
+    """
+    from dataingestiontohana_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tc = (
+        d.select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # feeds totals AND the entropy agg
+    )
+    ns = tc.groupBy("source").agg(F.sum("c").alias("n"))
+    lp = F.round(
+        F.log(F.col("c").cast("double") / F.col("n").cast("double"))
+        * F.lit(1000000.0),
+        0,
+    ).cast("bigint")
+    g = (
+        tc.join(F.broadcast(ns), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("types"),
+            F.first("n").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("c") * lp).cast("bigint").alias("ent_sum_q6"),
+        )
+    )
+    h = -(
+        F.col("ent_sum_q6").cast("double")
+        / (F.col("n_tokens") * F.lit(1000000)).cast("double")
+    )
+    return (
+        g.select(
+            "source",
+            "types",
+            "n_tokens",
+            "ent_sum_q6",
+            h.alias("entropy"),
+            F.round(h / F.log(F.col("types").cast("double")), 6).alias(
+                "h_norm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["q111_source_entropy"] = q111_source_entropy
+
+ORACLES["q111_source_entropy"] = f"""
+    WITH {_TOK_CTE110},
+    tc AS (
+      SELECT d.source, tok2 AS tok, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(toks) AS tok2 FROM tok) u
+      JOIN documents d USING (doc_id)
+      GROUP BY d.source, tok2),
+    ns AS (SELECT source, SUM(c) AS n FROM tc GROUP BY source),
+    g AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS types,
+             CAST(ANY_VALUE(n) AS BIGINT) AS n_tokens,
+             CAST(SUM(c * CAST(round(ln(CAST(c AS DOUBLE)
+                                         / CAST(n AS DOUBLE))
+                                     * 1000000.0, 0) AS BIGINT))
+                  AS BIGINT) AS ent_sum_q6
+      FROM tc JOIN ns USING (source)
+      GROUP BY source)
+    SELECT source, types, n_tokens, ent_sum_q6,
+           -(CAST(ent_sum_q6 AS DOUBLE)
+             / CAST(n_tokens * 1000000 AS DOUBLE)) AS entropy,
+           round(-(CAST(ent_sum_q6 AS DOUBLE)
+                   / CAST(n_tokens * 1000000 AS DOUBLE))
+                 / ln(CAST(types AS DOUBLE)), 6) AS h_norm
+    FROM g ORDER BY source
+"""

@@ -345,3 +345,74 @@ class TestHyperLogLog:
             e["s_scaled"],
             e["est"],
         )
+
+
+class TestStreamingHLLStore:
+    def test_incremental_stream_registers_equal_batch(
+        self, spark, tmp_path
+    ):
+        """The cardinality companion to the CMS store test: per-batch
+        HLL register tables fold into a persisted store via hll_merge
+        (element-wise max) on the live streaming path; the drained
+        store equals the one-shot batch registers ROW FOR ROW —
+        restart-safe <= 2^p-row state instead of a distinct-count
+        re-scan of history."""
+        import json
+        import os
+
+        from pyspark.sql import functions as SF
+
+        from dataingestiontohana_spark.operators.sketches import (
+            hll_merge,
+            hll_registers,
+        )
+
+        src = str(tmp_path / "src")
+        store = str(tmp_path / "hll_store")
+        os.makedirs(src)
+        texts = {
+            0: "spark scan join join filter",
+            1: "join filter scan scan scan",
+            2: "window agg spark spark join",
+        }
+        for b, t in texts.items():
+            with open(os.path.join(src, f"b{b}.json"), "w") as f:
+                f.write(json.dumps({"doc_id": b, "text": t}) + "\n")
+            os.utime(
+                os.path.join(src, f"b{b}.json"),
+                (1_000_000 + b, 1_000_000 + b),
+            )
+
+        def fold(batch_df, epoch_id):
+            tok = batch_df.select(
+                SF.explode(SF.split(SF.col("text"), " ")).alias("w")
+            )
+            shard = hll_registers(tok, "w")
+            if os.path.exists(os.path.join(store, "_SUCCESS")):
+                prev = spark.read.parquet(store)
+                merged = hll_merge(prev, shard).localCheckpoint(eager=True)
+            else:
+                merged = shard
+            merged.write.mode("overwrite").parquet(store)
+
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        all_tok = spark.createDataFrame(
+            [(w,) for t in texts.values() for w in t.split()], "w string"
+        )
+        whole = sorted(
+            map(tuple, hll_registers(all_tok, "w").collect())
+        )
+        stored = sorted(
+            map(tuple, spark.read.parquet(store).collect())
+        )
+        assert stored == whole
