@@ -115,6 +115,10 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("ent_sum_q6", "bigint"), ("entropy", "double"),
         ("h_norm", "double"),
     ],
+    "q112_weighted_sample": [
+        ("source", "string"), ("kept_docs", "bigint"),
+        ("kept_chars", "bigint"), ("avg_kept_chars", "double"),
+    ],
     "q52_observe_audit": [("lang", "string"), ("docs", "bigint")],
     "q25_token_stats": [
         ("source", "string"), ("docs", "bigint"),
@@ -401,7 +405,7 @@ BUNDLES: dict[str, list[str]] = {
     "q57_58_59_sampling": [
         "q57_hash_split", "q58_stratified_sample", "q59_dataset_mix",
         "q102_dist_drift", "q103_chi2_independence",
-        "q111_source_entropy",
+        "q111_source_entropy", "q112_weighted_sample",
     ],
     "q32_70_shingle_exact": [
         "q32_ngram_jaccard", "q70_split_contamination", "q89_substring_dup",

@@ -583,3 +583,63 @@ ORACLES["q103_chi2_independence"] = """
              AS reject_independence
     FROM g, s ORDER BY event_type
 """
+
+
+def q112_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional corpus downsampling — keep each document
+    with probability min(1, r * w / avg_w), w = n_chars, r = 0.3: the
+    importance-sampling step that preferentially keeps long/heavy
+    documents while hitting an overall rate near r. (q59 is the
+    categorical-rate mixer; this is its continuous-weight sibling.)
+
+    Exactness: u = hash-bucket/1e6 is an exact rational; the threshold
+    r * w / avg_w is a fixed-shape chain of IEEE ops on deterministic
+    doubles (avg_w = exact integer sum / exact count, one division);
+    the comparison therefore selects the SAME rows in both engines —
+    no libm anywhere, no rounding needed until the displayed rate.
+
+    Scale shape: one 1-row aggregate crossJoin-broadcast (the
+    literal-attach shape) then a map-only predicate on the scan — no
+    shuffle of document rows at all; the per-source report aggregation
+    reduces with map-side combine. The million-bucket hash uses the
+    overflow-free _bucket form (safe past 3.47e9 ids).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    avg_w = d.agg(
+        (
+            F.sum("n_chars").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_w")
+    )
+    u = _bucket(F.col("doc_id"), 1000000, salt=7) / F.lit(1000000.0)
+    thr = F.lit(0.3) * F.col("n_chars").cast("double") / F.col("avg_w")
+    kept = d.crossJoin(F.broadcast(avg_w)).where(u < thr)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("kept_docs"),
+            F.sum("n_chars").cast("bigint").alias("kept_chars"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 2).alias(
+                "avg_kept_chars"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["q112_weighted_sample"] = q112_weighted_sample
+
+ORACLES["q112_weighted_sample"] = """
+    WITH a AS (
+      SELECT CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS avg_w
+      FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS kept_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+           ROUND(AVG(CAST(n_chars AS DOUBLE)), 2) AS avg_kept_chars
+    FROM documents, a
+    WHERE (((doc_id + 7) * 2654435761) % 1000000) / 1000000.0
+          < 0.3 * CAST(n_chars AS DOUBLE) / avg_w
+    GROUP BY source ORDER BY source
+"""
