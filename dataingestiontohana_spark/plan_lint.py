@@ -45,17 +45,41 @@ def _subtree_is_reduced(window_node) -> bool:
     return False
 
 
+def _subtree_is_single_row(node) -> bool:
+    """True when this plan subtree provably produces AT MOST one row:
+    OneRowRelation, an ungrouped (global) Aggregate, a
+    row-preserving-or-reducing wrapper (Project/Filter) over such a
+    subtree, or a Join of two such subtrees (the 1x1 crossJoin that
+    chains scalar attachments). The optimizer routinely interposes
+    Filter(isnotnull(...))/Project between a join and the global
+    Aggregate feeding it, so a direct-child check misses sanctioned
+    literal-attach shapes."""
+    name = node.nodeName()
+    if "OneRowRelation" in name:
+        return True
+    if "Aggregate" in name:
+        try:
+            return node.groupingExpressions().isEmpty()
+        except Exception:
+            return False
+    if name in ("Project", "Filter") or "Join" in name:
+        try:
+            ch = node.children()
+            kids = [ch.apply(i) for i in range(ch.size())]
+        except Exception:
+            return False
+        return bool(kids) and all(_subtree_is_single_row(k) for k in kids)
+    return False
+
+
 def _row_estimate_is_single(node) -> bool:
-    """True when one side of a join is a literal single row (the
+    """True when one side of a join is a provable single row (the
     sanctioned 1-row crossJoin literal-attach pattern)."""
     try:
         ch = node.children()
         for i in range(ch.size()):
-            c = ch.apply(i)
-            if "OneRowRelation" in c.nodeName():
+            if _subtree_is_single_row(ch.apply(i)):
                 return True
-            if "Aggregate" in c.nodeName() and c.groupingExpressions().isEmpty():
-                return True  # global aggregate: exactly one row
     except Exception:
         pass
     return False

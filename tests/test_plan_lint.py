@@ -24,6 +24,28 @@ def test_allows_one_row_literal_attach(spark):
     assert lint_plan(a.crossJoin(F.broadcast(one))) == []
 
 
+def test_allows_wrapped_and_chained_one_row_attach(spark):
+    # the optimizer interposes Filter(isnotnull)/Project between the
+    # join and the global Aggregate (a post-crossJoin WHERE on the
+    # attached scalar), and scalar attachments CHAIN as 1x1 joins —
+    # both are the sanctioned literal-attach shape
+    a = spark.range(100)
+    s1 = spark.range(100).agg(F.avg("id").alias("m"))
+    s2 = spark.range(100).agg(F.count(F.lit(1)).alias("n"))
+    filtered = a.crossJoin(F.broadcast(s1)).where(F.col("id") < F.col("m"))
+    assert lint_plan(filtered) == []
+    chained = a.crossJoin(F.broadcast(s1.crossJoin(s2)))
+    assert lint_plan(chained) == []
+
+
+def test_still_flags_multirow_side_behind_projection(spark):
+    # a Project over a MULTI-row subtree must not launder the cross
+    a = spark.range(100)
+    b = spark.range(50).select((F.col("id") * 2).alias("j"))
+    problems = lint_plan(a.crossJoin(b))
+    assert any("cross join" in p or "CartesianProduct" in p for p in problems)
+
+
 def test_flags_unpartitioned_window_over_unreduced_input(spark):
     from pyspark.sql.window import Window
 
