@@ -160,3 +160,15 @@ def word_bigrams(col: Column | str) -> Column:
     return F.arrays_zip(
         F.slice(toks, 1, sz - 1), F.slice(toks, 2, sz - 1)
     )
+
+
+def word_trigrams(col: Column | str) -> Column:
+    """3-token shingles as array<struct> (fields "0","1","2") — the
+    codegen sibling of :func:`word_bigrams` (arrays_zip of three
+    offset slices; the transform()-lambda shingle path runs
+    interpreted). Documents with < 3 tokens zip empty."""
+    toks = tokens(col)
+    ln = F.greatest(F.size(toks) - 2, F.lit(0))
+    return F.arrays_zip(
+        F.slice(toks, 1, ln), F.slice(toks, 2, ln), F.slice(toks, 3, ln)
+    )

@@ -119,6 +119,15 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("source", "string"), ("kept_docs", "bigint"),
         ("kept_chars", "bigint"), ("avg_kept_chars", "double"),
     ],
+    "q113_shingle_novelty": [
+        ("doc_id", "bigint"), ("n_shingles", "bigint"),
+        ("uniq_shingles", "bigint"), ("novelty", "double"),
+    ],
+    "q114_cusum_changepoint": [
+        ("event_type", "string"), ("n_hours", "bigint"),
+        ("n_events", "bigint"), ("cp_hour", "bigint"),
+        ("s_max", "bigint"), ("shift_score", "double"),
+    ],
     "q52_observe_audit": [("lang", "string"), ("docs", "bigint")],
     "q25_token_stats": [
         ("source", "string"), ("docs", "bigint"),
@@ -409,7 +418,7 @@ BUNDLES: dict[str, list[str]] = {
     ],
     "q32_70_shingle_exact": [
         "q32_ngram_jaccard", "q70_split_contamination", "q89_substring_dup",
-        "q95_bloom_decontaminate",
+        "q95_bloom_decontaminate", "q113_shingle_novelty",
     ],
     # oracle-backed since round 3: the seeded hyperplanes embed as
     # literal sign coefficients, the IVF centroid pick is a portable
@@ -445,7 +454,7 @@ BUNDLES: dict[str, list[str]] = {
     # lag-1 autocorrelation of the hourly arrival series
     "q47_106_107_sequences": [
         "q47_sessionize", "q106_markov_transitions",
-        "q107_hourly_autocorr",
+        "q107_hourly_autocorr", "q114_cusum_changepoint",
     ],
     # round 6: the q75 single grew into the retrieval bundle —
     # TF-IDF salience plus reciprocal-rank fusion of the BM25 and

@@ -618,3 +618,97 @@ def _q95_oracle_sql() -> str:
 
 
 ORACLES["q95_bloom_decontaminate"] = _q95_oracle_sql()
+
+
+def q113_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document shingle novelty — the fraction of a document's
+    DISTINCT 3-shingles that appear in no other document. Low novelty
+    = heavily shared text (boilerplate/near-dup/memorization risk);
+    the 20 LEAST-novel documents with >= 5 shingles are reported, the
+    same contamination-triage view as q32's pairwise Jaccard but as a
+    per-document scalar a pipeline can threshold on.
+
+    Exactness: counts are exact integers; novelty is one IEEE
+    division. Shingles come from codegen word_trigrams (arrays_zip of
+    three slices — no interpreted lambda); equality keys on the
+    concat_ws string so the DuckDB twin groups identically.
+
+    Scale shape: explode -> dropDuplicates(doc_id, sh) (shuffle 1,
+    map-side combined) feeds BOTH the df aggregation (shuffle 2 on
+    the shingle — partial agg caps each map task at |distinct
+    shingles|) and the join back on sh (sort-merge on the same
+    partitioning); final groupBy(doc_id) re-reduces. The top-20 is
+    TakeOrderedAndProject. No window, no broadcast of anything
+    corpus-sized.
+    """
+    from dataingestiontohana_spark.functions.text import word_trigrams
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = (
+        d.select(
+            "doc_id", F.explode(word_trigrams(F.col("text"))).alias("t")
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.col("t.0"), F.col("t.1"), F.col("t.2")
+            ).alias("sh"),
+        )
+        .dropDuplicates(["doc_id", "sh"])
+        .localCheckpoint(eager=False)  # feeds df agg AND the join back
+    )
+    df_ = pairs.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        pairs.join(df_, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("int"))
+            .cast("bigint")
+            .alias("uniq_shingles"),
+        )
+        .where(F.col("n_shingles") >= 5)
+        .select(
+            "doc_id",
+            "n_shingles",
+            "uniq_shingles",
+            (
+                F.col("uniq_shingles").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("novelty"),
+        )
+        .orderBy("novelty", "doc_id")
+        .limit(20)
+    )
+
+
+QUERIES["q113_shingle_novelty"] = q113_shingle_novelty
+
+
+def _q113_oracle_sql() -> str:
+    from dataingestiontohana_spark.functions.text import TOKENS_SQL_CTE
+
+    return f"""
+        WITH {TOKENS_SQL_CTE},
+        pairs AS (
+          SELECT DISTINCT doc_id,
+                 toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS sh
+          FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+                FROM tok)),
+        dfc AS (SELECT sh, COUNT(*) AS df FROM pairs GROUP BY sh),
+        g AS (
+          SELECT doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                 CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS uniq_shingles
+          FROM pairs JOIN dfc USING (sh)
+          GROUP BY doc_id)
+        SELECT doc_id, n_shingles, uniq_shingles,
+               CAST(uniq_shingles AS DOUBLE)
+                 / CAST(n_shingles AS DOUBLE) AS novelty
+        FROM g WHERE n_shingles >= 5
+        ORDER BY novelty, doc_id LIMIT 20
+    """
+
+
+ORACLES["q113_shingle_novelty"] = _q113_oracle_sql()

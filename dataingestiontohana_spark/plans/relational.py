@@ -1176,3 +1176,120 @@ ORACLES["q107_hourly_autocorr"] = """
            END AS r1
     FROM g ORDER BY event_type
 """
+
+
+def q114_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detection per event type (Page 1954): over
+    the hourly arrival-count series, S_k = sum_{i<=k} (n*x_i - N) —
+    the mean-centered cumulative sum SCALED BY n so every value stays
+    an exact integer (x_i's deviation from the mean N/n times n). The
+    changepoint estimate is the hour maximizing |S_k|; s_max scaled
+    back by 1/(n*N) gives a dimensionless shift score in [0, 1).
+
+    Exactness: the whole statistic is integer arithmetic in
+    DECIMAL(38,0) until the final score division (one IEEE division
+    of exact operands). Argmax ties break on the EARLIEST hour.
+
+    Scale shape: one scan reduced to |types| x |hours| integer counts
+    (map-side combine), then windows and aggregations on that frame
+    only — the same discipline as q107. The argmax avoids max_by
+    (engine-specific tie rules): max(|S|) per type re-joins the tiny
+    cusum frame and takes min(hour) at the max, deterministic in both
+    engines.
+    """
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    hour = F.floor(
+        (
+            F.unix_timestamp(F.col("ts").cast("timestamp"))
+            - F.unix_timestamp(
+                F.lit("2024-01-01 00:00:00").cast("timestamp")
+            )
+        )
+        / 3600
+    ).cast("bigint")
+    dec = "decimal(38,0)"
+    hourly = (
+        e.select("event_type", hour.alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).cast(dec).alias("x"))
+    )
+    tot = hourly.groupBy("event_type").agg(
+        F.sum("x").alias("n_events"), F.count(F.lit(1)).cast(dec).alias("n_hours")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cus = (
+        hourly.join(F.broadcast(tot), "event_type")
+        .withColumn(
+            "s",
+            F.sum(F.col("x") * F.col("n_hours")).over(w)
+            - F.col("n_events")
+            * F.sum(F.lit(1).cast(dec)).over(w),
+        )
+        .select("event_type", "h", F.abs(F.col("s")).alias("abs_s"),
+                "n_events", "n_hours")
+        .localCheckpoint(eager=False)  # feeds the max agg AND the argmax
+    )
+    mx = cus.groupBy("event_type").agg(F.max("abs_s").alias("s_max"))
+    return (
+        cus.join(F.broadcast(mx), "event_type")
+        .where(F.col("abs_s") == F.col("s_max"))
+        .groupBy("event_type")
+        .agg(
+            F.first("n_hours").cast("bigint").alias("n_hours"),
+            F.first("n_events").cast("bigint").alias("n_events"),
+            F.min("h").cast("bigint").alias("cp_hour"),
+            F.first("s_max").cast("bigint").alias("s_max"),
+            (
+                F.first("s_max").cast("double")
+                / (F.first("n_hours") * F.first("n_events")).cast("double")
+            ).alias("shift_score"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["q114_cusum_changepoint"] = q114_cusum_changepoint
+
+ORACLES["q114_cusum_changepoint"] = """
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(floor(date_diff('second',
+                        TIMESTAMP '2024-01-01 00:00:00', ts) / 3600.0)
+                  AS BIGINT) AS h,
+             CAST(COUNT(*) AS HUGEINT) AS x
+      FROM events GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, SUM(x) AS n_events,
+             CAST(COUNT(*) AS HUGEINT) AS n_hours
+      FROM hourly GROUP BY event_type),
+    cus AS (
+      SELECT h.event_type, h.h,
+             abs(SUM(h.x * t.n_hours) OVER (
+                   PARTITION BY h.event_type ORDER BY h.h
+                   ROWS UNBOUNDED PRECEDING)
+                 - t.n_events
+                   * (ROW_NUMBER() OVER (
+                        PARTITION BY h.event_type ORDER BY h.h)))
+               AS abs_s,
+             t.n_events, t.n_hours
+      FROM hourly h JOIN tot t USING (event_type)),
+    mx AS (SELECT event_type, MAX(abs_s) AS s_max
+           FROM cus GROUP BY event_type)
+    SELECT c.event_type,
+           CAST(ANY_VALUE(c.n_hours) AS BIGINT) AS n_hours,
+           CAST(ANY_VALUE(c.n_events) AS BIGINT) AS n_events,
+           CAST(MIN(c.h) AS BIGINT) AS cp_hour,
+           CAST(ANY_VALUE(m.s_max) AS BIGINT) AS s_max,
+           CAST(ANY_VALUE(m.s_max) AS DOUBLE)
+             / CAST(ANY_VALUE(c.n_hours) * ANY_VALUE(c.n_events) AS DOUBLE)
+             AS shift_score
+    FROM cus c JOIN mx m USING (event_type)
+    WHERE c.abs_s = m.s_max
+    GROUP BY c.event_type ORDER BY c.event_type
+"""
