@@ -128,6 +128,10 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("n_events", "bigint"), ("cp_hour", "bigint"),
         ("s_max", "bigint"), ("shift_score", "double"),
     ],
+    "q115_theil_sen": [
+        ("event_type", "string"), ("n_pairs", "bigint"),
+        ("ts_slope_per_hour", "double"),
+    ],
     "q52_observe_audit": [("lang", "string"), ("docs", "bigint")],
     "q25_token_stats": [
         ("source", "string"), ("docs", "bigint"),
@@ -445,6 +449,7 @@ BUNDLES: dict[str, list[str]] = {
     "q20_84_timegrain": [
         "q20_time_bucket", "q84_hypertable_rollup", "q97_funnel",
         "q98_retention", "q99_gapfill_locf", "q100_linear_trend",
+        "q115_theil_sen",
     ],
     # round 5: q24 grew into a bundle with the one-scan per-column
     # dataset profiler (ingest-acceptance stats)

@@ -1293,3 +1293,85 @@ ORACLES["q114_cusum_changepoint"] = """
     WHERE c.abs_s = m.s_max
     GROUP BY c.event_type ORDER BY c.event_type
 """
+
+
+def q115_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type: the MEDIAN of all
+    pairwise slopes (x_j - x_i)/(h_j - h_i) over the hourly
+    arrival-count series — the estimator that shrugs off the outlier
+    bursts that drag q100's OLS slope around (29% breakdown point;
+    Sen 1968).
+
+    Exactness: every slope is ONE IEEE division of exact integers
+    (deterministic doubles); the median is the exact interpolated
+    percentile (Spark `percentile` == DuckDB `quantile_cont`, the
+    q101 identity — a midpoint of two deterministic doubles).
+    Displayed at 1e-6 rounding only to guard double formatting.
+
+    Scale shape: events reduce to the |types| x |hours| integer frame
+    FIRST (one map-side-combined shuffle); the pairwise self-join
+    runs entirely on that reduced frame — pair count grows with the
+    OBSERVED TIME SPAN squared, not data volume, so 100 TB of events
+    over the same month yields the same ~260k pairs per type. The
+    join is an equi-join on event_type with the h_j > h_i filter
+    applied in the join condition.
+    """
+    e = _t(spark, sf_dir, "events")
+    hour = F.floor(
+        (
+            F.unix_timestamp(F.col("ts").cast("timestamp"))
+            - F.unix_timestamp(
+                F.lit("2024-01-01 00:00:00").cast("timestamp")
+            )
+        )
+        / 3600
+    ).cast("bigint")
+    hourly = (
+        e.select("event_type", hour.alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .localCheckpoint(eager=False)  # both sides of the self-join
+    )
+    a = hourly.select(
+        "event_type", F.col("h").alias("h1"), F.col("x").alias("x1")
+    )
+    b = hourly.select(
+        "event_type", F.col("h").alias("h2"), F.col("x").alias("x2")
+    )
+    pairs = a.join(b, "event_type").where(F.col("h2") > F.col("h1"))
+    slope = (F.col("x2") - F.col("x1")).cast("double") / (
+        F.col("h2") - F.col("h1")
+    ).cast("double")
+    return (
+        pairs.select("event_type", slope.alias("s"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.expr("percentile(s, 0.5)"), 6).alias(
+                "ts_slope_per_hour"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["q115_theil_sen"] = q115_theil_sen
+
+ORACLES["q115_theil_sen"] = """
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(floor(date_diff('second',
+                        TIMESTAMP '2024-01-01 00:00:00', ts) / 3600.0)
+                  AS BIGINT) AS h,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.event_type,
+             CAST(b.x - a.x AS DOUBLE) / CAST(b.h - a.h AS DOUBLE) AS s
+      FROM hourly a JOIN hourly b
+        ON a.event_type = b.event_type AND b.h > a.h)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(quantile_cont(s, 0.5), 6) AS ts_slope_per_hour
+    FROM pairs GROUP BY event_type ORDER BY event_type
+"""
