@@ -132,6 +132,10 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("event_type", "string"), ("n_pairs", "bigint"),
         ("ts_slope_per_hour", "double"),
     ],
+    "q116_mmr_diversify": [
+        ("sel_order", "int"), ("vec_id", "bigint"), ("rel", "bigint"),
+        ("maxsim", "bigint"), ("score", "bigint"),
+    ],
     "q52_observe_audit": [("lang", "string"), ("docs", "bigint")],
     "q25_token_stats": [
         ("source", "string"), ("docs", "bigint"),
@@ -431,7 +435,7 @@ BUNDLES: dict[str, list[str]] = {
     # value-checked in SQL
     "q35_36b_ann": [
         "q35_ann_lsh", "q36b_ivf_topk", "q36c_ivf_batch_topk",
-        "q96_pq_topk",
+        "q96_pq_topk", "q116_mmr_diversify",
     ],
     "q30_31_lsh_neardup": ["q30_minhash_near_dup", "q31_simhash_clusters"],
     # oracle-backed since round 5: the synthetic SGM1 payload bytes are

@@ -1215,3 +1215,144 @@ def _q96_oracle_sql(
 
 
 ORACLES["q96_pq_topk"] = _q96_oracle_sql()
+
+
+# Maximal Marginal Relevance (Carbonell & Goldstein 1998): greedy
+# relevance-vs-redundancy selection. lambda = 0.7 carried as the
+# integer pair (7, 3) so every score is exact int64:
+# score = 7*rel - 3*max(sim to already-selected).
+MMR_POOL = 12
+MMR_SELECT = 5
+
+
+def q116_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval: the 5-of-12 MMR selection against the
+    vec_id=0 query — the dedup-aware re-ranker that keeps a result
+    list from filling up with near-duplicates of the best hit.
+
+    All similarity arithmetic is EXACT int64 on the 1e-6 ROUND grid
+    (the q96 convention): rel = integer dot(query, vec), pairwise
+    pool sims likewise, and each greedy step maximizes the integer
+    7*rel - 3*maxsim (ties -> smaller vec_id). The distributed work
+    is the corpus relevance pass (one Arrow-batched int64 matmul,
+    map-only) and the top-12 pool cut (TakeOrderedAndProject); the
+    12-vector pool is DRIVER-TINY reduced state (the q108 argument),
+    so the 5 selection rounds run as python integer arithmetic and
+    the DuckDB oracle replays them as unrolled CTEs — selection
+    order, scores and maxsims all value-compared.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from dataingestiontohana_spark.operators.pq import quantize_embeddings
+
+    e = load_table(spark, sf_dir, "embeddings")
+    eq = quantize_embeddings(e).localCheckpoint(eager=False)
+    qv = [int(x) for x in eq.where(F.col("vec_id") == 0).select("ev").head()[0]]
+
+    @F.pandas_udf("long")
+    def dot_udf(ev: pd.Series) -> pd.Series:
+        q = np.asarray(qv, dtype=np.int64)
+        M = np.stack(ev.apply(lambda a: np.asarray(a, dtype=np.int64)).values)
+        return pd.Series(M @ q)
+
+    pool = (
+        eq.where(F.col("vec_id") != 0)
+        .select("vec_id", "ev", dot_udf(F.col("ev")).alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(MMR_POOL)
+    )
+    rows = pool.collect()  # <= MMR_POOL rows: reduced state
+    rel = {r["vec_id"]: int(r["rel"]) for r in rows}
+    ev = {r["vec_id"]: [int(x) for x in r["ev"]] for r in rows}
+    sim = {
+        (a, b): sum(x * y for x, y in zip(ev[a], ev[b]))
+        for a in ev
+        for b in ev
+        if a != b
+    }
+    selected: list[tuple[int, int, int, int, int]] = []
+    chosen: list[int] = []
+    for step in range(1, MMR_SELECT + 1):
+        best = None
+        for c in sorted(ev):
+            if c in chosen:
+                continue
+            ms = max((sim[(c, s)] for s in chosen), default=0)
+            score = 7 * rel[c] - 3 * ms
+            key = (-score, c)
+            if best is None or key < best[0]:
+                best = (key, c, ms, score)
+        _, c, ms, score = best
+        chosen.append(c)
+        selected.append((step, c, rel[c], ms, score))
+    out = spark.createDataFrame(
+        selected,
+        "sel_order int, vec_id bigint, rel bigint, maxsim bigint,"
+        " score bigint",
+    )
+    return out.orderBy("sel_order")
+
+
+QUERIES["q116_mmr_diversify"] = q116_mmr_diversify
+
+
+def _q116_oracle_sql() -> str:
+    """The MMR greedy replayed in ANSI SQL: pool cut, integer
+    pairwise sims, and each selection round as an ORDER BY ... LIMIT 1
+    CTE over the not-yet-chosen candidates (same integer scores, same
+    smaller-vec_id tie-break)."""
+    dot = (
+        "list_sum(list_transform(range(1, 65),"
+        " i -> {a}[CAST(i AS INT)] * {b}[CAST(i AS INT)]))"
+    )
+    steps = []
+    for k in range(2, MMR_SELECT + 1):
+        prior = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{j}" for j in range(1, k)
+        )
+        steps.append(f"""
+    s{k} AS (
+      SELECT p.vec_id, p.rel, m.maxsim,
+             7 * p.rel - 3 * m.maxsim AS score,
+             {k} AS sel_order
+      FROM pool p
+      JOIN (SELECT va AS vec_id, MAX(sim) AS maxsim
+            FROM sims WHERE vb IN ({prior}) GROUP BY va) m
+        USING (vec_id)
+      WHERE p.vec_id NOT IN ({prior})
+      ORDER BY score DESC, p.vec_id LIMIT 1)""")
+    union = " UNION ALL ".join(
+        f"SELECT sel_order, vec_id, rel, maxsim, score FROM s{j}"
+        for j in range(1, MMR_SELECT + 1)
+    )
+    return f"""
+    WITH eq AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))
+             AS ev
+      FROM embeddings),
+    qv AS (SELECT ev AS q FROM eq WHERE vec_id = 0),
+    rel AS (
+      SELECT c.vec_id, c.ev,
+             {dot.format(a='c.ev', b='qv.q')} AS rel
+      FROM eq c, qv WHERE c.vec_id <> 0),
+    pool AS (SELECT vec_id, ev, rel FROM rel
+             ORDER BY rel DESC, vec_id LIMIT {MMR_POOL}),
+    sims AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             {dot.format(a='a.ev', b='b.ev')} AS sim
+      FROM pool a, pool b WHERE a.vec_id <> b.vec_id),
+    s1 AS (
+      SELECT vec_id, rel, CAST(0 AS BIGINT) AS maxsim,
+             7 * rel AS score, 1 AS sel_order
+      FROM pool ORDER BY rel DESC, vec_id LIMIT 1),{','.join(steps)}
+    SELECT CAST(sel_order AS INT) AS sel_order, vec_id,
+           CAST(rel AS BIGINT) AS rel, CAST(maxsim AS BIGINT) AS maxsim,
+           CAST(score AS BIGINT) AS score
+    FROM ({union}) ORDER BY sel_order
+    """
+
+
+ORACLES["q116_mmr_diversify"] = _q116_oracle_sql()
