@@ -132,6 +132,10 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("event_type", "string"), ("n_pairs", "bigint"),
         ("ts_slope_per_hour", "double"),
     ],
+    "q117_last_touch_attribution": [
+        ("d", "string"), ("purchases", "bigint"), ("attributed", "bigint"),
+        ("lag_sum_sec", "bigint"), ("avg_lag_min", "double"),
+    ],
     "q116_mmr_diversify": [
         ("sel_order", "int"), ("vec_id", "bigint"), ("rel", "bigint"),
         ("maxsim", "bigint"), ("score", "bigint"),
@@ -464,6 +468,7 @@ BUNDLES: dict[str, list[str]] = {
     "q47_106_107_sequences": [
         "q47_sessionize", "q106_markov_transitions",
         "q107_hourly_autocorr", "q114_cusum_changepoint",
+        "q117_last_touch_attribution",
     ],
     # round 6: the q75 single grew into the retrieval bundle —
     # TF-IDF salience plus reciprocal-rank fusion of the BM25 and

@@ -1375,3 +1375,98 @@ ORACLES["q115_theil_sen"] = """
            ROUND(quantile_cont(s, 0.5), 6) AS ts_slope_per_hour
     FROM pairs GROUP BY event_type ORDER BY event_type
 """
+
+
+def q117_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase attributes to the SAME
+    user's most recent earlier 'view' within a 24 h window — the
+    as-of-join pattern expressed as one conditional running MAX, the
+    marketing/conversion primitive every event warehouse ships.
+
+    Exactness: the attribution predicate compares exact epoch-second
+    integers; lag sums are exact integers; avg_lag_min is ONE IEEE
+    division (sum_sec / (60*n)) rounded to 2 for display.
+
+    Scale shape: ONE window pass partitioned by user_id (millions of
+    small frames, rows-preceding bound — no whole-table funnel, no
+    self-join: the naive purchase x view as-of join shuffles the view
+    side once per purchase row), then the purchases filter and a
+    per-day aggregation with map-side combine.
+    """
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_view = F.max(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(w)
+    pur = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("lv", last_view)
+        .where(F.col("event_type") == "purchase")
+    )
+    lag_sec = F.unix_timestamp(F.col("ts").cast("timestamp")) - F.unix_timestamp(
+        F.col("lv").cast("timestamp")
+    )
+    att = F.col("lv").isNotNull() & (lag_sec <= 86400)
+    g = (
+        pur.select(
+            F.col("ts").cast("date").cast("string").alias("d"),
+            att.cast("int").alias("att"),
+            F.when(att, lag_sec).otherwise(F.lit(0)).alias("lag_sec"),
+        )
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("purchases"),
+            F.sum("att").cast("bigint").alias("attributed"),
+            F.sum("lag_sec").cast("bigint").alias("lag_sum_sec"),
+        )
+    )
+    avg_lag = F.when(F.col("attributed") == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.col("lag_sum_sec").cast("double")
+            / (F.lit(60) * F.col("attributed")).cast("double"),
+            2,
+        )
+    )
+    return g.select(
+        "d", "purchases", "attributed", "lag_sum_sec",
+        avg_lag.alias("avg_lag_min"),
+    ).orderBy("d")
+
+
+QUERIES["q117_last_touch_attribution"] = q117_last_touch_attribution
+
+ORACLES["q117_last_touch_attribution"] = """
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             MAX(CASE WHEN event_type = 'view' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lv
+      FROM events),
+    pur AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+             CASE WHEN lv IS NOT NULL
+                       AND date_diff('second', lv, ts) <= 86400
+                  THEN 1 ELSE 0 END AS att,
+             CASE WHEN lv IS NOT NULL
+                       AND date_diff('second', lv, ts) <= 86400
+                  THEN date_diff('second', lv, ts) ELSE 0 END AS lag_sec
+      FROM marked WHERE event_type = 'purchase'),
+    g AS (
+      SELECT d,
+             CAST(COUNT(*) AS BIGINT) AS purchases,
+             CAST(SUM(att) AS BIGINT) AS attributed,
+             CAST(SUM(lag_sec) AS BIGINT) AS lag_sum_sec
+      FROM pur GROUP BY d)
+    SELECT d, purchases, attributed, lag_sum_sec,
+           CASE WHEN attributed = 0 THEN 0.0
+                ELSE ROUND(CAST(lag_sum_sec AS DOUBLE)
+                           / CAST(60 * attributed AS DOUBLE), 2)
+           END AS avg_lag_min
+    FROM g ORDER BY d
+"""
