@@ -136,6 +136,18 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("d", "string"), ("purchases", "bigint"), ("attributed", "bigint"),
         ("lag_sum_sec", "bigint"), ("avg_lag_min", "double"),
     ],
+    "q118_k_anonymity": [
+        ("class_size", "bigint"), ("n_groups", "bigint"),
+        ("n_rows", "bigint"), ("at_risk_k5", "bigint"),
+    ],
+    "q119_debounce_dedup": [
+        ("event_type", "string"), ("total", "bigint"), ("dropped", "bigint"),
+        ("kept", "bigint"), ("drop_pct", "double"),
+    ],
+    "q120_incremental_agg": [
+        ("o_orderstatus", "string"), ("n_orders", "bigint"),
+        ("sum_cents", "bigint"), ("avg_price", "double"),
+    ],
     "q116_mmr_diversify": [
         ("sel_order", "int"), ("vec_id", "bigint"), ("rel", "bigint"),
         ("maxsim", "bigint"), ("score", "bigint"),
@@ -421,7 +433,7 @@ BUNDLES: dict[str, list[str]] = {
         "q63_label_centroids", "q64_centroid_outliers", "q67_vector_stats",
         "q83_kmeans", "q90_semantic_dedup",
     ],
-    "q53_54_cdc": ["q53_merge_upsert", "q54_scd2"],
+    "q53_54_cdc": ["q53_merge_upsert", "q54_scd2", "q120_incremental_agg"],
     "q55_56_udf": ["q55_udaf_geomean", "q56_group_normalize"],
     "q57_58_59_sampling": [
         "q57_hash_split", "q58_stratified_sample", "q59_dataset_mix",
@@ -461,14 +473,14 @@ BUNDLES: dict[str, list[str]] = {
     ],
     # round 5: q24 grew into a bundle with the one-scan per-column
     # dataset profiler (ingest-acceptance stats)
-    "q24_86_audit": ["q24_ingest_audit", "q86_profile"],
+    "q24_86_audit": ["q24_ingest_audit", "q86_profile", "q118_k_anonymity"],
     # round 6: the q47 single grew into the event-sequence bundle —
     # sessionization, the first-order Markov transition matrix, and
     # lag-1 autocorrelation of the hourly arrival series
     "q47_106_107_sequences": [
         "q47_sessionize", "q106_markov_transitions",
         "q107_hourly_autocorr", "q114_cusum_changepoint",
-        "q117_last_touch_attribution",
+        "q117_last_touch_attribution", "q119_debounce_dedup",
     ],
     # round 6: the q75 single grew into the retrieval bundle —
     # TF-IDF salience plus reciprocal-rank fusion of the BM25 and

@@ -51,7 +51,79 @@ def q54_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_custkey", "valid_from", F.col("is_current"))
 
 
-QUERIES = {"q53_merge_upsert": q53_merge_upsert, "q54_scd2": q54_scd2}
+def q120_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (IVM): maintain a per-status
+    (count, sum) aggregate of ``orders`` under a CDC delta — updates
+    (+1000.00 on every key ≡ 3 mod 7), deletes (key ≡ 5 mod 11, unless
+    updated) and inserts (a clone of every key ≡ 2 mod 13 under a new
+    key) — WITHOUT re-aggregating the base table against the applied
+    state. Each delta row contributes a signed (Δn, Δsum): update →
+    (0, new−old), delete → (−1, −old), insert → (+1, new); the
+    maintained aggregate is base_agg ⊎ delta_agg re-summed.
+
+    The oracle recomputes the same aggregate from scratch over the
+    APPLIED state, so a hash match proves the maintenance law —
+    agg(apply(B, D)) == merge(agg(B), contrib(D)) — on real data.
+
+    Exactness: prices quantized to cents (ROUND(x*100, 0) — identical
+    half-away-from-zero in Spark and DuckDB on identical doubles);
+    every downstream sum is int64; avg is ONE exact-int division
+    rounded for display.
+
+    Scale shape: in production ``base_agg`` is a PERSISTED
+    materialized aggregate (never rescanned); here it is computed once
+    for the self-contained check. The delta path is ONE scan of the
+    delta producing per-row signed contributions in codegen, a
+    map-side-combined groupBy on ~5 keys, and a union of two
+    ~5-row frames — the applied 100 TB state is never touched.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    base = o.select("o_orderstatus", cents.alias("cents"))
+    base_agg = base.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    is_upd = F.col("o_orderkey") % 7 == 3
+    is_del = (~is_upd) & (F.col("o_orderkey") % 11 == 5)
+    is_ins = F.col("o_orderkey") % 13 == 2
+    contrib = o.select(
+        "o_orderstatus",
+        (
+            F.when(is_ins, F.lit(1)).otherwise(F.lit(0))
+            + F.when(is_del, F.lit(-1)).otherwise(F.lit(0))
+        ).cast("long").alias("dn"),
+        (
+            F.when(is_upd, F.lit(100000)).otherwise(F.lit(0))
+            + F.when(is_del, -cents).otherwise(F.lit(0))
+            + F.when(is_ins, cents).otherwise(F.lit(0))
+        ).cast("long").alias("ds"),
+    ).where(is_upd | is_del | is_ins)
+    delta_agg = contrib.groupBy("o_orderstatus").agg(
+        F.sum("dn").cast("long").alias("n"), F.sum("ds").cast("long").alias("s")
+    )
+    out = (
+        base_agg.unionByName(delta_agg)
+        .groupBy("o_orderstatus")
+        .agg(F.sum("n").cast("long").alias("n_orders"),
+             F.sum("s").cast("long").alias("sum_cents"))
+        .where(F.col("n_orders") > 0)
+    )
+    avg = F.round(
+        F.col("sum_cents").cast("double")
+        / (F.lit(100) * F.col("n_orders")).cast("double"),
+        2,
+    )
+    return out.select(
+        "o_orderstatus", "n_orders", "sum_cents", avg.alias("avg_price")
+    ).orderBy("o_orderstatus")
+
+
+QUERIES = {
+    "q53_merge_upsert": q53_merge_upsert,
+    "q54_scd2": q54_scd2,
+    "q120_incremental_agg": q120_incremental_agg,
+}
 
 ORACLES = {
     "q53_merge_upsert": """
@@ -77,5 +149,30 @@ ORACLES = {
                TIMESTAMP '2024-06-01 00:00:00', NULL, TRUE
         FROM customer WHERE c_custkey % 10 = 0
         ORDER BY c_custkey, valid_from, is_current
+    """,
+    # the oracle recomputes from the APPLIED state — a hash match
+    # proves the incremental maintenance law on real data
+    "q120_incremental_agg": """
+        WITH base AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+          FROM orders),
+        applied AS (
+          SELECT o_orderstatus,
+                 CASE WHEN o_orderkey % 7 = 3 THEN cents + 100000
+                      ELSE cents END AS cents
+          FROM base
+          WHERE o_orderkey % 7 = 3 OR o_orderkey % 11 <> 5
+          UNION ALL
+          SELECT o_orderstatus, cents FROM base WHERE o_orderkey % 13 = 2),
+        agg AS (
+          SELECT o_orderstatus,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 CAST(SUM(cents) AS BIGINT) AS sum_cents
+          FROM applied GROUP BY o_orderstatus)
+        SELECT o_orderstatus, n_orders, sum_cents,
+               ROUND(CAST(sum_cents AS DOUBLE)
+                     / CAST(100 * n_orders AS DOUBLE), 2) AS avg_price
+        FROM agg WHERE n_orders > 0 ORDER BY o_orderstatus
     """,
 }

@@ -1441,6 +1441,77 @@ def q117_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["q117_last_touch_attribution"] = q117_last_touch_attribution
 
+
+def q119_debounce_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce deduplication: per (user_id, event_type) stream, drop
+    any event arriving < 600 s after its predecessor — the telemetry
+    rate-limit / double-click suppressor every event pipeline ships.
+    This is the window-expressible (lag-to-previous-ROW) variant; the
+    drop-relative-to-last-KEPT variant is sequentially dependent per
+    key and belongs to the stateful streaming surface
+    (streaming/stateful.py), not a batch plan.
+
+    Exactness: gaps are exact epoch-second integers; counts are int64;
+    drop_pct is ONE exact-int division rounded for display.
+
+    Scale shape: ONE window pass partitioned by (user_id, event_type)
+    — millions of small frames, lag(1) only, no unbounded frame — then
+    a map-side-combined aggregation onto ~5 event-type rows. No
+    self-join: the naive formulation (t1 x t2 on key AND t2.ts in
+    [t1.ts-600s, t1.ts)) re-shuffles the table once per side and
+    explodes on hot keys.
+    """
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_timestamp(F.col("ts").cast("timestamp")) - F.unix_timestamp(
+        F.lag(F.col("ts").cast("timestamp")).over(w)
+    )
+    dropped = gap.isNotNull() & (gap < 600)
+    g = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("dropped", dropped.cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total"),
+            F.sum("dropped").cast("long").alias("dropped"),
+        )
+    )
+    pct = F.round(
+        (F.lit(100) * F.col("dropped")).cast("double")
+        / F.col("total").cast("double"),
+        2,
+    )
+    return g.select(
+        "event_type", "total", "dropped",
+        (F.col("total") - F.col("dropped")).cast("long").alias("kept"),
+        pct.alias("drop_pct"),
+    ).orderBy("event_type")
+
+
+QUERIES["q119_debounce_dedup"] = q119_debounce_dedup
+
+ORACLES["q119_debounce_dedup"] = """
+    WITH g AS (
+      SELECT event_type,
+             CASE WHEN date_diff('second',
+                    LAG(ts) OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id),
+                    ts) < 600 THEN 1 ELSE 0 END AS dropped
+      FROM events),
+    a AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS total,
+             CAST(SUM(dropped) AS BIGINT) AS dropped
+      FROM g GROUP BY event_type)
+    SELECT event_type, total, dropped,
+           CAST(total - dropped AS BIGINT) AS kept,
+           ROUND(CAST(100 * dropped AS DOUBLE)
+                 / CAST(total AS DOUBLE), 2) AS drop_pct
+    FROM a ORDER BY event_type
+"""
+
 ORACLES["q117_last_touch_attribution"] = """
     WITH marked AS (
       SELECT user_id, ts, event_id, event_type,

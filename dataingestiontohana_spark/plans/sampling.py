@@ -643,3 +643,59 @@ ORACLES["q112_weighted_sample"] = """
           < 0.3 * CAST(n_chars AS DOUBLE) / avg_w
     GROUP BY source ORDER BY source
 """
+
+
+def q118_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the customer dimension: group sizes of
+    the quasi-identifier tuple (nation, market segment, account-balance
+    band) as a histogram — the privacy-release gate run before any
+    table leaves the lake. The first row's class_size IS the table's
+    k-anonymity; rows with at_risk_k5 = 1 enumerate the equivalence
+    classes a k=5 release must suppress or generalize.
+
+    Exactness: the balance band is floor(x / 1000.0) — true floor in
+    BOTH engines on identical doubles (DuckDB's `//` truncation trap
+    only bites integer division); all outputs are int64 counts.
+
+    Scale shape: one groupBy on the QI tuple (map-side combine; the
+    only shuffle, and on the exact key set the audit is about) then a
+    ~hundreds-of-rows histogram re-aggregation. No window, no join —
+    the 100 TB fact side is never touched.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("int")
+    qi = c.select(
+        "c_nationkey", "c_mktsegment", band.alias("bal_band")
+    ).groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count(F.lit(1)).cast("long").alias("class_size")
+    )
+    return (
+        qi.groupBy("class_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("class_size").cast("long").alias("n_rows"),
+        )
+        .select(
+            "class_size", "n_groups", "n_rows",
+            F.when(F.col("class_size") < 5, F.lit(1))
+            .otherwise(F.lit(0)).cast("long").alias("at_risk_k5"),
+        )
+        .orderBy("class_size")
+    )
+
+
+QUERIES["q118_k_anonymity"] = q118_k_anonymity
+
+ORACLES["q118_k_anonymity"] = """
+    WITH qi AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000.0) AS INT) AS bal_band,
+             CAST(COUNT(*) AS BIGINT) AS class_size
+      FROM customer GROUP BY 1, 2, 3)
+    SELECT class_size,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(class_size) AS BIGINT) AS n_rows,
+           CAST(CASE WHEN class_size < 5 THEN 1 ELSE 0 END AS BIGINT)
+             AS at_risk_k5
+    FROM qi GROUP BY class_size ORDER BY class_size
+"""
