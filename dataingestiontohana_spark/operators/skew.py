@@ -204,3 +204,50 @@ def register_bucketed_dir(
         LOCATION '{loc}'
         """
     )
+
+
+def key_skew_audit(df: DataFrame, key: str, label: str) -> DataFrame:
+    """One-row skew audit of a prospective join/shuffle key: distinct
+    keys, total rows, top-1/top-10 key row counts, and the Gini
+    coefficient of the key frequency distribution — the pre-flight
+    check that says whether an equi-join on ``key`` needs
+    `salted_join`/AQE skew splitting before it ships.
+
+    Exactness: frequencies and rank sums are exact integers (the rank
+    product accumulates in DECIMAL(38,0) — at 1e9 keys x 1e12 rows the
+    Gini numerator exceeds int64); gini is ONE division of those exact
+    integers (both < 2^53 at test scale) rounded for display. Rank
+    ties break on the key value, so the statistic is deterministic.
+
+    Scale shape: ONE map-side-combined groupBy on the audited key —
+    the same shuffle the audited join would pay, paid once — then two
+    row_number passes over the REDUCED |keys| frequency frame (an
+    unpartitioned window below an Aggregate: the sanctioned shape) and
+    a 1-row global aggregate.
+    """
+    from pyspark.sql import Window
+
+    freq = df.groupBy(key).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    rn = F.row_number().over(Window.orderBy(F.col("x").asc(), F.col(key).asc()))
+    rd = F.row_number().over(Window.orderBy(F.col("x").desc(), F.col(key).asc()))
+    r = freq.select("x", rn.alias("rn"), rd.alias("rd"))
+    a = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("x").cast("long").alias("total_rows"),
+        F.max("x").cast("long").alias("top1_rows"),
+        F.sum(F.when(F.col("rd") <= 10, F.col("x")).otherwise(F.lit(0)))
+        .cast("long").alias("top10_rows"),
+        F.sum((F.col("rn") * F.col("x")).cast("decimal(38,0)")).alias("s1"),
+    )
+    num = (
+        F.lit(2).cast("decimal(38,0)") * F.col("s1")
+        - ((F.col("n_keys") + F.lit(1)) * F.col("total_rows")).cast(
+            "decimal(38,0)"
+        )
+    )
+    den = (F.col("n_keys") * F.col("total_rows")).cast("decimal(38,0)")
+    return a.select(
+        F.lit(label).alias("key_name"),
+        "n_keys", "total_rows", "top1_rows", "top10_rows",
+        F.round(num.cast("double") / den.cast("double"), 6).alias("gini"),
+    )

@@ -148,6 +148,37 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("o_orderstatus", "string"), ("n_orders", "bigint"),
         ("sum_cents", "bigint"), ("avg_price", "double"),
     ],
+    "q121_key_skew_audit": [
+        ("key_name", "string"), ("n_keys", "bigint"),
+        ("total_rows", "bigint"), ("top1_rows", "bigint"),
+        ("top10_rows", "bigint"), ("gini", "double"),
+    ],
+    "q122_range_frame_rolling": [
+        ("event_id", "bigint"), ("user_id", "bigint"),
+        ("roll_n", "bigint"), ("roll_cents", "bigint"),
+    ],
+    "q123_referential_integrity": [
+        ("fk_name", "string"), ("child_rows", "bigint"),
+        ("child_keys", "bigint"), ("orphan_keys", "bigint"),
+        ("orphan_rows", "bigint"),
+    ],
+    "q65_sketch_audit": [
+        ("n_rows", "bigint"), ("exact_distinct", "bigint"),
+        ("exact_p50", "double"), ("exact_p99", "double"),
+        ("distinct_ok", "bigint"), ("p50_ok", "bigint"),
+        ("p99_ok", "bigint"),
+    ],
+    "q124_histogram_quantiles": [
+        ("q_label", "string"), ("n", "bigint"), ("rank_t", "bigint"),
+        ("bin", "bigint"), ("est_lo", "double"),
+    ],
+    "q14_topk_per_group": [
+        ("o_custkey", "bigint"), ("o_orderkey", "bigint"), ("rn", "int"),
+    ],
+    "q125_basket_pairs": [
+        ("pa", "bigint"), ("pb", "bigint"), ("c_ab", "bigint"),
+        ("c_a", "bigint"), ("c_b", "bigint"), ("lift", "double"),
+    ],
     "q116_mmr_diversify": [
         ("sel_order", "int"), ("vec_id", "bigint"), ("rel", "bigint"),
         ("maxsim", "bigint"), ("score", "bigint"),
@@ -400,7 +431,9 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
 BUNDLES: dict[str, list[str]] = {
     "q04_68_datetime": ["q04_date_math", "q68_datetime_functions"],
     "q12_13_49_grouping": ["q12_rollup", "q13_cube", "q49_grouping_sets"],
-    "q15_50_windows": ["q15_lag", "q50_first_last_window"],
+    "q15_50_windows": [
+        "q15_lag", "q50_first_last_window", "q122_range_frame_rolling",
+    ],
     "q17_41_setops": ["q17_set_ops", "q41_set_ops_all"],
     "q42_43_reshape": ["q42_pivot", "q43_unpivot"],
     "q44_45_interval_joins": ["q44_asof_join", "q45_range_join"],
@@ -473,7 +506,10 @@ BUNDLES: dict[str, list[str]] = {
     ],
     # round 5: q24 grew into a bundle with the one-scan per-column
     # dataset profiler (ingest-acceptance stats)
-    "q24_86_audit": ["q24_ingest_audit", "q86_profile", "q118_k_anonymity"],
+    "q24_86_audit": [
+        "q24_ingest_audit", "q86_profile", "q118_k_anonymity",
+        "q121_key_skew_audit", "q123_referential_integrity",
+    ],
     # round 6: the q47 single grew into the event-sequence bundle —
     # sessionization, the first-order Markov transition matrix, and
     # lag-1 autocorrelation of the hourly arrival series
@@ -486,6 +522,12 @@ BUNDLES: dict[str, list[str]] = {
     # TF-IDF salience plus reciprocal-rank fusion of the BM25 and
     # TF-IDF rankings (hybrid retrieval)
     "q75_109_retrieval": ["q75_tfidf_doc_scores", "q109_rrf_fusion"],
+    # round 6 continuation: the q65 single grew into the sketch bundle
+    # (exact-vs-approx audit + the mergeable fixed-grid histogram
+    # quantiles), and the q14 single into the top-k bundle (per-group
+    # ranking + market-basket pair mining with shortlist re-rank)
+    "q65_124_sketches": ["q65_sketch_audit", "q124_histogram_quantiles"],
+    "q14_125_topk": ["q14_topk_per_group", "q125_basket_pairs"],
 }
 
 # fine queries exported unchanged, in this order (headline queries
@@ -494,9 +536,9 @@ SINGLES: list[str] = [
     "q01_filter_project", "q02_compound_predicates", "q03_string_functions",
     "q05_inner_join", "q06_multiway_join_agg", "q07_left_outer_join",
     "q08_semi_join", "q09_anti_join", "q10_hash_agg", "q11_distinct_agg",
-    "q14_topk_per_group", "q16_running_sum", "q18_dedup", "q19_json_extract",
+    "q16_running_sum", "q18_dedup", "q19_json_extract",
     "q48_correlated_subquery", "q69_fuzzy_name_join",
-    "q36_media_byte_features", "q65_sketch_audit", "q66_dedup_clusters",
+    "q36_media_byte_features", "q66_dedup_clusters",
     "q71_decimal_interval", "q72_bucketed_join", "q73_embed_neardup",
     "q74_repetition_filter", "q76_variant_extract",
 ]

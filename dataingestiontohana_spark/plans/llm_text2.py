@@ -423,3 +423,96 @@ def _q104_oracle_sql() -> str:
 
 
 ORACLES["q104_hll_cardinality"] = _q104_oracle_sql()
+
+
+def q124_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-grid histogram quantiles over events.value —
+    the bounded-state scale path to p50/p90/p99: per-partition bin
+    counts combine map-side into <= |grid| rows no matter the corpus
+    size, where q65's exact percentile needs a global sort. The
+    estimate is the lower edge of the first bin whose cumulative count
+    reaches ceil(q*n) — deterministic, engine-portable, error bounded
+    by the grid step (0.25 here).
+
+    Exactness: bin = floor(value * 4) — scaling by a power of two is
+    exact on any double, floor matches across engines; counts,
+    cumulative sums and rank thresholds are int64 (ceil(q*n) computed
+    from one exact double product); est_lo = bin / 4.0 is an exact
+    quarter.
+
+    Scale shape: ONE map-side-combined groupBy onto <= ~2000 bins; the
+    cumulative window and the three threshold probes run on that
+    reduced frame (unpartitioned window below an Aggregate — the
+    sanctioned shape); n attaches as a 1-row broadcast crossJoin.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hist = (
+        e.select(F.floor(F.col("value") * 4).cast("long").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    from pyspark.sql.window import Window as W
+
+    cum = (
+        hist.select(
+            "bin",
+            F.sum("c")
+            .over(W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0))
+            .cast("long")
+            .alias("cum"),
+        )
+    ).localCheckpoint(eager=False)
+    nrow = hist.agg(F.sum("c").cast("long").alias("n"))
+    parts = []
+    for q, label in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        t = F.ceil(F.lit(q) * F.col("n")).cast("long")
+        probe = (
+            cum.crossJoin(F.broadcast(nrow))
+            .where(F.col("cum") >= t)
+            .agg(
+                F.lit(label).alias("q_label"),
+                F.min("bin").cast("long").alias("bin"),
+            )
+            .crossJoin(
+                F.broadcast(nrow.select("n", t.alias("rank_t")))
+            )
+        )
+        parts.append(probe)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "q_label", "n", "rank_t", "bin",
+        (F.col("bin") / F.lit(4.0)).alias("est_lo"),
+    ).orderBy("q_label")
+
+
+QUERIES["q124_histogram_quantiles"] = q124_histogram_quantiles
+
+ORACLES["q124_histogram_quantiles"] = """
+    WITH h AS (
+      SELECT CAST(FLOOR(value * 4) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1),
+    hc AS (
+      SELECT bin, CAST(SUM(c) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum
+      FROM h),
+    nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM h),
+    probes AS (
+      SELECT 'p50' AS q_label, n,
+             CAST(CEIL(0.5 * n) AS BIGINT) AS rank_t,
+             CAST(MIN(bin) AS BIGINT) AS bin
+      FROM hc, nn WHERE cum >= CEIL(0.5 * n) GROUP BY n
+      UNION ALL
+      SELECT 'p90', n, CAST(CEIL(0.9 * n) AS BIGINT),
+             CAST(MIN(bin) AS BIGINT)
+      FROM hc, nn WHERE cum >= CEIL(0.9 * n) GROUP BY n
+      UNION ALL
+      SELECT 'p99', n, CAST(CEIL(0.99 * n) AS BIGINT),
+             CAST(MIN(bin) AS BIGINT)
+      FROM hc, nn WHERE cum >= CEIL(0.99 * n) GROUP BY n)
+    SELECT q_label, n, rank_t, bin, bin / 4.0 AS est_lo
+    FROM probes ORDER BY q_label
+"""

@@ -1541,3 +1541,156 @@ ORACLES["q117_last_touch_attribution"] = """
            END AS avg_lag_min
     FROM g ORDER BY d
 """
+
+
+def q122_range_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 1-hour per-user activity via a RANGE window frame —
+    count and value-sum of each user's events in (t-3599 s, t]: the
+    time-interval frame (RANGE BETWEEN n PRECEDING) the rest of the
+    window surface (ROWS frames, lag, first/last) doesn't exercise.
+    RANGE semantics make ties deterministic: every row with an equal
+    ordering value joins the frame, so no tie-break column is needed.
+
+    Exactness: the frame bound compares exact epoch-second integers;
+    value quantizes to an exact int64 cents grid BEFORE the windowed
+    sum (a rolling sum of doubles would be summation-order-dependent
+    across engines).
+
+    Scale shape: ONE window pass partitioned by user_id — millions of
+    small frames, bounded 1-hour lookback state per frame — no
+    self-join (the naive t1 x t2 ON same user AND ts in window
+    re-shuffles the table per side and squares hot users).
+    """
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return (
+        e.select("event_id", "user_id", sec.alias("s"), cents.alias("cents"))
+        .select(
+            "event_id",
+            "user_id",
+            F.count(F.lit(1)).over(w).cast("long").alias("roll_n"),
+            F.sum("cents").over(w).cast("long").alias("roll_cents"),
+        )
+        .orderBy("event_id")
+    )
+
+
+QUERIES["q122_range_frame_rolling"] = q122_range_frame_rolling
+
+ORACLES["q122_range_frame_rolling"] = """
+    WITH e AS (
+      SELECT event_id, user_id,
+             date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS s,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      FROM events)
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS roll_n,
+           CAST(SUM(cents) OVER w AS BIGINT) AS roll_cents
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY s
+                 RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+"""
+
+
+def q123_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key closure audit across the warehouse's three load-
+    bearing relationships (lineitem→orders, lineitem→part,
+    orders→customer): child rows, distinct child keys, orphan keys and
+    orphan rows per FK — the ingest-acceptance gate that catches a
+    partial dimension load before a join silently drops fact rows.
+
+    Exactness: pure int64 counts.
+
+    Scale shape: each FK audit REDUCES the child to its distinct-key
+    frame first (map-side-combined groupBy), then anti-joins that
+    |keys|-sized frame against the parent key column — the anti-join
+    never carries fact rows, and for dimension-sized parents it
+    broadcasts. No full-fact-vs-fact exchange anywhere.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part")
+
+    def audit(child, ckey, parent, pkey, name):
+        keys = child.groupBy(F.col(ckey).alias("k")).agg(
+            F.count(F.lit(1)).cast("long").alias("rows")
+        )
+        orphans = keys.join(
+            parent.select(F.col(pkey).alias("k")), "k", "left_anti"
+        )
+        tot = keys.agg(
+            F.lit(name).alias("fk_name"),
+            F.sum("rows").cast("long").alias("child_rows"),
+            F.count(F.lit(1)).cast("long").alias("child_keys"),
+        )
+        orph = orphans.agg(
+            F.coalesce(F.sum("rows"), F.lit(0)).cast("long").alias(
+                "orphan_rows"
+            ),
+            F.count(F.lit(1)).cast("long").alias("orphan_keys"),
+        )
+        return tot.crossJoin(orph).select(
+            "fk_name", "child_rows", "child_keys", "orphan_keys",
+            "orphan_rows",
+        )
+
+    return (
+        audit(li, "l_orderkey", o, "o_orderkey", "lineitem.l_orderkey")
+        .unionByName(audit(li, "l_partkey", p, "p_partkey", "lineitem.l_partkey"))
+        .unionByName(audit(o, "o_custkey", c, "c_custkey", "orders.o_custkey"))
+        .orderBy("fk_name")
+    )
+
+
+QUERIES["q123_referential_integrity"] = q123_referential_integrity
+
+ORACLES["q123_referential_integrity"] = """
+    WITH a1k AS (
+      SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS rows_
+      FROM lineitem GROUP BY l_orderkey),
+    a1 AS (
+      SELECT 'lineitem.l_orderkey' AS fk_name,
+             CAST(SUM(rows_) AS BIGINT) AS child_rows,
+             CAST(COUNT(*) AS BIGINT) AS child_keys,
+             CAST(COUNT(*) FILTER (WHERE k NOT IN
+               (SELECT o_orderkey FROM orders)) AS BIGINT) AS orphan_keys,
+             CAST(COALESCE(SUM(rows_) FILTER (WHERE k NOT IN
+               (SELECT o_orderkey FROM orders)), 0) AS BIGINT) AS orphan_rows
+      FROM a1k),
+    a2k AS (
+      SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS rows_
+      FROM lineitem GROUP BY l_partkey),
+    a2 AS (
+      SELECT 'lineitem.l_partkey',
+             CAST(SUM(rows_) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) FILTER (WHERE k NOT IN
+               (SELECT p_partkey FROM part)) AS BIGINT),
+             CAST(COALESCE(SUM(rows_) FILTER (WHERE k NOT IN
+               (SELECT p_partkey FROM part)), 0) AS BIGINT)
+      FROM a2k),
+    a3k AS (
+      SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS rows_
+      FROM orders GROUP BY o_custkey),
+    a3 AS (
+      SELECT 'orders.o_custkey',
+             CAST(SUM(rows_) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) FILTER (WHERE k NOT IN
+               (SELECT c_custkey FROM customer)) AS BIGINT),
+             CAST(COALESCE(SUM(rows_) FILTER (WHERE k NOT IN
+               (SELECT c_custkey FROM customer)), 0) AS BIGINT)
+      FROM a3k)
+    SELECT * FROM a1 UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3
+    ORDER BY fk_name
+"""

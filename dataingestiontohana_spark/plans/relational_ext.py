@@ -656,3 +656,91 @@ ORACLES = {
         ORDER BY l_orderkey, l_linenumber, l_partkey
     """,
 }
+
+
+def q125_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: the 30 most co-purchased part pairs
+    across orders, with per-item supports and lift — the co-occurrence
+    primitive behind recommenders and the relational twin of q105's
+    token-bigram PMI.
+
+    Exactness: supports are int64; lift = n_baskets * c_ab /
+    (c_a * c_b) is ONE division of exact int64 products, rounded for
+    display; ties break on (pa, pb) so the top-30 is deterministic.
+
+    Scale shape: the pair generator is a SELF-JOIN ON THE BASKET KEY —
+    fan-out bounded by basket size (<= 13 items in TPC-H, so <= 78
+    pairs per order), never a cross-table product; pair supports
+    reduce with map-side combine; top-30 is a TakeOrderedAndProject;
+    item supports and the 1-row basket count attach AFTER the
+    shortlist, as broadcast joins onto 30 rows (re-rank-after-shortlist
+    — the q96 PQ pattern).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, "k")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .orderBy(F.col("c_ab").desc(), "pa", "pb")
+        .limit(30)
+    )
+    item_support = items.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    nb = items.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_baskets")
+    )
+    out = (
+        pairs.join(
+            F.broadcast(item_support.select(F.col("p").alias("pa"),
+                                            F.col("c").alias("c_a"))),
+            "pa",
+        )
+        .join(
+            F.broadcast(item_support.select(F.col("p").alias("pb"),
+                                            F.col("c").alias("c_b"))),
+            "pb",
+        )
+        .crossJoin(F.broadcast(nb))
+    )
+    lift = F.round(
+        (F.col("n_baskets") * F.col("c_ab")).cast("double")
+        / (F.col("c_a") * F.col("c_b")).cast("double"),
+        6,
+    )
+    return out.select(
+        "pa", "pb", "c_ab", "c_a", "c_b", lift.alias("lift")
+    ).orderBy(F.col("c_ab").desc(), "pa", "pb")
+
+
+QUERIES["q125_basket_pairs"] = q125_basket_pairs
+
+ORACLES["q125_basket_pairs"] = """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+    pairs AS (
+      SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM items a JOIN items b ON a.k = b.k AND a.p < b.p
+      GROUP BY a.p, b.p
+      ORDER BY c_ab DESC, pa, pb LIMIT 30),
+    sup AS (
+      SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY p),
+    nb AS (
+      SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS n_baskets FROM items)
+    SELECT pa, pb, c_ab, sa.c AS c_a, sb.c AS c_b,
+           ROUND(CAST(n_baskets * c_ab AS DOUBLE)
+                 / CAST(sa.c * sb.c AS DOUBLE), 6) AS lift
+    FROM pairs
+    JOIN sup sa ON sa.p = pa
+    JOIN sup sb ON sb.p = pb
+    CROSS JOIN nb
+    ORDER BY c_ab DESC, pa, pb
+"""

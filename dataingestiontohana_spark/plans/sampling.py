@@ -699,3 +699,74 @@ ORACLES["q118_k_anonymity"] = """
              AS at_risk_k5
     FROM qi GROUP BY class_size ORDER BY class_size
 """
+
+
+def q121_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit (operators/skew.py::key_skew_audit) over the
+    two keys a TPC-H-shaped warehouse shuffles most — events.user_id
+    and lineitem.l_partkey: distinct keys, top-1/top-10 key loads and
+    the Gini of the frequency distribution, the numbers that decide
+    between a plain equi-join, AQE skew splitting, and `salted_join`.
+    """
+    from dataingestiontohana_spark.operators.skew import key_skew_audit
+
+    e = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        key_skew_audit(e, "user_id", "events.user_id")
+        .unionByName(
+            key_skew_audit(li, "l_partkey", "lineitem.l_partkey")
+        )
+        .orderBy("key_name")
+    )
+
+
+QUERIES["q121_key_skew_audit"] = q121_key_skew_audit
+
+ORACLES["q121_key_skew_audit"] = """
+    WITH f1 AS (
+      SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY user_id),
+    r1 AS (
+      SELECT x,
+             ROW_NUMBER() OVER (ORDER BY x ASC, k ASC) AS rn,
+             ROW_NUMBER() OVER (ORDER BY x DESC, k ASC) AS rd
+      FROM f1),
+    a1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(x) AS BIGINT) AS total_rows,
+             CAST(MAX(x) AS BIGINT) AS top1_rows,
+             CAST(SUM(CASE WHEN rd <= 10 THEN x ELSE 0 END) AS BIGINT)
+               AS top10_rows,
+             SUM(rn * x) AS s1
+      FROM r1),
+    f2 AS (
+      SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS x
+      FROM lineitem GROUP BY l_partkey),
+    r2 AS (
+      SELECT x,
+             ROW_NUMBER() OVER (ORDER BY x ASC, k ASC) AS rn,
+             ROW_NUMBER() OVER (ORDER BY x DESC, k ASC) AS rd
+      FROM f2),
+    a2 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(x) AS BIGINT) AS total_rows,
+             CAST(MAX(x) AS BIGINT) AS top1_rows,
+             CAST(SUM(CASE WHEN rd <= 10 THEN x ELSE 0 END) AS BIGINT)
+               AS top10_rows,
+             SUM(rn * x) AS s1
+      FROM r2)
+    SELECT * FROM (
+      SELECT 'events.user_id' AS key_name, n_keys, total_rows, top1_rows,
+             top10_rows,
+             ROUND(CAST(2 * s1 - (n_keys + 1) * total_rows AS DOUBLE)
+                   / CAST(n_keys * total_rows AS DOUBLE), 6) AS gini
+      FROM a1
+      UNION ALL
+      SELECT 'lineitem.l_partkey', n_keys, total_rows, top1_rows,
+             top10_rows,
+             ROUND(CAST(2 * s1 - (n_keys + 1) * total_rows AS DOUBLE)
+                   / CAST(n_keys * total_rows AS DOUBLE), 6)
+      FROM a2)
+    ORDER BY key_name
+"""

@@ -305,3 +305,28 @@ def test_register_bucketed_dir_quotes_identifiers_and_paths(spark, tmp_path):
         )
     spark.sql("DROP TABLE IF EXISTS adopt_quoted")
     spark.sql("DROP TABLE IF EXISTS adopt_quoted_src")
+
+
+def test_key_skew_audit_hand_computed_gini(spark):
+    from dataingestiontohana_spark.operators.skew import key_skew_audit
+
+    # frequencies [1, 1, 1, 6]: n=4, S=9, asc-rank sum S1 = 1+2+3+24 = 30
+    # gini = (2*30 - 5*9) / (4*9) = 15/36 = 0.416667 (round 6)
+    rows = [(10,)] + [(20,)] + [(30,)] + [(40,)] * 6
+    df = spark.createDataFrame(rows, "k long")
+    out = key_skew_audit(df, "k", "t.k").collect()[0]
+    assert out.key_name == "t.k"
+    assert out.n_keys == 4
+    assert out.total_rows == 9
+    assert out.top1_rows == 6
+    assert out.top10_rows == 9
+    assert out.gini == 0.416667
+
+
+def test_key_skew_audit_uniform_is_zero(spark):
+    from dataingestiontohana_spark.operators.skew import key_skew_audit
+
+    df = spark.range(100).select((F.col("id") % 10).alias("k"))
+    out = key_skew_audit(df, "k", "u").collect()[0]
+    assert out.gini == 0.0
+    assert out.top1_rows == 10
