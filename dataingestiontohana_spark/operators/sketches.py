@@ -307,10 +307,16 @@ _HLL_HASH_BITS = 32
 
 
 def hll_registers(
-    items: DataFrame, col: str = "w", p: int = _HLL_P
+    items: DataFrame,
+    col: str = "w",
+    p: int = _HLL_P,
+    by: tuple[str, ...] = (),
 ) -> DataFrame:
-    """HyperLogLog register table as a DataFrame: (bucket, reg) —
-    at most 2^p rows, one per OCCUPIED register.
+    """HyperLogLog register table as a DataFrame: (*by, bucket, reg) —
+    at most 2^p rows per ``by`` group, one per OCCUPIED register.
+    ``by`` columns produce one independent sketch per group (e.g. one
+    per day/shard), each individually mergeable via :func:`hll_merge`
+    or an element-wise MAX across groups.
 
     Flajolet et al. (2007), "HyperLogLog: the analysis of a
     near-optimal cardinality estimation algorithm": each value's
@@ -343,8 +349,8 @@ def hll_registers(
         .cast("int")
     )
     return (
-        items.select(bucket.alias("bucket"), rho.alias("reg"))
-        .groupBy("bucket")
+        items.select(*by, bucket.alias("bucket"), rho.alias("reg"))
+        .groupBy(*by, "bucket")
         .agg(F.max("reg").alias("reg"))
     )
 

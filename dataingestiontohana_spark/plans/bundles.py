@@ -179,6 +179,14 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("pa", "bigint"), ("pb", "bigint"), ("c_ab", "bigint"),
         ("c_a", "bigint"), ("c_b", "bigint"), ("lift", "double"),
     ],
+    "q126_time_weighted_avg": [
+        ("event_type", "string"), ("n_intervals", "bigint"),
+        ("w_sum_sec", "bigint"), ("vw_sum", "bigint"), ("twap", "double"),
+    ],
+    "q127_rolling_hll_users": [
+        ("d", "bigint"), ("v_empty", "bigint"), ("s_scaled", "bigint"),
+        ("est", "double"), ("exact_u", "bigint"), ("err_pct", "double"),
+    ],
     "q116_mmr_diversify": [
         ("sel_order", "int"), ("vec_id", "bigint"), ("rel", "bigint"),
         ("maxsim", "bigint"), ("score", "bigint"),
@@ -502,7 +510,7 @@ BUNDLES: dict[str, list[str]] = {
     "q20_84_timegrain": [
         "q20_time_bucket", "q84_hypertable_rollup", "q97_funnel",
         "q98_retention", "q99_gapfill_locf", "q100_linear_trend",
-        "q115_theil_sen",
+        "q115_theil_sen", "q126_time_weighted_avg",
     ],
     # round 5: q24 grew into a bundle with the one-scan per-column
     # dataset profiler (ingest-acceptance stats)
@@ -526,7 +534,10 @@ BUNDLES: dict[str, list[str]] = {
     # (exact-vs-approx audit + the mergeable fixed-grid histogram
     # quantiles), and the q14 single into the top-k bundle (per-group
     # ranking + market-basket pair mining with shortlist re-rank)
-    "q65_124_sketches": ["q65_sketch_audit", "q124_histogram_quantiles"],
+    "q65_124_sketches": [
+        "q65_sketch_audit", "q124_histogram_quantiles",
+        "q127_rolling_hll_users",
+    ],
     "q14_125_topk": ["q14_topk_per_group", "q125_basket_pairs"],
 }
 

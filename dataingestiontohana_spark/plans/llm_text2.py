@@ -516,3 +516,166 @@ ORACLES["q124_histogram_quantiles"] = """
     SELECT q_label, n, rank_t, bin, bin / 4.0 AS est_lo
     FROM probes ORDER BY q_label
 """
+
+
+def q127_rolling_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day via merged HyperLogLog
+    register tables — the sketch x time-window composition: per-day
+    sketches (hll_registers grouped by day) MERGE by element-wise MAX
+    into each day's trailing-week sketch, so the rolling distinct
+    never re-touches raw history. The exact trailing-week
+    COUNT(DISTINCT) rides along as the audit column (err_pct), the
+    q104 pattern.
+
+    Exactness: registers replay in DuckDB bit-for-bit (md5 nibble
+    hash, bin()-rank); the harmonic sum is the exact integer
+    sufficient statistic; the estimate is one IEEE division (+ the
+    deterministic linear-counting branch, ln rounded to 6).
+
+    Scale shape: raw events reduce map-side to <= 256 registers PER
+    DAY; the 7-day expansion explodes those <= 256 x days register
+    rows (never events) 7x, then re-reduces by (day, bucket). The
+    exact audit side dedupes (day, user) FIRST, so its 7x expansion
+    carries distinct users only. At 100 TB the register path's state
+    is days x 256 rows — a dashboard query, not a scan.
+    """
+    from dataingestiontohana_spark.operators.sketches import (
+        _HLL_HASH_BITS,
+        _HLL_P,
+        hll_registers,
+    )
+
+    m = 1 << _HLL_P
+    rmax = _HLL_HASH_BITS - _HLL_P + 1
+    e = load_table(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    ).cast("int")
+    items = e.select(day.alias("d"), F.col("user_id").cast("string").alias("w"))
+    regs = hll_registers(items, "w", by=("d",))
+    bounds = regs.agg(F.max("d").alias("maxd"))
+    span = (
+        regs.select(
+            "bucket", "reg",
+            F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("t"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .where(F.col("t") <= F.col("maxd"))
+    )
+    merged = (
+        span.groupBy("t", "bucket")
+        .agg(F.max("reg").alias("reg"))
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("occupied"),
+            F.sum(
+                F.expr(f"shiftleft(1, {rmax} - reg)").cast("decimal(38,0)")
+            ).alias("s_occ"),
+        )
+    )
+    v = F.lit(m) - F.col("occupied")
+    s = (
+        F.col("s_occ") + v.cast("decimal(38,0)") * F.lit(1 << rmax)
+    ).cast("decimal(38,0)")
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    raw = (
+        alpha * F.lit(float(m)) * F.lit(float(m)) * F.lit(float(1 << rmax))
+        / s.cast("double")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.round(
+            F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")), 6
+        ),
+    ).otherwise(F.round(raw, 6))
+    sketch_side = merged.select(
+        F.col("t").cast("long").alias("d"),
+        v.cast("bigint").alias("v_empty"),
+        s.cast("bigint").alias("s_scaled"),
+        est.alias("est"),
+    )
+    du = e.select(day.alias("d"), "user_id").distinct()
+    exact = (
+        du.select(
+            "user_id",
+            F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("t"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .where(F.col("t") <= F.col("maxd"))
+        .groupBy("t")
+        .agg(F.count_distinct("user_id").cast("long").alias("exact_u"))
+        .select(F.col("t").cast("long").alias("d"), "exact_u")
+    )
+    return (
+        sketch_side.join(exact, "d")
+        .select(
+            "d", "v_empty", "s_scaled", "est", "exact_u",
+            F.round(
+                (F.col("est") - F.col("exact_u"))
+                * F.lit(100.0)
+                / F.col("exact_u").cast("double"),
+                4,
+            ).alias("err_pct"),
+        )
+        .orderBy("d")
+    )
+
+
+QUERIES["q127_rolling_hll_users"] = q127_rolling_hll_users
+
+from dataingestiontohana_spark.operators.sketches import (  # noqa: E402
+    hex_uint_sql as _hex_uint_sql,
+)
+
+_Q127_HV = _hex_uint_sql("CAST(user_id AS VARCHAR)", 0)
+_Q127_ALPHA = "(0.7213 / (1.0 + 1.079 / 256.0))"
+
+# same register/estimate formulas as operators/sketches.py::hll_sql_ctes
+# (p=8: m=256, vbits=24, rmax=25), grouped by day and re-merged per
+# trailing-week window by element-wise MAX
+ORACLES["q127_rolling_hll_users"] = f"""
+    WITH ev AS (
+      SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             {_Q127_HV} AS hv, user_id
+      FROM events),
+    regs AS (
+      SELECT d, CAST(hv // 16777216 AS INT) AS bucket,
+             MAX(CASE WHEN hv % 16777216 = 0 THEN 25
+                      ELSE 25 - length(bin(hv % 16777216)) END) AS reg
+      FROM ev GROUP BY 1, 2),
+    bounds AS (SELECT MAX(d) AS maxd FROM regs),
+    span AS (
+      SELECT unnest(generate_series(d, d + 6)) AS t, bucket, reg
+      FROM regs),
+    mrg AS (
+      SELECT t, bucket, MAX(reg) AS reg
+      FROM span, bounds WHERE t <= maxd GROUP BY t, bucket),
+    sk AS (
+      SELECT t AS d,
+             CAST(256 - COUNT(*) AS BIGINT) AS v_empty,
+             CAST(SUM(CAST(1 AS HUGEINT) << (25 - reg))
+                  + CAST(256 - COUNT(*) AS HUGEINT) * 33554432
+               AS BIGINT) AS s_scaled
+      FROM mrg GROUP BY t),
+    est AS (
+      SELECT d, v_empty, s_scaled,
+             CASE WHEN ({_Q127_ALPHA} * 256.0 * 256.0 * 33554432.0
+                        / CAST(s_scaled AS DOUBLE)) <= 640.0
+                       AND v_empty > 0
+                  THEN round(256.0 * ln(256.0 / CAST(v_empty AS DOUBLE)), 6)
+                  ELSE round({_Q127_ALPHA} * 256.0 * 256.0 * 33554432.0
+                             / CAST(s_scaled AS DOUBLE), 6)
+             END AS est
+      FROM sk),
+    du AS (SELECT DISTINCT d, user_id FROM ev),
+    exsp AS (
+      SELECT unnest(generate_series(d, d + 6)) AS t, user_id FROM du),
+    ex AS (
+      SELECT t AS d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_u
+      FROM exsp, bounds WHERE t <= maxd GROUP BY t)
+    SELECT CAST(e2.d AS BIGINT) AS d, v_empty, s_scaled, est, exact_u,
+           ROUND((est - exact_u) * 100.0 / CAST(exact_u AS DOUBLE), 4)
+             AS err_pct
+    FROM est e2 JOIN ex ON e2.d = ex.d
+    ORDER BY d
+"""

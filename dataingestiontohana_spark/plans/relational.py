@@ -1694,3 +1694,73 @@ ORACLES["q123_referential_integrity"] = """
     SELECT * FROM a1 UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3
     ORDER BY fk_name
 """
+
+
+def q126_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type (TWAP): each
+    observation holds until the next one of the same type, so its
+    weight is the interval length — the monitoring/finance aggregate
+    a plain AVG gets wrong whenever sampling is irregular.
+
+    Exactness: weights are exact epoch-second int64 deltas (lead over
+    a deterministic (ts, event_id) order); values quantize to int64
+    cents BEFORE weighting; the weighted sum accumulates in
+    DECIMAL(38,0) (cents x seconds products overflow int64 near
+    1e12 rows); twap is ONE division of exact operands, rounded for
+    display. The last observation of each type has no successor and
+    drops out (open interval) on both engines.
+
+    Scale shape: ONE lead() window pass partitioned by event_type —
+    at higher cardinality partition keys this shape is per-entity; the
+    weighted sums then reduce map-side onto |types| rows.
+    """
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    iv = (
+        e.select("event_type", "ts", "event_id", cents.alias("cents"))
+        .withColumn("dt", F.lead(sec).over(w) - sec)
+        .where(F.col("dt").isNotNull())
+    )
+    g = iv.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum("dt").cast("long").alias("w_sum_sec"),
+        F.sum((F.col("cents") * F.col("dt")).cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("vw_sum"),
+    )
+    twap = F.round(
+        F.col("vw_sum").cast("double")
+        / (F.lit(100) * F.col("w_sum_sec")).cast("double"),
+        4,
+    )
+    return g.select(
+        "event_type", "n_intervals", "w_sum_sec", "vw_sum",
+        twap.alias("twap"),
+    ).orderBy("event_type")
+
+
+QUERIES["q126_time_weighted_avg"] = q126_time_weighted_avg
+
+ORACLES["q126_time_weighted_avg"] = """
+    WITH iv AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+             date_diff('second', ts,
+               LEAD(ts) OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id)) AS dt
+      FROM events),
+    g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_intervals,
+             CAST(SUM(dt) AS BIGINT) AS w_sum_sec,
+             CAST(SUM(cents * dt) AS BIGINT) AS vw_sum
+      FROM iv WHERE dt IS NOT NULL GROUP BY event_type)
+    SELECT event_type, n_intervals, w_sum_sec, vw_sum,
+           ROUND(CAST(vw_sum AS DOUBLE)
+                 / CAST(100 * w_sum_sec AS DOUBLE), 4) AS twap
+    FROM g ORDER BY event_type
+"""

@@ -416,3 +416,26 @@ class TestStreamingHLLStore:
             map(tuple, spark.read.parquet(store).collect())
         )
         assert stored == whole
+
+
+def test_grouped_registers_max_merge_equals_global(spark):
+    """hll_registers(by=...) builds one independent sketch per group;
+    element-wise MAX across the groups must equal the whole-stream
+    sketch (the q127 rolling-window merge relies on this)."""
+    from pyspark.sql import functions as F
+
+    from dataingestiontohana_spark.operators.sketches import hll_registers
+
+    rows = [(d, f"u{(d * 13 + i) % 37}") for d in range(3) for i in range(50)]
+    df = spark.createDataFrame(rows, "d int, w string")
+    grouped = hll_registers(df, "w", by=("d",))
+    folded = sorted(
+        map(
+            tuple,
+            grouped.groupBy("bucket")
+            .agg(F.max("reg").alias("reg"))
+            .collect(),
+        )
+    )
+    whole = sorted(map(tuple, hll_registers(df, "w").collect()))
+    assert folded == whole
