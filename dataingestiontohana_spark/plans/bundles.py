@@ -187,6 +187,20 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("d", "bigint"), ("v_empty", "bigint"), ("s_scaled", "bigint"),
         ("est", "double"), ("exact_u", "bigint"), ("err_pct", "double"),
     ],
+    "q128_benford_audit": [
+        ("digit", "string"), ("n", "bigint"), ("total", "bigint"),
+        ("pct", "double"), ("benford_pct", "double"), ("dev_pct", "double"),
+    ],
+    "q129_feed_freshness": [
+        ("event_type", "string"), ("n_gaps", "bigint"),
+        ("max_gap_sec", "bigint"), ("gaps_over_1h", "bigint"),
+        ("avg_gap_sec", "double"), ("last_seen", "string"),
+    ],
+    "q130_token_budget_fill": [
+        ("source", "string"), ("kept_docs", "bigint"),
+        ("kept_chars", "bigint"), ("budget_chars", "bigint"),
+        ("fill_pct", "double"),
+    ],
     "q116_mmr_diversify": [
         ("sel_order", "int"), ("vec_id", "bigint"), ("rel", "bigint"),
         ("maxsim", "bigint"), ("score", "bigint"),
@@ -480,6 +494,7 @@ BUNDLES: dict[str, list[str]] = {
         "q57_hash_split", "q58_stratified_sample", "q59_dataset_mix",
         "q102_dist_drift", "q103_chi2_independence",
         "q111_source_entropy", "q112_weighted_sample",
+        "q130_token_budget_fill",
     ],
     "q32_70_shingle_exact": [
         "q32_ngram_jaccard", "q70_split_contamination", "q89_substring_dup",
@@ -517,6 +532,7 @@ BUNDLES: dict[str, list[str]] = {
     "q24_86_audit": [
         "q24_ingest_audit", "q86_profile", "q118_k_anonymity",
         "q121_key_skew_audit", "q123_referential_integrity",
+        "q128_benford_audit",
     ],
     # round 6: the q47 single grew into the event-sequence bundle —
     # sessionization, the first-order Markov transition matrix, and
@@ -525,6 +541,7 @@ BUNDLES: dict[str, list[str]] = {
         "q47_sessionize", "q106_markov_transitions",
         "q107_hourly_autocorr", "q114_cusum_changepoint",
         "q117_last_touch_attribution", "q119_debounce_dedup",
+        "q129_feed_freshness",
     ],
     # round 6: the q75 single grew into the retrieval bundle —
     # TF-IDF salience plus reciprocal-rank fusion of the BM25 and

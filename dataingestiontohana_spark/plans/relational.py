@@ -1764,3 +1764,77 @@ ORACLES["q126_time_weighted_avg"] = """
                  / CAST(100 * w_sum_sec AS DOUBLE), 4) AS twap
     FROM g ORDER BY event_type
 """
+
+
+def q129_feed_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed freshness / liveness audit per event type: inter-arrival
+    gap statistics (max, average, count of gaps over one hour) plus
+    the stream's last-seen timestamp — the monitoring row a 100 TB
+    ingest fleet publishes per feed to catch a stalled producer
+    before a consumer reads stale data.
+
+    Exactness: gaps are exact epoch-second int64 deltas over a
+    deterministic (ts, event_id) order; avg_gap is ONE exact-int
+    division rounded for display; last_seen formats via
+    date_format/strftime second-precision (the bundle timestamp
+    convention).
+
+    Scale shape: ONE lag() window pass partitioned by event_type
+    (per-feed frames), then a map-side-combined aggregation onto
+    |types| rows.
+    """
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gaps = (
+        e.select("event_type", "ts", "event_id")
+        .withColumn("gap", sec - F.lag(sec).over(w))
+        .groupBy("event_type")
+        .agg(
+            F.count("gap").cast("long").alias("n_gaps"),
+            F.max("gap").cast("long").alias("max_gap_sec"),
+            F.sum("gap").cast("long").alias("gap_sum_sec"),
+            F.sum(F.when(F.col("gap") > 3600, 1).otherwise(0))
+            .cast("long")
+            .alias("gaps_over_1h"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "last_seen"
+            ),
+        )
+    )
+    avg_gap = F.round(
+        F.col("gap_sum_sec").cast("double") / F.col("n_gaps").cast("double"),
+        2,
+    )
+    return gaps.select(
+        "event_type", "n_gaps", "max_gap_sec", "gaps_over_1h",
+        avg_gap.alias("avg_gap_sec"), "last_seen",
+    ).orderBy("event_type")
+
+
+QUERIES["q129_feed_freshness"] = q129_feed_freshness
+
+ORACLES["q129_feed_freshness"] = """
+    WITH g AS (
+      SELECT event_type, ts,
+             date_diff('second',
+               LAG(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id),
+               ts) AS gap
+      FROM events),
+    a AS (
+      SELECT event_type,
+             CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+             CAST(MAX(gap) AS BIGINT) AS max_gap_sec,
+             CAST(SUM(gap) AS BIGINT) AS gap_sum_sec,
+             CAST(COALESCE(SUM(CASE WHEN gap > 3600 THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS gaps_over_1h,
+             strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
+      FROM g GROUP BY event_type)
+    SELECT event_type, n_gaps, max_gap_sec, gaps_over_1h,
+           ROUND(CAST(gap_sum_sec AS DOUBLE) / CAST(n_gaps AS DOUBLE), 2)
+             AS avg_gap_sec,
+           last_seen
+    FROM a ORDER BY event_type
+"""

@@ -770,3 +770,171 @@ ORACLES["q121_key_skew_audit"] = """
       FROM a2)
     ORDER BY key_name
 """
+
+
+def q128_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    fraud/synthetic-data screen: observed leading-digit shares vs the
+    log10(1 + 1/d) expectation, per digit.
+
+    Exactness: the leading digit comes from the INTEGER cents string
+    (int64-to-text is identical across engines — no double formatting
+    anywhere); counts are int64; pct is one exact-int division rounded
+    to 4; the Benford expectation is log10 rounded to 6 (the q75 libm
+    precedent: both engines' correctly-rounded libm agrees at 6
+    places on these nine literals).
+
+    Scale shape: map-only digit extraction in codegen, ONE map-side-
+    combined groupBy onto 9 rows, totals attached as a 1-row broadcast
+    crossJoin.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1)
+    counts = (
+        o.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = counts.agg(F.sum("n").cast("long").alias("total"))
+    pct = F.round(
+        (F.lit(100) * F.col("n")).cast("double")
+        / F.col("total").cast("double"),
+        4,
+    )
+    benford = F.round(
+        F.lit(100.0)
+        * F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")),
+        6,
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit", "n", "total",
+            pct.alias("pct"),
+            benford.alias("benford_pct"),
+            F.round(pct - benford, 4).alias("dev_pct"),
+        )
+        .orderBy("digit")
+    )
+
+
+QUERIES["q128_benford_audit"] = q128_benford_audit
+
+ORACLES["q128_benford_audit"] = """
+    WITH c AS (
+      SELECT substr(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                    AS VARCHAR), 1, 1) AS digit
+      FROM orders),
+    g AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY digit),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g)
+    SELECT digit, n, total,
+           ROUND(CAST(100 * n AS DOUBLE) / CAST(total AS DOUBLE), 4) AS pct,
+           ROUND(100.0 * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)
+             AS benford_pct,
+           ROUND(ROUND(CAST(100 * n AS DOUBLE) / CAST(total AS DOUBLE), 4)
+                 - ROUND(100.0 * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6),
+                 4) AS dev_pct
+    FROM g, t ORDER BY digit
+"""
+
+
+_Q130_BUDGET = 30000  # chars per source
+
+
+def q130_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted corpus fill: per source, keep documents in
+    deterministic hash order until the running character total reaches
+    the budget (the straddling document is kept) — the "sample N
+    tokens per source" step of dataset mixing, as a rank-free
+    cumulative cutoff.
+
+    The naive formulation is a cumulative-sum window PARTITION BY
+    source — with a handful of sources, each partition is a
+    single-task funnel over the whole corpus. Instead the cumsum is
+    two-pass bucketed (the operators/ranks.py shape): per-(source,
+    hash-bucket) subtotals aggregate map-side, bucket offsets come
+    from a window over that |sources| x 1000 frame, and the per-doc
+    running total is offset + a window WITHIN the (source, bucket)
+    partition — thousands of balanced frames, identical global order
+    (bucket, doc_id).
+
+    Exactness: the order key is the deterministic Knuth hash bucket
+    with doc_id ties; all cumulative sums are int64; kept/char counts
+    are int64; fill_pct is ONE exact-int division rounded for display.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    r = d.select(
+        "source", "doc_id", "n_chars",
+        _bucket(F.col("doc_id"), 1000, salt=31).alias("b"),
+    )
+    sub = r.groupBy("source", "b").agg(
+        F.sum("n_chars").cast("long").alias("sc")
+    )
+    woff = (
+        Window.partitionBy("source")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sub.select(
+        "source", "b",
+        F.coalesce(F.sum("sc").over(woff), F.lit(0)).cast("long").alias("off"),
+    )
+    wloc = (
+        Window.partitionBy("source", "b")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = (
+        F.col("off")
+        + F.coalesce(F.sum("n_chars").over(wloc), F.lit(0)).cast("long")
+    )
+    kept = (
+        r.join(F.broadcast(offsets), ["source", "b"])
+        .withColumn("cum_before", cum_before)
+        .where(F.col("cum_before") < F.lit(_Q130_BUDGET))
+    )
+    g = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("kept_docs"),
+        F.sum("n_chars").cast("long").alias("kept_chars"),
+    )
+    return g.select(
+        "source", "kept_docs", "kept_chars",
+        F.lit(_Q130_BUDGET).cast("long").alias("budget_chars"),
+        F.round(
+            (F.lit(100) * F.col("kept_chars")).cast("double")
+            / F.lit(float(_Q130_BUDGET)),
+            2,
+        ).alias("fill_pct"),
+    ).orderBy("source")
+
+
+QUERIES["q130_token_budget_fill"] = q130_token_budget_fill
+
+ORACLES["q130_token_budget_fill"] = f"""
+    WITH r AS (
+      SELECT source, doc_id, n_chars,
+             ((doc_id + 31) % 1000) * ({_KNUTH} % 1000) % 1000 AS b
+      FROM documents),
+    c AS (
+      SELECT source, n_chars,
+             COALESCE(SUM(n_chars) OVER (PARTITION BY source
+               ORDER BY b, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM r),
+    k AS (SELECT * FROM c WHERE cum_before < {_Q130_BUDGET}),
+    g AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS kept_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+      FROM k GROUP BY source)
+    SELECT source, kept_docs, kept_chars,
+           CAST({_Q130_BUDGET} AS BIGINT) AS budget_chars,
+           ROUND(CAST(100 * kept_chars AS DOUBLE)
+                 / {float(_Q130_BUDGET)}, 2) AS fill_pct
+    FROM g ORDER BY source
+"""
