@@ -201,6 +201,25 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("kept_chars", "bigint"), ("budget_chars", "bigint"),
         ("fill_pct", "double"),
     ],
+    "q05_inner_join": [
+        ("c_custkey", "bigint"), ("c_name", "string"), ("n_name", "string"),
+    ],
+    "q131_nullsafe_join": [
+        ("label", "string"), ("n", "bigint"), ("bal_cents", "bigint"),
+        ("share_pct", "double"),
+    ],
+    "q132_activity_islands": [
+        ("longest", "bigint"), ("n_users", "bigint"),
+    ],
+    "q133_rolling_anomaly": [
+        ("event_type", "string"), ("d", "bigint"), ("x", "bigint"),
+        ("base_mean", "double"), ("n", "bigint"),
+    ],
+    "q134_wow_growth": [
+        ("event_type", "string"), ("wk", "bigint"), ("n", "bigint"),
+        ("v_cents", "bigint"), ("prev_n", "bigint"),
+        ("growth_pct", "double"),
+    ],
     "q116_mmr_diversify": [
         ("sel_order", "int"), ("vec_id", "bigint"), ("rel", "bigint"),
         ("maxsim", "bigint"), ("score", "bigint"),
@@ -461,7 +480,7 @@ BUNDLES: dict[str, list[str]] = {
     "q44_45_interval_joins": ["q44_asof_join", "q45_range_join"],
     "q46_60_62_distribution": [
         "q46_percentiles", "q60_ntile_buckets", "q62_rank_dist",
-        "q101_mad_outliers",
+        "q101_mad_outliers", "q133_rolling_anomaly",
     ],
     "q21_27_52_language": [
         "q21_lang_stats", "q27_lang_id", "q52_observe_audit",
@@ -525,7 +544,7 @@ BUNDLES: dict[str, list[str]] = {
     "q20_84_timegrain": [
         "q20_time_bucket", "q84_hypertable_rollup", "q97_funnel",
         "q98_retention", "q99_gapfill_locf", "q100_linear_trend",
-        "q115_theil_sen", "q126_time_weighted_avg",
+        "q115_theil_sen", "q126_time_weighted_avg", "q134_wow_growth",
     ],
     # round 5: q24 grew into a bundle with the one-scan per-column
     # dataset profiler (ingest-acceptance stats)
@@ -541,7 +560,7 @@ BUNDLES: dict[str, list[str]] = {
         "q47_sessionize", "q106_markov_transitions",
         "q107_hourly_autocorr", "q114_cusum_changepoint",
         "q117_last_touch_attribution", "q119_debounce_dedup",
-        "q129_feed_freshness",
+        "q129_feed_freshness", "q132_activity_islands",
     ],
     # round 6: the q75 single grew into the retrieval bundle —
     # TF-IDF salience plus reciprocal-rank fusion of the BM25 and
@@ -556,13 +575,16 @@ BUNDLES: dict[str, list[str]] = {
         "q127_rolling_hll_users",
     ],
     "q14_125_topk": ["q14_topk_per_group", "q125_basket_pairs"],
+    # round 6 continuation: the q05 single grew into the joins bundle
+    # (plain inner + null-safe <=> dimension conform)
+    "q05_131_joins": ["q05_inner_join", "q131_nullsafe_join"],
 }
 
 # fine queries exported unchanged, in this order (headline queries
 # first for bench continuity with BASELINE.md round-1 numbers)
 SINGLES: list[str] = [
     "q01_filter_project", "q02_compound_predicates", "q03_string_functions",
-    "q05_inner_join", "q06_multiway_join_agg", "q07_left_outer_join",
+    "q06_multiway_join_agg", "q07_left_outer_join",
     "q08_semi_join", "q09_anti_join", "q10_hash_agg", "q11_distinct_agg",
     "q16_running_sum", "q18_dedup", "q19_json_extract",
     "q48_correlated_subquery", "q69_fuzzy_name_join",

@@ -1838,3 +1838,167 @@ ORACLES["q129_feed_freshness"] = """
            last_seen
     FROM a ORDER BY event_type
 """
+
+
+def q133_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-baseline anomaly days: a day is anomalous for an event
+    type when its count deviates from the TRAILING 7-day baseline by
+    more than 2 baseline standard deviations — the alerting rule
+    behind ops dashboards, joining the family of q101 (MAD, global)
+    and q114 (CUSUM, level shift) with a moving local baseline.
+
+    Exactness: the 2-sigma test never takes a square root — it is the
+    cross-multiplied integer inequality
+    n^2 * (n*x - s)^2 > 4 * n * (n*q - s^2), with s = trailing sum,
+    q = trailing sum of squares, n = trailing days, all int64 from a
+    RANGE window over the per-day counts (products accumulate in
+    DECIMAL(38,0)); displayed mean is one exact division.
+
+    Scale shape: events reduce map-side to |types| x |days| integer
+    counts; every window and test runs on that reduced frame.
+    """
+    from pyspark.sql.window import Window as W
+
+    e = _t(spark, sf_dir, "events")
+    d = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    ).cast("long")
+    daily = (
+        e.select("event_type", d.alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("d")
+        .rangeBetween(-7, -1)
+    )
+    base = daily.select(
+        "event_type", "d", "x",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("x").over(w).cast("long").alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+        .over(w)
+        .alias("q"),
+    ).where(F.col("n") >= 3)
+    nd = F.col("n").cast("decimal(38,0)")
+    xd = F.col("x").cast("decimal(38,0)")
+    sd = F.col("s").cast("decimal(38,0)")
+    dev = nd * xd - sd
+    var_n2 = nd * F.col("q") - sd * sd  # n^2 * variance (biased)
+    anomalous = (dev * dev) * nd > F.lit(4).cast("decimal(38,0)") * (
+        var_n2 * nd
+    )
+    flagged = base.where(anomalous)
+    return flagged.select(
+        "event_type", "d", "x",
+        F.round(
+            F.col("s").cast("double") / F.col("n").cast("double"), 4
+        ).alias("base_mean"),
+        "n",
+    ).orderBy("event_type", "d")
+
+
+QUERIES["q133_rolling_anomaly"] = q133_rolling_anomaly
+
+ORACLES["q133_rolling_anomaly"] = """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    base AS (
+      SELECT event_type, d, x,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             CAST(SUM(x) OVER w AS BIGINT) AS s,
+             SUM(CAST(x AS HUGEINT) * x) OVER w AS q
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+    t AS (SELECT * FROM base WHERE n >= 3)
+    SELECT event_type, d, x,
+           ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 4) AS base_mean,
+           n
+    FROM t
+    WHERE CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * x - s)
+          * (CAST(n AS HUGEINT) * x - s)
+          > 4 * CAST(n AS HUGEINT)
+            * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+    ORDER BY event_type, d
+"""
+
+
+def q134_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type — the period-over-period
+    reporting primitive: weekly event counts and value sums with the
+    prior week attached by lag() and growth as an exact-int ratio.
+
+    Exactness: week index and counts are int64; value quantizes to
+    cents before summing; growth_pct is ONE division of exact int64
+    operands rounded for display; weeks with no prior week emit NULL
+    growth on both engines.
+
+    Scale shape: events reduce map-side to |types| x |weeks| rows;
+    the lag window runs on that reduced frame.
+    """
+    from pyspark.sql.window import Window as W
+
+    e = _t(spark, sf_dir, "events")
+    wk = F.floor(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        )
+        / 7
+    ).cast("long")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    weekly = (
+        e.select("event_type", wk.alias("wk"), cents.alias("cents"))
+        .groupBy("event_type", "wk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("v_cents"),
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("wk")
+    out = weekly.select(
+        "event_type", "wk", "n", "v_cents",
+        F.lag("n").over(w).cast("long").alias("prev_n"),
+    )
+    growth = F.when(
+        F.col("prev_n").isNotNull(),
+        F.round(
+            (F.lit(100) * (F.col("n") - F.col("prev_n"))).cast("double")
+            / F.col("prev_n").cast("double"),
+            4,
+        ),
+    )
+    return out.select(
+        "event_type", "wk", "n", "v_cents", "prev_n",
+        growth.alias("growth_pct"),
+    ).orderBy("event_type", "wk")
+
+
+QUERIES["q134_wow_growth"] = q134_wow_growth
+
+ORACLES["q134_wow_growth"] = """
+    WITH weekly AS (
+      SELECT event_type,
+             CAST(FLOOR(date_diff('day', DATE '2024-01-01',
+                                  CAST(ts AS DATE)) / 7.0) AS BIGINT) AS wk,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS v_cents
+      FROM events GROUP BY 1, 2),
+    l AS (
+      SELECT event_type, wk, n, v_cents,
+             CAST(LAG(n) OVER (PARTITION BY event_type ORDER BY wk)
+               AS BIGINT) AS prev_n
+      FROM weekly)
+    SELECT event_type, wk, n, v_cents, prev_n,
+           CASE WHEN prev_n IS NOT NULL
+                THEN ROUND(CAST(100 * (n - prev_n) AS DOUBLE)
+                           / CAST(prev_n AS DOUBLE), 4)
+           END AS growth_pct
+    FROM l ORDER BY event_type, wk
+"""

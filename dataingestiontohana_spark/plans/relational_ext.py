@@ -744,3 +744,135 @@ ORACLES["q125_basket_pairs"] = """
     CROSS JOIN nb
     ORDER BY c_ab DESC, pa, pb
 """
+
+
+def q131_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): customers
+    whose segment was nulled out (a deterministic NULLIF) still match
+    the dimension's NULL row instead of silently dropping — the
+    dimension-conform step every warehouse needs once a key column is
+    nullable. A plain equi-join loses the NULL group; the null-safe
+    comparison keeps it AND still plans as a hash/sort-merge equi-join
+    (EqualNullSafe is a valid equi-join key in Catalyst — no
+    nested-loop fallback; the dim side broadcasts).
+
+    Exactness: int64 counts and an exact-int share division.
+    """
+    c = _t(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY"))
+    facts = c.select(seg.alias("seg"), "c_acctbal")
+    dim = (
+        facts.select("seg")
+        .distinct()
+        .select(
+            "seg", F.coalesce(F.col("seg"), F.lit("UNKNOWN")).alias("label")
+        )
+    )
+    j = facts.join(
+        F.broadcast(dim), facts["seg"].eqNullSafe(dim["seg"]), "inner"
+    )
+    g = j.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("bal_cents"),
+    )
+    tot = g.agg(F.sum("n").cast("long").alias("total"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "label", "n", "bal_cents",
+            F.round(
+                (F.lit(100) * F.col("n")).cast("double")
+                / F.col("total").cast("double"),
+                4,
+            ).alias("share_pct"),
+        )
+        .orderBy("label")
+    )
+
+
+QUERIES["q131_nullsafe_join"] = q131_nullsafe_join
+
+ORACLES["q131_nullsafe_join"] = """
+    WITH facts AS (
+      SELECT NULLIF(c_mktsegment, 'MACHINERY') AS seg, c_acctbal
+      FROM customer),
+    dim AS (
+      SELECT seg, COALESCE(seg, 'UNKNOWN') AS label
+      FROM (SELECT DISTINCT seg FROM facts)),
+    g AS (
+      SELECT label,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+               AS bal_cents
+      FROM facts f JOIN dim d ON f.seg IS NOT DISTINCT FROM d.seg
+      GROUP BY label),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g)
+    SELECT label, n, bal_cents,
+           ROUND(CAST(100 * n AS DOUBLE) / CAST(total AS DOUBLE), 4)
+             AS share_pct
+    FROM g, t ORDER BY label
+"""
+
+
+def q132_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's activity days split into maximal
+    runs of consecutive days (island id = day_number - row_number, the
+    canonical trick), reduced to the distribution of longest streaks —
+    the engagement metric behind retention dashboards.
+
+    Exactness: pure int64 day arithmetic and counts end to end.
+
+    Scale shape: dedupe to (user, day) FIRST (map-side combine), ONE
+    row_number window partitioned by user over the reduced frame
+    (millions of small frames), two more map-side-combined reductions
+    onto |streak-length| histogram rows.
+    """
+    from pyspark.sql.window import Window as W
+
+    e = _t(spark, sf_dir, "events")
+    d = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    ).cast("long")
+    days = e.select("user_id", d.alias("d")).distinct()
+    isl = F.col("d") - F.row_number().over(
+        W.partitionBy("user_id").orderBy("d")
+    )
+    streaks = (
+        days.select("user_id", "d", isl.alias("isl"))
+        .groupBy("user_id", "isl")
+        .agg(F.count(F.lit(1)).cast("long").alias("len"))
+    )
+    longest = streaks.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest")
+    )
+    return (
+        longest.groupBy("longest")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("longest")
+    )
+
+
+QUERIES["q132_activity_islands"] = q132_activity_islands
+
+ORACLES["q132_activity_islands"] = """
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS BIGINT) AS d
+      FROM events),
+    isl AS (
+      SELECT user_id, d,
+             d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+               AS isl
+      FROM days),
+    streaks AS (
+      SELECT user_id, isl, CAST(COUNT(*) AS BIGINT) AS len
+      FROM isl GROUP BY user_id, isl),
+    longest AS (
+      SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest
+      FROM streaks GROUP BY user_id)
+    SELECT longest, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM longest GROUP BY longest ORDER BY longest
+"""
