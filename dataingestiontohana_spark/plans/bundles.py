@@ -220,6 +220,14 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("v_cents", "bigint"), ("prev_n", "bigint"),
         ("growth_pct", "double"),
     ],
+    "q135_weighted_median": [
+        ("l_returnflag", "string"), ("total_weight", "bigint"),
+        ("med_cents", "bigint"), ("weighted_median_price", "double"),
+    ],
+    "q136_snapshot_diff": [
+        ("n_added", "bigint"), ("n_removed", "bigint"),
+        ("n_changed", "bigint"), ("n_same", "bigint"),
+    ],
     "q116_mmr_diversify": [
         ("sel_order", "int"), ("vec_id", "bigint"), ("rel", "bigint"),
         ("maxsim", "bigint"), ("score", "bigint"),
@@ -481,6 +489,7 @@ BUNDLES: dict[str, list[str]] = {
     "q46_60_62_distribution": [
         "q46_percentiles", "q60_ntile_buckets", "q62_rank_dist",
         "q101_mad_outliers", "q133_rolling_anomaly",
+        "q135_weighted_median",
     ],
     "q21_27_52_language": [
         "q21_lang_stats", "q27_lang_id", "q52_observe_audit",
@@ -507,7 +516,10 @@ BUNDLES: dict[str, list[str]] = {
         "q63_label_centroids", "q64_centroid_outliers", "q67_vector_stats",
         "q83_kmeans", "q90_semantic_dedup",
     ],
-    "q53_54_cdc": ["q53_merge_upsert", "q54_scd2", "q120_incremental_agg"],
+    "q53_54_cdc": [
+        "q53_merge_upsert", "q54_scd2", "q120_incremental_agg",
+        "q136_snapshot_diff",
+    ],
     "q55_56_udf": ["q55_udaf_geomean", "q56_group_normalize"],
     "q57_58_59_sampling": [
         "q57_hash_split", "q58_stratified_sample", "q59_dataset_mix",

@@ -176,3 +176,126 @@ ORACLES = {
         FROM agg WHERE n_orders > 0 ORDER BY o_orderstatus
     """,
 }
+
+
+def q136_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: diff two table versions by key +
+    row-content hash — added / removed / changed / same counts, the
+    audit a lake runs after every replication or backfill to prove two
+    copies agree (q120 maintains aggregates from a delta; this
+    DERIVES the delta between full snapshots).
+
+    The "new" snapshot is deterministic: every key ≡ 0 mod 10 changes
+    (the q53 +100 balance update), every key ≡ 3 mod 13 is removed,
+    and every key ≡ 4 mod 17 gains a clone under key+5,000,000.
+
+    Exactness: the row hash is md5 over '|'-joined INT/STRING fields
+    only (balance enters as exact int64 cents — no double formatting
+    crosses engines); all outputs are int64 counts.
+
+    Scale shape: each side reduces map-side to (key, 32-byte hash) —
+    the full-outer join carries 40-byte rows, never customer payloads;
+    the classification aggregates to ONE row with map-side combine.
+    At 100 TB the join is the irreducible cost of a key-level diff;
+    bucketed snapshots (operators/skew.py::write_bucketed) make it
+    exchange-free.
+    """
+    c = load_table(spark, sf_dir, "customer")
+
+    def cents(col):
+        return F.round(col * 100, 0).cast("long")
+
+    def row_hash(df):
+        return F.md5(
+            F.concat_ws(
+                "|",
+                F.col("c_name"),
+                F.col("c_nationkey").cast("string"),
+                cents(F.col("c_acctbal")).cast("string"),
+                F.col("c_mktsegment"),
+            )
+        )
+
+    old = c.select(F.col("c_custkey").alias("k"), row_hash(c).alias("h"))
+    changed = c.where(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", F.round(F.col("c_acctbal") + 100.0, 2)
+    )
+    kept = c.where(
+        (F.col("c_custkey") % 10 != 0) & (F.col("c_custkey") % 13 != 3)
+    )
+    added = c.where(F.col("c_custkey") % 17 == 4).withColumn(
+        "c_custkey", F.col("c_custkey") + 5000000
+    )
+    newh = kept.unionByName(changed).unionByName(added)
+    new = newh.select(
+        F.col("c_custkey").alias("k"), row_hash(newh).alias("h")
+    )
+    j = old.withColumnRenamed("h", "h_old").join(
+        new.withColumnRenamed("h", "h_new"), "k", "full_outer"
+    )
+    return j.agg(
+        F.sum(F.when(F.col("h_old").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_added"),
+        F.sum(F.when(F.col("h_new").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.sum(
+            F.when(
+                F.col("h_old").isNotNull()
+                & F.col("h_new").isNotNull()
+                & (F.col("h_old") != F.col("h_new")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_changed"),
+        F.sum(
+            F.when(F.col("h_old") == F.col("h_new"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_same"),
+    )
+
+
+QUERIES["q136_snapshot_diff"] = q136_snapshot_diff
+
+ORACLES["q136_snapshot_diff"] = """
+    WITH oldt AS (
+      SELECT c_custkey AS k,
+             md5(concat_ws('|', c_name, CAST(c_nationkey AS VARCHAR),
+                 CAST(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS VARCHAR),
+                 c_mktsegment)) AS h
+      FROM customer),
+    newsrc AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 10 <> 0 AND c_custkey % 13 <> 3
+      UNION ALL
+      SELECT c_custkey, c_name, c_nationkey,
+             ROUND(c_acctbal + 100.0, 2), c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 5000000, c_name, c_nationkey, c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 17 = 4),
+    newt AS (
+      SELECT c_custkey AS k,
+             md5(concat_ws('|', c_name, CAST(c_nationkey AS VARCHAR),
+                 CAST(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS VARCHAR),
+                 c_mktsegment)) AS h
+      FROM newsrc),
+    j AS (
+      SELECT o.h AS h_old, n.h AS h_new
+      FROM oldt o FULL OUTER JOIN newt n ON o.k = n.k)
+    SELECT
+      CAST(SUM(CASE WHEN h_old IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_added,
+      CAST(SUM(CASE WHEN h_new IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_removed,
+      CAST(SUM(CASE WHEN h_old IS NOT NULL AND h_new IS NOT NULL
+                         AND h_old <> h_new THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_changed,
+      CAST(SUM(CASE WHEN h_old = h_new THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_same
+    FROM j
+"""

@@ -876,3 +876,103 @@ ORACLES["q132_activity_islands"] = """
     SELECT longest, CAST(COUNT(*) AS BIGINT) AS n_users
     FROM longest GROUP BY longest ORDER BY longest
 """
+
+
+def q135_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — the weighted
+    quantile aggregate (lower weighted median: the smallest value
+    whose cumulative weight reaches half the total).
+
+    The key scale move: the median is a property of the VALUE
+    DISTRIBUTION, so lineitem first reduces map-side to (flag, cents,
+    weight) — one row per distinct price per flag — and every window
+    runs on that reduced frame. The cumulative weight through each
+    value is tie-order invariant, so no row-level tiebreak is needed
+    at all. The per-flag cumsum is two-pass bucketed (the q130 shape:
+    price-range bucket subtotals + offsets + within-bucket windows),
+    never a 3-partition funnel of the raw table.
+
+    Exactness: prices quantize to int64 cents, weights are integral
+    l_quantity cast to int64, all cumulative sums int64; the median
+    price is cents / 100.0 (exact hundredths).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    v = (
+        li.select(
+            "l_returnflag",
+            cents.alias("cents"),
+            F.col("l_quantity").cast("long").alias("w"),
+        )
+        .groupBy("l_returnflag", "cents")
+        .agg(F.sum("w").cast("long").alias("w"))
+    )
+    pb = F.floor(F.col("cents") / 500000).cast("long")  # 5000-unit bands
+    vb = v.withColumn("pb", pb).localCheckpoint(eager=False)
+    sub = vb.groupBy("l_returnflag", "pb").agg(
+        F.sum("w").cast("long").alias("sw")
+    )
+    woff = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("pb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = sub.select(
+        "l_returnflag", "pb",
+        F.coalesce(F.sum("sw").over(woff), F.lit(0)).cast("long").alias("off"),
+    )
+    tot = vb.groupBy("l_returnflag").agg(
+        F.sum("w").cast("long").alias("tw")
+    )
+    wloc = (
+        Window.partitionBy("l_returnflag", "pb")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_through = F.col("off") + F.sum("w").over(wloc).cast("long")
+    med = (
+        vb.join(F.broadcast(offs), ["l_returnflag", "pb"])
+        .join(F.broadcast(tot), "l_returnflag")
+        .withColumn("ct", cum_through)
+        .where(F.lit(2) * F.col("ct") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(F.min("cents").cast("long").alias("med_cents"))
+    )
+    return (
+        med.join(F.broadcast(tot), "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.col("tw").alias("total_weight"),
+            "med_cents",
+            (F.col("med_cents").cast("double") / F.lit(100.0)).alias(
+                "weighted_median_price"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+QUERIES["q135_weighted_median"] = q135_weighted_median
+
+ORACLES["q135_weighted_median"] = """
+    WITH v AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2),
+    c AS (
+      SELECT l_returnflag, cents, w,
+             CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS ct,
+             CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+      FROM v),
+    m AS (
+      SELECT l_returnflag,
+             CAST(MIN(cents) AS BIGINT) AS med_cents,
+             CAST(MIN(tw) AS BIGINT) AS total_weight
+      FROM c WHERE 2 * ct >= tw GROUP BY l_returnflag)
+    SELECT l_returnflag, total_weight, med_cents,
+           med_cents / 100.0 AS weighted_median_price
+    FROM m ORDER BY l_returnflag
+"""
