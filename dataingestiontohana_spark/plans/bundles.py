@@ -228,6 +228,24 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("n_added", "bigint"), ("n_removed", "bigint"),
         ("n_changed", "bigint"), ("n_same", "bigint"),
     ],
+    "q137_hierarchy_rollup": [
+        ("node", "bigint"), ("subtree_users", "bigint"),
+        ("subtree_events", "bigint"),
+    ],
+    "q138_trimmed_mean": [
+        ("o_orderstatus", "string"), ("n", "bigint"),
+        ("k_trimmed", "bigint"), ("kept", "bigint"),
+        ("sum_cents", "bigint"), ("trimmed_mean", "double"),
+    ],
+    "q139_new_vs_returning": [
+        ("d", "bigint"), ("active_users", "bigint"),
+        ("new_users", "bigint"), ("returning_users", "bigint"),
+        ("cum_known_users", "bigint"),
+    ],
+    "q140_pareto_frontier": [
+        ("o_orderstatus", "string"), ("d", "bigint"),
+        ("day_max", "bigint"), ("prev_record", "bigint"),
+    ],
     "q116_mmr_diversify": [
         ("sel_order", "int"), ("vec_id", "bigint"), ("rel", "bigint"),
         ("maxsim", "bigint"), ("score", "bigint"),
@@ -479,7 +497,10 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
 # bundle name -> ordered list of fine-query parts
 BUNDLES: dict[str, list[str]] = {
     "q04_68_datetime": ["q04_date_math", "q68_datetime_functions"],
-    "q12_13_49_grouping": ["q12_rollup", "q13_cube", "q49_grouping_sets"],
+    "q12_13_49_grouping": [
+        "q12_rollup", "q13_cube", "q49_grouping_sets",
+        "q137_hierarchy_rollup",
+    ],
     "q15_50_windows": [
         "q15_lag", "q50_first_last_window", "q122_range_frame_rolling",
     ],
@@ -489,7 +510,8 @@ BUNDLES: dict[str, list[str]] = {
     "q46_60_62_distribution": [
         "q46_percentiles", "q60_ntile_buckets", "q62_rank_dist",
         "q101_mad_outliers", "q133_rolling_anomaly",
-        "q135_weighted_median",
+        "q135_weighted_median", "q138_trimmed_mean",
+        "q140_pareto_frontier",
     ],
     "q21_27_52_language": [
         "q21_lang_stats", "q27_lang_id", "q52_observe_audit",
@@ -557,6 +579,7 @@ BUNDLES: dict[str, list[str]] = {
         "q20_time_bucket", "q84_hypertable_rollup", "q97_funnel",
         "q98_retention", "q99_gapfill_locf", "q100_linear_trend",
         "q115_theil_sen", "q126_time_weighted_avg", "q134_wow_growth",
+        "q139_new_vs_returning",
     ],
     # round 5: q24 grew into a bundle with the one-scan per-column
     # dataset profiler (ingest-acceptance stats)

@@ -2002,3 +2002,148 @@ ORACLES["q134_wow_growth"] = """
            END AS growth_pct
     FROM l ORDER BY event_type, wk
 """
+
+
+def q139_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New vs returning users per day — the growth-accounting split:
+    a user is NEW on their first active day (min over their history),
+    returning on every later active day; cum_known is the running
+    count of users ever seen.
+
+    Exactness: pure int64 day arithmetic and counts.
+
+    Scale shape: dedupe to (user, day) map-side, per-user min-day is
+    ONE map-side-combined aggregation, and both daily rollups plus the
+    cumulative window run on |days|-sized frames (the window sits
+    below an Aggregate — the sanctioned reduced-input shape).
+    """
+    from pyspark.sql.window import Window as W
+
+    e = _t(spark, sf_dir, "events")
+    d = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    ).cast("long")
+    days = e.select("user_id", d.alias("d")).distinct()
+    first = days.groupBy("user_id").agg(F.min("d").alias("fd"))
+    active = days.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("active_users")
+    )
+    new = first.groupBy(F.col("fd").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    j = active.join(new, "d", "left_outer").select(
+        "d", "active_users",
+        F.coalesce(F.col("new_users"), F.lit(0)).cast("long").alias(
+            "new_users"
+        ),
+    )
+    cum = (
+        F.sum("new_users")
+        .over(W.orderBy("d").rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+    )
+    return j.select(
+        "d", "active_users", "new_users",
+        (F.col("active_users") - F.col("new_users")).cast("long").alias(
+            "returning_users"
+        ),
+        cum.alias("cum_known_users"),
+    ).orderBy("d")
+
+
+QUERIES["q139_new_vs_returning"] = q139_new_vs_returning
+
+ORACLES["q139_new_vs_returning"] = """
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS BIGINT) AS d
+      FROM events),
+    first AS (
+      SELECT user_id, MIN(d) AS fd FROM days GROUP BY user_id),
+    active AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS active_users
+      FROM days GROUP BY d),
+    neww AS (
+      SELECT fd AS d, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM first GROUP BY fd),
+    j AS (
+      SELECT a.d, a.active_users,
+             CAST(COALESCE(n.new_users, 0) AS BIGINT) AS new_users
+      FROM active a LEFT JOIN neww n ON a.d = n.d)
+    SELECT d, active_users, new_users,
+           CAST(active_users - new_users AS BIGINT) AS returning_users,
+           CAST(SUM(new_users) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_known_users
+    FROM j ORDER BY d
+"""
+
+
+def q140_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline-lite): per order status, the days that
+    set a new all-time-high daily-max order price — the 2-D
+    non-dominated set (earlier day, higher price) at day granularity,
+    the "record days" series behind price-discovery dashboards.
+
+    Exactness: prices compare as exact int64 cents; a day is on the
+    frontier iff its daily max STRICTLY exceeds every earlier day's
+    (running max over exact ints).
+
+    Scale shape: orders reduce map-side to |statuses| x |days| daily
+    maxima; the running-max window and the strict-dominance filter
+    run on that reduced frame.
+    """
+    from pyspark.sql.window import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    d = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+    ).cast("long")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    daily = (
+        o.select("o_orderstatus", d.alias("d"), cents.alias("cents"))
+        .groupBy("o_orderstatus", "d")
+        .agg(F.max("cents").cast("long").alias("day_max"))
+    )
+    w = (
+        W.partitionBy("o_orderstatus")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev_max = F.max("day_max").over(w)
+    return (
+        daily.withColumn("prev_max", prev_max)
+        .where(F.col("prev_max").isNull() | (F.col("day_max") > F.col("prev_max")))
+        .select(
+            "o_orderstatus", "d", "day_max",
+            F.coalesce(F.col("prev_max"), F.lit(0)).cast("long").alias(
+                "prev_record"
+            ),
+        )
+        .orderBy("o_orderstatus", "d")
+    )
+
+
+QUERIES["q140_pareto_frontier"] = q140_pareto_frontier
+
+ORACLES["q140_pareto_frontier"] = """
+    WITH daily AS (
+      SELECT o_orderstatus,
+             CAST(date_diff('day', DATE '1992-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+             CAST(MAX(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS day_max
+      FROM orders GROUP BY 1, 2),
+    m AS (
+      SELECT o_orderstatus, d, day_max,
+             MAX(day_max) OVER (PARTITION BY o_orderstatus ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM daily)
+    SELECT o_orderstatus, d, day_max,
+           CAST(COALESCE(prev_max, 0) AS BIGINT) AS prev_record
+    FROM m
+    WHERE prev_max IS NULL OR day_max > prev_max
+    ORDER BY o_orderstatus, d
+"""

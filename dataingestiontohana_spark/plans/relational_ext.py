@@ -976,3 +976,138 @@ ORACLES["q135_weighted_median"] = """
            med_cents / 100.0 AS weighted_median_price
     FROM m ORDER BY l_returnflag
 """
+
+
+def q137_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (tree) rollup: subtree user and event totals per
+    ancestor node of the decimal-prefix hierarchy parent(u) = u // 10
+    — the org-chart / BOM-explosion aggregate. The DuckDB oracle walks
+    the tree with a genuine WITH RECURSIVE ancestor expansion, pinning
+    recursive-CTE semantics; Spark (which has no recursive CTE)
+    unrolls the BOUNDED depth in closed form — ancestors of u are
+    floor(u / 10^k), k = 0..9, one explode — with the driver-side
+    fixed-point loop (the q108 PageRank precedent) as the documented
+    path for unbounded hierarchies.
+
+    Exactness: pure int64 arithmetic (10^k quotients of values < 2^53
+    are exact before floor); counts are int64.
+
+    Scale shape: events reduce map-side to per-user counts FIRST, so
+    the depth-bounded ancestor explosion multiplies |users| rows (not
+    events) by <= 10, then one map-side-combined rollup per node.
+    """
+    e = _t(spark, sf_dir, "events")
+    peru = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    node = F.floor(
+        F.col("user_id") / F.pow(F.lit(10.0), F.col("k"))
+    ).cast("long")
+    anc = (
+        peru.select(
+            "user_id", "c",
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("k"),
+        )
+        .select("user_id", "c", node.alias("node"))
+        .dropDuplicates(["user_id", "node"])
+    )
+    return (
+        anc.where(F.col("node") < 100)
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("subtree_users"),
+            F.sum("c").cast("long").alias("subtree_events"),
+        )
+        .orderBy("node")
+    )
+
+
+QUERIES["q137_hierarchy_rollup"] = q137_hierarchy_rollup
+
+ORACLES["q137_hierarchy_rollup"] = """
+    WITH RECURSIVE peru AS (
+      SELECT user_id AS u, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id),
+    anc AS (
+      SELECT u, u AS node FROM peru
+      UNION
+      SELECT u, node // 10 FROM anc WHERE node > 0)
+    SELECT node,
+           CAST(COUNT(*) AS BIGINT) AS subtree_users,
+           CAST(SUM(c) AS BIGINT) AS subtree_events
+    FROM anc JOIN peru USING (u)
+    WHERE node < 100
+    GROUP BY node ORDER BY node
+"""
+
+
+def q138_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean of order totals per status — the robust
+    location estimate between the plain mean and q135's weighted
+    median: drop floor(n/20) rows from EACH tail by exact global rank,
+    average the rest.
+
+    Exactness: the trim thresholds are pure integer arithmetic on
+    exact ranks; kept prices sum as int64 cents; the trimmed mean is
+    ONE exact-int division rounded for display.
+
+    Scale shape: ranks come from operators/ranks.py::bucketed_ranks
+    (value-range bucket subtotals + bounded windows) — a literal
+    ROW_NUMBER() PARTITION BY status funnels the whole table through
+    |statuses| tasks; group sizes ride along as g_n so no second
+    aggregation pass is needed to locate the tails.
+    """
+    from dataingestiontohana_spark.operators.ranks import bucketed_ranks
+
+    o = _t(spark, sf_dir, "orders")
+    ranked = bucketed_ranks(
+        o, "o_totalprice", part_cols=("o_orderstatus",),
+        tie_cols=("o_orderkey",),
+    )
+    k = F.floor(F.col("g_n") / 20).cast("long")
+    kept = ranked.where(
+        (F.col("g_rn") > k) & (F.col("g_rn") <= F.col("g_n") - k)
+    )
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    g = kept.groupBy("o_orderstatus").agg(
+        F.max("g_n").cast("long").alias("n"),
+        F.max(k).cast("long").alias("k_trimmed"),
+        F.count(F.lit(1)).cast("long").alias("kept"),
+        F.sum(cents).cast("long").alias("sum_cents"),
+    )
+    mean = F.round(
+        F.col("sum_cents").cast("double")
+        / (F.lit(100) * F.col("kept")).cast("double"),
+        4,
+    )
+    return g.select(
+        "o_orderstatus", "n", "k_trimmed", "kept", "sum_cents",
+        mean.alias("trimmed_mean"),
+    ).orderBy("o_orderstatus")
+
+
+QUERIES["q138_trimmed_mean"] = q138_trimmed_mean
+
+ORACLES["q138_trimmed_mean"] = """
+    WITH r AS (
+      SELECT o_orderstatus, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+               ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+      FROM orders),
+    kept AS (
+      SELECT * FROM r
+      WHERE rn > n // 20 AND rn <= n - n // 20),
+    g AS (
+      SELECT o_orderstatus,
+             CAST(MAX(n) AS BIGINT) AS n,
+             CAST(MAX(n // 20) AS BIGINT) AS k_trimmed,
+             CAST(COUNT(*) AS BIGINT) AS kept,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS sum_cents
+      FROM kept GROUP BY o_orderstatus)
+    SELECT o_orderstatus, n, k_trimmed, kept, sum_cents,
+           ROUND(CAST(sum_cents AS DOUBLE)
+                 / CAST(100 * kept AS DOUBLE), 4) AS trimmed_mean
+    FROM g ORDER BY o_orderstatus
+"""
