@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from dataingestiontohana_spark.plans import (
     cdc,
+    graph,
     ingestion,
     llm_dedup,
     llm_quality,
@@ -44,6 +45,7 @@ for mod in (
     cdc,
     udf_surface,
     sampling,
+    graph,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

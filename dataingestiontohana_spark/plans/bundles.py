@@ -246,6 +246,29 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("o_orderstatus", "string"), ("d", "bigint"),
         ("day_max", "bigint"), ("prev_record", "bigint"),
     ],
+    "q66_dedup_clusters": [
+        ("cluster_size", "bigint"), ("n_clusters", "bigint"),
+    ],
+    "q141_triangle_count": [
+        ("n_nodes", "bigint"), ("n_edges", "bigint"),
+        ("n_triangles", "bigint"), ("n_wedges", "bigint"),
+        ("gcc", "double"),
+    ],
+    "q142_golden_record": [
+        ("o_custkey", "bigint"), ("n_obs", "bigint"),
+        ("first_seen", "string"), ("last_seen", "string"),
+        ("last_status", "string"), ("last_f_priority", "string"),
+        ("total_cents", "bigint"), ("max_single_cents", "bigint"),
+    ],
+    "q143_temperature_mix": [
+        ("lang", "string"), ("c_docs", "bigint"), ("w_q", "bigint"),
+        ("target_docs", "bigint"), ("kept_docs", "bigint"),
+        ("kept_chars", "bigint"), ("fill_pct", "double"),
+    ],
+    "q144_journey_trigrams": [
+        ("t1", "string"), ("t2", "string"), ("t3", "string"),
+        ("n", "bigint"), ("users", "bigint"),
+    ],
     "q116_mmr_diversify": [
         ("sel_order", "int"), ("vec_id", "bigint"), ("rel", "bigint"),
         ("maxsim", "bigint"), ("score", "bigint"),
@@ -540,14 +563,14 @@ BUNDLES: dict[str, list[str]] = {
     ],
     "q53_54_cdc": [
         "q53_merge_upsert", "q54_scd2", "q120_incremental_agg",
-        "q136_snapshot_diff",
+        "q136_snapshot_diff", "q142_golden_record",
     ],
     "q55_56_udf": ["q55_udaf_geomean", "q56_group_normalize"],
     "q57_58_59_sampling": [
         "q57_hash_split", "q58_stratified_sample", "q59_dataset_mix",
         "q102_dist_drift", "q103_chi2_independence",
         "q111_source_entropy", "q112_weighted_sample",
-        "q130_token_budget_fill",
+        "q130_token_budget_fill", "q143_temperature_mix",
     ],
     "q32_70_shingle_exact": [
         "q32_ngram_jaccard", "q70_split_contamination", "q89_substring_dup",
@@ -596,6 +619,7 @@ BUNDLES: dict[str, list[str]] = {
         "q107_hourly_autocorr", "q114_cusum_changepoint",
         "q117_last_touch_attribution", "q119_debounce_dedup",
         "q129_feed_freshness", "q132_activity_islands",
+        "q144_journey_trigrams",
     ],
     # round 6: the q75 single grew into the retrieval bundle —
     # TF-IDF salience plus reciprocal-rank fusion of the BM25 and
@@ -613,6 +637,12 @@ BUNDLES: dict[str, list[str]] = {
     # round 6 continuation: the q05 single grew into the joins bundle
     # (plain inner + null-safe <=> dimension conform)
     "q05_131_joins": ["q05_inner_join", "q131_nullsafe_join"],
+    # round 6 continuation: the q66 single grew into the graph bundle
+    # (dup-edge connected components + the supplier-co-occurrence
+    # triangle census; the degree-ordered Spark algorithm is
+    # adjudicated against an independently-formulated id-ordered
+    # triple-join oracle)
+    "q66_141_graph": ["q66_dedup_clusters", "q141_triangle_count"],
 }
 
 # fine queries exported unchanged, in this order (headline queries
@@ -623,7 +653,7 @@ SINGLES: list[str] = [
     "q08_semi_join", "q09_anti_join", "q10_hash_agg", "q11_distinct_agg",
     "q16_running_sum", "q18_dedup", "q19_json_extract",
     "q48_correlated_subquery", "q69_fuzzy_name_join",
-    "q36_media_byte_features", "q66_dedup_clusters",
+    "q36_media_byte_features",
     "q71_decimal_interval", "q72_bucketed_join", "q73_embed_neardup",
     "q74_repetition_filter", "q76_variant_extract",
 ]

@@ -299,3 +299,93 @@ ORACLES["q136_snapshot_diff"] = """
         AS n_same
     FROM j
 """
+
+
+def q142_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship: collapse each customer's order
+    observations into one consolidated entity row with per-field
+    survivorship rules — the consolidation step of entity resolution
+    (q53 MERGE replaces whole rows; q54 SCD2 versions them; this
+    derives FIELD-level winners from conflicting observations).
+
+    Rules: most-recent-wins for status (latest order by date, ties by
+    orderkey), conditional most-recent for priority (observed only on
+    finished 'F' orders — NULL when the entity has none, the classic
+    sparse-attribute case), min/max for the seen range, sum/max for
+    spend.
+
+    Exactness trick: "value of the most recent observation" is
+    computed WITHOUT a window or self-join — each observation encodes
+    as 'isoDate|zero-padded-key|value'; the lexicographic MAX of that
+    string is the (date, key)-max, and the value splits back out.
+    Zero-padding makes string order = numeric order; both engines run
+    the identical printf/max/split.
+
+    Scale shape: one scan, one groupBy(custkey) with full map-side
+    combine (every rule is an algebraic aggregate — max/min/sum of
+    strings and int64 cents). No window, no join, no skew hazard
+    beyond the key's own row count. At 100 TB this is the cheapest
+    possible consolidation: a single combiner-friendly shuffle.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d_iso = F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd")
+    key12 = F.format_string("%012d", F.col("o_orderkey"))
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    tagged = o.select(
+        "o_custkey",
+        d_iso.alias("d"),
+        F.concat_ws("|", d_iso, key12, F.col("o_orderstatus")).alias(
+            "rec_status"
+        ),
+        F.when(
+            F.col("o_orderstatus") == "F",
+            F.concat_ws("|", d_iso, key12, F.col("o_orderpriority")),
+        ).alias("rec_f_prio"),
+        cents.alias("cents"),
+    )
+    g = tagged.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.min("d").alias("first_seen"),
+        F.max("d").alias("last_seen"),
+        F.element_at(F.split(F.max("rec_status"), "\\|"), 3).alias(
+            "last_status"
+        ),
+        F.element_at(F.split(F.max("rec_f_prio"), "\\|"), 3).alias(
+            "last_f_priority"
+        ),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.max("cents").cast("long").alias("max_single_cents"),
+    )
+    return g.orderBy("o_custkey")
+
+
+QUERIES["q142_golden_record"] = q142_golden_record
+
+ORACLES["q142_golden_record"] = """
+    WITH t AS (
+      SELECT o_custkey,
+             strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS d,
+             concat_ws('|', strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d'),
+                       printf('%012d', o_orderkey), o_orderstatus)
+               AS rec_status,
+             CASE WHEN o_orderstatus = 'F' THEN
+               concat_ws('|', strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d'),
+                         printf('%012d', o_orderkey), o_orderpriority)
+             END AS rec_f_prio,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders)
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           MIN(d) AS first_seen,
+           MAX(d) AS last_seen,
+           split_part(MAX(rec_status), '|', 3) AS last_status,
+           -- DuckDB split_part(NULL) yields '' not NULL; restore the
+           -- no-F-orders NULL (priorities are never empty strings)
+           NULLIF(split_part(MAX(rec_f_prio), '|', 3), '')
+             AS last_f_priority,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_single_cents
+    FROM t
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+"""

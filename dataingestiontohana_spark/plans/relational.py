@@ -2147,3 +2147,67 @@ ORACLES["q140_pareto_frontier"] = """
     WHERE prev_max IS NULL OR day_max > prev_max
     ORDER BY o_orderstatus, d
 """
+
+
+def q144_journey_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: the 20 most common CONSECUTIVE 3-step
+    event-type paths across user timelines, with path support in
+    events and in distinct users (q106's Markov matrix is the
+    order-1 view; 3-step paths expose the flows a transition matrix
+    cannot — e.g. view->click->purchase vs view->click->error).
+
+    Determinism: per-user order is (ts, event_id) — event_id breaks
+    timestamp ties; the top-20 orders by (n DESC, path) so equal
+    counts rank identically in both engines.
+
+    Scale shape: two lead() windows partitioned per user (bounded
+    frames, no global window), then a (t1,t2,t3) aggregate with
+    map-side combine over at most |types|^3 = 125 groups, distinct
+    users via a two-level aggregate, and a TakeOrderedAndProject
+    top-20 — no full sort.
+    """
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("t1"),
+            F.lead("event_type", 1).over(w).alias("t2"),
+            F.lead("event_type", 2).over(w).alias("t3"),
+        )
+        .where(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3", "user_id")
+        .agg(F.count(F.lit(1)).alias("c_u"))
+        .groupBy("t1", "t2", "t3")
+        .agg(
+            F.sum("c_u").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("users"),
+        )
+    )
+    return tri.orderBy(
+        F.col("n").desc(), F.col("t1"), F.col("t2"), F.col("t3")
+    ).limit(20)
+
+
+QUERIES["q144_journey_trigrams"] = q144_journey_trigrams
+
+ORACLES["q144_journey_trigrams"] = """
+    WITH seq AS (
+      SELECT user_id, event_type AS t1,
+             LEAD(event_type, 1) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+             LEAD(event_type, 2) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+      FROM events),
+    per_user AS (
+      SELECT t1, t2, t3, user_id, COUNT(*) AS c_u
+      FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+      GROUP BY 1, 2, 3, 4)
+    SELECT t1, t2, t3,
+           CAST(SUM(c_u) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS users
+    FROM per_user
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, t1, t2, t3
+    LIMIT 20
+"""

@@ -938,3 +938,127 @@ ORACLES["q130_token_budget_fill"] = f"""
                  / {float(_Q130_BUDGET)}, 2) AS fill_pct
     FROM g ORDER BY source
 """
+
+
+def q143_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted corpus mixing: per-language keep targets
+    proportional to c_i^alpha (alpha=0.5), the multilingual-LM
+    sampling scheme that up-weights low-resource languages relative
+    to their raw share (q59 applies FIXED per-source rates; here the
+    rates are DERIVED from the corpus composition itself).
+
+    Exactness: every cross-engine comparison is integer. The weight
+    w_i = floor(sqrt(c_i)*1000) is an int64 (sqrt is IEEE-identical in
+    both engines); the target floor(T*w_i/W) divides exact int64
+    products under 2^53 through an identical double floor (a corpus
+    where T*w_i exceeds 2^53 upgrades the product to DECIMAL(38,0) —
+    document-count 2^53 is ~9e15 docs, far past 100 TB); the keep
+    decision bucket(doc_id)*c_i < target_i*10^6 is pure int64 — no
+    double ever decides row membership.
+
+    Scale shape: pass 1 aggregates |langs| rows (map-side combine);
+    the derived rate table broadcasts back onto the scan for pass 2 —
+    filter + final aggregate, again combiner-friendly. Two scans, no
+    shuffle wider than |langs|.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    stats = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    totals = stats.agg(
+        F.sum("c").cast("long").alias("n_total"),
+        F.sum(F.floor(F.sqrt(F.col("c")) * 1000).cast("long"))
+        .cast("long")
+        .alias("w_total"),
+    )
+    rates = (
+        stats.crossJoin(F.broadcast(totals))
+        .withColumn("w", F.floor(F.sqrt(F.col("c")) * 1000).cast("long"))
+        .withColumn("t_budget", F.floor(F.col("n_total") / 2).cast("long"))
+        .withColumn(
+            "target",
+            F.floor(
+                (F.col("t_budget") * F.col("w")).cast("double")
+                / F.col("w_total")
+            ).cast("long"),
+        )
+        .select("lang", "c", "w", "target")
+    )
+    kept = (
+        d.join(F.broadcast(rates), "lang")
+        .where(
+            _bucket(F.col("doc_id"), 1000000) * F.col("c")
+            < F.col("target") * F.lit(1000000)
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("kept_docs"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+        )
+    )
+    out = (
+        rates.join(kept, "lang", "left")
+        .select(
+            "lang",
+            F.col("c").alias("c_docs"),
+            F.col("w").alias("w_q"),
+            F.col("target").alias("target_docs"),
+            F.coalesce(F.col("kept_docs"), F.lit(0)).cast("long").alias(
+                "kept_docs"
+            ),
+            F.coalesce(F.col("kept_chars"), F.lit(0)).cast("long").alias(
+                "kept_chars"
+            ),
+            F.when(
+                F.col("target") > 0,
+                F.round(
+                    F.lit(100.0)
+                    * F.coalesce(F.col("kept_docs"), F.lit(0))
+                    / F.col("target"),
+                    4,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .cast("double")
+            .alias("fill_pct"),
+        )
+        .orderBy("lang")
+    )
+    return out
+
+
+QUERIES["q143_temperature_mix"] = q143_temperature_mix
+
+ORACLES["q143_temperature_mix"] = f"""
+    WITH stats AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+             CAST(SUM(CAST(FLOOR(SQRT(c) * 1000) AS BIGINT)) AS BIGINT)
+               AS w_total
+      FROM stats),
+    rates AS (
+      SELECT s.lang, s.c,
+             CAST(FLOOR(SQRT(s.c) * 1000) AS BIGINT) AS w,
+             CAST(FLOOR(CAST((CAST(FLOOR(t.n_total / 2) AS BIGINT))
+                  * CAST(FLOOR(SQRT(s.c) * 1000) AS BIGINT) AS DOUBLE)
+                  / t.w_total) AS BIGINT) AS target
+      FROM stats s CROSS JOIN tot t),
+    kept AS (
+      SELECT d.lang,
+             CAST(COUNT(*) AS BIGINT) AS kept_docs,
+             CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
+      FROM documents d JOIN rates r ON d.lang = r.lang
+      WHERE ((d.doc_id % 1000000) * ({_KNUTH} % 1000000)) % 1000000 * r.c
+            < r.target * 1000000
+      GROUP BY 1)
+    SELECT r.lang,
+           r.c AS c_docs,
+           r.w AS w_q,
+           r.target AS target_docs,
+           CAST(COALESCE(k.kept_docs, 0) AS BIGINT) AS kept_docs,
+           CAST(COALESCE(k.kept_chars, 0) AS BIGINT) AS kept_chars,
+           CASE WHEN r.target > 0
+                THEN ROUND(100.0 * COALESCE(k.kept_docs, 0) / r.target, 4)
+                ELSE 0.0 END AS fill_pct
+    FROM rates r LEFT JOIN kept k ON r.lang = k.lang
+    ORDER BY r.lang
+"""
