@@ -269,6 +269,21 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("t1", "string"), ("t2", "string"), ("t3", "string"),
         ("n", "bigint"), ("users", "bigint"),
     ],
+    "q145_seasonal_anomaly": [
+        ("event_type", "string"), ("hod", "int"), ("n_d", "bigint"),
+        ("tot", "bigint"), ("mu", "double"), ("n_anom", "bigint"),
+        ("max_anom_x", "bigint"),
+    ],
+    "q146_fulfillment_latency": [
+        ("prio", "string"), ("n_orders", "bigint"), ("p50_days", "bigint"),
+        ("p90_days", "bigint"), ("p99_days", "bigint"),
+        ("avg_days", "double"),
+    ],
+    "q147_decile_lift": [
+        ("decile", "int"), ("users", "bigint"), ("buyers", "bigint"),
+        ("eng_cents", "bigint"), ("buy_rate", "double"),
+        ("cum_lift", "double"),
+    ],
     "q116_mmr_diversify": [
         ("sel_order", "int"), ("vec_id", "bigint"), ("rel", "bigint"),
         ("maxsim", "bigint"), ("score", "bigint"),
@@ -534,7 +549,7 @@ BUNDLES: dict[str, list[str]] = {
         "q46_percentiles", "q60_ntile_buckets", "q62_rank_dist",
         "q101_mad_outliers", "q133_rolling_anomaly",
         "q135_weighted_median", "q138_trimmed_mean",
-        "q140_pareto_frontier",
+        "q140_pareto_frontier", "q146_fulfillment_latency",
     ],
     "q21_27_52_language": [
         "q21_lang_stats", "q27_lang_id", "q52_observe_audit",
@@ -602,7 +617,7 @@ BUNDLES: dict[str, list[str]] = {
         "q20_time_bucket", "q84_hypertable_rollup", "q97_funnel",
         "q98_retention", "q99_gapfill_locf", "q100_linear_trend",
         "q115_theil_sen", "q126_time_weighted_avg", "q134_wow_growth",
-        "q139_new_vs_returning",
+        "q139_new_vs_returning", "q145_seasonal_anomaly",
     ],
     # round 5: q24 grew into a bundle with the one-scan per-column
     # dataset profiler (ingest-acceptance stats)
@@ -633,7 +648,7 @@ BUNDLES: dict[str, list[str]] = {
         "q65_sketch_audit", "q124_histogram_quantiles",
         "q127_rolling_hll_users",
     ],
-    "q14_125_topk": ["q14_topk_per_group", "q125_basket_pairs"],
+    "q14_125_topk": ["q14_topk_per_group", "q125_basket_pairs", "q147_decile_lift"],
     # round 6 continuation: the q05 single grew into the joins bundle
     # (plain inner + null-safe <=> dimension conform)
     "q05_131_joins": ["q05_inner_join", "q131_nullsafe_join"],

@@ -2211,3 +2211,204 @@ ORACLES["q144_journey_trigrams"] = """
     ORDER BY n DESC, t1, t2, t3
     LIMIT 20
 """
+
+
+def q145_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly profile: per (event type,
+    hour-of-day), the Poisson 2-sigma outlier census of (day, hour)
+    cells against the SAME-HOUR historical baseline — the diurnal
+    complement to q133's trailing-window baseline (a 9am spike is
+    anomalous vs other 9am's, not vs 3am's).
+
+    Baseline: mean over the hour-of-day's OBSERVED cells (tot/n_d).
+    A cell is anomalous when x - mu > 2*sqrt(mu) with mu the Poisson
+    mean — cross-multiplied to the sqrt-free int inequality
+    (n_d*x - tot)^2 > 4*n_d*tot on DECIMAL(38,0) products
+    (the q133 maneuver), plus the sign guard n_d*x > tot.
+
+    Scale shape: events reduce map-side to |types| x |days| x 24
+    cells; the baseline is a second aggregate to |types| x 24 rows,
+    broadcast back; the census re-aggregates to |types| x 24. No
+    window at all.
+    """
+    e = _t(spark, sf_dir, "events")
+    d = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    ).cast("long")
+    cells = (
+        e.select("event_type", d.alias("d"), F.hour("ts").alias("hod"))
+        .groupBy("event_type", "d", "hod")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    base = cells.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n_d"),
+        F.sum("x").cast("long").alias("tot"),
+    )
+    j = cells.join(F.broadcast(base), ["event_type", "hod"])
+    nd = F.col("n_d").cast("decimal(38,0)")
+    xd = F.col("x").cast("decimal(38,0)")
+    td = F.col("tot").cast("decimal(38,0)")
+    dev = nd * xd - td
+    hot = (nd * xd > td) & (
+        dev * dev > F.lit(4).cast("decimal(38,0)") * nd * td
+    )
+    return (
+        j.groupBy("event_type", "hod")
+        .agg(
+            F.max("n_d").cast("long").alias("n_d"),
+            F.max("tot").cast("long").alias("tot"),
+            F.sum(F.when(hot, 1).otherwise(0)).cast("long").alias("n_anom"),
+            F.max(F.when(hot, F.col("x"))).cast("long").alias("max_anom_x"),
+        )
+        .select(
+            "event_type", "hod", "n_d", "tot",
+            F.round(
+                F.col("tot").cast("double") / F.col("n_d").cast("double"), 4
+            ).alias("mu"),
+            "n_anom", "max_anom_x",
+        )
+        .orderBy("event_type", "hod")
+    )
+
+
+QUERIES["q145_seasonal_anomaly"] = q145_seasonal_anomaly
+
+ORACLES["q145_seasonal_anomaly"] = """
+    WITH cells AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS BIGINT) AS d,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2, 3),
+    base AS (
+      SELECT event_type, hod,
+             CAST(COUNT(*) AS BIGINT) AS n_d,
+             CAST(SUM(x) AS BIGINT) AS tot
+      FROM cells GROUP BY 1, 2),
+    j AS (
+      SELECT c.event_type, c.hod, c.x, b.n_d, b.tot,
+             (CAST(b.n_d AS HUGEINT) * c.x > b.tot
+              AND (CAST(b.n_d AS HUGEINT) * c.x - b.tot)
+                  * (CAST(b.n_d AS HUGEINT) * c.x - b.tot)
+                  > 4 * CAST(b.n_d AS HUGEINT) * b.tot) AS hot
+      FROM cells c JOIN base b
+        ON c.event_type = b.event_type AND c.hod = b.hod)
+    SELECT event_type, hod,
+           CAST(MAX(n_d) AS BIGINT) AS n_d,
+           CAST(MAX(tot) AS BIGINT) AS tot,
+           ROUND(CAST(MAX(tot) AS DOUBLE) / CAST(MAX(n_d) AS DOUBLE), 4)
+             AS mu,
+           CAST(SUM(CASE WHEN hot THEN 1 ELSE 0 END) AS BIGINT) AS n_anom,
+           CAST(MAX(CASE WHEN hot THEN x END) AS BIGINT) AS max_anom_x
+    FROM j
+    GROUP BY 1, 2
+    ORDER BY event_type, hod
+"""
+
+
+def q146_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-fulfillment latency distribution: per order priority, the
+    EXACT p50/p90/p99 of days from order date to FIRST shipment, plus
+    the exact mean — the SLA percentile report.
+
+    Exactness: percentiles come from the reduced (priority, lag_days)
+    value distribution — p_q = the smallest lag whose cumulative count
+    reaches ceil(q * N) (the inverse-ECDF / PERCENTILE_DISC
+    definition, pure int64); the mean is one exact-int division.
+
+    Scale shape: lineitem reduces to per-order first-ship (map-side
+    combinable min on the orderkey shuffle), joins orders on the same
+    key, then reduces map-side to |priorities| x |lags| counts —
+    every window below runs on that tiny frame (q135's maneuver).
+    A naive PERCENTILE_CONT window over raw orders would funnel each
+    priority into one task.
+    """
+    from pyspark.sql.window import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("ship0")
+    )
+    lag = F.datediff(
+        F.col("ship0"), F.col("o_orderdate").cast("date")
+    ).cast("long")
+    dist = (
+        o.join(first_ship, o.o_orderkey == first_ship.l_orderkey)
+        .select(F.col("o_orderpriority").alias("prio"), lag.alias("lag"))
+        .groupBy("prio", "lag")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w_cum = (
+        W.partitionBy("prio").orderBy("lag")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_all = W.partitionBy("prio")
+    cum = dist.select(
+        "prio", "lag", "c",
+        F.sum("c").over(w_cum).cast("long").alias("cum"),
+        F.sum("c").over(w_all).cast("long").alias("n"),
+        F.sum(F.col("lag") * F.col("c")).over(w_all).cast("long").alias(
+            "lag_sum"
+        ),
+    )
+
+    def pct(q_num, q_den):
+        # smallest lag with cum >= ceil(n * q) — exact int ceiling
+        need = F.floor((F.col("n") * q_num + q_den - 1) / q_den)
+        return F.min(F.when(F.col("cum") >= need, F.col("lag")))
+
+    return (
+        cum.groupBy("prio")
+        .agg(
+            F.max("n").cast("long").alias("n_orders"),
+            pct(50, 100).cast("long").alias("p50_days"),
+            pct(90, 100).cast("long").alias("p90_days"),
+            pct(99, 100).cast("long").alias("p99_days"),
+            F.round(
+                (F.max("lag_sum").cast("double"))
+                / F.max("n").cast("double"),
+                4,
+            ).alias("avg_days"),
+        )
+        .orderBy("prio")
+    )
+
+
+QUERIES["q146_fulfillment_latency"] = q146_fulfillment_latency
+
+ORACLES["q146_fulfillment_latency"] = """
+    WITH fs AS (
+      SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS ship0
+      FROM lineitem GROUP BY 1),
+    dist AS (
+      SELECT o.o_orderpriority AS prio,
+             CAST(date_diff('day', CAST(o.o_orderdate AS DATE), f.ship0)
+               AS BIGINT) AS lag,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders o JOIN fs f ON o.o_orderkey = f.l_orderkey
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT prio, lag, c,
+             CAST(SUM(c) OVER (PARTITION BY prio ORDER BY lag
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum,
+             CAST(SUM(c) OVER (PARTITION BY prio) AS BIGINT) AS n,
+             CAST(SUM(lag * c) OVER (PARTITION BY prio) AS BIGINT)
+               AS lag_sum
+      FROM dist)
+    SELECT prio,
+           CAST(MAX(n) AS BIGINT) AS n_orders,
+           CAST(MIN(CASE WHEN cum >= CAST(FLOOR((n * 50 + 99) / 100.0)
+             AS BIGINT) THEN lag END) AS BIGINT) AS p50_days,
+           CAST(MIN(CASE WHEN cum >= CAST(FLOOR((n * 90 + 99) / 100.0)
+             AS BIGINT) THEN lag END) AS BIGINT) AS p90_days,
+           CAST(MIN(CASE WHEN cum >= CAST(FLOOR((n * 99 + 99) / 100.0)
+             AS BIGINT) THEN lag END) AS BIGINT) AS p99_days,
+           ROUND(CAST(MAX(lag_sum) AS DOUBLE) / CAST(MAX(n) AS DOUBLE), 4)
+             AS avg_days
+    FROM cum
+    GROUP BY prio
+    ORDER BY prio
+"""

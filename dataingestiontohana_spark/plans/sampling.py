@@ -1062,3 +1062,118 @@ ORACLES["q143_temperature_mix"] = f"""
     FROM rates r LEFT JOIN kept k ON r.lang = k.lang
     ORDER BY r.lang
 """
+
+
+def q147_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / calibration table: users ranked by total
+    engagement value (non-purchase events), cut into exact deciles,
+    each decile scored by its purchase-conversion rate and cumulative
+    lift over the base rate — the model-calibration report that
+    validates "does engagement predict conversion".
+
+    Exactness: decile cuts use exact NTILE tile arithmetic on the
+    two-pass bucketed global row_number (ties broken by user_id);
+    rates and lift are single divisions of exact int64 counts,
+    rounded for display.
+
+    Scale shape: events reduce map-side to one row per user (sum +
+    max-flag); ranking runs on that reduced frame through the
+    bounded-window bucketed-rank operator (no single-partition NTILE);
+    the decile aggregate is 10 rows and the cumulative lift window
+    runs on those 10.
+    """
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") != "purchase",
+                F.round(F.col("value") * 100, 0).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("eng_cents"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("buyer"),
+    )
+    ranked = bucketed_ranks(
+        per_user, "eng_cents", part_cols=(), tie_cols=("user_id",)
+    )
+    tile = exact_ntile(F.col("g_rn"), F.col("g_n"), 10)
+    dec = (
+        ranked.select(
+            tile.alias("decile"), "eng_cents", "buyer"
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("users"),
+            F.sum("buyer").cast("long").alias("buyers"),
+            F.sum("eng_cents").cast("long").alias("eng_cents"),
+        )
+    )
+    w_cum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    # 10-row frame below the aggregate: the sanctioned reduced-input
+    # unpartitioned-window shape
+    out = dec.select(
+        "decile", "users", "buyers", "eng_cents",
+        F.round(
+            F.col("buyers").cast("double") / F.col("users").cast("double"), 4
+        ).alias("buy_rate"),
+        F.sum("buyers").over(w_cum).cast("long").alias("cum_buyers"),
+        F.sum("users").over(w_cum).cast("long").alias("cum_users"),
+        F.sum("buyers").over(w_all).cast("long").alias("all_buyers"),
+        F.sum("users").over(w_all).cast("long").alias("all_users"),
+    )
+    lift = (
+        F.col("cum_buyers").cast("double") * F.col("all_users").cast("double")
+    ) / (
+        F.col("cum_users").cast("double") * F.col("all_buyers").cast("double")
+    )
+    return out.select(
+        "decile", "users", "buyers", "eng_cents", "buy_rate",
+        F.round(lift, 4).alias("cum_lift"),
+    ).orderBy("decile")
+
+
+QUERIES["q147_decile_lift"] = q147_decile_lift
+
+ORACLES["q147_decile_lift"] = """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type <> 'purchase'
+               THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS eng_cents,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS buyer
+      FROM events GROUP BY 1),
+    t AS (
+      SELECT eng_cents, buyer,
+             NTILE(10) OVER (ORDER BY eng_cents, user_id) AS decile
+      FROM per_user),
+    dec AS (
+      SELECT decile,
+             CAST(COUNT(*) AS BIGINT) AS users,
+             CAST(SUM(buyer) AS BIGINT) AS buyers,
+             CAST(SUM(eng_cents) AS BIGINT) AS eng_cents
+      FROM t GROUP BY 1),
+    c AS (
+      SELECT decile, users, buyers, eng_cents,
+             ROUND(CAST(buyers AS DOUBLE) / CAST(users AS DOUBLE), 4)
+               AS buy_rate,
+             CAST(SUM(buyers) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_buyers,
+             CAST(SUM(users) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_users,
+             CAST(SUM(buyers) OVER () AS BIGINT) AS all_buyers,
+             CAST(SUM(users) OVER () AS BIGINT) AS all_users
+      FROM dec)
+    SELECT decile, users, buyers, eng_cents, buy_rate,
+           ROUND((CAST(cum_buyers AS DOUBLE) * CAST(all_users AS DOUBLE))
+                 / (CAST(cum_users AS DOUBLE) * CAST(all_buyers AS DOUBLE)),
+                 4) AS cum_lift
+    FROM c
+    ORDER BY decile
+"""
