@@ -254,6 +254,10 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("n_triangles", "bigint"), ("n_wedges", "bigint"),
         ("gcc", "double"),
     ],
+    "q148_local_clustering": [
+        ("node", "bigint"), ("deg", "bigint"), ("t", "bigint"),
+        ("lcc", "double"),
+    ],
     "q142_golden_record": [
         ("o_custkey", "bigint"), ("n_obs", "bigint"),
         ("first_seen", "string"), ("last_seen", "string"),
@@ -657,7 +661,7 @@ BUNDLES: dict[str, list[str]] = {
     # triangle census; the degree-ordered Spark algorithm is
     # adjudicated against an independently-formulated id-ordered
     # triple-join oracle)
-    "q66_141_graph": ["q66_dedup_clusters", "q141_triangle_count"],
+    "q66_141_graph": ["q66_dedup_clusters", "q141_triangle_count", "q148_local_clustering"],
 }
 
 # fine queries exported unchanged, in this order (headline queries
