@@ -288,6 +288,19 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("eng_cents", "bigint"), ("buy_rate", "double"),
         ("cum_lift", "double"),
     ],
+    "q149_mutual_information": [
+        ("event_type", "string"), ("n_x", "bigint"), ("cells", "bigint"),
+        ("mi_part_q6", "bigint"), ("mi_part", "double"),
+    ],
+    "q150_business_day_sla": [
+        ("prio", "string"), ("n_orders", "bigint"),
+        ("avg_bdays", "double"), ("breaches", "bigint"),
+        ("breach_pct", "double"),
+    ],
+    "q151_hub_strength": [
+        ("node", "bigint"), ("deg", "bigint"), ("strength", "bigint"),
+        ("avg_w", "double"),
+    ],
     "q116_mmr_diversify": [
         ("sel_order", "int"), ("vec_id", "bigint"), ("rel", "bigint"),
         ("maxsim", "bigint"), ("score", "bigint"),
@@ -554,6 +567,7 @@ BUNDLES: dict[str, list[str]] = {
         "q101_mad_outliers", "q133_rolling_anomaly",
         "q135_weighted_median", "q138_trimmed_mean",
         "q140_pareto_frontier", "q146_fulfillment_latency",
+        "q150_business_day_sla",
     ],
     "q21_27_52_language": [
         "q21_lang_stats", "q27_lang_id", "q52_observe_audit",
@@ -590,6 +604,7 @@ BUNDLES: dict[str, list[str]] = {
         "q102_dist_drift", "q103_chi2_independence",
         "q111_source_entropy", "q112_weighted_sample",
         "q130_token_budget_fill", "q143_temperature_mix",
+        "q149_mutual_information",
     ],
     "q32_70_shingle_exact": [
         "q32_ngram_jaccard", "q70_split_contamination", "q89_substring_dup",
@@ -661,7 +676,10 @@ BUNDLES: dict[str, list[str]] = {
     # triangle census; the degree-ordered Spark algorithm is
     # adjudicated against an independently-formulated id-ordered
     # triple-join oracle)
-    "q66_141_graph": ["q66_dedup_clusters", "q141_triangle_count", "q148_local_clustering"],
+    "q66_141_graph": [
+        "q66_dedup_clusters", "q141_triangle_count",
+        "q148_local_clustering", "q151_hub_strength",
+    ],
 }
 
 # fine queries exported unchanged, in this order (headline queries

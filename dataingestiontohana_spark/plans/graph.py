@@ -55,7 +55,7 @@ _RANK_BASE = 1 << 32
 # q141 and q148 share the edge build + orientation (the expensive
 # stages); one lazily-localCheckpointed pair per (application, sf_dir)
 # — same contract as plans/llm_dedup._EDGE_CACHE.
-_GRAPH_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+_GRAPH_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame, DataFrame]] = {}
 
 
 def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -88,16 +88,17 @@ def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s1", "s2")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") >= MIN_COOCCUR)
-        .select("s1", "s2")
+        .select("s1", "s2", "cnt")
     )
 
 
 def _graph_frames(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
-    """(degrees, oriented) for the supplier co-occurrence graph, built
-    once per session+sf_dir.
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(edges, degrees, oriented) for the supplier co-occurrence
+    graph, built once per session+sf_dir.
 
+    ``edges``:    (s1, s2, cnt) — undirected weighted edge list.
     ``degrees``:  (node, deg) — undirected degree.
     ``oriented``: (src, dst, kdst) — every edge directed low-rank ->
     high-rank under the packed (deg, id) key; ``kdst`` is the rank key
@@ -134,8 +135,8 @@ def _graph_frames(
         )
         .localCheckpoint(eager=False)
     )
-    _GRAPH_CACHE[key] = (deg, oriented)
-    return deg, oriented
+    _GRAPH_CACHE[key] = (e, deg, oriented)
+    return e, deg, oriented
 
 
 def _triangles(oriented: DataFrame) -> DataFrame:
@@ -163,7 +164,7 @@ def q141_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the supplier co-occurrence graph: node/edge
     counts, exact triangle and wedge totals, and the global clustering
     coefficient 3T/W (see module docstring for the algorithm)."""
-    deg, oriented = _graph_frames(spark, sf_dir)
+    _e, deg, oriented = _graph_frames(spark, sf_dir)
     tri = _triangles(oriented).agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
@@ -199,7 +200,7 @@ def q148_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     (t DESC, node) plans as TakeOrderedAndProject. lcc is one exact
     division of int64 operands, rounded to 6.
     """
-    deg, oriented = _graph_frames(spark, sf_dir)
+    _e, deg, oriented = _graph_frames(spark, sf_dir)
     corners = _triangles(oriented).select(
         F.explode(F.array("u", "v", "w")).alias("node")
     )
@@ -222,9 +223,51 @@ def q148_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q151_hub_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 suppliers by WEIGHTED degree (strength = total
+    co-occurrence count over incident edges) — the weighted-graph hub
+    ranking that q148's unweighted lcc cannot see (a node with few but
+    heavy partnerships outranks a broad shallow one).
+
+    Scale shape: the cached edge list explodes to its two endpoints
+    (2m rows), aggregates per node with map-side combine, attaches the
+    unweighted degree by one broadcast join, and takes the top-20 as
+    TakeOrderedAndProject. avg_w is one exact-int division.
+    """
+    e, deg, _oriented = _graph_frames(spark, sf_dir)
+    ends = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s1").alias("node"), F.col("cnt")),
+                F.struct(F.col("s2").alias("node"), F.col("cnt")),
+            )
+        ).alias("x")
+    ).select("x.node", "x.cnt")
+    strength = ends.groupBy("node").agg(
+        F.sum("cnt").cast("long").alias("strength")
+    )
+    j = strength.join(F.broadcast(deg), "node")
+    return (
+        j.select(
+            "node",
+            F.col("deg").cast("long").alias("deg"),
+            "strength",
+            F.round(
+                F.col("strength").cast("double") / F.col("deg").cast("double"),
+                4,
+            ).alias("avg_w"),
+        )
+        .orderBy(F.col("strength").desc(), F.col("node"))
+        .limit(20)
+    )
+
+
 QUERIES = {
     "q141_triangle_count": q141_triangle_count,
     "q148_local_clustering": q148_local_clustering,
+    "q151_hub_strength": q151_hub_strength,
 }
 
 # The id-ordered triple join (a<b<c, edges (a,b),(b,c),(a,c)) is the
@@ -280,6 +323,30 @@ ORACLES = {
            ROUND(2.0 * p.t / (d.deg * (d.deg - 1)), 6) AS lcc
     FROM per_node p JOIN d ON p.node = d.node
     ORDER BY p.t DESC, p.node
+    LIMIT 20
+    """,
+    "q151_hub_strength": f"""
+    WITH ps AS (
+      SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+    e AS (
+      SELECT a.s AS s1, b.s AS s2, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ps a JOIN ps b ON a.o = b.o AND a.s < b.s
+      GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_COOCCUR}),
+    ends AS (
+      SELECT s1 AS node, cnt FROM e
+      UNION ALL SELECT s2, cnt FROM e),
+    d AS (
+      SELECT node, COUNT(*) AS deg FROM ends GROUP BY 1),
+    st AS (
+      SELECT node, CAST(SUM(cnt) AS BIGINT) AS strength
+      FROM ends GROUP BY 1)
+    SELECT s.node,
+           CAST(d.deg AS BIGINT) AS deg,
+           s.strength,
+           ROUND(CAST(s.strength AS DOUBLE) / CAST(d.deg AS DOUBLE), 4)
+             AS avg_w
+    FROM st s JOIN d ON s.node = d.node
+    ORDER BY s.strength DESC, s.node
     LIMIT 20
     """,
 }

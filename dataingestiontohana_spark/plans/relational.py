@@ -2412,3 +2412,102 @@ ORACLES["q146_fulfillment_latency"] = """
     GROUP BY prio
     ORDER BY prio
 """
+
+
+def q150_business_day_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day SLA compliance: per order priority, fulfillment
+    latency in WEEKDAYS (Mon-Fri) between order date and first
+    shipment, with the breach census at a 30-business-day SLA —
+    calendar-aware latency, where q146 counts raw days.
+
+    Exactness: weekday counting is the closed form
+    g(i) = 5*floor(i/7) + min(pmod(i,7), 5) over day indexes anchored
+    at a known Monday (1992-01-06); bdays = g(ship_idx)-g(order_idx).
+    Pure int64 in both engines — no calendar functions whose week
+    conventions differ (Spark dayofweek starts Sunday, DuckDB's
+    varies by setting; an epoch-anchored pmod sidesteps all of it).
+
+    Scale shape: identical to q146 — lineitem reduces per-order on
+    the orderkey shuffle, one join, one |priorities|-row aggregate
+    with map-side combine.
+    """
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("ship0")
+    )
+    monday0 = F.lit("1992-01-06").cast("date")
+
+    def g(idx):
+        # weekdays in [monday0, monday0 + idx): floor/pmod semantics
+        # (NOT div/% — both engines' int ops truncate toward zero and
+        # would disagree with this closed form below the anchor)
+        return (
+            F.lit(5) * F.floor(idx / F.lit(7.0)).cast("long")
+            + F.least(F.pmod(idx, F.lit(7)), F.lit(5))
+        )
+
+    oi = F.datediff(F.col("o_orderdate").cast("date"), monday0).cast("long")
+    si = F.datediff(F.col("ship0"), monday0).cast("long")
+    j = (
+        o.join(first_ship, o.o_orderkey == first_ship.l_orderkey)
+        .select(
+            F.col("o_orderpriority").alias("prio"),
+            (g(si) - g(oi)).alias("bdays"),
+        )
+    )
+    return (
+        j.groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("bdays").cast("long").alias("bday_sum"),
+            F.sum(F.when(F.col("bdays") > 30, 1).otherwise(0))
+            .cast("long")
+            .alias("breaches"),
+        )
+        .select(
+            "prio", "n_orders",
+            F.round(
+                F.col("bday_sum").cast("double")
+                / F.col("n_orders").cast("double"),
+                4,
+            ).alias("avg_bdays"),
+            "breaches",
+            F.round(
+                F.lit(100.0) * F.col("breaches") / F.col("n_orders"), 4
+            ).alias("breach_pct"),
+        )
+        .orderBy("prio")
+    )
+
+
+QUERIES["q150_business_day_sla"] = q150_business_day_sla
+
+ORACLES["q150_business_day_sla"] = """
+    WITH fs AS (
+      SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS ship0
+      FROM lineitem GROUP BY 1),
+    j AS (
+      SELECT o.o_orderpriority AS prio,
+             (5 * CAST(FLOOR(CAST(date_diff('day', DATE '1992-01-06',
+                    f.ship0) AS BIGINT) / 7.0) AS BIGINT)
+              + LEAST(((date_diff('day', DATE '1992-01-06', f.ship0) % 7)
+                       + 7) % 7, 5))
+             -
+             (5 * CAST(FLOOR(CAST(date_diff('day', DATE '1992-01-06',
+                    CAST(o.o_orderdate AS DATE)) AS BIGINT) / 7.0) AS BIGINT)
+              + LEAST(((date_diff('day', DATE '1992-01-06',
+                    CAST(o.o_orderdate AS DATE)) % 7) + 7) % 7, 5))
+             AS bdays
+      FROM orders o JOIN fs f ON o.o_orderkey = f.l_orderkey)
+    SELECT prio,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(bdays) AS DOUBLE) / COUNT(*), 4) AS avg_bdays,
+           CAST(SUM(CASE WHEN bdays > 30 THEN 1 ELSE 0 END) AS BIGINT)
+             AS breaches,
+           ROUND(100.0 * SUM(CASE WHEN bdays > 30 THEN 1 ELSE 0 END)
+                 / COUNT(*), 4) AS breach_pct
+    FROM j
+    GROUP BY prio
+    ORDER BY prio
+"""

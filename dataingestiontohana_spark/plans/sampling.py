@@ -1177,3 +1177,92 @@ ORACLES["q147_decile_lift"] = """
     FROM c
     ORDER BY decile
 """
+
+
+def q149_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and hour-of-day — the
+    dependence audit behind feature selection and leakage checks
+    (q103's chi-square answers "independent?"; MI measures HOW MUCH
+    dependence, in nats, and decomposes per category).
+
+    Exactness: each cell's contribution (p_xy * ln(p_xy/(p_x p_y)))
+    is computed from exact int64 counts through one fixed expression
+    tree (identical in both engines), rounded to a q6 integer BEFORE
+    summing — so the per-type sum is exact int arithmetic, immune to
+    fold-order ulps (tighter than q102's round-after-sum).
+
+    Scale shape: events reduce map-side to |types| x 24 cells; margins
+    are windows over that reduced frame (below the aggregate — the
+    sanctioned shape); output is |types| rows.
+    """
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    cells = (
+        e.select("event_type", F.hour("ts").alias("hod"))
+        .groupBy("event_type", "hod")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+    )
+    w_x = W.partitionBy("event_type")
+    w_y = W.partitionBy("hod")
+    w_all = W.partitionBy()
+    m = cells.select(
+        "event_type", "hod", "n_xy",
+        F.sum("n_xy").over(w_x).cast("long").alias("n_x"),
+        F.sum("n_xy").over(w_y).cast("long").alias("n_y"),
+        F.sum("n_xy").over(w_all).cast("long").alias("n_tot"),
+    )
+    term = (
+        F.col("n_xy").cast("double") / F.col("n_tot").cast("double")
+    ) * F.log(
+        (F.col("n_xy").cast("double") * F.col("n_tot").cast("double"))
+        / (F.col("n_x").cast("double") * F.col("n_y").cast("double"))
+    )
+    q6 = F.round(term * 1e6, 0).cast("long")
+    return (
+        m.groupBy("event_type")
+        .agg(
+            F.max("n_x").cast("long").alias("n_x"),
+            F.count(F.lit(1)).cast("long").alias("cells"),
+            F.sum(q6).cast("long").alias("mi_part_q6"),
+        )
+        .select(
+            "event_type", "n_x", "cells", "mi_part_q6",
+            (F.col("mi_part_q6").cast("double") / 1e6).alias("mi_part"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["q149_mutual_information"] = q149_mutual_information
+
+ORACLES["q149_mutual_information"] = """
+    WITH cells AS (
+      SELECT event_type,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+             CAST(COUNT(*) AS BIGINT) AS n_xy
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT event_type, hod, n_xy,
+             CAST(SUM(n_xy) OVER (PARTITION BY event_type) AS BIGINT)
+               AS n_x,
+             CAST(SUM(n_xy) OVER (PARTITION BY hod) AS BIGINT) AS n_y,
+             CAST(SUM(n_xy) OVER () AS BIGINT) AS n_tot
+      FROM cells)
+    SELECT event_type,
+           CAST(MAX(n_x) AS BIGINT) AS n_x,
+           CAST(COUNT(*) AS BIGINT) AS cells,
+           CAST(SUM(CAST(ROUND(
+             (CAST(n_xy AS DOUBLE) / CAST(n_tot AS DOUBLE))
+             * ln((CAST(n_xy AS DOUBLE) * CAST(n_tot AS DOUBLE))
+                  / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)))
+             * 1e6, 0) AS BIGINT)) AS BIGINT) AS mi_part_q6,
+           CAST(SUM(CAST(ROUND(
+             (CAST(n_xy AS DOUBLE) / CAST(n_tot AS DOUBLE))
+             * ln((CAST(n_xy AS DOUBLE) * CAST(n_tot AS DOUBLE))
+                  / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)))
+             * 1e6, 0) AS BIGINT)) AS DOUBLE) / 1e6 AS mi_part
+    FROM m
+    GROUP BY event_type
+    ORDER BY event_type
+"""

@@ -152,3 +152,15 @@ def test_local_clustering_planted(spark, tmp_path):
     for n in (1, 2, 3):
         assert (rows[n].deg, rows[n].t, rows[n].lcc) == (3, 3, 1.0)
     assert (rows[4].deg, rows[4].t, rows[4].lcc) == (4, 3, 0.5)
+
+
+def test_hub_strength_planted(spark, tmp_path):
+    from dataingestiontohana_spark.plans.graph import q151_hub_strength
+
+    # K3 {1,2,3} each pair in MIN_COOCCUR orders, plus pair (1,4) in
+    # 2*MIN_COOCCUR orders: strength(1) = 5+5+10 = 20, deg 3
+    sf = _write_lineitem(tmp_path, [[1, 2, 3], [1, 4], [1, 4]])
+    rows = {r.node: r for r in q151_hub_strength(spark, sf).collect()}
+    assert (rows[1].deg, rows[1].strength) == (3, 4 * MIN_COOCCUR)
+    assert (rows[4].deg, rows[4].strength) == (1, 2 * MIN_COOCCUR)
+    assert rows[1].avg_w == round(4 * MIN_COOCCUR / 3, 4)
