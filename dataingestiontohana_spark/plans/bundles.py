@@ -301,6 +301,10 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("node", "bigint"), ("deg", "bigint"), ("strength", "bigint"),
         ("avg_w", "double"),
     ],
+    "q152_time_to_convert": [
+        ("converted_users", "bigint"), ("p50_hours", "bigint"),
+        ("p90_hours", "bigint"), ("avg_hours", "double"),
+    ],
     "q116_mmr_diversify": [
         ("sel_order", "int"), ("vec_id", "bigint"), ("rel", "bigint"),
         ("maxsim", "bigint"), ("score", "bigint"),
@@ -637,6 +641,7 @@ BUNDLES: dict[str, list[str]] = {
         "q98_retention", "q99_gapfill_locf", "q100_linear_trend",
         "q115_theil_sen", "q126_time_weighted_avg", "q134_wow_growth",
         "q139_new_vs_returning", "q145_seasonal_anomaly",
+        "q152_time_to_convert",
     ],
     # round 5: q24 grew into a bundle with the one-scan per-column
     # dataset profiler (ingest-acceptance stats)

@@ -733,6 +733,8 @@ def fixed_point_pagerank(
     (15*scale) // (100*n) — all operands non-negative, so python
     floor == DuckDB truncation."""
     n = len(nodes)
+    if n == 0:  # empty graph (empty corpus): no ranks, not a crash
+        return {}
     tele = (15 * scale) // (100 * n)
     rank = {v: scale // n for v in nodes}
     for _ in range(iters):

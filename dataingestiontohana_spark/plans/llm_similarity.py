@@ -48,8 +48,10 @@ def q33_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal array — the scan stays map-only, no join, no shuffle.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    qvec = e.where(F.col("vec_id") == 0).select("embedding").head()[0]
-    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    qrow = e.where(F.col("vec_id") == 0).select("embedding").head()
+    if qrow is None:  # empty corpus / absent probe: empty result, not a crash
+        return spark.createDataFrame([], "vec_id bigint, cos_sim double")
+    qlit = F.array(*[F.lit(float(x)) for x in qrow[0]])
     return (
         e.where(F.col("vec_id") != 0)
         .select(
@@ -139,7 +141,12 @@ def q36b_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataingestiontohana_spark.operators.ivf import ivf_topk, sample_centroids
 
     e = load_table(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in e.where(F.col("vec_id") == 0).head()["embedding"]]
+    qrow = e.where(F.col("vec_id") == 0).head()
+    if qrow is None:  # empty corpus / absent probe: empty result, not a crash
+        return spark.createDataFrame(
+            [], "vec_id bigint, cluster_id int, cos_sim double"
+        )
+    qvec = [float(x) for x in qrow["embedding"]]
     cents = sample_centroids(e, k=16)
     return ivf_topk(e.where(F.col("vec_id") != 0), qvec, cents, k=10, nprobe=4)
 
@@ -459,6 +466,11 @@ def q83_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = load_table(spark, sf_dir, "embeddings")
+    if e.isEmpty():  # no corpus: nothing to cluster (vs. the fail-fast
+        # below, which guards SOME-but-empty clusters mid-iteration)
+        return spark.createDataFrame(
+            [], "cluster_id int, n bigint, cnorm_q bigint"
+        )
     cents = sample_centroids(e, k=KMEANS_K)
     for _ in range(KMEANS_ITERS):
         assigned = assign_clusters(e, cents)
@@ -767,6 +779,12 @@ def q90_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the portable IVF centroid pick, oracle-replayable), within-cluster
     cosine >= 0.35 pairs with the keep-least reject convention."""
     e = load_table(spark, sf_dir, "embeddings")
+    if e.isEmpty():  # no corpus: empty pair set, not a numpy crash
+        return spark.createDataFrame(
+            [],
+            "cluster_id int, id_a bigint, id_b bigint, cos_sim double, "
+            "reject bigint",
+        )
     return semantic_dedup_pairs(e, k=16, tau=0.35).orderBy("id_a", "id_b")
 
 
@@ -1114,7 +1132,12 @@ def q96_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     eq = quantize_embeddings(e).localCheckpoint(eager=False)
-    q_ev = [int(x) for x in eq.where(F.col("vec_id") == 0).head()["ev"]]
+    qrow = eq.where(F.col("vec_id") == 0).head()
+    if qrow is None:  # empty corpus / absent probe: empty result, not a crash
+        return spark.createDataFrame(
+            [], "vec_id bigint, pq_dist bigint, exact_dist bigint"
+        )
+    q_ev = [int(x) for x in qrow["ev"]]
     cb = pq_codebook(eq, k_codes=16)
     corpus = eq.where(F.col("vec_id") != 0)
     scored = pq_adc_scores(pq_encode(corpus, cb, m_sub=8), cb, q_ev, m_sub=8)
@@ -1248,7 +1271,14 @@ def q116_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     eq = quantize_embeddings(e).localCheckpoint(eager=False)
-    qv = [int(x) for x in eq.where(F.col("vec_id") == 0).select("ev").head()[0]]
+    qrow = eq.where(F.col("vec_id") == 0).select("ev").head()
+    if qrow is None:  # empty corpus / absent probe: empty result, not a crash
+        return spark.createDataFrame(
+            [],
+            "sel_order int, vec_id bigint, rel bigint, maxsim bigint, "
+            "score bigint",
+        )
+    qv = [int(x) for x in qrow[0]]
 
     @F.pandas_udf("long")
     def dot_udf(ev: pd.Series) -> pd.Series:

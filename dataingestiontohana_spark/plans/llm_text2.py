@@ -98,12 +98,17 @@ def q65_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("approx_distinct") - F.col("exact_distinct"))
         / F.col("exact_distinct")
     )
+    # empty corpus: 0/0 would throw under ANSI; the sketch is
+    # vacuously inside its envelope when both counts are zero
+    distinct_ok = F.when(
+        F.col("exact_distinct") == 0, F.col("approx_distinct") == 0
+    ).otherwise(rel <= 0.1)
     return row.select(
         "n_rows",
         "exact_distinct",
         F.round("exact_p50", 2).alias("exact_p50"),
         F.round("exact_p99", 2).alias("exact_p99"),
-        (rel <= 0.1).cast("bigint").alias("distinct_ok"),
+        distinct_ok.cast("bigint").alias("distinct_ok"),
         F.col("approx_p50").between(F.col("lo50"), F.col("hi50"))
         .cast("bigint")
         .alias("p50_ok"),

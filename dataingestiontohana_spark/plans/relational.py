@@ -2511,3 +2511,98 @@ ORACLES["q150_business_day_sla"] = """
     GROUP BY prio
     ORDER BY prio
 """
+
+
+def q152_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: among users whose first purchase
+    follows their first view, the EXACT p50/p90 and mean of the
+    view->purchase lag in whole hours — the activation-latency metric
+    behind growth dashboards (q97 counts the funnel stages; this
+    measures how LONG conversion takes).
+
+    Exactness: per-user firsts are min() aggregates; the lag
+    distribution reduces to (lag_hours, count) rows and percentiles
+    are inverse-ECDF picks (cum >= ceil(q*N), pure int64 — the q146
+    maneuver); the mean is one exact-int division.
+
+    Scale shape: events reduce map-side to one row per user
+    (conditional mins on the user shuffle); the lag histogram is a
+    second map-side-combinable aggregate; every window runs on the
+    |distinct-lag-hours| frame.
+    """
+    from pyspark.sql.window import Window as W
+
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "p0"
+        ),
+    )
+    conv = per_user.where(
+        F.col("v0").isNotNull() & F.col("p0").isNotNull()
+        & (F.col("p0") > F.col("v0"))
+    )
+    lag_h = F.floor(
+        (F.unix_timestamp("p0") - F.unix_timestamp("v0")) / F.lit(3600.0)
+    ).cast("long")
+    dist = conv.select(lag_h.alias("lag_h")).groupBy("lag_h").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_cum = W.orderBy("lag_h").rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    cum = dist.select(
+        "lag_h", "c",
+        F.sum("c").over(w_cum).cast("long").alias("cum"),
+        F.sum("c").over(w_all).cast("long").alias("n"),
+        F.sum(F.col("lag_h") * F.col("c")).over(w_all).cast("long").alias(
+            "lag_sum"
+        ),
+    )
+
+    def pct(q_num, q_den):
+        need = F.floor((F.col("n") * q_num + q_den - 1) / q_den)
+        return F.min(F.when(F.col("cum") >= need, F.col("lag_h")))
+
+    return cum.agg(
+        F.max("n").cast("long").alias("converted_users"),
+        pct(50, 100).cast("long").alias("p50_hours"),
+        pct(90, 100).cast("long").alias("p90_hours"),
+        F.round(
+            F.max("lag_sum").cast("double") / F.max("n").cast("double"), 4
+        ).alias("avg_hours"),
+    )
+
+
+QUERIES["q152_time_to_convert"] = q152_time_to_convert
+
+ORACLES["q152_time_to_convert"] = """
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS v0,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p0
+      FROM events GROUP BY 1),
+    conv AS (
+      SELECT CAST(FLOOR(date_diff('second', v0, p0) / 3600.0) AS BIGINT)
+               AS lag_h
+      FROM per_user
+      WHERE v0 IS NOT NULL AND p0 IS NOT NULL AND p0 > v0),
+    dist AS (
+      SELECT lag_h, CAST(COUNT(*) AS BIGINT) AS c FROM conv GROUP BY 1),
+    cum AS (
+      SELECT lag_h, c,
+             CAST(SUM(c) OVER (ORDER BY lag_h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum,
+             CAST(SUM(c) OVER () AS BIGINT) AS n,
+             CAST(SUM(lag_h * c) OVER () AS BIGINT) AS lag_sum
+      FROM dist)
+    SELECT CAST(MAX(n) AS BIGINT) AS converted_users,
+           CAST(MIN(CASE WHEN cum >= CAST(FLOOR((n * 50 + 99) / 100.0)
+             AS BIGINT) THEN lag_h END) AS BIGINT) AS p50_hours,
+           CAST(MIN(CASE WHEN cum >= CAST(FLOOR((n * 90 + 99) / 100.0)
+             AS BIGINT) THEN lag_h END) AS BIGINT) AS p90_hours,
+           ROUND(CAST(MAX(lag_sum) AS DOUBLE) / CAST(MAX(n) AS DOUBLE), 4)
+             AS avg_hours
+    FROM cum
+"""
