@@ -305,6 +305,11 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("converted_users", "bigint"), ("p50_hours", "bigint"),
         ("p90_hours", "bigint"), ("avg_hours", "double"),
     ],
+    "q153_multitouch_attribution": [
+        ("event_type", "string"), ("credit_q6", "bigint"),
+        ("credit", "double"), ("total_purchases", "bigint"),
+        ("orphan_purchases", "bigint"),
+    ],
     "q116_mmr_diversify": [
         ("sel_order", "int"), ("vec_id", "bigint"), ("rel", "bigint"),
         ("maxsim", "bigint"), ("score", "bigint"),
@@ -658,7 +663,7 @@ BUNDLES: dict[str, list[str]] = {
         "q107_hourly_autocorr", "q114_cusum_changepoint",
         "q117_last_touch_attribution", "q119_debounce_dedup",
         "q129_feed_freshness", "q132_activity_islands",
-        "q144_journey_trigrams",
+        "q144_journey_trigrams", "q153_multitouch_attribution",
     ],
     # round 6: the q75 single grew into the retrieval bundle —
     # TF-IDF salience plus reciprocal-rank fusion of the BM25 and

@@ -2606,3 +2606,137 @@ ORACLES["q152_time_to_convert"] = """
              AS avg_hours
     FROM cum
 """
+
+
+def q153_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch (linear) attribution: every purchase splits one
+    unit of credit EQUALLY across the user's touch events (non-
+    purchase) in the trailing 7 days — the position-agnostic
+    complement to q117's last-touch rule.
+
+    Exactness: credit is the q6 integer floor(p * 1e6 * c_type /
+    n_touches) per (user, purchase-day, touch-type) — exact int64
+    products under 2^53 through one identical double floor; the final
+    per-type totals are integer sums. Purchases with NO trailing
+    touch are counted as orphans (credit stays unassigned — both
+    engines agree because the left join's NULL survives).
+
+    Scale shape: touches reduce map-side to (user, day, type, c) and
+    purchases to (user, day, p); the window join fans each purchase
+    day to <= 7 trailing days of an already-reduced frame, keyed on
+    user — no raw-event self-join. Final aggregate is |types| rows.
+    """
+    e = _t(spark, sf_dir, "events")
+    d = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    ).cast("long")
+    touches = (
+        e.where(F.col("event_type") != "purchase")
+        .select("user_id", d.alias("td"), "event_type")
+        .groupBy("user_id", "td", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .select("user_id", d.alias("pd"))
+        .groupBy("user_id", "pd")
+        .agg(F.count(F.lit(1)).cast("long").alias("p"))
+    )
+    j = purchases.join(
+        touches,
+        (purchases.user_id == touches.user_id)
+        & (F.col("td") <= F.col("pd"))
+        & (F.col("td") >= F.col("pd") - 6),
+        "left",
+    )
+    per_purchase = j.groupBy(purchases.user_id, "pd", "p").agg(
+        F.sum("c").cast("long").alias("n_tot")
+    )
+    # re-join the reduced touch rows to split credit (both frames are
+    # the reduced shapes; the second fan is the same bounded <= 7 days)
+    pp = per_purchase.where(F.col("n_tot").isNotNull())
+    credit = (
+        pp.join(
+            touches,
+            (pp.user_id == touches.user_id)
+            & (F.col("td") <= F.col("pd"))
+            & (F.col("td") >= F.col("pd") - 6),
+        )
+        .select(
+            "event_type",
+            F.floor(
+                (F.col("p") * F.lit(1000000) * F.col("c")).cast("double")
+                / F.col("n_tot")
+            )
+            .cast("long")
+            .alias("credit_q6"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("credit_q6").cast("long").alias("credit_q6"))
+    )
+    orphans = per_purchase.where(F.col("n_tot").isNull()).agg(
+        F.coalesce(F.sum("p"), F.lit(0)).cast("long").alias("orphan_purchases")
+    )
+    total = purchases.agg(
+        F.sum("p").cast("long").alias("total_purchases")
+    )
+    return (
+        credit.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(orphans))
+        .select(
+            "event_type", "credit_q6",
+            F.round(F.col("credit_q6").cast("double") / 1e6, 4).alias(
+                "credit"
+            ),
+            "total_purchases", "orphan_purchases",
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["q153_multitouch_attribution"] = q153_multitouch_attribution
+
+ORACLES["q153_multitouch_attribution"] = """
+    WITH t AS (
+      SELECT user_id,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS BIGINT) AS td,
+             event_type,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE event_type <> 'purchase'
+      GROUP BY 1, 2, 3),
+    pch AS (
+      SELECT user_id,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS BIGINT) AS pd,
+             CAST(COUNT(*) AS BIGINT) AS p
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2),
+    pp AS (
+      SELECT pch.user_id, pch.pd, pch.p,
+             CAST(SUM(t.c) AS BIGINT) AS n_tot
+      FROM pch LEFT JOIN t
+        ON pch.user_id = t.user_id
+        AND t.td <= pch.pd AND t.td >= pch.pd - 6
+      GROUP BY 1, 2, 3),
+    credit AS (
+      SELECT t.event_type,
+             CAST(SUM(CAST(FLOOR(
+               CAST(pp.p * 1000000 * t.c AS DOUBLE) / pp.n_tot)
+               AS BIGINT)) AS BIGINT) AS credit_q6
+      FROM pp JOIN t
+        ON pp.user_id = t.user_id
+        AND t.td <= pp.pd AND t.td >= pp.pd - 6
+      WHERE pp.n_tot IS NOT NULL
+      GROUP BY 1),
+    orph AS (
+      SELECT CAST(COALESCE(SUM(p), 0) AS BIGINT) AS orphan_purchases
+      FROM pp WHERE n_tot IS NULL),
+    tot AS (
+      SELECT CAST(SUM(p) AS BIGINT) AS total_purchases FROM pch)
+    SELECT c.event_type, c.credit_q6,
+           ROUND(CAST(c.credit_q6 AS DOUBLE) / 1e6, 4) AS credit,
+           tot.total_purchases, orph.orphan_purchases
+    FROM credit c CROSS JOIN tot CROSS JOIN orph
+    ORDER BY c.event_type
+"""
