@@ -39,6 +39,7 @@ from dataingestiontohana_spark.operators.multimodal import (  # noqa: F401
     decode_media,
     dhash_images,
     dhash_neardup_pairs,
+    encode_jpeg_baseline,
     encode_png,
     resize_images,
     sample_frames,

@@ -6,9 +6,11 @@ pure-stdlib: the synthetic SGM1 format decodes fully; real PNG decodes
 every 8-bit non-interlaced color type (grayscale/RGB/palette/
 gray+alpha/RGBA) via zlib inflate + scanline unfilter, with a matching
 pure-stdlib encoder (`encode_png`); baseline JPEG decodes grayscale
-(color JPEG is metadata-only); 8-bit PCM WAV decodes to samples.
-Codec-bound formats (MP4, MP3, progressive JPEG, 16-bit/interlaced
-PNG) stay metadata-only or raise `NotImplementedError`. The Spark-side
+AND YCbCr color (any 4:4:4/4:2:2/4:2:0 sampling, restart intervals),
+with a matching pure-stdlib encoder (`encode_jpeg_baseline`); 8-bit
+PCM WAV decodes to samples. Codec-bound formats (MP4, MP3, progressive
+JPEG, 16-bit/interlaced PNG) stay metadata-only or raise
+`NotImplementedError`. The Spark-side
 plumbing — schema contracts, Arrow batch iteration, UDF signatures,
 per-partition batching — is identical to what a PIL/librosa-backed
 deployment would use; swapping in real codecs only changes the inner
@@ -350,20 +352,23 @@ def _extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def _decode_jpeg_pixels(b: bytes) -> np.ndarray | None:
-    """Full baseline-sequential JPEG decode for SINGLE-COMPONENT
-    (grayscale) images: DQT + DHT parse, Huffman entropy decode,
-    dequantize, inverse zigzag, orthonormal IDCT, level shift.
-    Multi-component (color) and progressive frames return None — the
-    same metadata-only boundary PNG draws at non-grayscale, keeping
-    the Python path small; the mapInPandas plumbing upstream is
+def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
+    """Full baseline-sequential JPEG decode -> (flat_pixels, channels).
+
+    Handles grayscale (1 component) and YCbCr color (3 components,
+    any h/v sampling factors — 4:4:4, 4:2:2, 4:2:0, ...): DQT + DHT
+    parse, interleaved-MCU Huffman entropy decode with restart
+    intervals, dequantize, inverse zigzag, orthonormal IDCT, level
+    shift, nearest-neighbor chroma upsample, JFIF YCbCr->RGB.
+    Progressive and arithmetic-coded frames return None — the
+    codec-stack boundary; the mapInPandas plumbing upstream is
     format-agnostic. Mirrors the reference's opaque-payload stance
     (README.md:4 — payloads are strings/bytes to the pipeline)."""
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     w = h = 0
-    comp_q = comp_dc = comp_ac = 0
+    comps: list[tuple[int, int, int, int]] = []  # (cid, hs, vs, tq)
     restart = 0
     i = 2
     while i + 4 <= len(b):
@@ -392,9 +397,17 @@ def _decode_jpeg_pixels(b: bytes) -> np.ndarray | None:
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             ncomp = body[5]
-            if ncomp != 1:
-                return None  # color: metadata-only boundary
-            comp_q = body[8]
+            if ncomp not in (1, 3):
+                return None  # CMYK etc.: metadata-only boundary
+            comps = [
+                (
+                    body[6 + 3 * c],
+                    body[7 + 3 * c] >> 4,
+                    body[7 + 3 * c] & 0xF,
+                    body[8 + 3 * c],
+                )
+                for c in range(ncomp)
+            ]
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             return None  # progressive/arithmetic: not baseline
@@ -410,64 +423,346 @@ def _decode_jpeg_pixels(b: bytes) -> np.ndarray | None:
         elif marker == 0xDD:  # DRI
             restart = int.from_bytes(body[0:2], "big")
         elif marker == 0xDA:  # SOS -> entropy-coded data follows
-            if body[0] != 1:
-                return None
-            comp_dc = body[2] >> 4
-            comp_ac = body[2] & 0xF
-            scan_start = i + 2 + seg_len
+            if body[0] != len(comps) or not comps:
+                return None  # baseline = one interleaved scan
+            scan_tabs = {}  # cid -> (dc_lut, ac_lut)
+            for s in range(body[0]):
+                cid = body[1 + 2 * s]
+                td, ta = body[2 + 2 * s] >> 4, body[2 + 2 * s] & 0xF
+                scan_tabs[cid] = (huff_dc[td], huff_ac[ta])
             return _jpeg_scan(
-                b, scan_start, w, h, qt[comp_q],
-                huff_dc[comp_dc], huff_ac[comp_ac], restart,
+                b, i + 2 + seg_len, w, h, comps, qt, scan_tabs, restart
             )
         i += 2 + seg_len
     return None
 
 
 def _jpeg_scan(
-    b: bytes, start: int, w: int, h: int, quant: np.ndarray,
-    dc_lut: dict, ac_lut: dict, restart: int,
-) -> np.ndarray:
+    b: bytes,
+    start: int,
+    w: int,
+    h: int,
+    comps: list[tuple[int, int, int, int]],
+    qt: dict[int, np.ndarray],
+    scan_tabs: dict[int, tuple[dict, dict]],
+    restart: int,
+) -> tuple[np.ndarray, int]:
     if w <= 0 or h <= 0:
         # SOS arrived before (or without) a SOF: no dimensions — treat
         # as malformed rather than returning an empty pixel array the
         # caller would take NaN statistics over
         raise ValueError("jpeg scan without frame dimensions")
     r = _BitReader(b, start)
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    img = np.zeros((bh * 8, bw * 8), dtype=np.float64)
-    pred = 0
-    for blk in range(bw * bh):
-        if restart and blk and blk % restart == 0:
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcx = (w + 8 * hmax - 1) // (8 * hmax)
+    mcy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = {
+        cid: np.zeros((mcy * 8 * vs, mcx * 8 * hs), dtype=np.float64)
+        for cid, hs, vs, _tq in comps
+    }
+    preds = {cid: 0 for cid, *_ in comps}
+    for m in range(mcx * mcy):
+        if restart and m and m % restart == 0:
             r.skip_to_rst()
-            pred = 0
-        coef = np.zeros(64, dtype=np.int32)
-        t = _huff_decode(r, dc_lut)
-        pred += _extend(r.bits(t), t)
-        coef[0] = pred
-        k = 1
-        while k < 64:
-            rs = _huff_decode(r, ac_lut)
-            run, size = rs >> 4, rs & 0xF
-            if rs == 0x00:  # EOB
-                break
-            if rs == 0xF0:  # ZRL
-                k += 16
-                continue
-            k += run
-            if k > 63:
-                # a valid baseline stream never runs past the block;
-                # breaking here would leave `size` magnitude bits
-                # unread and silently desynchronize every later block
-                raise ValueError("jpeg AC run past block end")
-            coef[k] = _extend(r.bits(size), size)
-            k += 1
-        block = np.zeros(64, dtype=np.float64)
-        block[_ZIGZAG] = coef * quant
-        spatial = _DCT_C.T @ block.reshape(8, 8) @ _DCT_C
-        by, bx = divmod(blk, bw)
-        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = spatial
-    out = np.clip(np.round(img + 128.0), 0, 255).astype(np.uint8)
-    return out[:h, :w].reshape(-1)
+            preds = {cid: 0 for cid in preds}
+        my, mx = divmod(m, mcx)
+        for cid, hs, vs, tq in comps:
+            quant = qt[tq]
+            dc_lut, ac_lut = scan_tabs[cid]
+            plane = planes[cid]
+            for by in range(vs):
+                for bx in range(hs):
+                    coef = np.zeros(64, dtype=np.int32)
+                    t = _huff_decode(r, dc_lut)
+                    preds[cid] += _extend(r.bits(t), t)
+                    coef[0] = preds[cid]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(r, ac_lut)
+                        run, size = rs >> 4, rs & 0xF
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += run
+                        if k > 63:
+                            # a valid baseline stream never runs past
+                            # the block; breaking here would leave
+                            # `size` magnitude bits unread and silently
+                            # desynchronize every later block
+                            raise ValueError("jpeg AC run past block end")
+                        coef[k] = _extend(r.bits(size), size)
+                        k += 1
+                    block = np.zeros(64, dtype=np.float64)
+                    block[_ZIGZAG] = coef * quant
+                    spatial = _DCT_C.T @ block.reshape(8, 8) @ _DCT_C
+                    y0 = (my * vs + by) * 8
+                    x0 = (mx * hs + bx) * 8
+                    plane[y0 : y0 + 8, x0 : x0 + 8] = spatial
+    # level shift + upsample every plane to full resolution via the
+    # standard nearest sample mapping (works for any hs/vs ratio)
+    ys, xs = np.arange(h), np.arange(w)
+    full = {}
+    for cid, hs, vs, _tq in comps:
+        p = planes[cid] + 128.0
+        full[cid] = p[(ys * vs) // vmax][:, (xs * hs) // hmax]
+    if len(comps) == 1:
+        gray = np.clip(np.round(full[comps[0][0]]), 0, 255)
+        return gray.astype(np.uint8).reshape(-1), 1
+    y, cb, cr = (full[c[0]] for c in comps)  # SOF order: Y, Cb, Cr
+    rch = y + 1.402 * (cr - 128.0)
+    gch = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bch = y + 1.772 * (cb - 128.0)
+    rgb = np.clip(np.round(np.stack([rch, gch, bch], axis=-1)), 0, 255)
+    return rgb.astype(np.uint8).reshape(-1), 3
+
+
+# widely-published JPEG Annex-K example quantization tables (the de
+# facto "quality 50" tables); encoder defaults only — the tables
+# actually used are always embedded in the output's DQT segments, so
+# decode correctness never depends on these exact values
+_Q_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+_Q_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+# fixed canonical Huffman tables for the encoder: every DC category at
+# code length 4 (12 codes <= 16, Kraft 12/16 < 1, max code 11 != all
+# ones) and every AC (run,size) symbol at code length 8 (162 codes <=
+# 256, max code 161 != all ones). Deliberately NOT the Annex-K optimal
+# tables: these are trivially correct by construction, and since DHT
+# segments carry the table in-band, ANY valid prefix code round-trips
+# — compression ratio is the only thing sacrificed.
+_ENC_DC_SYMS = list(range(12))
+_ENC_AC_SYMS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_ENC_DC_CODE = {s: (4, i) for i, s in enumerate(_ENC_DC_SYMS)}
+_ENC_AC_CODE = {s: (8, i) for i, s in enumerate(_ENC_AC_SYMS)}
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG 0xFF00 byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def byte_align(self) -> None:
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+
+
+def _encode_block(
+    wtr: _BitWriter, block: np.ndarray, quant_zz: np.ndarray, pred: int
+) -> int:
+    """Forward-DCT one 8x8 spatial block, quantize against the
+    zigzag-ordered table, entropy-code; returns the new DC predictor."""
+    coefs = _DCT_C @ (block - 128.0) @ _DCT_C.T
+    zz = np.round(coefs.reshape(-1)[_ZIGZAG] / quant_zz).astype(np.int64)
+    dc = int(zz[0])
+    diff = dc - pred
+    t = int(abs(diff)).bit_length()
+    length, code = _ENC_DC_CODE[t]
+    wtr.put(code, length)
+    if t:
+        wtr.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            length, code = _ENC_AC_CODE[0xF0]
+            wtr.put(code, length)
+            run -= 16
+        size = abs(v).bit_length()
+        length, code = _ENC_AC_CODE[(run << 4) | size]
+        wtr.put(code, length)
+        wtr.put(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last_nz < 63:
+        length, code = _ENC_AC_CODE[0x00]
+        wtr.put(code, length)
+    return dc
+
+
+def _pad_to(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Edge-replicate to (ph, pw) — the standard block-pad that avoids
+    ringing from hard zero edges."""
+    h, w = plane.shape
+    return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+
+
+def _dht_segment(tc: int, th: int, syms: list[int], length: int) -> bytes:
+    counts = [0] * 16
+    counts[length - 1] = len(syms)
+    return (
+        b"\xff\xc4"
+        + (2 + 1 + 16 + len(syms)).to_bytes(2, "big")
+        + bytes([(tc << 4) | th])
+        + bytes(counts)
+        + bytes(syms)
+    )
+
+
+def encode_jpeg_baseline(
+    pixels: np.ndarray,
+    width: int,
+    height: int,
+    channels: int = 1,
+    subsample: bool = False,
+    quant_luma: np.ndarray | None = None,
+    quant_chroma: np.ndarray | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Pure-stdlib baseline-sequential JFIF encoder — the inverse of
+    `_decode_jpeg_pixels`, existing (like `encode_png`) so media tests
+    can synthesize REAL container bytes deterministically and so
+    round-trip properties pin the decoder without any external codec.
+
+    ``pixels`` is a flat uint8 array of length height*width*channels;
+    channels=1 emits a single-component (grayscale) stream, channels=3
+    treats the input as RGB, converts to YCbCr, and emits a
+    three-component stream — 4:4:4, or 4:2:0 when ``subsample`` (Y at
+    2x2 sampling, chroma boxcar-averaged). ``restart_interval`` > 0
+    emits a DRI segment and RSTn markers every that-many MCUs (the
+    parallel-decode seam real encoders use). Quant tables default to
+    the Annex-K examples; pass ``np.ones(64)`` for near-lossless."""
+    if channels not in (1, 3):
+        raise ValueError("encode_jpeg_baseline: channels must be 1 or 3")
+    ql = (_Q_LUMA if quant_luma is None else quant_luma).astype(np.int32)
+    qc = (_Q_CHROMA if quant_chroma is None else quant_chroma).astype(
+        np.int32
+    )
+    ql_zz, qc_zz = ql.reshape(-1)[_ZIGZAG], qc.reshape(-1)[_ZIGZAG]
+    arr = np.asarray(pixels, dtype=np.float64).reshape(
+        height, width, channels
+    )
+    if channels == 1:
+        planes = [(1, arr[:, :, 0], ql_zz, 1, 1)]  # (cid, plane, q, hs, vs)
+        comps_sof = [(1, 1, 1, 0)]
+    else:
+        r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample:
+            ph, pw = (height + 1) & ~1, (width + 1) & ~1
+            cbp = _pad_to(cb, ph, pw)
+            crp = _pad_to(cr, ph, pw)
+            cb = (
+                cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            )
+            cr = (
+                crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            )
+            planes = [
+                (1, y, ql_zz, 2, 2),
+                (2, cb, qc_zz, 1, 1),
+                (3, cr, qc_zz, 1, 1),
+            ]
+            comps_sof = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        else:
+            planes = [
+                (1, y, ql_zz, 1, 1),
+                (2, cb, qc_zz, 1, 1),
+                (3, cr, qc_zz, 1, 1),
+            ]
+            comps_sof = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    hmax = max(p[3] for p in planes)
+    vmax = max(p[4] for p in planes)
+    mcx = (width + 8 * hmax - 1) // (8 * hmax)
+    mcy = (height + 8 * vmax - 1) // (8 * vmax)
+    padded = [
+        (cid, _pad_to(pl, mcy * 8 * vs, mcx * 8 * hs), qzz, hs, vs)
+        for cid, pl, qzz, hs, vs in planes
+    ]
+    wtr = _BitWriter()
+    preds = {cid: 0 for cid, *_ in padded}
+    rst = 0
+    for m in range(mcx * mcy):
+        if restart_interval and m and m % restart_interval == 0:
+            wtr.byte_align()
+            wtr.out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) & 7
+            preds = {cid: 0 for cid in preds}
+        my, mx = divmod(m, mcx)
+        for cid, pl, qzz, hs, vs in padded:
+            for by in range(vs):
+                for bx in range(hs):
+                    y0 = (my * vs + by) * 8
+                    x0 = (mx * hs + bx) * 8
+                    preds[cid] = _encode_block(
+                        wtr,
+                        pl[y0 : y0 + 8, x0 : x0 + 8],
+                        qzz,
+                        preds[cid],
+                    )
+    wtr.byte_align()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (  # APP0 JFIF
+        b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00"
+        + bytes([1, 1, 0]) + (1).to_bytes(2, "big")
+        + (1).to_bytes(2, "big") + bytes([0, 0])
+    )
+    qtabs = [(0, ql_zz)] + ([(1, qc_zz)] if channels == 3 else [])
+    for tq, tab in qtabs:
+        out += (
+            b"\xff\xdb" + (2 + 1 + 64).to_bytes(2, "big")
+            + bytes([tq]) + bytes(int(v) for v in tab)
+        )
+    sof_body = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(
+        2, "big"
+    ) + bytes([len(comps_sof)])
+    for cid, hs, vs, tq in comps_sof:
+        sof_body += bytes([cid, (hs << 4) | vs, tq])
+    out += b"\xff\xc0" + (2 + len(sof_body)).to_bytes(2, "big") + sof_body
+    out += _dht_segment(0, 0, _ENC_DC_SYMS, 4)
+    out += _dht_segment(1, 0, _ENC_AC_SYMS, 8)
+    if restart_interval:
+        out += b"\xff\xdd" + (4).to_bytes(2, "big") + restart_interval.to_bytes(2, "big")
+    sos_body = bytes([len(comps_sof)])
+    for cid, _hs, _vs, _tq in comps_sof:
+        sos_body += bytes([cid, 0x00])  # DC table 0, AC table 0 for all
+    sos_body += bytes([0, 63, 0])
+    out += b"\xff\xda" + (2 + len(sos_body)).to_bytes(2, "big") + sos_body
+    out += wtr.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
 
 
 def _parse_wav(b: bytes) -> tuple[int, np.ndarray | None]:
@@ -502,7 +797,8 @@ def _decode_payload(
     SGM1 (synthetic) decodes fully; real PNG decodes every 8-bit
     non-interlaced color type (grayscale/RGB/palette/gray+alpha/RGBA —
     palette expands to RGB, channels reports the EXPANDED channel
-    count); baseline JPEG decodes grayscale pixels (color JPEG is
+    count); baseline JPEG decodes grayscale AND YCbCr color pixels
+    (any 4:4:4 / 4:2:2 / 4:2:0 sampling; progressive is
     metadata-only: channels=0, px=None); WAV parses to samples (8-bit
     PCM decodes fully). ``channels`` is 0 whenever px is None. Formats
     needing a real codec stack (MP4, compressed audio) raise — swapping
@@ -513,10 +809,13 @@ def _decode_payload(
     if content[:2] == b"\xff\xd8":
         w, h = _parse_jpeg(content)
         try:
-            px = _decode_jpeg_pixels(content)
+            decoded = _decode_jpeg_pixels(content)
         except (ValueError, IndexError, KeyError):
-            px = None  # malformed scan: keep the metadata row
-        return w, h, 1, (1 if px is not None else 0), px
+            decoded = None  # malformed scan: keep the metadata row
+        if decoded is None:
+            return w, h, 1, 0, None
+        px, ch = decoded
+        return w, h, 1, ch, px
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         n, px = _parse_wav(content)
         return n, 1, 1, (1 if px is not None else 0), px
@@ -635,9 +934,9 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     payload: SGM1 images, every 8-bit non-interlaced PNG color type
     (grayscale/RGB/palette/gray+alpha/RGBA — multi-channel images are
     first reduced to integer Rec.601 luma, so thumbnails are always
-    single-channel), and grayscale baseline JPEG. Rows whose pixels
-    remain undecodable (color/progressive JPEG, 16-bit or interlaced
-    PNG) or aren't single-frame images are skipped — the standard
+    single-channel), and baseline JPEG (grayscale or color). Rows
+    whose pixels remain undecodable (progressive JPEG, 16-bit or
+    interlaced PNG) or aren't single-frame images are skipped — the standard
     thumbnail/normalize step of a vision-data pipeline. Numpy
     integer-index gather per Arrow batch; no Python per-pixel work."""
 

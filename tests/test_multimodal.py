@@ -477,9 +477,10 @@ def test_jpeg_pixels_flow_through_decode_media(spark):
     assert r["std_px"] == round(float(expect.std()), 4)
 
 
-def test_jpeg_color_stays_metadata_only(spark):
-    """3-component frames are the documented format boundary: the
-    decoder must return dimensions with null pixel stats, not raise."""
+def test_jpeg_scanless_stream_stays_metadata_only(spark):
+    """A frame header with no scan data (and no Huffman/quant tables)
+    is the malformed/codec boundary: the decoder must return
+    dimensions with null pixel stats, not raise."""
     import struct as _s
 
     jpeg = (
@@ -494,6 +495,126 @@ def test_jpeg_color_stays_metadata_only(spark):
     r = decode_media(df).collect()[0]
     assert (r["width"], r["height"]) == (8, 8)
     assert r["mean_px"] is None
+
+
+def test_jpeg_color_444_roundtrip_near_lossless():
+    """Color baseline JPEG at unit quant tables round-trips within DCT
+    + YCbCr float rounding (a couple of levels per channel) — pins the
+    full 3-component path: interleaved MCU scan, per-component DC
+    predictors, dequant, IDCT, color conversion."""
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=(19, 23, 3), dtype=np.uint8)
+    b = encode_jpeg_baseline(
+        rgb.reshape(-1), 23, 19, 3,
+        quant_luma=np.ones(64), quant_chroma=np.ones(64),
+    )
+    px, ch = _decode_jpeg_pixels(b)
+    assert ch == 3
+    err = np.abs(px.reshape(19, 23, 3).astype(int) - rgb.astype(int))
+    assert err.max() <= 4  # measured 2; margin for other seeds
+
+
+def test_jpeg_color_420_subsampled_decodes_close():
+    """4:2:0 with the Annex-K tables on a smooth gradient: lossy but
+    close (the normal photographic operating point) — pins chroma
+    subsample on the encoder and the nearest-sample upsample + MCU
+    geometry (2x2 Y blocks per MCU) on the decoder, at non-multiple-
+    of-16 dimensions so edge padding/cropping is exercised too."""
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        _parse_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    yy, xx = np.mgrid[0:33, 0:41]
+    smooth = np.stack(
+        [64 + xx * 2, 32 + yy * 3, 128 + xx + yy], axis=-1
+    ).astype(np.uint8)
+    b = encode_jpeg_baseline(smooth.reshape(-1), 41, 33, 3, subsample=True)
+    assert _parse_jpeg(b) == (41, 33)
+    px, ch = _decode_jpeg_pixels(b)
+    assert ch == 3
+    err = np.abs(px.reshape(33, 41, 3).astype(int) - smooth.astype(int))
+    assert float(err.mean()) < 4.0
+    assert err.max() < 40  # no block-level desync anywhere
+
+
+def test_jpeg_restart_intervals_change_nothing():
+    """RSTn markers every 2 MCUs (with per-interval DC predictor
+    resets on BOTH sides) must decode to the identical pixel array as
+    the marker-free stream — the parallel-decode seam is semantically
+    invisible."""
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8)
+    plain, _ = _decode_jpeg_pixels(
+        encode_jpeg_baseline(rgb.reshape(-1), 40, 24, 3, subsample=True)
+    )
+    rst, _ = _decode_jpeg_pixels(
+        encode_jpeg_baseline(
+            rgb.reshape(-1), 40, 24, 3, subsample=True, restart_interval=2
+        )
+    )
+    assert (plain == rst).all()
+
+
+def test_jpeg_color_flows_through_decode_media_and_dhash(spark):
+    """End-to-end Spark path on a COLOR jpeg: decode_media must report
+    channels=3 with pixel moments equal to a local decode, and
+    dhash_images must hash its Rec.601 luma (same hash as the
+    decoded-pixels-as-PNG control), proving color JPEG joins every
+    downstream image op."""
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        dhash_images,
+        encode_jpeg_baseline,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(13)
+    rgb = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    jpeg = encode_jpeg_baseline(
+        rgb.reshape(-1), 32, 32, 3,
+        quant_luma=np.ones(64), quant_chroma=np.ones(64),
+    )
+    px, ch = _decode_jpeg_pixels(jpeg)
+    assert ch == 3
+    px64 = px.astype(np.int64)
+    df = spark.createDataFrame(
+        [(61, KIND_IMAGE, jpeg)], "media_id long, kind int, content binary"
+    )
+    r = decode_media(df).collect()[0]
+    assert r["channels"] == 3
+    assert r["px_sum"] == int(px64.sum())
+    assert r["px_sqsum"] == int((px64 * px64).sum())
+    # control: the decoded pixels re-encoded losslessly as RGB PNG must
+    # dhash identically (same luma grid on both paths)
+    png = encode_png(px.reshape(32, 32, 3), color_type=2)
+    both = spark.createDataFrame(
+        [(61, KIND_IMAGE, jpeg), (62, KIND_IMAGE, png)],
+        "media_id long, kind int, content binary",
+    )
+    hashes = {
+        row["media_id"]: row["dhash"] for row in dhash_images(both).collect()
+    }
+    assert hashes[61] == hashes[62]
 
 
 def test_dhash_is_brightness_invariant_and_locality_sensitive(spark):

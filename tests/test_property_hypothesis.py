@@ -148,3 +148,65 @@ def test_png_palette_roundtrip_expands_plte(seed, w, h, n_pal, filters):
     gw, gh, gch, px = _parse_png(png)
     assert (gw, gh, gch) == (w, h, 3)
     assert px is not None and (px.reshape(h, w, 3) == pal[idx]).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    seed=st.integers(0, 2**31),
+    w=st.integers(1, 24),
+    h=st.integers(1, 16),
+    restart=st.sampled_from([0, 1, 3]),
+)
+def test_jpeg_gray_unit_quant_roundtrip_bound(seed, w, h, restart):
+    """encode_jpeg_baseline -> _decode_jpeg_pixels at unit quant stays
+    within +/-2 of the source for EVERY size and restart interval —
+    the orthonormal-DCT coefficient-rounding bound, held under
+    adversarial (pure-noise) inputs where JPEG is weakest."""
+    from dataingestiontohana_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    b = encode_jpeg_baseline(
+        arr.reshape(-1), w, h, 1,
+        quant_luma=np.ones(64), restart_interval=restart,
+    )
+    px, ch = _decode_jpeg_pixels(b)
+    assert ch == 1
+    assert np.abs(px.reshape(h, w).astype(int) - arr.astype(int)).max() <= 2
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 2**31),
+    w=st.integers(1, 20),
+    h=st.integers(1, 14),
+    subsample=st.booleans(),
+)
+def test_jpeg_color_unit_quant_roundtrip_bound(seed, w, h, subsample):
+    """Color round trip at unit quant: 4:4:4 within +/-4 per channel
+    (DCT + two float color conversions); 4:2:0 exercises geometry on
+    GRAY-VALUED color inputs (constant chroma survives the 2x2 boxcar
+    exactly, so the same tight bound must hold there too)."""
+    from dataingestiontohana_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(seed)
+    if subsample:
+        arr = np.repeat(
+            rng.integers(0, 256, size=(h, w, 1), dtype=np.uint8), 3, axis=2
+        )
+    else:
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    b = encode_jpeg_baseline(
+        arr.reshape(-1), w, h, 3, subsample=subsample,
+        quant_luma=np.ones(64), quant_chroma=np.ones(64),
+    )
+    px, ch = _decode_jpeg_pixels(b)
+    assert ch == 3
+    err = np.abs(px.reshape(h, w, 3).astype(int) - arr.astype(int))
+    assert err.max() <= 4
