@@ -110,6 +110,10 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("doc_id", "bigint"), ("n_tokens", "bigint"),
         ("lp_sum_q6", "bigint"), ("avg_lp", "double"), ("ppl", "double"),
     ],
+    "q154_naive_bayes": [
+        ("actual_lang", "string"), ("pred_lang", "string"),
+        ("n", "bigint"),
+    ],
     "q111_source_entropy": [
         ("source", "string"), ("types", "bigint"), ("n_tokens", "bigint"),
         ("ent_sum_q6", "bigint"), ("entropy", "double"),
@@ -580,7 +584,7 @@ BUNDLES: dict[str, list[str]] = {
     ],
     "q21_27_52_language": [
         "q21_lang_stats", "q27_lang_id", "q52_observe_audit",
-        "q85_hash_embed", "q110_unigram_surprise",
+        "q85_hash_embed", "q110_unigram_surprise", "q154_naive_bayes",
     ],
     "q25_51_61_tokens": [
         "q25_token_stats", "q51_bpe_token_stats", "q61_token_topk",

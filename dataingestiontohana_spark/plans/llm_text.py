@@ -475,3 +475,192 @@ ORACLES["q111_source_entropy"] = f"""
                  / ln(CAST(types AS DOUBLE)), 6) AS h_norm
     FROM g ORDER BY source
 """
+
+
+def q154_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained and
+    evaluated inside the engine: fit Laplace-smoothed per-(lang, token)
+    log-likelihoods on the deterministic 80% hash split (the q57
+    convention), score the held-out 20%, and emit the confusion matrix
+    actual_lang x pred_lang. This is the trained-model counterpart of
+    the q27 heuristic lang-id — the same "fit on a split, apply to the
+    rest" dataflow a quality/toxicity classifier uses at corpus scale.
+
+    Exactness (the q110 integer-grid maneuver): every model parameter
+    quantizes ONCE to an exact int64 on the 1e-6 grid — prior
+    round(ln(docs_l/docs)*1e6), seen-token round(ln((c+1)/(n_l+V))*1e6),
+    unseen-token round(ln(1/(n_l+V))*1e6) — so per-doc scores are pure
+    integer sums (fold-order immune) and the argmax + min-lang
+    tie-break is exact in both engines.
+
+    Scale shape: training is ONE explode -> groupBy(lang, tok) with
+    map-side combine (the q75/q110 two-aggregation shape); the model is
+    |langs| x |train vocab| — broadcast to scoring, so the held-out
+    explode fans out by |langs| (a literal array collected from the
+    |langs|-row stats frame, the k-means driver-small precedent) and
+    joins map-only. The only post-training shuffles group on reduced
+    frames: (doc, lang) scores, per-doc argmax, the final confusion
+    matrix. Unseen-in-lang and out-of-vocabulary tokens share the same
+    1/(n_l+V) mass, so a plain left-join + coalesce covers both without
+    densifying the model to |langs| x |V|.
+    """
+    from dataingestiontohana_spark.functions.text import tokens
+    from dataingestiontohana_spark.plans.sampling import _bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    is_train = _bucket(F.col("doc_id"), 100) < 80
+    train = d.where(is_train)
+    test = d.where(~is_train)
+
+    def q6(col: F.Column) -> F.Column:
+        return F.round(F.log(col) * F.lit(1000000.0), 0).cast("bigint")
+
+    cnt = (
+        train.select("lang", F.explode(tokens("text")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # feeds totals, V, AND the model
+    )
+    totals = cnt.groupBy("lang").agg(F.sum("c").alias("n_tok"))
+    vsize = cnt.agg(F.countDistinct("tok").alias("v"))
+    pri = train.groupBy("lang").agg(F.count(F.lit(1)).alias("docs"))
+    all_docs = pri.agg(F.sum("docs").alias("all_docs"))
+    lang_stats = (
+        pri.join(totals, "lang")
+        .join(F.broadcast(all_docs))
+        .join(F.broadcast(vsize))
+        .select(
+            "lang",
+            q6(
+                F.col("docs").cast("double")
+                / F.col("all_docs").cast("double")
+            ).alias("prior_q6"),
+            q6(
+                F.lit(1.0) / (F.col("n_tok") + F.col("v")).cast("double")
+            ).alias("oov_ll_q6"),
+            (F.col("n_tok") + F.col("v")).alias("denom"),
+        )
+        .localCheckpoint(eager=False)  # tiny (|langs| rows), reused 3x
+    )
+    model = cnt.join(F.broadcast(lang_stats.select("lang", "denom")), "lang").select(
+        "lang",
+        "tok",
+        q6(
+            (F.col("c") + F.lit(1)).cast("double")
+            / F.col("denom").cast("double")
+        ).alias("ll_q6"),
+    )
+
+    # class fan-out as a literal array: |langs| is driver-small by
+    # definition (it is the model's class count), mirroring the k-means
+    # centroid collect — NOT a multi-row crossJoin (plan-lint gate)
+    langs = [r["lang"] for r in lang_stats.select("lang").collect()]
+    tf = (
+        test.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = (
+        tf.withColumn(
+            "lang", F.explode(F.array(*[F.lit(x) for x in langs]))
+        )
+        .join(
+            F.broadcast(lang_stats.select("lang", "prior_q6", "oov_ll_q6")),
+            "lang",
+        )
+        .join(F.broadcast(model), ["lang", "tok"], "left")
+        .groupBy("doc_id", "lang", "prior_q6")
+        .agg(
+            F.sum(
+                F.col("tf")
+                * F.coalesce(F.col("ll_q6"), F.col("oov_ll_q6"))
+            ).alias("tok_ll")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("prior_q6") + F.col("tok_ll"))
+            .cast("bigint")
+            .alias("score_q6"),
+        )
+    )
+    best = scored.groupBy("doc_id").agg(F.max("score_q6").alias("best_q6"))
+    pred = (
+        scored.join(best, "doc_id")
+        .where(F.col("score_q6") == F.col("best_q6"))
+        .groupBy("doc_id")
+        .agg(F.min("lang").alias("pred_lang"))
+    )
+    return (
+        test.select("doc_id", F.col("lang").alias("actual_lang"))
+        .join(pred, "doc_id")
+        .groupBy("actual_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("actual_lang", "pred_lang")
+    )
+
+
+QUERIES["q154_naive_bayes"] = q154_naive_bayes
+
+ORACLES["q154_naive_bayes"] = f"""
+    WITH tr AS (
+      SELECT * FROM documents WHERE (doc_id * 2654435761) % 100 < 80),
+    te AS (
+      SELECT * FROM documents WHERE (doc_id * 2654435761) % 100 >= 80),
+    cnt AS (
+      SELECT lang, tok, COUNT(*) AS c
+      FROM (SELECT lang,
+                   unnest(string_split({_nsql('text')}, ' '))
+                     AS tok
+            FROM tr)
+      GROUP BY lang, tok),
+    totals AS (SELECT lang, SUM(c) AS n_tok FROM cnt GROUP BY lang),
+    vsize AS (SELECT COUNT(DISTINCT tok) AS v FROM cnt),
+    pri AS (SELECT lang, COUNT(*) AS docs FROM tr GROUP BY lang),
+    all_docs AS (SELECT SUM(docs) AS all_docs FROM pri),
+    lang_stats AS (
+      SELECT p.lang,
+             CAST(round(ln(CAST(p.docs AS DOUBLE)
+                           / CAST(a.all_docs AS DOUBLE))
+                        * 1000000.0, 0) AS BIGINT) AS prior_q6,
+             CAST(round(ln(1.0 / CAST(t.n_tok + v.v AS DOUBLE))
+                        * 1000000.0, 0) AS BIGINT) AS oov_ll_q6,
+             t.n_tok + v.v AS denom
+      FROM pri p JOIN totals t ON p.lang = t.lang
+      CROSS JOIN all_docs a CROSS JOIN vsize v),
+    model AS (
+      SELECT c.lang, c.tok,
+             CAST(round(ln(CAST(c.c + 1 AS DOUBLE)
+                           / CAST(s.denom AS DOUBLE))
+                        * 1000000.0, 0) AS BIGINT) AS ll_q6
+      FROM cnt c JOIN lang_stats s ON c.lang = s.lang),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM (SELECT doc_id,
+                   unnest(string_split({_nsql('text')}, ' '))
+                     AS tok
+            FROM te)
+      GROUP BY doc_id, tok),
+    scored AS (
+      SELECT f.doc_id, s.lang,
+             CAST(s.prior_q6
+                  + SUM(f.tf * COALESCE(m.ll_q6, s.oov_ll_q6))
+                  AS BIGINT) AS score_q6
+      FROM tf f
+      CROSS JOIN lang_stats s
+      LEFT JOIN model m ON m.lang = s.lang AND m.tok = f.tok
+      GROUP BY f.doc_id, s.lang, s.prior_q6),
+    best AS (
+      SELECT doc_id, MAX(score_q6) AS best_q6 FROM scored
+      GROUP BY doc_id),
+    pred AS (
+      SELECT s.doc_id, MIN(s.lang) AS pred_lang
+      FROM scored s JOIN best b
+        ON s.doc_id = b.doc_id AND s.score_q6 = b.best_q6
+      GROUP BY s.doc_id)
+    SELECT te.lang AS actual_lang, p.pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM te JOIN pred p ON te.doc_id = p.doc_id
+    GROUP BY te.lang, p.pred_lang
+    ORDER BY actual_lang, pred_lang
+"""
