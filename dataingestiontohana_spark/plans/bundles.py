@@ -560,6 +560,32 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("total", "bigint"), ("matched", "bigint"), ("uniq", "bigint"),
         ("span", "int"),
     ],
+    "q155_survival_km": [
+        ("day", "bigint"), ("d", "bigint"), ("c", "bigint"),
+        ("n_risk", "bigint"), ("hazard", "double"),
+        ("cum_hazard_q9", "double"),
+    ],
+    "q156_multiple_regression": [
+        ("l_returnflag", "string"), ("n", "bigint"), ("b0_cents", "double"),
+        ("b1_cents_per_unit", "double"), ("b2_cents_per_point", "double"),
+    ],
+    "q157_gini_concentration": [
+        ("c_mktsegment", "string"), ("n_customers", "bigint"),
+        ("rev_cents", "double"), ("gini", "double"),
+        ("top_decile_share", "double"),
+    ],
+    "q158_spatial_grid_join": [
+        ("c_custkey", "bigint"), ("s_suppkey", "bigint"),
+        ("dist2", "bigint"), ("dist", "double"),
+    ],
+    "q159_phrase_index_search": [
+        ("doc_id", "bigint"), ("source", "string"), ("n_chars", "bigint"),
+        ("first_pos", "bigint"), ("n_occurrences", "bigint"),
+    ],
+    "q160_feature_correlation": [
+        ("dim_i", "int"), ("dim_j", "int"), ("r2", "double"),
+        ("r", "double"),
+    ],
 }
 
 # bundle name -> ordered list of fine-query parts
@@ -574,13 +600,15 @@ BUNDLES: dict[str, list[str]] = {
     ],
     "q17_41_setops": ["q17_set_ops", "q41_set_ops_all"],
     "q42_43_reshape": ["q42_pivot", "q43_unpivot"],
-    "q44_45_interval_joins": ["q44_asof_join", "q45_range_join"],
+    "q44_45_interval_joins": [
+        "q44_asof_join", "q45_range_join", "q158_spatial_grid_join",
+    ],
     "q46_60_62_distribution": [
         "q46_percentiles", "q60_ntile_buckets", "q62_rank_dist",
         "q101_mad_outliers", "q133_rolling_anomaly",
         "q135_weighted_median", "q138_trimmed_mean",
         "q140_pareto_frontier", "q146_fulfillment_latency",
-        "q150_business_day_sla",
+        "q150_business_day_sla", "q157_gini_concentration",
     ],
     "q21_27_52_language": [
         "q21_lang_stats", "q27_lang_id", "q52_observe_audit",
@@ -605,7 +633,7 @@ BUNDLES: dict[str, list[str]] = {
     ],
     "q63_64_67_centroids": [
         "q63_label_centroids", "q64_centroid_outliers", "q67_vector_stats",
-        "q83_kmeans", "q90_semantic_dedup",
+        "q83_kmeans", "q90_semantic_dedup", "q160_feature_correlation",
     ],
     "q53_54_cdc": [
         "q53_merge_upsert", "q54_scd2", "q120_incremental_agg",
@@ -649,6 +677,7 @@ BUNDLES: dict[str, list[str]] = {
         "q20_time_bucket", "q84_hypertable_rollup", "q97_funnel",
         "q98_retention", "q99_gapfill_locf", "q100_linear_trend",
         "q115_theil_sen", "q126_time_weighted_avg", "q134_wow_growth",
+        "q155_survival_km", "q156_multiple_regression",
         "q139_new_vs_returning", "q145_seasonal_anomaly",
         "q152_time_to_convert",
     ],
@@ -672,7 +701,10 @@ BUNDLES: dict[str, list[str]] = {
     # round 6: the q75 single grew into the retrieval bundle —
     # TF-IDF salience plus reciprocal-rank fusion of the BM25 and
     # TF-IDF rankings (hybrid retrieval)
-    "q75_109_retrieval": ["q75_tfidf_doc_scores", "q109_rrf_fusion"],
+    "q75_109_retrieval": [
+        "q75_tfidf_doc_scores", "q109_rrf_fusion",
+        "q159_phrase_index_search",
+    ],
     # round 6 continuation: the q65 single grew into the sketch bundle
     # (exact-vs-approx audit + the mergeable fixed-grid histogram
     # quantiles), and the q14 single into the top-k bundle (per-group

@@ -1023,3 +1023,80 @@ ORACLES["q109_rrf_fusion"] = f"""
     FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
     ORDER BY rrf DESC, doc_id ASC LIMIT 20
 """
+
+
+def q159_phrase_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PHRASE search through a positional inverted index: build
+    (token, doc_id, pos) postings, intersect the posting lists of the
+    phrase's words with a position-offset equi-join (p2.pos = p1.pos
+    + 1), and return every matching document with its first match
+    position — the retrieval primitive BM25/TF-IDF (q80/q75) cannot
+    express, because bag-of-words scoring is blind to adjacency.
+
+    The oracle is INDEPENDENTLY FORMULATED (the q141 convention): it
+    never builds postings — membership comes from a padded LIKE scan
+    ('% spark join %' over space-joined text) and the first-match
+    token position from pure character arithmetic (spaces in the
+    prefix before strpos's match). An index-construction bug and a
+    scan bug cannot cancel.
+
+    Scale shape: postings are one map-only posexplode; ONLY the
+    phrase's two posting lists survive the pushed token filter
+    (printed as PushedFilters once postings persist as a
+    token-partitioned table — the point of an inverted index: work
+    scales with the posting lists, not the corpus); the offset join
+    shuffles those two lists on doc_id. At 100 TB the posting store
+    is written once (partitionBy(token), the q36b IVF layout
+    maneuver) and every phrase query prunes to its own tokens.
+    """
+    W1, W2 = "spark", "join"
+    d = load_table(spark, sf_dir, "documents")
+    post = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    )
+    p1 = post.where(F.col("tok") == W1).select(
+        F.col("doc_id").alias("d1"), F.col("pos").alias("pos1")
+    )
+    p2 = post.where(F.col("tok") == W2).select(
+        F.col("doc_id").alias("d2"), F.col("pos").alias("pos2")
+    )
+    hits = p1.join(
+        p2,
+        (F.col("d1") == F.col("d2"))
+        & (F.col("pos2") == F.col("pos1") + 1),
+    )
+    matched = hits.groupBy(F.col("d1").alias("doc_id")).agg(
+        F.min("pos1").cast("long").alias("first_pos"),
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+    )
+    return matched.join(
+        d.select("doc_id", "source", "n_chars"), "doc_id"
+    ).select(
+        "doc_id", "source", "n_chars", "first_pos", "n_occurrences"
+    ).orderBy("doc_id")
+
+
+QUERIES["q159_phrase_index_search"] = q159_phrase_index_search
+
+ORACLES["q159_phrase_index_search"] = """
+    WITH hit AS (
+      SELECT doc_id, source, n_chars, text,
+             strpos(' ' || text || ' ', ' spark join ') AS at1,
+             string_split(text, ' ') AS toks
+      FROM documents
+      WHERE strpos(' ' || text || ' ', ' spark join ') > 0)
+    SELECT doc_id, source, n_chars,
+           -- 'spark' starts at text offset at1 (1-based); its 0-based
+           -- token index = separator spaces in the prefix before it
+           CAST(length(substr(text, 1, at1 - 1))
+              - length(replace(substr(text, 1, at1 - 1), ' ', ''))
+             AS BIGINT) AS first_pos,
+           -- adjacent-pair count straight off the token list (list
+           -- positions, not postings; toks[i+1] past the end is NULL
+           -- and the NULL comparison drops out of list_filter)
+           CAST(len(list_filter(range(1, len(toks)),
+                i -> toks[i] = 'spark' AND toks[i + 1] = 'join'))
+             AS BIGINT) AS n_occurrences
+    FROM hit
+    ORDER BY doc_id
+"""

@@ -1386,3 +1386,149 @@ def _q116_oracle_sql() -> str:
 
 
 ORACLES["q116_mmr_diversify"] = _q116_oracle_sql()
+
+
+def q160_feature_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed feature-correlation audit: the 30 most linearly
+    coupled embedding-dimension pairs by Pearson r^2, computed from a
+    ONE-PASS exact-integer Gram matrix — the redundancy check a
+    feature platform runs before training (two near-duplicate
+    dimensions mean wasted width and unstable attribution). This is
+    the d x d half of PCA: the same pass that feeds covariance
+    eigen-solves (operators/power_iteration.py proves the
+    eigenvector step against numpy).
+
+    Exactness: values quantize to the 1e-6 grid (int64, the q36b/q73
+    convention); each Arrow batch emits its int64 partial Gram (a
+    numpy matmul, exact — batch magnitudes peak ~1e16, inside 2^63),
+    Spark reduces the (i, j) cells as DECIMAL(38,0), and the oracle
+    rebuilds the identical sums via unnest + generate_subscripts.
+    cov = n*Sxy - Sx*Sy and var are exact integers; r^2 =
+    cov^2/(varx*vary) evaluates on doubles CAST from those integers
+    with one fixed multiply/divide shape — but the cast of >2^53
+    integers is where DuckDB's HUGEINT->DOUBLE composition diverges
+    from Spark's Decimal->double in the last ulp (the q156 finding),
+    so r2 and r round to the 1e-6 grid, ten orders above the
+    divergence.
+
+    Scale shape: map-only mapInPandas (4,160 partial cells per batch
+    regardless of batch rows), one tiny shuffle of (i, j) cells, a
+    2,016-row driver-side frame for ranking. No row-count term ever
+    crosses the wire: 100 TB in, kilobytes shuffled.
+    """
+    import pandas as _pd
+
+    e = load_table(spark, sf_dir, "embeddings").select("embedding")
+    cells_schema = "i int, j int, sxy long, n long"
+
+    def gram(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf["embedding"].to_numpy())
+            x = m.astype(np.float64) * 1_000_000
+            # HALF-AWAY-FROM-ZERO, matching Spark round()/DuckDB round()
+            # (np.rint would tie to even)
+            q = np.trunc(x + np.copysign(0.5, x)).astype(np.int64)
+            g = q.T @ q  # exact: |cell| <= batch_rows * (5e5)^2 ~ 1e16
+            iu, ju = np.triu_indices(q.shape[1])
+            yield _pd.DataFrame(
+                {
+                    "i": iu.astype("int32"),
+                    "j": ju.astype("int32"),
+                    "sxy": g[iu, ju],
+                    "n": np.full(len(iu), len(q), dtype=np.int64),
+                }
+            )
+
+    cells = e.mapInPandas(gram, cells_schema)
+    dec = "decimal(38,0)"
+    agg = cells.groupBy("i", "j").agg(
+        F.sum(F.col("sxy").cast(dec)).alias("sxy"),
+        F.sum(F.col("n").cast(dec)).alias("n"),
+    )
+    # the LINEAR sums Sx come from a second map-only reduction (the
+    # Gram pass carries only second-order cells; at 100 TB this extra
+    # scan is still cheaper than widening every batch's output)
+    lin = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            F.posexplode(
+                F.transform(
+                    "embedding",
+                    lambda x: F.round(
+                        x.cast("double") * 1_000_000, 0
+                    ).cast("long"),
+                )
+            ).alias("i", "v")
+        )
+        .groupBy("i")
+        .agg(F.sum(F.col("v").cast(dec)).alias("sx"))
+    )
+    li = lin.select(F.col("i").alias("di"), F.col("sx").alias("sxi"))
+    lj = lin.select(F.col("i").alias("dj"), F.col("sx").alias("sxj"))
+    var = agg.where(F.col("i") == F.col("j")).select(
+        F.col("i").alias("vd"), F.col("sxy").alias("sxx"), F.col("n").alias("vn")
+    )
+    vi = var.select(F.col("vd").alias("vdi"), F.col("sxx").alias("sxxi"))
+    vj = var.select(F.col("vd").alias("vdj"), F.col("sxx").alias("sxxj"))
+    pairs = (
+        agg.where(F.col("i") < F.col("j"))
+        .join(F.broadcast(li), F.col("i") == F.col("di"))
+        .join(F.broadcast(lj), F.col("j") == F.col("dj"))
+        .join(F.broadcast(vi), F.col("i") == F.col("vdi"))
+        .join(F.broadcast(vj), F.col("j") == F.col("vdj"))
+    )
+    n, sxy = pairs["n"], pairs["sxy"]
+    cov = (n * sxy - pairs["sxi"] * pairs["sxj"]).cast("double")
+    varx = (n * pairs["sxxi"] - pairs["sxi"] * pairs["sxi"]).cast("double")
+    vary = (n * pairs["sxxj"] - pairs["sxj"] * pairs["sxj"]).cast("double")
+    r2 = (cov * cov) / (varx * vary)
+    r = F.when(cov < 0, -F.sqrt(r2)).otherwise(F.sqrt(r2))
+    out = pairs.select(
+        F.col("i").cast("int").alias("dim_i"),
+        F.col("j").cast("int").alias("dim_j"),
+        F.round(r2, 6).alias("r2"),
+        F.round(r, 6).alias("r"),
+    )
+    return out.orderBy(F.desc("r2"), "dim_i", "dim_j").limit(30)
+
+
+QUERIES["q160_feature_correlation"] = q160_feature_correlation
+
+ORACLES["q160_feature_correlation"] = """
+    WITH vals AS (
+      SELECT vec_id,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0)
+               AS BIGINT) AS v,
+             generate_subscripts(embedding, 1) - 1 AS d
+      FROM embeddings),
+    lin AS (
+      SELECT d, SUM(CAST(v AS HUGEINT)) AS sx,
+             CAST(COUNT(*) AS HUGEINT) AS n
+      FROM vals GROUP BY 1),
+    cross_terms AS (
+      SELECT a.d AS i, b.d AS j, SUM(CAST(a.v AS HUGEINT) * b.v) AS sxy
+      FROM vals a JOIN vals b ON a.vec_id = b.vec_id AND a.d < b.d
+      GROUP BY 1, 2),
+    diag AS (
+      SELECT d, SUM(CAST(v AS HUGEINT) * v) AS sxx
+      FROM vals GROUP BY 1),
+    pairs AS (
+      SELECT c.i, c.j,
+             CAST(li.n * c.sxy - li.sx * lj.sx AS DOUBLE) AS cov,
+             CAST(li.n * di.sxx - li.sx * li.sx AS DOUBLE) AS varx,
+             CAST(li.n * dj.sxx - lj.sx * lj.sx AS DOUBLE) AS vary
+      FROM cross_terms c
+      JOIN lin li ON c.i = li.d
+      JOIN lin lj ON c.j = lj.d
+      JOIN diag di ON c.i = di.d
+      JOIN diag dj ON c.j = dj.d)
+    SELECT CAST(i AS INT) AS dim_i, CAST(j AS INT) AS dim_j,
+           ROUND((cov * cov) / (varx * vary), 6) AS r2,
+           ROUND(CASE WHEN cov < 0 THEN -SQRT((cov * cov) / (varx * vary))
+                      ELSE SQRT((cov * cov) / (varx * vary)) END, 6) AS r
+    FROM pairs
+    ORDER BY r2 DESC, dim_i, dim_j
+    LIMIT 30
+"""

@@ -2740,3 +2740,435 @@ ORACLES["q153_multitouch_attribution"] = """
     FROM credit c CROSS JOIN tot CROSS JOIN orph
     ORDER BY c.event_type
 """
+
+
+def q155_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier style survival analysis with right-censoring:
+    the per-day risk table of signup->first-purchase conversion.
+    Users enter at their first ``signup`` event; the "death" is the
+    first later ``purchase``; users who never purchase are censored
+    at the end of observation (the global max event timestamp) —
+    the piece q152 deliberately drops (it conditions on converters;
+    here non-converters shape the at-risk denominator, which is what
+    makes the estimate unbiased under censoring).
+
+    Emits one row per EVENT day: events d, censored c, the at-risk
+    count n_risk (everyone whose duration >= t, the standard KM
+    convention that same-day censorings still count as at risk), the
+    discrete hazard d/n_risk, and the Nelson-Aalen cumulative hazard.
+
+    Exactness: durations are whole-day floors of int64 epoch
+    differences; d/c/n_risk are exact int64; hazard is ONE division
+    of two exact ints (nearest-double identical in both engines);
+    the cumulative hazard would be a SUM of doubles (engine-specific
+    ordering), so it accumulates in FIXED POINT instead —
+    floor(1e9*d/n_risk) int64 per day (d*1e9 stays exact in the
+    double division up to d ~ 9e6 events/day), cumsum of ints, one
+    final division by the 1e9 literal. The survival product
+    S(t) = prod(1 - h_s) is deliberately NOT emitted: a running
+    product has no exact cross-engine form (exp/sum/ln differs in
+    the last ulp per libm); the hazard table is the adjudicated
+    surface and S(t) is display-layer arithmetic on it.
+
+    Scale shape: events reduce map-side to one row per user
+    (conditional mins on the user-key shuffle), the censor horizon is
+    a 1-row literal-attach broadcast, the day table is a second
+    map-side-combinable aggregate, and every window runs on the
+    |distinct-days| frame below that Aggregate (the sanctioned
+    reduced shape).
+    """
+    from pyspark.sql.window import Window as W
+
+    e = _t(spark, sf_dir, "events")
+    horizon = e.agg(F.max(F.col("ts").cast("timestamp")).alias("t_end"))
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("event_type") == "signup",
+                    F.col("ts").cast("timestamp"),
+                )
+            ).alias("s0"),
+            F.min(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("ts").cast("timestamp"),
+                )
+            ).alias("p0"),
+        )
+        .where(F.col("s0").isNotNull())
+        .join(F.broadcast(horizon))
+    )
+    converted = F.col("p0").isNotNull() & (F.col("p0") > F.col("s0"))
+    end_ts = F.when(converted, F.col("p0")).otherwise(F.col("t_end"))
+    dur = F.floor(
+        (F.unix_timestamp(end_ts) - F.unix_timestamp("s0"))
+        / F.lit(86400.0)
+    ).cast("long")
+    days = (
+        per_user.select(
+            dur.alias("day"),
+            F.when(converted, F.lit(1)).otherwise(F.lit(0)).alias("ev"),
+        )
+        .groupBy("day")
+        .agg(
+            F.sum("ev").cast("long").alias("d"),
+            F.sum(F.lit(1) - F.col("ev")).cast("long").alias("c"),
+        )
+    )
+    w_prev = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    w_cum = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    risk = days.select(
+        "day",
+        "d",
+        "c",
+        (
+            F.sum(F.col("d") + F.col("c")).over(w_all)
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)
+            )
+        ).cast("long").alias("n_risk"),
+    )
+    hz_fp = F.floor(
+        F.col("d").cast("double") * F.lit(1000000000.0)
+        / F.col("n_risk").cast("double")
+    ).cast("long")
+    out = risk.select(
+        "day",
+        "d",
+        "c",
+        "n_risk",
+        (F.col("d").cast("double") / F.col("n_risk").cast("double")).alias(
+            "hazard"
+        ),
+        (
+            F.sum(hz_fp).over(w_cum).cast("double") / F.lit(1e9)
+        ).alias("cum_hazard_q9"),
+    )
+    return out.where(F.col("d") >= 1).orderBy("day")
+
+
+QUERIES["q155_survival_km"] = q155_survival_km
+
+ORACLES["q155_survival_km"] = """
+    WITH horizon AS (
+      SELECT MAX(CAST(ts AS TIMESTAMP)) AS t_end FROM events),
+    per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup'
+                 THEN CAST(ts AS TIMESTAMP) END) AS s0,
+             MIN(CASE WHEN event_type = 'purchase'
+                 THEN CAST(ts AS TIMESTAMP) END) AS p0
+      FROM events GROUP BY 1),
+    subj AS (
+      SELECT u.s0,
+             (u.p0 IS NOT NULL AND u.p0 > u.s0) AS conv,
+             CASE WHEN u.p0 IS NOT NULL AND u.p0 > u.s0
+                  THEN u.p0 ELSE h.t_end END AS end_ts
+      FROM per_user u CROSS JOIN horizon h
+      WHERE u.s0 IS NOT NULL),
+    days AS (
+      SELECT CAST(FLOOR(date_diff('second', s0, end_ts) / 86400.0)
+               AS BIGINT) AS day,
+             CAST(SUM(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(SUM(CASE WHEN conv THEN 0 ELSE 1 END) AS BIGINT) AS c
+      FROM subj GROUP BY 1),
+    risk AS (
+      SELECT day, d, c,
+             CAST(SUM(d + c) OVER ()
+               - COALESCE(SUM(d + c) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_risk
+      FROM days),
+    curve AS (
+      SELECT day, d, c, n_risk,
+             CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS hazard,
+             CAST(SUM(CAST(FLOOR(CAST(d AS DOUBLE) * 1000000000.0
+                     / CAST(n_risk AS DOUBLE)) AS BIGINT))
+                   OVER (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / 1e9 AS cum_hazard_q9
+      FROM risk)
+    SELECT day, d, c, n_risk, hazard, cum_hazard_q9
+    FROM curve
+    WHERE d >= 1
+    ORDER BY day
+"""
+
+
+def q156_multiple_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple linear regression fitted IN-ENGINE, per group:
+    extendedprice ~ quantity + discount for each l_returnflag, solved
+    in closed form from the 3x3 normal equations via Cramer's rule —
+    the q100 single-predictor maneuver generalized to the multivariate
+    case (the shape a feature-attribution or pricing-elasticity job
+    runs at 100 TB: ONE scan, ONE aggregation, coefficients fall out
+    of nine sufficient statistics per group).
+
+    Exactness: y = price cents, x1 = whole quantity units, x2 =
+    discount in points (x100) — all int64 on the data's own grid —
+    and the nine sufficient statistics (n, Sx1, Sx2, Sx11, Sx12,
+    Sx22, Sy, Sx1y, Sx2y) accumulate as DECIMAL(38,0) (HUGEINT in
+    the oracle). Every Cramer determinant is a polynomial of degree
+    3 in those exact integers (largest term ~ Sy*Sx11*Sx22 ~ 1e30 at
+    sf0.1, ~1e34 at 100x — inside 38 digits), and each coefficient
+    is ONE division of two exact integers. Unlike q100's int64-range
+    statistics, these determinants exceed 64 bits, where DuckDB's
+    HUGEINT->DOUBLE cast is no longer correctly rounded (it composes
+    the two 64-bit halves in double arithmetic) while Spark's
+    Decimal->double is — so the coefficients are ROUNDed to the 1e-4
+    cents grid, twelve orders of magnitude above the cast's ulp
+    divergence. A singular system (det = 0, e.g. a group with
+    constant discount) emits 0.0 coefficients rather than tripping
+    ANSI divide-by-zero (the q100 convention).
+
+    Scale shape: one scan, one hash aggregation with map-side partial
+    combine carrying nine decimal cells per group; the solve is
+    column arithmetic on a |groups|-row frame. No second pass, no
+    window, no join.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    base = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+    )
+    g = base.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x1").cast(dec)).alias("sx1"),
+        F.sum(F.col("x2").cast(dec)).alias("sx2"),
+        F.sum((F.col("x1") * F.col("x1")).cast(dec)).alias("sx11"),
+        F.sum((F.col("x1") * F.col("x2")).cast(dec)).alias("sx12"),
+        F.sum((F.col("x2") * F.col("x2")).cast(dec)).alias("sx22"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x1") * F.col("y")).cast(dec)).alias("sx1y"),
+        F.sum((F.col("x2") * F.col("y")).cast(dec)).alias("sx2y"),
+    )
+    n, sx1, sx2 = g["n"], g["sx1"], g["sx2"]
+    sx11, sx12, sx22 = g["sx11"], g["sx12"], g["sx22"]
+    sy, sx1y, sx2y = g["sy"], g["sx1y"], g["sx2y"]
+
+    def det3(a1, a2, a3, b1, b2, b3, c1, c2, c3):
+        return (
+            a1 * (b2 * c3 - b3 * c2)
+            - a2 * (b1 * c3 - b3 * c1)
+            + a3 * (b1 * c2 - b2 * c1)
+        )
+
+    det = det3(n, sx1, sx2, sx1, sx11, sx12, sx2, sx12, sx22)
+    det_b0 = det3(sy, sx1, sx2, sx1y, sx11, sx12, sx2y, sx12, sx22)
+    det_b1 = det3(n, sy, sx2, sx1, sx1y, sx12, sx2, sx2y, sx22)
+    det_b2 = det3(n, sx1, sy, sx1, sx11, sx1y, sx2, sx12, sx2y)
+
+    def coef(num):
+        return F.when(det == 0, F.lit(0.0)).otherwise(
+            F.round(num.cast("double") / det.cast("double"), 4)
+        )
+
+    return g.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        coef(det_b0).alias("b0_cents"),
+        coef(det_b1).alias("b1_cents_per_unit"),
+        coef(det_b2).alias("b2_cents_per_point"),
+    ).orderBy("l_returnflag")
+
+
+QUERIES["q156_multiple_regression"] = q156_multiple_regression
+
+ORACLES["q156_multiple_regression"] = """
+    WITH base AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS x1,
+             CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS x2,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS y
+      FROM lineitem),
+    g AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(x1 AS HUGEINT)) AS sx1,
+             SUM(CAST(x2 AS HUGEINT)) AS sx2,
+             SUM(CAST(x1 AS HUGEINT) * x1) AS sx11,
+             SUM(CAST(x1 AS HUGEINT) * x2) AS sx12,
+             SUM(CAST(x2 AS HUGEINT) * x2) AS sx22,
+             SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x1 AS HUGEINT) * y) AS sx1y,
+             SUM(CAST(x2 AS HUGEINT) * y) AS sx2y
+      FROM base GROUP BY 1),
+    solved AS (
+      SELECT l_returnflag, n,
+             (n   * (sx11 * sx22 - sx12 * sx12)
+            - sx1 * (sx1  * sx22 - sx12 * sx2)
+            + sx2 * (sx1  * sx12 - sx11 * sx2)) AS det,
+             (sy   * (sx11 * sx22 - sx12 * sx12)
+            - sx1  * (sx1y * sx22 - sx12 * sx2y)
+            + sx2  * (sx1y * sx12 - sx11 * sx2y)) AS det_b0,
+             (n   * (sx1y * sx22 - sx12 * sx2y)
+            - sy  * (sx1  * sx22 - sx12 * sx2)
+            + sx2 * (sx1  * sx2y - sx1y * sx2)) AS det_b1,
+             (n   * (sx11 * sx2y - sx1y * sx12)
+            - sx1 * (sx1  * sx2y - sx1y * sx2)
+            + sy  * (sx1  * sx12 - sx11 * sx2)) AS det_b2
+      FROM g)
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           CASE WHEN det = 0 THEN 0.0
+                ELSE ROUND(CAST(det_b0 AS DOUBLE) / CAST(det AS DOUBLE), 4)
+           END AS b0_cents,
+           CASE WHEN det = 0 THEN 0.0
+                ELSE ROUND(CAST(det_b1 AS DOUBLE) / CAST(det AS DOUBLE), 4)
+           END AS b1_cents_per_unit,
+           CASE WHEN det = 0 THEN 0.0
+                ELSE ROUND(CAST(det_b2 AS DOUBLE) / CAST(det AS DOUBLE), 4)
+           END AS b2_cents_per_point
+    FROM solved
+    ORDER BY l_returnflag
+"""
+
+
+def q157_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration audit per market segment: the exact Gini
+    coefficient and top-decile revenue share of per-customer order
+    revenue — the inequality lens a marketplace or ad platform runs
+    over 100 TB of transactions ("do 10% of accounts carry 80% of
+    revenue, and is segment X more concentrated than Y?").
+
+    Exactness (the q152/q146 grouped-inverse-ECDF maneuver, extended
+    to rank-weighted sums): revenue is exact cents; customers
+    collapse to (segment, rev_cents, cnt) VALUE GROUPS, so the
+    rank-weighted sum T = sum(i * x_i) over the ascending sort needs
+    no per-row ranks — a value group of cnt c starting after p
+    predecessors contributes rev * (c*p + c*(c+1)/2), exact integers
+    (DECIMAL(38,0) / HUGEINT; ties contribute identically under any
+    tie order, so the statistic is well-defined). Gini =
+    (2T - (n+1)*S) / (n*S) and the top-decile share are each ONE
+    division of two exact integers -> nearest-double identical in
+    both engines. The decile boundary splits its straddling value
+    group exactly: take = clamp(cum - (n - k), 0, c) items.
+
+    Scale shape: orders aggregate map-side per customer (shuffle on
+    custkey), one broadcast-able dimension join for the segment, a
+    value-group aggregation, then windows over the |distinct revenue
+    values| frame below that Aggregate (sanctioned reduced shape);
+    the finale is a |segments|-row arithmetic frame.
+    """
+    from pyspark.sql.window import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    dec = "decimal(38,0)"
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    dim = c.select("c_custkey", "c_mktsegment")
+    seg = rev.join(
+        F.broadcast(dim), rev["o_custkey"] == dim["c_custkey"]
+    ).select("c_mktsegment", "rev")
+    vg = seg.groupBy("c_mktsegment", "rev").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w_cum = (
+        W.partitionBy("c_mktsegment")
+        .orderBy("rev")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_all = W.partitionBy("c_mktsegment").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = vg.select(
+        "c_mktsegment",
+        "rev",
+        "cnt",
+        F.sum("cnt").over(w_cum).cast("long").alias("cum"),
+        F.sum("cnt").over(w_all).cast("long").alias("n"),
+    )
+    p = (F.col("cum") - F.col("cnt")).cast(dec)
+    cnt_d = F.col("cnt").cast(dec)
+    rev_d = F.col("rev").cast(dec)
+    # DOUBLED rank-weighted contribution of this value group: working
+    # with 2T keeps every cell integral (c*(c+1) is even, but /2 would
+    # force a scaled decimal in Spark and a double in DuckDB)
+    t2_part = rev_d * (
+        F.lit(2).cast(dec) * cnt_d * p + cnt_d * (cnt_d + F.lit(1))
+    )
+    k = F.floor(F.col("n") / 10).cast("long")
+    take = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cnt"), F.col("cum") - (F.col("n") - k)),
+    )
+    per_seg = cum.groupBy("c_mktsegment").agg(
+        F.max("n").alias("n_customers"),
+        F.sum(rev_d * cnt_d).alias("s"),
+        F.sum(t2_part).alias("t2"),
+        F.sum(rev_d * take.cast(dec)).alias("s_top"),
+    )
+    n_d = per_seg["n_customers"].cast(dec)
+    s, t2, s_top = per_seg["s"], per_seg["t2"], per_seg["s_top"]
+    gini = F.when(s == 0, F.lit(0.0)).otherwise(
+        (t2 - (n_d + F.lit(1).cast(dec)) * s).cast("double")
+        / (n_d * s).cast("double")
+    )
+    top_share = F.when(s == 0, F.lit(0.0)).otherwise(
+        s_top.cast("double") / s.cast("double")
+    )
+    return per_seg.select(
+        "c_mktsegment",
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+        s.cast("decimal(38,0)").cast("double").alias("rev_cents"),
+        gini.alias("gini"),
+        top_share.alias("top_decile_share"),
+    ).orderBy("c_mktsegment")
+
+
+QUERIES["q157_gini_concentration"] = q157_gini_concentration
+
+ORACLES["q157_gini_concentration"] = """
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rev
+      FROM orders GROUP BY 1),
+    seg AS (
+      SELECT c.c_mktsegment, r.rev
+      FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey),
+    vg AS (
+      SELECT c_mktsegment, rev, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM seg GROUP BY 1, 2),
+    cum AS (
+      SELECT c_mktsegment, rev, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY c_mktsegment ORDER BY rev
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER (PARTITION BY c_mktsegment)
+               AS BIGINT) AS n
+      FROM vg),
+    per_seg AS (
+      SELECT c_mktsegment,
+             MAX(n) AS n_customers,
+             SUM(CAST(rev AS HUGEINT) * cnt) AS s,
+             SUM(CAST(rev AS HUGEINT) * (2 * CAST(cnt AS HUGEINT) * (cum - cnt)
+                 + CAST(cnt AS HUGEINT) * (cnt + 1))) AS t2,
+             SUM(CAST(rev AS HUGEINT) * GREATEST(CAST(0 AS BIGINT),
+                 LEAST(cnt, cum - (n - CAST(FLOOR(n / 10.0) AS BIGINT)))))
+               AS s_top
+      FROM cum GROUP BY 1)
+    SELECT c_mktsegment,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           CAST(s AS DOUBLE) AS rev_cents,
+           CASE WHEN s = 0 THEN 0.0
+                ELSE CAST(t2 - (CAST(n_customers AS HUGEINT) + 1) * s
+                       AS DOUBLE)
+                   / CAST(CAST(n_customers AS HUGEINT) * s AS DOUBLE)
+           END AS gini,
+           CASE WHEN s = 0 THEN 0.0
+                ELSE CAST(s_top AS DOUBLE) / CAST(s AS DOUBLE)
+           END AS top_decile_share
+    FROM per_seg
+    ORDER BY c_mktsegment
+"""

@@ -1111,3 +1111,131 @@ ORACLES["q138_trimmed_mean"] = """
                  / CAST(100 * kept AS DOUBLE), 4) AS trimmed_mean
     FROM g ORDER BY o_orderstatus
 """
+
+
+def _hex12_sql(col_expr: str, start: int) -> str:
+    """DuckDB expression: big-endian integer of 12 hex chars of
+    ``col_expr`` starting at 1-based position ``start`` — exactly
+    Spark's conv(substr(md5, start, 12), 16, 10), the q30 nibble
+    maneuver (48 bits, comfortably inside int64/double-exact range)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({col_expr}, {start + p}, 1)) - 1)"
+        f" * CAST({16 ** (11 - p)} AS BIGINT)"
+        for p in range(12)
+    )
+
+
+def q158_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial nearest-neighbor join via grid-cell blocking: every
+    customer is matched to its nearest supplier within a 50,000-unit
+    radius on a synthetic million-unit plane, by joining on grid
+    cells instead of crossing the tables — the geo primitive
+    (store-to-warehouse, rider-to-driver, user-to-POI assignment)
+    expressed so the pair count is bounded by cell density, never
+    |customers| x |suppliers|.
+
+    Blocking is LOSSLESS by construction: the cell edge equals the
+    radius, so any pair within R sits in the same or an adjacent
+    cell; the SMALL side (suppliers) replicates to its 3x3
+    neighborhood (x9 rows) and broadcasts, so customers never
+    shuffle — a map-only plan. The real-world variant swaps the
+    synthetic coordinates for geohashed lat/lon and this dist2 for
+    haversine; every other line survives contact with 100 TB.
+
+    Exactness: coordinates are md5-derived integers on a
+    1,000,000-unit grid (the q30 conv/strpos identity), dist2 is
+    exact int64 arithmetic, the nearest pick minimizes the
+    (dist2, s_suppkey) tuple so ties are deterministic, and dist
+    rounds an IEEE-754 sqrt (correctly rounded by spec in BOTH
+    engines) onto the 1e-4 grid.
+    """
+    CELL = 50_000
+    R2 = CELL * CELL
+
+    def coords(df, key, prefix, kx, ky):
+        h = F.md5(F.concat(F.lit(prefix), F.col(key).cast("string")))
+        x = (F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint")
+             % 1_000_000)
+        y = (F.conv(F.substring(h, 13, 12), 16, 10).cast("bigint")
+             % 1_000_000)
+        return df.select(
+            F.col(key), x.alias(kx), y.alias(ky)
+        )
+
+    cust = coords(
+        _t(spark, sf_dir, "customer"), "c_custkey", "c", "cx", "cy"
+    ).withColumn("cellx", (F.col("cx") / CELL).cast("bigint")) \
+     .withColumn("celly", (F.col("cy") / CELL).cast("bigint"))
+    supp = coords(
+        _t(spark, sf_dir, "supplier"), "s_suppkey", "s", "sx", "sy"
+    )
+    off = F.explode(
+        F.array(*[F.lit(i) for i in (-1, 0, 1)])
+    )
+    supp9 = (
+        supp.withColumn("dx", off)
+        .withColumn("dy", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])))
+        .select(
+            "s_suppkey", "sx", "sy",
+            ((F.col("sx") / CELL).cast("bigint") + F.col("dx")).alias("cellx"),
+            ((F.col("sy") / CELL).cast("bigint") + F.col("dy")).alias("celly"),
+        )
+    )
+    d2 = (
+        (F.col("cx") - F.col("sx")) * (F.col("cx") - F.col("sx"))
+        + (F.col("cy") - F.col("sy")) * (F.col("cy") - F.col("sy"))
+    )
+    pairs = (
+        cust.join(F.broadcast(supp9), ["cellx", "celly"])
+        .select("c_custkey", "s_suppkey", d2.alias("dist2"))
+        .where(F.col("dist2") <= R2)
+    )
+    best = pairs.groupBy("c_custkey").agg(
+        F.min(F.struct("dist2", "s_suppkey")).alias("b")
+    )
+    return best.select(
+        "c_custkey",
+        F.col("b.s_suppkey").alias("s_suppkey"),
+        F.col("b.dist2").alias("dist2"),
+        F.round(F.sqrt(F.col("b.dist2").cast("double")), 4).alias("dist"),
+    ).orderBy("c_custkey")
+
+
+QUERIES["q158_spatial_grid_join"] = q158_spatial_grid_join
+
+ORACLES["q158_spatial_grid_join"] = f"""
+    WITH cust AS (
+      SELECT c_custkey,
+             ({_hex12_sql("md5('c' || CAST(c_custkey AS VARCHAR))", 1)})
+               % 1000000 AS cx,
+             ({_hex12_sql("md5('c' || CAST(c_custkey AS VARCHAR))", 13)})
+               % 1000000 AS cy
+      FROM customer),
+    supp AS (
+      SELECT s_suppkey,
+             ({_hex12_sql("md5('s' || CAST(s_suppkey AS VARCHAR))", 1)})
+               % 1000000 AS sx,
+             ({_hex12_sql("md5('s' || CAST(s_suppkey AS VARCHAR))", 13)})
+               % 1000000 AS sy
+      FROM supplier),
+    pairs AS (
+      SELECT c.c_custkey, s.s_suppkey,
+             (c.cx - s.sx) * (c.cx - s.sx)
+               + (c.cy - s.sy) * (c.cy - s.sy) AS dist2
+      FROM cust c JOIN supp s
+        ON abs(CAST(FLOOR(c.cx / 50000.0) AS BIGINT)
+             - CAST(FLOOR(s.sx / 50000.0) AS BIGINT)) <= 1
+       AND abs(CAST(FLOOR(c.cy / 50000.0) AS BIGINT)
+             - CAST(FLOOR(s.sy / 50000.0) AS BIGINT)) <= 1
+      WHERE (c.cx - s.sx) * (c.cx - s.sx)
+              + (c.cy - s.sy) * (c.cy - s.sy) <= 2500000000),
+    best AS (
+      SELECT c_custkey, s_suppkey, dist2,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                ORDER BY dist2, s_suppkey) AS rn
+      FROM pairs)
+    SELECT c_custkey, s_suppkey, dist2,
+           ROUND(SQRT(CAST(dist2 AS DOUBLE)), 4) AS dist
+    FROM best WHERE rn = 1
+    ORDER BY c_custkey
+"""
