@@ -586,6 +586,26 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("dim_i", "int"), ("dim_j", "int"), ("r2", "double"),
         ("r", "double"),
     ],
+    "q161_table_fingerprint": [
+        ("table_name", "string"), ("n_rows", "bigint"),
+        ("checksum", "string"), ("min_h", "bigint"), ("max_h", "bigint"),
+    ],
+    "q162_backtest_mape": [
+        ("forecaster", "string"), ("n_days", "bigint"),
+        ("mae_cents", "double"), ("mape", "double"),
+    ],
+    "q163_quantile_normalize": [
+        ("source", "string"), ("n_chars", "bigint"), ("cnt", "bigint"),
+        ("norm_chars", "bigint"),
+    ],
+    "q164_incremental_join_mv": [
+        ("c_mktsegment", "string"), ("n_orders", "bigint"),
+        ("rev_cents", "string"), ("avg_order_value", "double"),
+    ],
+    "q165_item_cf_recommendations": [
+        ("o_custkey", "bigint"), ("rank", "int"), ("rec", "bigint"),
+        ("score_q9", "bigint"),
+    ],
 }
 
 # bundle name -> ordered list of fine-query parts
@@ -638,6 +658,7 @@ BUNDLES: dict[str, list[str]] = {
     "q53_54_cdc": [
         "q53_merge_upsert", "q54_scd2", "q120_incremental_agg",
         "q136_snapshot_diff", "q142_golden_record",
+        "q164_incremental_join_mv",
     ],
     "q55_56_udf": ["q55_udaf_geomean", "q56_group_normalize"],
     "q57_58_59_sampling": [
@@ -645,7 +666,7 @@ BUNDLES: dict[str, list[str]] = {
         "q102_dist_drift", "q103_chi2_independence",
         "q111_source_entropy", "q112_weighted_sample",
         "q130_token_budget_fill", "q143_temperature_mix",
-        "q149_mutual_information",
+        "q149_mutual_information", "q163_quantile_normalize",
     ],
     "q32_70_shingle_exact": [
         "q32_ngram_jaccard", "q70_split_contamination", "q89_substring_dup",
@@ -678,6 +699,7 @@ BUNDLES: dict[str, list[str]] = {
         "q98_retention", "q99_gapfill_locf", "q100_linear_trend",
         "q115_theil_sen", "q126_time_weighted_avg", "q134_wow_growth",
         "q155_survival_km", "q156_multiple_regression",
+        "q162_backtest_mape",
         "q139_new_vs_returning", "q145_seasonal_anomaly",
         "q152_time_to_convert",
     ],
@@ -686,7 +708,7 @@ BUNDLES: dict[str, list[str]] = {
     "q24_86_audit": [
         "q24_ingest_audit", "q86_profile", "q118_k_anonymity",
         "q121_key_skew_audit", "q123_referential_integrity",
-        "q128_benford_audit",
+        "q128_benford_audit", "q161_table_fingerprint",
     ],
     # round 6: the q47 single grew into the event-sequence bundle —
     # sessionization, the first-order Markov transition matrix, and
@@ -713,7 +735,10 @@ BUNDLES: dict[str, list[str]] = {
         "q65_sketch_audit", "q124_histogram_quantiles",
         "q127_rolling_hll_users",
     ],
-    "q14_125_topk": ["q14_topk_per_group", "q125_basket_pairs", "q147_decile_lift"],
+    "q14_125_topk": [
+        "q14_topk_per_group", "q125_basket_pairs", "q147_decile_lift",
+        "q165_item_cf_recommendations",
+    ],
     # round 6 continuation: the q05 single grew into the joins bundle
     # (plain inner + null-safe <=> dimension conform)
     "q05_131_joins": ["q05_inner_join", "q131_nullsafe_join"],

@@ -389,3 +389,86 @@ ORACLES["q142_golden_record"] = """
     GROUP BY o_custkey
     ORDER BY o_custkey
 """
+
+
+def q164_incremental_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN-AGGREGATE materialized view:
+    the per-segment revenue view V = customer |><| orders, maintained
+    from a base snapshot plus an order delta (every 10th orderkey)
+    WITHOUT re-joining the base — the join half of q120's incremental
+    aggregation (a warehouse refreshing a 100 TB view applies
+    delta-join maintenance: dV = customer |><| dOrders aggregated,
+    merged into the stored partials; the base fact table is never
+    re-read).
+
+    The adjudication IS the equivalence proof: the Spark side computes
+    base partials + delta partials and MERGES them (the incremental
+    path), while the oracle computes the view DIRECTLY over the full
+    orders table (the from-scratch path). A hash match proves
+    maintenance == recompute on every segment.
+
+    Exactness: counts and cents are exact int64/DECIMAL; avg is one
+    final division.
+
+    Scale shape: both paths aggregate orders map-side BEFORE touching
+    the dimension (aggregate-pushdown below the join); the customer
+    dimension broadcasts; the merge is a |segments|-row union-agg.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+
+    def partials(orders):
+        per_cust = orders.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(cents).cast("decimal(38,0)").alias("rev"),
+        )
+        return (
+            per_cust.join(
+                F.broadcast(c), per_cust["o_custkey"] == c["c_custkey"]
+            )
+            .groupBy("c_mktsegment")
+            .agg(
+                F.sum("n").cast("long").alias("n"),
+                F.sum("rev").alias("rev"),
+            )
+        )
+
+    base = partials(o.where(F.col("o_orderkey") % 10 != 0))
+    delta = partials(o.where(F.col("o_orderkey") % 10 == 0))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("n").cast("long").alias("n_orders"),
+            F.sum("rev").alias("rev_dec"),
+        )
+    )
+    return merged.select(
+        "c_mktsegment",
+        "n_orders",
+        F.col("rev_dec").cast("string").alias("rev_cents"),
+        F.round(
+            F.col("rev_dec").cast("double")
+            / (F.col("n_orders") * F.lit(100)).cast("double"),
+            4,
+        ).alias("avg_order_value"),
+    ).orderBy("c_mktsegment")
+
+
+QUERIES["q164_incremental_join_mv"] = q164_incremental_join_mv
+
+ORACLES["q164_incremental_join_mv"] = """
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS HUGEINT))
+             AS VARCHAR) AS rev_cents,
+           ROUND(CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS HUGEINT))
+                   AS DOUBLE)
+                 / CAST(COUNT(*) * 100 AS DOUBLE), 4) AS avg_order_value
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    ORDER BY 1
+"""

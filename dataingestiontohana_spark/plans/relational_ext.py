@@ -1239,3 +1239,377 @@ ORACLES["q158_spatial_grid_join"] = f"""
     FROM best WHERE rn = 1
     ORDER BY c_custkey
 """
+
+
+def _hex15_sql(col_expr: str) -> str:
+    """DuckDB: leading 15 hex chars of ``col_expr`` as a big-endian
+    int (60 bits) — Spark's conv(substr(md5, 1, 15), 16, 10)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({col_expr}, {1 + p}, 1)) - 1)"
+        f" * CAST({16 ** (14 - p)} AS BIGINT)"
+        for p in range(15)
+    )
+
+
+def q161_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-invariant table fingerprints: per table, the row count,
+    key span, and a commutative checksum (SUM of a 60-bit md5 integer
+    over a canonical row rendering) — the replication-verification
+    primitive behind "is the HANA target byte-equivalent to the lake
+    source?" (reference README.md:132-155 upserts into HANA; this is
+    how a 100 TB copy is verified WITHOUT sorting either side: both
+    engines stream their rows in any order, the checksums must meet).
+
+    Exactness: the canonical rendering uses only exact lexical forms
+    (ints, ISO dates, cents — never raw doubles); the checksum
+    accumulates in DECIMAL(38,0)/HUGEINT and is emitted AS A STRING,
+    because its magnitude (~1e18) exceeds exact double range and the
+    decimal->text rendering is digit-identical in both engines while
+    the >2^53 double cast is not (the q156 finding).
+
+    Scale shape: three independent map-only scans, each reduced by a
+    single combiner-friendly aggregate to ONE row. No shuffle wider
+    than a row.
+    """
+
+    def fp(df, cols, label):
+        canon = F.concat_ws("|", *cols)
+        h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+        agg = df.select(h.alias("h")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("h").cast("decimal(38,0)")).cast("string").alias(
+                "checksum"
+            ),
+            F.min("h").cast("long").alias("min_h"),
+            F.max("h").cast("long").alias("max_h"),
+        )
+        return agg.select(
+            F.lit(label).alias("table_name"),
+            "n_rows", "checksum", "min_h", "max_h",
+        )
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    d = _t(spark, sf_dir, "documents")
+    f_o = fp(
+        o,
+        [
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+            F.col("o_orderdate").cast("string"),
+            F.col("o_orderpriority"),
+        ],
+        "orders",
+    )
+    f_li = fp(
+        li,
+        [
+            F.col("l_orderkey").cast("string"),
+            F.col("l_partkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            F.col("l_quantity").cast("long").cast("string"),
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("long")
+            .cast("string"),
+            F.col("l_returnflag"),
+        ],
+        "lineitem",
+    )
+    f_d = fp(
+        d,
+        [
+            F.col("doc_id").cast("string"),
+            F.col("lang"),
+            F.col("source"),
+            F.col("n_chars").cast("string"),
+            F.md5(F.col("text")),
+        ],
+        "documents",
+    )
+    return f_o.unionByName(f_li).unionByName(f_d).orderBy("table_name")
+
+
+QUERIES["q161_table_fingerprint"] = q161_table_fingerprint
+
+ORACLES["q161_table_fingerprint"] = f"""
+    WITH o_rows AS (
+      SELECT {_hex15_sql(
+        "md5(CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)"
+        " || '|' || o_orderstatus || '|' ||"
+        " CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR)"
+        " || '|' || CAST(o_orderdate AS VARCHAR) || '|' || o_orderpriority)"
+      )} AS h FROM orders),
+    li_rows AS (
+      SELECT {_hex15_sql(
+        "md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR)"
+        " || '|' || CAST(l_linenumber AS VARCHAR) || '|' ||"
+        " CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) || '|' ||"
+        " CAST(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS VARCHAR)"
+        " || '|' || l_returnflag)"
+      )} AS h FROM lineitem),
+    d_rows AS (
+      SELECT {_hex15_sql(
+        "md5(CAST(doc_id AS VARCHAR) || '|' || lang || '|' || source"
+        " || '|' || CAST(n_chars AS VARCHAR) || '|' || md5(text))"
+      )} AS h FROM documents)
+    SELECT 'documents' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(h AS HUGEINT)) AS VARCHAR) AS checksum,
+           CAST(MIN(h) AS BIGINT) AS min_h, CAST(MAX(h) AS BIGINT) AS max_h
+    FROM d_rows
+    UNION ALL
+    SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(h AS HUGEINT)) AS VARCHAR),
+           CAST(MIN(h) AS BIGINT), CAST(MAX(h) AS BIGINT)
+    FROM li_rows
+    UNION ALL
+    SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(h AS HUGEINT)) AS VARCHAR),
+           CAST(MIN(h) AS BIGINT), CAST(MAX(h) AS BIGINT)
+    FROM o_rows
+    ORDER BY table_name
+"""
+
+
+def q162_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtesting IN-ENGINE: score the naive (yesterday) and
+    seasonal-naive (same weekday last week) forecasters against the
+    daily order-revenue series and report MAE/MAPE per horizon — the
+    model-evaluation loop a demand-forecasting pipeline runs over
+    every series it owns (here one global series; per-key is the same
+    plan with a partition column).
+
+    Exactness: daily revenue is exact cents; absolute errors are
+    exact int64; MAPE accumulates floor(1e9 * |a-f| / a) FIXED-POINT
+    per day (the q155 maneuver — a SUM of doubles would differ by
+    fold order across engines) and divides ONCE at the end; MAE is
+    one division of exact ints. Only days with BOTH actual and
+    forecast score (the first 1/7 days have no lag — excluded by the
+    lag window's natural NULL).
+
+    Scale shape: orders reduce map-side to the |distinct days| frame;
+    both lag features come from one ordered window over that reduced
+    frame (below the Aggregate — sanctioned); the scorecard is a
+    2-row arithmetic frame.
+    """
+    from pyspark.sql.window import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    w = W.orderBy("day")
+    feat = daily.select(
+        "day",
+        "rev",
+        F.lag("rev", 1).over(w).alias("f1"),
+        F.lag("rev", 7).over(w).alias("f7"),
+    )
+
+    def score(fcol, label):
+        ae = F.abs(F.col("rev") - F.col(fcol))
+        ape_q9 = F.floor(
+            ae.cast("double") * F.lit(1000000000.0)
+            / F.col("rev").cast("double")
+        ).cast("long")
+        g = feat.where(F.col(fcol).isNotNull() & (F.col("rev") > 0)).agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum(ae).cast("long").alias("sum_ae_cents"),
+            F.sum(ape_q9).cast("long").alias("sum_ape_q9"),
+        )
+        return g.select(
+            F.lit(label).alias("forecaster"),
+            "n_days",
+            (
+                F.col("sum_ae_cents").cast("double")
+                / F.col("n_days").cast("double")
+            ).alias("mae_cents"),
+            (
+                F.col("sum_ape_q9").cast("double")
+                / (F.col("n_days") * F.lit(1000000000)).cast("double")
+            ).alias("mape"),
+        )
+
+    return (
+        score("f1", "naive_lag1")
+        .unionByName(score("f7", "seasonal_lag7"))
+        .orderBy("forecaster")
+    )
+
+
+QUERIES["q162_backtest_mape"] = q162_backtest_mape
+
+ORACLES["q162_backtest_mape"] = """
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rev
+      FROM orders GROUP BY 1),
+    feat AS (
+      SELECT day, rev,
+             LAG(rev, 1) OVER (ORDER BY day) AS f1,
+             LAG(rev, 7) OVER (ORDER BY day) AS f7
+      FROM daily),
+    s1 AS (
+      SELECT 'naive_lag1' AS forecaster,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(ABS(rev - f1)) AS BIGINT) AS sum_ae,
+             CAST(SUM(CAST(FLOOR(CAST(ABS(rev - f1) AS DOUBLE)
+               * 1000000000.0 / CAST(rev AS DOUBLE)) AS BIGINT))
+               AS BIGINT) AS sum_ape_q9
+      FROM feat WHERE f1 IS NOT NULL AND rev > 0),
+    s7 AS (
+      SELECT 'seasonal_lag7' AS forecaster,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(ABS(rev - f7)) AS BIGINT) AS sum_ae,
+             CAST(SUM(CAST(FLOOR(CAST(ABS(rev - f7) AS DOUBLE)
+               * 1000000000.0 / CAST(rev AS DOUBLE)) AS BIGINT))
+               AS BIGINT) AS sum_ape_q9
+      FROM feat WHERE f7 IS NOT NULL AND rev > 0)
+    SELECT forecaster, n_days,
+           CAST(sum_ae AS DOUBLE) / CAST(n_days AS DOUBLE) AS mae_cents,
+           CAST(sum_ape_q9 AS DOUBLE)
+             / CAST(n_days * 1000000000 AS DOUBLE) AS mape
+    FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s7)
+    ORDER BY forecaster
+"""
+
+
+def q165_item_cf_recommendations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Item-item collaborative filtering, end to end in-engine: build
+    the co-purchase similarity matrix from order baskets, then serve
+    every customer their top-3 unowned parts by summed similarity to
+    what they already bought — q125 mines the pair statistics; this
+    closes the loop into the actual recommender read path.
+
+    Exactness: the similarity is squared cosine over basket sets,
+    sim = c_ab^2 / (c_a * c_b), held in 1e-9 FIXED POINT via integer
+    division (DIV / // floor semantics agree for the all-positive
+    counts), so per-candidate scores are exact int64 SUMS — no double
+    ever crosses an aggregation — and the top-3 cut (score desc,
+    part asc) is deterministic in both engines.
+
+    Scale shape: pair counts explode only WITHIN baskets (<= 7 lines
+    per order -> <= 21 pairs, the q125 bound — never item x item);
+    a min-support-2 gate bounds the similarity matrix; candidate
+    generation is an equi-join of the customer's item set against
+    that matrix on the item key; the ownership exclusion is a
+    left-anti on (customer, part); the per-customer top-3 window
+    partitions on custkey (maximum parallelism, no funnel).
+    """
+    from pyspark.sql.window import Window as W
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    basket = li.distinct()
+    c_item = basket.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    a = basket.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = basket.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "k")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .where(F.col("c_ab") >= 2)
+    )
+    ca = c_item.select(F.col("l_partkey").alias("pa"), F.col("c").alias("c_a"))
+    cb = c_item.select(F.col("l_partkey").alias("pb"), F.col("c").alias("c_b"))
+    sims = (
+        pairs.join(F.broadcast(ca), "pa")
+        .join(F.broadcast(cb), "pb")
+        .select(
+            "pa", "pb",
+            F.expr(
+                "CAST((1000000000 * c_ab * c_ab) DIV (c_a * c_b) AS BIGINT)"
+            ).alias("sim_q9"),
+        )
+    )
+    both = sims.unionByName(
+        sims.select(
+            F.col("pb").alias("pa"), F.col("pa").alias("pb"), "sim_q9"
+        )
+    )
+    owned = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    cand = (
+        owned.join(both, owned["l_partkey"] == both["pa"])
+        .select("o_custkey", F.col("pb").alias("rec"), "sim_q9")
+        .join(
+            owned.select(
+                F.col("o_custkey").alias("oc"), F.col("l_partkey").alias("op")
+            ),
+            (F.col("o_custkey") == F.col("oc")) & (F.col("rec") == F.col("op")),
+            "left_anti",
+        )
+        .groupBy("o_custkey", "rec")
+        .agg(F.sum("sim_q9").cast("long").alias("score_q9"))
+    )
+    w = W.partitionBy("o_custkey").orderBy(F.desc("score_q9"), F.asc("rec"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "o_custkey",
+            F.col("rank").cast("int").alias("rank"),
+            "rec",
+            "score_q9",
+        )
+        .orderBy("o_custkey", "rank")
+    )
+
+
+QUERIES["q165_item_cf_recommendations"] = q165_item_cf_recommendations
+
+ORACLES["q165_item_cf_recommendations"] = """
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    c_item AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+      FROM basket GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM basket a JOIN basket b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2),
+    sims AS (
+      SELECT pa, pb,
+             (1000000000 * c_ab * c_ab) // (ca.c * cb.c) AS sim_q9
+      FROM pairs
+      JOIN c_item ca ON pairs.pa = ca.l_partkey
+      JOIN c_item cb ON pairs.pb = cb.l_partkey),
+    bidi AS (
+      SELECT pa, pb, sim_q9 FROM sims
+      UNION ALL
+      SELECT pb, pa, sim_q9 FROM sims),
+    owned AS (
+      SELECT DISTINCT o.o_custkey, li.l_partkey
+      FROM orders o JOIN lineitem li ON o.o_orderkey = li.l_orderkey),
+    cand AS (
+      SELECT w.o_custkey, b.pb AS rec,
+             CAST(SUM(b.sim_q9) AS BIGINT) AS score_q9
+      FROM owned w JOIN bidi b ON w.l_partkey = b.pa
+      WHERE NOT EXISTS (
+        SELECT 1 FROM owned w2
+        WHERE w2.o_custkey = w.o_custkey AND w2.l_partkey = b.pb)
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT o_custkey, rec, score_q9,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY score_q9 DESC, rec) AS rank
+      FROM cand)
+    SELECT o_custkey, CAST(rank AS INT) AS rank, rec, score_q9
+    FROM ranked WHERE rank <= 3
+    ORDER BY o_custkey, rank
+"""

@@ -1266,3 +1266,120 @@ ORACLES["q149_mutual_information"] = """
     GROUP BY event_type
     ORDER BY event_type
 """
+
+
+def q163_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization: map every source's
+    document-length distribution onto the GLOBAL length distribution
+    (each distinct (source, n_chars) value lands on the global value
+    at its source-relative rank) — the batch-effect correction an ML
+    feature pipeline applies before sources are mixed, so that "long
+    for wiki" and "long for web" mean the same thing downstream.
+
+    Exactness: everything is rank arithmetic on exact int64 value
+    groups. The target rank ceil(cum_src * N_glob / n_src) is a
+    floor((a*b + c - 1) div c) of exact integers, and the lookup
+    "smallest global value whose cumulative count reaches that rank"
+    is an integer comparison — no doubles anywhere.
+
+    Scale shape: both distributions are VALUE GROUPS (|distinct
+    lengths| rows, reduced below their aggregates — the sanctioned
+    window shape); the lookup is the q44 union-tag merge: interleave
+    source needs and global interval ends on the rank axis, carry the
+    next global value backward with one first(ignorenulls) window —
+    a sort-merge, never the rank-triangle join a correlated subquery
+    would cost on a cluster (which is exactly what the DuckDB oracle
+    runs, as an independent formulation).
+    """
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w_src = (
+        W.partitionBy("source").orderBy("v")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_src_all = W.partitionBy("source").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    tot = d.agg(F.count(F.lit(1)).cast("long").alias("n_g"))
+    needs = src.select(
+        "source", "v", "cnt",
+        F.sum("cnt").over(w_src).cast("long").alias("cum_s"),
+        F.sum("cnt").over(w_src_all).cast("long").alias("n_s"),
+    ).join(F.broadcast(tot))  # 1-row literal attach (sanctioned)
+    glob = d.groupBy(F.col("n_chars").alias("gv")).agg(
+        F.count(F.lit(1)).cast("long").alias("gcnt")
+    )
+    w_g = W.orderBy("gv").rowsBetween(W.unboundedPreceding, 0)
+    w_g_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    gcum = glob.select(
+        "gv",
+        F.sum("gcnt").over(w_g).cast("long").alias("cum_g"),
+        F.sum("gcnt").over(w_g_all).cast("long").alias("n_g"),
+    )
+    # target rank: ceil(cum_s * n_g / n_s), exact integer arithmetic
+    tr = F.expr(
+        "CAST((cum_s * n_g + n_s - 1) DIV n_s AS BIGINT)"
+    )
+    need_rows = needs.select(
+        "source", "v", "cnt",
+        tr.alias("key"),
+        F.lit(None).cast("long").alias("gval"),
+        F.lit(0).alias("tag"),
+    )
+    g_rows = gcum.select(
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("long").alias("v"),
+        F.lit(None).cast("long").alias("cnt"),
+        F.col("cum_g").alias("key"),
+        F.col("gv").alias("gval"),
+        F.lit(1).alias("tag"),
+    )
+    # global interval-ends sort AFTER needs at the same key (tag 1), so
+    # a forward first(ignorenulls) from a need row catches an exactly
+    # equal cum_g — "smallest global value with cum_g >= target rank"
+    merged = need_rows.unionByName(g_rows)
+    w_next = W.orderBy("key", "tag").rowsBetween(0, W.unboundedFollowing)
+    out = (
+        merged.withColumn(
+            "norm_chars", F.first("gval", ignorenulls=True).over(w_next)
+        )
+        .where(F.col("tag") == 0)
+        .select("source", F.col("v").alias("n_chars"), "cnt", "norm_chars")
+    )
+    return out.orderBy("source", "n_chars")
+
+
+QUERIES["q163_quantile_normalize"] = q163_quantile_normalize
+
+ORACLES["q163_quantile_normalize"] = """
+    WITH src AS (
+      SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY 1, 2),
+    needs AS (
+      SELECT source, v, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_s,
+             CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n_s
+      FROM src),
+    gdist AS (
+      SELECT n_chars AS gv, CAST(COUNT(*) AS BIGINT) AS gcnt
+      FROM documents GROUP BY 1),
+    gcum AS (
+      SELECT gv,
+             CAST(SUM(gcnt) OVER (ORDER BY gv
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_g,
+             CAST(SUM(gcnt) OVER () AS BIGINT) AS n_g
+      FROM gdist)
+    SELECT n.source, n.v AS n_chars, n.cnt,
+           (SELECT MIN(g.gv) FROM gcum g
+            WHERE g.cum_g >= (n.cum_s * (SELECT MAX(n_g) FROM gcum)
+                              + n.n_s - 1) // n.n_s) AS norm_chars
+    FROM needs n
+    ORDER BY n.source, n.v
+"""
