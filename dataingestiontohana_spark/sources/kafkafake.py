@@ -172,6 +172,9 @@ class FakeKafkaStreamReader(SimpleDataSourceStreamReader):
         self.path = options["path"]
         self.topic = options["topic"]
         self.starting = options.get("startingoffsets", "earliest")
+        # connector parity: cap records per micro-batch (the real
+        # source's maxOffsetsPerTrigger); 0/absent = drain everything
+        self.max_per_trigger = int(options.get("maxoffsetspertrigger", 0))
 
     def _broker(self) -> FakeKafkaBroker:
         return FakeKafkaBroker(self.path)
@@ -187,14 +190,24 @@ class FakeKafkaStreamReader(SimpleDataSourceStreamReader):
         end = b.end_offsets(self.topic)
         rows: list[tuple] = []
         out = dict(start)
-        for p, hi in end.items():
+        budget = self.max_per_trigger or None
+        for p in sorted(end, key=int):
             lo = int(start.get(p, 0))
-            hi = int(hi)
+            hi = int(end[p])
+            if budget is not None:
+                hi = min(hi, lo + budget)
             if hi > lo:
                 rows.extend(
                     _read_slice(self.path, self.topic, int(p), lo, hi)
                 )
+                if budget is not None:
+                    budget -= hi - lo
             out[p] = max(lo, hi)
+            if budget == 0:
+                # untouched partitions keep their start offsets
+                for q in sorted(end, key=int):
+                    out.setdefault(q, int(start.get(q, 0)))
+                break
         return iter(rows), out
 
     def readBetweenOffsets(self, start: dict, end: dict):
@@ -256,16 +269,19 @@ def fake_kafka_source(
     path: str,
     topic: str,
     starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int = 0,
 ) -> DataFrame:
     """readStream over a fake topic — drop-in for
     `streaming.kafka.kafka_source` (identical output schema), for
-    environments without the connector jar."""
+    environments without the connector jar. ``max_offsets_per_trigger``
+    mirrors the connector's micro-batch size cap (0 = drain all)."""
     register_fake_kafka(spark)
     return (
         spark.readStream.format("kafkafake")
         .option("path", path)
         .option("topic", topic)
         .option("startingOffsets", starting_offsets)
+        .option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
         .load()
     )
 

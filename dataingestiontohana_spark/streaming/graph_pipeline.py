@@ -1,0 +1,307 @@
+"""Operator-GRAPH pipelines: the reference's actual programming model.
+
+The reference (Andyyh2005/DataIngestionToHANA) is an SAP Data
+Intelligence tutorial whose artifacts are two *visual operator graphs*
+(`README.md:16-65`): a producer graph `Data Generator -> 1:2
+Multiplexer -> {Kafka Producer, Wiretap}` and a consumer graph `Kafka
+Consumer -> Processing Data -> HANA Client` with a `Simulate Error`
+stage and `Terminal` taps. Everything else in this engine re-expresses
+the *operators*; this module re-expresses the *composition model*:
+declare nodes and edges, validate the wiring, compile to ONE
+Structured Streaming query.
+
+Compilation strategy: the single source node becomes the streaming
+DataFrame; every downstream node becomes a closure applied inside one
+`foreachBatch` walk of the DAG (the same shape as
+`streaming/multiplex.py` — a multiplexer persists the batch once and
+fans out, so source/parse cost is paid once per batch regardless of
+fan-out). That preserves the delivery guarantees of
+`streaming/pipeline.py`: one checkpoint governs the whole graph, a
+sink failure fails the batch (all-or-nothing replay), and keyed upsert
+sinks make replay idempotent (exactly-once, `README.md:132-155`).
+
+Node kinds and their reference counterparts:
+
+| kind             | ref | role      | config |
+|------------------|-----|-----------|--------|
+| `data_generator` | R1  | source    | `source_dir` (csv text files), `max_files_per_trigger` |
+| `kafka_consumer` | R4  | source    | `path`, `topic` (kafkafake transport; swap for the connector in a cluster) |
+| `multiplexer`    | R2  | fan-out   | — (the ONLY node allowed >1 downstream edge) |
+| `process`        | R5  | transform | `fn: DataFrame -> DataFrame` (the custom-JS stage) |
+| `wiretap`        | R9  | tap       | `wiretap: Wiretap` (defaults to a fresh one) |
+| `simulate_error` | R8  | tap       | `fault: FaultInjector` |
+| `kafka_producer` | R3  | sink      | `path`, `topic` (at-least-once append, like the real connector) |
+| `hana_client`    | R6  | sink      | `sink: UpsertSink`, `upsert: bool`, `columns` for ensure_table |
+| `terminal`       | R7  | sink      | `limit` rows retained driver-side |
+
+Validation enforces the reference editor's wiring rules mechanically:
+exactly one source, in-degree 1 everywhere else, out-degree <= 1
+except the multiplexer ("insert a 1:2 Multiplexer" is the fix the
+tutorial itself applies), every leaf a sink, no cycles, no orphans.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from dataingestiontohana_spark.operators.upsert_sink import UpsertSink
+from dataingestiontohana_spark.sources.kafkafake import (
+    FakeKafkaBroker,
+    fake_kafka_source,
+)
+from dataingestiontohana_spark.streaming.fault import FaultInjector
+from dataingestiontohana_spark.streaming.multiplex import Wiretap
+from dataingestiontohana_spark.streaming.pipeline import SENSOR_SQL_COLUMNS
+
+SOURCE_KINDS = {"data_generator", "kafka_consumer"}
+TRANSFORM_KINDS = {"process", "wiretap", "simulate_error", "multiplexer"}
+SINK_KINDS = {"kafka_producer", "hana_client", "terminal"}
+KINDS = SOURCE_KINDS | TRANSFORM_KINDS | SINK_KINDS
+
+
+class GraphValidationError(ValueError):
+    """The graph violates a wiring rule the reference editor enforces."""
+
+
+@dataclass
+class Node:
+    name: str
+    kind: str
+    config: dict[str, Any] = field(default_factory=dict)
+
+
+class PipelineGraph:
+    """Declare-validate-compile pipeline DAG (see module docstring)."""
+
+    def __init__(self) -> None:
+        self.nodes: dict[str, Node] = {}
+        self.edges: list[tuple[str, str]] = []
+
+    # -- declaration --------------------------------------------------
+
+    def node(self, name: str, kind: str, **config: Any) -> str:
+        if kind not in KINDS:
+            raise GraphValidationError(
+                f"unknown operator kind {kind!r}; choose from {sorted(KINDS)}"
+            )
+        if name in self.nodes:
+            raise GraphValidationError(f"duplicate node name {name!r}")
+        self.nodes[name] = Node(name, kind, config)
+        return name
+
+    def connect(self, src: str, dst: str) -> None:
+        for n in (src, dst):
+            if n not in self.nodes:
+                raise GraphValidationError(f"edge references unknown node {n!r}")
+        self.edges.append((src, dst))
+
+    # -- validation ----------------------------------------------------
+
+    def validate(self) -> None:
+        out: dict[str, list[str]] = {n: [] for n in self.nodes}
+        indeg: dict[str, int] = {n: 0 for n in self.nodes}
+        for s, d in self.edges:
+            out[s].append(d)
+            indeg[d] += 1
+
+        sources = [n for n, nd in self.nodes.items() if nd.kind in SOURCE_KINDS]
+        if len(sources) != 1:
+            raise GraphValidationError(
+                f"a graph compiles to ONE streaming query and needs exactly "
+                f"one source node, got {len(sources)}: {sorted(sources)}"
+            )
+        for name, nd in self.nodes.items():
+            if nd.kind in SOURCE_KINDS and indeg[name] != 0:
+                raise GraphValidationError(f"source {name!r} cannot have inputs")
+            if nd.kind not in SOURCE_KINDS and indeg[name] != 1:
+                raise GraphValidationError(
+                    f"{name!r} ({nd.kind}) needs exactly one input, has "
+                    f"{indeg[name]}"
+                )
+            if nd.kind in SINK_KINDS and out[name]:
+                raise GraphValidationError(
+                    f"sink {name!r} cannot have downstream edges"
+                )
+            if nd.kind not in SINK_KINDS and nd.kind != "multiplexer" and len(out[name]) > 1:
+                raise GraphValidationError(
+                    f"{name!r} ({nd.kind}) fans out to {len(out[name])} nodes;"
+                    f" insert a multiplexer (the reference's 1:2 Multiplexer)"
+                )
+            if nd.kind not in SINK_KINDS and not out[name]:
+                raise GraphValidationError(
+                    f"{name!r} ({nd.kind}) is a dead end; every leaf must be "
+                    f"a sink (terminal/kafka_producer/hana_client)"
+                )
+        # acyclicity + reachability via one DFS from the source
+        seen: set[str] = set()
+        stack_set: set[str] = set()
+
+        def dfs(n: str) -> None:
+            if n in stack_set:
+                raise GraphValidationError(f"cycle through {n!r}")
+            if n in seen:
+                return
+            seen.add(n)
+            stack_set.add(n)
+            for d in out[n]:
+                dfs(d)
+            stack_set.remove(n)
+
+        dfs(sources[0])
+        orphans = set(self.nodes) - seen
+        if orphans:
+            raise GraphValidationError(
+                f"unreachable nodes (not wired to the source): {sorted(orphans)}"
+            )
+
+    # -- compilation ---------------------------------------------------
+
+    def compile(
+        self, spark: SparkSession, checkpoint_dir: str
+    ) -> "CompiledGraph":
+        self.validate()
+        return CompiledGraph(self, spark, checkpoint_dir)
+
+
+class CompiledGraph:
+    """One runnable Structured Streaming query walking the DAG per
+    micro-batch. `terminals[name]` holds the rows a terminal retained;
+    `wiretaps[name]` the Wiretap traces."""
+
+    def __init__(
+        self, graph: PipelineGraph, spark: SparkSession, checkpoint_dir: str
+    ) -> None:
+        self.graph = graph
+        self.spark = spark
+        self.checkpoint_dir = checkpoint_dir
+        self.terminals: dict[str, list] = {}
+        self.wiretaps: dict[str, Wiretap] = {}
+        self._out: dict[str, list[str]] = {n: [] for n in graph.nodes}
+        for s, d in graph.edges:
+            self._out[s].append(d)
+        (self._source,) = (
+            nd for nd in graph.nodes.values() if nd.kind in SOURCE_KINDS
+        )
+        for nd in graph.nodes.values():
+            if nd.kind == "terminal":
+                self.terminals[nd.name] = []
+            if nd.kind == "wiretap":
+                self.wiretaps[nd.name] = nd.config.get("wiretap") or Wiretap(
+                    name=nd.name
+                )
+            if nd.kind == "hana_client":
+                sink: UpsertSink = nd.config["sink"]
+                sink.ensure_table(
+                    nd.config.get("columns", SENSOR_SQL_COLUMNS),
+                    with_pk=nd.config.get("upsert", True),
+                )
+
+    # -- node semantics -------------------------------------------------
+
+    def _source_stream(self) -> DataFrame:
+        nd = self._source
+        if nd.kind == "data_generator":
+            return (
+                self.spark.readStream.format("text")
+                .option(
+                    "maxFilesPerTrigger",
+                    str(nd.config.get("max_files_per_trigger", 1)),
+                )
+                .load(nd.config["source_dir"])
+            )
+        return fake_kafka_source(
+            self.spark,
+            nd.config["path"],
+            nd.config["topic"],
+            nd.config.get("starting_offsets", "earliest"),
+            nd.config.get("max_offsets_per_trigger", 0),
+        )
+
+    def _walk(self, name: str, bdf: DataFrame, epoch_id: int) -> None:
+        nd = self.graph.nodes[name]
+        if nd.kind == "process":
+            fn: Callable[[DataFrame], DataFrame] = nd.config["fn"]
+            bdf = fn(bdf)
+        elif nd.kind == "wiretap":
+            self.wiretaps[name].tap(bdf, epoch_id)
+        elif nd.kind == "simulate_error":
+            fault: FaultInjector = nd.config["fault"]
+            fault.check(fault.point)
+        elif nd.kind == "multiplexer":
+            bdf.persist()
+            try:
+                for d in self._out[name]:
+                    self._walk(d, bdf, epoch_id)
+            finally:
+                bdf.unpersist()
+            return
+        elif nd.kind == "terminal":
+            limit = nd.config.get("limit", 1000)
+            bucket = self.terminals[name]
+            room = limit - len(bucket)
+            if room > 0:
+                bucket.extend(bdf.take(room))
+            return
+        elif nd.kind == "kafka_producer":
+            broker = FakeKafkaBroker(nd.config["path"])
+            topic = nd.config["topic"]
+            broker.create_topic(topic)  # mkdir -p semantics: idempotent
+            key_col = nd.config.get("key_col")
+            value_col = nd.config.get("value_col", "value")
+            for row in bdf.collect():
+                broker.produce(
+                    topic,
+                    str(row[value_col]),
+                    key=str(row[key_col]) if key_col else None,
+                )
+            return
+        elif nd.kind == "hana_client":
+            sink: UpsertSink = nd.config["sink"]
+            # optional lifecycle fault (the R8 Simulate Error node can
+            # only precede the sink in the DAG; the interesting crash —
+            # AFTER the DB write, BEFORE the offset commit — needs a
+            # hook inside the sink step, same as streaming/pipeline.py)
+            fault: FaultInjector | None = nd.config.get("fault")
+            if fault:
+                fault.check(FaultInjector.BEFORE_WRITE)
+                fault.check(FaultInjector.FAIL_WRITE)
+            sink.write(bdf, upsert=nd.config.get("upsert", True))
+            if fault:
+                fault.check(FaultInjector.AFTER_WRITE)
+            return
+        for d in self._out[name]:
+            self._walk(d, bdf, epoch_id)
+
+    # -- run -------------------------------------------------------------
+
+    def _run_batch(self, bdf: DataFrame, epoch_id: int) -> None:
+        for d in self._out[self._source.name]:
+            self._walk(d, bdf, epoch_id)
+
+    def start(self) -> StreamingQuery:
+        return (
+            self._source_stream()
+            .writeStream.foreachBatch(self._run_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .start()
+        )
+
+    def run_to_completion(self) -> Exception | None:
+        """Start, drain all available input, stop; returns the failure
+        (e.g. an InjectedFault) instead of raising — the kill/restart
+        harness shape of streaming/pipeline.py."""
+        q = self.start()
+        try:
+            q.processAllAvailable()
+        except Exception:  # noqa: BLE001 — surfaced via q.exception()
+            pass
+        try:
+            q.stop()
+            q.awaitTermination(30)
+        except Exception:  # noqa: BLE001
+            pass
+        return q.exception()

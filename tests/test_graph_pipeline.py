@@ -1,0 +1,272 @@
+"""The operator-graph composition model (streaming/graph_pipeline.py):
+the reference's two tutorial graphs (`/root/reference/README.md:16-65`)
+rebuilt node-for-node and run end-to-end on the kafkafake transport,
+plus the wiring rules the visual editor enforces."""
+
+from __future__ import annotations
+
+import functools
+import sqlite3
+
+import pytest
+
+from dataingestiontohana_spark.operators.upsert_sink import (
+    SQLiteDialect,
+    UpsertSink,
+)
+from dataingestiontohana_spark.sources.generator import (
+    write_sensor_csv_files,
+)
+from dataingestiontohana_spark.sources.kafkafake import read_fake_topic
+from dataingestiontohana_spark.streaming.audit import audit_sink
+from dataingestiontohana_spark.streaming.fault import (
+    FaultInjector,
+    InjectedFault,
+)
+from dataingestiontohana_spark.streaming.graph_pipeline import (
+    GraphValidationError,
+    PipelineGraph,
+)
+from dataingestiontohana_spark.streaming.kafka import parse_sensor_kafka
+
+N_ROWS, N_FILES = 60, 6
+
+
+# ---------------------------------------------------------------- wiring
+
+
+def test_rejects_unknown_kind_and_duplicate_names():
+    g = PipelineGraph()
+    with pytest.raises(GraphValidationError, match="unknown operator kind"):
+        g.node("x", "teleporter")
+    g.node("a", "terminal")
+    with pytest.raises(GraphValidationError, match="duplicate"):
+        g.node("a", "terminal")
+
+
+def test_rejects_zero_or_two_sources(tmp_path):
+    g = PipelineGraph()
+    g.node("t", "terminal")
+    with pytest.raises(GraphValidationError, match="exactly one source"):
+        g.validate()
+    g2 = PipelineGraph()
+    g2.node("s1", "data_generator", source_dir="x")
+    g2.node("s2", "kafka_consumer", path="x", topic="t")
+    g2.node("t", "terminal")
+    g2.connect("s1", "t")
+    with pytest.raises(GraphValidationError, match="exactly one source"):
+        g2.validate()
+
+
+def test_rejects_fanout_without_multiplexer():
+    g = PipelineGraph()
+    g.node("src", "data_generator", source_dir="x")
+    g.node("t1", "terminal")
+    g.node("t2", "terminal")
+    g.connect("src", "t1")
+    g.connect("src", "t2")
+    with pytest.raises(GraphValidationError, match="insert a multiplexer"):
+        g.validate()
+
+
+def test_rejects_dangling_transform_and_orphan():
+    g = PipelineGraph()
+    g.node("src", "data_generator", source_dir="x")
+    g.node("p", "process", fn=lambda df: df)
+    g.connect("src", "p")
+    with pytest.raises(GraphValidationError, match="dead end"):
+        g.validate()
+    # a detached 2-cycle satisfies every degree rule (each node has
+    # exactly one input) — only the reachability sweep catches it
+    g2 = PipelineGraph()
+    g2.node("src", "data_generator", source_dir="x")
+    g2.node("t", "terminal")
+    g2.connect("src", "t")
+    g2.node("p1", "multiplexer")
+    g2.node("p2", "multiplexer")
+    g2.connect("p1", "p2")
+    g2.connect("p2", "p1")
+    with pytest.raises(GraphValidationError, match="unreachable"):
+        g2.validate()
+
+
+def test_rejects_cycle_and_sink_output():
+    g = PipelineGraph()
+    g.node("src", "data_generator", source_dir="x")
+    g.node("p1", "process", fn=lambda df: df)
+    g.node("p2", "process", fn=lambda df: df)
+    g.connect("src", "p1")
+    g.connect("p1", "p2")
+    g.connect("p2", "p1")
+    # p1 now has two inputs — that rule fires first and is just as fatal
+    with pytest.raises(GraphValidationError):
+        g.validate()
+    g2 = PipelineGraph()
+    g2.node("src", "data_generator", source_dir="x")
+    g2.node("t", "terminal")
+    g2.node("t2", "terminal")
+    g2.connect("src", "t")
+    g2.connect("t", "t2")
+    with pytest.raises(GraphValidationError, match="cannot have downstream"):
+        g2.validate()
+
+
+# ------------------------------------------------------- producer graph
+
+
+@pytest.fixture()
+def source_dir(spark, tmp_path):
+    d = tmp_path / "gen"
+    write_sensor_csv_files(spark, str(d), N_ROWS, N_FILES)
+    return str(d)
+
+
+def test_producer_tutorial_graph(spark, tmp_path, source_dir):
+    """Data Generator -> 1:2 Multiplexer -> {Kafka Producer, Wiretap ->
+    Terminal}: README.md:16-25's producer graph."""
+    broker_path = str(tmp_path / "broker")
+    g = PipelineGraph()
+    g.node("gen", "data_generator", source_dir=source_dir,
+           max_files_per_trigger=2)
+    g.node("mux", "multiplexer")
+    g.node("producer", "kafka_producer", path=broker_path, topic="sensor")
+    g.node("tap", "wiretap")
+    g.node("console", "terminal", limit=10)
+    g.connect("gen", "mux")
+    g.connect("mux", "producer")
+    g.connect("mux", "tap")
+    g.connect("tap", "console")
+    c = g.compile(spark, str(tmp_path / "ckpt"))
+    assert c.run_to_completion() is None
+
+    topic = read_fake_topic(spark, broker_path, "sensor")
+    assert topic.count() == N_ROWS  # every generated line reached Kafka
+    assert len(c.terminals["console"]) == 10  # terminal retained its cap
+    tap = c.wiretaps["tap"]
+    assert sum(e.n_rows for e in tap.entries) == N_ROWS
+    assert len(tap.entries) == N_FILES // 2  # maxFilesPerTrigger=2
+
+
+# ------------------------------------------------------- consumer graph
+
+
+def make_sink(db_path: str) -> UpsertSink:
+    return UpsertSink(
+        table="sensor_sink",
+        key_cols=["counter"],
+        dialect=SQLiteDialect(),
+        connection_factory=functools.partial(sqlite3.connect, db_path),
+    )
+
+
+def consumer_graph(spark, tmp_path, broker_path, fault=None) -> PipelineGraph:
+    g = PipelineGraph()
+    g.node("consumer", "kafka_consumer", path=broker_path, topic="sensor")
+    g.node("typed", "process", fn=parse_sensor_kafka)
+    if fault is not None:
+        g.node("boom", "simulate_error", fault=fault)
+    g.node("hana", "hana_client", sink=make_sink(str(tmp_path / "sink.db")))
+    g.connect("consumer", "typed")
+    if fault is not None:
+        g.connect("typed", "boom")
+        g.connect("boom", "hana")
+    else:
+        g.connect("typed", "hana")
+    return g
+
+
+def _fill_topic(spark, tmp_path, source_dir) -> str:
+    broker_path = str(tmp_path / "broker")
+    g = PipelineGraph()
+    g.node("gen", "data_generator", source_dir=source_dir,
+           max_files_per_trigger=2)
+    g.node("producer", "kafka_producer", path=broker_path, topic="sensor")
+    g.connect("gen", "producer")
+    assert g.compile(
+        spark, str(tmp_path / "ckpt_fill")
+    ).run_to_completion() is None
+    return broker_path
+
+
+def test_consumer_tutorial_graph_exactly_once_with_kill_restart(
+    spark, tmp_path, source_dir
+):
+    """Kafka Consumer -> Processing Data -> (Simulate Error) -> HANA
+    Client, killed mid-run and restarted from the same checkpoint —
+    the README.md:132-155 exactly-once protocol on the graph API."""
+    broker_path = _fill_topic(spark, tmp_path, source_dir)
+    fault = FaultInjector(
+        str(tmp_path / "flag"), point=FaultInjector.AFTER_WRITE, at_batch=0
+    )
+    fault.arm()
+    ckpt = str(tmp_path / "ckpt_consume")
+
+    run1 = consumer_graph(spark, tmp_path, broker_path, fault=fault)
+    err = run1.compile(spark, ckpt).run_to_completion()
+    assert isinstance(err, InjectedFault) or isinstance(
+        err, Exception
+    )  # the kill fired mid-stream
+
+    # restart from the SAME checkpoint (same Group ID): replay converges
+    run2 = consumer_graph(spark, tmp_path, broker_path, fault=None)
+    assert run2.compile(spark, ckpt).run_to_completion() is None
+
+    con = sqlite3.connect(str(tmp_path / "sink.db"))
+    try:
+        a = audit_sink(con, "sensor_sink")
+    finally:
+        con.close()
+    # rows == uniq == span: no loss, no dup — despite the fault firing
+    # AFTER a write but BEFORE its offset commit (the replay window)
+    assert a.n_rows == N_ROWS
+    assert a.uniq == N_ROWS
+    assert a.span == N_ROWS
+
+
+def test_consumer_graph_replay_window_after_write_crash(
+    spark, tmp_path, source_dir
+):
+    """The HARD exactly-once case: crash AFTER the DB write but BEFORE
+    the offset commit (batch 1 of N). The restart replays the written
+    batch; the keyed upsert absorbs the duplicate — rows==uniq==span
+    with a real partial write on disk at restart time."""
+    broker_path = _fill_topic(spark, tmp_path, source_dir)
+    fault = FaultInjector(
+        str(tmp_path / "flag"), point=FaultInjector.AFTER_WRITE, at_batch=1
+    )
+    fault.arm()
+    ckpt = str(tmp_path / "ckpt_consume")
+
+    g1 = PipelineGraph()
+    g1.node("consumer", "kafka_consumer", path=broker_path, topic="sensor",
+            max_offsets_per_trigger=20)
+    g1.node("typed", "process", fn=parse_sensor_kafka)
+    g1.node("hana", "hana_client",
+            sink=make_sink(str(tmp_path / "sink.db")), fault=fault)
+    g1.connect("consumer", "typed")
+    g1.connect("typed", "hana")
+    err = g1.compile(spark, ckpt).run_to_completion()
+    assert err is not None  # crashed mid-stream
+
+    con = sqlite3.connect(str(tmp_path / "sink.db"))
+    try:
+        mid = audit_sink(con, "sensor_sink")
+    finally:
+        con.close()
+    assert 0 < mid.n_rows < N_ROWS  # a real partial write survived
+
+    g2 = PipelineGraph()
+    g2.node("consumer", "kafka_consumer", path=broker_path, topic="sensor",
+            max_offsets_per_trigger=20)
+    g2.node("typed", "process", fn=parse_sensor_kafka)
+    g2.node("hana", "hana_client", sink=make_sink(str(tmp_path / "sink.db")))
+    g2.connect("consumer", "typed")
+    g2.connect("typed", "hana")
+    assert g2.compile(spark, ckpt).run_to_completion() is None
+
+    con = sqlite3.connect(str(tmp_path / "sink.db"))
+    try:
+        a = audit_sink(con, "sensor_sink")
+    finally:
+        con.close()
+    assert (a.n_rows, a.uniq, a.span) == (N_ROWS, N_ROWS, N_ROWS)
