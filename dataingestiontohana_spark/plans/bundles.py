@@ -606,6 +606,20 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("o_custkey", "bigint"), ("rank", "int"), ("rec", "bigint"),
         ("score_q9", "bigint"),
     ],
+    "q166_entity_resolution": [
+        ("component", "bigint"), ("n_members", "bigint"),
+        ("n_customers", "bigint"), ("n_suppliers", "bigint"),
+        ("golden_bal_cents", "bigint"),
+    ],
+    "q167_expectation_suite": [
+        ("rule_id", "string"), ("table_name", "string"),
+        ("column_name", "string"), ("kind", "string"),
+        ("n_checked", "bigint"), ("n_failed", "bigint"),
+        ("passed", "bigint"),
+    ],
+    "q69_fuzzy_name_join": [
+        ("c_custkey", "bigint"), ("s_suppkey", "bigint"), ("dist", "int"),
+    ],
 }
 
 # bundle name -> ordered list of fine-query parts
@@ -709,6 +723,7 @@ BUNDLES: dict[str, list[str]] = {
         "q24_ingest_audit", "q86_profile", "q118_k_anonymity",
         "q121_key_skew_audit", "q123_referential_integrity",
         "q128_benford_audit", "q161_table_fingerprint",
+        "q167_expectation_suite",
     ],
     # round 6: the q47 single grew into the event-sequence bundle —
     # sessionization, the first-order Markov transition matrix, and
@@ -747,6 +762,10 @@ BUNDLES: dict[str, list[str]] = {
     # triangle census; the degree-ordered Spark algorithm is
     # adjudicated against an independently-formulated id-ordered
     # triple-join oracle)
+    # round 6 cont.: the q69 single grew into the record-linkage bundle
+    # (blocked fuzzy match + the full entity-resolution pipeline it
+    # feeds: transitive clustering + golden record)
+    "q69_166_linkage": ["q69_fuzzy_name_join", "q166_entity_resolution"],
     "q66_141_graph": [
         "q66_dedup_clusters", "q141_triangle_count",
         "q148_local_clustering", "q151_hub_strength",
@@ -760,7 +779,7 @@ SINGLES: list[str] = [
     "q06_multiway_join_agg", "q07_left_outer_join",
     "q08_semi_join", "q09_anti_join", "q10_hash_agg", "q11_distinct_agg",
     "q16_running_sum", "q18_dedup", "q19_json_extract",
-    "q48_correlated_subquery", "q69_fuzzy_name_join",
+    "q48_correlated_subquery",
     "q36_media_byte_features",
     "q71_decimal_interval", "q72_bucketed_join", "q73_embed_neardup",
     "q74_repetition_filter", "q76_variant_extract",

@@ -1613,3 +1613,253 @@ ORACLES["q165_item_cf_recommendations"] = """
     FROM ranked WHERE rank <= 3
     ORDER BY o_custkey, rank
 """
+
+
+def q166_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution END TO END: blocking -> pairwise match ->
+    transitive clustering -> per-cluster golden record, composed from
+    the engine's own primitives (q69's blocked fuzzy match proposes
+    the edges, the q66 connected-components operator clusters them,
+    the survivorship rule picks the cluster's best attributes) — the
+    full master-data-management dataflow, not just its pieces.
+
+    Identity model: customers and suppliers live in one node space
+    (customer -> 2k, supplier -> 2k+1 — collision-free int encoding);
+    an edge means "same nation AND name suffixes within edit distance
+    1" (the blocking keeps the fuzzy predicate off the cross
+    product); a CLUSTER is the transitive closure of matches, so
+    A~B~C links A to C even when A and C never matched directly —
+    the behavior that separates entity resolution from a fuzzy join.
+
+    Spark runs the scalable iterative min-label propagation
+    (operators/connected_components.py); the oracle runs an
+    INDEPENDENT recursive-CTE transitive closure (the q66
+    convention). Exactness: counts are int64, balances exact cents,
+    the golden balance is a MAX.
+
+    Scale shape: the edge proposal is an equi-join on the blocking
+    key with the edit distance evaluated only within blocks; the
+    component loop touches edges only (never entity payloads); the
+    golden-record join attaches attributes AFTER clustering, once per
+    matched entity.
+    """
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey",
+        F.substring("c_name", 10, 99).alias("cn"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("c_bal"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey",
+        F.substring("s_name", 10, 99).alias("sn"),
+        F.round(F.col("s_acctbal") * 100, 0).cast("long").alias("s_bal"),
+    )
+    edges = (
+        c.join(s, c["c_nationkey"] == s["s_nationkey"])
+        .where(F.levenshtein("cn", "sn") <= 1)
+        .select(
+            (F.col("c_custkey") * 2).alias("id_a"),
+            (F.col("s_suppkey") * 2 + 1).alias("id_b"),
+        )
+    )
+    from dataingestiontohana_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    comp = connected_components(edges)
+    entities = c.select(
+        (F.col("c_custkey") * 2).alias("node"),
+        F.lit(1).alias("is_cust"),
+        F.col("c_bal").alias("bal"),
+    ).unionByName(
+        s.select(
+            (F.col("s_suppkey") * 2 + 1).alias("node"),
+            F.lit(0).alias("is_cust"),
+            F.col("s_bal").alias("bal"),
+        )
+    )
+    clustered = comp.join(entities, "node")
+    return (
+        clustered.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("is_cust").cast("long").alias("n_customers"),
+            (F.count(F.lit(1)) - F.sum("is_cust")).cast("long").alias(
+                "n_suppliers"
+            ),
+            F.max("bal").cast("long").alias("golden_bal_cents"),
+        )
+        .orderBy("component")
+    )
+
+
+QUERIES["q166_entity_resolution"] = q166_entity_resolution
+
+ORACLES["q166_entity_resolution"] = """
+    WITH RECURSIVE
+    match_pairs AS (
+      SELECT c_custkey * 2 AS a, s_suppkey * 2 + 1 AS b
+      FROM customer JOIN supplier ON c_nationkey = s_nationkey
+      WHERE levenshtein(substring(c_name, 10), substring(s_name, 10)) <= 1),
+    edges AS (
+      SELECT a, b FROM match_pairs
+      UNION SELECT b, a FROM match_pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    lbl AS (
+      SELECT a AS node, LEAST(a, MIN(b)) AS component
+      FROM reach GROUP BY a),
+    entities AS (
+      SELECT c_custkey * 2 AS node, 1 AS is_cust,
+             CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal
+      FROM customer
+      UNION ALL
+      SELECT s_suppkey * 2 + 1, 0,
+             CAST(ROUND(s_acctbal * 100, 0) AS BIGINT)
+      FROM supplier)
+    SELECT l.component,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(e.is_cust) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) - SUM(e.is_cust) AS BIGINT) AS n_suppliers,
+           CAST(MAX(e.bal) AS BIGINT) AS golden_bal_cents
+    FROM lbl l JOIN entities e ON l.node = e.node
+    GROUP BY l.component
+    ORDER BY l.component
+"""
+
+
+def q167_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite over four tables —
+    eleven rules COMPILED into one aggregate pass per table plus one
+    broadcast anti-join per referential rule
+    (operators/expectations.py). The reference's manual wiretap
+    inspection before data reaches HANA (README.md:56-65), made
+    mechanical: uniqueness, null, domain, range, and FK expectations
+    as DATA, with exact int64 pass/fail accounting the oracle replays
+    rule for rule.
+    """
+    from dataingestiontohana_spark.operators.expectations import (
+        Expectation,
+        run_expectations,
+    )
+
+    rules = [
+        Expectation("orders_pk_unique", "orders", "o_orderkey", "unique"),
+        Expectation("orders_cust_not_null", "orders", "o_custkey", "not_null"),
+        Expectation(
+            "orders_price_range", "orders", "o_totalprice", "between",
+            {"lo": 0.0, "hi": 1_000_000.0},
+        ),
+        Expectation(
+            "orders_status_domain", "orders", "o_orderstatus",
+            "accepted_values", {"values": ["O", "F", "P"]},
+        ),
+        Expectation(
+            "orders_cust_fk", "orders", "o_custkey", "fk",
+            {"ref_table": "customer", "ref_column": "c_custkey"},
+        ),
+        Expectation(
+            "lineitem_line_unique", "lineitem",
+            "l_orderkey|l_linenumber", "unique",
+        ),
+        Expectation(
+            "lineitem_qty_range", "lineitem", "l_quantity", "between",
+            {"lo": 1.0, "hi": 50.0},
+        ),
+        Expectation(
+            "lineitem_disc_range", "lineitem", "l_discount", "between",
+            {"lo": 0.0, "hi": 0.1},
+        ),
+        Expectation("docs_text_not_null", "documents", "text", "not_null"),
+        Expectation(
+            "docs_lang_domain", "documents", "lang", "accepted_values",
+            {"values": ["de", "en", "es", "fr", "zh"]},
+        ),
+        Expectation(
+            "events_type_domain", "events", "event_type",
+            "accepted_values",
+            {"values": ["view", "click", "purchase", "signup", "error"]},
+        ),
+    ]
+    return run_expectations(
+        lambda t: _t(spark, sf_dir, t), rules
+    ).orderBy("rule_id")
+
+
+QUERIES["q167_expectation_suite"] = q167_expectation_suite
+
+ORACLES["q167_expectation_suite"] = """
+    WITH o AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS d_pk,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS f_cust,
+             CAST(SUM(CASE WHEN o_totalprice IS NULL
+                        OR o_totalprice < 0.0
+                        OR o_totalprice > 1000000.0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS f_price,
+             CAST(SUM(CASE WHEN o_orderstatus IS NULL
+                        OR o_orderstatus NOT IN ('O','F','P')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS f_status
+      FROM orders),
+    ofk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS f_fk
+      FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+    li AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT CAST(l_orderkey AS VARCHAR) || chr(31)
+               || CAST(l_linenumber AS VARCHAR)) AS BIGINT) AS d_line,
+             CAST(SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1.0
+                        OR l_quantity > 50.0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS f_qty,
+             CAST(SUM(CASE WHEN l_discount IS NULL OR l_discount < 0.0
+                        OR l_discount > 0.1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS f_disc
+      FROM lineitem),
+    d AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS f_text,
+             CAST(SUM(CASE WHEN lang IS NULL
+                        OR lang NOT IN ('de','en','es','fr','zh')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS f_lang
+      FROM documents),
+    e AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type IS NULL OR event_type NOT IN
+                 ('view','click','purchase','signup','error')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS f_type
+      FROM events),
+    rows_out AS (
+      SELECT 'orders_pk_unique' AS rule_id, 'orders' AS table_name,
+             'o_orderkey' AS column_name, 'unique' AS kind,
+             n AS n_checked, n - d_pk AS n_failed FROM o
+      UNION ALL SELECT 'orders_cust_not_null', 'orders', 'o_custkey',
+             'not_null', n, f_cust FROM o
+      UNION ALL SELECT 'orders_price_range', 'orders', 'o_totalprice',
+             'between', n, f_price FROM o
+      UNION ALL SELECT 'orders_status_domain', 'orders', 'o_orderstatus',
+             'accepted_values', n, f_status FROM o
+      UNION ALL SELECT 'orders_cust_fk', 'orders', 'o_custkey', 'fk',
+             o.n, ofk.f_fk FROM o CROSS JOIN ofk
+      UNION ALL SELECT 'lineitem_line_unique', 'lineitem',
+             'l_orderkey|l_linenumber', 'unique', n, n - d_line FROM li
+      UNION ALL SELECT 'lineitem_qty_range', 'lineitem', 'l_quantity',
+             'between', n, f_qty FROM li
+      UNION ALL SELECT 'lineitem_disc_range', 'lineitem', 'l_discount',
+             'between', n, f_disc FROM li
+      UNION ALL SELECT 'docs_text_not_null', 'documents', 'text',
+             'not_null', n, f_text FROM d
+      UNION ALL SELECT 'docs_lang_domain', 'documents', 'lang',
+             'accepted_values', n, f_lang FROM d
+      UNION ALL SELECT 'events_type_domain', 'events', 'event_type',
+             'accepted_values', n, f_type FROM e)
+    SELECT rule_id, table_name, column_name, kind,
+           CAST(n_checked AS BIGINT) AS n_checked,
+           CAST(n_failed AS BIGINT) AS n_failed,
+           CAST(CASE WHEN n_failed = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS passed
+    FROM rows_out
+    ORDER BY rule_id
+"""
