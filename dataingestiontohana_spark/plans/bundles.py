@@ -620,6 +620,15 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q69_fuzzy_name_join": [
         ("c_custkey", "bigint"), ("s_suppkey", "bigint"), ("dist", "int"),
     ],
+    "q168_cuped_ab_analysis": [
+        ("grp", "string"), ("n_users", "bigint"), ("mean_post", "double"),
+        ("mean_pre", "double"), ("theta", "double"),
+        ("mean_post_cuped", "double"),
+    ],
+    "q169_order_reconciliation": [
+        ("band", "string"), ("n_orders", "bigint"),
+        ("total_abs_diff_q4", "string"), ("max_abs_diff_q4", "bigint"),
+    ],
 }
 
 # bundle name -> ordered list of fine-query parts
@@ -681,6 +690,7 @@ BUNDLES: dict[str, list[str]] = {
         "q111_source_entropy", "q112_weighted_sample",
         "q130_token_budget_fill", "q143_temperature_mix",
         "q149_mutual_information", "q163_quantile_normalize",
+        "q168_cuped_ab_analysis",
     ],
     "q32_70_shingle_exact": [
         "q32_ngram_jaccard", "q70_split_contamination", "q89_substring_dup",
@@ -723,7 +733,7 @@ BUNDLES: dict[str, list[str]] = {
         "q24_ingest_audit", "q86_profile", "q118_k_anonymity",
         "q121_key_skew_audit", "q123_referential_integrity",
         "q128_benford_audit", "q161_table_fingerprint",
-        "q167_expectation_suite",
+        "q167_expectation_suite", "q169_order_reconciliation",
     ],
     # round 6: the q47 single grew into the event-sequence bundle —
     # sessionization, the first-order Markov transition matrix, and

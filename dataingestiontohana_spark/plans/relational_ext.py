@@ -1863,3 +1863,86 @@ ORACLES["q167_expectation_suite"] = """
     FROM rows_out
     ORDER BY rule_id
 """
+
+
+def q169_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Financial reconciliation: order-header totals vs the sum of
+    their line amounts (extendedprice * (1-discount) * (1+tax)),
+    classified into exact-match / rounding-band / mismatch — the
+    closing-the-books audit every billing pipeline runs, and the
+    canonical header-vs-detail consistency check for an ingest gate.
+
+    Exactness: the line amount is computed ENTIRELY in scaled
+    integers — cents * (100 - disc_pts) * (100 + tax_pts) is an exact
+    int64 on the q4 grid (peak ~1e11 per line) — and the header total
+    scales onto the same grid, so the per-order difference is an
+    exact integer, immune to the float-rounding disputes this audit
+    exists to settle. Tolerance bands are integer comparisons
+    (<= 1 cent on the q4 grid = 10000).
+
+    Scale shape: lineitem reduces map-side per order (shuffle on
+    orderkey), one join against the header (both sides keyed by
+    orderkey — co-partitioned, or bucketed via the q72 layout), one
+    final 3-row classification aggregate.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc = F.round(F.col("l_discount") * 100, 0).cast("long")
+    tax = F.round(F.col("l_tax") * 100, 0).cast("long")
+    line_q4 = cents * (F.lit(100) - disc) * (F.lit(100) + tax)
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(line_q4).cast("long").alias("lines_q4"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+    hdr = o.select(
+        "o_orderkey",
+        (F.round(F.col("o_totalprice") * 100, 0).cast("long") * F.lit(10000))
+        .alias("hdr_q4"),
+    )
+    j = hdr.join(per_order, hdr["o_orderkey"] == per_order["l_orderkey"])
+    diff = F.abs(F.col("hdr_q4") - F.col("lines_q4"))
+    band = (
+        F.when(diff == 0, "exact")
+        .when(diff <= 10000, "rounding_band")  # within one cent
+        .otherwise("mismatch")
+    )
+    return (
+        j.select(band.alias("band"), diff.alias("d"))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("d").cast("decimal(38,0)").cast("string").alias(
+                "total_abs_diff_q4"
+            ),
+            F.max("d").cast("long").alias("max_abs_diff_q4"),
+        )
+        .orderBy("band")
+    )
+
+
+QUERIES["q169_order_reconciliation"] = q169_order_reconciliation
+
+ORACLES["q169_order_reconciliation"] = """
+    WITH per_order AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))
+                 * (100 + CAST(ROUND(l_tax * 100, 0) AS BIGINT)))
+               AS BIGINT) AS lines_q4,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY 1),
+    j AS (
+      SELECT ABS(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) * 10000
+                 - p.lines_q4) AS d
+      FROM orders o JOIN per_order p ON o.o_orderkey = p.l_orderkey)
+    SELECT CASE WHEN d = 0 THEN 'exact'
+                WHEN d <= 10000 THEN 'rounding_band'
+                ELSE 'mismatch' END AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(d AS HUGEINT)) AS VARCHAR) AS total_abs_diff_q4,
+           CAST(MAX(d) AS BIGINT) AS max_abs_diff_q4
+    FROM j
+    GROUP BY 1
+    ORDER BY 1
+"""

@@ -21,7 +21,8 @@ qs, osql = e.queries(), e.oracle_sql()
 assert len(qs) <= 50, f"registry exceeds the adjudication window: {len(qs)}"
 assert set(osql) <= set(qs)
 con = duckdb.connect()
-for t in ("events", "documents", "embeddings"):
+for t in ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"):
     con.execute(
         f"create view {t} as select * from "
         f"read_parquet('/root/testdata/sf0.001/{t}.parquet')")
