@@ -1530,6 +1530,9 @@ def q165_item_cf_recommendations(
                 "CAST((1000000000 * c_ab * c_ab) DIV (c_a * c_b) AS BIGINT)"
             ).alias("sim_q9"),
         )
+        # consumed by BOTH orientations of the union below: checkpoint
+        # or the basket self-join runs twice (the band-frame maneuver)
+        .localCheckpoint(eager=False)
     )
     both = sims.unionByName(
         sims.select(
@@ -1540,6 +1543,8 @@ def q165_item_cf_recommendations(
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select("o_custkey", "l_partkey")
         .distinct()
+        # consumed twice (candidate join + ownership anti-join)
+        .localCheckpoint(eager=False)
     )
     cand = (
         owned.join(both, owned["l_partkey"] == both["pa"])
