@@ -8,7 +8,8 @@ gray+alpha/RGBA) via zlib inflate + scanline unfilter, with a matching
 pure-stdlib encoder (`encode_png`); baseline JPEG decodes grayscale
 AND YCbCr color (any 4:4:4/4:2:2/4:2:0 sampling, restart intervals),
 with a matching pure-stdlib encoder (`encode_jpeg_baseline`); 8-bit
-PCM WAV decodes to samples. Codec-bound formats (MP4, MP3, progressive
+mono and 16-bit mono/stereo PCM WAV decode to samples (stereo
+downmixes (l+r)//2 exactly). Codec-bound formats (MP4, MP3, progressive
 JPEG, 16-bit/interlaced PNG) stay metadata-only or raise
 `NotImplementedError`. The Spark-side
 plumbing — schema contracts, Arrow batch iteration, UDF signatures,
@@ -766,8 +767,11 @@ def encode_jpeg_baseline(
 
 
 def _parse_wav(b: bytes) -> tuple[int, np.ndarray | None]:
-    """RIFF/WAVE chunk walk: sample count always; samples for 8-bit
-    PCM mono (byte-per-sample, numpy-sliceable without a codec)."""
+    """RIFF/WAVE chunk walk: sample count always; SAMPLES for 8-bit
+    PCM mono (uint8) and 16-bit PCM mono/stereo (int16; stereo
+    downmixes (l + r) // 2 in exact integer arithmetic — the standard
+    mid-channel fold, bit-reproducible). Other layouts (24/32-bit,
+    >2 channels, float/ADPCM codecs) stay count-only (px None)."""
     off = 12
     bits = channels = 1
     data = None
@@ -776,16 +780,25 @@ def _parse_wav(b: bytes) -> tuple[int, np.ndarray | None]:
         (length,) = struct.unpack("<I", b[off + 4 : off + 8])
         body = b[off + 8 : off + 8 + length]
         if cid == b"fmt ":
+            fmt_tag = struct.unpack("<H", body[0:2])[0]
             channels = struct.unpack("<H", body[2:4])[0]
             bits = struct.unpack("<H", body[14:16])[0]
+            if fmt_tag != 1:  # not integer PCM: count-only below
+                bits = -bits
         elif cid == b"data":
             data = body
         off += 8 + length + (length & 1)
     if data is None:
         raise ValueError("WAV: no data chunk")
-    n = len(data) // max(1, bits // 8) // max(1, channels)
+    n = len(data) // max(1, abs(bits) // 8) // max(1, channels)
     if bits == 8 and channels == 1:
         return n, np.frombuffer(data, np.uint8)
+    if bits == 16 and channels in (1, 2):
+        s = np.frombuffer(data[: n * 2 * channels], "<i2")
+        if channels == 2:
+            pair = s.reshape(-1, 2).astype(np.int32)
+            s = ((pair[:, 0] + pair[:, 1]) // 2).astype(np.int16)
+        return n, s
     return n, None
 
 
@@ -975,10 +988,14 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
 
 def audio_features(df: DataFrame, n_bands: int = 8) -> DataFrame:
-    """Spectral features for decodable audio payloads (8-bit PCM WAV,
-    SGM1 audio): RMS level plus ``n_bands`` equal-width rFFT magnitude
-    band energies — the embedding-ish fingerprint step of an audio
-    pipeline, numpy-vectorized per Arrow batch."""
+    """Spectral features for decodable audio payloads (8/16-bit PCM
+    WAV — 16-bit stereo downmixes exactly — and SGM1 audio): RMS level
+    plus ``n_bands`` equal-width rFFT magnitude band energies — the
+    embedding-ish fingerprint step of an audio pipeline,
+    numpy-vectorized per Arrow batch. Normalization is dtype-aware
+    (uint8 -> /255, int16 -> /32768); the exact integer moments
+    px_sum/px_sqsum are emitted for BOTH widths (int16 squares peak
+    ~1e9/sample — int64-safe to ~9e9 samples per clip)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -994,7 +1011,8 @@ def audio_features(df: DataFrame, n_bands: int = 8) -> DataFrame:
                     continue
                 if px is None or len(px) == 0:
                     continue
-                x = px.astype(np.float64) / 255.0
+                scale = 255.0 if px.dtype == np.uint8 else 32768.0
+                x = px.astype(np.float64) / scale
                 x = x - x.mean()
                 rms = float(np.sqrt((x * x).mean()))
                 mag = np.abs(np.fft.rfft(x))

@@ -683,3 +683,77 @@ def test_dhash_neardup_pairs_find_planted_probe(spark):
     }
     assert (11, 1011) in pairs and pairs[(11, 1011)] <= 10
     assert (11, 12) not in pairs and (12, 1011) not in pairs
+
+
+def test_wav_pcm16_mono_and_stereo_decode(spark):
+    """16-bit PCM WAV: mono samples decode verbatim; stereo downmixes
+    (l + r) // 2 in exact integers; RMS/moments match an independent
+    numpy computation on the same samples."""
+    import struct as _s
+
+    import numpy as _np
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        KIND_AUDIO,
+        _parse_wav,
+        audio_features,
+    )
+
+    def wav16(samples: _np.ndarray, channels: int) -> bytes:
+        data = samples.astype("<i2").tobytes()
+        fmt = _s.pack("<HHIIHH", 1, channels, 8000, 8000 * 2 * channels,
+                      2 * channels, 16)
+        return (b"RIFF" + _s.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                + b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+                + b"data" + _s.pack("<I", len(data)) + data)
+
+    mono = _np.array(
+        [((i * 1103) % 65536) - 32768 for i in range(256)], dtype=_np.int64
+    )
+    n, px = _parse_wav(wav16(mono, 1))
+    assert n == 256
+    assert px.dtype == _np.int16
+    assert _np.array_equal(px.astype(_np.int64), mono)
+
+    inter = _np.empty(512, dtype=_np.int64)
+    inter[0::2] = mono          # left
+    inter[1::2] = -mono - 1     # right
+    n2, px2 = _parse_wav(wav16(inter, 2))
+    assert n2 == 256
+    expected = (mono + (-mono - 1)) // 2  # exact floor fold == -1 or 0
+    assert _np.array_equal(px2.astype(_np.int64), expected)
+
+    # through the Spark operator: dtype-aware RMS + exact moments
+    df = spark.createDataFrame(
+        [(71, KIND_AUDIO, wav16(mono, 1))],
+        "media_id long, kind int, content binary",
+    ).coalesce(1)
+    row = audio_features(df).collect()[0]
+    x = mono.astype(_np.float64) / 32768.0
+    x = x - x.mean()
+    assert row["n_samples"] == 256
+    assert row["rms"] == round(float(_np.sqrt((x * x).mean())), 6)
+    assert row["px_sum"] == int(mono.sum())
+    assert row["px_sqsum"] == int((mono * mono).sum())
+
+
+def test_wav_unsupported_layouts_stay_count_only(spark):
+    import struct as _s
+
+    from dataingestiontohana_spark.operators.multimodal import _parse_wav
+
+    data = bytes(24)  # 8 samples of 24-bit mono
+    fmt = _s.pack("<HHIIHH", 1, 1, 8000, 8000 * 3, 3, 24)
+    wav = (b"RIFF" + _s.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+           + b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+           + b"data" + _s.pack("<I", len(data)) + data)
+    n, px = _parse_wav(wav)
+    assert n == 8 and px is None
+    # IEEE-float WAV (fmt tag 3): count-only even at 16 bits... tag
+    # gates it before width does
+    fmtf = _s.pack("<HHIIHH", 3, 1, 8000, 8000 * 2, 2, 16)
+    wavf = (b"RIFF" + _s.pack("<I", 4 + 8 + len(fmtf) + 8 + 8)
+            + b"WAVE" + b"fmt " + _s.pack("<I", len(fmtf)) + fmtf
+            + b"data" + _s.pack("<I", 8) + bytes(8))
+    n3, px3 = _parse_wav(wavf)
+    assert n3 == 4 and px3 is None
