@@ -87,6 +87,79 @@ def _one_run(spark, source_dir: str, work: str, tag: str, n_rows: int) -> dict:
     }
 
 
+def _graph_run(spark, work: str, n_rows: int, n_files: int) -> dict:
+    """End-to-end OPERATOR-GRAPH throughput: the reference's two
+    tutorial graphs chained — producer (generator -> multiplexer ->
+    {kafkafake producer, wiretap}) then consumer (kafkafake consumer
+    -> parse -> keyed upsert), one graph-compiled streaming query
+    each (streaming/graph_pipeline.py). Measures the full
+    source->topic->typed->sink path the reference demos at 0.2 msg/s
+    behind its sleep."""
+    from dataingestiontohana_spark.sources.generator import (
+        write_sensor_csv_files as _w,
+    )
+    from dataingestiontohana_spark.streaming.graph_pipeline import (
+        PipelineGraph,
+    )
+    from dataingestiontohana_spark.streaming.kafka import parse_sensor_kafka
+
+    src = os.path.join(work, "gsource")
+    _w(spark, src, n_rows, n_files)
+    broker = os.path.join(work, "broker")
+    db = os.path.join(work, "sink_graph.db")
+
+    prod = PipelineGraph()
+    prod.node("gen", "data_generator", source_dir=src,
+              max_files_per_trigger=max(1, n_files // 10))
+    prod.node("mux", "multiplexer")
+    prod.node("producer", "kafka_producer", path=broker, topic="sensor")
+    prod.node("tap", "wiretap")
+    prod.node("console", "terminal", limit=5)
+    prod.connect("gen", "mux")
+    prod.connect("mux", "producer")
+    prod.connect("mux", "tap")
+    prod.connect("tap", "console")
+
+    cons = PipelineGraph()
+    cons.node("consumer", "kafka_consumer", path=broker, topic="sensor")
+    cons.node("typed", "process", fn=parse_sensor_kafka)
+    cons.node("hana", "hana_client", sink=UpsertSink(
+        table="sensor_sink",
+        key_cols=["counter"],
+        dialect=SQLiteDialect(),
+        connection_factory=functools.partial(sqlite3.connect, db),
+    ))
+    cons.connect("consumer", "typed")
+    cons.connect("typed", "hana")
+
+    t0 = time.perf_counter()
+    err = prod.compile(spark, os.path.join(work, "gck_p")).run_to_completion()
+    if err is None:
+        err = cons.compile(
+            spark, os.path.join(work, "gck_c")
+        ).run_to_completion()
+    elapsed = time.perf_counter() - t0
+    if err is not None:
+        raise RuntimeError(f"graph bench failed: {err}")
+    con = sqlite3.connect(db)
+    rows, uniq, lo, hi = con.execute(
+        'SELECT COUNT(*), COUNT(DISTINCT "counter"), '
+        'MIN("counter"), MAX("counter") FROM "sensor_sink"'
+    ).fetchone()
+    con.close()
+    span = hi - lo + 1 if rows else 0
+    if not (rows == uniq == span == n_rows):
+        raise RuntimeError(
+            f"graph exactly-once audit failed: rows={rows} uniq={uniq} "
+            f"span={span} expected={n_rows}"
+        )
+    return {
+        "sec": round(elapsed, 3),
+        "rows_per_sec": round(n_rows / elapsed, 1),
+        "audit": {"rows": rows, "uniq": uniq, "span": span},
+    }
+
+
 def run_streaming_bench(spark, n_rows: int | None = None,
                         n_files: int | None = None) -> dict:
     """Cold + warm exactly-once ingest runs; returns the metrics dict."""
@@ -98,12 +171,17 @@ def run_streaming_bench(spark, n_rows: int | None = None,
         write_sensor_csv_files(spark, source_dir, n_rows, n_files)
         cold = _one_run(spark, source_dir, work, "cold", n_rows)
         warm = _one_run(spark, source_dir, work, "warm", n_rows)
+        # the two-graph (producer topic + consumer sink) path at a
+        # lighter row count: it writes every record through the
+        # kafkafake log twice (produce + fetch)
+        graph = _graph_run(spark, work, max(1000, n_rows // 10), n_files)
         return {
             "mode": "exactly_once",
             "rows": n_rows,
             "micro_batches": n_files,
             "cold": cold,
             "warm": warm,
+            "graph_pipeline": {"rows": max(1000, n_rows // 10), **graph},
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)

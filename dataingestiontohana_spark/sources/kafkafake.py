@@ -121,6 +121,54 @@ class FakeKafkaBroker:
             fh.write(json.dumps(rec) + "\n")  # one atomic line append
         return partition, offset
 
+    def produce_many(
+        self,
+        topic: str,
+        values: list[bytes | str],
+        keys: list[bytes | str | None] | None = None,
+        timestamp_ms: int | None = None,
+    ) -> int:
+        """Batch append: same per-record semantics as `produce` (keyed
+        records hash-partition, unkeyed round-robin by log size), but
+        each partition file opens ONCE per call — the path a
+        foreachBatch producer sink takes (per-record open() turns a
+        micro-batch write into len(batch) fsyncs)."""
+        parts = self.partitions(topic)
+        if not parts:
+            raise ValueError(f"unknown topic {topic!r}: create_topic first")
+        sizes = {k: self._log_len(topic, k) for k in parts}
+        ts = timestamp_ms if timestamp_ms is not None else int(
+            time.time() * 1000
+        )
+        buckets: dict[int, list[str]] = {}
+        for i, value in enumerate(values):
+            key = keys[i] if keys else None
+            vb = value.encode() if isinstance(value, str) else bytes(value)
+            kb = (
+                key.encode()
+                if isinstance(key, str)
+                else (bytes(key) if key is not None else None)
+            )
+            if kb is not None:
+                p = parts[
+                    int.from_bytes(hashlib.md5(kb).digest()[:4], "big")
+                    % len(parts)
+                ]
+            else:
+                p = min(parts, key=lambda k: (sizes[k], k))
+            sizes[p] += 1
+            rec = {
+                "k": base64.b64encode(kb).decode() if kb is not None else None,
+                "v": base64.b64encode(vb).decode(),
+                "ts": ts,
+            }
+            buckets.setdefault(p, []).append(json.dumps(rec))
+        for p, lines in buckets.items():
+            f = os.path.join(self.path, topic, f"p-{p}.jsonl")
+            with open(f, "a") as fh:
+                fh.write("\n".join(lines) + "\n")
+        return len(values)
+
     def _log_len(self, topic: str, partition: int) -> int:
         f = os.path.join(self.path, topic, f"p-{partition}.jsonl")
         if not os.path.exists(f):

@@ -252,12 +252,12 @@ class CompiledGraph:
             broker.create_topic(topic)  # mkdir -p semantics: idempotent
             key_col = nd.config.get("key_col")
             value_col = nd.config.get("value_col", "value")
-            for row in bdf.collect():
-                broker.produce(
-                    topic,
-                    str(row[value_col]),
-                    key=str(row[key_col]) if key_col else None,
-                )
+            rows = bdf.collect()
+            broker.produce_many(
+                topic,
+                [str(r[value_col]) for r in rows],
+                keys=[str(r[key_col]) for r in rows] if key_col else None,
+            )
             return
         elif nd.kind == "hana_client":
             sink: UpsertSink = nd.config["sink"]
