@@ -629,6 +629,15 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("band", "string"), ("n_orders", "bigint"),
         ("total_abs_diff_q4", "string"), ("max_abs_diff_q4", "bigint"),
     ],
+    "q170_point_in_time_read": [
+        ("as_of", "string"), ("c_mktsegment", "string"),
+        ("n_customers", "bigint"), ("avg_bal", "double"),
+    ],
+    "q171_windowed_funnel": [
+        ("n_viewed", "bigint"), ("n_clicked_24h", "bigint"),
+        ("n_purchased_24h", "bigint"), ("click_rate", "double"),
+        ("purchase_rate", "double"), ("full_funnel_rate", "double"),
+    ],
 }
 
 # bundle name -> ordered list of fine-query parts
@@ -681,7 +690,7 @@ BUNDLES: dict[str, list[str]] = {
     "q53_54_cdc": [
         "q53_merge_upsert", "q54_scd2", "q120_incremental_agg",
         "q136_snapshot_diff", "q142_golden_record",
-        "q164_incremental_join_mv",
+        "q164_incremental_join_mv", "q170_point_in_time_read",
     ],
     "q55_56_udf": ["q55_udaf_geomean", "q56_group_normalize"],
     "q57_58_59_sampling": [
@@ -721,6 +730,7 @@ BUNDLES: dict[str, list[str]] = {
     "q20_84_timegrain": [
         "q20_time_bucket", "q84_hypertable_rollup", "q97_funnel",
         "q98_retention", "q99_gapfill_locf", "q100_linear_trend",
+        "q171_windowed_funnel",
         "q115_theil_sen", "q126_time_weighted_avg", "q134_wow_growth",
         "q155_survival_km", "q156_multiple_regression",
         "q162_backtest_mape",

@@ -472,3 +472,105 @@ ORACLES["q164_incremental_join_mv"] = """
     GROUP BY 1
     ORDER BY 1
 """
+
+
+def q170_point_in_time_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The READ side of SCD2 (q54 builds the history; this queries
+    it): reconstruct the customer dimension AS OF two instants — one
+    before and one after the change batch's effective time — and
+    summarize each snapshot per market segment. The time-travel
+    contract: as_of(t) selects rows with valid_from <= t <
+    coalesce(valid_to, +inf), which must yield exactly one version
+    per key at every t (asserted by the one-row-per-key count — the
+    n_customers column doubles as the uniqueness proof, since the
+    segment counts sum to |customer| in both snapshots).
+
+    Exactness: snapshot balances in exact cents (int64 sums); avg is
+    one division rounded for display; timestamps are literals.
+
+    Scale shape: the history scan prunes on the validity predicate
+    (at rest, partitioning history by is_current + a valid_to
+    NULL-flag column makes the common "current" read partition-
+    pruned); each snapshot is one aggregation; the two snapshots
+    union — cost is two reduced scans of the SAME history frame
+    (localCheckpointed so the SCD2 build runs once)."""
+    c = load_table(spark, sf_dir, "customer")
+    dim = (
+        c.withColumn(
+            "valid_from", F.lit("2020-01-01 00:00:00").cast("timestamp")
+        )
+        .withColumn("valid_to", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+    )
+    hist = scd2_apply(dim, _updates(c), "c_custkey", EFFECTIVE)
+    hist = hist.localCheckpoint(eager=False)  # consumed by both snapshots
+
+    def as_of(ts: str):
+        t = F.lit(ts).cast("timestamp")
+        snap = hist.where(
+            (F.col("valid_from") <= t)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+        )
+        return snap.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("bal_cents"),
+        ).select(
+            F.lit(ts).alias("as_of"),
+            "c_mktsegment",
+            "n_customers",
+            F.round(
+                F.col("bal_cents").cast("double")
+                / (F.col("n_customers") * F.lit(100)).cast("double"),
+                4,
+            ).alias("avg_bal"),
+        )
+
+    return (
+        as_of("2024-01-01 00:00:00")
+        .unionByName(as_of("2024-12-01 00:00:00"))
+        .orderBy("as_of", "c_mktsegment")
+    )
+
+
+QUERIES["q170_point_in_time_read"] = q170_point_in_time_read
+
+ORACLES["q170_point_in_time_read"] = """
+    WITH hist AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             TIMESTAMP '2020-01-01 00:00:00' AS valid_from,
+             CASE WHEN c_custkey % 10 = 0
+                  THEN TIMESTAMP '2024-06-01 00:00:00' END AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey,
+             'MACHINERY' AS c_mktsegment,
+             c_acctbal + 100.0,
+             TIMESTAMP '2024-06-01 00:00:00', NULL
+      FROM customer WHERE c_custkey % 10 = 0),
+    snaps AS (
+      SELECT '2024-01-01 00:00:00' AS as_of, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT))
+               AS BIGINT) AS bal_cents
+      FROM hist
+      WHERE valid_from <= TIMESTAMP '2024-01-01 00:00:00'
+        AND (valid_to IS NULL
+             OR valid_to > TIMESTAMP '2024-01-01 00:00:00')
+      GROUP BY 2
+      UNION ALL
+      SELECT '2024-12-01 00:00:00', c_mktsegment,
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+      FROM hist
+      WHERE valid_from <= TIMESTAMP '2024-12-01 00:00:00'
+        AND (valid_to IS NULL
+             OR valid_to > TIMESTAMP '2024-12-01 00:00:00')
+      GROUP BY 2)
+    SELECT as_of, c_mktsegment, n_customers,
+           ROUND(CAST(bal_cents AS DOUBLE)
+                 / CAST(n_customers * 100 AS DOUBLE), 4) AS avg_bal
+    FROM snaps
+    ORDER BY as_of, c_mktsegment
+"""

@@ -3172,3 +3172,113 @@ ORACLES["q157_gini_concentration"] = """
     FROM per_seg
     ORDER BY c_mktsegment
 """
+
+
+def q171_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-CONSTRAINED conversion funnel: view -> click within 24h of
+    the first view -> purchase within 24h of that click. q97 requires
+    only ordering; real funnel products also bound the step gaps
+    (a click a month later is a new journey, not a conversion) — the
+    constraint changes both the counts and the dataflow, because each
+    stage's deadline depends on the PREVIOUS stage's achieved time.
+
+    Exactness: stage times are min() aggregates over exact
+    timestamps; deadlines are +86,400-second interval arithmetic on
+    int64 epochs; counts are int64; rates are single divisions
+    rounded at 6.
+
+    Scale shape: three per-user reduced frames chained by user-key
+    joins (each join input is |users| rows, NOT events — the q97
+    maneuver with a deadline column riding along); one final 1-row
+    summary aggregate. The raw event table is scanned once per stage
+    but filtered to that stage's event type at the scan.
+    """
+    e = _t(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    views = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(ts).alias("v0"))
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", ts.alias("ct")
+    )
+    c1 = (
+        clicks.join(views, "user_id")
+        .where(
+            (F.col("ct") > F.col("v0"))
+            & (F.unix_timestamp("ct") <= F.unix_timestamp("v0") + 86400)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ct").alias("c0"))
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", ts.alias("pt")
+    )
+    p1 = (
+        purchases.join(c1, "user_id")
+        .where(
+            (F.col("pt") > F.col("c0"))
+            & (F.unix_timestamp("pt") <= F.unix_timestamp("c0") + 86400)
+        )
+        .groupBy("user_id")
+        .agg(F.min("pt").alias("p0"))
+    )
+    nv = views.agg(F.count(F.lit(1)).cast("long").alias("n_viewed"))
+    nc = c1.agg(F.count(F.lit(1)).cast("long").alias("n_clicked_24h"))
+    np_ = p1.agg(F.count(F.lit(1)).cast("long").alias("n_purchased_24h"))
+    j = nv.join(F.broadcast(nc)).join(F.broadcast(np_))
+
+    def rate(a, b):
+        return F.when(F.col(b) == 0, F.lit(0.0)).otherwise(
+            F.round(F.col(a).cast("double") / F.col(b).cast("double"), 6)
+        )
+
+    return j.select(
+        "n_viewed",
+        "n_clicked_24h",
+        "n_purchased_24h",
+        rate("n_clicked_24h", "n_viewed").alias("click_rate"),
+        rate("n_purchased_24h", "n_clicked_24h").alias("purchase_rate"),
+        rate("n_purchased_24h", "n_viewed").alias("full_funnel_rate"),
+    )
+
+
+QUERIES["q171_windowed_funnel"] = q171_windowed_funnel
+
+ORACLES["q171_windowed_funnel"] = """
+    WITH views AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS v0
+      FROM events WHERE event_type = 'view' GROUP BY 1),
+    c1 AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS c0
+      FROM events e JOIN views v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click'
+        AND CAST(e.ts AS TIMESTAMP) > v.v0
+        AND epoch(CAST(e.ts AS TIMESTAMP)) <= epoch(v.v0) + 86400
+      GROUP BY 1),
+    p1 AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS p0
+      FROM events e JOIN c1 c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+        AND CAST(e.ts AS TIMESTAMP) > c.c0
+        AND epoch(CAST(e.ts AS TIMESTAMP)) <= epoch(c.c0) + 86400
+      GROUP BY 1),
+    stats AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM views) AS n_viewed,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM c1) AS n_clicked_24h,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM p1) AS n_purchased_24h)
+    SELECT n_viewed, n_clicked_24h, n_purchased_24h,
+           CASE WHEN n_viewed = 0 THEN 0.0
+                ELSE ROUND(CAST(n_clicked_24h AS DOUBLE)
+                         / CAST(n_viewed AS DOUBLE), 6) END AS click_rate,
+           CASE WHEN n_clicked_24h = 0 THEN 0.0
+                ELSE ROUND(CAST(n_purchased_24h AS DOUBLE)
+                         / CAST(n_clicked_24h AS DOUBLE), 6)
+           END AS purchase_rate,
+           CASE WHEN n_viewed = 0 THEN 0.0
+                ELSE ROUND(CAST(n_purchased_24h AS DOUBLE)
+                         / CAST(n_viewed AS DOUBLE), 6)
+           END AS full_funnel_rate
+    FROM stats
+"""
