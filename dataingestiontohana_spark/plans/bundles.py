@@ -638,6 +638,10 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("n_purchased_24h", "bigint"), ("click_rate", "double"),
         ("purchase_rate", "double"), ("full_funnel_rate", "double"),
     ],
+    "q172_salted_hot_key_join": [
+        ("c_mktsegment", "string"), ("n_orders", "bigint"),
+        ("rev_cents", "string"),
+    ],
 }
 
 # bundle name -> ordered list of fine-query parts
@@ -776,7 +780,9 @@ BUNDLES: dict[str, list[str]] = {
     ],
     # round 6 continuation: the q05 single grew into the joins bundle
     # (plain inner + null-safe <=> dimension conform)
-    "q05_131_joins": ["q05_inner_join", "q131_nullsafe_join"],
+    "q05_131_joins": [
+        "q05_inner_join", "q131_nullsafe_join", "q172_salted_hot_key_join",
+    ],
     # round 6 continuation: the q66 single grew into the graph bundle
     # (dup-edge connected components + the supplier-co-occurrence
     # triangle census; the degree-ordered Spark algorithm is

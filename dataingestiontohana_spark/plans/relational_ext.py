@@ -1951,3 +1951,64 @@ ORACLES["q169_order_reconciliation"] = """
     GROUP BY 1
     ORDER BY 1
 """
+
+
+def q172_salted_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALTED join under a planted power-law key, adjudicated for
+    result-equality: a third of all orders collapse onto ONE customer
+    key (the classic hot-key shuffle killer — one reducer receives a
+    third of the fact table), the engine runs the join through
+    `operators/skew.salted_join` (hot rows spread across 16 salted
+    reducers, the small side replicated x16), and the oracle runs the
+    PLAIN join — the hash match is the proof that salting is
+    result-invariant, on real data, under real skew.
+
+    Exactness: revenue in exact cents; one rounded division per
+    group.
+
+    Scale shape: the big side never shuffles wider than (key, salt);
+    the small (dimension) side pays the x16 replication — the right
+    trade at any scale where the dimension broadcasts or nearly does.
+    AQE's runtime skew splitting handles the same case adaptively
+    (session.py enables it); the static salt is for the planner-
+    visible version of the problem and for sort-merge paths AQE
+    cannot split.
+    """
+    from dataingestiontohana_spark.operators.skew import salted_join
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    hot = o.select(
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(1))
+        .otherwise(F.col("o_custkey"))
+        .alias("c_custkey"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    joined = salted_join(hot, c, "c_custkey", n_salts=16)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("decimal(38,0)").cast("string").alias(
+                "rev_cents"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+QUERIES["q172_salted_hot_key_join"] = q172_salted_hot_key_join
+
+ORACLES["q172_salted_hot_key_join"] = """
+    WITH hot AS (
+      SELECT CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE o_custkey END
+               AS c_custkey,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders)
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(h.cents AS HUGEINT)) AS VARCHAR) AS rev_cents
+    FROM hot h JOIN customer c ON h.c_custkey = c.c_custkey
+    GROUP BY 1
+    ORDER BY 1
+"""

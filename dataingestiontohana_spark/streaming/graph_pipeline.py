@@ -305,3 +305,58 @@ class CompiledGraph:
         except Exception:  # noqa: BLE001
             pass
         return q.exception()
+
+
+# -- JSON graph specs ------------------------------------------------
+#
+# The reference's pipelines ARE JSON documents (SAP DI persists each
+# visual graph as a graph.json of operators + connections); these two
+# functions give the engine the same at-rest form. Live objects in a
+# node's config (a process fn, an UpsertSink, a FaultInjector) cannot
+# serialize — they round-trip as {"$ref": "<node>.<key>"} placeholders
+# resolved from a caller-supplied registry at load time, which is also
+# how a production system separates the WIRING (versioned JSON) from
+# the BINDINGS (code).
+
+
+def _json_safe(v: Any) -> bool:
+    return isinstance(v, (str, int, float, bool)) or v is None
+
+
+def graph_to_dict(graph: PipelineGraph) -> dict:
+    """JSON-serializable spec of the graph: wiring + scalar config;
+    live objects become {"$ref": "<node>.<key>"} placeholders."""
+    nodes = []
+    for nd in graph.nodes.values():
+        cfg: dict[str, Any] = {}
+        for k, v in nd.config.items():
+            cfg[k] = v if _json_safe(v) else {"$ref": f"{nd.name}.{k}"}
+        nodes.append({"name": nd.name, "kind": nd.kind, "config": cfg})
+    return {"nodes": nodes, "edges": [[s, d] for s, d in graph.edges]}
+
+
+def graph_from_dict(
+    spec: dict, refs: dict[str, Any] | None = None
+) -> PipelineGraph:
+    """Rebuild a PipelineGraph from its JSON spec. Every {"$ref": r}
+    config value resolves through ``refs[r]``; a missing binding is a
+    GraphValidationError naming the reference (fail at load, not at
+    the first micro-batch)."""
+    refs = refs or {}
+    g = PipelineGraph()
+    for nd in spec.get("nodes", []):
+        cfg: dict[str, Any] = {}
+        for k, v in (nd.get("config") or {}).items():
+            if isinstance(v, dict) and set(v) == {"$ref"}:
+                r = v["$ref"]
+                if r not in refs:
+                    raise GraphValidationError(
+                        f"unbound $ref {r!r}: pass it in refs= at load time"
+                    )
+                cfg[k] = refs[r]
+            else:
+                cfg[k] = v
+        g.node(nd["name"], nd["kind"], **cfg)
+    for s, d in spec.get("edges", []):
+        g.connect(s, d)
+    return g

@@ -270,3 +270,69 @@ def test_consumer_graph_replay_window_after_write_crash(
     finally:
         con.close()
     assert (a.n_rows, a.uniq, a.span) == (N_ROWS, N_ROWS, N_ROWS)
+
+
+# ------------------------------------------------------- JSON specs
+
+
+def test_graph_json_round_trip_and_compile(spark, tmp_path, source_dir):
+    """A graph serializes to a JSON document (the reference's at-rest
+    form), reloads with live bindings via $ref, and the reloaded graph
+    compiles and runs identically."""
+    import json
+
+    from dataingestiontohana_spark.streaming.graph_pipeline import (
+        graph_from_dict,
+        graph_to_dict,
+    )
+
+    broker_path = str(tmp_path / "broker")
+    g = PipelineGraph()
+    g.node("gen", "data_generator", source_dir=source_dir,
+           max_files_per_trigger=3)
+    g.node("mux", "multiplexer")
+    g.node("producer", "kafka_producer", path=broker_path, topic="sensor")
+    g.node("tap", "wiretap")
+    g.node("console", "terminal", limit=7)
+    g.connect("gen", "mux")
+    g.connect("mux", "producer")
+    g.connect("mux", "tap")
+    g.connect("tap", "console")
+
+    spec = graph_to_dict(g)
+    text = json.dumps(spec)          # MUST be JSON-serializable
+    g2 = graph_from_dict(json.loads(text))
+    assert graph_to_dict(g2) == spec  # lossless round trip
+    c = g2.compile(spark, str(tmp_path / "ckpt_json"))
+    assert c.run_to_completion() is None
+    assert read_fake_topic(spark, broker_path, "sensor").count() == N_ROWS
+    assert len(c.terminals["console"]) == 7
+
+
+def test_graph_json_ref_binding(spark, tmp_path, source_dir):
+    """Live objects (a process fn) serialize as $ref placeholders and
+    must be re-bound at load; a missing binding fails AT LOAD with the
+    reference's name."""
+    import json
+
+    from dataingestiontohana_spark.streaming.graph_pipeline import (
+        graph_from_dict,
+        graph_to_dict,
+    )
+
+    g = PipelineGraph()
+    g.node("gen", "data_generator", source_dir=source_dir)
+    g.node("up", "process", fn=lambda df: df)
+    g.node("console", "terminal", limit=3)
+    g.connect("gen", "up")
+    g.connect("up", "console")
+    spec = json.loads(json.dumps(graph_to_dict(g)))
+    assert spec["nodes"][1]["config"]["fn"] == {"$ref": "up.fn"}
+
+    with pytest.raises(GraphValidationError, match="unbound \\$ref 'up.fn'"):
+        graph_from_dict(spec)
+
+    g2 = graph_from_dict(spec, refs={"up.fn": lambda df: df.limit(3)})
+    c = g2.compile(spark, str(tmp_path / "ckpt_ref"))
+    assert c.run_to_completion() is None
+    assert len(c.terminals["console"]) == 3
