@@ -642,6 +642,29 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("c_mktsegment", "string"), ("n_orders", "bigint"),
         ("rev_cents", "string"),
     ],
+    "q173_roc_auc": [
+        ("n_users", "bigint"), ("n_buyers", "bigint"), ("auc", "double"),
+    ],
+    "q174_cohort_ltv": [
+        ("cohort", "string"), ("age_m", "int"), ("cohort_size", "bigint"),
+        ("n_orders", "bigint"), ("rev_cents", "bigint"),
+        ("cum_rev_cents", "bigint"), ("ltv_cents_per_cust", "double"),
+    ],
+    "q175_rfm_segments": [
+        ("r_tile", "int"), ("f_tile", "int"), ("m_tile", "int"),
+        ("n_customers", "bigint"), ("cents", "bigint"),
+        ("avg_recency_days", "double"), ("avg_freq", "double"),
+    ],
+    "q176_rolling_ols_slope": [
+        ("d", "date"), ("rev_cents", "bigint"),
+        ("n_days_in_window", "bigint"),
+        ("slope_cents_per_day", "double"),
+    ],
+    "q177_l_diversity": [
+        ("c_mktsegment", "string"), ("c_nationkey", "int"),
+        ("n_rows", "bigint"), ("l_distinct", "bigint"),
+        ("entropy_q6", "bigint"), ("diverse_l3", "boolean"),
+    ],
 }
 
 # bundle name -> ordered list of fine-query parts
@@ -665,6 +688,7 @@ BUNDLES: dict[str, list[str]] = {
         "q135_weighted_median", "q138_trimmed_mean",
         "q140_pareto_frontier", "q146_fulfillment_latency",
         "q150_business_day_sla", "q157_gini_concentration",
+        "q175_rfm_segments",
     ],
     "q21_27_52_language": [
         "q21_lang_stats", "q27_lang_id", "q52_observe_audit",
@@ -739,7 +763,8 @@ BUNDLES: dict[str, list[str]] = {
         "q155_survival_km", "q156_multiple_regression",
         "q162_backtest_mape",
         "q139_new_vs_returning", "q145_seasonal_anomaly",
-        "q152_time_to_convert",
+        "q152_time_to_convert", "q174_cohort_ltv",
+        "q176_rolling_ols_slope",
     ],
     # round 5: q24 grew into a bundle with the one-scan per-column
     # dataset profiler (ingest-acceptance stats)
@@ -748,6 +773,7 @@ BUNDLES: dict[str, list[str]] = {
         "q121_key_skew_audit", "q123_referential_integrity",
         "q128_benford_audit", "q161_table_fingerprint",
         "q167_expectation_suite", "q169_order_reconciliation",
+        "q177_l_diversity",
     ],
     # round 6: the q47 single grew into the event-sequence bundle —
     # sessionization, the first-order Markov transition matrix, and
@@ -776,7 +802,7 @@ BUNDLES: dict[str, list[str]] = {
     ],
     "q14_125_topk": [
         "q14_topk_per_group", "q125_basket_pairs", "q147_decile_lift",
-        "q165_item_cf_recommendations",
+        "q165_item_cf_recommendations", "q173_roc_auc",
     ],
     # round 6 continuation: the q05 single grew into the joins bundle
     # (plain inner + null-safe <=> dimension conform)

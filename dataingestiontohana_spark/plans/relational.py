@@ -3282,3 +3282,200 @@ ORACLES["q171_windowed_funnel"] = """
            END AS full_funnel_rate
     FROM stats
 """
+
+def q174_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve — the revenue companion to q98's
+    retention triangle: customers cohort by their FIRST order month,
+    every later order lands in an integer cohort-age bucket (months
+    since the cohort month), and each (cohort, age) cell reports the
+    period revenue plus the running cumulative LTV per cohort member.
+
+    Exactness: revenue quantizes to the int64 cents grid at the scan;
+    cohort month and age are integer year*12+month arithmetic (no
+    months_between float law); cumulative sums are int64 windows over
+    the reduced cell frame; the per-customer LTV is the one division,
+    rounded at 4.
+
+    Scale shape: one shuffle to reduce orders to per-customer first
+    months, one broadcast join back (cohort frame is |customers| but
+    joins on the same custkey partitioning), one aggregate to
+    |cohorts| x |ages| cells; the cumulative window and the cohort
+    size attach run over that bounded cell frame (months^2 rows
+    regardless of corpus size).
+    """
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    ym = lambda c: (F.year(c) * 12 + F.month(c) - 1).cast("int")  # noqa: E731
+    od = F.col("o_orderdate").cast("date")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    first = o.groupBy("o_custkey").agg(F.min(ym(od)).alias("cohort_ym"))
+    sized = first.groupBy("cohort_ym").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    cells = (
+        o.select("o_custkey", ym(od).alias("oym"), cents.alias("cents"))
+        .join(first, "o_custkey")
+        .groupBy("cohort_ym", (F.col("oym") - F.col("cohort_ym")).alias("age_m"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("rev_cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_ym")
+        .orderBy("age_m")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        cells.withColumn(
+            "cum_rev_cents", F.sum("rev_cents").over(w).cast("long")
+        )
+        .join(F.broadcast(sized), "cohort_ym")
+        .select(
+            F.concat_ws(
+                "-",
+                F.floor(F.col("cohort_ym") / 12).cast("string"),
+                F.lpad((F.col("cohort_ym") % 12 + 1).cast("string"), 2, "0"),
+            ).alias("cohort"),
+            F.col("age_m").cast("int").alias("age_m"),
+            "cohort_size", "n_orders", "rev_cents", "cum_rev_cents",
+            F.round(
+                F.col("cum_rev_cents").cast("double")
+                / F.col("cohort_size").cast("double"),
+                4,
+            ).alias("ltv_cents_per_cust"),
+        )
+        .orderBy("cohort", "age_m")
+    )
+    return out
+
+
+QUERIES["q174_cohort_ltv"] = q174_cohort_ltv
+
+ORACLES["q174_cohort_ltv"] = """
+    WITH first AS (
+      SELECT o_custkey,
+             MIN(year(CAST(o_orderdate AS DATE)) * 12
+                 + month(CAST(o_orderdate AS DATE)) - 1) AS cohort_ym
+      FROM orders GROUP BY 1),
+    sized AS (
+      SELECT cohort_ym, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      FROM first GROUP BY 1),
+    cells AS (
+      SELECT f.cohort_ym,
+             (year(CAST(o.o_orderdate AS DATE)) * 12
+              + month(CAST(o.o_orderdate AS DATE)) - 1 - f.cohort_ym)
+               AS age_m,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT cohort_ym, age_m, n_orders, rev_cents,
+             CAST(SUM(rev_cents) OVER (PARTITION BY cohort_ym
+               ORDER BY age_m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_rev_cents
+      FROM cells)
+    SELECT CAST(cohort_ym // 12 AS VARCHAR) || '-'
+             || lpad(CAST(cohort_ym % 12 + 1 AS VARCHAR), 2, '0')
+             AS cohort,
+           CAST(age_m AS INTEGER) AS age_m,
+           s.cohort_size, n_orders, rev_cents, cum_rev_cents,
+           ROUND(CAST(cum_rev_cents AS DOUBLE)
+                 / CAST(s.cohort_size AS DOUBLE), 4)
+             AS ltv_cents_per_cust
+    FROM cum JOIN sized s USING (cohort_ym)
+    ORDER BY cohort, age_m
+"""
+
+
+def q176_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-28-day rolling OLS revenue trend — the windowed
+    version of q100's global linear fit and the day-to-day signal a
+    growth dashboard actually plots: for each order day, the
+    least-squares slope (cents/day) of daily revenue over that day
+    and the 27 calendar days before it, computed from closed-form
+    sufficient statistics.
+
+    Exactness: x is the integer epoch-day index, y the int64 daily
+    cents; the RANGE frame accumulates n, Sx, Sy, Sxy, Sxx as exact
+    int64 (xy products stay < 2^63 until ~10^14 cents/day); the
+    slope numerator/denominator n*Sxy - Sx*Sy and n*Sxx - Sx^2 are
+    computed in DECIMAL(38,0) so the cross terms never round, with
+    one final double division ROUND 6. Windows shorter than 2
+    distinct days have no slope (NULL), not a 0/0.
+
+    Scale shape: orders reduce map-side to one row per calendar day
+    FIRST; the range-frame window then runs over that reduced
+    |days| frame (the sanctioned below-an-Aggregate shape — a
+    century of days is ~36k rows), ordered by the integer day key so
+    the frame bound is calendar-correct across gaps.
+    """
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    daily = o.groupBy(day.alias("x")).agg(
+        F.sum(cents).cast("long").alias("y")
+    )
+    w = Window.orderBy("x").rangeBetween(-27, 0)
+    s = daily.select(
+        "x", "y",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("x").over(w).cast("long").alias("sx"),
+        F.sum("y").over(w).cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("long").alias("sxx"),
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = d38("n") * d38("sxy") - d38("sx") * d38("sy")
+    den = d38("n") * d38("sxx") - d38("sx") * d38("sx")
+    return s.select(
+        F.date_add(F.lit("1970-01-01").cast("date"), F.col("x").cast("int"))
+        .alias("d"),
+        F.col("y").alias("rev_cents"),
+        F.col("n").alias("n_days_in_window"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(num.cast("double") / den.cast("double"), 6))
+        .alias("slope_cents_per_day"),
+    ).orderBy("d")
+
+
+QUERIES["q176_rolling_ols_slope"] = q176_rolling_ols_slope
+
+ORACLES["q176_rolling_ols_slope"] = """
+    WITH daily AS (
+      SELECT CAST(datediff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1),
+    s AS (
+      SELECT x, y,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             CAST(SUM(x) OVER w AS BIGINT) AS sx,
+             CAST(SUM(y) OVER w AS BIGINT) AS sy,
+             CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+             CAST(SUM(x * x) OVER w AS BIGINT) AS sxx
+      FROM daily
+      WINDOW w AS (ORDER BY x RANGE BETWEEN 27 PRECEDING AND CURRENT ROW))
+    SELECT DATE '1970-01-01' + CAST(x AS INTEGER) AS d,
+           y AS rev_cents,
+           n AS n_days_in_window,
+           CASE WHEN CAST(n AS DECIMAL(38,0)) * sxx
+                     - CAST(sx AS DECIMAL(38,0)) * sx = 0 THEN NULL
+                ELSE ROUND(
+                  CAST(CAST(n AS DECIMAL(38,0)) * sxy
+                       - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+                  / CAST(CAST(n AS DECIMAL(38,0)) * sxx
+                         - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE), 6)
+           END AS slope_cents_per_day
+    FROM s
+    ORDER BY d
+"""

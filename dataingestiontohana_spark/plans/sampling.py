@@ -1511,3 +1511,289 @@ ORACLES["q168_cuped_ab_analysis"] = """
     FROM by_grp b CROSS JOIN pooled p
     ORDER BY b.g
 """
+
+def q173_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of "engagement predicts conversion" via the
+    tie-corrected Mann-Whitney rank-sum identity — the model-quality
+    companion to q147's decile-lift calibration table. Score = a
+    user's total non-purchase engagement cents; label = did the user
+    ever purchase. AUC = U / (n_pos * n_neg) with
+    U = R_pos - n_pos(n_pos+1)/2, where R_pos sums the AVERAGE rank
+    of the positive rows (tie groups share their mean rank — the
+    standard correction; without it AUC is biased on a discrete
+    score).
+
+    Exactness: the bucketed-rank operator emits g_rank (min rank of
+    the tie group) and g_cume (max position), whose sum is exactly
+    twice the average rank — so 2*R_pos is an INTEGER accumulated in
+    DECIMAL(38,0) (rank sums grow ~n^2, past int64 near 10^10 rows)
+    and the only division is the final one, rounded at 6.
+
+    Scale shape: events reduce map-side to one row per user; ranking
+    runs through the two-pass bucketed-rank operator (bounded
+    windows, never a single-partition ORDER BY); the rest is one
+    1-row aggregate. Degenerate corpora (no positives or no
+    negatives) emit AUC 0.5 — no information, not an error.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") != "purchase",
+                F.round(F.col("value") * 100, 0).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("buyer"),
+    )
+    ranked = bucketed_ranks(per_user, "score")
+    # (g_rank + g_cume) = 2 * average tie-group rank, an exact integer
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("buyer").cast("long").alias("n_buyers"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("buyer") == 1, F.col("g_rank") + F.col("g_cume")
+                ).otherwise(F.lit(0))
+            ).cast("decimal(38,0)"),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("r2_pos"),
+    )
+    # coalesce BEFORE the AUC arithmetic so the empty-corpus row (count
+    # 0, NULL sums) takes the degenerate 0.5 branch instead of NULLing
+    agg = agg.select(
+        F.coalesce("n_users", F.lit(0)).alias("n_users"),
+        F.coalesce("n_buyers", F.lit(0)).alias("n_buyers"),
+        "r2_pos",
+    )
+    np_ = F.col("n_buyers").cast("decimal(38,0)")
+    nn = (F.col("n_users") - F.col("n_buyers")).cast("decimal(38,0)")
+    two_u = F.col("r2_pos") - np_ * (np_ + F.lit(1))  # 2*U, exact
+    auc = F.when(
+        (F.col("n_buyers") == 0) | (F.col("n_users") == F.col("n_buyers")),
+        F.lit(0.5),
+    ).otherwise(
+        F.round(
+            two_u.cast("double") / (F.lit(2.0) * np_.cast("double") * nn.cast("double")),
+            6,
+        )
+    )
+    return agg.select("n_users", "n_buyers", auc.alias("auc"))
+
+
+QUERIES["q173_roc_auc"] = q173_roc_auc
+
+ORACLES["q173_roc_auc"] = """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type <> 'purchase'
+               THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS score,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS buyer
+      FROM events GROUP BY 1),
+    r AS (
+      SELECT buyer,
+             RANK() OVER (ORDER BY score) AS rk,
+             COUNT(*) OVER (ORDER BY score
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+      FROM per_user),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(COALESCE(SUM(buyer), 0) AS BIGINT) AS n_buyers,
+             CAST(COALESCE(SUM(CASE WHEN buyer = 1 THEN rk + cm
+                                    ELSE 0 END), 0)
+                  AS DECIMAL(38,0)) AS r2_pos
+      FROM r)
+    SELECT n_users, n_buyers,
+           CASE WHEN n_buyers = 0 OR n_users = n_buyers THEN 0.5
+                ELSE ROUND(
+                  CAST(r2_pos - CAST(n_buyers AS DECIMAL(38,0))
+                              * (CAST(n_buyers AS DECIMAL(38,0)) + 1)
+                       AS DOUBLE)
+                  / (2.0 * CAST(n_buyers AS DOUBLE)
+                         * CAST(n_users - n_buyers AS DOUBLE)), 6)
+           END AS auc
+    FROM s
+"""
+
+def q175_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-base report: quintile
+    every buyer on Recency (days since last order), Frequency (order
+    count) and Monetary (lifetime cents), then describe each (r,f,m)
+    cell. Tiles are ASCENDING in the metric (tile 1 = most recent /
+    fewest orders / least spend) with ties broken by customer key, so
+    the assignment is a total order and reproducible anywhere.
+
+    Exactness: recency is an integer day difference against the
+    corpus max order date; monetary quantizes to the int64 cents grid
+    at the scan; each quintile is the exact NTILE law applied to the
+    two-pass bucketed global row_number; cell stats are int64 sums
+    with single rounded divisions.
+
+    Scale shape: orders reduce map-side to one row per customer (the
+    only event-table-sized shuffle); the corpus max date is a 1-row
+    aggregate attached via the sanctioned broadcast literal pattern;
+    three bucketed-rank passes run bounded windows over the reduced
+    per-customer frame; the output aggregate has at most 125 cells.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum(cents).cast("long").alias("cents"),
+    )
+    maxd = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("max_d"))
+    per_cust = per_cust.join(F.broadcast(maxd)).withColumn(
+        "recency_days", F.datediff(F.col("max_d"), F.col("last_d")).cast("int")
+    )
+    base = ["o_custkey", "recency_days", "freq", "cents"]
+    cur = per_cust.select(*base)
+    for metric, tile in (
+        ("recency_days", "r_tile"), ("freq", "f_tile"), ("cents", "m_tile")
+    ):
+        ranked = bucketed_ranks(cur, metric, tie_cols=("o_custkey",))
+        cur = ranked.select(
+            *cur.columns,
+            exact_ntile(F.col("g_rn"), F.col("g_n"), 5).alias(tile),
+        )
+    return (
+        cur.groupBy("r_tile", "f_tile", "m_tile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("cents"),
+            F.round(
+                F.sum("recency_days").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("avg_recency_days"),
+            F.round(
+                F.sum("freq").cast("double") / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("avg_freq"),
+        )
+        .orderBy("r_tile", "f_tile", "m_tile")
+    )
+
+
+QUERIES["q175_rfm_segments"] = q175_rfm_segments
+
+ORACLES["q175_rfm_segments"] = """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             MAX(CAST(o_orderdate AS DATE)) AS last_d,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1),
+    rec AS (
+      SELECT o_custkey, freq, cents,
+             CAST(datediff('day', last_d,
+                  (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders))
+                  AS INTEGER) AS recency_days
+      FROM per_cust),
+    tiles AS (
+      SELECT recency_days, freq, cents,
+             NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS r_tile,
+             NTILE(5) OVER (ORDER BY freq, o_custkey) AS f_tile,
+             NTILE(5) OVER (ORDER BY cents, o_custkey) AS m_tile
+      FROM rec)
+    SELECT r_tile, f_tile, m_tile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           ROUND(CAST(SUM(recency_days) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS avg_recency_days,
+           ROUND(CAST(SUM(freq) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS avg_freq
+    FROM tiles
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+"""
+
+
+def q177_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the release-gate companion to q118's
+    k-anonymity: within each quasi-identifier group (market segment x
+    nation) of the order corpus, how many DISTINCT values of the
+    sensitive attribute (order priority) appear (distinct
+    l-diversity), and how evenly (Shannon entropy of the in-group
+    priority mix — entropy l-diversity log(l) when perfectly even).
+    A group can be k-anonymous yet leak everything if all its rows
+    share one sensitive value; this is the audit that catches it.
+
+    Exactness: counts are int64; per-cell entropy contributions
+    -p*ln(p) round to q6 INTEGERS before summing (the q149
+    fold-order-immune convention; ln is the q75 libm precedent);
+    the diversity flag is an integer comparison.
+
+    Scale shape: orders reduce map-side to (custkey, priority)
+    counts BEFORE the join (so the join input is bounded by
+    |customers| x |priorities|, not |orders|), join customers once
+    on the key, then two nested aggregates over frames bounded by
+    |QI groups| x |priorities| (~125 cells); the in-group total
+    window runs over that same bounded cell frame.
+    """
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    per_cp = o.groupBy("o_custkey", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    cells = (
+        per_cp.join(c, per_cp["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment", "c_nationkey", "o_orderpriority")
+        .agg(F.sum("cnt").cast("long").alias("n_sv"))
+    )
+    p = F.col("n_sv").cast("double") / F.col("n_rows").cast("double")
+    term_q6 = F.round(-p * F.log(p) * 1e6, 0).cast("long")
+    w_g = Window.partitionBy("c_mktsegment", "c_nationkey")
+    cells = cells.select(
+        "c_mktsegment", "c_nationkey", "n_sv",
+        F.sum("n_sv").over(w_g).cast("long").alias("n_rows"),
+    )
+    out = (
+        cells.groupBy("c_mktsegment", "c_nationkey")
+        .agg(
+            F.max("n_rows").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("l_distinct"),
+            F.sum(term_q6).cast("long").alias("entropy_q6"),
+        )
+        .select(
+            "c_mktsegment", "c_nationkey", "n_rows", "l_distinct",
+            "entropy_q6",
+            (F.col("l_distinct") >= 3).cast("boolean").alias("diverse_l3"),
+        )
+        .orderBy("c_mktsegment", "c_nationkey")
+    )
+    return out
+
+
+QUERIES["q177_l_diversity"] = q177_l_diversity
+
+ORACLES["q177_l_diversity"] = """
+    WITH cells AS (
+      SELECT c.c_mktsegment, c.c_nationkey, o.o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_sv
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2, 3),
+    withtot AS (
+      SELECT c_mktsegment, c_nationkey, n_sv,
+             CAST(SUM(n_sv) OVER (PARTITION BY c_mktsegment, c_nationkey)
+                  AS BIGINT) AS n_rows
+      FROM cells)
+    SELECT c_mktsegment, c_nationkey,
+           CAST(MAX(n_rows) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS l_distinct,
+           CAST(SUM(CAST(ROUND(
+             -(CAST(n_sv AS DOUBLE) / CAST(n_rows AS DOUBLE))
+              * ln(CAST(n_sv AS DOUBLE) / CAST(n_rows AS DOUBLE))
+              * 1e6, 0) AS BIGINT)) AS BIGINT) AS entropy_q6,
+           COUNT(*) >= 3 AS diverse_l3
+    FROM withtot
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
