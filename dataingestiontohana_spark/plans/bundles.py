@@ -665,6 +665,18 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("n_rows", "bigint"), ("l_distinct", "bigint"),
         ("entropy_q6", "bigint"), ("diverse_l3", "boolean"),
     ],
+    "q178_annotator_kappa": [
+        ("n_docs", "bigint"), ("n11", "bigint"), ("n10", "bigint"),
+        ("n01", "bigint"), ("n00", "bigint"), ("kappa", "double"),
+    ],
+    "q179_journey_patterns": [
+        ("pattern", "string"), ("n_matched", "bigint"),
+        ("n_users", "bigint"), ("share", "double"),
+    ],
+    "q180_price_elasticity": [
+        ("p_brand", "string"), ("n_lines", "bigint"),
+        ("elasticity", "double"), ("band", "string"),
+    ],
 }
 
 # bundle name -> ordered list of fine-query parts
@@ -702,7 +714,7 @@ BUNDLES: dict[str, list[str]] = {
     "q26_28_quality": [
         "q26_quality_score", "q28_fingerprint", "q79_pii_redaction",
         "q80_bm25_topk", "q91_token_rarity", "q93_gopher_rules",
-        "q105_pmi_bigrams", "q108_textrank",
+        "q105_pmi_bigrams", "q108_textrank", "q178_annotator_kappa",
     ],
     "q22_29_exact_dedup": [
         "q22_exact_dedup_count", "q29_exact_dedup", "q92_segment_dedup",
@@ -784,6 +796,7 @@ BUNDLES: dict[str, list[str]] = {
         "q117_last_touch_attribution", "q119_debounce_dedup",
         "q129_feed_freshness", "q132_activity_islands",
         "q144_journey_trigrams", "q153_multitouch_attribution",
+        "q179_journey_patterns",
     ],
     # round 6: the q75 single grew into the retrieval bundle —
     # TF-IDF salience plus reciprocal-rank fusion of the BM25 and
@@ -803,6 +816,7 @@ BUNDLES: dict[str, list[str]] = {
     "q14_125_topk": [
         "q14_topk_per_group", "q125_basket_pairs", "q147_decile_lift",
         "q165_item_cf_recommendations", "q173_roc_auc",
+        "q180_price_elasticity",
     ],
     # round 6 continuation: the q05 single grew into the joins bundle
     # (plain inner + null-safe <=> dimension conform)

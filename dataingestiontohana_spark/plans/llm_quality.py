@@ -1100,3 +1100,92 @@ ORACLES["q159_phrase_index_search"] = """
     FROM hit
     ORDER BY doc_id
 """
+
+def q178_annotator_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa inter-annotator agreement — the labeling-QA
+    primitive for any corpus-curation pipeline that runs two cheap
+    heuristic "annotators" (or a heuristic vs a model) and needs to
+    know whether they agree beyond chance before trusting either.
+    Annotator A keeps a document when its length sits in the
+    [100, 2000]-char band; annotator B when at least 55% of its
+    characters are ASCII-alphabetic. Kappa = (po - pe) / (1 - pe)
+    collapses to a ratio of two exact integers:
+
+        kappa = (n*(n11 + n00) - (a1*b1 + a0*b0))
+              / (n^2          - (a1*b1 + a0*b0))
+
+    Exactness: both annotator flags are pure integer comparisons
+    (the alpha ratio tests 100*alpha_chars >= 55*total_chars — no
+    division); the 2x2 contingency counts are int64; the kappa
+    numerator/denominator multiply in DECIMAL(38,0) (n^2 passes
+    int64 near 3e9 docs) with ONE final division ROUND 6.
+
+    Scale shape: one documents scan, map-only flag computation, a
+    single 1-row aggregate. Degenerate corpora where pe = 1 (both
+    annotators constant) emit kappa NULL — agreement beyond chance
+    is undefined there, not zero.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    total = F.length(F.col("text"))
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    a = (
+        (F.col("n_chars") >= 100) & (F.col("n_chars") <= 2000)
+    ).cast("long")
+    b = (alpha * 100 >= total * 55).cast("long")
+    agg = d.select(a.alias("a"), b.alias("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("long").alias("n00"),
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    n = d38("n_docs")
+    chance = (d38("n11") + d38("n10")) * (d38("n11") + d38("n01")) + (
+        d38("n01") + d38("n00")
+    ) * (d38("n10") + d38("n00"))
+    num = n * (d38("n11") + d38("n00")) - chance
+    den = n * n - chance
+    return agg.select(
+        "n_docs", "n11", "n10", "n01", "n00",
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(num.cast("double") / den.cast("double"), 6))
+        .alias("kappa"),
+    )
+
+
+QUERIES["q178_annotator_kappa"] = q178_annotator_kappa
+
+ORACLES["q178_annotator_kappa"] = """
+    WITH flags AS (
+      SELECT CASE WHEN n_chars >= 100 AND n_chars <= 2000
+                  THEN 1 ELSE 0 END AS a,
+             CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       * 100 >= length(text) * 55
+                  THEN 1 ELSE 0 END AS b
+      FROM documents),
+    c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(a * b) AS BIGINT) AS n11,
+             CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+             CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+             CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+      FROM flags),
+    k AS (
+      SELECT n_docs, n11, n10, n01, n00,
+             (CAST(n11 AS DECIMAL(38,0)) + n10)
+               * (CAST(n11 AS DECIMAL(38,0)) + n01)
+             + (CAST(n01 AS DECIMAL(38,0)) + n00)
+               * (CAST(n10 AS DECIMAL(38,0)) + n00) AS chance
+      FROM c)
+    SELECT n_docs, n11, n10, n01, n00,
+           CASE WHEN CAST(n_docs AS DECIMAL(38,0)) * n_docs - chance = 0
+                THEN NULL
+                ELSE ROUND(
+                  CAST(CAST(n_docs AS DECIMAL(38,0)) * (n11 + n00) - chance
+                       AS DOUBLE)
+                  / CAST(CAST(n_docs AS DECIMAL(38,0)) * n_docs - chance
+                         AS DOUBLE), 6)
+           END AS kappa
+    FROM k
+"""

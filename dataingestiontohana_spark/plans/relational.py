@@ -3479,3 +3479,226 @@ ORACLES["q176_rolling_ols_slope"] = """
     FROM s
     ORDER BY d
 """
+
+def q179_journey_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex pattern matching over per-user event JOURNEYS — the
+    batch analog of MATCH_RECOGNIZE / Flink CEP: each user's event
+    history compresses to an ordered character string (one char per
+    event type: c/e/p/s/v), and named behavioral patterns are counted
+    as regular-expression matches over those strings. Sequence REGEX
+    is strictly more expressive than the fixed funnels (q97/q171) and
+    trigram censuses (q144): 'two errors anywhere', 'purchase with NO
+    prior click' and 'single-event bounce' are one-liners here.
+
+    Exactness: the journey string is a total order — events sort by
+    (ts, event_id) and event_id is unique, so both engines build the
+    IDENTICAL string; the five patterns use only portable regex
+    (anchors, classes, '.', '*'), and counts/shares are int64 with
+    one ROUND 6 division.
+
+    Scale shape: one events scan reduces map-side to one row per
+    user (collect_list + array_sort — per-user arrays are
+    events-per-user sized, the same bound every sessionization
+    carries); the five pattern flags are ONE projection over that
+    reduced frame (conditional sums, no fan-out join); output is 5
+    rows via a literal explode.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ch = F.substring(F.col("event_type"), 1, 1)
+    per_user = (
+        e.select("user_id", F.col("ts"), F.col("event_id"), ch.alias("ch"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "ch"))
+                    ),
+                    lambda x: x["ch"],
+                ),
+                "",
+            ).alias("journey")
+        )
+    )
+    pats = [
+        ("bounce_single_event", "^.$"),
+        ("click_path_to_purchase", "v.*c.*p"),
+        ("direct_purchase_no_click", "^[^c]*p"),
+        ("error_retry", "e.*e"),
+        ("signup_then_purchase", "s.*p"),
+    ]
+    agg = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        *[
+            F.sum(F.col("journey").rlike(rx).cast("long"))
+            .cast("long")
+            .alias(f"m{i}")
+            for i, (_, rx) in enumerate(pats)
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("pattern"),
+                F.col(f"m{i}").alias("n_matched"),
+            )
+            for i, (name, _) in enumerate(pats)
+        ]
+    )
+    out = agg.select("n_users", F.explode(rows).alias("r")).select(
+        F.col("r.pattern").alias("pattern"),
+        F.coalesce(F.col("r.n_matched"), F.lit(0)).alias("n_matched"),
+        "n_users",
+        F.when(F.col("n_users") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.col("r.n_matched").cast("double")
+                / F.col("n_users").cast("double"),
+                6,
+            )
+        )
+        .alias("share"),
+    )
+    return out.orderBy("pattern")
+
+
+QUERIES["q179_journey_patterns"] = q179_journey_patterns
+
+ORACLES["q179_journey_patterns"] = """
+    WITH j AS (
+      SELECT user_id,
+             string_agg(substring(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS journey
+      FROM events GROUP BY 1),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(COALESCE(SUM(CASE WHEN regexp_matches(journey, '^.$')
+               THEN 1 ELSE 0 END), 0) AS BIGINT) AS m0,
+             CAST(COALESCE(SUM(CASE WHEN regexp_matches(journey, 'v.*c.*p')
+               THEN 1 ELSE 0 END), 0) AS BIGINT) AS m1,
+             CAST(COALESCE(SUM(CASE WHEN regexp_matches(journey, '^[^c]*p')
+               THEN 1 ELSE 0 END), 0) AS BIGINT) AS m2,
+             CAST(COALESCE(SUM(CASE WHEN regexp_matches(journey, 'e.*e')
+               THEN 1 ELSE 0 END), 0) AS BIGINT) AS m3,
+             CAST(COALESCE(SUM(CASE WHEN regexp_matches(journey, 's.*p')
+               THEN 1 ELSE 0 END), 0) AS BIGINT) AS m4
+      FROM j),
+    u AS (
+      SELECT 'bounce_single_event' AS pattern, m0 AS n_matched, n_users
+        FROM agg
+      UNION ALL SELECT 'click_path_to_purchase', m1, n_users FROM agg
+      UNION ALL SELECT 'direct_purchase_no_click', m2, n_users FROM agg
+      UNION ALL SELECT 'error_retry', m3, n_users FROM agg
+      UNION ALL SELECT 'signup_then_purchase', m4, n_users FROM agg)
+    SELECT pattern, n_matched, n_users,
+           CASE WHEN n_users = 0 THEN 0.0
+                ELSE ROUND(CAST(n_matched AS DOUBLE)
+                         / CAST(n_users AS DOUBLE), 6) END AS share
+    FROM u
+    ORDER BY pattern
+"""
+
+def q180_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price elasticity of demand — the log-log regression
+    every pricing team runs: slope of ln(quantity) on ln(unit price)
+    across a brand's line items, estimated in closed form from
+    sufficient statistics. Elasticity < -1 reads "elastic", -1..0
+    "inelastic"; the emitted band column makes the report directly
+    actionable.
+
+    Exactness: ln(unit price) and ln(quantity) are libm calls on
+    IDENTICAL doubles (one division, identical expression structure
+    both engines — the q75 ln precedent), quantized to q6 INTEGERS
+    per row before any aggregation (the q149 fold-order-immune
+    convention); sums and cross-products accumulate in DECIMAL(38,0)
+    (xq*yq ~ 2.6e14 per row passes int64 in aggregate near 1e5
+    rows/brand); the slope is one double division ROUND 6 — the 1e6
+    quantization scale cancels between numerator and denominator.
+    Brands with a degenerate price spread (den = 0) emit NULL.
+
+    Scale shape: lineitem joins the part dim on partkey (broadcast
+    at dim scale), reduces in ONE aggregation to nine cells per
+    brand (map-side combine), then a |brands|-row projection. No
+    windows, no fan-out.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rows = li.where(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    ).join(F.broadcast(p.select("p_partkey", "p_brand")),
+           li["l_partkey"] == p["p_partkey"])
+    xq = F.round(
+        F.log(F.col("l_extendedprice") / F.col("l_quantity")) * 1e6, 0
+    ).cast("long")
+    yq = F.round(F.log(F.col("l_quantity")) * 1e6, 0).cast("long")
+    cells = (
+        rows.select("p_brand", xq.alias("xq"), yq.alias("yq"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.col("xq").cast("decimal(38,0)")).alias("sx"),
+            F.sum(F.col("yq").cast("decimal(38,0)")).alias("sy"),
+            F.sum((F.col("xq") * F.col("yq")).cast("decimal(38,0)"))
+            .alias("sxy"),
+            F.sum((F.col("xq") * F.col("xq")).cast("decimal(38,0)"))
+            .alias("sxx"),
+        )
+    )
+    n = F.col("n_lines").cast("decimal(38,0)")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(den == 0, F.lit(None).cast("double")).otherwise(
+        F.round(num.cast("double") / den.cast("double"), 6)
+    )
+    return cells.select(
+        "p_brand", "n_lines", slope.alias("elasticity"),
+        F.when(slope.isNull(), F.lit("undefined"))
+        .when(slope < -1, F.lit("elastic"))
+        .when(slope < 0, F.lit("inelastic"))
+        .otherwise(F.lit("non_negative"))
+        .alias("band"),
+    ).orderBy("p_brand")
+
+
+QUERIES["q180_price_elasticity"] = q180_price_elasticity
+
+ORACLES["q180_price_elasticity"] = """
+    WITH cells AS (
+      SELECT p.p_brand,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CAST(ROUND(ln(l.l_extendedprice / l.l_quantity)
+                                 * 1e6, 0) AS BIGINT)) AS DECIMAL(38,0))
+               AS sx,
+             CAST(SUM(CAST(ROUND(ln(l.l_quantity) * 1e6, 0) AS BIGINT))
+               AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(CAST(ROUND(ln(l.l_extendedprice / l.l_quantity)
+                                 * 1e6, 0) AS BIGINT)
+                      * CAST(ROUND(ln(l.l_quantity) * 1e6, 0) AS BIGINT))
+               AS DECIMAL(38,0)) AS sxy,
+             CAST(SUM(CAST(ROUND(ln(l.l_extendedprice / l.l_quantity)
+                                 * 1e6, 0) AS BIGINT)
+                      * CAST(ROUND(ln(l.l_extendedprice / l.l_quantity)
+                                   * 1e6, 0) AS BIGINT))
+               AS DECIMAL(38,0)) AS sxx
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+      GROUP BY 1),
+    s AS (
+      SELECT p_brand, n_lines,
+             CASE WHEN CAST(n_lines AS DECIMAL(38,0)) * sxx - sx * sx = 0
+                  THEN NULL
+                  ELSE ROUND(
+                    CAST(CAST(n_lines AS DECIMAL(38,0)) * sxy - sx * sy
+                         AS DOUBLE)
+                    / CAST(CAST(n_lines AS DECIMAL(38,0)) * sxx - sx * sx
+                           AS DOUBLE), 6)
+             END AS elasticity
+      FROM cells)
+    SELECT p_brand, n_lines, elasticity,
+           CASE WHEN elasticity IS NULL THEN 'undefined'
+                WHEN elasticity < -1 THEN 'elastic'
+                WHEN elasticity < 0 THEN 'inelastic'
+                ELSE 'non_negative' END AS band
+    FROM s
+    ORDER BY p_brand
+"""
