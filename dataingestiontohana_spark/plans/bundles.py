@@ -677,6 +677,10 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("p_brand", "string"), ("n_lines", "bigint"),
         ("elasticity", "double"), ("band", "string"),
     ],
+    "q181_clamped_wallet": [
+        ("n_clamps", "bigint"), ("n_users", "bigint"),
+        ("final_cents", "bigint"), ("avg_final_cents", "double"),
+    ],
 }
 
 # bundle name -> ordered list of fine-query parts
@@ -796,7 +800,7 @@ BUNDLES: dict[str, list[str]] = {
         "q117_last_touch_attribution", "q119_debounce_dedup",
         "q129_feed_freshness", "q132_activity_islands",
         "q144_journey_trigrams", "q153_multitouch_attribution",
-        "q179_journey_patterns",
+        "q179_journey_patterns", "q181_clamped_wallet",
     ],
     # round 6: the q75 single grew into the retrieval bundle —
     # TF-IDF salience plus reciprocal-rank fusion of the BM25 and

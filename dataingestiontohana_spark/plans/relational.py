@@ -3702,3 +3702,134 @@ ORACLES["q180_price_elasticity"] = """
     FROM s
     ORDER BY p_brand
 """
+
+def _q181_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user clamped-wallet frame shared by q181 and the
+    kernel-equivalence test: (user_id, n_events, n_clamps,
+    final_cents), where the wallet earns +cents on view/click/signup,
+    spends -cents on purchase/error, and CLAMPS AT ZERO (a free-tier
+    credit balance can't go negative).
+
+    The sequential recursion stock_t = max(0, stock_{t-1} + delta_t)
+    looks applyInPandas-only, but has the classic reflection closed
+    form over prefix sums P_t:
+
+        stock_t  = P_t - min(0, min_{k<=t} P_k)
+        clamp@t <=> P_t < min(0, min_{k<t} P_k)
+
+    so the whole thing is two PARTITIONED windows + one lag — codegen
+    arithmetic, no Python in the hot path. operators/ledger.py holds
+    the literal applyInPandas loop; tests/test_ledger.py proves the
+    two row-identical.
+    """
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    delta = F.when(
+        F.col("event_type").isin("purchase", "error"), -cents
+    ).otherwise(cents)
+    rows = e.select(
+        "user_id", "ts", "event_id", delta.alias("delta")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    p = rows.withColumn("p", F.sum("delta").over(w).cast("long"))
+    p = p.withColumn(
+        "m_prev",
+        F.least(
+            F.lit(0).cast("long"),
+            F.coalesce(F.min("p").over(w_prev), F.lit(0).cast("long")),
+        ),
+    ).withColumn("clamped", (F.col("p") < F.col("m_prev")).cast("long"))
+    return p.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("clamped").cast("long").alias("n_clamps"),
+        (
+            F.sum("delta")
+            - F.least(F.lit(0).cast("long"), F.min("p"))
+        ).cast("long").alias("final_cents"),
+    )
+
+
+def q181_clamped_wallet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-floor credit-wallet simulation over every user's event
+    history (see _q181_per_user for the reflection closed form that
+    keeps the sequential clamp recursion in codegen), reported as a
+    clamp-count histogram: how many users hit the floor 0, 1, 2...
+    times, and what they ended up holding.
+
+    Exactness: deltas quantize to the int64 cents grid; prefix sums,
+    running mins and the clamp flags are integer window arithmetic;
+    the one division (avg final balance) rounds at 4.
+
+    Scale shape: the event-table windows are PARTITIONED by user_id
+    (bounded by events-per-user, the sessionization bound), then two
+    aggregations: per-user (map-side combinable after the window
+    shuffle) and the tiny histogram group.
+    """
+    per_user = _q181_per_user(spark, sf_dir)
+    return (
+        per_user.groupBy("n_clamps")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("final_cents").cast("long").alias("final_cents"),
+            F.round(
+                F.sum("final_cents").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("avg_final_cents"),
+        )
+        .orderBy("n_clamps")
+    )
+
+
+QUERIES["q181_clamped_wallet"] = q181_clamped_wallet
+
+ORACLES["q181_clamped_wallet"] = """
+    WITH rows_ AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type IN ('purchase', 'error')
+                  THEN -CAST(ROUND(value * 100, 0) AS BIGINT)
+                  ELSE  CAST(ROUND(value * 100, 0) AS BIGINT)
+             END AS delta
+      FROM events),
+    pre AS (
+      SELECT user_id, ts, event_id, delta,
+             CAST(SUM(delta) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS p
+      FROM rows_),
+    p AS (
+      SELECT user_id, delta, p,
+             least(CAST(0 AS BIGINT),
+                   COALESCE(MIN(p) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0)) AS m_prev
+      FROM pre),
+    per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN p < m_prev THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clamps,
+             CAST(SUM(delta) - least(CAST(0 AS BIGINT), MIN(p))
+               AS BIGINT) AS final_cents
+      FROM p GROUP BY 1)
+    SELECT n_clamps,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(final_cents) AS BIGINT) AS final_cents,
+           ROUND(CAST(SUM(final_cents) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS avg_final_cents
+    FROM per_user
+    GROUP BY 1
+    ORDER BY 1
+"""
