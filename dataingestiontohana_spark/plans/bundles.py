@@ -681,6 +681,11 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("n_clamps", "bigint"), ("n_users", "bigint"),
         ("final_cents", "bigint"), ("avg_final_cents", "double"),
     ],
+    "q182_position_decay_attribution": [
+        ("event_type", "string"), ("ushape_q6", "bigint"),
+        ("decay_q6", "bigint"), ("ushape_credit", "double"),
+        ("decay_credit", "double"), ("total_purchases", "bigint"),
+    ],
 }
 
 # bundle name -> ordered list of fine-query parts
@@ -801,6 +806,7 @@ BUNDLES: dict[str, list[str]] = {
         "q129_feed_freshness", "q132_activity_islands",
         "q144_journey_trigrams", "q153_multitouch_attribution",
         "q179_journey_patterns", "q181_clamped_wallet",
+        "q182_position_decay_attribution",
     ],
     # round 6: the q75 single grew into the retrieval bundle —
     # TF-IDF salience plus reciprocal-rank fusion of the BM25 and

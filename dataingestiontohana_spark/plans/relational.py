@@ -3833,3 +3833,176 @@ ORACLES["q181_clamped_wallet"] = """
     GROUP BY 1
     ORDER BY 1
 """
+
+def q182_position_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) AND time-decay attribution in one
+    dataflow — completing the attribution family (q117 last-touch,
+    q153 linear): every purchase splits credit across the trailing
+    7 days of touch activity, (a) 40% to the first day / 40% to the
+    last day / 20% across the middle (1-day journeys take 100%,
+    2-day 50/50), split within a day by touch counts; (b) weighted
+    by a 3.5-day-half-life exponential decay.
+
+    Exactness: the decay factor pow(2, -lag/3.5) quantizes to a q6
+    INTEGER per (purchase, day) BEFORE the per-purchase normalizer
+    sums it against int64 counts — the normalizer is exact, so the
+    decay credit is floor(exact_int_double / exact_int_double), safe
+    from fold-order ulps; the U-shape weight is an identical literal
+    double expression on both engines feeding one floor; per-type
+    totals are int64 sums of the floored q6 credits.
+
+    Scale shape: identical to q153 — purchases and touches both
+    reduce map-side to per-(user, day) counts, the trailing-window
+    join fans each purchase to <= 7 rows of reduced frames keyed on
+    user, and per-purchase stats come from a bounded re-aggregation,
+    never a raw-event self-join. Output is |types| rows.
+    """
+    e = _t(spark, sf_dir, "events")
+    d = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    ).cast("long")
+    touches = (
+        e.where(F.col("event_type") != "purchase")
+        .select("user_id", d.alias("td"), "event_type")
+        .groupBy("user_id", "td", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .select("user_id", d.alias("pd"))
+        .groupBy("user_id", "pd")
+        .agg(F.count(F.lit(1)).cast("long").alias("p"))
+    )
+    win = lambda pp, tt: (  # noqa: E731
+        (pp.user_id == tt.user_id)
+        & (F.col("td") <= F.col("pd"))
+        & (F.col("td") >= F.col("pd") - 6)
+    )
+    # per-(purchase, day) totals with the q6-quantized decay factor
+    dq = F.round(
+        F.pow(F.lit(2.0), -(F.col("pd") - F.col("td")).cast("double") / 3.5)
+        * 1e6,
+        0,
+    ).cast("long")
+    days = (
+        purchases.join(touches, win(purchases, touches))
+        .groupBy(purchases.user_id, "pd", "p", "td")
+        .agg(F.sum("c").cast("long").alias("cd"))
+        .withColumn("dq", dq)
+    )
+    stats = days.groupBy("user_id", "pd", "p").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.min("td").alias("d_first"),
+        F.max("td").alias("d_last"),
+        F.sum(F.col("cd") * F.col("dq")).cast("long").alias("norm_q"),
+    )
+    t2 = touches.select(
+        F.col("user_id").alias("t_uid"),
+        F.col("td").alias("t_td"),
+        "event_type",
+        "c",
+    )
+    base = days.join(stats, ["user_id", "pd", "p"]).join(
+        t2,
+        (F.col("user_id") == F.col("t_uid"))
+        & (F.col("td") == F.col("t_td")),
+    )
+    w_day = (
+        F.when(F.col("n_days") == 1, F.lit(1.0))
+        .when(F.col("n_days") == 2, F.lit(0.5))
+        .when(
+            (F.col("td") == F.col("d_first"))
+            | (F.col("td") == F.col("d_last")),
+            F.lit(0.4),
+        )
+        .otherwise(F.lit(0.2) / (F.col("n_days") - 2).cast("double"))
+    )
+    x = (F.col("p") * 1000000 * F.col("c")).cast("double")
+    ushape_q6 = F.floor(x * w_day / F.col("cd").cast("double")).cast("long")
+    decay_q6 = F.floor(
+        (F.col("p") * 1000000 * F.col("c") * F.col("dq")).cast("double")
+        / F.col("norm_q").cast("double")
+    ).cast("long")
+    credit = (
+        base.select(
+            "event_type",
+            ushape_q6.alias("u_q6"),
+            decay_q6.alias("dcy_q6"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("u_q6").cast("long").alias("ushape_q6"),
+            F.sum("dcy_q6").cast("long").alias("decay_q6"),
+        )
+    )
+    total = purchases.agg(F.sum("p").cast("long").alias("total_purchases"))
+    return (
+        credit.crossJoin(F.broadcast(total))
+        .select(
+            "event_type", "ushape_q6", "decay_q6",
+            F.round(F.col("ushape_q6").cast("double") / 1e6, 4)
+            .alias("ushape_credit"),
+            F.round(F.col("decay_q6").cast("double") / 1e6, 4)
+            .alias("decay_credit"),
+            "total_purchases",
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["q182_position_decay_attribution"] = q182_position_decay_attribution
+
+ORACLES["q182_position_decay_attribution"] = """
+    WITH t AS (
+      SELECT user_id,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS BIGINT) AS td,
+             event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE event_type <> 'purchase'
+      GROUP BY 1, 2, 3),
+    pu AS (
+      SELECT user_id,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS BIGINT) AS pd,
+             CAST(COUNT(*) AS BIGINT) AS p
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2),
+    days AS (
+      SELECT pu.user_id, pu.pd, pu.p, t.td,
+             CAST(SUM(t.c) AS BIGINT) AS cd,
+             CAST(ROUND(pow(2.0, -CAST(pu.pd - t.td AS DOUBLE) / 3.5)
+                        * 1e6, 0) AS BIGINT) AS dq
+      FROM pu JOIN t ON pu.user_id = t.user_id
+        AND t.td <= pu.pd AND t.td >= pu.pd - 6
+      GROUP BY 1, 2, 3, 4),
+    stats AS (
+      SELECT user_id, pd, p,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             MIN(td) AS d_first, MAX(td) AS d_last,
+             CAST(SUM(cd * dq) AS BIGINT) AS norm_q
+      FROM days GROUP BY 1, 2, 3),
+    base AS (
+      SELECT t.event_type,
+             CAST(FLOOR(CAST(d.p * 1000000 * t.c AS DOUBLE)
+               * (CASE WHEN s.n_days = 1 THEN 1.0
+                       WHEN s.n_days = 2 THEN 0.5
+                       WHEN d.td = s.d_first OR d.td = s.d_last THEN 0.4
+                       ELSE 0.2 / CAST(s.n_days - 2 AS DOUBLE) END)
+               / CAST(d.cd AS DOUBLE)) AS BIGINT) AS u_q6,
+             CAST(FLOOR(CAST(d.p * 1000000 * t.c * d.dq AS DOUBLE)
+               / CAST(s.norm_q AS DOUBLE)) AS BIGINT) AS dcy_q6
+      FROM days d
+      JOIN stats s ON d.user_id = s.user_id AND d.pd = s.pd
+      JOIN t ON t.user_id = d.user_id AND t.td = d.td),
+    credit AS (
+      SELECT event_type,
+             CAST(SUM(u_q6) AS BIGINT) AS ushape_q6,
+             CAST(SUM(dcy_q6) AS BIGINT) AS decay_q6
+      FROM base GROUP BY 1)
+    SELECT event_type, ushape_q6, decay_q6,
+           ROUND(CAST(ushape_q6 AS DOUBLE) / 1e6, 4) AS ushape_credit,
+           ROUND(CAST(decay_q6 AS DOUBLE) / 1e6, 4) AS decay_credit,
+           (SELECT CAST(SUM(p) AS BIGINT) FROM pu) AS total_purchases
+    FROM credit
+    ORDER BY event_type
+"""
