@@ -686,6 +686,14 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("decay_q6", "bigint"), ("ushape_credit", "double"),
         ("decay_credit", "double"), ("total_purchases", "bigint"),
     ],
+    "q183_segment_migration": [
+        ("from_tile", "int"), ("to_tile", "int"),
+        ("n_customers", "bigint"), ("row_share", "double"),
+    ],
+    "q184_weekday_seasonality": [
+        ("weekday", "int"), ("n_days", "bigint"),
+        ("rev_cents", "bigint"), ("seasonal_index", "double"),
+    ],
 }
 
 # bundle name -> ordered list of fine-query parts
@@ -709,7 +717,7 @@ BUNDLES: dict[str, list[str]] = {
         "q135_weighted_median", "q138_trimmed_mean",
         "q140_pareto_frontier", "q146_fulfillment_latency",
         "q150_business_day_sla", "q157_gini_concentration",
-        "q175_rfm_segments",
+        "q175_rfm_segments", "q183_segment_migration",
     ],
     "q21_27_52_language": [
         "q21_lang_stats", "q27_lang_id", "q52_observe_audit",
@@ -785,7 +793,7 @@ BUNDLES: dict[str, list[str]] = {
         "q162_backtest_mape",
         "q139_new_vs_returning", "q145_seasonal_anomaly",
         "q152_time_to_convert", "q174_cohort_ltv",
-        "q176_rolling_ols_slope",
+        "q176_rolling_ols_slope", "q184_weekday_seasonality",
     ],
     # round 5: q24 grew into a bundle with the one-scan per-column
     # dataset profiler (ingest-acceptance stats)

@@ -4006,3 +4006,78 @@ ORACLES["q182_position_decay_attribution"] = """
     FROM credit
     ORDER BY event_type
 """
+
+def q184_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative weekday seasonality index of daily revenue —
+    the classical-decomposition seasonal component every forecast
+    (q162's seasonal-naive baseline) implicitly assumes: index(wd) =
+    mean daily revenue on weekday wd / overall mean daily revenue,
+    1.0 = no effect.
+
+    Exactness: weekday comes from the epoch-anchored pmod closed
+    form (1970-01-01 + 3 = Monday 0 — no engine week-start
+    conventions, the q150 precedent); daily revenue is int64 cents;
+    the index is a ratio of two exact-integer averages computed with
+    IDENTICAL expression structure on both engines, ROUND 6.
+
+    Scale shape: orders reduce map-side to per-day cents, the
+    weekday aggregate is 7 rows, and the overall mean attaches via
+    the sanctioned 1-row broadcast literal. Nothing downstream of
+    the first aggregate exceeds 7 rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    daily = o.groupBy(day.alias("x")).agg(
+        F.sum(cents).cast("long").alias("y")
+    )
+    wd = daily.groupBy(
+        F.pmod(F.col("x") + 3, F.lit(7)).cast("int").alias("weekday")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("y").cast("long").alias("rev_cents"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum("y").cast("long").alias("rev_all"),
+    )
+    idx = (
+        F.col("rev_cents").cast("double") / F.col("n_days").cast("double")
+    ) / (F.col("rev_all").cast("double") / F.col("n_all").cast("double"))
+    return (
+        wd.join(F.broadcast(tot))
+        .select(
+            "weekday", "n_days", "rev_cents",
+            F.round(idx, 6).alias("seasonal_index"),
+        )
+        .orderBy("weekday")
+    )
+
+
+QUERIES["q184_weekday_seasonality"] = q184_weekday_seasonality
+
+ORACLES["q184_weekday_seasonality"] = """
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS y
+      FROM orders GROUP BY 1),
+    wd AS (
+      SELECT CAST((x + 3) % 7 AS INTEGER) AS weekday,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(y) AS BIGINT) AS rev_cents
+      FROM daily GROUP BY 1),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+             CAST(SUM(y) AS BIGINT) AS rev_all
+      FROM daily)
+    SELECT weekday, n_days, rev_cents,
+           ROUND((CAST(rev_cents AS DOUBLE) / CAST(n_days AS DOUBLE))
+                 / (CAST(rev_all AS DOUBLE) / CAST(n_all AS DOUBLE)), 6)
+             AS seasonal_index
+    FROM wd CROSS JOIN tot
+    ORDER BY weekday
+"""

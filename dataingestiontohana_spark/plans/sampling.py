@@ -1797,3 +1797,120 @@ ORACLES["q177_l_diversity"] = """
     GROUP BY 1, 2
     ORDER BY 1, 2
 """
+
+def q183_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer segment-migration matrix — the dynamics companion to
+    q175's static RFM snapshot: quintile every customer by spend in
+    the FIRST half of the order history and again in the SECOND
+    half, then count the 6x6 transition matrix (tile 0 = absent from
+    that half — new, churned or dormant customers are first-class
+    cells, not dropped rows).
+
+    Exactness: the half split is integer day arithmetic against the
+    corpus min/max dates (floor of a non-negative span, no engine
+    division quirk); spend is int64 cents; quintiles are the exact
+    NTILE law over bucketed global row_numbers with key tie-breaks;
+    the row-share divisions round at 4.
+
+    Scale shape: orders reduce map-side to (half, customer) cents;
+    the two rank passes run bounded windows partitioned by half; the
+    matrix is a full outer join of two |customers| frames on the
+    SAME key (co-partitioned) and the output aggregate is <= 36
+    cells; the row-total window runs over those cells.
+    """
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    bounds = o.agg(
+        F.min(od).alias("d0"), F.max(od).alias("d1")
+    )
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    half = F.when(
+        F.datediff(od, F.col("d0"))
+        <= F.floor(F.datediff(F.col("d1"), F.col("d0")) / 2).cast("int"),
+        F.lit("H1"),
+    ).otherwise(F.lit("H2"))
+    per = (
+        o.join(F.broadcast(bounds))
+        .select(half.alias("half"), "o_custkey", cents.alias("cents"))
+        .groupBy("half", "o_custkey")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    ranked = bucketed_ranks(
+        per, "cents", part_cols=("half",), tie_cols=("o_custkey",)
+    )
+    tiles = ranked.select(
+        "half", "o_custkey",
+        exact_ntile(F.col("g_rn"), F.col("g_n"), 5).alias("tile"),
+    )
+    h1 = tiles.where(F.col("half") == "H1").select(
+        "o_custkey", F.col("tile").alias("from_tile")
+    )
+    h2 = tiles.where(F.col("half") == "H2").select(
+        "o_custkey", F.col("tile").alias("to_tile")
+    )
+    m = (
+        h1.join(h2, "o_custkey", "full_outer")
+        .select(
+            F.coalesce("from_tile", F.lit(0)).alias("from_tile"),
+            F.coalesce("to_tile", F.lit(0)).alias("to_tile"),
+        )
+        .groupBy("from_tile", "to_tile")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+    w_row = Window.partitionBy("from_tile")
+    return (
+        m.select(
+            "from_tile", "to_tile", "n_customers",
+            F.round(
+                F.col("n_customers").cast("double")
+                / F.sum("n_customers").over(w_row).cast("double"),
+                4,
+            ).alias("row_share"),
+        )
+        .orderBy("from_tile", "to_tile")
+    )
+
+
+QUERIES["q183_segment_migration"] = q183_segment_migration
+
+ORACLES["q183_segment_migration"] = """
+    WITH bounds AS (
+      SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+             MAX(CAST(o_orderdate AS DATE)) AS d1
+      FROM orders),
+    per AS (
+      SELECT CASE WHEN date_diff('day', b.d0, CAST(o.o_orderdate AS DATE))
+                  <= CAST(floor(date_diff('day', b.d0, b.d1) / 2.0)
+                          AS INTEGER)
+                  THEN 'H1' ELSE 'H2' END AS half,
+             o.o_custkey,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM orders o CROSS JOIN bounds b
+      GROUP BY 1, 2),
+    tiles AS (
+      SELECT half, o_custkey,
+             NTILE(5) OVER (PARTITION BY half
+                            ORDER BY cents, o_custkey) AS tile
+      FROM per),
+    m AS (
+      SELECT COALESCE(h1.from_tile, 0) AS from_tile,
+             COALESCE(h2.to_tile, 0) AS to_tile,
+             CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM (SELECT o_custkey, tile AS from_tile FROM tiles
+            WHERE half = 'H1') h1
+      FULL OUTER JOIN
+           (SELECT o_custkey, tile AS to_tile FROM tiles
+            WHERE half = 'H2') h2
+      USING (o_custkey)
+      GROUP BY 1, 2)
+    SELECT from_tile, to_tile, n_customers,
+           ROUND(CAST(n_customers AS DOUBLE)
+                 / CAST(SUM(n_customers)
+                        OVER (PARTITION BY from_tile) AS DOUBLE), 4)
+             AS row_share
+    FROM m
+    ORDER BY from_tile, to_tile
+"""
