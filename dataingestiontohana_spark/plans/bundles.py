@@ -694,6 +694,12 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("weekday", "int"), ("n_days", "bigint"),
         ("rev_cents", "bigint"), ("seasonal_index", "double"),
     ],
+    "q185_dedup_savings": [
+        ("n_docs", "bigint"), ("n_clustered_docs", "bigint"),
+        ("n_clusters", "bigint"), ("n_redundant", "bigint"),
+        ("chars_total", "bigint"), ("chars_saved", "bigint"),
+        ("savings_frac", "double"),
+    ],
 }
 
 # bundle name -> ordered list of fine-query parts
@@ -853,6 +859,7 @@ BUNDLES: dict[str, list[str]] = {
     "q66_141_graph": [
         "q66_dedup_clusters", "q141_triangle_count",
         "q148_local_clustering", "q151_hub_strength",
+        "q185_dedup_savings",
     ],
 }
 

@@ -712,3 +712,109 @@ def _q113_oracle_sql() -> str:
 
 
 ORACLES["q113_shingle_novelty"] = _q113_oracle_sql()
+
+
+def q185_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup savings report — the capacity-planning number a corpus
+    owner actually asks for: if every near-dup cluster (exact Jaccard
+    >= 0.5 edges -> connected components) keeps ONE canonical doc
+    (min doc_id, the deterministic survivor rule), how many documents
+    and how many characters does the corpus shed? Builds on the q66
+    pipeline but adjudicates the SELECTION, not just the size
+    histogram: redundant = cluster members minus canonicals,
+    chars_saved = their total n_chars.
+
+    Exactness: counts and char totals are int64; the savings fraction
+    is one division ROUND 6.
+
+    Scale shape: the prefix-filtered pair join and label-propagation
+    components are the q32/q66 scale paths; the savings accounting
+    joins the |clustered docs| component frame to documents on doc_id
+    (key-partitioned) and ends in a 1-row aggregate against the
+    1-row corpus totals (broadcast literal attach).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = _exact_pairs_cached(spark, sf_dir, 0.5).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    member = comp.join(
+        d.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    )
+    clustered = member.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clustered_docs"),
+        F.countDistinct("component").cast("long").alias("n_clusters"),
+        F.sum(
+            F.when(F.col("node") != F.col("component"), 1).otherwise(0)
+        ).cast("long").alias("n_redundant"),
+        F.sum(
+            F.when(
+                F.col("node") != F.col("component"), F.col("n_chars")
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("chars_saved"),
+    )
+    totals = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+    )
+    j = totals.join(F.broadcast(clustered))
+    z = F.lit(0).cast("long")
+    return j.select(
+        "n_docs",
+        F.coalesce("n_clustered_docs", z).alias("n_clustered_docs"),
+        F.coalesce("n_clusters", z).alias("n_clusters"),
+        F.coalesce("n_redundant", z).alias("n_redundant"),
+        "chars_total",
+        F.coalesce("chars_saved", z).alias("chars_saved"),
+        F.when(F.col("chars_total") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.coalesce("chars_saved", z).cast("double")
+                / F.col("chars_total").cast("double"),
+                6,
+            )
+        )
+        .alias("savings_frac"),
+    )
+
+
+QUERIES["q185_dedup_savings"] = q185_dedup_savings
+
+ORACLES["q185_dedup_savings"] = f"""
+    WITH RECURSIVE
+    pairs AS ({_EXACT_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    lbl AS (
+      SELECT a AS node, LEAST(a, MIN(b)) AS component
+      FROM reach GROUP BY a),
+    member AS (
+      SELECT l.node, l.component, d.n_chars
+      FROM lbl l JOIN documents d ON l.node = d.doc_id),
+    clustered AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_clustered_docs,
+             CAST(COUNT(DISTINCT component) AS BIGINT) AS n_clusters,
+             CAST(SUM(CASE WHEN node <> component THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_redundant,
+             CAST(SUM(CASE WHEN node <> component THEN n_chars ELSE 0 END)
+               AS BIGINT) AS chars_saved
+      FROM member),
+    totals AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS chars_total
+      FROM documents)
+    SELECT n_docs,
+           COALESCE(n_clustered_docs, 0) AS n_clustered_docs,
+           COALESCE(n_clusters, 0) AS n_clusters,
+           COALESCE(n_redundant, 0) AS n_redundant,
+           chars_total,
+           COALESCE(chars_saved, 0) AS chars_saved,
+           CASE WHEN chars_total = 0 THEN 0.0
+                ELSE ROUND(CAST(COALESCE(chars_saved, 0) AS DOUBLE)
+                         / CAST(chars_total AS DOUBLE), 6) END
+             AS savings_frac
+    FROM totals CROSS JOIN clustered
+"""

@@ -98,7 +98,9 @@ def test_strict_raises(spark):
 @pytest.mark.parametrize(
     "name",
     ["q06_multiway_join_agg", "q30_minhash_near_dup", "q78_pack_chunks",
-     "q83_kmeans", "q80_bm25_topk", "q65_sketch_audit"],
+     "q83_kmeans", "q80_bm25_topk", "q65_sketch_audit",
+     "q173_roc_auc", "q175_rfm_segments", "q181_clamped_wallet",
+     "q182_position_decay_attribution", "q183_segment_migration"],
 )
 def test_declared_queries_lint_clean(spark, name):
     """Spot-check: the engine's own queries pass their own gate
