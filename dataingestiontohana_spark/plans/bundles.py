@@ -700,6 +700,14 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("chars_total", "bigint"), ("chars_saved", "bigint"),
         ("savings_frac", "double"),
     ],
+    "q186_funnel_window_sensitivity": [
+        ("window_hours", "int"), ("n_viewed", "bigint"),
+        ("n_converted", "bigint"), ("conversion_rate", "double"),
+    ],
+    "q187_effective_corpus_size": [
+        ("n_docs", "bigint"), ("total_tokens", "bigint"),
+        ("effective_tokens_q6", "bigint"), ("effective_frac", "double"),
+    ],
 }
 
 # bundle name -> ordered list of fine-query parts
@@ -800,6 +808,7 @@ BUNDLES: dict[str, list[str]] = {
         "q139_new_vs_returning", "q145_seasonal_anomaly",
         "q152_time_to_convert", "q174_cohort_ltv",
         "q176_rolling_ols_slope", "q184_weekday_seasonality",
+        "q186_funnel_window_sensitivity",
     ],
     # round 5: q24 grew into a bundle with the one-scan per-column
     # dataset profiler (ingest-acceptance stats)
@@ -859,7 +868,7 @@ BUNDLES: dict[str, list[str]] = {
     "q66_141_graph": [
         "q66_dedup_clusters", "q141_triangle_count",
         "q148_local_clustering", "q151_hub_strength",
-        "q185_dedup_savings",
+        "q185_dedup_savings", "q187_effective_corpus_size",
     ],
 }
 

@@ -818,3 +818,110 @@ ORACLES["q185_dedup_savings"] = f"""
              AS savings_frac
     FROM totals CROSS JOIN clustered
 """
+
+def q187_effective_corpus_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective corpus size after dedup down-weighting — the LLM-data
+    metric behind "N tokens of deduplicated text": every document in a
+    near-dup cluster (q66's exact-Jaccard components) counts at weight
+    1/cluster_size, singletons at weight 1, so the corpus's effective
+    token count is SUM(tokens/cluster_size). Repeats stop inflating
+    the dataset size exactly in proportion to their multiplicity —
+    the quantity scaling-law bookkeeping needs, and the continuous
+    counterpart of q185's keep-one accounting.
+
+    Exactness: token counts are the q25 whitespace-split convention
+    (int64); tokens/cluster_size quantizes to a q6 INTEGER per doc
+    (SQL-semantics ROUND on an exact rational — both engines divide
+    the same two int64s) before the corpus sum, so the fold order
+    never matters; the discount ratio is one final division ROUND 6.
+
+    Scale shape: the pair join and components are the q32/q66 scale
+    paths; cluster sizes are a |components| aggregate joined back to
+    the component frame (key-partitioned), left-joined to documents
+    on doc_id; everything after is map-only arithmetic into a 1-row
+    aggregate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = _exact_pairs_cached(spark, sf_dir, 0.5).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("csize")
+    )
+    member = comp.join(sizes, "component").select(
+        F.col("node").alias("doc_id"), "csize"
+    )
+    n_tokens = F.size(
+        F.split(F.trim(F.col("text")), r"[ \t\n\x0b\f\r]+")
+    ).cast("long")
+    per_doc = (
+        d.select("doc_id", n_tokens.alias("n_tokens"))
+        .join(member, "doc_id", "left")
+        .select(
+            "n_tokens",
+            F.coalesce("csize", F.lit(1)).alias("csize"),
+        )
+    )
+    eff_q6 = F.round(
+        F.col("n_tokens").cast("double") * 1e6
+        / F.col("csize").cast("double"),
+        0,
+    ).cast("long")
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("n_tokens").cast("long"), F.lit(0).cast("long"))
+        .alias("total_tokens"),
+        F.coalesce(F.sum(eff_q6).cast("long"), F.lit(0).cast("long"))
+        .alias("effective_tokens_q6"),
+    ).select(
+        "n_docs", "total_tokens", "effective_tokens_q6",
+        F.when(F.col("total_tokens") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.col("effective_tokens_q6").cast("double")
+                / (F.col("total_tokens").cast("double") * 1e6),
+                6,
+            )
+        )
+        .alias("effective_frac"),
+    )
+
+
+QUERIES["q187_effective_corpus_size"] = q187_effective_corpus_size
+
+ORACLES["q187_effective_corpus_size"] = f"""
+    WITH RECURSIVE
+    pairs AS ({_EXACT_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    lbl AS (
+      SELECT a AS node, LEAST(a, MIN(b)) AS component
+      FROM reach GROUP BY a),
+    sizes AS (
+      SELECT component, CAST(COUNT(*) AS BIGINT) AS csize
+      FROM lbl GROUP BY 1),
+    member AS (
+      SELECT l.node AS doc_id, s.csize
+      FROM lbl l JOIN sizes s USING (component)),
+    per_doc AS (
+      SELECT CAST(len(regexp_split_to_array(trim(d.text),
+                      '[ \\t\\n\\x0b\\f\\r]+')) AS BIGINT) AS n_tokens,
+             COALESCE(m.csize, 1) AS csize
+      FROM documents d LEFT JOIN member m ON d.doc_id = m.doc_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS total_tokens,
+           CAST(COALESCE(SUM(CAST(ROUND(CAST(n_tokens AS DOUBLE) * 1e6
+                 / CAST(csize AS DOUBLE), 0) AS BIGINT)), 0) AS BIGINT)
+             AS effective_tokens_q6,
+           CASE WHEN COALESCE(SUM(n_tokens), 0) = 0 THEN 0.0
+                ELSE ROUND(
+                  CAST(SUM(CAST(ROUND(CAST(n_tokens AS DOUBLE) * 1e6
+                       / CAST(csize AS DOUBLE), 0) AS BIGINT)) AS DOUBLE)
+                  / (CAST(SUM(n_tokens) AS DOUBLE) * 1e6), 6) END
+             AS effective_frac
+    FROM per_doc
+"""

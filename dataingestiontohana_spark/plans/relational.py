@@ -4081,3 +4081,116 @@ ORACLES["q184_weekday_seasonality"] = """
     FROM wd CROSS JOIN tot
     ORDER BY weekday
 """
+
+def q186_funnel_window_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window sensitivity sweep — the robustness check
+    behind every funnel definition (q97/q171 pick ONE window; this
+    answers "how much does the answer depend on that choice"):
+    view -> click conversion measured simultaneously at 1h / 6h /
+    24h / 168h deadlines from each user's first view, in ONE scan.
+
+    Exactness: per-user minimum click lag is integer epoch-second
+    arithmetic; the four deadline tests are integer comparisons on
+    that ONE reduced column; rates are single divisions ROUND 6.
+
+    Scale shape: views and clicks each reduce map-side per user; one
+    key-partitioned join; the sweep itself costs nothing extra — all
+    four windows are conditional sums in a single 1-row aggregate
+    (adding a fifth window is one more column, not another scan),
+    then a 4-row literal explode.
+    """
+    e = _t(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    views = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(sec).alias("v0"))
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", sec.alias("ct")
+    )
+    minlag = (
+        clicks.join(views, "user_id")
+        .where(F.col("ct") > F.col("v0"))
+        .groupBy("user_id")
+        .agg(F.min(F.col("ct") - F.col("v0")).alias("lag_s"))
+    )
+    hours = [1, 6, 24, 168]
+    lag_counts = minlag.agg(
+        *[
+            F.sum((F.col("lag_s") <= h * 3600).cast("long"))
+            .cast("long")
+            .alias(f"m{h}")
+            for h in hours
+        ]
+    )
+    nv = views.agg(F.count(F.lit(1)).cast("long").alias("n_viewed"))
+    agg = nv.join(F.broadcast(lag_counts))
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(h).cast("int").alias("window_hours"),
+                F.coalesce(F.col(f"m{h}"), F.lit(0)).alias("n_converted"),
+            )
+            for h in hours
+        ]
+    )
+    return (
+        agg.select("n_viewed", F.explode(rows).alias("r"))
+        .select(
+            F.col("r.window_hours").alias("window_hours"),
+            "n_viewed",
+            F.col("r.n_converted").alias("n_converted"),
+            F.when(F.col("n_viewed") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.col("r.n_converted").cast("double")
+                    / F.col("n_viewed").cast("double"),
+                    6,
+                )
+            )
+            .alias("conversion_rate"),
+        )
+        .orderBy("window_hours")
+    )
+
+
+QUERIES["q186_funnel_window_sensitivity"] = q186_funnel_window_sensitivity
+
+ORACLES["q186_funnel_window_sensitivity"] = """
+    WITH views AS (
+      SELECT user_id, MIN(epoch(CAST(ts AS TIMESTAMP))) AS v0
+      FROM events WHERE event_type = 'view' GROUP BY 1),
+    minlag AS (
+      SELECT e.user_id,
+             MIN(epoch(CAST(e.ts AS TIMESTAMP)) - v.v0) AS lag_s
+      FROM events e JOIN views v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click'
+        AND epoch(CAST(e.ts AS TIMESTAMP)) > v.v0
+      GROUP BY 1),
+    c AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN lag_s <= 1 * 3600
+               THEN 1 ELSE 0 END), 0) AS BIGINT) AS m1,
+             CAST(COALESCE(SUM(CASE WHEN lag_s <= 6 * 3600
+               THEN 1 ELSE 0 END), 0) AS BIGINT) AS m6,
+             CAST(COALESCE(SUM(CASE WHEN lag_s <= 24 * 3600
+               THEN 1 ELSE 0 END), 0) AS BIGINT) AS m24,
+             CAST(COALESCE(SUM(CASE WHEN lag_s <= 168 * 3600
+               THEN 1 ELSE 0 END), 0) AS BIGINT) AS m168
+      FROM minlag),
+    nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_viewed FROM views),
+    u AS (
+      SELECT 1 AS window_hours, n_viewed, m1 AS n_converted
+        FROM nv CROSS JOIN c
+      UNION ALL SELECT 6, n_viewed, m6 FROM nv CROSS JOIN c
+      UNION ALL SELECT 24, n_viewed, m24 FROM nv CROSS JOIN c
+      UNION ALL SELECT 168, n_viewed, m168 FROM nv CROSS JOIN c)
+    SELECT CAST(window_hours AS INTEGER) AS window_hours,
+           n_viewed, n_converted,
+           CASE WHEN n_viewed = 0 THEN 0.0
+                ELSE ROUND(CAST(n_converted AS DOUBLE)
+                         / CAST(n_viewed AS DOUBLE), 6) END
+             AS conversion_rate
+    FROM u
+    ORDER BY window_hours
+"""
