@@ -708,6 +708,14 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("n_docs", "bigint"), ("total_tokens", "bigint"),
         ("effective_tokens_q6", "bigint"), ("effective_frac", "double"),
     ],
+    "q188_incremental_sessionize": [
+        ("user_id", "bigint"), ("n_sessions", "bigint"),
+        ("n_events", "bigint"),
+    ],
+    "q189_basket_triples": [
+        ("pa", "bigint"), ("pb", "bigint"), ("pc", "bigint"),
+        ("support", "bigint"),
+    ],
 }
 
 # bundle name -> ordered list of fine-query parts
@@ -829,7 +837,7 @@ BUNDLES: dict[str, list[str]] = {
         "q129_feed_freshness", "q132_activity_islands",
         "q144_journey_trigrams", "q153_multitouch_attribution",
         "q179_journey_patterns", "q181_clamped_wallet",
-        "q182_position_decay_attribution",
+        "q182_position_decay_attribution", "q188_incremental_sessionize",
     ],
     # round 6: the q75 single grew into the retrieval bundle —
     # TF-IDF salience plus reciprocal-rank fusion of the BM25 and
@@ -849,7 +857,7 @@ BUNDLES: dict[str, list[str]] = {
     "q14_125_topk": [
         "q14_topk_per_group", "q125_basket_pairs", "q147_decile_lift",
         "q165_item_cf_recommendations", "q173_roc_auc",
-        "q180_price_elasticity",
+        "q180_price_elasticity", "q189_basket_triples",
     ],
     # round 6 continuation: the q05 single grew into the joins bundle
     # (plain inner + null-safe <=> dimension conform)

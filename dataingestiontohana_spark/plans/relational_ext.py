@@ -2012,3 +2012,163 @@ ORACLES["q172_salted_hot_key_join"] = """
     GROUP BY 1
     ORDER BY 1
 """
+
+def q188_incremental_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL sessionization — the merge law that lets a daily
+    job sessionize only the new partition and fold it into yesterday's
+    per-user state instead of re-scanning history: sessionize each
+    half of the corpus independently (split at the integer midpoint
+    timestamp), then merge per user with the gap rule's boundary
+    algebra — the ONLY session that can fuse across the split is
+    (last H1 session, first H2 session), and it fuses exactly when
+    min(H2 ts) <= max(H1 ts) + 30min. So the incremental state per
+    user is three numbers (session count, event count, last event
+    ts), not a session list.
+
+    The DuckDB oracle replays BATCH sessionization over the unsplit
+    corpus — the hash match IS the incremental == recompute proof
+    (the q164 maintenance pattern, applied to a stateful windowed
+    operator instead of a join view).
+
+    Exactness: the split point is integer epoch-second midpoint
+    arithmetic (non-negative floor); session counting is the q47
+    lag/cumsum form; all outputs are int64.
+
+    Scale shape: each half sessionizes with one user-partitioned
+    window over ITS OWN rows only (the incremental claim); the merge
+    is a full outer join of two per-user frames on the same key plus
+    pure arithmetic — no window over the union ever runs.
+    """
+    e = _t(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    bounds = e.agg(
+        F.min(sec).alias("t0"), F.max(sec).alias("t1")
+    )
+    mid = (F.col("t0") + F.floor((F.col("t1") - F.col("t0")) / 2)).cast(
+        "long"
+    )
+    tagged = e.join(F.broadcast(bounds)).select(
+        "user_id", "ts", "event_id", sec.alias("s"), mid.alias("mid")
+    )
+
+    def _half_stats(df, label):
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        prev = F.lag("ts").over(w)
+        new_sess = F.when(
+            prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTE")),
+            1,
+        ).otherwise(0)
+        return (
+            df.select("user_id", "ts", "event_id", "s", new_sess.alias("b"))
+            .groupBy("user_id")
+            .agg(
+                F.sum("b").cast("long").alias(f"n_sess_{label}"),
+                F.count(F.lit(1)).cast("long").alias(f"n_ev_{label}"),
+                F.min("s").cast("long").alias(f"first_{label}"),
+                F.max("s").cast("long").alias(f"last_{label}"),
+            )
+        )
+
+    h1 = _half_stats(tagged.where(F.col("s") <= F.col("mid")), "h1")
+    h2 = _half_stats(tagged.where(F.col("s") > F.col("mid")), "h2")
+    z = F.lit(0).cast("long")
+    merged = h1.join(h2, "user_id", "full_outer").select(
+        "user_id",
+        (
+            F.coalesce("n_sess_h1", z)
+            + F.coalesce("n_sess_h2", z)
+            - F.when(
+                F.col("n_sess_h1").isNotNull()
+                & F.col("n_sess_h2").isNotNull()
+                & (F.col("first_h2") <= F.col("last_h1") + 1800),
+                F.lit(1),
+            ).otherwise(F.lit(0)).cast("long")
+        ).alias("n_sessions"),
+        (F.coalesce("n_ev_h1", z) + F.coalesce("n_ev_h2", z)).alias(
+            "n_events"
+        ),
+    )
+    return merged.orderBy("user_id")
+
+
+QUERIES["q188_incremental_sessionize"] = q188_incremental_sessionize
+
+ORACLES["q188_incremental_sessionize"] = """
+    WITH marked AS (
+      SELECT user_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS b
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id,
+           CAST(SUM(b) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM marked
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
+def q189_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori 3-itemset mining — the step after q125's pairs that
+    most "frequent itemset" workloads actually stop at: the top-20
+    most co-purchased part TRIPLES, enumerated only from items that
+    individually clear a minimum support (the apriori downward-closure
+    prune: an infrequent item can't appear in a frequent triple).
+
+    Exactness: supports are int64 counts; the min-support cut is an
+    integer comparison; the top-20 ties break on (pa, pb, pc).
+
+    Scale shape: the apriori prune shrinks the per-basket item list
+    BEFORE enumeration (the scale lever — raising min_support bounds
+    the fan-out regardless of catalog size); triples come from two
+    chained self-joins ON THE BASKET KEY with pa < pb < pc (fan-out
+    <= C(basket,3), never cross-basket); supports reduce with
+    map-side combine and the top-20 is a TakeOrderedAndProject.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    min_support = 2
+    freq = (
+        items.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .where(F.col("c") >= min_support)
+        .select("l_partkey")
+    )
+    fitems = items.join(F.broadcast(freq), "l_partkey").select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p")
+    )
+    a = fitems.select("k", F.col("p").alias("pa"))
+    b = fitems.select("k", F.col("p").alias("pb"))
+    c = fitems.select("k", F.col("p").alias("pc"))
+    triples = (
+        a.join(b, "k")
+        .where(F.col("pa") < F.col("pb"))
+        .join(c, "k")
+        .where(F.col("pb") < F.col("pc"))
+        .groupBy("pa", "pb", "pc")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .orderBy(F.col("support").desc(), "pa", "pb", "pc")
+        .limit(20)
+    )
+    return triples
+
+
+QUERIES["q189_basket_triples"] = q189_basket_triples
+
+ORACLES["q189_basket_triples"] = """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+    freq AS (
+      SELECT p FROM items GROUP BY p HAVING COUNT(*) >= 2),
+    fitems AS (
+      SELECT i.k, i.p FROM items i JOIN freq f USING (p))
+    SELECT a.p AS pa, b.p AS pb, c.p AS pc,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM fitems a
+    JOIN fitems b ON a.k = b.k AND a.p < b.p
+    JOIN fitems c ON b.k = c.k AND b.p < c.p
+    GROUP BY 1, 2, 3
+    ORDER BY support DESC, pa, pb, pc
+    LIMIT 20
+"""
