@@ -716,6 +716,16 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("pa", "bigint"), ("pb", "bigint"), ("pc", "bigint"),
         ("support", "bigint"),
     ],
+    "q190_revenue_bridge": [
+        ("p_brand", "string"), ("q0", "bigint"), ("q1", "bigint"),
+        ("c0", "bigint"), ("c1", "bigint"), ("delta_cents", "bigint"),
+        ("volume_effect", "double"), ("price_effect", "double"),
+    ],
+    "q191_lsh_quality": [
+        ("n_pred", "bigint"), ("n_true", "bigint"), ("tp", "bigint"),
+        ("fp", "bigint"), ("fn", "bigint"), ("precision", "double"),
+        ("recall", "double"), ("f1", "double"),
+    ],
 }
 
 # bundle name -> ordered list of fine-query parts
@@ -793,7 +803,8 @@ BUNDLES: dict[str, list[str]] = {
         "q35_ann_lsh", "q36b_ivf_topk", "q36c_ivf_batch_topk",
         "q96_pq_topk", "q116_mmr_diversify",
     ],
-    "q30_31_lsh_neardup": ["q30_minhash_near_dup", "q31_simhash_clusters"],
+    "q30_31_lsh_neardup": ["q30_minhash_near_dup", "q31_simhash_clusters",
+                           "q191_lsh_quality"],
     # oracle-backed since round 5: the synthetic SGM1 payload bytes are
     # md5-expanded from an ASCII seed, so DuckDB recomputes every byte;
     # the adjudicated parts emit exact integer byte moments (see
@@ -858,6 +869,7 @@ BUNDLES: dict[str, list[str]] = {
         "q14_topk_per_group", "q125_basket_pairs", "q147_decile_lift",
         "q165_item_cf_recommendations", "q173_roc_auc",
         "q180_price_elasticity", "q189_basket_triples",
+        "q190_revenue_bridge",
     ],
     # round 6 continuation: the q05 single grew into the joins bundle
     # (plain inner + null-safe <=> dimension conform)

@@ -925,3 +925,83 @@ ORACLES["q187_effective_corpus_size"] = f"""
              AS effective_frac
     FROM per_doc
 """
+
+def q191_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the MinHash-LSH near-dup pipeline against
+    EXACT ground truth, measured in-engine — the quality audit that
+    turns "we use LSH" into a number: predicted pairs are q30's
+    signature-estimated Jaccard >= 0.5 candidates, truth is q32's
+    prefix-filtered exact Jaccard >= 0.5 join, and the report is the
+    confusion counts with precision / recall / F1. Complements
+    tests/test_ann_recall.py (which pins retrieval recall in pytest)
+    by making dedup quality a FIRST-CLASS, oracle-adjudicated query a
+    pipeline can gate on.
+
+    Exactness: set intersections are equi-joins on the (id_a, id_b)
+    key (both sides emit a < b ordered pairs); counts are int64;
+    precision/recall/F1 are single divisions of exact ints ROUND 6
+    (0.0 when the denominator is empty).
+
+    Scale shape: both pair generators are the existing banded-LSH and
+    PPJoin scale paths; the intersection joins key-partitioned pair
+    frames; the readout is three 1-row aggregates broadcast-attached.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pred = (
+        minhash_candidates(d)
+        .where(F.col("jaccard_sig") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    truth = _exact_pairs_cached(spark, sf_dir, 0.5).select("id_a", "id_b")
+    tp_f = pred.join(truth, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("tp")
+    )
+    np_f = pred.agg(F.count(F.lit(1)).cast("long").alias("n_pred"))
+    nt_f = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    j = np_f.join(F.broadcast(nt_f)).join(F.broadcast(tp_f))
+
+    def ratio(num, den):
+        return F.when(den == 0, F.lit(0.0)).otherwise(
+            F.round(num.cast("double") / den.cast("double"), 6)
+        )
+
+    tp = F.col("tp")
+    return j.select(
+        "n_pred", "n_true", tp.alias("tp"),
+        (F.col("n_pred") - tp).cast("long").alias("fp"),
+        (F.col("n_true") - tp).cast("long").alias("fn"),
+        ratio(tp, F.col("n_pred")).alias("precision"),
+        ratio(tp, F.col("n_true")).alias("recall"),
+        ratio(
+            F.lit(2) * tp,
+            F.col("n_pred") + F.col("n_true"),
+        ).alias("f1"),
+    )
+
+
+QUERIES["q191_lsh_quality"] = q191_lsh_quality
+
+ORACLES["q191_lsh_quality"] = f"""
+    WITH p AS (
+      SELECT id_a, id_b FROM ({_q30_oracle_sql()})),
+    t AS (
+      SELECT id_a, id_b FROM ({_EXACT_PAIRS_SQL})),
+    tp_ AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS tp
+      FROM p JOIN t USING (id_a, id_b)),
+    np_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pred FROM p),
+    nt_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM t)
+    SELECT n_pred, n_true, tp,
+           CAST(n_pred - tp AS BIGINT) AS fp,
+           CAST(n_true - tp AS BIGINT) AS fn,
+           CASE WHEN n_pred = 0 THEN 0.0
+                ELSE ROUND(CAST(tp AS DOUBLE)
+                         / CAST(n_pred AS DOUBLE), 6) END AS precision,
+           CASE WHEN n_true = 0 THEN 0.0
+                ELSE ROUND(CAST(tp AS DOUBLE)
+                         / CAST(n_true AS DOUBLE), 6) END AS recall,
+           CASE WHEN n_pred + n_true = 0 THEN 0.0
+                ELSE ROUND(CAST(2 * tp AS DOUBLE)
+                         / CAST(n_pred + n_true AS DOUBLE), 6) END AS f1
+    FROM np_ CROSS JOIN nt_ CROSS JOIN tp_
+"""

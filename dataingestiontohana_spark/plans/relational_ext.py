@@ -2172,3 +2172,129 @@ ORACLES["q189_basket_triples"] = """
     ORDER BY support DESC, pa, pb, pc
     LIMIT 20
 """
+
+def q190_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price/volume revenue-bridge decomposition — the variance
+    analysis every finance review runs on a period-over-period
+    revenue move: per brand, how much of the change from the first
+    half of the ship history to the second is VOLUME (units moved at
+    the old price) vs PRICE (new units at the new vs old unit
+    price). Brands present in only one half are pure volume
+    (launches and discontinuations).
+
+    Exactness: quantities and cents are int64 sums of
+    grid-quantized scans; the period split is integer midpoint day
+    arithmetic; both effects are single expressions over exact
+    integers with IDENTICAL structure on both engines, ROUND 4;
+    delta_cents is an exact integer (and equals volume + price
+    effects up to the display rounding, by algebra).
+
+    Scale shape: ONE lineitem scan reduces map-side to (brand, half)
+    cells after a broadcast join to the part dim; the halves then
+    collapse to one row per brand via conditional sums in the same
+    aggregate — no self-join, no window; output is |brands| rows.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    sd = F.col("l_shipdate").cast("date")
+    bounds = li.agg(F.min(sd).alias("d0"), F.max(sd).alias("d1"))
+    is_h1 = F.datediff(sd, F.col("d0")) <= F.floor(
+        F.datediff(F.col("d1"), F.col("d0")) / 2
+    ).cast("int")
+    qty = F.round(F.col("l_quantity"), 0).cast("long")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    cells = (
+        li.join(F.broadcast(bounds))
+        .join(F.broadcast(p.select("p_partkey", "p_brand")),
+              li["l_partkey"] == p["p_partkey"])
+        .select(
+            "p_brand",
+            is_h1.alias("h1"),
+            qty.alias("q"),
+            cents.alias("c"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.when(F.col("h1"), F.col("q")).otherwise(0))
+            .cast("long").alias("q0"),
+            F.sum(F.when(~F.col("h1"), F.col("q")).otherwise(0))
+            .cast("long").alias("q1"),
+            F.sum(F.when(F.col("h1"), F.col("c")).otherwise(0))
+            .cast("long").alias("c0"),
+            F.sum(F.when(~F.col("h1"), F.col("c")).otherwise(0))
+            .cast("long").alias("c1"),
+        )
+    )
+    vol = F.when(F.col("q0") == 0, F.col("c1").cast("double")).when(
+        F.col("q1") == 0, -F.col("c0").cast("double")
+    ).otherwise(
+        (F.col("q1") - F.col("q0")).cast("double")
+        * F.col("c0").cast("double")
+        / F.col("q0").cast("double")
+    )
+    price = F.when(
+        (F.col("q0") == 0) | (F.col("q1") == 0), F.lit(0.0)
+    ).otherwise(
+        F.col("c1").cast("double")
+        - F.col("q1").cast("double")
+        * F.col("c0").cast("double")
+        / F.col("q0").cast("double")
+    )
+    return cells.select(
+        "p_brand", "q0", "q1", "c0", "c1",
+        (F.col("c1") - F.col("c0")).cast("long").alias("delta_cents"),
+        F.round(vol, 4).alias("volume_effect"),
+        F.round(price, 4).alias("price_effect"),
+    ).orderBy("p_brand")
+
+
+QUERIES["q190_revenue_bridge"] = q190_revenue_bridge
+
+ORACLES["q190_revenue_bridge"] = """
+    WITH bounds AS (
+      SELECT MIN(CAST(l_shipdate AS DATE)) AS d0,
+             MAX(CAST(l_shipdate AS DATE)) AS d1
+      FROM lineitem),
+    cells AS (
+      SELECT p.p_brand,
+             CAST(SUM(CASE WHEN date_diff('day', b.d0,
+                    CAST(l.l_shipdate AS DATE))
+                  <= CAST(floor(date_diff('day', b.d0, b.d1) / 2.0)
+                          AS INTEGER)
+                  THEN CAST(ROUND(l.l_quantity, 0) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS q0,
+             CAST(SUM(CASE WHEN date_diff('day', b.d0,
+                    CAST(l.l_shipdate AS DATE))
+                  > CAST(floor(date_diff('day', b.d0, b.d1) / 2.0)
+                         AS INTEGER)
+                  THEN CAST(ROUND(l.l_quantity, 0) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS q1,
+             CAST(SUM(CASE WHEN date_diff('day', b.d0,
+                    CAST(l.l_shipdate AS DATE))
+                  <= CAST(floor(date_diff('day', b.d0, b.d1) / 2.0)
+                          AS INTEGER)
+                  THEN CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS c0,
+             CAST(SUM(CASE WHEN date_diff('day', b.d0,
+                    CAST(l.l_shipdate AS DATE))
+                  > CAST(floor(date_diff('day', b.d0, b.d1) / 2.0)
+                         AS INTEGER)
+                  THEN CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS c1
+      FROM lineitem l
+      CROSS JOIN bounds b
+      JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1)
+    SELECT p_brand, q0, q1, c0, c1,
+           CAST(c1 - c0 AS BIGINT) AS delta_cents,
+           ROUND(CASE WHEN q0 = 0 THEN CAST(c1 AS DOUBLE)
+                      WHEN q1 = 0 THEN -CAST(c0 AS DOUBLE)
+                      ELSE CAST(q1 - q0 AS DOUBLE) * CAST(c0 AS DOUBLE)
+                           / CAST(q0 AS DOUBLE) END, 4) AS volume_effect,
+           ROUND(CASE WHEN q0 = 0 OR q1 = 0 THEN 0.0
+                      ELSE CAST(c1 AS DOUBLE)
+                           - CAST(q1 AS DOUBLE) * CAST(c0 AS DOUBLE)
+                             / CAST(q0 AS DOUBLE) END, 4) AS price_effect
+    FROM cells
+    ORDER BY p_brand
+"""
