@@ -1,0 +1,92 @@
+"""One-command data-quality report: runs the engine's audit-family
+queries against a dataset directory and prints a compact report a
+data owner can read top to bottom — the operational packaging of the
+declared quality surface (expectations, referential integrity,
+k-anonymity/l-diversity, Benford, key skew, annotator agreement,
+table fingerprints).
+
+Usage:
+    PYTHONPATH=/root/repo python tools/quality_report.py \
+        [sf_dir] [--sections a,b,...]
+
+Every section is just a registered plans.QUERIES entry — the report
+adds no computation of its own, so everything it prints is covered by
+the same DuckDB oracles and plan-lint gates as the driver surface.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+SECTIONS: list[tuple[str, str, int]] = [
+    # (section title, fine-query name, max rows to print)
+    ("Expectation suites", "q167_expectation_suite", 20),
+    ("Referential integrity", "q123_referential_integrity", 10),
+    ("Ingest audit", "q24_ingest_audit", 5),
+    ("Key-skew audit", "q121_key_skew_audit", 10),
+    ("Benford first-digit audit", "q128_benford_audit", 10),
+    ("k-anonymity (worst groups)", "q118_k_anonymity", 10),
+    ("l-diversity (QI groups)", "q177_l_diversity", 10),
+    ("Annotator agreement (kappa)", "q178_annotator_kappa", 5),
+    ("Dedup savings", "q185_dedup_savings", 5),
+    ("Effective corpus size", "q187_effective_corpus_size", 5),
+    ("Table fingerprints", "q161_table_fingerprint", 10),
+]
+
+
+def render(rows, cols, limit):
+    out = []
+    widths = [
+        max(len(c), *(len(str(r[c])) for r in rows[:limit]))
+        if rows
+        else len(c)
+        for c in cols
+    ]
+    out.append("  " + "  ".join(c.ljust(w) for c, w in zip(cols, widths)))
+    for r in rows[:limit]:
+        out.append(
+            "  " + "  ".join(str(r[c]).ljust(w) for c, w in zip(cols, widths))
+        )
+    if len(rows) > limit:
+        out.append(f"  ... ({len(rows) - limit} more rows)")
+    return "\n".join(out)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.001")
+    ap.add_argument(
+        "--sections",
+        default=None,
+        help="comma-separated query names to restrict the report to",
+    )
+    args = ap.parse_args(argv)
+
+    from dataingestiontohana_spark.plans import QUERIES
+    from dataingestiontohana_spark.session import get_spark
+
+    spark = get_spark("quality-report")
+    picked = (
+        set(args.sections.split(",")) if args.sections else None
+    )
+    print(f"# Data-quality report: {args.sf_dir}")
+    failures = 0
+    for title, name, limit in SECTIONS:
+        if picked is not None and name not in picked:
+            continue
+        try:
+            df = QUERIES[name](spark, args.sf_dir)
+            rows = df.collect()
+            print(f"\n## {title}  ({name}, {len(rows)} rows)")
+            print(render(rows, df.columns, limit))
+        except Exception as exc:  # pragma: no cover - report must not die
+            failures += 1
+            print(f"\n## {title}  ({name}) FAILED: {exc}")
+    print()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
