@@ -726,6 +726,10 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("fp", "bigint"), ("fn", "bigint"), ("precision", "double"),
         ("recall", "double"), ("f1", "double"),
     ],
+    "q192_sorted_neighborhood": [
+        ("c_custkey", "bigint"), ("s_suppkey", "bigint"),
+        ("dist", "int"), ("rank_gap", "int"),
+    ],
 }
 
 # bundle name -> ordered list of fine-query parts
@@ -884,7 +888,8 @@ BUNDLES: dict[str, list[str]] = {
     # round 6 cont.: the q69 single grew into the record-linkage bundle
     # (blocked fuzzy match + the full entity-resolution pipeline it
     # feeds: transitive clustering + golden record)
-    "q69_166_linkage": ["q69_fuzzy_name_join", "q166_entity_resolution"],
+    "q69_166_linkage": ["q69_fuzzy_name_join", "q166_entity_resolution",
+                        "q192_sorted_neighborhood"],
     "q66_141_graph": [
         "q66_dedup_clusters", "q141_triangle_count",
         "q148_local_clustering", "q151_hub_strength",

@@ -2298,3 +2298,97 @@ ORACLES["q190_revenue_bridge"] = """
     FROM cells
     ORDER BY p_brand
 """
+
+def q192_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood record-linkage blocking (Hernandez-Stolfo):
+    pool customer and supplier records, sort ONCE by the match key
+    (the numeric name suffix), and propose only cross-source pairs
+    within a rank window of w=3 — the third blocking discipline in
+    the linkage family (q69 equi-blocks on a shared attribute, q166
+    clusters transitively; sorted-neighborhood needs NO shared
+    categorical block, just an ordering, and its candidate count is
+    linear: <= (w-1) * n instead of any block's quadratic product).
+    Survivors verify with levenshtein <= 1, exactly q69's verify
+    step.
+
+    Exactness: the sort key is an int64; ranks come from the
+    two-pass bucketed-rank operator with full tie-breaks (key, src,
+    rid) so the neighborhood is a total order both engines agree on;
+    the edit distance is an integer.
+
+    Scale shape: one union scan, one bucketed-rank pass (bounded
+    windows), then an equi-join on the rank key itself (left side
+    exploded to 2 offset rows) — co-partitioned, linear fan-out,
+    never a block product.
+    """
+    from dataingestiontohana_spark.operators.ranks import bucketed_ranks
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("rid"),
+        F.lit("C").alias("src"),
+        F.substring("c_name", 10, 99).alias("nm"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("rid"),
+        F.lit("S").alias("src"),
+        F.substring("s_name", 10, 99).alias("nm"),
+    )
+    pool = c.unionByName(s).withColumn("k", F.col("nm").cast("long"))
+    ranked = bucketed_ranks(
+        pool, "k", tie_cols=("src", "rid")
+    ).select("rid", "src", "nm", "g_rn")
+    left = ranked.select(
+        F.col("rid").alias("rid_a"), F.col("src").alias("src_a"),
+        F.col("nm").alias("nm_a"),
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("off"),
+        F.col("g_rn").alias("rn_a"),
+    ).withColumn("rn_b", F.col("rn_a") + F.col("off"))
+    right = ranked.select(
+        F.col("rid").alias("rid_b"), F.col("src").alias("src_b"),
+        F.col("nm").alias("nm_b"), F.col("g_rn").alias("rn_b"),
+    )
+    dist = F.levenshtein("nm_a", "nm_b")
+    pairs = (
+        left.join(right, "rn_b")
+        .where(F.col("src_a") != F.col("src_b"))
+        .where(dist <= 1)
+        .select(
+            F.when(F.col("src_a") == "C", F.col("rid_a"))
+            .otherwise(F.col("rid_b")).alias("c_custkey"),
+            F.when(F.col("src_a") == "C", F.col("rid_b"))
+            .otherwise(F.col("rid_a")).alias("s_suppkey"),
+            dist.cast("int").alias("dist"),
+            F.col("off").cast("int").alias("rank_gap"),
+        )
+    )
+    return pairs.orderBy("c_custkey", "s_suppkey", "rank_gap")
+
+
+QUERIES["q192_sorted_neighborhood"] = q192_sorted_neighborhood
+
+ORACLES["q192_sorted_neighborhood"] = """
+    WITH pool AS (
+      SELECT c_custkey AS rid, 'C' AS src, substring(c_name, 10) AS nm
+      FROM customer
+      UNION ALL
+      SELECT s_suppkey, 'S', substring(s_name, 10) FROM supplier),
+    ranked AS (
+      SELECT rid, src, nm,
+             ROW_NUMBER() OVER (ORDER BY CAST(nm AS BIGINT), src, rid)
+               AS rn
+      FROM pool),
+    pairs AS (
+      SELECT a.rid AS rid_a, a.src AS src_a, a.nm AS nm_a,
+             b.rid AS rid_b, b.src AS src_b, b.nm AS nm_b,
+             (b.rn - a.rn) AS rank_gap
+      FROM ranked a JOIN ranked b
+        ON b.rn - a.rn IN (1, 2)
+      WHERE a.src <> b.src
+        AND levenshtein(a.nm, b.nm) <= 1)
+    SELECT CASE WHEN src_a = 'C' THEN rid_a ELSE rid_b END AS c_custkey,
+           CASE WHEN src_a = 'C' THEN rid_b ELSE rid_a END AS s_suppkey,
+           CAST(levenshtein(nm_a, nm_b) AS INTEGER) AS dist,
+           CAST(rank_gap AS INTEGER) AS rank_gap
+    FROM pairs
+    ORDER BY c_custkey, s_suppkey, rank_gap
+"""
