@@ -730,6 +730,10 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("c_custkey", "bigint"), ("s_suppkey", "bigint"),
         ("dist", "int"), ("rank_gap", "int"),
     ],
+    "q193_gapfill_interpolate": [
+        ("event_type", "string"), ("h", "timestamp"),
+        ("obs", "bigint"), ("filled", "double"), ("method", "string"),
+    ],
 }
 
 # bundle name -> ordered list of fine-query parts
@@ -831,7 +835,7 @@ BUNDLES: dict[str, list[str]] = {
         "q139_new_vs_returning", "q145_seasonal_anomaly",
         "q152_time_to_convert", "q174_cohort_ltv",
         "q176_rolling_ols_slope", "q184_weekday_seasonality",
-        "q186_funnel_window_sensitivity",
+        "q186_funnel_window_sensitivity", "q193_gapfill_interpolate",
     ],
     # round 5: q24 grew into a bundle with the one-scan per-column
     # dataset profiler (ingest-acceptance stats)

@@ -4194,3 +4194,158 @@ ORACLES["q186_funnel_window_sensitivity"] = """
     FROM u
     ORDER BY window_hours
 """
+
+def q193_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling by LINEAR INTERPOLATION — the
+    hypertable `interpolate()` companion to q99's locf(): densify the
+    hourly per-type arrival spectrum, then fill each empty slot on
+    the line between its nearest observed neighbors, time-weighted;
+    slots before the first / after the last observation degrade to
+    nearest-observation fill. Each row reports its fill method, so
+    downstream consumers can weight imputed points.
+
+    Exactness: neighbors come from the same gaps-and-islands
+    formulation as q99 run FORWARD AND BACKWARD (no IGNORE NULLS
+    syntax, identical in ANSI SQL); the interpolation weight is a
+    ratio of integer epoch-second gaps over int64 counts with
+    identical expression structure on both engines, ROUND 4.
+
+    Scale shape: one bucket aggregation is the only wide pass; the
+    spectrum is the sanctioned 1-row bounds attach + sequence
+    explode; all four windows partition on event_type over the
+    |types| x |hours| reduced frame.
+    """
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    b = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    bounds = e.agg(
+        F.min(F.date_trunc("hour", "ts")).alias("mn"),
+        F.max(F.date_trunc("hour", "ts")).alias("mx"),
+    )
+    spec = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("interval 1 hour"))
+            ).alias("h"),
+        )
+    )
+    j = spec.join(b, ["event_type", "h"], "left_outer")
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bwd = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    g = j.withColumn("g1", F.count("c").over(fwd)).withColumn(
+        "g2", F.count("c").over(bwd)
+    )
+    isl1 = Window.partitionBy("event_type", "g1")
+    isl2 = Window.partitionBy("event_type", "g2")
+    sec = F.unix_timestamp(F.col("h"))
+    g = g.select(
+        "event_type", "h", "c", sec.alias("s"),
+        F.max("c").over(isl1).alias("pc"),
+        F.min(F.when(F.col("c").isNotNull(), sec)).over(isl1).alias("ps"),
+        F.max("c").over(isl2).alias("nc"),
+        F.max(F.when(F.col("c").isNotNull(), sec)).over(isl2).alias("ns"),
+    )
+    interp = F.col("pc").cast("double") + (
+        F.col("nc") - F.col("pc")
+    ).cast("double") * (F.col("s") - F.col("ps")).cast("double") / (
+        F.col("ns") - F.col("ps")
+    ).cast("double")
+    filled = (
+        F.when(F.col("c").isNotNull(), F.col("c").cast("double"))
+        .when(
+            F.col("pc").isNotNull() & F.col("nc").isNotNull(),
+            F.round(interp, 4),
+        )
+        .when(F.col("pc").isNotNull(), F.col("pc").cast("double"))
+        .when(F.col("nc").isNotNull(), F.col("nc").cast("double"))
+        .otherwise(F.lit(0.0))
+    )
+    method = (
+        F.when(F.col("c").isNotNull(), F.lit("obs"))
+        .when(
+            F.col("pc").isNotNull() & F.col("nc").isNotNull(),
+            F.lit("interp"),
+        )
+        .when(F.col("pc").isNotNull(), F.lit("locf"))
+        .when(F.col("nc").isNotNull(), F.lit("nocb"))
+        .otherwise(F.lit("empty"))
+    )
+    return g.select(
+        "event_type", "h",
+        F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("obs"),
+        filled.alias("filled"),
+        method.alias("method"),
+    ).orderBy("event_type", "h")
+
+
+QUERIES["q193_gapfill_interpolate"] = q193_gapfill_interpolate
+
+ORACLES["q193_gapfill_interpolate"] = """
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    bounds AS (
+      SELECT MIN(date_trunc('hour', ts)) AS mn,
+             MAX(date_trunc('hour', ts)) AS mx
+      FROM events),
+    spec AS (
+      SELECT t.event_type, unnest(generate_series(b.mn, b.mx,
+                                  INTERVAL 1 HOUR)) AS h
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN bounds b),
+    j AS (
+      SELECT s.event_type, s.h, b.c
+      FROM spec s LEFT JOIN b ON s.event_type = b.event_type
+                             AND s.h = b.h),
+    g AS (
+      SELECT event_type, h, c,
+             epoch(h) AS s,
+             COUNT(c) OVER (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g1,
+             COUNT(c) OVER (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS g2
+      FROM j),
+    n AS (
+      SELECT event_type, h, c, s,
+             MAX(c) OVER w1 AS pc,
+             MIN(CASE WHEN c IS NOT NULL THEN s END) OVER w1 AS ps,
+             MAX(c) OVER w2 AS nc,
+             MAX(CASE WHEN c IS NOT NULL THEN s END) OVER w2 AS ns
+      FROM g
+      WINDOW w1 AS (PARTITION BY event_type, g1),
+             w2 AS (PARTITION BY event_type, g2))
+    SELECT event_type, h,
+           CAST(COALESCE(c, 0) AS BIGINT) AS obs,
+           CASE WHEN c IS NOT NULL THEN CAST(c AS DOUBLE)
+                WHEN pc IS NOT NULL AND nc IS NOT NULL THEN
+                  ROUND(CAST(pc AS DOUBLE)
+                        + CAST(nc - pc AS DOUBLE)
+                          * CAST(s - ps AS DOUBLE)
+                          / CAST(ns - ps AS DOUBLE), 4)
+                WHEN pc IS NOT NULL THEN CAST(pc AS DOUBLE)
+                WHEN nc IS NOT NULL THEN CAST(nc AS DOUBLE)
+                ELSE 0.0 END AS filled,
+           CASE WHEN c IS NOT NULL THEN 'obs'
+                WHEN pc IS NOT NULL AND nc IS NOT NULL THEN 'interp'
+                WHEN pc IS NOT NULL THEN 'locf'
+                WHEN nc IS NOT NULL THEN 'nocb'
+                ELSE 'empty' END AS method
+    FROM n
+    ORDER BY event_type, h
+"""
