@@ -734,6 +734,13 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("event_type", "string"), ("h", "timestamp"),
         ("obs", "bigint"), ("filled", "double"), ("method", "string"),
     ],
+    "q194_tpch_pricing_summary": [
+        ("l_returnflag", "string"), ("l_linestatus", "string"),
+        ("sum_qty", "string"), ("sum_base_price", "string"),
+        ("sum_disc_price", "string"), ("sum_charge", "string"),
+        ("avg_qty", "string"), ("avg_price", "string"),
+        ("count_order", "bigint"),
+    ],
 }
 
 # bundle name -> ordered list of fine-query parts
@@ -741,7 +748,7 @@ BUNDLES: dict[str, list[str]] = {
     "q04_68_datetime": ["q04_date_math", "q68_datetime_functions"],
     "q12_13_49_grouping": [
         "q12_rollup", "q13_cube", "q49_grouping_sets",
-        "q137_hierarchy_rollup",
+        "q137_hierarchy_rollup", "q194_tpch_pricing_summary",
     ],
     "q15_50_windows": [
         "q15_lag", "q50_first_last_window", "q122_range_frame_rolling",

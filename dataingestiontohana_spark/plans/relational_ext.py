@@ -2392,3 +2392,108 @@ ORACLES["q192_sorted_neighborhood"] = """
     FROM pairs
     ORDER BY c_custkey, s_suppkey, rank_gap
 """
+
+def q194_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1, the canonical pricing-summary report, in EXACT
+    decimal arithmetic: per (returnflag, linestatus) over lineitems
+    shipped on or before the 90-days-before-max cutoff — sum qty,
+    base price, discounted price, charge, the three averages, and
+    the row count. The marquee scan-heavy aggregate every engine
+    demos; here every money cell is DECIMAL end-to-end (the q71
+    discipline), so the result is bit-identical across engines and
+    aggregation orders, not a last-ulp double.
+
+    Exactness: inputs are 2-decimal values on the cents grid;
+    disc_price is exact at scale 4, charge at scale 6; sums widen to
+    DECIMAL(38,6); averages divide the exact sums by the exact count
+    with the quotient pinned to DECIMAL(38,6); decimals serialize as
+    fixed-scale strings (the q71 round-trip rule). The date cutoff
+    is integer day arithmetic against the corpus max ship date.
+
+    Scale shape: ONE lineitem scan with the ship-date filter pushed
+    to parquet, one 4-row hash aggregate with map-side combine —
+    TPC-H Q1's textbook plan.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    cutoff = li.agg(
+        F.date_sub(F.max(F.col("l_shipdate").cast("date")), 90).alias("cut")
+    )
+    d = lambda p, s: f"decimal({p},{s})"  # noqa: E731
+    qty = F.col("l_quantity").cast(d(18, 2))
+    price = F.col("l_extendedprice").cast(d(18, 2))
+    disc = F.col("l_discount").cast(d(18, 2))
+    tax = F.col("l_tax").cast(d(18, 2))
+    disc_price = (price * (F.lit(1).cast(d(18, 2)) - disc)).cast(d(18, 4))
+    charge = (
+        price
+        * (F.lit(1).cast(d(18, 2)) - disc)
+        * (F.lit(1).cast(d(18, 2)) + tax)
+    ).cast(d(18, 6))
+    base = li.join(F.broadcast(cutoff)).where(
+        F.col("l_shipdate").cast("date") <= F.col("cut")
+    )
+    agg = base.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast(d(38, 2)).alias("sum_qty"),
+        F.sum(price).cast(d(38, 2)).alias("sum_base_price"),
+        F.sum(disc_price).cast(d(38, 4)).alias("sum_disc_price"),
+        F.sum(charge).cast(d(38, 6)).alias("sum_charge"),
+        F.count(F.lit(1)).cast("long").alias("count_order"),
+    )
+    def avg6(col):
+        return (
+            F.col(col).cast(d(38, 8))
+            / F.col("count_order").cast(d(18, 0))
+        ).cast(d(38, 6)).cast("string")
+
+    return agg.select(
+        "l_returnflag", "l_linestatus",
+        F.col("sum_qty").cast("string").alias("sum_qty"),
+        F.col("sum_base_price").cast("string").alias("sum_base_price"),
+        F.col("sum_disc_price").cast("string").alias("sum_disc_price"),
+        F.col("sum_charge").cast("string").alias("sum_charge"),
+        avg6("sum_qty").alias("avg_qty"),
+        avg6("sum_base_price").alias("avg_price"),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+QUERIES["q194_tpch_pricing_summary"] = q194_tpch_pricing_summary
+
+ORACLES["q194_tpch_pricing_summary"] = """
+    WITH cutoff AS (
+      SELECT MAX(CAST(l_shipdate AS DATE)) - 90 AS cut FROM lineitem),
+    agg AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                  AS DECIMAL(38,2)) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS DECIMAL(38,2)) AS sum_base_price,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2))
+                     - CAST(l_discount AS DECIMAL(18,2)))
+                  AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2))
+                     - CAST(l_discount AS DECIMAL(18,2)))
+                  * (CAST(1 AS DECIMAL(18,2))
+                     + CAST(l_tax AS DECIMAL(18,2)))
+                  AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
+             CAST(COUNT(*) AS BIGINT) AS count_order
+      FROM lineitem CROSS JOIN cutoff
+      WHERE CAST(l_shipdate AS DATE) <= cut
+      GROUP BY 1, 2)
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum_qty AS VARCHAR) AS sum_qty,
+           CAST(sum_base_price AS VARCHAR) AS sum_base_price,
+           CAST(sum_disc_price AS VARCHAR) AS sum_disc_price,
+           CAST(sum_charge AS VARCHAR) AS sum_charge,
+           CAST(CAST(CAST(sum_qty AS DECIMAL(38,8))
+                / CAST(count_order AS DECIMAL(18,0))
+                AS DECIMAL(38,6)) AS VARCHAR) AS avg_qty,
+           CAST(CAST(CAST(sum_base_price AS DECIMAL(38,8))
+                / CAST(count_order AS DECIMAL(18,0))
+                AS DECIMAL(38,6)) AS VARCHAR) AS avg_price,
+           count_order
+    FROM agg
+    ORDER BY l_returnflag, l_linestatus
+"""
