@@ -61,7 +61,9 @@ def clamped_wallet_per_user(
             }
         )
 
+    key_type = rows.schema[key].dataType.simpleString()
     schema = (
-        f"{key} long, n_events long, n_clamps long, final_cents long"
+        f"{key} {key_type}, n_events long, n_clamps long, "
+        "final_cents long"
     )
     return rows.groupBy(key).applyInPandas(kernel, schema)

@@ -739,7 +739,7 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("sum_qty", "string"), ("sum_base_price", "string"),
         ("sum_disc_price", "string"), ("sum_charge", "string"),
         ("avg_qty", "string"), ("avg_price", "string"),
-        ("count_order", "bigint"),
+        ("avg_disc", "string"), ("count_order", "bigint"),
     ],
 }
 

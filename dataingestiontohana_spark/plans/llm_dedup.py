@@ -947,10 +947,14 @@ def q191_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames; the readout is three 1-row aggregates broadcast-attached.
     """
     d = load_table(spark, sf_dir, "documents")
+    # lazy-checkpoint: pred feeds BOTH the intersection join and the
+    # n_pred count in one plan — without the barrier the LSH
+    # signature+band pipeline (the expensive part) executes twice
     pred = (
         minhash_candidates(d)
         .where(F.col("jaccard_sig") >= 0.5)
         .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
     )
     truth = _exact_pairs_cached(spark, sf_dir, 0.5).select("id_a", "id_b")
     tp_f = pred.join(truth, ["id_a", "id_b"]).agg(

@@ -3183,9 +3183,12 @@ def q171_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage's deadline depends on the PREVIOUS stage's achieved time.
 
     Exactness: stage times are min() aggregates over exact
-    timestamps; deadlines are +86,400-second interval arithmetic on
-    int64 epochs; counts are int64; rates are single divisions
-    rounded at 6.
+    timestamps; deadlines are +24h INTERVAL comparisons at FULL
+    microsecond precision on both engines (epoch-seconds arithmetic
+    would truncate on the Spark side while DuckDB's epoch() keeps
+    fractions — a boundary row in the (86400s, 86400s+1s) gap would
+    diverge); counts are int64; rates are single divisions rounded
+    at 6.
 
     Scale shape: three per-user reduced frames chained by user-key
     joins (each join input is |users| rows, NOT events — the q97
@@ -3207,7 +3210,7 @@ def q171_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks.join(views, "user_id")
         .where(
             (F.col("ct") > F.col("v0"))
-            & (F.unix_timestamp("ct") <= F.unix_timestamp("v0") + 86400)
+            & (F.col("ct") <= F.col("v0") + F.expr("INTERVAL 24 HOURS"))
         )
         .groupBy("user_id")
         .agg(F.min("ct").alias("c0"))
@@ -3219,7 +3222,7 @@ def q171_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases.join(c1, "user_id")
         .where(
             (F.col("pt") > F.col("c0"))
-            & (F.unix_timestamp("pt") <= F.unix_timestamp("c0") + 86400)
+            & (F.col("pt") <= F.col("c0") + F.expr("INTERVAL 24 HOURS"))
         )
         .groupBy("user_id")
         .agg(F.min("pt").alias("p0"))
@@ -3255,14 +3258,14 @@ ORACLES["q171_windowed_funnel"] = """
       FROM events e JOIN views v ON e.user_id = v.user_id
       WHERE e.event_type = 'click'
         AND CAST(e.ts AS TIMESTAMP) > v.v0
-        AND epoch(CAST(e.ts AS TIMESTAMP)) <= epoch(v.v0) + 86400
+        AND CAST(e.ts AS TIMESTAMP) <= v.v0 + INTERVAL 24 HOUR
       GROUP BY 1),
     p1 AS (
       SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS p0
       FROM events e JOIN c1 c ON e.user_id = c.user_id
       WHERE e.event_type = 'purchase'
         AND CAST(e.ts AS TIMESTAMP) > c.c0
-        AND epoch(CAST(e.ts AS TIMESTAMP)) <= epoch(c.c0) + 86400
+        AND CAST(e.ts AS TIMESTAMP) <= c.c0 + INTERVAL 24 HOUR
       GROUP BY 1),
     stats AS (
       SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM views) AS n_viewed,
@@ -4089,8 +4092,10 @@ def q186_funnel_window_sensitivity(spark: SparkSession, sf_dir: str) -> DataFram
     view -> click conversion measured simultaneously at 1h / 6h /
     24h / 168h deadlines from each user's first view, in ONE scan.
 
-    Exactness: per-user minimum click lag is integer epoch-second
-    arithmetic; the four deadline tests are integer comparisons on
+    Exactness: per-user minimum click lag is integer epoch-MICROsecond
+    arithmetic (exact int64 on both engines — second-granularity
+    unix_timestamp truncates in Spark while DuckDB epoch() keeps
+    fractions); the four deadline tests are integer comparisons on
     that ONE reduced column; rates are single divisions ROUND 6.
 
     Scale shape: views and clicks each reduce map-side per user; one
@@ -4100,25 +4105,30 @@ def q186_funnel_window_sensitivity(spark: SparkSession, sf_dir: str) -> DataFram
     then a 4-row literal explode.
     """
     e = _t(spark, sf_dir, "events")
-    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    # integer MICROSECONDS, not unix_timestamp: the data carries
+    # sub-second timestamps, and Spark's unix_timestamp truncates
+    # while DuckDB's epoch() keeps fractions — second-granularity
+    # arithmetic would diverge on any boundary row. epoch_us is an
+    # exact int64 on both engines.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     views = (
         e.where(F.col("event_type") == "view")
         .groupBy("user_id")
-        .agg(F.min(sec).alias("v0"))
+        .agg(F.min(us).alias("v0"))
     )
     clicks = e.where(F.col("event_type") == "click").select(
-        "user_id", sec.alias("ct")
+        "user_id", us.alias("ct")
     )
     minlag = (
         clicks.join(views, "user_id")
         .where(F.col("ct") > F.col("v0"))
         .groupBy("user_id")
-        .agg(F.min(F.col("ct") - F.col("v0")).alias("lag_s"))
+        .agg(F.min(F.col("ct") - F.col("v0")).alias("lag_us"))
     )
     hours = [1, 6, 24, 168]
     lag_counts = minlag.agg(
         *[
-            F.sum((F.col("lag_s") <= h * 3600).cast("long"))
+            F.sum((F.col("lag_us") <= h * 3600 * 1_000_000).cast("long"))
             .cast("long")
             .alias(f"m{h}")
             for h in hours
@@ -4159,23 +4169,23 @@ QUERIES["q186_funnel_window_sensitivity"] = q186_funnel_window_sensitivity
 
 ORACLES["q186_funnel_window_sensitivity"] = """
     WITH views AS (
-      SELECT user_id, MIN(epoch(CAST(ts AS TIMESTAMP))) AS v0
+      SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS v0
       FROM events WHERE event_type = 'view' GROUP BY 1),
     minlag AS (
       SELECT e.user_id,
-             MIN(epoch(CAST(e.ts AS TIMESTAMP)) - v.v0) AS lag_s
+             MIN(epoch_us(CAST(e.ts AS TIMESTAMP)) - v.v0) AS lag_us
       FROM events e JOIN views v ON e.user_id = v.user_id
       WHERE e.event_type = 'click'
-        AND epoch(CAST(e.ts AS TIMESTAMP)) > v.v0
+        AND epoch_us(CAST(e.ts AS TIMESTAMP)) > v.v0
       GROUP BY 1),
     c AS (
-      SELECT CAST(COALESCE(SUM(CASE WHEN lag_s <= 1 * 3600
+      SELECT CAST(COALESCE(SUM(CASE WHEN lag_us <= 1::BIGINT * 3600 * 1000000
                THEN 1 ELSE 0 END), 0) AS BIGINT) AS m1,
-             CAST(COALESCE(SUM(CASE WHEN lag_s <= 6 * 3600
+             CAST(COALESCE(SUM(CASE WHEN lag_us <= 6::BIGINT * 3600 * 1000000
                THEN 1 ELSE 0 END), 0) AS BIGINT) AS m6,
-             CAST(COALESCE(SUM(CASE WHEN lag_s <= 24 * 3600
+             CAST(COALESCE(SUM(CASE WHEN lag_us <= 24::BIGINT * 3600 * 1000000
                THEN 1 ELSE 0 END), 0) AS BIGINT) AS m24,
-             CAST(COALESCE(SUM(CASE WHEN lag_s <= 168 * 3600
+             CAST(COALESCE(SUM(CASE WHEN lag_us <= 168::BIGINT * 3600 * 1000000
                THEN 1 ELSE 0 END), 0) AS BIGINT) AS m168
       FROM minlag),
     nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_viewed FROM views),

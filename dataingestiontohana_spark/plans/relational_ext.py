@@ -2022,8 +2022,10 @@ def q188_incremental_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     algebra — the ONLY session that can fuse across the split is
     (last H1 session, first H2 session), and it fuses exactly when
     min(H2 ts) <= max(H1 ts) + 30min. So the incremental state per
-    user is three numbers (session count, event count, last event
-    ts), not a session list.
+    user is three values (session count, event count, last event
+    timestamp — kept at FULL microsecond precision so the fuse test
+    is the identical interval comparison the gap rule uses), not a
+    session list.
 
     The DuckDB oracle replays BATCH sessionization over the unsplit
     corpus — the hash match IS the incremental == recompute proof
@@ -2058,14 +2060,19 @@ def q188_incremental_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTE")),
             1,
         ).otherwise(0)
+        # keep boundary times as FULL-PRECISION timestamps: the fuse
+        # test below must use the same microsecond-exact interval
+        # comparison as the in-half gap rule (and the batch oracle) —
+        # truncated epoch seconds would fuse a cross-boundary gap in
+        # (1800s, 1801s) that batch sessionization keeps split
         return (
-            df.select("user_id", "ts", "event_id", "s", new_sess.alias("b"))
+            df.select("user_id", "ts", "event_id", new_sess.alias("b"))
             .groupBy("user_id")
             .agg(
                 F.sum("b").cast("long").alias(f"n_sess_{label}"),
                 F.count(F.lit(1)).cast("long").alias(f"n_ev_{label}"),
-                F.min("s").cast("long").alias(f"first_{label}"),
-                F.max("s").cast("long").alias(f"last_{label}"),
+                F.min("ts").alias(f"first_{label}"),
+                F.max("ts").alias(f"last_{label}"),
             )
         )
 
@@ -2080,7 +2087,10 @@ def q188_incremental_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.when(
                 F.col("n_sess_h1").isNotNull()
                 & F.col("n_sess_h2").isNotNull()
-                & (F.col("first_h2") <= F.col("last_h1") + 1800),
+                & (
+                    F.col("first_h2")
+                    <= F.col("last_h1") + F.expr("INTERVAL 30 MINUTE")
+                ),
                 F.lit(1),
             ).otherwise(F.lit(0)).cast("long")
         ).alias("n_sessions"),
@@ -2437,6 +2447,7 @@ def q194_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(price).cast(d(38, 2)).alias("sum_base_price"),
         F.sum(disc_price).cast(d(38, 4)).alias("sum_disc_price"),
         F.sum(charge).cast(d(38, 6)).alias("sum_charge"),
+        F.sum(disc).cast(d(38, 2)).alias("sum_disc"),
         F.count(F.lit(1)).cast("long").alias("count_order"),
     )
     def avg6(col):
@@ -2453,6 +2464,7 @@ def q194_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_charge").cast("string").alias("sum_charge"),
         avg6("sum_qty").alias("avg_qty"),
         avg6("sum_base_price").alias("avg_price"),
+        avg6("sum_disc").alias("avg_disc"),
         "count_order",
     ).orderBy("l_returnflag", "l_linestatus")
 
@@ -2478,6 +2490,8 @@ ORACLES["q194_tpch_pricing_summary"] = """
                   * (CAST(1 AS DECIMAL(18,2))
                      + CAST(l_tax AS DECIMAL(18,2)))
                   AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2)))
+                  AS DECIMAL(38,2)) AS sum_disc,
              CAST(COUNT(*) AS BIGINT) AS count_order
       FROM lineitem CROSS JOIN cutoff
       WHERE CAST(l_shipdate AS DATE) <= cut
@@ -2493,6 +2507,9 @@ ORACLES["q194_tpch_pricing_summary"] = """
            CAST(CAST(CAST(sum_base_price AS DECIMAL(38,8))
                 / CAST(count_order AS DECIMAL(18,0))
                 AS DECIMAL(38,6)) AS VARCHAR) AS avg_price,
+           CAST(CAST(CAST(sum_disc AS DECIMAL(38,8))
+                / CAST(count_order AS DECIMAL(18,0))
+                AS DECIMAL(38,6)) AS VARCHAR) AS avg_disc,
            count_order
     FROM agg
     ORDER BY l_returnflag, l_linestatus

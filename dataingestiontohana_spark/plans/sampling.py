@@ -1553,11 +1553,16 @@ def q173_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.sum("buyer").cast("long").alias("n_buyers"),
         F.coalesce(
+            # cast per ROW, not on the result: a LongType sum wraps
+            # silently past 2^63 (ANSI off) before an outer cast
+            # could widen it; rank sums grow ~n^2
             F.sum(
                 F.when(
                     F.col("buyer") == 1, F.col("g_rank") + F.col("g_cume")
-                ).otherwise(F.lit(0))
-            ).cast("decimal(38,0)"),
+                )
+                .otherwise(F.lit(0))
+                .cast("decimal(38,0)")
+            ),
             F.lit(0).cast("decimal(38,0)"),
         ).alias("r2_pos"),
     )

@@ -71,6 +71,14 @@ def main(argv=None) -> int:
     picked = (
         set(args.sections.split(",")) if args.sections else None
     )
+    if picked is not None:
+        known = {name for _, name, _ in SECTIONS}
+        unknown = sorted(picked - known)
+        if unknown:
+            raise SystemExit(
+                f"unknown --sections names: {', '.join(unknown)} "
+                f"(choose from: {', '.join(sorted(known))})"
+            )
     print(f"# Data-quality report: {args.sf_dir}")
     failures = 0
     for title, name, limit in SECTIONS:
