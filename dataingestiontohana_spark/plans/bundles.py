@@ -734,6 +734,11 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("event_type", "string"), ("h", "timestamp"),
         ("obs", "bigint"), ("filled", "double"), ("method", "string"),
     ],
+    "q195_es_weighted_sample": [
+        ("source", "string"), ("sampled_docs", "bigint"),
+        ("sampled_chars", "bigint"), ("min_doc_id", "bigint"),
+        ("max_doc_id", "bigint"),
+    ],
     "q194_tpch_pricing_summary": [
         ("l_returnflag", "string"), ("l_linestatus", "string"),
         ("sum_qty", "string"), ("sum_base_price", "string"),
@@ -803,7 +808,7 @@ BUNDLES: dict[str, list[str]] = {
         "q111_source_entropy", "q112_weighted_sample",
         "q130_token_budget_fill", "q143_temperature_mix",
         "q149_mutual_information", "q163_quantile_normalize",
-        "q168_cuped_ab_analysis",
+        "q168_cuped_ab_analysis", "q195_es_weighted_sample",
     ],
     "q32_70_shingle_exact": [
         "q32_ngram_jaccard", "q70_split_contamination", "q89_substring_dup",

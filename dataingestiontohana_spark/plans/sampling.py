@@ -1919,3 +1919,83 @@ ORACLES["q183_segment_migration"] = """
     FROM m
     ORDER BY from_tile, to_tile
 """
+
+def q195_es_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-k weighted sampling WITHOUT replacement via
+    Efraimidis-Spirakis (2006): every document draws a deterministic
+    uniform u from its md5 hash and competes on the key ln(u)/w
+    (equivalent to u^(1/w) — the classic one-pass reservoir law);
+    the k=100 largest keys ARE a weight-proportional
+    without-replacement sample. q112 keeps each doc independently
+    (expected-count guarantees, variable sample size); this is the
+    complementary contract — an exact-size sample, the one a
+    fixed-budget annotation batch or eval set needs.
+
+    Exactness: u = (md5_32(doc) + 1) / (2^32 + 1) is an exact double
+    built from the portable nibble hash (the q30/q31 oracle
+    precedent); ln is the libm precedent; the competition key is the
+    IDENTICAL double expression on both engines, so the top-k
+    boundary agrees bit for bit; ties (impossible in practice, u
+    collision) break on doc_id.
+
+    Scale shape: map-only key computation, then ONE
+    TakeOrderedAndProject(k) — no shuffle of the corpus, no window;
+    the summary re-aggregates 100 rows.
+    """
+    from dataingestiontohana_spark.operators.sketches import _md5_int
+
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        (_md5_int(F.col("doc_id").cast("string"), 195) + 1).cast("double")
+        / F.lit(4294967297.0)
+    )
+    w = F.col("n_chars").cast("double")
+    key = F.log(u) / w
+    picked = (
+        d.where(F.col("n_chars") > 0)
+        .select("doc_id", "source", "n_chars", key.alias("es_key"))
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(100)
+    )
+    return (
+        picked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("sampled_docs"),
+            F.sum("n_chars").cast("long").alias("sampled_chars"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+            F.max("doc_id").cast("long").alias("max_doc_id"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["q195_es_weighted_sample"] = q195_es_weighted_sample
+
+
+def _q195_oracle() -> str:
+    from dataingestiontohana_spark.operators.sketches import hex_uint_sql
+
+    h = hex_uint_sql("CAST(doc_id AS VARCHAR)", 195)
+    return f"""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             ln(CAST({h} + 1 AS DOUBLE) / 4294967297.0)
+               / CAST(n_chars AS DOUBLE) AS es_key
+      FROM documents
+      WHERE n_chars > 0),
+    picked AS (
+      SELECT * FROM keyed
+      ORDER BY es_key DESC, doc_id
+      LIMIT 100)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS sampled_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sampled_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM picked
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+ORACLES["q195_es_weighted_sample"] = _q195_oracle()
