@@ -734,6 +734,11 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("event_type", "string"), ("h", "timestamp"),
         ("obs", "bigint"), ("filled", "double"), ("method", "string"),
     ],
+    "q196_dp_noisy_counts": [
+        ("c_mktsegment", "string"), ("c_nationkey", "int"),
+        ("true_n", "bigint"), ("noise_q6", "bigint"),
+        ("released_n", "bigint"),
+    ],
     "q195_es_weighted_sample": [
         ("source", "string"), ("sampled_docs", "bigint"),
         ("sampled_chars", "bigint"), ("min_doc_id", "bigint"),
@@ -856,7 +861,7 @@ BUNDLES: dict[str, list[str]] = {
         "q121_key_skew_audit", "q123_referential_integrity",
         "q128_benford_audit", "q161_table_fingerprint",
         "q167_expectation_suite", "q169_order_reconciliation",
-        "q177_l_diversity",
+        "q177_l_diversity", "q196_dp_noisy_counts",
     ],
     # round 6: the q47 single grew into the event-sequence bundle —
     # sessionization, the first-order Markov transition matrix, and

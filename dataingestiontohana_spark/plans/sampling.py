@@ -1999,3 +1999,92 @@ def _q195_oracle() -> str:
 
 
 ORACLES["q195_es_weighted_sample"] = _q195_oracle()
+
+def q196_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism noisy count release over the q177 QI groups
+    (mktsegment x nation), epsilon = 1, sensitivity 1 — the
+    differential-privacy release SHAPE, with the noise drawn from a
+    SEEDED md5 uniform via the inverse-CDF transform
+
+        L = -b * sign(u - 1/2) * ln(1 - 2|u - 1/2|),  b = 1/eps
+
+    so the whole mechanism replays deterministically in the DuckDB
+    oracle. NOTE (documented contract): deterministic seeding makes
+    this a TESTABLE mechanism harness — the algebra, clamping and
+    release columns of a DP pipeline — not a privacy guarantee; a
+    production release swaps the seeded uniform for a real RNG and
+    drops the true_n audit column.
+
+    Exactness: u = (md5_32(group) + 0.5) / 2^32 is an exact double
+    (never 0 or 1, so ln never sees 0); ln is the libm precedent;
+    the noise quantizes to q6 BEFORE the integer release add, and
+    the released count clamps at 0.
+
+    Scale shape: one aggregate to the ~125 QI cells (map-side
+    combine), then map-only noise arithmetic.
+    """
+    from dataingestiontohana_spark.operators.sketches import _md5_int
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    per = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    cells = (
+        per.join(c, per["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(F.sum("cnt").cast("long").alias("true_n"))
+    )
+    gkey = F.concat_ws(":", "c_mktsegment", F.col("c_nationkey").cast("string"))
+    u = (_md5_int(gkey, 196).cast("double") + 0.5) / F.lit(4294967296.0)
+    centered = u - F.lit(0.5)
+    lap = -F.signum(centered) * F.log(
+        F.lit(1.0) - F.lit(2.0) * F.abs(centered)
+    )
+    noise_q6 = F.round(lap * 1e6, 0).cast("long")
+    noisy = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("true_n") + F.round(F.col("noise_q6").cast("double") / 1e6, 0)
+        .cast("long"),
+    )
+    return (
+        cells.withColumn("noise_q6", noise_q6)
+        .select(
+            "c_mktsegment", "c_nationkey", "true_n", "noise_q6",
+            noisy.alias("released_n"),
+        )
+        .orderBy("c_mktsegment", "c_nationkey")
+    )
+
+
+QUERIES["q196_dp_noisy_counts"] = q196_dp_noisy_counts
+
+
+def _q196_oracle() -> str:
+    from dataingestiontohana_spark.operators.sketches import hex_uint_sql
+
+    h = hex_uint_sql(
+        "(c_mktsegment || ':' || CAST(c_nationkey AS VARCHAR))", 196
+    )
+    return f"""
+    WITH cells AS (
+      SELECT c.c_mktsegment, c.c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS true_n
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    noised AS (
+      SELECT c_mktsegment, c_nationkey, true_n,
+             CAST(ROUND(
+               -sign((CAST({h} AS DOUBLE) + 0.5) / 4294967296.0 - 0.5)
+               * ln(1.0 - 2.0 * abs((CAST({h} AS DOUBLE) + 0.5)
+                                    / 4294967296.0 - 0.5))
+               * 1e6, 0) AS BIGINT) AS noise_q6
+      FROM cells)
+    SELECT c_mktsegment, c_nationkey, true_n, noise_q6,
+           greatest(CAST(0 AS BIGINT),
+                    true_n + CAST(ROUND(CAST(noise_q6 AS DOUBLE) / 1e6,
+                                        0) AS BIGINT)) AS released_n
+    FROM noised
+    ORDER BY c_mktsegment, c_nationkey
+"""
+
+
+ORACLES["q196_dp_noisy_counts"] = _q196_oracle()
