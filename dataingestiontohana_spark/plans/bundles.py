@@ -734,6 +734,15 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("event_type", "string"), ("h", "timestamp"),
         ("obs", "bigint"), ("filled", "double"), ("method", "string"),
     ],
+    "q197_dup_provenance": [
+        ("source_a", "string"), ("source_b", "string"),
+        ("same_source", "boolean"), ("n_pairs", "bigint"),
+        ("avg_jaccard", "double"),
+    ],
+    "q198_childless_parents": [
+        ("relationship", "string"), ("n_parents", "bigint"),
+        ("childless", "bigint"), ("coverage", "double"),
+    ],
     "q196_dp_noisy_counts": [
         ("c_mktsegment", "string"), ("c_nationkey", "int"),
         ("true_n", "bigint"), ("noise_q6", "bigint"),
@@ -862,6 +871,7 @@ BUNDLES: dict[str, list[str]] = {
         "q128_benford_audit", "q161_table_fingerprint",
         "q167_expectation_suite", "q169_order_reconciliation",
         "q177_l_diversity", "q196_dp_noisy_counts",
+        "q198_childless_parents",
     ],
     # round 6: the q47 single grew into the event-sequence bundle —
     # sessionization, the first-order Markov transition matrix, and

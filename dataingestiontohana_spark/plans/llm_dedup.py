@@ -1009,3 +1009,75 @@ ORACLES["q191_lsh_quality"] = f"""
                          / CAST(n_pred + n_true AS DOUBLE), 6) END AS f1
     FROM np_ CROSS JOIN nt_ CROSS JOIN tp_
 """
+
+def q197_dup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate PROVENANCE breakdown: are the corpus's exact
+    Jaccard >= 0.5 pairs intra-source (the same crawl re-emitting a
+    page — fix the ingest) or cross-source (genuine syndication —
+    fix the dedup policy)? The answer routes the remediation, which
+    is why dedup reports in practice split on it. Pairs come from
+    the q32 prefix-filtered exact join; each side attaches its
+    source and the report is per (source_a, source_b) ordered pair
+    class with a same_source flag and the mean estimated Jaccard.
+
+    Exactness: counts int64; jaccard is the q32 exact ROUND 4 value,
+    averaged via a q6-quantized sum (fold-order-immune) and ONE
+    final division ROUND 4.
+
+    Scale shape: the pair generator is the PPJoin scale path; the
+    two source attaches are key-partitioned joins of the pair frame
+    against the slim (doc_id, source) projection; the report
+    aggregate is |sources|^2 rows.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = _exact_pairs_cached(spark, sf_dir, 0.5)
+    j = (
+        pairs.join(
+            d.select(F.col("doc_id").alias("id_a"),
+                     F.col("source").alias("src_a")), "id_a"
+        )
+        .join(
+            d.select(F.col("doc_id").alias("id_b"),
+                     F.col("source").alias("src_b")), "id_b"
+        )
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            (F.col("src_a") == F.col("src_b")).alias("same_source"),
+            F.round(F.col("jaccard") * 1e6, 0).cast("long").alias("j_q6"),
+        )
+    )
+    return (
+        j.groupBy("source_a", "source_b", "same_source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(
+                F.sum("j_q6").cast("double")
+                / (F.count(F.lit(1)).cast("double") * 1e6),
+                4,
+            ).alias("avg_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+QUERIES["q197_dup_provenance"] = q197_dup_provenance
+
+ORACLES["q197_dup_provenance"] = f"""
+    WITH pairs AS ({_EXACT_PAIRS_SQL}),
+    j AS (
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b,
+             da.source = db.source AS same_source,
+             CAST(ROUND(p.jaccard * 1e6, 0) AS BIGINT) AS j_q6
+      FROM pairs p
+      JOIN documents da ON p.id_a = da.doc_id
+      JOIN documents db ON p.id_b = db.doc_id)
+    SELECT source_a, source_b, same_source,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(CAST(SUM(j_q6) AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE) * 1e6), 4) AS avg_jaccard
+    FROM j
+    GROUP BY 1, 2, 3
+    ORDER BY source_a, source_b
+"""

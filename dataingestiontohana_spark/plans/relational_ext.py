@@ -2514,3 +2514,91 @@ ORACLES["q194_tpch_pricing_summary"] = """
     FROM agg
     ORDER BY l_returnflag, l_linestatus
 """
+
+def q198_childless_parents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse-direction completeness audit — q123 catches orphan
+    CHILDREN (fact rows pointing at missing dimensions); this catches
+    childless PARENTS (orders that never shipped a line item,
+    customers that never ordered): the reconciliation direction that
+    signals dropped feeds or half-loaded partitions rather than bad
+    keys. Reported per relationship with the coverage rate.
+
+    Exactness: counts are int64 from distinct-reduced key frames;
+    the coverage rate is one division ROUND 6.
+
+    Scale shape: each side reduces to its DISTINCT key set map-side
+    BEFORE the left-anti join (so the join input is |keys|, not
+    |rows|); two relationships = two independent anti-joins unioned
+    into a 2-row report.
+    """
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+
+    def audit(rel, parents, children):
+        p = parents.distinct()
+        ch = children.distinct()
+        n_par = p.agg(F.count(F.lit(1)).cast("long").alias("n_parents"))
+        childless = p.join(ch, p["pk"] == ch["ck"], "left_anti")
+        n_cl = childless.agg(
+            F.count(F.lit(1)).cast("long").alias("childless")
+        )
+        return (
+            n_par.join(F.broadcast(n_cl))
+            .select(
+                F.lit(rel).alias("relationship"),
+                "n_parents", "childless",
+                F.when(F.col("n_parents") == 0, F.lit(0.0))
+                .otherwise(
+                    F.round(
+                        (F.col("n_parents") - F.col("childless"))
+                        .cast("double")
+                        / F.col("n_parents").cast("double"),
+                        6,
+                    )
+                )
+                .alias("coverage"),
+            )
+        )
+
+    a = audit(
+        "orders->lineitem",
+        o.select(F.col("o_orderkey").alias("pk")),
+        li.select(F.col("l_orderkey").alias("ck")),
+    )
+    b = audit(
+        "customer->orders",
+        c.select(F.col("c_custkey").alias("pk")),
+        o.select(F.col("o_custkey").alias("ck")),
+    )
+    return a.unionByName(b).orderBy("relationship")
+
+
+QUERIES["q198_childless_parents"] = q198_childless_parents
+
+ORACLES["q198_childless_parents"] = """
+    WITH a AS (
+      SELECT 'orders->lineitem' AS relationship,
+             (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT)
+              FROM orders) AS n_parents,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM
+               (SELECT DISTINCT o_orderkey FROM orders) p
+              WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                WHERE l.l_orderkey = p.o_orderkey))
+               AS childless),
+    b AS (
+      SELECT 'customer->orders' AS relationship,
+             (SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT)
+              FROM customer) AS n_parents,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM
+               (SELECT DISTINCT c_custkey FROM customer) p
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = p.c_custkey))
+               AS childless)
+    SELECT relationship, n_parents, childless,
+           CASE WHEN n_parents = 0 THEN 0.0
+                ELSE ROUND(CAST(n_parents - childless AS DOUBLE)
+                         / CAST(n_parents AS DOUBLE), 6) END AS coverage
+    FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+    ORDER BY relationship
+"""
