@@ -24,6 +24,7 @@ SECTIONS: list[tuple[str, str, int]] = [
     # (section title, fine-query name, max rows to print)
     ("Expectation suites", "q167_expectation_suite", 20),
     ("Referential integrity", "q123_referential_integrity", 10),
+    ("Completeness (childless parents)", "q198_childless_parents", 5),
     ("Ingest audit", "q24_ingest_audit", 5),
     ("Key-skew audit", "q121_key_skew_audit", 10),
     ("Benford first-digit audit", "q128_benford_audit", 10),
