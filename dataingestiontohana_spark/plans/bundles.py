@@ -734,6 +734,15 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("event_type", "string"), ("h", "timestamp"),
         ("obs", "bigint"), ("filled", "double"), ("method", "string"),
     ],
+    "q199_winsorized_mean": [
+        ("o_orderstatus", "string"), ("n_orders", "bigint"),
+        ("p05_cents", "bigint"), ("p95_cents", "bigint"),
+        ("winsorized_mean_cents", "double"),
+    ],
+    "q200_tail_index": [
+        ("k_used", "bigint"), ("sum_q6", "bigint"),
+        ("alpha_hill", "double"),
+    ],
     "q197_dup_provenance": [
         ("source_a", "string"), ("source_b", "string"),
         ("same_source", "boolean"), ("n_pairs", "bigint"),
@@ -784,6 +793,7 @@ BUNDLES: dict[str, list[str]] = {
         "q140_pareto_frontier", "q146_fulfillment_latency",
         "q150_business_day_sla", "q157_gini_concentration",
         "q175_rfm_segments", "q183_segment_migration",
+        "q199_winsorized_mean",
     ],
     "q21_27_52_language": [
         "q21_lang_stats", "q27_lang_id", "q52_observe_audit",
@@ -798,6 +808,7 @@ BUNDLES: dict[str, list[str]] = {
         "q26_quality_score", "q28_fingerprint", "q79_pii_redaction",
         "q80_bm25_topk", "q91_token_rarity", "q93_gopher_rules",
         "q105_pmi_bigrams", "q108_textrank", "q178_annotator_kappa",
+        "q200_tail_index",
     ],
     "q22_29_exact_dedup": [
         "q22_exact_dedup_count", "q29_exact_dedup", "q92_segment_dedup",

@@ -2088,3 +2088,207 @@ def _q196_oracle() -> str:
 
 
 ORACLES["q196_dp_noisy_counts"] = _q196_oracle()
+
+def q199_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean order value per status — the outlier-robust
+    estimator that CLAMPS the tails at the exact p5/p95 instead of
+    discarding them (q138 trims; winsorizing keeps the row count, the
+    convention most financial reporting uses). Thresholds come from
+    the exact inverse-ECDF over the value-grouped distribution.
+
+    Exactness: thresholds are the smallest value whose cumulative
+    count reaches ceil(q*n) — pure integer arithmetic ((q*n + 99)
+    div 100, floor division on non-negatives agrees across engines);
+    clamped values are int64 cents; the mean is ONE division ROUND 4.
+
+    Scale shape: orders reduce map-side to (status, cents) value
+    groups; the cumulative window runs over that reduced frame
+    partitioned by status; thresholds broadcast back onto the
+    second (already reduced) pass — the raw table is scanned once.
+    """
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    vals = o.groupBy(
+        F.col("o_orderstatus").alias("st"), cents.alias("v")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w_cum = (
+        Window.partitionBy("st")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("st")
+    g = vals.select(
+        "st", "v", "c",
+        F.sum("c").over(w_cum).cast("long").alias("cum"),
+        F.sum("c").over(w_all).cast("long").alias("n"),
+    )
+    lo_rank = F.floor((F.col("n") * 5 + 99) / 100).cast("long")
+    hi_rank = F.floor((F.col("n") * 95 + 99) / 100).cast("long")
+    thr = g.groupBy("st").agg(
+        F.min(F.when(F.col("cum") >= lo_rank, F.col("v"))).alias("lo"),
+        F.min(F.when(F.col("cum") >= hi_rank, F.col("v"))).alias("hi"),
+        F.max("n").alias("n"),
+    )
+    clamped = (
+        vals.join(F.broadcast(thr), "st")
+        .select(
+            "st", "n", "c",
+            F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("v")))
+            .alias("cv"),
+            "lo", "hi",
+        )
+    )
+    return (
+        clamped.groupBy("st")
+        .agg(
+            F.max("n").cast("long").alias("n_orders"),
+            F.max("lo").cast("long").alias("p05_cents"),
+            F.max("hi").cast("long").alias("p95_cents"),
+            F.round(
+                F.sum(F.col("cv") * F.col("c")).cast("double")
+                / F.max("n").cast("double"),
+                4,
+            ).alias("winsorized_mean_cents"),
+        )
+        .select(
+            F.col("st").alias("o_orderstatus"), "n_orders",
+            "p05_cents", "p95_cents", "winsorized_mean_cents",
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+QUERIES["q199_winsorized_mean"] = q199_winsorized_mean
+
+ORACLES["q199_winsorized_mean"] = """
+    WITH vals AS (
+      SELECT o_orderstatus AS st,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1, 2),
+    g AS (
+      SELECT st, v, c,
+             CAST(SUM(c) OVER (PARTITION BY st ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum,
+             CAST(SUM(c) OVER (PARTITION BY st) AS BIGINT) AS n
+      FROM vals),
+    thr AS (
+      SELECT st,
+             MIN(CASE WHEN cum >= (n * 5 + 99) // 100 THEN v END) AS lo,
+             MIN(CASE WHEN cum >= (n * 95 + 99) // 100 THEN v END) AS hi,
+             MAX(n) AS n
+      FROM g GROUP BY st),
+    clamped AS (
+      SELECT vals.st, thr.n, vals.c,
+             greatest(thr.lo, least(thr.hi, vals.v)) AS cv,
+             thr.lo, thr.hi
+      FROM vals JOIN thr ON vals.st = thr.st)
+    SELECT st AS o_orderstatus,
+           CAST(MAX(n) AS BIGINT) AS n_orders,
+           CAST(MAX(lo) AS BIGINT) AS p05_cents,
+           CAST(MAX(hi) AS BIGINT) AS p95_cents,
+           ROUND(CAST(SUM(cv * c) AS DOUBLE) / CAST(MAX(n) AS DOUBLE), 4)
+             AS winsorized_mean_cents
+    FROM clamped
+    GROUP BY st
+    ORDER BY o_orderstatus
+"""
+
+
+def q200_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimate of the document-length distribution —
+    the Zipf/power-law exponent every corpus-census slide quotes:
+    over the k=200 largest documents, alpha = k / SUM ln(x_i / x_thr)
+    with x_thr the (k+1)-th order statistic. A heavy tail (small
+    alpha) warns that batch sizing and packing must plan for
+    monster documents; alpha rising across snapshots means the tail
+    is being truncated upstream.
+
+    Exactness: the top-(k+1) order statistics are a deterministic
+    TakeOrderedAndProject (ties by doc_id); each ln ratio quantizes
+    to a q6 INTEGER before the sum (fold-order-immune, libm
+    precedent); alpha is one division ROUND 4. Corpora smaller than
+    k+1 docs report NULL (not enough tail).
+
+    Scale shape: ONE map-only top-k over the corpus (no shuffle),
+    then arithmetic over a 201-row frame.
+    """
+    from pyspark.sql.window import Window
+
+    k = 200
+    d = load_table(spark, sf_dir, "documents")
+    top = (
+        d.where(F.col("n_chars") > 0)
+        .select("doc_id", F.col("n_chars").cast("long").alias("x"))
+        .orderBy(F.col("x").desc(), "doc_id")
+        .limit(k + 1)
+    )
+    # 201-row frame below a Limit: the sanctioned reduced-input shape
+    w = Window.orderBy(F.col("x").asc(), F.col("doc_id").desc())
+    ranked = top.withColumn("rn", F.row_number().over(w))
+    thr = ranked.where(F.col("rn") == 1).select(
+        F.col("x").alias("x_thr")
+    )
+    terms = (
+        ranked.where(F.col("rn") > 1)
+        .join(F.broadcast(thr))
+        .select(
+            F.round(
+                F.log(F.col("x").cast("double") / F.col("x_thr").cast("double"))
+                * 1e6,
+                0,
+            ).cast("long").alias("t_q6")
+        )
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.sum("t_q6").cast("long").alias("sum_q6"),
+    )
+    alpha = F.when(
+        (F.col("k_used") < F.lit(k)) | (F.col("sum_q6") <= 0),
+        F.lit(None).cast("double"),
+    ).otherwise(
+        F.round(
+            F.col("k_used").cast("double") * 1e6
+            / F.col("sum_q6").cast("double"),
+            4,
+        )
+    )
+    return agg.select(
+        F.coalesce("k_used", F.lit(0)).alias("k_used"),
+        F.coalesce("sum_q6", F.lit(0)).alias("sum_q6"),
+        alpha.alias("alpha_hill"),
+    )
+
+
+QUERIES["q200_tail_index"] = q200_tail_index
+
+ORACLES["q200_tail_index"] = """
+    WITH top AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS x
+      FROM documents WHERE n_chars > 0
+      ORDER BY x DESC, doc_id
+      LIMIT 201),
+    ranked AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY x ASC, doc_id DESC) AS rn
+      FROM top),
+    thr AS (SELECT x AS x_thr FROM ranked WHERE rn = 1),
+    terms AS (
+      SELECT CAST(ROUND(ln(CAST(r.x AS DOUBLE)
+                           / CAST(t.x_thr AS DOUBLE)) * 1e6, 0)
+               AS BIGINT) AS t_q6
+      FROM ranked r CROSS JOIN thr t
+      WHERE r.rn > 1),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+             CAST(COALESCE(SUM(t_q6), 0) AS BIGINT) AS sum_q6
+      FROM terms)
+    SELECT k_used, sum_q6,
+           CASE WHEN k_used < 200 OR sum_q6 <= 0 THEN NULL
+                ELSE ROUND(CAST(k_used AS DOUBLE) * 1e6
+                         / CAST(sum_q6 AS DOUBLE), 4) END AS alpha_hill
+    FROM agg
+"""
