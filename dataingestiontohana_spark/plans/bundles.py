@@ -936,6 +936,7 @@ BUNDLES: dict[str, list[str]] = {
         "q66_dedup_clusters", "q141_triangle_count",
         "q148_local_clustering", "q151_hub_strength",
         "q185_dedup_savings", "q187_effective_corpus_size",
+        "q197_dup_provenance",
     ],
 }
 
