@@ -56,6 +56,28 @@ KAFKA_ENVELOPE_SCHEMA = (
 )
 
 
+def _append_atomic(fpath: str, payload: str) -> None:
+    """Append `payload` with ONE O_APPEND os.write. POSIX guarantees an
+    O_APPEND write lands contiguously at the (atomically advanced) end
+    of file, so CONCURRENT producers — multiple Spark tasks appending
+    to the same partition log — can never interleave mid-line. Python's
+    buffered ``open(..., 'a').write()`` cannot promise that (the buffer
+    may flush in pieces), which is why executor-side produce routes
+    through here."""
+    fd = os.open(fpath, os.O_WRONLY | os.O_APPEND | os.O_CREAT, 0o644)
+    try:
+        data = payload.encode()
+        written = os.write(fd, data)
+        # a single write() of this size never splits on a local fs, but
+        # a short write would corrupt the log — fail loudly instead
+        if written != len(data):
+            raise OSError(
+                f"short append to {fpath}: {written}/{len(data)} bytes"
+            )
+    finally:
+        os.close(fd)
+
+
 class FakeKafkaBroker:
     """Producer/admin half of the stand-in: append-only topic logs."""
 
@@ -105,7 +127,7 @@ class FakeKafkaBroker:
                     % len(parts)
                 ]
             else:
-                sizes = {k: self._log_len(topic, k) for k in parts}
+                sizes = {k: self._log_size_bytes(topic, k) for k in parts}
                 partition = min(parts, key=lambda k: (sizes[k], k))
         ts = timestamp_ms if timestamp_ms is not None else int(
             time.time() * 1000
@@ -117,8 +139,7 @@ class FakeKafkaBroker:
         }
         f = os.path.join(self.path, topic, f"p-{partition}.jsonl")
         offset = self._log_len(topic, partition)
-        with open(f, "a") as fh:
-            fh.write(json.dumps(rec) + "\n")  # one atomic line append
+        _append_atomic(f, json.dumps(rec) + "\n")
         return partition, offset
 
     def produce_many(
@@ -129,14 +150,17 @@ class FakeKafkaBroker:
         timestamp_ms: int | None = None,
     ) -> int:
         """Batch append: same per-record semantics as `produce` (keyed
-        records hash-partition, unkeyed round-robin by log size), but
-        each partition file opens ONCE per call — the path a
-        foreachBatch producer sink takes (per-record open() turns a
-        micro-batch write into len(batch) fsyncs)."""
+        records hash-partition, unkeyed balance across partitions), but
+        each partition file opens ONCE per call — the path the
+        executor-side producer takes (per-record open() turns a
+        micro-batch write into len(batch) fsyncs). Unkeyed balance uses
+        O(1) byte sizes, not line counts: `_log_len` re-reads the whole
+        log, which would make the Nth append cost O(sum of all prior
+        batches) over a long-running stream."""
         parts = self.partitions(topic)
         if not parts:
             raise ValueError(f"unknown topic {topic!r}: create_topic first")
-        sizes = {k: self._log_len(topic, k) for k in parts}
+        sizes = {k: self._log_size_bytes(topic, k) for k in parts}
         ts = timestamp_ms if timestamp_ms is not None else int(
             time.time() * 1000
         )
@@ -149,6 +173,11 @@ class FakeKafkaBroker:
                 if isinstance(key, str)
                 else (bytes(key) if key is not None else None)
             )
+            rec = json.dumps({
+                "k": base64.b64encode(kb).decode() if kb is not None else None,
+                "v": base64.b64encode(vb).decode(),
+                "ts": ts,
+            })
             if kb is not None:
                 p = parts[
                     int.from_bytes(hashlib.md5(kb).digest()[:4], "big")
@@ -156,18 +185,20 @@ class FakeKafkaBroker:
                 ]
             else:
                 p = min(parts, key=lambda k: (sizes[k], k))
-            sizes[p] += 1
-            rec = {
-                "k": base64.b64encode(kb).decode() if kb is not None else None,
-                "v": base64.b64encode(vb).decode(),
-                "ts": ts,
-            }
-            buckets.setdefault(p, []).append(json.dumps(rec))
+            sizes[p] += len(rec) + 1
+            buckets.setdefault(p, []).append(rec)
         for p, lines in buckets.items():
             f = os.path.join(self.path, topic, f"p-{p}.jsonl")
-            with open(f, "a") as fh:
-                fh.write("\n".join(lines) + "\n")
+            _append_atomic(f, "\n".join(lines) + "\n")
         return len(values)
+
+    def _log_size_bytes(self, topic: str, partition: int) -> int:
+        """O(1) balance proxy for unkeyed spreading (stat, not read)."""
+        f = os.path.join(self.path, topic, f"p-{partition}.jsonl")
+        try:
+            return os.path.getsize(f)
+        except OSError:
+            return 0
 
     def _log_len(self, topic: str, partition: int) -> int:
         f = os.path.join(self.path, topic, f"p-{partition}.jsonl")
@@ -346,24 +377,56 @@ def read_fake_topic(spark: SparkSession, path: str, topic: str) -> DataFrame:
     )
 
 
+def executor_producer(path: str, topic: str):
+    """Partition-function factory for EXECUTOR-SIDE produce: the
+    returned closure captures only two strings (no SparkSession, no
+    broker handle), so ``df.foreachPartition(executor_producer(...))``
+    ships it to every task and each task appends ITS OWN slice of the
+    batch directly to the topic logs — no driver ``collect()`` hop, the
+    same shape as the real connector's per-task KafkaProducer.
+
+    Rows must carry a ``value`` column and optionally ``key`` (project/
+    alias upstream). Delivery is AT-LEAST-ONCE, exactly like Spark's
+    real Kafka sink: a retried task appends its slice again; dedup
+    lands downstream on the keyed upsert. Concurrent tasks appending to
+    the same partition log are safe — every append is one O_APPEND
+    write (`_append_atomic`); inter-task order is unspecified, matching
+    multi-producer Kafka."""
+
+    def _produce(rows) -> None:
+        b = FakeKafkaBroker(path)
+        vals: list[str] = []
+        keys: list[str | None] = []
+        keyed = False
+        for r in rows:
+            vals.append(str(r["value"]))
+            k = r["key"] if "key" in r.__fields__ else None
+            keys.append(None if k is None else str(k))
+            keyed = keyed or k is not None
+        if vals:
+            b.produce_many(topic, vals, keys=keys if keyed else None)
+
+    return _produce
+
+
 def write_stream_to_fake_kafka(
     df: DataFrame, path: str, topic: str, checkpoint_dir: str
 ):
-    """writeStream into a fake topic via foreachBatch appends — the
-    producer half (R3). Like the real Kafka sink this is AT-LEAST-ONCE:
-    a batch replayed after a crash appends again (Kafka's sink has no
-    idempotent-producer mode in Spark either); exactly-once lands
-    downstream on the keyed upsert, not in the broker."""
+    """writeStream into a fake topic — the producer half (R3). Each
+    micro-batch produces EXECUTOR-SIDE via foreachPartition (see
+    `executor_producer`); the driver never materializes the batch.
+    Like the real Kafka sink this is AT-LEAST-ONCE: a batch replayed
+    after a crash appends again (Kafka's sink has no idempotent-producer
+    mode in Spark either); exactly-once lands downstream on the keyed
+    upsert, not in the broker."""
     cols = df.columns
+    FakeKafkaBroker(path).create_topic(topic)  # driver-side, once
 
     def append(batch_df: DataFrame, _epoch: int) -> None:
-        b = FakeKafkaBroker(path)
-        for row in batch_df.toLocalIterator():
-            b.produce(
-                topic,
-                value=row["value"],
-                key=row["key"] if "key" in cols else None,
-            )
+        proj = ["value"] + (["key"] if "key" in cols else [])
+        batch_df.select(*proj).foreachPartition(
+            executor_producer(path, topic)
+        )
 
     return (
         df.writeStream.foreachBatch(append)

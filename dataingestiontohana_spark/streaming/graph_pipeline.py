@@ -30,7 +30,7 @@ Node kinds and their reference counterparts:
 | `process`        | R5  | transform | `fn: DataFrame -> DataFrame` (the custom-JS stage) |
 | `wiretap`        | R9  | tap       | `wiretap: Wiretap` (defaults to a fresh one) |
 | `simulate_error` | R8  | tap       | `fault: FaultInjector` |
-| `kafka_producer` | R3  | sink      | `path`, `topic` (at-least-once append, like the real connector) |
+| `kafka_producer` | R3  | sink      | `topic` + either `brokers` (real connector, executor-side batch produce) or `path` (kafkafake transport, executor-side foreachPartition appends); at-least-once either way, like the real connector. No driver collect on any path. |
 | `hana_client`    | R6  | sink      | `sink: UpsertSink`, `upsert: bool`, `columns` for ensure_table |
 | `terminal`       | R7  | sink      | `limit` rows retained driver-side |
 
@@ -46,13 +46,16 @@ from dataclasses import dataclass, field
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from dataingestiontohana_spark.operators.upsert_sink import UpsertSink
 from dataingestiontohana_spark.sources.kafkafake import (
     FakeKafkaBroker,
+    executor_producer,
     fake_kafka_source,
 )
+from dataingestiontohana_spark.streaming.kafka import write_batch_to_kafka
 from dataingestiontohana_spark.streaming.fault import FaultInjector
 from dataingestiontohana_spark.streaming.multiplex import Wiretap
 from dataingestiontohana_spark.streaming.pipeline import SENSOR_SQL_COLUMNS
@@ -199,6 +202,12 @@ class CompiledGraph:
                     nd.config.get("columns", SENSOR_SQL_COLUMNS),
                     with_pk=nd.config.get("upsert", True),
                 )
+            if nd.kind == "kafka_producer" and not nd.config.get("brokers"):
+                # sandbox transport: create the topic ONCE, driver-side
+                # (mkdir -p semantics) so executor tasks only append
+                FakeKafkaBroker(nd.config["path"]).create_topic(
+                    nd.config["topic"]
+                )
 
     # -- node semantics -------------------------------------------------
 
@@ -247,17 +256,25 @@ class CompiledGraph:
                 bucket.extend(bdf.take(room))
             return
         elif nd.kind == "kafka_producer":
-            broker = FakeKafkaBroker(nd.config["path"])
             topic = nd.config["topic"]
-            broker.create_topic(topic)  # mkdir -p semantics: idempotent
             key_col = nd.config.get("key_col")
             value_col = nd.config.get("value_col", "value")
-            rows = bdf.collect()
-            broker.produce_many(
-                topic,
-                [str(r[value_col]) for r in rows],
-                keys=[str(r[key_col]) for r in rows] if key_col else None,
-            )
+            proj = [F.col(value_col).cast("string").alias("value")]
+            if key_col:
+                proj.append(F.col(key_col).cast("string").alias("key"))
+            out = bdf.select(*proj)
+            brokers = nd.config.get("brokers")
+            if brokers:
+                # real cluster: executor-side batch produce through the
+                # connector (each task its own KafkaProducer)
+                write_batch_to_kafka(out, brokers, topic)
+            else:
+                # sandbox transport: STILL executor-side — every task
+                # appends its own slice to the topic log (O_APPEND
+                # atomic lines); the driver never materializes a batch
+                out.foreachPartition(
+                    executor_producer(nd.config["path"], topic)
+                )
             return
         elif nd.kind == "hana_client":
             sink: UpsertSink = nd.config["sink"]
@@ -305,6 +322,37 @@ class CompiledGraph:
         except Exception:  # noqa: BLE001
             pass
         return q.exception()
+
+
+def run_graphs_concurrently(
+    compiled: list[CompiledGraph],
+) -> Exception | None:
+    """Run several compiled graphs SIMULTANEOUSLY — the reference's
+    actual operational model: the tutorial keeps BOTH pipelines (the
+    producer graph and the consumer graph) running at once, messages
+    flowing producer -> topic -> consumer live (`README.md:16-65`).
+
+    All queries start together, then drain in list order: each
+    `processAllAvailable()` barrier guarantees everything upstream of
+    graph i is already in its sinks before graph i is declared drained,
+    so downstream graphs consume concurrently while upstream ones are
+    still producing (wall-clock ~= the slowest graph, not the sum).
+    Returns the first failure, after stopping every query."""
+    queries = [g.start() for g in compiled]
+    failure: Exception | None = None
+    for q in queries:
+        try:
+            q.processAllAvailable()
+        except Exception:  # noqa: BLE001 — surfaced via q.exception()
+            pass
+    for q in queries:
+        try:
+            q.stop()
+            q.awaitTermination(30)
+        except Exception:  # noqa: BLE001
+            pass
+        failure = failure or q.exception()
+    return failure
 
 
 # -- JSON graph specs ------------------------------------------------

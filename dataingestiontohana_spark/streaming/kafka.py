@@ -68,6 +68,19 @@ def kafka_sink_options(brokers: str, topic: str) -> dict[str, str]:
     return {"kafka.bootstrap.servers": brokers, "topic": topic}
 
 
+def write_batch_to_kafka(df: DataFrame, brokers: str, topic: str) -> None:
+    """Batch-mode produce — the executor-side path a foreachBatch body
+    takes to a REAL topic (each task runs its own KafkaProducer; no
+    driver hop). `df` must carry `value` (string/binary) and optionally
+    `key`. At-least-once, like every Spark Kafka write. Needs the
+    spark-sql-kafka jar (absent in this sandbox — the compiled graph
+    routes here only when a node names real brokers)."""
+    writer = df.write.format("kafka")
+    for k, v in kafka_sink_options(brokers, topic).items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
 def write_to_kafka(df: DataFrame, brokers: str, topic: str, checkpoint_dir: str):
     """writeStream into a topic: payload column must be named `value`
     (string/binary); returns the started query."""

@@ -336,3 +336,69 @@ def test_graph_json_ref_binding(spark, tmp_path, source_dir):
     c = g2.compile(spark, str(tmp_path / "ckpt_ref"))
     assert c.run_to_completion() is None
     assert len(c.terminals["console"]) == 3
+
+
+def test_producer_graph_never_collects_on_driver(
+    spark, tmp_path, source_dir, monkeypatch
+):
+    """The r6 verdict's top item: a compiled graph's kafka_producer must
+    produce EXECUTOR-SIDE (foreachPartition appends), never funnel the
+    batch through a driver collect(). Proven mechanically: poison
+    DataFrame.collect/toPandas/toLocalIterator for the whole run — the
+    producer graph must still complete and land every row."""
+    from pyspark.sql import DataFrame
+
+    def _poisoned(self, *a, **k):  # noqa: ANN001
+        raise AssertionError("driver-side materialization inside a graph")
+
+    monkeypatch.setattr(DataFrame, "collect", _poisoned)
+    monkeypatch.setattr(DataFrame, "toPandas", _poisoned)
+    monkeypatch.setattr(DataFrame, "toLocalIterator", _poisoned)
+
+    broker_path = str(tmp_path / "broker")
+    g = PipelineGraph()
+    g.node("gen", "data_generator", source_dir=source_dir,
+           max_files_per_trigger=2)
+    g.node("producer", "kafka_producer", path=broker_path, topic="sensor")
+    g.connect("gen", "producer")
+    assert g.compile(
+        spark, str(tmp_path / "ckpt_nocollect")
+    ).run_to_completion() is None
+
+    monkeypatch.undo()
+    topic = read_fake_topic(spark, broker_path, "sensor")
+    assert topic.count() == N_ROWS
+
+
+def test_producer_graph_real_brokers_routes_to_connector(
+    spark, tmp_path, source_dir, monkeypatch
+):
+    """A kafka_producer node naming real `brokers` compiles to the
+    batch connector write (executor-side KafkaProducer per task). The
+    jar is absent here, so intercept write_batch_to_kafka and assert
+    the routing + the key/value projection contract."""
+    from dataingestiontohana_spark.streaming import graph_pipeline as gp
+
+    calls: list[tuple[list[str], str, str]] = []
+
+    def _fake_write(df, brokers, topic):
+        calls.append((sorted(df.columns), brokers, topic))
+        assert df.count() > 0  # a real batch reached the sink hook
+
+    monkeypatch.setattr(gp, "write_batch_to_kafka", _fake_write)
+
+    g = PipelineGraph()
+    g.node("gen", "data_generator", source_dir=source_dir,
+           max_files_per_trigger=3)
+    g.node("producer", "kafka_producer", brokers="broker-1:9092",
+           topic="sensor", key_col="value")
+    g.connect("gen", "producer")
+    assert g.compile(
+        spark, str(tmp_path / "ckpt_realbrokers")
+    ).run_to_completion() is None
+
+    assert calls, "write_batch_to_kafka never invoked"
+    for cols, brokers, topic in calls:
+        assert cols == ["key", "value"]
+        assert brokers == "broker-1:9092"
+        assert topic == "sensor"
