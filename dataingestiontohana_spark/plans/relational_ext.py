@@ -2415,10 +2415,17 @@ def q194_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: inputs are 2-decimal values on the cents grid;
     disc_price is exact at scale 4, charge at scale 6; sums widen to
-    DECIMAL(38,6); averages divide the exact sums by the exact count
-    with the quotient pinned to DECIMAL(38,6); decimals serialize as
-    fixed-scale strings (the q71 round-trip rule). The date cutoff
-    is integer day arithmetic against the corpus max ship date.
+    DECIMAL(38,6); decimals serialize as fixed-scale strings (the q71
+    round-trip rule). The three averages are HALF_UP at scale 6
+    computed in PURE integer arithmetic — A = (2*S + n) div (2*n)
+    with S the sum in 1e-6 units — because DuckDB's DECIMAL/DECIMAL
+    division returns DOUBLE (r6 advisor finding): routing the oracle's
+    quotient through binary floating point is a latent last-ulp flake
+    at an exact halfway sixth decimal. Integer div/mod + lpad builds
+    the identical fixed-scale string in both engines (sums are
+    positive, so trunc == floor and the +n tie-break is HALF_UP).
+    The date cutoff is integer day arithmetic against the corpus max
+    ship date.
 
     Scale shape: ONE lineitem scan with the ship-date filter pushed
     to parquet, one 4-row hash aggregate with map-side combine —
@@ -2451,10 +2458,17 @@ def q194_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("count_order"),
     )
     def avg6(col):
-        return (
-            F.col(col).cast(d(38, 8))
-            / F.col("count_order").cast(d(18, 0))
-        ).cast(d(38, 6)).cast("string")
+        # S = sum scaled to 1e-6 units (exact — the sums are scale 2);
+        # A = round_half_up(S / n) = (2S + n) div (2n); string via
+        # div/mod so no decimal division runs in either engine
+        a = (
+            f"((2 * CAST({col} * 10000 AS DECIMAL(38,0)) + count_order)"
+            f" div (2 * count_order))"
+        )
+        return F.expr(
+            f"concat({a} div 1000000, '.', "
+            f"lpad(CAST({a} % 1000000 AS STRING), 6, '0'))"
+        )
 
     return agg.select(
         "l_returnflag", "l_linestatus",
@@ -2501,15 +2515,21 @@ ORACLES["q194_tpch_pricing_summary"] = """
            CAST(sum_base_price AS VARCHAR) AS sum_base_price,
            CAST(sum_disc_price AS VARCHAR) AS sum_disc_price,
            CAST(sum_charge AS VARCHAR) AS sum_charge,
-           CAST(CAST(CAST(sum_qty AS DECIMAL(38,8))
-                / CAST(count_order AS DECIMAL(18,0))
-                AS DECIMAL(38,6)) AS VARCHAR) AS avg_qty,
-           CAST(CAST(CAST(sum_base_price AS DECIMAL(38,8))
-                / CAST(count_order AS DECIMAL(18,0))
-                AS DECIMAL(38,6)) AS VARCHAR) AS avg_price,
-           CAST(CAST(CAST(sum_disc AS DECIMAL(38,8))
-                / CAST(count_order AS DECIMAL(18,0))
-                AS DECIMAL(38,6)) AS VARCHAR) AS avg_disc,
+           concat(((2 * CAST(sum_qty * 10000 AS HUGEINT) + count_order)
+                   // (2 * count_order)) // 1000000, '.',
+                  lpad(CAST(((2 * CAST(sum_qty * 10000 AS HUGEINT)
+                              + count_order) // (2 * count_order))
+                            % 1000000 AS VARCHAR), 6, '0')) AS avg_qty,
+           concat(((2 * CAST(sum_base_price * 10000 AS HUGEINT)
+                    + count_order) // (2 * count_order)) // 1000000, '.',
+                  lpad(CAST(((2 * CAST(sum_base_price * 10000 AS HUGEINT)
+                              + count_order) // (2 * count_order))
+                            % 1000000 AS VARCHAR), 6, '0')) AS avg_price,
+           concat(((2 * CAST(sum_disc * 10000 AS HUGEINT) + count_order)
+                   // (2 * count_order)) // 1000000, '.',
+                  lpad(CAST(((2 * CAST(sum_disc * 10000 AS HUGEINT)
+                              + count_order) // (2 * count_order))
+                            % 1000000 AS VARCHAR), 6, '0')) AS avg_disc,
            count_order
     FROM agg
     ORDER BY l_returnflag, l_linestatus

@@ -2124,8 +2124,12 @@ def q199_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(w_cum).cast("long").alias("cum"),
         F.sum("c").over(w_all).cast("long").alias("n"),
     )
-    lo_rank = F.floor((F.col("n") * 5 + 99) / 100).cast("long")
-    hi_rank = F.floor((F.col("n") * 95 + 99) / 100).cast("long")
+    # `div` is true integer division — exact at ANY n. floor(double/)
+    # would match the oracle's `//` only while n*95+99 < 2^53 (~1e16
+    # rows per status), a silent cross-engine divergence past that
+    # (r6 advisor finding).
+    lo_rank = F.expr("(n * 5 + 99) div 100").cast("long")
+    hi_rank = F.expr("(n * 95 + 99) div 100").cast("long")
     thr = g.groupBy("st").agg(
         F.min(F.when(F.col("cum") >= lo_rank, F.col("v"))).alias("lo"),
         F.min(F.when(F.col("cum") >= hi_rank, F.col("v"))).alias("hi"),
