@@ -1641,8 +1641,13 @@ def q175_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: orders reduce map-side to one row per customer (the
     only event-table-sized shuffle); the corpus max date is a 1-row
     aggregate attached via the sanctioned broadcast literal pattern;
-    three bucketed-rank passes run bounded windows over the reduced
-    per-customer frame; the output aggregate has at most 125 cells.
+    the three metrics MELT into one (metric, value) frame so a SINGLE
+    bucketed-rank sweep (part_cols=metric) ranks all of them at once —
+    one two-pass operator over 3n rows instead of three sequential
+    passes over n (the r6 verdict's fusion item; the flat ~5 s cost
+    was three chained plan/stage fixed overheads, not data) — then one
+    conditional aggregate pivots the tiles back to a row per customer;
+    the output aggregate has at most 125 cells.
     """
     o = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
@@ -1655,16 +1660,36 @@ def q175_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = per_cust.join(F.broadcast(maxd)).withColumn(
         "recency_days", F.datediff(F.col("max_d"), F.col("last_d")).cast("int")
     )
-    base = ["o_custkey", "recency_days", "freq", "cents"]
-    cur = per_cust.select(*base)
-    for metric, tile in (
-        ("recency_days", "r_tile"), ("freq", "f_tile"), ("cents", "m_tile")
-    ):
-        ranked = bucketed_ranks(cur, metric, tie_cols=("o_custkey",))
-        cur = ranked.select(
-            *cur.columns,
-            exact_ntile(F.col("g_rn"), F.col("g_n"), 5).alias(tile),
-        )
+    # all metrics are non-null integers, so one long `val` column
+    # preserves each metric's ordering exactly
+    melted = per_cust.select(
+        "o_custkey", "recency_days", "freq", "cents",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("r").alias("metric"),
+                    F.col("recency_days").cast("long").alias("val"),
+                ),
+                F.struct(F.lit("f").alias("metric"), F.col("freq").alias("val")),
+                F.struct(F.lit("m").alias("metric"), F.col("cents").alias("val")),
+            )
+        ).alias("mv"),
+    ).select(
+        "o_custkey", "recency_days", "freq", "cents",
+        F.col("mv.metric").alias("metric"), F.col("mv.val").alias("val"),
+    )
+    ranked = bucketed_ranks(
+        melted, "val", part_cols=("metric",), tie_cols=("o_custkey",)
+    )
+    tile = exact_ntile(F.col("g_rn"), F.col("g_n"), 5)
+    cur = ranked.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("metric") == "r", tile)).alias("r_tile"),
+        F.max(F.when(F.col("metric") == "f", tile)).alias("f_tile"),
+        F.max(F.when(F.col("metric") == "m", tile)).alias("m_tile"),
+        F.max("recency_days").alias("recency_days"),
+        F.max("freq").alias("freq"),
+        F.max("cents").alias("cents"),
+    )
     return (
         cur.groupBy("r_tile", "f_tile", "m_tile")
         .agg(
