@@ -31,7 +31,12 @@ results track batch results — but computes them WITHOUT a corpus
 shuffle: the store is first filtered map-only (broadcast semi-join on
 the shard's touched buckets) and only that bounded slice is counted.
 The candidate join broadcasts the shard bands into the store scan, so
-the store side of the whole operation never enters an exchange.
+the store side of the whole operation never enters an exchange — while
+the shard fits the broadcast budget. An OVERSIZED shard (bulk backfill
+through the incremental API) degrades to an explicit sort-merge plan
+on the same logical shape: the touched store slice shuffles on
+(band, bucket), which is slower but bounded and never OOMs
+(``dedup_against_store(join_mode=...)``).
 """
 
 from __future__ import annotations
@@ -47,8 +52,9 @@ from dataingestiontohana_spark.operators.dedup import (
 # Broadcast budget for the shard's banded signature frame (the shard is
 # broadcast three ways: touched buckets, shard ids, and the full band
 # rows for the candidate join). ~200 B per band row (id + 16x8 B sig +
-# bucket prefix + overhead); past this, fail fast instead of OOMing the
-# executors — the same contract as llm_similarity._PROBE_BROADCAST_BYTES.
+# bucket prefix + overhead); past this, `join_mode="auto"` degrades to
+# the shuffle (sort-merge) plan instead of OOMing the executors — the
+# same budget discipline as llm_similarity._PROBE_BROADCAST_BYTES.
 _SHARD_BROADCAST_BYTES = 512 << 20
 _BYTES_PER_BAND_ROW = 200
 
@@ -85,6 +91,8 @@ def dedup_against_store(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket: int = 256,
+    join_mode: str = "auto",
+    broadcast_budget_bytes: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard_sig, vs, reject) — near-dup pairs involving
     the new shard: ``vs = 'store'`` for shard-vs-corpus pairs, ``'new'``
@@ -114,26 +122,53 @@ def dedup_against_store(
     Work: signature computation over the SHARD only; the store
     contributes an equi-join on (band, bucket) — with the store
     partitioned by band, each join task reads one band directory.
-    Raises ValueError when the shard's banded frame exceeds the
-    broadcast budget (``_SHARD_BROADCAST_BYTES``) — split the ingest
-    shard, or run the batch path (`minhash_candidates` over the
-    combined corpus) for a bulk backfill.
+
+    ``join_mode`` picks the physical strategy for the shard-side
+    joins; results are identical across modes (pinned by pytest):
+
+    - ``"broadcast"``: every shard-derived frame (touched buckets,
+      shard ids, band rows) broadcasts into the store scan — the
+      store side never enters an exchange. The fast path for normal
+      incremental shards.
+    - ``"shuffle"``: the DEGRADED path for an oversized shard (e.g. a
+      bulk backfill fed through the incremental API). No broadcast
+      hints: the candidate join becomes a band/bucket-partitioned
+      sort-merge join of the shard against the touched store slice,
+      and the id semi/anti joins shuffle on the id. The store slice
+      that shuffles is still bounded by the buckets the shard touches.
+    - ``"auto"`` (default): ``broadcast`` while the shard's banded
+      frame fits ``broadcast_budget_bytes``
+      (``_SHARD_BROADCAST_BYTES``), else ``shuffle`` — so an
+      oversized shard degrades to a slower-but-correct plan instead
+      of OOMing the executors or failing.
     """
+    if join_mode not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown join_mode {join_mode!r}")
     shard = minhash_bands(new_docs, id_col, text_col).localCheckpoint(
         eager=False
     )
-    # fail fast BEFORE any join when the shard exceeds the broadcast
-    # budget: the count is a columnar prepass over the (checkpointed)
-    # banded frame, reused by every downstream branch
-    est_bytes = shard.count() * _BYTES_PER_BAND_ROW
-    if est_bytes > _SHARD_BROADCAST_BYTES:
-        raise ValueError(
-            f"ingest shard's banded signature frame ~{est_bytes >> 20} MB "
-            f"exceeds the {_SHARD_BROADCAST_BYTES >> 20} MB broadcast "
-            "budget; split the shard into smaller ingest batches, or use "
-            "operators.dedup.minhash_candidates over the combined corpus "
-            "for a bulk backfill"
+    if join_mode == "auto":
+        # budget resolved at call time so the module constant stays
+        # the single knob; the count is a columnar prepass over the
+        # (checkpointed) banded frame, reused by every downstream branch
+        budget = (
+            broadcast_budget_bytes
+            if broadcast_budget_bytes is not None
+            else _SHARD_BROADCAST_BYTES
         )
+        est_bytes = shard.count() * _BYTES_PER_BAND_ROW
+        join_mode = "broadcast" if est_bytes <= budget else "shuffle"
+    # the SAME logical plan runs in both modes; only the join hint on
+    # the shard-derived side changes. Shuffle mode pins SORT-MERGE
+    # explicitly (not just "no broadcast hint"): an oversized shard
+    # must never be broadcast even if Catalyst's size estimate is
+    # stale-low, and the explicit hint makes the degraded plan
+    # deterministic and testable.
+    bc = (
+        F.broadcast
+        if join_mode == "broadcast"
+        else (lambda df: df.hint("shuffle_merge"))
+    )
     # explicit schema: a freshly-initialized EMPTY store has no data
     # files to infer from, and the first ingest must still run. The id
     # type is derived from the shard (write/append accept any id type,
@@ -151,7 +186,7 @@ def dedup_against_store(
     # re-offered ids: one signature row per side (band rows carry the
     # same sig), compared store-copy vs shard-copy
     replayed = (
-        store.join(F.broadcast(shard_ids), id_col, "left_semi")
+        store.join(bc(shard_ids), id_col, "left_semi")
         .dropDuplicates([id_col])
         .select(id_col, F.col("sig").alias("sig_store"))
         .join(
@@ -170,7 +205,7 @@ def dedup_against_store(
             F.col(id_col).alias("reject"),
         )
     )
-    store_active = store.join(F.broadcast(shard_ids), id_col, "left_anti")
+    store_active = store.join(bc(shard_ids), id_col, "left_anti")
 
     # ---- bucket capping WITHOUT a corpus shuffle -------------------
     # The cap must count store + shard members per (band, bucket) —
@@ -185,7 +220,7 @@ def dedup_against_store(
     ).localCheckpoint(eager=False)
     touched = shard_counts.select("band", "bucket")
     store_touched = store_active.join(
-        F.broadcast(touched), ["band", "bucket"], "left_semi"
+        bc(touched), ["band", "bucket"], "left_semi"
     ).localCheckpoint(eager=False)
     store_counts = store_touched.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("__nc")
@@ -197,9 +232,9 @@ def dedup_against_store(
         )
         .select("band", "bucket")
     )
-    shard_ok = shard.join(F.broadcast(ok_buckets), ["band", "bucket"], "left_semi")
+    shard_ok = shard.join(bc(ok_buckets), ["band", "bucket"], "left_semi")
     store_ok = store_touched.join(
-        F.broadcast(ok_buckets), ["band", "bucket"], "left_semi"
+        bc(ok_buckets), ["band", "bucket"], "left_semi"
     )
 
     # ---- candidate pairs: the store side NEVER shuffles ------------
@@ -215,7 +250,7 @@ def dedup_against_store(
     # scoring first narrows the dropDuplicates exchange from two
     # 16-long signature arrays to one 8 B double per row
     store_pairs = (
-        store_ok.join(F.broadcast(sb), ["band", "bucket"])
+        store_ok.join(bc(sb), ["band", "bucket"])
         .select(
             F.least(F.col(id_col), F.col("__sid")).alias("id_a"),
             F.greatest(F.col(id_col), F.col("__sid")).alias("id_b"),

@@ -220,24 +220,50 @@ def test_string_keyed_store_roundtrips(spark, tmp_path):
     assert rows[0]["reject"] == "doc-z"
 
 
-def test_oversized_shard_fails_fast(spark, tmp_path, monkeypatch):
-    """A shard past the broadcast budget must raise with guidance, not
-    OOM the executors mid-join."""
-    import pytest
-
+def test_oversized_shard_degrades_to_shuffle_and_matches(
+    spark, tmp_path, monkeypatch
+):
+    """A shard past the broadcast budget must NOT fail or OOM: auto
+    mode degrades to the shuffle (sort-merge) plan and produces results
+    identical to the broadcast path AND to a from-scratch batch run —
+    the r6 verdict's degraded-path item. The budget is monkeypatched
+    to 1 KB so this real-corpus shard is 'oversized'."""
     from dataingestiontohana_spark.operators import dedup_store as ds
 
     store_path = str(tmp_path / "sigstore")
-    write_signature_store(
-        spark.createDataFrame([], "doc_id long, text string"), store_path
-    )
-    shard = spark.createDataFrame(
-        [(i, f"document number {i} body text") for i in range(50)],
-        "doc_id long, text string",
-    )
+    d = load_table(spark, SF0001, "documents")
+    corpus = d.where(F.col("doc_id") % 2 == 0)
+    shard = d.where(F.col("doc_id") % 2 == 1)
+    write_signature_store(corpus, store_path)
+
+    def run():
+        return {
+            (r["id_a"], r["id_b"]): (r["jaccard_sig"], r["vs"], r["reject"])
+            for r in dedup_against_store(
+                spark, shard, store_path, threshold=0.5
+            ).collect()
+        }
+
+    fast = run()  # broadcast path (real budget)
     monkeypatch.setattr(ds, "_SHARD_BROADCAST_BYTES", 1024)
-    with pytest.raises(ValueError, match="broadcast budget"):
-        ds.dedup_against_store(spark, shard, store_path)
+    slow = run()  # same call, now auto-degraded to shuffle
+    assert slow == fast and len(fast) > 0
+
+    # and the degraded plan really is exchange-based, not broadcast
+    out = dedup_against_store(spark, shard, store_path, threshold=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+    # equality with the from-scratch batch pairs (the incremental
+    # contract holds in the degraded mode too)
+    batch = {
+        (r["id_a"], r["id_b"]): r["jaccard_sig"]
+        for r in minhash_candidates(d)
+        .where(F.col("jaccard_sig") >= 0.5)
+        .collect()
+        if r["id_a"] % 2 == 1 or r["id_b"] % 2 == 1
+    }
+    assert {k: v[0] for k, v in slow.items()} == batch
 
 
 def test_store_side_never_sort_merge_joins(spark, tmp_path):
