@@ -757,3 +757,43 @@ def test_wav_unsupported_layouts_stay_count_only(spark):
             + b"data" + _s.pack("<I", 8) + bytes(8))
     n3, px3 = _parse_wav(wavf)
     assert n3 == 4 and px3 is None
+
+
+def test_progressive_jpeg_gate_fires_metadata_only(spark):
+    """The SOF2 gate (r6 verdict item): a PROGRESSIVE stream carrying
+    full tables and real scan data — a baseline stream with its SOF
+    marker rewritten 0xC0 -> 0xC2 — must come back metadata-only
+    (dims intact, null pixel stats), never wrong pixels decoded as if
+    sequential. Pins the gate to the frame marker itself, so a future
+    codec change can't silently mis-decode progressive scans."""
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        _decode_payload,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    baseline = _jpeg_encode_gray(arr)
+    # sanity: the untouched baseline stream DOES decode pixels
+    _, _, _, ch0, px0 = _decode_payload(baseline)
+    assert px0 is not None and ch0 == 1
+
+    sof = baseline.index(b"\xff\xc0")
+    progressive = baseline[:sof] + b"\xff\xc2" + baseline[sof + 2:]
+    w, h, nf, ch, px = _decode_payload(progressive)
+    assert (w, h, nf) == (16, 16, 1)
+    assert ch == 0 and px is None  # gate fired: count-only, no pixels
+
+    df = spark.createDataFrame(
+        [(61, KIND_IMAGE, baseline), (62, KIND_IMAGE, progressive)],
+        "media_id long, kind int, content binary",
+    )
+    got = {r["media_id"]: r for r in decode_media(df).collect()}
+    assert got[62]["width"] == 16 and got[62]["mean_px"] is None
+    assert got[61]["mean_px"] is not None
+    # and the thumbnail stage SKIPS the undecodable row (never emits
+    # a bogus thumbnail), while keeping the baseline sibling
+    thumbs = {r["media_id"] for r in resize_images(df, 4, 4).collect()}
+    assert thumbs == {61}

@@ -163,10 +163,33 @@ def _tws_runtime_available() -> bool:
         return False
 
 
+def test_tws_probe_flips_when_protobuf_appears(monkeypatch):
+    """The skip probe keys on EXACTLY what the TWS runner imports
+    (google.protobuf.descriptor), so installing protobuf converts the
+    wire-up skip into a run with no test edits — `python
+    tools/enable_tws.py` is the documented enablement check. Pinned by
+    planting a stub module: the probe must flip to True."""
+    import sys
+    import types
+
+    assert _tws_runtime_available() is False  # this sandbox: no protobuf
+    google = types.ModuleType("google")
+    protobuf = types.ModuleType("google.protobuf")
+    descriptor = types.ModuleType("google.protobuf.descriptor")
+    google.protobuf = protobuf
+    monkeypatch.setitem(sys.modules, "google", google)
+    monkeypatch.setitem(sys.modules, "google.protobuf", protobuf)
+    monkeypatch.setitem(
+        sys.modules, "google.protobuf.descriptor", descriptor
+    )
+    assert _tws_runtime_available() is True
+
+
 @pytest.mark.skipif(
     not _tws_runtime_available(),
     reason="transformWithState runtime needs the protobuf package "
-    "(not shipped in this sandbox)",
+    "(not shipped in this sandbox); enable with `pip install "
+    "'protobuf>=4.25'` — see tools/enable_tws.py",
 )
 def test_transform_with_state_end_to_end(spark, tmp_path):
     """Real-runtime TWS wire-up: per-device alert counts across
