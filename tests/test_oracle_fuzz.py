@@ -226,3 +226,101 @@ def test_fuzz_exact_jaccard_random_corpus(spark, tmp_path, seed):
     con.close()
     ok, msg = compare(got, ddf)
     assert ok, f"seed={seed}: {msg}"
+
+
+# ---------------------------------------------------------------------------
+# Analytics-family fuzz (r6 verdict item): funnel deadlines, attribution
+# windows and gaps-and-islands fills fuzzed with PLANTED boundary rows —
+# events at exactly the deadline, one microsecond inside, one microsecond
+# past — the hazard class the q171/q186 interval rewrites fixed by review,
+# now pinned by generation. Each seed writes a random corpus as
+# events.parquet and runs the PRODUCTION query callables against their own
+# committed oracle SQL on the same files.
+
+ANALYTICS_FUZZ_QUERIES = [
+    "q171_windowed_funnel",
+    "q186_funnel_window_sensitivity",
+    "q117_last_touch_attribution",
+    "q182_position_decay_attribution",
+    "q99_gapfill_locf",
+    "q193_gapfill_interpolate",
+]
+
+
+def _random_events_corpus(rng: random.Random):
+    """(rows, schema): ~300 random events plus deadline-boundary chains.
+
+    `value` is a dyadic rational (k/4) so double sums are EXACT under
+    any fold order — q99 rounds a SUM(value); random decimals would
+    fuzz the float accumulator instead of the query logic."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    types = ["view", "click", "purchase", "signup", "error"]
+    rows = []
+    eid = 0
+
+    def add(u, et, t):
+        nonlocal eid
+        rows.append(
+            (eid, t, u, et, rng.randrange(0, 400) / 4.0,
+             '{"k": %d}' % rng.randrange(100))
+        )
+        eid += 1
+
+    for _ in range(300):
+        add(
+            rng.randrange(12),
+            rng.choice(types),
+            base
+            + timedelta(
+                seconds=rng.randrange(0, 5 * 86400),
+                microseconds=rng.randrange(0, 1_000_000),
+            ),
+        )
+    us = timedelta(microseconds=1)
+    day = timedelta(hours=24)
+    # planted chains on users no random event touches (ids >= 100):
+    # every deadline comparison gets an exactly-at / one-us-inside /
+    # one-us-past row somewhere across the seeds
+    t0 = base + timedelta(
+        seconds=rng.randrange(0, 86400), microseconds=rng.randrange(0, 1_000_000)
+    )
+    add(101, "view", t0); add(101, "click", t0 + day)           # exactly at
+    add(101, "purchase", t0 + day + day + us)                   # 1us past
+    add(102, "view", t0); add(102, "click", t0 + day + us)      # 1us past
+    add(103, "view", t0); add(103, "click", t0 + day - us)      # 1us inside
+    add(103, "purchase", t0 + day - us + day)                   # exactly at
+    add(104, "view", t0)                                        # attribution:
+    add(104, "purchase", t0 + timedelta(seconds=86400))         # lag == window
+    add(104, "purchase", t0 + timedelta(seconds=86400, microseconds=500_000))
+    add(105, "purchase", t0)                                    # no view at all
+    add(106, "view", t0); add(106, "view", t0 + us)             # dup-ish views
+    return rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_analytics_families_match_oracle(spark, tmp_path, seed):
+    import duckdb as _duckdb
+
+    from dataingestiontohana_spark.plans.relational import ORACLES, QUERIES
+
+    rng = random.Random(5000 + seed)
+    rows, schema = _random_events_corpus(rng)
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows, schema).coalesce(2).write.parquet(
+        f"{sf_dir}/events.parquet"
+    )
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    try:
+        for name in ANALYTICS_FUZZ_QUERIES:
+            sdf = QUERIES[name](spark, sf_dir)
+            ddf = con.execute(ORACLES[name]).fetch_arrow_table().to_pandas()
+            ok, msg = compare(sdf, ddf)
+            assert ok, f"seed={seed} query={name}: {msg}"
+    finally:
+        con.close()
