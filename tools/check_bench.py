@@ -1,0 +1,101 @@
+"""Mechanical per-entry bench adjudication (r6 verdict item 3).
+
+Compares a round's bench artifact against the committed per-entry
+baseline (``BENCH_BASELINE.json``, written by ``python bench.py
+--write-baseline`` on a clean closing run):
+
+    python tools/check_bench.py BENCH_r7.json [BENCH_BASELINE.json] \
+        [--factor 2.0]
+
+Rules:
+- each entry's seconds must be <= factor * baseline seconds;
+- entries in a ``shared_cost_groups`` group are compared as the GROUP
+  SUM (lazily-checkpointed frames land their one-time materialization
+  cost on whichever member runs first, so cells move between members
+  while the group total is stable);
+- entries new since the baseline are reported informationally (no
+  baseline to hold them to); entries missing from the run FAIL.
+
+Accepts either the raw one-line bench.py output or the driver's
+wrapper ({"parsed": {...}}). Exit 0 = all inside the factor.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def load_queries(path: str) -> dict[str, float]:
+    with open(path) as fh:
+        doc = json.load(fh)
+    if "parsed" in doc and isinstance(doc["parsed"], dict):
+        doc = doc["parsed"]
+    q = doc.get("queries")
+    if not isinstance(q, dict) or not q:
+        raise SystemExit(f"{path}: no 'queries' mapping found")
+    return {k: float(v) for k, v in q.items()}
+
+
+def main(argv: list[str]) -> int:
+    args = [a for a in argv if not a.startswith("--")]
+    factor = 2.0
+    if "--factor" in argv:
+        factor = float(argv[argv.index("--factor") + 1])
+        args = [a for a in args if a != str(factor)]
+    if not args:
+        raise SystemExit(__doc__)
+    bench_path = args[0]
+    base_path = args[1] if len(args) > 1 else "BENCH_BASELINE.json"
+
+    got = load_queries(bench_path)
+    with open(base_path) as fh:
+        base_doc = json.load(fh)
+    base = {k: v["sec"] for k, v in base_doc["entries"].items()}
+    groups = base_doc.get("shared_cost_groups", [])
+    grouped = {m for g in groups for m in g}
+
+    failures: list[str] = []
+    new = sorted(set(got) - set(base))
+    missing = sorted(set(base) - set(got))
+    for m in missing:
+        failures.append(f"MISSING {m}: in baseline, absent from run")
+
+    for name in sorted(set(got) & set(base) - grouped):
+        lim = factor * base[name]
+        flag = "FAIL" if got[name] > lim else "ok  "
+        line = (
+            f"{flag} {name}: {got[name]:.2f}s vs baseline "
+            f"{base[name]:.2f}s (limit {lim:.2f}s)"
+        )
+        print(line)
+        if got[name] > lim:
+            failures.append(line)
+
+    for g in groups:
+        have = [m for m in g if m in got and m in base]
+        if not have:
+            continue
+        gs, bs = sum(got[m] for m in have), sum(base[m] for m in have)
+        lim = factor * bs
+        flag = "FAIL" if gs > lim else "ok  "
+        line = (
+            f"{flag} GROUP {'+'.join(have)}: {gs:.2f}s vs baseline "
+            f"{bs:.2f}s (limit {lim:.2f}s)"
+        )
+        print(line)
+        if gs > lim:
+            failures.append(line)
+
+    for n in new:
+        print(f"new  {n}: {got[n]:.2f}s (no baseline yet)")
+
+    if failures:
+        print(f"\n{len(failures)} violation(s) at factor {factor}x")
+        return 1
+    print(f"\nall entries within {factor}x of {base_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
