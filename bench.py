@@ -103,7 +103,12 @@ def main() -> None:
 # per-entry <=2x test must compare these as a GROUP SUM, never cell
 # by cell.
 SHARED_COST_GROUPS = [
-    ["q30_31_lsh_neardup", "q32_70_shingle_exact", "q66_141_graph"],
+    [
+        "q22_29_exact_dedup",  # q203's leakage audit touches the edge cache
+        "q30_31_lsh_neardup",
+        "q32_70_shingle_exact",
+        "q66_141_graph",
+    ],
 ]
 
 

@@ -16,6 +16,7 @@ from dataingestiontohana_spark.plans import (
     graph,
     ingestion,
     llm_dedup,
+    llm_mix,
     llm_quality,
     llm_similarity,
     llm_text,
@@ -38,6 +39,7 @@ for mod in (
     llm_text,
     llm_text2,
     llm_dedup,
+    llm_mix,
     llm_quality,
     llm_similarity,
     multimodal,

@@ -431,6 +431,19 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("removed_segments", "bigint"), ("removed_tokens", "bigint"),
         ("corpus_fp", "string"),
     ],
+    "q201_mixture_weights": [
+        ("source", "string"), ("n_docs", "bigint"), ("n_tokens", "bigint"),
+        ("nat_share", "double"), ("temp_weight", "double"),
+        ("eff_epochs", "double"),
+    ],
+    "q202_hash_split": [
+        ("split", "string"), ("n_docs", "bigint"), ("n_tokens", "bigint"),
+        ("n_langs", "bigint"), ("n_sources", "bigint"),
+    ],
+    "q203_split_leakage": [
+        ("split_lo", "string"), ("split_hi", "string"),
+        ("n_pairs", "bigint"),
+    ],
     "q93_gopher_rules": [
         ("source", "string"), ("docs", "bigint"),
         ("pass_wordcount", "bigint"), ("pass_meanlen", "bigint"),
@@ -812,6 +825,9 @@ BUNDLES: dict[str, list[str]] = {
     ],
     "q22_29_exact_dedup": [
         "q22_exact_dedup_count", "q29_exact_dedup", "q92_segment_dedup",
+        # round 7: training-mix governance rides with the dedup family
+        # (q203 consumes the same exact-pair edge cache)
+        "q201_mixture_weights", "q202_hash_split", "q203_split_leakage",
     ],
     "q23_embed_audit": ["q23a_label_counts", "q23b_vec_dims"],
     "q33_34_similarity": [
