@@ -177,15 +177,26 @@ def run_streaming_bench(spark, n_rows: int | None = None,
         warm = _one_run(spark, source_dir, work, "warm", n_rows)
         # the two-graph (producer topic + consumer sink) path at a
         # lighter row count: it writes every record through the
-        # kafkafake log twice (produce + fetch)
-        graph = _graph_run(spark, work, max(1000, n_rows // 10), n_files)
+        # kafkafake log twice (produce + fetch). Same cold/warm
+        # discipline as the plain pipeline: the first run carries
+        # stream-init + Python-worker spin-up for the executor-side
+        # producer; the warm number is the capacity-plan figure.
+        g_rows = max(1000, n_rows // 10)
+        g_cold = _graph_run(spark, os.path.join(work, "g1"), g_rows, n_files)
+        g_warm = _graph_run(spark, os.path.join(work, "g2"), g_rows, n_files)
         return {
             "mode": "exactly_once",
             "rows": n_rows,
             "micro_batches": n_files,
             "cold": cold,
             "warm": warm,
-            "graph_pipeline": {"rows": max(1000, n_rows // 10), **graph},
+            "graph_pipeline": {
+                "rows": g_rows,
+                "cold": g_cold,
+                "warm": g_warm,
+                # back-compat headline fields = the warm run
+                **g_warm,
+            },
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -15,3 +15,10 @@ def test_streaming_bench_runs_and_audits(spark):
         audit = r[leg]["audit"]
         assert audit["rows"] == audit["uniq"] == audit["span"] == 2_000
         assert r[leg]["rows_per_sec"] > 0
+    g = r["graph_pipeline"]
+    for leg in ("cold", "warm"):
+        audit = g[leg]["audit"]
+        assert audit["rows"] == audit["uniq"] == audit["span"] == g["rows"]
+        assert g[leg]["rows_per_sec"] > 0
+    # headline fields mirror the warm run (back-compat shape)
+    assert g["rows_per_sec"] == g["warm"]["rows_per_sec"]
