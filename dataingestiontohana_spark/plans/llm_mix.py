@@ -57,6 +57,13 @@ def q201_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     each source runs at a 2x-corpus token budget (small sources > 1 —
     the upsampling the temperature exists to produce).
 
+    Relation to q143_temperature_mix: q143 DERIVES per-language keep
+    targets from doc counts at alpha=0.5 and executes the downsample;
+    this query is the PLANNING artifact — continuous TOKEN-weighted
+    sampling probabilities plus the epoch/repetition forecast a
+    training-run config consumes (weights say how often to DRAW from a
+    source per token, not which rows to drop).
+
     Exactness: counts are int64; t_i^alpha = exp(alpha * ln t_i) is
     the one libm term and quantizes to a q6 INTEGER immediately
     (round half-up, identical for positives in both engines) so the
@@ -182,6 +189,12 @@ def q202_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 train/val/test assignment by id hash, with
     the per-split composition report (docs, tokens, distinct langs and
     sources) a release gate checks before shipping a corpus version.
+
+    Relation to q57_hash_split: q57 reports char-level stats of an
+    80/10/10 assignment; this query is the TOKEN-level composition +
+    diversity report AND the single source of the split expression
+    (`_split_col`/`_split_sql`) that q203's leakage audit labels pairs
+    with — assignment and audit can never disagree on membership.
 
     Exactness: split membership is pure integer md5 arithmetic —
     identical in any engine, stable under re-runs and text edits;
