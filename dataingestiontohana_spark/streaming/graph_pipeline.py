@@ -27,7 +27,7 @@ Node kinds and their reference counterparts:
 | `data_generator` | R1  | source    | `source_dir` (csv text files), `max_files_per_trigger` |
 | `kafka_consumer` | R4  | source    | `path`, `topic` (kafkafake transport; swap for the connector in a cluster) |
 | `multiplexer`    | R2  | fan-out   | — (the ONLY node allowed >1 downstream edge) |
-| `process`        | R5  | transform | `fn: DataFrame -> DataFrame` (the custom-JS stage) |
+| `process`        | R5  | transform | EITHER `fn: DataFrame -> DataFrame` (a live binding) OR `sql: str` referencing the input as `{input}` (e.g. `SELECT * FROM {input} WHERE ...`). SQL transforms serialize INLINE in graph JSON — the reference's graph.json embeds its custom operators' scripts the same way — so a SQL-only graph needs no `$ref` bindings at load time. |
 | `wiretap`        | R9  | tap       | `wiretap: Wiretap` (defaults to a fresh one) |
 | `simulate_error` | R8  | tap       | `fault: FaultInjector` |
 | `kafka_producer` | R3  | sink      | `topic` + either `brokers` (real connector, executor-side batch produce) or `path` (kafkafake transport, executor-side foreachPartition appends); at-least-once either way, like the real connector. No driver collect on any path. |
@@ -118,6 +118,20 @@ class PipelineGraph:
                 f"one source node, got {len(sources)}: {sorted(sources)}"
             )
         for name, nd in self.nodes.items():
+            if nd.kind == "process":
+                has_fn = "fn" in nd.config
+                has_sql = "sql" in nd.config
+                if has_fn == has_sql:  # both or neither
+                    raise GraphValidationError(
+                        f"process node {name!r} needs exactly one of "
+                        f"'fn' (a live DataFrame transform) or 'sql' "
+                        f"(a statement over {{input}})"
+                    )
+                if has_sql and "{input}" not in nd.config["sql"]:
+                    raise GraphValidationError(
+                        f"process node {name!r}: the sql must reference "
+                        f"the upstream frame as {{input}}"
+                    )
             if nd.kind in SOURCE_KINDS and indeg[name] != 0:
                 raise GraphValidationError(f"source {name!r} cannot have inputs")
             if nd.kind not in SOURCE_KINDS and indeg[name] != 1:
@@ -233,8 +247,18 @@ class CompiledGraph:
     def _walk(self, name: str, bdf: DataFrame, epoch_id: int) -> None:
         nd = self.graph.nodes[name]
         if nd.kind == "process":
-            fn: Callable[[DataFrame], DataFrame] = nd.config["fn"]
-            bdf = fn(bdf)
+            if "sql" in nd.config:
+                # parameterized SQL with a DataFrame placeholder: the
+                # batch frame binds to {input}, so the statement lives
+                # INLINE in the JSON spec (reference parity: SAP DI's
+                # graph.json embeds each custom operator's script).
+                # MUST run on the batch frame's OWN session — foreachBatch
+                # hands a micro-batch session clone, and the placeholder
+                # temp view registers there, not on the outer session
+                bdf = bdf.sparkSession.sql(nd.config["sql"], input=bdf)
+            else:
+                fn: Callable[[DataFrame], DataFrame] = nd.config["fn"]
+                bdf = fn(bdf)
         elif nd.kind == "wiretap":
             self.wiretaps[name].tap(bdf, epoch_id)
         elif nd.kind == "simulate_error":

@@ -402,3 +402,42 @@ def test_producer_graph_real_brokers_routes_to_connector(
         assert cols == ["key", "value"]
         assert brokers == "broker-1:9092"
         assert topic == "sensor"
+
+
+def test_process_node_validates_fn_xor_sql():
+    g = PipelineGraph()
+    g.node("gen", "data_generator", source_dir="/tmp/x")
+    g.node("p", "process")  # neither fn nor sql
+    g.node("t", "terminal")
+    g.connect("gen", "p")
+    g.connect("p", "t")
+    with pytest.raises(GraphValidationError, match="exactly one of"):
+        g.validate()
+
+    g2 = PipelineGraph()
+    g2.node("gen", "data_generator", source_dir="/tmp/x")
+    g2.node("p", "process", sql="SELECT 1")  # no {input} reference
+    g2.node("t", "terminal")
+    g2.connect("gen", "p")
+    g2.connect("p", "t")
+    with pytest.raises(GraphValidationError, match="\\{input\\}"):
+        g2.validate()
+
+
+def test_sql_process_node_transforms_each_batch(spark, tmp_path, source_dir):
+    """An inline-SQL process node runs per micro-batch with the batch
+    frame bound to {input} — same rows as the equivalent fn node."""
+    g = PipelineGraph()
+    g.node("gen", "data_generator", source_dir=source_dir,
+           max_files_per_trigger=3)
+    g.node("typed", "process",
+           sql="SELECT upper(value) AS value, length(value) AS n "
+               "FROM {input} WHERE length(value) > 0")
+    g.node("console", "terminal", limit=1000)
+    g.connect("gen", "typed")
+    g.connect("typed", "console")
+    c = g.compile(spark, str(tmp_path / "ckpt_sqlproc"))
+    assert c.run_to_completion() is None
+    rows = c.terminals["console"]
+    assert len(rows) == N_ROWS
+    assert all(r["value"] == r["value"].upper() and r["n"] > 0 for r in rows)

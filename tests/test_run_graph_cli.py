@@ -54,3 +54,33 @@ def test_unbound_ref_fails_at_load(spark, tmp_path):
                 "--workdir", str(tmp_path / "g2"),
             ]
         )
+
+
+def test_sql_process_graph_from_json_needs_only_sink_binding(spark, tmp_path):
+    """The SQL-process variant (round 7): the Processing Data stage is
+    an inline SQL script in the spec — reference parity with SAP DI's
+    graph.json embedding custom operator code as strings — so the run
+    binds ONLY the sink."""
+    work = str(tmp_path / "g")
+    rc = main(
+        [
+            os.path.join(EXAMPLES, "producer_graph.json"),
+            "--workdir", work, "--rows", "300", "--files", "3",
+        ]
+    )
+    assert rc == 0
+    rc = main(
+        [
+            os.path.join(EXAMPLES, "consumer_graph_sql.json"),
+            "--workdir", work,
+            "--bind", "hana.sink=sqlite_upsert:sensor_sink:counter",
+        ]
+    )
+    assert rc == 0
+    con = sqlite3.connect(os.path.join(work, "sink.db"))
+    rows, uniq, lo, hi = con.execute(
+        'SELECT COUNT(*), COUNT(DISTINCT counter), MIN(counter), '
+        "MAX(counter) FROM sensor_sink"
+    ).fetchone()
+    con.close()
+    assert rows == uniq == (hi - lo + 1) == 300
