@@ -1,0 +1,77 @@
+"""tools/check_bench.py — the mechanical per-entry bench gate must
+itself be trustworthy: pass/fail/missing/group-sum semantics pinned on
+synthetic artifacts."""
+
+from __future__ import annotations
+
+import json
+
+from tools.check_bench import load_queries, main
+
+
+def _write(tmp_path, name, doc):
+    p = tmp_path / name
+    p.write_text(json.dumps(doc))
+    return str(p)
+
+
+def _baseline(tmp_path, entries, groups=()):
+    return _write(tmp_path, "base.json", {
+        "entries": {k: {"sec": v, "fine_queries": 1} for k, v in entries.items()},
+        "shared_cost_groups": [list(g) for g in groups],
+    })
+
+
+def test_within_factor_passes(tmp_path):
+    base = _baseline(tmp_path, {"q1": 1.0, "q2": 2.0})
+    run = _write(tmp_path, "run.json", {"queries": {"q1": 1.9, "q2": 3.9}})
+    assert main([run, base]) == 0
+
+
+def test_over_factor_fails(tmp_path):
+    base = _baseline(tmp_path, {"q1": 1.0})
+    run = _write(tmp_path, "run.json", {"queries": {"q1": 2.1}})
+    assert main([run, base]) == 1
+
+
+def test_missing_entry_fails_new_entry_informational(tmp_path):
+    base = _baseline(tmp_path, {"q1": 1.0, "q2": 1.0})
+    run = _write(tmp_path, "run.json", {"queries": {"q1": 1.0, "q9": 50.0}})
+    assert main([run, base]) == 1  # q2 missing; q9 is new (no limit)
+
+    base2 = _baseline(tmp_path, {"q1": 1.0})
+    run2 = _write(tmp_path, "run2.json", {"queries": {"q1": 1.0, "q9": 50.0}})
+    assert main([run2, base2]) == 0  # only a NEW entry: informational
+
+
+def test_group_sum_absorbs_cost_migration(tmp_path):
+    """The shared-cache scenario: cost moved from q_a to q_b (the
+    materialization landed on a different first-toucher). Cell-by-cell
+    q_b is 5x its baseline — but the GROUP SUM is flat, so it passes."""
+    base = _baseline(
+        tmp_path, {"q_a": 10.0, "q_b": 2.0}, groups=[("q_a", "q_b")]
+    )
+    run = _write(
+        tmp_path, "run.json", {"queries": {"q_a": 2.0, "q_b": 10.0}}
+    )
+    assert main([run, base]) == 0
+
+    # and a genuine group regression still fails
+    run2 = _write(
+        tmp_path, "run2.json", {"queries": {"q_a": 20.0, "q_b": 10.0}}
+    )
+    assert main([run2, base]) == 1
+
+
+def test_driver_wrapper_shape_accepted(tmp_path):
+    run = _write(tmp_path, "wrapped.json", {
+        "rc": 0, "parsed": {"queries": {"q1": 1.0}},
+    })
+    assert load_queries(run) == {"q1": 1.0}
+
+
+def test_custom_factor(tmp_path):
+    base = _baseline(tmp_path, {"q1": 1.0})
+    run = _write(tmp_path, "run.json", {"queries": {"q1": 1.4}})
+    assert main([run, base, "--factor", "1.5"]) == 0
+    assert main([run, base, "--factor", "1.3"]) == 1

@@ -33,6 +33,9 @@ SECTIONS: list[tuple[str, str, int]] = [
     ("Annotator agreement (kappa)", "q178_annotator_kappa", 5),
     ("Dedup savings", "q185_dedup_savings", 5),
     ("Effective corpus size", "q187_effective_corpus_size", 5),
+    ("Training mixture (temperature weights)", "q201_mixture_weights", 10),
+    ("Split composition (train/val/test)", "q202_hash_split", 5),
+    ("Cross-split near-dup leakage", "q203_split_leakage", 10),
     ("Table fingerprints", "q161_table_fingerprint", 10),
 ]
 
