@@ -60,6 +60,14 @@ def bucketed_ranks(
     """
     from pyspark.sql.types import DoubleType, FloatType
 
+    # the input feeds three plans (group stats, the stats join, bucket
+    # counts): without a barrier its upstream — typically a full-table
+    # aggregate — recomputes per consumer. One lazy localCheckpoint
+    # materializes the (already reduced) frame on first action and the
+    # other consumers reuse the executor-cached copy. Measured: q147
+    # decile lift 6.6 -> ~3 s standalone at sf0.1.
+    df = df.localCheckpoint(eager=False)
+
     part = list(part_cols)
     v = F.col(value_col)
     is_float = isinstance(df.schema[value_col].dataType, (DoubleType, FloatType))
