@@ -658,6 +658,28 @@ ORACLES = {
 }
 
 
+# q125 (pairs), q165 (item-CF) and q189 (triples) all mine the same
+# distinct (order, part) basket frame; each consumes it 2-4x through
+# self-joins and support counts. One lazily-localCheckpointed frame per
+# (application, sf_dir) — the `_exact_pairs_cached` sharing discipline —
+# so the distinct's scan+shuffle runs once per process, not ~9x.
+_BASKET_CACHE: dict = {}
+
+
+def _basket_items_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _BASKET_CACHE.get(key)
+    if df is None:
+        df = (
+            _t(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        _BASKET_CACHE[key] = df
+    return df
+
+
 def q125_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket pair mining: the 30 most co-purchased part pairs
     across orders, with per-item supports and lift — the co-occurrence
@@ -676,8 +698,7 @@ def q125_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist, as broadcast joins onto 30 rows (re-rank-after-shortlist
     — the q96 PQ pattern).
     """
-    li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = _basket_items_cached(spark, sf_dir)
     a = items.select(
         F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa")
     )
@@ -1506,7 +1527,7 @@ def q165_item_cf_recommendations(
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    basket = li.distinct()
+    basket = _basket_items_cached(spark, sf_dir)
     c_item = basket.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
@@ -2136,8 +2157,7 @@ def q189_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     <= C(basket,3), never cross-basket); supports reduce with
     map-side combine and the top-20 is a TakeOrderedAndProject.
     """
-    li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = _basket_items_cached(spark, sf_dir)
     min_support = 2
     freq = (
         items.groupBy("l_partkey")
