@@ -441,3 +441,33 @@ def test_sql_process_node_transforms_each_batch(spark, tmp_path, source_dir):
     rows = c.terminals["console"]
     assert len(rows) == N_ROWS
     assert all(r["value"] == r["value"].upper() and r["n"] > 0 for r in rows)
+
+
+def test_run_graphs_concurrently_exactly_once(spark, tmp_path, source_dir):
+    """The bench's concurrent-run path as a pinned contract: producer
+    and consumer graphs run AT ONCE (the reference keeps both pipelines
+    live simultaneously), the ordered drain guarantees the consumer
+    sees everything, and the keyed upsert audit holds rows=uniq=span."""
+    from dataingestiontohana_spark.streaming.graph_pipeline import (
+        run_graphs_concurrently,
+    )
+
+    broker_path = str(tmp_path / "broker")
+    prod = PipelineGraph()
+    prod.node("gen", "data_generator", source_dir=source_dir,
+              max_files_per_trigger=2)
+    prod.node("producer", "kafka_producer", path=broker_path, topic="sensor")
+    prod.connect("gen", "producer")
+
+    cons = consumer_graph(spark, tmp_path, broker_path)
+    err = run_graphs_concurrently([
+        prod.compile(spark, str(tmp_path / "ck_p")),
+        cons.compile(spark, str(tmp_path / "ck_c")),
+    ])
+    assert err is None
+    con = sqlite3.connect(str(tmp_path / "sink.db"))
+    try:
+        a = audit_sink(con, "sensor_sink")
+    finally:
+        con.close()
+    assert a.n_rows == a.uniq == a.span == N_ROWS

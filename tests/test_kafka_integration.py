@@ -321,3 +321,42 @@ def test_fake_kafka_batch_read_one_task_per_partition(spark, tmp_path):
     for r in rows:
         by_p.setdefault(r["partition"], []).append(r["offset"])
     assert all(sorted(v) == list(range(len(v))) for v in by_p.values())
+
+
+def test_concurrent_appends_never_interleave_mid_line(tmp_path):
+    """The executor-side produce contract: many writers appending to
+    the SAME partition log concurrently (O_APPEND single-write) must
+    yield only whole, parseable lines — no torn or interleaved
+    records. Hammers one partition from 8 threads."""
+    import json as _json
+    import threading
+
+    from dataingestiontohana_spark.sources.kafkafake import FakeKafkaBroker
+
+    b = FakeKafkaBroker(str(tmp_path / "broker"))
+    b.create_topic("hot", partitions=1)
+    n_threads, per_thread = 8, 200
+
+    def writer(t: int) -> None:
+        bb = FakeKafkaBroker(str(tmp_path / "broker"))
+        # long values make torn writes likely if appends ever split
+        vals = [f"t{t}-i{i}-" + "x" * 500 for i in range(per_thread)]
+        bb.produce_many("hot", vals, keys=["k"] * per_thread)
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in range(n_threads)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    f = tmp_path / "broker" / "hot" / "p-0.jsonl"
+    lines = f.read_text().splitlines()
+    assert len(lines) == n_threads * per_thread
+    import base64
+    seen = set()
+    for ln in lines:
+        rec = _json.loads(ln)  # raises on any torn/interleaved line
+        v = base64.b64decode(rec["v"]).decode()
+        assert v.endswith("x" * 500)
+        seen.add(v.split("-x")[0])
+    assert len(seen) == n_threads * per_thread
