@@ -46,8 +46,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
-    SimpleDataSourceStreamReader,
 )
 
 KAFKA_ENVELOPE_SCHEMA = (
@@ -243,61 +243,108 @@ def _read_slice(
     return rows
 
 
-class FakeKafkaStreamReader(SimpleDataSourceStreamReader):
-    """Offsets = {str(partition): next_unread}, the connector's
-    per-partition offset map. Deterministic replay via line numbers."""
+class FakeKafkaSlice(InputPartition):
+    """One (topic-partition, offset-range) task split — Kafka's
+    parallelism unit, exactly what the real connector hands a task."""
+
+    def __init__(self, partition: int, lo: int, hi: int):
+        self.partition = partition
+        self.lo = lo
+        self.hi = hi
+
+
+class FakeKafkaStreamReader(DataSourceStreamReader):
+    """PARTITIONED stream reader — the real connector's task model:
+    the driver only computes the per-partition offset map
+    ({str(partition): next_unread}); each micro-batch plans ONE input
+    partition per topic partition with unread data, and the slice is
+    read EXECUTOR-SIDE by the task that owns it (the earlier
+    SimpleDataSourceStreamReader funneled every record through a
+    driver prefetch — fine for a sandbox, structurally wrong for the
+    scale story this stand-in exists to verify). Deterministic replay
+    via line numbers; `maxOffsetsPerTrigger` caps the total records a
+    micro-batch plans, like the connector."""
 
     def __init__(self, options: dict):
         self.path = options["path"]
         self.topic = options["topic"]
         self.starting = options.get("startingoffsets", "earliest")
-        # connector parity: cap records per micro-batch (the real
-        # source's maxOffsetsPerTrigger); 0/absent = drain everything
         self.max_per_trigger = int(options.get("maxoffsetspertrigger", 0))
+        # last planned batch end, tracked so the trigger cap can be
+        # applied as ADMISSION CONTROL in latestOffset() — capping in
+        # partitions() instead would silently skip the records between
+        # the capped slice and the batch's committed end (data loss)
+        self._pos: dict | None = None
 
     def _broker(self) -> FakeKafkaBroker:
         return FakeKafkaBroker(self.path)
 
-    def initialOffset(self) -> dict:
+    def _start_offsets(self) -> dict:
         b = self._broker()
         if self.starting == "latest":
             return b.end_offsets(self.topic)
         return {str(k): 0 for k in b.partitions(self.topic)}
 
-    def read(self, start: dict):
-        b = self._broker()
-        end = b.end_offsets(self.topic)
-        rows: list[tuple] = []
-        out = dict(start)
-        budget = self.max_per_trigger or None
-        for p in sorted(end, key=int):
-            lo = int(start.get(p, 0))
-            hi = int(end[p])
-            if budget is not None:
-                hi = min(hi, lo + budget)
-            if hi > lo:
-                rows.extend(
-                    _read_slice(self.path, self.topic, int(p), lo, hi)
-                )
-                if budget is not None:
-                    budget -= hi - lo
-            out[p] = max(lo, hi)
-            if budget == 0:
-                # untouched partitions keep their start offsets
-                for q in sorted(end, key=int):
-                    out.setdefault(q, int(start.get(q, 0)))
-                break
-        return iter(rows), out
+    def initialOffset(self) -> dict:
+        off = self._start_offsets()
+        self._pos = dict(off)
+        return off
 
-    def readBetweenOffsets(self, start: dict, end: dict):
-        rows: list[tuple] = []
-        for p, hi in end.items():
-            lo = int(start.get(p, 0))
-            if int(hi) > lo:
-                rows.extend(
-                    _read_slice(self.path, self.topic, int(p), lo, int(hi))
-                )
-        return iter(rows)
+    def latestOffset(self) -> dict:
+        # driver-side planning only: stat the logs (O(#partitions), no
+        # record materializes) and bound the batch by the trigger cap.
+        # The cap base seeds lazily from startingOffsets (Spark may
+        # never call initialOffset on THIS instance — the reader lives
+        # in the streaming-source runner process) and is corrected to
+        # the true committed start at every partitions() call, so on a
+        # checkpoint restart the first planned end may trail the
+        # committed start — partitions() then plans nothing, the base
+        # catches up, and capping resumes: a few empty triggers, never
+        # loss, never an uncapped flood.
+        end = self._broker().end_offsets(self.topic)
+        if self.max_per_trigger:
+            if self._pos is None:
+                self._pos = dict(self._start_offsets())
+            budget = self.max_per_trigger
+            capped: dict = {}
+            for p in sorted(end, key=int):
+                lo = int(self._pos.get(p, 0))
+                hi = int(end[p])
+                take = min(max(hi - lo, 0), max(budget, 0))
+                capped[p] = lo + take
+                budget -= take
+            end = capped
+        return end
+
+    def partitions(self, start: dict, end: dict) -> list[FakeKafkaSlice]:
+        # track the cap base as the max of the planned end and the TRUE
+        # batch start Spark restored from its checkpoint
+        self._pos = {
+            p: max(int(end.get(p, 0)), int(start.get(p, 0)))
+            for p in set(end) | set(start)
+        }
+        return [
+            FakeKafkaSlice(int(p), int(start.get(p, 0)), int(end[p]))
+            for p in sorted(end, key=int)
+            if int(end[p]) > int(start.get(p, 0))
+        ]
+
+    def read(self, partition: FakeKafkaSlice):
+        # EXECUTOR-side: the task reads exactly its partition's slice
+        return iter(
+            _read_slice(
+                self.path,
+                self.topic,
+                partition.partition,
+                partition.lo,
+                partition.hi,
+            )
+        )
+
+    def commit(self, end: dict) -> None:
+        # offsets live in Spark's checkpoint (the consumer identity),
+        # exactly like the connector with auto-commit off
+        return None
 
 
 class FakeKafkaBatchReader(DataSourceReader):
@@ -335,7 +382,7 @@ class FakeKafkaSource(DataSource):
     def reader(self, schema) -> FakeKafkaBatchReader:
         return FakeKafkaBatchReader(self.options)
 
-    def simpleStreamReader(self, schema) -> FakeKafkaStreamReader:
+    def streamReader(self, schema) -> FakeKafkaStreamReader:
         return FakeKafkaStreamReader(self.options)
 
 
