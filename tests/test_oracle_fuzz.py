@@ -324,3 +324,55 @@ def test_fuzz_analytics_families_match_oracle(spark, tmp_path, seed):
             assert ok, f"seed={seed} query={name}: {msg}"
     finally:
         con.close()
+
+
+# ---------------------------------------------------------------------------
+# Training-mix governance fuzz: random documents corpora through the
+# production q201/q202/q203 callables vs their committed oracles. The
+# mixture weight is the engine's one exp/ln libm term — fuzzing many
+# random token-count distributions pins the cross-engine q6-integer
+# quantization across a wide value range, not just the fixture corpus.
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_mix_governance_matches_oracle(spark, tmp_path, seed):
+    import duckdb as _duckdb
+
+    from dataingestiontohana_spark.plans.llm_mix import ORACLES, QUERIES
+
+    rng = random.Random(6000 + seed)
+    vocab = [f"w{i}" for i in range(30)]
+    langs = ["en", "de", "zh", "es"]
+    rows = []
+    n_sources = rng.randint(2, 9)
+    did = 0
+    for s in range(n_sources):
+        # skewed source sizes: exercises the temperature upsample and
+        # tiny-source epoch blow-ups (1-doc sources included)
+        for _ in range(rng.choice([1, 3, 10, 40])):
+            n = rng.randint(1, 60)
+            text = " ".join(rng.choice(vocab) for _ in range(n))
+            rows.append((did, text, rng.choice(langs), f"s{s}", len(text)))
+            did += 1
+    # duplicate texts across docs so q203 has real near-dup pairs
+    for j in range(6):
+        base = rows[rng.randrange(len(rows))]
+        rows.append((did, base[1], base[2], base[3], base[4]))
+        did += 1
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(2).write.parquet(f"{sf_dir}/documents.parquet")
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    try:
+        for name in sorted(QUERIES):
+            sdf = QUERIES[name](spark, sf_dir)
+            ddf = con.execute(ORACLES[name]).fetch_arrow_table().to_pandas()
+            ok, msg = compare(sdf, ddf)
+            assert ok, f"seed={seed} query={name}: {msg}"
+    finally:
+        con.close()
