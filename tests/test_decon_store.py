@@ -1,0 +1,114 @@
+"""Persisted Bloom decontamination store: probe results must equal the
+in-memory q95 pipeline, appends must OR bits in, the no-false-negative
+routing guarantee must hold, and the probe plan must stay map-only."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataingestiontohana_spark.catalog import load_table
+from dataingestiontohana_spark.operators.decon_store import (
+    append_to_bloom_store,
+    decontaminate_against_store,
+    read_store_params,
+    write_bloom_store,
+)
+from dataingestiontohana_spark.operators.dedup import shingle_string_rows
+from dataingestiontohana_spark.operators.sketches import (
+    bloom_positions,
+    bloom_probe,
+)
+from dataingestiontohana_spark.plans.sampling import _bucket
+from tests.conftest import SF0001
+
+K, M = 3, 131072
+
+
+def _splits(spark):
+    d = load_table(spark, SF0001, "documents")
+    b = _bucket(F.col("doc_id"), 100)
+    return d.where(b >= 90), d.where(b < 80)  # test, train
+
+
+def test_store_probe_equals_in_memory_pipeline(spark, tmp_path):
+    test, train = _splits(spark)
+    test_sh = shingle_string_rows(test).select("sh").distinct()
+    train_sh = shingle_string_rows(train).distinct()
+
+    store = str(tmp_path / "bloomstore")
+    write_bloom_store(test_sh, store, k=K, m_bits=M)
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["bloom_maybe"])
+        for r in decontaminate_against_store(spark, train_sh, store).collect()
+    }
+
+    bloom = bloom_positions(test_sh, "sh", k=K, m_bits=M)
+    want = {
+        r["doc_id"]: (r["n"], r["m"])
+        for r in bloom_probe(train_sh, bloom, "sh", k=K, m_bits=M)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("bloom_hit").alias("m"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_no_false_negatives_and_append_ors_bits(spark, tmp_path):
+    """A doc sharing a shingle with ANY stored split must score
+    bloom_maybe >= its true overlap — including splits added by
+    append — so routing on maybe==0 can never leak contamination."""
+    test, train = _splits(spark)
+    test_sh = shingle_string_rows(test).select("sh").distinct()
+    train_sh = shingle_string_rows(train).distinct()
+
+    store = str(tmp_path / "bloomstore")
+    # start from HALF the test split, append the other half
+    half = test_sh.where(F.abs(F.hash("sh")) % 2 == 0)
+    other = test_sh.where(F.abs(F.hash("sh")) % 2 == 1)
+    write_bloom_store(half, store, k=K, m_bits=M)
+    append_to_bloom_store(other, store)
+
+    probed = decontaminate_against_store(spark, train_sh, store)
+    exact = (
+        train_sh.join(test_sh.withColumn("_in", F.lit(1)), "sh", "left")
+        .groupBy("doc_id")
+        .agg(F.sum(F.coalesce(F.col("_in"), F.lit(0))).alias("true_overlap"))
+    )
+    j = probed.join(exact, "doc_id").collect()
+    assert len(j) > 0
+    assert all(r["bloom_maybe"] >= r["true_overlap"] for r in j)
+    # the append genuinely contributed: some true overlap exists in
+    # the appended half and is caught
+    assert any(r["true_overlap"] > 0 for r in j)
+
+
+def test_params_travel_with_the_store(spark, tmp_path):
+    test, _ = _splits(spark)
+    test_sh = shingle_string_rows(test).select("sh").distinct()
+    store = str(tmp_path / "bloomstore")
+    write_bloom_store(test_sh, store, k=5, m_bits=2048)
+    assert read_store_params(store) == {"k": 5, "m_bits": 2048}
+    # a store without its sidecar must refuse to probe (never guess)
+    import os
+
+    os.remove(os.path.join(store, "_bloom_params.json"))
+    with pytest.raises(FileNotFoundError):
+        decontaminate_against_store(
+            spark, test_sh.withColumn("doc_id", F.lit(1)), store
+        )
+
+
+def test_probe_side_never_shuffles(spark, tmp_path):
+    """The 100 TB contract: probing broadcasts the stored bits; the
+    training side must not enter a shuffle exchange before its own
+    per-doc aggregate."""
+    test, train = _splits(spark)
+    test_sh = shingle_string_rows(test).select("sh").distinct()
+    train_sh = shingle_string_rows(train).distinct()
+    store = str(tmp_path / "bloomstore")
+    write_bloom_store(test_sh, store, k=K, m_bits=M)
+    out = decontaminate_against_store(spark, train_sh, store)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan
