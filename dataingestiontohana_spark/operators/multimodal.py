@@ -3,14 +3,14 @@ with typed metadata, processed via Arrow-batched `mapInPandas`.
 
 The container has no imaging/audio libraries, so the codecs here are
 pure-stdlib: the synthetic SGM1 format decodes fully; real PNG decodes
-every 8-bit non-interlaced color type (grayscale/RGB/palette/
+every 8-bit color type, non-interlaced AND Adam7 (grayscale/RGB/palette/
 gray+alpha/RGBA) via zlib inflate + scanline unfilter, with a matching
 pure-stdlib encoder (`encode_png`); baseline JPEG decodes grayscale
 AND YCbCr color (any 4:4:4/4:2:2/4:2:0 sampling, restart intervals),
 with a matching pure-stdlib encoder (`encode_jpeg_baseline`); 8-bit
 mono and 16-bit mono/stereo PCM WAV decode to samples (stereo
 downmixes (l+r)//2 exactly). Codec-bound formats (MP4, MP3, progressive
-JPEG, 16-bit/interlaced PNG) stay metadata-only or raise
+JPEG, 16-bit PNG) stay metadata-only or raise
 `NotImplementedError`. The Spark-side
 plumbing — schema contracts, Arrow batch iteration, UDF signatures,
 per-partition batching — is identical to what a PIL/librosa-backed
@@ -83,14 +83,15 @@ def _parse_png(b: bytes) -> tuple[int, int, int, np.ndarray | None]:
     """Pure-stdlib PNG parse -> (w, h, channels, flat_bytes).
 
     IHDR dimensions always; full pixel decode (zlib inflate + scanline
-    unfilter) for every 8-bit non-interlaced color type: grayscale (0),
-    RGB (2), palette (3, expanded through PLTE to RGB), gray+alpha (4),
-    RGBA (6). 16-bit and interlaced images return metadata only
-    (channels=0, px=None). The flat byte array is row-major
-    channel-interleaved, length w*h*channels."""
+    unfilter) for every 8-bit color type: grayscale (0), RGB (2),
+    palette (3, expanded through PLTE to RGB), gray+alpha (4), RGBA
+    (6) — both non-interlaced AND Adam7-interlaced (seven
+    independently-filtered passes scattered back onto the pixel grid).
+    16-bit images return metadata only (channels=0, px=None). The flat
+    byte array is row-major channel-interleaved, length w*h*channels."""
     w, h = struct.unpack(">II", b[16:24])
     bit_depth, color_type, _comp, _filt, interlace = b[24:29]
-    if not (bit_depth == 8 and color_type in _PNG_BPP and interlace == 0):
+    if not (bit_depth == 8 and color_type in _PNG_BPP and interlace in (0, 1)):
         return w, h, 0, None
     bpp = _PNG_BPP[color_type]
     # concatenate IDAT chunk payloads; grab PLTE for palette images
@@ -112,11 +113,43 @@ def _parse_png(b: bytes) -> tuple[int, int, int, np.ndarray | None]:
     import zlib
 
     raw = zlib.decompress(bytes(idat))
-    # unfilter: each scanline = 1 filter byte + w*bpp bytes; the left
-    # neighbor of byte x is byte x-bpp (per-channel lanes, PNG spec)
+    if interlace == 0:
+        out, _ = _png_unfilter(raw, w, h, bpp, 0)
+    else:  # Adam7: seven independently-filtered sub-images
+        out3 = np.zeros((h, w, bpp), dtype=np.uint8)
+        pos = 0
+        for r0, c0, rs, cs in _ADAM7_PASSES:
+            pw = (w - c0 + cs - 1) // cs if w > c0 else 0
+            ph = (h - r0 + rs - 1) // rs if h > r0 else 0
+            if pw == 0 or ph == 0:
+                continue  # empty pass contributes no bytes at all
+            sub, pos = _png_unfilter(raw, pw, ph, bpp, pos)
+            out3[r0::rs, c0::cs, :] = sub.reshape(ph, pw, bpp)
+        out = out3.reshape(h, w * bpp)
+    flat = out.reshape(-1)
+    if color_type == 3:
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        return w, h, 3, pal[flat].reshape(-1)
+    return w, h, bpp, flat
+
+
+# Adam7 pass grid: (row0, col0, row_step, col_step) per pass — the
+# PNG spec's interlace method 1 (each pass filters as its own image)
+_ADAM7_PASSES = (
+    (0, 0, 8, 8), (0, 4, 8, 8), (4, 0, 8, 4), (0, 2, 4, 4),
+    (2, 0, 4, 2), (0, 1, 2, 2), (1, 0, 2, 1),
+)
+
+
+def _png_unfilter(
+    raw: bytes, w: int, h: int, bpp: int, pos: int
+) -> tuple[np.ndarray, int]:
+    """Unfilter h scanlines of a (sub-)image starting at byte ``pos``
+    of the inflated stream; returns ((h, w*bpp) uint8, next pos). Each
+    scanline = 1 filter byte + w*bpp bytes; the left neighbor of byte
+    x is byte x-bpp (per-channel lanes, PNG spec)."""
     stride = w * bpp
     out = np.zeros((h, stride), dtype=np.uint8)
-    pos = 0
     for y in range(h):
         f = raw[pos]
         line = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int32)
@@ -144,42 +177,15 @@ def _parse_png(b: bytes) -> tuple[int, int, int, np.ndarray | None]:
                     pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
                 cur[x] = (line[x] + pred) % 256
         out[y] = cur
-    flat = out.reshape(-1)
-    if color_type == 3:
-        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
-        return w, h, 3, pal[flat].reshape(-1)
-    return w, h, bpp, flat
+    return out, pos
 
 
-def encode_png(
-    arr: np.ndarray,
-    color_type: int = 0,
-    filters: tuple[int, ...] = (0,),
-    palette: np.ndarray | None = None,
-) -> bytes:
-    """Pure-stdlib 8-bit PNG encoder — the inverse of `_parse_png`,
-    used both as the re-encode step of image normalization and to
-    build real-format fixtures the decoder is property-tested against.
-
-    arr shape by color type: 0 grayscale (h, w); 2 RGB (h, w, 3);
-    4 gray+alpha (h, w, 2); 6 RGBA (h, w, 4); 3 palette indices (h, w)
-    with ``palette`` an (n<=256, 3) uint8 array. ``filters`` cycles
-    per scanline (types 0-4), exercising every unfilter branch."""
-    import zlib
-
-    if color_type not in _PNG_BPP:
-        raise ValueError(f"unsupported color type {color_type}")
-    bpp = _PNG_BPP[color_type]
-    a8 = np.asarray(arr, dtype=np.uint8)
-    if color_type in (0, 3):
-        h, w = a8.shape
-        lines = a8.reshape(h, w)
-    else:
-        h, w, ch = a8.shape
-        if ch != bpp:
-            raise ValueError(f"color type {color_type} needs {bpp} channels")
-        lines = a8.reshape(h, w * bpp)
-    stride = w * bpp
+def _png_filter_lines(
+    lines: np.ndarray, bpp: int, filters: tuple[int, ...]
+) -> bytearray:
+    """Filter the scanlines of one (sub-)image — the encoder half of
+    `_png_unfilter`, applied per Adam7 pass when interlacing."""
+    h, stride = lines.shape
     raw = bytearray()
     for y in range(h):
         f = filters[y % len(filters)]
@@ -205,6 +211,53 @@ def encode_png(
             )
         raw.append(f)
         raw += ((line - pred) % 256).astype(np.uint8).tobytes()
+    return raw
+
+
+def encode_png(
+    arr: np.ndarray,
+    color_type: int = 0,
+    filters: tuple[int, ...] = (0,),
+    palette: np.ndarray | None = None,
+    interlace: int = 0,
+) -> bytes:
+    """Pure-stdlib 8-bit PNG encoder — the inverse of `_parse_png`,
+    used both as the re-encode step of image normalization and to
+    build real-format fixtures the decoder is property-tested against.
+
+    arr shape by color type: 0 grayscale (h, w); 2 RGB (h, w, 3);
+    4 gray+alpha (h, w, 2); 6 RGBA (h, w, 4); 3 palette indices (h, w)
+    with ``palette`` an (n<=256, 3) uint8 array. ``filters`` cycles
+    per scanline (types 0-4), exercising every unfilter branch.
+    ``interlace=1`` emits Adam7: each of the seven passes extracts its
+    sub-grid and filters as an independent image, empty passes emit no
+    bytes — the exact stream shape `_parse_png` scatters back."""
+    import zlib
+
+    if color_type not in _PNG_BPP:
+        raise ValueError(f"unsupported color type {color_type}")
+    if interlace not in (0, 1):
+        raise ValueError("interlace must be 0 (none) or 1 (Adam7)")
+    bpp = _PNG_BPP[color_type]
+    a8 = np.asarray(arr, dtype=np.uint8)
+    if color_type in (0, 3):
+        h, w = a8.shape
+        grid = a8.reshape(h, w, 1)
+    else:
+        h, w, ch = a8.shape
+        if ch != bpp:
+            raise ValueError(f"color type {color_type} needs {bpp} channels")
+        grid = a8
+    if interlace == 0:
+        raw = _png_filter_lines(grid.reshape(h, w * bpp), bpp, filters)
+    else:
+        raw = bytearray()
+        for r0, c0, rs, cs in _ADAM7_PASSES:
+            sub = grid[r0::rs, c0::cs, :]
+            ph, pw = sub.shape[0], sub.shape[1]
+            if pw == 0 or ph == 0:
+                continue
+            raw += _png_filter_lines(sub.reshape(ph, pw * bpp), bpp, filters)
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         import zlib as _z
@@ -216,7 +269,7 @@ def encode_png(
             + struct.pack(">I", _z.crc32(typ + data))
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, interlace)
     out = _PNG_MAGIC + chunk(b"IHDR", ihdr)
     if color_type == 3:
         if palette is None:
@@ -808,7 +861,7 @@ def _decode_payload(
     """The codec seam -> (w, h, n_frames, channels, flat_bytes).
 
     SGM1 (synthetic) decodes fully; real PNG decodes every 8-bit
-    non-interlaced color type (grayscale/RGB/palette/gray+alpha/RGBA —
+    color type, non-interlaced and Adam7 (grayscale/RGB/palette/gray+alpha/RGBA —
     palette expands to RGB, channels reports the EXPANDED channel
     count); baseline JPEG decodes grayscale AND YCbCr color pixels
     (any 4:4:4 / 4:2:2 / 4:2:0 sampling; progressive is
@@ -944,12 +997,11 @@ def sample_frames(df: DataFrame, every_k: int = 2) -> DataFrame:
 def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Nearest-neighbor image resize over binary content, re-encoded
     as a single-frame SGM1 container. Works on any decodable image
-    payload: SGM1 images, every 8-bit non-interlaced PNG color type
+    payload: SGM1 images, every 8-bit PNG color type (incl. Adam7)
     (grayscale/RGB/palette/gray+alpha/RGBA — multi-channel images are
     first reduced to integer Rec.601 luma, so thumbnails are always
     single-channel), and baseline JPEG (grayscale or color). Rows
-    whose pixels remain undecodable (progressive JPEG, 16-bit or
-    interlaced PNG) or aren't single-frame images are skipped — the standard
+    whose pixels remain undecodable (progressive JPEG, 16-bit PNG) or aren't single-frame images are skipped — the standard
     thumbnail/normalize step of a vision-data pipeline. Numpy
     integer-index gather per Arrow batch; no Python per-pixel work."""
 

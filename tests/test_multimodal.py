@@ -797,3 +797,65 @@ def test_progressive_jpeg_gate_fires_metadata_only(spark):
     # a bogus thumbnail), while keeping the baseline sibling
     thumbs = {r["media_id"] for r in resize_images(df, 4, 4).collect()}
     assert thumbs == {61}
+
+
+def test_png_adam7_roundtrip_all_color_types(spark):
+    """Adam7 interlace (round 7): encode -> decode must reproduce the
+    pixels exactly for every 8-bit color type, every filter mix, and
+    tiny dimensions where several passes are EMPTY (the spec's no-bytes
+    rule) — and must equal the non-interlaced decode of the same
+    pixels."""
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        _parse_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    cases = [
+        (0, (13, 9)), (2, (13, 9, 3)), (4, (7, 5, 2)), (6, (9, 16, 4)),
+    ]
+    for ct, shape in cases:
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for filters in ((0,), (1, 2, 3, 4, 0), (4,)):
+            b1 = encode_png(arr, ct, filters=filters, interlace=1)
+            w, h, chn, px = _parse_png(b1)
+            assert (w, h) == (shape[1], shape[0])
+            assert px is not None and np.array_equal(px, arr.reshape(-1))
+            b0 = encode_png(arr, ct, filters=filters, interlace=0)
+            assert np.array_equal(px, _parse_png(b0)[3])
+    # palette expands through PLTE identically
+    idx = rng.integers(0, 5, size=(11, 6), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(5, 3), dtype=np.uint8)
+    _, _, chn, px = _parse_png(
+        encode_png(idx, 3, filters=(2, 4), palette=pal, interlace=1)
+    )
+    assert chn == 3
+    assert np.array_equal(px, pal[idx.reshape(-1)].reshape(-1))
+    # tiny grids: passes 2-7 variously empty
+    for shape in ((1, 1), (2, 3), (4, 4), (5, 1), (1, 9)):
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        px = _parse_png(encode_png(arr, 0, interlace=1))[3]
+        assert np.array_equal(px, arr.reshape(-1))
+
+
+def test_png_adam7_flows_through_decode_media(spark):
+    """An interlaced PNG lands real pixel stats through the Spark
+    operator, identical to its non-interlaced twin."""
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import encode_png
+
+    rng = np.random.default_rng(12)
+    arr = rng.integers(0, 256, size=(16, 12, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [
+            (71, KIND_IMAGE, encode_png(arr, 2, interlace=1)),
+            (72, KIND_IMAGE, encode_png(arr, 2, interlace=0)),
+        ],
+        "media_id long, kind int, content binary",
+    )
+    got = {r["media_id"]: r for r in decode_media(df).collect()}
+    assert got[71]["px_sum"] == got[72]["px_sum"] == int(arr.astype(np.int64).sum())
+    assert got[71]["channels"] == 3
