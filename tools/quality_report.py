@@ -58,6 +58,51 @@ def render(rows, cols, limit):
     return "\n".join(out)
 
 
+# --gate rules: (name, human label, row-level predicate that flags a
+# VIOLATION). Each rule reads one section's result; a gated run exits 1
+# when any rule flags, so a release pipeline can block on the report.
+GATE_RULES = [
+    (
+        "q203_split_leakage",
+        "cross-split near-dup leakage (off-diagonal cells must be 0)",
+        lambda r: r["split_lo"] != r["split_hi"] and r["n_pairs"] > 0,
+    ),
+    (
+        "q167_expectation_suite",
+        "expectation suite rule failures",
+        lambda r: (r["n_failed"] or 0) > 0,
+    ),
+    (
+        "q123_referential_integrity",
+        "orphaned foreign keys",
+        lambda r: (r["orphan_rows"] or 0) > 0,
+    ),
+]
+
+
+def run_gate(spark, sf_dir: str, queries) -> int:
+    """Evaluate the release-gate rules; prints verdicts, returns the
+    violation count."""
+    violations = 0
+    print("\n# Release gate")
+    for name, label, pred in GATE_RULES:
+        try:
+            rows = queries[name](spark, sf_dir).collect()
+        except Exception as exc:  # pragma: no cover — gate must report
+            violations += 1
+            print(f"GATE FAIL {name}: query failed: {exc}")
+            continue
+        bad = [r for r in rows if pred(r)]
+        if bad:
+            violations += len(bad)
+            print(f"GATE FAIL {name}: {label} — {len(bad)} row(s):")
+            for r in bad[:5]:
+                print(f"    {tuple(r)}")
+        else:
+            print(f"GATE ok   {name}: {label}")
+    return violations
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.001")
@@ -65,6 +110,12 @@ def main(argv=None) -> int:
         "--sections",
         default=None,
         help="comma-separated query names to restrict the report to",
+    )
+    ap.add_argument(
+        "--gate",
+        action="store_true",
+        help="evaluate the release-gate rules after the report and "
+        "exit 1 on any violation (leakage/expectations/orphans)",
     )
     args = ap.parse_args(argv)
 
@@ -96,6 +147,8 @@ def main(argv=None) -> int:
         except Exception as exc:  # pragma: no cover - report must not die
             failures += 1
             print(f"\n## {title}  ({name}) FAILED: {exc}")
+    if args.gate:
+        failures += run_gate(spark, args.sf_dir, QUERIES)
     print()
     return 1 if failures else 0
 
