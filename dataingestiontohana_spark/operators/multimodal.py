@@ -7,9 +7,11 @@ every 8-bit color type, non-interlaced AND Adam7 (grayscale/RGB/palette/
 gray+alpha/RGBA) via zlib inflate + scanline unfilter, with a matching
 pure-stdlib encoder (`encode_png`); baseline JPEG decodes grayscale
 AND YCbCr color (any 4:4:4/4:2:2/4:2:0 sampling, restart intervals),
-with a matching pure-stdlib encoder (`encode_jpeg_baseline`); 8-bit
+with matching pure-stdlib encoders (`encode_jpeg_baseline`,
+`encode_jpeg_progressive`); Huffman-progressive streams decode fully
+(spectral selection, EOB runs, successive approximation); 8-bit
 mono and 16-bit mono/stereo PCM WAV decode to samples (stereo
-downmixes (l+r)//2 exactly). Codec-bound formats (MP4, MP3, progressive
+downmixes (l+r)//2 exactly). Codec-bound formats (MP4, MP3, arithmetic
 JPEG, 16-bit PNG) stay metadata-only or raise
 `NotImplementedError`. The Spark-side
 plumbing — schema contracts, Arrow batch iteration, UDF signatures,
@@ -406,15 +408,31 @@ def _extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _skip_entropy(b: bytes, pos: int) -> int:
+    """Index of the first marker after an entropy-coded segment
+    starting at ``pos`` (skips stuffed 0xFF00 and RSTn)."""
+    while pos + 1 < len(b):
+        if b[pos] == 0xFF and b[pos + 1] != 0x00 and not (
+            0xD0 <= b[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return len(b)
+
+
 def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
-    """Full baseline-sequential JPEG decode -> (flat_pixels, channels).
+    """Full JPEG decode -> (flat_pixels, channels): baseline-sequential
+    (SOF0/1) AND Huffman progressive (SOF2).
 
     Handles grayscale (1 component) and YCbCr color (3 components,
     any h/v sampling factors — 4:4:4, 4:2:2, 4:2:0, ...): DQT + DHT
-    parse, interleaved-MCU Huffman entropy decode with restart
-    intervals, dequantize, inverse zigzag, orthonormal IDCT, level
-    shift, nearest-neighbor chroma upsample, JFIF YCbCr->RGB.
-    Progressive and arithmetic-coded frames return None — the
+    parse, Huffman entropy decode with restart intervals, dequantize,
+    inverse zigzag, orthonormal IDCT, level shift, nearest-neighbor
+    chroma upsample, JFIF YCbCr->RGB. Progressive frames accumulate
+    coefficients across every scan — spectral selection, EOB runs,
+    and successive approximation (DC bit refinement, AC correction
+    bits) per T.81 G.2 — then reconstruct once at EOI.
+    Arithmetic-coded and hierarchical frames return None — the
     codec-stack boundary; the mapInPandas plumbing upstream is
     format-agnostic. Mirrors the reference's opaque-payload stance
     (README.md:4 — payloads are strings/bytes to the pipeline)."""
@@ -424,6 +442,9 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
     w = h = 0
     comps: list[tuple[int, int, int, int]] = []  # (cid, hs, vs, tq)
     restart = 0
+    progressive = False
+    coefs: dict[int, np.ndarray] = {}  # cid -> (bh_pad, bw_pad, 64) zigzag
+    geom: dict[int, tuple] = {}
     i = 2
     while i + 4 <= len(b):
         if b[i] != 0xFF:
@@ -432,6 +453,8 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
         if marker == 0x01 or 0xD0 <= marker <= 0xD8:
             i += 2
             continue
+        if marker == 0xD9:  # EOI
+            break
         seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
         body = b[i + 4 : i + 2 + seg_len]
         if marker == 0xDB:  # DQT
@@ -447,7 +470,8 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
                 )
                 qt[tq] = tbl
                 off += 1 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+            progressive = marker == 0xC2
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             ncomp = body[5]
@@ -462,9 +486,24 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
                 )
                 for c in range(ncomp)
             ]
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            if progressive:
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcx = (w + 8 * hmax - 1) // (8 * hmax)
+                mcy = (h + 8 * vmax - 1) // (8 * vmax)
+                for cid, hs, vs, _tq in comps:
+                    cw = (w * hs + hmax - 1) // hmax
+                    ch = (h * vs + vmax - 1) // vmax
+                    geom[cid] = (
+                        hs, vs, mcx * hs, mcy * vs,
+                        (cw + 7) // 8, (ch + 7) // 8, mcx, mcy,
+                    )
+                    coefs[cid] = np.zeros(
+                        (mcy * vs, mcx * hs, 64), dtype=np.int32
+                    )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # progressive/arithmetic: not baseline
+            return None  # lossless/arithmetic/hierarchical: not decoded
         elif marker == 0xC4:  # DHT
             off = 0
             while off < len(body):
@@ -477,18 +516,229 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
         elif marker == 0xDD:  # DRI
             restart = int.from_bytes(body[0:2], "big")
         elif marker == 0xDA:  # SOS -> entropy-coded data follows
-            if body[0] != len(comps) or not comps:
-                return None  # baseline = one interleaved scan
-            scan_tabs = {}  # cid -> (dc_lut, ac_lut)
-            for s in range(body[0]):
+            if not comps:
+                return None
+            if not progressive:
+                if body[0] != len(comps):
+                    return None  # baseline = one interleaved scan
+                scan_tabs = {}  # cid -> (dc_lut, ac_lut)
+                for s in range(body[0]):
+                    cid = body[1 + 2 * s]
+                    td, ta = body[2 + 2 * s] >> 4, body[2 + 2 * s] & 0xF
+                    scan_tabs[cid] = (huff_dc[td], huff_ac[ta])
+                return _jpeg_scan(
+                    b, i + 2 + seg_len, w, h, comps, qt, scan_tabs, restart
+                )
+            ns = body[0]
+            scan_comps = []
+            for s in range(ns):
                 cid = body[1 + 2 * s]
                 td, ta = body[2 + 2 * s] >> 4, body[2 + 2 * s] & 0xF
-                scan_tabs[cid] = (huff_dc[td], huff_ac[ta])
-            return _jpeg_scan(
-                b, i + 2 + seg_len, w, h, comps, qt, scan_tabs, restart
+                scan_comps.append((cid, td, ta))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0xF
+            _jpeg_progressive_scan(
+                b, i + 2 + seg_len, scan_comps, ss, se, ah, al,
+                coefs, geom, restart, huff_dc, huff_ac,
             )
+            i = _skip_entropy(b, i + 2 + seg_len)
+            continue
         i += 2 + seg_len
+    if progressive and coefs:
+        return _jpeg_reconstruct(w, h, comps, qt, coefs)
     return None
+
+
+def _jpeg_progressive_scan(
+    b: bytes,
+    start: int,
+    scan_comps: list[tuple[int, int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    coefs: dict[int, np.ndarray],
+    geom: dict[int, tuple],
+    restart: int,
+    huff_dc: dict[int, dict],
+    huff_ac: dict[int, dict],
+) -> None:
+    """One progressive scan (T.81 G.2) accumulated into ``coefs``.
+
+    DC scans (Ss=0, Se=0) may interleave several components in MCU
+    order; AC scans carry exactly one component in its own
+    non-interleaved block raster. Ah=0 scans establish coefficients at
+    precision Al; Ah>0 scans refine them one bit (DC: OR the Al bit in
+    — two's complement makes that exact for negatives too; AC: the
+    correction-bit algorithm with shared EOB runs)."""
+    if ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if ss > 0 and len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must carry one component")
+    if ss > se or se > 63:
+        raise ValueError("invalid progressive spectral band")
+    r = _BitReader(b, start)
+    eobrun = [0]
+    p1, m1 = 1 << al, -(1 << al)
+
+    def refine_nonzero(arr: np.ndarray, k: int) -> None:
+        c = int(arr[k])
+        if r.bits(1) and (c & p1) == 0:
+            arr[k] = c + (p1 if c >= 0 else m1)
+
+    def ac_first(arr: np.ndarray) -> None:
+        if eobrun[0] > 0:
+            eobrun[0] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _huff_decode(r, ac_lut)
+            run, size = rs >> 4, rs & 0xF
+            if size == 0:
+                if run != 15:
+                    eobrun[0] = (1 << run) - 1
+                    if run:
+                        eobrun[0] += r.bits(run)
+                    return
+                k += 16  # ZRL
+                continue
+            k += run
+            if k > se:
+                raise ValueError("jpeg AC run past band end")
+            arr[k] = _extend(r.bits(size), size) * p1
+            k += 1
+
+    def ac_refine(arr: np.ndarray) -> None:
+        k = ss
+        if eobrun[0] == 0:
+            while k <= se:
+                rs = _huff_decode(r, ac_lut)
+                run, size = rs >> 4, rs & 0xF
+                val = 0
+                if size == 0:
+                    if run != 15:
+                        eobrun[0] = 1 << run
+                        if run:
+                            eobrun[0] += r.bits(run)
+                        break  # current block joins the EOB-run tail
+                    # run == 15: ZRL passes 16 zero-history coefs
+                else:
+                    if size != 1:
+                        raise ValueError("jpeg refinement size != 1")
+                    val = p1 if r.bits(1) else m1
+                while k <= se:
+                    if int(arr[k]) != 0:
+                        refine_nonzero(arr, k)
+                    else:
+                        run -= 1
+                        if run < 0:
+                            break
+                    k += 1
+                if val:
+                    if k > se:
+                        raise ValueError("jpeg refinement past band end")
+                    arr[k] = val
+                k += 1
+        if eobrun[0] > 0:
+            while k <= se:
+                if int(arr[k]) != 0:
+                    refine_nonzero(arr, k)
+                k += 1
+            eobrun[0] -= 1
+
+    if ss == 0:  # DC scan — MCU-interleaved over the scan's components
+        cid0 = scan_comps[0][0]
+        mcx, mcy = geom[cid0][6], geom[cid0][7]
+        preds = {cid: 0 for cid, _td, _ta in scan_comps}
+        # single-component DC scans walk the component's own grid
+        single = len(scan_comps) == 1
+        if single:
+            cid, td, _ta = scan_comps[0]
+            hs, vs, _bwp, _bhp, bw_ni, bh_ni, _mx, _my = geom[cid]
+            units = bh_ni * bw_ni
+        else:
+            units = mcx * mcy
+        for m in range(units):
+            if restart and m and m % restart == 0:
+                r.skip_to_rst()
+                preds = {c: 0 for c in preds}
+                eobrun[0] = 0
+            if single:
+                by, bx = divmod(m, bw_ni)
+                blocks = [(scan_comps[0][0], scan_comps[0][1], by, bx)]
+            else:
+                my, mx = divmod(m, mcx)
+                blocks = []
+                for cid, td, _ta in scan_comps:
+                    hs, vs = geom[cid][0], geom[cid][1]
+                    for byy in range(vs):
+                        for bxx in range(hs):
+                            blocks.append(
+                                (cid, td, my * vs + byy, mx * hs + bxx)
+                            )
+            for cid, td, by, bx in blocks:
+                arr = coefs[cid][by, bx]
+                if ah == 0:
+                    t = _huff_decode(r, huff_dc[td])
+                    preds[cid] += _extend(r.bits(t), t)
+                    arr[0] = preds[cid] * p1
+                else:
+                    if r.bits(1):
+                        arr[0] = int(arr[0]) | p1
+    else:  # AC scan — one component, non-interleaved raster
+        cid, _td, ta = scan_comps[0]
+        ac_lut = huff_ac[ta]
+        bw_ni, bh_ni = geom[cid][4], geom[cid][5]
+        n = 0
+        for by in range(bh_ni):
+            for bx in range(bw_ni):
+                if restart and n and n % restart == 0:
+                    r.skip_to_rst()
+                    eobrun[0] = 0
+                n += 1
+                arr = coefs[cid][by, bx]
+                if ah == 0:
+                    ac_first(arr)
+                else:
+                    ac_refine(arr)
+
+
+def _jpeg_reconstruct(
+    w: int,
+    h: int,
+    comps: list[tuple[int, int, int, int]],
+    qt: dict[int, np.ndarray],
+    coefs: dict[int, np.ndarray],
+) -> tuple[np.ndarray, int]:
+    """Dequantize + IDCT the accumulated progressive coefficients —
+    the same reconstruction tail as the baseline scan."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    full = {}
+    ys, xs = np.arange(h), np.arange(w)
+    for cid, hs, vs, tq in comps:
+        quant = qt[tq]
+        arr = coefs[cid]
+        bh, bw = arr.shape[0], arr.shape[1]
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        for by in range(bh):
+            for bx in range(bw):
+                block = np.zeros(64, dtype=np.float64)
+                block[_ZIGZAG] = arr[by, bx] * quant
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _DCT_C.T @ block.reshape(8, 8) @ _DCT_C
+                )
+        p = plane + 128.0
+        full[cid] = p[(ys * vs) // vmax][:, (xs * hs) // hmax]
+    if len(comps) == 1:
+        gray = np.clip(np.round(full[comps[0][0]]), 0, 255)
+        return gray.astype(np.uint8).reshape(-1), 1
+    y, cb, cr = (full[c[0]] for c in comps)
+    rch = y + 1.402 * (cr - 128.0)
+    gch = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bch = y + 1.772 * (cb - 128.0)
+    rgb = np.clip(np.round(np.stack([rch, gch, bch], axis=-1)), 0, 255)
+    return rgb.astype(np.uint8).reshape(-1), 3
 
 
 def _jpeg_scan(
@@ -692,6 +942,90 @@ def _dht_segment(tc: int, th: int, syms: list[int], length: int) -> bytes:
     )
 
 
+def _jpeg_planes(
+    pixels: np.ndarray,
+    width: int,
+    height: int,
+    channels: int,
+    subsample: bool,
+    ql_zz: np.ndarray,
+    qc_zz: np.ndarray,
+):
+    """Shared encoder front half: RGB->YCbCr (+optional 4:2:0), MCU
+    padding. Returns (comps_sof, padded, hmax, vmax, mcx, mcy) where
+    padded rows are (cid, plane, quant_zz, hs, vs)."""
+    arr = np.asarray(pixels, dtype=np.float64).reshape(
+        height, width, channels
+    )
+    if channels == 1:
+        planes = [(1, arr[:, :, 0], ql_zz, 1, 1)]
+        comps_sof = [(1, 1, 1, 0)]
+    else:
+        r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample:
+            ph, pw = (height + 1) & ~1, (width + 1) & ~1
+            cbp = _pad_to(cb, ph, pw)
+            crp = _pad_to(cr, ph, pw)
+            cb = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            planes = [
+                (1, y, ql_zz, 2, 2),
+                (2, cb, qc_zz, 1, 1),
+                (3, cr, qc_zz, 1, 1),
+            ]
+            comps_sof = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        else:
+            planes = [
+                (1, y, ql_zz, 1, 1),
+                (2, cb, qc_zz, 1, 1),
+                (3, cr, qc_zz, 1, 1),
+            ]
+            comps_sof = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    hmax = max(p[3] for p in planes)
+    vmax = max(p[4] for p in planes)
+    mcx = (width + 8 * hmax - 1) // (8 * hmax)
+    mcy = (height + 8 * vmax - 1) // (8 * vmax)
+    padded = [
+        (cid, _pad_to(pl, mcy * 8 * vs, mcx * 8 * hs), qzz, hs, vs)
+        for cid, pl, qzz, hs, vs in planes
+    ]
+    return comps_sof, padded, hmax, vmax, mcx, mcy
+
+
+def _jpeg_headers(
+    width: int,
+    height: int,
+    channels: int,
+    comps_sof: list,
+    ql_zz: np.ndarray,
+    qc_zz: np.ndarray,
+    sof_marker: bytes,
+) -> bytearray:
+    """SOI + APP0 + DQT(s) + SOFn — shared by both encoders."""
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00"
+        + bytes([1, 1, 0]) + (1).to_bytes(2, "big")
+        + (1).to_bytes(2, "big") + bytes([0, 0])
+    )
+    qtabs = [(0, ql_zz)] + ([(1, qc_zz)] if channels == 3 else [])
+    for tq, tab in qtabs:
+        out += (
+            b"\xff\xdb" + (2 + 1 + 64).to_bytes(2, "big")
+            + bytes([tq]) + bytes(int(v) for v in tab)
+        )
+    sof_body = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(
+        2, "big"
+    ) + bytes([len(comps_sof)])
+    for cid, hs, vs, tq in comps_sof:
+        sof_body += bytes([cid, (hs << 4) | vs, tq])
+    out += sof_marker + (2 + len(sof_body)).to_bytes(2, "big") + sof_body
+    return out
+
+
 def encode_jpeg_baseline(
     pixels: np.ndarray,
     width: int,
@@ -722,48 +1056,9 @@ def encode_jpeg_baseline(
         np.int32
     )
     ql_zz, qc_zz = ql.reshape(-1)[_ZIGZAG], qc.reshape(-1)[_ZIGZAG]
-    arr = np.asarray(pixels, dtype=np.float64).reshape(
-        height, width, channels
+    comps_sof, padded, hmax, vmax, mcx, mcy = _jpeg_planes(
+        pixels, width, height, channels, subsample, ql_zz, qc_zz
     )
-    if channels == 1:
-        planes = [(1, arr[:, :, 0], ql_zz, 1, 1)]  # (cid, plane, q, hs, vs)
-        comps_sof = [(1, 1, 1, 0)]
-    else:
-        r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-        if subsample:
-            ph, pw = (height + 1) & ~1, (width + 1) & ~1
-            cbp = _pad_to(cb, ph, pw)
-            crp = _pad_to(cr, ph, pw)
-            cb = (
-                cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-            )
-            cr = (
-                crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-            )
-            planes = [
-                (1, y, ql_zz, 2, 2),
-                (2, cb, qc_zz, 1, 1),
-                (3, cr, qc_zz, 1, 1),
-            ]
-            comps_sof = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
-        else:
-            planes = [
-                (1, y, ql_zz, 1, 1),
-                (2, cb, qc_zz, 1, 1),
-                (3, cr, qc_zz, 1, 1),
-            ]
-            comps_sof = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
-    hmax = max(p[3] for p in planes)
-    vmax = max(p[4] for p in planes)
-    mcx = (width + 8 * hmax - 1) // (8 * hmax)
-    mcy = (height + 8 * vmax - 1) // (8 * vmax)
-    padded = [
-        (cid, _pad_to(pl, mcy * 8 * vs, mcx * 8 * hs), qzz, hs, vs)
-        for cid, pl, qzz, hs, vs in planes
-    ]
     wtr = _BitWriter()
     preds = {cid: 0 for cid, *_ in padded}
     rst = 0
@@ -787,24 +1082,9 @@ def encode_jpeg_baseline(
                     )
     wtr.byte_align()
 
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += (  # APP0 JFIF
-        b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00"
-        + bytes([1, 1, 0]) + (1).to_bytes(2, "big")
-        + (1).to_bytes(2, "big") + bytes([0, 0])
+    out = _jpeg_headers(
+        width, height, channels, comps_sof, ql_zz, qc_zz, b"\xff\xc0"
     )
-    qtabs = [(0, ql_zz)] + ([(1, qc_zz)] if channels == 3 else [])
-    for tq, tab in qtabs:
-        out += (
-            b"\xff\xdb" + (2 + 1 + 64).to_bytes(2, "big")
-            + bytes([tq]) + bytes(int(v) for v in tab)
-        )
-    sof_body = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(
-        2, "big"
-    ) + bytes([len(comps_sof)])
-    for cid, hs, vs, tq in comps_sof:
-        sof_body += bytes([cid, (hs << 4) | vs, tq])
-    out += b"\xff\xc0" + (2 + len(sof_body)).to_bytes(2, "big") + sof_body
     out += _dht_segment(0, 0, _ENC_DC_SYMS, 4)
     out += _dht_segment(1, 0, _ENC_AC_SYMS, 8)
     if restart_interval:
@@ -817,6 +1097,244 @@ def encode_jpeg_baseline(
     out += wtr.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+# progressive AC table needs the EOBn symbols (r<<4 | 0, r = 0..14) on
+# top of ZRL and every (run, size<=10); 176 codes all at length 8
+# (Kraft 176/256 < 1, max code 175 != all-ones) — valid by construction
+_ENC_ACP_SYMS = sorted(
+    {(run << 4) | 0 for run in range(16)}
+    | {(run << 4) | size for run in range(16) for size in range(1, 11)}
+)
+_ENC_ACP_CODE = {s: (8, i) for i, s in enumerate(_ENC_ACP_SYMS)}
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray,
+    width: int,
+    height: int,
+    channels: int = 1,
+    subsample: bool = False,
+    quant_luma: np.ndarray | None = None,
+    quant_chroma: np.ndarray | None = None,
+) -> bytes:
+    """Pure-stdlib PROGRESSIVE (SOF2) Huffman JFIF encoder — the test
+    twin of the progressive decode path, emitting the classic scan
+    script with BOTH progressive dimensions: spectral selection (DC
+    scan, split AC bands, per-component non-interleaved AC scans with
+    EOB runs) and successive approximation (DC first at Al=1 then a
+    bit-refinement scan; AC first at reduced precision then
+    correction-bit refinement scans, per T.81 G.1.2). Quantized
+    coefficients are identical to `encode_jpeg_baseline`'s, so the
+    progressive decode of this stream must equal the baseline decode
+    of the same pixels BIT FOR BIT — the round-trip property the tests
+    pin."""
+    if channels not in (1, 3):
+        raise ValueError("encode_jpeg_progressive: channels must be 1 or 3")
+    ql = (_Q_LUMA if quant_luma is None else quant_luma).astype(np.int32)
+    qc = (_Q_CHROMA if quant_chroma is None else quant_chroma).astype(
+        np.int32
+    )
+    ql_zz, qc_zz = ql.reshape(-1)[_ZIGZAG], qc.reshape(-1)[_ZIGZAG]
+    comps_sof, padded, hmax, vmax, mcx, mcy = _jpeg_planes(
+        pixels, width, height, channels, subsample, ql_zz, qc_zz
+    )
+    # quantized zigzag coefficients per component, padded block grid
+    zz: dict[int, np.ndarray] = {}
+    ni_dims: dict[int, tuple[int, int]] = {}  # non-interleaved grid
+    for cid, pl, qzz, hs, vs in padded:
+        bh, bw = pl.shape[0] // 8, pl.shape[1] // 8
+        arr = np.zeros((bh, bw, 64), dtype=np.int32)
+        for by in range(bh):
+            for bx in range(bw):
+                block = pl[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                c = _DCT_C @ (block - 128.0) @ _DCT_C.T
+                arr[by, bx] = np.round(c.reshape(-1)[_ZIGZAG] / qzz)
+        zz[cid] = arr
+        cw = (width * hs + hmax - 1) // hmax
+        ch = (height * vs + vmax - 1) // vmax
+        ni_dims[cid] = ((ch + 7) // 8, (cw + 7) // 8)
+    order = [cid for cid, *_ in padded]
+
+    def tz_shift(v: int, al: int) -> int:
+        """AC point transform: magnitude shift (toward zero)."""
+        return -((-v) >> al) if v < 0 else v >> al
+
+    wtr = _BitWriter()
+    scan_payloads: list[tuple[bytes, bytes]] = []  # (SOS segment, data)
+
+    def encode_scan(cids: list[int], ss: int, se: int, ah: int, al: int):
+        nonlocal wtr
+        wtr = _BitWriter()
+        if ss == 0:
+            _encode_prog_dc(wtr, zz, cids, order, padded, mcx, mcy, ah, al)
+        else:
+            _encode_prog_ac(
+                wtr, zz[cids[0]], ni_dims[cids[0]], ss, se, ah, al, tz_shift
+            )
+        wtr.byte_align()
+        sos = bytes([len(cids)])
+        for cid in cids:
+            sos += bytes([cid, 0x00])  # DC table 0, AC table 0
+        sos += bytes([ss, se, (ah << 4) | al])
+        seg = b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + sos
+        scan_payloads.append((seg, bytes(wtr.out)))
+
+    ycid = order[0]
+    encode_scan(order, 0, 0, 0, 1)        # DC first, Al=1, interleaved
+    encode_scan([ycid], 1, 5, 0, 2)       # Y low band at Al=2
+    encode_scan([ycid], 6, 63, 0, 2)      # Y high band at Al=2
+    for cid in order[1:]:
+        encode_scan([cid], 1, 63, 0, 1)   # chroma full band at Al=1
+    encode_scan([ycid], 1, 63, 2, 1)      # Y refine 2 -> 1
+    encode_scan(order, 0, 0, 1, 0)        # DC refine 1 -> 0
+    encode_scan([ycid], 1, 63, 1, 0)      # Y refine 1 -> 0
+    for cid in order[1:]:
+        encode_scan([cid], 1, 63, 1, 0)   # chroma refine 1 -> 0
+
+    out = _jpeg_headers(
+        width, height, channels, comps_sof, ql_zz, qc_zz, b"\xff\xc2"
+    )
+    out += _dht_segment(0, 0, _ENC_DC_SYMS, 4)
+    out += _dht_segment(1, 0, _ENC_ACP_SYMS, 8)
+    for seg, data in scan_payloads:
+        out += seg + data
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_prog_dc(
+    wtr: "_BitWriter", zz, cids, order, padded, mcx, mcy, ah, al
+) -> None:
+    geom = {cid: (hs, vs) for cid, _pl, _q, hs, vs in padded}
+    preds = {cid: 0 for cid in cids}
+    for m in range(mcx * mcy):
+        my, mx = divmod(m, mcx)
+        for cid in order:
+            if cid not in cids:
+                continue
+            hs, vs = geom[cid]
+            for by in range(vs):
+                for bx in range(hs):
+                    dc = int(zz[cid][my * vs + by, mx * hs + bx, 0])
+                    if ah == 0:
+                        v = dc >> al  # arithmetic shift (T.81 G.1.2.1)
+                        diff = v - preds[cid]
+                        preds[cid] = v
+                        t = int(abs(diff)).bit_length()
+                        length, code = _ENC_DC_CODE[t]
+                        wtr.put(code, length)
+                        if t:
+                            wtr.put(
+                                diff if diff >= 0 else diff + (1 << t) - 1, t
+                            )
+                    else:
+                        wtr.put((dc >> al) & 1, 1)
+
+
+def _encode_prog_ac(
+    wtr: "_BitWriter", arr, dims, ss, se, ah, al, tz_shift
+) -> None:
+    bh, bw = dims
+    eobrun = 0
+    # TWO correction-bit buffers (the libjpeg BE/BR split): bits
+    # attached to the PENDING cross-block EOB run (emitted right after
+    # the EOB code — the decoder consumes them in the run blocks'
+    # tails) vs the CURRENT block's bits since its last token (emitted
+    # after that block's next ZRL/new-coefficient code — the decoder
+    # consumes them while positioning). One merged buffer desyncs the
+    # moment a correction precedes a block's first token.
+    runbits: list[int] = []
+    curbits: list[int] = []
+
+    def emit_sym(sym: int) -> None:
+        length, code = _ENC_ACP_CODE[sym]
+        wtr.put(code, length)
+
+    def dump(buf: list[int]) -> None:
+        for bit in buf:
+            wtr.put(bit, 1)
+        buf.clear()
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            rb = eobrun.bit_length() - 1
+            emit_sym(rb << 4)
+            if rb:
+                wtr.put(eobrun - (1 << rb), rb)
+            eobrun = 0
+            dump(runbits)
+
+    for by in range(bh):
+        for bx in range(bw):
+            block = arr[by, bx]
+            if ah == 0:  # first scan of this band at precision Al
+                vals = [tz_shift(int(block[k]), al) for k in range(ss, se + 1)]
+                nz = [i for i, v in enumerate(vals) if v]
+                if not nz:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                for i in range(nz[-1] + 1):
+                    v = vals[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        emit_sym(0xF0)
+                        run -= 16
+                    size = abs(v).bit_length()
+                    emit_sym((run << 4) | size)
+                    wtr.put(v if v >= 0 else v + (1 << size) - 1, size)
+                    run = 0
+                if nz[-1] < se - ss:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+            else:  # refinement scan Al (history established at Al+1)
+                absv = [
+                    abs(tz_shift(int(block[k]), al))
+                    for k in range(ss, se + 1)
+                ]
+                eobpos = max(
+                    (i for i, t in enumerate(absv) if t == 1), default=-1
+                )
+                run = 0
+                for i, t in enumerate(absv):
+                    if t == 0:
+                        run += 1
+                        continue
+                    # ZRLs emit at ANY nonzero position (correction
+                    # positions included): the current block's bits
+                    # then never span an unemitted ZRL, keeping dump
+                    # order identical to the decoder's walk order.
+                    # Folded into the EOB run past the last newly-
+                    # significant coefficient (i > eobpos).
+                    while run > 15 and i <= eobpos:
+                        flush_eob()
+                        emit_sym(0xF0)
+                        run -= 16
+                        dump(curbits)
+                    if t > 1:  # history-nonzero: correction bit
+                        curbits.append(t & 1)
+                        continue
+                    # newly significant (t == 1)
+                    flush_eob()
+                    emit_sym((run << 4) | 1)
+                    wtr.put(1 if int(block[ss + i]) >= 0 else 0, 1)
+                    dump(curbits)
+                    run = 0
+                if run > 0 or curbits:
+                    eobrun += 1
+                    runbits.extend(curbits)
+                    curbits.clear()
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+    flush_eob()
 
 
 def _parse_wav(b: bytes) -> tuple[int, np.ndarray | None]:
@@ -864,8 +1382,10 @@ def _decode_payload(
     color type, non-interlaced and Adam7 (grayscale/RGB/palette/gray+alpha/RGBA —
     palette expands to RGB, channels reports the EXPANDED channel
     count); baseline JPEG decodes grayscale AND YCbCr color pixels
-    (any 4:4:4 / 4:2:2 / 4:2:0 sampling; progressive is
-    metadata-only: channels=0, px=None); WAV parses to samples (8-bit
+    (any 4:4:4 / 4:2:2 / 4:2:0 sampling), baseline-sequential AND
+    Huffman-progressive (spectral selection + successive
+    approximation; arithmetic-coded stays metadata-only: channels=0,
+    px=None); WAV parses to samples (8-bit
     PCM decodes fully). ``channels`` is 0 whenever px is None. Formats
     needing a real codec stack (MP4, compressed audio) raise — swapping
     in PIL/librosa later only changes this function."""
@@ -1001,7 +1521,7 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     (grayscale/RGB/palette/gray+alpha/RGBA — multi-channel images are
     first reduced to integer Rec.601 luma, so thumbnails are always
     single-channel), and baseline JPEG (grayscale or color). Rows
-    whose pixels remain undecodable (progressive JPEG, 16-bit PNG) or aren't single-frame images are skipped — the standard
+    whose pixels remain undecodable (arithmetic JPEG, 16-bit PNG) or aren't single-frame images are skipped — the standard
     thumbnail/normalize step of a vision-data pipeline. Numpy
     integer-index gather per Arrow batch; no Python per-pixel work."""
 

@@ -759,13 +759,12 @@ def test_wav_unsupported_layouts_stay_count_only(spark):
     assert n3 == 4 and px3 is None
 
 
-def test_progressive_jpeg_gate_fires_metadata_only(spark):
-    """The SOF2 gate (r6 verdict item): a PROGRESSIVE stream carrying
-    full tables and real scan data — a baseline stream with its SOF
-    marker rewritten 0xC0 -> 0xC2 — must come back metadata-only
-    (dims intact, null pixel stats), never wrong pixels decoded as if
-    sequential. Pins the gate to the frame marker itself, so a future
-    codec change can't silently mis-decode progressive scans."""
+def test_malformed_progressive_stays_metadata_only(spark):
+    """A structurally INVALID progressive stream — a baseline stream
+    relabeled SOF2, whose single scan declares the illegal band
+    Ss=0..Se=63 — must come back metadata-only (dims intact, null
+    pixel stats), never wrong pixels: the decoder validates the
+    spectral band instead of trusting the scan header."""
     import numpy as np
 
     from dataingestiontohana_spark.operators.multimodal import (
@@ -781,22 +780,83 @@ def test_progressive_jpeg_gate_fires_metadata_only(spark):
     assert px0 is not None and ch0 == 1
 
     sof = baseline.index(b"\xff\xc0")
-    progressive = baseline[:sof] + b"\xff\xc2" + baseline[sof + 2:]
-    w, h, nf, ch, px = _decode_payload(progressive)
+    relabeled = baseline[:sof] + b"\xff\xc2" + baseline[sof + 2:]
+    w, h, nf, ch, px = _decode_payload(relabeled)
     assert (w, h, nf) == (16, 16, 1)
-    assert ch == 0 and px is None  # gate fired: count-only, no pixels
+    assert ch == 0 and px is None  # invalid band: count-only
 
     df = spark.createDataFrame(
-        [(61, KIND_IMAGE, baseline), (62, KIND_IMAGE, progressive)],
+        [(61, KIND_IMAGE, baseline), (62, KIND_IMAGE, relabeled)],
         "media_id long, kind int, content binary",
     )
     got = {r["media_id"]: r for r in decode_media(df).collect()}
     assert got[62]["width"] == 16 and got[62]["mean_px"] is None
     assert got[61]["mean_px"] is not None
-    # and the thumbnail stage SKIPS the undecodable row (never emits
-    # a bogus thumbnail), while keeping the baseline sibling
     thumbs = {r["media_id"] for r in resize_images(df, 4, 4).collect()}
     assert thumbs == {61}
+
+
+def test_progressive_jpeg_decodes_identically_to_baseline():
+    """Round 7: REAL Huffman-progressive streams (spectral selection +
+    successive approximation, per-component non-interleaved AC scans,
+    cross-block EOB runs, correction bits) decode BIT-IDENTICALLY to
+    the baseline encoding of the same pixels — progressive is a
+    lossless re-coding of the same quantized coefficients, so any
+    difference is a decoder bug by construction."""
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    for seed in range(4):
+        rng = np.random.default_rng(300 + seed)
+        for ch, sub in ((1, False), (3, False), (3, True)):
+            for kw in (
+                {},
+                dict(
+                    quant_luma=np.ones(64, np.int32),
+                    quant_chroma=np.ones(64, np.int32),
+                ),
+            ):
+                h = int(rng.integers(8, 40))
+                w = int(rng.integers(8, 40))
+                px = rng.integers(0, 256, size=h * w * ch, dtype=np.uint8)
+                db = _decode_jpeg_pixels(
+                    encode_jpeg_baseline(px, w, h, ch, subsample=sub, **kw)
+                )
+                dp = _decode_jpeg_pixels(
+                    encode_jpeg_progressive(px, w, h, ch, subsample=sub, **kw)
+                )
+                assert dp is not None and db is not None
+                assert db[1] == dp[1]
+                assert np.array_equal(db[0], dp[0])
+
+
+def test_progressive_jpeg_flows_through_decode_media(spark):
+    """A progressive payload lands real pixel stats through the Spark
+    operator, identical to its baseline twin."""
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, size=20 * 28 * 3, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [
+            (81, KIND_IMAGE, encode_jpeg_progressive(px, 28, 20, 3)),
+            (82, KIND_IMAGE, encode_jpeg_baseline(px, 28, 20, 3)),
+        ],
+        "media_id long, kind int, content binary",
+    )
+    got = {r["media_id"]: r for r in decode_media(df).collect()}
+    assert got[81]["px_sum"] == got[82]["px_sum"] is not None
+    assert got[81]["channels"] == 3 and got[81]["width"] == 28
 
 
 def test_png_adam7_roundtrip_all_color_types(spark):
