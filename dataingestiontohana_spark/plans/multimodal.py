@@ -239,15 +239,20 @@ def _png_color_corpus(spark: SparkSession) -> DataFrame:
     rows = []
     for i in range(36):
         ct = (2, 6, 3)[i % 3]
+        # every other image ships Adam7-INTERLACED (round 7): the
+        # decoded pixels are identical — interlace is a lossless
+        # container rearrangement — so the md5-expansion oracle
+        # adjudicates the interlaced decode path with NO SQL change
+        il = i % 2
         if ct == 3:
             raw = md5_expand(i, _PNG_W * _PNG_H)
             idx = (np.frombuffer(raw, np.uint8) % 64).reshape(_PNG_H, _PNG_W)
-            png = encode_png(idx, 3, filters, palette=pal)
+            png = encode_png(idx, 3, filters, palette=pal, interlace=il)
         else:
             ch = 3 if ct == 2 else 4
             raw = md5_expand(i, _PNG_W * _PNG_H * ch)
             arr = np.frombuffer(raw, np.uint8).reshape(_PNG_H, _PNG_W, ch)
-            png = encode_png(arr, ct, filters)
+            png = encode_png(arr, ct, filters, interlace=il)
         rows.append((i, KIND_IMAGE, png))
     df = (
         spark.createDataFrame(rows, "media_id long, kind int, content binary")
