@@ -531,6 +531,10 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("media_id", "bigint"), ("width", "int"), ("height", "int"),
         ("channels", "int"), ("px_sum", "bigint"), ("px_sqsum", "bigint"),
     ],
+    "q204_jpeg_mosaic": [
+        ("media_id", "bigint"), ("width", "int"), ("height", "int"),
+        ("channels", "int"), ("px_sum", "bigint"), ("px_sqsum", "bigint"),
+    ],
     "q82_image_neardup": [
         ("id_a", "bigint"), ("id_b", "bigint"), ("hamming", "int"),
     ],
@@ -874,6 +878,8 @@ BUNDLES: dict[str, list[str]] = {
         "q37_media_decode", "q38_frame_sample",
         "q37b_media_resize", "q38b_audio_features",
         "q81_image_dhash", "q82_image_neardup", "q88_png_color",
+        # round 7: real baseline+progressive JPEG under the value gate
+        "q204_jpeg_mosaic",
     ],
     "q39_40_ingest": ["q39_sensor_generate", "q40_sensor_csv_roundtrip"],
     # round 5: the q20 single grew into a bundle with the hypertable

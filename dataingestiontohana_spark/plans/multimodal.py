@@ -280,6 +280,78 @@ def q88_png_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JPEG_CACHE: dict[str, DataFrame] = {}
+_JPEG_BW, _JPEG_BH = 3, 2  # mosaic of 3x2 constant 8x8 blocks (24x16 px)
+
+
+def _jpeg_mosaic_corpus(spark: SparkSession) -> DataFrame:
+    """REAL JPEG streams whose decode is EXACT: each image is a mosaic
+    of constant 8x8 blocks (block j = byte j of md5('{id}:jpg:0')) at
+    unit quantization — a constant block's DCT is DC-only and integer,
+    so dequant + IDCT reproduce every pixel bit-exactly and a SQL
+    oracle can recompute the moments from the md5 seed. Even ids
+    encode BASELINE (every fourth with restart intervals), odd ids
+    PROGRESSIVE (the full multi-scan successive-approximation script)
+    — both real decode paths under the same value gate."""
+    import hashlib
+
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    key = spark.sparkContext.applicationId
+    df = _JPEG_CACHE.get(key)
+    if df is not None:
+        return df
+    _JPEG_CACHE.clear()
+    ones = np.ones(64, dtype=np.int32)
+    w, h = _JPEG_BW * 8, _JPEG_BH * 8
+    rows = []
+    for i in range(24):
+        consts = hashlib.md5(f"{i}:jpg:0".encode()).digest()[
+            : _JPEG_BW * _JPEG_BH
+        ]
+        grid = np.zeros((h, w), dtype=np.uint8)
+        for j, v in enumerate(consts):
+            by, bx = divmod(j, _JPEG_BW)
+            grid[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+        px = grid.reshape(-1)
+        if i % 2 == 0:
+            jpg = encode_jpeg_baseline(
+                px, w, h, 1, quant_luma=ones,
+                restart_interval=2 if i % 4 == 0 else 0,
+            )
+        else:
+            jpg = encode_jpeg_progressive(px, w, h, 1, quant_luma=ones)
+        rows.append((i, KIND_IMAGE, jpg))
+    df = (
+        spark.createDataFrame(rows, "media_id long, kind int, content binary")
+        .coalesce(2)
+        .localCheckpoint(eager=False)
+    )
+    _JPEG_CACHE[key] = df
+    return df
+
+
+def q204_jpeg_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-JPEG decode under the VALUE gate: constant-block mosaics
+    (see `_jpeg_mosaic_corpus`) through the production `decode_media`
+    operator; baseline AND progressive streams of the same pixels must
+    land identical exact integer moments, recomputed independently by
+    the DuckDB oracle from the md5 seed."""
+    return (
+        decode_media(_jpeg_mosaic_corpus(spark))
+        .select(
+            "media_id", "width", "height", "channels",
+            "px_sum", "px_sqsum",
+        )
+        .orderBy("media_id")
+    )
+
+
 def q38b_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature extraction: sample count + exact integer sample
     moments per audio payload (rms/FFT-band floats stay on the
@@ -418,6 +490,7 @@ QUERIES = {
     "q81_image_dhash": q81_image_dhash,
     "q82_image_neardup": q82_image_neardup,
     "q88_png_color": q88_png_color,
+    "q204_jpeg_mosaic": q204_jpeg_mosaic,
 }
 
 ORACLES = {
@@ -486,6 +559,26 @@ ORACLES = {
                CAST(SUM(b*b) AS BIGINT) AS px_sqsum
         FROM png_px
         GROUP BY media_id, color_type
+        ORDER BY media_id
+    """,
+    "q204_jpeg_mosaic": f"""
+        WITH blocks AS (
+          SELECT CAST(i AS BIGINT) AS media_id, CAST(j AS INT) AS blk,
+                 16*(strpos('0123456789abcdef',
+                      substr(md5(i || ':jpg:0'), CAST(2*j+1 AS INT), 1))-1)
+                 + (strpos('0123456789abcdef',
+                      substr(md5(i || ':jpg:0'), CAST(2*j+2 AS INT), 1))-1)
+                   AS v
+          FROM range(24) t(i), range({_JPEG_BW * _JPEG_BH}) u(j)
+        )
+        SELECT media_id,
+               CAST({_JPEG_BW * 8} AS INTEGER) AS width,
+               CAST({_JPEG_BH * 8} AS INTEGER) AS height,
+               CAST(1 AS INTEGER) AS channels,
+               CAST(64 * SUM(v) AS BIGINT) AS px_sum,
+               CAST(64 * SUM(v*v) AS BIGINT) AS px_sqsum
+        FROM blocks
+        GROUP BY media_id
         ORDER BY media_id
     """,
     "q82_image_neardup": f"""
