@@ -30,8 +30,8 @@ def test_within_factor_passes(tmp_path):
 
 def test_over_factor_fails(tmp_path):
     base = _baseline(tmp_path, {"q1": 1.0})
-    run = _write(tmp_path, "run.json", {"queries": {"q1": 2.1}})
-    assert main([run, base]) == 1
+    run = _write(tmp_path, "run.json", {"queries": {"q1": 3.1}})
+    assert main([run, base]) == 1  # over 2x + 1s floor
 
 
 def test_missing_entry_fails_new_entry_informational(tmp_path):
@@ -60,7 +60,7 @@ def test_group_sum_absorbs_cost_migration(tmp_path):
     run2 = _write(
         tmp_path, "run2.json", {"queries": {"q_a": 20.0, "q_b": 10.0}}
     )
-    assert main([run2, base]) == 1
+    assert main([run2, base]) == 1  # 30 > 2*12 + 1
 
 
 def test_driver_wrapper_shape_accepted(tmp_path):
@@ -70,8 +70,13 @@ def test_driver_wrapper_shape_accepted(tmp_path):
     assert load_queries(run) == {"q1": 1.0}
 
 
-def test_custom_factor(tmp_path):
+def test_custom_factor_and_floor(tmp_path):
     base = _baseline(tmp_path, {"q1": 1.0})
     run = _write(tmp_path, "run.json", {"queries": {"q1": 1.4}})
-    assert main([run, base, "--factor", "1.5"]) == 0
-    assert main([run, base, "--factor", "1.3"]) == 1
+    assert main([run, base, "--factor", "1.5", "--floor", "0"]) == 0
+    assert main([run, base, "--factor", "1.3", "--floor", "0"]) == 1
+    # the default 1 s floor absorbs sub-second noise flakes
+    base2 = _baseline(tmp_path, {"q1": 0.4})
+    run2 = _write(tmp_path, "run2.json", {"queries": {"q1": 0.9}})
+    assert main([run2, base2]) == 0
+    assert main([run2, base2, "--floor", "0"]) == 1

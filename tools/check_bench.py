@@ -5,10 +5,13 @@ baseline (``BENCH_BASELINE.json``, written by ``python bench.py
 --write-baseline`` on a clean closing run):
 
     python tools/check_bench.py BENCH_r7.json [BENCH_BASELINE.json] \
-        [--factor 2.0]
+        [--factor 2.0] [--floor 1.0]
 
 Rules:
-- each entry's seconds must be <= factor * baseline seconds;
+- each entry's seconds must be <= factor * baseline + floor; the
+  additive floor (default 1 s) keeps sub-second cells from flaking at
+  2x under ordinary host noise — a 0.4 s entry reading 0.8 s is not a
+  regression signal on a VM whose identical-code band is +/-20%;
 - entries in a ``shared_cost_groups`` group are compared as the GROUP
   SUM (lazily-checkpointed frames land their one-time materialization
   cost on whichever member runs first, so cells move between members
@@ -38,11 +41,20 @@ def load_queries(path: str) -> dict[str, float]:
 
 
 def main(argv: list[str]) -> int:
-    args = [a for a in argv if not a.startswith("--")]
-    factor = 2.0
-    if "--factor" in argv:
-        factor = float(argv[argv.index("--factor") + 1])
-        args = [a for a in args if a != str(factor)]
+    factor, floor = 2.0, 1.0
+    args: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--factor":
+            factor = float(argv[i + 1])
+            i += 2
+        elif a == "--floor":
+            floor = float(argv[i + 1])
+            i += 2
+        else:
+            args.append(a)
+            i += 1
     if not args:
         raise SystemExit(__doc__)
     bench_path = args[0]
@@ -62,7 +74,7 @@ def main(argv: list[str]) -> int:
         failures.append(f"MISSING {m}: in baseline, absent from run")
 
     for name in sorted(set(got) & set(base) - grouped):
-        lim = factor * base[name]
+        lim = factor * base[name] + floor
         flag = "FAIL" if got[name] > lim else "ok  "
         line = (
             f"{flag} {name}: {got[name]:.2f}s vs baseline "
@@ -77,7 +89,7 @@ def main(argv: list[str]) -> int:
         if not have:
             continue
         gs, bs = sum(got[m] for m in have), sum(base[m] for m in have)
-        lim = factor * bs
+        lim = factor * bs + floor
         flag = "FAIL" if gs > lim else "ok  "
         line = (
             f"{flag} GROUP {'+'.join(have)}: {gs:.2f}s vs baseline "
