@@ -3,8 +3,10 @@ with typed metadata, processed via Arrow-batched `mapInPandas`.
 
 The container has no imaging/audio libraries, so the codecs here are
 pure-stdlib: the synthetic SGM1 format decodes fully; real PNG decodes
-every 8-bit color type, non-interlaced AND Adam7 (grayscale/RGB/palette/
-gray+alpha/RGBA) via zlib inflate + scanline unfilter, with a matching
+every color type, non-interlaced AND Adam7 (grayscale/RGB/palette/
+gray+alpha/RGBA) at bit depth 8 and 16 (16-bit decodes at 8-bit
+precision via the big-endian high byte) via zlib inflate + scanline
+unfilter, with a matching
 pure-stdlib encoder (`encode_png`); baseline JPEG decodes grayscale
 AND YCbCr color (any 4:4:4/4:2:2/4:2:0 sampling, restart intervals),
 with matching pure-stdlib encoders (`encode_jpeg_baseline`,
@@ -12,7 +14,7 @@ with matching pure-stdlib encoders (`encode_jpeg_baseline`,
 (spectral selection, EOB runs, successive approximation); 8-bit
 mono and 16-bit mono/stereo PCM WAV decode to samples (stereo
 downmixes (l+r)//2 exactly). Codec-bound formats (MP4, MP3, arithmetic
-JPEG, 16-bit PNG) stay metadata-only or raise
+JPEG, sub-byte-depth PNG) stay metadata-only or raise
 `NotImplementedError`. The Spark-side
 plumbing — schema contracts, Arrow batch iteration, UDF signatures,
 per-partition batching — is identical to what a PIL/librosa-backed
@@ -85,17 +87,28 @@ def _parse_png(b: bytes) -> tuple[int, int, int, np.ndarray | None]:
     """Pure-stdlib PNG parse -> (w, h, channels, flat_bytes).
 
     IHDR dimensions always; full pixel decode (zlib inflate + scanline
-    unfilter) for every 8-bit color type: grayscale (0), RGB (2),
-    palette (3, expanded through PLTE to RGB), gray+alpha (4), RGBA
-    (6) — both non-interlaced AND Adam7-interlaced (seven
-    independently-filtered passes scattered back onto the pixel grid).
-    16-bit images return metadata only (channels=0, px=None). The flat
-    byte array is row-major channel-interleaved, length w*h*channels."""
+    unfilter) for every color type: grayscale (0), RGB (2), palette
+    (3, expanded through PLTE to RGB), gray+alpha (4), RGBA (6) —
+    non-interlaced AND Adam7-interlaced (seven independently-filtered
+    passes scattered back onto the pixel grid), at bit depth 8 AND 16.
+    16-bit samples decode at 8-BIT PRECISION (the big-endian high
+    byte, the standard 16->8 downconversion — the unfilter itself runs
+    on the full 2-byte lanes, so the filtering arithmetic is exact;
+    only the emitted pixel drops the low byte). Sub-byte depths
+    (1/2/4) return metadata only (channels=0, px=None). The flat byte
+    array is row-major channel-interleaved, length w*h*channels."""
     w, h = struct.unpack(">II", b[16:24])
     bit_depth, color_type, _comp, _filt, interlace = b[24:29]
-    if not (bit_depth == 8 and color_type in _PNG_BPP and interlace in (0, 1)):
+    if not (
+        bit_depth in (8, 16)
+        and color_type in _PNG_BPP
+        and interlace in (0, 1)
+        # 16-bit palette is not a legal PNG combination
+        and not (bit_depth == 16 and color_type == 3)
+    ):
         return w, h, 0, None
-    bpp = _PNG_BPP[color_type]
+    sw = bit_depth // 8  # sample width in bytes
+    bpp = _PNG_BPP[color_type] * sw
     # concatenate IDAT chunk payloads; grab PLTE for palette images
     idat = bytearray()
     plte = b""
@@ -128,11 +141,15 @@ def _parse_png(b: bytes) -> tuple[int, int, int, np.ndarray | None]:
             sub, pos = _png_unfilter(raw, pw, ph, bpp, pos)
             out3[r0::rs, c0::cs, :] = sub.reshape(ph, pw, bpp)
         out = out3.reshape(h, w * bpp)
+    if sw == 2:  # 16-bit: keep the big-endian HIGH byte per sample
+        out = out.reshape(h, w, _PNG_BPP[color_type], 2)[:, :, :, 0].reshape(
+            h, w * _PNG_BPP[color_type]
+        )
     flat = out.reshape(-1)
     if color_type == 3:
         pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
         return w, h, 3, pal[flat].reshape(-1)
-    return w, h, bpp, flat
+    return w, h, _PNG_BPP[color_type], flat
 
 
 # Adam7 pass grid: (row0, col0, row_step, col_step) per pass — the
@@ -222,10 +239,11 @@ def encode_png(
     filters: tuple[int, ...] = (0,),
     palette: np.ndarray | None = None,
     interlace: int = 0,
+    bit_depth: int = 8,
 ) -> bytes:
-    """Pure-stdlib 8-bit PNG encoder — the inverse of `_parse_png`,
-    used both as the re-encode step of image normalization and to
-    build real-format fixtures the decoder is property-tested against.
+    """Pure-stdlib PNG encoder — the inverse of `_parse_png`, used
+    both as the re-encode step of image normalization and to build
+    real-format fixtures the decoder is property-tested against.
 
     arr shape by color type: 0 grayscale (h, w); 2 RGB (h, w, 3);
     4 gray+alpha (h, w, 2); 6 RGBA (h, w, 4); 3 palette indices (h, w)
@@ -233,23 +251,33 @@ def encode_png(
     per scanline (types 0-4), exercising every unfilter branch.
     ``interlace=1`` emits Adam7: each of the seven passes extracts its
     sub-grid and filters as an independent image, empty passes emit no
-    bytes — the exact stream shape `_parse_png` scatters back."""
+    bytes — the exact stream shape `_parse_png` scatters back.
+    ``bit_depth=16`` takes a uint16 array and emits big-endian sample
+    pairs (not valid for palette)."""
     import zlib
 
     if color_type not in _PNG_BPP:
         raise ValueError(f"unsupported color type {color_type}")
     if interlace not in (0, 1):
         raise ValueError("interlace must be 0 (none) or 1 (Adam7)")
-    bpp = _PNG_BPP[color_type]
-    a8 = np.asarray(arr, dtype=np.uint8)
+    if bit_depth not in (8, 16) or (bit_depth == 16 and color_type == 3):
+        raise ValueError("bit depth must be 8, or 16 (non-palette)")
+    nch = _PNG_BPP[color_type]
+    bpp = nch * (bit_depth // 8)
+    a = np.asarray(arr, dtype=np.uint8 if bit_depth == 8 else np.uint16)
     if color_type in (0, 3):
-        h, w = a8.shape
-        grid = a8.reshape(h, w, 1)
+        h, w = a.shape
+        a = a.reshape(h, w, 1)
     else:
-        h, w, ch = a8.shape
-        if ch != bpp:
-            raise ValueError(f"color type {color_type} needs {bpp} channels")
-        grid = a8
+        h, w, ch = a.shape
+        if ch != nch:
+            raise ValueError(f"color type {color_type} needs {nch} channels")
+    if bit_depth == 16:  # big-endian byte pairs become the byte lanes
+        grid = np.frombuffer(
+            a.astype(">u2").tobytes(), np.uint8
+        ).reshape(h, w, bpp)
+    else:
+        grid = a
     if interlace == 0:
         raw = _png_filter_lines(grid.reshape(h, w * bpp), bpp, filters)
     else:
@@ -271,7 +299,9 @@ def encode_png(
             + struct.pack(">I", _z.crc32(typ + data))
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, interlace)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, bit_depth, color_type, 0, 0, interlace
+    )
     out = _PNG_MAGIC + chunk(b"IHDR", ihdr)
     if color_type == 3:
         if palette is None:
@@ -1521,7 +1551,7 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     (grayscale/RGB/palette/gray+alpha/RGBA — multi-channel images are
     first reduced to integer Rec.601 luma, so thumbnails are always
     single-channel), and baseline JPEG (grayscale or color). Rows
-    whose pixels remain undecodable (arithmetic JPEG, 16-bit PNG) or aren't single-frame images are skipped — the standard
+    whose pixels remain undecodable (arithmetic JPEG, sub-byte PNG) or aren't single-frame images are skipped — the standard
     thumbnail/normalize step of a vision-data pipeline. Numpy
     integer-index gather per Arrow batch; no Python per-pixel work."""
 

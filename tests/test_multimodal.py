@@ -919,3 +919,45 @@ def test_png_adam7_flows_through_decode_media(spark):
     got = {r["media_id"]: r for r in decode_media(df).collect()}
     assert got[71]["px_sum"] == got[72]["px_sum"] == int(arr.astype(np.int64).sum())
     assert got[71]["channels"] == 3
+
+
+def test_png_16bit_decodes_at_8bit_precision(spark):
+    """16-bit PNG (round 7): every non-palette color type decodes to
+    the big-endian HIGH byte per sample — the documented 16->8
+    downconversion — with the filter arithmetic running on the full
+    2-byte lanes (exactness pinned by round-tripping the 16-bit
+    encoder, plain and Adam7, with the full filter mix)."""
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        _parse_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(22)
+    for ct, shape, ch_want in (
+        (0, (13, 9), 1), (2, (11, 7, 3), 3),
+        (4, (6, 5, 2), 2), (6, (9, 12, 4), 4),
+    ):
+        a16 = rng.integers(0, 65536, size=shape, dtype=np.uint16)
+        for il in (0, 1):
+            b = encode_png(
+                a16, ct, filters=(1, 2, 3, 4, 0), interlace=il, bit_depth=16
+            )
+            w, h, ch, px = _parse_png(b)
+            assert ch == ch_want
+            assert np.array_equal(px, (a16 >> 8).astype(np.uint8).reshape(-1))
+    # 16-bit payloads flow through the Spark operator with real stats
+    a16 = rng.integers(0, 65536, size=(16, 12, 3), dtype=np.uint16)
+    df = spark.createDataFrame(
+        [(91, KIND_IMAGE, encode_png(a16, 2, bit_depth=16))],
+        "media_id long, kind int, content binary",
+    )
+    r = decode_media(df).collect()[0]
+    want = (a16 >> 8).astype(np.int64)
+    assert r["px_sum"] == int(want.sum()) and r["channels"] == 3
+    # sub-byte depths stay metadata-only (never wrong pixels)
+    b1 = bytearray(encode_png((a16 >> 8).astype(np.uint8), 2))
+    b1[24] = 4  # relabel bit depth 4
+    w, h, ch, px = _parse_png(bytes(b1))
+    assert (w, h, ch, px) == (12, 16, 0, None)
