@@ -12,8 +12,8 @@ AND YCbCr color (any 4:4:4/4:2:2/4:2:0 sampling, restart intervals),
 with matching pure-stdlib encoders (`encode_jpeg_baseline`,
 `encode_jpeg_progressive`); Huffman-progressive streams decode fully
 (spectral selection, EOB runs, successive approximation); 8-bit
-mono and 16-bit mono/stereo PCM WAV decode to samples (stereo
-downmixes (l+r)//2 exactly). Codec-bound formats (MP4, MP3, arithmetic
+through 32-bit integer PCM WAV decodes to samples, mono/stereo
+(exact full-precision (l+r)//2 fold; 24/32-bit at int16 precision). Codec-bound formats (MP4, MP3, arithmetic
 JPEG, sub-byte-depth PNG) stay metadata-only or raise
 `NotImplementedError`. The Spark-side
 plumbing — schema contracts, Arrow batch iteration, UDF signatures,
@@ -1368,11 +1368,15 @@ def _encode_prog_ac(
 
 
 def _parse_wav(b: bytes) -> tuple[int, np.ndarray | None]:
-    """RIFF/WAVE chunk walk: sample count always; SAMPLES for 8-bit
-    PCM mono (uint8) and 16-bit PCM mono/stereo (int16; stereo
-    downmixes (l + r) // 2 in exact integer arithmetic — the standard
-    mid-channel fold, bit-reproducible). Other layouts (24/32-bit,
-    >2 channels, float/ADPCM codecs) stay count-only (px None)."""
+    """RIFF/WAVE chunk walk: sample count always; SAMPLES for integer
+    PCM at 8 (uint8, mono), 16, 24 and 32 bits (mono/stereo). Stereo
+    downmixes (l + r) // 2 in exact FULL-precision integer arithmetic
+    before any narrowing — the standard mid-channel fold,
+    bit-reproducible. 24/32-bit samples decode at 16-BIT PRECISION
+    (arithmetic >> 8 / >> 16 after the downmix, mirroring the 16-bit
+    PNG high-byte convention) so every audio consumer keeps one int16
+    dtype contract. Other layouts (>2 channels, float/ADPCM codecs)
+    stay count-only (px None)."""
     off = 12
     bits = channels = 1
     data = None
@@ -1394,12 +1398,30 @@ def _parse_wav(b: bytes) -> tuple[int, np.ndarray | None]:
     n = len(data) // max(1, abs(bits) // 8) // max(1, channels)
     if bits == 8 and channels == 1:
         return n, np.frombuffer(data, np.uint8)
-    if bits == 16 and channels in (1, 2):
-        s = np.frombuffer(data[: n * 2 * channels], "<i2")
+    if bits in (16, 24, 32) and channels in (1, 2):
+        width = bits // 8
+        if bits == 16:
+            s = np.frombuffer(data[: n * width * channels], "<i2").astype(
+                np.int64
+            )
+        elif bits == 32:
+            s = np.frombuffer(data[: n * width * channels], "<i4").astype(
+                np.int64
+            )
+        else:  # 24-bit: 3 little-endian bytes, sign-extended
+            raw = np.frombuffer(
+                data[: n * width * channels], np.uint8
+            ).reshape(-1, 3).astype(np.int64)
+            s = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+            s -= (s >= (1 << 23)) * (1 << 24)
         if channels == 2:
-            pair = s.reshape(-1, 2).astype(np.int32)
-            s = ((pair[:, 0] + pair[:, 1]) // 2).astype(np.int16)
-        return n, s
+            pair = s.reshape(-1, 2)
+            s = (pair[:, 0] + pair[:, 1]) // 2  # exact full-precision fold
+        if bits == 24:
+            s >>= 8
+        elif bits == 32:
+            s >>= 16
+        return n, s.astype(np.int16)
     return n, None
 
 
@@ -1415,8 +1437,8 @@ def _decode_payload(
     (any 4:4:4 / 4:2:2 / 4:2:0 sampling), baseline-sequential AND
     Huffman-progressive (spectral selection + successive
     approximation; arithmetic-coded stays metadata-only: channels=0,
-    px=None); WAV parses to samples (8-bit
-    PCM decodes fully). ``channels`` is 0 whenever px is None. Formats
+    px=None); WAV decodes integer PCM at
+    8/16/24/32 bits, mono/stereo (24/32-bit at int16 precision). ``channels`` is 0 whenever px is None. Formats
     needing a real codec stack (MP4, compressed audio) raise — swapping
     in PIL/librosa later only changes this function."""
     if content[: len(_PNG_MAGIC)] == _PNG_MAGIC:

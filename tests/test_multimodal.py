@@ -737,18 +737,65 @@ def test_wav_pcm16_mono_and_stereo_decode(spark):
     assert row["px_sqsum"] == int((mono * mono).sum())
 
 
+def _wav_pcm(samples_bytes: bytes, channels: int, bits: int) -> bytes:
+    import struct as _s
+
+    width = bits // 8
+    fmt = _s.pack("<HHIIHH", 1, channels, 8000, 8000 * width * channels,
+                  width * channels, bits)
+    return (b"RIFF"
+            + _s.pack("<I", 4 + 8 + len(fmt) + 8 + len(samples_bytes))
+            + b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+            + b"data" + _s.pack("<I", len(samples_bytes)) + samples_bytes)
+
+
+def test_wav_24_and_32_bit_decode_at_16bit_precision(spark):
+    """24/32-bit PCM (round 7): samples decode to int16 precision
+    (>>8 / >>16), with the stereo fold done in FULL precision first —
+    a (l, r) pair whose mid needs the low bits must round via the
+    exact fold, not via narrowed operands."""
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import _parse_wav
+
+    rng = np.random.default_rng(23)
+    v24 = rng.integers(-(1 << 23), 1 << 23, size=64, dtype=np.int64)
+    raw = bytearray()
+    for v in v24:
+        raw += int(v & 0xFFFFFF).to_bytes(3, "little")
+    n, px = _parse_wav(_wav_pcm(bytes(raw), 1, 24))
+    assert n == 64 and px.dtype == np.int16
+    assert np.array_equal(px.astype(np.int64), v24 >> 8)
+
+    # stereo 24-bit: exact full-precision fold THEN narrow
+    inter = np.empty(128, dtype=np.int64)
+    inter[0::2], inter[1::2] = v24, -v24 - 1
+    raw2 = bytearray()
+    for v in inter:
+        raw2 += int(v & 0xFFFFFF).to_bytes(3, "little")
+    n2, px2 = _parse_wav(_wav_pcm(bytes(raw2), 2, 24))
+    assert n2 == 64
+    assert np.array_equal(px2.astype(np.int64), ((v24 + (-v24 - 1)) // 2) >> 8)
+
+    v32 = rng.integers(-(1 << 31), 1 << 31, size=50, dtype=np.int64)
+    n3, px3 = _parse_wav(_wav_pcm(v32.astype("<i4").tobytes(), 1, 32))
+    assert n3 == 50
+    assert np.array_equal(px3.astype(np.int64), v32 >> 16)
+
+
 def test_wav_unsupported_layouts_stay_count_only(spark):
     import struct as _s
 
     from dataingestiontohana_spark.operators.multimodal import _parse_wav
 
-    data = bytes(24)  # 8 samples of 24-bit mono
-    fmt = _s.pack("<HHIIHH", 1, 1, 8000, 8000 * 3, 3, 24)
+    # 3-channel 16-bit: count-only (channel gate)
+    data = bytes(24)  # 4 frames of 3x16-bit
+    fmt = _s.pack("<HHIIHH", 1, 3, 8000, 8000 * 6, 6, 16)
     wav = (b"RIFF" + _s.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
            + b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
            + b"data" + _s.pack("<I", len(data)) + data)
     n, px = _parse_wav(wav)
-    assert n == 8 and px is None
+    assert n == 4 and px is None
     # IEEE-float WAV (fmt tag 3): count-only even at 16 bits... tag
     # gates it before width does
     fmtf = _s.pack("<HHIIHH", 3, 1, 8000, 8000 * 2, 2, 16)
