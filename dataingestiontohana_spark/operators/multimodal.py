@@ -4,7 +4,8 @@ with typed metadata, processed via Arrow-batched `mapInPandas`.
 The container has no imaging/audio libraries, so the codecs here are
 pure-stdlib: the synthetic SGM1 format decodes fully; real PNG decodes
 every color type, non-interlaced AND Adam7 (grayscale/RGB/palette/
-gray+alpha/RGBA) at bit depth 8 and 16 (16-bit decodes at 8-bit
+gray+alpha/RGBA) at EVERY legal bit depth 1/2/4/8/16 (sub-byte
+unpacks MSB-first onto the exact 8-bit grid; 16-bit decodes at 8-bit
 precision via the big-endian high byte) via zlib inflate + scanline
 unfilter, with a matching
 pure-stdlib encoder (`encode_png`); baseline JPEG decodes grayscale
@@ -14,7 +15,7 @@ with matching pure-stdlib encoders (`encode_jpeg_baseline`,
 (spectral selection, EOB runs, successive approximation); 8-bit
 through 32-bit integer PCM WAV decodes to samples, mono/stereo
 (exact full-precision (l+r)//2 fold; 24/32-bit at int16 precision). Codec-bound formats (MP4, MP3, arithmetic
-JPEG, sub-byte-depth PNG) stay metadata-only or raise
+JPEG, illegal PNG depth/type combos) stay metadata-only or raise
 `NotImplementedError`. The Spark-side
 plumbing — schema contracts, Arrow batch iteration, UDF signatures,
 per-partition batching — is identical to what a PIL/librosa-backed
@@ -90,25 +91,23 @@ def _parse_png(b: bytes) -> tuple[int, int, int, np.ndarray | None]:
     unfilter) for every color type: grayscale (0), RGB (2), palette
     (3, expanded through PLTE to RGB), gray+alpha (4), RGBA (6) —
     non-interlaced AND Adam7-interlaced (seven independently-filtered
-    passes scattered back onto the pixel grid), at bit depth 8 AND 16.
-    16-bit samples decode at 8-BIT PRECISION (the big-endian high
-    byte, the standard 16->8 downconversion — the unfilter itself runs
-    on the full 2-byte lanes, so the filtering arithmetic is exact;
-    only the emitted pixel drops the low byte). Sub-byte depths
-    (1/2/4) return metadata only (channels=0, px=None). The flat byte
-    array is row-major channel-interleaved, length w*h*channels."""
+    passes scattered back onto the pixel grid), at EVERY legal bit
+    depth: 1/2/4 (grayscale scaled to the exact 8-bit grid —
+    v*255/(2^d-1) is integer-exact — and palette indices), 8, and 16
+    (decoded at 8-BIT PRECISION via the big-endian high byte — the
+    unfilter runs on the full 2-byte lanes, so the filtering
+    arithmetic is exact; only the emitted pixel drops the low byte).
+    The flat byte array is row-major channel-interleaved, length
+    w*h*channels."""
     w, h = struct.unpack(">II", b[16:24])
     bit_depth, color_type, _comp, _filt, interlace = b[24:29]
-    if not (
-        bit_depth in (8, 16)
-        and color_type in _PNG_BPP
-        and interlace in (0, 1)
-        # 16-bit palette is not a legal PNG combination
-        and not (bit_depth == 16 and color_type == 3)
-    ):
+    legal = (
+        (color_type == 0 and bit_depth in (1, 2, 4, 8, 16))
+        or (color_type == 3 and bit_depth in (1, 2, 4, 8))
+        or (color_type in (2, 4, 6) and bit_depth in (8, 16))
+    )
+    if not (legal and interlace in (0, 1)):
         return w, h, 0, None
-    sw = bit_depth // 8  # sample width in bytes
-    bpp = _PNG_BPP[color_type] * sw
     # concatenate IDAT chunk payloads; grab PLTE for palette images
     idat = bytearray()
     plte = b""
@@ -128,28 +127,61 @@ def _parse_png(b: bytes) -> tuple[int, int, int, np.ndarray | None]:
     import zlib
 
     raw = zlib.decompress(bytes(idat))
+    nch = _PNG_BPP[color_type]
     if interlace == 0:
-        out, _ = _png_unfilter(raw, w, h, bpp, 0)
+        out3, _ = _png_pass_samples(raw, 0, w, h, nch, bit_depth)
     else:  # Adam7: seven independently-filtered sub-images
-        out3 = np.zeros((h, w, bpp), dtype=np.uint8)
+        out3 = np.zeros((h, w, nch), dtype=np.uint8)
         pos = 0
         for r0, c0, rs, cs in _ADAM7_PASSES:
             pw = (w - c0 + cs - 1) // cs if w > c0 else 0
             ph = (h - r0 + rs - 1) // rs if h > r0 else 0
             if pw == 0 or ph == 0:
                 continue  # empty pass contributes no bytes at all
-            sub, pos = _png_unfilter(raw, pw, ph, bpp, pos)
-            out3[r0::rs, c0::cs, :] = sub.reshape(ph, pw, bpp)
-        out = out3.reshape(h, w * bpp)
-    if sw == 2:  # 16-bit: keep the big-endian HIGH byte per sample
-        out = out.reshape(h, w, _PNG_BPP[color_type], 2)[:, :, :, 0].reshape(
-            h, w * _PNG_BPP[color_type]
-        )
-    flat = out.reshape(-1)
+            sub, pos = _png_pass_samples(raw, pos, pw, ph, nch, bit_depth)
+            out3[r0::rs, c0::cs, :] = sub
+        out3 = out3
+    flat = out3.reshape(-1)
     if color_type == 3:
         pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
         return w, h, 3, pal[flat].reshape(-1)
-    return w, h, _PNG_BPP[color_type], flat
+    if color_type == 0 and bit_depth < 8:
+        # scale to the full 8-bit grid: 255/(2^d-1) is an integer
+        flat = (flat.astype(np.int32) * (255 // ((1 << bit_depth) - 1))) \
+            .astype(np.uint8)
+    return w, h, nch, flat
+
+
+def _png_pass_samples(
+    raw: bytes, pos: int, w: int, h: int, nch: int, bit_depth: int
+) -> tuple[np.ndarray, int]:
+    """Unfilter + unpack ONE (sub-)image to (h, w, nch) uint8 samples.
+
+    Filtering always operates on the packed BYTE lanes (left neighbor
+    = previous byte for sub-byte depths, per spec); 16-bit keeps the
+    big-endian high byte; 1/2/4-bit unpack MSB-first and emit the raw
+    sample values (the caller scales grayscale / expands palette)."""
+    if bit_depth >= 8:
+        bpp = nch * (bit_depth // 8)
+        out, pos = _png_unfilter(raw, w, h, bpp, pos)
+        if bit_depth == 16:
+            return (
+                out.reshape(h, w, nch, 2)[:, :, :, 0],
+                pos,
+            )
+        return out.reshape(h, w, nch), pos
+    # sub-byte: stride = ceil(w*d/8) packed bytes, filter bpp = 1
+    sbw = (w * bit_depth + 7) // 8
+    out, pos = _png_unfilter(raw, sbw, h, 1, pos)
+    bits = np.unpackbits(out, axis=1)  # (h, sbw*8), MSB-first
+    weights = 1 << np.arange(bit_depth - 1, -1, -1)
+    samples = (
+        bits[:, : (sbw * 8 // bit_depth) * bit_depth]
+        .reshape(h, -1, bit_depth)
+        .astype(np.int32)
+        @ weights
+    )[:, :w]
+    return samples.astype(np.uint8).reshape(h, w, 1), pos
 
 
 # Adam7 pass grid: (row0, col0, row_step, col_step) per pass — the
@@ -253,18 +285,26 @@ def encode_png(
     sub-grid and filters as an independent image, empty passes emit no
     bytes — the exact stream shape `_parse_png` scatters back.
     ``bit_depth=16`` takes a uint16 array and emits big-endian sample
-    pairs (not valid for palette)."""
+    pairs (not valid for palette); ``bit_depth`` 1/2/4 takes raw
+    sample values (grayscale levels or palette indices) and packs
+    MSB-first with zero bit-padding per scanline."""
     import zlib
 
     if color_type not in _PNG_BPP:
         raise ValueError(f"unsupported color type {color_type}")
     if interlace not in (0, 1):
         raise ValueError("interlace must be 0 (none) or 1 (Adam7)")
-    if bit_depth not in (8, 16) or (bit_depth == 16 and color_type == 3):
-        raise ValueError("bit depth must be 8, or 16 (non-palette)")
+    legal = (
+        (color_type == 0 and bit_depth in (1, 2, 4, 8, 16))
+        or (color_type == 3 and bit_depth in (1, 2, 4, 8))
+        or (color_type in (2, 4, 6) and bit_depth in (8, 16))
+    )
+    if not legal:
+        raise ValueError(
+            f"bit depth {bit_depth} illegal for color type {color_type}"
+        )
     nch = _PNG_BPP[color_type]
-    bpp = nch * (bit_depth // 8)
-    a = np.asarray(arr, dtype=np.uint8 if bit_depth == 8 else np.uint16)
+    a = np.asarray(arr, dtype=np.uint8 if bit_depth <= 8 else np.uint16)
     if color_type in (0, 3):
         h, w = a.shape
         a = a.reshape(h, w, 1)
@@ -272,22 +312,42 @@ def encode_png(
         h, w, ch = a.shape
         if ch != nch:
             raise ValueError(f"color type {color_type} needs {nch} channels")
-    if bit_depth == 16:  # big-endian byte pairs become the byte lanes
-        grid = np.frombuffer(
-            a.astype(">u2").tobytes(), np.uint8
-        ).reshape(h, w, bpp)
-    else:
-        grid = a
+
+    def pass_rows(sub: np.ndarray) -> tuple[np.ndarray, int]:
+        """(packed byte rows, filter bpp) for one (sub-)image."""
+        ph, pw = sub.shape[0], sub.shape[1]
+        if bit_depth == 16:
+            return (
+                np.frombuffer(sub.astype(">u2").tobytes(), np.uint8)
+                .reshape(ph, pw * nch * 2),
+                nch * 2,
+            )
+        if bit_depth == 8:
+            return sub.reshape(ph, pw * nch), nch
+        # sub-byte: MSB-first bit packing with zero padding per row
+        d = bit_depth
+        if np.any(sub >= (1 << d)):
+            raise ValueError(f"sample out of range for bit depth {d}")
+        bits = (
+            (sub.reshape(ph, pw, 1).astype(np.uint8)[:, :, :]
+             >> np.arange(d - 1, -1, -1)) & 1
+        ).reshape(ph, pw * d).astype(np.uint8)
+        pad = (-bits.shape[1]) % 8
+        if pad:
+            bits = np.pad(bits, ((0, 0), (0, pad)))
+        return np.packbits(bits, axis=1), 1
+
     if interlace == 0:
-        raw = _png_filter_lines(grid.reshape(h, w * bpp), bpp, filters)
+        rows, fbpp = pass_rows(a)
+        raw = _png_filter_lines(rows, fbpp, filters)
     else:
         raw = bytearray()
         for r0, c0, rs, cs in _ADAM7_PASSES:
-            sub = grid[r0::rs, c0::cs, :]
-            ph, pw = sub.shape[0], sub.shape[1]
-            if pw == 0 or ph == 0:
+            sub = a[r0::rs, c0::cs, :]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
                 continue
-            raw += _png_filter_lines(sub.reshape(ph, pw * bpp), bpp, filters)
+            rows, fbpp = pass_rows(sub)
+            raw += _png_filter_lines(rows, fbpp, filters)
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         import zlib as _z
@@ -1430,8 +1490,8 @@ def _decode_payload(
 ) -> tuple[int, int, int, int, np.ndarray | None]:
     """The codec seam -> (w, h, n_frames, channels, flat_bytes).
 
-    SGM1 (synthetic) decodes fully; real PNG decodes every 8-bit
-    color type, non-interlaced and Adam7 (grayscale/RGB/palette/gray+alpha/RGBA —
+    SGM1 (synthetic) decodes fully; real PNG decodes every color type
+    at every legal bit depth, non-interlaced and Adam7 (grayscale/RGB/palette/gray+alpha/RGBA —
     palette expands to RGB, channels reports the EXPANDED channel
     count); baseline JPEG decodes grayscale AND YCbCr color pixels
     (any 4:4:4 / 4:2:2 / 4:2:0 sampling), baseline-sequential AND
@@ -1573,7 +1633,7 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     (grayscale/RGB/palette/gray+alpha/RGBA — multi-channel images are
     first reduced to integer Rec.601 luma, so thumbnails are always
     single-channel), and baseline JPEG (grayscale or color). Rows
-    whose pixels remain undecodable (arithmetic JPEG, sub-byte PNG) or aren't single-frame images are skipped — the standard
+    whose pixels remain undecodable (e.g. arithmetic JPEG) or aren't single-frame images are skipped — the standard
     thumbnail/normalize step of a vision-data pipeline. Numpy
     integer-index gather per Arrow batch; no Python per-pixel work."""
 

@@ -1003,8 +1003,56 @@ def test_png_16bit_decodes_at_8bit_precision(spark):
     r = decode_media(df).collect()[0]
     want = (a16 >> 8).astype(np.int64)
     assert r["px_sum"] == int(want.sum()) and r["channels"] == 3
-    # sub-byte depths stay metadata-only (never wrong pixels)
+    # an ILLEGAL depth/type combo stays metadata-only (never wrong
+    # pixels): depth 4 is not legal for truecolor RGB
     b1 = bytearray(encode_png((a16 >> 8).astype(np.uint8), 2))
-    b1[24] = 4  # relabel bit depth 4
+    b1[24] = 4  # relabel bit depth 4 on color type 2
     w, h, ch, px = _parse_png(bytes(b1))
     assert (w, h, ch, px) == (12, 16, 0, None)
+
+
+def test_png_sub_byte_depths_roundtrip(spark):
+    """1/2/4-bit PNG (round 7): grayscale levels scale to the exact
+    8-bit grid (255/(2^d-1) is an integer) and palette indices expand
+    through PLTE — plain and Adam7, every filter, tiny dims included
+    (MSB-first packing with per-row zero padding)."""
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        _parse_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(33)
+    for d in (1, 2, 4):
+        mx = (1 << d) - 1
+        scale = 255 // mx
+        for shape in ((13, 9), (1, 1), (5, 17)):
+            a = rng.integers(0, mx + 1, size=shape, dtype=np.uint8)
+            for il in (0, 1):
+                b = encode_png(
+                    a, 0, filters=(1, 2, 3, 4, 0), interlace=il, bit_depth=d
+                )
+                w, h, ch, px = _parse_png(b)
+                assert ch == 1
+                assert np.array_equal(
+                    px,
+                    (a.astype(np.int32) * scale).astype(np.uint8).reshape(-1),
+                )
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    for d in (1, 2, 4):
+        idx = rng.integers(0, min(16, 1 << d), size=(11, 6), dtype=np.uint8)
+        b = encode_png(
+            idx, 3, filters=(2, 4), palette=pal, interlace=1, bit_depth=d
+        )
+        _, _, ch, px = _parse_png(b)
+        assert ch == 3
+        assert np.array_equal(px, pal[idx.reshape(-1)].reshape(-1))
+    # a 1-bit icon flows through the Spark operator
+    icon = rng.integers(0, 2, size=(16, 16), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(95, KIND_IMAGE, encode_png(icon, 0, bit_depth=1))],
+        "media_id long, kind int, content binary",
+    )
+    r = decode_media(df).collect()[0]
+    assert r["px_sum"] == int(icon.astype(np.int64).sum() * 255)
