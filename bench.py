@@ -11,6 +11,15 @@ fine_queries}, plus host class, scale factor and the shared-cost
 groups whose per-entry numbers must be adjudicated as a unit. The
 next round's judge compares a fresh BENCH_r{N}.json against it
 mechanically with tools/check_bench.py instead of parsing prose bands.
+
+``--runs N`` (r7 verdict item 2) repeats the batch loop N times and
+reports the per-entry MEDIAN (each cell becomes {"sec": median,
+"min", "max", "runs"}), shrinking this host class's documented ±20%
+single-run band. Between runs the process-level shared frames
+(exact-pair edges, LSH candidates, baskets, graph, media decodes) are
+dropped so every run re-pays the same one-time costs a fresh driver
+run would — otherwise runs 2..N would be artificially warm on the
+shared_cost_groups entries.
 """
 
 from __future__ import annotations
@@ -35,18 +44,38 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
-    spark = get_spark("bench")
+def clear_shared_caches() -> None:
+    """Drop every process-level shared frame so the next bench run
+    re-pays the same one-time materializations a fresh driver process
+    would (keeps median-of-N runs i.i.d. with the single-run artifact
+    the driver records)."""
+    from dataingestiontohana_spark.plans import (
+        graph,
+        llm_dedup,
+        llm_similarity,
+        multimodal,
+        relational_ext,
+    )
 
-    # warmup: session + codegen + parquet footer reads
-    materialize(QUERIES["q10_hash_agg"](spark, sf_dir))
+    for cache in (
+        llm_dedup._EDGE_CACHE,
+        llm_dedup._LSH_CACHE,
+        graph._GRAPH_CACHE,
+        relational_ext._BASKET_CACHE,
+        multimodal._MEDIA_CACHE,
+        multimodal._DHASH_CACHE,
+        multimodal._PNG_CACHE,
+        multimodal._JPEG_CACHE,
+        llm_similarity._PROBE_BC,
+    ):
+        cache.clear()
 
-    # Per-query fault isolation: a single failing plan must cost ONE
-    # cell, not the whole round's numbers (round 3's bench died at
-    # plan time on one query and recorded nothing).
+
+def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
+    """One full pass over the registry with per-query fault isolation:
+    a single failing plan must cost ONE cell, not the whole round's
+    numbers (round 3's bench died at plan time on one query and
+    recorded nothing)."""
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in sorted(QUERIES):
@@ -57,15 +86,61 @@ def main() -> None:
             errors[name] = f"{type(ex).__name__}: {ex}"[:300]
             continue
         timings[name] = round(time.perf_counter() - t0, 3)
+    return timings, errors
 
-    total = round(sum(timings.values()), 3)
+
+def _median(vals: list[float]) -> float:
+    s = sorted(vals)
+    n = len(s)
+    mid = n // 2
+    return s[mid] if n % 2 else round((s[mid - 1] + s[mid]) / 2, 3)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    runs = 1
+    if "--runs" in sys.argv:
+        runs = max(1, int(sys.argv[sys.argv.index("--runs") + 1]))
+    spark = get_spark("bench")
+
+    # warmup: session + codegen + parquet footer reads
+    materialize(QUERIES["q10_hash_agg"](spark, sf_dir))
+
+    per_run: list[dict[str, float]] = []
+    errors: dict[str, str] = {}
+    for r in range(runs):
+        if r:
+            clear_shared_caches()
+        t, e = run_suite(spark, sf_dir)
+        per_run.append(t)
+        for k, v in e.items():
+            errors.setdefault(k, v)
+
+    if runs == 1:
+        queries: dict = per_run[0]
+        total = round(sum(per_run[0].values()), 3)
+    else:
+        queries = {}
+        for name in sorted(set().union(*per_run)):
+            vals = [t[name] for t in per_run if name in t]
+            queries[name] = {
+                "sec": _median(vals),
+                "min": min(vals),
+                "max": max(vals),
+                "runs": len(vals),
+            }
+        total = round(sum(c["sec"] for c in queries.values()), 3)
     out = {
         "metric": "declared_query_suite_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": queries,
         "sf": sf,
     }
+    if runs > 1:
+        out["runs"] = runs
     if errors:
         out["errors"] = errors
 
@@ -119,10 +194,18 @@ def write_baseline(out: dict, path: str) -> None:
 
     fine = {n: 1 for n in SINGLES}
     fine.update({n: len(p) for n, p in BUNDLES.items()})
-    entries = {
-        n: {"sec": s, "fine_queries": fine.get(n, 1)}
-        for n, s in sorted(out["queries"].items())
-    }
+    entries = {}
+    for n, s in sorted(out["queries"].items()):
+        if isinstance(s, dict):  # median-of-N cell
+            entries[n] = {
+                "sec": s["sec"],
+                "min": s["min"],
+                "max": s["max"],
+                "runs": s["runs"],
+                "fine_queries": fine.get(n, 1),
+            }
+        else:
+            entries[n] = {"sec": s, "fine_queries": fine.get(n, 1)}
     doc = {
         "note": (
             "Per-entry bench baseline from a clean run of bench.py "
@@ -137,6 +220,7 @@ def write_baseline(out: dict, path: str) -> None:
             "single-JVM VM"
         ),
         "sf": out["sf"],
+        "runs_per_entry": out.get("runs", 1),
         "total_sec": out["value"],
         "surface": {
             "entries": len(entries),

@@ -55,12 +55,26 @@ def write_bloom_store(
     m_bits: int = 131072,
 ) -> None:
     """Build the filter from the benchmark's shingle rows and persist
-    (position parquet + params sidecar). Overwrites any prior store."""
+    (position parquet + params sidecar). Overwrites any prior store.
+
+    Crash/concurrency ordering (r7 ADVICE): the sidecar is the
+    probe-ability token, so it is (1) REMOVED before the positions
+    overwrite — a crash mid-rewrite leaves bits without params, which
+    `read_store_params` rejects loudly, never a silent wrong-(k,m_bits)
+    probe against stale params — and (2) re-written LAST via a temp
+    file + `os.replace`, so any concurrent reader sees either no
+    sidecar (loud error) or a complete one matching the bits."""
+    try:
+        os.remove(_params_path(path))
+    except FileNotFoundError:
+        pass
     bloom_positions(items, col, k=k, m_bits=m_bits).write.mode(
         "overwrite"
     ).parquet(os.path.join(path, "positions"))
-    with open(_params_path(path), "w") as fh:
+    tmp = _params_path(path) + ".tmp"
+    with open(tmp, "w") as fh:
         json.dump({"k": k, "m_bits": m_bits}, fh)
+    os.replace(tmp, _params_path(path))
 
 
 def append_to_bloom_store(items: DataFrame, path: str, col: str = "sh") -> None:
@@ -75,8 +89,17 @@ def append_to_bloom_store(items: DataFrame, path: str, col: str = "sh") -> None:
 
 
 def read_store_params(path: str) -> dict:
-    with open(_params_path(path)) as fh:
-        return json.load(fh)
+    """The sidecar is the probe-ability token: absent means the store
+    is mid-rewrite (or a rewrite crashed between bits and params) —
+    refuse to probe rather than risk a stale-(k, m_bits) hash."""
+    try:
+        with open(_params_path(path)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"bloom store at {path} has positions but no {_PARAMS_FILE} "
+            "sidecar — incomplete rewrite; rebuild with write_bloom_store"
+        ) from None
 
 
 def decontaminate_against_store(

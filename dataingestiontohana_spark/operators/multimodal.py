@@ -140,7 +140,6 @@ def _parse_png(b: bytes) -> tuple[int, int, int, np.ndarray | None]:
                 continue  # empty pass contributes no bytes at all
             sub, pos = _png_pass_samples(raw, pos, pw, ph, nch, bit_depth)
             out3[r0::rs, c0::cs, :] = sub
-        out3 = out3
     flat = out3.reshape(-1)
     if color_type == 3:
         pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)

@@ -270,6 +270,10 @@ class FakeKafkaStreamReader(DataSourceStreamReader):
         self.topic = options["topic"]
         self.starting = options.get("startingoffsets", "earliest")
         self.max_per_trigger = int(options.get("maxoffsetspertrigger", 0))
+        # like Kafka's group.id: an OPTIONAL consumer identity that
+        # persists the cap base across process restarts (a throttle
+        # HINT only — correctness always comes from Spark's checkpoint)
+        self.group_id = options.get("groupid")
         # last planned batch end, tracked so the trigger cap can be
         # applied as ADMISSION CONTROL in latestOffset() — capping in
         # partitions() instead would silently skip the records between
@@ -285,35 +289,92 @@ class FakeKafkaStreamReader(DataSourceStreamReader):
             return b.end_offsets(self.topic)
         return {str(k): 0 for k in b.partitions(self.topic)}
 
+    # -- groupid cap-base hint (survives a query restart) ------------
+    def _group_path(self) -> str:
+        return os.path.join(
+            self.path, self.topic, f"_group-{self.group_id}.json"
+        )
+
+    def _save_cap_base(self) -> None:
+        if not self.group_id or self._pos is None:
+            return
+        tmp = self._group_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(self._pos, fh)
+        os.replace(tmp, self._group_path())
+
+    def _seed_cap_base(self, end: dict) -> dict:
+        """First latestOffset() of a process that never saw
+        initialOffset (the reader lives in the streaming-source runner;
+        on a restart Spark restores offsets from ITS checkpoint without
+        telling the source). The seed must never sit BEHIND the batch
+        start Spark will use — a planned end below the committed start
+        would be committed as a BACKWARD offset and the next batch
+        would re-plan already-processed records (duplicates). Two safe
+        sources, in order:
+
+        1. the groupid hint file: written at every partitions() call
+           as that batch's planned end, so it is >= the committed
+           start (at most one in-flight batch ahead on crash-replay) —
+           restarts resume capped, overshooting by <= one batch;
+        2. the CURRENT end offsets (for BOTH startingOffsets modes):
+           the log is append-only, so current end >= any offset Spark
+           ever committed. Cost: the first post-restart batch plans
+           the whole backlog uncapped — a one-time throttle bypass,
+           never loss, never duplicates. (Seeding `earliest` from 0 —
+           the pre-r8 behavior — was the unsafe variant: 0 + budget
+           can trail the committed start.)
+        """
+        if self.group_id:
+            try:
+                with open(self._group_path()) as fh:
+                    hint = json.load(fh)
+                # never beyond the log end (paranoia: recreated topic)
+                return {
+                    p: min(int(hint.get(p, 0)), int(end[p])) for p in end
+                }
+            except (FileNotFoundError, json.JSONDecodeError):
+                pass
+        return {p: int(v) for p, v in end.items()}
+
     def initialOffset(self) -> dict:
         off = self._start_offsets()
         self._pos = dict(off)
+        self._save_cap_base()  # fresh query: cap from the true start
         return off
 
     def latestOffset(self) -> dict:
         # driver-side planning only: stat the logs (O(#partitions), no
-        # record materializes) and bound the batch by the trigger cap.
-        # The cap base seeds lazily from startingOffsets (Spark may
-        # never call initialOffset on THIS instance — the reader lives
-        # in the streaming-source runner process) and is corrected to
-        # the true committed start at every partitions() call, so on a
-        # checkpoint restart the first planned end may trail the
-        # committed start — partitions() then plans nothing, the base
-        # catches up, and capping resumes: a few empty triggers, never
-        # loss, never an uncapped flood.
+        # record materializes) and bound the batch by the trigger cap,
+        # split across partitions PROPORTIONALLY to their unread
+        # counts (the real connector's apportioning) — a sustained
+        # backlog on one partition must not starve the others, which
+        # the earlier drain-in-ascending-partition-order loop did.
         end = self._broker().end_offsets(self.topic)
         if self.max_per_trigger:
             if self._pos is None:
-                self._pos = dict(self._start_offsets())
+                self._pos = self._seed_cap_base(end)
+            lo = {p: int(self._pos.get(p, 0)) for p in end}
+            unread = {p: max(int(end[p]) - lo[p], 0) for p in end}
+            total = sum(unread.values())
             budget = self.max_per_trigger
-            capped: dict = {}
-            for p in sorted(end, key=int):
-                lo = int(self._pos.get(p, 0))
-                hi = int(end[p])
-                take = min(max(hi - lo, 0), max(budget, 0))
-                capped[p] = lo + take
-                budget -= take
-            end = capped
+            if total > budget:
+                take = {p: budget * unread[p] // total for p in unread}
+                rem = budget - sum(take.values())
+                # leftover goes by largest fractional share, partition
+                # id as the deterministic tie-break — over successive
+                # triggers every partition with backlog makes progress
+                order = sorted(
+                    unread,
+                    key=lambda p: (-(budget * unread[p] % total), int(p)),
+                )
+                for p in order:
+                    if rem <= 0:
+                        break
+                    if take[p] < unread[p]:
+                        take[p] += 1
+                        rem -= 1
+                end = {p: lo[p] + min(take[p], unread[p]) for p in end}
         return end
 
     def partitions(self, start: dict, end: dict) -> list[FakeKafkaSlice]:
@@ -323,6 +384,7 @@ class FakeKafkaStreamReader(DataSourceStreamReader):
             p: max(int(end.get(p, 0)), int(start.get(p, 0)))
             for p in set(end) | set(start)
         }
+        self._save_cap_base()
         return [
             FakeKafkaSlice(int(p), int(start.get(p, 0)), int(end[p]))
             for p in sorted(end, key=int)

@@ -80,3 +80,53 @@ def test_custom_factor_and_floor(tmp_path):
     run2 = _write(tmp_path, "run2.json", {"queries": {"q1": 0.9}})
     assert main([run2, base2]) == 0
     assert main([run2, base2, "--floor", "0"]) == 1
+
+
+def test_driver_tail_artifact_adjudicated(tmp_path):
+    """r7 verdict item 1: the driver's BENCH_rN.json carries the
+    per-entry map only inside a truncated stdout-`tail` string. The
+    gate must parse it out, not no-op."""
+    inner = json.dumps({"metric": "declared_query_suite_sec",
+                        "queries": {"q1": 1.2, "q2": 2.4}, "sf": 0.1})
+    # driver truncates to the LAST N chars; simulate a cut-off prefix
+    tail = ("x" + inner)[-len(inner):] + "\n"
+    base = _baseline(tmp_path, {"q1": 1.0, "q2": 2.0})
+    run = _write(tmp_path, "run.json",
+                 {"n": 8, "rc": 0, "cpus": 32, "sf": 0.1, "tail": tail})
+    assert main([run, base]) == 0
+
+    # regression inside the tail still fails
+    inner2 = json.dumps({"queries": {"q1": 9.9, "q2": 2.0}})
+    run2 = _write(tmp_path, "run2.json", {"rc": 0, "tail": inner2})
+    assert main([run2, base]) == 1
+
+
+def test_real_driver_artifact_shape():
+    """The committed round-7 artifact itself must load (the exact file
+    the r7 judge found the gate no-op'ing on)."""
+    q = load_queries("BENCH_r07.json")
+    assert len(q) == 50 and all(isinstance(v, float) for v in q.values())
+
+
+def test_tail_with_queries_opening_truncated_fails_loudly(tmp_path):
+    """If the truncation window cut off `"queries": {` itself, fail
+    with the loud no-mapping error — never a silent pass."""
+    run = _write(tmp_path, "run.json",
+                 {"rc": 0, "tail": '1.2, "q2": 2.4}, "sf": 0.1}\n'})
+    base = _baseline(tmp_path, {"q1": 1.0})
+    import pytest
+    with pytest.raises(SystemExit, match="no 'queries' mapping"):
+        main([run, base])
+
+
+def test_median_cells_compared_by_sec(tmp_path):
+    """--runs N cells ({"sec": median, "min", "max", "runs"}) are
+    compared by their median, both run-side and (via baseline sec)
+    baseline-side."""
+    base = _baseline(tmp_path, {"q1": 1.0})
+    run = _write(tmp_path, "run.json", {"queries": {
+        "q1": {"sec": 1.8, "min": 1.7, "max": 9.0, "runs": 3}}})
+    assert main([run, base]) == 0  # median 1.8 <= 3.0 despite max 9.0
+    run2 = _write(tmp_path, "run2.json", {"queries": {
+        "q1": {"sec": 3.5, "min": 1.0, "max": 4.0, "runs": 3}}})
+    assert main([run2, base]) == 1

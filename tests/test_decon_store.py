@@ -112,3 +112,39 @@ def test_probe_side_never_shuffles(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_incomplete_rewrite_refuses_to_probe(spark, tmp_path):
+    """r7 ADVICE: the sidecar write is ordered LAST and atomically; a
+    crash between the positions overwrite and the sidecar must leave a
+    store that REFUSES to probe (missing params), never one that
+    silently probes new bits with stale (k, m_bits)."""
+    import os
+
+    from dataingestiontohana_spark.operators.decon_store import (
+        _params_path,
+        read_store_params,
+    )
+
+    test, train = _splits(spark)
+    test_sh = shingle_string_rows(test, "text", "doc_id")
+    store = str(tmp_path / "store")
+    write_bloom_store(test_sh, store, k=3, m_bits=131072)
+    old = read_store_params(store)
+    assert old == {"k": 3, "m_bits": 131072}
+    # no temp residue from the atomic replace
+    assert not os.path.exists(_params_path(store) + ".tmp")
+
+    # simulate the crash window of a re-parameterizing rewrite: the
+    # sidecar removal + positions overwrite happened, the new sidecar
+    # write did not. Reproduce by removing the sidecar (the rewrite's
+    # first step) — a reader in this window must fail loudly.
+    os.remove(_params_path(store))
+    with pytest.raises(FileNotFoundError, match="incomplete rewrite"):
+        read_store_params(store)
+    with pytest.raises(FileNotFoundError, match="incomplete rewrite"):
+        decontaminate_against_store(spark, test_sh, store)
+
+    # a completed rewrite with NEW params is probe-able again
+    write_bloom_store(test_sh, store, k=4, m_bits=65536)
+    assert read_store_params(store) == {"k": 4, "m_bits": 65536}

@@ -360,3 +360,107 @@ def test_concurrent_appends_never_interleave_mid_line(tmp_path):
         assert v.endswith("x" * 500)
         seen.add(v.split("-x")[0])
     assert len(seen) == n_threads * per_thread
+
+
+# ---- trigger-cap planning (pure reader-object tests, no session) ----
+
+def _mk_backlog(tmp_path, counts):
+    """Topic with len(counts) partitions holding counts[k] records."""
+    from dataingestiontohana_spark.sources.kafkafake import FakeKafkaBroker
+
+    b = FakeKafkaBroker(str(tmp_path / "broker"))
+    b.create_topic("t", partitions=len(counts))
+    for k, n in enumerate(counts):
+        for i in range(n):
+            b.produce("t", f"v{k}-{i}", partition=k)
+    return b
+
+
+def _reader(tmp_path, **extra):
+    from dataingestiontohana_spark.sources.kafkafake import (
+        FakeKafkaStreamReader,
+    )
+
+    opts = {"path": str(tmp_path / "broker"), "topic": "t"}
+    opts.update({k.lower(): str(v) for k, v in extra.items()})
+    return FakeKafkaStreamReader(opts)
+
+
+def test_trigger_cap_apportioned_no_partition_starved(tmp_path):
+    """r7 ADVICE: a sustained backlog on partition 0 must not starve
+    the others — the per-trigger budget splits proportionally to
+    unread counts, not drain-lowest-partition-first."""
+    _mk_backlog(tmp_path, [1000, 10, 10])
+    r = _reader(tmp_path, maxOffsetsPerTrigger=102)
+    start = r.initialOffset()
+    end = r.latestOffset()
+    planned = {p: end[p] - start[p] for p in end}
+    assert sum(planned.values()) == 102
+    # every partition with backlog advances in the SAME trigger
+    assert planned["1"] >= 1 and planned["2"] >= 1
+    # and the big partition gets the lion's share
+    assert planned["0"] > planned["1"] + planned["2"]
+
+
+def test_trigger_cap_drains_all_partitions_over_triggers(tmp_path):
+    _mk_backlog(tmp_path, [500, 7, 3])
+    r = _reader(tmp_path, maxOffsetsPerTrigger=50)
+    cur = r.initialOffset()
+    for _ in range(15):
+        end = r.latestOffset()
+        r.partitions(cur, end)  # advances the cap base like Spark does
+        cur = end
+    assert cur == {"0": 500, "1": 7, "2": 3}
+
+
+def test_groupid_hint_keeps_restart_capped(tmp_path):
+    """r7 ADVICE: without the hint, a restart with
+    startingoffsets=latest lazily seeds the cap base from the CURRENT
+    end — one uncapped flood batch. With groupid, the persisted cap
+    base bounds the first post-restart batch to <= budget."""
+    b = _mk_backlog(tmp_path, [0, 0])
+    r1 = _reader(tmp_path, maxOffsetsPerTrigger=10, groupid="g1")
+    committed = r1.initialOffset()  # latest == {0,0}
+    # backlog arrives, one capped batch runs and commits
+    for i in range(100):
+        b.produce("t", f"x{i}", partition=i % 2)
+    end1 = r1.latestOffset()
+    r1.partitions(committed, end1)
+    assert sum(end1.values()) - sum(committed.values()) == 10
+
+    # process dies; more backlog lands while down
+    for i in range(100):
+        b.produce("t", f"y{i}", partition=i % 2)
+    r2 = _reader(tmp_path, maxOffsetsPerTrigger=10, groupid="g1")
+    end2 = r2.latestOffset()  # no initialOffset: the restart path
+    # first post-restart batch spans (committed end1 -> end2): bounded
+    # by budget, not the 190-record backlog
+    assert sum(end2.values()) - sum(end1.values()) <= 10
+    # and never behind the committed start (no backward offsets)
+    assert all(end2[p] >= end1[p] for p in end1)
+
+
+def test_blind_restart_seed_never_behind_committed_start(tmp_path):
+    """Without groupid the blind restart seed is the CURRENT end for
+    BOTH startingoffsets modes: one uncapped catch-up batch, but never
+    an end below the committed start (a backward commit would re-plan
+    processed records — duplicates). Seeding `earliest` from 0 — the
+    pre-r8 behavior — violated this: 0 + budget < committed start."""
+    b = _mk_backlog(tmp_path, [300])
+    r1 = _reader(tmp_path, maxOffsetsPerTrigger=50, startingOffsets="earliest")
+    cur = r1.initialOffset()
+    for _ in range(4):  # query processes 200 records, then dies
+        end = r1.latestOffset()
+        r1.partitions(cur, end)
+        cur = end
+    assert cur == {"0": 200}
+
+    r2 = _reader(tmp_path, maxOffsetsPerTrigger=50, startingOffsets="earliest")
+    end2 = r2.latestOffset()
+    assert end2["0"] >= 200  # >= committed start: no duplicate re-plan
+    slices = r2.partitions(cur, end2)
+    assert all(s.lo >= 200 for s in slices)
+    # cap resumes on the very next trigger
+    b.produce("t", "tail", partition=0)
+    end3 = r2.latestOffset()
+    assert end3["0"] - end2["0"] <= 50

@@ -19,14 +19,63 @@ Rules:
 - entries new since the baseline are reported informationally (no
   baseline to hold them to); entries missing from the run FAIL.
 
-Accepts either the raw one-line bench.py output or the driver's
-wrapper ({"parsed": {...}}). Exit 0 = all inside the factor.
+Accepts any of: the raw one-line bench.py output, the driver's
+wrapper ({"parsed": {...}}), or the driver's truncated-tail artifact
+({"n": N, "rc": 0, "tail": "...\"queries\": {...}..."}) — the shape
+the per-round BENCH_rN.json actually has (r7 verdict item 1: the
+per-entry map lives inside a 2000-char tail string, not at top
+level). Exit 0 = all inside the factor.
 """
 
 from __future__ import annotations
 
 import json
 import sys
+
+
+def _queries_from_tail(tail: str) -> dict[str, float] | None:
+    """Extract the balanced ``"queries": {...}`` object from a
+    truncated stdout-tail string. Returns None when the object is
+    absent or its opening brace was cut off by the truncation."""
+    marker = '"queries":'
+    at = tail.find(marker)
+    if at < 0:
+        return None
+    i = tail.find("{", at + len(marker))
+    if i < 0:
+        return None
+    depth, in_str, esc = 0, False, False
+    for j in range(i, len(tail)):
+        ch = tail[j]
+        if in_str:
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == '"':
+                in_str = False
+            continue
+        if ch == '"':
+            in_str = True
+        elif ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+            if depth == 0:
+                try:
+                    obj = json.loads(tail[i : j + 1])
+                except json.JSONDecodeError:
+                    return None
+                return obj if isinstance(obj, dict) and obj else None
+    return None
+
+
+def _to_seconds(v: object) -> float:
+    """A cell is either a bare number (single run) or a median-of-N
+    object {"sec": median, "min": .., "max": .., "runs": N}."""
+    if isinstance(v, dict):
+        return float(v["sec"])
+    return float(v)  # type: ignore[arg-type]
 
 
 def load_queries(path: str) -> dict[str, float]:
@@ -36,8 +85,15 @@ def load_queries(path: str) -> dict[str, float]:
         doc = doc["parsed"]
     q = doc.get("queries")
     if not isinstance(q, dict) or not q:
-        raise SystemExit(f"{path}: no 'queries' mapping found")
-    return {k: float(v) for k, v in q.items()}
+        tail = doc.get("tail")
+        if isinstance(tail, str):
+            q = _queries_from_tail(tail)
+    if not isinstance(q, dict) or not q:
+        raise SystemExit(
+            f"{path}: no 'queries' mapping found (neither top-level, "
+            "under 'parsed', nor recoverable from a 'tail' string)"
+        )
+    return {k: _to_seconds(v) for k, v in q.items()}
 
 
 def main(argv: list[str]) -> int:
