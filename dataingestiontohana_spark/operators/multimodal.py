@@ -4,19 +4,19 @@ with typed metadata, processed via Arrow-batched `mapInPandas`.
 The container has no imaging/audio libraries, so the codecs here are
 pure-stdlib: the synthetic SGM1 format decodes fully; real PNG decodes
 every color type, non-interlaced AND Adam7 (grayscale/RGB/palette/
-gray+alpha/RGBA) at EVERY legal bit depth 1/2/4/8/16 (sub-byte
-unpacks MSB-first onto the exact 8-bit grid; 16-bit decodes at 8-bit
-precision via the big-endian high byte) via zlib inflate + scanline
-unfilter, with a matching
-pure-stdlib encoder (`encode_png`); baseline JPEG decodes grayscale
-AND YCbCr color (any 4:4:4/4:2:2/4:2:0 sampling, restart intervals),
-with matching pure-stdlib encoders (`encode_jpeg_baseline`,
+gray+alpha/RGBA) at EVERY legal bit depth 1/2/4/8/16 at full native
+precision (sub-byte unpacks MSB-first onto the exact 8-bit grid;
+16-bit recombines the big-endian byte pair to uint16) via zlib
+inflate + scanline unfilter, with a matching pure-stdlib encoder
+(`encode_png`); baseline JPEG decodes grayscale AND YCbCr color (any
+4:4:4/4:2:2/4:2:0 sampling, restart intervals), with matching
+pure-stdlib encoders (`encode_jpeg_baseline`,
 `encode_jpeg_progressive`); Huffman-progressive streams decode fully
 (spectral selection, EOB runs, successive approximation); 8-bit
-through 32-bit integer PCM WAV decodes to samples, mono/stereo
-(exact full-precision (l+r)//2 fold; 24/32-bit at int16 precision). Codec-bound formats (MP4, MP3, arithmetic
-JPEG, illegal PNG depth/type combos) stay metadata-only or raise
-`NotImplementedError`. The Spark-side
+through 32-bit integer PCM WAV decodes to samples AT NATIVE WIDTH,
+mono/stereo (exact full-precision (l+r)//2 fold). Codec-bound formats
+(MP4, MP3, arithmetic JPEG, illegal PNG depth/type combos) stay
+metadata-only or raise `NotImplementedError`. The Spark-side
 plumbing — schema contracts, Arrow batch iteration, UDF signatures,
 per-partition batching — is identical to what a PIL/librosa-backed
 deployment would use; swapping in real codecs only changes the inner
@@ -94,11 +94,14 @@ def _parse_png(b: bytes) -> tuple[int, int, int, np.ndarray | None]:
     passes scattered back onto the pixel grid), at EVERY legal bit
     depth: 1/2/4 (grayscale scaled to the exact 8-bit grid —
     v*255/(2^d-1) is integer-exact — and palette indices), 8, and 16
-    (decoded at 8-BIT PRECISION via the big-endian high byte — the
-    unfilter runs on the full 2-byte lanes, so the filtering
-    arithmetic is exact; only the emitted pixel drops the low byte).
-    The flat byte array is row-major channel-interleaved, length
-    w*h*channels."""
+    at FULL NATIVE PRECISION (big-endian sample pairs recombine to
+    uint16; the unfilter runs on the packed byte lanes per spec, so
+    the arithmetic is exact at every depth). The flat sample array is
+    row-major channel-interleaved, length w*h*channels — dtype uint8
+    below depth 16, uint16 at depth 16; pixel-GRID consumers (luma,
+    thumbnails, perceptual hashes) reduce 16-bit samples to the 8-bit
+    grid in `_to_luma`, while the exact moments (`decode_media`) use
+    the native values."""
     w, h = struct.unpack(">II", b[16:24])
     bit_depth, color_type, _comp, _filt, interlace = b[24:29]
     legal = (
@@ -131,7 +134,9 @@ def _parse_png(b: bytes) -> tuple[int, int, int, np.ndarray | None]:
     if interlace == 0:
         out3, _ = _png_pass_samples(raw, 0, w, h, nch, bit_depth)
     else:  # Adam7: seven independently-filtered sub-images
-        out3 = np.zeros((h, w, nch), dtype=np.uint8)
+        out3 = np.zeros(
+            (h, w, nch), dtype=np.uint16 if bit_depth == 16 else np.uint8
+        )
         pos = 0
         for r0, c0, rs, cs in _ADAM7_PASSES:
             pw = (w - c0 + cs - 1) // cs if w > c0 else 0
@@ -157,17 +162,16 @@ def _png_pass_samples(
     """Unfilter + unpack ONE (sub-)image to (h, w, nch) uint8 samples.
 
     Filtering always operates on the packed BYTE lanes (left neighbor
-    = previous byte for sub-byte depths, per spec); 16-bit keeps the
-    big-endian high byte; 1/2/4-bit unpack MSB-first and emit the raw
-    sample values (the caller scales grayscale / expands palette)."""
+    = previous byte for sub-byte depths, per spec); 16-bit recombines
+    the big-endian byte pair into native uint16 samples; 1/2/4-bit
+    unpack MSB-first and emit the raw sample values (the caller scales
+    grayscale / expands palette)."""
     if bit_depth >= 8:
         bpp = nch * (bit_depth // 8)
         out, pos = _png_unfilter(raw, w, h, bpp, pos)
         if bit_depth == 16:
-            return (
-                out.reshape(h, w, nch, 2)[:, :, :, 0],
-                pos,
-            )
+            pairs = out.reshape(h, w, nch, 2).astype(np.uint16)
+            return (pairs[:, :, :, 0] << 8) | pairs[:, :, :, 1], pos
         return out.reshape(h, w, nch), pos
     # sub-byte: stride = ceil(w*d/8) packed bytes, filter bpp = 1
     sbw = (w * bit_depth + 7) // 8
@@ -1428,14 +1432,14 @@ def _encode_prog_ac(
 
 def _parse_wav(b: bytes) -> tuple[int, np.ndarray | None]:
     """RIFF/WAVE chunk walk: sample count always; SAMPLES for integer
-    PCM at 8 (uint8, mono), 16, 24 and 32 bits (mono/stereo). Stereo
-    downmixes (l + r) // 2 in exact FULL-precision integer arithmetic
-    before any narrowing — the standard mid-channel fold,
-    bit-reproducible. 24/32-bit samples decode at 16-BIT PRECISION
-    (arithmetic >> 8 / >> 16 after the downmix, mirroring the 16-bit
-    PNG high-byte convention) so every audio consumer keeps one int16
-    dtype contract. Other layouts (>2 channels, float/ADPCM codecs)
-    stay count-only (px None)."""
+    PCM at 8 (uint8, mono), 16, 24 and 32 bits (mono/stereo), each at
+    FULL NATIVE WIDTH. Stereo downmixes (l + r) // 2 (floor) in exact
+    full-precision integer arithmetic — the standard mid-channel fold,
+    bit-reproducible. The returned dtype encodes the container width
+    (the downstream normalization contract): uint8 = 8-bit, int16 =
+    16-bit, int32 = 24-bit (range ±2^23), int64 = 32-bit (range
+    ±2^31). Other layouts (>2 channels, float/ADPCM codecs) stay
+    count-only (px None)."""
     off = 12
     bits = channels = 1
     data = None
@@ -1476,11 +1480,11 @@ def _parse_wav(b: bytes) -> tuple[int, np.ndarray | None]:
         if channels == 2:
             pair = s.reshape(-1, 2)
             s = (pair[:, 0] + pair[:, 1]) // 2  # exact full-precision fold
+        if bits == 16:
+            return n, s.astype(np.int16)
         if bits == 24:
-            s >>= 8
-        elif bits == 32:
-            s >>= 16
-        return n, s.astype(np.int16)
+            return n, s.astype(np.int32)
+        return n, s  # 32-bit: int64 (native values, overflow-proof)
     return n, None
 
 
@@ -1496,8 +1500,8 @@ def _decode_payload(
     (any 4:4:4 / 4:2:2 / 4:2:0 sampling), baseline-sequential AND
     Huffman-progressive (spectral selection + successive
     approximation; arithmetic-coded stays metadata-only: channels=0,
-    px=None); WAV decodes integer PCM at
-    8/16/24/32 bits, mono/stereo (24/32-bit at int16 precision). ``channels`` is 0 whenever px is None. Formats
+    px=None); WAV decodes integer PCM at 8/16/24/32 bits at native
+    width, mono/stereo. ``channels`` is 0 whenever px is None. Formats
     needing a real codec stack (MP4, compressed audio) raise — swapping
     in PIL/librosa later only changes this function."""
     if content[: len(_PNG_MAGIC)] == _PNG_MAGIC:
@@ -1535,7 +1539,13 @@ def _to_luma(px: np.ndarray, w: int, h: int, channels: int) -> np.ndarray:
     (thumbnails, perceptual hashes) is bit-reproducible by a SQL
     oracle; gray+alpha keeps the gray channel; alpha never contributes
     (perceptual structure lives in color, and premultiplying would make
-    fully-transparent regions compare unequal across encoders)."""
+    fully-transparent regions compare unequal across encoders).
+
+    16-bit PNG samples (dtype uint16) reduce to the 8-bit grid here —
+    the big-endian high byte — so every grid consumer keeps ONE uint8
+    contract while the moment path upstream stays full-precision."""
+    if px.dtype == np.uint16:
+        px = (px >> 8).astype(np.uint8)
     if channels == 1:
         return px.reshape(h, w)
     grid = px.reshape(h, w, channels).astype(np.int32)
@@ -1543,6 +1553,29 @@ def _to_luma(px: np.ndarray, w: int, h: int, channels: int) -> np.ndarray:
         return grid[:, :, 0].astype(np.uint8)
     r, g, b = grid[:, :, 0], grid[:, :, 1], grid[:, :, 2]
     return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+
+
+_I64_MAX = (1 << 63) - 1
+
+
+def _exact_moments(px: np.ndarray) -> tuple[int | None, int | None]:
+    """(sum, sum-of-squares) of a decoded sample array, EXACT or None
+    — never silently wrapped. Samples up to 16-bit magnitude square
+    within int64 headroom for any realistic clip, so the vectorized
+    int64 path serves them; wider samples (32-bit WAV, |s| up to 2^31,
+    s^2 up to 2^62 — TWO samples overflow an int64 sum) accumulate in
+    arbitrary-precision Python ints, and a result that does not fit
+    the bigint column comes back None (the q205 surface splits the
+    hugeint into hi/lo bigints instead, see `wav_native_moments`)."""
+    if px.dtype in (np.uint8, np.uint16, np.int16):
+        px64 = px.astype(np.int64)
+        return int(px64.sum()), int((px64 * px64).sum())
+    total = int(px.astype(object).sum())
+    sq = int((np.multiply(px, px, dtype=object)).sum())
+    return (
+        total if -_I64_MAX - 1 <= total <= _I64_MAX else None,
+        sq if sq <= _I64_MAX else None,
+    )
 
 
 def decode_media(df: DataFrame) -> DataFrame:
@@ -1561,12 +1594,12 @@ def decode_media(df: DataFrame) -> DataFrame:
             ):
                 w, h, nf, ch, px = _decode_payload(bytes(content))
                 if px is not None:
-                    px64 = px.astype(np.int64)
+                    s, sq = _exact_moments(px)
                     stats = (
                         round(float(px.mean()), 4),
                         round(float(px.std()), 4),
-                        int(px64.sum()),
-                        int((px64 * px64).sum()),
+                        s,
+                        sq,
                     )
                 else:
                     stats = (None, None, None, None)
@@ -1671,14 +1704,17 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
 
 def audio_features(df: DataFrame, n_bands: int = 8) -> DataFrame:
-    """Spectral features for decodable audio payloads (8/16-bit PCM
-    WAV — 16-bit stereo downmixes exactly — and SGM1 audio): RMS level
-    plus ``n_bands`` equal-width rFFT magnitude band energies — the
-    embedding-ish fingerprint step of an audio pipeline,
-    numpy-vectorized per Arrow batch. Normalization is dtype-aware
-    (uint8 -> /255, int16 -> /32768); the exact integer moments
-    px_sum/px_sqsum are emitted for BOTH widths (int16 squares peak
-    ~1e9/sample — int64-safe to ~9e9 samples per clip)."""
+    """Spectral features for decodable audio payloads (8/16/24/32-bit
+    integer PCM WAV — stereo downmixes exactly — and SGM1 audio): RMS
+    level plus ``n_bands`` equal-width rFFT magnitude band energies —
+    the embedding-ish fingerprint step of an audio pipeline,
+    numpy-vectorized per Arrow batch. Normalization follows the
+    `_parse_wav` dtype-encodes-width contract (uint8 -> /255, int16 ->
+    /32768, int32 [24-bit] -> /2^23, int64 [32-bit] -> /2^31); the
+    integer moments px_sum/px_sqsum are EXACT at every width
+    (arbitrary-precision accumulation past int16) or None when the
+    true value exceeds bigint — never silently wrapped
+    (`_exact_moments`; the q205 surface carries the hugeint split)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1694,7 +1730,12 @@ def audio_features(df: DataFrame, n_bands: int = 8) -> DataFrame:
                     continue
                 if px is None or len(px) == 0:
                     continue
-                scale = 255.0 if px.dtype == np.uint8 else 32768.0
+                scale = {
+                    np.dtype(np.uint8): 255.0,
+                    np.dtype(np.int16): 32768.0,
+                    np.dtype(np.int32): float(1 << 23),
+                    np.dtype(np.int64): float(1 << 31),
+                }[px.dtype]
                 x = px.astype(np.float64) / scale
                 x = x - x.mean()
                 rms = float(np.sqrt((x * x).mean()))
@@ -1703,16 +1744,9 @@ def audio_features(df: DataFrame, n_bands: int = 8) -> DataFrame:
                     round(float(b.mean()), 6) if len(b) else 0.0
                     for b in np.array_split(mag, n_bands)
                 ]
-                px64 = px.astype(np.int64)
+                s, sq = _exact_moments(px)
                 out.append(
-                    (
-                        mid,
-                        len(px),
-                        round(rms, 6),
-                        bands,
-                        int(px64.sum()),
-                        int((px64 * px64).sum()),
-                    )
+                    (mid, len(px), round(rms, 6), bands, s, sq)
                 )
             yield pd.DataFrame(
                 out,
@@ -1727,6 +1761,68 @@ def audio_features(df: DataFrame, n_bands: int = 8) -> DataFrame:
         schema=(
             "media_id long, n_samples int, rms double, bands array<double>, "
             "px_sum bigint, px_sqsum bigint"
+        ),
+    )
+
+
+def wav_native_moments(df: DataFrame) -> DataFrame:
+    """Full-native-width WAV decode audit: per audio payload the
+    sample width in bits (from the `_parse_wav` dtype contract), the
+    sample count, the exact sample sum, and the exact sum of squares
+    SPLIT into two bigints (hi = sq // 10^18, lo = sq % 10^18) — a
+    32-bit clip's squares reach 2^62 per sample, so the true sum of
+    squares exceeds bigint from two samples on; the split carries the
+    hugeint exactly through an int64-only schema and a SQL oracle
+    reassembles (or recomputes in HUGEINT and splits the same way).
+    Accumulation is arbitrary-precision Python int — exact at any
+    width and any clip length. Map-only mapInPandas, the same scale
+    shape as `decode_media`."""
+    _BITS = {
+        np.dtype(np.uint8): 8,
+        np.dtype(np.int16): 16,
+        np.dtype(np.int32): 24,
+        np.dtype(np.int64): 32,
+    }
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, kind, content in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"]
+            ):
+                if kind != KIND_AUDIO:
+                    continue
+                try:
+                    _w, _h, _nf, _ch, px = _decode_payload(bytes(content))
+                except (NotImplementedError, ValueError):
+                    continue
+                if px is None or len(px) == 0:
+                    continue
+                total = int(px.astype(object).sum())
+                sq = int(np.multiply(px, px, dtype=object).sum())
+                out.append(
+                    (
+                        mid,
+                        _BITS[px.dtype],
+                        len(px),
+                        total,
+                        sq // 10**18,
+                        sq % 10**18,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "bits", "n_samples",
+                    "px_sum", "px_sqsum_hi", "px_sqsum_lo",
+                ],
+            )
+
+    return df.mapInPandas(
+        batches,
+        schema=(
+            "media_id long, bits int, n_samples int, px_sum bigint, "
+            "px_sqsum_hi bigint, px_sqsum_lo bigint"
         ),
     )
 

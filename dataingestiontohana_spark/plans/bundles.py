@@ -535,6 +535,15 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("media_id", "bigint"), ("width", "int"), ("height", "int"),
         ("channels", "int"), ("px_sum", "bigint"), ("px_sqsum", "bigint"),
     ],
+    "q205_wav_native": [
+        ("media_id", "bigint"), ("bits", "int"), ("n_samples", "int"),
+        ("px_sum", "bigint"), ("px_sqsum_hi", "bigint"),
+        ("px_sqsum_lo", "bigint"),
+    ],
+    "q206_png16_native": [
+        ("media_id", "bigint"), ("width", "int"), ("height", "int"),
+        ("channels", "int"), ("px_sum", "bigint"), ("px_sqsum", "bigint"),
+    ],
     "q82_image_neardup": [
         ("id_a", "bigint"), ("id_b", "bigint"), ("hamming", "int"),
     ],
@@ -880,6 +889,10 @@ BUNDLES: dict[str, list[str]] = {
         "q81_image_dhash", "q82_image_neardup", "q88_png_color",
         # round 7: real baseline+progressive JPEG under the value gate
         "q204_jpeg_mosaic",
+        # round 8: full-native-precision codecs under the value gate
+        # (16-bit PNG native uint16; 8/16/24/32-bit WAV native width
+        # with the hugeint sum-of-squares split hi/lo)
+        "q205_wav_native", "q206_png16_native",
     ],
     "q39_40_ingest": ["q39_sensor_generate", "q40_sensor_csv_roundtrip"],
     # round 5: the q20 single grew into a bundle with the hypertable

@@ -352,6 +352,145 @@ def q204_jpeg_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Native-width WAV corpus (round 8): 16 REAL RIFF/WAVE streams, 64
+# frames each, integer PCM bits cycling 8/16/24/32 with mono AND
+# stereo layouts, sample bytes md5-expanded from "{id}:wav:{chunk}" —
+# so DuckDB reassembles every little-endian signed sample, folds
+# stereo exactly ((l+r) floor-div 2), and recomputes the native-width
+# moments, with the 32-bit sum of squares carried through HUGEINT and
+# split hi/lo at 10^18 (two full-range squares already exceed bigint).
+_WAV_CACHE: dict[str, DataFrame] = {}
+_WAV_FRAMES = 64
+
+
+def _wav_native_corpus(spark: SparkSession) -> DataFrame:
+    import hashlib
+    import struct
+
+    key = spark.sparkContext.applicationId
+    df = _WAV_CACHE.get(key)
+    if df is not None:
+        return df
+    _WAV_CACHE.clear()
+
+    def md5_expand(mid: int, need: int) -> bytes:
+        out = bytearray()
+        c = 0
+        while len(out) < need:
+            out += hashlib.md5(f"{mid}:wav:{c}".encode()).digest()
+            c += 1
+        return bytes(out[:need])
+
+    def container(data: bytes, channels: int, bits: int) -> bytes:
+        width = bits // 8
+        fmt = struct.pack(
+            "<HHIIHH", 1, channels, 8000, 8000 * width * channels,
+            width * channels, bits,
+        )
+        return (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    rows = []
+    for i in range(16):
+        bits = (8, 16, 24, 32)[i % 4]
+        channels = 1 if bits == 8 else 1 + (i // 4) % 2
+        data = md5_expand(i, _WAV_FRAMES * (bits // 8) * channels)
+        rows.append((i, KIND_AUDIO, container(data, channels, bits)))
+    df = (
+        spark.createDataFrame(rows, "media_id long, kind int, content binary")
+        .coalesce(2)
+        .localCheckpoint(eager=False)
+    )
+    _WAV_CACHE[key] = df
+    return df
+
+
+def q205_wav_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-native-width WAV decode under the VALUE gate: real RIFF
+    streams at 8/16/24/32-bit integer PCM, mono and stereo, through
+    the production decode path (`operators/multimodal.py::_parse_wav`)
+    — the adjudicated columns are the exact native-sample moments,
+    the 32-bit sum of squares split hi/lo so a bigint schema carries
+    the hugeint exactly (closes the r7 declared int16-precision
+    boundary)."""
+    from dataingestiontohana_spark.operators.multimodal import (
+        wav_native_moments,
+    )
+
+    return wav_native_moments(_wav_native_corpus(spark)).orderBy("media_id")
+
+
+# 16-bit PNG corpus (round 8): 12 REAL PNGs, one per (color type x
+# interlace) combination at depth 16, native big-endian samples
+# md5-expanded from "{id}:png16:{chunk}" (sample j = 256*byte(2j) +
+# byte(2j+1)); the encode->decode round trip cancels so DuckDB
+# recomputes the NATIVE uint16 moments straight from the expansion.
+_PNG16_CACHE: dict[str, DataFrame] = {}
+_PNG16_CH = (1, 3, 2, 4)  # color types 0 / 2 / 4 / 6
+
+
+def _png16_corpus(spark: SparkSession) -> DataFrame:
+    import hashlib
+
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import encode_png
+
+    key = spark.sparkContext.applicationId
+    df = _PNG16_CACHE.get(key)
+    if df is not None:
+        return df
+    _PNG16_CACHE.clear()
+
+    def md5_expand(mid: int, need: int) -> bytes:
+        out = bytearray()
+        c = 0
+        while len(out) < need:
+            out += hashlib.md5(f"{mid}:png16:{c}".encode()).digest()
+            c += 1
+        return bytes(out[:need])
+
+    rows = []
+    for i in range(12):
+        ct = (0, 2, 4, 6)[i % 4]
+        ch = _PNG16_CH[i % 4]
+        raw = md5_expand(i, _PNG_W * _PNG_H * ch * 2)
+        a16 = np.frombuffer(raw, ">u2")
+        shape = (_PNG_H, _PNG_W) if ch == 1 else (_PNG_H, _PNG_W, ch)
+        png = encode_png(
+            a16.reshape(shape), ct, filters=(0, 1, 2, 3, 4),
+            interlace=i % 2, bit_depth=16,
+        )
+        rows.append((i, KIND_IMAGE, png))
+    df = (
+        spark.createDataFrame(rows, "media_id long, kind int, content binary")
+        .coalesce(2)
+        .localCheckpoint(eager=False)
+    )
+    _PNG16_CACHE[key] = df
+    return df
+
+
+def q206_png16_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit PNG decode at FULL NATIVE PRECISION under the value
+    gate: every 16-bit color type, plain and Adam7, full filter mix,
+    through the production `decode_media` operator — the adjudicated
+    moments are over the native uint16 samples, which the DuckDB
+    oracle recomputes from the md5 expansion (closes the r7 declared
+    high-byte-precision boundary)."""
+    return (
+        decode_media(_png16_corpus(spark))
+        .select(
+            "media_id", "width", "height", "channels",
+            "px_sum", "px_sqsum",
+        )
+        .orderBy("media_id")
+    )
+
+
 def q38b_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature extraction: sample count + exact integer sample
     moments per audio payload (rms/FFT-band floats stay on the
@@ -481,6 +620,95 @@ png_px AS (
 """
 
 
+# DuckDB reconstruction of the native-WAV corpus (see
+# _wav_native_corpus): bytes from the md5 expansion; little-endian
+# byte weights assemble each unsigned sample; two's-complement sign
+# correction; stereo folds (l+r) with FLOOR division (DuckDB // is
+# truncate-toward-zero — floor() over an exact float64 sum instead,
+# |l+r| <= 2^32 << 2^53); moments in HUGEINT, split hi/lo at 10^18.
+_WAV_NATIVE_CTE = f"""
+wav_media AS (
+  SELECT CAST(i AS BIGINT) AS media_id,
+         CASE i%4 WHEN 0 THEN 8 WHEN 1 THEN 16 WHEN 2 THEN 24 ELSE 32 END
+           AS bits,
+         CASE WHEN i%4 = 0 THEN 1 ELSE 1 + (i//4)%2 END AS channels
+  FROM range(16) t(i)
+),
+wav_chunks AS (
+  SELECT m.media_id, m.bits, m.channels,
+         {_WAV_FRAMES}*(m.bits//8)*m.channels AS need,
+         CAST(c.j AS INT) AS counter,
+         md5(m.media_id || ':wav:' || c.j) AS h
+  FROM wav_media m, range(32) c(j)
+  WHERE c.j*16 < {_WAV_FRAMES}*(m.bits//8)*m.channels
+),
+wav_bytes AS (
+  SELECT media_id, bits, channels, need,
+         counter*16 + CAST(g.j AS INT) AS pos,
+         16*(strpos('0123456789abcdef', substr(h, CAST(2*g.j+1 AS INT), 1))-1)
+           + (strpos('0123456789abcdef', substr(h, CAST(2*g.j+2 AS INT), 1))-1)
+           AS b
+  FROM wav_chunks, range(16) g(j)
+  WHERE counter*16 + g.j < need
+),
+wav_unsigned AS (
+  SELECT media_id, bits, channels, pos // (bits//8) AS s,
+         SUM(b * (CASE pos % (bits//8) WHEN 0 THEN 1 WHEN 1 THEN 256
+                       WHEN 2 THEN 65536 ELSE 16777216 END)) AS uv
+  FROM wav_bytes
+  GROUP BY media_id, bits, channels, pos // (bits//8)
+),
+wav_signed AS (
+  SELECT media_id, bits, channels, s,
+         CASE WHEN bits = 8 THEN uv
+              WHEN bits = 16 AND uv >= 32768 THEN uv - 65536
+              WHEN bits = 24 AND uv >= 8388608 THEN uv - 16777216
+              WHEN bits = 32 AND uv >= 2147483648 THEN uv - 4294967296
+              ELSE uv END AS v
+  FROM wav_unsigned
+),
+wav_folded AS (
+  SELECT media_id, bits, s // channels AS frame,
+         CASE WHEN channels = 2
+              THEN CAST(floor(SUM(v) / 2.0) AS BIGINT)
+              ELSE CAST(SUM(v) AS BIGINT) END AS v
+  FROM wav_signed
+  GROUP BY media_id, bits, channels, s // channels
+)
+"""
+
+
+# DuckDB reconstruction of the 16-bit PNG corpus (see _png16_corpus):
+# native sample j = 256*byte(2j) + byte(2j+1) of the md5 expansion.
+_PNG16_CTE = f"""
+p16_media AS (
+  SELECT CAST(i AS BIGINT) AS media_id,
+         CASE i%4 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 2 ELSE 4 END AS ch
+  FROM range(12) t(i)
+),
+p16_chunks AS (
+  SELECT m.media_id, m.ch, {_PNG_W * _PNG_H * 2}*m.ch AS need,
+         CAST(c.j AS INT) AS counter,
+         md5(m.media_id || ':png16:' || c.j) AS h
+  FROM p16_media m, range(64) c(j)
+  WHERE c.j*16 < {_PNG_W * _PNG_H * 2}*m.ch
+),
+p16_bytes AS (
+  SELECT media_id, ch, counter*16 + CAST(g.j AS INT) AS pos,
+         16*(strpos('0123456789abcdef', substr(h, CAST(2*g.j+1 AS INT), 1))-1)
+           + (strpos('0123456789abcdef', substr(h, CAST(2*g.j+2 AS INT), 1))-1)
+           AS b
+  FROM p16_chunks, range(16) g(j)
+  WHERE counter*16 + g.j < need
+),
+p16_samples AS (
+  SELECT media_id, ch, pos // 2 AS j,
+         SUM(b * CASE pos % 2 WHEN 0 THEN 256 ELSE 1 END) AS v
+  FROM p16_bytes GROUP BY media_id, ch, pos // 2
+)
+"""
+
+
 QUERIES = {
     "q36_media_byte_features": q36_media_byte_features,
     "q37_media_decode": q37_media_decode,
@@ -491,6 +719,8 @@ QUERIES = {
     "q82_image_neardup": q82_image_neardup,
     "q88_png_color": q88_png_color,
     "q204_jpeg_mosaic": q204_jpeg_mosaic,
+    "q205_wav_native": q205_wav_native,
+    "q206_png16_native": q206_png16_native,
 }
 
 ORACLES = {
@@ -579,6 +809,31 @@ ORACLES = {
                CAST(64 * SUM(v*v) AS BIGINT) AS px_sqsum
         FROM blocks
         GROUP BY media_id
+        ORDER BY media_id
+    """,
+    "q205_wav_native": f"""
+        WITH {_WAV_NATIVE_CTE}
+        SELECT media_id, CAST(bits AS INTEGER) AS bits,
+               CAST({_WAV_FRAMES} AS INTEGER) AS n_samples,
+               CAST(SUM(v) AS BIGINT) AS px_sum,
+               CAST(SUM(CAST(v AS HUGEINT) * v) // 1000000000000000000
+                    AS BIGINT) AS px_sqsum_hi,
+               CAST(SUM(CAST(v AS HUGEINT) * v) % 1000000000000000000
+                    AS BIGINT) AS px_sqsum_lo
+        FROM wav_folded
+        GROUP BY media_id, bits
+        ORDER BY media_id
+    """,
+    "q206_png16_native": f"""
+        WITH {_PNG16_CTE}
+        SELECT media_id,
+               CAST({_PNG_W} AS INTEGER) AS width,
+               CAST({_PNG_H} AS INTEGER) AS height,
+               CAST(ch AS INTEGER) AS channels,
+               CAST(SUM(v) AS BIGINT) AS px_sum,
+               CAST(SUM(v*v) AS BIGINT) AS px_sqsum
+        FROM p16_samples
+        GROUP BY media_id, ch
         ORDER BY media_id
     """,
     "q82_image_neardup": f"""

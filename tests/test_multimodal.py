@@ -749,11 +749,10 @@ def _wav_pcm(samples_bytes: bytes, channels: int, bits: int) -> bytes:
             + b"data" + _s.pack("<I", len(samples_bytes)) + samples_bytes)
 
 
-def test_wav_24_and_32_bit_decode_at_16bit_precision(spark):
-    """24/32-bit PCM (round 7): samples decode to int16 precision
-    (>>8 / >>16), with the stereo fold done in FULL precision first —
-    a (l, r) pair whose mid needs the low bits must round via the
-    exact fold, not via narrowed operands."""
+def test_wav_24_and_32_bit_decode_at_native_width(spark):
+    """24/32-bit PCM (round 8: FULL NATIVE WIDTH): samples decode to
+    their true values — int32 for 24-bit, int64 for 32-bit (dtype
+    encodes container width) — with the stereo fold exact."""
     import numpy as np
 
     from dataingestiontohana_spark.operators.multimodal import _parse_wav
@@ -764,10 +763,10 @@ def test_wav_24_and_32_bit_decode_at_16bit_precision(spark):
     for v in v24:
         raw += int(v & 0xFFFFFF).to_bytes(3, "little")
     n, px = _parse_wav(_wav_pcm(bytes(raw), 1, 24))
-    assert n == 64 and px.dtype == np.int16
-    assert np.array_equal(px.astype(np.int64), v24 >> 8)
+    assert n == 64 and px.dtype == np.int32
+    assert np.array_equal(px.astype(np.int64), v24)
 
-    # stereo 24-bit: exact full-precision fold THEN narrow
+    # stereo 24-bit: exact full-precision floor fold
     inter = np.empty(128, dtype=np.int64)
     inter[0::2], inter[1::2] = v24, -v24 - 1
     raw2 = bytearray()
@@ -775,12 +774,56 @@ def test_wav_24_and_32_bit_decode_at_16bit_precision(spark):
         raw2 += int(v & 0xFFFFFF).to_bytes(3, "little")
     n2, px2 = _parse_wav(_wav_pcm(bytes(raw2), 2, 24))
     assert n2 == 64
-    assert np.array_equal(px2.astype(np.int64), ((v24 + (-v24 - 1)) // 2) >> 8)
+    assert np.array_equal(px2.astype(np.int64), (v24 + (-v24 - 1)) // 2)
 
     v32 = rng.integers(-(1 << 31), 1 << 31, size=50, dtype=np.int64)
     n3, px3 = _parse_wav(_wav_pcm(v32.astype("<i4").tobytes(), 1, 32))
-    assert n3 == 50
-    assert np.array_equal(px3.astype(np.int64), v32 >> 16)
+    assert n3 == 50 and px3.dtype == np.int64
+    assert np.array_equal(px3, v32)
+
+
+def test_wav_native_moments_split_hugeint(spark):
+    """wav_native_moments (round 8): exact moments at every width,
+    the 32-bit sum of squares carried as a 10^18 hi/lo split — two
+    full-range samples already exceed bigint, so the split is the
+    only lossless int64-schema encoding."""
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        KIND_AUDIO,
+        audio_features,
+        wav_native_moments,
+    )
+
+    rng = np.random.default_rng(29)
+    v32 = rng.integers(-(1 << 31), 1 << 31, size=64, dtype=np.int64)
+    rows = [(1, KIND_AUDIO, _wav_pcm(v32.astype("<i4").tobytes(), 1, 32))]
+    v24 = rng.integers(-(1 << 23), 1 << 23, size=32, dtype=np.int64)
+    raw = bytearray()
+    for v in v24:
+        raw += int(v & 0xFFFFFF).to_bytes(3, "little")
+    rows.append((2, KIND_AUDIO, _wav_pcm(bytes(raw), 1, 24)))
+    df = spark.createDataFrame(
+        rows, "media_id long, kind int, content binary"
+    ).coalesce(1)
+    got = {r["media_id"]: r for r in wav_native_moments(df).collect()}
+
+    sq32 = sum(int(v) * int(v) for v in v32)
+    assert sq32 > (1 << 63) - 1  # the case the split exists for
+    assert got[1]["bits"] == 32 and got[1]["n_samples"] == 64
+    assert got[1]["px_sum"] == int(v32.sum())
+    assert got[1]["px_sqsum_hi"] * 10**18 + got[1]["px_sqsum_lo"] == sq32
+
+    sq24 = sum(int(v) * int(v) for v in v24)
+    assert got[2]["bits"] == 24
+    assert got[2]["px_sqsum_hi"] * 10**18 + got[2]["px_sqsum_lo"] == sq24
+
+    # audio_features on the same rows: moments exact where they fit
+    # bigint (24-bit), None — never wrapped — where they don't (32-bit)
+    feats = {r["media_id"]: r for r in audio_features(df).collect()}
+    assert feats[2]["px_sqsum"] == sq24
+    assert feats[1]["px_sqsum"] is None
+    assert feats[1]["px_sum"] == int(v32.sum())
 
 
 def test_wav_unsupported_layouts_stay_count_only(spark):
@@ -968,12 +1011,11 @@ def test_png_adam7_flows_through_decode_media(spark):
     assert got[71]["channels"] == 3
 
 
-def test_png_16bit_decodes_at_8bit_precision(spark):
-    """16-bit PNG (round 7): every non-palette color type decodes to
-    the big-endian HIGH byte per sample — the documented 16->8
-    downconversion — with the filter arithmetic running on the full
-    2-byte lanes (exactness pinned by round-tripping the 16-bit
-    encoder, plain and Adam7, with the full filter mix)."""
+def test_png_16bit_decodes_at_native_precision(spark):
+    """16-bit PNG (round 8: FULL NATIVE WIDTH): every non-palette
+    color type decodes the big-endian byte pair to native uint16
+    samples, plain and Adam7, under the full filter mix (the filter
+    arithmetic runs on the packed byte lanes per spec)."""
     import numpy as np
 
     from dataingestiontohana_spark.operators.multimodal import (
@@ -992,17 +1034,35 @@ def test_png_16bit_decodes_at_8bit_precision(spark):
                 a16, ct, filters=(1, 2, 3, 4, 0), interlace=il, bit_depth=16
             )
             w, h, ch, px = _parse_png(b)
-            assert ch == ch_want
-            assert np.array_equal(px, (a16 >> 8).astype(np.uint8).reshape(-1))
-    # 16-bit payloads flow through the Spark operator with real stats
+            assert ch == ch_want and px.dtype == np.uint16
+            assert np.array_equal(px, a16.reshape(-1))
+    # 16-bit payloads flow through the Spark operator: the exact
+    # moments are over the NATIVE 16-bit values
     a16 = rng.integers(0, 65536, size=(16, 12, 3), dtype=np.uint16)
     df = spark.createDataFrame(
         [(91, KIND_IMAGE, encode_png(a16, 2, bit_depth=16))],
         "media_id long, kind int, content binary",
     )
     r = decode_media(df).collect()[0]
-    want = (a16 >> 8).astype(np.int64)
+    want = a16.astype(np.int64)
     assert r["px_sum"] == int(want.sum()) and r["channels"] == 3
+    assert r["px_sqsum"] == int((want * want).sum())
+    # pixel-GRID consumers (thumbnails) reduce to the 8-bit grid: a
+    # 16-bit image resizes identically to its high-byte 8-bit twin
+    from dataingestiontohana_spark.operators.multimodal import resize_images
+
+    df2 = spark.createDataFrame(
+        [
+            (1, KIND_IMAGE, encode_png(a16, 2, bit_depth=16)),
+            (2, KIND_IMAGE, encode_png((a16 >> 8).astype(np.uint8), 2)),
+        ],
+        "media_id long, kind int, content binary",
+    ).coalesce(1)
+    thumbs = {
+        r["media_id"]: bytes(r["content"])
+        for r in resize_images(df2, 8, 8).collect()
+    }
+    assert thumbs[1] == thumbs[2]
     # an ILLEGAL depth/type combo stays metadata-only (never wrong
     # pixels): depth 4 is not legal for truecolor RGB
     b1 = bytearray(encode_png((a16 >> 8).astype(np.uint8), 2))
