@@ -304,23 +304,31 @@ class FakeKafkaStreamReader(DataSourceStreamReader):
         os.replace(tmp, self._group_path())
 
     def _seed_cap_base(self, end: dict) -> dict:
-        """First latestOffset() of a process that never saw
-        initialOffset (the reader lives in the streaming-source runner;
-        on a restart Spark restores offsets from ITS checkpoint without
-        telling the source). The seed must never sit BEHIND the batch
-        start Spark will use — a planned end below the committed start
-        would be committed as a BACKWARD offset and the next batch
-        would re-plan already-processed records (duplicates). Two safe
-        sources, in order:
+        """Seed the trigger-cap base on the FIRST latestOffset() of an
+        instance. Spark's call order (measured in this runner) is
+        latestOffset -> initialOffset -> partitions, so the first
+        planning decision always happens before the source learns the
+        batch start — fresh query or restart alike. The seed must
+        never sit BEHIND the start Spark will use: a planned end below
+        the committed start would be committed as a BACKWARD offset
+        and the next batch would re-plan already-processed records
+        (duplicates). Safe sources, in order:
 
-        1. the groupid hint file: written at every partitions() call
-           as that batch's planned end, so it is >= the committed
-           start (at most one in-flight batch ahead on crash-replay) —
-           restarts resume capped, overshooting by <= one batch;
-        2. the CURRENT end offsets (for BOTH startingOffsets modes):
-           the log is append-only, so current end >= any offset Spark
-           ever committed. Cost: the first post-restart batch plans
-           the whole backlog uncapped — a one-time throttle bypass,
+        1. the groupid hint file: written at initialOffset and at
+           every partitions() call as that batch's planned end, so it
+           is >= the committed start (at most one in-flight batch
+           ahead on crash-replay) — restarts resume capped,
+           overshooting by <= one batch;
+        2. with a groupid but NO hint file yet: this is a fresh query
+           (nothing has ever planned under this identity), so
+           startingOffsets IS the true start — capping applies from
+           batch 0. (Deleting the hint file of a live checkpoint
+           re-introduces one backward-seed window; one identity, one
+           checkpoint, like a Kafka group.id.)
+        3. no groupid: the CURRENT end offsets for BOTH modes — the
+           log is append-only, so current end >= anything Spark ever
+           committed. Cost: the first batch of every process plans
+           the whole backlog uncapped; a one-time throttle bypass,
            never loss, never duplicates. (Seeding `earliest` from 0 —
            the pre-r8 behavior — was the unsafe variant: 0 + budget
            can trail the committed start.)
@@ -334,7 +342,7 @@ class FakeKafkaStreamReader(DataSourceStreamReader):
                     p: min(int(hint.get(p, 0)), int(end[p])) for p in end
                 }
             except (FileNotFoundError, json.JSONDecodeError):
-                pass
+                return dict(self._start_offsets())
         return {p: int(v) for p, v in end.items()}
 
     def initialOffset(self) -> dict:
@@ -458,20 +466,33 @@ def fake_kafka_source(
     topic: str,
     starting_offsets: str = "earliest",
     max_offsets_per_trigger: int = 0,
+    group_id: str | None = None,
 ) -> DataFrame:
     """readStream over a fake topic — drop-in for
     `streaming.kafka.kafka_source` (identical output schema), for
     environments without the connector jar. ``max_offsets_per_trigger``
-    mirrors the connector's micro-batch size cap (0 = drain all)."""
+    mirrors the connector's micro-batch size cap (0 = drain all).
+
+    ``group_id`` (like Kafka's group.id) persists the trigger-cap base
+    across processes: Spark's Python streaming sources run initialOffset
+    and latestOffset on DIFFERENT runner instances, so without it the
+    cap base blind-seeds from the current end offsets and the first
+    batch of a query (fresh or restarted) plans the whole backlog
+    uncapped. With it, initialOffset/partitions persist the position
+    and every instance plans capped from the true start. One query per
+    group_id — sharing one across checkpoints mis-seeds the cap (same
+    contract as Kafka consumer groups)."""
     register_fake_kafka(spark)
-    return (
+    reader = (
         spark.readStream.format("kafkafake")
         .option("path", path)
         .option("topic", topic)
         .option("startingOffsets", starting_offsets)
         .option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-        .load()
     )
+    if group_id:
+        reader = reader.option("groupId", group_id)
+    return reader.load()
 
 
 def read_fake_topic(spark: SparkSession, path: str, topic: str) -> DataFrame:

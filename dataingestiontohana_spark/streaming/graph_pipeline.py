@@ -42,6 +42,7 @@ tutorial itself applies), every leaf a sink, no cycles, no orphans.
 
 from __future__ import annotations
 
+import hashlib
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
@@ -222,6 +223,14 @@ class CompiledGraph:
                 FakeKafkaBroker(nd.config["path"]).create_topic(
                     nd.config["topic"]
                 )
+        # node closures compile ONCE per query (r7 verdict item 4):
+        # config lookups, projections, producer callables and sink
+        # bindings resolve here, not on every micro-batch's DAG walk
+        self._ops: dict[str, Callable[[DataFrame, int], DataFrame | None]] = {
+            nd.name: self._compile_node(nd)
+            for nd in graph.nodes.values()
+            if nd.kind not in SOURCE_KINDS and nd.kind != "multiplexer"
+        }
 
     # -- node semantics -------------------------------------------------
 
@@ -242,10 +251,27 @@ class CompiledGraph:
             nd.config["topic"],
             nd.config.get("starting_offsets", "earliest"),
             nd.config.get("max_offsets_per_trigger", 0),
+            # a capped consumer needs a stable consumer identity: the
+            # runner process serving latestOffset never sees
+            # initialOffset, so the cap base travels via the groupid
+            # hint file (see sources/kafkafake.py). Derived from the
+            # checkpoint dir — one checkpoint == one query == one group.
+            nd.config.get("group_id")
+            or (
+                "ck-" + hashlib.md5(self.checkpoint_dir.encode()).hexdigest()[:12]
+                if nd.config.get("max_offsets_per_trigger")
+                else None
+            ),
         )
 
-    def _walk(self, name: str, bdf: DataFrame, epoch_id: int) -> None:
-        nd = self.graph.nodes[name]
+    def _compile_node(
+        self, nd: "Node"
+    ) -> Callable[[DataFrame, int], DataFrame | None]:
+        """Bind one node's semantics to a closure: every config lookup,
+        projection list, producer callable and sink reference resolves
+        at COMPILE time; the per-batch walk just calls the closure. A
+        closure returning a DataFrame forwards it downstream; None
+        marks a leaf (sinks/terminals consume, nothing flows on)."""
         if nd.kind == "process":
             if "sql" in nd.config:
                 # parameterized SQL with a DataFrame placeholder: the
@@ -255,16 +281,78 @@ class CompiledGraph:
                 # MUST run on the batch frame's OWN session — foreachBatch
                 # hands a micro-batch session clone, and the placeholder
                 # temp view registers there, not on the outer session
-                bdf = bdf.sparkSession.sql(nd.config["sql"], input=bdf)
-            else:
-                fn: Callable[[DataFrame], DataFrame] = nd.config["fn"]
-                bdf = fn(bdf)
-        elif nd.kind == "wiretap":
-            self.wiretaps[name].tap(bdf, epoch_id)
-        elif nd.kind == "simulate_error":
+                sql = nd.config["sql"]
+                return lambda bdf, _e: bdf.sparkSession.sql(sql, input=bdf)
+            fn: Callable[[DataFrame], DataFrame] = nd.config["fn"]
+            return lambda bdf, _e: fn(bdf)
+        if nd.kind == "wiretap":
+            tap = self.wiretaps[nd.name]
+
+            def run_tap(bdf: DataFrame, epoch_id: int) -> DataFrame:
+                tap.tap(bdf, epoch_id)
+                return bdf
+
+            return run_tap
+        if nd.kind == "simulate_error":
             fault: FaultInjector = nd.config["fault"]
-            fault.check(fault.point)
-        elif nd.kind == "multiplexer":
+            return lambda bdf, _e: (fault.check(fault.point), bdf)[1]
+        if nd.kind == "terminal":
+            limit = nd.config.get("limit", 1000)
+            bucket = self.terminals[nd.name]
+
+            def run_terminal(bdf: DataFrame, _e: int) -> None:
+                room = limit - len(bucket)
+                if room > 0:
+                    bucket.extend(bdf.take(room))
+
+            return run_terminal
+        if nd.kind == "kafka_producer":
+            topic = nd.config["topic"]
+            key_col = nd.config.get("key_col")
+            value_col = nd.config.get("value_col", "value")
+            proj = [F.col(value_col).cast("string").alias("value")]
+            if key_col:
+                proj.append(F.col(key_col).cast("string").alias("key"))
+            brokers = nd.config.get("brokers")
+            if brokers:
+                # real cluster: executor-side batch produce through the
+                # connector (each task its own KafkaProducer)
+                return lambda bdf, _e: write_batch_to_kafka(
+                    bdf.select(*proj), brokers, topic
+                )
+            # sandbox transport: STILL executor-side — every task
+            # appends its own slice to the topic log (O_APPEND atomic
+            # lines); the driver never materializes a batch
+            produce = executor_producer(nd.config["path"], topic)
+            return lambda bdf, _e: bdf.select(*proj).foreachPartition(
+                produce
+            )
+        if nd.kind == "hana_client":
+            sink: UpsertSink = nd.config["sink"]
+            upsert = nd.config.get("upsert", True)
+            # optional lifecycle fault (the R8 Simulate Error node can
+            # only precede the sink in the DAG; the interesting crash —
+            # AFTER the DB write, BEFORE the offset commit — needs a
+            # hook inside the sink step, same as streaming/pipeline.py)
+            fault = nd.config.get("fault")
+
+            def run_sink(bdf: DataFrame, _e: int) -> None:
+                if fault:
+                    fault.check(FaultInjector.BEFORE_WRITE)
+                    fault.check(FaultInjector.FAIL_WRITE)
+                sink.write(bdf, upsert=upsert)
+                if fault:
+                    fault.check(FaultInjector.AFTER_WRITE)
+
+            return run_sink
+        raise ValueError(f"unknown node kind {nd.kind!r}")  # pragma: no cover
+
+    def _walk(self, name: str, bdf: DataFrame, epoch_id: int) -> None:
+        nd = self.graph.nodes[name]
+        if nd.kind == "multiplexer":
+            # single-pass fan-out over ONE persisted copy of the batch:
+            # every downstream branch reads the cache, so the source
+            # scan + upstream transforms are paid once per batch
             bdf.persist()
             try:
                 for d in self._out[name]:
@@ -272,50 +360,11 @@ class CompiledGraph:
             finally:
                 bdf.unpersist()
             return
-        elif nd.kind == "terminal":
-            limit = nd.config.get("limit", 1000)
-            bucket = self.terminals[name]
-            room = limit - len(bucket)
-            if room > 0:
-                bucket.extend(bdf.take(room))
-            return
-        elif nd.kind == "kafka_producer":
-            topic = nd.config["topic"]
-            key_col = nd.config.get("key_col")
-            value_col = nd.config.get("value_col", "value")
-            proj = [F.col(value_col).cast("string").alias("value")]
-            if key_col:
-                proj.append(F.col(key_col).cast("string").alias("key"))
-            out = bdf.select(*proj)
-            brokers = nd.config.get("brokers")
-            if brokers:
-                # real cluster: executor-side batch produce through the
-                # connector (each task its own KafkaProducer)
-                write_batch_to_kafka(out, brokers, topic)
-            else:
-                # sandbox transport: STILL executor-side — every task
-                # appends its own slice to the topic log (O_APPEND
-                # atomic lines); the driver never materializes a batch
-                out.foreachPartition(
-                    executor_producer(nd.config["path"], topic)
-                )
-            return
-        elif nd.kind == "hana_client":
-            sink: UpsertSink = nd.config["sink"]
-            # optional lifecycle fault (the R8 Simulate Error node can
-            # only precede the sink in the DAG; the interesting crash —
-            # AFTER the DB write, BEFORE the offset commit — needs a
-            # hook inside the sink step, same as streaming/pipeline.py)
-            fault: FaultInjector | None = nd.config.get("fault")
-            if fault:
-                fault.check(FaultInjector.BEFORE_WRITE)
-                fault.check(FaultInjector.FAIL_WRITE)
-            sink.write(bdf, upsert=nd.config.get("upsert", True))
-            if fault:
-                fault.check(FaultInjector.AFTER_WRITE)
+        out = self._ops[name](bdf, epoch_id)
+        if out is None:
             return
         for d in self._out[name]:
-            self._walk(d, bdf, epoch_id)
+            self._walk(d, out, epoch_id)
 
     # -- run -------------------------------------------------------------
 
