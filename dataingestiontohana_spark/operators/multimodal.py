@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 from typing import Callable
 
@@ -53,7 +54,7 @@ MEDIA_SCHEMA = "media_id long, kind int, content binary"
 DECODED_SCHEMA = (
     "media_id long, kind int, width int, height int, n_frames int, "
     "channels int, n_bytes int, mean_px double, std_px double, "
-    "px_sum bigint, px_sqsum bigint"
+    "px_sum bigint, px_sqsum bigint, decode_error string"
 )
 
 
@@ -111,28 +112,48 @@ def _parse_png(b: bytes) -> tuple[int, int, int, np.ndarray | None]:
     )
     if not (legal and interlace in (0, 1)):
         return w, h, 0, None
-    # concatenate IDAT chunk payloads; grab PLTE for palette images
+    if not (0 < w and 0 < h):
+        raise ValueError(f"PNG: illegal dimensions {w}x{h}")
+    if w * h * _PNG_BPP[color_type] * (2 if bit_depth == 16 else 1) > 1 << 28:
+        # bound the decode allocation: a flipped IHDR byte must fail
+        # loudly, never grind the executor into a giant np.zeros
+        raise ValueError(f"PNG: implausible decode size for {w}x{h}")
+    import zlib
+
+    # chunk walk with the SPEC's integrity checks: every chunk must
+    # fit the stream and its CRC32 (over type+data) must verify — a
+    # mutated bitstream errors here instead of inflating wrong pixels
+    # (the reference's malformed-record discipline applied to media)
     idat = bytearray()
     plte = b""
     off = 8
+    saw_iend = False
     while off + 8 <= len(b):
         (length,) = struct.unpack(">I", b[off : off + 4])
         typ = b[off + 4 : off + 8]
+        if off + 12 + length > len(b):
+            raise ValueError(f"PNG: truncated {typ!r} chunk")
+        data = b[off + 8 : off + 8 + length]
+        (crc,) = struct.unpack(">I", b[off + 8 + length : off + 12 + length])
+        if crc != (zlib.crc32(typ + data) & 0xFFFFFFFF):
+            raise ValueError(f"PNG: CRC mismatch in {typ!r} chunk")
         if typ == b"IDAT":
-            idat += b[off + 8 : off + 8 + length]
+            idat += data
         elif typ == b"PLTE":
-            plte = b[off + 8 : off + 8 + length]
+            plte = data
         if typ == b"IEND":
+            saw_iend = True
             break
         off += 12 + length
+    if not saw_iend:
+        raise ValueError("PNG: missing IEND (truncated stream)")
     if color_type == 3 and (not plte or len(plte) % 3):
         return w, h, 0, None  # malformed palette: metadata only
-    import zlib
 
     raw = zlib.decompress(bytes(idat))
     nch = _PNG_BPP[color_type]
     if interlace == 0:
-        out3, _ = _png_pass_samples(raw, 0, w, h, nch, bit_depth)
+        out3, pos = _png_pass_samples(raw, 0, w, h, nch, bit_depth)
     else:  # Adam7: seven independently-filtered sub-images
         out3 = np.zeros(
             (h, w, nch), dtype=np.uint16 if bit_depth == 16 else np.uint8
@@ -145,6 +166,13 @@ def _parse_png(b: bytes) -> tuple[int, int, int, np.ndarray | None]:
                 continue  # empty pass contributes no bytes at all
             sub, pos = _png_pass_samples(raw, pos, pw, ph, nch, bit_depth)
             out3[r0::rs, c0::cs, :] = sub
+    if pos != len(raw):
+        # inflated stream must be EXACTLY the scanline bytes the header
+        # promises — surplus or deficit means a forged IHDR or spliced
+        # IDAT, and the pixels already gathered cannot be trusted
+        raise ValueError(
+            f"PNG: inflated size {len(raw)} != expected {pos} bytes"
+        )
     flat = out3.reshape(-1)
     if color_type == 3:
         pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
@@ -205,7 +233,13 @@ def _png_unfilter(
     stride = w * bpp
     out = np.zeros((h, stride), dtype=np.uint8)
     for y in range(h):
+        if pos + 1 + stride > len(raw):
+            raise ValueError("PNG: truncated scanline data")
         f = raw[pos]
+        if f > 4:
+            # filter types are 0..4 by spec; decoding 5..255 as Paeth
+            # (the old else-branch) would emit WRONG pixels silently
+            raise ValueError(f"PNG: illegal filter type {f}")
         line = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int32)
         pos += 1 + stride
         up = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
@@ -1446,8 +1480,15 @@ def _parse_wav(b: bytes) -> tuple[int, np.ndarray | None]:
     while off + 8 <= len(b):
         cid = b[off : off + 4]
         (length,) = struct.unpack("<I", b[off + 4 : off + 8])
+        if off + 8 + length > len(b):
+            # a declared chunk length past the end of the stream is a
+            # truncation/mutation — refuse rather than decode a silent
+            # prefix of the samples (malformed-record discipline)
+            raise ValueError(f"WAV: truncated {cid!r} chunk")
         body = b[off + 8 : off + 8 + length]
         if cid == b"fmt ":
+            if length < 16:
+                raise ValueError("WAV: fmt chunk shorter than 16 bytes")
             fmt_tag = struct.unpack("<H", body[0:2])[0]
             channels = struct.unpack("<H", body[2:4])[0]
             bits = struct.unpack("<H", body[14:16])[0]
@@ -1458,6 +1499,10 @@ def _parse_wav(b: bytes) -> tuple[int, np.ndarray | None]:
         off += 8 + length + (length & 1)
     if data is None:
         raise ValueError("WAV: no data chunk")
+    if abs(bits) not in (8, 16, 24, 32) or channels < 1:
+        raise ValueError(f"WAV: illegal sample width {bits} bits")
+    if abs(bits) >= 8 and len(data) % ((abs(bits) // 8) * max(1, channels)):
+        raise ValueError("WAV: data length not a whole number of frames")
     n = len(data) // max(1, abs(bits) // 8) // max(1, channels)
     if bits == 8 and channels == 1:
         return n, np.frombuffer(data, np.uint8)
@@ -1578,13 +1623,36 @@ def _exact_moments(px: np.ndarray) -> tuple[int | None, int | None]:
     )
 
 
+# a CORRUPT bitstream (magic matched, body malformed) routes to the
+# decode_error quarantine column; the decoders are hardened to raise
+# one of these — never to emit wrong pixels — on mutation/truncation
+_CORRUPT_ERRORS = (
+    ValueError,
+    IndexError,
+    KeyError,
+    struct.error,
+    zlib.error,
+    OSError,
+)
+
+
 def decode_media(df: DataFrame) -> DataFrame:
     """binary media -> typed metadata + pixel statistics.
 
     ``mean_px``/``std_px`` are the human-facing floats; ``px_sum`` /
     ``px_sqsum`` are EXACT integer moments (sum of byte values, sum of
     squared byte values) — mergeable partial-aggregate state at scale
-    and bit-reproducible by a SQL oracle, unlike any float path."""
+    and bit-reproducible by a SQL oracle, unlike any float path.
+
+    Malformed-record discipline (the reference quarantines bad CSV
+    records instead of failing the pipeline; same policy here for
+    media): a payload whose container magic matches but whose body is
+    corrupt — bad CRC, truncated chunk, illegal filter byte, spliced
+    stream — lands a QUARANTINE row: metadata nulled, ``decode_error``
+    carrying the exception, the batch never dying on one bad blob. An
+    UNSUPPORTED container (MP4, MP3 — no codec stack here) still
+    raises `NotImplementedError`: that is a declared capability
+    boundary, not a bad record."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1592,7 +1660,15 @@ def decode_media(df: DataFrame) -> DataFrame:
             for mid, kind, content in zip(
                 pdf["media_id"], pdf["kind"], pdf["content"]
             ):
-                w, h, nf, ch, px = _decode_payload(bytes(content))
+                try:
+                    w, h, nf, ch, px = _decode_payload(bytes(content))
+                except _CORRUPT_ERRORS as ex:
+                    rows.append(
+                        (mid, kind, None, None, None, None, len(content),
+                         None, None, None, None,
+                         f"{type(ex).__name__}: {ex}"[:200])
+                    )
+                    continue
                 if px is not None:
                     s, sq = _exact_moments(px)
                     stats = (
@@ -1603,7 +1679,9 @@ def decode_media(df: DataFrame) -> DataFrame:
                     )
                 else:
                     stats = (None, None, None, None)
-                rows.append((mid, kind, w, h, nf, ch, len(content)) + stats)
+                rows.append(
+                    (mid, kind, w, h, nf, ch, len(content)) + stats + (None,)
+                )
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -1618,6 +1696,7 @@ def decode_media(df: DataFrame) -> DataFrame:
                     "std_px",
                     "px_sum",
                     "px_sqsum",
+                    "decode_error",
                 ],
             )
 
@@ -1682,7 +1761,7 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
                     continue
                 try:
                     w, h, nf, ch, px = _decode_payload(bytes(content))
-                except (NotImplementedError, ValueError):
+                except (NotImplementedError, *_CORRUPT_ERRORS):
                     continue
                 if px is None or nf != 1 or h < 1:
                     continue
@@ -1726,7 +1805,7 @@ def audio_features(df: DataFrame, n_bands: int = 8) -> DataFrame:
                     continue
                 try:
                     _w, _h, _nf, _ch, px = _decode_payload(bytes(content))
-                except (NotImplementedError, ValueError):
+                except (NotImplementedError, *_CORRUPT_ERRORS):
                     continue
                 if px is None or len(px) == 0:
                     continue
@@ -1794,7 +1873,7 @@ def wav_native_moments(df: DataFrame) -> DataFrame:
                     continue
                 try:
                     _w, _h, _nf, _ch, px = _decode_payload(bytes(content))
-                except (NotImplementedError, ValueError):
+                except (NotImplementedError, *_CORRUPT_ERRORS):
                     continue
                 if px is None or len(px) == 0:
                     continue
@@ -1857,7 +1936,7 @@ def dhash_images(df: DataFrame, hash_w: int = 8, hash_h: int = 8) -> DataFrame:
                     continue
                 try:
                     w, h, nf, ch, px = _decode_payload(bytes(content))
-                except (NotImplementedError, ValueError):
+                except (NotImplementedError, *_CORRUPT_ERRORS):
                     continue
                 if px is None or nf != 1 or h < 1 or w < hash_w + 1:
                     continue

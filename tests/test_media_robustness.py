@@ -1,0 +1,243 @@
+"""Corrupt-bitstream robustness (r7 verdict item 5): mutated or
+truncated PNG/JPEG/WAV payloads must RAISE (or land a quarantine /
+metadata-only row) — never silently emit wrong pixels — applying the
+reference's malformed-record discipline (README.md:8-13, bad CSV
+records route to a dead-letter file) to the media decoders.
+
+The PNG invariant is the strong one: every chunk's CRC32 is verified,
+scanline counts are length-checked against the header, and filter
+bytes are range-checked — so for EVERY single-byte mutation the decode
+either errors or returns pixels IDENTICAL to the original (the only
+silent-success positions are bytes the spec says to ignore, e.g.
+trailing garbage after IEND). WAV carries no checksums, so its pinned
+surface is structural: truncations and length-field corruption raise;
+sample-byte flips legitimately decode to different samples (true of
+any RIFF reader). JPEG (no CRC either): structural corruption must
+never escape decode_media as a task-killing exception.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from dataingestiontohana_spark.operators.multimodal import (
+    _CORRUPT_ERRORS,
+    KIND_AUDIO,
+    KIND_IMAGE,
+    _decode_payload,
+    _parse_png,
+    _parse_wav,
+    decode_media,
+    encode_png,
+)
+
+
+def _wav_pcm(samples_bytes: bytes, channels: int, bits: int) -> bytes:
+    width = bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, 8000, 8000 * width * channels,
+                      width * channels, bits)
+    return (b"RIFF"
+            + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(samples_bytes))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(samples_bytes)) + samples_bytes)
+
+
+def _decode_or_outcome(payload: bytes):
+    """-> ('pixels', px) | ('metadata', None) | ('error', exc_name).
+    NotImplementedError (unrecognized container after a magic-breaking
+    mutation) counts as an error outcome: the row is refused, loudly."""
+    try:
+        _w, _h, _nf, ch, px = _decode_payload(payload)
+    except (*_CORRUPT_ERRORS, NotImplementedError) as ex:
+        return "error", type(ex).__name__
+    if px is None:
+        return "metadata", None
+    return "pixels", px
+
+
+def test_png_every_single_byte_mutation_errors_or_roundtrips():
+    """Exhaustive single-byte corruption of a real PNG: each position
+    XOR-flipped; the decode must error (CRC/structure) or reproduce
+    the ORIGINAL pixels bit-exactly (ignorable region). Run over a
+    filter-mixed RGB image and an Adam7 grayscale-alpha image so both
+    scanline layouts are covered."""
+    rng = np.random.default_rng(41)
+    cases = [
+        encode_png(
+            rng.integers(0, 256, size=(8, 6, 3), dtype=np.uint8), 2,
+            filters=(0, 1, 2, 3, 4),
+        ),
+        encode_png(
+            rng.integers(0, 256, size=(7, 5, 2), dtype=np.uint8), 4,
+            filters=(4, 3, 2, 1, 0), interlace=1,
+        ),
+    ]
+    for png in cases:
+        want = _parse_png(png)[3]
+        silent_wrong = []
+        outcomes = {"error": 0, "metadata": 0, "pixels": 0}
+        for i in range(len(png)):
+            mutated = bytearray(png)
+            mutated[i] ^= 0x5A
+            kind, val = _decode_or_outcome(bytes(mutated))
+            outcomes[kind] += 1
+            if kind == "pixels" and not np.array_equal(val, want):
+                silent_wrong.append(i)
+        assert silent_wrong == [], (
+            f"positions decoding to WRONG pixels with no error: "
+            f"{silent_wrong[:10]} (of {len(png)} bytes)"
+        )
+        # the suite is only meaningful if corruption is actually being
+        # caught (not everything falling into the metadata bucket)
+        assert outcomes["error"] > len(png) * 0.5
+
+
+def test_png_every_truncation_refuses_stats():
+    rng = np.random.default_rng(43)
+    png = encode_png(
+        rng.integers(0, 256, size=(9, 4), dtype=np.uint8), 0,
+        filters=(1, 2, 3, 4, 0),
+    )
+    for cut in range(len(png)):  # every proper prefix
+        kind, _ = _decode_or_outcome(png[:cut])
+        assert kind in ("error", "metadata"), f"prefix {cut} produced pixels"
+
+
+def test_png_forged_header_and_filter_bytes_raise():
+    import zlib
+
+    rng = np.random.default_rng(47)
+    arr = rng.integers(0, 256, size=(6, 6), dtype=np.uint8)
+    png = bytearray(encode_png(arr, 0))
+
+    def _reseal_ihdr(b: bytearray) -> bytes:
+        data = bytes(b[12:16]) + bytes(b[16 : 16 + 13])
+        crc = zlib.crc32(data) & 0xFFFFFFFF
+        b[16 + 13 : 16 + 17] = struct.pack(">I", crc)
+        return bytes(b)
+
+    # a forged (CRC-resealed) height: scanline count no longer matches
+    # the inflated byte length -> the exact-length check must fire
+    forged = bytearray(png)
+    forged[20:24] = struct.pack(">I", 7)  # height 6 -> 7
+    with pytest.raises(ValueError, match="truncated scanline|inflated size"):
+        _parse_png(_reseal_ihdr(forged))
+
+    # a forged implausible width must refuse BEFORE allocating
+    huge = bytearray(png)
+    huge[16:20] = struct.pack(">I", 1 << 30)
+    with pytest.raises(ValueError, match="implausible decode size"):
+        _parse_png(_reseal_ihdr(huge))
+
+    # an illegal filter byte (5..255) must raise, never decode-as-Paeth
+    raw = bytearray(b"\x07" + bytes(6))  # filter 7 on row 0
+    for _ in range(5):
+        raw += b"\x00" + bytes(6)
+    body = zlib.compress(bytes(raw))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 6, 6, 8, 0, 0, 0, 0)
+    evil = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", body) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="illegal filter type"):
+        _parse_png(evil)
+
+
+def test_wav_truncations_and_length_corruption_raise():
+    rng = np.random.default_rng(53)
+    v = rng.integers(-(1 << 15), 1 << 15, size=32, dtype=np.int64)
+    wav = _wav_pcm(v.astype("<i2").tobytes(), 1, 16)
+
+    # every truncation that cuts into a declared chunk must raise
+    # (shorter than the 12-byte RIFF header isn't WAV at all ->
+    # NotImplementedError via the container dispatch)
+    for cut in range(12, len(wav)):
+        kind, _ = _decode_or_outcome(wav[:cut])
+        assert kind == "error", f"prefix {cut} did not error"
+
+    # corrupting the data chunk's declared length past EOF
+    at = wav.index(b"data") + 4
+    bad = bytearray(wav)
+    bad[at:at + 4] = struct.pack("<I", len(wav))  # way past the end
+    with pytest.raises(ValueError, match="truncated"):
+        _parse_wav(bytes(bad))
+
+    # a data length that is not a whole number of frames
+    bad2 = bytearray(wav)
+    bad2[at:at + 4] = struct.pack("<I", 63)  # 63 bytes of 16-bit mono
+    bad2 = bad2[: at + 4 + 63]
+    with pytest.raises(ValueError, match="whole number of frames"):
+        _parse_wav(bytes(bad2))
+
+    # an illegal bits-per-sample (mutated fmt) must raise, never
+    # compute a bogus sample count from a nonsense width
+    fmt_at = wav.index(b"fmt ") + 8
+    bad3 = bytearray(wav)
+    bad3[fmt_at + 14 : fmt_at + 16] = struct.pack("<H", 12)
+    with pytest.raises(ValueError, match="illegal sample width"):
+        _parse_wav(bytes(bad3))
+
+
+def test_jpeg_mutations_never_escape_decode_payload():
+    """JPEG has no integrity words, so mutated entropy bits may decode
+    to different pixels — the pinned contract is weaker but absolute:
+    no mutation or truncation may ESCAPE as an uncaught non-corrupt
+    exception (task death); every outcome is pixels, metadata-only, or
+    a _CORRUPT_ERRORS member that decode_media quarantines."""
+    from dataingestiontohana_spark.operators.multimodal import (
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(59)
+    px = rng.integers(0, 256, size=16 * 16, dtype=np.uint8)
+    jpg = encode_jpeg_baseline(px, 16, 16, 1)
+    for i in range(2, len(jpg)):  # keep the SOI magic: stay on the JPEG path
+        mutated = bytearray(jpg)
+        mutated[i] ^= 0xA5
+        kind, _ = _decode_or_outcome(bytes(mutated))
+        assert kind in ("pixels", "metadata", "error")
+    for cut in range(2, len(jpg)):
+        kind, _ = _decode_or_outcome(jpg[:cut])
+        assert kind in ("pixels", "metadata", "error")
+
+
+def test_decode_media_quarantines_corrupt_rows(spark):
+    """End-to-end: one Spark batch holding valid AND corrupted blobs
+    completes; corrupt rows carry decode_error with nulled stats,
+    valid rows' moments are untouched."""
+    rng = np.random.default_rng(61)
+    arr = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    good_png = encode_png(arr, 2)
+    bad_png = bytearray(good_png)
+    bad_png[len(bad_png) // 2] ^= 0xFF  # CRC break inside IDAT
+    v = rng.integers(-(1 << 15), 1 << 15, size=16, dtype=np.int64)
+    good_wav = _wav_pcm(v.astype("<i2").tobytes(), 1, 16)
+    bad_wav = good_wav[: len(good_wav) - 3]  # truncated data chunk
+
+    df = spark.createDataFrame(
+        [
+            (1, KIND_IMAGE, good_png),
+            (2, KIND_IMAGE, bytes(bad_png)),
+            (3, KIND_AUDIO, good_wav),
+            (4, KIND_AUDIO, bad_wav),
+        ],
+        "media_id long, kind int, content binary",
+    ).coalesce(1)
+    got = {r["media_id"]: r for r in decode_media(df).collect()}
+    assert got[1]["decode_error"] is None
+    assert got[1]["px_sum"] == int(arr.astype(np.int64).sum())
+    assert got[2]["decode_error"] and got[2]["px_sum"] is None
+    assert got[2]["width"] is None  # quarantine row: metadata nulled
+    assert got[3]["decode_error"] is None
+    assert got[3]["px_sum"] == int(v.sum())
+    assert got[4]["decode_error"] and got[4]["px_sum"] is None
