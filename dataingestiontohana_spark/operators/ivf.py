@@ -135,17 +135,21 @@ def _centroid_digest(centroids: np.ndarray) -> str:
     ).hexdigest()
 
 
-def _write_ivf_manifest(path: str, centroids: np.ndarray) -> None:
+def _write_ivf_manifest(
+    path: str, centroids: np.ndarray, baseline_mean_dist: float | None = None
+) -> None:
     import json
     import os
 
     os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, _IVF_MANIFEST), "w") as f:
-        json.dump(
-            {"k": int(centroids.shape[0]), "dim": int(centroids.shape[1]),
-             "digest": _centroid_digest(centroids)},
-            f,
-        )
+    doc = {"k": int(centroids.shape[0]), "dim": int(centroids.shape[1]),
+           "digest": _centroid_digest(centroids)}
+    if baseline_mean_dist is not None:
+        doc["baseline_mean_dist"] = float(baseline_mean_dist)
+    tmp = os.path.join(path, _IVF_MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(doc, f)
+    os.replace(tmp, os.path.join(path, _IVF_MANIFEST))
 
 
 def _check_ivf_manifest(path: str, centroids: np.ndarray, op: str) -> None:
@@ -175,18 +179,116 @@ def _check_ivf_manifest(path: str, centroids: np.ndarray, op: str) -> None:
         )
 
 
+def _mean_assign_dist(assigned: DataFrame, centroids: np.ndarray) -> float:
+    """Mean cosine distance (1 - cos) of every vector to its ASSIGNED
+    centroid — the index's quantization-quality scalar. Map-only
+    pandas UDF + one global avg: one scan, no shuffle beyond the
+    final 1-row aggregate, so measuring drift on a 100 TB index costs
+    one pass over the postings it already owns."""
+    cents = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    cents_list = cents.tolist()
+
+    @F.pandas_udf("double")
+    def dist(emb: pd.Series, cid: pd.Series) -> pd.Series:
+        c = np.asarray(cents_list)
+        mat = np.stack(emb.apply(np.asarray, dtype=np.float64).values)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = np.einsum(
+            "ij,ij->i", mat, c[cid.to_numpy(dtype=np.int64)]
+        )
+        return pd.Series(1.0 - sims)
+
+    return float(
+        assigned.select(
+            F.avg(dist(F.col("embedding"), F.col("cluster_id"))).alias("d")
+        ).head()["d"]
+    )
+
+
 def write_ivf_index(vecs: DataFrame, centroids: np.ndarray, path: str) -> None:
     """Persist the inverted-file layout: one directory per cluster
     (`partitionBy("cluster_id")`), plus a centroid-manifest sidecar
     that append/query validate against (the quantizer IS the index
-    identity). The one-time layout cost that turns every later probe
+    identity). The manifest also records the index's BASELINE mean
+    centroid-to-member distance, the drift reference `ivf_drift`
+    measures against. The one-time layout cost turns every later probe
     into a storage-level partition prune — at 100 TB a query reads
     ~nprobe/k of the bytes, verified by plan + file-list in
     tests/test_ivf.py."""
     assign_clusters(vecs, centroids).write.mode("overwrite").partitionBy(
         "cluster_id"
     ).parquet(path)
-    _write_ivf_manifest(path, centroids)
+    baseline = _mean_assign_dist(
+        vecs.sparkSession.read.parquet(path), centroids
+    )
+    _write_ivf_manifest(path, centroids, baseline)
+
+
+def ivf_drift(spark, path: str, centroids: np.ndarray) -> dict:
+    """Quantization drift of a persisted index (r7 verdict item 6):
+    appends file new vectors under FROZEN centroids, so as the corpus
+    distribution moves the mean centroid-to-member distance grows and
+    probe recall decays. Returns ``{mean_dist, baseline_mean_dist,
+    ratio}`` where ratio = mean / baseline; 1.0 means the index still
+    quantizes like the day it was built."""
+    import json
+    import os
+
+    _check_ivf_manifest(path, centroids, "ivf_drift")
+    with open(os.path.join(path, _IVF_MANIFEST)) as f:
+        m = json.load(f)
+    baseline = m.get("baseline_mean_dist")
+    if baseline is None:
+        raise ValueError(
+            f"ivf_drift: index at {path} predates drift tracking; "
+            "rebuild with write_ivf_index to record a baseline"
+        )
+    mean = _mean_assign_dist(spark.read.parquet(path), centroids)
+    return {
+        "mean_dist": mean,
+        "baseline_mean_dist": float(baseline),
+        "ratio": mean / float(baseline) if baseline else float("inf"),
+    }
+
+
+def maybe_recluster_ivf(
+    spark,
+    path: str,
+    centroids: np.ndarray,
+    threshold: float = 1.2,
+    k: int | None = None,
+) -> tuple[np.ndarray, bool, dict]:
+    """The drift-triggered compaction step of the index lifecycle:
+    measure drift; past ``threshold`` re-derive centroids over the
+    CURRENT corpus (same deterministic smallest-hash pick — appended
+    ids enter the candidate set, so the quantizer follows the data)
+    and rewrite the whole layout with `write_ivf_index` (which records
+    the fresh baseline). Below threshold the index is untouched.
+    Returns (active_centroids, reclustered?, drift_stats).
+
+    Scale shape: the trigger costs one map-only scan; the rewrite is
+    the same one-time layout cost as the original build and runs only
+    when quantization has measurably decayed — the standard
+    append-then-compact rhythm of IVF maintenance (Jegou et al. §V)."""
+    import os
+    import shutil
+
+    stats = ivf_drift(spark, path, centroids)
+    if stats["ratio"] <= threshold:
+        return centroids, False, stats
+    grown = spark.read.parquet(path).drop("cluster_id")
+    new_cents = sample_centroids(grown, k=k or int(centroids.shape[0]))
+    # rebuild SIDE-BY-SIDE, then swap: an in-place overwrite would
+    # delete the very files the rebuild job is still scanning (and at
+    # scale would leave no index at all on a mid-job failure). The
+    # manifest ordering makes the swap window safe: after the rmtree
+    # the old path has no manifest, so probes REFUSE (loudly) rather
+    # than read a half-moved layout.
+    rebuild = path.rstrip("/") + ".rebuild"
+    write_ivf_index(grown, new_cents, rebuild)
+    shutil.rmtree(path)
+    os.rename(rebuild, path)
+    return new_cents, True, stats
 
 
 def ivf_topk_from_index(

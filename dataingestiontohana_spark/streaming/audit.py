@@ -82,6 +82,18 @@ class ProgressRecorder(StreamingQueryListener):
                 "numInputRows": p.numInputRows,
                 "durationMs": dict(p.durationMs or {}),
                 "sink_description": p.sink.description if p.sink else None,
+                # per-operator state-store size: the boundedness signal
+                # for stateful queries (sessionization, dedup, joins) —
+                # numRowsTotal NOT growing with input is the eviction
+                # proof a capacity plan needs
+                "stateOperators": [
+                    {
+                        "numRowsTotal": s.numRowsTotal,
+                        "numRowsUpdated": s.numRowsUpdated,
+                        "numRowsRemoved": s.numRowsRemoved,
+                    }
+                    for s in (p.stateOperators or [])
+                ],
             }
         )
 

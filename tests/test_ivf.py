@@ -225,3 +225,101 @@ def test_ivf_topk_batch_scan_prunes_to_probed_union(spark):
     # one query, nprobe=2: every returned row's cluster is one of 2
     rows = df.collect()
     assert 0 < len(rows) <= 5
+
+
+def test_ivf_drift_trigger_and_recluster_restores_recall(spark, tmp_path):
+    """Index lifecycle under append drift (r8): the corpus starts as
+    16 tight direction-clusters (good quantization), then 8 NEW
+    clusters append under the FROZEN quantizer — their members sit
+    ~orthogonal to every existing centroid, so the mean
+    centroid-to-member distance grows measurably. Past the threshold
+    `maybe_recluster_ivf` re-derives the quantizer over the grown
+    corpus and rewrites the layout; quantization heals and the
+    recall@10 floor holds against the exact brute-force twin for a
+    query from the drifted region. Fully deterministic (seeded data,
+    hash-based centroid pick)."""
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.ivf import (
+        append_to_ivf_index,
+        ivf_drift,
+        ivf_topk_from_index,
+        maybe_recluster_ivf,
+        sample_centroids,
+        write_ivf_index,
+    )
+
+    rng = np.random.default_rng(67)
+
+    def cluster_rows(bases, id0, per_cluster=25, noise=0.1):
+        rows = []
+        for ci, b in enumerate(bases):
+            for j in range(per_cluster):
+                v = b + noise * rng.standard_normal(64)
+                rows.append(
+                    (id0 + ci * per_cluster + j,
+                     [float(x) for x in v])
+                )
+        return rows
+
+    old_bases = rng.standard_normal((16, 64))
+    old_bases /= np.linalg.norm(old_bases, axis=1, keepdims=True)
+    new_bases = rng.standard_normal((8, 64))
+    new_bases /= np.linalg.norm(new_bases, axis=1, keepdims=True)
+
+    schema = "vec_id long, embedding array<double>"
+    base = spark.createDataFrame(cluster_rows(old_bases, 0), schema)
+    cents = sample_centroids(base, k=16)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(base, cents, path)
+
+    fresh = ivf_drift(spark, path, cents)
+    assert abs(fresh["ratio"] - 1.0) < 1e-9  # baseline == first measure
+
+    drifted = spark.createDataFrame(
+        cluster_rows(new_bases, 10_000), schema
+    )
+    append_to_ivf_index(drifted, cents, path)
+
+    after = ivf_drift(spark, path, cents)
+    assert after["ratio"] > 1.2, after  # drift is measurable
+
+    # below threshold: untouched; above: full recluster + new baseline
+    same, did, _ = maybe_recluster_ivf(
+        spark, path, cents, threshold=after["ratio"] + 1
+    )
+    assert not did and (same == cents).all()
+    new_cents, did, stats = maybe_recluster_ivf(
+        spark, path, cents, threshold=1.2, k=32
+    )
+    assert did and abs(stats["ratio"] - after["ratio"]) < 1e-9
+    post = ivf_drift(spark, path, new_cents)
+    assert post["ratio"] <= 1.0 + 1e-9  # fresh baseline, drift reset
+    assert post["mean_dist"] < after["mean_dist"]  # quantization healed
+
+    # recall@10 floor vs exact brute force on the GROWN corpus, probing
+    # from inside the drifted region (where the old quantizer was blind)
+    rows = spark.read.parquet(path).select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qid = int(ids[ids >= 10_000][0])
+    qvec = mat[ids == qid][0]
+    sims = mat_n @ (qvec / np.linalg.norm(qvec))
+    sims[ids == qid] = -2.0  # exclude the query itself
+    exact = set(ids[np.argsort(-sims)[:10]].tolist())
+
+    approx = {
+        r["vec_id"]
+        for r in ivf_topk_from_index(
+            spark,
+            path,
+            [float(x) for x in qvec],
+            new_cents,
+            k=11,
+            nprobe=8,
+        ).collect()
+        if r["vec_id"] != qid
+    }
+    recall = len(exact & approx) / 10
+    assert recall >= 0.3, f"post-recluster recall {recall}"

@@ -239,3 +239,92 @@ def test_transform_with_state_end_to_end(spark, tmp_path):
     }
     got = {r["deviceid"]: (r["n"], r["a"], r["mt"]) for r in last}
     assert got == want
+
+
+def test_session_state_bounded_under_user_churn(spark, tmp_path):
+    """State-store boundedness (r7 verdict item 7): a long stream of
+    CHURNING users — every micro-batch brings brand-new user ids with
+    advancing event time — must hold state O(active sessions), not
+    O(users ever seen): the event-time timer evicts each closed
+    session (`state.remove()`), so `numRowsTotal` plateaus while the
+    cumulative distinct-user count keeps climbing. This is the
+    eviction guarantee that makes the operator deployable against an
+    unbounded 100 TB/day stream (state store sized by churn window,
+    not history; see SCALING.md 'Streaming' for the RocksDB knob)."""
+    import json
+    import os
+
+    from dataingestiontohana_spark.streaming.audit import ProgressRecorder
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    users_per_batch, n_batches = 20, 12
+
+    def write(idx, rows):
+        tmp = os.path.join(src, f".b{idx}.tmp")
+        with open(tmp, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        final = os.path.join(src, f"b{idx:03d}.json")
+        os.rename(tmp, final)
+        os.utime(final, (1_700_000_000 + idx, 1_700_000_000 + idx))
+
+    # batch i: users [i*20, i*20+20) at hour i — with gap 10 min and
+    # watermark 0s, the watermark at batch i (hour i) is far past
+    # batch i-1's last-event + gap, so every prior batch's sessions
+    # have closed and evicted by the next trigger
+    for i in range(n_batches):
+        base_ms = 1_704_000_000_000 + i * 3_600_000
+        write(i, [
+            {"user_id": i * users_per_batch + u,
+             "ts": (base_ms + u * 1000) / 1000.0}
+            for u in range(users_per_batch)
+        ])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts double")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+        .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts")
+    )
+    rec = ProgressRecorder()
+    spark.streams.addListener(rec)
+    try:
+        q = (
+            closed_user_sessions(
+                stream, gap_ms=10 * 60 * 1000, watermark="0 seconds"
+            )
+            .writeStream.format("memory")
+            .queryName("churn_sessions")
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+    finally:
+        import time
+
+        time.sleep(2)  # listener callbacks are async; drain
+        spark.streams.removeListener(rec)
+
+    closed = spark.sql(
+        "SELECT COUNT(*) AS n, COUNT(DISTINCT user_id) AS u "
+        "FROM churn_sessions"
+    ).head()
+    # all but the final (still-open) batch of users closed and emitted
+    assert closed["n"] == closed["u"] == (n_batches - 1) * users_per_batch
+
+    totals = [
+        s["numRowsTotal"]
+        for p in rec.progress
+        for s in p["stateOperators"]
+        if p["numInputRows"] or s["numRowsTotal"]
+    ]
+    assert totals, "no state metrics captured"
+    # BOUNDED: the store never holds more than ~2 batches of open
+    # sessions (current batch + the one the watermark is about to
+    # evict), though 240 distinct users flowed through
+    assert max(totals) <= 2 * users_per_batch, totals
+    # and eviction really ran (rows were removed, not accumulated)
+    assert max(totals) < (n_batches - 1) * users_per_batch
