@@ -80,6 +80,73 @@ GATE_RULES = [
 ]
 
 
+def run_artifact_gate(bench: str | None, correctness: str | None) -> int:
+    """The judge's MECHANICAL artifact pass, reproduced locally (r7
+    verdict item 8): adjudicate the newest per-round bench artifact
+    against the committed baseline via tools/check_bench (per-entry
+    <= 2x + group sums), and require every entry of the newest
+    CORRECTNESS artifact to pass rows+schema+hash with no error.
+    Returns the violation count; missing artifacts report as skips
+    (a fresh clone has none — that is not a release violation)."""
+    import glob
+    import json
+
+    violations = 0
+    print("\n# Artifact gate (the judge's mechanical pass)")
+
+    bench = bench or max(glob.glob("BENCH_r*.json"), default=None)
+    if bench is None:
+        print("GATE skip bench: no BENCH_r*.json artifact present")
+    else:
+        from tools.check_bench import main as check_bench_main
+
+        try:
+            rc = check_bench_main([bench])
+        except SystemExit as exc:
+            rc = 1
+            print(f"GATE FAIL bench: {exc}")
+        if rc == 0:
+            print(f"GATE ok   bench: {bench} within the per-entry factor")
+        else:
+            violations += 1
+            print(f"GATE FAIL bench: {bench} violates the per-entry factor")
+
+    correctness = correctness or max(
+        glob.glob("CORRECTNESS_r*.json"), default=None
+    )
+    if correctness is None:
+        print("GATE skip correctness: no CORRECTNESS_r*.json present")
+    else:
+        with open(correctness) as fh:
+            doc = json.load(fh)
+        bad = {
+            name: e
+            for name, e in doc.items()
+            if e.get("err")
+            or not (
+                e.get("rows_match")
+                and e.get("schema_match")
+                # rows-only streaming entries carry hash_match=None;
+                # an explicit False is the failure signal
+                and e.get("hash_match") is not False
+            )
+        }
+        if bad:
+            violations += len(bad)
+            print(
+                f"GATE FAIL correctness: {correctness} — "
+                f"{len(bad)}/{len(doc)} entries failing:"
+            )
+            for name in sorted(bad)[:5]:
+                print(f"    {name}: {bad[name]}")
+        else:
+            print(
+                f"GATE ok   correctness: {correctness} — "
+                f"{len(doc)}/{len(doc)} entries pass"
+            )
+    return violations
+
+
 def run_gate(spark, sf_dir: str, queries) -> int:
     """Evaluate the release-gate rules; prints verdicts, returns the
     violation count."""
@@ -115,7 +182,17 @@ def main(argv=None) -> int:
         "--gate",
         action="store_true",
         help="evaluate the release-gate rules after the report and "
-        "exit 1 on any violation (leakage/expectations/orphans)",
+        "exit 1 on any violation (leakage/expectations/orphans), plus "
+        "the judge's mechanical artifact pass (per-entry bench factor "
+        "via tools/check_bench + CORRECTNESS entry sweep)",
+    )
+    ap.add_argument(
+        "--bench", default=None,
+        help="bench artifact for the gate (default: newest BENCH_r*.json)",
+    )
+    ap.add_argument(
+        "--correctness", default=None,
+        help="correctness artifact (default: newest CORRECTNESS_r*.json)",
     )
     args = ap.parse_args(argv)
 
@@ -149,6 +226,7 @@ def main(argv=None) -> int:
             print(f"\n## {title}  ({name}) FAILED: {exc}")
     if args.gate:
         failures += run_gate(spark, args.sf_dir, QUERIES)
+        failures += run_artifact_gate(args.bench, args.correctness)
     print()
     return 1 if failures else 0
 
