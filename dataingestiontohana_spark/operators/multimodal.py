@@ -1954,11 +1954,65 @@ def dhash_images(df: DataFrame, hash_w: int = 8, hash_h: int = 8) -> DataFrame:
     return df.mapInPandas(batches, schema="media_id long, dhash string")
 
 
+def energy_hash_audio(df: DataFrame, n_blocks: int = 32) -> DataFrame:
+    """Audio fingerprint: (media_id, ahash) with ahash an
+    ``n_blocks``-bit hex string — the audio member of the perceptual-
+    hash dedup family (images: `dhash_images`).
+
+    The clip splits into ``n_blocks`` equal sample blocks; block
+    energy E_j = sum of squared samples (EXACT integer,
+    arbitrary-precision accumulation so 32-bit PCM cannot overflow);
+    bit j = 1 iff E_j > E_{(j+1) % n_blocks} — the dHash gradient
+    idea applied to the energy envelope, so the fingerprint tracks
+    the clip's coarse loudness SHAPE and survives small sample
+    perturbations, re-encodes and level-preserving noise. Every step
+    is integer-exact, so a SQL oracle reproduces the hash verbatim.
+
+    Pipeline shape: map-only mapInPandas; pairing happens downstream
+    on hash bands via `dhash_neardup_pairs` (hash_col='ahash') — the
+    same banded-LSH shape as text MinHash and image dHash."""
+    if n_blocks % 4:
+        raise ValueError("n_blocks must be a multiple of 4 (hex packing)")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, kind, content in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"]
+            ):
+                if kind != KIND_AUDIO:
+                    continue
+                try:
+                    _w, _h, _nf, _ch, px = _decode_payload(bytes(content))
+                except (NotImplementedError, *_CORRUPT_ERRORS):
+                    continue
+                if px is None or len(px) < n_blocks:
+                    continue
+                per = len(px) // n_blocks
+                blocks = px[: per * n_blocks].reshape(n_blocks, per)
+                e = [
+                    int(np.multiply(b, b, dtype=object).sum())
+                    for b in blocks
+                ]
+                bits = [
+                    1 if e[j] > e[(j + 1) % n_blocks] else 0
+                    for j in range(n_blocks)
+                ]
+                val = 0
+                for b in bits:  # MSB-first, like dhash_images
+                    val = (val << 1) | b
+                out.append((mid, format(val, f"0{n_blocks // 4}x")))
+            yield pd.DataFrame(out, columns=["media_id", "ahash"])
+
+    return df.mapInPandas(batches, schema="media_id long, ahash string")
+
+
 def dhash_neardup_pairs(
     hashes: DataFrame,
     max_hamming: int = 10,
     n_bands: int = 4,
     hash_bits: int = 64,
+    hash_col: str = "dhash",
 ) -> DataFrame:
     """(id_a, id_b, hamming) — image near-duplicate pairs via banded
     LSH over dHashes: candidates share at least one hash band
@@ -1980,25 +2034,25 @@ def dhash_neardup_pairs(
     width = n_hex // n_bands  # hex chars per band
     banded = hashes.select(
         "media_id",
-        "dhash",
+        hash_col,
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_bands - 1)),
                 lambda k: F.struct(
                     k.alias("band"),
-                    F.substring(F.col("dhash"), k * width + 1, width).alias(
+                    F.substring(F.col(hash_col), k * width + 1, width).alias(
                         "bucket"
                     ),
                 ),
             )
         ).alias("bb"),
-    ).select("media_id", "dhash", "bb.band", "bb.bucket")
+    ).select("media_id", hash_col, "bb.band", "bb.bucket")
     a = banded.select(
-        F.col("media_id").alias("id_a"), F.col("dhash").alias("ha"),
+        F.col("media_id").alias("id_a"), F.col(hash_col).alias("ha"),
         "band", "bucket",
     )
     b = banded.select(
-        F.col("media_id").alias("id_b"), F.col("dhash").alias("hb"),
+        F.col("media_id").alias("id_b"), F.col(hash_col).alias("hb"),
         "band", "bucket",
     )
     nib = lambda c, j: F.conv(F.substring(c, j + 1, 1), 16, 10).cast("int")  # noqa: E731

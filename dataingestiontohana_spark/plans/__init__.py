@@ -16,6 +16,7 @@ from dataingestiontohana_spark.plans import (
     graph,
     ingestion,
     llm_dedup,
+    llm_lm,
     llm_mix,
     llm_quality,
     llm_similarity,
@@ -39,6 +40,7 @@ for mod in (
     llm_text,
     llm_text2,
     llm_dedup,
+    llm_lm,
     llm_mix,
     llm_quality,
     llm_similarity,

@@ -540,6 +540,20 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("px_sum", "bigint"), ("px_sqsum_hi", "bigint"),
         ("px_sqsum_lo", "bigint"),
     ],
+    "q207_bigram_lm": [
+        ("doc_id", "bigint"), ("n_transitions", "bigint"),
+        ("n_backoff", "bigint"), ("n_oov", "bigint"),
+        ("lp_sum_q6", "bigint"), ("ppl", "double"),
+    ],
+    "q208_dsir_resample": [
+        ("lang", "string"), ("sampled_docs", "bigint"),
+        ("sampled_tokens", "bigint"), ("logw_q6_sum", "bigint"),
+        ("min_doc_id", "bigint"), ("max_doc_id", "bigint"),
+    ],
+    "q209_audio_fingerprint": [("media_id", "bigint"), ("ahash", "string")],
+    "q210_audio_neardup": [
+        ("id_a", "bigint"), ("id_b", "bigint"), ("hamming", "int"),
+    ],
     "q206_png16_native": [
         ("media_id", "bigint"), ("width", "int"), ("height", "int"),
         ("channels", "int"), ("px_sum", "bigint"), ("px_sqsum", "bigint"),
@@ -835,6 +849,11 @@ BUNDLES: dict[str, list[str]] = {
         "q80_bm25_topk", "q91_token_rarity", "q93_gopher_rules",
         "q105_pmi_bigrams", "q108_textrank", "q178_annotator_kappa",
         "q200_tail_index",
+        # round 8: count-LM curation rides with the quality family —
+        # held-out bigram perplexity (stupid backoff, branch-exercised)
+        # + DSIR importance resampling (the driver window caps at 50
+        # entries, so these extend the bundle instead of adding one)
+        "q207_bigram_lm", "q208_dsir_resample",
     ],
     "q22_29_exact_dedup": [
         "q22_exact_dedup_count", "q29_exact_dedup", "q92_segment_dedup",
@@ -891,8 +910,10 @@ BUNDLES: dict[str, list[str]] = {
         "q204_jpeg_mosaic",
         # round 8: full-native-precision codecs under the value gate
         # (16-bit PNG native uint16; 8/16/24/32-bit WAV native width
-        # with the hugeint sum-of-squares split hi/lo)
+        # with the hugeint sum-of-squares split hi/lo), plus the audio
+        # member of the perceptual-hash dedup family
         "q205_wav_native", "q206_png16_native",
+        "q209_audio_fingerprint", "q210_audio_neardup",
     ],
     "q39_40_ingest": ["q39_sensor_generate", "q40_sensor_csv_roundtrip"],
     # round 5: the q20 single grew into a bundle with the hypertable

@@ -198,6 +198,82 @@ def q82_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _audio_probe_media(spark: SparkSession) -> DataFrame:
+    """Perturbed copies of the synthetic audio clips (media_id +
+    2000): sample bytes at positions divisible by 29 get +4 mod 256 —
+    level-preserving click noise on ~3% of samples, the planted
+    near-dup set for the audio fingerprint. Deterministic, so the
+    oracle rebuilds the identical probes."""
+    import struct as _s
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        _HEADER_FMT,
+        _MAGIC,
+    )
+
+    rows = []
+    for i in range(64):
+        if i % 4 != 1:  # audio only
+            continue
+        full = synth_media_bytes(i, KIND_AUDIO, 256, 1)
+        payload = bytearray(full[11:])
+        for p in range(0, len(payload), 29):
+            payload[p] = (payload[p] + 4) % 256
+        header = _s.pack(_HEADER_FMT, _MAGIC, KIND_AUDIO, 256, 1, 1)
+        rows.append((i + 2000, KIND_AUDIO, header + bytes(payload)))
+    return spark.createDataFrame(
+        rows, "media_id long, kind int, content binary"
+    ).coalesce(2)
+
+
+_AHASH_CACHE: dict[str, DataFrame] = {}
+
+
+def _ahash_frame(spark: SparkSession) -> DataFrame:
+    from dataingestiontohana_spark.operators.multimodal import (
+        energy_hash_audio,
+    )
+
+    key = spark.sparkContext.applicationId
+    df = _AHASH_CACHE.get(key)
+    if df is not None:
+        return df
+    _AHASH_CACHE.clear()
+    both = _synthetic_media(spark).where(
+        F.col("kind") == KIND_AUDIO
+    ).unionByName(_audio_probe_media(spark))
+    df = energy_hash_audio(both, n_blocks=32).localCheckpoint(eager=False)
+    _AHASH_CACHE[key] = df
+    return df
+
+
+def q209_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio energy-envelope fingerprints (the audio member of the
+    perceptual-hash family, `operators/multimodal.py::
+    energy_hash_audio`): 16 synthetic clips + 16 click-noise probes,
+    each 32-bit hash value-checked bit-for-bit by the integer oracle
+    (block energies are exact sums of squared samples)."""
+    return _ahash_frame(spark).orderBy("media_id")
+
+
+def q210_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs: banded-LSH candidates over the
+    energy fingerprints + exact Hamming verify — same shape as image
+    q82 / text MinHash; detects each click-noise probe against its
+    original clip."""
+    from dataingestiontohana_spark.operators.multimodal import (
+        dhash_neardup_pairs,
+    )
+
+    return dhash_neardup_pairs(
+        _ahash_frame(spark),
+        max_hamming=8,
+        n_bands=4,
+        hash_bits=32,
+        hash_col="ahash",
+    ).orderBy("id_a", "id_b")
+
+
 # Color-PNG corpus: 36 REAL PNG files (12 RGB, 12 RGBA, 12 palette),
 # 16x8 px, pixel bytes md5-expanded from "{media_id}:png:{chunk}" and
 # encoded through the pure-stdlib encoder with a per-row filter mix
@@ -581,6 +657,49 @@ hashes AS (
 """
 
 
+# Audio-fingerprint reconstruction: block energies over the md5
+# audio bytes (kind=2, 256 samples -> 32 blocks of 8), dHash-style
+# energy-gradient bits packed MSB-first into hex. apbytes = clip
+# bytes plus the click-noise probes (+4 mod 256 at every 29th sample,
+# media_id + 2000) — the planted near-dup set.
+_AHASH_CTES = f"""
+{_MEDIA_BYTES_CTE},
+ab AS (
+  SELECT media_id, pos, b FROM mbytes WHERE kind = 2
+),
+apbytes AS (
+  SELECT media_id, pos, b FROM ab
+  UNION ALL
+  SELECT media_id + 2000, pos,
+         CASE WHEN pos % 29 = 0 THEN (b + 4) % 256 ELSE b END
+  FROM ab
+),
+energies AS (
+  SELECT media_id, pos // 8 AS blk, SUM(b * b) AS e
+  FROM apbytes GROUP BY media_id, pos // 8
+),
+abits AS (
+  SELECT a.media_id, CAST(a.blk AS INT) AS i,
+         CASE WHEN a.e > n.e THEN 1 ELSE 0 END AS bit
+  FROM energies a
+  JOIN energies n ON n.media_id = a.media_id
+                 AND n.blk = (a.blk + 1) % 32
+),
+anibs AS (
+  SELECT media_id, i // 4 AS nib,
+         SUM(bit * (CASE i % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                               WHEN 2 THEN 2 ELSE 1 END)) AS nv
+  FROM abits GROUP BY media_id, i // 4
+),
+ahashes AS (
+  SELECT media_id,
+         string_agg(substr('0123456789abcdef', CAST(nv AS INT) + 1, 1),
+                    '' ORDER BY nib) AS ahash
+  FROM anibs GROUP BY media_id
+)
+"""
+
+
 # DuckDB reconstruction of the color-PNG corpus (see _png_color_corpus):
 # the encode->decode round trip cancels, so the oracle recomputes the
 # DECODED channel bytes straight from the md5 expansion. raw_ch = bytes
@@ -721,6 +840,8 @@ QUERIES = {
     "q204_jpeg_mosaic": q204_jpeg_mosaic,
     "q205_wav_native": q205_wav_native,
     "q206_png16_native": q206_png16_native,
+    "q209_audio_fingerprint": q209_audio_fingerprint,
+    "q210_audio_neardup": q210_audio_neardup,
 }
 
 ORACLES = {
@@ -835,6 +956,37 @@ ORACLES = {
         FROM p16_samples
         GROUP BY media_id, ch
         ORDER BY media_id
+    """,
+    "q209_audio_fingerprint": f"""
+        WITH {_AHASH_CTES}
+        SELECT media_id, ahash FROM ahashes ORDER BY media_id
+    """,
+    "q210_audio_neardup": f"""
+        WITH {_AHASH_CTES},
+        abanded AS (
+          SELECT media_id, ahash, CAST(k.j AS INT) AS band,
+                 substr(ahash, CAST(k.j*2 + 1 AS INT), 2) AS bucket
+          FROM ahashes CROSS JOIN range(4) k(j)
+        ),
+        acand AS (
+          SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+                 a.ahash AS ha, b.ahash AS hb
+          FROM abanded a
+          JOIN abanded b ON a.band = b.band AND a.bucket = b.bucket
+                         AND a.media_id < b.media_id
+        ),
+        aham AS (
+          SELECT id_a, id_b,
+                 SUM(bit_count(xor(
+                   strpos('0123456789abcdef',
+                          substr(ha, CAST(j.n + 1 AS INT), 1)) - 1,
+                   strpos('0123456789abcdef',
+                          substr(hb, CAST(j.n + 1 AS INT), 1)) - 1))) AS hamming
+          FROM acand CROSS JOIN range(8) j(n)
+          GROUP BY id_a, id_b
+        )
+        SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+        FROM aham WHERE hamming <= 8 ORDER BY id_a, id_b
     """,
     "q82_image_neardup": f"""
         WITH {_DHASH_CTES},
