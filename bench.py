@@ -12,14 +12,16 @@ groups whose per-entry numbers must be adjudicated as a unit. The
 next round's judge compares a fresh BENCH_r{N}.json against it
 mechanically with tools/check_bench.py instead of parsing prose bands.
 
-``--runs N`` (r7 verdict item 2) repeats the batch loop N times and
-reports the per-entry MEDIAN (each cell becomes {"sec": median,
-"min", "max", "runs"}), shrinking this host class's documented ±20%
-single-run band. Between runs the process-level shared frames
-(exact-pair edges, LSH candidates, baskets, graph, media decodes) are
-dropped so every run re-pays the same one-time costs a fresh driver
-run would — otherwise runs 2..N would be artificially warm on the
-shared_cost_groups entries.
+``--runs N`` (r7 verdict item 2) collects N samples and reports the
+per-entry MEDIAN (each cell becomes {"sec": median, "min", "max",
+"runs"}), shrinking this host class's documented ±20% single-run
+band. Each sample is a FRESH SUBPROCESS running this script once:
+in-process repetition would sample a warmer distribution than the
+driver's single cold run — the JVM reuses whole-stage-codegen classes
+across identical plans (measured 8.3 s -> 1.2 s on a codegen-heavy
+entry), which no cache-clearing undoes — and a too-fast baseline
+turns the 2x gate into a false-failure machine. Streaming runs in
+sample 0 only (its cold/warm split is internal already).
 """
 
 from __future__ import annotations
@@ -96,6 +98,67 @@ def _median(vals: list[float]) -> float:
     return s[mid] if n % 2 else round((s[mid - 1] + s[mid]) / 2, 3)
 
 
+def run_median_of(runs: int) -> dict:
+    """N cold samples, each a fresh subprocess of this script (see
+    module docstring for why in-process repetition is the wrong
+    distribution), merged per-entry by median."""
+    import subprocess
+
+    samples: list[dict] = []
+    for i in range(runs):
+        env = dict(os.environ)
+        if i:
+            env["SPARK_GRAFT_STREAM_SKIP"] = "1"
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=False,
+        )
+        line = res.stdout.strip().splitlines()[-1] if res.stdout.strip() else ""
+        try:
+            samples.append(json.loads(line))
+        except json.JSONDecodeError:
+            raise SystemExit(
+                f"--runs sample {i} produced no JSON line "
+                f"(rc={res.returncode}): {res.stderr[-500:]}"
+            )
+        print(
+            f"sample {i}: {samples[-1]['value']} s", file=sys.stderr
+        )
+
+    names = sorted(set().union(*(s["queries"] for s in samples)))
+    queries = {}
+    for name in names:
+        vals = [s["queries"][name] for s in samples if name in s["queries"]]
+        queries[name] = {
+            "sec": _median(vals),
+            "min": min(vals),
+            "max": max(vals),
+            "runs": len(vals),
+        }
+    out = {
+        "metric": "declared_query_suite_sec",
+        "value": round(sum(c["sec"] for c in queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": samples[0]["sf"],
+        "runs": runs,
+    }
+    errors = {}
+    for s in samples:
+        for k, v in s.get("errors", {}).items():
+            errors.setdefault(k, v)
+    if errors:
+        out["errors"] = errors
+    if "streaming" in samples[0]:
+        out["streaming"] = samples[0]["streaming"]
+    if "streaming_error" in samples[0]:
+        out["streaming_error"] = samples[0]["streaming_error"]
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -103,44 +166,34 @@ def main() -> None:
     runs = 1
     if "--runs" in sys.argv:
         runs = max(1, int(sys.argv[sys.argv.index("--runs") + 1]))
+    if runs > 1:
+        out = run_median_of(runs)
+        if "--write-baseline" in sys.argv:
+            i = sys.argv.index("--write-baseline")
+            path = (
+                sys.argv[i + 1]
+                if len(sys.argv) > i + 1
+                and not sys.argv[i + 1].startswith("-")
+                else "BENCH_BASELINE.json"
+            )
+            write_baseline(out, path)
+            print(f"baseline written: {path}", file=sys.stderr)
+        print(json.dumps(out))
+        return
     spark = get_spark("bench")
 
     # warmup: session + codegen + parquet footer reads
     materialize(QUERIES["q10_hash_agg"](spark, sf_dir))
 
-    per_run: list[dict[str, float]] = []
-    errors: dict[str, str] = {}
-    for r in range(runs):
-        if r:
-            clear_shared_caches()
-        t, e = run_suite(spark, sf_dir)
-        per_run.append(t)
-        for k, v in e.items():
-            errors.setdefault(k, v)
-
-    if runs == 1:
-        queries: dict = per_run[0]
-        total = round(sum(per_run[0].values()), 3)
-    else:
-        queries = {}
-        for name in sorted(set().union(*per_run)):
-            vals = [t[name] for t in per_run if name in t]
-            queries[name] = {
-                "sec": _median(vals),
-                "min": min(vals),
-                "max": max(vals),
-                "runs": len(vals),
-            }
-        total = round(sum(c["sec"] for c in queries.values()), 3)
+    timings, errors = run_suite(spark, sf_dir)
+    total = round(sum(timings.values()), 3)
     out = {
         "metric": "declared_query_suite_sec",
         "value": total,
         "unit": "sec",
-        "queries": queries,
+        "queries": timings,
         "sf": sf,
     }
-    if runs > 1:
-        out["runs"] = runs
     if errors:
         out["errors"] = errors
 
@@ -148,17 +201,20 @@ def main() -> None:
     # IngestionPipeline rows/s with no artificial pacing — the
     # reference's actual workload, reported alongside the batch suite.
     # Fault-isolated like the per-query loop: a streaming failure costs
-    # this sub-object, not the round's batch numbers.
-    try:
-        from bench_streaming import run_streaming_bench
+    # this sub-object, not the round's batch numbers. SKIP env: the
+    # --runs parent sets it on samples 1..N-1 (streaming measures its
+    # own cold/warm internally; once is enough).
+    if not os.environ.get("SPARK_GRAFT_STREAM_SKIP"):
+        try:
+            from bench_streaming import run_streaming_bench
 
-        out["streaming"] = run_streaming_bench(
-            spark,
-            n_rows=int(os.environ.get("SPARK_GRAFT_STREAM_ROWS", 50_000)),
-            n_files=int(os.environ.get("SPARK_GRAFT_STREAM_FILES", 10)),
-        )
-    except Exception as ex:  # noqa: BLE001 — report, keep the batch line
-        out["streaming_error"] = f"{type(ex).__name__}: {ex}"[:300]
+            out["streaming"] = run_streaming_bench(
+                spark,
+                n_rows=int(os.environ.get("SPARK_GRAFT_STREAM_ROWS", 50_000)),
+                n_files=int(os.environ.get("SPARK_GRAFT_STREAM_FILES", 10)),
+            )
+        except Exception as ex:  # noqa: BLE001 — report, keep batch line
+            out["streaming_error"] = f"{type(ex).__name__}: {ex}"[:300]
     if "--write-baseline" in sys.argv:
         i = sys.argv.index("--write-baseline")
         path = (
