@@ -68,6 +68,9 @@ def clear_shared_caches() -> None:
         multimodal._DHASH_CACHE,
         multimodal._PNG_CACHE,
         multimodal._JPEG_CACHE,
+        multimodal._WAV_CACHE,
+        multimodal._PNG16_CACHE,
+        multimodal._AHASH_CACHE,
         llm_similarity._PROBE_BC,
     ):
         cache.clear()
