@@ -47,10 +47,13 @@ def materialize(df) -> None:
 
 
 def clear_shared_caches() -> None:
-    """Drop every process-level shared frame so the next bench run
-    re-pays the same one-time materializations a fresh driver process
-    would (keeps median-of-N runs i.i.d. with the single-run artifact
-    the driver records)."""
+    """Drop every process-level shared frame so the suite starts from
+    a defined cold state. `run_suite` calls this up front — a caller
+    that already touched shared frames (an embedding harness, a
+    repeated in-process probe) would otherwise hand some entries a
+    warm cache and skew the shared_cost_groups attribution. (Median
+    sampling itself runs fresh subprocesses — see the --runs note —
+    so this is a starting-state guarantee, not the i.i.d. mechanism.)"""
     from dataingestiontohana_spark.plans import (
         graph,
         llm_dedup,
@@ -81,6 +84,7 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
     a single failing plan must cost ONE cell, not the whole round's
     numbers (round 3's bench died at plan time on one query and
     recorded nothing)."""
+    clear_shared_caches()
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in sorted(QUERIES):

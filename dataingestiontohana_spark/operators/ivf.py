@@ -192,17 +192,23 @@ def _mean_assign_dist(assigned: DataFrame, centroids: np.ndarray) -> float:
     def dist(emb: pd.Series, cid: pd.Series) -> pd.Series:
         c = np.asarray(cents_list)
         mat = np.stack(emb.apply(np.asarray, dtype=np.float64).values)
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0  # zero vector: dist 1 - 0, never NaN
+        mat = mat / norms
         sims = np.einsum(
             "ij,ij->i", mat, c[cid.to_numpy(dtype=np.int64)]
         )
         return pd.Series(1.0 - sims)
 
-    return float(
-        assigned.select(
-            F.avg(dist(F.col("embedding"), F.col("cluster_id"))).alias("d")
-        ).head()["d"]
-    )
+    mean = assigned.select(
+        F.avg(dist(F.col("embedding"), F.col("cluster_id"))).alias("d")
+    ).head()["d"]
+    if mean is None:
+        raise ValueError(
+            "IVF index holds no postings — cannot measure assignment "
+            "quality over an empty index"
+        )
+    return float(mean)
 
 
 def write_ivf_index(vecs: DataFrame, centroids: np.ndarray, path: str) -> None:

@@ -1499,10 +1499,17 @@ def _parse_wav(b: bytes) -> tuple[int, np.ndarray | None]:
         off += 8 + length + (length & 1)
     if data is None:
         raise ValueError("WAV: no data chunk")
-    if abs(bits) not in (8, 16, 24, 32) or channels < 1:
-        raise ValueError(f"WAV: illegal sample width {bits} bits")
-    if abs(bits) >= 8 and len(data) % ((abs(bits) // 8) * max(1, channels)):
-        raise ValueError("WAV: data length not a whole number of frames")
+    if channels < 1:
+        raise ValueError("WAV: zero channels")
+    # width/alignment validation applies to INTEGER PCM only: non-PCM
+    # codecs (float fmt 3, ADPCM fmt 2/17 with bits 4, ...) are VALID
+    # unsupported layouts and keep the documented count-only contract —
+    # quarantining them as corrupt would misclassify well-formed files
+    if bits > 0:
+        if bits not in (8, 16, 24, 32):
+            raise ValueError(f"WAV: illegal PCM sample width {bits} bits")
+        if len(data) % ((bits // 8) * channels):
+            raise ValueError("WAV: data length not a whole number of frames")
     n = len(data) // max(1, abs(bits) // 8) // max(1, channels)
     if bits == 8 and channels == 1:
         return n, np.frombuffer(data, np.uint8)
@@ -1636,8 +1643,14 @@ _CORRUPT_ERRORS = (
 )
 
 
-def decode_media(df: DataFrame) -> DataFrame:
+def decode_media(
+    df: DataFrame, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """binary media -> typed metadata + pixel statistics.
+
+    ``passthrough`` names STRING columns of ``df`` carried verbatim
+    onto each output row (the decode is 1:1) — e.g. the source path,
+    so a quarantine row can identify its dead file without a join.
 
     ``mean_px``/``std_px`` are the human-facing floats; ``px_sum`` /
     ``px_sqsum`` are EXACT integer moments (sum of byte values, sum of
@@ -1657,16 +1670,18 @@ def decode_media(df: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
-            for mid, kind, content in zip(
-                pdf["media_id"], pdf["kind"], pdf["content"]
+            extras = [pdf[c] for c in passthrough]
+            for i, (mid, kind, content) in enumerate(
+                zip(pdf["media_id"], pdf["kind"], pdf["content"])
             ):
+                thru = tuple(col.iloc[i] for col in extras)
                 try:
                     w, h, nf, ch, px = _decode_payload(bytes(content))
                 except _CORRUPT_ERRORS as ex:
                     rows.append(
                         (mid, kind, None, None, None, None, len(content),
                          None, None, None, None,
-                         f"{type(ex).__name__}: {ex}"[:200])
+                         f"{type(ex).__name__}: {ex}"[:200]) + thru
                     )
                     continue
                 if px is not None:
@@ -1680,7 +1695,8 @@ def decode_media(df: DataFrame) -> DataFrame:
                 else:
                     stats = (None, None, None, None)
                 rows.append(
-                    (mid, kind, w, h, nf, ch, len(content)) + stats + (None,)
+                    (mid, kind, w, h, nf, ch, len(content))
+                    + stats + (None,) + thru
                 )
             yield pd.DataFrame(
                 rows,
@@ -1697,10 +1713,14 @@ def decode_media(df: DataFrame) -> DataFrame:
                     "px_sum",
                     "px_sqsum",
                     "decode_error",
+                    *passthrough,
                 ],
             )
 
-    return df.mapInPandas(batches, schema=DECODED_SCHEMA)
+    schema = DECODED_SCHEMA + "".join(
+        f", {c} string" for c in passthrough
+    )
+    return df.mapInPandas(batches, schema=schema)
 
 
 def sample_frames(df: DataFrame, every_k: int = 2) -> DataFrame:
@@ -1990,10 +2010,16 @@ def energy_hash_audio(df: DataFrame, n_blocks: int = 32) -> DataFrame:
                     continue
                 per = len(px) // n_blocks
                 blocks = px[: per * n_blocks].reshape(n_blocks, per)
-                e = [
-                    int(np.multiply(b, b, dtype=object).sum())
-                    for b in blocks
-                ]
+                if px.dtype in (np.uint8, np.uint16, np.int16):
+                    # squares peak 2^32/sample: int64-vectorized exact
+                    b64 = blocks.astype(np.int64)
+                    e = (b64 * b64).sum(axis=1).tolist()
+                else:
+                    # 24/32-bit samples: arbitrary-precision, exact
+                    e = [
+                        int(np.multiply(b, b, dtype=object).sum())
+                        for b in blocks
+                    ]
                 bits = [
                     1 if e[j] > e[(j + 1) % n_blocks] else 0
                     for j in range(n_blocks)

@@ -161,9 +161,13 @@ def q208_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per doc: logw = sum over tokens of [ ln p_T(tok) - ln p_R(tok) ],
     both Laplace-smoothed ( (c+1)/(N+V) with V = raw vocab size ) and
     q6-quantized, so logw is an exact int. Sampling key =
-    logw/1e6 - ln(-ln u) with u the doc's portable md5 uniform —
-    monotone-equal to the ES key u^(1/exp(logw)) (Gumbel-max trick),
-    avoiding any double*double weight arithmetic. Output: composition
+    logw_q6 - round(ln(-ln u)*1e6) with u the doc's portable md5
+    uniform — the Gumbel-max form of the ES key u^(1/exp(logw)), with
+    the one libm term quantized onto the SAME q6 integer grid so the
+    whole key is an exact int64 and the top-k boundary is decided by
+    integer comparison + doc_id tiebreak on both engines (a raw-double
+    key could flip membership across libm implementations at a 1-ulp
+    near-tie). Output: composition
     of the k=100 sample by language — the demonstrable effect (the
     target language's share grows) — with exact-integer evidence
     columns.
@@ -193,7 +197,9 @@ def q208_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c_r").cast("decimal(38,0)").alias("n_r"),
         F.count(F.lit(1)).cast("decimal(38,0)").alias("v"),
     )
-    n_t = tgt.agg(F.sum("c_t").cast("decimal(38,0)").alias("n_t"))
+    n_t = tgt.agg(
+        F.coalesce(F.sum("c_t"), F.lit(0)).cast("decimal(38,0)").alias("n_t")
+    )
 
     lp_t = _lp_q6(
         F.coalesce(F.col("c_t"), F.lit(0)) + F.lit(1),
@@ -215,10 +221,10 @@ def q208_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_md5_int(F.col("doc_id").cast("string"), 208) + 1).cast("double")
         / F.lit(4294967297.0)
     )
-    key = (
-        F.col("logw_q6").cast("double") / F.lit(float(_Q))
-        - F.log(-F.log(u))
-    )
+    lnln_q6 = F.round(
+        F.log(-F.log(u)) * F.lit(float(_Q)), 0
+    ).cast("bigint")
+    key = F.col("logw_q6") - lnln_q6  # exact int64 on both engines
     picked = (
         logw.select("doc_id", "lang", "n_tokens", "logw_q6", key.alias("k"))
         .orderBy(F.col("k").desc(), "doc_id")
@@ -351,8 +357,9 @@ ORACLES = {
           GROUP BY tf.doc_id, tf.lang),
         picked AS (
           SELECT doc_id, lang, n_tokens, logw_q6,
-                 CAST(logw_q6 AS DOUBLE) / 1000000.0
-                 - ln(-ln(({_U208} + 1) / 4294967297.0)) AS k
+                 logw_q6
+                 - CAST(round(ln(-ln(({_U208} + 1) / 4294967297.0))
+                              * 1000000.0, 0) AS BIGINT) AS k
           FROM logw
           ORDER BY k DESC, doc_id
           LIMIT 100)

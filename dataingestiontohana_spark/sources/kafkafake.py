@@ -460,6 +460,49 @@ def register_fake_kafka(spark: SparkSession) -> None:
     spark.dataSource.register(FakeKafkaSource)
 
 
+def bootstrap_group_hint(
+    broker_path: str, topic: str, group_id: str, checkpoint_dir: str
+) -> bool:
+    """Seed a groupid's cap-base hint file from a Spark checkpoint's
+    offset log — the ADOPTION path: enabling a group id on a query
+    that already has committed offsets. Without this, the first
+    latestOffset under the new identity falls back to startingOffsets
+    (`_seed_cap_base` case 2) which, with `earliest`, sits BEHIND the
+    committed start and re-plans processed records (duplicates — see
+    the docstring's backward-offset analysis). The newest offsets/<n>
+    file holds that batch's planned END — exactly the hint invariant
+    (>= committed start, at most one in-flight batch ahead).
+
+    No-op (False) when the hint already exists or no usable offset log
+    is found; never raises on a malformed checkpoint."""
+    hint = os.path.join(broker_path, topic, f"_group-{group_id}.json")
+    if os.path.exists(hint):
+        return False
+    odir = os.path.join(checkpoint_dir, "offsets")
+    try:
+        batches = sorted(int(f) for f in os.listdir(odir) if f.isdigit())
+    except (FileNotFoundError, NotADirectoryError):
+        return False
+    for b in reversed(batches):
+        try:
+            with open(os.path.join(odir, str(b))) as fh:
+                lines = [ln for ln in fh.read().splitlines() if ln.strip()]
+            off = json.loads(lines[-1])  # line 3: the source offset dict
+            pos = {str(k): int(v) for k, v in off.items()}
+            int_keys = all(k.lstrip("-").isdigit() for k in pos)
+            if not (pos and int_keys):
+                continue
+        except (OSError, ValueError, AttributeError):
+            continue
+        os.makedirs(os.path.dirname(hint), exist_ok=True)
+        tmp = hint + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(pos, fh)
+        os.replace(tmp, hint)
+        return True
+    return False
+
+
 def fake_kafka_source(
     spark: SparkSession,
     path: str,
@@ -481,7 +524,13 @@ def fake_kafka_source(
     uncapped. With it, initialOffset/partitions persist the position
     and every instance plans capped from the true start. One query per
     group_id — sharing one across checkpoints mis-seeds the cap (same
-    contract as Kafka consumer groups)."""
+    contract as Kafka consumer groups). Enable the group id when the
+    query is FIRST created; adopting one on a query with existing
+    committed offsets needs `bootstrap_group_hint(broker, topic, gid,
+    checkpoint_dir)` first (the graph compiler does this
+    automatically), or the blind seed can sit behind the committed
+    start with startingOffsets=earliest and re-plan processed
+    records."""
     register_fake_kafka(spark)
     reader = (
         spark.readStream.format("kafkafake")

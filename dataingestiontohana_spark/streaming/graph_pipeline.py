@@ -53,6 +53,7 @@ from pyspark.sql.streaming import StreamingQuery
 from dataingestiontohana_spark.operators.upsert_sink import UpsertSink
 from dataingestiontohana_spark.sources.kafkafake import (
     FakeKafkaBroker,
+    bootstrap_group_hint,
     executor_producer,
     fake_kafka_source,
 )
@@ -245,23 +246,32 @@ class CompiledGraph:
                 )
                 .load(nd.config["source_dir"])
             )
+        # a capped consumer needs a stable consumer identity: the
+        # runner process serving latestOffset never sees initialOffset,
+        # so the cap base travels via the groupid hint file (see
+        # sources/kafkafake.py). Derived from the checkpoint dir — one
+        # checkpoint == one query == one group.
+        group_id = nd.config.get("group_id") or (
+            "ck-" + hashlib.md5(self.checkpoint_dir.encode()).hexdigest()[:12]
+            if nd.config.get("max_offsets_per_trigger")
+            else None
+        )
+        if group_id:
+            # adoption path: a pre-groupid checkpoint (e.g. written by
+            # an older build) restarting under this identity must seed
+            # the cap base from ITS committed offsets, not from
+            # startingOffsets — else earliest re-plans processed records
+            bootstrap_group_hint(
+                nd.config["path"], nd.config["topic"], group_id,
+                self.checkpoint_dir,
+            )
         return fake_kafka_source(
             self.spark,
             nd.config["path"],
             nd.config["topic"],
             nd.config.get("starting_offsets", "earliest"),
             nd.config.get("max_offsets_per_trigger", 0),
-            # a capped consumer needs a stable consumer identity: the
-            # runner process serving latestOffset never sees
-            # initialOffset, so the cap base travels via the groupid
-            # hint file (see sources/kafkafake.py). Derived from the
-            # checkpoint dir — one checkpoint == one query == one group.
-            nd.config.get("group_id")
-            or (
-                "ck-" + hashlib.md5(self.checkpoint_dir.encode()).hexdigest()[:12]
-                if nd.config.get("max_offsets_per_trigger")
-                else None
-            ),
+            group_id,
         )
 
     def _compile_node(

@@ -67,17 +67,14 @@ def decoded_media_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int = 16
 ) -> DataFrame:
     """The full streaming decode: file stream -> `decode_media`
-    (quarantine-aware) with the source path carried through for the
-    dead-letter audit trail. One map-only stage; the stream never
+    (quarantine-aware) with src_path carried through on every row —
+    the dead-letter audit trail. One map-only stage; the stream never
     dies on a corrupt blob."""
     src = media_file_stream(spark, path, max_files_per_trigger)
-    decoded = decode_media(src.select("media_id", "kind", "content"))
-    # re-attach src_path by media_id — both sides are the same
-    # micro-batch (stream-stream join not needed: decode_media is
-    # 1:1 on media_id, so a per-batch join is exact). Done in
-    # foreachBatch by callers that need the path; the streaming frame
-    # itself stays single-stage map-only.
-    return decoded
+    # src_path rides the 1:1 decode as a passthrough column, so a
+    # quarantine row names its dead file directly — no join, the
+    # stream stays single-stage map-only
+    return decode_media(src, passthrough=("src_path",))
 
 
 def run_media_ingest(

@@ -464,3 +464,74 @@ def test_blind_restart_seed_never_behind_committed_start(tmp_path):
     b.produce("t", "tail", partition=0)
     end3 = r2.latestOffset()
     assert end3["0"] - end2["0"] <= 50
+
+
+def test_groupid_adoption_bootstraps_from_checkpoint(tmp_path, spark):
+    """Enabling a groupid on a query with EXISTING committed offsets
+    (e.g. a pre-groupid checkpoint restarting under a newer build)
+    must seed the cap base from the checkpoint's offset log, never
+    from startingOffsets — with `earliest`, the blind fallback would
+    plan an end behind the committed start and re-deliver processed
+    records. Pinned end-to-end: phase 1 consumes capped WITHOUT a
+    groupid, phase 2 restarts the same checkpoint WITH one; the sink
+    sees every record exactly once."""
+    import os
+
+    from dataingestiontohana_spark.sources.kafkafake import (
+        FakeKafkaBroker,
+        bootstrap_group_hint,
+        fake_kafka_source,
+    )
+
+    broker = str(tmp_path / "broker")
+    b = FakeKafkaBroker(broker)
+    b.create_topic("t", partitions=2)
+    for i in range(40):
+        b.produce("t", f"{i}", key=str(i))
+
+    ck = str(tmp_path / "ck")
+    seen: list[int] = []
+
+    def sink(bdf, _e):
+        seen.extend(
+            int(bytes(r["value"]).decode()) for r in bdf.collect()
+        )
+
+    # phase 1: no groupid (the pre-r8 shape); drain the 40-record
+    # prefix completely, committed start = 40
+    df1 = fake_kafka_source(spark, broker, "t", "earliest", 20)
+    q1 = (df1.writeStream.foreachBatch(sink)
+          .option("checkpointLocation", ck).start())
+    q1.processAllAvailable()
+    q1.stop()
+    q1.awaitTermination(30)
+    assert len(seen) == 40
+
+    # 60 more records land while the query is down — the blind
+    # earliest seed (0 + budget 20) would now sit far BEHIND the
+    # committed start of 40
+    for i in range(40, 100):
+        b.produce("t", f"{i}", key=str(i))
+
+    # phase 2: SAME checkpoint, NOW with a groupid (adoption) —
+    # bootstrap from the offset log, like the graph compiler does
+    assert bootstrap_group_hint(broker, "t", "g-adopt", ck)
+    df2 = fake_kafka_source(spark, broker, "t", "earliest", 20,
+                            group_id="g-adopt")
+    q2 = (df2.writeStream.foreachBatch(sink)
+          .option("checkpointLocation", ck).start())
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination(30)
+
+    # exactly-once at the source level: every record once, no replays
+    # (duplicates would appear WITHOUT the bootstrap: the blind
+    # earliest seed plans end=budget < committed start)
+    assert sorted(seen) == list(range(100)), (
+        f"n={len(seen)} uniq={len(set(seen))}"
+    )
+    # and the hint file reflects the consumed position
+    import json
+
+    hint = json.load(open(os.path.join(broker, "t", "_group-g-adopt.json")))
+    assert sum(hint.values()) == 100

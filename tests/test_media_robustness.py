@@ -184,7 +184,7 @@ def test_wav_truncations_and_length_corruption_raise():
     fmt_at = wav.index(b"fmt ") + 8
     bad3 = bytearray(wav)
     bad3[fmt_at + 14 : fmt_at + 16] = struct.pack("<H", 12)
-    with pytest.raises(ValueError, match="illegal sample width"):
+    with pytest.raises(ValueError, match="illegal PCM sample width"):
         _parse_wav(bytes(bad3))
 
 

@@ -847,6 +847,14 @@ def test_wav_unsupported_layouts_stay_count_only(spark):
             + b"data" + _s.pack("<I", 8) + bytes(8))
     n3, px3 = _parse_wav(wavf)
     assert n3 == 4 and px3 is None
+    # IMA-ADPCM (fmt tag 17, 4 bits/sample): a VALID unsupported codec
+    # — count-only metadata, NEVER quarantined as corrupt (r8 review)
+    fmta = _s.pack("<HHIIHH", 17, 1, 8000, 4000, 256, 4)
+    wava = (b"RIFF" + _s.pack("<I", 4 + 8 + len(fmta) + 8 + 8)
+            + b"WAVE" + b"fmt " + _s.pack("<I", len(fmta)) + fmta
+            + b"data" + _s.pack("<I", 8) + bytes(8))
+    na, pxa = _parse_wav(wava)
+    assert pxa is None  # count-only, no exception
 
 
 def test_malformed_progressive_stays_metadata_only(spark):

@@ -47,6 +47,8 @@ def test_stream_decodes_and_quarantines(spark, tmp_path):
     quarantined = [r for r in rows if r["decode_error"] is not None]
     assert len(quarantined) == 1  # the corrupt PNG, stream alive
     assert "CRC" in quarantined[0]["decode_error"]
+    # the dead-letter trail names the offending FILE
+    assert quarantined[0]["src_path"].endswith("b.png")
     sums = sorted(r["px_sum"] for r in ok)
     assert sums == sorted(
         [int(arr.astype(np.int64).sum()), int(v.sum())]

@@ -90,11 +90,25 @@ def run_artifact_gate(bench: str | None, correctness: str | None) -> int:
     (a fresh clone has none — that is not a release violation)."""
     import glob
     import json
+    import re
+
+    def newest(pattern: str) -> str | None:
+        """Newest ROUND, numerically — lexicographic max() would pick
+        BENCH_r9 over BENCH_r10 from round 10 on."""
+        paths = glob.glob(pattern)
+        if not paths:
+            return None
+
+        def round_no(p: str) -> int:
+            m = re.search(r"_r0*(\d+)\.json$", p)
+            return int(m.group(1)) if m else -1
+
+        return max(paths, key=round_no)
 
     violations = 0
     print("\n# Artifact gate (the judge's mechanical pass)")
 
-    bench = bench or max(glob.glob("BENCH_r*.json"), default=None)
+    bench = bench or newest("BENCH_r*.json")
     if bench is None:
         print("GATE skip bench: no BENCH_r*.json artifact present")
     else:
@@ -111,9 +125,7 @@ def run_artifact_gate(bench: str | None, correctness: str | None) -> int:
             violations += 1
             print(f"GATE FAIL bench: {bench} violates the per-entry factor")
 
-    correctness = correctness or max(
-        glob.glob("CORRECTNESS_r*.json"), default=None
-    )
+    correctness = correctness or newest("CORRECTNESS_r*.json")
     if correctness is None:
         print("GATE skip correctness: no CORRECTNESS_r*.json present")
     else:
