@@ -551,6 +551,13 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("min_doc_id", "bigint"), ("max_doc_id", "bigint"),
     ],
     "q209_audio_fingerprint": [("media_id", "bigint"), ("ahash", "string")],
+    "q211_winnow_fingerprints": [
+        ("doc_id", "bigint"), ("n_shingles", "bigint"),
+        ("n_fps", "bigint"), ("fp_hash_sum", "bigint"),
+    ],
+    "q212_winnow_overlap": [
+        ("id_a", "bigint"), ("id_b", "bigint"), ("shared_fps", "bigint"),
+    ],
     "q210_audio_neardup": [
         ("id_a", "bigint"), ("id_b", "bigint"), ("hamming", "int"),
     ],
@@ -886,6 +893,9 @@ BUNDLES: dict[str, list[str]] = {
     "q32_70_shingle_exact": [
         "q32_ngram_jaccard", "q70_split_contamination", "q89_substring_dup",
         "q95_bloom_decontaminate", "q113_shingle_novelty",
+        # round 8: winnowing fingerprints (SIGMOD'03 / MOSS) — rolling
+        # window-min selection + relocation-surviving overlap pairs
+        "q211_winnow_fingerprints", "q212_winnow_overlap",
     ],
     # oracle-backed since round 3: the seeded hyperplanes embed as
     # literal sign coefficients, the IVF centroid pick is a portable

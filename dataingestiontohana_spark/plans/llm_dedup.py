@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataingestiontohana_spark.catalog import load_table
-from dataingestiontohana_spark.functions.text import normalize_text
+from dataingestiontohana_spark.functions.text import normalize_text, tokens
 from dataingestiontohana_spark.operators.connected_components import (
     connected_components,
 )
@@ -1095,4 +1095,171 @@ ORACLES["q197_dup_provenance"] = f"""
     FROM j
     GROUP BY 1, 2, 3
     ORDER BY source_a, source_b
+"""
+
+
+# -- Winnowing fingerprints (round 8) --------------------------------
+
+_WINNOW_W = 4  # window width over consecutive shingle hashes
+_WINNOW_SALT = 211
+_POS_BASE = 2_147_483_648  # 2^31: composite = hash * base + position
+
+
+def _winnow_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_shingles, c) — the winnowing fingerprint selection
+    (Schleimer, Wilkerson & Aiken, SIGMOD 2003; the MOSS algorithm):
+    hash every 3-gram word shingle, slide a width-W window over the
+    hash sequence, keep each window's minimum — guaranteeing any match
+    of length >= W+2 tokens shares a fingerprint, while storing only
+    ~2/(W+1) of the shingles. Ties break toward the LOWEST position
+    via the composite key hash*2^31 + pos (hash < 2^32 from the
+    portable md5 nibble hash, so the composite fits int64 and the same
+    integer comparison runs in DuckDB).
+
+    Scale shape: posexplode keeps the shingle build in codegen
+    (arrays_zip of slices, the `shingle_string_rows` discipline); the
+    window min is frame-bounded (ROWS 0..W-1) and PARTITIONED by
+    doc_id — never a global sort; dedup of selected fingerprints is a
+    distinct on (doc_id, composite). Docs with fewer than W shingles
+    emit nothing (no full window — the paper's guarantee threshold)."""
+    from pyspark.sql import Window
+
+    from dataingestiontohana_spark.operators.sketches import _md5_int
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    m = F.greatest(F.size(toks) - F.lit(2), F.lit(0))
+    z = F.arrays_zip(
+        F.slice(toks, 1, m), F.slice(toks, 2, m), F.slice(toks, 3, m)
+    )
+    rows = d.select(
+        "doc_id",
+        m.cast("bigint").alias("n_shingles"),
+        F.posexplode(z).alias("pos", "t"),
+    ).select(
+        "doc_id",
+        "n_shingles",
+        "pos",
+        (
+            _md5_int(F.concat_ws(" ", "t.0", "t.1", "t.2"), _WINNOW_SALT)
+            * F.lit(_POS_BASE)
+            + F.col("pos")
+        ).alias("c"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, _WINNOW_W - 1)
+    )
+    return (
+        rows.withColumn("wmin", F.min("c").over(win))
+        .where(F.col("pos") <= F.col("n_shingles") - _WINNOW_W)
+        .select("doc_id", "n_shingles", F.col("wmin").alias("c"))
+        .distinct()
+    )
+
+
+def q211_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing fingerprint summary: shingle count,
+    selected-fingerprint count (the ~2/(W+1) density the paper
+    proves), and the exact integer checksum of the selected hash set
+    — the stored artifact a plagiarism/near-dup index persists."""
+    sel = _winnow_selected(spark, sf_dir)
+    return (
+        sel.groupBy("doc_id", "n_shingles")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_fps"),
+            F.sum(F.floor(F.col("c") / F.lit(_POS_BASE)))
+            .cast("bigint")
+            .alias("fp_hash_sum"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q212_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style overlap detection: document pairs sharing >= 3
+    selected fingerprint HASHES (positions stripped — matches survive
+    relocation, the paper's point). Hot fingerprints appearing in
+    > 50 documents are dropped before the pair join (the LSH
+    bucket-cap discipline: one boilerplate shingle with a small hash
+    would otherwise fan out quadratically)."""
+    sel = _winnow_selected(spark, sf_dir).select(
+        "doc_id", F.floor(F.col("c") / F.lit(_POS_BASE)).alias("fp")
+    ).distinct()
+    freq = sel.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
+    keep = sel.join(
+        F.broadcast(freq.where(F.col("n_docs") <= 50)), "fp", "left_semi"
+    )
+    a = keep.select(F.col("doc_id").alias("id_a"), "fp")
+    b = keep.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
+        .where(F.col("shared_fps") >= 3)
+        .orderBy("id_a", "id_b")
+    )
+
+
+QUERIES["q211_winnow_fingerprints"] = q211_winnow_fingerprints
+QUERIES["q212_winnow_overlap"] = q212_winnow_overlap
+
+from dataingestiontohana_spark.operators.sketches import (  # noqa: E402
+    hex_uint_sql as _hex_uint_sql,
+)
+
+_WINNOW_CTE = f"""
+    tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text),
+                 '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' ') AS toks
+      FROM documents),
+    sh AS (
+      SELECT doc_id, CAST(len(toks) - 2 AS BIGINT) AS n_shingles,
+             CAST(i - 1 AS BIGINT) AS pos,
+             toks[CAST(i AS INT)] || ' ' || toks[CAST(i+1 AS INT)]
+               || ' ' || toks[CAST(i+2 AS INT)] AS s
+      FROM (SELECT doc_id, toks,
+                   unnest(range(1, len(toks) - 1)) AS i
+            FROM tok)),
+    hashed AS (
+      SELECT doc_id, n_shingles, pos,
+             {_hex_uint_sql('s', _WINNOW_SALT)} * {_POS_BASE} + pos AS c
+      FROM sh),
+    selected AS (
+      SELECT DISTINCT doc_id, n_shingles, wmin AS c
+      FROM (
+        SELECT doc_id, n_shingles, pos,
+               min(c) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {_WINNOW_W - 1} FOLLOWING) AS wmin
+        FROM hashed)
+      WHERE pos <= n_shingles - {_WINNOW_W})
+"""
+
+ORACLES["q211_winnow_fingerprints"] = f"""
+    WITH {_WINNOW_CTE}
+    SELECT doc_id, n_shingles,
+           CAST(COUNT(*) AS BIGINT) AS n_fps,
+           CAST(SUM(c // {_POS_BASE}) AS BIGINT) AS fp_hash_sum
+    FROM selected
+    GROUP BY doc_id, n_shingles
+    ORDER BY doc_id
+"""
+
+ORACLES["q212_winnow_overlap"] = f"""
+    WITH {_WINNOW_CTE},
+    fps AS (SELECT DISTINCT doc_id, c // {_POS_BASE} AS fp FROM selected),
+    keep AS (
+      SELECT doc_id, fp FROM fps
+      WHERE fp IN (SELECT fp FROM fps GROUP BY fp
+                   HAVING COUNT(*) <= 50)),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fps
+      FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, CAST(shared_fps AS BIGINT) AS shared_fps
+    FROM pairs WHERE shared_fps >= 3 ORDER BY id_a, id_b
 """

@@ -1,0 +1,61 @@
+"""Winnowing fingerprint properties (Schleimer et al. SIGMOD'03): the
+match guarantee (any shared token run past the threshold shares a
+selected fingerprint), the density bound, and relocation invariance —
+on constructed documents where the truths are known."""
+
+from __future__ import annotations
+
+import pytest
+
+from dataingestiontohana_spark.plans.llm_dedup import (
+    _WINNOW_W,
+    _winnow_selected,
+)
+
+
+@pytest.fixture(scope="module")
+def fp_frame(spark, tmp_path_factory):
+    """A tiny parquet 'documents' table with planted structure:
+    docs 1 and 2 share a long verbatim run at DIFFERENT offsets; doc 3
+    is unrelated; doc 4 is too short to fingerprint."""
+    base = tmp_path_factory.mktemp("winnow")
+    shared = " ".join(f"s{i}" for i in range(12))  # 12-token run
+    rows = [
+        (1, "alpha beta gamma " + shared + " delta", "en", "srcA", 0),
+        (2, shared + " zeta eta theta iota kappa", "en", "srcA", 0),
+        (3, " ".join(f"u{i}" for i in range(30)), "en", "srcB", 0),
+        (4, "just three tokens", "en", "srcB", 0),  # 1 shingle < W
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(base / "documents.parquet"))
+    return _winnow_selected(spark, str(base)), base
+
+
+def test_guarantee_shared_run_shares_a_fingerprint(spark, fp_frame):
+    sel, _ = fp_frame
+    rows = sel.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["c"] >> 31)
+    # the 12-token shared run is far past the w+2 guarantee threshold:
+    # docs 1 and 2 MUST share a fingerprint hash despite the offset
+    # difference (relocation invariance: positions are not compared)
+    assert by_doc[1] & by_doc[2], (by_doc[1], by_doc[2])
+    # the unrelated doc shares nothing with either
+    assert not (by_doc[3] & (by_doc[1] | by_doc[2]))
+    # sub-threshold doc emits nothing
+    assert 4 not in by_doc
+
+
+def test_density_bound(spark, fp_frame):
+    sel, _ = fp_frame
+    r = {x["doc_id"]: x for x in sel.groupBy("doc_id", "n_shingles")
+         .count().collect()}
+    for doc_id, row in r.items():
+        n_windows = row["n_shingles"] - _WINNOW_W + 1
+        # selected fingerprints <= windows, and can't be fewer than
+        # ceil(windows / W) (one selection survives at most W windows)
+        assert row["count"] <= n_windows
+        assert row["count"] >= (n_windows + _WINNOW_W - 1) // _WINNOW_W
