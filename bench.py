@@ -65,6 +65,7 @@ def clear_shared_caches() -> None:
     for cache in (
         llm_dedup._EDGE_CACHE,
         llm_dedup._LSH_CACHE,
+        llm_dedup._WINNOW_CACHE,
         graph._GRAPH_CACHE,
         relational_ext._BASKET_CACHE,
         multimodal._MEDIA_CACHE,

@@ -1105,6 +1105,12 @@ _WINNOW_SALT = 211
 _POS_BASE = 2_147_483_648  # 2^31: composite = hash * base + position
 
 
+# q211 (per-doc summary) and q212 (overlap pairs) both consume the
+# selected-fingerprint frame; one lazily-localCheckpointed frame per
+# (application, sf_dir) — the _exact_pairs_cached sharing discipline.
+_WINNOW_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _winnow_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_shingles, c) — the winnowing fingerprint selection
     (Schleimer, Wilkerson & Aiken, SIGMOD 2003; the MOSS algorithm):
@@ -1151,12 +1157,18 @@ def _winnow_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pos")
         .rowsBetween(0, _WINNOW_W - 1)
     )
-    return (
-        rows.withColumn("wmin", F.min("c").over(win))
-        .where(F.col("pos") <= F.col("n_shingles") - _WINNOW_W)
-        .select("doc_id", "n_shingles", F.col("wmin").alias("c"))
-        .distinct()
-    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _WINNOW_CACHE.get(key)
+    if df is None:
+        df = (
+            rows.withColumn("wmin", F.min("c").over(win))
+            .where(F.col("pos") <= F.col("n_shingles") - _WINNOW_W)
+            .select("doc_id", "n_shingles", F.col("wmin").alias("c"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        _WINNOW_CACHE[key] = df
+    return df
 
 
 def q211_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
