@@ -558,6 +558,11 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q212_winnow_overlap": [
         ("id_a", "bigint"), ("id_b", "bigint"), ("shared_fps", "bigint"),
     ],
+    "q213_domain_caps": [
+        ("source", "string"), ("kept_docs", "bigint"),
+        ("total_docs", "bigint"), ("kept_tokens", "bigint"),
+        ("quality_cut", "double"),
+    ],
     "q210_audio_neardup": [
         ("id_a", "bigint"), ("id_b", "bigint"), ("hamming", "int"),
     ],
@@ -861,6 +866,8 @@ BUNDLES: dict[str, list[str]] = {
         # + DSIR importance resampling (the driver window caps at 50
         # entries, so these extend the bundle instead of adding one)
         "q207_bigram_lm", "q208_dsir_resample",
+        # round 8: per-domain quality caps (the FineWeb domain budget)
+        "q213_domain_caps",
     ],
     "q22_29_exact_dedup": [
         "q22_exact_dedup_count", "q29_exact_dedup", "q92_segment_dedup",

@@ -1189,3 +1189,97 @@ ORACLES["q178_annotator_kappa"] = """
            END AS kappa
     FROM k
 """
+
+
+def q213_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality caps (round 8; the FineWeb/CC-pipeline
+    'domain budget' step): within every source, rank documents by the
+    q26 heuristic quality score and keep only the top 10 — bounding
+    any one domain's contribution to the training mix regardless of
+    its crawl volume. Output: per-source kept/total counts, the kept
+    token mass, and the quality CUT LINE (the lowest kept score) —
+    the knobs a mix owner reads.
+
+    Scale shape: ONE rank window partitioned by source (the natural
+    per-domain parallelism — never a global sort), over a map-only
+    projection of the quality expression; per-source aggregate after
+    the filter. At 100 TB this is the same plan with more source
+    partitions; skewed mega-domains are exactly what the cap bounds.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = F.size(toks)
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "and", "of", "is"))
+    )
+    score = (
+        F.when(F.col("n_chars") < 50, 0.0).otherwise(1.0)
+        * F.round(F.col("n_chars") / n_tokens, 4)
+        + F.round(stop_hits / n_tokens, 4)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    scored = d.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        F.round(score, 4).alias("quality"),
+    )
+    totals = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_docs")
+    )
+    kept = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("kept_docs"),
+            F.sum("n_tokens").cast("bigint").alias("kept_tokens"),
+            F.min("quality").alias("quality_cut"),
+        )
+    )
+    return (
+        kept.join(totals, "source")
+        .select(
+            "source", "kept_docs", "total_docs", "kept_tokens",
+            "quality_cut",
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["q213_domain_caps"] = q213_domain_caps
+
+ORACLES["q213_domain_caps"] = """
+    WITH t AS (
+      SELECT doc_id, source, n_chars,
+             regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')
+               AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id, source, len(toks) AS n_tokens,
+             (CASE WHEN n_chars < 50 THEN 0.0 ELSE 1.0 END)
+               * ROUND(n_chars / len(toks), 4)
+             + ROUND(len(list_filter(toks,
+                 x -> x IN ('the','a','and','of','is'))) / len(toks), 4)
+             AS q
+      FROM t),
+    ranked AS (
+      SELECT doc_id, source, n_tokens, ROUND(q, 4) AS quality,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY ROUND(q, 4) DESC, doc_id) AS rk
+      FROM s),
+    totals AS (SELECT source, COUNT(*) AS total_docs FROM s GROUP BY source)
+    SELECT r.source,
+           CAST(COUNT(*) AS BIGINT) AS kept_docs,
+           CAST(t.total_docs AS BIGINT) AS total_docs,
+           CAST(SUM(r.n_tokens) AS BIGINT) AS kept_tokens,
+           MIN(r.quality) AS quality_cut
+    FROM ranked r JOIN totals t USING (source)
+    WHERE r.rk <= 10
+    GROUP BY r.source, t.total_docs
+    ORDER BY r.source
+"""
