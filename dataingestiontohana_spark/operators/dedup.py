@@ -83,9 +83,15 @@ def shingle_hash_rows(
 
 
 def shingle_string_rows(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    with_pos: bool = False,
 ) -> DataFrame:
-    """(id, sh) rows — the n-gram word shingle as a *string*.
+    """(id, sh) rows — the n-gram word shingle as a *string* — plus the
+    0-based shingle position when ``with_pos`` (the winnowing family
+    needs positions; everyone else treats shingles as a set).
 
     Same lead-window shape as :func:`shingle_hash_rows` (whole-stage
     codegen, one shuffle on the id, no higher-order lambdas), but the
@@ -94,6 +100,9 @@ def shingle_string_rows(
     shingles from ``string_split``), which is what lets the exact
     set-similarity queries be oracle-checked; the hashed variant stays
     the scale path when 8-byte identities are preferred over strings.
+    ONE definition of shingle identity serves the whole dedup family —
+    a second hand-rolled copy could drift and silently desynchronize
+    an oracle.
     """
     assert n == 3, "shingle width fixed at 3 (extend the zip to change)"
     toks = tokens(text_col)
@@ -105,8 +114,15 @@ def shingle_string_rows(
     z = F.arrays_zip(
         F.slice(toks, 1, m), F.slice(toks, 2, m), F.slice(toks, 3, m)
     )
+    sh = F.concat_ws(" ", "t.0", "t.1", "t.2").alias("sh")
+    if with_pos:
+        return docs.select(
+            F.col(id_col),
+            m.cast("bigint").alias("n_shingles"),
+            F.posexplode(z).alias("pos", "t"),
+        ).select(id_col, "n_shingles", "pos", sh)
     return docs.select(F.col(id_col), F.explode(z).alias("t")).select(
-        id_col, F.concat_ws(" ", "t.0", "t.1", "t.2").alias("sh")
+        id_col, sh
     )
 
 

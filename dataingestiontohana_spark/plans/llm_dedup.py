@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataingestiontohana_spark.catalog import load_table
-from dataingestiontohana_spark.functions.text import normalize_text, tokens
+from dataingestiontohana_spark.functions.text import normalize_text
 from dataingestiontohana_spark.operators.connected_components import (
     connected_components,
 )
@@ -1122,33 +1122,30 @@ def _winnow_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable md5 nibble hash, so the composite fits int64 and the same
     integer comparison runs in DuckDB).
 
-    Scale shape: posexplode keeps the shingle build in codegen
-    (arrays_zip of slices, the `shingle_string_rows` discipline); the
-    window min is frame-bounded (ROWS 0..W-1) and PARTITIONED by
-    doc_id — never a global sort; dedup of selected fingerprints is a
-    distinct on (doc_id, composite). Docs with fewer than W shingles
-    emit nothing (no full window — the paper's guarantee threshold)."""
+    Scale shape: shingles come from the ONE shared definition
+    (`shingle_string_rows(with_pos=True)` — codegen arrays_zip of
+    slices); the window min is frame-bounded (ROWS 0..W-1) and
+    PARTITIONED by doc_id — never a global sort; dedup of selected
+    fingerprints is a distinct on (doc_id, composite). Docs with fewer
+    than W shingles emit nothing (no full window — the paper's
+    guarantee threshold). Cached per (application, sf_dir) like the
+    exact-pair edges; plan construction happens only on a miss."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _WINNOW_CACHE.get(key)
+    if df is not None:
+        return df
+
     from pyspark.sql import Window
 
     from dataingestiontohana_spark.operators.sketches import _md5_int
 
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    m = F.greatest(F.size(toks) - F.lit(2), F.lit(0))
-    z = F.arrays_zip(
-        F.slice(toks, 1, m), F.slice(toks, 2, m), F.slice(toks, 3, m)
-    )
-    rows = d.select(
-        "doc_id",
-        m.cast("bigint").alias("n_shingles"),
-        F.posexplode(z).alias("pos", "t"),
-    ).select(
+    rows = shingle_string_rows(d, with_pos=True).select(
         "doc_id",
         "n_shingles",
         "pos",
         (
-            _md5_int(F.concat_ws(" ", "t.0", "t.1", "t.2"), _WINNOW_SALT)
-            * F.lit(_POS_BASE)
+            _md5_int(F.col("sh"), _WINNOW_SALT) * F.lit(_POS_BASE)
             + F.col("pos")
         ).alias("c"),
     )
@@ -1157,17 +1154,14 @@ def _winnow_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pos")
         .rowsBetween(0, _WINNOW_W - 1)
     )
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _WINNOW_CACHE.get(key)
-    if df is None:
-        df = (
-            rows.withColumn("wmin", F.min("c").over(win))
-            .where(F.col("pos") <= F.col("n_shingles") - _WINNOW_W)
-            .select("doc_id", "n_shingles", F.col("wmin").alias("c"))
-            .distinct()
-            .localCheckpoint(eager=False)
-        )
-        _WINNOW_CACHE[key] = df
+    df = (
+        rows.withColumn("wmin", F.min("c").over(win))
+        .where(F.col("pos") <= F.col("n_shingles") - _WINNOW_W)
+        .select("doc_id", "n_shingles", F.col("wmin").alias("c"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    _WINNOW_CACHE[key] = df
     return df
 
 
@@ -1200,9 +1194,12 @@ def q212_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.floor(F.col("c") / F.lit(_POS_BASE)).alias("fp")
     ).distinct()
     freq = sel.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
-    keep = sel.join(
-        F.broadcast(freq.where(F.col("n_docs") <= 50)), "fp", "left_semi"
-    )
+    # broadcast the HOT side: fingerprints in > 50 docs are the
+    # boilerplate tail — provably tiny (<= n_fp_rows/50 of them), while
+    # the keep set is ~all distinct fingerprints and GROWS with the
+    # corpus (broadcasting it would blow the broadcast budget at scale)
+    hot = freq.where(F.col("n_docs") > 50).select("fp")
+    keep = sel.join(F.broadcast(hot), "fp", "left_anti")
     a = keep.select(F.col("doc_id").alias("id_a"), "fp")
     b = keep.select(F.col("doc_id").alias("id_b"), "fp")
     return (

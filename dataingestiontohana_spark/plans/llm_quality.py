@@ -1193,8 +1193,9 @@ ORACLES["q178_annotator_kappa"] = """
 
 def q213_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain quality caps (round 8; the FineWeb/CC-pipeline
-    'domain budget' step): within every source, rank documents by the
-    q26 heuristic quality score and keep only the top 10 — bounding
+    'domain budget' step): within every source, rank documents by THE
+    q26 heuristic quality score (one shared definition per engine:
+    `llm_text.quality_score_cols` / `llm_text.QUALITY_SCORE_SQL`) and keep only the top 10 — bounding
     any one domain's contribution to the training mix regardless of
     its crawl volume. Output: per-source kept/total counts, the kept
     token mass, and the quality CUT LINE (the lowest kept score) —
@@ -1206,19 +1207,12 @@ def q213_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     the filter. At 100 TB this is the same plan with more source
     partitions; skewed mega-domains are exactly what the cap bounds.
     """
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    n_tokens = F.size(toks)
-    stop_hits = F.size(
-        F.filter(toks, lambda t: t.isin("the", "a", "and", "of", "is"))
-    )
-    score = (
-        F.when(F.col("n_chars") < 50, 0.0).otherwise(1.0)
-        * F.round(F.col("n_chars") / n_tokens, 4)
-        + F.round(stop_hits / n_tokens, 4)
-    )
     from pyspark.sql import Window
 
+    from dataingestiontohana_spark.plans.llm_text import quality_score_cols
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens, quality = quality_score_cols()  # THE q26 expression
     w = Window.partitionBy("source").orderBy(
         F.desc("quality"), F.asc("doc_id")
     )
@@ -1226,7 +1220,7 @@ def q213_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         n_tokens.alias("n_tokens"),
-        F.round(score, 4).alias("quality"),
+        quality.alias("quality"),
     )
     totals = scored.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("total_docs")
@@ -1253,26 +1247,18 @@ def q213_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["q213_domain_caps"] = q213_domain_caps
 
-ORACLES["q213_domain_caps"] = """
-    WITH t AS (
-      SELECT doc_id, source, n_chars,
-             regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')
-               AS toks
-      FROM documents),
-    s AS (
-      SELECT doc_id, source, len(toks) AS n_tokens,
-             (CASE WHEN n_chars < 50 THEN 0.0 ELSE 1.0 END)
-               * ROUND(n_chars / len(toks), 4)
-             + ROUND(len(list_filter(toks,
-                 x -> x IN ('the','a','and','of','is'))) / len(toks), 4)
-             AS q
-      FROM t),
+from dataingestiontohana_spark.plans.llm_text import (  # noqa: E402
+    QUALITY_SCORE_SQL as _QS_SQL,
+)
+
+ORACLES["q213_domain_caps"] = f"""
+    WITH {_QS_SQL},
     ranked AS (
-      SELECT doc_id, source, n_tokens, ROUND(q, 4) AS quality,
+      SELECT doc_id, source, n_tokens, quality,
              ROW_NUMBER() OVER (PARTITION BY source
-                                ORDER BY ROUND(q, 4) DESC, doc_id) AS rk
-      FROM s),
-    totals AS (SELECT source, COUNT(*) AS total_docs FROM s GROUP BY source)
+                                ORDER BY quality DESC, doc_id) AS rk
+      FROM qs),
+    totals AS (SELECT source, COUNT(*) AS total_docs FROM qs GROUP BY source)
     SELECT r.source,
            CAST(COUNT(*) AS BIGINT) AS kept_docs,
            CAST(t.total_docs AS BIGINT) AS total_docs,

@@ -73,13 +73,12 @@ def q25_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q26_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic quality scoring: length, mean word length, stopword
-    ratio — the standard cheap filters of a pretraining-data pipeline
-    (cf. Gopher/C4 quality heuristics). Returns the per-doc score for
-    the lowest-scoring 100 docs (deterministic total order).
-    """
-    d = load_table(spark, sf_dir, "documents")
+def quality_score_cols() -> tuple[F.Column, F.Column]:
+    """(n_tokens, quality) — THE q26 heuristic quality expression
+    (length gate x chars-per-token + stopword ratio, each ROUND 4),
+    shared by every consumer (q26 ranking, q213 domain caps) so the
+    heuristic has exactly one definition per engine; its SQL twin is
+    :data:`QUALITY_SCORE_SQL` below."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
     n_tokens = F.size(toks)
     stop_hits = F.size(
@@ -90,11 +89,39 @@ def q26_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.round(F.col("n_chars") / n_tokens, 4)
         + F.round(stop_hits / n_tokens, 4)
     )
+    return n_tokens, F.round(score, 4)
+
+
+# the DuckDB twin of quality_score_cols(): CTE body computing
+# (doc_id, source, n_tokens, quality) over `documents`
+QUALITY_SCORE_SQL = """
+    qs AS (
+      SELECT doc_id, source, len(toks) AS n_tokens,
+             ROUND((CASE WHEN n_chars < 50 THEN 0.0 ELSE 1.0 END)
+                     * ROUND(n_chars / len(toks), 4)
+                   + ROUND(len(list_filter(toks,
+                       x -> x IN ('the','a','and','of','is')))
+                           / len(toks), 4), 4) AS quality
+      FROM (SELECT doc_id, source, n_chars,
+                   regexp_split_to_array(trim(text),
+                       '[ \\t\\n\\x0b\\f\\r]+') AS toks
+            FROM documents))
+"""
+
+
+def q26_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length, mean word length, stopword
+    ratio — the standard cheap filters of a pretraining-data pipeline
+    (cf. Gopher/C4 quality heuristics). Returns the per-doc score for
+    the lowest-scoring 100 docs (deterministic total order).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens, quality = quality_score_cols()
     return (
         d.select(
             "doc_id",
             n_tokens.alias("n_tokens"),
-            F.round(score, 4).alias("quality"),
+            quality.alias("quality"),
         )
         .orderBy("quality", "doc_id")
         .limit(100)
@@ -244,21 +271,10 @@ ORACLES = {
                ROUND(AVG(n_tokens), 2) AS avg_tokens
         FROM t GROUP BY source ORDER BY source
     """,
-    "q26_quality_score": """
-        WITH t AS (
-          SELECT doc_id, n_chars,
-                 regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS toks
-          FROM documents),
-        s AS (
-          SELECT doc_id, len(toks) AS n_tokens,
-                 (CASE WHEN n_chars < 50 THEN 0.0 ELSE 1.0 END)
-                   * ROUND(n_chars / len(toks), 4)
-                 + ROUND(len(list_filter(toks,
-                     x -> x IN ('the','a','and','of','is'))) / len(toks), 4)
-                 AS quality
-          FROM t)
-        SELECT doc_id, n_tokens, ROUND(quality, 4) AS quality
-        FROM s ORDER BY quality, doc_id LIMIT 100
+    "q26_quality_score": f"""
+        WITH {QUALITY_SCORE_SQL}
+        SELECT doc_id, n_tokens, quality
+        FROM qs ORDER BY quality, doc_id LIMIT 100
     """,
     "q27_lang_id": """
         WITH hits AS (
