@@ -172,3 +172,38 @@ def word_trigrams(col: Column | str) -> Column:
     return F.arrays_zip(
         F.slice(toks, 1, ln), F.slice(toks, 2, ln), F.slice(toks, 3, ln)
     )
+
+
+def strip_html(col: Column | str) -> Column:
+    """Main-text extraction from HTML: drop <script>/<style> subtrees
+    (their TEXT is not content), then every remaining tag, then
+    collapse whitespace — the regex-pipeline core of a crawl
+    extractor (trafilatura/jusText's first pass), kept to three
+    codegen'd regexp_replace stages so it runs tag-soup-tolerant at
+    scan speed with no Python in the path. `(?is)` = case-insensitive
+    + dotall (both Java regex and DuckDB's RE2 accept the inline
+    flags, which is what keeps the SQL twin byte-identical)."""
+    c = F.col(col) if isinstance(col, str) else col
+    # two passes, one per subtree kind: DuckDB's RE2 has no
+    # backreferences, so `</\1>` is not portable
+    no_script = F.regexp_replace(
+        c, r"(?is)<script\b[^>]*>.*?</script\s*>", " "
+    )
+    no_style = F.regexp_replace(
+        no_script, r"(?is)<style\b[^>]*>.*?</style\s*>", " "
+    )
+    no_tags = F.regexp_replace(no_style, r"(?s)<[^>]*>", " ")
+    return F.trim(F.regexp_replace(no_tags, r"[ \t\n\x0b\f\r]+", " "))
+
+
+# DuckDB twin of strip_html() over a SQL expression
+def strip_html_sql(expr: str) -> str:
+    return (
+        "trim(regexp_replace(regexp_replace(regexp_replace("
+        "regexp_replace("
+        + expr
+        + r", '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g')"
+        + r", '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g')"
+        + r", '(?s)<[^>]*>', ' ', 'g')"
+        + r", '[ \t\n\x0b\f\r]+', ' ', 'g'))"
+    )

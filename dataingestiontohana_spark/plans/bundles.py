@@ -563,6 +563,11 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("total_docs", "bigint"), ("kept_tokens", "bigint"),
         ("quality_cut", "double"),
     ],
+    "q214_html_extract": [
+        ("doc_id", "bigint"), ("n_html_chars", "bigint"),
+        ("n_extracted_chars", "bigint"), ("recovered", "int"),
+        ("junk_leaks", "int"), ("boilerplate_ratio", "double"),
+    ],
     "q210_audio_neardup": [
         ("id_a", "bigint"), ("id_b", "bigint"), ("hamming", "int"),
     ],
@@ -855,6 +860,8 @@ BUNDLES: dict[str, list[str]] = {
         "q25_token_stats", "q51_bpe_token_stats", "q61_token_topk",
         "q61b_vocab_sketch_audit", "q77_chunk_windows", "q78_pack_chunks",
         "q94_cms_heavy_hitters", "q104_hll_cardinality",
+        # round 8: crawl->extract (HTML main-text recovery round trip)
+        "q214_html_extract",
     ],
     "q26_28_quality": [
         "q26_quality_score", "q28_fingerprint", "q79_pii_redaction",

@@ -684,3 +684,95 @@ ORACLES["q127_rolling_hll_users"] = f"""
     FROM est e2 JOIN ex ON e2.d = ex.d
     ORDER BY d
 """
+
+
+def q214_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-text extraction from HTML (round 8; the crawl->extract
+    step every web-corpus pipeline starts with): each document is
+    wrapped in deterministic doc-varying HTML — title, a <script>
+    carrying an md5 payload, a <style> block, nav/footer boilerplate —
+    then `functions/text.py::strip_html` recovers the visible text.
+    The adjudicated contract per doc: the normalized ORIGINAL text
+    survives verbatim inside the extraction (recovered=1), not one
+    byte of script/style payload leaks (junk_leaks=0), and the
+    boilerplate overhead ratio is reported. Wrapping inside the query
+    makes the whole round trip oracle-recomputable; on a real crawl
+    the same three regexp stages run against fetched bytes.
+
+    Scale shape: pure map-only codegen (concat + 4 regexp_replace +
+    position) — scan speed, no shuffle, no Python."""
+    from dataingestiontohana_spark.functions.text import (
+        normalize_text,
+        strip_html,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit('</title><script>var k="'),
+        F.md5(F.col("doc_id").cast("string")),
+        F.lit('";</script><style>.c{color:#ab'),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("}</style></head><body><nav>home about contact</nav><p>"),
+        F.col("text"),
+        F.lit("</p><footer>copyright "),
+        F.col("source"),
+        F.lit("</footer></body></html>"),
+    )
+    extracted = strip_html(html)
+    norm = normalize_text(F.col("text"))
+    return (
+        d.select(
+            "doc_id",
+            F.length(html).cast("bigint").alias("n_html_chars"),
+            F.length(extracted).cast("bigint").alias("n_extracted_chars"),
+            (F.instr(extracted, norm) > 0).cast("int").alias("recovered"),
+            (
+                F.instr(extracted, F.md5(F.col("doc_id").cast("string"))) > 0
+            ).cast("int").alias("junk_leaks"),
+            F.round(
+                (F.length(html) - F.length(extracted)).cast("double")
+                / F.length(html).cast("double"),
+                4,
+            ).alias("boilerplate_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["q214_html_extract"] = q214_html_extract
+
+from dataingestiontohana_spark.functions.text import (  # noqa: E402
+    normalize_sql as _norm_sql214,
+    strip_html_sql as _strip_sql214,
+)
+
+_HTML_EXPR = (
+    "'<html><head><title>doc ' || CAST(doc_id AS VARCHAR) || "
+    "'</title><script>var k=\"' || md5(CAST(doc_id AS VARCHAR)) || "
+    "'\";</script><style>.c{color:#ab' || CAST(doc_id % 10 AS VARCHAR) || "
+    "'}</style></head><body><nav>home about contact</nav><p>' || text || "
+    "'</p><footer>copyright ' || source || '</footer></body></html>'"
+)
+
+ORACLES["q214_html_extract"] = f"""
+    WITH h AS (
+      SELECT doc_id, text, source, {_HTML_EXPR} AS html
+      FROM documents),
+    e AS (
+      SELECT doc_id, html, {_strip_sql214('html')} AS extracted,
+             {_norm_sql214('text')} AS norm
+      FROM h)
+    SELECT doc_id,
+           CAST(length(html) AS BIGINT) AS n_html_chars,
+           CAST(length(extracted) AS BIGINT) AS n_extracted_chars,
+           CAST(CASE WHEN strpos(extracted, norm) > 0
+                THEN 1 ELSE 0 END AS INTEGER) AS recovered,
+           CAST(CASE WHEN strpos(extracted,
+                     md5(CAST(doc_id AS VARCHAR))) > 0
+                THEN 1 ELSE 0 END AS INTEGER) AS junk_leaks,
+           ROUND(CAST(length(html) - length(extracted) AS DOUBLE)
+                 / CAST(length(html) AS DOUBLE), 4) AS boilerplate_ratio
+    FROM e ORDER BY doc_id
+"""
