@@ -178,7 +178,7 @@ def strip_html(col: Column | str) -> Column:
     """Main-text extraction from HTML: drop <script>/<style> subtrees
     (their TEXT is not content), then every remaining tag, then
     collapse whitespace — the regex-pipeline core of a crawl
-    extractor (trafilatura/jusText's first pass), kept to three
+    extractor (trafilatura/jusText's first pass), kept to four
     codegen'd regexp_replace stages so it runs tag-soup-tolerant at
     scan speed with no Python in the path. `(?is)` = case-insensitive
     + dotall (both Java regex and DuckDB's RE2 accept the inline

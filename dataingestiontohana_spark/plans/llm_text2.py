@@ -686,12 +686,30 @@ ORACLES["q127_rolling_hll_users"] = f"""
 """
 
 
+def _html_escape(c: F.Column) -> F.Column:
+    """&/</> -> entities, in the spec's order (& first) — text embeds
+    into HTML losslessly, so the round trip is provable on ANY corpus
+    (an unescaped '<x y>' span would be eaten by the tag stripper)."""
+    c = F.replace(c, F.lit("&"), F.lit("&amp;"))
+    c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+    return F.replace(c, F.lit(">"), F.lit("&gt;"))
+
+
+def _html_unescape(c: F.Column) -> F.Column:
+    """The inverse, reverse order (& last)."""
+    c = F.replace(c, F.lit("&lt;"), F.lit("<"))
+    c = F.replace(c, F.lit("&gt;"), F.lit(">"))
+    return F.replace(c, F.lit("&amp;"), F.lit("&"))
+
+
 def q214_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Main-text extraction from HTML (round 8; the crawl->extract
     step every web-corpus pipeline starts with): each document is
     wrapped in deterministic doc-varying HTML — title, a <script>
     carrying an md5 payload, a <style> block, nav/footer boilerplate —
-    then `functions/text.py::strip_html` recovers the visible text.
+    (text HTML-escaped on the way in, the lossless embedding), then
+    `functions/text.py::strip_html` + unescape recover the visible
+    text.
     The adjudicated contract per doc: the normalized ORIGINAL text
     survives verbatim inside the extraction (recovered=1), not one
     byte of script/style payload leaks (junk_leaks=0), and the
@@ -715,19 +733,24 @@ def q214_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('";</script><style>.c{color:#ab'),
         (F.col("doc_id") % 10).cast("string"),
         F.lit("}</style></head><body><nav>home about contact</nav><p>"),
-        F.col("text"),
+        _html_escape(F.col("text")),
         F.lit("</p><footer>copyright "),
         F.col("source"),
         F.lit("</footer></body></html>"),
     )
-    extracted = strip_html(html)
+    extracted = _html_unescape(strip_html(html))
     norm = normalize_text(F.col("text"))
     return (
         d.select(
             "doc_id",
             F.length(html).cast("bigint").alias("n_html_chars"),
             F.length(extracted).cast("bigint").alias("n_extracted_chars"),
-            (F.instr(extracted, norm) > 0).cast("int").alias("recovered"),
+            # compare NORMALIZED extraction against the normalized
+            # original: strip_html preserves case, normalize_text
+            # lowers — a raw instr would misreport any uppercase doc
+            (F.instr(normalize_text(extracted), norm) > 0)
+            .cast("int")
+            .alias("recovered"),
             (
                 F.instr(extracted, F.md5(F.col("doc_id").cast("string"))) > 0
             ).cast("int").alias("junk_leaks"),
@@ -748,12 +771,18 @@ from dataingestiontohana_spark.functions.text import (  # noqa: E402
     strip_html_sql as _strip_sql214,
 )
 
+_ESC_TEXT = (
+    "replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), "
+    "'>', '&gt;')"
+)
+
 _HTML_EXPR = (
     "'<html><head><title>doc ' || CAST(doc_id AS VARCHAR) || "
     "'</title><script>var k=\"' || md5(CAST(doc_id AS VARCHAR)) || "
     "'\";</script><style>.c{color:#ab' || CAST(doc_id % 10 AS VARCHAR) || "
-    "'}</style></head><body><nav>home about contact</nav><p>' || text || "
-    "'</p><footer>copyright ' || source || '</footer></body></html>'"
+    "'}</style></head><body><nav>home about contact</nav><p>' || "
+    + _ESC_TEXT +
+    " || '</p><footer>copyright ' || source || '</footer></body></html>'"
 )
 
 ORACLES["q214_html_extract"] = f"""
@@ -761,13 +790,15 @@ ORACLES["q214_html_extract"] = f"""
       SELECT doc_id, text, source, {_HTML_EXPR} AS html
       FROM documents),
     e AS (
-      SELECT doc_id, html, {_strip_sql214('html')} AS extracted,
+      SELECT doc_id, html,
+             replace(replace(replace({_strip_sql214('html')},
+                 '&lt;', '<'), '&gt;', '>'), '&amp;', '&') AS extracted,
              {_norm_sql214('text')} AS norm
       FROM h)
     SELECT doc_id,
            CAST(length(html) AS BIGINT) AS n_html_chars,
            CAST(length(extracted) AS BIGINT) AS n_extracted_chars,
-           CAST(CASE WHEN strpos(extracted, norm) > 0
+           CAST(CASE WHEN strpos({_norm_sql214('extracted')}, norm) > 0
                 THEN 1 ELSE 0 END AS INTEGER) AS recovered,
            CAST(CASE WHEN strpos(extracted,
                      md5(CAST(doc_id AS VARCHAR))) > 0

@@ -67,3 +67,34 @@ def test_dsir_shifts_composition_toward_target(spark):
     }
     assert sum(sampled.values()) == 100
     assert sampled.get("en", 0) / 100 > en / total
+
+
+def test_q214_extraction_contract_holds_and_survives_markup(spark, tmp_path):
+    """The q214 invariant the oracle sweep alone cannot pin (both
+    twins could break identically): every document recovers verbatim
+    and no script payload leaks — including documents containing
+    angle brackets and ampersands, which the HTML-escaping embed must
+    carry through the tag stripper losslessly."""
+    from dataingestiontohana_spark.plans.llm_text2 import QUERIES as Q2
+
+    rows = Q2["q214_html_extract"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 500
+    assert all(r["recovered"] == 1 for r in rows)
+    assert all(r["junk_leaks"] == 0 for r in rows)
+    assert all(0 < r["boilerplate_ratio"] < 1 for r in rows)
+
+    # adversarial corpus: markup characters and uppercase INSIDE text
+    base = tmp_path / "docs"
+    hard = [
+        (1, "The Fast <b>KEY</b> order & sort x > y", "en", "srcA", 0),
+        (2, "plain words only here", "en", "srcA", 0),
+        (3, "a < b && c >= d <script>not a tag</script>", "en", "srcB", 0),
+    ]
+    spark.createDataFrame(
+        hard,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(base / "documents.parquet"))
+    got = {r["doc_id"]: r for r in
+           Q2["q214_html_extract"](spark, str(base)).collect()}
+    assert all(g["recovered"] == 1 for g in got.values()), got
+    assert all(g["junk_leaks"] == 0 for g in got.values())
