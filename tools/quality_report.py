@@ -237,8 +237,18 @@ def main(argv=None) -> int:
             failures += 1
             print(f"\n## {title}  ({name}) FAILED: {exc}")
     if args.gate:
-        failures += run_gate(spark, args.sf_dir, QUERIES)
-        failures += run_artifact_gate(args.bench, args.correctness)
+        data_viol = run_gate(spark, args.sf_dir, QUERIES)
+        art_viol = run_artifact_gate(args.bench, args.correctness)
+        print(
+            f"\n# Gate verdict: {data_viol} DATA violation(s) "
+            f"(dataset findings — a dirty corpus failing here is the "
+            f"gate working; the test corpus's planted near-dups "
+            f"intentionally trip the leakage rule), "
+            f"{art_viol} ARTIFACT violation(s) (engine health — "
+            f"bench factor / correctness entries; any non-zero here "
+            f"is a build defect)."
+        )
+        failures += data_viol + art_viol
     print()
     return 1 if failures else 0
 
