@@ -535,3 +535,114 @@ def test_groupid_adoption_bootstraps_from_checkpoint(tmp_path, spark):
 
     hint = json.load(open(os.path.join(broker, "t", "_group-g-adopt.json")))
     assert sum(hint.values()) == 100
+
+
+def test_two_consumer_groups_isolated_on_one_topic(tmp_path, spark):
+    """Two independent queries (own checkpoints, own groupids) consume
+    the SAME topic: each keeps its own trigger cap, each lands every
+    record exactly once, and neither's hint file mis-seeds the other
+    (the one-query-per-group contract, exercised rather than assumed)."""
+    from dataingestiontohana_spark.sources.kafkafake import (
+        FakeKafkaBroker,
+        fake_kafka_source,
+    )
+
+    broker = str(tmp_path / "broker")
+    b = FakeKafkaBroker(broker)
+    b.create_topic("t", partitions=2)
+    for i in range(80):
+        b.produce("t", f"{i}", key=str(i))
+
+    seen = {"a": [], "b": []}
+
+    def sink(tag):
+        def f(bdf, _e):
+            seen[tag].extend(
+                int(bytes(r["value"]).decode()) for r in bdf.collect()
+            )
+        return f
+
+    qa = (fake_kafka_source(spark, broker, "t", "earliest", 20, group_id="ga")
+          .writeStream.foreachBatch(sink("a"))
+          .option("checkpointLocation", str(tmp_path / "ck_a")).start())
+    qb = (fake_kafka_source(spark, broker, "t", "earliest", 30, group_id="gb")
+          .writeStream.foreachBatch(sink("b"))
+          .option("checkpointLocation", str(tmp_path / "ck_b")).start())
+    qa.processAllAvailable(); qb.processAllAvailable()
+    qa.stop(); qb.stop()
+    qa.awaitTermination(30); qb.awaitTermination(30)
+
+    assert sorted(seen["a"]) == list(range(80))
+    assert sorted(seen["b"]) == list(range(80))
+
+    # fresh backlog: each group resumes capped from ITS OWN position
+    for i in range(80, 160):
+        b.produce("t", f"{i}", key=str(i))
+    import json
+    import os
+
+    ha = json.load(open(os.path.join(broker, "t", "_group-ga.json")))
+    hb = json.load(open(os.path.join(broker, "t", "_group-gb.json")))
+    assert sum(ha.values()) == sum(hb.values()) == 80
+
+    seen2: list[int] = []
+    q2 = (fake_kafka_source(spark, broker, "t", "earliest", 20, group_id="ga")
+          .writeStream.foreachBatch(
+              lambda bdf, _e: seen2.extend(
+                  int(bytes(r["value"]).decode()) for r in bdf.collect()))
+          .option("checkpointLocation", str(tmp_path / "ck_a")).start())
+    q2.processAllAvailable(); q2.stop(); q2.awaitTermination(30)
+    assert sorted(seen2) == list(range(80, 160))  # no replays, no loss
+
+
+def test_trigger_budget_apportioning_invariants_hypothesis(tmp_path):
+    """Property test over the proportional cap apportioning: for any
+    backlog shape and budget, the plan takes exactly
+    min(budget, total_unread) records, never over-reads a partition,
+    never goes backward, and every partition with backlog advances
+    within ceil(total/budget) triggers (no starvation)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dataingestiontohana_spark.sources.kafkafake import (
+        FakeKafkaStreamReader,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        unread=st.lists(st.integers(0, 500), min_size=1, max_size=6),
+        budget=st.integers(1, 200),
+    )
+    def check(unread, budget):
+        r = FakeKafkaStreamReader.__new__(FakeKafkaStreamReader)
+        r.max_per_trigger = budget
+        r.group_id = None
+        r._pos = {str(k): 0 for k in range(len(unread))}
+        end_offsets = {str(k): n for k, n in enumerate(unread)}
+        # drive latestOffset's capping logic directly against a fake
+        # end-offset map by monkeypatching the broker stat call
+        r._broker = lambda: type(
+            "B", (), {"end_offsets": lambda self, t: dict(end_offsets)}
+        )()
+        r.topic = "t"
+        cur = dict(r._pos)
+        total = sum(unread)
+        triggers = 0
+        while sum(cur.values()) < total:
+            planned = r.latestOffset()
+            take = {p: planned[p] - cur[p] for p in planned}
+            assert all(t >= 0 for t in take.values()), "backward plan"
+            assert sum(take.values()) == min(
+                budget, total - sum(cur.values())
+            ), "budget not filled"
+            for p, t in take.items():
+                assert cur[p] + t <= end_offsets[p], "over-read"
+            # simulate Spark running the batch
+            r.partitions(cur, planned)
+            cur = {p: planned[p] for p in planned}
+            triggers += 1
+            assert triggers <= (total // budget) + len(unread) + 2, (
+                "did not converge"
+            )
+
+    check()
