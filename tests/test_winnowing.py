@@ -59,3 +59,61 @@ def test_density_bound(spark, fp_frame):
         # ceil(windows / W) (one selection survives at most W windows)
         assert row["count"] <= n_windows
         assert row["count"] >= (n_windows + _WINNOW_W - 1) // _WINNOW_W
+
+
+def test_winnowing_matches_bruteforce_reference(spark, tmp_path):
+    """The Spark selection equals an independently-written pure-python
+    winnowing reference (same hash, same window-min-with-lowest-pos
+    tie rule) on a corpus with REPEATED tokens (hash ties and repeated
+    windows included) — pins the operator against a second
+    implementation, not just its own SQL twin."""
+    import hashlib
+
+    import numpy as np
+
+    from dataingestiontohana_spark.plans.llm_dedup import (
+        _POS_BASE,
+        _WINNOW_SALT,
+        _WINNOW_W,
+        _winnow_selected,
+    )
+
+    rng = np.random.default_rng(83)
+    vocab = [f"w{i}" for i in range(7)]  # tiny vocab: repeats guaranteed
+    rows = []
+    for doc_id in range(12):
+        n = int(rng.integers(3, 40))
+        text = " ".join(vocab[int(k)] for k in rng.integers(0, 7, n))
+        rows.append((doc_id, text, "en", "srcA", len(text)))
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    base = tmp_path / "docs"
+    df.write.mode("overwrite").parquet(str(base / "documents.parquet"))
+
+    def reference(text):
+        toks = text.split()
+        shingles = [
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        ]
+        def h(s):
+            return int(
+                hashlib.md5(f"{_WINNOW_SALT}:{s}".encode()).hexdigest()[:8],
+                16,
+            )
+        comps = [h(s) * _POS_BASE + p for p, s in enumerate(shingles)]
+        out = set()
+        for start in range(len(comps) - _WINNOW_W + 1):
+            out.add(min(comps[start : start + _WINNOW_W]))
+        return out
+
+    got = {}
+    for r in _winnow_selected(spark, str(base)).collect():
+        got.setdefault(r["doc_id"], set()).add(r["c"])
+    want = {
+        doc_id: reference(text)
+        for doc_id, text, *_ in rows
+        if len(text.split()) - 2 >= _WINNOW_W
+    }
+    assert got == {k: v for k, v in want.items() if v}
