@@ -284,16 +284,25 @@ def maybe_recluster_ivf(
         return centroids, False, stats
     grown = spark.read.parquet(path).drop("cluster_id")
     new_cents = sample_centroids(grown, k=k or int(centroids.shape[0]))
-    # rebuild SIDE-BY-SIDE, then swap: an in-place overwrite would
-    # delete the very files the rebuild job is still scanning (and at
-    # scale would leave no index at all on a mid-job failure). The
-    # manifest ordering makes the swap window safe: after the rmtree
-    # the old path has no manifest, so probes REFUSE (loudly) rather
-    # than read a half-moved layout.
+    # rebuild SIDE-BY-SIDE, then swap via rename-aside: an in-place
+    # overwrite would delete the very files the rebuild job is still
+    # scanning. The swap is two renames with the rmtree LAST —
+    # (live -> .old, .rebuild -> live, rm .old) — so a crash at ANY
+    # point leaves a recoverable directory: before the first rename
+    # the live index is intact; between the renames the complete old
+    # copy sits at .old (restore = one rename back); after the second
+    # rename the new index is live and .old is garbage. The
+    # rmtree-then-rename ordering had a window with NO directory at
+    # `path` at all, where readers got a raw path-not-found instead of
+    # the documented missing-manifest refusal.
     rebuild = path.rstrip("/") + ".rebuild"
+    old = path.rstrip("/") + ".old"
     write_ivf_index(grown, new_cents, rebuild)
-    shutil.rmtree(path)
+    if os.path.exists(old):  # leftover from a crashed prior swap
+        shutil.rmtree(old)
+    os.rename(path, old)
     os.rename(rebuild, path)
+    shutil.rmtree(old)
     return new_cents, True, stats
 
 

@@ -1644,7 +1644,9 @@ _CORRUPT_ERRORS = (
 
 
 def decode_media(
-    df: DataFrame, passthrough: tuple[str, ...] = ()
+    df: DataFrame,
+    passthrough: tuple[str, ...] = (),
+    quarantine_unsupported: bool = False,
 ) -> DataFrame:
     """binary media -> typed metadata + pixel statistics.
 
@@ -1663,9 +1665,19 @@ def decode_media(
     corrupt — bad CRC, truncated chunk, illegal filter byte, spliced
     stream — lands a QUARANTINE row: metadata nulled, ``decode_error``
     carrying the exception, the batch never dying on one bad blob. An
-    UNSUPPORTED container (MP4, MP3 — no codec stack here) still
-    raises `NotImplementedError`: that is a declared capability
-    boundary, not a bad record."""
+    UNSUPPORTED container (MP4, MP3 — no codec stack here) raises
+    `NotImplementedError` by default: in batch, that is a declared
+    capability boundary, not a bad record. ``quarantine_unsupported``
+    routes it to the quarantine column instead — REQUIRED on streaming
+    input: a file-source checkpoint replays a failed micro-batch on
+    restart, so one stray ``.mp4``/``.tmp`` in a drop directory would
+    otherwise wedge the query permanently (the stream can never skip
+    past the poison file without operator intervention)."""
+    quarantined = (
+        (NotImplementedError, *_CORRUPT_ERRORS)
+        if quarantine_unsupported
+        else _CORRUPT_ERRORS
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1677,7 +1689,7 @@ def decode_media(
                 thru = tuple(col.iloc[i] for col in extras)
                 try:
                     w, h, nf, ch, px = _decode_payload(bytes(content))
-                except _CORRUPT_ERRORS as ex:
+                except quarantined as ex:
                     rows.append(
                         (mid, kind, None, None, None, None, len(content),
                          None, None, None, None,

@@ -1104,6 +1104,23 @@ _WINNOW_W = 4  # window width over consecutive shingle hashes
 _WINNOW_SALT = 211
 _POS_BASE = 2_147_483_648  # 2^31: composite = hash * base + position
 
+def _fp_of_c() -> F.Column:
+    """Fingerprint = composite DIV 2^31 — exact long division (Spark's
+    `/` on longs routes through double, whose 53-bit mantissa rounds
+    across the integer boundary for pos within ~1024 of _POS_BASE at
+    ~2^31-shingle docs; the DuckDB oracle uses exact `//`). DIV keeps
+    both sides on integer arithmetic; c >= 0 always, so DIV == floor.
+    (A function, not a module constant: F.expr needs an active
+    session, and this module imports session-free.)"""
+    return F.expr(f"c DIV {_POS_BASE}L")
+
+# Fingerprints appearing in more than this many documents are treated
+# as boilerplate and dropped before the q212 pair join (the LSH
+# bucket-cap discipline: one hot fingerprint fans out quadratically).
+# Parameterized so a corpus-scale caller can raise it; the HOT side
+# stays provably tiny (<= n_fp_rows/cap distinct fingerprints).
+WINNOW_HOT_DOC_CAP = 50
+
 
 # q211 (per-doc summary) and q212 (overlap pairs) both consume the
 # selected-fingerprint frame; one lazily-localCheckpointed frame per
@@ -1175,30 +1192,36 @@ def q211_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         sel.groupBy("doc_id", "n_shingles")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_fps"),
-            F.sum(F.floor(F.col("c") / F.lit(_POS_BASE)))
-            .cast("bigint")
-            .alias("fp_hash_sum"),
+            F.sum(_fp_of_c()).cast("bigint").alias("fp_hash_sum"),
         )
         .orderBy("doc_id")
     )
 
 
-def q212_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q212_winnow_overlap(
+    spark: SparkSession,
+    sf_dir: str,
+    hot_doc_cap: int = WINNOW_HOT_DOC_CAP,
+) -> DataFrame:
     """MOSS-style overlap detection: document pairs sharing >= 3
     selected fingerprint HASHES (positions stripped — matches survive
     relocation, the paper's point). Hot fingerprints appearing in
-    > 50 documents are dropped before the pair join (the LSH
-    bucket-cap discipline: one boilerplate shingle with a small hash
-    would otherwise fan out quadratically)."""
+    > `hot_doc_cap` documents are dropped before the pair join (the
+    LSH bucket-cap discipline: one boilerplate shingle with a small
+    hash would otherwise fan out quadratically). The cap bounds the
+    per-fingerprint pair fan-out at C(cap, 2) regardless of how hot a
+    planted boilerplate fingerprint is — tested by the planted-hot
+    guard pytest alongside the exact-Jaccard hot-shingle discipline."""
     sel = _winnow_selected(spark, sf_dir).select(
-        "doc_id", F.floor(F.col("c") / F.lit(_POS_BASE)).alias("fp")
+        "doc_id", _fp_of_c().alias("fp")
     ).distinct()
     freq = sel.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
-    # broadcast the HOT side: fingerprints in > 50 docs are the
-    # boilerplate tail — provably tiny (<= n_fp_rows/50 of them), while
-    # the keep set is ~all distinct fingerprints and GROWS with the
-    # corpus (broadcasting it would blow the broadcast budget at scale)
-    hot = freq.where(F.col("n_docs") > 50).select("fp")
+    # broadcast the HOT side: fingerprints in > cap docs are the
+    # boilerplate tail — provably tiny (<= n_fp_rows/cap of them),
+    # while the keep set is ~all distinct fingerprints and GROWS with
+    # the corpus (broadcasting it would blow the broadcast budget at
+    # scale)
+    hot = freq.where(F.col("n_docs") > hot_doc_cap).select("fp")
     keep = sel.join(F.broadcast(hot), "fp", "left_anti")
     a = keep.select(F.col("doc_id").alias("id_a"), "fp")
     b = keep.select(F.col("doc_id").alias("id_b"), "fp")

@@ -341,8 +341,20 @@ class FakeKafkaStreamReader(DataSourceStreamReader):
                 return {
                     p: min(int(hint.get(p, 0)), int(end[p])) for p in end
                 }
-            except (FileNotFoundError, json.JSONDecodeError):
+            except FileNotFoundError:
+                # genuinely fresh identity: nothing ever planned under
+                # this group, so startingOffsets IS the true start
                 return dict(self._start_offsets())
+            except (json.JSONDecodeError, ValueError, TypeError, OSError):
+                # a PRESENT but unreadable hint means this identity HAS
+                # planned batches before (e.g. a crash mid-write before
+                # the r8 atomic os.replace, or disk corruption) — with
+                # startingOffsets=earliest the fresh-query seed would
+                # sit BEHIND the committed start and re-plan processed
+                # records. Fall through to the no-groupid seed below:
+                # current end offsets — one uncapped batch, never
+                # duplicates.
+                pass
         return {p: int(v) for p, v in end.items()}
 
     def initialOffset(self) -> dict:

@@ -249,10 +249,19 @@ class CompiledGraph:
         # a capped consumer needs a stable consumer identity: the
         # runner process serving latestOffset never sees initialOffset,
         # so the cap base travels via the groupid hint file (see
-        # sources/kafkafake.py). Derived from the checkpoint dir — one
-        # checkpoint == one query == one group.
+        # sources/kafkafake.py). Derived from (checkpoint dir, node
+        # name, topic): the checkpoint pins the query, the node+topic
+        # pin the source WITHIN it — the validator enforces one source
+        # per graph today, but a multi-source graph must never have
+        # two reader-runner instances clobbering one hint file's cap
+        # base, so the identity is per-node by construction.
         group_id = nd.config.get("group_id") or (
-            "ck-" + hashlib.md5(self.checkpoint_dir.encode()).hexdigest()[:12]
+            "ck-"
+            + hashlib.md5(
+                "\x00".join(
+                    (self.checkpoint_dir, nd.name, nd.config["topic"])
+                ).encode()
+            ).hexdigest()[:12]
             if nd.config.get("max_offsets_per_trigger")
             else None
         )

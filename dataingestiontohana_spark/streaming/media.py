@@ -39,10 +39,17 @@ def media_file_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int = 16
 ) -> DataFrame:
     """readStream over a media drop directory -> the (media_id, kind,
-    content) contract every multimodal operator consumes. media_id is
-    a deterministic abs(xxhash64) of the file path (stable across
-    restarts — replayed files keep their identity, so keyed sinks
-    absorb replays idempotently)."""
+    content) contract every multimodal operator consumes, plus the
+    IDENTITY columns.
+
+    ``media_key`` (md5 hex of the full path, 128-bit) is the identity
+    keyed sinks must key on: deterministic across restarts (replayed
+    files absorb idempotently) and collision-free in practice.
+    ``media_id`` (abs(xxhash64) of the path) is a DISPLAY/join-locality
+    column only — 63 effective bits means ~5% birthday collision odds
+    at 10^9 files, and a collision in a keyed sink would silently
+    merge two files' rows. ``src_path`` carries the raw path for
+    human audit."""
     files = (
         spark.readStream.format("binaryFile")
         # streaming file sources require an explicit schema; this is
@@ -59,6 +66,7 @@ def media_file_stream(
         F.abs(F.xxhash64("path")).alias("media_id"),
         _kind_by_ext().alias("kind"),
         "content",
+        F.md5(F.col("path")).alias("media_key"),
         F.col("path").alias("src_path"),
     )
 
@@ -67,14 +75,24 @@ def decoded_media_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int = 16
 ) -> DataFrame:
     """The full streaming decode: file stream -> `decode_media`
-    (quarantine-aware) with src_path carried through on every row —
-    the dead-letter audit trail. One map-only stage; the stream never
-    dies on a corrupt blob."""
+    (quarantine-aware) with media_key + src_path carried through on
+    every row — the keyed-sink identity and the dead-letter audit
+    trail. One map-only stage; the stream never dies on a corrupt OR
+    unsupported blob: `quarantine_unsupported=True` routes
+    NotImplementedError (a stray .mp4/.txt/temp file the *.* glob
+    admits) to the decode_error column too — in streaming, a raised
+    decode error is not a capability boundary but a poison pill,
+    because the file-source checkpoint replays the same batch forever
+    on restart."""
     src = media_file_stream(spark, path, max_files_per_trigger)
-    # src_path rides the 1:1 decode as a passthrough column, so a
-    # quarantine row names its dead file directly — no join, the
+    # identity + audit columns ride the 1:1 decode as passthroughs,
+    # so a quarantine row names its dead file directly — no join, the
     # stream stays single-stage map-only
-    return decode_media(src, passthrough=("src_path",))
+    return decode_media(
+        src,
+        passthrough=("media_key", "src_path"),
+        quarantine_unsupported=True,
+    )
 
 
 def run_media_ingest(

@@ -323,3 +323,75 @@ def test_ivf_drift_trigger_and_recluster_restores_recall(spark, tmp_path):
     }
     recall = len(exact & approx) / 10
     assert recall >= 0.3, f"post-recluster recall {recall}"
+
+
+def test_recluster_swap_crash_leaves_recoverable_dir(spark, tmp_path, monkeypatch):
+    """r8 ADVICE: the old rmtree-then-rename swap had a window with NO
+    directory at `path` at all (raw path-not-found for readers). The
+    rename-aside swap (live -> .old, .rebuild -> live, rm .old) leaves
+    a complete recoverable directory at EVERY crash point: a crash
+    between the renames leaves the full old index at `.old` (restore =
+    one rename back), and a leftover `.old` from that crash is cleaned
+    on the next successful swap."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.ivf import (
+        ivf_drift,
+        maybe_recluster_ivf,
+        sample_centroids,
+        write_ivf_index,
+    )
+
+    rng = np.random.default_rng(68)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(8)]) for i in range(64)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = sample_centroids(df, k=4)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(df, cents, path)
+
+    # crash INSIDE the swap window: fail the second os.rename
+    calls = {"n": 0}
+    real_rename = os.rename
+
+    def flaky_rename(a, b):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("simulated crash between swap renames")
+        real_rename(a, b)
+
+    # maybe_recluster_ivf does `import os` in its body — patching the
+    # global module's rename intercepts exactly its two swap renames
+    monkeypatch.setattr(os, "rename", flaky_rename)
+    try:
+        maybe_recluster_ivf(spark, path, cents, threshold=0.0)
+    except OSError:
+        pass
+    monkeypatch.setattr(os, "rename", real_rename)
+
+    # a COMPLETE recoverable copy exists: the old index at .old
+    old = path + ".old"
+    assert os.path.isdir(old)
+    assert os.path.exists(os.path.join(old, "_ivf_manifest.json")) or any(
+        f.startswith("_") or f.endswith(".json") for f in os.listdir(old)
+    ), os.listdir(old)
+    # operator recovery = one rename back; drift still measurable
+    shutil.rmtree(path + ".rebuild", ignore_errors=True)
+    real_rename(old, path)
+    stats = ivf_drift(spark, path, cents)
+    assert stats["ratio"] > 0
+
+    # next successful swap cleans a leftover .old from a prior crash
+    os.makedirs(old, exist_ok=True)
+    with open(os.path.join(old, "stale"), "w") as fh:
+        fh.write("leftover")
+    new_cents, did, _ = maybe_recluster_ivf(spark, path, cents, threshold=0.0)
+    assert did
+    assert not os.path.exists(old)
+    assert not os.path.exists(path + ".rebuild")
+    post = ivf_drift(spark, path, new_cents)
+    assert abs(post["ratio"] - 1.0) < 1e-9  # fresh baseline recorded

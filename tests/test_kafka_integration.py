@@ -466,6 +466,49 @@ def test_blind_restart_seed_never_behind_committed_start(tmp_path):
     assert end3["0"] - end2["0"] <= 50
 
 
+def test_corrupt_group_hint_seeds_from_end_not_start(tmp_path):
+    """r8 ADVICE: a PRESENT but unparseable hint file means this
+    identity HAS planned batches before (crash mid-write, disk
+    corruption) — falling back to startingOffsets=earliest would seed
+    the cap base at 0, BEHIND the committed start, and re-plan
+    processed records. The corrupt-hint fallback is the no-groupid
+    seed instead: current end offsets — one uncapped batch, never
+    duplicates. (FileNotFoundError still means a genuinely fresh
+    identity and keeps the startingOffsets seed.)"""
+    import os
+
+    b = _mk_backlog(tmp_path, [300])
+    r1 = _reader(
+        tmp_path, maxOffsetsPerTrigger=50,
+        startingOffsets="earliest", groupid="gc",
+    )
+    cur = r1.initialOffset()
+    for _ in range(4):  # 200 records processed + committed, then dies
+        end = r1.latestOffset()
+        r1.partitions(cur, end)
+        cur = end
+    assert cur == {"0": 200}
+
+    # corrupt the hint file (e.g. a pre-atomic-write torn write)
+    hint_path = os.path.join(str(tmp_path / "broker"), "t", "_group-gc.json")
+    with open(hint_path, "w") as fh:
+        fh.write('{"0": 2')  # truncated JSON
+    r2 = _reader(
+        tmp_path, maxOffsetsPerTrigger=50,
+        startingOffsets="earliest", groupid="gc",
+    )
+    end2 = r2.latestOffset()
+    # seeded from the CURRENT end (>= committed start 200), NOT from
+    # startingOffsets (0 + 50 = 50 < 200 would be a backward commit)
+    assert end2["0"] >= 200
+    slices = r2.partitions(cur, end2)
+    assert all(s.lo >= 200 for s in slices)
+    # the cap resumes on the next trigger and the hint file heals
+    b.produce("t", "tail", partition=0)
+    end3 = r2.latestOffset()
+    assert end3["0"] - end2["0"] <= 50
+
+
 def test_groupid_adoption_bootstraps_from_checkpoint(tmp_path, spark):
     """Enabling a groupid on a query with EXISTING committed offsets
     (e.g. a pre-groupid checkpoint restarting under a newer build)

@@ -66,3 +66,119 @@ def test_stream_decodes_and_quarantines(spark, tmp_path):
     assert len(rows2) == 1
     assert rows2[0]["px_sum"] == int(arr2.astype(np.int64).sum())
     assert rows2[0]["media_id"] not in {r["media_id"] for r in rows}
+
+
+def test_unsupported_file_quarantines_stream_alive(spark, tmp_path):
+    """A stray non-decodable file (wrong container magic — .mp4, .txt,
+    editor temp) must NOT wedge the stream: the file-source checkpoint
+    replays a failed micro-batch forever on restart, so in streaming
+    the NotImplementedError capability boundary routes to the
+    quarantine column (quarantine_unsupported=True) instead of
+    raising. ADVICE r8 (streaming/media.py)."""
+    src = tmp_path / "drop"
+    src.mkdir()
+    rng = np.random.default_rng(72)
+    arr = rng.integers(0, 256, size=(5, 7), dtype=np.uint8)
+    _write(src, "good.png", encode_png(arr, 0))
+    # wrong magic entirely — the dispatcher reaches the SGM1 fallthrough
+    _write(src, "clip.mp4", b"\x00\x00\x00\x18ftypmp42" + bytes(64))
+    _write(src, "notes.txt", b"not media at all\n")
+
+    rows: list = []
+    q = run_media_ingest(spark, str(src), str(tmp_path / "ck"), rows)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+
+    assert len(rows) == 3
+    bad = {r["src_path"].rsplit("/", 1)[-1]: r for r in rows
+           if r["decode_error"] is not None}
+    assert set(bad) == {"clip.mp4", "notes.txt"}
+    for r in bad.values():
+        assert r["decode_error"].startswith("NotImplementedError")
+        assert r["width"] is None and r["px_sum"] is None
+    ok = [r for r in rows if r["decode_error"] is None]
+    assert len(ok) == 1 and ok[0]["px_sum"] == int(arr.astype(np.int64).sum())
+
+    # the checkpoint is NOT wedged: a restart emits only the new file
+    _write(src, "more.png", encode_png(arr, 0))
+    rows2: list = []
+    q2 = run_media_ingest(spark, str(src), str(tmp_path / "ck"), rows2)
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination(30)
+    assert [r["src_path"].rsplit("/", 1)[-1] for r in rows2] == ["more.png"]
+
+
+def test_batch_decode_media_still_raises_on_unsupported(spark):
+    """The batch default is unchanged: an unsupported container is a
+    declared capability boundary and raises loudly."""
+    import pytest
+    from dataingestiontohana_spark.operators.multimodal import decode_media
+
+    df = spark.createDataFrame(
+        [(1, 0, bytearray(b"\x00\x00\x00\x18ftypmp42" + bytes(32)))],
+        "media_id long, kind int, content binary",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|unsupported"):
+        decode_media(df).collect()
+
+
+def test_media_key_is_the_collision_free_sink_identity(spark, tmp_path):
+    """media_id is abs(xxhash64(path)) — 63 effective bits, ~5%
+    birthday collision odds at 1e9 files — so keyed sinks key on
+    media_key (md5 hex of the path, 128-bit). Two rows with the SAME
+    media_id but distinct media_key must both survive a keyed upsert
+    (VERDICT r8 item 5)."""
+    import functools
+    import hashlib as _hl
+    import sqlite3
+
+    from dataingestiontohana_spark.operators.upsert_sink import (
+        SQLiteDialect,
+        UpsertSink,
+    )
+    from dataingestiontohana_spark.streaming.media import decoded_media_stream
+
+    # 1) the streamed frame carries media_key = md5(path) hex
+    src = tmp_path / "drop"
+    src.mkdir()
+    arr = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    _write(src, "k.png", encode_png(arr, 0))
+    rows: list = []
+    q = (
+        decoded_media_stream(spark, str(src))
+        .writeStream.foreachBatch(lambda b, _e: rows.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    (r,) = rows
+    assert r["media_key"] == _hl.md5(r["src_path"].encode()).hexdigest()
+
+    # 2) planted collision: same media_id, different media_key -> the
+    # media_key-keyed sink keeps BOTH; a media_id-keyed sink would
+    # silently merge them into one row
+    db = str(tmp_path / "sink.db")
+    sink = UpsertSink(
+        table="media_sink",
+        key_cols=["media_key"],
+        dialect=SQLiteDialect(),
+        connection_factory=functools.partial(sqlite3.connect, db),
+    )
+    sink.ensure_table([("media_key", "TEXT"), ("media_id", "BIGINT"),
+                       ("px_sum", "BIGINT")])
+    collided = spark.createDataFrame(
+        [("aaa0", 42, 10), ("bbb1", 42, 20)],
+        "media_key string, media_id long, px_sum long",
+    )
+    sink.write(collided, upsert=True)
+    sink.write(collided, upsert=True)  # replay absorbs idempotently
+    con = sqlite3.connect(db)
+    n, ids = con.execute(
+        "SELECT COUNT(*), COUNT(DISTINCT media_id) FROM media_sink"
+    ).fetchone()
+    con.close()
+    assert n == 2 and ids == 1  # both rows kept despite the id collision

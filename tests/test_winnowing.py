@@ -117,3 +117,52 @@ def test_winnowing_matches_bruteforce_reference(spark, tmp_path):
         if len(text.split()) - 2 >= _WINNOW_W
     }
     assert got == {k: v for k, v in want.items() if v}
+
+
+def test_hot_fingerprint_cap_bounds_pair_fanout(spark, tmp_path):
+    """VERDICT r8 item 6: plant one boilerplate fingerprint (the same
+    12-token run pasted into MANY docs — a license header) and assert
+    q212's hot-fingerprint guard drops it BEFORE the pair join: the
+    pair fan-out stays bounded by the genuinely-similar docs, not the
+    quadratic boilerplate blow-up. The cap is a parameter
+    (`hot_doc_cap`, default WINNOW_HOT_DOC_CAP): raising it past the
+    planted frequency re-admits the boilerplate pairs — proof the
+    guard (not luck) bounds the fan-out."""
+    from dataingestiontohana_spark.plans.llm_dedup import (
+        WINNOW_HOT_DOC_CAP,
+        q212_winnow_overlap,
+    )
+
+    base = tmp_path / "hotfp"
+    base.mkdir()
+    boiler = " ".join(f"lic{i}" for i in range(12))  # shared header
+    n_boiler = 20  # > the test cap below, << C(20,2)=190 pairs if unguarded
+    rows = []
+    for d in range(n_boiler):
+        # unique body per doc: the ONLY overlap is the planted header
+        body = " ".join(f"d{d}w{i}" for i in range(10))
+        rows.append((d, boiler + " " + body, "en", "src", 0))
+    # one genuinely-duplicated pair with no boilerplate
+    dup = " ".join(f"q{i}" for i in range(15))
+    rows += [(100, dup, "en", "src", 0), (101, dup + " tail", "en", "src", 0)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(base / "documents.parquet"))
+
+    assert WINNOW_HOT_DOC_CAP == 50  # the documented default
+
+    # cap BELOW the planted frequency: boilerplate fingerprints drop,
+    # only the genuine duplicate pair survives
+    guarded = q212_winnow_overlap(spark, str(base), hot_doc_cap=10).collect()
+    assert [(r["id_a"], r["id_b"]) for r in guarded] == [(100, 101)]
+
+    # cap ABOVE the planted frequency: the quadratic fan-out appears —
+    # C(20,2)=190 boilerplate pairs the guard was suppressing
+    unguarded = q212_winnow_overlap(
+        spark, str(base), hot_doc_cap=n_boiler + 1
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in unguarded}
+    assert (100, 101) in pairs
+    boiler_pairs = {p for p in pairs if p[0] < n_boiler and p[1] < n_boiler}
+    assert len(boiler_pairs) == n_boiler * (n_boiler - 1) // 2
