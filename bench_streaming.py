@@ -60,6 +60,9 @@ def _one_run(spark, source_dir: str, work: str, tag: str, n_rows: int) -> dict:
             key_cols=["counter"],
             dialect=SQLiteDialect(),
             connection_factory=functools.partial(sqlite3.connect, db),
+            # one file per trigger bounds each micro-batch to
+            # n_rows/n_files rows — the collect fetch is safe
+            driver_fetch="collect",
         ),
         mode=DeliveryMode.EXACTLY_ONCE,
     )
@@ -137,6 +140,11 @@ def _graph_run(spark, work: str, n_rows: int, n_files: int) -> dict:
         key_cols=["counter"],
         dialect=SQLiteDialect(),
         connection_factory=functools.partial(sqlite3.connect, db),
+        # micro-batches here are trigger-bounded (the producer emits
+        # n_files//2 files per trigger), so the one-job collect fetch
+        # is safe and ~3x cheaper per batch than sequential
+        # per-partition fetches (r8 verdict item 3 profiling)
+        driver_fetch="collect",
     ))
     cons.connect("consumer", "typed")
     cons.connect("typed", "hana")
@@ -172,26 +180,67 @@ def _graph_run(spark, work: str, n_rows: int, n_files: int) -> dict:
     }
 
 
+def _median_of(runs: list[dict]) -> dict:
+    """Merge N single-run dicts into one median cell: median sec and
+    rows/s (picked from the SAME median-sec run so the pair is
+    consistent), min/max rows/s spread, every audit asserted already
+    by the individual runs. r8 verdict item 1: the adjudicated warm
+    throughput must be a median, not one in-sample reading — the
+    single-sample r8 artifact misreported graph capacity by 43% under
+    a load spike."""
+    by_sec = sorted(runs, key=lambda r: r["sec"])
+    mid = by_sec[len(by_sec) // 2]
+    return {
+        "sec": mid["sec"],
+        "rows_per_sec": mid["rows_per_sec"],
+        "min_rows_per_sec": min(r["rows_per_sec"] for r in runs),
+        "max_rows_per_sec": max(r["rows_per_sec"] for r in runs),
+        "runs": len(runs),
+        "audit": mid["audit"],
+    }
+
+
 def run_streaming_bench(spark, n_rows: int | None = None,
-                        n_files: int | None = None) -> dict:
-    """Cold + warm exactly-once ingest runs; returns the metrics dict."""
+                        n_files: int | None = None,
+                        warm_runs: int | None = None) -> dict:
+    """Cold + MEDIAN-of-N warm exactly-once ingest runs; returns the
+    metrics dict. The warm legs repeat in-process (same session, fresh
+    checkpoint/sink/broker each time): for a THROUGHPUT capacity
+    number, the warm in-process distribution is the right one — the
+    measurand IS the steady warmed state, unlike the batch baseline
+    where in-process repetition hides the driver's cold-plan cost.
+    The median damps exactly the one-off host load spikes that made
+    the single-sample r8 artifact misreport capacity."""
     n_rows = n_rows or int(os.environ.get("SPARK_GRAFT_STREAM_ROWS", 100_000))
     n_files = n_files or int(os.environ.get("SPARK_GRAFT_STREAM_FILES", 20))
+    warm_runs = warm_runs or int(
+        os.environ.get("SPARK_GRAFT_STREAM_WARM_RUNS", 3)
+    )
     work = tempfile.mkdtemp(prefix="stream_bench_")
     try:
         source_dir = os.path.join(work, "source")
         write_sensor_csv_files(spark, source_dir, n_rows, n_files)
         cold = _one_run(spark, source_dir, work, "cold", n_rows)
-        warm = _one_run(spark, source_dir, work, "warm", n_rows)
-        # the two-graph (producer topic + consumer sink) path at a
-        # lighter row count: it writes every record through the
-        # kafkafake log twice (produce + fetch). Same cold/warm
-        # discipline as the plain pipeline: the first run carries
-        # stream-init + Python-worker spin-up for the executor-side
-        # producer; the warm number is the capacity-plan figure.
-        g_rows = max(1000, n_rows // 10)
+        warm = _median_of([
+            _one_run(spark, source_dir, work, f"warm{i}", n_rows)
+            for i in range(warm_runs)
+        ])
+        # the two-graph (producer topic + consumer sink) path: it
+        # writes every record through the kafkafake log twice
+        # (produce + fetch). Same cold/warm discipline as the plain
+        # pipeline: the first run carries stream-init + Python-worker
+        # spin-up for the executor-side producer; the warm median is
+        # the capacity-plan figure. Row count = n_rows//2 (r9: the r8
+        # n_rows//10 sizing measured the two queries' ~1.5 s fixed
+        # stream-init/commit cost, not throughput — capacity planning
+        # sizes batches, and the marginal per-row cost is ~30 us).
+        g_rows = max(1000, n_rows // 2)
         g_cold = _graph_run(spark, os.path.join(work, "g1"), g_rows, n_files)
-        g_warm = _graph_run(spark, os.path.join(work, "g2"), g_rows, n_files)
+        g_warm = _median_of([
+            _graph_run(spark, os.path.join(work, f"g{i + 2}"), g_rows,
+                       n_files)
+            for i in range(warm_runs)
+        ])
         return {
             "mode": "exactly_once",
             "rows": n_rows,
@@ -202,7 +251,7 @@ def run_streaming_bench(spark, n_rows: int | None = None,
                 "rows": g_rows,
                 "cold": g_cold,
                 "warm": g_warm,
-                # back-compat headline fields = the warm run
+                # back-compat headline fields = the warm median
                 **g_warm,
             },
         }

@@ -22,3 +22,11 @@ def test_streaming_bench_runs_and_audits(spark):
         assert g[leg]["rows_per_sec"] > 0
     # headline fields mirror the warm run (back-compat shape)
     assert g["rows_per_sec"] == g["warm"]["rows_per_sec"]
+    # r9: warm legs are MEDIAN-of-N cells with the spread recorded
+    for warm in (r["warm"], g["warm"]):
+        assert warm["runs"] >= 2
+        assert (
+            warm["min_rows_per_sec"]
+            <= warm["rows_per_sec"]
+            <= warm["max_rows_per_sec"]
+        )

@@ -130,3 +130,94 @@ def test_median_cells_compared_by_sec(tmp_path):
     run2 = _write(tmp_path, "run2.json", {"queries": {
         "q1": {"sec": 3.5, "min": 1.0, "max": 4.0, "runs": 3}}})
     assert main([run2, base]) == 1
+
+
+def test_noise_aware_limit_uses_committed_spread(tmp_path):
+    """r8 verdict item 2: q53_54_cdc read 1.95x its baseline MEDIAN
+    with zero code change — but its own committed --runs 3 spread went
+    to 23.2 s. The gate bounds on factor * max(median, committed max),
+    so a noisy-but-unchanged entry inside its own recorded spread
+    passes; a cell without a committed max keeps the median bound."""
+    base = _write(tmp_path, "base.json", {
+        "entries": {
+            # committed spread: median 3.9, max 23.2 (the real cdc cell)
+            "cdc": {"sec": 3.9, "min": 3.6, "max": 23.2, "runs": 3,
+                    "fine_queries": 7},
+            # legacy single-run cell: no max -> median bound only
+            "q1": {"sec": 1.0, "fine_queries": 1},
+        },
+        "shared_cost_groups": [],
+    })
+    # 7.6 s = the r8 false-alarm reading: 1.95x median, well inside
+    # the committed spread -> passes now
+    run = _write(tmp_path, "run.json", {"queries": {"cdc": 7.6, "q1": 1.5}})
+    assert main([run, base]) == 0
+    # but past factor * committed max still fails (real regression)
+    run2 = _write(tmp_path, "run2.json", {"queries": {"cdc": 48.0, "q1": 1.0}})
+    assert main([run2, base]) == 1
+    # and the no-max cell is NOT loosened
+    run3 = _write(tmp_path, "run3.json", {"queries": {"cdc": 4.0, "q1": 3.5}})
+    assert main([run3, base]) == 1
+
+
+def _streaming_base(tmp_path, warm=10_000.0, graph=5_000.0):
+    return _write(tmp_path, "base.json", {
+        "entries": {"q1": {"sec": 1.0, "fine_queries": 1}},
+        "shared_cost_groups": [],
+        "streaming": {"warm_rows_per_sec": warm, "graph_rows_per_sec": graph},
+    })
+
+
+def _streaming_run(warm_rps, graph_rps, audit=None):
+    a = audit or {"rows": 100, "uniq": 100, "span": 100}
+    return {
+        "queries": {"q1": 1.0},
+        "streaming": {
+            "warm": {"sec": 1.0, "rows_per_sec": warm_rps, "runs": 3,
+                     "audit": dict(a)},
+            "graph_pipeline": {
+                "rows": 100,
+                "warm": {"sec": 1.0, "rows_per_sec": graph_rps, "runs": 3,
+                         "audit": dict(a)},
+            },
+        },
+    }
+
+
+def test_streaming_leg_gated_at_half_baseline(tmp_path):
+    """r8 verdict item 1: the streaming leg was the last ungated
+    number in the artifact. warm ingest and warm graph rows/s must
+    each be >= baseline/factor."""
+    base = _streaming_base(tmp_path)
+    ok = _write(tmp_path, "ok.json", _streaming_run(9_000, 4_000))
+    assert main([ok, base]) == 0  # both above half-baseline
+    slow_ingest = _write(
+        tmp_path, "s1.json", _streaming_run(4_999, 6_000))
+    assert main([slow_ingest, base]) == 1
+    slow_graph = _write(
+        tmp_path, "s2.json", _streaming_run(12_000, 2_499))
+    assert main([slow_graph, base]) == 1
+
+
+def test_streaming_missing_or_bad_audit_fails(tmp_path):
+    base = _streaming_base(tmp_path)
+    # baseline commits streaming, run has none -> fail
+    run = _write(tmp_path, "r.json", {"queries": {"q1": 1.0}})
+    assert main([run, base]) == 1
+    # a duplicate-row audit (rows != uniq) fails even at high rate
+    bad = _write(tmp_path, "bad.json", _streaming_run(
+        20_000, 20_000, audit={"rows": 101, "uniq": 100, "span": 100}))
+    assert main([bad, base]) == 1
+    # baseline WITHOUT streaming gates nothing
+    base2 = _baseline(tmp_path, {"q1": 1.0})
+    assert main([run, base2]) == 0
+
+
+def test_streaming_recovered_from_tail(tmp_path):
+    """The driver artifact truncates stdout to a tail: the streaming
+    object (at the line's end) must be recovered and gated from there."""
+    inner = json.dumps(_streaming_run(4_000, 9_999))
+    tail = ("x" * 10 + inner)[-len(inner):]
+    base = _streaming_base(tmp_path)
+    run = _write(tmp_path, "run.json", {"rc": 0, "tail": tail})
+    assert main([run, base]) == 1  # warm 4000 < 10000/2 caught in tail

@@ -8,16 +8,29 @@ baseline (``BENCH_BASELINE.json``, written by ``python bench.py
         [--factor 2.0] [--floor 1.0]
 
 Rules:
-- each entry's seconds must be <= factor * baseline + floor; the
-  additive floor (default 1 s) keeps sub-second cells from flaking at
-  2x under ordinary host noise — a 0.4 s entry reading 0.8 s is not a
-  regression signal on a VM whose identical-code band is +/-20%;
+- each entry's seconds must be <= factor * max(median, committed max)
+  + floor. The committed spread is the r8 noise-awareness fix: the
+  baseline's --runs 3 sampling records per-entry min/max, and an entry
+  whose OWN committed samples ranged 3.6-23.2 s (q53_54_cdc) must not
+  fail the gate at 1.95x its median on a host whose identical-code
+  band produced that very spread. A baseline cell without a "max"
+  (single-run legacy) falls back to factor * median;
+- the additive floor (default 1 s) keeps sub-second cells from flaking
+  at 2x under ordinary host noise — a 0.4 s entry reading 0.8 s is not
+  a regression signal on a VM whose identical-code band is +/-20%;
 - entries in a ``shared_cost_groups`` group are compared as the GROUP
   SUM (lazily-checkpointed frames land their one-time materialization
   cost on whichever member runs first, so cells move between members
-  while the group total is stable);
+  while the group total is stable); the group limit uses the summed
+  maxes for the same reason;
 - entries new since the baseline are reported informationally (no
-  baseline to hold them to); entries missing from the run FAIL.
+  baseline to hold them to); entries missing from the run FAIL;
+- the STREAMING leg is adjudicated too (r8 verdict item 1 — it was
+  the last ungated number in the artifact): warm exactly-once ingest
+  and warm graph-pipeline rows/s must each be >= baseline / factor —
+  the >=1/2x throughput floor mirroring the batch 2x latency ceiling —
+  and every reported audit must hold rows == uniq == span. A run
+  without a streaming object fails when the baseline commits one.
 
 Accepts any of: the raw one-line bench.py output, the driver's
 wrapper ({"parsed": {...}}), or the driver's truncated-tail artifact
@@ -78,22 +91,153 @@ def _to_seconds(v: object) -> float:
     return float(v)  # type: ignore[arg-type]
 
 
-def load_queries(path: str) -> dict[str, float]:
+def _streaming_from_tail(tail: str) -> dict | None:
+    """Recover the balanced ``"streaming": {...}`` object from a
+    truncated stdout-tail string (same brace walk as the queries
+    recovery — the streaming object sits at the line's end, so a
+    2000-char tail usually carries it whole)."""
+    marker = '"streaming":'
+    at = tail.find(marker)
+    if at < 0:
+        return None
+    i = tail.find("{", at + len(marker))
+    if i < 0:
+        return None
+    depth, in_str, esc = 0, False, False
+    for j in range(i, len(tail)):
+        ch = tail[j]
+        if in_str:
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == '"':
+                in_str = False
+            continue
+        if ch == '"':
+            in_str = True
+        elif ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+            if depth == 0:
+                try:
+                    obj = json.loads(tail[i : j + 1])
+                except json.JSONDecodeError:
+                    return None
+                return obj if isinstance(obj, dict) and obj else None
+    return None
+
+
+def load_artifact(path: str) -> tuple[dict[str, float], dict | None]:
+    """(queries map, streaming object or None) from any accepted
+    artifact shape."""
     with open(path) as fh:
         doc = json.load(fh)
     if "parsed" in doc and isinstance(doc["parsed"], dict):
-        doc = doc["parsed"]
-    q = doc.get("queries")
-    if not isinstance(q, dict) or not q:
-        tail = doc.get("tail")
-        if isinstance(tail, str):
-            q = _queries_from_tail(tail)
+        inner = doc["parsed"]
+    else:
+        inner = doc
+    q = inner.get("queries")
+    s = inner.get("streaming")
+    tail = doc.get("tail")
+    if (not isinstance(q, dict) or not q) and isinstance(tail, str):
+        q = _queries_from_tail(tail)
+    if not isinstance(s, dict) and isinstance(tail, str):
+        s = _streaming_from_tail(tail)
     if not isinstance(q, dict) or not q:
         raise SystemExit(
             f"{path}: no 'queries' mapping found (neither top-level, "
             "under 'parsed', nor recoverable from a 'tail' string)"
         )
-    return {k: _to_seconds(v) for k, v in q.items()}
+    return (
+        {k: _to_seconds(v) for k, v in q.items()},
+        s if isinstance(s, dict) else None,
+    )
+
+
+def load_queries(path: str) -> dict[str, float]:
+    return load_artifact(path)[0]
+
+
+def _rate_of(cell: object) -> float | None:
+    """warm rows/s from a streaming cell: either the flat single-run
+    shape or the median-of-N shape ({"rows_per_sec": median, ...})."""
+    if isinstance(cell, dict) and "rows_per_sec" in cell:
+        return float(cell["rows_per_sec"])
+    return None
+
+
+def _audits_hold(obj: dict) -> list[str]:
+    """Walk every 'audit' object in the streaming tree; any with
+    rows != uniq != span is a failure line."""
+    bad: list[str] = []
+
+    def walk(node: object, path: str) -> None:
+        if not isinstance(node, dict):
+            return
+        a = node.get("audit")
+        if isinstance(a, dict):
+            if not (a.get("rows") == a.get("uniq") == a.get("span")):
+                bad.append(
+                    f"AUDIT {path}: rows={a.get('rows')} "
+                    f"uniq={a.get('uniq')} span={a.get('span')}"
+                )
+        for k, v in node.items():
+            if isinstance(v, dict) and k != "audit":
+                walk(v, f"{path}.{k}")
+
+    walk(obj, "streaming")
+    return bad
+
+
+def check_streaming(
+    streaming: dict | None, base_doc: dict, factor: float
+) -> list[str]:
+    """>= baseline/factor throughput floors + audit integrity for the
+    streaming leg. Returns failure lines (empty = pass). A baseline
+    with no streaming commitment gates nothing."""
+    sbase = base_doc.get("streaming")
+    if not isinstance(sbase, dict):
+        return []
+    failures: list[str] = []
+    if streaming is None:
+        return [
+            "MISSING streaming: baseline commits throughput floors, "
+            "run has no streaming object"
+        ]
+    checks = [
+        (
+            "warm ingest",
+            _rate_of(streaming.get("warm")),
+            sbase.get("warm_rows_per_sec"),
+        ),
+        (
+            "warm graph",
+            _rate_of(
+                (streaming.get("graph_pipeline") or {}).get("warm")
+                or streaming.get("graph_pipeline")
+            ),
+            sbase.get("graph_rows_per_sec"),
+        ),
+    ]
+    for label, got, base in checks:
+        if base is None:
+            continue
+        if got is None:
+            failures.append(f"MISSING streaming {label} rows/s")
+            continue
+        lim = float(base) / factor
+        flag = "FAIL" if got < lim else "ok  "
+        line = (
+            f"{flag} streaming {label}: {got:.0f} rows/s vs baseline "
+            f"{float(base):.0f} (floor {lim:.0f})"
+        )
+        print(line)
+        if got < lim:
+            failures.append(line)
+    failures.extend(_audits_hold(streaming))
+    return failures
 
 
 def main(argv: list[str]) -> int:
@@ -116,10 +260,17 @@ def main(argv: list[str]) -> int:
     bench_path = args[0]
     base_path = args[1] if len(args) > 1 else "BENCH_BASELINE.json"
 
-    got = load_queries(bench_path)
+    got, streaming = load_artifact(bench_path)
     with open(base_path) as fh:
         base_doc = json.load(fh)
     base = {k: v["sec"] for k, v in base_doc["entries"].items()}
+    # noise-aware bound: the committed --runs 3 spread. max(median, max)
+    # is just the committed max when present; a legacy single-run cell
+    # (no "max") bounds on its median alone.
+    bound = {
+        k: max(v["sec"], v.get("max", v["sec"]))
+        for k, v in base_doc["entries"].items()
+    }
     groups = base_doc.get("shared_cost_groups", [])
     grouped = {m for g in groups for m in g}
 
@@ -130,7 +281,7 @@ def main(argv: list[str]) -> int:
         failures.append(f"MISSING {m}: in baseline, absent from run")
 
     for name in sorted(set(got) & set(base) - grouped):
-        lim = factor * base[name] + floor
+        lim = factor * bound[name] + floor
         flag = "FAIL" if got[name] > lim else "ok  "
         line = (
             f"{flag} {name}: {got[name]:.2f}s vs baseline "
@@ -145,7 +296,7 @@ def main(argv: list[str]) -> int:
         if not have:
             continue
         gs, bs = sum(got[m] for m in have), sum(base[m] for m in have)
-        lim = factor * bs + floor
+        lim = factor * sum(bound[m] for m in have) + floor
         flag = "FAIL" if gs > lim else "ok  "
         line = (
             f"{flag} GROUP {'+'.join(have)}: {gs:.2f}s vs baseline "
@@ -154,6 +305,8 @@ def main(argv: list[str]) -> int:
         print(line)
         if gs > lim:
             failures.append(line)
+
+    failures.extend(check_streaming(streaming, base_doc, factor))
 
     for n in new:
         print(f"new  {n}: {got[n]:.2f}s (no baseline yet)")
