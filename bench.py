@@ -46,6 +46,35 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def shared_caches() -> dict[str, dict]:
+    """Every process-level shared-frame cache in the package,
+    discovered by IMPORT SCAN (r8 verdict item 9): any module-level
+    dict global named ``_*_CACHE`` (or the broadcast registry
+    ``_PROBE_BC``) in any ``dataingestiontohana_spark`` module. A new
+    cache is picked up automatically — it cannot be added without
+    also being cleared between bench passes, which would otherwise
+    silently warm a shared_cost_groups entry. Keys are
+    ``module.GLOBAL`` for reporting."""
+    import importlib
+    import pkgutil
+
+    import dataingestiontohana_spark as pkg
+
+    found: dict[str, dict] = {}
+    for info in pkgutil.walk_packages(pkg.__path__, pkg.__name__ + "."):
+        mod = importlib.import_module(info.name)
+        for gname, val in vars(mod).items():
+            if not isinstance(val, dict):
+                continue
+            if (gname.startswith("_") and gname.endswith("_CACHE")) or (
+                gname == "_PROBE_BC"
+            ):
+                # id-dedup: re-exports alias the same dict object
+                if not any(v is val for v in found.values()):
+                    found[f"{info.name}.{gname}"] = val
+    return found
+
+
 def clear_shared_caches() -> None:
     """Drop every process-level shared frame so the suite starts from
     a defined cold state. `run_suite` calls this up front — a caller
@@ -54,29 +83,7 @@ def clear_shared_caches() -> None:
     warm cache and skew the shared_cost_groups attribution. (Median
     sampling itself runs fresh subprocesses — see the --runs note —
     so this is a starting-state guarantee, not the i.i.d. mechanism.)"""
-    from dataingestiontohana_spark.plans import (
-        graph,
-        llm_dedup,
-        llm_similarity,
-        multimodal,
-        relational_ext,
-    )
-
-    for cache in (
-        llm_dedup._EDGE_CACHE,
-        llm_dedup._LSH_CACHE,
-        llm_dedup._WINNOW_CACHE,
-        graph._GRAPH_CACHE,
-        relational_ext._BASKET_CACHE,
-        multimodal._MEDIA_CACHE,
-        multimodal._DHASH_CACHE,
-        multimodal._PNG_CACHE,
-        multimodal._JPEG_CACHE,
-        multimodal._WAV_CACHE,
-        multimodal._PNG16_CACHE,
-        multimodal._AHASH_CACHE,
-        llm_similarity._PROBE_BC,
-    ):
+    for cache in shared_caches().values():
         cache.clear()
 
 
