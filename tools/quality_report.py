@@ -80,7 +80,11 @@ GATE_RULES = [
 ]
 
 
-def run_artifact_gate(bench: str | None, correctness: str | None) -> int:
+def run_artifact_gate(
+    bench: str | None,
+    correctness: str | None,
+    baseline: str | None = None,
+) -> int:
     """The judge's MECHANICAL artifact pass, reproduced locally (r7
     verdict item 8): adjudicate the newest per-round bench artifact
     against the committed baseline via tools/check_bench (per-entry
@@ -115,7 +119,9 @@ def run_artifact_gate(bench: str | None, correctness: str | None) -> int:
         from tools.check_bench import main as check_bench_main
 
         try:
-            rc = check_bench_main([bench])
+            rc = check_bench_main(
+                [bench, baseline] if baseline else [bench]
+            )
         except SystemExit as exc:
             rc = 1
             print(f"GATE FAIL bench: {exc}")
@@ -159,6 +165,67 @@ def run_artifact_gate(bench: str | None, correctness: str | None) -> int:
     return violations
 
 
+def run_plan_lint_gate(spark, sf_dir: str, queries) -> int:
+    """Plan-shape discipline over the FULL registry (r8 verdict item
+    7): every declared fine query's plan must pass
+    `plan_lint.lint_plan` — no cartesian products, no unpartitioned
+    windows over unreduced input, no row-at-a-time python UDFs, no
+    whole-row scans feeding narrow projections. Returns the count of
+    offending queries."""
+    from dataingestiontohana_spark.plan_lint import lint_plan
+
+    print("\n# Plan-lint gate (full registry)")
+    bad: dict[str, list[str]] = {}
+    for name in sorted(queries):
+        try:
+            problems = lint_plan(queries[name](spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001 — gate must report
+            problems = [f"plan build failed: {type(exc).__name__}: {exc}"]
+        if problems:
+            bad[name] = problems
+    if bad:
+        print(f"GATE FAIL plan-lint: {len(bad)}/{len(queries)} queries:")
+        for name in sorted(bad)[:10]:
+            print(f"    {name}: {bad[name][0][:140]}")
+    else:
+        print(f"GATE ok   plan-lint: {len(queries)}/{len(queries)} clean")
+    return len(bad)
+
+
+def run_empty_input_gate(spark, template_sf_dir: str, queries) -> int:
+    """Every declared query must EVALUATE (not crash) on a dataset of
+    empty tables with correct schemas — the first hour of a new
+    deployment (r8 verdict item 7 folds tools/empty_input_sweep.py
+    into the one-command gate). Returns the count of crashing
+    queries."""
+    import tempfile
+
+    from tools.empty_input_sweep import make_empty_dataset
+
+    print("\n# Empty-input gate (full registry, zero-row tables)")
+    failures: dict[str, str] = {}
+    with tempfile.TemporaryDirectory() as d:
+        make_empty_dataset(template_sf_dir, d)
+        for name in sorted(queries):
+            try:
+                queries[name](spark, d).collect()
+            except Exception as exc:  # noqa: BLE001 — sweep reports all
+                failures[name] = f"{type(exc).__name__}: {str(exc)[:140]}"
+    if failures:
+        print(
+            f"GATE FAIL empty-input: {len(failures)}/{len(queries)} "
+            "queries crash on zero rows:"
+        )
+        for name in sorted(failures)[:10]:
+            print(f"    {name}: {failures[name]}")
+    else:
+        print(
+            f"GATE ok   empty-input: {len(queries)}/{len(queries)} "
+            "evaluate on empty tables"
+        )
+    return len(failures)
+
+
 def run_gate(spark, sf_dir: str, queries) -> int:
     """Evaluate the release-gate rules; prints verdicts, returns the
     violation count."""
@@ -196,7 +263,15 @@ def main(argv=None) -> int:
         help="evaluate the release-gate rules after the report and "
         "exit 1 on any violation (leakage/expectations/orphans), plus "
         "the judge's mechanical artifact pass (per-entry bench factor "
-        "via tools/check_bench + CORRECTNESS entry sweep)",
+        "via tools/check_bench + CORRECTNESS entry sweep), plus the "
+        "full-registry plan-lint and empty-input sweeps (r8 item 7: "
+        "one exit code for the whole mechanical pass; ~4 min)",
+    )
+    ap.add_argument(
+        "--skip-sweeps",
+        action="store_true",
+        help="with --gate: skip the two full-registry sweeps "
+        "(plan-lint, empty-input) for a fast artifact-only gate",
     )
     ap.add_argument(
         "--bench", default=None,
@@ -239,16 +314,23 @@ def main(argv=None) -> int:
     if args.gate:
         data_viol = run_gate(spark, args.sf_dir, QUERIES)
         art_viol = run_artifact_gate(args.bench, args.correctness)
+        lint_viol = sweep_viol = 0
+        if not args.skip_sweeps:
+            lint_viol = run_plan_lint_gate(spark, args.sf_dir, QUERIES)
+            sweep_viol = run_empty_input_gate(spark, args.sf_dir, QUERIES)
         print(
             f"\n# Gate verdict: {data_viol} DATA violation(s) "
             f"(dataset findings — a dirty corpus failing here is the "
             f"gate working; the test corpus's planted near-dups "
             f"intentionally trip the leakage rule), "
             f"{art_viol} ARTIFACT violation(s) (engine health — "
-            f"bench factor / correctness entries; any non-zero here "
-            f"is a build defect)."
+            f"bench factor / correctness entries), "
+            f"{lint_viol} PLAN-LINT violation(s) (scale-killer plan "
+            f"shapes), {sweep_viol} EMPTY-INPUT violation(s) (queries "
+            f"crashing on zero rows); any non-DATA violation is a "
+            f"build defect."
         )
-        failures += data_viol + art_viol
+        failures += data_viol + art_viol + lint_viol + sweep_viol
     print()
     return 1 if failures else 0
 
