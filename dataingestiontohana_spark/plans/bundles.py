@@ -536,9 +536,9 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("channels", "int"), ("px_sum", "bigint"), ("px_sqsum", "bigint"),
     ],
     "q205_wav_native": [
-        ("media_id", "bigint"), ("bits", "int"), ("n_samples", "int"),
-        ("px_sum", "bigint"), ("px_sqsum_hi", "bigint"),
-        ("px_sqsum_lo", "bigint"),
+        ("media_id", "bigint"), ("codec", "string"), ("bits", "int"),
+        ("n_samples", "int"), ("px_sum", "bigint"),
+        ("px_sqsum_hi", "bigint"), ("px_sqsum_lo", "bigint"),
     ],
     "q207_bigram_lm": [
         ("doc_id", "bigint"), ("n_transitions", "bigint"),

@@ -469,12 +469,51 @@ def _wav_native_corpus(spark: SparkSession) -> DataFrame:
             + b"data" + struct.pack("<I", len(data)) + data
         )
 
+    def float_container(data: bytes, channels: int, bits: int) -> bytes:
+        width = bits // 8
+        fmt = struct.pack(
+            "<HHIIHH", 3, channels, 8000, 8000 * width * channels,
+            width * channels, bits,
+        )
+        return (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
     rows = []
     for i in range(16):
         bits = (8, 16, 24, 32)[i % 4]
         channels = 1 if bits == 8 else 1 + (i // 4) % 2
         data = md5_expand(i, _WAV_FRAMES * (bits // 8) * channels)
         rows.append((i, KIND_AUDIO, container(data, channels, bits)))
+    # IEEE-float clips 16-19 (r9, closing the r8 float boundary):
+    # samples planted exactly ON the quantization grid — v = k / 2^g
+    # with k from the md5 expansion (stride bytes little-endian, then
+    # a mod centering it), so decode + grid quantization recovers k
+    # LOSSLESSLY and DuckDB replays every value without IEEE
+    # arithmetic. Stereo clips plant EVEN k so the float mid-channel
+    # fold (l + r) / 2 stays on the grid (no rounding-mode divergence
+    # between numpy half-even and SQL arithmetic — the fold halves an
+    # even integer exactly on both engines).
+    for i in range(16, 20):
+        is64 = i >= 18
+        stride, g = (7, 51) if is64 else (4, 23)
+        channels = 1 + (i % 2)
+        raw = md5_expand(i, _WAV_FRAMES * stride * channels)
+        us = [
+            int.from_bytes(raw[j * stride : (j + 1) * stride], "little")
+            for j in range(_WAV_FRAMES * channels)
+        ]
+        if channels == 1:
+            ks = [(u % (1 << (g + 1))) - (1 << g) for u in us]
+        else:
+            ks = [2 * ((u % (1 << g)) - (1 << (g - 1))) for u in us]
+        vals = [k / float(1 << g) for k in ks]
+        data = struct.pack(f"<{len(vals)}{'d' if is64 else 'f'}", *vals)
+        rows.append(
+            (i, KIND_AUDIO, float_container(data, channels, 64 if is64 else 32))
+        )
     df = (
         spark.createDataFrame(rows, "media_id long, kind int, content binary")
         .coalesce(2)
@@ -486,12 +525,15 @@ def _wav_native_corpus(spark: SparkSession) -> DataFrame:
 
 def q205_wav_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-native-width WAV decode under the VALUE gate: real RIFF
-    streams at 8/16/24/32-bit integer PCM, mono and stereo, through
-    the production decode path (`operators/multimodal.py::_parse_wav`)
-    — the adjudicated columns are the exact native-sample moments,
-    the 32-bit sum of squares split hi/lo so a bigint schema carries
-    the hugeint exactly (closes the r7 declared int16-precision
-    boundary)."""
+    streams at 8/16/24/32-bit integer PCM AND 32/64-bit IEEE-float
+    PCM (fmt tag 3 — r9, closing the r8 declared float boundary),
+    mono and stereo, through the production decode path
+    (`operators/multimodal.py::_parse_wav`) — the adjudicated columns
+    are the exact native-sample moments (float clips on the lossless
+    2^23 / 2^51 quantization grid their samples are planted on), the
+    wide sums of squares split hi/lo so a bigint schema carries the
+    hugeint exactly (closed the r7 int16-precision boundary; float
+    closed r9)."""
     from dataingestiontohana_spark.operators.multimodal import (
         wav_native_moments,
     )
@@ -793,6 +835,69 @@ wav_folded AS (
               ELSE CAST(SUM(v) AS BIGINT) END AS v
   FROM wav_signed
   GROUP BY media_id, bits, channels, s // channels
+),
+wavf_media AS (
+  SELECT CAST(i AS BIGINT) AS media_id,
+         CASE WHEN i >= 18 THEN 64 ELSE 32 END AS bits,
+         CASE WHEN i >= 18 THEN 7 ELSE 4 END AS stride,
+         CASE WHEN i >= 18 THEN 51 ELSE 23 END AS g,
+         1 + i % 2 AS channels
+  FROM range(16, 20) t(i)
+),
+wavf_chunks AS (
+  SELECT m.media_id, m.bits, m.stride, m.g, m.channels,
+         {_WAV_FRAMES} * m.stride * m.channels AS need,
+         CAST(c.j AS INT) AS counter,
+         md5(m.media_id || ':wav:' || c.j) AS h
+  FROM wavf_media m, range(56) c(j)
+  WHERE c.j*16 < {_WAV_FRAMES} * m.stride * m.channels
+),
+wavf_bytes AS (
+  SELECT media_id, bits, stride, g, channels, need,
+         counter*16 + CAST(k.j AS INT) AS pos,
+         16*(strpos('0123456789abcdef', substr(h, CAST(2*k.j+1 AS INT), 1))-1)
+           + (strpos('0123456789abcdef', substr(h, CAST(2*k.j+2 AS INT), 1))-1)
+           AS b
+  FROM wavf_chunks, range(16) k(j)
+  WHERE counter*16 + k.j < need
+),
+-- little-endian u from `stride` bytes: place value 2^(8*offset),
+-- max byte place 2^48 at stride 7 so the SUM stays inside BIGINT
+wavf_unsigned AS (
+  SELECT media_id, bits, g, channels, pos // stride AS s,
+         SUM(b * (CASE pos % stride
+                       WHEN 0 THEN 1 WHEN 1 THEN 256 WHEN 2 THEN 65536
+                       WHEN 3 THEN 16777216 WHEN 4 THEN 4294967296
+                       WHEN 5 THEN 1099511627776
+                       ELSE 281474976710656 END)) AS u
+  FROM wavf_bytes
+  GROUP BY media_id, bits, g, channels, pos // stride
+),
+-- the planted grid integers: mono k = (u mod 2^(g+1)) - 2^g;
+-- stereo k = 2*((u mod 2^g) - 2^(g-1)) (even, so the mid-channel
+-- fold (k_l + k_r)/2 stays an exact grid integer on both engines).
+-- Powers written as BIGINT literals: DuckDB's ** returns DOUBLE and
+-- u reaches 2^56, past the 53-bit mantissa.
+wavf_grid AS (
+  SELECT media_id, bits, channels, s,
+         CASE WHEN channels = 1 AND g = 23
+                THEN (u % 16777216) - 8388608
+              WHEN channels = 1
+                THEN (u % 4503599627370496) - 2251799813685248
+              WHEN g = 23
+                THEN 2 * ((u % 8388608) - 4194304)
+              ELSE 2 * ((u % 2251799813685248) - 1125899906842624)
+              END AS k
+  FROM wavf_unsigned
+),
+wavf_folded AS (
+  -- SUM(k) is even for stereo by construction, so integer // 2 is
+  -- exact (truncate == floor on an even value)
+  SELECT media_id, bits, s // channels AS frame,
+         CASE WHEN channels = 2 THEN SUM(k) // 2
+              ELSE SUM(k) END AS v
+  FROM wavf_grid
+  GROUP BY media_id, bits, channels, s // channels
 )
 """
 
@@ -934,7 +1039,7 @@ ORACLES = {
     """,
     "q205_wav_native": f"""
         WITH {_WAV_NATIVE_CTE}
-        SELECT media_id, CAST(bits AS INTEGER) AS bits,
+        SELECT media_id, 'pcm' AS codec, CAST(bits AS INTEGER) AS bits,
                CAST({_WAV_FRAMES} AS INTEGER) AS n_samples,
                CAST(SUM(v) AS BIGINT) AS px_sum,
                CAST(SUM(CAST(v AS HUGEINT) * v) // 1000000000000000000
@@ -942,6 +1047,16 @@ ORACLES = {
                CAST(SUM(CAST(v AS HUGEINT) * v) % 1000000000000000000
                     AS BIGINT) AS px_sqsum_lo
         FROM wav_folded
+        GROUP BY media_id, bits
+        UNION ALL
+        SELECT media_id, 'float' AS codec, CAST(bits AS INTEGER) AS bits,
+               CAST({_WAV_FRAMES} AS INTEGER) AS n_samples,
+               CAST(SUM(v) AS BIGINT) AS px_sum,
+               CAST(SUM(CAST(v AS HUGEINT) * v) // 1000000000000000000
+                    AS BIGINT) AS px_sqsum_hi,
+               CAST(SUM(CAST(v AS HUGEINT) * v) % 1000000000000000000
+                    AS BIGINT) AS px_sqsum_lo
+        FROM wavf_folded
         GROUP BY media_id, bits
         ORDER BY media_id
     """,

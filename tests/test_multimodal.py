@@ -1124,3 +1124,118 @@ def test_png_sub_byte_depths_roundtrip(spark):
     )
     r = decode_media(df).collect()[0]
     assert r["px_sum"] == int(icon.astype(np.int64).sum() * 255)
+
+
+def _wav_float(vals, channels: int, bits: int) -> bytes:
+    import struct as _s
+
+    import numpy as _np
+
+    data = _np.asarray(
+        vals, dtype=_np.float32 if bits == 32 else _np.float64
+    ).tobytes()
+    width = bits // 8
+    fmt = _s.pack("<HHIIHH", 3, channels, 8000, 8000 * width * channels,
+                  width * channels, bits)
+    return (b"RIFF" + _s.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+            + b"data" + _s.pack("<I", len(data)) + data)
+
+
+def test_float_wav_decodes_native_precision(spark):
+    """r8 verdict item 4: IEEE-float WAV (fmt tag 3) decodes at native
+    32/64-bit width — samples planted on the quantization grid recover
+    their integers LOSSLESSLY through decode + quantize, mono and
+    stereo; the fmt-tag boundary shrinks to ADPCM + >2 channels."""
+    import numpy as _np
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        KIND_AUDIO,
+        _parse_wav,
+        _quantize_float_samples,
+        audio_features,
+        decode_media,
+        wav_native_moments,
+    )
+
+    rng = _np.random.default_rng(205)
+    # float32 mono: k on the 2^23 grid, full range incl. the extremes
+    k32 = _np.concatenate([
+        _np.array([-(1 << 23), (1 << 23) - 1, 0, 1, -1]),
+        rng.integers(-(1 << 23), 1 << 23, size=59),
+    ]).astype(_np.int64)
+    v32 = (k32 / float(1 << 23)).astype(_np.float32)
+    n, px = _parse_wav(_wav_float(v32, 1, 32))
+    assert n == 64 and px.dtype == _np.float32
+    assert _np.array_equal(_quantize_float_samples(px), k32)
+
+    # float64 mono: k on the 2^51 grid — bits 24..51 of the mantissa
+    # must survive (a float32-pathed decoder would destroy them)
+    k64 = _np.concatenate([
+        _np.array([-(1 << 51), (1 << 51) - 1, (1 << 40) + 7]),
+        rng.integers(-(1 << 51), 1 << 51, size=61),
+    ]).astype(_np.int64)
+    v64 = k64 / float(1 << 51)
+    n2, px2 = _parse_wav(_wav_float(v64, 1, 64))
+    assert n2 == 64 and px2.dtype == _np.float64
+    assert _np.array_equal(_quantize_float_samples(px2), k64)
+
+    # stereo fold: even-planted grid ints -> (l + r) / 2 exact
+    ka = 2 * rng.integers(-(1 << 22), 1 << 22, size=32).astype(_np.int64)
+    kb = 2 * rng.integers(-(1 << 22), 1 << 22, size=32).astype(_np.int64)
+    inter = _np.empty(64, dtype=_np.float32)
+    inter[0::2] = (ka / float(1 << 23)).astype(_np.float32)
+    inter[1::2] = (kb / float(1 << 23)).astype(_np.float32)
+    n3, px3 = _parse_wav(_wav_float(inter, 2, 32))
+    assert n3 == 32
+    assert _np.array_equal(_quantize_float_samples(px3), (ka + kb) // 2)
+
+    # the Spark operators: decode_media moments on the grid (float32
+    # fits bigint), audio_features normalizes by 1.0 (native range)
+    df = spark.createDataFrame(
+        [(90, KIND_AUDIO, _wav_float(v32, 1, 32)),
+         (91, KIND_AUDIO, _wav_float(v64, 1, 64))],
+        "media_id long, kind int, content binary",
+    ).coalesce(1)
+    got = {r["media_id"]: r for r in decode_media(df).collect()}
+    assert got[90]["px_sum"] == int(k32.sum())
+    assert got[90]["px_sqsum"] == int((k32 * k32).sum())
+    # float64 grid squares exceed bigint -> None, never wrapped
+    assert got[91]["px_sum"] == int(k64.sum())
+    assert got[91]["px_sqsum"] is None
+
+    feats = {r["media_id"]: r for r in audio_features(df).collect()}
+    x = px.astype(_np.float64)
+    x = x - x.mean()
+    assert feats[90]["rms"] == round(float(_np.sqrt((x * x).mean())), 6)
+
+    moments = {r["media_id"]: r for r in wav_native_moments(df).collect()}
+    assert moments[90]["codec"] == "float" and moments[90]["bits"] == 32
+    assert moments[91]["codec"] == "float" and moments[91]["bits"] == 64
+    sq64 = int((k64.astype(object) * k64.astype(object)).sum())
+    assert moments[91]["px_sqsum_hi"] == sq64 // 10**18
+    assert moments[91]["px_sqsum_lo"] == sq64 % 10**18
+
+
+def test_float_wav_nonfinite_and_other_widths_guarded(spark):
+    """NaN/inf float samples decode (count intact) but refuse moments;
+    fmt tag 3 at widths other than 32/64 stays count-only."""
+    import numpy as _np
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        KIND_AUDIO,
+        _parse_wav,
+        _quantize_float_samples,
+        wav_native_moments,
+    )
+
+    bad = _np.array([0.25, float("inf"), -0.5, float("nan")],
+                    dtype=_np.float64)
+    n, px = _parse_wav(_wav_float(bad, 1, 64))
+    assert n == 4 and px is not None
+    assert _quantize_float_samples(px) is None
+    df = spark.createDataFrame(
+        [(92, KIND_AUDIO, _wav_float(bad, 1, 64))],
+        "media_id long, kind int, content binary",
+    ).coalesce(1)
+    assert wav_native_moments(df).collect() == []  # refused, not wrong
