@@ -128,6 +128,7 @@ def _parse_png(b: bytes) -> tuple[int, int, int, np.ndarray | None]:
     # (the reference's malformed-record discipline applied to media)
     idat = bytearray()
     plte = b""
+    trns = b""
     off = 8
     saw_iend = False
     while off + 8 <= len(b):
@@ -143,6 +144,8 @@ def _parse_png(b: bytes) -> tuple[int, int, int, np.ndarray | None]:
             idat += data
         elif typ == b"PLTE":
             plte = data
+        elif typ == b"tRNS":
+            trns = data
         if typ == b"IEND":
             saw_iend = True
             break
@@ -151,6 +154,18 @@ def _parse_png(b: bytes) -> tuple[int, int, int, np.ndarray | None]:
         raise ValueError("PNG: missing IEND (truncated stream)")
     if color_type == 3 and (not plte or len(plte) % 3):
         return w, h, 0, None  # malformed palette: metadata only
+    if trns:
+        # tRNS shape per spec: forbidden for the alpha-bearing types,
+        # exactly 2 bytes (gray key) / 6 bytes (RGB key) / at most one
+        # alpha per palette entry — violations are corrupt bitstreams
+        if color_type in (4, 6):
+            raise ValueError("PNG: tRNS forbidden for color type 4/6")
+        if color_type == 0 and len(trns) != 2:
+            raise ValueError("PNG: tRNS for grayscale must be 2 bytes")
+        if color_type == 2 and len(trns) != 6:
+            raise ValueError("PNG: tRNS for RGB must be 6 bytes")
+        if color_type == 3 and len(trns) > len(plte) // 3:
+            raise ValueError("PNG: tRNS longer than the palette")
 
     raw = zlib.decompress(bytes(idat))
     nch = _PNG_BPP[color_type]
@@ -178,7 +193,38 @@ def _parse_png(b: bytes) -> tuple[int, int, int, np.ndarray | None]:
     flat = out3.reshape(-1)
     if color_type == 3:
         pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
-        return w, h, 3, pal[flat].reshape(-1)
+        rgb = pal[flat].reshape(-1, 3)
+        if trns:
+            # per-entry alphas; entries past the chunk are opaque 255
+            alpha_lut = np.full(len(pal), 255, dtype=np.uint8)
+            alpha_lut[: len(trns)] = np.frombuffer(trns, np.uint8)
+            rgba = np.concatenate(
+                [rgb, alpha_lut[flat].reshape(-1, 1)], axis=1
+            )
+            return w, h, 4, rgba.reshape(-1)
+        return w, h, 3, rgb.reshape(-1)
+    amax = 65535 if bit_depth == 16 else 255
+    if color_type == 0 and trns:
+        # the key compares against the RAW sample (pre-scaling space)
+        key = struct.unpack(">H", trns)[0] & ((1 << bit_depth) - 1)
+        alpha = np.where(flat == key, 0, amax).astype(out3.dtype)
+        if bit_depth < 8:
+            flat = (flat.astype(np.int32) * (255 // ((1 << bit_depth) - 1))) \
+                .astype(np.uint8)
+        ga = np.stack([flat, alpha], axis=1)
+        return w, h, 2, ga.reshape(-1)
+    if color_type == 2 and trns:
+        kr, kg, kb = struct.unpack(">HHH", trns)
+        mask = (1 << bit_depth) - 1
+        pix = out3.reshape(-1, 3)
+        match = (
+            (pix[:, 0] == (kr & mask))
+            & (pix[:, 1] == (kg & mask))
+            & (pix[:, 2] == (kb & mask))
+        )
+        alpha = np.where(match, 0, amax).astype(out3.dtype)
+        rgba = np.concatenate([pix, alpha.reshape(-1, 1)], axis=1)
+        return w, h, 4, rgba.reshape(-1)
     if color_type == 0 and bit_depth < 8:
         # scale to the full 8-bit grid: 255/(2^d-1) is an integer
         flat = (flat.astype(np.int32) * (255 // ((1 << bit_depth) - 1))) \
@@ -311,6 +357,7 @@ def encode_png(
     palette: np.ndarray | None = None,
     interlace: int = 0,
     bit_depth: int = 8,
+    trns: "bytes | int | tuple[int, int, int] | None" = None,
 ) -> bytes:
     """Pure-stdlib PNG encoder — the inverse of `_parse_png`, used
     both as the re-encode step of image normalization and to build
@@ -326,7 +373,10 @@ def encode_png(
     ``bit_depth=16`` takes a uint16 array and emits big-endian sample
     pairs (not valid for palette); ``bit_depth`` 1/2/4 takes raw
     sample values (grayscale levels or palette indices) and packs
-    MSB-first with zero bit-padding per scanline."""
+    MSB-first with zero bit-padding per scanline. ``trns`` (r9) emits
+    a tRNS transparency chunk: for palette a bytes of per-entry
+    alphas; for grayscale an int sample key; for RGB an (r, g, b)
+    sample-key tuple — the three forms the spec defines."""
     import zlib
 
     if color_type not in _PNG_BPP:
@@ -406,6 +456,19 @@ def encode_png(
         if palette is None:
             raise ValueError("palette color type needs a palette")
         out += chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes())
+    if trns is not None:
+        if color_type == 3:
+            tdata = bytes(trns)
+        elif color_type == 0:
+            tdata = struct.pack(">H", int(trns))
+        elif color_type == 2:
+            tdata = struct.pack(">HHH", *(int(v) for v in trns))
+        else:
+            raise ValueError(
+                "tRNS is defined only for color types 0/2/3 (4 and 6 "
+                "carry a real alpha channel)"
+            )
+        out += chunk(b"tRNS", tdata)
     return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
 
 

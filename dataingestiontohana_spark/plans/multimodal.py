@@ -330,6 +330,34 @@ def _png_color_corpus(spark: SparkSession) -> DataFrame:
             arr = np.frombuffer(raw, np.uint8).reshape(_PNG_H, _PNG_W, ch)
             png = encode_png(arr, ct, filters, interlace=il)
         rows.append((i, KIND_IMAGE, png))
+    # tRNS rows 36-41 (r9): the three transparency forms the spec
+    # defines — per-entry palette alphas, a grayscale sample key, an
+    # RGB sample key — plain (36-38) and Adam7 (39-41). Keys are the
+    # image's OWN first expansion byte, so at least one pixel always
+    # matches and the alpha rule is exercised for real; the RGB image
+    # plants r=g=b so the oracle's alpha stays a per-byte formula (the
+    # all-three-channels-must-match semantics are pinned in pytest).
+    for i in range(36, 42):
+        form = i % 3  # 0 palette, 1 gray key, 2 rgb key
+        il = 1 if i >= 39 else 0
+        raw = md5_expand(i, _PNG_W * _PNG_H)
+        if form == 0:
+            idx = (np.frombuffer(raw, np.uint8) % 64).reshape(_PNG_H, _PNG_W)
+            alphas = bytes(((k * 29) % 256) for k in range(64))
+            png = encode_png(
+                idx, 3, filters, palette=pal, interlace=il, trns=alphas
+            )
+        elif form == 1:
+            g = np.frombuffer(raw, np.uint8).reshape(_PNG_H, _PNG_W)
+            png = encode_png(g, 0, filters, interlace=il, trns=int(raw[0]))
+        else:
+            b = np.frombuffer(raw, np.uint8)
+            arr = np.repeat(b, 3).reshape(_PNG_H, _PNG_W, 3)
+            png = encode_png(
+                arr, 2, filters, interlace=il,
+                trns=(int(raw[0]),) * 3,
+            )
+        rows.append((i, KIND_IMAGE, png))
     df = (
         spark.createDataFrame(rows, "media_id long, kind int, content binary")
         .coalesce(2)
@@ -583,6 +611,27 @@ def _png16_corpus(spark: SparkSession) -> DataFrame:
             interlace=i % 2, bit_depth=16,
         )
         rows.append((i, KIND_IMAGE, png))
+    # tRNS rows 12-13 (r9): 16-bit gray and RGB transparency keys —
+    # the key is the image's own FIRST SAMPLE (big-endian pair of the
+    # expansion's bytes 0-1), so at least one pixel matches and the
+    # alpha channel (0 / 65535 at depth 16) enters the value gate. The
+    # RGB image plants r=g=b so the oracle alpha stays per-sample.
+    for i in (12, 13):
+        raw = md5_expand(i, _PNG_W * _PNG_H * 2)
+        s16 = np.frombuffer(raw, ">u2")
+        key16 = int(s16[0])
+        if i == 12:
+            png = encode_png(
+                s16.reshape(_PNG_H, _PNG_W), 0, filters=(0, 1, 2, 3, 4),
+                bit_depth=16, trns=key16,
+            )
+        else:
+            arr = np.repeat(s16, 3).reshape(_PNG_H, _PNG_W, 3)
+            png = encode_png(
+                arr, 2, filters=(0, 1, 2, 3, 4), interlace=1,
+                bit_depth=16, trns=(key16,) * 3,
+            )
+        rows.append((i, KIND_IMAGE, png))
     df = (
         spark.createDataFrame(rows, "media_id long, kind int, content binary")
         .coalesce(2)
@@ -777,6 +826,47 @@ png_px AS (
   SELECT media_id, color_type, ((b%64)*59)%256 FROM png_raw WHERE color_type=3
   UNION ALL
   SELECT media_id, color_type, ((b%64)*83)%256 FROM png_raw WHERE color_type=3
+),
+pngt_media AS (
+  SELECT CAST(i AS BIGINT) AS media_id, CAST(i % 3 AS INT) AS form
+  FROM range(36, 42) t(i)
+),
+pngt_bytes AS (
+  SELECT m.media_id, m.form,
+         c.j*16 + CAST(g.j AS INT) AS pos,
+         16*(strpos('0123456789abcdef',
+              substr(md5(m.media_id || ':png:' || c.j),
+                     CAST(2*g.j+1 AS INT), 1))-1)
+           + (strpos('0123456789abcdef',
+              substr(md5(m.media_id || ':png:' || c.j),
+                     CAST(2*g.j+2 AS INT), 1))-1) AS b
+  FROM pngt_media m, range(8) c(j), range(16) g(j)
+),
+pngt_keys AS (
+  SELECT media_id, b AS k0 FROM pngt_bytes WHERE pos = 0
+),
+-- decoded sample streams per tRNS form: palette expands RGB + the
+-- planted per-entry alpha ((idx*29)%256); gray/rgb emit the samples
+-- plus alpha = 0 where the sample equals the image's own first byte
+pngt_px AS (
+  SELECT t.media_id, 4 AS channels, ((b%64)*37)%256 AS v
+  FROM pngt_bytes t WHERE form = 0
+  UNION ALL
+  SELECT t.media_id, 4, ((b%64)*59)%256 FROM pngt_bytes t WHERE form = 0
+  UNION ALL
+  SELECT t.media_id, 4, ((b%64)*83)%256 FROM pngt_bytes t WHERE form = 0
+  UNION ALL
+  SELECT t.media_id, 4, ((b%64)*29)%256 FROM pngt_bytes t WHERE form = 0
+  UNION ALL
+  SELECT t.media_id, 2, b FROM pngt_bytes t WHERE form = 1
+  UNION ALL
+  SELECT t.media_id, 2, CASE WHEN b = k.k0 THEN 0 ELSE 255 END
+  FROM pngt_bytes t JOIN pngt_keys k USING (media_id) WHERE form = 1
+  UNION ALL
+  SELECT t.media_id, 4, b FROM pngt_bytes t, range(3) r(n) WHERE form = 2
+  UNION ALL
+  SELECT t.media_id, 4, CASE WHEN b = k.k0 THEN 0 ELSE 255 END
+  FROM pngt_bytes t JOIN pngt_keys k USING (media_id) WHERE form = 2
 )
 """
 
@@ -929,6 +1019,39 @@ p16_samples AS (
   SELECT media_id, ch, pos // 2 AS j,
          SUM(b * CASE pos % 2 WHEN 0 THEN 256 ELSE 1 END) AS v
   FROM p16_bytes GROUP BY media_id, ch, pos // 2
+),
+p16t_bytes AS (
+  SELECT CAST(m.i AS BIGINT) AS media_id,
+         c.j*16 + CAST(g.j AS INT) AS pos,
+         16*(strpos('0123456789abcdef',
+              substr(md5(m.i || ':png16:' || c.j),
+                     CAST(2*g.j+1 AS INT), 1))-1)
+           + (strpos('0123456789abcdef',
+              substr(md5(m.i || ':png16:' || c.j),
+                     CAST(2*g.j+2 AS INT), 1))-1) AS b
+  FROM range(12, 14) m(i), range(16) c(j), range(16) g(j)
+),
+p16t_raw AS (
+  SELECT media_id, pos // 2 AS j,
+         SUM(b * CASE pos % 2 WHEN 0 THEN 256 ELSE 1 END) AS v
+  FROM p16t_bytes GROUP BY media_id, pos // 2
+),
+p16t_keys AS (
+  SELECT media_id, v AS k0 FROM p16t_raw WHERE j = 0
+),
+-- 16-bit tRNS streams: gray (id 12, ch 2) emits sample + alpha;
+-- RGB (id 13, ch 4, planted r=g=b) emits the sample x3 + alpha —
+-- alpha = 0 where the sample equals the image's own first sample
+p16t_samples AS (
+  SELECT media_id, 2 AS ch, v FROM p16t_raw WHERE media_id = 12
+  UNION ALL
+  SELECT t.media_id, 2, CASE WHEN v = k.k0 THEN 0 ELSE 65535 END
+  FROM p16t_raw t JOIN p16t_keys k USING (media_id) WHERE t.media_id = 12
+  UNION ALL
+  SELECT media_id, 4, v FROM p16t_raw, range(3) r(n) WHERE media_id = 13
+  UNION ALL
+  SELECT t.media_id, 4, CASE WHEN v = k.k0 THEN 0 ELSE 65535 END
+  FROM p16t_raw t JOIN p16t_keys k USING (media_id) WHERE t.media_id = 13
 )
 """
 
@@ -1015,6 +1138,14 @@ ORACLES = {
                CAST(SUM(b*b) AS BIGINT) AS px_sqsum
         FROM png_px
         GROUP BY media_id, color_type
+        UNION ALL
+        SELECT media_id,
+               CAST(16 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+               CAST(channels AS INTEGER) AS channels,
+               CAST(SUM(v) AS BIGINT) AS px_sum,
+               CAST(SUM(v*v) AS BIGINT) AS px_sqsum
+        FROM pngt_px
+        GROUP BY media_id, channels
         ORDER BY media_id
     """,
     "q204_jpeg_mosaic": f"""
@@ -1069,6 +1200,15 @@ ORACLES = {
                CAST(SUM(v) AS BIGINT) AS px_sum,
                CAST(SUM(v*v) AS BIGINT) AS px_sqsum
         FROM p16_samples
+        GROUP BY media_id, ch
+        UNION ALL
+        SELECT media_id,
+               CAST({_PNG_W} AS INTEGER) AS width,
+               CAST({_PNG_H} AS INTEGER) AS height,
+               CAST(ch AS INTEGER) AS channels,
+               CAST(SUM(v) AS BIGINT) AS px_sum,
+               CAST(SUM(v*v) AS BIGINT) AS px_sqsum
+        FROM p16t_samples
         GROUP BY media_id, ch
         ORDER BY media_id
     """,

@@ -241,3 +241,91 @@ def test_decode_media_quarantines_corrupt_rows(spark):
     assert got[3]["decode_error"] is None
     assert got[3]["px_sum"] == int(v.sum())
     assert got[4]["decode_error"] and got[4]["px_sum"] is None
+
+
+def test_png_trns_mutation_suite():
+    """r8 verdict item 8 follow-through: the mutation discipline
+    extends to tRNS-carrying streams — every single-byte flip of a
+    palette-alpha PNG and a gray-keyed PNG errors (CRC/structure) or
+    reproduces the ORIGINAL RGBA/gray+alpha pixels bit-exactly; no
+    mutation silently changes transparency."""
+    rng = np.random.default_rng(42)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    cases = [
+        encode_png(
+            rng.integers(0, 16, size=(6, 5), dtype=np.uint8), 3,
+            filters=(0, 1, 2, 3, 4), palette=pal,
+            trns=bytes(rng.integers(0, 256, size=16, dtype=np.uint8)),
+        ),
+        encode_png(
+            rng.integers(0, 256, size=(5, 7), dtype=np.uint8), 0,
+            filters=(2, 4), trns=77, interlace=1,
+        ),
+    ]
+    for png in cases:
+        want = _parse_png(png)[3]
+        silent_wrong = []
+        outcomes = {"error": 0, "metadata": 0, "pixels": 0}
+        for i in range(len(png)):
+            mutated = bytearray(png)
+            mutated[i] ^= 0x5A
+            kind, val = _decode_or_outcome(bytes(mutated))
+            outcomes[kind] += 1
+            if kind == "pixels" and not np.array_equal(val, want):
+                silent_wrong.append(i)
+        assert silent_wrong == [], silent_wrong[:10]
+        assert outcomes["error"] > len(png) * 0.5
+
+
+def test_png_trns_shape_violations_are_corrupt():
+    """Spec-illegal tRNS shapes are corrupt bitstreams, not layouts:
+    wrong key width for gray/RGB, longer than the palette, or present
+    on an alpha-bearing color type."""
+    import struct as _s
+    import zlib as _z
+
+    import pytest
+
+    def with_trns(png: bytes, tdata: bytes) -> bytes:
+        i = png.index(b"IDAT") - 4
+        chunk = (_s.pack(">I", len(tdata)) + b"tRNS" + tdata
+                 + _s.pack(">I", _z.crc32(b"tRNS" + tdata)))
+        return png[:i] + chunk + png[i:]
+
+    gray = encode_png(np.zeros((2, 2), np.uint8), 0)
+    with pytest.raises(ValueError, match="2 bytes"):
+        _parse_png(with_trns(gray, b"\x01"))
+    rgb = encode_png(np.zeros((2, 2, 3), np.uint8), 2)
+    with pytest.raises(ValueError, match="6 bytes"):
+        _parse_png(with_trns(rgb, b"\x00\x01"))
+    pal = np.zeros((4, 3), np.uint8)
+    palpng = encode_png(np.zeros((2, 2), np.uint8), 3, palette=pal)
+    with pytest.raises(ValueError, match="longer than the palette"):
+        _parse_png(with_trns(palpng, bytes(5)))
+    rgba = encode_png(np.zeros((2, 2, 4), np.uint8), 6)
+    with pytest.raises(ValueError, match="forbidden"):
+        _parse_png(with_trns(rgba, b"\x00\x00"))
+
+
+def test_png_gama_chunk_skipped_but_crc_enforced():
+    """gAMA is presentation metadata: its presence must not change the
+    decoded samples (a gamma-applying decoder would desync every
+    integer oracle), but its CRC is still validated — a corrupted
+    ancillary chunk quarantines like any other mutation."""
+    import struct as _s
+    import zlib as _z
+
+    rng = np.random.default_rng(43)
+    arr = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    plain = encode_png(arr, 2)
+    gama = _s.pack(">I", 45455)
+    chunk = (_s.pack(">I", 4) + b"gAMA" + gama
+             + _s.pack(">I", _z.crc32(b"gAMA" + gama)))
+    i = plain.index(b"IDAT") - 4
+    with_gama = plain[:i] + chunk + plain[i:]
+    assert np.array_equal(_parse_png(with_gama)[3], _parse_png(plain)[3])
+    # corrupt the gAMA payload: CRC validation must catch it
+    bad = bytearray(with_gama)
+    bad[i + 8] ^= 0xFF
+    kind, _ = _decode_or_outcome(bytes(bad))
+    assert kind == "error"
