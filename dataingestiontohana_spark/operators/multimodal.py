@@ -1624,6 +1624,358 @@ def _parse_wav(b: bytes) -> tuple[int, np.ndarray | None]:
     return n, None
 
 
+# -- BMP (r9): BITMAPINFOHEADER BI_RGB, 8-bit palette + 24-bit ------
+
+
+def _parse_bmp(b: bytes) -> tuple[int, int, int, np.ndarray | None]:
+    """Windows BMP parse -> (w, h, channels, flat RGB bytes).
+
+    Decodes the layouts that cover virtually every BMP in a web crawl:
+    BITMAPINFOHEADER (or later headers with the same leading fields),
+    BI_RGB uncompressed, 8-bit palette and 24-bit BGR, bottom-up AND
+    top-down (negative height), 4-byte row padding, palette quads
+    expanded BGRA->RGB. Compressed (BI_RLE4/8) and 1/4/16/32-bit
+    layouts stay metadata-only (channels=0) — valid unsupported
+    layouts, not corruption. Structural violations (truncated pixel
+    array, data offset past the stream, palette shorter than the max
+    index) raise — the malformed-record discipline."""
+    if len(b) < 54:
+        raise ValueError("BMP: truncated header")
+    data_off = struct.unpack("<I", b[10:14])[0]
+    hdr_size = struct.unpack("<I", b[14:18])[0]
+    if hdr_size < 40:
+        return 0, 0, 0, None  # BITMAPCOREHEADER etc.: metadata-only
+    w, h_raw = struct.unpack("<ii", b[18:26])
+    bits, comp = struct.unpack("<HI", b[28:34])
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    if not (0 < w <= 1 << 14 and 0 < h <= 1 << 14):
+        raise ValueError(f"BMP: illegal dimensions {w}x{h_raw}")
+    if comp != 0 or bits not in (8, 24):
+        return w, h, 0, None  # valid unsupported layout: count-only
+    if data_off > len(b):
+        raise ValueError("BMP: pixel data offset past the stream")
+    stride = (w * (bits // 8) + 3) & ~3
+    if data_off + stride * h > len(b):
+        raise ValueError("BMP: truncated pixel array")
+    rows = np.frombuffer(
+        b, np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)
+    if not top_down:
+        rows = rows[::-1]
+    if bits == 24:
+        bgr = rows[:, : w * 3].reshape(h, w, 3)
+        rgb = bgr[:, :, ::-1]
+        return w, h, 3, np.ascontiguousarray(rgb).reshape(-1)
+    # 8-bit palette: clrUsed (0 -> 256) BGRA quads after the DIB header
+    n_colors = struct.unpack("<I", b[46:50])[0] or 256
+    pal_off = 14 + hdr_size
+    if pal_off + 4 * n_colors > data_off:
+        raise ValueError("BMP: palette overlaps the pixel array")
+    quads = np.frombuffer(
+        b, np.uint8, count=4 * n_colors, offset=pal_off
+    ).reshape(-1, 4)
+    idx = rows[:, :w]
+    if int(idx.max(initial=0)) >= n_colors:
+        raise ValueError("BMP: palette index out of range")
+    rgb = quads[idx.reshape(-1)][:, [2, 1, 0]]  # BGRA -> RGB
+    return w, h, 3, rgb.reshape(-1)
+
+
+def encode_bmp(
+    arr: np.ndarray,
+    palette: np.ndarray | None = None,
+    top_down: bool = False,
+) -> bytes:
+    """Pure-stdlib BMP encoder (the `_parse_bmp` inverse, for fixtures
+    and round-trip property tests): (h, w, 3) uint8 RGB -> 24-bit
+    BI_RGB, or (h, w) uint8 indices + (n<=256, 3) RGB palette ->
+    8-bit. Bottom-up by default; ``top_down`` emits negative height."""
+    a = np.asarray(arr, np.uint8)
+    if palette is None:
+        h, w, ch = a.shape
+        if ch != 3:
+            raise ValueError("24-bit BMP needs (h, w, 3) RGB")
+        bits, pal_bytes = 24, b""
+        rows = a[:, :, ::-1].reshape(h, w * 3)  # RGB -> BGR
+    else:
+        h, w = a.shape
+        pal = np.asarray(palette, np.uint8)
+        if int(a.max(initial=0)) >= len(pal):
+            raise ValueError("palette index out of range")
+        bits = 8
+        quads = np.zeros((len(pal), 4), np.uint8)
+        quads[:, :3] = pal[:, ::-1]  # RGB -> BGR quads
+        pal_bytes = quads.tobytes()
+        rows = a
+    stride = (w * (bits // 8) + 3) & ~3
+    padded = np.zeros((h, stride), np.uint8)
+    padded[:, : rows.shape[1]] = rows
+    if not top_down:
+        padded = padded[::-1]
+    data_off = 14 + 40 + len(pal_bytes)
+    pixel_bytes = padded.tobytes()
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, bits, 0,
+        len(pixel_bytes), 2835, 2835,
+        (len(pal_bytes) // 4) if pal_bytes else 0, 0,
+    )
+    head = b"BM" + struct.pack(
+        "<IHHI", data_off + len(pixel_bytes), 0, 0, data_off
+    )
+    return head + dib + pal_bytes + pixel_bytes
+
+
+# -- GIF (r9): 87a/89a first frame, full LZW, interlace, transparency
+
+
+def _gif_lzw_decode(data: bytes, min_code: int, n_px: int) -> np.ndarray:
+    """GIF-variant LZW decode (LSB-first bit packing, CLEAR/EOI codes,
+    dictionary growth to 12 bits) -> uint8 index array of n_px."""
+    if not (2 <= min_code <= 8):
+        raise ValueError(f"GIF: illegal LZW min code size {min_code}")
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out = np.empty(n_px, np.uint8)
+    n_out = 0
+    # dictionary: list of bytes; reset installs the literals
+    base = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+    table = list(base)
+    width = min_code + 1
+    prev: bytes | None = None
+    acc = bits = pos = 0
+    while n_out < n_px:
+        while bits < width:
+            if pos >= len(data):
+                raise ValueError("GIF: LZW stream exhausted mid-image")
+            acc |= data[pos] << bits
+            bits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        bits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            raise ValueError("GIF: EOI before all pixels decoded")
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("GIF: first code not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("GIF: LZW code beyond the dictionary")
+        take = min(len(entry), n_px - n_out)
+        out[n_out : n_out + take] = np.frombuffer(entry[:take], np.uint8)
+        n_out += take
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    return out
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _parse_gif(b: bytes) -> tuple[int, int, int, np.ndarray | None]:
+    """GIF87a/89a parse -> (w, h, channels, flat samples): the FIRST
+    image frame, full LZW decode, local-over-global color table,
+    4-pass interlace, and 89a transparency (a graphic-control
+    transparent index expands RGBA with alpha 0/255; otherwise RGB).
+    Later animation frames are skipped (a frame-sampling operator
+    would loop the block walk — the seam is here). GIF carries no
+    CRC, so the mutation contract matches JPEG: wrong-but-plausible
+    streams may decode, structural violations raise."""
+    if len(b) < 13:
+        raise ValueError("GIF: truncated header")
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
+    off = 13
+    gct = b""
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = b[off : off + 3 * n]
+        if len(gct) < 3 * n:
+            raise ValueError("GIF: truncated global color table")
+        off += 3 * n
+    transparent = -1
+    while off < len(b):
+        blk = b[off]
+        if blk == 0x3B:  # trailer before any image
+            return sw, sh, 0, None
+        if blk == 0x21:  # extension: label + sub-blocks
+            if off + 2 > len(b):
+                raise ValueError("GIF: truncated extension")
+            label = b[off + 1]
+            off += 2
+            if label == 0xF9 and off < len(b) and b[off] == 4:
+                if off + 5 > len(b):
+                    raise ValueError("GIF: truncated graphic control")
+                flags, _delay, tidx = struct.unpack(
+                    "<BHB", b[off + 1 : off + 5]
+                )
+                if flags & 1:
+                    transparent = tidx
+            while True:  # skip sub-blocks
+                if off >= len(b):
+                    raise ValueError("GIF: unterminated extension")
+                size = b[off]
+                off += 1 + size
+                if size == 0:
+                    break
+            continue
+        if blk != 0x2C:
+            raise ValueError(f"GIF: unknown block 0x{blk:02x}")
+        if off + 10 > len(b):
+            raise ValueError("GIF: truncated image descriptor")
+        _ix, _iy, iw, ih, ipk = struct.unpack("<HHHHB", b[off + 1 : off + 10])
+        off += 10
+        table = gct
+        if ipk & 0x80:
+            n = 2 << (ipk & 7)
+            table = b[off : off + 3 * n]
+            if len(table) < 3 * n:
+                raise ValueError("GIF: truncated local color table")
+            off += 3 * n
+        if not table:
+            raise ValueError("GIF: image with no color table")
+        if not (0 < iw and 0 < ih) or iw * ih > 1 << 26:
+            raise ValueError(f"GIF: implausible frame {iw}x{ih}")
+        if off >= len(b):
+            raise ValueError("GIF: missing LZW min code size")
+        min_code = b[off]
+        off += 1
+        lzw = bytearray()
+        while True:
+            if off >= len(b):
+                raise ValueError("GIF: unterminated image data")
+            size = b[off]
+            lzw += b[off + 1 : off + 1 + size]
+            if off + 1 + size > len(b):
+                raise ValueError("GIF: truncated data sub-block")
+            off += 1 + size
+            if size == 0:
+                break
+        idx = _gif_lzw_decode(bytes(lzw), min_code, iw * ih)
+        if ipk & 0x40:  # interlaced: 4-pass row shuffle
+            rows = idx.reshape(ih, iw)
+            out = np.empty_like(rows)
+            src = 0
+            for start, step in _GIF_INTERLACE:
+                n_rows = len(range(start, ih, step))
+                out[start::step] = rows[src : src + n_rows]
+                src += n_rows
+            idx = out.reshape(-1)
+        pal = np.frombuffer(table, np.uint8).reshape(-1, 3)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("GIF: color index out of range")
+        rgb = pal[idx]
+        if transparent >= 0:
+            alpha = np.where(idx == transparent, 0, 255).astype(np.uint8)
+            rgba = np.concatenate([rgb, alpha.reshape(-1, 1)], axis=1)
+            return iw, ih, 4, rgba.reshape(-1)
+        return iw, ih, 3, rgb.reshape(-1)
+    raise ValueError("GIF: no image frame before end of stream")
+
+
+def _gif_lzw_encode(idx: np.ndarray, min_code: int) -> bytes:
+    """REAL GIF LZW compression (dictionary growth, 12-bit cap, CLEAR
+    on overflow, LSB-first packing) — so round-trip fixtures exercise
+    the decoder's dictionary path, not just literal codes."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    acc = bits = 0
+    width = min_code + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    table: dict[bytes, int] = {
+        bytes([i]): i for i in range(1 << min_code)
+    }
+    next_code = eoi + 1
+    emit(clear)
+    prev = b""
+    for v in idx.tolist():
+        cur = prev + bytes([v])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev])
+        table[cur] = next_code
+        next_code += 1
+        # widen AFTER the encoder assigns 2^width (decoder mirrors)
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code > 4095:
+            emit(clear)
+            table = {bytes([i]): i for i in range(1 << min_code)}
+            next_code = eoi + 1
+            width = min_code + 1
+        prev = bytes([v])
+    if prev:
+        emit(table[prev])
+    emit(eoi)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(
+    idx: np.ndarray,
+    palette: np.ndarray,
+    interlace: bool = False,
+    transparent: int = -1,
+) -> bytes:
+    """Pure-stdlib GIF89a encoder (the `_parse_gif` inverse): (h, w)
+    uint8 indices + (n, 3) RGB palette (n padded to a power of two);
+    optional interlace and a transparent index (emitted as a graphic
+    control extension)."""
+    a = np.asarray(idx, np.uint8)
+    h, w = a.shape
+    pal = np.asarray(palette, np.uint8)
+    if int(a.max(initial=0)) >= len(pal):
+        raise ValueError("palette index out of range")
+    depth = max(1, (len(pal) - 1).bit_length())
+    n = 1 << depth
+    table = np.zeros((n, 3), np.uint8)
+    table[: len(pal)] = pal
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += table.tobytes()
+    if transparent >= 0:
+        out += b"\x21\xf9\x04" + struct.pack(
+            "<BHB", 1, 0, transparent
+        ) + b"\x00"
+    ipk = 0x40 if interlace else 0
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, ipk)
+    rows = a
+    if interlace:
+        parts = [a[start::step] for start, step in _GIF_INTERLACE]
+        rows = np.concatenate(parts, axis=0)
+    min_code = max(2, depth)
+    lzw = _gif_lzw_encode(rows.reshape(-1), min_code)
+    out.append(min_code)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def _decode_payload(
     content: bytes,
 ) -> tuple[int, int, int, int, np.ndarray | None]:
@@ -1657,11 +2009,17 @@ def _decode_payload(
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         n, px = _parse_wav(content)
         return n, 1, 1, (1 if px is not None else 0), px
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        w, h, ch, px = _parse_gif(content)
+        return w, h, 1, ch, px
+    if content[:2] == b"BM" and len(content) >= 14:
+        w, h, ch, px = _parse_bmp(content)
+        return w, h, 1, ch, px
     if len(content) < _HEADER_SIZE or content[:4] != _MAGIC:
         raise NotImplementedError(
-            "unsupported media container: SGM1/PNG/JPEG/WAV are parsed "
-            "natively; codec-bound formats (MP4, MP3, ...) are stubbed "
-            "in this environment"
+            "unsupported media container: SGM1/PNG/JPEG/WAV/GIF/BMP are "
+            "parsed natively; codec-bound formats (MP4, MP3, ...) are "
+            "stubbed in this environment"
         )
     _, kind, w, h, nf = struct.unpack(_HEADER_FMT, content[:_HEADER_SIZE])
     px = np.frombuffer(content, dtype=np.uint8, offset=_HEADER_SIZE)

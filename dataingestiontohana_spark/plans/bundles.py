@@ -540,6 +540,10 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("n_samples", "int"), ("px_sum", "bigint"),
         ("px_sqsum_hi", "bigint"), ("px_sqsum_lo", "bigint"),
     ],
+    "q215_gif_bmp": [
+        ("media_id", "bigint"), ("width", "int"), ("height", "int"),
+        ("channels", "int"), ("px_sum", "bigint"), ("px_sqsum", "bigint"),
+    ],
     "q207_bigram_lm": [
         ("doc_id", "bigint"), ("n_transitions", "bigint"),
         ("n_backoff", "bigint"), ("n_oov", "bigint"),
@@ -938,6 +942,9 @@ BUNDLES: dict[str, list[str]] = {
         # member of the perceptual-hash dedup family
         "q205_wav_native", "q206_png16_native",
         "q209_audio_fingerprint", "q210_audio_neardup",
+        # round 9: GIF (real LZW, interlace, 89a transparency) + BMP
+        # (24-bit/palette, both row orders) under the same value gate
+        "q215_gif_bmp",
     ],
     "q39_40_ingest": ["q39_sensor_generate", "q40_sensor_csv_roundtrip"],
     # round 5: the q20 single grew into a bundle with the hypertable

@@ -658,6 +658,95 @@ def q206_png16_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GIFBMP_CACHE: dict[str, DataFrame] = {}
+
+
+def _gif_bmp_corpus(spark: SparkSession) -> DataFrame:
+    """REAL GIF + BMP streams whose decode is exact (r9): GIFs carry
+    md5-derived palette indices through genuine LZW compression
+    (plain, interlaced, and 89a-transparent variants — the alpha
+    channel enters the value gate); BMPs cover 24-bit BGR and 8-bit
+    palette, bottom-up AND top-down (moments are row-order-invariant,
+    so one oracle formula adjudicates both orientations). The
+    encode->decode round trip cancels, so DuckDB recomputes every
+    channel byte from the expansion like the PNG corpora."""
+    import hashlib
+
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        encode_bmp,
+        encode_gif,
+    )
+
+    key = spark.sparkContext.applicationId
+    df = _GIFBMP_CACHE.get(key)
+    if df is not None:
+        return df
+    _GIFBMP_CACHE.clear()
+
+    def md5_expand(mid: int, need: int) -> bytes:
+        out = bytearray()
+        c = 0
+        while len(out) < need:
+            out += hashlib.md5(f"{mid}:gb:{c}".encode()).digest()
+            c += 1
+        return bytes(out[:need])
+
+    pal = np.array(
+        [[(k * 37) % 256, (k * 59) % 256, (k * 83) % 256] for k in range(64)],
+        dtype=np.uint8,
+    )
+    rows = []
+    for i in range(8):
+        if i < 4:  # GIF: plain/interlaced x opaque/transparent(idx 7)
+            raw = md5_expand(i, _PNG_W * _PNG_H)
+            idx = (np.frombuffer(raw, np.uint8) % 64).reshape(
+                _PNG_H, _PNG_W
+            )
+            blob = encode_gif(
+                idx, pal, interlace=bool(i % 2),
+                transparent=7 if i >= 2 else -1,
+            )
+        elif i < 6:  # BMP 24-bit, bottom-up then top-down
+            raw = md5_expand(i, _PNG_W * _PNG_H * 3)
+            arr = np.frombuffer(raw, np.uint8).reshape(_PNG_H, _PNG_W, 3)
+            blob = encode_bmp(arr, top_down=bool(i % 2))
+        else:  # BMP 8-bit palette, bottom-up then top-down
+            raw = md5_expand(i, _PNG_W * _PNG_H)
+            idx = (np.frombuffer(raw, np.uint8) % 64).reshape(
+                _PNG_H, _PNG_W
+            )
+            blob = encode_bmp(idx, palette=pal, top_down=bool(i % 2))
+        rows.append((i, KIND_IMAGE, blob))
+    df = (
+        spark.createDataFrame(rows, "media_id long, kind int, content binary")
+        .coalesce(2)
+        .localCheckpoint(eager=False)
+    )
+    _GIFBMP_CACHE[key] = df
+    return df
+
+
+def q215_gif_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF + BMP decode under the VALUE gate (r9 new formats): real
+    LZW-compressed GIF87a-style frames (interlace and transparency
+    included — transparency expands RGBA and the alpha bytes are
+    adjudicated) and BI_RGB BMPs in both row orders, through the
+    production `decode_media`; the oracle recomputes every decoded
+    channel byte from the md5 expansion. The LZW decoder is
+    additionally pinned against REAL third-party GIF streams in
+    pytest (dictionary-growth timing is where homegrown LZW desyncs)."""
+    return (
+        decode_media(_gif_bmp_corpus(spark))
+        .select(
+            "media_id", "width", "height", "channels",
+            "px_sum", "px_sqsum",
+        )
+        .orderBy("media_id")
+    )
+
+
 def q38b_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature extraction: sample count + exact integer sample
     moments per audio payload (rms/FFT-band floats stay on the
@@ -1068,6 +1157,7 @@ QUERIES = {
     "q204_jpeg_mosaic": q204_jpeg_mosaic,
     "q205_wav_native": q205_wav_native,
     "q206_png16_native": q206_png16_native,
+    "q215_gif_bmp": q215_gif_bmp,
     "q209_audio_fingerprint": q209_audio_fingerprint,
     "q210_audio_neardup": q210_audio_neardup,
 }
@@ -1189,6 +1279,58 @@ ORACLES = {
                     AS BIGINT) AS px_sqsum_lo
         FROM wavf_folded
         GROUP BY media_id, bits
+        ORDER BY media_id
+    """,
+    "q215_gif_bmp": """
+        WITH gb_media AS (
+          SELECT CAST(i AS BIGINT) AS media_id,
+                 CASE WHEN i IN (4, 5) THEN 384 ELSE 128 END AS need,
+                 CASE WHEN i < 2 THEN 'gif'
+                      WHEN i < 4 THEN 'gif_t'
+                      WHEN i < 6 THEN 'bmp24' ELSE 'bmp8' END AS form
+          FROM range(8) t(i)
+        ),
+        gb_bytes AS (
+          SELECT m.media_id, m.form,
+                 16*(strpos('0123456789abcdef',
+                      substr(md5(m.media_id || ':gb:' || c.j),
+                             CAST(2*g.j+1 AS INT), 1))-1)
+                   + (strpos('0123456789abcdef',
+                      substr(md5(m.media_id || ':gb:' || c.j),
+                             CAST(2*g.j+2 AS INT), 1))-1) AS b
+          FROM gb_media m, range(24) c(j), range(16) g(j)
+          WHERE c.j*16 + g.j < m.need
+        ),
+        -- decoded channel-byte streams: GIF/BMP8 expand indices (b%64)
+        -- through the shared 37/59/83 palette; transparent GIFs add
+        -- the alpha stream (planted transparent index 7); 24-bit BMP
+        -- pixels ARE the expansion bytes (BGR<->RGB cancels in moments)
+        gb_px AS (
+          SELECT media_id,
+                 CASE WHEN form = 'gif_t' THEN 4 ELSE 3 END AS channels,
+                 ((b%64)*37)%256 AS v
+          FROM gb_bytes WHERE form IN ('gif', 'gif_t', 'bmp8')
+          UNION ALL
+          SELECT media_id, CASE WHEN form = 'gif_t' THEN 4 ELSE 3 END,
+                 ((b%64)*59)%256
+          FROM gb_bytes WHERE form IN ('gif', 'gif_t', 'bmp8')
+          UNION ALL
+          SELECT media_id, CASE WHEN form = 'gif_t' THEN 4 ELSE 3 END,
+                 ((b%64)*83)%256
+          FROM gb_bytes WHERE form IN ('gif', 'gif_t', 'bmp8')
+          UNION ALL
+          SELECT media_id, 4, CASE WHEN b%64 = 7 THEN 0 ELSE 255 END
+          FROM gb_bytes WHERE form = 'gif_t'
+          UNION ALL
+          SELECT media_id, 3, b FROM gb_bytes WHERE form = 'bmp24'
+        )
+        SELECT media_id,
+               CAST(16 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+               CAST(channels AS INTEGER) AS channels,
+               CAST(SUM(v) AS BIGINT) AS px_sum,
+               CAST(SUM(v*v) AS BIGINT) AS px_sqsum
+        FROM gb_px
+        GROUP BY media_id, channels
         ORDER BY media_id
     """,
     "q206_png16_native": f"""
