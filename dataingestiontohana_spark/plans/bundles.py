@@ -544,6 +544,11 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("media_id", "bigint"), ("width", "int"), ("height", "int"),
         ("channels", "int"), ("px_sum", "bigint"), ("px_sqsum", "bigint"),
     ],
+    "q216_warc_ingest": [
+        ("file_id", "bigint"), ("rec_idx", "int"), ("url", "string"),
+        ("status", "int"), ("n_payload_bytes", "int"),
+        ("n_body_bytes", "int"), ("text", "string"),
+    ],
     "q207_bigram_lm": [
         ("doc_id", "bigint"), ("n_transitions", "bigint"),
         ("n_backoff", "bigint"), ("n_oov", "bigint"),
@@ -946,7 +951,11 @@ BUNDLES: dict[str, list[str]] = {
         # (24-bit/palette, both row orders) under the same value gate
         "q215_gif_bmp",
     ],
-    "q39_40_ingest": ["q39_sensor_generate", "q40_sensor_csv_roundtrip"],
+    # round 9: WARC crawl-archive ingestion joins the ingest bundle
+    "q39_40_ingest": [
+        "q39_sensor_generate", "q40_sensor_csv_roundtrip",
+        "q216_warc_ingest",
+    ],
     # round 5: the q20 single grew into a bundle with the hypertable
     # multi-grain rollup (one-scan grouping sets over time grains)
     "q20_84_timegrain": [

@@ -52,9 +52,129 @@ def q40_sensor_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- WARC crawl-archive ingestion (round 9) ---------------------------
+
+_WARC_CACHE: dict[str, DataFrame] = {}
+_WARC_FILES, _WARC_DOCS = 6, (2, 3)  # response records with content
+
+
+def _warc_http(status_line: str, html: str) -> bytes:
+    return (
+        f"{status_line}\r\nContent-Type: text/html\r\n\r\n{html}"
+    ).encode()
+
+
+def _warc_record(headers: list[tuple[str, str]], payload: bytes) -> bytes:
+    head = "".join(f"{k}: {v}\r\n" for k, v in headers)
+    return (
+        f"WARC/1.0\r\n{head}Content-Length: {len(payload)}\r\n\r\n"
+    ).encode() + payload + b"\r\n\r\n"
+
+
+def _warc_html(i: int, j: int) -> str:
+    import hashlib
+
+    nw = 1 + (i + j) % 4
+    words = " ".join(
+        hashlib.md5(f"{i}:warc:{j}:{k}".encode()).hexdigest()
+        for k in range(nw)
+    )
+    return (
+        "<html><head><title>T</title><script>var x=1;</script></head>"
+        f"<body><p>{words}</p></body></html>"
+    )
+
+
+def _warc_corpus(spark: SparkSession) -> DataFrame:
+    """Six synthetic crawl files, five records each: warcinfo, a
+    request, two content responses (md5-derived words, so DuckDB
+    replays the extracted text verbatim), and a 404. Files 0-2 are
+    plain; file 3 is whole-stream gzip; files 4-5 are gzip
+    MEMBER-PER-RECORD — the layout Common Crawl actually ships, which
+    a gzip.decompress-based reader silently truncates to one record."""
+    import gzip as _gz
+
+    key = spark.sparkContext.applicationId
+    df = _WARC_CACHE.get(key)
+    if df is not None:
+        return df
+    _WARC_CACHE.clear()
+    rows = []
+    for i in range(_WARC_FILES):
+        recs = [
+            _warc_record(
+                [("WARC-Type", "warcinfo")], b"software: graft\r\n"
+            ),
+            _warc_record(
+                [("WARC-Type", "request"),
+                 ("WARC-Target-URI", f"http://ex{i}.test/p1")],
+                b"GET /p1 HTTP/1.1\r\nHost: x\r\n\r\n",
+            ),
+        ]
+        for j in _WARC_DOCS:
+            recs.append(_warc_record(
+                [("WARC-Type", "response"),
+                 ("WARC-Target-URI", f"http://ex{i}.test/p{j}")],
+                _warc_http("HTTP/1.1 200 OK", _warc_html(i, j)),
+            ))
+        recs.append(_warc_record(
+            [("WARC-Type", "response"),
+             ("WARC-Target-URI", f"http://ex{i}.test/p4")],
+            _warc_http(
+                "HTTP/1.1 404 Not Found",
+                "<html><body><p>gone</p></body></html>",
+            ),
+        ))
+        if i == 3:
+            blob = _gz.compress(b"".join(recs))
+        elif i >= 4:
+            blob = b"".join(_gz.compress(r) for r in recs)
+        else:
+            blob = b"".join(recs)
+        rows.append((i, bytearray(blob)))
+    df = (
+        spark.createDataFrame(rows, "file_id long, content binary")
+        .coalesce(2)
+        .localCheckpoint(eager=False)
+    )
+    _WARC_CACHE[key] = df
+    return df
+
+
+def q216_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-archive ingestion under the VALUE gate: WARC files
+    (plain, whole-stream gzip, and member-per-record gzip) through
+    `sources/warc.py::warc_records`, response records' HTML bodies
+    through the SAME `strip_html` extractor as q214 — url, HTTP
+    status, exact byte lengths and the extracted text all adjudicated
+    verbatim (the text column makes the value hash a character-exact
+    proof of the record walk + HTTP split + extraction)."""
+    from dataingestiontohana_spark.functions.text import strip_html
+    from dataingestiontohana_spark.sources.warc import warc_records
+
+    rec = warc_records(_warc_corpus(spark))
+    return (
+        rec.where(
+            (F.col("warc_type") == "response")
+            & F.col("parse_error").isNull()
+        )
+        .select(
+            "file_id",
+            "rec_idx",
+            F.col("target_uri").alias("url"),
+            F.col("http_status").alias("status"),
+            "n_payload_bytes",
+            "n_body_bytes",
+            strip_html(F.decode(F.col("body"), "UTF-8")).alias("text"),
+        )
+        .orderBy("file_id", "rec_idx")
+    )
+
+
 QUERIES = {
     "q39_sensor_generate": q39_sensor_generate,
     "q40_sensor_csv_roundtrip": q40_sensor_csv_roundtrip,
+    "q216_warc_ingest": q216_warc_ingest,
 }
 
 
@@ -98,8 +218,56 @@ def _q39_oracle_sql(n: int = N) -> str:
     """
 
 
+_WARC_ORACLE = """
+    WITH wd AS (
+      SELECT f.i AS file_id, r.j AS rec_idx,
+             string_agg(md5(f.i || ':warc:' || r.j || ':' || k.k),
+                        ' ' ORDER BY k.k) AS w
+      FROM range(6) f(i), range(2, 4) r(j), range(4) k(k)
+      WHERE k.k < 1 + (f.i + r.j) % 4
+      GROUP BY f.i, r.j
+    ),
+    hdr AS (
+      SELECT length('Content-Type: text/html') + 2 + 2 AS tail
+    ),
+    content AS (
+      SELECT file_id, CAST(rec_idx AS INT) AS rec_idx,
+             'http://ex' || file_id || '.test/p' || rec_idx AS url,
+             CAST(200 AS INT) AS status,
+             CAST(length('HTTP/1.1 200 OK') + 2 + hdr.tail
+                  + length('<html><head><title>T</title>'
+                           || '<script>var x=1;</script></head><body><p>')
+                  + length(w) + length('</p></body></html>')
+                  AS INT) AS n_payload_bytes,
+             CAST(length('<html><head><title>T</title>'
+                         || '<script>var x=1;</script></head><body><p>')
+                  + length(w) + length('</p></body></html>')
+                  AS INT) AS n_body_bytes,
+             'T ' || w AS text
+      FROM wd, hdr
+    ),
+    gone AS (
+      SELECT CAST(f.i AS BIGINT) AS file_id, CAST(4 AS INT) AS rec_idx,
+             'http://ex' || f.i || '.test/p4' AS url,
+             CAST(404 AS INT) AS status,
+             CAST(length('HTTP/1.1 404 Not Found') + 2 + hdr.tail
+                  + length('<html><body><p>gone</p></body></html>')
+                  AS INT) AS n_payload_bytes,
+             CAST(length('<html><body><p>gone</p></body></html>')
+                  AS INT) AS n_body_bytes,
+             'gone' AS text
+      FROM range(6) f(i), hdr
+    )
+    SELECT * FROM content
+    UNION ALL
+    SELECT * FROM gone
+    ORDER BY file_id, rec_idx
+"""
+
+
 ORACLES: dict[str, str] = {
     "q39_sensor_generate": _q39_oracle_sql(),
+    "q216_warc_ingest": _WARC_ORACLE,
     # q40 is an invariant audit (the q65 bounds-flag precedent): the
     # oracle states the contract — every generated row survives the
     # CSV encode/parse roundtrip and the counter stream is continuous.

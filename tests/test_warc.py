@@ -1,0 +1,109 @@
+"""WARC crawl-archive ingestion (round 9): record walk, gzip layouts
+(whole-stream AND member-per-record — Common Crawl's shape), HTTP
+response split, the two-level dead-letter discipline, and the
+binaryFile drop-directory path end to end."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from dataingestiontohana_spark.sources.warc import (
+    iter_warc_records,
+    parse_http_response,
+    warc_records,
+)
+
+
+def _rec(wtype: str, payload: bytes, uri: str | None = None) -> bytes:
+    head = f"WARC/1.0\r\nWARC-Type: {wtype}\r\n"
+    if uri:
+        head += f"WARC-Target-URI: {uri}\r\n"
+    head += f"Content-Length: {len(payload)}\r\n\r\n"
+    return head.encode() + payload + b"\r\n\r\n"
+
+
+HTTP_OK = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>hi</p>"
+
+
+def test_record_walk_and_gzip_layouts():
+    recs = [_rec("warcinfo", b"x: y\r\n"),
+            _rec("response", HTTP_OK, "http://a.test/")]
+    plain = b"".join(recs)
+    for blob in (
+        plain,
+        gzip.compress(plain),                       # whole-stream
+        b"".join(gzip.compress(r) for r in recs),   # member-per-record
+    ):
+        got = list(iter_warc_records(blob))
+        assert [h["warc-type"] for h, _ in got] == ["warcinfo", "response"]
+        status, headers, body = parse_http_response(got[1][1])
+        assert status == 200 and body == b"<p>hi</p>"
+        assert headers["content-type"] == "text/html"
+
+
+def test_malformed_structures_raise():
+    good = _rec("response", HTTP_OK, "http://a.test/")
+    with pytest.raises(ValueError, match="bad version"):
+        list(iter_warc_records(b"WARX/9.9\r\nContent-Length: 0\r\n\r\n"))
+    with pytest.raises(ValueError, match="Content-Length"):
+        list(iter_warc_records(
+            b"WARC/1.0\r\nWARC-Type: response\r\n\r\n"))
+    with pytest.raises(ValueError, match="past the stream"):
+        list(iter_warc_records(good[: len(good) - 12]))
+    with pytest.raises(ValueError, match="separator"):
+        parse_http_response(b"HTTP/1.1 200 OK\r\nno-blank-line")
+
+
+def test_two_level_dead_letter(spark):
+    """A record whose HTTP payload is malformed quarantines THAT
+    record (siblings parse); a structurally broken FILE emits one
+    rec_idx=-1 quarantine row."""
+    good = _rec("response", HTTP_OK, "http://a.test/ok")
+    bad_http = _rec("response", b"not an http response", "http://a.test/bad")
+    fine_file = good + bad_http + good
+    broken_file = good[:20]  # truncated mid-header
+    df = spark.createDataFrame(
+        [(1, bytearray(fine_file)), (2, bytearray(broken_file))],
+        "file_id long, content binary",
+    ).coalesce(1)
+    rows = {(r["file_id"], r["rec_idx"]): r
+            for r in warc_records(df).collect()}
+    assert rows[(1, 0)]["http_status"] == 200
+    assert rows[(1, 2)]["http_status"] == 200
+    assert rows[(1, 1)]["parse_error"].startswith("ValueError")
+    assert rows[(1, 1)]["target_uri"] == "http://a.test/bad"
+    assert rows[(2, -1)]["parse_error"]  # file-level quarantine
+    assert len(rows) == 4
+
+
+def test_binaryfile_drop_directory_end_to_end(spark, tmp_path):
+    """The production read path: .warc/.warc.gz files on disk through
+    binaryFile -> warc_records -> strip_html, one map-only stage."""
+    from pyspark.sql import functions as F
+
+    from dataingestiontohana_spark.functions.text import strip_html
+
+    recs = [_rec("response",
+                 b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                 b"<html><body><p>alpha beta</p></body></html>",
+                 "http://d.test/x")]
+    (tmp_path / "a.warc").write_bytes(b"".join(recs))
+    (tmp_path / "b.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in recs))
+    files = (
+        spark.read.format("binaryFile")
+        .load(str(tmp_path))
+        .select(
+            F.abs(F.xxhash64("path")).alias("file_id"),
+            "content",
+        )
+    )
+    out = (
+        warc_records(files)
+        .where(F.col("http_status") == 200)
+        .select(strip_html(F.decode(F.col("body"), "UTF-8")).alias("t"))
+        .collect()
+    )
+    assert [r["t"] for r in out] == ["alpha beta", "alpha beta"]
