@@ -116,13 +116,19 @@ WARC_RECORD_SCHEMA = (
 
 
 def warc_records(
-    df: DataFrame, id_col: str = "file_id", content_col: str = "content"
+    df: DataFrame,
+    id_col: str = "file_id",
+    content_col: str = "content",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """(file blob) frame -> one row per WARC record.
 
     Response records carry the parsed HTTP status and body; other
     record kinds (request/metadata/warcinfo) keep their type with a
-    NULL body. The dead-letter discipline is two-level: a record
+    NULL body. ``passthrough`` names STRING columns of ``df``
+    replicated onto every record row of that file (the streaming path
+    rides the file key and source path through the 1:N parse this
+    way — no join). The dead-letter discipline is two-level: a record
     whose HTTP payload is malformed quarantines THAT record
     (`parse_error` set, siblings unaffected); a structurally broken
     file emits ONE quarantine row for the file (rec_idx -1), because
@@ -132,13 +138,17 @@ def warc_records(
     def batches(it):
         for pdf in it:
             rows = []
-            for fid, blob in zip(pdf[id_col], pdf[content_col]):
+            extras = [pdf[c] for c in passthrough]
+            for row_i, (fid, blob) in enumerate(
+                zip(pdf[id_col], pdf[content_col])
+            ):
+                thru = tuple(col.iloc[row_i] for col in extras)
                 try:
                     recs = list(iter_warc_records(bytes(blob)))
                 except (ValueError, OSError, EOFError) as ex:
                     rows.append(
                         (fid, -1, None, None, None, None, None, None,
-                         f"{type(ex).__name__}: {ex}"[:200])
+                         f"{type(ex).__name__}: {ex}"[:200]) + thru
                     )
                     continue
                 for j, (hdrs, payload) in enumerate(recs):
@@ -147,7 +157,7 @@ def warc_records(
                     if wtype != "response":
                         rows.append(
                             (fid, j, wtype, uri, None,
-                             len(payload), None, None, None)
+                             len(payload), None, None, None) + thru
                         )
                         continue
                     try:
@@ -156,20 +166,23 @@ def warc_records(
                         rows.append(
                             (fid, j, wtype, uri, None, len(payload),
                              None, None,
-                             f"{type(ex).__name__}: {ex}"[:200])
+                             f"{type(ex).__name__}: {ex}"[:200]) + thru
                         )
                         continue
                     rows.append(
                         (fid, j, wtype, uri, status, len(payload),
-                         len(body), body, None)
+                         len(body), body, None) + thru
                     )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "file_id", "rec_idx", "warc_type", "target_uri",
                     "http_status", "n_payload_bytes", "n_body_bytes",
-                    "body", "parse_error",
+                    "body", "parse_error", *passthrough,
                 ],
             )
 
-    return df.mapInPandas(batches, schema=WARC_RECORD_SCHEMA)
+    schema = WARC_RECORD_SCHEMA + "".join(
+        f", {c} string" for c in passthrough
+    )
+    return df.mapInPandas(batches, schema=schema)

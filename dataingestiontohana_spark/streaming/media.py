@@ -116,3 +116,36 @@ def run_media_ingest(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def warc_file_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """readStream over a crawl-archive drop directory -> one row per
+    WARC record (r9). Same restart discipline as the media stream:
+    the file-source log checkpoints which archives were processed, the
+    parse is map-only (`sources/warc.py::warc_records` — two-level
+    dead-letter, so a malformed record or file can never wedge the
+    checkpoint). Keyed-sink identity = (file_key, rec_idx): file_key
+    is the md5 hex of the archive path (the media_key discipline) and
+    rides the 1:N parse as a passthrough column together with
+    src_path, so quarantine rows name their dead archive directly."""
+    from dataingestiontohana_spark.sources.warc import warc_records
+
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "*.warc*")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(path)
+        .select(
+            F.abs(F.xxhash64("path")).alias("file_id"),
+            "content",
+            F.md5(F.col("path")).alias("file_key"),
+            F.col("path").alias("src_path"),
+        )
+    )
+    return warc_records(files, passthrough=("file_key", "src_path"))

@@ -107,3 +107,46 @@ def test_binaryfile_drop_directory_end_to_end(spark, tmp_path):
         .collect()
     )
     assert [r["t"] for r in out] == ["alpha beta", "alpha beta"]
+
+
+def test_streaming_warc_drop_dir_restart_safe(spark, tmp_path):
+    """The streaming leg: .warc.gz files dropped into a directory flow
+    through warc_records incrementally; a structurally broken archive
+    quarantines (one rec_idx=-1 row) WITHOUT wedging the checkpoint,
+    and a restart emits only newly dropped files with stable
+    (file_key, rec_idx) identity."""
+    from dataingestiontohana_spark.streaming.media import warc_file_stream
+
+    drop = tmp_path / "crawl"
+    drop.mkdir()
+    good = _rec("response", HTTP_OK, "http://s.test/1")
+    (drop / "a.warc.gz").write_bytes(gzip.compress(good))
+    (drop / "broken.warc").write_bytes(good[:15])
+
+    def run(rows):
+        q = (
+            warc_file_stream(spark, str(drop))
+            .writeStream.foreachBatch(lambda b, _e: rows.extend(b.collect()))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+
+    rows: list = []
+    run(rows)
+    by_file = {r["src_path"].rsplit("/", 1)[-1]: r for r in rows}
+    assert by_file["a.warc.gz"]["http_status"] == 200
+    assert by_file["broken.warc"]["rec_idx"] == -1
+    assert by_file["broken.warc"]["parse_error"]
+    import hashlib as _hl
+    for r in rows:
+        assert r["file_key"] == _hl.md5(r["src_path"].encode()).hexdigest()
+
+    # restart: only the new archive emits; prior identities unchanged
+    (drop / "b.warc").write_bytes(good + good)
+    rows2: list = []
+    run(rows2)
+    assert {r["src_path"].rsplit("/", 1)[-1] for r in rows2} == {"b.warc"}
+    assert sorted(r["rec_idx"] for r in rows2) == [0, 1]
