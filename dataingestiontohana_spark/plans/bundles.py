@@ -549,6 +549,10 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("status", "int"), ("n_payload_bytes", "int"),
         ("n_body_bytes", "int"), ("text", "string"),
     ],
+    "q217_url_dedup": [
+        ("canonical_url", "string"), ("n_variants", "bigint"),
+        ("n_raw", "bigint"),
+    ],
     "q207_bigram_lm": [
         ("doc_id", "bigint"), ("n_transitions", "bigint"),
         ("n_backoff", "bigint"), ("n_oov", "bigint"),
@@ -951,10 +955,11 @@ BUNDLES: dict[str, list[str]] = {
         # (24-bit/palette, both row orders) under the same value gate
         "q215_gif_bmp",
     ],
-    # round 9: WARC crawl-archive ingestion joins the ingest bundle
+    # round 9: WARC crawl-archive ingestion + URL canonicalization
+    # dedup join the ingest bundle
     "q39_40_ingest": [
         "q39_sensor_generate", "q40_sensor_csv_roundtrip",
-        "q216_warc_ingest",
+        "q216_warc_ingest", "q217_url_dedup",
     ],
     # round 5: the q20 single grew into a bundle with the hypertable
     # multi-grain rollup (one-scan grouping sets over time grains)

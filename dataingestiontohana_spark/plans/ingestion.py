@@ -171,10 +171,57 @@ def q216_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q217_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup via canonicalization (r9): 60 planted crawl
+    URLs — 20 pages, each arriving under 3 spellings (uppercase
+    host + default port + fragment + utm noise; tracking params +
+    reordered query; the clean form) — collapse to 20 canonical URLs
+    of exactly 3 raw variants each through
+    `functions/url.py::canonicalize_url`. The corpus is built
+    IN-ENGINE from `range(60)` concat formulas, so the DuckDB oracle
+    reconstructs the identical raw strings and canonicalizes them
+    with the SQL twin — any divergence in any canonicalization rule
+    hash-mismatches."""
+    from dataingestiontohana_spark.functions.url import canonicalize_url
+
+    t = spark.range(60).select(
+        F.expr("id DIV 3").alias("b"),  # exact long division (the
+        # winnowing lesson: / routes through double)
+        (F.col("id") % 3).alias("v"),
+        F.col("id").alias("i"),
+    )
+    url = (
+        F.when(F.col("v") == 0, F.concat(
+            F.lit("http://site"), F.col("b"), F.lit(".test/p"),
+            F.col("b"), F.lit("?a="), F.col("b"), F.lit("&b=2"),
+        ))
+        .when(F.col("v") == 1, F.concat(
+            F.lit("HTTP://SITE"), F.col("b"), F.lit(".TEST:80/p"),
+            F.col("b"), F.lit("?utm_source=x&b=2&a="), F.col("b"),
+            F.lit("#f"), F.col("i"),
+        ))
+        .otherwise(F.concat(
+            F.lit("http://site"), F.col("b"), F.lit(".test/p"),
+            F.col("b"), F.lit("?b=2&a="), F.col("b"),
+            F.lit("&fbclid=z"), F.col("i"),
+        ))
+    )
+    urls = t.select(url.alias("u"))
+    return (
+        urls.groupBy(canonicalize_url("u").alias("canonical_url"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+            F.countDistinct("u").cast("bigint").alias("n_raw"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
 QUERIES = {
     "q39_sensor_generate": q39_sensor_generate,
     "q40_sensor_csv_roundtrip": q40_sensor_csv_roundtrip,
     "q216_warc_ingest": q216_warc_ingest,
+    "q217_url_dedup": q217_url_dedup,
 }
 
 
@@ -265,9 +312,39 @@ _WARC_ORACLE = """
 """
 
 
+
+
+def _url_dedup_oracle() -> str:
+    from dataingestiontohana_spark.functions.url import canonicalize_url_sql
+
+    return f"""
+        WITH t AS (
+          SELECT i // 3 AS b, i % 3 AS v, i FROM range(60) r(i)
+        ),
+        urls AS (
+          SELECT CASE v
+            WHEN 0 THEN 'http://site' || b || '.test/p' || b
+                        || '?a=' || b || '&b=2'
+            WHEN 1 THEN 'HTTP://SITE' || b || '.TEST:80/p' || b
+                        || '?utm_source=x&b=2&a=' || b || '#f' || i
+            ELSE 'http://site' || b || '.test/p' || b
+                 || '?b=2&a=' || b || '&fbclid=z' || i
+          END AS u
+          FROM t
+        )
+        SELECT {canonicalize_url_sql('u')} AS canonical_url,
+               CAST(COUNT(*) AS BIGINT) AS n_variants,
+               CAST(COUNT(DISTINCT u) AS BIGINT) AS n_raw
+        FROM urls
+        GROUP BY 1
+        ORDER BY canonical_url
+    """
+
+
 ORACLES: dict[str, str] = {
     "q39_sensor_generate": _q39_oracle_sql(),
     "q216_warc_ingest": _WARC_ORACLE,
+    "q217_url_dedup": _url_dedup_oracle(),
     # q40 is an invariant audit (the q65 bounds-flag precedent): the
     # oracle states the contract — every generated row survives the
     # CSV encode/parse roundtrip and the counter stream is continuous.

@@ -1,0 +1,72 @@
+"""URL canonicalization (round 9): rule-by-rule semantics, engine
+parity with the DuckDB twin, and idempotence — plus the corner cases
+crawls actually produce."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from dataingestiontohana_spark.functions.url import (
+    canonicalize_url,
+    canonicalize_url_sql,
+)
+
+CASES = [
+    # (raw, canonical)
+    ("http://A.Test/x", "http://a.test/x"),
+    ("HTTP://a.test:80/x", "http://a.test/x"),
+    ("https://a.test:443/x", "https://a.test/x"),
+    ("http://a.test:8080/x", "http://a.test:8080/x"),  # non-default kept
+    ("https://a.test:80/x", "https://a.test:80/x"),    # :80 NOT https default
+    ("http://a.test", "http://a.test/"),
+    ("http://a.test/x#frag", "http://a.test/x"),
+    ("http://a.test/x?b=2&a=1", "http://a.test/x?a=1&b=2"),
+    ("http://a.test/x?utm_source=s&utm_medium=m", "http://a.test/x"),
+    ("http://a.test/x?fbclid=f&gclid=g&k=v", "http://a.test/x?k=v"),
+    ("http://a.test/x?", "http://a.test/x"),
+    ("http://a.test/p/q/r?z=1&y=2&utm_x=3#f", "http://a.test/p/q/r?y=2&z=1"),
+    # path case is PRESERVED (paths are case-sensitive, hosts are not)
+    ("http://A.test/CaseSensitive", "http://a.test/CaseSensitive"),
+]
+
+
+def test_rules_and_engine_parity(spark):
+    df = spark.createDataFrame([(u,) for u, _ in CASES], "u string")
+    got = {
+        r["u"]: r["c"]
+        for r in df.select("u", canonicalize_url("u").alias("c")).collect()
+    }
+    con = duckdb.connect()
+    for raw, want in CASES:
+        assert got[raw] == want, (raw, got[raw], want)
+        duck = con.execute(
+            "SELECT " + canonicalize_url_sql(f"'{raw}'")
+        ).fetchone()[0]
+        assert duck == want, (raw, duck, want)
+
+
+def test_idempotent(spark):
+    df = spark.createDataFrame([(u,) for u, _ in CASES], "u string")
+    two = df.select(
+        canonicalize_url(canonicalize_url("u")).alias("cc"),
+        canonicalize_url("u").alias("c"),
+    )
+    assert all(r["cc"] == r["c"] for r in two.collect())
+
+
+def test_q217_plan_is_map_then_single_agg(spark):
+    """The dedup shape at scale: canonicalize is pure projection, the
+    dedup is one hash aggregate on the canonical string — no window,
+    no join, no python."""
+    from dataingestiontohana_spark.plans.ingestion import q217_url_dedup
+
+    df = q217_url_dedup(spark, "unused")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan and "Window" not in plan
+    rows = df.collect()
+    assert len(rows) == 20
+    assert all(r["n_variants"] == 3 and r["n_raw"] == 3 for r in rows)
