@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from dataingestiontohana_spark.plans import (
     cdc,
+    crawl,
     graph,
     ingestion,
     llm_dedup,
@@ -46,6 +47,7 @@ for mod in (
     llm_similarity,
     multimodal,
     ingestion,
+    crawl,
     cdc,
     udf_surface,
     sampling,

@@ -553,6 +553,13 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("canonical_url", "string"), ("n_variants", "bigint"),
         ("n_raw", "bigint"),
     ],
+    "q218_registrable_domain": [
+        ("host", "string"), ("etld", "string"),
+        ("reg_domain", "string"), ("n_urls", "bigint"),
+    ],
+    "q219_robots_filter": [
+        ("url", "string"), ("rule_len", "bigint"), ("allowed", "bigint"),
+    ],
     "q207_bigram_lm": [
         ("doc_id", "bigint"), ("n_transitions", "bigint"),
         ("n_backoff", "bigint"), ("n_oov", "bigint"),
@@ -956,10 +963,12 @@ BUNDLES: dict[str, list[str]] = {
         "q215_gif_bmp",
     ],
     # round 9: WARC crawl-archive ingestion + URL canonicalization
-    # dedup join the ingest bundle
+    # dedup + eTLD+1 extraction + robots.txt filtering join the
+    # ingest bundle (the crawl-governance family)
     "q39_40_ingest": [
         "q39_sensor_generate", "q40_sensor_csv_roundtrip",
         "q216_warc_ingest", "q217_url_dedup",
+        "q218_registrable_domain", "q219_robots_filter",
     ],
     # round 5: the q20 single grew into a bundle with the hypertable
     # multi-grain rollup (one-scan grouping sets over time grains)
