@@ -1529,23 +1529,88 @@ def _encode_prog_ac(
     flush_eob()
 
 
+# IMA/DVI ADPCM (IMA Digital Audio Focus Group "Recommended Practices
+# for Enhancing Digital Audio Compatibility", 1992; WAVE fmt tag 0x11):
+# the 89-entry quantizer step table and the 8-entry index-adaptation
+# table. Published spec constants — the decode below and the SQL
+# oracle's recursive replay both derive from these two tables.
+_IMA_STEP_TABLE: tuple[int, ...] = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+)
+_IMA_INDEX_TABLE: tuple[int, ...] = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _decode_ima_adpcm(data: bytes, block_align: int) -> np.ndarray:
+    """Mono IMA-ADPCM block decode -> int16 samples. Each block is a
+    4-byte header (initial predictor int16 LE — emitted as the
+    block's first sample — initial step index uint8, reserved) then
+    2 nibbles per byte, LOW nibble first. Per nibble: diff =
+    step>>3 (+ step>>2 if bit0) (+ step>>1 if bit1) (+ step if bit2),
+    sign from bit3, predictor clamped to int16, index adapted via
+    `_IMA_INDEX_TABLE[nibble & 7]` clamped to [0, 88]. The recurrence
+    is inherently sequential per block (each step's quantizer depends
+    on the previous step's index) — the parallel unit is the FILE, not
+    the sample, which is exactly Spark's partitioning grain."""
+    out: list[int] = []
+    for boff in range(0, len(data), block_align):
+        pred = struct.unpack("<h", data[boff : boff + 2])[0]
+        idx = data[boff + 2]
+        if idx > 88:
+            raise ValueError(f"ADPCM: step index {idx} > 88")
+        out.append(pred)
+        for byte in data[boff + 4 : boff + block_align]:
+            for nib in (byte & 15, byte >> 4):
+                step = _IMA_STEP_TABLE[idx]
+                diff = step >> 3
+                if nib & 1:
+                    diff += step >> 2
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 4:
+                    diff += step
+                pred = pred - diff if nib & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                idx = max(0, min(88, idx + _IMA_INDEX_TABLE[nib & 7]))
+                out.append(pred)
+    return np.asarray(out, np.int16)
+
+
 def _parse_wav(b: bytes) -> tuple[int, np.ndarray | None]:
-    """RIFF/WAVE chunk walk: sample count always; SAMPLES for integer
-    PCM at 8 (uint8, mono), 16, 24 and 32 bits (mono/stereo) and for
-    IEEE-float PCM (fmt tag 3) at 32/64 bits (mono/stereo), each at
-    FULL NATIVE WIDTH. Integer stereo downmixes (l + r) // 2 (floor)
-    in exact full-precision integer arithmetic; float stereo downmixes
-    (l + r) / 2 in float64 (exact for the on-grid corpora: the sum of
-    two ~24/52-bit-mantissa samples fits float64). The returned dtype
-    encodes the container layout (the downstream normalization
-    contract): uint8 = 8-bit, int16 = 16-bit, int32 = 24-bit (range
-    ±2^23), int64 = 32-bit (range ±2^31), float32/float64 = IEEE
-    float at native width (nominal range ±1.0). Remaining layouts
-    (>2 channels, ADPCM and other compressed codecs) stay count-only
-    (px None) — r8 verdict item 4 closed the float boundary."""
+    """Back-compat wrapper over `_parse_wav_ex` (sample count +
+    samples; see there for the full layout contract)."""
+    n, px, _codec = _parse_wav_ex(b)
+    return n, px
+
+
+def _parse_wav_ex(b: bytes) -> tuple[int, np.ndarray | None, str]:
+    """RIFF/WAVE chunk walk -> (count, samples, codec tag). Sample
+    count always; SAMPLES for integer PCM at 8 (uint8, mono), 16, 24
+    and 32 bits (mono/stereo), for IEEE-float PCM (fmt tag 3) at
+    32/64 bits (mono/stereo), each at FULL NATIVE WIDTH, and for mono
+    IMA-ADPCM (fmt tag 0x11, 4 bits — r9, closing the r8 declared
+    ADPCM boundary) whose data is a whole number of blocks. Integer
+    stereo downmixes (l + r) // 2 (floor) in exact full-precision
+    integer arithmetic; float stereo downmixes (l + r) / 2 in float64
+    (exact for the on-grid corpora: the sum of two ~24/52-bit-mantissa
+    samples fits float64). The returned dtype encodes the container
+    layout (the downstream normalization contract): uint8 = 8-bit,
+    int16 = 16-bit PCM or decoded ADPCM (codec tag disambiguates),
+    int32 = 24-bit (range ±2^23), int64 = 32-bit (range ±2^31),
+    float32/float64 = IEEE float at native width (nominal range
+    ±1.0). Remaining layouts (>2 channels, stereo/partial-final-block
+    ADPCM, other compressed codecs) stay count-only (px None) — valid
+    unsupported layouts, never quarantined."""
     off = 12
     bits = channels = 1
-    is_float = False
+    block_align = 0
+    is_float = is_adpcm = False
     data = None
     while off + 8 <= len(b):
         cid = b[off : off + 4]
@@ -1561,9 +1626,13 @@ def _parse_wav(b: bytes) -> tuple[int, np.ndarray | None]:
                 raise ValueError("WAV: fmt chunk shorter than 16 bytes")
             fmt_tag = struct.unpack("<H", body[0:2])[0]
             channels = struct.unpack("<H", body[2:4])[0]
+            block_align = struct.unpack("<H", body[12:14])[0]
             bits = struct.unpack("<H", body[14:16])[0]
             if fmt_tag == 3 and bits in (32, 64):
                 is_float = True
+            elif fmt_tag == 17 and bits == 4 and channels == 1:
+                is_adpcm = True
+                bits = -bits  # never a PCM width; gated below
             elif fmt_tag != 1:
                 # other codecs — and fmt tag 3 at any other declared
                 # width — are VALID unsupported layouts, not
@@ -1585,6 +1654,17 @@ def _parse_wav(b: bytes) -> tuple[int, np.ndarray | None]:
             raise ValueError(f"WAV: illegal PCM sample width {bits} bits")
         if len(data) % ((bits // 8) * channels):
             raise ValueError("WAV: data length not a whole number of frames")
+    if (
+        is_adpcm
+        and block_align >= 8
+        and len(data) > 0
+        and len(data) % block_align == 0
+    ):
+        # whole blocks only: a partial final block (a fact-chunk-
+        # truncated stream) stays count-only below, matching the
+        # valid-unsupported-layout contract
+        px = _decode_ima_adpcm(data, block_align)
+        return len(px), px, "adpcm"
     n = len(data) // max(1, abs(bits) // 8) // max(1, channels)
     if is_float and channels in (1, 2):
         s = np.frombuffer(
@@ -1594,9 +1674,9 @@ def _parse_wav(b: bytes) -> tuple[int, np.ndarray | None]:
         if channels == 2:
             pair = s.reshape(-1, 2)
             s = (pair[:, 0] + pair[:, 1]) / 2.0  # float mid-channel fold
-        return n, s if bits == 64 else s.astype(np.float32)
+        return n, (s if bits == 64 else s.astype(np.float32)), "float"
     if bits == 8 and channels == 1:
-        return n, np.frombuffer(data, np.uint8)
+        return n, np.frombuffer(data, np.uint8), "pcm"
     if not is_float and bits in (16, 24, 32) and channels in (1, 2):
         width = bits // 8
         if bits == 16:
@@ -1617,11 +1697,11 @@ def _parse_wav(b: bytes) -> tuple[int, np.ndarray | None]:
             pair = s.reshape(-1, 2)
             s = (pair[:, 0] + pair[:, 1]) // 2  # exact full-precision fold
         if bits == 16:
-            return n, s.astype(np.int16)
+            return n, s.astype(np.int16), "pcm"
         if bits == 24:
-            return n, s.astype(np.int32)
-        return n, s  # 32-bit: int64 (native values, overflow-proof)
-    return n, None
+            return n, s.astype(np.int32), "pcm"
+        return n, s, "pcm"  # 32-bit: int64 (native, overflow-proof)
+    return n, None, "none"
 
 
 # -- BMP (r9): BITMAPINFOHEADER BI_RGB, 8-bit palette + 24-bit ------
@@ -1989,7 +2069,8 @@ def _decode_payload(
     Huffman-progressive (spectral selection + successive
     approximation; arithmetic-coded stays metadata-only: channels=0,
     px=None); WAV decodes integer PCM at 8/16/24/32 bits and
-    IEEE-float PCM at 32/64 bits, each at native width, mono/stereo.
+    IEEE-float PCM at 32/64 bits, each at native width, mono/stereo,
+    plus mono whole-block IMA-ADPCM (fmt tag 0x11 — r9).
     ``channels`` is 0 whenever px is None. Formats
     needing a real codec stack (MP4, compressed audio) raise — swapping
     in PIL/librosa later only changes this function."""
@@ -2367,8 +2448,12 @@ def wav_native_moments(df: DataFrame) -> DataFrame:
     moments on the fixed integer grid (`_quantize_float_samples`:
     q = rint(v * 2^23 / 2^51)) — the q205 float corpora plant samples
     exactly on the grid, so the quantization is lossless and the SQL
-    oracle replays every value. Map-only mapInPandas, the same scale
-    shape as `decode_media`."""
+    oracle replays every value. IMA-ADPCM clips (r9, closing the r8
+    declared ADPCM boundary) report codec='adpcm', bits=4, with
+    moments over the bit-exact decoded int16 samples — the SQL oracle
+    replays the IMA state machine as a recursive CTE over the planted
+    nibble stream. Map-only mapInPandas, the same scale shape as
+    `decode_media`."""
     _BITS = {
         np.dtype(np.uint8): 8,
         np.dtype(np.int16): 16,
@@ -2386,13 +2471,18 @@ def wav_native_moments(df: DataFrame) -> DataFrame:
             ):
                 if kind != KIND_AUDIO:
                     continue
+                raw = bytes(content)
                 try:
-                    _w, _h, _nf, _ch, px = _decode_payload(bytes(content))
+                    if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+                        _n, px, codec = _parse_wav_ex(raw)
+                    else:
+                        _w, _h, _nf, _ch, px = _decode_payload(raw)
+                        codec = "pcm"
                 except (NotImplementedError, *_CORRUPT_ERRORS):
                     continue
                 if px is None or len(px) == 0:
                     continue
-                bits, codec = _BITS[px.dtype], "pcm"
+                bits = 4 if codec == "adpcm" else _BITS[px.dtype]
                 if px.dtype.kind == "f":
                     codec = "float"
                     px = _quantize_float_samples(px)

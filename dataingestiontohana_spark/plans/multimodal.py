@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from dataingestiontohana_spark.catalog import load_table
 from dataingestiontohana_spark.operators.multimodal import (
+    _IMA_STEP_TABLE,
     KIND_AUDIO,
     KIND_IMAGE,
     KIND_VIDEO,
@@ -465,6 +466,7 @@ def q204_jpeg_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # split hi/lo at 10^18 (two full-range squares already exceed bigint).
 _WAV_CACHE: dict[str, DataFrame] = {}
 _WAV_FRAMES = 64
+_ADPCM_BLOCKS = 2  # clips 20-23: 2 x 132-byte blocks, 257 samples each
 
 
 def _wav_native_corpus(spark: SparkSession) -> DataFrame:
@@ -542,6 +544,41 @@ def _wav_native_corpus(spark: SparkSession) -> DataFrame:
         rows.append(
             (i, KIND_AUDIO, float_container(data, channels, 64 if is64 else 32))
         )
+    # IMA-ADPCM clips 20-23 (r9, closing the declared ADPCM
+    # boundary): 2 blocks of blockAlign 132 (4-byte header + 128
+    # nibble bytes = 257 samples/block). The nibble stream is
+    # md5-expanded from "{id}:adpcm:{c}" and the per-block header
+    # (initial predictor / step index) comes from a plain integer
+    # formula, so the DuckDB oracle reconstructs the exact encoded
+    # stream and replays the IMA state machine as a recursive CTE —
+    # the decode is adjudicated sample-exactly despite the codec
+    # being lossy (the ENCODED stream is the planted ground truth).
+    for i in range(20, 24):
+        nib = bytearray()
+        c = 0
+        while len(nib) < _ADPCM_BLOCKS * 128:
+            nib += hashlib.md5(f"{i}:adpcm:{c}".encode()).digest()
+            c += 1
+        data = b"".join(
+            struct.pack(
+                "<hBB",
+                ((i * 8191 + blk * 2713) % 65536) - 32768,
+                (i * 31 + blk * 17) % 89,
+                0,
+            )
+            + bytes(nib[blk * 128 : (blk + 1) * 128])
+            for blk in range(_ADPCM_BLOCKS)
+        )
+        fmt = struct.pack(
+            "<HHIIHHHH", 17, 1, 8000, 4110, 132, 4, 2, 257
+        )  # cbSize=2, wSamplesPerBlock=257
+        rows.append((
+            i,
+            KIND_AUDIO,
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data,
+        ))
     df = (
         spark.createDataFrame(rows, "media_id long, kind int, content binary")
         .coalesce(2)
@@ -1080,6 +1117,72 @@ wavf_folded AS (
 )
 """
 
+# DuckDB replay of the IMA-ADPCM decode (clips 20-23, see
+# _wav_native_corpus): the state machine (predictor + step index per
+# nibble) is a sequential recurrence, so the oracle walks it with a
+# RECURSIVE CTE — one row per (clip, block) advancing nibble position
+# p and carrying the running sample sum / sum of squares. The nibble
+# at position p is extracted from the same md5 expansion the corpus
+# planted ("{id}:adpcm:{chunk}", low nibble first), and the
+# step/index tables are the published IMA spec constants. Every
+# decoded sample therefore feeds the adjudicated moments — a one-bit
+# divergence anywhere in the 514-step walk hash-mismatches.
+_ADPCM_NIBBLE_BYTE = (
+    "16*(strpos('0123456789abcdef',"
+    " substr(md5(media_id || ':adpcm:'"
+    " || ((blk*128 + (p+1)//2) // 16)),"
+    " CAST(2*((blk*128 + (p+1)//2) % 16) + 1 AS INT), 1))-1)"
+    " + (strpos('0123456789abcdef',"
+    " substr(md5(media_id || ':adpcm:'"
+    " || ((blk*128 + (p+1)//2) // 16)),"
+    " CAST(2*((blk*128 + (p+1)//2) % 16) + 2 AS INT), 1))-1)"
+)
+
+_ADPCM_CTE = f"""
+ad_step_tab(i, step) AS (VALUES {", ".join(
+    f"({i}, {s})" for i, s in enumerate(_IMA_STEP_TABLE))}),
+ad_blocks AS (
+  SELECT CAST(i AS BIGINT) AS media_id, CAST(b.j AS INT) AS blk,
+         ((i*8191 + b.j*2713) % 65536) - 32768 AS pred0,
+         (i*31 + b.j*17) % 89 AS idx0
+  FROM range(20, 24) t(i), range({_ADPCM_BLOCKS}) b(j)
+),
+ad_walk(media_id, blk, p, pred, idx, s, sq) AS (
+  SELECT media_id, blk, -1, pred0, idx0,
+         CAST(pred0 AS HUGEINT), CAST(pred0 AS HUGEINT) * pred0
+  FROM ad_blocks
+  UNION ALL
+  SELECT media_id, blk, p, predn, idxn,
+         s + predn, sq + CAST(predn AS HUGEINT) * predn
+  FROM (
+    SELECT media_id, blk, p, s, sq,
+           GREATEST(-32768, LEAST(32767,
+             CASE WHEN nib >= 8 THEN pred - diff
+                  ELSE pred + diff END)) AS predn,
+           LEAST(88, GREATEST(0, idx
+             + CASE WHEN nib % 8 < 4 THEN -1
+                    ELSE (nib % 8) * 2 - 6 END)) AS idxn
+    FROM (
+      SELECT media_id, blk, p, pred, idx, s, sq, nib,
+             (step // 8) + (nib % 2) * (step // 4)
+               + ((nib // 2) % 2) * (step // 2)
+               + ((nib // 4) % 2) * step AS diff
+      FROM (
+        SELECT y.media_id, y.blk, y.p + 1 AS p, y.pred, y.idx,
+               y.s, y.sq, st.step,
+               CASE WHEN (y.p + 1) % 2 = 0 THEN y.byte % 16
+                    ELSE y.byte // 16 END AS nib
+        FROM (
+          SELECT media_id, blk, p, pred, idx, s, sq,
+                 {_ADPCM_NIBBLE_BYTE} AS byte
+          FROM ad_walk WHERE p < 255
+        ) y JOIN ad_step_tab st ON st.i = y.idx
+      ) x
+    ) w
+  ) v
+)
+"""
+
 
 # DuckDB reconstruction of the 16-bit PNG corpus (see _png16_corpus):
 # native sample j = 256*byte(2j) + byte(2j+1) of the md5 expansion.
@@ -1259,7 +1362,8 @@ ORACLES = {
         ORDER BY media_id
     """,
     "q205_wav_native": f"""
-        WITH {_WAV_NATIVE_CTE}
+        WITH RECURSIVE {_WAV_NATIVE_CTE},
+        {_ADPCM_CTE}
         SELECT media_id, 'pcm' AS codec, CAST(bits AS INTEGER) AS bits,
                CAST({_WAV_FRAMES} AS INTEGER) AS n_samples,
                CAST(SUM(v) AS BIGINT) AS px_sum,
@@ -1279,6 +1383,16 @@ ORACLES = {
                     AS BIGINT) AS px_sqsum_lo
         FROM wavf_folded
         GROUP BY media_id, bits
+        UNION ALL
+        SELECT media_id, 'adpcm' AS codec, CAST(4 AS INTEGER) AS bits,
+               CAST({_ADPCM_BLOCKS} * 257 AS INTEGER) AS n_samples,
+               CAST(SUM(s) AS BIGINT) AS px_sum,
+               CAST(SUM(sq) // 1000000000000000000 AS BIGINT)
+                    AS px_sqsum_hi,
+               CAST(SUM(sq) % 1000000000000000000 AS BIGINT)
+                    AS px_sqsum_lo
+        FROM ad_walk WHERE p = 255
+        GROUP BY media_id
         ORDER BY media_id
     """,
     "q215_gif_bmp": """

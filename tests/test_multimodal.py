@@ -847,8 +847,11 @@ def test_wav_unsupported_layouts_stay_count_only(spark):
             + b"data" + _s.pack("<I", 8) + bytes(8))
     n3, px3 = _parse_wav(wavf)
     assert n3 == 4 and px3 is None
-    # IMA-ADPCM (fmt tag 17, 4 bits/sample): a VALID unsupported codec
-    # — count-only metadata, NEVER quarantined as corrupt (r8 review)
+    # IMA-ADPCM (fmt tag 17, 4 bits/sample) whose data is NOT a whole
+    # number of blocks (a fact-chunk-truncated stream): a VALID
+    # unsupported layout — count-only metadata, NEVER quarantined as
+    # corrupt (r8 review; whole-block mono ADPCM DECODES since r9 —
+    # see test_adpcm_decode_* below)
     fmta = _s.pack("<HHIIHH", 17, 1, 8000, 4000, 256, 4)
     wava = (b"RIFF" + _s.pack("<I", 4 + 8 + len(fmta) + 8 + 8)
             + b"WAVE" + b"fmt " + _s.pack("<I", len(fmta)) + fmta
@@ -1146,7 +1149,8 @@ def test_float_wav_decodes_native_precision(spark):
     """r8 verdict item 4: IEEE-float WAV (fmt tag 3) decodes at native
     32/64-bit width — samples planted on the quantization grid recover
     their integers LOSSLESSLY through decode + quantize, mono and
-    stereo; the fmt-tag boundary shrinks to ADPCM + >2 channels."""
+    stereo; with r9's mono IMA-ADPCM decode the fmt-tag boundary
+    shrinks to stereo/partial-block ADPCM + >2 channels."""
     import numpy as _np
 
     from dataingestiontohana_spark.operators.multimodal import (
@@ -1239,3 +1243,124 @@ def test_float_wav_nonfinite_and_other_widths_guarded(spark):
         "media_id long, kind int, content binary",
     ).coalesce(1)
     assert wav_native_moments(df).collect() == []  # refused, not wrong
+
+
+# -- IMA-ADPCM decode (r9: the r8 ADPCM boundary closed for mono) ----
+
+
+def _ima_reference_decode(data: bytes, block_align: int) -> list[int]:
+    """Independent IMA-ADPCM reference decoder written directly from
+    the IMA spec prose (predictor + 89-step quantizer walk), kept
+    deliberately separate from the production implementation — the
+    same pinning discipline as the BPE and winnowing references."""
+    import struct as _s
+
+    step_tab = [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+        34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+        143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
+        449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+        1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+        3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630,
+        9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350,
+        22385, 24623, 27086, 29794, 32767,
+    ]
+    idx_tab = [-1, -1, -1, -1, 2, 4, 6, 8]
+    out: list[int] = []
+    for off in range(0, len(data), block_align):
+        pred = _s.unpack("<h", data[off:off + 2])[0]
+        index = data[off + 2]
+        out.append(pred)
+        for byte in data[off + 4:off + block_align]:
+            for nib in (byte & 0xF, byte >> 4):
+                step = step_tab[index]
+                diff = step >> 3
+                if nib & 4:
+                    diff += step
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 1:
+                    diff += step >> 2
+                pred = pred - diff if nib & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                index = max(0, min(88, index + idx_tab[nib & 7]))
+                out.append(pred)
+    return out
+
+
+def _adpcm_wav(data: bytes, block_align: int = 132) -> bytes:
+    import struct as _s
+
+    spb = (block_align - 4) * 2 + 1
+    fmt = _s.pack("<HHIIHHHH", 17, 1, 8000, 4110, block_align, 4, 2, spb)
+    return (b"RIFF" + _s.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+            + b"data" + _s.pack("<I", len(data)) + data)
+
+
+def test_adpcm_decode_pinned_against_independent_reference():
+    """Production `_decode_ima_adpcm` must be sample-identical to the
+    independent reference over adversarial nibble streams: all-zero,
+    all-0xFF (max magnitude, exercises both clamps), and md5 noise
+    starting from extreme headers (predictor ±32768-edge, index 0/88)."""
+    import hashlib
+    import struct as _s
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        _decode_ima_adpcm,
+        _parse_wav_ex,
+    )
+
+    streams = []
+    noise = b"".join(
+        hashlib.md5(f"adpcm-test:{c}".encode()).digest() for c in range(16)
+    )
+    for pred, idx, body in [
+        (-32768, 0, bytes(128)),
+        (32767, 88, b"\xff" * 128),
+        (-1234, 33, noise[:128]),
+        (777, 5, noise[128:]),
+    ]:
+        streams.append(_s.pack("<hBB", pred, idx, 0) + body)
+    data = b"".join(streams)
+    got = _decode_ima_adpcm(data, 132)
+    exp = _ima_reference_decode(data, 132)
+    assert list(got) == exp
+    # container path: whole-block mono decodes with the codec tag
+    n, px, codec = _parse_wav_ex(_adpcm_wav(data))
+    assert codec == "adpcm" and n == 4 * 257 and list(px) == exp
+
+
+def test_adpcm_gates(spark):
+    """Partial final block stays count-only (valid unsupported
+    layout); a step index > 88 in a block header is a corrupt stream
+    and QUARANTINES (decode_error row), never wrong samples; stereo
+    ADPCM stays count-only behind the channel gate."""
+    import struct as _s
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        KIND_AUDIO,
+        _parse_wav_ex,
+        decode_media,
+    )
+
+    body = _s.pack("<hBB", 100, 4, 0) + bytes(128)
+    # partial final block: 132 + 60 bytes
+    n, px, codec = _parse_wav_ex(_adpcm_wav(body + body[:60]))
+    assert px is None and codec == "none"
+    # stereo fmt 17 stays count-only
+    fmt = _s.pack("<HHIIHHHH", 17, 2, 8000, 8220, 264, 4, 2, 257)
+    wav = (b"RIFF" + _s.pack("<I", 4 + 8 + len(fmt) + 8 + len(body))
+           + b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+           + b"data" + _s.pack("<I", len(body)) + body)
+    n2, px2, codec2 = _parse_wav_ex(wav)
+    assert px2 is None and codec2 == "none"
+    # step index 89: corrupt -> quarantined by decode_media
+    bad = _s.pack("<hBB", 100, 89, 0) + bytes(128)
+    df = spark.createDataFrame(
+        [(1, KIND_AUDIO, _adpcm_wav(body)), (2, KIND_AUDIO, _adpcm_wav(bad))],
+        "media_id long, kind int, content binary",
+    ).coalesce(1)
+    rows = {r["media_id"]: r for r in decode_media(df).collect()}
+    assert rows[1]["decode_error"] is None
+    assert rows[2]["decode_error"] is not None
