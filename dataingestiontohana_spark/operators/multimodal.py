@@ -1591,21 +1591,23 @@ def _parse_wav(b: bytes) -> tuple[int, np.ndarray | None]:
 
 def _parse_wav_ex(b: bytes) -> tuple[int, np.ndarray | None, str]:
     """RIFF/WAVE chunk walk -> (count, samples, codec tag). Sample
-    count always; SAMPLES for integer PCM at 8 (uint8, mono), 16, 24
-    and 32 bits (mono/stereo), for IEEE-float PCM (fmt tag 3) at
-    32/64 bits (mono/stereo), each at FULL NATIVE WIDTH, and for mono
-    IMA-ADPCM (fmt tag 0x11, 4 bits — r9, closing the r8 declared
-    ADPCM boundary) whose data is a whole number of blocks. Integer
-    stereo downmixes (l + r) // 2 (floor) in exact full-precision
-    integer arithmetic; float stereo downmixes (l + r) / 2 in float64
-    (exact for the on-grid corpora: the sum of two ~24/52-bit-mantissa
-    samples fits float64). The returned dtype encodes the container
-    layout (the downstream normalization contract): uint8 = 8-bit,
-    int16 = 16-bit PCM or decoded ADPCM (codec tag disambiguates),
-    int32 = 24-bit (range ±2^23), int64 = 32-bit (range ±2^31),
-    float32/float64 = IEEE float at native width (nominal range
-    ±1.0). Remaining layouts (>2 channels, stereo/partial-final-block
-    ADPCM, other compressed codecs) stay count-only (px None) — valid
+    count always; SAMPLES for integer PCM at 8/16/24/32 bits at ANY
+    channel count (r9 closed the >2-channel integer boundary), for
+    IEEE-float PCM (fmt tag 3) at 32/64 bits (mono/stereo), each at
+    FULL NATIVE WIDTH, and for mono IMA-ADPCM (fmt tag 0x11, 4 bits —
+    r9, closing the r8 declared ADPCM boundary) whose data is a whole
+    number of blocks. Integer multichannel downmixes to the FLOOR of
+    the per-frame channel mean in exact full-precision integer
+    arithmetic (the r7 stereo (l + r) // 2, generalized); float
+    stereo downmixes (l + r) / 2 in float64 (exact for the on-grid
+    corpora: the sum of two ~24/52-bit-mantissa samples fits
+    float64). The returned dtype encodes the container layout (the
+    downstream normalization contract): uint8 = 8-bit, int16 = 16-bit
+    PCM or decoded ADPCM (codec tag disambiguates), int32 = 24-bit
+    (range ±2^23), int64 = 32-bit (range ±2^31), float32/float64 =
+    IEEE float at native width (nominal range ±1.0). Remaining
+    layouts (>2-channel float, stereo/partial-final-block ADPCM,
+    other compressed codecs) stay count-only (px None) — valid
     unsupported layouts, never quarantined."""
     off = 12
     bits = channels = 1
@@ -1677,9 +1679,13 @@ def _parse_wav_ex(b: bytes) -> tuple[int, np.ndarray | None, str]:
         return n, (s if bits == 64 else s.astype(np.float32)), "float"
     if bits == 8 and channels == 1:
         return n, np.frombuffer(data, np.uint8), "pcm"
-    if not is_float and bits in (16, 24, 32) and channels in (1, 2):
+    if not is_float and bits in (8, 16, 24, 32) and channels >= 1:
         width = bits // 8
-        if bits == 16:
+        if bits == 8:
+            s = np.frombuffer(
+                data[: n * width * channels], np.uint8
+            ).astype(np.int64)
+        elif bits == 16:
             s = np.frombuffer(data[: n * width * channels], "<i2").astype(
                 np.int64
             )
@@ -1693,9 +1699,15 @@ def _parse_wav_ex(b: bytes) -> tuple[int, np.ndarray | None, str]:
             ).reshape(-1, 3).astype(np.int64)
             s = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
             s -= (s >= (1 << 23)) * (1 << 24)
-        if channels == 2:
-            pair = s.reshape(-1, 2)
-            s = (pair[:, 0] + pair[:, 1]) // 2  # exact full-precision fold
+        if channels > 1:
+            # exact full-precision fold: floor of the per-frame channel
+            # mean (numpy // floors like Python, matching the SQL
+            # twin's floor(SUM/channels)); generalizes the r7 stereo
+            # (l + r) // 2 to ANY channel count — r9 closed the
+            # >2-channel integer-PCM boundary
+            s = s.reshape(-1, channels).sum(axis=1) // channels
+        if bits == 8:
+            return n, s.astype(np.uint8), "pcm"
         if bits == 16:
             return n, s.astype(np.int16), "pcm"
         if bits == 24:

@@ -517,6 +517,16 @@ def _wav_native_corpus(spark: SparkSession) -> DataFrame:
         channels = 1 if bits == 8 else 1 + (i // 4) % 2
         data = md5_expand(i, _WAV_FRAMES * (bits // 8) * channels)
         rows.append((i, KIND_AUDIO, container(data, channels, bits)))
+    # >2-channel integer clips 24-27 (r9, closing the >2-channel
+    # integer-PCM boundary): same md5 expansion, the fold is the
+    # floor of the per-frame channel mean — exact on both engines
+    # (numpy // floors; the SQL twin floors SUM(v)/channels, whose
+    # magnitude ≤ 6 * 2^31 is double-exact).
+    for i, bits, channels in (
+        (24, 8, 4), (25, 16, 4), (26, 24, 3), (27, 32, 6),
+    ):
+        data = md5_expand(i, _WAV_FRAMES * (bits // 8) * channels)
+        rows.append((i, KIND_AUDIO, container(data, channels, bits)))
     # IEEE-float clips 16-19 (r9, closing the r8 float boundary):
     # samples planted exactly ON the quantization grid — v = k / 2^g
     # with k from the md5 expansion (stride bytes little-endian, then
@@ -1010,13 +1020,21 @@ wav_media AS (
            AS bits,
          CASE WHEN i%4 = 0 THEN 1 ELSE 1 + (i//4)%2 END AS channels
   FROM range(16) t(i)
+  UNION ALL
+  -- >2-channel integer clips (r9): 8/16/24/32 bits x 4/4/3/6 channels
+  SELECT CAST(i AS BIGINT),
+         CASE i WHEN 24 THEN 8 WHEN 25 THEN 16 WHEN 26 THEN 24
+                ELSE 32 END,
+         CASE i WHEN 24 THEN 4 WHEN 25 THEN 4 WHEN 26 THEN 3
+                ELSE 6 END
+  FROM range(24, 28) t(i)
 ),
 wav_chunks AS (
   SELECT m.media_id, m.bits, m.channels,
          {_WAV_FRAMES}*(m.bits//8)*m.channels AS need,
          CAST(c.j AS INT) AS counter,
          md5(m.media_id || ':wav:' || c.j) AS h
-  FROM wav_media m, range(32) c(j)
+  FROM wav_media m, range(96) c(j)
   WHERE c.j*16 < {_WAV_FRAMES}*(m.bits//8)*m.channels
 ),
 wav_bytes AS (
@@ -1046,8 +1064,9 @@ wav_signed AS (
 ),
 wav_folded AS (
   SELECT media_id, bits, s // channels AS frame,
-         CASE WHEN channels = 2
-              THEN CAST(floor(SUM(v) / 2.0) AS BIGINT)
+         CASE WHEN channels > 1
+              THEN CAST(floor(SUM(v) / CAST(channels AS DOUBLE))
+                   AS BIGINT)
               ELSE CAST(SUM(v) AS BIGINT) END AS v
   FROM wav_signed
   GROUP BY media_id, bits, channels, s // channels

@@ -831,14 +831,15 @@ def test_wav_unsupported_layouts_stay_count_only(spark):
 
     from dataingestiontohana_spark.operators.multimodal import _parse_wav
 
-    # 3-channel 16-bit: count-only (channel gate)
+    # 3-channel 16-bit integer PCM DECODES since r9 (floor-of-mean
+    # fold) — the channel gate now applies to float and ADPCM only
     data = bytes(24)  # 4 frames of 3x16-bit
     fmt = _s.pack("<HHIIHH", 1, 3, 8000, 8000 * 6, 6, 16)
     wav = (b"RIFF" + _s.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
            + b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
            + b"data" + _s.pack("<I", len(data)) + data)
     n, px = _parse_wav(wav)
-    assert n == 4 and px is None
+    assert n == 4 and px is not None and list(px) == [0, 0, 0, 0]
     # IEEE-float WAV (fmt tag 3): count-only even at 16 bits... tag
     # gates it before width does
     fmtf = _s.pack("<HHIIHH", 3, 1, 8000, 8000 * 2, 2, 16)
@@ -1364,3 +1365,36 @@ def test_adpcm_gates(spark):
     rows = {r["media_id"]: r for r in decode_media(df).collect()}
     assert rows[1]["decode_error"] is None
     assert rows[2]["decode_error"] is not None
+
+
+def test_multichannel_integer_pcm_folds_exactly():
+    """r9: >2-channel integer PCM decodes — the fold is the floor of
+    the per-frame channel mean, checked against an independent
+    pure-python computation over signed little-endian frames
+    (including negative-sum frames where floor != truncate)."""
+    import struct as _s
+
+    import numpy as _np
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        _parse_wav_ex,
+    )
+
+    frames = [(-5, -6, -7, 3), (100, -1, 2, -3), (32767, -32768, 1, 0)]
+    data = b"".join(_s.pack("<4h", *f) for f in frames)
+    fmt = _s.pack("<HHIIHH", 1, 4, 8000, 8000 * 8, 8, 16)
+    wav = (b"RIFF" + _s.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+           + b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+           + b"data" + _s.pack("<I", len(data)) + data)
+    n, px, codec = _parse_wav_ex(wav)
+    assert codec == "pcm" and n == 3 and px.dtype == _np.int16
+    # python floor division is the ground truth (floor, not truncate):
+    # (-5-6-7+3) // 4 = -15 // 4 = -4, NOT -3
+    assert list(px) == [sum(f) // 4 for f in frames] == [-4, 24, 0]
+    # float >2 channels stays count-only (the remaining float boundary)
+    fmtf = _s.pack("<HHIIHH", 3, 4, 8000, 8000 * 16, 16, 32)
+    wavf = (b"RIFF" + _s.pack("<I", 4 + 8 + len(fmtf) + 8 + 16)
+            + b"WAVE" + b"fmt " + _s.pack("<I", len(fmtf)) + fmtf
+            + b"data" + _s.pack("<I", 16) + bytes(16))
+    nf, pxf, codecf = _parse_wav_ex(wavf)
+    assert pxf is None and codecf == "none"
