@@ -1668,14 +1668,18 @@ def _parse_wav_ex(b: bytes) -> tuple[int, np.ndarray | None, str]:
         px = _decode_ima_adpcm(data, block_align)
         return len(px), px, "adpcm"
     n = len(data) // max(1, abs(bits) // 8) // max(1, channels)
-    if is_float and channels in (1, 2):
+    if is_float and channels >= 1:
         s = np.frombuffer(
             data[: n * (bits // 8) * channels],
             "<f4" if bits == 32 else "<f8",
         ).astype(np.float64)
-        if channels == 2:
-            pair = s.reshape(-1, 2)
-            s = (pair[:, 0] + pair[:, 1]) / 2.0  # float mid-channel fold
+        if channels > 1:
+            # float mid-channel fold: per-frame mean in float64. The
+            # q205 corpora keep this exact (power-of-2 channel counts
+            # + grid integers divisible by the channel count, so the
+            # sum is an on-grid dyadic and the division shifts the
+            # exponent) — r9 closed the >2-channel float boundary
+            s = s.reshape(-1, channels).sum(axis=1) / channels
         return n, (s if bits == 64 else s.astype(np.float32)), "float"
     if bits == 8 and channels == 1:
         return n, np.frombuffer(data, np.uint8), "pcm"

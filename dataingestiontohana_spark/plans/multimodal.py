@@ -554,6 +554,25 @@ def _wav_native_corpus(spark: SparkSession) -> DataFrame:
         rows.append(
             (i, KIND_AUDIO, float_container(data, channels, 64 if is64 else 32))
         )
+    # 4-channel float clips 28-29 (r9, closing the >2-channel float
+    # boundary): k planted as multiples of 4 so the 4-way fold
+    # SUM(k)/4 is an exact grid integer on both engines (the sum of
+    # four on-grid dyadics is exact in float64 and the division by a
+    # power of 2 only shifts the exponent).
+    for i in (28, 29):
+        is64 = i == 29
+        stride, g = (7, 51) if is64 else (4, 23)
+        raw = md5_expand(i, _WAV_FRAMES * stride * 4)
+        us = [
+            int.from_bytes(raw[j * stride : (j + 1) * stride], "little")
+            for j in range(_WAV_FRAMES * 4)
+        ]
+        ks = [4 * ((u % (1 << (g - 1))) - (1 << (g - 2))) for u in us]
+        vals = [k / float(1 << g) for k in ks]
+        data = struct.pack(f"<{len(vals)}{'d' if is64 else 'f'}", *vals)
+        rows.append(
+            (i, KIND_AUDIO, float_container(data, 4, 64 if is64 else 32))
+        )
     # IMA-ADPCM clips 20-23 (r9, closing the declared ADPCM
     # boundary): 2 blocks of blockAlign 132 (4-byte header + 128
     # nibble bytes = 257 samples/block). The nibble stream is
@@ -1078,13 +1097,21 @@ wavf_media AS (
          CASE WHEN i >= 18 THEN 51 ELSE 23 END AS g,
          1 + i % 2 AS channels
   FROM range(16, 20) t(i)
+  UNION ALL
+  -- 4-channel float clips (r9): k multiples of 4 -> exact 4-way fold
+  SELECT CAST(i AS BIGINT),
+         CASE WHEN i = 29 THEN 64 ELSE 32 END,
+         CASE WHEN i = 29 THEN 7 ELSE 4 END,
+         CASE WHEN i = 29 THEN 51 ELSE 23 END,
+         4
+  FROM range(28, 30) t(i)
 ),
 wavf_chunks AS (
   SELECT m.media_id, m.bits, m.stride, m.g, m.channels,
          {_WAV_FRAMES} * m.stride * m.channels AS need,
          CAST(c.j AS INT) AS counter,
          md5(m.media_id || ':wav:' || c.j) AS h
-  FROM wavf_media m, range(56) c(j)
+  FROM wavf_media m, range(112) c(j)
   WHERE c.j*16 < {_WAV_FRAMES} * m.stride * m.channels
 ),
 wavf_bytes AS (
@@ -1119,6 +1146,10 @@ wavf_grid AS (
                 THEN (u % 16777216) - 8388608
               WHEN channels = 1
                 THEN (u % 4503599627370496) - 2251799813685248
+              WHEN channels = 4 AND g = 23
+                THEN 4 * ((u % 4194304) - 2097152)
+              WHEN channels = 4
+                THEN 4 * ((u % 1125899906842624) - 562949953421312)
               WHEN g = 23
                 THEN 2 * ((u % 8388608) - 4194304)
               ELSE 2 * ((u % 2251799813685248) - 1125899906842624)
@@ -1126,10 +1157,11 @@ wavf_grid AS (
   FROM wavf_unsigned
 ),
 wavf_folded AS (
-  -- SUM(k) is even for stereo by construction, so integer // 2 is
-  -- exact (truncate == floor on an even value)
+  -- SUM(k) is divisible by the channel count by construction
+  -- (stereo plants even k, 4-channel plants multiples of 4), so
+  -- integer // is exact (truncate == floor == true division)
   SELECT media_id, bits, s // channels AS frame,
-         CASE WHEN channels = 2 THEN SUM(k) // 2
+         CASE WHEN channels > 1 THEN SUM(k) // channels
               ELSE SUM(k) END AS v
   FROM wavf_grid
   GROUP BY media_id, bits, channels, s // channels

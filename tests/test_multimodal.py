@@ -1368,7 +1368,7 @@ def test_adpcm_gates(spark):
 
 
 def test_multichannel_integer_pcm_folds_exactly():
-    """r9: >2-channel integer PCM decodes — the fold is the floor of
+    """r9: >2-channel PCM decodes — the integer fold is the floor of
     the per-frame channel mean, checked against an independent
     pure-python computation over signed little-endian frames
     (including negative-sum frames where floor != truncate)."""
@@ -1391,10 +1391,11 @@ def test_multichannel_integer_pcm_folds_exactly():
     # python floor division is the ground truth (floor, not truncate):
     # (-5-6-7+3) // 4 = -15 // 4 = -4, NOT -3
     assert list(px) == [sum(f) // 4 for f in frames] == [-4, 24, 0]
-    # float >2 channels stays count-only (the remaining float boundary)
+    # float >2 channels decodes too (r9): per-frame float64 mean
     fmtf = _s.pack("<HHIIHH", 3, 4, 8000, 8000 * 16, 16, 32)
+    frame = _s.pack("<4f", 1.0, 2.0, 3.0, -2.0)
     wavf = (b"RIFF" + _s.pack("<I", 4 + 8 + len(fmtf) + 8 + 16)
             + b"WAVE" + b"fmt " + _s.pack("<I", len(fmtf)) + fmtf
-            + b"data" + _s.pack("<I", 16) + bytes(16))
+            + b"data" + _s.pack("<I", 16) + frame)
     nf, pxf, codecf = _parse_wav_ex(wavf)
-    assert pxf is None and codecf == "none"
+    assert codecf == "float" and nf == 1 and list(pxf) == [1.0]
