@@ -16,9 +16,12 @@ pure-stdlib encoders (`encode_jpeg_baseline`,
 through 32-bit integer PCM WAV decodes to samples AT NATIVE WIDTH,
 mono/stereo (exact full-precision (l+r)//2 fold); 32/64-bit
 IEEE-float WAV (fmt tag 3) decodes at native width, moments carried
-on a lossless fixed integer grid. Codec-bound formats
-(MP4, MP3, arithmetic JPEG, illegal PNG depth/type combos) stay
-metadata-only or raise `NotImplementedError`. The Spark-side
+on a lossless fixed integer grid; sequential ARITHMETIC JPEG (SOF9)
+decodes via the pure-stdlib T.81 QM-coder (operators/jpeg_arith.py,
+r9 — pinned bit-identical against real libjpeg-turbo streams).
+Codec-bound formats (MP4, MP3, progressive-arithmetic JPEG SOF10,
+illegal PNG depth/type combos) stay metadata-only or raise
+`NotImplementedError`. The Spark-side
 plumbing — schema contracts, Arrow batch iteration, UDF signatures,
 per-partition batching — is identical to what a PIL/librosa-backed
 deployment would use; swapping in real codecs only changes the inner
@@ -614,7 +617,8 @@ def _skip_entropy(b: bytes, pos: int) -> int:
 
 def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
     """Full JPEG decode -> (flat_pixels, channels): baseline-sequential
-    (SOF0/1) AND Huffman progressive (SOF2).
+    (SOF0/1), Huffman progressive (SOF2) AND sequential arithmetic
+    (SOF9, r9 — T.81 Annex D/F QM decode, operators/jpeg_arith.py).
 
     Handles grayscale (1 component) and YCbCr color (3 components,
     any h/v sampling factors — 4:4:4, 4:2:2, 4:2:0, ...): DQT + DHT
@@ -631,10 +635,15 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
+    # arithmetic conditioning, spec defaults (F.1.4.4.1.4 / .2.1):
+    # DC (L, U) = (0, 1); AC Kx = 5 — a DAC segment overrides
+    dc_cond: dict[int, tuple[int, int]] = {0: (0, 1), 1: (0, 1)}
+    ac_cond: dict[int, int] = {0: 5, 1: 5}
     w = h = 0
     comps: list[tuple[int, int, int, int]] = []  # (cid, hs, vs, tq)
     restart = 0
     progressive = False
+    arith = False
     coefs: dict[int, np.ndarray] = {}  # cid -> (bh_pad, bw_pad, 64) zigzag
     geom: dict[int, tuple] = {}
     i = 2
@@ -662,8 +671,11 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
                 )
                 qt[tq] = tbl
                 off += 1 + n
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+            # SOF0/1 baseline, SOF2 Huffman progressive, SOF9
+            # sequential ARITHMETIC (r9 — T.81 Annex D/F QM decode)
             progressive = marker == 0xC2
+            arith = marker == 0xC9
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             ncomp = body[5]
@@ -693,9 +705,21 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
                     coefs[cid] = np.zeros(
                         (mcy * vs, mcx * hs, 64), dtype=np.int32
                     )
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # lossless/arithmetic/hierarchical: not decoded
+            # lossless / hierarchical / PROGRESSIVE-arithmetic (SOF10,
+            # 0xCA): not decoded — sequential arithmetic (SOF9) IS
+            return None
+        elif marker == 0xCC:  # DAC: arithmetic conditioning
+            off = 0
+            while off + 2 <= len(body):
+                tc, tb = body[off] >> 4, body[off] & 0xF
+                cs = body[off + 1]
+                if tc == 0:
+                    dc_cond[tb] = (cs & 0xF, cs >> 4)  # (L, U)
+                else:
+                    ac_cond[tb] = cs  # Kx
+                off += 2
         elif marker == 0xC4:  # DHT
             off = 0
             while off < len(body):
@@ -710,6 +734,18 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
         elif marker == 0xDA:  # SOS -> entropy-coded data follows
             if not comps:
                 return None
+            if arith:
+                if body[0] != len(comps):
+                    return None  # sequential = one interleaved scan
+                arith_tabs = {}  # cid -> (dc table id, ac table id)
+                for s in range(body[0]):
+                    cid = body[1 + 2 * s]
+                    td, ta = body[2 + 2 * s] >> 4, body[2 + 2 * s] & 0xF
+                    arith_tabs[cid] = (td, ta)
+                return _jpeg_arith_scan(
+                    b, i + 2 + seg_len, w, h, comps, qt, arith_tabs,
+                    restart, dc_cond, ac_cond,
+                )
             if not progressive:
                 if body[0] != len(comps):
                     return None  # baseline = one interleaved scan
@@ -997,6 +1033,19 @@ def _jpeg_scan(
                     y0 = (my * vs + by) * 8
                     x0 = (mx * hs + bx) * 8
                     plane[y0 : y0 + 8, x0 : x0 + 8] = spatial
+    return _jpeg_planes_to_pixels(planes, comps, w, h, hmax, vmax)
+
+
+def _jpeg_planes_to_pixels(
+    planes: dict[int, np.ndarray],
+    comps: list[tuple[int, int, int, int]],
+    w: int,
+    h: int,
+    hmax: int,
+    vmax: int,
+) -> tuple[np.ndarray, int]:
+    """Shared decode tail (Huffman AND arithmetic scans): level shift,
+    nearest-sample chroma upsample, JFIF YCbCr->RGB."""
     # level shift + upsample every plane to full resolution via the
     # standard nearest sample mapping (works for any hs/vs ratio)
     ys, xs = np.arange(h), np.arange(w)
@@ -1013,6 +1062,67 @@ def _jpeg_scan(
     bch = y + 1.772 * (cb - 128.0)
     rgb = np.clip(np.round(np.stack([rch, gch, bch], axis=-1)), 0, 255)
     return rgb.astype(np.uint8).reshape(-1), 3
+
+
+def _jpeg_arith_scan(
+    b: bytes,
+    start: int,
+    w: int,
+    h: int,
+    comps: list[tuple[int, int, int, int]],
+    qt: dict[int, np.ndarray],
+    scan_tabs: dict[int, tuple[int, int]],
+    restart: int,
+    dc_cond: dict[int, tuple[int, int]],
+    ac_cond: dict[int, int],
+) -> tuple[np.ndarray, int]:
+    """Sequential ARITHMETIC scan (SOF9): the same MCU walk as
+    `_jpeg_scan`, with coefficient decisions from the T.81 QM-coder
+    (operators/jpeg_arith.py) instead of Huffman codes. Restart
+    markers split the entropy stream into segments, each decoded with
+    a fresh coder + statistics + predictors (F.2.4.5)."""
+    from dataingestiontohana_spark.operators.jpeg_arith import (
+        ArithSequentialDecoder,
+        split_entropy_segments,
+    )
+
+    if w <= 0 or h <= 0:
+        raise ValueError("jpeg scan without frame dimensions")
+    segments, _end = split_entropy_segments(b, start)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcx = (w + 8 * hmax - 1) // (8 * hmax)
+    mcy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = {
+        cid: np.zeros((mcy * 8 * vs, mcx * 8 * hs), dtype=np.float64)
+        for cid, hs, vs, _tq in comps
+    }
+    comp_ids = [c[0] for c in comps]
+    dec = ArithSequentialDecoder(segments[0], dc_cond, ac_cond, comp_ids)
+    seg_at = 0
+    for m in range(mcx * mcy):
+        if restart and m and m % restart == 0:
+            seg_at += 1
+            if seg_at >= len(segments):
+                raise ValueError("arith JPEG: missing restart segment")
+            dec = ArithSequentialDecoder(
+                segments[seg_at], dc_cond, ac_cond, comp_ids
+            )
+        my, mx = divmod(m, mcx)
+        for cid, hs, vs, tq in comps:
+            quant = qt[tq]
+            dc_tbl, ac_tbl = scan_tabs[cid]
+            plane = planes[cid]
+            for by in range(vs):
+                for bx in range(hs):
+                    coef = dec.decode_block(cid, dc_tbl, ac_tbl)
+                    block = np.zeros(64, dtype=np.float64)
+                    block[_ZIGZAG] = coef * quant
+                    spatial = _DCT_C.T @ block.reshape(8, 8) @ _DCT_C
+                    y0 = (my * vs + by) * 8
+                    x0 = (mx * hs + bx) * 8
+                    plane[y0 : y0 + 8, x0 : x0 + 8] = spatial
+    return _jpeg_planes_to_pixels(planes, comps, w, h, hmax, vmax)
 
 
 # widely-published JPEG Annex-K example quantization tables (the de
@@ -2083,7 +2193,8 @@ def _decode_payload(
     count); baseline JPEG decodes grayscale AND YCbCr color pixels
     (any 4:4:4 / 4:2:2 / 4:2:0 sampling), baseline-sequential AND
     Huffman-progressive (spectral selection + successive
-    approximation; arithmetic-coded stays metadata-only: channels=0,
+    approximation) and sequential-arithmetic (SOF9, r9 — QM-coder;
+    progressive-arithmetic SOF10 stays metadata-only: channels=0,
     px=None); WAV decodes integer PCM at 8/16/24/32 bits and
     IEEE-float PCM at 32/64 bits, each at native width, mono/stereo,
     plus mono whole-block IMA-ADPCM (fmt tag 0x11 — r9).

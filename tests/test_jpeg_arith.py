@@ -1,0 +1,89 @@
+"""Arithmetic-coded JPEG decode (r9): third-party interop pins.
+
+The fixtures under tests/data/jpeg_arith/ were generated ONCE by the
+committed gen_fixtures.c using the system libjpeg-turbo (quality 100 =
+unit quantization) — each image encoded twice, arithmetic (SOF9) and
+Huffman baseline. The pin: our arithmetic decode of the libjpeg
+arithmetic stream must be BIT-IDENTICAL to our Huffman decode of the
+matching libjpeg Huffman stream. The entropy layers are completely
+disjoint implementations (QM-coder vs Huffman tables); everything
+downstream (dequant, IDCT, upsample, color) is shared — so equality
+pins the QM coder and the F.2.4 statistical models against a real
+third-party encoder, with no codec library needed at test time.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from dataingestiontohana_spark.operators.multimodal import (
+    _decode_jpeg_pixels,
+)
+
+BASE = os.path.join(os.path.dirname(__file__), "data", "jpeg_arith")
+
+PAIRS = [
+    # (name, what it exercises)
+    ("gray_mosaic", "DC-only blocks, conditioning context walk"),
+    ("gray_gradient", "long zero runs, EOB-heavy AC"),
+    ("gray_noise", "full AC magnitude trees, Kx low/high split"),
+    ("gray_rst", "restart markers: coder + stats + predictor reinit"),
+    ("color444", "3-component interleaved MCUs, per-component DC state"),
+    ("color420", "default 2x1x1 subsampling: 6-block MCUs"),
+]
+
+
+def _load(name: str) -> bytes:
+    with open(os.path.join(BASE, name), "rb") as f:
+        return f.read()
+
+
+@pytest.mark.parametrize("name,_why", PAIRS)
+def test_arith_decodes_bit_identical_to_huffman(name, _why):
+    huff = _decode_jpeg_pixels(_load(f"{name}_huff.jpg"))
+    arith = _decode_jpeg_pixels(_load(f"{name}_arith.jpg"))
+    assert huff is not None and arith is not None
+    assert arith[1] == huff[1]  # channels
+    assert np.array_equal(arith[0], huff[0])
+
+
+def test_mosaic_decodes_exactly():
+    """Unit quantization + constant blocks: the arithmetic stream must
+    reproduce the committed raw pixels bit-exactly (the q204 scheme)."""
+    raw = np.frombuffer(_load("gray_mosaic.raw"), np.uint8)
+    arith = _decode_jpeg_pixels(_load("gray_mosaic_arith.jpg"))
+    assert np.array_equal(arith[0], raw)
+
+
+def test_progressive_arithmetic_stays_metadata_only():
+    """SOF10 (progressive arithmetic) remains a declared boundary: a
+    sequential-arithmetic stream relabeled SOF10 must come back None
+    (metadata-only), never wrong pixels."""
+    b = bytearray(_load("gray_mosaic_arith.jpg"))
+    at = bytes(b).find(b"\xff\xc9")
+    assert at > 0
+    b[at + 1] = 0xCA
+    assert _decode_jpeg_pixels(bytes(b)) is None
+
+
+def test_truncated_arith_stream_is_deterministic():
+    """Truncating the entropy stream feeds zero bytes (the spec's
+    marker-detected behavior): decode must not raise unpredictably —
+    it either returns pixels or raises ValueError (quarantine), and
+    repeated decodes are deterministic."""
+    full = _load("gray_noise_arith.jpg")
+    eoi = full.rfind(b"\xff\xd9")
+    cut = full[: eoi - 5] + b"\xff\xd9"
+    try:
+        first = _decode_jpeg_pixels(cut)
+        second = _decode_jpeg_pixels(cut)
+        if first is None:
+            assert second is None
+        else:
+            assert np.array_equal(first[0], second[0])
+    except ValueError:
+        with pytest.raises(ValueError):
+            _decode_jpeg_pixels(cut)
