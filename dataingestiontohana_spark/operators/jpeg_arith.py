@@ -1,10 +1,13 @@
 """Arithmetic-coded JPEG entropy decode (ITU-T T.81 Annexes D and F):
 the QM-coder and the sequential-DCT statistical models, pure stdlib.
 
-This closes the repo's longest-standing declared codec boundary: SOF9
-(extended sequential, arithmetic coding) streams now decode to
-coefficient blocks that feed the SAME dequant + IDCT + upsample
-pipeline as Huffman baseline/progressive (operators/multimodal.py).
+This closes the repo's longest-standing declared codec boundary:
+SOF9 (extended sequential) AND SOF10 (progressive) arithmetic streams
+now decode to coefficient blocks that feed the SAME dequant + IDCT +
+upsample pipeline as Huffman baseline/progressive
+(operators/multimodal.py); the progressive scan modes (DC/AC
+first/refine per T.81 G.1.3) reuse the identical QM-coder and
+statistics areas.
 Correctness is pinned two independent ways (tests/test_jpeg_arith.py):
 
 1. REAL third-party streams: libjpeg-turbo-encoded arithmetic JPEGs
@@ -184,59 +187,70 @@ class ArithSequentialDecoder:
         self.dc_context = {cid: 0 for cid in comp_ids}
         self.pred = {cid: 0 for cid in comp_ids}
 
-    def decode_block(self, cid: int, dc_tbl: int, ac_tbl: int) -> np.ndarray:
-        """One 8x8 block -> 64 coefficients in ZIGZAG order."""
+    def decode_dc_diff(self, cid: int, dc_tbl: int) -> None:
+        """One DC difference (F.2.4.1) accumulated into the component
+        predictor, conditioning context updated for the next block."""
         qm = self.qm
-        coef = np.zeros(64, dtype=np.int32)
-        # -- DC (F.2.4.1): difference from the component predictor
         st = self.dc_stats[dc_tbl]
         base = self.dc_context[cid]
         low, up = self.dc_cond[dc_tbl]
         if qm.decode(st, base) == 0:
             self.dc_context[cid] = 0
+            return
+        sign = qm.decode(st, base + 1)
+        m = qm.decode(st, base + 2 + sign)
+        pos = base + 2 + sign
+        if m:
+            # magnitude category: X1 bin fixed at 20 (Table F.4)
+            pos = 20
+            while qm.decode(st, pos):
+                m <<= 1
+                if m == 0x8000:
+                    raise ValueError("arith JPEG: DC magnitude overflow")
+                pos += 1
+        # conditioning category for the NEXT block (F.1.4.4.1.3)
+        if m < ((1 << low) >> 1):
+            self.dc_context[cid] = 0
+        elif m > ((1 << up) >> 1):
+            self.dc_context[cid] = 12 + (sign << 2)
         else:
-            sign = qm.decode(st, base + 1)
-            m = qm.decode(st, base + 2 + sign)
-            pos = base + 2 + sign
-            if m:
-                # magnitude category: X1 bin fixed at 20 (Table F.4)
-                pos = 20
-                while qm.decode(st, pos):
-                    m <<= 1
-                    if m == 0x8000:
-                        raise ValueError("arith JPEG: DC magnitude overflow")
-                    pos += 1
-            # conditioning category for the NEXT block (F.1.4.4.1.3)
-            if m < ((1 << low) >> 1):
-                self.dc_context[cid] = 0
-            elif m > ((1 << up) >> 1):
-                self.dc_context[cid] = 12 + (sign << 2)
-            else:
-                self.dc_context[cid] = 4 + (sign << 2)
-            v = m
-            # mantissa bits share the M bin 14 past the category bin
-            pos += 14
-            while m := m >> 1:
-                if qm.decode(st, pos):
-                    v |= m
-            v += 1
-            if sign:
-                v = -v
-            self.pred[cid] += v
-        coef[0] = self.pred[cid]
-        # -- AC (F.2.4.2): per-K EOB/significance/magnitude triples
+            self.dc_context[cid] = 4 + (sign << 2)
+        v = m
+        # mantissa bits share the M bin 14 past the category bin
+        pos += 14
+        while m := m >> 1:
+            if qm.decode(st, pos):
+                v |= m
+        v += 1
+        if sign:
+            v = -v
+        self.pred[cid] += v
+
+    def decode_ac_band(
+        self,
+        coef: np.ndarray,
+        ac_tbl: int,
+        ss: int,
+        se: int,
+        shift: int = 0,
+    ) -> None:
+        """AC coefficients over the spectral band [ss, se] (F.2.4.2):
+        per-K EOB/significance/magnitude triples; decoded values are
+        written (scaled by 2^shift — the progressive Al point
+        transform; 0 for sequential) into ``coef`` at ZIGZAG index."""
+        qm = self.qm
         st = self.ac_stats[ac_tbl]
         kx = self.ac_cond[ac_tbl]
-        k = 1
-        while k <= 63:
+        k = ss
+        while k <= se:
             pos = 3 * (k - 1)
             if qm.decode(st, pos):  # EOB
                 break
             while qm.decode(st, pos + 1) == 0:
                 k += 1
                 pos += 3
-                if k > 63:
-                    raise ValueError("arith JPEG: AC run past block end")
+                if k > se:
+                    raise ValueError("arith JPEG: AC run past band end")
             sign = qm.decode(self.fixed, 0)
             pos += 2
             m = qm.decode(st, pos)
@@ -259,9 +273,74 @@ class ArithSequentialDecoder:
             v += 1
             if sign:
                 v = -v
-            coef[k] = v
+            coef[k] = v << shift if v >= 0 else -((-v) << shift)
             k += 1
+
+    def decode_block(self, cid: int, dc_tbl: int, ac_tbl: int) -> np.ndarray:
+        """One 8x8 block -> 64 coefficients in ZIGZAG order."""
+        coef = np.zeros(64, dtype=np.int32)
+        self.decode_dc_diff(cid, dc_tbl)
+        coef[0] = self.pred[cid]
+        self.decode_ac_band(coef, ac_tbl, 1, 63)
         return coef
+
+    # -- progressive scan modes (T.81 G.1.3 with arithmetic coding;
+    # the Huffman progressive machinery accumulates the same `coefs`
+    # arrays, so these four methods are the only arithmetic-specific
+    # parts of SOF10 decode) --------------------------------------
+
+    def dc_first(self, arr: np.ndarray, cid: int, dc_tbl: int, al: int) -> None:
+        """DC first scan (Ah=0): the sequential DC model; the
+        predictor accumulates UNSHIFTED diffs, the block stores the
+        point-transformed value (<< Al)."""
+        self.decode_dc_diff(cid, dc_tbl)
+        arr[0] = self.pred[cid] << al
+
+    def dc_refine(self, arr: np.ndarray, al: int) -> None:
+        """DC refinement scan (Ah>0): one fixed-bin bit per block,
+        ORed in at Al (two's complement makes that exact for
+        negatives, as in the Huffman path)."""
+        if self.qm.decode(self.fixed, 0):
+            arr[0] = int(arr[0]) | (1 << al)
+
+    def ac_first(self, arr: np.ndarray, ac_tbl: int, ss: int, se: int, al: int) -> None:
+        """AC first scan (Ah=0): the band model at point transform Al."""
+        self.decode_ac_band(arr, ac_tbl, ss, se, shift=al)
+
+    def ac_refine(self, arr: np.ndarray, ac_tbl: int, ss: int, se: int, al: int) -> None:
+        """AC refinement scan (Ah>0) per G.1.3.3: correction bits for
+        previously-nonzero coefficients, newly-significant bits with
+        fixed-bin signs; the EOB decision applies only past EOBx (the
+        highest index established by previous scans)."""
+        qm = self.qm
+        st = self.ac_stats[ac_tbl]
+        p1 = 1 << al
+        m1 = -p1
+        kex = se
+        while kex > 0 and int(arr[kex]) == 0:
+            kex -= 1
+        k = ss
+        while k <= se:
+            pos = 3 * (k - 1)
+            if k > kex:
+                if qm.decode(st, pos):  # EOB
+                    break
+            while True:
+                c = int(arr[k])
+                if c:
+                    if qm.decode(st, pos + 2):
+                        arr[k] = c + (m1 if c < 0 else p1)
+                    break
+                if qm.decode(st, pos + 1):
+                    arr[k] = m1 if qm.decode(self.fixed, 0) else p1
+                    break
+                pos += 3
+                k += 1
+                if k > se:
+                    raise ValueError(
+                        "arith JPEG: AC refinement past band end"
+                    )
+            k += 1
 
 
 def split_entropy_segments(b: bytes, start: int) -> tuple[list[bytes], int]:

@@ -16,12 +16,12 @@ pure-stdlib encoders (`encode_jpeg_baseline`,
 through 32-bit integer PCM WAV decodes to samples AT NATIVE WIDTH,
 mono/stereo (exact full-precision (l+r)//2 fold); 32/64-bit
 IEEE-float WAV (fmt tag 3) decodes at native width, moments carried
-on a lossless fixed integer grid; sequential ARITHMETIC JPEG (SOF9)
-decodes via the pure-stdlib T.81 QM-coder (operators/jpeg_arith.py,
-r9 — pinned bit-identical against real libjpeg-turbo streams).
-Codec-bound formats (MP4, MP3, progressive-arithmetic JPEG SOF10,
-illegal PNG depth/type combos) stay metadata-only or raise
-`NotImplementedError`. The Spark-side
+on a lossless fixed integer grid; ARITHMETIC JPEG — sequential
+(SOF9) AND progressive (SOF10) — decodes via the pure-stdlib T.81
+QM-coder (operators/jpeg_arith.py, r9 — pinned bit-identical against
+real libjpeg-turbo streams). Codec-bound formats (MP4, MP3, lossless
+and hierarchical JPEG, illegal PNG depth/type combos) stay
+metadata-only or raise `NotImplementedError`. The Spark-side
 plumbing — schema contracts, Arrow batch iteration, UDF signatures,
 per-partition batching — is identical to what a PIL/librosa-backed
 deployment would use; swapping in real codecs only changes the inner
@@ -617,8 +617,9 @@ def _skip_entropy(b: bytes, pos: int) -> int:
 
 def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
     """Full JPEG decode -> (flat_pixels, channels): baseline-sequential
-    (SOF0/1), Huffman progressive (SOF2) AND sequential arithmetic
-    (SOF9, r9 — T.81 Annex D/F QM decode, operators/jpeg_arith.py).
+    (SOF0/1), Huffman progressive (SOF2) AND arithmetic — sequential
+    SOF9 and progressive SOF10 (r9: T.81 Annex D/F/G QM decode,
+    operators/jpeg_arith.py).
 
     Handles grayscale (1 component) and YCbCr color (3 components,
     any h/v sampling factors — 4:4:4, 4:2:2, 4:2:0, ...): DQT + DHT
@@ -671,11 +672,12 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
                 )
                 qt[tq] = tbl
                 off += 1 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
             # SOF0/1 baseline, SOF2 Huffman progressive, SOF9
-            # sequential ARITHMETIC (r9 — T.81 Annex D/F QM decode)
-            progressive = marker == 0xC2
-            arith = marker == 0xC9
+            # sequential ARITHMETIC, SOF10 progressive ARITHMETIC
+            # (r9 — T.81 Annex D/F/G QM decode)
+            progressive = marker in (0xC2, 0xCA)
+            arith = marker in (0xC9, 0xCA)
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             ncomp = body[5]
@@ -705,11 +707,9 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
                     coefs[cid] = np.zeros(
                         (mcy * vs, mcx * hs, 64), dtype=np.int32
                     )
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            # lossless / hierarchical / PROGRESSIVE-arithmetic (SOF10,
-            # 0xCA): not decoded — sequential arithmetic (SOF9) IS
-            return None
+            return None  # lossless / hierarchical: not decoded
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             off = 0
             while off + 2 <= len(body):
@@ -734,7 +734,7 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
         elif marker == 0xDA:  # SOS -> entropy-coded data follows
             if not comps:
                 return None
-            if arith:
+            if arith and not progressive:
                 if body[0] != len(comps):
                     return None  # sequential = one interleaved scan
                 arith_tabs = {}  # cid -> (dc table id, ac table id)
@@ -765,10 +765,16 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
                 scan_comps.append((cid, td, ta))
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0xF
-            _jpeg_progressive_scan(
-                b, i + 2 + seg_len, scan_comps, ss, se, ah, al,
-                coefs, geom, restart, huff_dc, huff_ac,
-            )
+            if arith:
+                _jpeg_arith_progressive_scan(
+                    b, i + 2 + seg_len, scan_comps, ss, se, ah, al,
+                    coefs, geom, restart, dc_cond, ac_cond,
+                )
+            else:
+                _jpeg_progressive_scan(
+                    b, i + 2 + seg_len, scan_comps, ss, se, ah, al,
+                    coefs, geom, restart, huff_dc, huff_ac,
+                )
             i = _skip_entropy(b, i + 2 + seg_len)
             continue
         i += 2 + seg_len
@@ -929,6 +935,100 @@ def _jpeg_progressive_scan(
                     ac_first(arr)
                 else:
                     ac_refine(arr)
+
+
+def _jpeg_arith_progressive_scan(
+    b: bytes,
+    start: int,
+    scan_comps: list[tuple[int, int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    coefs: dict[int, np.ndarray],
+    geom: dict[int, tuple],
+    restart: int,
+    dc_cond: dict[int, tuple[int, int]],
+    ac_cond: dict[int, int],
+) -> None:
+    """One progressive ARITHMETIC scan (SOF10 — T.81 G.1.3 with the
+    Annex D QM-coder) accumulated into ``coefs``: the same scan
+    grammar as the Huffman progressive path (DC scans MCU-interleaved,
+    AC scans single-component raster, Ah=0 establishes at Al, Ah>0
+    refines one bit) with the four arithmetic scan models from
+    `operators/jpeg_arith.py`. Statistics, predictors and the coder
+    itself reset at every restart marker (fresh entropy segment)."""
+    from dataingestiontohana_spark.operators.jpeg_arith import (
+        ArithSequentialDecoder,
+        split_entropy_segments,
+    )
+
+    if ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if ss > 0 and len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must carry one component")
+    if ss > se or se > 63:
+        raise ValueError("invalid progressive spectral band")
+    segments, _end = split_entropy_segments(b, start)
+    comp_ids = [c[0] for c in scan_comps]
+    dec = ArithSequentialDecoder(segments[0], dc_cond, ac_cond, comp_ids)
+    seg_at = 0
+
+    def next_segment() -> "ArithSequentialDecoder":
+        nonlocal seg_at
+        seg_at += 1
+        if seg_at >= len(segments):
+            raise ValueError("arith JPEG: missing restart segment")
+        return ArithSequentialDecoder(
+            segments[seg_at], dc_cond, ac_cond, comp_ids
+        )
+
+    if ss == 0:  # DC scan — MCU-interleaved over the scan's components
+        cid0 = scan_comps[0][0]
+        mcx, mcy = geom[cid0][6], geom[cid0][7]
+        single = len(scan_comps) == 1
+        if single:
+            cid, td, _ta = scan_comps[0]
+            bw_ni, bh_ni = geom[cid][4], geom[cid][5]
+            units = bh_ni * bw_ni
+        else:
+            units = mcx * mcy
+        for m in range(units):
+            if restart and m and m % restart == 0:
+                dec = next_segment()
+            if single:
+                by, bx = divmod(m, geom[scan_comps[0][0]][4])
+                blocks = [(scan_comps[0][0], scan_comps[0][1], by, bx)]
+            else:
+                my, mx = divmod(m, mcx)
+                blocks = []
+                for cid, td, _ta in scan_comps:
+                    hs, vs = geom[cid][0], geom[cid][1]
+                    for byy in range(vs):
+                        for bxx in range(hs):
+                            blocks.append(
+                                (cid, td, my * vs + byy, mx * hs + bxx)
+                            )
+            for cid, td, by, bx in blocks:
+                arr = coefs[cid][by, bx]
+                if ah == 0:
+                    dec.dc_first(arr, cid, td, al)
+                else:
+                    dec.dc_refine(arr, al)
+    else:  # AC scan — one component, non-interleaved raster
+        cid, _td, ta = scan_comps[0]
+        bw_ni, bh_ni = geom[cid][4], geom[cid][5]
+        n = 0
+        for by in range(bh_ni):
+            for bx in range(bw_ni):
+                if restart and n and n % restart == 0:
+                    dec = next_segment()
+                n += 1
+                arr = coefs[cid][by, bx]
+                if ah == 0:
+                    dec.ac_first(arr, ta, ss, se, al)
+                else:
+                    dec.ac_refine(arr, ta, ss, se, al)
 
 
 def _jpeg_reconstruct(
@@ -2193,9 +2293,9 @@ def _decode_payload(
     count); baseline JPEG decodes grayscale AND YCbCr color pixels
     (any 4:4:4 / 4:2:2 / 4:2:0 sampling), baseline-sequential AND
     Huffman-progressive (spectral selection + successive
-    approximation) and sequential-arithmetic (SOF9, r9 — QM-coder;
-    progressive-arithmetic SOF10 stays metadata-only: channels=0,
-    px=None); WAV decodes integer PCM at 8/16/24/32 bits and
+    approximation) and ARITHMETIC coding, sequential (SOF9) and
+    progressive (SOF10) — r9, T.81 QM-coder (lossless/hierarchical
+    stay metadata-only: channels=0, px=None); WAV decodes integer PCM at 8/16/24/32 bits and
     IEEE-float PCM at 32/64 bits, each at native width, mono/stereo,
     plus mono whole-block IMA-ADPCM (fmt tag 0x11 — r9).
     ``channels`` is 0 whenever px is None. Formats

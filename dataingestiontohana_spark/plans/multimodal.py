@@ -432,7 +432,7 @@ def _jpeg_mosaic_corpus(spark: SparkSession) -> DataFrame:
         else:
             jpg = encode_jpeg_progressive(px, w, h, 1, quant_luma=ones)
         rows.append((i, KIND_IMAGE, jpg))
-    # ids 24-29 (r9): REAL libjpeg-turbo ARITHMETIC (SOF9) streams of
+    # ids 24-31 (r9): REAL libjpeg-turbo ARITHMETIC streams of
     # the same md5-mosaic pattern, embedded as constants (provenance:
     # tests/data/jpeg_arith/gen_embedded.c) — the QM entropy decoder
     # under the same exact-moment value gate; ids % 3 == 0 carry
@@ -1411,7 +1411,7 @@ ORACLES = {
                  + (strpos('0123456789abcdef',
                       substr(md5(i || ':jpg:0'), CAST(2*j+2 AS INT), 1))-1)
                    AS v
-          FROM range(30) t(i), range({_JPEG_BW * _JPEG_BH}) u(j)
+          FROM range(32) t(i), range({_JPEG_BW * _JPEG_BH}) u(j)
         )
         SELECT media_id,
                CAST({_JPEG_BW * 8} AS INTEGER) AS width,

@@ -7,7 +7,8 @@
  * this source documents their provenance.
  *
  *   cc gen_embedded.c -ljpeg -o gen_embedded
- *   python: pixels -> ./gen_embedded W H [restart] < raw > out.jpg
+ *   python: pixels -> ./gen_embedded W H [restart] [prog] < raw > out.jpg
+ * ids 30-31 pass prog=1 (SOF10 progressive arithmetic).
  */
 #include <stdio.h>
 #include <stdlib.h>
@@ -15,6 +16,7 @@
 int main(int argc, char **argv) {
   int w = atoi(argv[1]), h = atoi(argv[2]);
   int restart = argc > 3 ? atoi(argv[3]) : 0;
+  int prog = argc > 4 ? atoi(argv[4]) : 0;
   unsigned char *img = malloc((size_t)w * h);
   fread(img, 1, (size_t)w * h, stdin);
   struct jpeg_compress_struct c; struct jpeg_error_mgr e;
@@ -24,6 +26,7 @@ int main(int argc, char **argv) {
   c.in_color_space = JCS_GRAYSCALE;
   jpeg_set_defaults(&c); jpeg_set_quality(&c, 100, FALSE);
   c.arith_code = TRUE; c.restart_interval = restart;
+  if (prog) jpeg_simple_progression(&c);
   jpeg_start_compress(&c, TRUE);
   while (c.next_scanline < c.image_height) {
     JSAMPROW r = img + (size_t)c.next_scanline * w;

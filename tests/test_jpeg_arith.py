@@ -35,6 +35,16 @@ PAIRS = [
     ("color420", "default 2x1x1 subsampling: 6-block MCUs"),
 ]
 
+# SOF10 progressive arithmetic (gen_progressive.c): the same images
+# through jpeg_simple_progression — DC first/refine + AC first/refine
+# scan scripts with the G.1.3 arithmetic models
+PROG_PAIRS = [
+    ("gray_noise", "full successive-approximation scan script"),
+    ("gray_rst", "restart reinit inside progressive scans"),
+    ("color420", "subsampled DC-interleaved first/refine scans"),
+    ("gray_gradient", "EOBx boundary in AC refinement"),
+]
+
 
 def _load(name: str) -> bytes:
     with open(os.path.join(BASE, name), "rb") as f:
@@ -58,15 +68,29 @@ def test_mosaic_decodes_exactly():
     assert np.array_equal(arith[0], raw)
 
 
-def test_progressive_arithmetic_stays_metadata_only():
-    """SOF10 (progressive arithmetic) remains a declared boundary: a
-    sequential-arithmetic stream relabeled SOF10 must come back None
-    (metadata-only), never wrong pixels."""
+@pytest.mark.parametrize("name,_why", PROG_PAIRS)
+def test_progressive_arith_decodes_bit_identical(name, _why):
+    huff = _decode_jpeg_pixels(_load(f"{name}_huff.jpg"))
+    prog = _decode_jpeg_pixels(_load(f"{name}_progarith.jpg"))
+    assert huff is not None and prog is not None
+    assert prog[1] == huff[1]
+    assert np.array_equal(prog[0], huff[0])
+
+
+def test_sequential_stream_relabeled_sof10_is_malformed():
+    """A sequential-arithmetic stream relabeled SOF10 declares a
+    progressive frame whose single scan spans Ss=0..Se=63 — an illegal
+    progressive band. The decoder must refuse (ValueError quarantine)
+    or return metadata-only, never wrong pixels."""
     b = bytearray(_load("gray_mosaic_arith.jpg"))
     at = bytes(b).find(b"\xff\xc9")
     assert at > 0
     b[at + 1] = 0xCA
-    assert _decode_jpeg_pixels(bytes(b)) is None
+    try:
+        out = _decode_jpeg_pixels(bytes(b))
+        assert out is None
+    except ValueError:
+        pass
 
 
 def test_truncated_arith_stream_is_deterministic():
