@@ -1757,38 +1757,69 @@ _IMA_STEP_TABLE: tuple[int, ...] = (
 _IMA_INDEX_TABLE: tuple[int, ...] = (-1, -1, -1, -1, 2, 4, 6, 8)
 
 
-def _decode_ima_adpcm(data: bytes, block_align: int) -> np.ndarray:
-    """Mono IMA-ADPCM block decode -> int16 samples. Each block is a
-    4-byte header (initial predictor int16 LE — emitted as the
-    block's first sample — initial step index uint8, reserved) then
-    2 nibbles per byte, LOW nibble first. Per nibble: diff =
-    step>>3 (+ step>>2 if bit0) (+ step>>1 if bit1) (+ step if bit2),
-    sign from bit3, predictor clamped to int16, index adapted via
-    `_IMA_INDEX_TABLE[nibble & 7]` clamped to [0, 88]. The recurrence
-    is inherently sequential per block (each step's quantizer depends
-    on the previous step's index) — the parallel unit is the FILE, not
-    the sample, which is exactly Spark's partitioning grain."""
-    out: list[int] = []
-    for boff in range(0, len(data), block_align):
-        pred = struct.unpack("<h", data[boff : boff + 2])[0]
-        idx = data[boff + 2]
-        if idx > 88:
-            raise ValueError(f"ADPCM: step index {idx} > 88")
+def _ima_walk(pred: int, idx: int, nibbles) -> list[int]:
+    """The IMA state-machine walk over one channel's nibble sequence:
+    per nibble diff = step>>3 (+ step>>2 if bit0) (+ step>>1 if bit1)
+    (+ step if bit2), sign from bit3, predictor clamped to int16,
+    index adapted via `_IMA_INDEX_TABLE[nibble & 7]` clamped to
+    [0, 88]. The header predictor is the first output sample."""
+    out = [pred]
+    for nib in nibbles:
+        step = _IMA_STEP_TABLE[idx]
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        pred = pred - diff if nib & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + _IMA_INDEX_TABLE[nib & 7]))
         out.append(pred)
-        for byte in data[boff + 4 : boff + block_align]:
-            for nib in (byte & 15, byte >> 4):
-                step = _IMA_STEP_TABLE[idx]
-                diff = step >> 3
-                if nib & 1:
-                    diff += step >> 2
-                if nib & 2:
-                    diff += step >> 1
-                if nib & 4:
-                    diff += step
-                pred = pred - diff if nib & 8 else pred + diff
-                pred = max(-32768, min(32767, pred))
-                idx = max(0, min(88, idx + _IMA_INDEX_TABLE[nib & 7]))
-                out.append(pred)
+    return out
+
+
+def _decode_ima_adpcm(
+    data: bytes, block_align: int, channels: int = 1
+) -> np.ndarray:
+    """IMA-ADPCM block decode -> int16 samples, mono or stereo. Each
+    block carries a 4-byte header PER CHANNEL (initial predictor
+    int16 LE — emitted as that channel's first sample — initial step
+    index uint8, reserved), then nibble data in 4-byte (8-nibble)
+    channel-interleaved groups, LOW nibble first within each byte.
+    Stereo folds to the floor of the per-frame channel mean, matching
+    the integer-PCM downmix contract. The recurrence is inherently
+    sequential per block and channel (each step's quantizer depends
+    on the previous step's index) — the parallel unit is the FILE,
+    not the sample, which is exactly Spark's partitioning grain."""
+    out: list[int] = []
+    hdr = 4 * channels
+    for boff in range(0, len(data), block_align):
+        chans: list[list[int]] = []
+        body = data[boff + hdr : boff + block_align]
+        for c in range(channels):
+            pred = struct.unpack(
+                "<h", data[boff + 4 * c : boff + 4 * c + 2]
+            )[0]
+            idx = data[boff + 4 * c + 2]
+            if idx > 88:
+                raise ValueError(f"ADPCM: step index {idx} > 88")
+            nibbles = []
+            # channel c's data: every `channels`-th 4-byte group
+            for g in range(c * 4, len(body), channels * 4):
+                for byte in body[g : g + 4]:
+                    nibbles.append(byte & 15)
+                    nibbles.append(byte >> 4)
+            chans.append(_ima_walk(pred, idx, nibbles))
+        if channels == 1:
+            out.extend(chans[0])
+        else:
+            n = min(len(ch) for ch in chans)
+            for j in range(n):
+                out.append(
+                    sum(ch[j] for ch in chans) // channels
+                )
     return np.asarray(out, np.int16)
 
 
@@ -1804,9 +1835,10 @@ def _parse_wav_ex(b: bytes) -> tuple[int, np.ndarray | None, str]:
     count always; SAMPLES for integer PCM at 8/16/24/32 bits at ANY
     channel count (r9 closed the >2-channel integer boundary), for
     IEEE-float PCM (fmt tag 3) at 32/64 bits (mono/stereo), each at
-    FULL NATIVE WIDTH, and for mono IMA-ADPCM (fmt tag 0x11, 4 bits —
-    r9, closing the r8 declared ADPCM boundary) whose data is a whole
-    number of blocks. Integer multichannel downmixes to the FLOOR of
+    FULL NATIVE WIDTH, and for mono AND stereo IMA-ADPCM (fmt tag
+    0x11, 4 bits — r9, closing the r8 declared ADPCM boundary) whose
+    data is a whole number of well-formed blocks (stereo folds the
+    two decoded channels floor-of-mean, the integer-PCM contract). Integer multichannel downmixes to the FLOOR of
     the per-frame channel mean in exact full-precision integer
     arithmetic (the r7 stereo (l + r) // 2, generalized); float
     stereo downmixes (l + r) / 2 in float64 (exact for the on-grid
@@ -1816,7 +1848,7 @@ def _parse_wav_ex(b: bytes) -> tuple[int, np.ndarray | None, str]:
     PCM or decoded ADPCM (codec tag disambiguates), int32 = 24-bit
     (range ±2^23), int64 = 32-bit (range ±2^31), float32/float64 =
     IEEE float at native width (nominal range ±1.0). Remaining
-    layouts (>2-channel float, stereo/partial-final-block ADPCM,
+    layouts (partial-final-block / misaligned / >2-channel ADPCM,
     other compressed codecs) stay count-only (px None) — valid
     unsupported layouts, never quarantined."""
     off = 12
@@ -1842,7 +1874,7 @@ def _parse_wav_ex(b: bytes) -> tuple[int, np.ndarray | None, str]:
             bits = struct.unpack("<H", body[14:16])[0]
             if fmt_tag == 3 and bits in (32, 64):
                 is_float = True
-            elif fmt_tag == 17 and bits == 4 and channels == 1:
+            elif fmt_tag == 17 and bits == 4 and channels in (1, 2):
                 is_adpcm = True
                 bits = -bits  # never a PCM width; gated below
             elif fmt_tag != 1:
@@ -1868,14 +1900,16 @@ def _parse_wav_ex(b: bytes) -> tuple[int, np.ndarray | None, str]:
             raise ValueError("WAV: data length not a whole number of frames")
     if (
         is_adpcm
-        and block_align >= 8
+        and block_align >= 8 * channels
+        and (block_align - 4 * channels) % (4 * channels) == 0
         and len(data) > 0
         and len(data) % block_align == 0
     ):
-        # whole blocks only: a partial final block (a fact-chunk-
-        # truncated stream) stays count-only below, matching the
-        # valid-unsupported-layout contract
-        px = _decode_ima_adpcm(data, block_align)
+        # whole, well-formed blocks only: a partial final block (a
+        # fact-chunk-truncated stream) or a block align that doesn't
+        # yield whole 4-byte channel groups stays count-only below,
+        # matching the valid-unsupported-layout contract
+        px = _decode_ima_adpcm(data, block_align, channels)
         return len(px), px, "adpcm"
     n = len(data) // max(1, abs(bits) // 8) // max(1, channels)
     if is_float and channels >= 1:
@@ -2297,7 +2331,7 @@ def _decode_payload(
     progressive (SOF10) — r9, T.81 QM-coder (lossless/hierarchical
     stay metadata-only: channels=0, px=None); WAV decodes integer PCM at 8/16/24/32 bits and
     IEEE-float PCM at 32/64 bits, each at native width, mono/stereo,
-    plus mono whole-block IMA-ADPCM (fmt tag 0x11 — r9).
+    plus mono/stereo whole-block IMA-ADPCM (fmt tag 0x11 — r9).
     ``channels`` is 0 whenever px is None. Formats
     needing a real codec stack (MP4, compressed audio) raise — swapping
     in PIL/librosa later only changes this function."""

@@ -619,6 +619,41 @@ def _wav_native_corpus(spark: SparkSession) -> DataFrame:
             + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(data)) + data,
         ))
+    # STEREO IMA-ADPCM clips 30-31 (r9, closing the stereo-ADPCM
+    # boundary): blockAlign 72 = two 4-byte channel headers + 64 body
+    # bytes in 4-byte channel-interleaved groups (64 nibbles = 65
+    # samples per channel per block). The fold is the integer-PCM
+    # floor-of-mean contract; the oracle walks BOTH channel state
+    # machines recursively and joins them per sample index.
+    for i in (30, 31):
+        body_all = bytearray()
+        c2 = 0
+        while len(body_all) < _ADPCM_BLOCKS * 64:
+            body_all += hashlib.md5(f"{i}:adpcm2:{c2}".encode()).digest()
+            c2 += 1
+        data = b"".join(
+            b"".join(
+                struct.pack(
+                    "<hBB",
+                    ((i * 8191 + blk * 2713 + ch * 977) % 65536) - 32768,
+                    (i * 31 + blk * 17 + ch * 5) % 89,
+                    0,
+                )
+                for ch in range(2)
+            )
+            + bytes(body_all[blk * 64 : (blk + 1) * 64])
+            for blk in range(_ADPCM_BLOCKS)
+        )
+        fmt = struct.pack(
+            "<HHIIHHHH", 17, 2, 8000, 8220, 72, 4, 2, 65
+        )
+        rows.append((
+            i,
+            KIND_AUDIO,
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data,
+        ))
     df = (
         spark.createDataFrame(rows, "media_id long, kind int, content binary")
         .coalesce(2)
@@ -1200,6 +1235,10 @@ _ADPCM_NIBBLE_BYTE = (
     " CAST(2*((blk*128 + (p+1)//2) % 16) + 2 AS INT), 1))-1)"
 )
 
+_ADPCM2_NIBBLE_BYTE = (
+    "16*(strpos('0123456789abcdef', substr(md5(media_id || ':adpcm2:' || ((blk*64 + ((p+1)//8)*8 + ch*4 + ((p+1)%8)//2) // 16)), CAST(2*((blk*64 + ((p+1)//8)*8 + ch*4 + ((p+1)%8)//2) % 16) + 1 AS INT), 1))-1) + (strpos('0123456789abcdef', substr(md5(media_id || ':adpcm2:' || ((blk*64 + ((p+1)//8)*8 + ch*4 + ((p+1)%8)//2) // 16)), CAST(2*((blk*64 + ((p+1)//8)*8 + ch*4 + ((p+1)%8)//2) % 16) + 2 AS INT), 1))-1)"
+)
+
 _ADPCM_CTE = f"""
 ad_step_tab(i, step) AS (VALUES {", ".join(
     f"({i}, {s})" for i, s in enumerate(_IMA_STEP_TABLE))}),
@@ -1242,6 +1281,51 @@ ad_walk(media_id, blk, p, pred, idx, s, sq) AS (
       ) x
     ) w
   ) v
+),
+ad2_blocks AS (
+  SELECT CAST(i AS BIGINT) AS media_id, CAST(b.j AS INT) AS blk,
+         CAST(c.j AS INT) AS ch,
+         ((i*8191 + b.j*2713 + c.j*977) % 65536) - 32768 AS pred0,
+         (i*31 + b.j*17 + c.j*5) % 89 AS idx0
+  FROM range(30, 32) t(i), range({_ADPCM_BLOCKS}) b(j), range(2) c(j)
+),
+ad2_walk(media_id, blk, ch, p, pred, idx) AS (
+  SELECT media_id, blk, ch, -1, pred0, idx0 FROM ad2_blocks
+  UNION ALL
+  SELECT media_id, blk, ch, p, predn, idxn
+  FROM (
+    SELECT media_id, blk, ch, p,
+           GREATEST(-32768, LEAST(32767,
+             CASE WHEN nib >= 8 THEN pred - diff
+                  ELSE pred + diff END)) AS predn,
+           LEAST(88, GREATEST(0, idx
+             + CASE WHEN nib % 8 < 4 THEN -1
+                    ELSE (nib % 8) * 2 - 6 END)) AS idxn
+    FROM (
+      SELECT media_id, blk, ch, p, pred, idx, nib,
+             (step // 8) + (nib % 2) * (step // 4)
+               + ((nib // 2) % 2) * (step // 2)
+               + ((nib // 4) % 2) * step AS diff
+      FROM (
+        SELECT y.media_id, y.blk, y.ch, y.p + 1 AS p, y.pred, y.idx,
+               st.step,
+               CASE WHEN (y.p + 1) % 2 = 0 THEN y.byte % 16
+                    ELSE y.byte // 16 END AS nib
+        FROM (
+          SELECT media_id, blk, ch, p, pred, idx,
+                 {_ADPCM2_NIBBLE_BYTE} AS byte
+          FROM ad2_walk WHERE p < 63
+        ) y JOIN ad_step_tab st ON st.i = y.idx
+      ) x
+    ) w
+  ) v
+),
+ad2_frames AS (
+  SELECT l.media_id,
+         CAST(floor((l.pred + r.pred) / 2.0) AS BIGINT) AS v
+  FROM ad2_walk l JOIN ad2_walk r
+    ON l.media_id = r.media_id AND l.blk = r.blk AND l.p = r.p
+   AND l.ch = 0 AND r.ch = 1
 )
 """
 
@@ -1454,6 +1538,16 @@ ORACLES = {
                CAST(SUM(sq) % 1000000000000000000 AS BIGINT)
                     AS px_sqsum_lo
         FROM ad_walk WHERE p = 255
+        GROUP BY media_id
+        UNION ALL
+        SELECT media_id, 'adpcm' AS codec, CAST(4 AS INTEGER) AS bits,
+               CAST({_ADPCM_BLOCKS} * 65 AS INTEGER) AS n_samples,
+               CAST(SUM(v) AS BIGINT) AS px_sum,
+               CAST(SUM(CAST(v AS HUGEINT) * v) // 1000000000000000000
+                    AS BIGINT) AS px_sqsum_hi,
+               CAST(SUM(CAST(v AS HUGEINT) * v) % 1000000000000000000
+                    AS BIGINT) AS px_sqsum_lo
+        FROM ad2_frames
         GROUP BY media_id
         ORDER BY media_id
     """,

@@ -1150,8 +1150,8 @@ def test_float_wav_decodes_native_precision(spark):
     """r8 verdict item 4: IEEE-float WAV (fmt tag 3) decodes at native
     32/64-bit width — samples planted on the quantization grid recover
     their integers LOSSLESSLY through decode + quantize, mono and
-    stereo; with r9's mono IMA-ADPCM decode the fmt-tag boundary
-    shrinks to stereo/partial-block ADPCM + >2 channels."""
+    stereo; with r9's mono+stereo IMA-ADPCM decode the fmt-tag
+    boundary shrinks to partial-block/misaligned ADPCM only."""
     import numpy as _np
 
     from dataingestiontohana_spark.operators.multimodal import (
@@ -1249,6 +1249,40 @@ def test_float_wav_nonfinite_and_other_widths_guarded(spark):
 # -- IMA-ADPCM decode (r9: the r8 ADPCM boundary closed for mono) ----
 
 
+_IMA_REF_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
+    449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+    1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+    3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630,
+    9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350,
+    22385, 24623, 27086, 29794, 32767,
+]
+
+
+def _ima_walk_reference(pred: int, index: int, nibbles) -> list[int]:
+    """Single-channel reference walk (shares the spec tables with
+    `_ima_reference_decode`) for the stereo fold pin."""
+    step_tab = _IMA_REF_STEPS
+    idx_tab = [-1, -1, -1, -1, 2, 4, 6, 8]
+    out = [pred]
+    for nib in nibbles:
+        step = step_tab[index]
+        diff = step >> 3
+        if nib & 4:
+            diff += step
+        if nib & 2:
+            diff += step >> 1
+        if nib & 1:
+            diff += step >> 2
+        pred = pred - diff if nib & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + idx_tab[nib & 7]))
+        out.append(pred)
+    return out
+
+
 def _ima_reference_decode(data: bytes, block_align: int) -> list[int]:
     """Independent IMA-ADPCM reference decoder written directly from
     the IMA spec prose (predictor + 89-step quantizer walk), kept
@@ -1256,16 +1290,7 @@ def _ima_reference_decode(data: bytes, block_align: int) -> list[int]:
     same pinning discipline as the BPE and winnowing references."""
     import struct as _s
 
-    step_tab = [
-        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
-        34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
-        143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
-        449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
-        1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
-        3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630,
-        9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350,
-        22385, 24623, 27086, 29794, 32767,
-    ]
+    step_tab = _IMA_REF_STEPS
     idx_tab = [-1, -1, -1, -1, 2, 4, 6, 8]
     out: list[int] = []
     for off in range(0, len(data), block_align):
@@ -1307,6 +1332,8 @@ def test_adpcm_decode_pinned_against_independent_reference():
     import hashlib
     import struct as _s
 
+    import struct as _s
+
     from dataingestiontohana_spark.operators.multimodal import (
         _decode_ima_adpcm,
         _parse_wav_ex,
@@ -1330,6 +1357,25 @@ def test_adpcm_decode_pinned_against_independent_reference():
     # container path: whole-block mono decodes with the codec tag
     n, px, codec = _parse_wav_ex(_adpcm_wav(data))
     assert codec == "adpcm" and n == 4 * 257 and list(px) == exp
+    # STEREO (r9): channel-interleaved groups decode as two
+    # independent reference walks folded floor-of-mean per frame
+    body = noise[:64]
+    blk = (_s.pack("<hBB", -1234, 33, 0) + _s.pack("<hBB", 777, 5, 0)
+           + body)
+    lnib, rnib = [], []
+    for g in range(0, 64, 8):
+        grp = body[g:g + 8]
+        tgt = lnib if (g // 4) % 2 == 0 else rnib
+        for byte in grp[:4]:
+            tgt.extend((byte & 15, byte >> 4))
+        tgt2 = rnib if tgt is lnib else lnib
+        for byte in grp[4:]:
+            tgt2.extend((byte & 15, byte >> 4))
+    lref = _ima_walk_reference(-1234, 33, lnib)
+    rref = _ima_walk_reference(777, 5, rnib)
+    folded = [(a + b) // 2 for a, b in zip(lref, rref)]
+    got2 = _decode_ima_adpcm(blk, 72, 2)
+    assert list(got2) == folded
 
 
 def test_adpcm_gates(spark):
@@ -1349,13 +1395,20 @@ def test_adpcm_gates(spark):
     # partial final block: 132 + 60 bytes
     n, px, codec = _parse_wav_ex(_adpcm_wav(body + body[:60]))
     assert px is None and codec == "none"
-    # stereo fmt 17 stays count-only
-    fmt = _s.pack("<HHIIHHHH", 17, 2, 8000, 8220, 264, 4, 2, 257)
-    wav = (b"RIFF" + _s.pack("<I", 4 + 8 + len(fmt) + 8 + len(body))
+    # STEREO fmt 17 decodes since r9 (channel-interleaved groups +
+    # floor-of-mean fold) when blocks are whole and group-aligned;
+    # a data length that is not whole blocks stays count-only
+    blk2 = (_s.pack("<hBB", 100, 4, 0) + _s.pack("<hBB", -50, 7, 0)
+            + bytes(64))
+    fmt = _s.pack("<HHIIHHHH", 17, 2, 8000, 8220, 72, 4, 2, 65)
+    wav = (b"RIFF" + _s.pack("<I", 4 + 8 + len(fmt) + 8 + len(blk2))
            + b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
-           + b"data" + _s.pack("<I", len(body)) + body)
+           + b"data" + _s.pack("<I", len(blk2)) + blk2)
     n2, px2, codec2 = _parse_wav_ex(wav)
-    assert px2 is None and codec2 == "none"
+    assert codec2 == "adpcm" and n2 == 65 and px2 is not None
+    # all-zero nibbles: both walks decay toward 0 from their headers;
+    # sample 0 is the folded headers: floor((100 + -50)/2) = 25
+    assert int(px2[0]) == 25
     # step index 89: corrupt -> quarantined by decode_media
     bad = _s.pack("<hBB", 100, 89, 0) + bytes(128)
     df = spark.createDataFrame(
