@@ -825,6 +825,11 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("same_source", "boolean"), ("n_pairs", "bigint"),
         ("avg_jaccard", "double"),
     ],
+    "q220_dedup_retention": [
+        ("component", "bigint"), ("cluster_size", "bigint"),
+        ("keep_doc", "bigint"), ("best_q", "double"),
+        ("kept_tokens", "bigint"), ("dropped_tokens", "bigint"),
+    ],
     "q198_childless_parents": [
         ("relationship", "string"), ("n_parents", "bigint"),
         ("childless", "bigint"), ("coverage", "double"),
@@ -1047,6 +1052,9 @@ BUNDLES: dict[str, list[str]] = {
         "q148_local_clustering", "q151_hub_strength",
         "q185_dedup_savings", "q187_effective_corpus_size",
         "q197_dup_provenance",
+        # round 9: the retention policy the clusters set up (shares
+        # the exact-pair + components frames)
+        "q220_dedup_retention",
     ],
 }
 

@@ -1235,6 +1235,120 @@ def q212_winnow_overlap(
     )
 
 
+def q220_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup RETENTION POLICY: the decision q66's clusters set
+    up — WHICH duplicate survives. Every document joins its exact
+    Jaccard >= 0.5 connected component (singletons are their own
+    cluster); within a cluster the keeper is the highest THE q26
+    quality score (`llm_text.quality_score_cols` — one definition per
+    engine), ties broken by min doc_id; the report carries per
+    cluster the keeper, its quality, and the exact token cost of the
+    dropped duplicates (the budget the policy recovers). This is the
+    standard "keep best, not first" retention stage of production
+    dedup (cf. the SemDeDup/FineWeb keep-one-per-cluster step).
+
+    Scale shape: the pair join + components are the shared q66
+    frames; retention itself is two hash aggregations and one
+    broadcast-size equality join per component — no window over the
+    corpus, no driver state. Oracle: the q66 recursive-CTE closure +
+    the shared quality CTE, argmax replayed as max-then-min-tie."""
+    from dataingestiontohana_spark.plans.llm_text import (
+        quality_score_cols,
+    )
+
+    pairs = _exact_pairs_cached(spark, sf_dir, 0.5).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens, quality = quality_score_cols()
+    scored = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        quality.alias("quality"),
+    )
+    labeled = (
+        scored.join(comp, scored["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id", "n_tokens", "quality",
+            F.coalesce("component", "doc_id").alias("component"),
+        )
+    )
+    best = labeled.groupBy("component").agg(
+        F.max("quality").alias("best_q"),
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+    keep = (
+        labeled.join(best, "component")
+        .where(F.col("quality") == F.col("best_q"))
+        .groupBy("component", "cluster_size", "best_q", "total_tokens")
+        .agg(F.min("doc_id").alias("keep_doc"))
+    )
+    return (
+        keep.join(
+            labeled.select("doc_id", F.col("n_tokens").alias("kept_tokens")),
+            keep["keep_doc"] == F.col("doc_id"),
+        )
+        .select(
+            "component",
+            "cluster_size",
+            "keep_doc",
+            "best_q",
+            F.col("kept_tokens").cast("bigint").alias("kept_tokens"),
+            (F.col("total_tokens") - F.col("kept_tokens"))
+            .cast("bigint").alias("dropped_tokens"),
+        )
+        .orderBy("component")
+    )
+
+
+QUERIES["q220_dedup_retention"] = q220_dedup_retention
+
+ORACLES["q220_dedup_retention"] = f"""
+    WITH RECURSIVE
+    pairs AS ({_EXACT_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    lbl AS (
+      SELECT a AS node, LEAST(a, MIN(b)) AS component
+      FROM reach GROUP BY a),
+    qs AS (
+      SELECT doc_id, source, len(toks) AS n_tokens,
+             ROUND((CASE WHEN n_chars < 50 THEN 0.0 ELSE 1.0 END)
+                     * ROUND(n_chars / len(toks), 4)
+                   + ROUND(len(list_filter(toks,
+                       x -> x IN ('the','a','and','of','is')))
+                           / len(toks), 4), 4) AS quality
+      FROM (SELECT doc_id, source, n_chars,
+                   regexp_split_to_array(trim(text),
+                       '[ \t\n\x0b\f\r]+') AS toks
+            FROM documents)),
+    labeled AS (
+      SELECT q.doc_id, q.n_tokens, q.quality,
+             COALESCE(l.component, q.doc_id) AS component
+      FROM qs q LEFT JOIN lbl l ON q.doc_id = l.node),
+    best AS (
+      SELECT component, MAX(quality) AS best_q,
+             CAST(COUNT(*) AS BIGINT) AS cluster_size,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      FROM labeled GROUP BY component),
+    keep AS (
+      SELECT b.component, b.cluster_size, b.best_q, b.total_tokens,
+             MIN(l.doc_id) AS keep_doc
+      FROM best b JOIN labeled l
+        ON l.component = b.component AND l.quality = b.best_q
+      GROUP BY 1, 2, 3, 4)
+    SELECT k.component, k.cluster_size, k.keep_doc, k.best_q,
+           CAST(l.n_tokens AS BIGINT) AS kept_tokens,
+           CAST(k.total_tokens - l.n_tokens AS BIGINT) AS dropped_tokens
+    FROM keep k JOIN labeled l ON l.doc_id = k.keep_doc
+    ORDER BY k.component
+"""
+
 QUERIES["q211_winnow_fingerprints"] = q211_winnow_fingerprints
 QUERIES["q212_winnow_overlap"] = q212_winnow_overlap
 
