@@ -12,6 +12,15 @@ groups whose per-entry numbers must be adjudicated as a unit. The
 next round's judge compares a fresh BENCH_r{N}.json against it
 mechanically with tools/check_bench.py instead of parsing prose bands.
 
+Every run also writes its COMPLETE output object to a sidecar file
+(``BENCH_LAST.json`` next to this script, override with
+``$SPARK_GRAFT_BENCH_SIDECAR``; empty disables). The driver records
+only a 2000-char stdout tail in BENCH_r{N}.json, and at 226 fine
+queries the one-line output outgrew that window (r9 verdict item 1 —
+the judge had to reconstruct the tail by hand); tools/check_bench.py
+completes a head-truncated tail from this sidecar after fingerprint-
+matching the recoverable cells.
+
 ``--runs N`` (r7 verdict item 2) collects N samples and reports the
 per-entry MEDIAN (each cell becomes {"sec": median, "min", "max",
 "runs"}), shrinking this host class's documented ±20% single-run
@@ -174,6 +183,28 @@ def run_median_of(runs: int) -> dict:
     return out
 
 
+def write_sidecar(out: dict) -> None:
+    """Persist the complete output object beside this script so the
+    gate never depends on the driver's 2000-char stdout window (r9
+    verdict item 1). Written atomically (rename) so a killed bench run
+    can't leave a half-JSON sidecar for check_bench to choke on."""
+    path = os.environ.get(
+        "SPARK_GRAFT_BENCH_SIDECAR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_LAST.json"),
+    )
+    if not path:
+        return
+    tmp = path + ".tmp"
+    try:
+        with open(tmp, "w") as fh:
+            json.dump(out, fh)
+            fh.write("\n")
+        os.replace(tmp, path)
+    except OSError as ex:
+        print(f"sidecar write failed: {ex}", file=sys.stderr)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -193,6 +224,7 @@ def main() -> None:
             )
             write_baseline(out, path)
             print(f"baseline written: {path}", file=sys.stderr)
+        write_sidecar(out)
         print(json.dumps(out))
         return
     spark = get_spark("bench")
@@ -239,6 +271,7 @@ def main() -> None:
         )
         write_baseline(out, path)
         print(f"baseline written: {path}", file=sys.stderr)
+    write_sidecar(out)
     print(json.dumps(out))
     spark.stop()
 

@@ -108,15 +108,87 @@ def test_real_driver_artifact_shape():
     assert len(q) == 50 and all(isinstance(v, float) for v in q.values())
 
 
-def test_tail_with_queries_opening_truncated_fails_loudly(tmp_path):
-    """If the truncation window cut off `"queries": {` itself, fail
-    with the loud no-mapping error — never a silent pass."""
-    run = _write(tmp_path, "run.json",
-                 {"rc": 0, "tail": '1.2, "q2": 2.4}, "sf": 0.1}\n'})
-    base = _baseline(tmp_path, {"q1": 1.0})
-    import pytest
-    with pytest.raises(SystemExit, match="no 'queries' mapping"):
-        main([run, base])
+def test_head_truncated_tail_recovered(tmp_path, capsys):
+    """r9 verdict item 1: at 226 fine queries the one-line output
+    outgrew the driver's 2000-char window, so the tail starts
+    MID-queries-object. The gate must reconstruct the recoverable
+    entries, report window-lost baseline entries INFORMATIONALLY (not
+    as MISSING failures), and still fail on a real regression inside
+    the recovered portion."""
+    base = _baseline(tmp_path, {"q1": 1.0, "q2": 2.0, "q3": 1.5})
+    # q1's cell was cut mid-value; q2/q3 + sf + streaming survive
+    run = _write(tmp_path, "run.json", {
+        "rc": 0,
+        "tail": '1.2, "q2": 2.1, "q3": 1.4}, "sf": 0.1, '
+                '"streaming": {"warm": {"rows_per_sec": 20000}}}\n',
+    })
+    assert main([run, base]) == 0
+    out = capsys.readouterr().out
+    assert "lost q1: cut off by tail truncation" in out
+    assert "MISSING" not in out
+
+    # regression inside the recovered portion still fails
+    run2 = _write(tmp_path, "run2.json", {
+        "rc": 0, "tail": '1.2, "q2": 9.9, "q3": 1.4}, "sf": 0.1}\n'})
+    assert main([run2, base]) == 1
+
+
+def test_head_truncated_mid_median_cell_recovers_clean_cells(tmp_path):
+    """A tail cut inside a nested median cell must not recover the
+    cell's internals ({"min":..,"runs":..}) as query names — the
+    splice must advance past the broken cell to the next top-level
+    boundary."""
+    base = _baseline(tmp_path, {"q2": 2.0})
+    run = _write(tmp_path, "run.json", {
+        "rc": 0,
+        "tail": '1.1, "max": 9.0, "runs": 3}, '
+                '"q2": {"sec": 2.1, "min": 2.0, "max": 2.2, "runs": 3}'
+                '}, "sf": 0.1}\n',
+    })
+    from tools.check_bench import load_artifact
+    got, _s, notes = load_artifact(run, sidecar=str(tmp_path / "none"))
+    assert got == {"q2": 2.1}
+    assert "truncated_head" in notes
+
+
+def test_sidecar_completes_truncated_tail(tmp_path, capsys):
+    """When bench.py's complete sidecar is present and fingerprint-
+    matches every tail-recovered cell, the gate adjudicates the FULL
+    map — nothing lost; a stale sidecar (mismatched values) is
+    rejected and the partial recovery is used instead."""
+    base = _baseline(tmp_path, {"q1": 1.0, "q2": 2.0})
+    run = _write(tmp_path, "run.json", {
+        "rc": 0, "tail": '1.2, "q2": 2.1}, "sf": 0.1}\n'})
+    side = _write(tmp_path, "side.json", {
+        "queries": {"q1": 9.9, "q2": 2.1}, "sf": 0.1})
+    # sidecar completes: q1=9.9 is now adjudicated — and FAILS (9.9 > 3)
+    assert main([run, base, "--sidecar", side]) == 1
+    out = capsys.readouterr().out
+    assert "completed from sidecar" in out and "lost" not in out
+
+    side_ok = _write(tmp_path, "side_ok.json", {
+        "queries": {"q1": 1.1, "q2": 2.1}, "sf": 0.1})
+    assert main([run, base, "--sidecar", side_ok]) == 0
+
+    # stale sidecar: q2 value differs from the tail-recovered cell
+    stale = _write(tmp_path, "stale.json", {
+        "queries": {"q1": 0.1, "q2": 7.7}, "sf": 0.1})
+    assert main([run, base, "--sidecar", stale]) == 0
+    out = capsys.readouterr().out
+    assert "lost q1" in out  # fell back to partial recovery
+
+
+def test_real_r9_artifact_adjudicates_exit_zero():
+    """The exact artifact the r9 judge had to reconstruct by hand:
+    BENCH_r09.json's tail starts mid-queries (q01-q07 cut). The gate
+    must now recover 43 entries + streaming and exit 0 against the
+    committed baseline."""
+    import os
+
+    assert os.path.exists("BENCH_r09.json")
+    rc = main(["BENCH_r09.json", "BENCH_BASELINE.json",
+               "--sidecar", "/nonexistent"])
+    assert rc == 0
 
 
 def test_median_cells_compared_by_sec(tmp_path):
