@@ -629,17 +629,24 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
     coefficients across every scan — spectral selection, EOB runs,
     and successive approximation (DC bit refinement, AC correction
     bits) per T.81 G.2 — then reconstruct once at EOI.
-    Arithmetic-coded and hierarchical frames return None — the
-    codec-stack boundary; the mapInPandas plumbing upstream is
-    format-agnostic. Mirrors the reference's opaque-payload stance
-    (README.md:4 — payloads are strings/bytes to the pipeline)."""
+    SEQUENTIAL paths (Huffman baseline and arithmetic SOF9) require a
+    single fully interleaved scan — a legal extended-sequential file
+    with per-component scans returns None (metadata-only fallback);
+    both progressive paths accumulate across any scan script.
+    Lossless and hierarchical frames return None — the codec-stack
+    boundary; the mapInPandas plumbing upstream is format-agnostic.
+    Mirrors the reference's opaque-payload stance (README.md:4 —
+    payloads are strings/bytes to the pipeline)."""
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     # arithmetic conditioning, spec defaults (F.1.4.4.1.4 / .2.1):
-    # DC (L, U) = (0, 1); AC Kx = 5 — a DAC segment overrides
-    dc_cond: dict[int, tuple[int, int]] = {0: (0, 1), 1: (0, 1)}
-    ac_cond: dict[int, int] = {0: 5, 1: 5}
+    # DC (L, U) = (0, 1); AC Kx = 5 — a DAC segment overrides. T.81
+    # applies the defaults to ALL FOUR table destinations (libjpeg
+    # seeds likewise), so a DAC-less stream may legally reference
+    # Tb 2 or 3.
+    dc_cond: dict[int, tuple[int, int]] = dict.fromkeys(range(4), (0, 1))
+    ac_cond: dict[int, int] = dict.fromkeys(range(4), 5)
     w = h = 0
     comps: list[tuple[int, int, int, int]] = []  # (cid, hs, vs, tq)
     restart = 0
@@ -1838,9 +1845,10 @@ def _parse_wav_ex(b: bytes) -> tuple[int, np.ndarray | None, str]:
     FULL NATIVE WIDTH, and for mono AND stereo IMA-ADPCM (fmt tag
     0x11, 4 bits — r9, closing the r8 declared ADPCM boundary) whose
     data is a whole number of well-formed blocks (stereo folds the
-    two decoded channels floor-of-mean, the integer-PCM contract). Integer multichannel downmixes to the FLOOR of
-    the per-frame channel mean in exact full-precision integer
-    arithmetic (the r7 stereo (l + r) // 2, generalized); float
+    two decoded channels floor-of-mean, the integer-PCM contract).
+    Integer multichannel downmixes to the FLOOR of the per-frame
+    channel mean in exact full-precision integer arithmetic (the r7
+    stereo (l + r) // 2, generalized); float
     stereo downmixes (l + r) / 2 in float64 (exact for the on-grid
     corpora: the sum of two ~24/52-bit-mantissa samples fits
     float64). The returned dtype encodes the container layout (the

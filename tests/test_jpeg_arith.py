@@ -111,3 +111,37 @@ def test_truncated_arith_stream_is_deterministic():
     except ValueError:
         with pytest.raises(ValueError):
             _decode_jpeg_pixels(cut)
+
+
+def test_dacless_stream_using_table_ids_2_3_decodes():
+    """T.81 F.1.4.4.1.4/.2.1 apply the default conditioning (L=0, U=1;
+    Kx=5) to ALL FOUR table destinations — a valid SOF9 stream may
+    reference Tb 2/3 without any DAC segment (r9 ADVICE: the decoder
+    seeded defaults only for ids 0/1 and misclassified such a file as
+    corrupt). Built from the real fixture: its DAC carries exactly the
+    defaults, so stripping it and relabeling the SOS to Td=2/Ta=3 must
+    decode bit-identical to the original."""
+    b = _load("gray_gradient_arith.jpg")
+    ref = _decode_jpeg_pixels(b)
+    # walk segments: cut the DAC, relabel the SOS component's Td/Ta
+    out = bytearray(b[:2])
+    i = 2
+    while i + 4 <= len(b):
+        marker = b[i + 1]
+        seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+        seg = b[i : i + 2 + seg_len]
+        if marker == 0xCC:  # DAC declaring the defaults: drop it
+            assert seg[4:] == bytes.fromhex("00101005")
+            i += 2 + seg_len
+            continue
+        if marker == 0xDA:  # 1-component SOS: Td=2, Ta=3
+            seg = bytearray(seg)
+            assert seg[4] == 1 and seg[6] == 0x00
+            seg[6] = 0x23
+            out += seg + b[i + 2 + seg_len :]
+            break
+        out += seg
+        i += 2 + seg_len
+    got = _decode_jpeg_pixels(bytes(out))
+    assert got is not None, "DAC-less Tb=2/3 stream must decode"
+    assert got[1] == ref[1] and np.array_equal(got[0], ref[0])

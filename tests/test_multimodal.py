@@ -1332,8 +1332,6 @@ def test_adpcm_decode_pinned_against_independent_reference():
     import hashlib
     import struct as _s
 
-    import struct as _s
-
     from dataingestiontohana_spark.operators.multimodal import (
         _decode_ima_adpcm,
         _parse_wav_ex,
