@@ -15,9 +15,16 @@ Scale shape: WARC files are independent units — `binaryFile` +
 `mapInPandas` parses each file inside one task with zero shuffle, so
 a 100 TB crawl parallelizes by file exactly like Common Crawl's own
 processing; gzip members decompress streamwise (multi-member
-`GzipFile`, the member-per-record layout CC uses). Record payloads
-never pass through Python row-at-a-time — whole Arrow batches of file
-blobs in, record rows out.
+`GzipFile`, the member-per-record layout CC uses) and records are
+yielded AS the stream inflates (r9 verdict item 3) — per-task peak
+memory is one record (header block capped at 1 MiB + its
+Content-Length body) plus zlib window state, never the whole inflated
+archive (a 1 GB CC archive would otherwise hold ~4-5 GB in the Python
+worker on top of the binaryFile blob row). Record payloads never pass
+through Python row-at-a-time — whole Arrow batches of file blobs in,
+record rows out. The residual per-task peak is therefore the
+binaryFile blob itself plus max(record); for blob-frame Arrow batch
+sizing at scale see SCALING.md.
 """
 
 from __future__ import annotations
@@ -29,43 +36,95 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 
 _CRLF = b"\r\n"
+# A WARC record header block (version line + named headers) is a few
+# hundred bytes in practice; 1 MiB of header without the terminating
+# blank line means the stream is not framing records and boundaries
+# cannot be trusted. The cap is what makes the streaming parser's
+# memory bound unconditional — without it a corrupt stream degrades
+# to buffering the whole archive hunting for CRLFCRLF.
+_MAX_HEADER_BLOCK = 1 << 20
+_READ_CHUNK = 1 << 16
 
 
-def _maybe_gunzip(data: bytes) -> bytes:
-    """Transparently inflate gzip input — including the multi-member
-    (one member per record) layout real crawl archives use, which
-    `gzip.decompress` would silently truncate to the first member."""
-    if data[:2] != b"\x1f\x8b":
-        return data
-    out = bytearray()
-    with gzip.GzipFile(fileobj=io.BytesIO(data)) as fh:
+class _Buffered:
+    """Minimal incremental reader over a binary stream: `read_until`
+    and `read_exact` against an internal buffer that only ever holds
+    the current record's worth of data."""
+
+    def __init__(self, fh) -> None:
+        self._fh = fh
+        self._buf = bytearray()
+
+    def _fill(self) -> bool:
+        chunk = self._fh.read(_READ_CHUNK)
+        if not chunk:
+            return False
+        self._buf += chunk
+        return True
+
+    def skip_crlfs(self) -> bool:
+        """Consume leading CRLF pairs; False = clean end of stream."""
         while True:
-            chunk = fh.read(1 << 20)
-            if not chunk:
-                break
-            out += chunk
-    return bytes(out)
+            while len(self._buf) < 2:
+                if not self._fill():
+                    return bool(self._buf)
+            if self._buf[:2] == _CRLF:
+                del self._buf[:2]
+            else:
+                return True
+
+    def read_until_blank_line(self) -> bytes:
+        """Bytes up to (excluding) the first CRLFCRLF, which is
+        consumed. ValueError past the header cap or at EOF."""
+        start = 0
+        while True:
+            at = self._buf.find(_CRLF + _CRLF, start)
+            if at >= 0:
+                head = bytes(self._buf[:at])
+                del self._buf[: at + 4]
+                return head
+            if len(self._buf) > _MAX_HEADER_BLOCK:
+                raise ValueError("WARC: unterminated record header block")
+            start = max(0, len(self._buf) - 3)
+            if not self._fill():
+                raise ValueError("WARC: unterminated record header block")
+
+    def read_exact(self, n: int) -> bytes:
+        while len(self._buf) < n:
+            if not self._fill():
+                raise ValueError("WARC: payload extends past the stream")
+        out = bytes(self._buf[:n])
+        del self._buf[:n]
+        return out
 
 
-def iter_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
+def iter_warc_records(data) -> Iterator[tuple[dict, bytes]]:
     """Walk a (possibly gzipped) WARC stream -> (headers, payload)
-    per record. Header names are lower-cased; the version line is
-    validated; payload length comes from Content-Length (mandatory
-    per the spec). Malformed structure raises ValueError — the caller
-    decides whether that quarantines the record or the file."""
-    data = _maybe_gunzip(data)
-    pos = 0
-    n = len(data)
-    while pos < n:
-        # skip inter-record CRLFs
-        while data[pos : pos + 2] == _CRLF:
-            pos += 2
-        if pos >= n:
+    per record, STREAMING: accepts bytes or a binary file object,
+    inflates gzip incrementally (multi-member transparent — the
+    member-per-record layout real crawls use), and holds at most one
+    record in memory at a time. Header names are lower-cased; the
+    version line is validated; payload length comes from
+    Content-Length (mandatory per the spec). Malformed structure
+    raises ValueError — the caller decides whether that quarantines
+    the record or the file."""
+    if isinstance(data, (bytes, bytearray, memoryview)):
+        fh = io.BytesIO(bytes(data))
+    else:
+        fh = data
+    magic = fh.read(2)
+    fh.seek(-len(magic), io.SEEK_CUR)
+    if magic == b"\x1f\x8b":
+        fh = gzip.GzipFile(fileobj=fh)
+    buf = _Buffered(fh)
+    while True:
+        if not buf.skip_crlfs():
             return
-        end = data.find(_CRLF + _CRLF, pos)
-        if end < 0:
-            raise ValueError("WARC: unterminated record header block")
-        head = data[pos:end].decode("utf-8", "replace").split("\r\n")
+        head = (
+            buf.read_until_blank_line()
+            .decode("utf-8", "replace")
+            .split("\r\n")
+        )
         if not head[0].startswith("WARC/"):
             raise ValueError(
                 f"WARC: bad version line {head[0][:40]!r}"
@@ -80,11 +139,7 @@ def iter_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
             length = int(headers["content-length"])
         except (KeyError, ValueError) as ex:
             raise ValueError("WARC: missing/bad Content-Length") from ex
-        body_at = end + 4
-        if body_at + length > n:
-            raise ValueError("WARC: payload extends past the stream")
-        yield headers, data[body_at : body_at + length]
-        pos = body_at + length
+        yield headers, buf.read_exact(length)
 
 
 def parse_http_response(payload: bytes) -> tuple[int, dict, bytes]:

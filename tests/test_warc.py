@@ -150,3 +150,58 @@ def test_streaming_warc_drop_dir_restart_safe(spark, tmp_path):
     run(rows2)
     assert {r["src_path"].rsplit("/", 1)[-1] for r in rows2} == {"b.warc"}
     assert sorted(r["rec_idx"] for r in rows2) == [0, 1]
+
+
+def test_streaming_parse_is_memory_bounded():
+    """r9 verdict item 3: records must be yielded AS the gzip stream
+    inflates — peak memory one record, never the whole inflated
+    archive. Synthetic multi-member archive: 160 members x 256 KiB of
+    highly-compressible payload (~40 MiB inflated). tracemalloc peak
+    while walking it (consuming records one at a time) must stay an
+    order of magnitude below the inflated size."""
+    import hashlib
+    import tracemalloc
+
+    member = gzip.compress(_rec(
+        "response",
+        b"HTTP/1.1 200 OK\r\n\r\n" + b"a" * (256 * 1024),
+        "http://big.test/",
+    ))
+    blob = member * 160
+    inflated = 160 * 256 * 1024
+
+    tracemalloc.start()
+    base = tracemalloc.get_traced_memory()[0]
+    n = 0
+    digest = hashlib.md5()
+    for hdrs, payload in iter_warc_records(blob):
+        n += 1
+        digest.update(payload[-32:])
+    peak = tracemalloc.get_traced_memory()[1]
+    tracemalloc.stop()
+    assert n == 160
+    assert peak - base < inflated / 8, (
+        f"peak {peak - base} bytes vs inflated {inflated}"
+    )
+
+
+def test_streaming_parse_accepts_file_object():
+    """The parser reads from a binary file object without ever being
+    handed the whole archive as one bytes value (the 100 TB path:
+    stream straight off the storage layer)."""
+    import io
+
+    recs = [_rec("warcinfo", b"k: v\r\n"),
+            _rec("response", HTTP_OK, "http://a.test/")]
+    fh = io.BytesIO(gzip.compress(b"".join(recs)))
+    got = list(iter_warc_records(fh))
+    assert [h["warc-type"] for h, _ in got] == ["warcinfo", "response"]
+
+
+def test_unterminated_header_block_is_capped():
+    """A corrupt stream with no CRLFCRLF must fail at the 1 MiB header
+    cap — the bound that makes the streaming parser's memory guarantee
+    unconditional — not buffer the whole archive hunting for it."""
+    blob = b"WARC/1.0\r\nContent-Length: 3\r\n" + b"x" * (2 << 20)
+    with pytest.raises(ValueError, match="unterminated"):
+        list(iter_warc_records(blob))
