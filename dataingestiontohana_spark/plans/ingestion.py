@@ -172,38 +172,47 @@ def q216_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q217_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL-level dedup via canonicalization (r9): 60 planted crawl
-    URLs — 20 pages, each arriving under 3 spellings (uppercase
-    host + default port + fragment + utm noise; tracking params +
-    reordered query; the clean form) — collapse to 20 canonical URLs
-    of exactly 3 raw variants each through
-    `functions/url.py::canonicalize_url`. The corpus is built
-    IN-ENGINE from `range(60)` concat formulas, so the DuckDB oracle
-    reconstructs the identical raw strings and canonicalizes them
-    with the SQL twin — any divergence in any canonicalization rule
-    hash-mismatches."""
+    """URL-level dedup via canonicalization (r9; r10 adds the
+    percent-encoding spellings): 80 planted crawl URLs — 20 pages,
+    each arriving under 4 spellings (uppercase host + default port +
+    fragment + utm noise; tracking params + reordered query +
+    lowercase escape hex; unreserved characters percent-encoded
+    (%70 = p, %62 = b) the way proxies and template engines emit
+    them; the clean form) — collapse to 20 canonical URLs of exactly
+    4 raw variants each through `functions/url.py::canonicalize_url`.
+    Every canonical path carries a RESERVED escape (%2F) so the
+    uppercase-hex rule is load-bearing, and two variants spell it
+    %2f. The corpus is built IN-ENGINE from `range(80)` concat
+    formulas, so the DuckDB oracle reconstructs the identical raw
+    strings and canonicalizes them with the SQL twin — any divergence
+    in any canonicalization rule hash-mismatches."""
     from dataingestiontohana_spark.functions.url import canonicalize_url
 
-    t = spark.range(60).select(
-        F.expr("id DIV 3").alias("b"),  # exact long division (the
+    t = spark.range(80).select(
+        F.expr("id DIV 4").alias("b"),  # exact long division (the
         # winnowing lesson: / routes through double)
-        (F.col("id") % 3).alias("v"),
+        (F.col("id") % 4).alias("v"),
         F.col("id").alias("i"),
     )
     url = (
         F.when(F.col("v") == 0, F.concat(
             F.lit("http://site"), F.col("b"), F.lit(".test/p"),
-            F.col("b"), F.lit("?a="), F.col("b"), F.lit("&b=2"),
+            F.col("b"), F.lit("%2Fx?a="), F.col("b"), F.lit("&b=2"),
         ))
         .when(F.col("v") == 1, F.concat(
             F.lit("HTTP://SITE"), F.col("b"), F.lit(".TEST:80/p"),
-            F.col("b"), F.lit("?utm_source=x&b=2&a="), F.col("b"),
+            F.col("b"), F.lit("%2Fx?utm_source=x&b=2&a="), F.col("b"),
             F.lit("#f"), F.col("i"),
         ))
-        .otherwise(F.concat(
+        .when(F.col("v") == 2, F.concat(
             F.lit("http://site"), F.col("b"), F.lit(".test/p"),
-            F.col("b"), F.lit("?b=2&a="), F.col("b"),
+            F.col("b"), F.lit("%2fx?b=2&a="), F.col("b"),
             F.lit("&fbclid=z"), F.col("i"),
+        ))
+        .otherwise(F.concat(
+            F.lit("http://site"), F.col("b"), F.lit(".test/%70"),
+            F.col("b"), F.lit("%2fx?%62=2&a="), F.col("b"),
+            F.lit("&utm_campaign=c"), F.col("i"),
         ))
     )
     urls = t.select(url.alias("u"))
@@ -319,16 +328,18 @@ def _url_dedup_oracle() -> str:
 
     return f"""
         WITH t AS (
-          SELECT i // 3 AS b, i % 3 AS v, i FROM range(60) r(i)
+          SELECT i // 4 AS b, i % 4 AS v, i FROM range(80) r(i)
         ),
         urls AS (
           SELECT CASE v
             WHEN 0 THEN 'http://site' || b || '.test/p' || b
-                        || '?a=' || b || '&b=2'
+                        || '%2Fx?a=' || b || '&b=2'
             WHEN 1 THEN 'HTTP://SITE' || b || '.TEST:80/p' || b
-                        || '?utm_source=x&b=2&a=' || b || '#f' || i
-            ELSE 'http://site' || b || '.test/p' || b
-                 || '?b=2&a=' || b || '&fbclid=z' || i
+                        || '%2Fx?utm_source=x&b=2&a=' || b || '#f' || i
+            WHEN 2 THEN 'http://site' || b || '.test/p' || b
+                 || '%2fx?b=2&a=' || b || '&fbclid=z' || i
+            ELSE 'http://site' || b || '.test/%70' || b
+                 || '%2fx?%62=2&a=' || b || '&utm_campaign=c' || i
           END AS u
           FROM t
         )

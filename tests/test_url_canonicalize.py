@@ -30,6 +30,20 @@ CASES = [
     ("http://a.test/p/q/r?z=1&y=2&utm_x=3#f", "http://a.test/p/q/r?y=2&z=1"),
     # path case is PRESERVED (paths are case-sensitive, hosts are not)
     ("http://A.test/CaseSensitive", "http://a.test/CaseSensitive"),
+    # r10: percent-encoding normalization (RFC 3986 §6.2.2)
+    ("http://a.test/%7euser", "http://a.test/~user"),   # decode unreserved
+    ("http://a.test/%7Euser", "http://a.test/~user"),   # both hex cases
+    ("http://a.test/%41%62%30", "http://a.test/Ab0"),   # alnum escapes
+    ("http://a.test/a%2fb", "http://a.test/a%2Fb"),     # reserved: upper hex
+    ("http://a.test/a%3ab?x=%3d1", "http://a.test/a%3Ab?x=%3D1"),
+    ("http://a.test/%2E%2D%5F", "http://a.test/.-_"),   # . - _ decode
+    ("http://a.test/100%", "http://a.test/100%"),       # bare % kept
+    ("http://a.test/%zz", "http://a.test/%zz"),         # malformed kept
+    ("http://a.test/%25x", "http://a.test/%25x"),       # %25 ('%') stays
+    # %-escapes in QUERY params normalize before the bytewise sort
+    ("http://a.test/x?b=%7e&a=%2F", "http://a.test/x?a=%2F&b=~"),
+    # r10: a fragment containing a newline is still a fragment
+    ("http://a.test/x#fr\nag", "http://a.test/x"),
 ]
 
 
@@ -69,4 +83,8 @@ def test_q217_plan_is_map_then_single_agg(spark):
     assert "Join" not in plan and "Window" not in plan
     rows = df.collect()
     assert len(rows) == 20
-    assert all(r["n_variants"] == 3 and r["n_raw"] == 3 for r in rows)
+    assert all(r["n_variants"] == 4 and r["n_raw"] == 4 for r in rows)
+    # the canonical form survived pct-normalization: decoded unreserved
+    # (%70 -> p), uppercased reserved escape (%2f -> %2F)
+    assert all("%2F" in r["canonical_url"] for r in rows)
+    assert all("%70" not in r["canonical_url"] for r in rows)
