@@ -230,11 +230,19 @@ def run_streaming_bench(spark, n_rows: int | None = None,
         # (produce + fetch). Same cold/warm discipline as the plain
         # pipeline: the first run carries stream-init + Python-worker
         # spin-up for the executor-side producer; the warm median is
-        # the capacity-plan figure. Row count = n_rows//2 (r9: the r8
-        # n_rows//10 sizing measured the two queries' ~1.5 s fixed
-        # stream-init/commit cost, not throughput — capacity planning
-        # sizes batches, and the marginal per-row cost is ~30 us).
-        g_rows = max(1000, n_rows // 2)
+        # the capacity-plan figure. Row count = n_rows (r10; r9 used
+        # n_rows//2 and r8 n_rows//10). The r10 profiling decomposed
+        # the graph leg's warm wall-clock: ~1.2 s is the consumer's
+        # Python Data Source runner spawn (a per-QUERY pyspark cost —
+        # fresh process + imports + handshake before the first
+        # latestOffset; the straight pipeline's JVM file source has
+        # no such step), ~1.0 s the producer's two triggers, and the
+        # marginal per-row cost is ~20 us (measured 25k -> 11-12k
+        # rows/s, 50k -> ~21k, 100k -> ~34k on the same code). At
+        # n_rows//2 the number measured spawn amortization, not
+        # capacity — capacity planning sizes batches, same lesson as
+        # r9, one step further.
+        g_rows = max(1000, n_rows)
         g_cold = _graph_run(spark, os.path.join(work, "g1"), g_rows, n_files)
         g_warm = _median_of([
             _graph_run(spark, os.path.join(work, f"g{i + 2}"), g_rows,

@@ -43,6 +43,7 @@ tutorial itself applies), every leaf a sink, no cycles, no orphans.
 from __future__ import annotations
 
 import hashlib
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
@@ -371,11 +372,37 @@ class CompiledGraph:
         if nd.kind == "multiplexer":
             # single-pass fan-out over ONE persisted copy of the batch:
             # every downstream branch reads the cache, so the source
-            # scan + upstream transforms are paid once per batch
+            # scan + upstream transforms are paid once per batch.
+            # Branches run CONCURRENTLY (r10, closing the graph-vs-
+            # straight-pipeline throughput gap): each branch's action
+            # is a separate Spark job whose fixed submit/commit cost
+            # (~0.3 s/job on local[32]) previously serialized —
+            # per-batch fan-out cost was sum(branches), now
+            # max(branches). Safe because the BlockManager dedupes
+            # cached-partition computation under a per-block write
+            # lock (concurrent branch jobs block on, not recompute,
+            # the first materialization), and Spark job submission is
+            # thread-safe. All-or-nothing replay semantics are
+            # preserved: every branch completes or the first error
+            # (in declaration order) fails the whole batch after all
+            # branches have settled — the same at-least-once replay
+            # exposure as the serial walk, where branches after a
+            # producer append also replayed it.
+            downs = self._out[name]
+            if len(downs) == 1:
+                self._walk(downs[0], bdf, epoch_id)
+                return
             bdf.persist()
             try:
-                for d in self._out[name]:
-                    self._walk(d, bdf, epoch_id)
+                with ThreadPoolExecutor(max_workers=len(downs)) as pool:
+                    futures = [
+                        pool.submit(self._walk, d, bdf, epoch_id)
+                        for d in downs
+                    ]
+                    errors = [f.exception() for f in futures]
+                for err in errors:
+                    if err is not None:
+                        raise err
             finally:
                 bdf.unpersist()
             return
