@@ -2132,18 +2132,38 @@ def _gif_lzw_decode(data: bytes, min_code: int, n_px: int) -> np.ndarray:
 _GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def _parse_gif(b: bytes) -> tuple[int, int, int, np.ndarray | None]:
-    """GIF87a/89a parse -> (w, h, channels, flat samples): the FIRST
-    image frame, full LZW decode, local-over-global color table,
-    4-pass interlace, and 89a transparency (a graphic-control
-    transparent index expands RGBA with alpha 0/255; otherwise RGB).
-    Later animation frames are skipped (a frame-sampling operator
-    would loop the block walk — the seam is here). GIF carries no
-    CRC, so the mutation contract matches JPEG: wrong-but-plausible
-    streams may decode, structural violations raise."""
+def _parse_gif(b: bytes) -> tuple[int, int, int, int, np.ndarray | None]:
+    """GIF87a/89a parse -> (w, h, n_frames, channels, flat samples):
+    EVERY image frame (r10 — animation), full LZW decode,
+    local-over-global color table, 4-pass interlace, 89a transparency,
+    and frame COMPOSITING onto the logical screen with all four
+    disposal methods (0 unspecified / 1 keep / 2 restore-to-background
+    / 3 restore-to-previous).
+
+    Compositing contract (deterministic, oracle-replayable):
+    - output channels are RGBA when ANY frame's graphic control sets
+      a transparent index, else RGB — one channel count per file;
+    - the initial canvas is fully transparent black (0,0,0,0) in RGBA
+      mode and the background color (global-palette [bg], else black)
+      in RGB mode; disposal 2 restores a frame's RECT to that initial
+      value (browsers treat 'background' as transparent — so does
+      this decoder);
+    - a frame's transparent pixels leave the canvas UNCHANGED (they
+      do not paint palette color under alpha 0);
+    - each emitted frame is the canvas AFTER compositing that frame,
+      BEFORE its disposal applies (disposal shapes the NEXT frame's
+      base);
+    - a frame rect extending past the logical screen is structural
+      corruption (raises).
+
+    GIF carries no CRC, so the mutation contract matches JPEG:
+    wrong-but-plausible streams may decode, structural violations
+    raise."""
     if len(b) < 13:
         raise ValueError("GIF: truncated header")
-    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
+    sw, sh, packed, bg, _ar = struct.unpack("<HHBBB", b[6:13])
+    if not (0 < sw and 0 < sh) or sw * sh > 1 << 26:
+        raise ValueError(f"GIF: implausible screen {sw}x{sh}")
     off = 13
     gct = b""
     if packed & 0x80:
@@ -2153,10 +2173,15 @@ def _parse_gif(b: bytes) -> tuple[int, int, int, np.ndarray | None]:
             raise ValueError("GIF: truncated global color table")
         off += 3 * n
     transparent = -1
-    while off < len(b):
+    disposal = 0
+    # (ix, iy, iw, ih, idx, pal, transparent, disposal) per frame
+    frames: list[tuple] = []
+    while True:
+        if off >= len(b):
+            raise ValueError("GIF: missing trailer")
         blk = b[off]
-        if blk == 0x3B:  # trailer before any image
-            return sw, sh, 0, None
+        if blk == 0x3B:  # trailer
+            break
         if blk == 0x21:  # extension: label + sub-blocks
             if off + 2 > len(b):
                 raise ValueError("GIF: truncated extension")
@@ -2168,8 +2193,8 @@ def _parse_gif(b: bytes) -> tuple[int, int, int, np.ndarray | None]:
                 flags, _delay, tidx = struct.unpack(
                     "<BHB", b[off + 1 : off + 5]
                 )
-                if flags & 1:
-                    transparent = tidx
+                transparent = tidx if flags & 1 else -1
+                disposal = (flags >> 2) & 7
             while True:  # skip sub-blocks
                 if off >= len(b):
                     raise ValueError("GIF: unterminated extension")
@@ -2182,7 +2207,7 @@ def _parse_gif(b: bytes) -> tuple[int, int, int, np.ndarray | None]:
             raise ValueError(f"GIF: unknown block 0x{blk:02x}")
         if off + 10 > len(b):
             raise ValueError("GIF: truncated image descriptor")
-        _ix, _iy, iw, ih, ipk = struct.unpack("<HHHHB", b[off + 1 : off + 10])
+        ix, iy, iw, ih, ipk = struct.unpack("<HHHHB", b[off + 1 : off + 10])
         off += 10
         table = gct
         if ipk & 0x80:
@@ -2195,6 +2220,8 @@ def _parse_gif(b: bytes) -> tuple[int, int, int, np.ndarray | None]:
             raise ValueError("GIF: image with no color table")
         if not (0 < iw and 0 < ih) or iw * ih > 1 << 26:
             raise ValueError(f"GIF: implausible frame {iw}x{ih}")
+        if ix + iw > sw or iy + ih > sh:
+            raise ValueError("GIF: frame rect outside the logical screen")
         if off >= len(b):
             raise ValueError("GIF: missing LZW min code size")
         min_code = b[off]
@@ -2223,13 +2250,43 @@ def _parse_gif(b: bytes) -> tuple[int, int, int, np.ndarray | None]:
         pal = np.frombuffer(table, np.uint8).reshape(-1, 3)
         if int(idx.max(initial=0)) >= len(pal):
             raise ValueError("GIF: color index out of range")
-        rgb = pal[idx]
-        if transparent >= 0:
-            alpha = np.where(idx == transparent, 0, 255).astype(np.uint8)
-            rgba = np.concatenate([rgb, alpha.reshape(-1, 1)], axis=1)
-            return iw, ih, 4, rgba.reshape(-1)
-        return iw, ih, 3, rgb.reshape(-1)
-    raise ValueError("GIF: no image frame before end of stream")
+        frames.append((ix, iy, iw, ih, idx, pal, transparent, disposal))
+        # a graphic control applies to the single block that follows
+        transparent = -1
+        disposal = 0
+    if not frames:
+        return sw, sh, 0, 0, None
+    ch = 4 if any(f[6] >= 0 for f in frames) else 3
+    if ch == 4:
+        clear_px = np.zeros(4, np.uint8)
+    else:
+        gpal = np.frombuffer(gct, np.uint8).reshape(-1, 3) if gct else None
+        clear_px = (
+            gpal[bg].copy()
+            if gpal is not None and bg < len(gpal)
+            else np.zeros(3, np.uint8)
+        )
+    canvas = np.broadcast_to(clear_px, (sh, sw, ch)).copy()
+    out_frames: list[np.ndarray] = []
+    for ix, iy, iw, ih, idx, pal, tr, disp in frames:
+        if disp == 3:
+            saved = canvas.copy()
+        grid = idx.reshape(ih, iw)
+        painted = pal[grid]
+        if ch == 4:
+            painted = np.concatenate(
+                [painted, np.full((ih, iw, 1), 255, np.uint8)], axis=2
+            )
+        rect = canvas[iy : iy + ih, ix : ix + iw]
+        opaque = (grid != tr) if tr >= 0 else np.ones(grid.shape, bool)
+        rect[opaque] = painted[opaque]
+        out_frames.append(canvas.copy())
+        if disp == 2:
+            canvas[iy : iy + ih, ix : ix + iw] = clear_px
+        elif disp == 3:
+            canvas = saved
+    px = np.stack(out_frames).reshape(-1)
+    return sw, sh, len(out_frames), ch, px
 
 
 def _gif_lzw_encode(idx: np.ndarray, min_code: int) -> bytes:
@@ -2324,6 +2381,54 @@ def encode_gif(
     return bytes(out)
 
 
+def encode_gif_frames(
+    screen: tuple[int, int],
+    frames: list[tuple],
+    palette: np.ndarray,
+) -> bytes:
+    """Pure-stdlib ANIMATED GIF89a encoder (r10 — the `_parse_gif`
+    animation inverse, so multi-frame round trips pin compositing
+    without a codec library). ``screen`` is (w, h); each frame is
+    (idx (h, w) uint8, x, y, disposal, transparent) — disposal 0-3
+    per the 89a graphic control, transparent -1 for opaque. One
+    global palette (n padded to a power of two), non-interlaced
+    frames, real LZW."""
+    sw, sh = screen
+    pal = np.asarray(palette, np.uint8)
+    depth = max(1, (len(pal) - 1).bit_length())
+    n = 1 << depth
+    table = np.zeros((n, 3), np.uint8)
+    table[: len(pal)] = pal
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | (depth - 1), 0, 0)
+    out += table.tobytes()
+    for idx, x, y, disposal, transparent in frames:
+        a = np.asarray(idx, np.uint8)
+        h, w = a.shape
+        if int(a.max(initial=0)) >= len(pal):
+            raise ValueError("palette index out of range")
+        if x + w > sw or y + h > sh:
+            raise ValueError("frame rect outside the logical screen")
+        flags = (disposal & 7) << 2
+        tidx = 0
+        if transparent >= 0:
+            flags |= 1
+            tidx = transparent
+        out += b"\x21\xf9\x04" + struct.pack("<BHB", flags, 0, tidx)
+        out += b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", x, y, w, h, 0)
+        min_code = max(2, depth)
+        lzw = _gif_lzw_encode(a.reshape(-1), min_code)
+        out.append(min_code)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
 def _decode_payload(
     content: bytes,
 ) -> tuple[int, int, int, int, np.ndarray | None]:
@@ -2360,8 +2465,7 @@ def _decode_payload(
         n, px = _parse_wav(content)
         return n, 1, 1, (1 if px is not None else 0), px
     if content[:6] in (b"GIF87a", b"GIF89a"):
-        w, h, ch, px = _parse_gif(content)
-        return w, h, 1, ch, px
+        return _parse_gif(content)
     if content[:2] == b"BM" and len(content) >= 14:
         w, h, ch, px = _parse_bmp(content)
         return w, h, 1, ch, px

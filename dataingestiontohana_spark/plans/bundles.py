@@ -542,7 +542,12 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     ],
     "q215_gif_bmp": [
         ("media_id", "bigint"), ("width", "int"), ("height", "int"),
-        ("channels", "int"), ("px_sum", "bigint"), ("px_sqsum", "bigint"),
+        ("n_frames", "int"), ("channels", "int"),
+        ("px_sum", "bigint"), ("px_sqsum", "bigint"),
+    ],
+    "q221_gif_frames": [
+        ("media_id", "bigint"), ("frame_idx", "int"),
+        ("frame_px_sum", "bigint"),
     ],
     "q216_warc_ingest": [
         ("file_id", "bigint"), ("rec_idx", "int"), ("url", "string"),
@@ -966,6 +971,10 @@ BUNDLES: dict[str, list[str]] = {
         # round 9: GIF (real LZW, interlace, 89a transparency) + BMP
         # (24-bit/palette, both row orders) under the same value gate
         "q215_gif_bmp",
+        # round 10: animated GIF — whole-file compositing aggregate in
+        # q215 (n_frames joins the gate) plus per-frame slice checksums
+        # through the production sample_frames operator
+        "q221_gif_frames",
     ],
     # round 9: WARC crawl-archive ingestion + URL canonicalization
     # dedup + eTLD+1 extraction + robots.txt filtering join the

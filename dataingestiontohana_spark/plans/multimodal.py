@@ -789,6 +789,7 @@ def _gif_bmp_corpus(spark: SparkSession) -> DataFrame:
     from dataingestiontohana_spark.operators.multimodal import (
         encode_bmp,
         encode_gif,
+        encode_gif_frames,
     )
 
     key = spark.sparkContext.applicationId
@@ -810,7 +811,8 @@ def _gif_bmp_corpus(spark: SparkSession) -> DataFrame:
         dtype=np.uint8,
     )
     rows = []
-    for i in range(8):
+    for i in range(10):
+        kind = KIND_IMAGE
         if i < 4:  # GIF: plain/interlaced x opaque/transparent(idx 7)
             raw = md5_expand(i, _PNG_W * _PNG_H)
             idx = (np.frombuffer(raw, np.uint8) % 64).reshape(
@@ -824,13 +826,40 @@ def _gif_bmp_corpus(spark: SparkSession) -> DataFrame:
             raw = md5_expand(i, _PNG_W * _PNG_H * 3)
             arr = np.frombuffer(raw, np.uint8).reshape(_PNG_H, _PNG_W, 3)
             blob = encode_bmp(arr, top_down=bool(i % 2))
-        else:  # BMP 8-bit palette, bottom-up then top-down
+        elif i < 8:  # BMP 8-bit palette, bottom-up then top-down
             raw = md5_expand(i, _PNG_W * _PNG_H)
             idx = (np.frombuffer(raw, np.uint8) % 64).reshape(
                 _PNG_H, _PNG_W
             )
             blob = encode_bmp(idx, palette=pal, top_down=bool(i % 2))
-        rows.append((i, KIND_IMAGE, blob))
+        elif i == 8:  # ANIMATED GIF (r10): 3 full-canvas opaque frames
+            kind = KIND_VIDEO
+            raw = md5_expand(i, 3 * _PNG_W * _PNG_H)
+            v = np.frombuffer(raw, np.uint8) % 64
+            blob = encode_gif_frames(
+                (_PNG_W, _PNG_H),
+                [(v[f * 128 : (f + 1) * 128].reshape(_PNG_H, _PNG_W),
+                  0, 0, 1, -1) for f in range(3)],
+                pal,
+            )
+        else:  # ANIMATED GIF (r10): transparency + partial rects +
+            # disposal 2 — the compositing model under the value gate.
+            # Frame 0 full opaque; frame 1 an 8x4 rect at (4,2) with
+            # transparent index 7 and restore-to-background disposal;
+            # frame 2 an 8x4 rect at (0,4), also keyed on 7.
+            kind = KIND_VIDEO
+            raw = md5_expand(i, 192)
+            v = np.frombuffer(raw, np.uint8) % 64
+            blob = encode_gif_frames(
+                (_PNG_W, _PNG_H),
+                [
+                    (v[:128].reshape(_PNG_H, _PNG_W), 0, 0, 1, -1),
+                    (v[128:160].reshape(4, 8), 4, 2, 2, 7),
+                    (v[160:192].reshape(4, 8), 0, 4, 1, 7),
+                ],
+                pal,
+            )
+        rows.append((i, kind, blob))
     df = (
         spark.createDataFrame(rows, "media_id long, kind int, content binary")
         .coalesce(2)
@@ -848,14 +877,37 @@ def q215_gif_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     production `decode_media`; the oracle recomputes every decoded
     channel byte from the md5 expansion. The LZW decoder is
     additionally pinned against REAL third-party GIF streams in
-    pytest (dictionary-growth timing is where homegrown LZW desyncs)."""
+    pytest (dictionary-growth timing is where homegrown LZW desyncs).
+    r10 adds two ANIMATED GIFs: three full-canvas opaque frames
+    (media 8, the frame loop alone) and a transparency + partial-rect
+    + restore-to-background composition (media 9) whose every
+    composited channel byte the oracle replays pixel-by-pixel; the
+    n_frames column joins the gate so the frame count itself is
+    adjudicated."""
     return (
         decode_media(_gif_bmp_corpus(spark))
         .select(
-            "media_id", "width", "height", "channels",
+            "media_id", "width", "height", "n_frames", "channels",
             "px_sum", "px_sqsum",
         )
         .orderBy("media_id")
+    )
+
+
+def q221_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF frame sampling under the VALUE gate (r10): the
+    two animated corpus entries flow through the production
+    `sample_frames` operator (every_k=1 — keep every frame), emitting
+    one row per composited frame with its exact byte-sum checksum, so
+    the oracle adjudicates each frame INDIVIDUALLY (q215 gates the
+    whole-file aggregate; this gates the per-frame slices, including
+    the disposal-2 restore whose effect only shows in frame 3 of
+    media 9)."""
+    vids = _gif_bmp_corpus(spark).where(F.col("kind") == KIND_VIDEO)
+    return (
+        sample_frames(vids, every_k=1)
+        .select("media_id", "frame_idx", "frame_px_sum")
+        .orderBy("media_id", "frame_idx")
     )
 
 
@@ -1407,9 +1459,79 @@ QUERIES = {
     "q205_wav_native": q205_wav_native,
     "q206_png16_native": q206_png16_native,
     "q215_gif_bmp": q215_gif_bmp,
+    "q221_gif_frames": q221_gif_frames,
     "q209_audio_fingerprint": q209_audio_fingerprint,
     "q210_audio_neardup": q210_audio_neardup,
 }
+
+# Shared DuckDB reconstruction of the GIF/BMP corpus byte streams +
+# the media-9 compositing replay (see _gif_bmp_corpus): used by the
+# q215 whole-file gate and the q221 per-frame gate.
+_GB_CTES = """gb_media AS (
+          SELECT CAST(i AS BIGINT) AS media_id,
+                 CASE WHEN i IN (4, 5) THEN 384
+                      WHEN i = 8 THEN 384
+                      WHEN i = 9 THEN 192 ELSE 128 END AS need,
+                 CASE WHEN i < 2 THEN 'gif'
+                      WHEN i < 4 THEN 'gif_t'
+                      WHEN i < 6 THEN 'bmp24'
+                      WHEN i < 8 THEN 'bmp8'
+                      WHEN i = 8 THEN 'anim' ELSE 'anim_t' END AS form
+          FROM range(10) t(i)
+        ),
+        gb_bytes AS (
+          SELECT m.media_id, m.form, c.j*16 + g.j AS pos,
+                 16*(strpos('0123456789abcdef',
+                      substr(md5(m.media_id || ':gb:' || c.j),
+                             CAST(2*g.j+1 AS INT), 1))-1)
+                   + (strpos('0123456789abcdef',
+                      substr(md5(m.media_id || ':gb:' || c.j),
+                             CAST(2*g.j+2 AS INT), 1))-1) AS b
+          FROM gb_media m, range(24) c(j), range(16) g(j)
+          WHERE c.j*16 + g.j < m.need
+        ),
+        -- media 9 compositing replay: the 16x8 canvas per pixel.
+        -- i0 = frame 0's full-canvas index; i1 = frame 1's index when
+        -- the pixel is inside its 8x4 rect at (4,2), else NULL;
+        -- i2 likewise for frame 2's rect at (0,4). Layout mirrors the
+        -- corpus builder: idx0 = bytes[0:128], idx1 = bytes[128:160],
+        -- idx2 = bytes[160:192], all %64.
+        a9_grid AS (
+          SELECT b0.pos // 16 AS y, b0.pos % 16 AS x,
+                 b0.b % 64 AS i0, b1.b % 64 AS i1, b2.b % 64 AS i2
+          FROM gb_bytes b0
+          LEFT JOIN gb_bytes b1
+            ON b1.media_id = 9
+           AND (b0.pos // 16) BETWEEN 2 AND 5
+           AND (b0.pos % 16) BETWEEN 4 AND 11
+           AND b1.pos = 128 + ((b0.pos // 16) - 2)*8 + ((b0.pos % 16) - 4)
+          LEFT JOIN gb_bytes b2
+            ON b2.media_id = 9
+           AND (b0.pos // 16) BETWEEN 4 AND 7
+           AND (b0.pos % 16) BETWEEN 0 AND 7
+           AND b2.pos = 160 + ((b0.pos // 16) - 4)*8 + (b0.pos % 16)
+          WHERE b0.media_id = 9 AND b0.pos < 128
+        ),
+        -- effective palette index per (pixel, frame): frame 1's
+        -- transparent pixels (index 7) keep frame 0; frame 1's
+        -- disposal 2 restores its rect to transparent black before
+        -- frame 2, so frame 2 pixels inside rect1 that frame 2 does
+        -- not repaint are NULL (no bytes — rgb 0, alpha 0)
+        a9_eff AS (
+          SELECT y, x, 0 AS f, i0 AS eff FROM a9_grid
+          UNION ALL
+          SELECT y, x, 1,
+                 CASE WHEN i1 IS NOT NULL AND i1 <> 7 THEN i1 ELSE i0 END
+          FROM a9_grid
+          UNION ALL
+          SELECT y, x, 2,
+                 CASE WHEN i2 IS NOT NULL AND i2 <> 7 THEN i2
+                      WHEN y BETWEEN 2 AND 5 AND x BETWEEN 4 AND 11
+                        THEN NULL
+                      ELSE i0 END
+          FROM a9_grid
+        )"""
+
 
 ORACLES = {
     "q36_media_byte_features": """
@@ -1551,57 +1673,93 @@ ORACLES = {
         GROUP BY media_id
         ORDER BY media_id
     """,
-    "q215_gif_bmp": """
-        WITH gb_media AS (
-          SELECT CAST(i AS BIGINT) AS media_id,
-                 CASE WHEN i IN (4, 5) THEN 384 ELSE 128 END AS need,
-                 CASE WHEN i < 2 THEN 'gif'
-                      WHEN i < 4 THEN 'gif_t'
-                      WHEN i < 6 THEN 'bmp24' ELSE 'bmp8' END AS form
-          FROM range(8) t(i)
-        ),
-        gb_bytes AS (
-          SELECT m.media_id, m.form,
-                 16*(strpos('0123456789abcdef',
-                      substr(md5(m.media_id || ':gb:' || c.j),
-                             CAST(2*g.j+1 AS INT), 1))-1)
-                   + (strpos('0123456789abcdef',
-                      substr(md5(m.media_id || ':gb:' || c.j),
-                             CAST(2*g.j+2 AS INT), 1))-1) AS b
-          FROM gb_media m, range(24) c(j), range(16) g(j)
-          WHERE c.j*16 + g.j < m.need
-        ),
+    "q215_gif_bmp": f"""
+        WITH {_GB_CTES},
         -- decoded channel-byte streams: GIF/BMP8 expand indices (b%64)
-        -- through the shared 37/59/83 palette; transparent GIFs add
-        -- the alpha stream (planted transparent index 7); 24-bit BMP
+        -- through the shared 37/59/83 palette; transparent GIFs key
+        -- index 7 (r10 compositing semantics: a transparent pixel
+        -- keeps the transparent-black canvas -> rgb 0, alpha 0, it
+        -- does NOT paint palette color under alpha 0); 24-bit BMP
         -- pixels ARE the expansion bytes (BGR<->RGB cancels in moments)
         gb_px AS (
           SELECT media_id,
                  CASE WHEN form = 'gif_t' THEN 4 ELSE 3 END AS channels,
-                 ((b%64)*37)%256 AS v
+                 CASE WHEN form = 'gif_t' AND b%64 = 7 THEN 0
+                      ELSE ((b%64)*37)%256 END AS v
           FROM gb_bytes WHERE form IN ('gif', 'gif_t', 'bmp8')
           UNION ALL
           SELECT media_id, CASE WHEN form = 'gif_t' THEN 4 ELSE 3 END,
-                 ((b%64)*59)%256
+                 CASE WHEN form = 'gif_t' AND b%64 = 7 THEN 0
+                      ELSE ((b%64)*59)%256 END
           FROM gb_bytes WHERE form IN ('gif', 'gif_t', 'bmp8')
           UNION ALL
           SELECT media_id, CASE WHEN form = 'gif_t' THEN 4 ELSE 3 END,
-                 ((b%64)*83)%256
+                 CASE WHEN form = 'gif_t' AND b%64 = 7 THEN 0
+                      ELSE ((b%64)*83)%256 END
           FROM gb_bytes WHERE form IN ('gif', 'gif_t', 'bmp8')
           UNION ALL
           SELECT media_id, 4, CASE WHEN b%64 = 7 THEN 0 ELSE 255 END
           FROM gb_bytes WHERE form = 'gif_t'
           UNION ALL
           SELECT media_id, 3, b FROM gb_bytes WHERE form = 'bmp24'
+          -- media 8: three independent full-canvas opaque frames —
+          -- the whole 384-byte index stream expands through the
+          -- palette frame after frame
+          UNION ALL
+          SELECT media_id, 3, ((b%64)*37)%256
+          FROM gb_bytes WHERE form = 'anim'
+          UNION ALL
+          SELECT media_id, 3, ((b%64)*59)%256
+          FROM gb_bytes WHERE form = 'anim'
+          UNION ALL
+          SELECT media_id, 3, ((b%64)*83)%256
+          FROM gb_bytes WHERE form = 'anim'
+          -- media 9: the composited animation — per-pixel effective
+          -- index per frame from a9_eff below (NULL = transparent
+          -- canvas after the disposal-2 restore: contributes zero
+          -- bytes, so it is simply absent from the sum)
+          UNION ALL
+          SELECT 9, 4, ((eff*37)%256) FROM a9_eff WHERE eff IS NOT NULL
+          UNION ALL
+          SELECT 9, 4, ((eff*59)%256) FROM a9_eff WHERE eff IS NOT NULL
+          UNION ALL
+          SELECT 9, 4, ((eff*83)%256) FROM a9_eff WHERE eff IS NOT NULL
+          UNION ALL
+          SELECT 9, 4, 255 FROM a9_eff WHERE eff IS NOT NULL
         )
-        SELECT media_id,
+        SELECT g.media_id,
                CAST(16 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
-               CAST(channels AS INTEGER) AS channels,
-               CAST(SUM(v) AS BIGINT) AS px_sum,
-               CAST(SUM(v*v) AS BIGINT) AS px_sqsum
-        FROM gb_px
-        GROUP BY media_id, channels
-        ORDER BY media_id
+               CAST(CASE WHEN m.form IN ('anim', 'anim_t') THEN 3
+                         ELSE 1 END AS INTEGER) AS n_frames,
+               CAST(g.channels AS INTEGER) AS channels,
+               CAST(SUM(g.v) AS BIGINT) AS px_sum,
+               CAST(SUM(g.v*g.v) AS BIGINT) AS px_sqsum
+        FROM gb_px g JOIN gb_media m ON g.media_id = m.media_id
+        GROUP BY g.media_id, g.channels, m.form
+        ORDER BY g.media_id
+    """,
+    "q221_gif_frames": f"""
+        WITH {_GB_CTES},
+        f8 AS (
+          SELECT CAST(pos // 128 AS INT) AS frame_idx,
+                 SUM(((b%64)*37)%256 + ((b%64)*59)%256
+                     + ((b%64)*83)%256) AS s
+          FROM gb_bytes WHERE media_id = 8
+          GROUP BY pos // 128
+        ),
+        f9 AS (
+          SELECT CAST(f AS INT) AS frame_idx,
+                 SUM(CASE WHEN eff IS NULL THEN 0
+                     ELSE ((eff*37)%256) + ((eff*59)%256)
+                          + ((eff*83)%256) + 255 END) AS s
+          FROM a9_eff GROUP BY f
+        )
+        SELECT CAST(8 AS BIGINT) AS media_id, frame_idx,
+               CAST(s AS BIGINT) AS frame_px_sum
+        FROM f8
+        UNION ALL
+        SELECT CAST(9 AS BIGINT), frame_idx, CAST(s AS BIGINT) FROM f9
+        ORDER BY media_id, frame_idx
     """,
     "q206_png16_native": f"""
         WITH {_PNG16_CTE}

@@ -36,20 +36,24 @@ def test_gif_roundtrip_growth_interlace_transparency():
     for h, w in ((7, 9), (33, 17)):
         idx = rng.integers(0, 64, size=(h, w), dtype=np.uint8)
         for il in (False, True):
-            gw, gh, ch, px = _parse_gif(encode_gif(idx, pal, interlace=il))
-            assert (gw, gh, ch) == (w, h, 3)
+            gw, gh, nf, ch, px = _parse_gif(encode_gif(idx, pal, interlace=il))
+            assert (gw, gh, nf, ch) == (w, h, 1, 3)
             assert np.array_equal(px.reshape(h, w, 3), pal[idx])
-    # transparency expands RGBA with alpha 0 exactly at the key index
+    # transparency expands RGBA; transparent pixels composite against
+    # the transparent-black canvas (r10 semantics: they do NOT paint
+    # palette color under alpha 0)
     idx = rng.integers(0, 64, size=(8, 16), dtype=np.uint8)
-    gw, gh, ch, px = _parse_gif(encode_gif(idx, pal, transparent=5))
-    assert ch == 4
+    gw, gh, nf, ch, px = _parse_gif(encode_gif(idx, pal, transparent=5))
+    assert (nf, ch) == (1, 4)
     got = px.reshape(8, 16, 4)
-    assert np.array_equal(got[:, :, :3], pal[idx])
+    opaque = idx != 5
+    assert np.array_equal(got[:, :, :3][opaque], pal[idx][opaque])
+    assert np.array_equal(got[:, :, :3][~opaque], np.zeros(((~opaque).sum(), 3), np.uint8))
     assert np.array_equal(got[:, :, 3] == 0, idx == 5)
     # a long structured image forces width growth to 12 bits + CLEAR
     big = np.tile(np.arange(256, dtype=np.uint8), 40).reshape(40, 256)
     pal256 = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
-    _, _, _, px = _parse_gif(encode_gif(big, pal256))
+    _, _, _, _, px = _parse_gif(encode_gif(big, pal256))
     assert np.array_equal(px.reshape(40, 256, 3), pal256[big])
 
 
@@ -58,8 +62,8 @@ def test_gif_real_third_party_streams_decode():
     icons present on this host (CPython's idlelib ships several) must
     decode without LZW desync — every pixel index in palette range,
     exact pixel count."""
-    w, h, ch, px = _parse_gif(TINY_TRANSPARENT_GIF)
-    assert (w, h, ch) == (1, 1, 4) and px.tolist() == [0, 0, 0, 0]
+    w, h, nf, ch, px = _parse_gif(TINY_TRANSPARENT_GIF)
+    assert (w, h, nf, ch) == (1, 1, 1, 4) and px.tolist() == [0, 0, 0, 0]
 
     # fixed candidate roots only — a recursive glob over / would walk
     # the whole filesystem
@@ -75,8 +79,8 @@ def test_gif_real_third_party_streams_decode():
     for p in real:
         with open(p, "rb") as fh:
             b = fh.read()
-        w, h, ch, px = _parse_gif(b)
-        assert px is not None and len(px) == w * h * ch, p
+        w, h, nf, ch, px = _parse_gif(b)
+        assert px is not None and len(px) == w * h * nf * ch, p
 
 
 def test_bmp_roundtrip_orders_and_padding():
@@ -145,3 +149,87 @@ def test_gif_bmp_mutations_never_escape():
             ), i
         for cut in range(len(blob)):
             assert _outcome(blob[:cut]) in ("pixels", "metadata", "error")
+
+
+def test_gif_animation_compositing_all_disposals():
+    """r10 animated GIF: encode_gif_frames -> _parse_gif round trip
+    pins the full compositing model — partial-rect frames,
+    per-frame transparency punch-through, and disposal 1 (keep),
+    2 (restore-to-background) and 3 (restore-to-previous)."""
+    from dataingestiontohana_spark.operators.multimodal import (
+        encode_gif_frames,
+    )
+
+    rng = np.random.default_rng(221)
+    pal = rng.integers(0, 256, size=(64, 3), dtype=np.uint8)
+    f0 = rng.integers(0, 64, size=(8, 16), dtype=np.uint8)
+    f1 = rng.integers(0, 64, size=(4, 8), dtype=np.uint8)
+    f2 = rng.integers(0, 64, size=(4, 8), dtype=np.uint8)
+    f3 = rng.integers(0, 64, size=(2, 4), dtype=np.uint8)
+    blob = encode_gif_frames((16, 8), [
+        (f0, 0, 0, 1, -1),   # full opaque, keep
+        (f1, 4, 2, 2, 7),    # partial, transparent idx 7, restore-bg
+        (f2, 0, 4, 3, -1),   # partial opaque, restore-previous
+        (f3, 10, 0, 1, -1),  # partial opaque after the restores
+    ], pal)
+    w, h, nf, ch, px = _parse_gif(blob)
+    assert (w, h, nf, ch) == (16, 8, 4, 4)
+    frames = px.reshape(4, 8, 16, 4)
+
+    # frame 0: full canvas opaque
+    exp0 = np.concatenate(
+        [pal[f0], np.full((8, 16, 1), 255, np.uint8)], axis=2
+    )
+    assert np.array_equal(frames[0], exp0)
+
+    # frame 1: rect (4,2)-(12,6) painted where f1 != 7; transparent
+    # pixels show frame 0 underneath
+    exp1 = exp0.copy()
+    sub = exp1[2:6, 4:12]
+    op = f1 != 7
+    sub[op, :3] = pal[f1][op]
+    assert np.array_equal(frames[1], exp1)
+
+    # frame 2's base: frame 1 with rect1 RESTORED TO BACKGROUND
+    # (transparent black in RGBA mode), then f2 painted at (0,4)
+    base2 = exp1.copy()
+    base2[2:6, 4:12] = 0
+    exp2 = base2.copy()
+    exp2[4:8, 0:8, :3] = pal[f2]
+    exp2[4:8, 0:8, 3] = 255
+    assert np.array_equal(frames[2], exp2)
+
+    # frame 3's base: RESTORE-PREVIOUS undid f2 -> base2 again
+    exp3 = base2.copy()
+    exp3[0:2, 10:14, :3] = pal[f3]
+    exp3[0:2, 10:14, 3] = 255
+    assert np.array_equal(frames[3], exp3)
+
+
+def test_gif_animation_rgb_mode_background_and_bounds():
+    """Opaque animation (no transparency anywhere) stays RGB; the
+    restore-to-background value is the global-palette background
+    color; a frame rect past the logical screen is structural."""
+    from dataingestiontohana_spark.operators.multimodal import (
+        encode_gif_frames,
+    )
+
+    pal = np.array([[9, 8, 7]] + [[i, i, i] for i in range(1, 64)],
+                   np.uint8)
+    f0 = np.full((4, 4), 3, np.uint8)
+    f1 = np.full((2, 2), 5, np.uint8)
+    blob = encode_gif_frames((4, 4), [
+        (f0, 0, 0, 2, -1),  # full frame, then restore-to-background
+        (f1, 1, 1, 1, -1),
+    ], pal)
+    w, h, nf, ch, px = _parse_gif(blob)
+    assert (nf, ch) == (2, 3)
+    frames = px.reshape(2, 4, 4, 3)
+    assert np.array_equal(frames[0], np.broadcast_to(pal[3], (4, 4, 3)))
+    # frame 1 base: whole rect restored to pal[bg=0] = (9,8,7)
+    exp1 = np.broadcast_to(pal[0], (4, 4, 3)).copy()
+    exp1[1:3, 1:3] = pal[5]
+    assert np.array_equal(frames[1], exp1)
+
+    with pytest.raises(ValueError, match="outside the logical screen"):
+        _parse_gif(encode_gif_frames((4, 4), [(f0, 2, 2, 1, -1)], pal))
