@@ -1843,12 +1843,15 @@ def _parse_wav_ex(b: bytes) -> tuple[int, np.ndarray | None, str]:
     channel count (r9 closed the >2-channel integer boundary), for
     IEEE-float PCM (fmt tag 3) at 32/64 bits (mono/stereo), each at
     FULL NATIVE WIDTH, and for mono AND stereo IMA-ADPCM (fmt tag
-    0x11, 4 bits — r9, closing the r8 declared ADPCM boundary) whose
-    data is a whole number of well-formed blocks (stereo folds the
-    two decoded channels floor-of-mean, the integer-PCM contract).
-    Integer multichannel downmixes to the FLOOR of the per-frame
-    channel mean in exact full-precision integer arithmetic (the r7
-    stereo (l + r) // 2, generalized); float
+    0x11, 4 bits — r9, closing the r8 declared ADPCM boundary;
+    r10 closes the PARTIAL-FINAL-BLOCK boundary: a short last block
+    decodes as long as it keeps its full per-channel header, and for
+    stereo a whole number of 4-byte channel groups — the shape a
+    fact-chunk-truncated real-world stream actually has; stereo folds
+    the two decoded channels floor-of-mean, the integer-PCM
+    contract). Integer multichannel downmixes to the FLOOR of the
+    per-frame channel mean in exact full-precision integer arithmetic
+    (the r7 stereo (l + r) // 2, generalized); float
     stereo downmixes (l + r) / 2 in float64 (exact for the on-grid
     corpora: the sum of two ~24/52-bit-mantissa samples fits
     float64). The returned dtype encodes the container layout (the
@@ -1856,8 +1859,8 @@ def _parse_wav_ex(b: bytes) -> tuple[int, np.ndarray | None, str]:
     PCM or decoded ADPCM (codec tag disambiguates), int32 = 24-bit
     (range ±2^23), int64 = 32-bit (range ±2^31), float32/float64 =
     IEEE float at native width (nominal range ±1.0). Remaining
-    layouts (partial-final-block / misaligned / >2-channel ADPCM,
-    other compressed codecs) stay count-only (px None) — valid
+    layouts (headerless/mid-group-misaligned ADPCM tails, >2-channel
+    ADPCM, other compressed codecs) stay count-only (px None) — valid
     unsupported layouts, never quarantined."""
     off = 12
     bits = channels = 1
@@ -1906,17 +1909,27 @@ def _parse_wav_ex(b: bytes) -> tuple[int, np.ndarray | None, str]:
             raise ValueError(f"WAV: illegal PCM sample width {bits} bits")
         if len(data) % ((bits // 8) * channels):
             raise ValueError("WAV: data length not a whole number of frames")
+    # ADPCM tail rule (r10 — real IMA WAVs end mid-block routinely):
+    # the final block may be SHORT as long as it still carries the
+    # full per-channel header and, for stereo, its body is a whole
+    # number of channel-interleaved 4-byte groups (a mono body is
+    # nibble-packed bytewise, so ANY mono tail body length decodes).
+    # A tail shorter than its header, or a stereo tail ending
+    # mid-group, stays count-only below — decoding it would have to
+    # invent channel alignment.
+    adpcm_tail = len(data) % block_align if block_align else 0
+    adpcm_tail_ok = adpcm_tail == 0 or (
+        adpcm_tail >= 4 * channels
+        and (channels == 1
+             or (adpcm_tail - 4 * channels) % (4 * channels) == 0)
+    )
     if (
         is_adpcm
         and block_align >= 8 * channels
         and (block_align - 4 * channels) % (4 * channels) == 0
         and len(data) > 0
-        and len(data) % block_align == 0
+        and adpcm_tail_ok
     ):
-        # whole, well-formed blocks only: a partial final block (a
-        # fact-chunk-truncated stream) or a block align that doesn't
-        # yield whole 4-byte channel groups stays count-only below,
-        # matching the valid-unsupported-layout contract
         px = _decode_ima_adpcm(data, block_align, channels)
         return len(px), px, "adpcm"
     n = len(data) // max(1, abs(bits) // 8) // max(1, channels)

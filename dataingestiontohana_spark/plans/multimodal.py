@@ -654,6 +654,66 @@ def _wav_native_corpus(spark: SparkSession) -> DataFrame:
             + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(data)) + data,
         ))
+    # PARTIAL-FINAL-BLOCK clips 32-33 (r10, closing the r9 declared
+    # partial-block boundary — real IMA streams end mid-block
+    # routinely). Clip 32 (mono): two full 132-byte blocks + a final
+    # 64-byte block (4-byte header + 60 nibble bytes = 121 samples);
+    # the nibble stream simply CONTINUES the same "{id}:adpcm:{c}"
+    # expansion at offset blk*128, so the oracle's recursive walk only
+    # needs a per-block step bound. Clip 33 (stereo): one full
+    # 72-byte block + a final 40-byte block (two 4-byte headers + 32
+    # body bytes = four whole channel-interleaved groups = 33 frames).
+    i = 32
+    nib = bytearray()
+    c = 0
+    while len(nib) < 2 * 128 + 60:
+        nib += hashlib.md5(f"{i}:adpcm:{c}".encode()).digest()
+        c += 1
+    data = b"".join(
+        struct.pack(
+            "<hBB",
+            ((i * 8191 + blk * 2713) % 65536) - 32768,
+            (i * 31 + blk * 17) % 89,
+            0,
+        )
+        + bytes(nib[blk * 128 : blk * 128 + (60 if blk == 2 else 128)])
+        for blk in range(3)
+    )
+    fmt = struct.pack("<HHIIHHHH", 17, 1, 8000, 4110, 132, 4, 2, 257)
+    rows.append((
+        i,
+        KIND_AUDIO,
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data,
+    ))
+    i = 33
+    body_all = bytearray()
+    c2 = 0
+    while len(body_all) < 64 + 32:
+        body_all += hashlib.md5(f"{i}:adpcm2:{c2}".encode()).digest()
+        c2 += 1
+    data = b"".join(
+        b"".join(
+            struct.pack(
+                "<hBB",
+                ((i * 8191 + blk * 2713 + ch * 977) % 65536) - 32768,
+                (i * 31 + blk * 17 + ch * 5) % 89,
+                0,
+            )
+            for ch in range(2)
+        )
+        + bytes(body_all[blk * 64 : blk * 64 + (32 if blk == 1 else 64)])
+        for blk in range(2)
+    )
+    fmt = struct.pack("<HHIIHHHH", 17, 2, 8000, 8220, 72, 4, 2, 65)
+    rows.append((
+        i,
+        KIND_AUDIO,
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data,
+    ))
     df = (
         spark.createDataFrame(rows, "media_id long, kind int, content binary")
         .coalesce(2)
@@ -1297,18 +1357,27 @@ ad_step_tab(i, step) AS (VALUES {", ".join(
 ad_blocks AS (
   SELECT CAST(i AS BIGINT) AS media_id, CAST(b.j AS INT) AS blk,
          ((i*8191 + b.j*2713) % 65536) - 32768 AS pred0,
-         (i*31 + b.j*17) % 89 AS idx0
+         (i*31 + b.j*17) % 89 AS idx0,
+         255 AS nmax
   FROM range(20, 24) t(i), range({_ADPCM_BLOCKS}) b(j)
+  UNION ALL
+  -- clip 32 (r10): partial final block — 60 nibble bytes = 120
+  -- nibbles, so the walk stops at p = 119 for blk 2
+  SELECT 32, CAST(b.j AS INT),
+         ((32*8191 + b.j*2713) % 65536) - 32768,
+         (32*31 + b.j*17) % 89,
+         CASE WHEN b.j = 2 THEN 119 ELSE 255 END
+  FROM range(3) b(j)
 ),
-ad_walk(media_id, blk, p, pred, idx, s, sq) AS (
+ad_walk(media_id, blk, p, pred, idx, s, sq, nmax) AS (
   SELECT media_id, blk, -1, pred0, idx0,
-         CAST(pred0 AS HUGEINT), CAST(pred0 AS HUGEINT) * pred0
+         CAST(pred0 AS HUGEINT), CAST(pred0 AS HUGEINT) * pred0, nmax
   FROM ad_blocks
   UNION ALL
   SELECT media_id, blk, p, predn, idxn,
-         s + predn, sq + CAST(predn AS HUGEINT) * predn
+         s + predn, sq + CAST(predn AS HUGEINT) * predn, nmax
   FROM (
-    SELECT media_id, blk, p, s, sq,
+    SELECT media_id, blk, p, s, sq, nmax,
            GREATEST(-32768, LEAST(32767,
              CASE WHEN nib >= 8 THEN pred - diff
                   ELSE pred + diff END)) AS predn,
@@ -1316,19 +1385,19 @@ ad_walk(media_id, blk, p, pred, idx, s, sq) AS (
              + CASE WHEN nib % 8 < 4 THEN -1
                     ELSE (nib % 8) * 2 - 6 END)) AS idxn
     FROM (
-      SELECT media_id, blk, p, pred, idx, s, sq, nib,
+      SELECT media_id, blk, p, pred, idx, s, sq, nmax, nib,
              (step // 8) + (nib % 2) * (step // 4)
                + ((nib // 2) % 2) * (step // 2)
                + ((nib // 4) % 2) * step AS diff
       FROM (
         SELECT y.media_id, y.blk, y.p + 1 AS p, y.pred, y.idx,
-               y.s, y.sq, st.step,
+               y.s, y.sq, y.nmax, st.step,
                CASE WHEN (y.p + 1) % 2 = 0 THEN y.byte % 16
                     ELSE y.byte // 16 END AS nib
         FROM (
-          SELECT media_id, blk, p, pred, idx, s, sq,
+          SELECT media_id, blk, p, pred, idx, s, sq, nmax,
                  {_ADPCM_NIBBLE_BYTE} AS byte
-          FROM ad_walk WHERE p < 255
+          FROM ad_walk WHERE p < nmax
         ) y JOIN ad_step_tab st ON st.i = y.idx
       ) x
     ) w
@@ -1338,15 +1407,24 @@ ad2_blocks AS (
   SELECT CAST(i AS BIGINT) AS media_id, CAST(b.j AS INT) AS blk,
          CAST(c.j AS INT) AS ch,
          ((i*8191 + b.j*2713 + c.j*977) % 65536) - 32768 AS pred0,
-         (i*31 + b.j*17 + c.j*5) % 89 AS idx0
+         (i*31 + b.j*17 + c.j*5) % 89 AS idx0,
+         63 AS nmax
   FROM range(30, 32) t(i), range({_ADPCM_BLOCKS}) b(j), range(2) c(j)
-),
-ad2_walk(media_id, blk, ch, p, pred, idx) AS (
-  SELECT media_id, blk, ch, -1, pred0, idx0 FROM ad2_blocks
   UNION ALL
-  SELECT media_id, blk, ch, p, predn, idxn
+  -- clip 33 (r10): stereo partial final block — 32 body bytes =
+  -- four whole channel-interleaved groups = 32 nibbles/channel
+  SELECT 33, CAST(b.j AS INT), CAST(c.j AS INT),
+         ((33*8191 + b.j*2713 + c.j*977) % 65536) - 32768,
+         (33*31 + b.j*17 + c.j*5) % 89,
+         CASE WHEN b.j = 1 THEN 31 ELSE 63 END
+  FROM range(2) b(j), range(2) c(j)
+),
+ad2_walk(media_id, blk, ch, p, pred, idx, nmax) AS (
+  SELECT media_id, blk, ch, -1, pred0, idx0, nmax FROM ad2_blocks
+  UNION ALL
+  SELECT media_id, blk, ch, p, predn, idxn, nmax
   FROM (
-    SELECT media_id, blk, ch, p,
+    SELECT media_id, blk, ch, p, nmax,
            GREATEST(-32768, LEAST(32767,
              CASE WHEN nib >= 8 THEN pred - diff
                   ELSE pred + diff END)) AS predn,
@@ -1354,19 +1432,19 @@ ad2_walk(media_id, blk, ch, p, pred, idx) AS (
              + CASE WHEN nib % 8 < 4 THEN -1
                     ELSE (nib % 8) * 2 - 6 END)) AS idxn
     FROM (
-      SELECT media_id, blk, ch, p, pred, idx, nib,
+      SELECT media_id, blk, ch, p, pred, idx, nmax, nib,
              (step // 8) + (nib % 2) * (step // 4)
                + ((nib // 2) % 2) * (step // 2)
                + ((nib // 4) % 2) * step AS diff
       FROM (
         SELECT y.media_id, y.blk, y.ch, y.p + 1 AS p, y.pred, y.idx,
-               st.step,
+               y.nmax, st.step,
                CASE WHEN (y.p + 1) % 2 = 0 THEN y.byte % 16
                     ELSE y.byte // 16 END AS nib
         FROM (
-          SELECT media_id, blk, ch, p, pred, idx,
+          SELECT media_id, blk, ch, p, pred, idx, nmax,
                  {_ADPCM2_NIBBLE_BYTE} AS byte
-          FROM ad2_walk WHERE p < 63
+          FROM ad2_walk WHERE p < nmax
         ) y JOIN ad_step_tab st ON st.i = y.idx
       ) x
     ) w
@@ -1653,17 +1731,17 @@ ORACLES = {
         GROUP BY media_id, bits
         UNION ALL
         SELECT media_id, 'adpcm' AS codec, CAST(4 AS INTEGER) AS bits,
-               CAST({_ADPCM_BLOCKS} * 257 AS INTEGER) AS n_samples,
+               CAST(SUM(nmax + 2) AS INTEGER) AS n_samples,
                CAST(SUM(s) AS BIGINT) AS px_sum,
                CAST(SUM(sq) // 1000000000000000000 AS BIGINT)
                     AS px_sqsum_hi,
                CAST(SUM(sq) % 1000000000000000000 AS BIGINT)
                     AS px_sqsum_lo
-        FROM ad_walk WHERE p = 255
+        FROM ad_walk WHERE p = nmax
         GROUP BY media_id
         UNION ALL
         SELECT media_id, 'adpcm' AS codec, CAST(4 AS INTEGER) AS bits,
-               CAST({_ADPCM_BLOCKS} * 65 AS INTEGER) AS n_samples,
+               CAST(COUNT(*) AS INTEGER) AS n_samples,
                CAST(SUM(v) AS BIGINT) AS px_sum,
                CAST(SUM(CAST(v AS HUGEINT) * v) // 1000000000000000000
                     AS BIGINT) AS px_sqsum_hi,

@@ -848,17 +848,16 @@ def test_wav_unsupported_layouts_stay_count_only(spark):
             + b"data" + _s.pack("<I", 8) + bytes(8))
     n3, px3 = _parse_wav(wavf)
     assert n3 == 4 and px3 is None
-    # IMA-ADPCM (fmt tag 17, 4 bits/sample) whose data is NOT a whole
-    # number of blocks (a fact-chunk-truncated stream): a VALID
-    # unsupported layout — count-only metadata, NEVER quarantined as
-    # corrupt (r8 review; whole-block mono ADPCM DECODES since r9 —
-    # see test_adpcm_decode_* below)
+    # mono IMA-ADPCM whose data is one SHORT block (4-byte header +
+    # 4 nibble bytes against blockAlign 256 — the fact-chunk-truncated
+    # shape): DECODES since r10 under the partial-final-block contract,
+    # 1 header sample + 8 nibble samples
     fmta = _s.pack("<HHIIHH", 17, 1, 8000, 4000, 256, 4)
     wava = (b"RIFF" + _s.pack("<I", 4 + 8 + len(fmta) + 8 + 8)
             + b"WAVE" + b"fmt " + _s.pack("<I", len(fmta)) + fmta
             + b"data" + _s.pack("<I", 8) + bytes(8))
     na, pxa = _parse_wav(wava)
-    assert pxa is None  # count-only, no exception
+    assert na == 9 and pxa is not None
 
 
 def test_malformed_progressive_stays_metadata_only(spark):
@@ -1377,22 +1376,53 @@ def test_adpcm_decode_pinned_against_independent_reference():
 
 
 def test_adpcm_gates(spark):
-    """Partial final block stays count-only (valid unsupported
-    layout); a step index > 88 in a block header is a corrupt stream
-    and QUARANTINES (decode_error row), never wrong samples; stereo
-    ADPCM stays count-only behind the channel gate."""
+    """A partial final block DECODES since r10 (header + short body —
+    the fact-chunk-truncated shape real IMA streams have); a tail
+    shorter than its header stays count-only; a step index > 88 in a
+    block header is a corrupt stream and QUARANTINES (decode_error
+    row), never wrong samples."""
     import struct as _s
 
     from dataingestiontohana_spark.operators.multimodal import (
         KIND_AUDIO,
+        _decode_ima_adpcm,
         _parse_wav_ex,
         decode_media,
     )
 
     body = _s.pack("<hBB", 100, 4, 0) + bytes(128)
-    # partial final block: 132 + 60 bytes
-    n, px, codec = _parse_wav_ex(_adpcm_wav(body + body[:60]))
-    assert px is None and codec == "none"
+    # partial final block: 132 + 60 bytes -> full block (257 samples)
+    # + header-bearing tail of 56 nibble bytes (113 samples), decoded
+    # identically to the independent reference walk
+    tail = body[:60]
+    n, px, codec = _parse_wav_ex(_adpcm_wav(body + tail))
+    assert codec == "adpcm" and n == 257 + 113 and px is not None
+    exp = (_ima_reference_decode(body, 132)
+           + _ima_walk_reference(100, 4, [nb for byte in tail[4:]
+                                          for nb in (byte & 15, byte >> 4)]))
+    assert list(px) == exp
+    # a tail SHORTER than the 4-byte header stays count-only
+    n3, px3, codec3 = _parse_wav_ex(_adpcm_wav(body + body[:3]))
+    assert px3 is None and codec3 == "none"
+    # a stereo tail ending mid-group stays count-only
+    hdr2 = _s.pack("<hBB", 100, 4, 0) + _s.pack("<hBB", -50, 7, 0)
+    blk_full = hdr2 + bytes(64)
+    fmt_s = _s.pack("<HHIIHHHH", 17, 2, 8000, 8220, 72, 4, 2, 65)
+    mid = blk_full + hdr2 + bytes(6)  # 6 body bytes: not whole groups
+    wav_mid = (b"RIFF" + _s.pack("<I", 4 + 8 + len(fmt_s) + 8 + len(mid))
+               + b"WAVE" + b"fmt " + _s.pack("<I", len(fmt_s)) + fmt_s
+               + b"data" + _s.pack("<I", len(mid)) + mid)
+    nm, pxm, codecm = _parse_wav_ex(wav_mid)
+    assert pxm is None and codecm == "none"
+    # a stereo PARTIAL block of whole groups decodes: 8-byte header +
+    # one 8-byte group -> 9 frames (header frame + 8 nibbles/channel)
+    part = blk_full + hdr2 + bytes(8)
+    wav_p = (b"RIFF" + _s.pack("<I", 4 + 8 + len(fmt_s) + 8 + len(part))
+             + b"WAVE" + b"fmt " + _s.pack("<I", len(fmt_s)) + fmt_s
+             + b"data" + _s.pack("<I", len(part)) + part)
+    np_, pxp, codecp = _parse_wav_ex(wav_p)
+    assert codecp == "adpcm" and np_ == 65 + 9 and pxp is not None
+    assert list(pxp) == list(_decode_ima_adpcm(part, 72, 2))
     # STEREO fmt 17 decodes since r9 (channel-interleaved groups +
     # floor-of-mean fold) when blocks are whole and group-aligned;
     # a data length that is not whole blocks stays count-only
