@@ -652,6 +652,8 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
     restart = 0
     progressive = False
     arith = False
+    lossless = False
+    precision = 8
     coefs: dict[int, np.ndarray] = {}  # cid -> (bh_pad, bw_pad, 64) zigzag
     geom: dict[int, tuple] = {}
     i = 2
@@ -679,12 +681,15 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
                 )
                 qt[tq] = tbl
                 off += 1 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
-            # SOF0/1 baseline, SOF2 Huffman progressive, SOF9
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+            # SOF0/1 baseline, SOF2 Huffman progressive, SOF3
+            # LOSSLESS (r10 — T.81 Annex H predictive), SOF9
             # sequential ARITHMETIC, SOF10 progressive ARITHMETIC
             # (r9 — T.81 Annex D/F/G QM decode)
             progressive = marker in (0xC2, 0xCA)
             arith = marker in (0xC9, 0xCA)
+            lossless = marker == 0xC3
+            precision = body[0]
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             ncomp = body[5]
@@ -699,6 +704,16 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
                 )
                 for c in range(ncomp)
             ]
+            if lossless:
+                if not 2 <= precision <= 16:
+                    raise ValueError(
+                        f"jpeg lossless precision {precision} outside 2-16"
+                    )
+                if any(hs != 1 or vs != 1 for _c, hs, vs, _t in comps):
+                    # subsampled lossless is legal but exotic;
+                    # metadata-only, mirroring the other scan-shape
+                    # restrictions
+                    return None
             if progressive:
                 hmax = max(c[1] for c in comps)
                 vmax = max(c[2] for c in comps)
@@ -714,9 +729,10 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
                     coefs[cid] = np.zeros(
                         (mcy * vs, mcx * hs, 64), dtype=np.int32
                     )
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC5, 0xC6, 0xC7,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # lossless / hierarchical: not decoded
+            # hierarchical + arithmetic-lossless: not decoded
+            return None
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             off = 0
             while off + 2 <= len(body):
@@ -741,6 +757,29 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
         elif marker == 0xDA:  # SOS -> entropy-coded data follows
             if not comps:
                 return None
+            if lossless:
+                if body[0] != len(comps):
+                    return None  # single interleaved scan, like sequential
+                ns = body[0]
+                pred_sel = body[1 + 2 * ns]
+                point_transform = body[3 + 2 * ns] & 0xF
+                if not 1 <= pred_sel <= 7:
+                    raise ValueError(
+                        f"jpeg lossless predictor {pred_sel} outside 1-7"
+                    )
+                if point_transform != 0 or restart:
+                    # legal-but-exotic scan shapes (point transform,
+                    # restart-interval lossless): metadata-only
+                    return None
+                scan_tabs_l = {}
+                for s in range(ns):
+                    cid = body[1 + 2 * s]
+                    td = body[2 + 2 * s] >> 4
+                    scan_tabs_l[cid] = huff_dc[td]
+                return _jpeg_lossless_scan(
+                    b, i + 2 + seg_len, w, h, comps, scan_tabs_l,
+                    pred_sel, precision,
+                )
             if arith and not progressive:
                 if body[0] != len(comps):
                     return None  # sequential = one interleaved scan
@@ -1074,6 +1113,150 @@ def _jpeg_reconstruct(
     bch = y + 1.772 * (cb - 128.0)
     rgb = np.clip(np.round(np.stack([rch, gch, bch], axis=-1)), 0, 255)
     return rgb.astype(np.uint8).reshape(-1), 3
+
+
+def _jpeg_lossless_predict(
+    plane: np.ndarray, y: int, x: int, pred_sel: int, default: int
+) -> int:
+    """T.81 H.1.1/H.1.2 prediction: the first sample of the scan uses
+    the default 2^(P-1); the rest of the FIRST LINE uses Ra; the first
+    sample of every other line uses Rb; everywhere else the selected
+    predictor 1-7 over (Ra, Rb, Rc). Shifts are arithmetic (Python's
+    >> floors), matching the spec's integer divide-by-2."""
+    if y == 0:
+        return default if x == 0 else int(plane[0, x - 1])
+    if x == 0:
+        return int(plane[y - 1, 0])
+    ra = int(plane[y, x - 1])
+    rb = int(plane[y - 1, x])
+    rc = int(plane[y - 1, x - 1])
+    if pred_sel == 1:
+        return ra
+    if pred_sel == 2:
+        return rb
+    if pred_sel == 3:
+        return rc
+    if pred_sel == 4:
+        return ra + rb - rc
+    if pred_sel == 5:
+        return ra + ((rb - rc) >> 1)
+    if pred_sel == 6:
+        return rb + ((ra - rc) >> 1)
+    return (ra + rb) >> 1  # pred_sel == 7
+
+
+def _jpeg_lossless_scan(
+    b: bytes,
+    start: int,
+    w: int,
+    h: int,
+    comps: list[tuple[int, int, int, int]],
+    scan_tabs: dict[int, dict],
+    pred_sel: int,
+    precision: int,
+) -> tuple[np.ndarray, int]:
+    """LOSSLESS JPEG (SOF3, T.81 Annex H) single interleaved scan:
+    per sample, a DC-table Huffman category SSSS (0-16; 16 means
+    diff = 32768 with no magnitude bits), sign-extended difference,
+    prediction per `_jpeg_lossless_predict`, reconstruction modulo
+    2^16. Components return INTERLEAVED channel-last, raw — lossless
+    JPEG defines no color transform, so a 3-component stream's
+    components are emitted as stored (RGB in this repo's encoder).
+    Output dtype is uint8 at precision <= 8, uint16 above (the PNG16
+    native-width convention). The per-sample loop is Python — the
+    same pure-stdlib trade as the QM coder, parallel unit = file."""
+    if w <= 0 or h <= 0:
+        raise ValueError("jpeg scan without frame dimensions")
+    r = _BitReader(b, start)
+    nc = len(comps)
+    default = 1 << (precision - 1)
+    planes = np.zeros((nc, h, w), dtype=np.int32)
+    luts = [scan_tabs[cid] for cid, *_ in comps]
+    for y in range(h):
+        for x in range(w):
+            for ci in range(nc):
+                t = _huff_decode(r, luts[ci])
+                if t == 16:
+                    diff = 32768
+                elif t:
+                    diff = _extend(r.bits(t), t)
+                else:
+                    diff = 0
+                px_ = _jpeg_lossless_predict(
+                    planes[ci], y, x, pred_sel, default
+                )
+                planes[ci][y, x] = (px_ + diff) & 0xFFFF
+    out = planes.transpose(1, 2, 0).reshape(-1)
+    if precision <= 8:
+        return out.astype(np.uint8), nc
+    return out.astype(np.uint16), nc
+
+
+def encode_jpeg_lossless(
+    samples: np.ndarray, predictor: int = 1, precision: int | None = None
+) -> bytes:
+    """Pure-stdlib LOSSLESS JPEG encoder (SOF3 — the
+    `_jpeg_lossless_scan` inverse, so exact round trips pin the
+    decoder with no codec library; lossless means decode(encode(x))
+    reproduces x BIT-EXACTLY, the strongest possible pin). ``samples``
+    is (h, w) or (h, w, c) non-negative ints; ``precision`` defaults
+    to 8 for uint8 input, 16 otherwise. One interleaved scan,
+    predictor 1-7, no point transform, no restarts. The Huffman table
+    assigns all 17 categories 5-bit codes (17 < 2^5, all-ones code
+    unused — canonical per T.81 C.2)."""
+    a = np.asarray(samples)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, nc = a.shape
+    if precision is None:
+        precision = 8 if a.dtype == np.uint8 else 16
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1-7")
+    if int(a.max(initial=0)) >= (1 << precision):
+        raise ValueError("sample exceeds declared precision")
+    out = bytearray(b"\xff\xd8")
+    # DHT: one DC table, all 17 categories at 5 bits
+    counts = [0] * 16
+    counts[4] = 17
+    out += b"\xff\xc4" + (2 + 17 + 17).to_bytes(2, "big") + b"\x00"
+    out += bytes(counts) + bytes(range(17))
+    # SOF3
+    sof = bytearray()
+    sof += precision.to_bytes(1, "big")
+    sof += h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += nc.to_bytes(1, "big")
+    for c in range(nc):
+        sof += bytes((c + 1, 0x11, 0))
+    out += b"\xff\xc3" + (2 + len(sof)).to_bytes(2, "big") + sof
+    # SOS
+    sos = bytearray((nc,))
+    for c in range(nc):
+        sos += bytes((c + 1, 0x00))
+    sos += bytes((predictor, 0, 0))
+    out += b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + sos
+    wtr = _BitWriter()
+    default = 1 << (precision - 1)
+    planes = a.astype(np.int64).transpose(2, 0, 1)
+    for y in range(h):
+        for x in range(w):
+            for ci in range(nc):
+                px_ = _jpeg_lossless_predict(
+                    planes[ci], y, x, predictor, default
+                )
+                d = (int(planes[ci][y, x]) - px_) % 65536
+                if d > 32768:
+                    d -= 65536
+                if d == 32768:
+                    wtr.put(16, 5)  # category 16: no magnitude bits
+                    continue
+                t = abs(d).bit_length()
+                wtr.put(t, 5)
+                if t:
+                    wtr.put(d if d >= 0 else d + (1 << t) - 1, t)
+    wtr.byte_align()
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def _jpeg_scan(
@@ -2453,9 +2636,11 @@ def _decode_payload(
     count); baseline JPEG decodes grayscale AND YCbCr color pixels
     (any 4:4:4 / 4:2:2 / 4:2:0 sampling), baseline-sequential AND
     Huffman-progressive (spectral selection + successive
-    approximation) and ARITHMETIC coding, sequential (SOF9) and
-    progressive (SOF10) — r9, T.81 QM-coder (lossless/hierarchical
-    stay metadata-only: channels=0, px=None); WAV decodes integer PCM at 8/16/24/32 bits and
+    approximation), ARITHMETIC coding — sequential (SOF9) and
+    progressive (SOF10), r9, T.81 QM-coder — and LOSSLESS (SOF3,
+    r10: Annex H predictive decode at 2-16 bit precision, all seven
+    predictors; only hierarchical and arithmetic-lossless stay
+    metadata-only: channels=0, px=None); WAV decodes integer PCM at 8/16/24/32 bits and
     IEEE-float PCM at 32/64 bits, each at native width, mono/stereo,
     plus mono/stereo whole-block IMA-ADPCM (fmt tag 0x11 — r9).
     ``channels`` is 0 whenever px is None. Formats

@@ -443,6 +443,28 @@ def _jpeg_mosaic_corpus(spark: SparkSession) -> DataFrame:
 
     for i, jpg in sorted(ARITH_MOSAIC_JPEGS.items()):
         rows.append((i, KIND_IMAGE, jpg))
+    # ids 32-33 (r10): LOSSLESS SOF3 — per-PIXEL md5 bytes, no mosaic
+    # structure needed because lossless decode reproduces EVERY byte
+    # (the encode->decode round trip cancels, like the PNG/GIF
+    # corpora): gray predictor 4 and 3-component RGB predictor 7
+    from dataingestiontohana_spark.operators.multimodal import (
+        encode_jpeg_lossless,
+    )
+
+    def jpgl_expand(mid: int, need: int) -> bytes:
+        out = bytearray()
+        c = 0
+        while len(out) < need:
+            out += hashlib.md5(f"{mid}:jpgl:{c}".encode()).digest()
+            c += 1
+        return bytes(out[:need])
+
+    gray = np.frombuffer(jpgl_expand(32, w * h), np.uint8).reshape(h, w)
+    rows.append((32, KIND_IMAGE, encode_jpeg_lossless(gray, predictor=4)))
+    rgb = np.frombuffer(
+        jpgl_expand(33, w * h * 3), np.uint8
+    ).reshape(h, w, 3)
+    rows.append((33, KIND_IMAGE, encode_jpeg_lossless(rgb, predictor=7)))
     df = (
         spark.createDataFrame(rows, "media_id long, kind int, content binary")
         .coalesce(2)
@@ -1696,6 +1718,20 @@ ORACLES = {
                       substr(md5(i || ':jpg:0'), CAST(2*j+2 AS INT), 1))-1)
                    AS v
           FROM range(32) t(i), range({_JPEG_BW * _JPEG_BH}) u(j)
+        ),
+        -- lossless clips 32-33 (r10): every pixel byte IS the md5
+        -- expansion (SOF3 decode is exact, the round trip cancels)
+        jl_bytes AS (
+          SELECT CAST(m.i AS BIGINT) AS media_id, m.ch,
+                 16*(strpos('0123456789abcdef',
+                      substr(md5(m.i || ':jpgl:' || c.j),
+                             CAST(2*g.j+1 AS INT), 1))-1)
+                 + (strpos('0123456789abcdef',
+                      substr(md5(m.i || ':jpgl:' || c.j),
+                             CAST(2*g.j+2 AS INT), 1))-1) AS v
+          FROM (VALUES (32, 1), (33, 3)) m(i, ch),
+               range(72) c(j), range(16) g(j)
+          WHERE c.j*16 + g.j < {_JPEG_BW * _JPEG_BH * 64} * m.ch
         )
         SELECT media_id,
                CAST({_JPEG_BW * 8} AS INTEGER) AS width,
@@ -1705,6 +1741,15 @@ ORACLES = {
                CAST(64 * SUM(v*v) AS BIGINT) AS px_sqsum
         FROM blocks
         GROUP BY media_id
+        UNION ALL
+        SELECT media_id,
+               CAST({_JPEG_BW * 8} AS INTEGER),
+               CAST({_JPEG_BH * 8} AS INTEGER),
+               CAST(ch AS INTEGER),
+               CAST(SUM(v) AS BIGINT),
+               CAST(SUM(v*v) AS BIGINT)
+        FROM jl_bytes
+        GROUP BY media_id, ch
         ORDER BY media_id
     """,
     "q205_wav_native": f"""
