@@ -558,6 +558,9 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("canonical_url", "string"), ("n_variants", "bigint"),
         ("n_raw", "bigint"),
     ],
+    "q222_idn_host": [
+        ("ace_host", "string"), ("n_urls", "bigint"),
+    ],
     "q218_registrable_domain": [
         ("host", "string"), ("etld", "string"),
         ("reg_domain", "string"), ("n_urls", "bigint"),
@@ -983,6 +986,9 @@ BUNDLES: dict[str, list[str]] = {
         "q39_sensor_generate", "q40_sensor_csv_roundtrip",
         "q216_warc_ingest", "q217_url_dedup",
         "q218_registrable_domain", "q219_robots_filter",
+        # round 10: IDN/punycode host folding (ASCII fast path +
+        # Arrow-gated unicode residue)
+        "q222_idn_host",
     ],
     # round 5: the q20 single grew into a bundle with the hypertable
     # multi-grain rollup (one-scan grouping sets over time grains)

@@ -226,11 +226,90 @@ def q217_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The IDN fold corpus (r10): every host arrives under three spellings
+# — lowercase unicode, the pre-encoded ACE form, and uppercase
+# unicode — which must collapse to ONE ACE host. The expected ACE
+# strings are constants derived from CPython's independent punycode
+# codec (and for the classics, RFC 3492's own samples); pytest pins
+# them three ways (literal == stdlib == functions/idn.py) so the
+# oracle's literal map is an adjudicated fixture, not a tautology.
+# Hosts are chosen so unicode upper->lower round-trips exactly (no
+# ß/final-sigma traps) — asserted at corpus build.
+_IDN_HOSTS: list[tuple[str, str]] = [
+    ("bücher.example", "xn--bcher-kva.example"),
+    ("mañana.example", "xn--maana-pta.example"),
+    ("δοκιμή.example", "xn--jxalpdlp.example"),
+    ("пример.испытание", "xn--e1afmkfd.xn--80akhbyknj4f"),
+    ("例え.テスト", "xn--r8jz45g.xn--zckzah"),
+    ("בדיקה.example", "xn--5dbedt4e.example"),
+    ("点心.香港", "xn--15t909a.xn--j6w193g"),
+    ("café.mixed-ascii.example", "xn--caf-dma.mixed-ascii.example"),
+    ("plain-ascii.example", "plain-ascii.example"),
+]
+
+
+def _idn_corpus_urls() -> list[str]:
+    urls = []
+    for i, (host, ace) in enumerate(_IDN_HOSTS):
+        assert host.upper().lower() == host, host
+        urls.append(f"http://{host}/p{i}")
+        urls.append(f"http://{ace}/p{i}")
+        urls.append(f"http://{host.upper()}/p{i}")
+    return urls
+
+
+def q222_idn_host(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDN host folding (r10): unicode hostnames and their
+    ASCII-Compatible-Encoding (ACE / punycode) spellings are the SAME
+    host to DNS — crawl URL identity must fold them. 27 planted URLs
+    (9 hosts x {lowercase unicode, pre-encoded ACE, UPPERCASE
+    unicode}) collapse to 9 ACE hosts of exactly 3 variants each.
+
+    Scale shape (the reason this is NOT inside `canonicalize_url`):
+    punycode runs in Python, so the plan splits the frame on an
+    ASCII-host fast path — ASCII rows fold in pure codegen
+    (lower()), only the non-ASCII residue (a tiny fraction of any
+    real crawl) crosses the Arrow boundary into the pandas UDF, and
+    the union re-aggregates with one hash shuffle. A CASE-WHEN would
+    evaluate the UDF on every row; the two-frame union is the
+    honest gate."""
+    from pyspark.sql.functions import pandas_udf
+
+    from dataingestiontohana_spark.functions.idn import ace_host
+
+    # no annotations: `from __future__ import annotations` stringifies
+    # hints, which pandas_udf cannot infer — the bare signature takes
+    # the default SCALAR eval type
+    @pandas_udf("string")
+    def ace_udf(hosts):
+        return hosts.map(ace_host)
+
+    urls = spark.createDataFrame(
+        [(u,) for u in _idn_corpus_urls()], "u string"
+    )
+    host = F.regexp_extract("u", r"^[^:/?#]+://([^/?#]*)", 1)
+    with_host = urls.select(host.alias("host"))
+    is_ascii = F.col("host").rlike(r"^[\x00-\x7F]*$")
+    ascii_side = with_host.where(is_ascii).select(
+        F.lower("host").alias("ace_host")
+    )
+    unicode_side = with_host.where(~is_ascii).select(
+        ace_udf("host").alias("ace_host")
+    )
+    return (
+        ascii_side.unionAll(unicode_side)
+        .groupBy("ace_host")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_urls"))
+        .orderBy("ace_host")
+    )
+
+
 QUERIES = {
     "q39_sensor_generate": q39_sensor_generate,
     "q40_sensor_csv_roundtrip": q40_sensor_csv_roundtrip,
     "q216_warc_ingest": q216_warc_ingest,
     "q217_url_dedup": q217_url_dedup,
+    "q222_idn_host": q222_idn_host,
 }
 
 
@@ -352,10 +431,35 @@ def _url_dedup_oracle() -> str:
     """
 
 
+def _idn_oracle() -> str:
+    """The raw corpus reconstructed as VALUES literals; the fold
+    adjudicated against the LITERAL unicode->ACE map (stdlib-derived
+    constants, three-way pinned in pytest — see _IDN_HOSTS). DuckDB's
+    utf8proc lower() collapses the uppercase spellings onto the map
+    keys; ASCII hosts fold by lowercase alone."""
+    url_rows = ", ".join(f"('{u}')" for u in _idn_corpus_urls())
+    map_rows = ", ".join(f"('{h}', '{a}')" for h, a in _IDN_HOSTS)
+    return f"""
+        WITH urls(u) AS (VALUES {url_rows}),
+        m(uni, ace) AS (VALUES {map_rows}),
+        hosts AS (
+          SELECT lower(regexp_extract(u, '^[^:/?#]+://([^/?#]*)', 1))
+                 AS host
+          FROM urls
+        )
+        SELECT COALESCE(m.ace, h.host) AS ace_host,
+               CAST(COUNT(*) AS BIGINT) AS n_urls
+        FROM hosts h LEFT JOIN m ON h.host = m.uni
+        GROUP BY 1
+        ORDER BY ace_host
+    """
+
+
 ORACLES: dict[str, str] = {
     "q39_sensor_generate": _q39_oracle_sql(),
     "q216_warc_ingest": _WARC_ORACLE,
     "q217_url_dedup": _url_dedup_oracle(),
+    "q222_idn_host": _idn_oracle(),
     # q40 is an invariant audit (the q65 bounds-flag precedent): the
     # oracle states the contract — every generated row survives the
     # CSV encode/parse roundtrip and the counter stream is continuous.
