@@ -2013,6 +2013,37 @@ def _decode_ima_adpcm(
     return np.asarray(out, np.int16)
 
 
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """(ulaw, alaw) 256-entry int16 decode tables from the G.711
+    segment formulas (the classic CCITT reference arithmetic:
+    mu-law t = ((mant<<3)+0x84)<<seg around bias 0x84; A-law
+    t = (mant<<4)+8 / +0x108<<(seg-1) with the 0x55 toggle). Pinned
+    against CPython's independent audioop C implementation in
+    pytest; the q205 oracle recomputes the SAME arithmetic in SQL —
+    no table literals cross engines."""
+    ul = np.empty(256, np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        t = (((u & 15) << 3) + 0x84) << ((u >> 4) & 7)
+        ul[b] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+    al = np.empty(256, np.int16)
+    for b in range(256):
+        a = b ^ 0x55
+        t = (a & 15) << 4
+        seg = (a >> 4) & 7
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        al[b] = t if (a & 0x80) else -t
+    return ul, al
+
+
+_G711_ULAW, _G711_ALAW = _g711_tables()
+
+
 def _parse_wav(b: bytes) -> tuple[int, np.ndarray | None]:
     """Back-compat wrapper over `_parse_wav_ex` (sample count +
     samples; see there for the full layout contract)."""
@@ -2049,6 +2080,7 @@ def _parse_wav_ex(b: bytes) -> tuple[int, np.ndarray | None, str]:
     bits = channels = 1
     block_align = 0
     is_float = is_adpcm = False
+    g711 = ""
     data = None
     while off + 8 <= len(b):
         cid = b[off : off + 4]
@@ -2071,6 +2103,12 @@ def _parse_wav_ex(b: bytes) -> tuple[int, np.ndarray | None, str]:
             elif fmt_tag == 17 and bits == 4 and channels in (1, 2):
                 is_adpcm = True
                 bits = -bits  # never a PCM width; gated below
+            elif fmt_tag in (6, 7) and bits == 8:
+                # G.711 A-law (6) / mu-law (7) — r10: telephony audio,
+                # one byte per sample per channel, pure segment
+                # arithmetic (no codec stack needed)
+                g711 = "alaw" if fmt_tag == 6 else "ulaw"
+                bits = -bits
             elif fmt_tag != 1:
                 # other codecs — and fmt tag 3 at any other declared
                 # width — are VALID unsupported layouts, not
@@ -2115,6 +2153,14 @@ def _parse_wav_ex(b: bytes) -> tuple[int, np.ndarray | None, str]:
     ):
         px = _decode_ima_adpcm(data, block_align, channels)
         return len(px), px, "adpcm"
+    if g711 and len(data) > 0 and len(data) % channels == 0:
+        tab = _G711_ALAW if g711 == "alaw" else _G711_ULAW
+        s = tab[np.frombuffer(data, np.uint8)].astype(np.int64)
+        if channels > 1:
+            # floor of the per-frame channel mean — the integer-PCM
+            # downmix contract (floor division, exact)
+            s = s.reshape(-1, channels).sum(axis=1) // channels
+        return len(s), s.astype(np.int16), g711
     n = len(data) // max(1, abs(bits) // 8) // max(1, channels)
     if is_float and channels >= 1:
         s = np.frombuffer(
@@ -3053,7 +3099,12 @@ def wav_native_moments(df: DataFrame) -> DataFrame:
                     continue
                 if px is None or len(px) == 0:
                     continue
-                bits = 4 if codec == "adpcm" else _BITS[px.dtype]
+                if codec == "adpcm":
+                    bits = 4
+                elif codec in ("ulaw", "alaw"):
+                    bits = 8  # one G.711 byte per sample per channel
+                else:
+                    bits = _BITS[px.dtype]
                 if px.dtype.kind == "f":
                     codec = "float"
                     px = _quantize_float_samples(px)

@@ -736,6 +736,24 @@ def _wav_native_corpus(spark: SparkSession) -> DataFrame:
         + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
         + b"data" + struct.pack("<I", len(data)) + data,
     ))
+    # G.711 clips 34-35 (r10, closing part of the non-PCM fmt-tag
+    # boundary — telephony audio): mu-law mono (fmt tag 7) and A-law
+    # stereo (fmt tag 6), one byte per sample per channel straight
+    # from the same "{id}:wav:{c}" expansion; the oracle recomputes
+    # the segment-decode ARITHMETIC in SQL (no table literals cross
+    # engines) and folds stereo floor-of-mean like integer PCM.
+    for i, tag, channels in ((34, 7, 1), (35, 6, 2)):
+        data = md5_expand(i, _WAV_FRAMES * channels)
+        fmt = struct.pack(
+            "<HHIIHH", tag, channels, 8000, 8000 * channels, channels, 8
+        )
+        rows.append((
+            i,
+            KIND_AUDIO,
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data,
+        ))
     df = (
         spark.createDataFrame(rows, "media_id long, kind int, content binary")
         .coalesce(2)
@@ -1478,6 +1496,47 @@ ad2_frames AS (
   FROM ad2_walk l JOIN ad2_walk r
     ON l.media_id = r.media_id AND l.blk = r.blk AND l.p = r.p
    AND l.ch = 0 AND r.ch = 1
+),
+-- G.711 clips 34-35 (r10): the segment decode replayed as SQL
+-- arithmetic. mu-law: u = 255-b (one's complement), magnitude
+-- t = ((mant<<3)+132)<<seg around bias 132, sign bit -> 132-t;
+-- A-law: a = b XOR 0x55, t = (mant<<4)+8 / +264<<(seg-1), sign
+-- bit -> +t. Pinned against audioop in pytest on the engine side.
+g711_bytes AS (
+  SELECT CAST(m.i AS BIGINT) AS media_id, m.tag, m.ch,
+         c.j*16 + g.j AS pos,
+         16*(strpos('0123456789abcdef',
+              substr(md5(m.i || ':wav:' || c.j),
+                     CAST(2*g.j+1 AS INT), 1))-1)
+           + (strpos('0123456789abcdef',
+              substr(md5(m.i || ':wav:' || c.j),
+                     CAST(2*g.j+2 AS INT), 1))-1) AS b
+  FROM (VALUES (34, 7, 1), (35, 6, 2)) m(i, tag, ch),
+       range(8) c(j), range(16) g(j)
+  WHERE c.j*16 + g.j < {_WAV_FRAMES} * m.ch
+),
+g711_dec AS (
+  SELECT media_id, ch, pos,
+         CASE WHEN tag = 7 THEN
+           CASE WHEN (255 - b) >= 128
+                THEN 132 - ((((255-b) % 16) * 8 + 132)
+                            * (1 << (((255-b) // 16) % 8)))
+                ELSE ((((255-b) % 16) * 8 + 132)
+                      * (1 << (((255-b) // 16) % 8))) - 132 END
+         ELSE
+           CASE WHEN xor(b, 85) >= 128 THEN 1 ELSE -1 END *
+           CASE (xor(b, 85) // 16) % 8
+             WHEN 0 THEN (xor(b, 85) % 16) * 16 + 8
+             WHEN 1 THEN (xor(b, 85) % 16) * 16 + 264
+             ELSE ((xor(b, 85) % 16) * 16 + 264)
+                  * (1 << ((xor(b, 85) // 16) % 8 - 1)) END
+         END AS v
+  FROM g711_bytes
+),
+g711_folded AS (
+  SELECT media_id, CAST(floor(SUM(v) / (ch * 1.0)) AS BIGINT) AS v
+  FROM g711_dec
+  GROUP BY media_id, ch, pos // ch
 )
 """
 
@@ -1793,6 +1852,19 @@ ORACLES = {
                CAST(SUM(CAST(v AS HUGEINT) * v) % 1000000000000000000
                     AS BIGINT) AS px_sqsum_lo
         FROM ad2_frames
+        GROUP BY media_id
+        UNION ALL
+        SELECT media_id,
+               CASE WHEN media_id = 34 THEN 'ulaw' ELSE 'alaw' END
+                 AS codec,
+               CAST(8 AS INTEGER) AS bits,
+               CAST({_WAV_FRAMES} AS INTEGER) AS n_samples,
+               CAST(SUM(v) AS BIGINT) AS px_sum,
+               CAST(SUM(CAST(v AS HUGEINT) * v) // 1000000000000000000
+                    AS BIGINT) AS px_sqsum_hi,
+               CAST(SUM(CAST(v AS HUGEINT) * v) % 1000000000000000000
+                    AS BIGINT) AS px_sqsum_lo
+        FROM g711_folded
         GROUP BY media_id
         ORDER BY media_id
     """,

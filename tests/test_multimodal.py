@@ -1480,3 +1480,56 @@ def test_multichannel_integer_pcm_folds_exactly():
             + b"data" + _s.pack("<I", 16) + frame)
     nf, pxf, codecf = _parse_wav_ex(wavf)
     assert codecf == "float" and nf == 1 and list(pxf) == [1.0]
+
+
+def test_g711_decode_pinned_against_audioop():
+    """The G.711 segment-formula tables must agree with CPython's
+    independent audioop C implementation on EVERY byte, and the WAV
+    path must decode fmt tags 7 (mu-law) / 6 (A-law) with the
+    integer-PCM stereo fold; other widths at those tags stay
+    count-only."""
+    import struct as _s
+    import warnings
+
+    import numpy as np
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        _G711_ALAW,
+        _G711_ULAW,
+        _parse_wav_ex,
+    )
+
+    every = bytes(range(256))
+    assert _G711_ULAW.tolist() == list(
+        np.frombuffer(audioop.ulaw2lin(every, 2), "<i2")
+    )
+    assert _G711_ALAW.tolist() == list(
+        np.frombuffer(audioop.alaw2lin(every, 2), "<i2")
+    )
+
+    def wav(tag, channels, bits, data):
+        fmt = _s.pack("<HHIIHH", tag, channels, 8000,
+                      8000 * channels, channels, bits)
+        return (b"RIFF" + _s.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                + b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+                + b"data" + _s.pack("<I", len(data)) + data)
+
+    n, px, codec = _parse_wav_ex(wav(7, 1, 8, every))
+    assert codec == "ulaw" and n == 256
+    assert px.tolist() == _G711_ULAW.tolist()
+    # stereo A-law folds floor-of-mean per frame
+    n2, px2, codec2 = _parse_wav_ex(wav(6, 2, 8, every))
+    assert codec2 == "alaw" and n2 == 128
+    exp = [
+        (int(_G711_ALAW[every[2 * k]]) + int(_G711_ALAW[every[2 * k + 1]]))
+        // 2
+        for k in range(128)
+    ]
+    assert px2.tolist() == exp
+    # G.711 at a declared width other than 8: count-only, not decoded
+    n3, px3, codec3 = _parse_wav_ex(wav(7, 1, 16, bytes(64)))
+    assert px3 is None and codec3 == "none"
