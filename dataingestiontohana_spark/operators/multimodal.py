@@ -2100,7 +2100,11 @@ def _parse_wav_ex(b: bytes) -> tuple[int, np.ndarray | None, str]:
             bits = struct.unpack("<H", body[14:16])[0]
             if fmt_tag == 3 and bits in (32, 64):
                 is_float = True
-            elif fmt_tag == 17 and bits == 4 and channels in (1, 2):
+            elif fmt_tag == 17 and bits == 4 and channels >= 1:
+                # r10: any channel count — the block decode walks one
+                # state machine per channel over 4-byte interleaved
+                # groups and folds floor-of-mean, exactly the stereo
+                # shape generalized (closing the r9 >2ch boundary)
                 is_adpcm = True
                 bits = -bits  # never a PCM width; gated below
             elif fmt_tag in (6, 7) and bits == 8:

@@ -736,6 +736,38 @@ def _wav_native_corpus(spark: SparkSession) -> DataFrame:
         + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
         + b"data" + struct.pack("<I", len(data)) + data,
     ))
+    # 3-CHANNEL ADPCM clip 36 (r10, closing the r9 >2-channel ADPCM
+    # boundary): blockAlign 60 = three 4-byte channel headers + 48
+    # body bytes in 12-byte channel-interleaved group triples (32
+    # nibbles per channel per block); fold = floor of the 3-channel
+    # mean, oracle = three recursive walks grouped per sample index.
+    i = 36
+    body_all = bytearray()
+    c3 = 0
+    while len(body_all) < 2 * 48:
+        body_all += hashlib.md5(f"{i}:adpcm3:{c3}".encode()).digest()
+        c3 += 1
+    data = b"".join(
+        b"".join(
+            struct.pack(
+                "<hBB",
+                ((i * 8191 + blk * 2713 + ch * 977) % 65536) - 32768,
+                (i * 31 + blk * 17 + ch * 5) % 89,
+                0,
+            )
+            for ch in range(3)
+        )
+        + bytes(body_all[blk * 48 : (blk + 1) * 48])
+        for blk in range(2)
+    )
+    fmt = struct.pack("<HHIIHHHH", 17, 3, 8000, 12330, 60, 4, 2, 33)
+    rows.append((
+        i,
+        KIND_AUDIO,
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data,
+    ))
     # G.711 clips 34-35 (r10, closing part of the non-PCM fmt-tag
     # boundary — telephony audio): mu-law mono (fmt tag 7) and A-law
     # stereo (fmt tag 6), one byte per sample per channel straight
@@ -1391,6 +1423,12 @@ _ADPCM2_NIBBLE_BYTE = (
     "16*(strpos('0123456789abcdef', substr(md5(media_id || ':adpcm2:' || ((blk*64 + ((p+1)//8)*8 + ch*4 + ((p+1)%8)//2) // 16)), CAST(2*((blk*64 + ((p+1)//8)*8 + ch*4 + ((p+1)%8)//2) % 16) + 1 AS INT), 1))-1) + (strpos('0123456789abcdef', substr(md5(media_id || ':adpcm2:' || ((blk*64 + ((p+1)//8)*8 + ch*4 + ((p+1)%8)//2) // 16)), CAST(2*((blk*64 + ((p+1)//8)*8 + ch*4 + ((p+1)%8)//2) % 16) + 2 AS INT), 1))-1)"
 )
 
+# 3-channel (r10): body groups are 12 bytes (three 4-byte channel
+# slices), block body 48 bytes, seed ':adpcm3:'
+_ADPCM3_NIBBLE_BYTE = (
+    "16*(strpos('0123456789abcdef', substr(md5(media_id || ':adpcm3:' || ((blk*48 + ((p+1)//8)*12 + ch*4 + ((p+1)%8)//2) // 16)), CAST(2*((blk*48 + ((p+1)//8)*12 + ch*4 + ((p+1)%8)//2) % 16) + 1 AS INT), 1))-1) + (strpos('0123456789abcdef', substr(md5(media_id || ':adpcm3:' || ((blk*48 + ((p+1)//8)*12 + ch*4 + ((p+1)%8)//2) // 16)), CAST(2*((blk*48 + ((p+1)//8)*12 + ch*4 + ((p+1)%8)//2) % 16) + 2 AS INT), 1))-1)"
+)
+
 _ADPCM_CTE = f"""
 ad_step_tab(i, step) AS (VALUES {", ".join(
     f"({i}, {s})" for i, s in enumerate(_IMA_STEP_TABLE))}),
@@ -1496,6 +1534,52 @@ ad2_frames AS (
   FROM ad2_walk l JOIN ad2_walk r
     ON l.media_id = r.media_id AND l.blk = r.blk AND l.p = r.p
    AND l.ch = 0 AND r.ch = 1
+),
+-- 3-channel clip 36 (r10): three independent walks per block,
+-- folded floor-of-mean per sample index
+ad3_blocks AS (
+  SELECT CAST(36 AS BIGINT) AS media_id, CAST(b.j AS INT) AS blk,
+         CAST(c.j AS INT) AS ch,
+         ((36*8191 + b.j*2713 + c.j*977) % 65536) - 32768 AS pred0,
+         (36*31 + b.j*17 + c.j*5) % 89 AS idx0,
+         31 AS nmax
+  FROM range(2) b(j), range(3) c(j)
+),
+ad3_walk(media_id, blk, ch, p, pred, idx, nmax) AS (
+  SELECT media_id, blk, ch, -1, pred0, idx0, nmax FROM ad3_blocks
+  UNION ALL
+  SELECT media_id, blk, ch, p, predn, idxn, nmax
+  FROM (
+    SELECT media_id, blk, ch, p, nmax,
+           GREATEST(-32768, LEAST(32767,
+             CASE WHEN nib >= 8 THEN pred - diff
+                  ELSE pred + diff END)) AS predn,
+           LEAST(88, GREATEST(0, idx
+             + CASE WHEN nib % 8 < 4 THEN -1
+                    ELSE (nib % 8) * 2 - 6 END)) AS idxn
+    FROM (
+      SELECT media_id, blk, ch, p, pred, idx, nmax, nib,
+             (step // 8) + (nib % 2) * (step // 4)
+               + ((nib // 2) % 2) * (step // 2)
+               + ((nib // 4) % 2) * step AS diff
+      FROM (
+        SELECT y.media_id, y.blk, y.ch, y.p + 1 AS p, y.pred, y.idx,
+               y.nmax, st.step,
+               CASE WHEN (y.p + 1) % 2 = 0 THEN y.byte % 16
+                    ELSE y.byte // 16 END AS nib
+        FROM (
+          SELECT media_id, blk, ch, p, pred, idx, nmax,
+                 {_ADPCM3_NIBBLE_BYTE} AS byte
+          FROM ad3_walk WHERE p < nmax
+        ) y JOIN ad_step_tab st ON st.i = y.idx
+      ) x
+    ) w
+  ) v
+),
+ad3_frames AS (
+  SELECT media_id, CAST(floor(SUM(pred) / 3.0) AS BIGINT) AS v
+  FROM ad3_walk
+  GROUP BY media_id, blk, p
 ),
 -- G.711 clips 34-35 (r10): the segment decode replayed as SQL
 -- arithmetic. mu-law: u = 255-b (one's complement), magnitude
@@ -1852,6 +1936,16 @@ ORACLES = {
                CAST(SUM(CAST(v AS HUGEINT) * v) % 1000000000000000000
                     AS BIGINT) AS px_sqsum_lo
         FROM ad2_frames
+        GROUP BY media_id
+        UNION ALL
+        SELECT media_id, 'adpcm' AS codec, CAST(4 AS INTEGER) AS bits,
+               CAST(COUNT(*) AS INTEGER) AS n_samples,
+               CAST(SUM(v) AS BIGINT) AS px_sum,
+               CAST(SUM(CAST(v AS HUGEINT) * v) // 1000000000000000000
+                    AS BIGINT) AS px_sqsum_hi,
+               CAST(SUM(CAST(v AS HUGEINT) * v) % 1000000000000000000
+                    AS BIGINT) AS px_sqsum_lo
+        FROM ad3_frames
         GROUP BY media_id
         UNION ALL
         SELECT media_id,

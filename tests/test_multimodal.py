@@ -1533,3 +1533,36 @@ def test_g711_decode_pinned_against_audioop():
     # G.711 at a declared width other than 8: count-only, not decoded
     n3, px3, codec3 = _parse_wav_ex(wav(7, 1, 16, bytes(64)))
     assert px3 is None and codec3 == "none"
+
+
+def test_adpcm_three_channel_decodes_floor_of_mean():
+    """r10: >2-channel ADPCM decodes — one state machine per channel
+    over 12-byte interleaved group triples, folded floor-of-mean,
+    checked against the independent per-channel reference walks."""
+    import struct as _s
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        _parse_wav_ex,
+    )
+
+    import hashlib
+    body = b"".join(hashlib.md5(f"3ch:{c}".encode()).digest()
+                    for c in range(3))[:48]
+    hdrs = [(-100, 4), (777, 30), (-32000, 88)]
+    blk = b"".join(_s.pack("<hBB", p, ix, 0) for p, ix in hdrs) + body
+    fmt = _s.pack("<HHIIHHHH", 17, 3, 8000, 12330, 60, 4, 2, 33)
+    wav = (b"RIFF" + _s.pack("<I", 4 + 8 + len(fmt) + 8 + len(blk))
+           + b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+           + b"data" + _s.pack("<I", len(blk)) + blk)
+    n, px, codec = _parse_wav_ex(wav)
+    assert codec == "adpcm" and n == 33 and px is not None
+    # reference: channel c's nibbles come from every 3rd 4-byte slice
+    chans = []
+    for c in range(3):
+        nibs = []
+        for g in range(c * 4, 48, 12):
+            for byte in body[g : g + 4]:
+                nibs.extend((byte & 15, byte >> 4))
+        chans.append(_ima_walk_reference(hdrs[c][0], hdrs[c][1], nibs))
+    exp = [sum(v[j] for v in chans) // 3 for j in range(33)]
+    assert px.tolist() == exp
