@@ -629,10 +629,14 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
     coefficients across every scan — spectral selection, EOB runs,
     and successive approximation (DC bit refinement, AC correction
     bits) per T.81 G.2 — then reconstruct once at EOI.
-    SEQUENTIAL paths (Huffman baseline and arithmetic SOF9) require a
-    single fully interleaved scan — a legal extended-sequential file
-    with per-component scans returns None (metadata-only fallback);
-    both progressive paths accumulate across any scan script.
+    Huffman-sequential decodes BOTH scan layouts (r10): one fully
+    interleaved scan (the fast path) or per-component full-band Ns=1
+    scans (T.81 A.2.2 — the 3-scan layout some encoders emit),
+    accumulated like progressive and reconstructed at EOI.
+    Arithmetic SOF9 still requires the single interleaved scan, and
+    partial-subset interleaved scans (1 < Ns < Nf) return None
+    (metadata-only fallback); both progressive paths accumulate
+    across any scan script.
     Lossless and hierarchical frames return None — the codec-stack
     boundary; the mapInPandas plumbing upstream is format-agnostic.
     Mirrors the reference's opaque-payload stance (README.md:4 —
@@ -653,6 +657,7 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
     progressive = False
     arith = False
     lossless = False
+    seq_ni = False  # non-interleaved sequential scans seen
     precision = 8
     coefs: dict[int, np.ndarray] = {}  # cid -> (bh_pad, bw_pad, 64) zigzag
     geom: dict[int, tuple] = {}
@@ -794,7 +799,38 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
                 )
             if not progressive:
                 if body[0] != len(comps):
-                    return None  # baseline = one interleaved scan
+                    # r10: NON-INTERLEAVED sequential — per-component
+                    # full-band scans (T.81 A.2.2, Ns=1), routed
+                    # through the progressive coefficient accumulator
+                    # and reconstructed once at EOI. Partial-subset
+                    # interleaved scans (1 < Ns < Nf) stay
+                    # metadata-only (exotic).
+                    if body[0] != 1:
+                        return None
+                    if not coefs:
+                        hmax = max(c[1] for c in comps)
+                        vmax = max(c[2] for c in comps)
+                        mcx = (w + 8 * hmax - 1) // (8 * hmax)
+                        mcy = (h + 8 * vmax - 1) // (8 * vmax)
+                        for cid, hs, vs, _tq in comps:
+                            cw = (w * hs + hmax - 1) // hmax
+                            chh = (h * vs + vmax - 1) // vmax
+                            geom[cid] = (
+                                hs, vs, mcx * hs, mcy * vs,
+                                (cw + 7) // 8, (chh + 7) // 8, mcx, mcy,
+                            )
+                            coefs[cid] = np.zeros(
+                                (mcy * vs, mcx * hs, 64), dtype=np.int32
+                            )
+                    cid = body[1]
+                    td, ta = body[2] >> 4, body[2] & 0xF
+                    _jpeg_seq_scan_single(
+                        b, i + 2 + seg_len, cid, huff_dc[td],
+                        huff_ac[ta], restart, coefs, geom,
+                    )
+                    seq_ni = True
+                    i = _skip_entropy(b, i + 2 + seg_len)
+                    continue
                 scan_tabs = {}  # cid -> (dc_lut, ac_lut)
                 for s in range(body[0]):
                     cid = body[1 + 2 * s]
@@ -824,9 +860,55 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
             i = _skip_entropy(b, i + 2 + seg_len)
             continue
         i += 2 + seg_len
-    if progressive and coefs:
+    if (progressive or seq_ni) and coefs:
         return _jpeg_reconstruct(w, h, comps, qt, coefs)
     return None
+
+
+def _jpeg_seq_scan_single(
+    b: bytes,
+    start: int,
+    cid: int,
+    dc_lut: dict,
+    ac_lut: dict,
+    restart: int,
+    coefs: dict[int, np.ndarray],
+    geom: dict[int, tuple],
+) -> None:
+    """One NON-INTERLEAVED sequential scan (r10): a single component's
+    full-band (DC + all AC) Huffman scan, blocks in raster order over
+    the component's OWN block grid — T.81 A.2.2's Ns=1 traversal, the
+    same raster the progressive AC path walks. Coefficients accumulate
+    into the shared ``coefs`` store; reconstruction happens once at
+    EOI via `_jpeg_reconstruct`, exactly like progressive frames. The
+    restart interval counts data units (one block per MCU when
+    Ns=1)."""
+    r = _BitReader(b, start)
+    bw_ni, bh_ni = geom[cid][4], geom[cid][5]
+    pred = 0
+    for m in range(bh_ni * bw_ni):
+        if restart and m and m % restart == 0:
+            r.skip_to_rst()
+            pred = 0
+        by, bx = divmod(m, bw_ni)
+        arr = coefs[cid][by, bx]
+        t = _huff_decode(r, dc_lut)
+        pred += _extend(r.bits(t), t)
+        arr[0] = pred
+        k = 1
+        while k < 64:
+            rs = _huff_decode(r, ac_lut)
+            run, size = rs >> 4, rs & 0xF
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("jpeg AC run past block end")
+            arr[k] = _extend(r.bits(size), size)
+            k += 1
 
 
 def _jpeg_progressive_scan(
@@ -1627,6 +1709,7 @@ def encode_jpeg_baseline(
     quant_luma: np.ndarray | None = None,
     quant_chroma: np.ndarray | None = None,
     restart_interval: int = 0,
+    non_interleaved: bool = False,
 ) -> bytes:
     """Pure-stdlib baseline-sequential JFIF encoder — the inverse of
     `_decode_jpeg_pixels`, existing (like `encode_png`) so media tests
@@ -1640,9 +1723,18 @@ def encode_jpeg_baseline(
     2x2 sampling, chroma boxcar-averaged). ``restart_interval`` > 0
     emits a DRI segment and RSTn markers every that-many MCUs (the
     parallel-decode seam real encoders use). Quant tables default to
-    the Annex-K examples; pass ``np.ones(64)`` for near-lossless."""
+    the Annex-K examples; pass ``np.ones(64)`` for near-lossless.
+    ``non_interleaved`` (r10) emits one FULL-BAND SCAN PER COMPONENT
+    (T.81 A.2.2 Ns=1) instead of one interleaved scan — the 3-scan
+    sequential layout some encoders produce; 4:4:4 only (subsampled
+    non-interleaved would need the component-grid traversal the
+    decoder has but this encoder does not), no restart intervals."""
     if channels not in (1, 3):
         raise ValueError("encode_jpeg_baseline: channels must be 1 or 3")
+    if non_interleaved and (subsample or restart_interval):
+        raise ValueError(
+            "non_interleaved encoding is 4:4:4-only, without restarts"
+        )
     ql = (_Q_LUMA if quant_luma is None else quant_luma).astype(np.int32)
     qc = (_Q_CHROMA if quant_chroma is None else quant_chroma).astype(
         np.int32
@@ -1681,6 +1773,26 @@ def encode_jpeg_baseline(
     out += _dht_segment(1, 0, _ENC_AC_SYMS, 8)
     if restart_interval:
         out += b"\xff\xdd" + (4).to_bytes(2, "big") + restart_interval.to_bytes(2, "big")
+    if non_interleaved and len(comps_sof) > 1:
+        # one full-band scan per component, each its own entropy
+        # segment: re-encode per component (4:4:4 -> the component
+        # grid equals the MCU grid, so the padded planes reuse as-is)
+        for cid, pl, qzz, _hs, _vs in padded:
+            cw = _BitWriter()
+            pred = 0
+            for m in range(mcx * mcy):
+                my, mx = divmod(m, mcx)
+                pred = _encode_block(
+                    cw, pl[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
+                    qzz, pred,
+                )
+            cw.byte_align()
+            sos_body = bytes([1, cid, 0x00, 0, 63, 0])
+            out += (b"\xff\xda" + (2 + len(sos_body)).to_bytes(2, "big")
+                    + sos_body)
+            out += cw.out
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
     sos_body = bytes([len(comps_sof)])
     for cid, _hs, _vs, _tq in comps_sof:
         sos_body += bytes([cid, 0x00])  # DC table 0, AC table 0 for all

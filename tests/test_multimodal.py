@@ -1566,3 +1566,37 @@ def test_adpcm_three_channel_decodes_floor_of_mean():
         chans.append(_ima_walk_reference(hdrs[c][0], hdrs[c][1], nibs))
     exp = [sum(v[j] for v in chans) // 3 for j in range(33)]
     assert px.tolist() == exp
+
+
+def test_jpeg_non_interleaved_sequential_decodes():
+    """r10: the 3-scan sequential layout (one full-band Ns=1 scan per
+    component, T.81 A.2.2) must decode BIT-IDENTICAL to the
+    interleaved encoding of the same pixels — the two entropy layouts
+    share everything downstream of the scan walk. Partial-subset
+    interleaved scans (Ns=2 of 3) stay metadata-only."""
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(222)
+    ones = np.ones(64)
+    for w, h in ((24, 16), (17, 9), (8, 8)):
+        px = rng.integers(0, 256, size=h * w * 3, dtype=np.uint8)
+        il = _decode_jpeg_pixels(encode_jpeg_baseline(
+            px, w, h, 3, quant_luma=ones, quant_chroma=ones))
+        ni_blob = encode_jpeg_baseline(
+            px, w, h, 3, quant_luma=ones, quant_chroma=ones,
+            non_interleaved=True)
+        ni = _decode_jpeg_pixels(ni_blob)
+        assert ni is not None and ni[1] == 3
+        assert np.array_equal(ni[0], il[0])
+    # a 2-of-3 subset scan is exotic: metadata-only, never wrong pixels
+    blob = bytearray(ni_blob)
+    at = blob.find(b"\xff\xda")
+    # splice a fake Ns=2 SOS header in place of the first Ns=1 one
+    blob[at + 4] = 2
+    got = _decode_jpeg_pixels(bytes(blob))
+    assert got is None
