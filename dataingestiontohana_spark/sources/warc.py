@@ -46,6 +46,29 @@ _MAX_HEADER_BLOCK = 1 << 20
 _READ_CHUNK = 1 << 16
 
 
+class _Prepended:
+    """Read-only stream that serves ``head`` bytes before delegating
+    to the underlying file object — the seek-free way to un-read a
+    sniffed magic number (GzipFile only ever calls read)."""
+
+    def __init__(self, head: bytes, fh) -> None:
+        self._head = head
+        self._fh = fh
+
+    def read(self, n: int = -1) -> bytes:
+        if self._head:
+            if n is None or n < 0:
+                out = self._head + self._fh.read()
+                self._head = b""
+                return out
+            out = self._head[:n]
+            self._head = self._head[n:]
+            if len(out) < n:
+                out += self._fh.read(n - len(out))
+            return out
+        return self._fh.read(n)
+
+
 class _Buffered:
     """Minimal incremental reader over a binary stream: `read_until`
     and `read_exact` against an internal buffer that only ever holds
@@ -112,8 +135,11 @@ def iter_warc_records(data) -> Iterator[tuple[dict, bytes]]:
         fh = io.BytesIO(bytes(data))
     else:
         fh = data
+    # magic peek without requiring a seekable stream (the
+    # straight-off-storage path hands sockets/pipes): push the two
+    # sniffed bytes back via a prepending reader
     magic = fh.read(2)
-    fh.seek(-len(magic), io.SEEK_CUR)
+    fh = _Prepended(magic, fh)
     if magic == b"\x1f\x8b":
         fh = gzip.GzipFile(fileobj=fh)
     buf = _Buffered(fh)

@@ -205,3 +205,27 @@ def test_unterminated_header_block_is_capped():
     blob = b"WARC/1.0\r\nContent-Length: 3\r\n" + b"x" * (2 << 20)
     with pytest.raises(ValueError, match="unterminated"):
         list(iter_warc_records(blob))
+
+
+def test_streaming_parse_accepts_non_seekable_stream():
+    """The magic peek must not require seek(): a pipe-like reader
+    (read-only, no seek) parses both plain and gzip archives."""
+    class _Pipe:
+        def __init__(self, b):
+            self._b = b
+            self._i = 0
+
+        def read(self, n=-1):
+            if n is None or n < 0:
+                out = self._b[self._i:]
+                self._i = len(self._b)
+                return out
+            out = self._b[self._i : self._i + n]
+            self._i += len(out)
+            return out
+
+    recs = [_rec("warcinfo", b"k: v\r\n"),
+            _rec("response", HTTP_OK, "http://a.test/")]
+    for blob in (b"".join(recs), gzip.compress(b"".join(recs))):
+        got = list(iter_warc_records(_Pipe(blob)))
+        assert [h["warc-type"] for h, _ in got] == ["warcinfo", "response"]
