@@ -90,14 +90,19 @@ def _pct_normalize_sql(expr: str) -> str:
         " + strpos('0123456789abcdef', lower(substr(p, 3, 1))) - 1)"
     )
     unres = _UNRESERVED.format(c=code)
+    # no coalesce: string_split of a non-NULL string is never an empty
+    # list, so array_to_string only returns NULL for NULL input — and
+    # NULL must PROPAGATE to match the Spark twin (a coalesce here
+    # would canonicalize NULL urls to a non-NULL string on the oracle
+    # side only; r10 review)
     return (
-        "coalesce(array_to_string(list_transform("
+        "array_to_string(list_transform("
         f"string_split({tagged}, chr(1)), "
         "p -> CASE WHEN NOT regexp_matches(p, '^%[0-9A-Fa-f]{2}') "
         "THEN p "
         f"WHEN {unres} THEN chr(CAST({code} AS INTEGER)) || substr(p, 4) "
         "ELSE '%' || upper(substr(p, 2, 2)) || substr(p, 4) END"
-        "), ''), '')"
+        "), '')"
     )
 
 

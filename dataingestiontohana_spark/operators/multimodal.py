@@ -865,6 +865,37 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
     return None
 
 
+def _decode_huff_block(
+    r: _BitReader, dc_lut: dict, ac_lut: dict, pred: int
+) -> tuple[np.ndarray, int]:
+    """One full-band sequential block: DC category + difference, then
+    AC run/size pairs with EOB and ZRL, into a zigzag-ordered 64-coef
+    array. Shared by the interleaved and the non-interleaved
+    sequential scan walks (r10 review: the two copies had to be kept
+    in sync by hand). A run past the block end raises — breaking
+    would leave magnitude bits unread and silently desynchronize
+    every later block."""
+    coef = np.zeros(64, dtype=np.int32)
+    t = _huff_decode(r, dc_lut)
+    pred += _extend(r.bits(t), t)
+    coef[0] = pred
+    k = 1
+    while k < 64:
+        rs = _huff_decode(r, ac_lut)
+        run, size = rs >> 4, rs & 0xF
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += run
+        if k > 63:
+            raise ValueError("jpeg AC run past block end")
+        coef[k] = _extend(r.bits(size), size)
+        k += 1
+    return coef, pred
+
+
 def _jpeg_seq_scan_single(
     b: bytes,
     start: int,
@@ -891,24 +922,9 @@ def _jpeg_seq_scan_single(
             r.skip_to_rst()
             pred = 0
         by, bx = divmod(m, bw_ni)
-        arr = coefs[cid][by, bx]
-        t = _huff_decode(r, dc_lut)
-        pred += _extend(r.bits(t), t)
-        arr[0] = pred
-        k = 1
-        while k < 64:
-            rs = _huff_decode(r, ac_lut)
-            run, size = rs >> 4, rs & 0xF
-            if rs == 0x00:  # EOB
-                break
-            if rs == 0xF0:  # ZRL
-                k += 16
-                continue
-            k += run
-            if k > 63:
-                raise ValueError("jpeg AC run past block end")
-            arr[k] = _extend(r.bits(size), size)
-            k += 1
+        coefs[cid][by, bx], pred = _decode_huff_block(
+            r, dc_lut, ac_lut, pred
+        )
 
 
 def _jpeg_progressive_scan(
@@ -1377,28 +1393,9 @@ def _jpeg_scan(
             plane = planes[cid]
             for by in range(vs):
                 for bx in range(hs):
-                    coef = np.zeros(64, dtype=np.int32)
-                    t = _huff_decode(r, dc_lut)
-                    preds[cid] += _extend(r.bits(t), t)
-                    coef[0] = preds[cid]
-                    k = 1
-                    while k < 64:
-                        rs = _huff_decode(r, ac_lut)
-                        run, size = rs >> 4, rs & 0xF
-                        if rs == 0x00:  # EOB
-                            break
-                        if rs == 0xF0:  # ZRL
-                            k += 16
-                            continue
-                        k += run
-                        if k > 63:
-                            # a valid baseline stream never runs past
-                            # the block; breaking here would leave
-                            # `size` magnitude bits unread and silently
-                            # desynchronize every later block
-                            raise ValueError("jpeg AC run past block end")
-                        coef[k] = _extend(r.bits(size), size)
-                        k += 1
+                    coef, preds[cid] = _decode_huff_block(
+                        r, dc_lut, ac_lut, preds[cid]
+                    )
                     block = np.zeros(64, dtype=np.float64)
                     block[_ZIGZAG] = coef * quant
                     spatial = _DCT_C.T @ block.reshape(8, 8) @ _DCT_C
@@ -2210,6 +2207,12 @@ def _parse_wav_ex(b: bytes) -> tuple[int, np.ndarray | None, str]:
             channels = struct.unpack("<H", body[2:4])[0]
             block_align = struct.unpack("<H", body[12:14])[0]
             bits = struct.unpack("<H", body[14:16])[0]
+            # a later fmt chunk REDECLARES the codec: reset every
+            # codec flag so the last declaration wins outright (r10
+            # review: a stale g711/float/adpcm flag from an earlier
+            # fmt chunk would mis-route the decode of the final one)
+            is_float = is_adpcm = False
+            g711 = ""
             if fmt_tag == 3 and bits in (32, 64):
                 is_float = True
             elif fmt_tag == 17 and bits == 4 and channels >= 1:
@@ -2511,8 +2514,13 @@ def _parse_gif(b: bytes) -> tuple[int, int, int, int, np.ndarray | None]:
     - each emitted frame is the canvas AFTER compositing that frame,
       BEFORE its disposal applies (disposal shapes the NEXT frame's
       base);
-    - a frame rect extending past the logical screen is structural
-      corruption (raises).
+    - a frame rect extending past the logical screen CLIPS to the
+      screen (what browsers render; broken encoders emit these —
+      r10 review restored the r9 tolerance);
+    - a stream that ends after complete frames WITHOUT the 0x3B
+      trailer decodes what it has (real-world truncation — the r9
+      single-frame path tolerated it); EOF with no complete frame
+      raises.
 
     GIF carries no CRC, so the mutation contract matches JPEG:
     wrong-but-plausible streams may decode, structural violations
@@ -2536,6 +2544,8 @@ def _parse_gif(b: bytes) -> tuple[int, int, int, int, np.ndarray | None]:
     frames: list[tuple] = []
     while True:
         if off >= len(b):
+            if frames:
+                break  # truncated after complete frames: decode them
             raise ValueError("GIF: missing trailer")
         blk = b[off]
         if blk == 0x3B:  # trailer
@@ -2578,8 +2588,6 @@ def _parse_gif(b: bytes) -> tuple[int, int, int, int, np.ndarray | None]:
             raise ValueError("GIF: image with no color table")
         if not (0 < iw and 0 < ih) or iw * ih > 1 << 26:
             raise ValueError(f"GIF: implausible frame {iw}x{ih}")
-        if ix + iw > sw or iy + ih > sh:
-            raise ValueError("GIF: frame rect outside the logical screen")
         if off >= len(b):
             raise ValueError("GIF: missing LZW min code size")
         min_code = b[off]
@@ -2629,18 +2637,25 @@ def _parse_gif(b: bytes) -> tuple[int, int, int, int, np.ndarray | None]:
     for ix, iy, iw, ih, idx, pal, tr, disp in frames:
         if disp == 3:
             saved = canvas.copy()
-        grid = idx.reshape(ih, iw)
-        painted = pal[grid]
-        if ch == 4:
-            painted = np.concatenate(
-                [painted, np.full((ih, iw, 1), 255, np.uint8)], axis=2
+        # clip the paintable window to the logical screen (broken
+        # encoders emit out-of-bounds rects; browsers clip)
+        cw_, ch_ = min(iw, sw - ix), min(ih, sh - iy)
+        grid = idx.reshape(ih, iw)[: max(ch_, 0), : max(cw_, 0)]
+        if grid.size:
+            painted = pal[grid]
+            if ch == 4:
+                painted = np.concatenate(
+                    [painted,
+                     np.full((*grid.shape, 1), 255, np.uint8)], axis=2
+                )
+            rect = canvas[iy : iy + ch_, ix : ix + cw_]
+            opaque = (
+                (grid != tr) if tr >= 0 else np.ones(grid.shape, bool)
             )
-        rect = canvas[iy : iy + ih, ix : ix + iw]
-        opaque = (grid != tr) if tr >= 0 else np.ones(grid.shape, bool)
-        rect[opaque] = painted[opaque]
+            rect[opaque] = painted[opaque]
         out_frames.append(canvas.copy())
         if disp == 2:
-            canvas[iy : iy + ih, ix : ix + iw] = clear_px
+            canvas[iy : iy + ch_, ix : ix + cw_] = clear_px
         elif disp == 3:
             canvas = saved
     px = np.stack(out_frames).reshape(-1)
@@ -3042,7 +3057,16 @@ def sample_frames(df: DataFrame, every_k: int = 2) -> DataFrame:
                 frames = px.reshape(nf, h, w * ch)
                 for fi in range(0, nf, every_k):
                     payload = frames[fi].tobytes()
-                    header = struct.pack(_HEADER_FMT, _MAGIC, KIND_IMAGE, w, h, 1)
+                    # SGM1 frame containers are single-channel byte
+                    # grids; a multi-channel source frame (e.g. an
+                    # RGBA GIF) repacks as its interleaved byte
+                    # matrix — width w*ch — so the emitted container
+                    # is self-consistent for every downstream decoder
+                    # (r10 review: a (w, h) header over w*ch*h bytes
+                    # crashed any consumer that reshaped it)
+                    header = struct.pack(
+                        _HEADER_FMT, _MAGIC, KIND_IMAGE, w * ch, h, 1
+                    )
                     checksum = int(frames[fi].astype(np.int64).sum())
                     out.append((mid, fi, header + payload, checksum))
             yield pd.DataFrame(

@@ -22,9 +22,12 @@ Content-Length body) plus zlib window state, never the whole inflated
 archive (a 1 GB CC archive would otherwise hold ~4-5 GB in the Python
 worker on top of the binaryFile blob row). Record payloads never pass
 through Python row-at-a-time — whole Arrow batches of file blobs in,
-record rows out. The residual per-task peak is therefore the
-binaryFile blob itself plus max(record); for blob-frame Arrow batch
-sizing at scale see SCALING.md.
+record rows out, FLUSHED IN BOUNDED CHUNKS (r10: `warc_records` emits
+every 256 records / 32 MiB of bodies, so the parser's memory bound
+survives the operator instead of dying in a list()). The residual
+per-task peak is therefore the binaryFile blob itself plus one output
+chunk plus max(record); for blob-frame Arrow batch sizing at scale
+see SCALING.md.
 """
 
 from __future__ import annotations
@@ -201,8 +204,16 @@ def warc_records(
     id_col: str = "file_id",
     content_col: str = "content",
     passthrough: tuple[str, ...] = (),
+    rows_per_chunk: int = 256,
+    bytes_per_chunk: int = 32 << 20,
 ) -> DataFrame:
-    """(file blob) frame -> one row per WARC record.
+    """(file blob) frame -> one row per WARC record, emitted in
+    BOUNDED CHUNKS as the archive inflates (r10 review: the operator
+    used to list() the whole record set, so the streaming parser's
+    memory bound stopped at this call site — rows now flush every
+    ``rows_per_chunk`` records or ``bytes_per_chunk`` of accumulated
+    body bytes, whichever first, and the per-task peak really is
+    {blob} + {one chunk} + {one record}).
 
     Response records carry the parsed HTTP status and body; other
     record kinds (request/metadata/warcinfo) keep their type with a
@@ -211,28 +222,50 @@ def warc_records(
     rides the file key and source path through the 1:N parse this
     way — no join). The dead-letter discipline is two-level: a record
     whose HTTP payload is malformed quarantines THAT record
-    (`parse_error` set, siblings unaffected); a structurally broken
-    file emits ONE quarantine row for the file (rec_idx -1), because
-    record boundaries past the corruption cannot be trusted."""
+    (`parse_error` set, siblings unaffected); structural corruption
+    of the FILE quarantines the remainder with one rec_idx=-1 row —
+    records before the corruption were parsed from a well-formed,
+    length-validated prefix and are kept (they may already have been
+    emitted in an earlier chunk; retracting streamed output is not
+    possible, and the prefix boundaries WERE trusted)."""
     import pandas as pd
+
+    cols = [
+        "file_id", "rec_idx", "warc_type", "target_uri",
+        "http_status", "n_payload_bytes", "n_body_bytes",
+        "body", "parse_error", *passthrough,
+    ]
 
     def batches(it):
         for pdf in it:
-            rows = []
+            rows: list[tuple] = []
+            pending = 0  # body bytes buffered in `rows`
             extras = [pdf[c] for c in passthrough]
+
+            def flush():
+                nonlocal rows, pending
+                out = pd.DataFrame(rows, columns=cols)
+                rows, pending = [], 0
+                return out
+
             for row_i, (fid, blob) in enumerate(
                 zip(pdf[id_col], pdf[content_col])
             ):
                 thru = tuple(col.iloc[row_i] for col in extras)
-                try:
-                    recs = list(iter_warc_records(bytes(blob)))
-                except (ValueError, OSError, EOFError) as ex:
-                    rows.append(
-                        (fid, -1, None, None, None, None, None, None,
-                         f"{type(ex).__name__}: {ex}"[:200]) + thru
-                    )
-                    continue
-                for j, (hdrs, payload) in enumerate(recs):
+                records = iter_warc_records(bytes(blob))
+                j = 0
+                while True:
+                    try:
+                        hdrs, payload = next(records)
+                    except StopIteration:
+                        break
+                    except (ValueError, OSError, EOFError) as ex:
+                        rows.append(
+                            (fid, -1, None, None, None, None, None,
+                             None,
+                             f"{type(ex).__name__}: {ex}"[:200]) + thru
+                        )
+                        break
                     wtype = hdrs.get("warc-type", "")
                     uri = hdrs.get("warc-target-uri")
                     if wtype != "response":
@@ -240,28 +273,32 @@ def warc_records(
                             (fid, j, wtype, uri, None,
                              len(payload), None, None, None) + thru
                         )
-                        continue
-                    try:
-                        status, _h, body = parse_http_response(payload)
-                    except ValueError as ex:
-                        rows.append(
-                            (fid, j, wtype, uri, None, len(payload),
-                             None, None,
-                             f"{type(ex).__name__}: {ex}"[:200]) + thru
-                        )
-                        continue
-                    rows.append(
-                        (fid, j, wtype, uri, status, len(payload),
-                         len(body), body, None) + thru
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "file_id", "rec_idx", "warc_type", "target_uri",
-                    "http_status", "n_payload_bytes", "n_body_bytes",
-                    "body", "parse_error", *passthrough,
-                ],
-            )
+                    else:
+                        try:
+                            status, _h, body = parse_http_response(
+                                payload
+                            )
+                        except ValueError as ex:
+                            rows.append(
+                                (fid, j, wtype, uri, None,
+                                 len(payload), None, None,
+                                 f"{type(ex).__name__}: {ex}"[:200])
+                                + thru
+                            )
+                        else:
+                            rows.append(
+                                (fid, j, wtype, uri, status,
+                                 len(payload), len(body), body, None)
+                                + thru
+                            )
+                            pending += len(body)
+                    j += 1
+                    if len(rows) >= rows_per_chunk or (
+                        pending >= bytes_per_chunk
+                    ):
+                        yield flush()
+            if rows:
+                yield flush()
 
     schema = WARC_RECORD_SCHEMA + "".join(
         f", {c} string" for c in passthrough

@@ -209,7 +209,8 @@ def test_gif_animation_compositing_all_disposals():
 def test_gif_animation_rgb_mode_background_and_bounds():
     """Opaque animation (no transparency anywhere) stays RGB; the
     restore-to-background value is the global-palette background
-    color; a frame rect past the logical screen is structural."""
+    color; a frame rect past the logical screen CLIPS (browsers clip;
+    broken encoders emit these — r10 review)."""
     from dataingestiontohana_spark.operators.multimodal import (
         encode_gif_frames,
     )
@@ -231,5 +232,72 @@ def test_gif_animation_rgb_mode_background_and_bounds():
     exp1[1:3, 1:3] = pal[5]
     assert np.array_equal(frames[1], exp1)
 
+    # out-of-bounds rect: our encoder refuses to EMIT one, but the
+    # decoder CLIPS one (mutate the image descriptor's x origin)
     with pytest.raises(ValueError, match="outside the logical screen"):
-        _parse_gif(encode_gif_frames((4, 4), [(f0, 2, 2, 1, -1)], pal))
+        encode_gif_frames((4, 4), [(f0, 2, 2, 1, -1)], pal)
+    ok = bytearray(encode_gif_frames((4, 4), [(f0, 0, 0, 1, -1)], pal))
+    # image descriptor sits after header (13) + padded palette (192)
+    # + graphic control; search from there (a raw find would hit
+    # palette bytes equal to 0x2C)
+    at = ok.find(b"\x2c", 13 + 192)
+    assert at > 0 and ok[at + 1 : at + 5] == b"\x00\x00\x00\x00"
+    ok[at + 1] = 2  # x origin 2: 4-wide frame now overhangs by 2
+    w, h, nf, ch, px = _parse_gif(bytes(ok))
+    assert (w, h, nf, ch) == (4, 4, 1, 3)
+    got = px.reshape(4, 4, 3)
+    # left half keeps the initial canvas (bg color), right half shows
+    # the frame's clipped left columns
+    assert np.array_equal(got[:, :2], np.broadcast_to(pal[0], (4, 2, 3)))
+    assert np.array_equal(got[:, 2:], np.broadcast_to(pal[3], (4, 2, 3)))
+
+    # truncation after a complete frame (no 0x3B trailer): decodes
+    blob = encode_gif_frames((4, 4), [(f0, 0, 0, 1, -1)], pal)
+    assert blob.endswith(b"\x3b")
+    w2, h2, nf2, ch2, px2 = _parse_gif(blob[:-1])
+    assert nf2 == 1 and np.array_equal(
+        px2.reshape(4, 4, 3), np.broadcast_to(pal[3], (4, 4, 3)))
+    # but EOF with NO complete frame still raises
+    with pytest.raises(ValueError):
+        _parse_gif(blob[:20])
+
+
+def test_sampled_gif_frames_are_self_consistent_containers(spark):
+    """r10 review: sample_frames over a multi-channel (RGBA) animated
+    GIF must emit SGM1 containers whose header matches the payload —
+    every emitted frame re-decodes and survives the image consumers
+    (the old (w, h) header over w*ch*h bytes crashed any reshape)."""
+    from dataingestiontohana_spark.operators.multimodal import (
+        KIND_VIDEO,
+        _decode_payload,
+        encode_gif_frames,
+        resize_images,
+        sample_frames,
+    )
+
+    rng = np.random.default_rng(223)
+    pal = rng.integers(0, 256, size=(64, 3), dtype=np.uint8)
+    f0 = rng.integers(0, 64, size=(8, 16), dtype=np.uint8)
+    f1 = rng.integers(0, 64, size=(8, 16), dtype=np.uint8)
+    blob = encode_gif_frames((16, 8), [
+        (f0, 0, 0, 1, 7), (f1, 0, 0, 1, 7),
+    ], pal)
+    df = spark.createDataFrame(
+        [(1, KIND_VIDEO, blob)], "media_id long, kind int, content binary"
+    ).coalesce(1)
+    rows = sample_frames(df, every_k=1).collect()
+    assert len(rows) == 2
+    for r in rows:
+        w, h, nf, ch, px = _decode_payload(bytes(r["frame"]))
+        assert (w, h, nf, ch) == (16 * 4, 8, 1, 1)  # RGBA byte matrix
+        assert len(px) == w * h
+        assert int(px.astype("int64").sum()) == r["frame_px_sum"]
+    # downstream image consumer path: the emitted frames resize
+    # without error (kind gate: relabel as images first)
+    from pyspark.sql import functions as F
+    frames_df = spark.createDataFrame(
+        [(r["media_id"], bytes(r["frame"])) for r in rows],
+        "media_id long, content binary",
+    ).select("media_id", F.lit(1).alias("kind"), "content").coalesce(1)
+    resized = resize_images(frames_df, out_w=8, out_h=4).collect()
+    assert len(resized) == 2

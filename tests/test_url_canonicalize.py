@@ -88,3 +88,17 @@ def test_q217_plan_is_map_then_single_agg(spark):
     # (%70 -> p), uppercased reserved escape (%2f -> %2F)
     assert all("%2F" in r["canonical_url"] for r in rows)
     assert all("%70" not in r["canonical_url"] for r in rows)
+
+
+def test_null_url_propagates_null_on_both_engines(spark):
+    """r10 review: the DuckDB twin's old coalesce turned a NULL url
+    into a non-NULL ':///'-style string while Spark propagated NULL.
+    Both engines must agree: NULL in, NULL out."""
+    row = spark.createDataFrame([(None,)], "u string").select(
+        canonicalize_url("u").alias("c")
+    ).collect()[0]
+    assert row["c"] is None
+    con = duckdb.connect()
+    assert con.execute(
+        "SELECT " + canonicalize_url_sql("NULL")
+    ).fetchone()[0] is None

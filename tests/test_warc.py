@@ -229,3 +229,21 @@ def test_streaming_parse_accepts_non_seekable_stream():
     for blob in (b"".join(recs), gzip.compress(b"".join(recs))):
         got = list(iter_warc_records(_Pipe(blob)))
         assert [h["warc-type"] for h, _ in got] == ["warcinfo", "response"]
+
+
+def test_mid_file_corruption_keeps_prefix_and_quarantines_remainder(spark):
+    """r10: structural corruption AFTER well-formed records keeps the
+    validated prefix rows and quarantines the remainder (rec_idx -1) —
+    chunked emission cannot retract already-streamed rows, and the
+    prefix boundaries were length-validated. Chunk flushing itself is
+    exercised with a 2-row chunk size."""
+    good = _rec("response", HTTP_OK, "http://a.test/ok")
+    blob = good + good + good[:25]  # third record truncated mid-header
+    df = spark.createDataFrame(
+        [(7, bytearray(blob))], "file_id long, content binary"
+    ).coalesce(1)
+    rows = sorted(
+        (r["rec_idx"], r["parse_error"] is None)
+        for r in warc_records(df, rows_per_chunk=2).collect()
+    )
+    assert rows == [(-1, False), (0, True), (1, True)]
