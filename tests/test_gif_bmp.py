@@ -301,3 +301,66 @@ def test_sampled_gif_frames_are_self_consistent_containers(spark):
     ).select("media_id", F.lit(1).alias("kind"), "content").coalesce(1)
     resized = resize_images(frames_df, out_w=8, out_h=4).collect()
     assert len(resized) == 2
+
+
+def test_gif_animation_fuzz_against_reference_compositor():
+    """Randomized animations (frame counts, rects, disposals 0-3,
+    per-frame transparency) round-trip through encode_gif_frames ->
+    _parse_gif and must match an INDEPENDENT reference compositor
+    written straight from the documented contract — combinations of
+    disposal and transparency are where compositing models break, and
+    two hand cases can't cover the cross product."""
+    from dataingestiontohana_spark.operators.multimodal import (
+        encode_gif_frames,
+    )
+
+    rng = np.random.default_rng(224)
+
+    def reference(sw, sh, frames, pal):
+        ch = 4 if any(f[4] >= 0 for f in frames) else 3
+        clear = (np.zeros(ch, np.uint8) if ch == 4
+                 else pal[0].copy())  # bg index 0 in encode_gif_frames
+        canvas = np.broadcast_to(clear, (sh, sw, ch)).copy()
+        outs = []
+        for idx, x, y, disp, t in frames:
+            if disp == 3:
+                saved = canvas.copy()
+            fh, fw = idx.shape
+            for yy in range(fh):
+                for xx in range(fw):
+                    v = int(idx[yy, xx])
+                    if t >= 0 and v == t:
+                        continue
+                    px = list(pal[v])
+                    if ch == 4:
+                        px.append(255)
+                    canvas[y + yy, x + xx] = px
+            outs.append(canvas.copy())
+            if disp == 2:
+                canvas[y : y + fh, x : x + fw] = clear
+            elif disp == 3:
+                canvas = saved
+        return np.stack(outs), ch
+
+    for trial in range(40):
+        sw = int(rng.integers(4, 20))
+        sh = int(rng.integers(4, 12))
+        npal = int(rng.integers(8, 64))
+        pal = rng.integers(0, 256, size=(npal, 3), dtype=np.uint8)
+        nf = int(rng.integers(1, 5))
+        frames = []
+        for _f in range(nf):
+            fw = int(rng.integers(1, sw + 1))
+            fh = int(rng.integers(1, sh + 1))
+            x = int(rng.integers(0, sw - fw + 1))
+            y = int(rng.integers(0, sh - fh + 1))
+            disp = int(rng.integers(0, 4))
+            t = int(rng.integers(0, npal)) if rng.random() < 0.5 else -1
+            idx = rng.integers(0, npal, size=(fh, fw), dtype=np.uint8)
+            frames.append((idx, x, y, disp, t))
+        blob = encode_gif_frames((sw, sh), frames, pal)
+        w, h, gnf, gch, px = _parse_gif(blob)
+        exp, ech = reference(sw, sh, frames, pal)
+        assert (w, h, gnf, gch) == (sw, sh, nf, ech), trial
+        got = px.reshape(nf, sh, sw, gch)
+        assert np.array_equal(got, exp), f"trial {trial}"
