@@ -102,3 +102,47 @@ def test_null_url_propagates_null_on_both_engines(spark):
     assert con.execute(
         "SELECT " + canonicalize_url_sql("NULL")
     ).fetchone()[0] is None
+
+
+def test_fuzz_engine_parity_and_idempotence(spark):
+    """150 randomized URL-ish strings (mixed-case schemes/hosts, odd
+    ports, %-sequences valid and malformed, tracking params, repeated
+    separators, fragments with junk): Spark and the DuckDB twin must
+    canonicalize every one IDENTICALLY, and the result must be a fixed
+    point — the lockstep property the oracle gate rests on, fuzzed
+    past the curated CASES list."""
+    import random
+
+    rng = random.Random(3986)
+    schemes = ["http", "HTTP", "https", "hTtPs"]
+    hosts = ["A.Test", "x.example", "WWW.Site.ORG:80", "h.io:443",
+             "h.io:8080", "a.b.c.test"]
+    paths = ["", "/", "/p", "/P/q", "/%7euser", "/%2Fa", "/a%3ab",
+             "/100%", "/%zz", "/%25x", "/a//b", "/a.b-c_d~e"]
+    params = ["", "a=1", "b=%7E", "utm_source=x", "fbclid=q",
+              "z=9&a=1", "k=%2f", "gclid=g&m=2", "a=", "=v"]
+    frags = ["", "#f", "#", "#a?b=1", "#%41"]
+    urls = []
+    for _ in range(150):
+        u = (rng.choice(schemes) + "://" + rng.choice(hosts)
+             + rng.choice(paths))
+        q = "&".join(rng.sample(params, rng.randint(0, 3)))
+        if q:
+            u += "?" + q
+        u += rng.choice(frags)
+        urls.append(u)
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    got = {r["u"]: (r["c"], r["cc"]) for r in df.select(
+        "u",
+        canonicalize_url("u").alias("c"),
+        canonicalize_url(canonicalize_url("u")).alias("cc"),
+    ).collect()}
+    con = duckdb.connect()
+    for u in urls:
+        c, cc = got[u]
+        assert cc == c, (u, c, cc)  # idempotent
+        lit = "'" + u.replace("'", "''") + "'"
+        duck = con.execute(
+            "SELECT " + canonicalize_url_sql(lit)
+        ).fetchone()[0]
+        assert duck == c, (u, c, duck)  # engine lockstep
