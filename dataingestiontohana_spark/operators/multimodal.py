@@ -2492,6 +2492,18 @@ def _gif_lzw_decode(data: bytes, min_code: int, n_px: int) -> np.ndarray:
 
 _GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
 
+# Decompression-bomb budget for animated GIFs: LZW expands ~100:1, so
+# a few-KB untrusted crawl payload can declare thousands of frames and
+# would otherwise materialize nf*sh*sw*ch composited bytes. The budget
+# bounds BOTH the cumulative decoded index bytes and the worst-case
+# (RGBA) composited output; past it the file degrades to the
+# metadata-only contract (channels=0, px=None, n_frames still exact)
+# rather than raising — oversized-but-structurally-valid is not
+# malformed. 2^28 = 256 MiB matches the existing single-image ceiling
+# (2^26 px * 4 channels).
+_GIF_MAX_PX = 1 << 26
+_GIF_MAX_OUT_BYTES = 1 << 28
+
 
 def _parse_gif(b: bytes) -> tuple[int, int, int, int, np.ndarray | None]:
     """GIF87a/89a parse -> (w, h, n_frames, channels, flat samples):
@@ -2524,12 +2536,20 @@ def _parse_gif(b: bytes) -> tuple[int, int, int, int, np.ndarray | None]:
 
     GIF carries no CRC, so the mutation contract matches JPEG:
     wrong-but-plausible streams may decode, structural violations
-    raise."""
+    raise. Oversized-but-valid layouts (screen or frame past
+    `_GIF_MAX_PX`, or total decode past `_GIF_MAX_OUT_BYTES`) are NOT
+    structural violations: they keep walking the block structure
+    (so truncation still raises and n_frames stays exact) but return
+    metadata-only (channels=0, px=None) — the decompression-bomb
+    guard for WARC-ingested untrusted payloads."""
     if len(b) < 13:
         raise ValueError("GIF: truncated header")
     sw, sh, packed, bg, _ar = struct.unpack("<HHBBB", b[6:13])
-    if not (0 < sw and 0 < sh) or sw * sh > 1 << 26:
-        raise ValueError(f"GIF: implausible screen {sw}x{sh}")
+    if not (0 < sw and 0 < sh):
+        raise ValueError(f"GIF: empty screen {sw}x{sh}")
+    meta_only = sw * sh > _GIF_MAX_PX
+    n_skipped = 0  # frames walked structurally but not decoded
+    total_idx_px = 0  # cumulative decoded index bytes across frames
     off = 13
     gct = b""
     if packed & 0x80:
@@ -2544,7 +2564,7 @@ def _parse_gif(b: bytes) -> tuple[int, int, int, int, np.ndarray | None]:
     frames: list[tuple] = []
     while True:
         if off >= len(b):
-            if frames:
+            if frames or n_skipped:
                 break  # truncated after complete frames: decode them
             raise ValueError("GIF: missing trailer")
         blk = b[off]
@@ -2586,12 +2606,39 @@ def _parse_gif(b: bytes) -> tuple[int, int, int, int, np.ndarray | None]:
             off += 3 * n
         if not table:
             raise ValueError("GIF: image with no color table")
-        if not (0 < iw and 0 < ih) or iw * ih > 1 << 26:
-            raise ValueError(f"GIF: implausible frame {iw}x{ih}")
+        if not (0 < iw and 0 < ih):
+            raise ValueError(f"GIF: empty frame {iw}x{ih}")
+        if not meta_only and (
+            iw * ih > _GIF_MAX_PX
+            or total_idx_px + iw * ih > _GIF_MAX_OUT_BYTES
+            or (len(frames) + 1) * sw * sh * 4 > _GIF_MAX_OUT_BYTES
+        ):
+            # bomb/oversize budget hit: degrade the WHOLE file to
+            # metadata-only (one channel count per file — a partial
+            # pixel animation would misrepresent n_frames vs px)
+            meta_only = True
+            n_skipped += len(frames)
+            frames = []
         if off >= len(b):
             raise ValueError("GIF: missing LZW min code size")
         min_code = b[off]
         off += 1
+        if meta_only:
+            # structural walk only: count the frame, skip the LZW
+            # bytes without copying or decoding them
+            while True:
+                if off >= len(b):
+                    raise ValueError("GIF: unterminated image data")
+                size = b[off]
+                if off + 1 + size > len(b):
+                    raise ValueError("GIF: truncated data sub-block")
+                off += 1 + size
+                if size == 0:
+                    break
+            n_skipped += 1
+            transparent = -1
+            disposal = 0
+            continue
         lzw = bytearray()
         while True:
             if off >= len(b):
@@ -2604,6 +2651,7 @@ def _parse_gif(b: bytes) -> tuple[int, int, int, int, np.ndarray | None]:
             if size == 0:
                 break
         idx = _gif_lzw_decode(bytes(lzw), min_code, iw * ih)
+        total_idx_px += iw * ih
         if ipk & 0x40:  # interlaced: 4-pass row shuffle
             rows = idx.reshape(ih, iw)
             out = np.empty_like(rows)
@@ -2620,6 +2668,8 @@ def _parse_gif(b: bytes) -> tuple[int, int, int, int, np.ndarray | None]:
         # a graphic control applies to the single block that follows
         transparent = -1
         disposal = 0
+    if meta_only:
+        return sw, sh, len(frames) + n_skipped, 0, None
     if not frames:
         return sw, sh, 0, 0, None
     ch = 4 if any(f[6] >= 0 for f in frames) else 3

@@ -109,12 +109,12 @@ def test_real_driver_artifact_shape():
 
 
 def test_head_truncated_tail_recovered(tmp_path, capsys):
-    """r9 verdict item 1: at 226 fine queries the one-line output
-    outgrew the driver's 2000-char window, so the tail starts
-    MID-queries-object. The gate must reconstruct the recoverable
-    entries, report window-lost baseline entries INFORMATIONALLY (not
-    as MISSING failures), and still fail on a real regression inside
-    the recovered portion."""
+    """r9 verdict item 1 + r10 ADVICE: at 226 fine queries the
+    one-line output outgrew the driver's 2000-char window, so the
+    tail starts MID-queries-object. The gate must reconstruct the
+    recoverable entries; window-lost baseline entries FAIL by default
+    (a query that crashed inside the truncated window must not
+    silently pass) and are informational only under --allow-lost."""
     base = _baseline(tmp_path, {"q1": 1.0, "q2": 2.0, "q3": 1.5})
     # q1's cell was cut mid-value; q2/q3 + sf + streaming survive
     run = _write(tmp_path, "run.json", {
@@ -122,15 +122,20 @@ def test_head_truncated_tail_recovered(tmp_path, capsys):
         "tail": '1.2, "q2": 2.1, "q3": 1.4}, "sf": 0.1, '
                 '"streaming": {"warm": {"rows_per_sec": 20000}}}\n',
     })
-    assert main([run, base]) == 0
+    assert main([run, base]) == 1
     out = capsys.readouterr().out
-    assert "lost q1: cut off by tail truncation" in out
+    assert "LOST q1" in out and "--allow-lost" in out
     assert "MISSING" not in out
 
-    # regression inside the recovered portion still fails
+    # the explicit opt-in restores the informational treatment
+    assert main([run, base, "--allow-lost"]) == 0
+    out = capsys.readouterr().out
+    assert "lost q1: cut off by tail truncation" in out
+
+    # regression inside the recovered portion fails regardless
     run2 = _write(tmp_path, "run2.json", {
         "rc": 0, "tail": '1.2, "q2": 9.9, "q3": 1.4}, "sf": 0.1}\n'})
-    assert main([run2, base]) == 1
+    assert main([run2, base, "--allow-lost"]) == 1
 
 
 def test_head_truncated_mid_median_cell_recovers_clean_cells(tmp_path):
@@ -170,25 +175,59 @@ def test_sidecar_completes_truncated_tail(tmp_path, capsys):
         "queries": {"q1": 1.1, "q2": 2.1}, "sf": 0.1})
     assert main([run, base, "--sidecar", side_ok]) == 0
 
-    # stale sidecar: q2 value differs from the tail-recovered cell
+    # stale sidecar: q2 value differs from the tail-recovered cell —
+    # rejected, falls back to partial recovery, and the unconfirmed
+    # lost entry FAILS (r10 ADVICE) unless --allow-lost
     stale = _write(tmp_path, "stale.json", {
         "queries": {"q1": 0.1, "q2": 7.7}, "sf": 0.1})
-    assert main([run, base, "--sidecar", stale]) == 0
+    assert main([run, base, "--sidecar", stale]) == 1
     out = capsys.readouterr().out
-    assert "lost q1" in out  # fell back to partial recovery
+    assert "LOST q1" in out  # fell back to partial recovery
+    assert main([run, base, "--sidecar", stale, "--allow-lost"]) == 0
 
 
 def test_real_r9_artifact_adjudicates_exit_zero():
     """The exact artifact the r9 judge had to reconstruct by hand:
-    BENCH_r09.json's tail starts mid-queries (q01-q07 cut). The gate
-    must now recover 43 entries + streaming and exit 0 against the
-    committed baseline."""
+    BENCH_r09.json's tail starts mid-queries (q01-q07 cut). With no
+    sidecar the 7 window-lost entries now FAIL by default (r10
+    ADVICE); --allow-lost restores the r9-era adjudication, which
+    recovers 43 entries + streaming and exits 0 against the committed
+    baseline."""
     import os
 
     assert os.path.exists("BENCH_r09.json")
     rc = main(["BENCH_r09.json", "BENCH_BASELINE.json",
                "--sidecar", "/nonexistent"])
+    assert rc == 1
+    rc = main(["BENCH_r09.json", "BENCH_BASELINE.json",
+               "--sidecar", "/nonexistent", "--allow-lost"])
     assert rc == 0
+
+
+def test_default_sidecar_resolves_beside_artifact(tmp_path, capsys):
+    """r10 ADVICE: bench.py writes BENCH_LAST.json next to itself via
+    abspath(__file__), so a cwd-relative default silently missed it
+    from any other working directory. The default now prefers a
+    sidecar in the ARTIFACT's directory; when a truncated tail finds
+    no sidecar at all the gate says so."""
+    base = _baseline(tmp_path, {"q1": 1.0, "q2": 2.0})
+    run = _write(tmp_path, "run.json", {
+        "rc": 0, "tail": '1.2, "q2": 2.1}, "sf": 0.1}\n'})
+    _write(tmp_path, "BENCH_LAST.json", {
+        "queries": {"q1": 1.1, "q2": 2.1}, "sf": 0.1})
+    # no --sidecar flag: found beside the artifact, completes the map
+    assert main([run, base]) == 0
+    out = capsys.readouterr().out
+    assert "completed from sidecar" in out
+
+    # artifact in a sidecar-less directory: explicit warning
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    run2 = _write(sub, "run.json", {
+        "rc": 0, "tail": '1.2, "q2": 2.1}, "sf": 0.1}\n'})
+    rc = main([run2, base, "--sidecar", str(sub / "BENCH_LAST.json")])
+    out = capsys.readouterr().out
+    assert rc == 1 and "warning: no sidecar file" in out
 
 
 def test_median_cells_compared_by_sec(tmp_path):

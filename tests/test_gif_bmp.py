@@ -364,3 +364,62 @@ def test_gif_animation_fuzz_against_reference_compositor():
         assert (w, h, gnf, gch) == (sw, sh, nf, ech), trial
         got = px.reshape(nf, sh, sw, gch)
         assert np.array_equal(got, exp), f"trial {trial}"
+
+
+def test_gif_bomb_and_oversize_degrade_to_metadata_only():
+    """r11 (ADVICE): oversized-but-structurally-valid GIFs must NOT
+    raise (that would quarantine plausible data) and must NOT
+    materialize the composited animation (a small LZW payload can
+    declare a multi-GB expansion — decode_media sits downstream of
+    WARC ingestion of untrusted crawl bytes). Contract: metadata-only
+    (channels=0, px=None) with an EXACT n_frames from the structural
+    walk; truncation inside the walk still raises."""
+    from dataingestiontohana_spark.operators.multimodal import (
+        encode_gif_frames,
+    )
+
+    pal = np.array([[0, 0, 0], [255, 0, 0]], np.uint8)
+    f = np.zeros((1, 1), np.uint8)
+
+    # 1) oversized logical screen (> 2^26 px) on a well-formed stream:
+    #    hand-patch the screen dims of a valid 1-frame GIF
+    blob = bytearray(encode_gif_frames((1, 1), [(f, 0, 0, 0, -1)], pal))
+    blob[6:10] = np.uint16(9000).tobytes() * 2  # 9000x9000 > 2^26
+    w, h, nf, ch, px = _parse_gif(bytes(blob))
+    assert (w, h, nf, ch, px) == (9000, 9000, 1, 0, None)
+
+    # 2) frame-count bomb: screen 4096x4096 (legal per-frame), tiny
+    #    1x1 frames, but nf*sw*sh*4 crosses the 2^28-byte output
+    #    budget at frame 5 — the whole file degrades, n_frames exact
+    frames6 = [(f, 0, 0, 0, -1)] * 6
+    blob = bytearray(encode_gif_frames((4, 4), frames6, pal))
+    blob[6:10] = np.uint16(4096).tobytes() * 2
+    w, h, nf, ch, px = _parse_gif(bytes(blob))
+    assert (w, h, nf, ch, px) == (4096, 4096, 6, 0, None)
+    # under the budget (4 frames = exactly 2^28, not over): decodes
+    blob = bytearray(encode_gif_frames((4, 4), frames6[:4], pal))
+    blob[6:10] = np.uint16(4096).tobytes() * 2
+    w, h, nf, ch, px = _parse_gif(bytes(blob))
+    assert (nf, ch) == (4, 3) and px is not None
+
+    # 3) oversized frame rect (> 2^26 px, descriptor-patched): the
+    #    old guard raised; now metadata-only
+    blob = bytearray(encode_gif_frames((4, 4), [(f, 0, 0, 0, -1)], pal))
+    at = blob.find(b"\x2c", 13 + 6)
+    assert at > 0
+    blob[at + 5 : at + 9] = np.uint16(9000).tobytes() * 2
+    w, h, nf, ch, px = _parse_gif(bytes(blob))
+    assert (w, h, nf, ch, px) == (4, 4, 1, 0, None)
+
+    # 4) structural violations still raise in metadata-only mode:
+    #    truncation mid-walk on the oversized-screen stream
+    blob = bytearray(encode_gif_frames((1, 1), [(f, 0, 0, 0, -1)], pal))
+    blob[6:10] = np.uint16(9000).tobytes() * 2
+    with pytest.raises(ValueError):
+        _parse_gif(bytes(blob[: len(blob) // 2]))
+
+    # 5) the decode_media dispatcher passes the metadata row through
+    blob = bytearray(encode_gif_frames((1, 1), [(f, 0, 0, 0, -1)], pal))
+    blob[6:10] = np.uint16(9000).tobytes() * 2
+    w, h, nf, ch, px = _decode_payload(bytes(blob))
+    assert (w, h, nf, ch, px) == (9000, 9000, 1, 0, None)

@@ -48,9 +48,11 @@ reconstruct it by hand). Two recovery layers now close that:
   repaired by splicing a synthetic opener onto the first cell
   boundary (validated against the known top-level key set so a slice
   landing inside a nested median cell is rejected and retried).
-  Entries lost to the truncation are reported INFORMATIONALLY (`lost
-  <name>`) instead of failing as MISSING — they were measured, just
-  not captured by the window;
+  Entries lost to the truncation FAIL as ``LOST`` unless
+  ``--allow-lost`` is passed (r10 ADVICE: a query that crashed or
+  regressed inside the truncated window must not silently pass; the
+  informational treatment is opt-in, for a human who has verified the
+  run some other way);
 - sidecar: bench.py writes its complete output object to
   ``BENCH_LAST.json`` alongside the one-line stdout on every run. When
   the artifact under adjudication is tail-truncated and a sidecar is
@@ -58,7 +60,10 @@ reconstruct it by hand). Two recovery layers now close that:
   float fingerprint of ~40 cells makes a stale sidecar essentially
   impossible to confuse for the right one), the sidecar's COMPLETE
   map is adjudicated and nothing is lost. ``--sidecar PATH`` overrides
-  the default location.
+  the default; without it the sidecar is looked up next to the
+  ARTIFACT, then next to this repo (r10 ADVICE: bench.py writes the
+  sidecar via abspath(__file__), so a cwd-relative default silently
+  missed it when check_bench ran from another directory).
 """
 
 from __future__ import annotations
@@ -305,6 +310,10 @@ def load_artifact(
     got = {k: _to_seconds(v) for k, v in q.items()}
     s = s if isinstance(s, dict) else None
     if "truncated_head" in notes:
+        import os
+
+        if not os.path.exists(sidecar):
+            notes.append("sidecar_absent")
         completed = _sidecar_completes(got, s, sidecar)
         if completed is not None:
             got, s = completed
@@ -396,9 +405,34 @@ def check_streaming(
     return failures
 
 
+def _default_sidecar(bench_path: str) -> str:
+    """Resolve the sidecar the way bench.py WRITES it (abspath-of-
+    script, i.e. the repo root) rather than cwd-relative: prefer a
+    ``BENCH_LAST.json`` beside the artifact (artifacts are committed
+    at the repo root next to the sidecar), then beside this repo's
+    root, then the legacy cwd fallback. First existing candidate
+    wins; when none exists the first candidate is returned so the
+    caller's "no sidecar found" warning names a concrete path."""
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cands = [
+        os.path.join(
+            os.path.dirname(os.path.abspath(bench_path)), "BENCH_LAST.json"
+        ),
+        os.path.join(here, "BENCH_LAST.json"),
+        "BENCH_LAST.json",
+    ]
+    for c in cands:
+        if os.path.exists(c):
+            return c
+    return cands[0]
+
+
 def main(argv: list[str]) -> int:
     factor, floor = 2.0, 1.0
-    sidecar = "BENCH_LAST.json"
+    sidecar: str | None = None
+    allow_lost = False
     args: list[str] = []
     i = 0
     while i < len(argv):
@@ -412,6 +446,9 @@ def main(argv: list[str]) -> int:
         elif a == "--sidecar":
             sidecar = argv[i + 1]
             i += 2
+        elif a == "--allow-lost":
+            allow_lost = True
+            i += 1
         else:
             args.append(a)
             i += 1
@@ -419,6 +456,8 @@ def main(argv: list[str]) -> int:
         raise SystemExit(__doc__)
     bench_path = args[0]
     base_path = args[1] if len(args) > 1 else "BENCH_BASELINE.json"
+    if sidecar is None:
+        sidecar = _default_sidecar(bench_path)
 
     got, streaming, notes = load_artifact(bench_path, sidecar)
     truncated = "truncated_head" in notes and (
@@ -430,9 +469,14 @@ def main(argv: list[str]) -> int:
             + (
                 f"completed from sidecar {sidecar}"
                 if "sidecar_completed" in notes
-                else "entries before the window are reported as lost"
+                else "entries before the window are LOST"
             )
         )
+        if "sidecar_absent" in notes:
+            print(
+                f"warning: no sidecar file at {sidecar} — recovery "
+                "degrades to the lossy truncated-head path"
+            )
     with open(base_path) as fh:
         base_doc = json.load(fh)
     base = {k: v["sec"] for k, v in base_doc["entries"].items()}
@@ -450,13 +494,24 @@ def main(argv: list[str]) -> int:
     new = sorted(set(got) - set(base))
     missing = sorted(set(base) - set(got))
     for m in missing:
-        if truncated:
-            # the run measured these — the driver's 2000-char window
-            # just didn't capture them. Informational, not a failure
-            # (r9 verdict item 1).
-            print(f"lost {m}: cut off by tail truncation")
+        if truncated and allow_lost:
+            # the caller has vouched for the run by other means —
+            # informational only
+            print(f"lost {m}: cut off by tail truncation (--allow-lost)")
+        elif truncated:
+            # r10 ADVICE: an entry inside the truncated window may
+            # have crashed or regressed unseen; without a sidecar
+            # confirming what it measured, losing it is a FAILURE
+            line = (
+                f"LOST {m}: cut off by tail truncation and no sidecar "
+                "confirms it (--allow-lost to accept)"
+            )
+            print(line)
+            failures.append(line)
         else:
-            failures.append(f"MISSING {m}: in baseline, absent from run")
+            line = f"MISSING {m}: in baseline, absent from run"
+            print(line)
+            failures.append(line)
 
     for name in sorted(set(got) & set(base) - grouped):
         lim = factor * bound[name] + floor
