@@ -200,6 +200,34 @@ def _median_of(runs: list[dict]) -> dict:
     }
 
 
+def settle_session(spark, pause: float = 2.0) -> None:
+    """Drain accumulated session state before a latency-sensitive
+    measurement (r10 verdict item 1). When the streaming leg runs
+    embedded right after the ~200 s batch suite, the JVM is still
+    asynchronously cleaning thousands of dereferenced broadcasts /
+    shuffles / cached plans (ContextCleaner drains a weak-reference
+    queue on its own thread) and a major GC of the suite's garbage can
+    land ON the ~0.3 s micro-batch critical path — the r10 driver
+    artifact read 0.71 s/micro-batch on code whose fresh-session and
+    post-settle numbers are both ~0.26 s. Clearing the cache, forcing
+    the references queue to populate (System.gc), and yielding a
+    moment for the cleaner thread approximates the fresh-subprocess
+    state the committed baseline measures."""
+    import time as _t
+
+    try:
+        spark.catalog.clearCache()
+    except Exception:  # noqa: BLE001 — settling is best-effort
+        pass
+    try:
+        jvm = spark.sparkContext._jvm
+        for _ in range(2):
+            jvm.System.gc()
+            _t.sleep(pause / 2)
+    except Exception:  # noqa: BLE001
+        _t.sleep(pause)
+
+
 def run_streaming_bench(spark, n_rows: int | None = None,
                         n_files: int | None = None,
                         warm_runs: int | None = None) -> dict:

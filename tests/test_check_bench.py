@@ -332,3 +332,34 @@ def test_streaming_recovered_from_tail(tmp_path):
     base = _streaming_base(tmp_path)
     run = _write(tmp_path, "run.json", {"rc": 0, "tail": tail})
     assert main([run, base]) == 1  # warm 4000 < 10000/2 caught in tail
+
+
+def test_streaming_floor_uses_committed_min_spread(tmp_path):
+    """r10 verdict item 1: a baseline that commits its own warm-run
+    spread (warm_min_rows_per_sec) floors the gate on the MIN — the
+    throughput mirror of the batch cells' max(median, committed max).
+    A baseline without the min keys (pre-r11) floors on the median as
+    before."""
+    import json as _json
+
+    def _base(name, streaming):
+        p = tmp_path / name
+        p.write_text(_json.dumps({
+            "entries": {"q1": {"sec": 1.0}}, "streaming": streaming}))
+        return str(p)
+
+    run = _write(tmp_path, "run.json", {"queries": {"q1": 1.0}, "streaming": {
+        "warm": {"rows_per_sec": 9000,
+                 "audit": {"rows": 10, "uniq": 10, "span": 10}},
+        "graph_pipeline": {"warm": {
+            "rows_per_sec": 9000,
+            "audit": {"rows": 10, "uniq": 10, "span": 10}}},
+    }})
+    # median-only baseline: floor 20000/2 = 10000 > 9000 -> FAIL
+    assert main([run, _base("b1.json", {
+        "warm_rows_per_sec": 20000, "graph_rows_per_sec": 9000})]) == 1
+    # spread-aware baseline: floor min(20000, 16000)/2 = 8000 -> ok
+    assert main([run, _base("b2.json", {
+        "warm_rows_per_sec": 20000, "warm_min_rows_per_sec": 16000,
+        "graph_rows_per_sec": 9000, "graph_min_rows_per_sec": 8500,
+    })]) == 0

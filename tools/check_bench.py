@@ -31,6 +31,11 @@ Rules:
   the >=1/2x throughput floor mirroring the batch 2x latency ceiling —
   and every reported audit must hold rows == uniq == span. A run
   without a streaming object fails when the baseline commits one.
+  When the baseline commits its warm-run SPREAD
+  (``warm_min_rows_per_sec`` / ``graph_min_rows_per_sec``, written by
+  bench.py --write-baseline since r11), the floor divides the
+  committed MIN — the same noise-awareness the batch cells get from
+  max(median, committed max).
 
 Accepts any of: the raw one-line bench.py output, the driver's
 wrapper ({"parsed": {...}}), or the driver's truncated-tail artifact
@@ -376,6 +381,7 @@ def check_streaming(
             "warm ingest",
             _rate_of(streaming.get("warm")),
             sbase.get("warm_rows_per_sec"),
+            sbase.get("warm_min_rows_per_sec"),
         ),
         (
             "warm graph",
@@ -384,15 +390,20 @@ def check_streaming(
                 or streaming.get("graph_pipeline")
             ),
             sbase.get("graph_rows_per_sec"),
+            sbase.get("graph_min_rows_per_sec"),
         ),
     ]
-    for label, got, base in checks:
+    for label, got, base, bmin in checks:
         if base is None:
             continue
         if got is None:
             failures.append(f"MISSING streaming {label} rows/s")
             continue
-        lim = float(base) / factor
+        # noise-aware floor mirroring the batch cells' max(median,
+        # committed max): the baseline's own warm-run spread bounds
+        # what identical code reads under this host's pressure band,
+        # so the floor divides the committed MIN when one is present
+        lim = min(float(base), float(bmin or base)) / factor
         flag = "FAIL" if got < lim else "ok  "
         line = (
             f"{flag} streaming {label}: {got:.0f} rows/s vs baseline "
