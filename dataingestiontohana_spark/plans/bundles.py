@@ -551,8 +551,9 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     ],
     "q216_warc_ingest": [
         ("file_id", "bigint"), ("rec_idx", "int"), ("url", "string"),
-        ("status", "int"), ("n_payload_bytes", "int"),
-        ("n_body_bytes", "int"), ("text", "string"),
+        ("status", "int"), ("content_type", "string"),
+        ("n_payload_bytes", "int"), ("n_body_bytes", "int"),
+        ("text", "string"),
     ],
     "q217_url_dedup": [
         ("canonical_url", "string"), ("n_variants", "bigint"),

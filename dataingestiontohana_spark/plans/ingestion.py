@@ -57,6 +57,46 @@ def q40_sensor_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WARC_CACHE: dict[str, DataFrame] = {}
 _WARC_FILES, _WARC_DOCS = 6, (2, 3)  # response records with content
 
+# r11: planted NON-UTF-8 records (several percent of a real crawl is
+# latin-1/windows-1252/gbk/shift_jis; decoding them as UTF-8 poisons
+# downstream dedup/quality stats with U+FFFD). One row per (file,
+# record): HTTP Content-Type header value, the python codec the BODY
+# is actually encoded with, an optional in-document <meta> element,
+# and the unicode paragraph text. Together the six exercise every
+# rung of the WHATWG sniff ladder `sources/warc.py::resolve_charset`
+# implements: header charset (incl. the ISO-8859-1 -> windows-1252
+# alias on euro-sign bytes only cp1252 maps), <meta charset> and
+# <meta http-equiv> sniffs with no transport hint, a UTF-8 BOM
+# overriding a WRONG header, and the bare UTF-8 default.
+_WARC_CHARSET_DOCS: list[tuple[int, int, str, str, str, str]] = [
+    (6, 1, "text/html; charset=windows-1252", "cp1252", "",
+     "café résumé €9"),
+    (6, 2, 'text/html; charset="ISO-8859-1"', "cp1252", "",
+     "déjà vu €5"),
+    (7, 1, "text/html", "shift_jis", "<meta charset=Shift_JIS>",
+     "日本語のテキスト"),
+    (7, 2, "text/html", "gbk",
+     '<meta http-equiv="Content-Type" '
+     'content="text/html; charset=gbk">',
+     "中文网页内容"),
+    (8, 1, "text/html; charset=iso-8859-1", "utf-8-sig", "",
+     "naïve fiancée"),
+    (8, 2, "text/html", "utf-8", "", "über straße"),
+]
+
+
+def _charset_doc_parts(
+    ct: str, codec: str, meta: str, text: str
+) -> tuple[bytes, bytes]:
+    """(http payload, encoded body) for one planted charset record."""
+    html = (
+        f"<html><head><title>T</title>{meta}</head>"
+        f"<body><p>{text}</p></body></html>"
+    )
+    body = html.encode(codec)
+    head = f"HTTP/1.1 200 OK\r\nContent-Type: {ct}\r\n\r\n".encode()
+    return head + body, body
+
 
 def _warc_http(status_line: str, html: str) -> bytes:
     return (
@@ -132,6 +172,27 @@ def _warc_corpus(spark: SparkSession) -> DataFrame:
         else:
             blob = b"".join(recs)
         rows.append((i, bytearray(blob)))
+    # files 6-8: the non-UTF-8 charset plants (r11) — warcinfo + two
+    # 200 responses each, spread across all three compression layouts
+    by_file: dict[int, list[bytes]] = {}
+    for fi, rj, ct, codec, meta, text in _WARC_CHARSET_DOCS:
+        payload, _body = _charset_doc_parts(ct, codec, meta, text)
+        by_file.setdefault(fi, [
+            _warc_record([("WARC-Type", "warcinfo")],
+                         b"software: graft\r\n"),
+        ]).append(_warc_record(
+            [("WARC-Type", "response"),
+             ("WARC-Target-URI", f"http://ex{fi}.test/c{rj}")],
+            payload,
+        ))
+    for fi, recs in sorted(by_file.items()):
+        if fi == 7:
+            blob = b"".join(_gz.compress(r) for r in recs)
+        elif fi == 8:
+            blob = _gz.compress(b"".join(recs))
+        else:
+            blob = b"".join(recs)
+        rows.append((fi, bytearray(blob)))
     df = (
         spark.createDataFrame(rows, "file_id long, content binary")
         .coalesce(2)
@@ -144,15 +205,27 @@ def _warc_corpus(spark: SparkSession) -> DataFrame:
 def q216_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-archive ingestion under the VALUE gate: WARC files
     (plain, whole-stream gzip, and member-per-record gzip) through
-    `sources/warc.py::warc_records`, response records' HTML bodies
-    through the SAME `strip_html` extractor as q214 — url, HTTP
-    status, exact byte lengths and the extracted text all adjudicated
+    `sources/warc.py::warc_records`, response bodies through the
+    CHARSET-AWARE decode (r11 — WHATWG sniff order: BOM, HTTP
+    Content-Type charset, <meta> declaration, UTF-8 default; files
+    6-8 plant windows-1252 / mislabeled ISO-8859-1 / shift_jis / gbk
+    / BOM-overridden / bare-UTF-8 pages) and then the SAME
+    `strip_html` extractor as q214 — url, HTTP status, Content-Type
+    header, exact byte lengths and the extracted text all adjudicated
     verbatim (the text column makes the value hash a character-exact
-    proof of the record walk + HTTP split + extraction)."""
+    proof of the record walk + HTTP split + charset resolution +
+    extraction; the oracle replays the non-ASCII paragraphs as the
+    literal unicode the independently-encoded bodies must decode
+    back to)."""
     from dataingestiontohana_spark.functions.text import strip_html
-    from dataingestiontohana_spark.sources.warc import warc_records
+    from dataingestiontohana_spark.sources.warc import (
+        decode_crawl_text,
+        warc_records,
+    )
 
-    rec = warc_records(_warc_corpus(spark))
+    rec = decode_crawl_text(
+        warc_records(_warc_corpus(spark)), out_col="page_text"
+    )
     return (
         rec.where(
             (F.col("warc_type") == "response")
@@ -163,9 +236,10 @@ def q216_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rec_idx",
             F.col("target_uri").alias("url"),
             F.col("http_status").alias("status"),
+            "content_type",
             "n_payload_bytes",
             "n_body_bytes",
-            strip_html(F.decode(F.col("body"), "UTF-8")).alias("text"),
+            strip_html(F.col("page_text")).alias("text"),
         )
         .orderBy("file_id", "rec_idx")
     )
@@ -353,7 +427,28 @@ def _q39_oracle_sql(n: int = N) -> str:
     """
 
 
-_WARC_ORACLE = """
+def _warc_charset_values() -> str:
+    """The planted non-UTF-8 records as oracle VALUES literals. The
+    unicode text and byte lengths derive from the SAME constants the
+    corpus builder encodes with the STDLIB codecs (the independent
+    encoder — our Spark path must resolve the right charset and
+    decode the bytes back to these exact literals; a wrong codec or a
+    U+FFFD replacement hash-mismatches). The lengths are re-derived
+    here from the encoded bytes, not copied by hand."""
+    rows = []
+    for fi, rj, ct, codec, meta, text in _WARC_CHARSET_DOCS:
+        payload, body = _charset_doc_parts(ct, codec, meta, text)
+        expected = f"T {text}"
+        ct_lit = ct.replace("'", "''")
+        txt_lit = expected.replace("'", "''")
+        rows.append(
+            f"({fi}, {rj}, 'http://ex{fi}.test/c{rj}', 200, "
+            f"'{ct_lit}', {len(payload)}, {len(body)}, '{txt_lit}')"
+        )
+    return ", ".join(rows)
+
+
+_WARC_ORACLE_TEMPLATE = """
     WITH wd AS (
       SELECT f.i AS file_id, r.j AS rec_idx,
              string_agg(md5(f.i || ':warc:' || r.j || ':' || k.k),
@@ -369,6 +464,7 @@ _WARC_ORACLE = """
       SELECT file_id, CAST(rec_idx AS INT) AS rec_idx,
              'http://ex' || file_id || '.test/p' || rec_idx AS url,
              CAST(200 AS INT) AS status,
+             'text/html' AS content_type,
              CAST(length('HTTP/1.1 200 OK') + 2 + hdr.tail
                   + length('<html><head><title>T</title>'
                            || '<script>var x=1;</script></head><body><p>')
@@ -385,6 +481,7 @@ _WARC_ORACLE = """
       SELECT CAST(f.i AS BIGINT) AS file_id, CAST(4 AS INT) AS rec_idx,
              'http://ex' || f.i || '.test/p4' AS url,
              CAST(404 AS INT) AS status,
+             'text/html' AS content_type,
              CAST(length('HTTP/1.1 404 Not Found') + 2 + hdr.tail
                   + length('<html><body><p>gone</p></body></html>')
                   AS INT) AS n_payload_bytes,
@@ -392,12 +489,32 @@ _WARC_ORACLE = """
                   AS INT) AS n_body_bytes,
              'gone' AS text
       FROM range(6) f(i), hdr
+    ),
+    charset_rows(file_id, rec_idx, url, status, content_type,
+                 n_payload_bytes, n_body_bytes, text) AS (
+      VALUES {charset_values}
+    ),
+    charset_typed AS (
+      SELECT CAST(file_id AS BIGINT) AS file_id,
+             CAST(rec_idx AS INT) AS rec_idx, url,
+             CAST(status AS INT) AS status, content_type,
+             CAST(n_payload_bytes AS INT) AS n_payload_bytes,
+             CAST(n_body_bytes AS INT) AS n_body_bytes, text
+      FROM charset_rows
     )
     SELECT * FROM content
     UNION ALL
     SELECT * FROM gone
+    UNION ALL
+    SELECT * FROM charset_typed
     ORDER BY file_id, rec_idx
 """
+
+
+def _warc_oracle() -> str:
+    return _WARC_ORACLE_TEMPLATE.format(
+        charset_values=_warc_charset_values()
+    )
 
 
 
@@ -457,7 +574,7 @@ def _idn_oracle() -> str:
 
 ORACLES: dict[str, str] = {
     "q39_sensor_generate": _q39_oracle_sql(),
-    "q216_warc_ingest": _WARC_ORACLE,
+    "q216_warc_ingest": _warc_oracle(),
     "q217_url_dedup": _url_dedup_oracle(),
     "q222_idn_host": _idn_oracle(),
     # q40 is an invariant audit (the q65 bounds-flag precedent): the

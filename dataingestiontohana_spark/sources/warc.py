@@ -34,9 +34,11 @@ from __future__ import annotations
 
 import gzip
 import io
+import re
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 _CRLF = b"\r\n"
 # A WARC record header block (version line + named headers) is a few
@@ -194,9 +196,122 @@ def parse_http_response(payload: bytes) -> tuple[int, dict, bytes]:
 
 WARC_RECORD_SCHEMA = (
     "file_id long, rec_idx int, warc_type string, target_uri string, "
-    "http_status int, n_payload_bytes int, n_body_bytes int, "
-    "body binary, parse_error string"
+    "http_status int, content_type string, n_payload_bytes int, "
+    "n_body_bytes int, body binary, parse_error string"
 )
+
+
+# -- charset-aware text extraction (round 11) -------------------------
+#
+# A real Common Crawl slice is several percent non-UTF-8 (latin-1 /
+# windows-1252 / gbk / shift_jis); decoding everything as UTF-8 fills
+# those pages with U+FFFD mojibake that silently poisons downstream
+# dedup shingles and quality stats. Resolution follows the WHATWG
+# encoding sniff order a browser applies: BOM, then the transport
+# (HTTP Content-Type charset=), then an in-document <meta> declaration
+# within the first 1024 bytes, then the UTF-8 default.
+
+_META_CHARSET_RE = re.compile(
+    # both <meta charset=X> and
+    # <meta http-equiv=Content-Type content="text/html; charset=X">:
+    # the charset= attribute/param is the common load-bearing token
+    rb"""<meta[^>]{0,512}?charset\s*=\s*["']?\s*([a-zA-Z0-9_.:\-]+)""",
+    re.IGNORECASE,
+)
+_HDR_CHARSET_RE = re.compile(
+    r"""charset\s*=\s*"?\s*([a-zA-Z0-9_.:\-]+)""", re.IGNORECASE
+)
+# WHATWG maps the ISO-8859-1 family label onto windows-1252 (its
+# strict superset on the bytes real pages actually use, 0x80-0x9F
+# included) — the single most common mislabel in crawl data
+_WHATWG_ALIASES = {
+    "iso-8859-1": "windows-1252",
+    "iso8859-1": "windows-1252",
+    "latin-1": "windows-1252",
+    "latin1": "windows-1252",
+    "ascii": "windows-1252",
+    "us-ascii": "windows-1252",
+}
+
+
+def _known_codec(label: str | None) -> str | None:
+    """Normalized python codec name for a charset label, or None when
+    the label is absent/unknown (the sniff falls through)."""
+    import codecs
+
+    if not label:
+        return None
+    name = _WHATWG_ALIASES.get(label.strip().lower(), label.strip())
+    try:
+        return codecs.lookup(name).name
+    except LookupError:
+        return None
+
+
+def resolve_charset(content_type: str | None, body: bytes) -> str:
+    """WHATWG-ordered charset resolution for one HTTP body:
+    BOM > Content-Type charset= > <meta> sniff (first 1024 bytes) >
+    UTF-8 default. Always returns a decodable python codec name."""
+    if body[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig"  # consumes the BOM
+    if body[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16"  # BOM-dispatching codec
+    if content_type:
+        enc = _known_codec(
+            m.group(1) if (m := _HDR_CHARSET_RE.search(content_type))
+            else None
+        )
+        if enc:
+            return enc
+    m = _META_CHARSET_RE.search(body[:1024])
+    if m:
+        enc = _known_codec(m.group(1).decode("ascii", "replace"))
+        if enc:
+            return enc
+    return "utf-8"
+
+
+def decode_crawl_text(
+    df: DataFrame,
+    body_col: str = "body",
+    content_type_col: str = "content_type",
+    out_col: str = "text",
+) -> DataFrame:
+    """Append a charset-aware decoded-text column to a warc_records
+    frame. One vectorized Arrow pass (pandas_udf) — the per-row work
+    is a header/BOM/meta charset resolution plus a C-speed
+    bytes.decode with errors='replace' (a DECLARED charset whose
+    bytes are broken still yields the page's decodable majority). At
+    100 TB this fuses into warc_records' own mapInPandas stage (same
+    task, zero extra Arrow hop); it stays a separate operator here so
+    the binary body column remains available to non-text consumers
+    (media extraction keeps raw bytes)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no annotations: `from __future__ import annotations` stringifies
+    # hints, which pandas_udf cannot infer — the bare signature takes
+    # the default SCALAR eval type
+    @pandas_udf("string")
+    def _decode(body, ctype):
+        out = []
+        for b, ct in zip(body, ctype):
+            if b is None:
+                out.append(None)
+                continue
+            raw = bytes(b)
+            out.append(
+                raw.decode(
+                    resolve_charset(
+                        ct if isinstance(ct, str) else None, raw
+                    ),
+                    "replace",
+                )
+            )
+        return pd.Series(out, dtype="object")
+
+    return df.withColumn(out_col, _decode(F.col(body_col),
+                                          F.col(content_type_col)))
 
 
 def warc_records(
@@ -232,8 +347,8 @@ def warc_records(
 
     cols = [
         "file_id", "rec_idx", "warc_type", "target_uri",
-        "http_status", "n_payload_bytes", "n_body_bytes",
-        "body", "parse_error", *passthrough,
+        "http_status", "content_type", "n_payload_bytes",
+        "n_body_bytes", "body", "parse_error", *passthrough,
     ]
 
     def batches(it):
@@ -262,7 +377,7 @@ def warc_records(
                     except (ValueError, OSError, EOFError) as ex:
                         rows.append(
                             (fid, -1, None, None, None, None, None,
-                             None,
+                             None, None,
                              f"{type(ex).__name__}: {ex}"[:200]) + thru
                         )
                         break
@@ -270,17 +385,17 @@ def warc_records(
                     uri = hdrs.get("warc-target-uri")
                     if wtype != "response":
                         rows.append(
-                            (fid, j, wtype, uri, None,
+                            (fid, j, wtype, uri, None, None,
                              len(payload), None, None, None) + thru
                         )
                     else:
                         try:
-                            status, _h, body = parse_http_response(
+                            status, h, body = parse_http_response(
                                 payload
                             )
                         except ValueError as ex:
                             rows.append(
-                                (fid, j, wtype, uri, None,
+                                (fid, j, wtype, uri, None, None,
                                  len(payload), None, None,
                                  f"{type(ex).__name__}: {ex}"[:200])
                                 + thru
@@ -288,6 +403,7 @@ def warc_records(
                         else:
                             rows.append(
                                 (fid, j, wtype, uri, status,
+                                 h.get("content-type"),
                                  len(payload), len(body), body, None)
                                 + thru
                             )

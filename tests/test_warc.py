@@ -247,3 +247,86 @@ def test_mid_file_corruption_keeps_prefix_and_quarantines_remainder(spark):
         for r in warc_records(df, rows_per_chunk=2).collect()
     )
     assert rows == [(-1, False), (0, True), (1, True)]
+
+
+def test_charset_resolution_whatwg_order():
+    """r11: the WHATWG sniff ladder — BOM > HTTP header charset >
+    <meta> declaration > UTF-8 default — and the ISO-8859-1 ->
+    windows-1252 alias, pinned against stdlib codecs as the
+    independent encoder."""
+    from dataingestiontohana_spark.sources.warc import resolve_charset
+
+    # header param (quoted, spaced, uppercase)
+    assert resolve_charset('text/html; charset="GBK"', b"x") == "gbk"
+    assert resolve_charset("text/html;charset= Shift_JIS", b"x") == (
+        "shift_jis"
+    )
+    # WHATWG alias: 8859-1-family labels decode as cp1252
+    for label in ("iso-8859-1", "latin-1", "US-ASCII"):
+        assert resolve_charset(f"text/html; charset={label}", b"x") == (
+            "cp1252"
+        )
+    # meta sniff (both element forms), only without a header charset
+    body = b'<html><head><meta charset=shift_jis></head><body>'
+    assert resolve_charset("text/html", body) == "shift_jis"
+    body2 = (b'<head><meta http-equiv="Content-Type" '
+             b'content="text/html; charset=gbk"></head>')
+    assert resolve_charset(None, body2) == "gbk"
+    assert resolve_charset("text/html; charset=cp1251", body) == (
+        "cp1251"  # header wins over meta
+    )
+    # BOM beats everything
+    assert resolve_charset("text/html; charset=iso-8859-1",
+                           b"\xef\xbb\xbfabc") == "utf-8-sig"
+    assert resolve_charset(None, b"\xff\xfea\x00") == "utf-16"
+    # unknown labels fall through to the next rung
+    assert resolve_charset("text/html; charset=klingon",
+                           b"<meta charset=gbk>") == "gbk"
+    assert resolve_charset("text/html; charset=klingon", b"") == "utf-8"
+    assert resolve_charset(None, b"plain") == "utf-8"
+
+
+def test_charset_aware_decode_is_mojibake_free(spark):
+    """r11 verdict item 2: non-UTF-8 pages decode to their exact
+    unicode text (stdlib-encoded bodies are the independent
+    reference); the r10 behavior would have produced U+FFFD. Also
+    pins content_type capture and the BOM-overrides-wrong-header
+    precedence through the full Spark path."""
+    from pyspark.sql import functions as F
+
+    from dataingestiontohana_spark.sources.warc import (
+        decode_crawl_text,
+        warc_records,
+    )
+
+    docs = [
+        ("text/html; charset=windows-1252", "cp1252", "café € ñ"),
+        ("text/html", "shift_jis",
+         "<meta charset=shift_jis>日本語"),
+        ("text/html; charset=iso-8859-1", "utf-8-sig", "naïve"),
+        ("text/html", "utf-8", "plain ascii"),
+    ]
+    recs = []
+    for ct, codec, text in docs:
+        body = f"<p>{text}</p>".encode(codec)
+        payload = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: {ct}\r\n\r\n".encode()
+            + body
+        )
+        recs.append(_rec("response", payload, "http://c.test/x"))
+    df = spark.createDataFrame(
+        [(1, bytearray(b"".join(recs)))], "file_id long, content binary"
+    ).coalesce(1)
+    out = decode_crawl_text(warc_records(df)).orderBy("rec_idx").collect()
+    texts = [r["text"] for r in out]
+    assert texts[0] == "<p>café € ñ</p>"
+    assert texts[1] == "<p><meta charset=shift_jis>日本語</p>"
+    assert texts[2] == "<p>naïve</p>"  # BOM consumed, header ignored
+    assert texts[3] == "<p>plain ascii</p>"
+    assert all("�" not in t for t in texts)
+    assert out[0]["content_type"] == "text/html; charset=windows-1252"
+    # a NULL body (non-response record) stays NULL through the decode
+    null_rows = decode_crawl_text(warc_records(df)).where(
+        F.col("body").isNull()
+    )
+    assert all(r["text"] is None for r in null_rows.collect())
