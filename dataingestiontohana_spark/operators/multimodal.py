@@ -2122,6 +2122,100 @@ def _decode_ima_adpcm(
     return np.asarray(out, np.int16)
 
 
+# Microsoft ADPCM (WAVE fmt tag 2; the "Multimedia Programming
+# Interface and Data Specifications 1.0" / Win3.1 multimedia standards
+# update reference decoder): a 2-tap linear predictor chosen per block
+# from a coefficient table (the 7 standard pairs below ship in every
+# fmt-chunk extension), plus a per-nibble adaptive quantizer step
+# (idelta) scaled through the 16-entry adaptation table. The r11
+# decode below and the SQL oracle's recursive replay both derive from
+# these published constants. NOTE the reference arithmetic DIVIDES
+# (C `/ 256`, truncation toward zero) — NOT an arithmetic shift — so
+# a negative predictor sum truncates toward zero here and in the
+# DuckDB twin (`//` truncates toward zero there; Spark/Python `//`
+# floors, which differs on negatives and would desync the replay).
+_MS_ADPCM_COEF1: tuple[int, ...] = (256, 512, 0, 192, 240, 460, 392)
+_MS_ADPCM_COEF2: tuple[int, ...] = (0, -256, 0, 64, 0, -208, -232)
+_MS_ADPCM_ADAPT: tuple[int, ...] = (
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+)
+
+
+def _ms_walk(
+    c1: int, c2: int, delta: int, s1: int, s2: int, nibbles
+) -> list[int]:
+    """The MS-ADPCM state-machine walk over one channel's nibble
+    sequence. The two header samples are the channel's first two
+    OUTPUT samples (oldest first); each nibble then predicts
+    trunc((s1*c1 + s2*c2)/256) + signed_nibble*idelta, clamps to
+    int16, and adapts idelta = max(16, adapt[nibble]*idelta/256).
+    idelta is unbounded above (the spec never clamps it; python ints
+    absorb any growth, and the oracle walks it as HUGEINT)."""
+    out = [s2, s1]
+    for nib in nibbles:
+        t = s1 * c1 + s2 * c2
+        pred = (t // 256 if t >= 0 else -((-t) // 256)) + (
+            nib - 16 if nib >= 8 else nib
+        ) * delta
+        pred = max(-32768, min(32767, pred))
+        s2, s1 = s1, pred
+        out.append(pred)
+        delta = max(16, (_MS_ADPCM_ADAPT[nib] * delta) >> 8)
+    return out
+
+
+def _decode_ms_adpcm(
+    data: bytes, block_align: int, channels: int, coefs: list[tuple[int, int]]
+) -> np.ndarray:
+    """MS-ADPCM block decode -> int16 samples, mono or stereo (the
+    format defines no layout past 2 channels). Each block leads with
+    channel-interleaved headers: predictor index uint8 per channel
+    (into `coefs`), initial idelta int16 LE per channel, then sample1
+    and sample2 int16 LE per channel (emitted, oldest first, as the
+    channel's first two samples); body nibbles are HIGH nibble first
+    (the opposite of IMA) and alternate channels per nibble, so each
+    stereo body byte is one frame. Stereo folds floor-of-mean, the
+    integer-PCM downmix contract. Sequential per block and channel —
+    the parallel unit is the FILE, Spark's partitioning grain."""
+    out: list[int] = []
+    hdr = 7 * channels
+    for boff in range(0, len(data), block_align):
+        block = data[boff : boff + block_align]
+        preds = block[:channels]
+        if any(p >= len(coefs) for p in preds):
+            raise ValueError(
+                f"MS-ADPCM: predictor index {max(preds)} outside the "
+                f"{len(coefs)}-entry coefficient table"
+            )
+        deltas = struct.unpack(
+            f"<{channels}h", block[channels : 3 * channels]
+        )
+        s1s = struct.unpack(
+            f"<{channels}h", block[3 * channels : 5 * channels]
+        )
+        s2s = struct.unpack(f"<{channels}h", block[5 * channels : hdr])
+        body = block[hdr:]
+        nibs = []
+        for byte in body:
+            nibs.append(byte >> 4)
+            nibs.append(byte & 15)
+        chans = [
+            _ms_walk(
+                coefs[preds[c]][0], coefs[preds[c]][1],
+                deltas[c], s1s[c], s2s[c], nibs[c::channels],
+            )
+            for c in range(channels)
+        ]
+        if channels == 1:
+            out.extend(chans[0])
+        else:
+            n = min(len(ch) for ch in chans)
+            for j in range(n):
+                out.append(sum(ch[j] for ch in chans) // channels)
+    return np.asarray(out, np.int16)
+
+
 def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
     """(ulaw, alaw) 256-entry int16 decode tables from the G.711
     segment formulas (the classic CCITT reference arithmetic:
@@ -2172,7 +2266,11 @@ def _parse_wav_ex(b: bytes) -> tuple[int, np.ndarray | None, str]:
     stereo a whole number of 4-byte channel groups — the shape a
     fact-chunk-truncated real-world stream actually has; stereo folds
     the two decoded channels floor-of-mean, the integer-PCM
-    contract). Integer multichannel downmixes to the FLOOR of the
+    contract), and for mono AND stereo MS-ADPCM (fmt tag 2, 4 bits —
+    r11, the second-most-common compressed WAV codec in the wild:
+    coefficient pairs from the fmt extension, high-nibble-first body,
+    same partial-final-block tail rule). Integer multichannel
+    downmixes to the FLOOR of the
     per-frame channel mean in exact full-precision integer arithmetic
     (the r7 stereo (l + r) // 2, generalized); float
     stereo downmixes (l + r) / 2 in float64 (exact for the on-grid
@@ -2182,13 +2280,15 @@ def _parse_wav_ex(b: bytes) -> tuple[int, np.ndarray | None, str]:
     PCM or decoded ADPCM (codec tag disambiguates), int32 = 24-bit
     (range ±2^23), int64 = 32-bit (range ±2^31), float32/float64 =
     IEEE float at native width (nominal range ±1.0). Remaining
-    layouts (headerless/mid-group-misaligned ADPCM tails, >2-channel
-    ADPCM, other compressed codecs) stay count-only (px None) — valid
+    layouts (headerless/mid-group-misaligned IMA tails, >2-channel
+    ADPCM, >2-channel MS-ADPCM containers — the format defines none —
+    and other compressed codecs) stay count-only (px None) — valid
     unsupported layouts, never quarantined."""
     off = 12
     bits = channels = 1
     block_align = 0
-    is_float = is_adpcm = False
+    is_float = is_adpcm = is_ms_adpcm = False
+    ms_coefs: list[tuple[int, int]] = []
     g711 = ""
     data = None
     while off + 8 <= len(b):
@@ -2211,10 +2311,35 @@ def _parse_wav_ex(b: bytes) -> tuple[int, np.ndarray | None, str]:
             # codec flag so the last declaration wins outright (r10
             # review: a stale g711/float/adpcm flag from an earlier
             # fmt chunk would mis-route the decode of the final one)
-            is_float = is_adpcm = False
+            is_float = is_adpcm = is_ms_adpcm = False
+            ms_coefs = []
             g711 = ""
             if fmt_tag == 3 and bits in (32, 64):
                 is_float = True
+            elif fmt_tag == 2 and bits == 4 and channels in (1, 2):
+                # MS-ADPCM (r11, closing the second-most-common
+                # compressed-WAV boundary after IMA). The fmt
+                # extension carries the coefficient table
+                # (wSamplesPerBlock, wNumCoef, then int16 pairs);
+                # a bare 16-byte fmt falls back to the 7 standard
+                # pairs every writer plants anyway. The format
+                # defines mono/stereo only — other channel counts
+                # stay count-only via the fmt_tag != 1 arm below.
+                if length >= 22:
+                    ncoef = struct.unpack("<H", body[20:22])[0]
+                    if length >= 22 + 4 * ncoef and ncoef >= 1:
+                        ms_coefs = [
+                            struct.unpack(
+                                "<hh", body[22 + 4 * k : 26 + 4 * k]
+                            )
+                            for k in range(ncoef)
+                        ]
+                if not ms_coefs:
+                    ms_coefs = list(
+                        zip(_MS_ADPCM_COEF1, _MS_ADPCM_COEF2)
+                    )
+                is_ms_adpcm = True
+                bits = -bits  # never a PCM width; gated below
             elif fmt_tag == 17 and bits == 4 and channels >= 1:
                 # r10: any channel count — the block decode walks one
                 # state machine per channel over 4-byte interleaved
@@ -2241,7 +2366,8 @@ def _parse_wav_ex(b: bytes) -> tuple[int, np.ndarray | None, str]:
     if channels < 1:
         raise ValueError("WAV: zero channels")
     # width/alignment validation applies to decodable layouts only:
-    # non-PCM codecs (ADPCM fmt 2/17 with bits 4, ...) are VALID
+    # non-PCM codecs not routed above (exotic fmt tags, off-spec
+    # ADPCM channel counts, ...) are VALID
     # unsupported layouts and keep the documented count-only contract —
     # quarantining them as corrupt would misclassify well-formed files
     if bits > 0:
@@ -2272,6 +2398,19 @@ def _parse_wav_ex(b: bytes) -> tuple[int, np.ndarray | None, str]:
     ):
         px = _decode_ima_adpcm(data, block_align, channels)
         return len(px), px, "adpcm"
+    # MS-ADPCM tail rule mirrors IMA's: a short final block decodes
+    # as long as it keeps its full 7-bytes-per-channel header (body
+    # nibbles are sequential for mono and one whole frame per byte
+    # for stereo, so ANY tail body length decodes)
+    ms_tail = len(data) % block_align if block_align else 0
+    if (
+        is_ms_adpcm
+        and block_align >= 7 * channels
+        and len(data) > 0
+        and (ms_tail == 0 or ms_tail >= 7 * channels)
+    ):
+        px = _decode_ms_adpcm(data, block_align, channels, ms_coefs)
+        return len(px), px, "msadpcm"
     if g711 and len(data) > 0 and len(data) % channels == 0:
         tab = _G711_ALAW if g711 == "alaw" else _G711_ULAW
         s = tab[np.frombuffer(data, np.uint8)].astype(np.int64)
@@ -3289,7 +3428,7 @@ def wav_native_moments(df: DataFrame) -> DataFrame:
                     continue
                 if px is None or len(px) == 0:
                     continue
-                if codec == "adpcm":
+                if codec in ("adpcm", "msadpcm"):
                     bits = 4
                 elif codec in ("ulaw", "alaw"):
                     bits = 8  # one G.711 byte per sample per channel

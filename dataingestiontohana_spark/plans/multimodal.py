@@ -786,6 +786,81 @@ def _wav_native_corpus(spark: SparkSession) -> DataFrame:
             + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(data)) + data,
         ))
+    # MS-ADPCM clips 37-38 (r11, closing the second-most-common
+    # compressed-WAV boundary after IMA — fmt tag 2). Clip 37 (mono):
+    # two 71-byte blocks (7-byte header + 64 body bytes = 128
+    # nibbles, HIGH nibble first = 130 samples/block). Clip 38
+    # (stereo): one full 78-byte block (14-byte header + 64 body
+    # bytes; each body byte is one frame: ch0 high nibble, ch1 low)
+    # + a PARTIAL final block (14-byte header + 32 body bytes = 34
+    # frames) — the same fact-chunk-truncated tail shape the IMA
+    # clips 32-33 pinned. Every header field is a plain integer
+    # formula and the body is md5-expanded from "{id}:msadpcm:{c}",
+    # so the DuckDB oracle reconstructs the exact encoded stream and
+    # replays the coefficient-pair predictor + idelta adaptation as a
+    # recursive CTE — the lossy codec adjudicated sample-exactly
+    # because the ENCODED stream is the planted ground truth.
+    def _ms_hdr(i: int, blk: int, channels: int) -> bytes:
+        preds = bytes(
+            (i * 7 + blk * 3 + ch) % 7 for ch in range(channels)
+        )
+        deltas = struct.pack(
+            f"<{channels}h",
+            *(16 + (i * 97 + blk * 53 + ch * 29) % 4000
+              for ch in range(channels)),
+        )
+        s1s = struct.pack(
+            f"<{channels}h",
+            *(((i * 8191 + blk * 2713 + ch * 977) % 65536) - 32768
+              for ch in range(channels)),
+        )
+        s2s = struct.pack(
+            f"<{channels}h",
+            *(((i * 4099 + blk * 1511 + ch * 641) % 65536) - 32768
+              for ch in range(channels)),
+        )
+        return preds + deltas + s1s + s2s
+
+    def _ms_fmt(channels: int, block_align: int, spb: int) -> bytes:
+        from dataingestiontohana_spark.operators.multimodal import (
+            _MS_ADPCM_COEF1,
+            _MS_ADPCM_COEF2,
+        )
+
+        fmt = struct.pack(
+            "<HHIIHHHHH", 2, channels, 8000,
+            8000 * block_align // spb, block_align, 4,
+            4 + 7 * 4, spb, 7,
+        )
+        return fmt + b"".join(
+            struct.pack("<hh", a, c)
+            for a, c in zip(_MS_ADPCM_COEF1, _MS_ADPCM_COEF2)
+        )
+
+    for i, channels, bodies in (
+        (37, 1, (64, 64)),
+        (38, 2, (64, 32)),
+    ):
+        body_all = bytearray()
+        cms = 0
+        while len(body_all) < 64 * len(bodies):
+            body_all += hashlib.md5(f"{i}:msadpcm:{cms}".encode()).digest()
+            cms += 1
+        data = b"".join(
+            _ms_hdr(i, blk, channels)
+            + bytes(body_all[blk * 64 : blk * 64 + nb])
+            for blk, nb in enumerate(bodies)
+        )
+        align = 7 * channels + 64
+        spb = 2 + 64 * 2 // channels
+        fmt = _ms_fmt(channels, align, spb)
+        rows.append((
+            i,
+            KIND_AUDIO,
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data,
+        ))
     df = (
         spark.createDataFrame(rows, "media_id long, kind int, content binary")
         .coalesce(2)
@@ -1625,6 +1700,149 @@ g711_folded AS (
 """
 
 
+# DuckDB replay of the MS-ADPCM decode (clips 37-38, r11, see
+# _wav_native_corpus): the coefficient-pair predictor
+# trunc((s1*c1 + s2*c2)/256) + signed_nibble*idelta with
+# idelta = max(16, adapt[nibble]*idelta/256) is a sequential
+# recurrence like IMA, walked as a RECURSIVE CTE. The reference
+# arithmetic is C division (truncation toward zero) — DuckDB's `//`
+# matches exactly, which is WHY the replay uses `//` here while the
+# floor-semantics folds use floor(). Nibbles are HIGH-first (the
+# opposite of IMA); stereo walks BOTH channel state machines in one
+# row per frame (each body byte is one frame: ch0 high, ch1 low) and
+# folds floor-of-mean. idelta is unbounded above per the spec, so the
+# walk carries it as HUGEINT.
+_MS1_BYTE = (
+    "16*(strpos('0123456789abcdef',"
+    " substr(md5(media_id || ':msadpcm:'"
+    " || ((blk*64 + (p+1)//2) // 16)),"
+    " CAST(2*((blk*64 + (p+1)//2) % 16) + 1 AS INT), 1))-1)"
+    " + (strpos('0123456789abcdef',"
+    " substr(md5(media_id || ':msadpcm:'"
+    " || ((blk*64 + (p+1)//2) // 16)),"
+    " CAST(2*((blk*64 + (p+1)//2) % 16) + 2 AS INT), 1))-1)"
+)
+_MS2_BYTE = (
+    "16*(strpos('0123456789abcdef',"
+    " substr(md5(media_id || ':msadpcm:'"
+    " || ((blk*64 + p+1) // 16)),"
+    " CAST(2*((blk*64 + p+1) % 16) + 1 AS INT), 1))-1)"
+    " + (strpos('0123456789abcdef',"
+    " substr(md5(media_id || ':msadpcm:'"
+    " || ((blk*64 + p+1) // 16)),"
+    " CAST(2*((blk*64 + p+1) % 16) + 2 AS INT), 1))-1)"
+)
+
+_MSADPCM_CTE = f"""
+ms_coef(ci, c1, c2) AS (VALUES
+  (0, 256, 0), (1, 512, -256), (2, 0, 0), (3, 192, 64),
+  (4, 240, 0), (5, 460, -208), (6, 392, -232)),
+ms_adapt(ni, av) AS (VALUES
+  (0, 230), (1, 230), (2, 230), (3, 230), (4, 307), (5, 409),
+  (6, 512), (7, 614), (8, 768), (9, 614), (10, 512), (11, 409),
+  (12, 307), (13, 230), (14, 230), (15, 230)),
+ms1_blocks AS (
+  SELECT CAST(37 AS BIGINT) AS media_id, CAST(b.j AS INT) AS blk,
+         (37*7 + b.j*3) % 7 AS ci,
+         CAST(16 + (37*97 + b.j*53) % 4000 AS HUGEINT) AS d0,
+         ((37*8191 + b.j*2713) % 65536) - 32768 AS s1_0,
+         ((37*4099 + b.j*1511) % 65536) - 32768 AS s2_0,
+         127 AS nmax
+  FROM range(2) b(j)
+),
+ms1_walk(media_id, blk, p, s1, s2, d, ci, s, sq, nmax) AS (
+  SELECT media_id, blk, -1, s1_0, s2_0, d0, ci,
+         CAST(s1_0 AS HUGEINT) + s2_0,
+         CAST(s1_0 AS HUGEINT)*s1_0 + CAST(s2_0 AS HUGEINT)*s2_0,
+         nmax
+  FROM ms1_blocks
+  UNION ALL
+  SELECT media_id, blk, p, predn, s1, dn, ci, s + predn,
+         sq + CAST(predn AS HUGEINT)*predn, nmax
+  FROM (
+    SELECT x.media_id, x.blk, x.p, x.s1, x.ci, x.nmax, x.s, x.sq,
+           GREATEST(-32768, LEAST(32767,
+             (x.s1*c.c1 + x.s2*c.c2) // 256
+             + (CASE WHEN x.nib >= 8 THEN x.nib - 16
+                     ELSE x.nib END) * x.d)) AS predn,
+           GREATEST(CAST(16 AS HUGEINT), (a.av * x.d) // 256) AS dn
+    FROM (
+      SELECT y.media_id, y.blk, y.p + 1 AS p, y.s1, y.s2, y.d,
+             y.ci, y.s, y.sq, y.nmax,
+             CASE WHEN (y.p + 1) % 2 = 0 THEN y.byte // 16
+                  ELSE y.byte % 16 END AS nib
+      FROM (
+        SELECT media_id, blk, p, s1, s2, d, ci, s, sq, nmax,
+               {_MS1_BYTE} AS byte
+        FROM ms1_walk WHERE p < nmax
+      ) y
+    ) x JOIN ms_coef c ON c.ci = x.ci JOIN ms_adapt a ON a.ni = x.nib
+  ) w
+),
+ms2_blocks AS (
+  SELECT CAST(38 AS BIGINT) AS media_id, CAST(b.j AS INT) AS blk,
+         (38*7 + b.j*3) % 7 AS cil, (38*7 + b.j*3 + 1) % 7 AS cir,
+         CAST(16 + (38*97 + b.j*53) % 4000 AS HUGEINT) AS dl0,
+         CAST(16 + (38*97 + b.j*53 + 29) % 4000 AS HUGEINT) AS dr0,
+         ((38*8191 + b.j*2713) % 65536) - 32768 AS s1l0,
+         ((38*8191 + b.j*2713 + 977) % 65536) - 32768 AS s1r0,
+         ((38*4099 + b.j*1511) % 65536) - 32768 AS s2l0,
+         ((38*4099 + b.j*1511 + 641) % 65536) - 32768 AS s2r0,
+         CASE WHEN b.j = 1 THEN 31 ELSE 63 END AS nmax
+  FROM range(2) b(j)
+),
+ms2_walk(media_id, blk, p, s1l, s2l, dl, cil,
+         s1r, s2r, dr, cir, s, sq, nmax) AS (
+  SELECT media_id, blk, -1, s1l0, s2l0, dl0, cil,
+         s1r0, s2r0, dr0, cir,
+         CAST(floor((s2l0 + s2r0)/2.0) AS HUGEINT)
+           + CAST(floor((s1l0 + s1r0)/2.0) AS HUGEINT),
+         CAST(floor((s2l0 + s2r0)/2.0) AS HUGEINT)
+           * CAST(floor((s2l0 + s2r0)/2.0) AS HUGEINT)
+           + CAST(floor((s1l0 + s1r0)/2.0) AS HUGEINT)
+           * CAST(floor((s1l0 + s1r0)/2.0) AS HUGEINT),
+         nmax
+  FROM ms2_blocks
+  UNION ALL
+  SELECT media_id, blk, p, pl, s1l, dln, cil, pr, s1r, drn, cir,
+         s + CAST(floor((pl + pr)/2.0) AS HUGEINT),
+         sq + CAST(floor((pl + pr)/2.0) AS HUGEINT)
+            * CAST(floor((pl + pr)/2.0) AS HUGEINT),
+         nmax
+  FROM (
+    SELECT x.media_id, x.blk, x.p, x.s1l, x.s1r, x.cil, x.cir,
+           x.nmax, x.s, x.sq,
+           GREATEST(-32768, LEAST(32767,
+             (x.s1l*cl.c1 + x.s2l*cl.c2) // 256
+             + (CASE WHEN x.nl >= 8 THEN x.nl - 16
+                     ELSE x.nl END) * x.dl)) AS pl,
+           GREATEST(CAST(16 AS HUGEINT), (al.av * x.dl) // 256) AS dln,
+           GREATEST(-32768, LEAST(32767,
+             (x.s1r*cr.c1 + x.s2r*cr.c2) // 256
+             + (CASE WHEN x.nr >= 8 THEN x.nr - 16
+                     ELSE x.nr END) * x.dr)) AS pr,
+           GREATEST(CAST(16 AS HUGEINT), (ar.av * x.dr) // 256) AS drn
+    FROM (
+      SELECT y.media_id, y.blk, y.p + 1 AS p,
+             y.s1l, y.s2l, y.dl, y.cil,
+             y.s1r, y.s2r, y.dr, y.cir, y.s, y.sq, y.nmax,
+             y.byte // 16 AS nl, y.byte % 16 AS nr
+      FROM (
+        SELECT media_id, blk, p, s1l, s2l, dl, cil,
+               s1r, s2r, dr, cir, s, sq, nmax,
+               {_MS2_BYTE} AS byte
+        FROM ms2_walk WHERE p < nmax
+      ) y
+    ) x
+    JOIN ms_coef cl ON cl.ci = x.cil
+    JOIN ms_coef cr ON cr.ci = x.cir
+    JOIN ms_adapt al ON al.ni = x.nl
+    JOIN ms_adapt ar ON ar.ni = x.nr
+  ) w
+)
+"""
+
+
 # DuckDB reconstruction of the 16-bit PNG corpus (see _png16_corpus):
 # native sample j = 256*byte(2j) + byte(2j+1) of the md5 expansion.
 _PNG16_CTE = f"""
@@ -1897,7 +2115,8 @@ ORACLES = {
     """,
     "q205_wav_native": f"""
         WITH RECURSIVE {_WAV_NATIVE_CTE},
-        {_ADPCM_CTE}
+        {_ADPCM_CTE},
+        {_MSADPCM_CTE}
         SELECT media_id, 'pcm' AS codec, CAST(bits AS INTEGER) AS bits,
                CAST({_WAV_FRAMES} AS INTEGER) AS n_samples,
                CAST(SUM(v) AS BIGINT) AS px_sum,
@@ -1946,6 +2165,26 @@ ORACLES = {
                CAST(SUM(CAST(v AS HUGEINT) * v) % 1000000000000000000
                     AS BIGINT) AS px_sqsum_lo
         FROM ad3_frames
+        GROUP BY media_id
+        UNION ALL
+        SELECT media_id, 'msadpcm' AS codec, CAST(4 AS INTEGER) AS bits,
+               CAST(SUM(nmax + 3) AS INTEGER) AS n_samples,
+               CAST(SUM(s) AS BIGINT) AS px_sum,
+               CAST(SUM(sq) // 1000000000000000000 AS BIGINT)
+                    AS px_sqsum_hi,
+               CAST(SUM(sq) % 1000000000000000000 AS BIGINT)
+                    AS px_sqsum_lo
+        FROM ms1_walk WHERE p = nmax
+        GROUP BY media_id
+        UNION ALL
+        SELECT media_id, 'msadpcm' AS codec, CAST(4 AS INTEGER) AS bits,
+               CAST(SUM(nmax + 3) AS INTEGER) AS n_samples,
+               CAST(SUM(s) AS BIGINT) AS px_sum,
+               CAST(SUM(sq) // 1000000000000000000 AS BIGINT)
+                    AS px_sqsum_hi,
+               CAST(SUM(sq) % 1000000000000000000 AS BIGINT)
+                    AS px_sqsum_lo
+        FROM ms2_walk WHERE p = nmax
         GROUP BY media_id
         UNION ALL
         SELECT media_id,

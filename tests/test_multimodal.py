@@ -1600,3 +1600,176 @@ def test_jpeg_non_interleaved_sequential_decodes():
     blob[at + 4] = 2
     got = _decode_jpeg_pixels(bytes(blob))
     assert got is None
+
+
+def _ms_wav(data: bytes, channels: int = 1, block_align: int = 71,
+            with_ext: bool = True) -> bytes:
+    """Container for MS-ADPCM (fmt tag 2) test streams; with_ext
+    plants the standard 7 coefficient pairs in the fmt extension,
+    otherwise a bare 16-byte fmt exercises the fallback."""
+    import struct as _s
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        _MS_ADPCM_COEF1,
+        _MS_ADPCM_COEF2,
+    )
+
+    if with_ext:
+        fmt = _s.pack("<HHIIHHHHH", 2, channels, 8000, 4000,
+                      block_align, 4, 32, 130, 7)
+        fmt += b"".join(_s.pack("<hh", a, b)
+                        for a, b in zip(_MS_ADPCM_COEF1, _MS_ADPCM_COEF2))
+    else:
+        fmt = _s.pack("<HHIIHH", 2, channels, 8000, 4000,
+                      block_align, 4)
+    return (b"RIFF" + _s.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+            + b"data" + _s.pack("<I", len(data)) + data)
+
+
+def _ms_reference_walk(c1, c2, delta, s1, s2, nibbles):
+    """Independent in-test MS-ADPCM reference: the published
+    reference-decoder arithmetic transcribed directly (C division =
+    truncation toward zero, idelta adaptation AFTER the predictor)."""
+    adapt = (230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230)
+    out = [s2, s1]
+    for nib in nibbles:
+        t = s1 * c1 + s2 * c2
+        q = int(t / 256)  # C semantics: truncation toward zero
+        pred = q + (nib - 16 if nib >= 8 else nib) * delta
+        pred = max(-32768, min(32767, pred))
+        s2, s1 = s1, pred
+        out.append(pred)
+        delta = max(16, adapt[nib] * delta // 256)
+    return out
+
+
+def test_ms_adpcm_hand_derived_and_reference_pinned():
+    """r11 (verdict item 3): MS-ADPCM (WAV fmt tag 2). First a
+    HAND-DERIVED literal pin (every step computed manually from the
+    published spec arithmetic in the comments), including the
+    truncation-vs-floor case C division decides; then the production
+    decoder against the independent in-test reference walk over
+    adversarial streams and all 7 coefficient pairs."""
+    import hashlib
+    import struct as _s
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        _decode_ms_adpcm,
+        _MS_ADPCM_COEF1,
+        _MS_ADPCM_COEF2,
+        _parse_wav_ex,
+    )
+
+    coefs = list(zip(_MS_ADPCM_COEF1, _MS_ADPCM_COEF2))
+    # hand pin 1 — coeff pair 0 (c1=256, c2=0 -> pred = s1 + s*delta):
+    # hdr: delta 16, s1 100, s2 -5000; body 0x17 0x9F ->
+    #  nib 1: 100+16=116,  delta max(16,230*16//256)=16
+    #  nib 7: 116+7*16=228, delta max(16,614*16//256)=38
+    #  nib 9 (signed -7): 228-7*38=-38, delta max(16,614*38//256)=91
+    #  nib 15 (signed -1): trunc(-38*256/256)=-38; -38-91=-129
+    blk = bytes([0]) + _s.pack("<hhh", 16, 100, -5000) + bytes([0x17, 0x9F])
+    got = _decode_ms_adpcm(blk, len(blk), 1, coefs)
+    assert list(got) == [-5000, 100, 116, 228, -38, -129]
+    # hand pin 2 — the truncation case, coeff pair 3 (192, 64):
+    # s1=-5, s2=-6 -> t=-1344, C trunc(-1344/256) = -5 (floor = -6);
+    # nib 0 emits -5; then nib 8 (signed -8): t=-5*192-5*64=-1280 ->
+    # -5; pred = -5 - 8*16 = -133
+    blk = bytes([3]) + _s.pack("<hhh", 16, -5, -6) + bytes([0x08])
+    got = _decode_ms_adpcm(blk, len(blk), 1, coefs)
+    assert list(got) == [-6, -5, -5, -133]
+
+    # adversarial streams vs the independent walk, one per coeff pair
+    noise = b"".join(
+        hashlib.md5(f"msadpcm-test:{c}".encode()).digest()
+        for c in range(32)
+    )
+    for ci in range(7):
+        for delta, s1, s2, body in [
+            (16, -32768, 32767, bytes(32)),
+            (4000, 32767, -32768, b"\xff" * 32),
+            (300, -1234, 777, noise[32 * ci: 32 * ci + 32]),
+        ]:
+            blk = (bytes([ci]) + _s.pack("<hhh", delta, s1, s2) + body)
+            nibs = [n for byte in body for n in (byte >> 4, byte & 15)]
+            exp = _ms_reference_walk(*coefs[ci], delta, s1, s2, nibs)
+            got = _decode_ms_adpcm(blk, len(blk), 1, coefs)
+            assert list(got) == exp, f"coeff pair {ci}"
+
+    # container path: multi-block mono, fmt extension present
+    b0 = bytes([1]) + _s.pack("<hhh", 100, 2000, -1500) + noise[:64]
+    b1 = bytes([5]) + _s.pack("<hhh", 50, -100, 900) + noise[64:128]
+    n, px, codec = _parse_wav_ex(_ms_wav(b0 + b1))
+    assert codec == "msadpcm" and n == 2 * 130
+    exp = (_ms_reference_walk(*coefs[1], 100, 2000, -1500,
+                              [n for b in noise[:64]
+                               for n in (b >> 4, b & 15)])
+           + _ms_reference_walk(*coefs[5], 50, -100, 900,
+                                [n for b in noise[64:128]
+                                 for n in (b >> 4, b & 15)]))
+    assert list(px) == exp
+    # a bare 16-byte fmt (no extension) falls back to the standard
+    # coefficient table — identical samples
+    n2, px2, codec2 = _parse_wav_ex(_ms_wav(b0 + b1, with_ext=False))
+    assert codec2 == "msadpcm" and list(px2) == exp
+
+
+def test_ms_adpcm_stereo_tails_and_gates(spark):
+    """Stereo MS-ADPCM: each body byte is one frame (ch0 high nibble,
+    ch1 low), folded floor-of-mean; a partial final block with a full
+    14-byte header decodes; a tail shorter than the header stays
+    count-only; a predictor index outside the coefficient table
+    QUARANTINES (corrupt stream); 3-channel containers (the format
+    defines none) stay count-only."""
+    import struct as _s
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        KIND_AUDIO,
+        _MS_ADPCM_COEF1,
+        _MS_ADPCM_COEF2,
+        _parse_wav_ex,
+        decode_media,
+    )
+
+    coefs = list(zip(_MS_ADPCM_COEF1, _MS_ADPCM_COEF2))
+    hdr = (bytes([0, 3]) + _s.pack("<hh", 16, 40)
+           + _s.pack("<hh", 100, -5) + _s.pack("<hh", -5000, -6))
+    body = bytes([0x17, 0x9F, 0x80, 0x31])
+    blk = hdr + body
+    align = 14 + 4
+    n, px, codec = _parse_wav_ex(
+        _ms_wav(blk, channels=2, block_align=align))
+    assert codec == "msadpcm" and n == 6
+    lnib = [b >> 4 for b in body]
+    rnib = [b & 15 for b in body]
+    lref = _ms_reference_walk(*coefs[0], 16, 100, -5000, lnib)
+    rref = _ms_reference_walk(*coefs[3], 40, -5, -6, rnib)
+    exp = [(a + b) // 2 for a, b in zip(lref, rref)]  # python // floors
+    assert list(px) == exp
+    # partial final block: full header + 2 body bytes -> 4 frames
+    part = hdr + body[:2]
+    n2, px2, codec2 = _parse_wav_ex(
+        _ms_wav(blk + part, channels=2, block_align=align))
+    assert codec2 == "msadpcm" and n2 == 6 + 4
+    assert list(px2[:6]) == exp
+    # a tail shorter than the 14-byte header stays count-only
+    n3, px3, codec3 = _parse_wav_ex(
+        _ms_wav(blk + hdr[:10], channels=2, block_align=align))
+    assert px3 is None
+    # predictor index 9 > 6: corrupt -> quarantine through decode_media
+    bad = bytes([9]) + blk[1:]
+    df = spark.createDataFrame(
+        [(1, KIND_AUDIO,
+          bytearray(_ms_wav(bad, channels=2, block_align=align)))],
+        "media_id long, kind int, content binary",
+    )
+    out = decode_media(df).collect()
+    assert len(out) == 1 and out[0]["decode_error"] is not None
+    # 3-channel container: valid-unsupported, count-only
+    hdr3 = (bytes([0, 1, 2]) + _s.pack("<hhh", 16, 16, 16)
+            + _s.pack("<hhh", 1, 2, 3) + _s.pack("<hhh", 4, 5, 6))
+    blk3 = hdr3 + bytes(6)
+    n4, px4, codec4 = _parse_wav_ex(
+        _ms_wav(blk3, channels=3, block_align=len(blk3)))
+    assert px4 is None
