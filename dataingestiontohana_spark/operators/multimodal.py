@@ -629,14 +629,13 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
     coefficients across every scan — spectral selection, EOB runs,
     and successive approximation (DC bit refinement, AC correction
     bits) per T.81 G.2 — then reconstruct once at EOI.
-    Huffman-sequential decodes BOTH scan layouts (r10): one fully
-    interleaved scan (the fast path) or per-component full-band Ns=1
-    scans (T.81 A.2.2 — the 3-scan layout some encoders emit),
-    accumulated like progressive and reconstructed at EOI.
-    Arithmetic SOF9 still requires the single interleaved scan, and
-    partial-subset interleaved scans (1 < Ns < Nf) return None
-    (metadata-only fallback); both progressive paths accumulate
-    across any scan script.
+    Huffman-sequential AND arithmetic-sequential decode BOTH scan
+    layouts (Huffman r10, SOF9 r11): one fully interleaved scan (the
+    fast path) or per-component full-band Ns=1 scans (T.81 A.2.2 —
+    the 3-scan layout some encoders emit), accumulated like
+    progressive and reconstructed at EOI. Partial-subset interleaved
+    scans (1 < Ns < Nf) return None (metadata-only fallback); both
+    progressive paths accumulate across any scan script.
     Lossless and hierarchical frames return None — the codec-stack
     boundary; the mapInPandas plumbing upstream is format-agnostic.
     Mirrors the reference's opaque-payload stance (README.md:4 —
@@ -787,7 +786,26 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
                 )
             if arith and not progressive:
                 if body[0] != len(comps):
-                    return None  # sequential = one interleaved scan
+                    # r11: NON-INTERLEAVED sequential arithmetic —
+                    # per-component full-band Ns=1 scans routed
+                    # through the same coefficient accumulator the
+                    # Huffman path uses (r10 closed this boundary for
+                    # Huffman; the QM-coder and its statistical
+                    # models are shared with the interleaved path).
+                    # Partial-subset interleaved scans (1 < Ns < Nf)
+                    # stay metadata-only (exotic).
+                    if body[0] != 1:
+                        return None
+                    _jpeg_ensure_coef_store(comps, w, h, coefs, geom)
+                    cid = body[1]
+                    td, ta = body[2] >> 4, body[2] & 0xF
+                    _jpeg_arith_scan_single(
+                        b, i + 2 + seg_len, cid, td, ta, restart,
+                        coefs, geom, dc_cond, ac_cond,
+                    )
+                    seq_ni = True
+                    i = _skip_entropy(b, i + 2 + seg_len)
+                    continue
                 arith_tabs = {}  # cid -> (dc table id, ac table id)
                 for s in range(body[0]):
                     cid = body[1 + 2 * s]
@@ -807,21 +825,7 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
                     # metadata-only (exotic).
                     if body[0] != 1:
                         return None
-                    if not coefs:
-                        hmax = max(c[1] for c in comps)
-                        vmax = max(c[2] for c in comps)
-                        mcx = (w + 8 * hmax - 1) // (8 * hmax)
-                        mcy = (h + 8 * vmax - 1) // (8 * vmax)
-                        for cid, hs, vs, _tq in comps:
-                            cw = (w * hs + hmax - 1) // hmax
-                            chh = (h * vs + vmax - 1) // vmax
-                            geom[cid] = (
-                                hs, vs, mcx * hs, mcy * vs,
-                                (cw + 7) // 8, (chh + 7) // 8, mcx, mcy,
-                            )
-                            coefs[cid] = np.zeros(
-                                (mcy * vs, mcx * hs, 64), dtype=np.int32
-                            )
+                    _jpeg_ensure_coef_store(comps, w, h, coefs, geom)
                     cid = body[1]
                     td, ta = body[2] >> 4, body[2] & 0xF
                     _jpeg_seq_scan_single(
@@ -894,6 +898,74 @@ def _decode_huff_block(
         coef[k] = _extend(r.bits(size), size)
         k += 1
     return coef, pred
+
+
+def _jpeg_ensure_coef_store(
+    comps: list[tuple[int, int, int, int]],
+    w: int,
+    h: int,
+    coefs: dict[int, np.ndarray],
+    geom: dict[int, tuple],
+) -> None:
+    """Lazily build the shared progressive/non-interleaved coefficient
+    store (one zigzag int32 grid per component plus its geometry) —
+    used by the Huffman AND arithmetic Ns=1 sequential paths, which
+    accumulate scans here and reconstruct once at EOI."""
+    if coefs:
+        return
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcx = (w + 8 * hmax - 1) // (8 * hmax)
+    mcy = (h + 8 * vmax - 1) // (8 * vmax)
+    for cid, hs, vs, _tq in comps:
+        cw = (w * hs + hmax - 1) // hmax
+        chh = (h * vs + vmax - 1) // vmax
+        geom[cid] = (
+            hs, vs, mcx * hs, mcy * vs,
+            (cw + 7) // 8, (chh + 7) // 8, mcx, mcy,
+        )
+        coefs[cid] = np.zeros((mcy * vs, mcx * hs, 64), dtype=np.int32)
+
+
+def _jpeg_arith_scan_single(
+    b: bytes,
+    start: int,
+    cid: int,
+    dc_tbl: int,
+    ac_tbl: int,
+    restart: int,
+    coefs: dict[int, np.ndarray],
+    geom: dict[int, tuple],
+    dc_cond: dict[int, tuple[int, int]],
+    ac_cond: dict[int, int],
+) -> None:
+    """One NON-INTERLEAVED sequential ARITHMETIC scan (r11): a single
+    component's full-band QM-coded scan over its own block grid —
+    T.81 A.2.2's Ns=1 traversal with the F.2 statistical models, the
+    SOF9 twin of `_jpeg_seq_scan_single`. Restart markers split the
+    stream into segments, each decoded with a fresh coder +
+    statistics + DC predictor (F.2.4.5); the interval counts data
+    units (one block per MCU when Ns=1). Coefficients accumulate into
+    the shared store; reconstruction happens once at EOI."""
+    from dataingestiontohana_spark.operators.jpeg_arith import (
+        ArithSequentialDecoder,
+        split_entropy_segments,
+    )
+
+    segments, _end = split_entropy_segments(b, start)
+    bw_ni, bh_ni = geom[cid][4], geom[cid][5]
+    dec = ArithSequentialDecoder(segments[0], dc_cond, ac_cond, [cid])
+    seg_at = 0
+    for m in range(bh_ni * bw_ni):
+        if restart and m and m % restart == 0:
+            seg_at += 1
+            if seg_at >= len(segments):
+                raise ValueError("arith JPEG: missing restart segment")
+            dec = ArithSequentialDecoder(
+                segments[seg_at], dc_cond, ac_cond, [cid]
+            )
+        by, bx = divmod(m, bw_ni)
+        coefs[cid][by, bx] = dec.decode_block(cid, dc_tbl, ac_tbl)
 
 
 def _jpeg_seq_scan_single(
@@ -1808,6 +1880,109 @@ _ENC_ACP_SYMS = sorted(
     | {(run << 4) | size for run in range(16) for size in range(1, 11)}
 )
 _ENC_ACP_CODE = {s: (8, i) for i, s in enumerate(_ENC_ACP_SYMS)}
+
+
+def splice_jpeg_noninterleaved(planes: list[bytes]) -> bytes:
+    """Three SINGLE-COMPONENT JPEG streams (same dimensions, same SOF
+    marker) -> one 3-component 4:4:4 NON-INTERLEAVED stream: the Y,
+    Cb and Cr planes each keep their source's entropy-coded data
+    VERBATIM in a full-band Ns=1 scan of their own (T.81 A.2.2).
+    Sound because an Ns=1 scan's block raster over a 1x1-sampled
+    component equals the source's grayscale MCU raster, and entropy
+    state (Huffman or QM statistics, DC predictors, restart
+    segmentation) resets per scan — so a decoder that handles the
+    non-interleaved layout must reproduce each plane bit-identically
+    to the source's own decode. Used to build r11 NI fixtures from
+    committed third-party (libjpeg-turbo) single-component streams
+    in an environment with no codec library: the splice never
+    re-encodes a single entropy bit. Per-plane DQT/DHT/DAC tables are
+    re-destined to slot i and re-emitted before plane i's scan; DRI
+    is re-emitted per scan (0 resets a previous plane's interval)."""
+    if len(planes) != 3:
+        raise ValueError("splice needs exactly 3 single-component streams")
+    parsed = []
+    for src in planes:
+        if src[:2] != b"\xff\xd8":
+            raise ValueError("splice source is not a JPEG stream")
+        i = 2
+        sof = None
+        dqt: list[bytes] = []
+        dht: list[bytes] = []
+        dac: list[bytes] = []
+        dri = 0
+        scan = None
+        while i + 4 <= len(src):
+            marker = src[i + 1]
+            if src[i] != 0xFF:
+                raise ValueError("splice source desynchronized")
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                i += 2
+                continue
+            if marker == 0xD9:
+                break
+            seg_len = int.from_bytes(src[i + 2 : i + 4], "big")
+            body = src[i + 4 : i + 2 + seg_len]
+            if marker == 0xDB:
+                dqt.append(body)
+            elif marker in (0xC0, 0xC1, 0xC9):
+                if body[5] != 1:
+                    raise ValueError("splice source is not single-component")
+                sof = (marker, body[0], body[1:3], body[3:5])
+            elif marker == 0xC4:
+                dht.append(body)
+            elif marker == 0xCC:
+                dac.append(body)
+            elif marker == 0xDD:
+                dri = int.from_bytes(body[0:2], "big")
+            elif marker == 0xDA:
+                end = _skip_entropy(src, i + 2 + seg_len)
+                scan = (body[2], src[i + 2 + seg_len : end])
+                break
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xCA,
+                            0xCB, 0xCD, 0xCE, 0xCF):
+                raise ValueError("splice source must be sequential")
+            i += 2 + seg_len
+        if sof is None or scan is None:
+            raise ValueError("splice source missing SOF or SOS")
+        parsed.append((sof, dqt, dht, dac, dri, scan))
+    if len({(p[0][0], bytes(p[0][2]), bytes(p[0][3])) for p in parsed}) != 1:
+        raise ValueError("splice sources disagree on SOF marker/dims")
+    sof_marker, precision, hh, ww = parsed[0][0]
+    out = bytearray(b"\xff\xd8")
+    # one quant table per plane, re-destined to slot i
+    for i, (_s, dqt, _h, _a, _d, _sc) in enumerate(parsed):
+        for body in dqt:
+            nb = bytearray(body)
+            nb[0] = (nb[0] & 0xF0) | i  # pq kept, tq = slot
+            out += b"\xff\xdb" + (2 + len(nb)).to_bytes(2, "big") + nb
+    comps = b"".join(
+        bytes([i + 1, 0x11, i]) for i in range(3)
+    )
+    sof_body = bytes([precision]) + hh + ww + bytes([3]) + comps
+    out += bytes([0xFF, sof_marker]) + (2 + len(sof_body)).to_bytes(
+        2, "big"
+    ) + sof_body
+    prev_dri = 0
+    for i, (_s, _q, dht, dac, dri, (tabs, data)) in enumerate(parsed):
+        for body in dht:
+            nb = bytearray(body)
+            nb[0] = (nb[0] & 0xF0) | i  # tc kept, th = slot
+            out += b"\xff\xc4" + (2 + len(nb)).to_bytes(2, "big") + nb
+        for body in dac:
+            nb = bytearray(body)
+            for off in range(0, len(nb) - 1, 2):
+                nb[off] = (nb[off] & 0xF0) | i  # tb = slot
+            out += b"\xff\xcc" + (2 + len(nb)).to_bytes(2, "big") + nb
+        if dri != prev_dri:
+            out += b"\xff\xdd\x00\x04" + dri.to_bytes(2, "big")
+            prev_dri = dri
+        # source td/ta both move to slot i; Ss/Se/AhAl copied from a
+        # sequential scan's canonical 0/63/0
+        out += (b"\xff\xda\x00\x08\x01"
+                + bytes([i + 1, (i << 4) | i, 0, 63, 0]))
+        out += data
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def encode_jpeg_progressive(

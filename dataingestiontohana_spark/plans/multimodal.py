@@ -465,6 +465,19 @@ def _jpeg_mosaic_corpus(spark: SparkSession) -> DataFrame:
         jpgl_expand(33, w * h * 3), np.uint8
     ).reshape(h, w, 3)
     rows.append((33, KIND_IMAGE, encode_jpeg_lossless(rgb, predictor=7)))
+    # id 34 (r11): NON-INTERLEAVED arithmetic color — the id-24/25/26
+    # third-party QM streams spliced verbatim into per-component Ns=1
+    # scans (Y keeps id 24's DRI 2, so the value gate also covers
+    # restart reinit inside a non-interleaved arithmetic scan). No
+    # entropy bit is re-encoded; the oracle recomputes the JFIF
+    # conversion of the three md5-constant planes with round_even.
+    from dataingestiontohana_spark.operators.multimodal import (
+        splice_jpeg_noninterleaved,
+    )
+
+    rows.append((34, KIND_IMAGE, splice_jpeg_noninterleaved(
+        [ARITH_MOSAIC_JPEGS[k] for k in (24, 25, 26)]
+    )))
     df = (
         spark.createDataFrame(rows, "media_id long, kind int, content binary")
         .coalesce(2)
@@ -2111,6 +2124,34 @@ ORACLES = {
                CAST(SUM(v*v) AS BIGINT)
         FROM jl_bytes
         GROUP BY media_id, ch
+        UNION ALL
+        -- clip 34 (r11): NON-INTERLEAVED arithmetic color — the Y/Cb/
+        -- Cr planes are the id-24/25/26 third-party QM streams spliced
+        -- into Ns=1 scans (the constant blocks decode exactly), so the
+        -- expected pixels are the JFIF conversion of the three md5
+        -- constants per block. round_even replays numpy's half-even
+        -- rounding bit-exactly on these doubles (probed over the full
+        -- byte range); the clip planted no exact-.5 boundary anyway.
+        SELECT CAST(34 AS BIGINT),
+               CAST({_JPEG_BW * 8} AS INTEGER),
+               CAST({_JPEG_BH * 8} AS INTEGER),
+               CAST(3 AS INTEGER),
+               CAST(64 * SUM(r + g + bb) AS BIGINT),
+               CAST(64 * SUM(r*r + g*g + bb*bb) AS BIGINT)
+        FROM (
+          SELECT
+            GREATEST(0, LEAST(255, round_even(CAST(
+              y.v + 1.402*(cr.v - 128.0) AS DOUBLE), 0))) AS r,
+            GREATEST(0, LEAST(255, round_even(CAST(
+              y.v - 0.344136*(cb.v - 128.0) - 0.714136*(cr.v - 128.0)
+              AS DOUBLE), 0))) AS g,
+            GREATEST(0, LEAST(255, round_even(CAST(
+              y.v + 1.772*(cb.v - 128.0) AS DOUBLE), 0))) AS bb
+          FROM blocks y
+          JOIN blocks cb ON cb.media_id = 25 AND cb.blk = y.blk
+          JOIN blocks cr ON cr.media_id = 26 AND cr.blk = y.blk
+          WHERE y.media_id = 24
+        )
         ORDER BY media_id
     """,
     "q205_wav_native": f"""

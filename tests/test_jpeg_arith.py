@@ -145,3 +145,68 @@ def test_dacless_stream_using_table_ids_2_3_decodes():
     got = _decode_jpeg_pixels(bytes(out))
     assert got is not None, "DAC-less Tb=2/3 stream must decode"
     assert got[1] == ref[1] and np.array_equal(got[0], ref[0])
+
+
+def test_non_interleaved_arithmetic_sequential_decodes():
+    """r11 (verdict item 5): SOF9 with per-component full-band Ns=1
+    scans. Fixtures are SPLICED from the committed third-party
+    (libjpeg-turbo) single-component QM streams — no entropy bit is
+    re-encoded, so the pin still adjudicates the QM coder against a
+    real third-party encoder. Three assertions: (a) the spliced
+    arithmetic-NI stream decodes bit-identical to the spliced
+    HUFFMAN-NI twin of the same planes (disjoint entropy layers,
+    shared downstream — the r9/r10 pin philosophy); (b) it matches
+    the JFIF conversion of the three planes' own decodes; (c) the Y
+    plane keeps its DRI 2, so restart reinit inside a non-interleaved
+    arithmetic scan is covered. Partial-subset scans stay
+    metadata-only."""
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.jpeg_arith_fixtures import (
+        ARITH_MOSAIC_JPEGS,
+    )
+    from dataingestiontohana_spark.operators.multimodal import (
+        encode_jpeg_baseline,
+        splice_jpeg_noninterleaved,
+    )
+
+    ids = (24, 25, 26)  # id 24 carries DRI 2
+    assert b"\xff\xdd" in ARITH_MOSAIC_JPEGS[24]
+    spliced = splice_jpeg_noninterleaved(
+        [ARITH_MOSAIC_JPEGS[k] for k in ids]
+    )
+    got = _decode_jpeg_pixels(spliced)
+    assert got is not None and got[1] == 3
+
+    planes = [
+        _decode_jpeg_pixels(ARITH_MOSAIC_JPEGS[k])[0]
+        .reshape(16, 24).astype(np.float64)
+        for k in ids
+    ]
+    y, cb, cr = planes
+    exp = np.clip(np.round(np.stack([
+        y + 1.402 * (cr - 128.0),
+        y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+        y + 1.772 * (cb - 128.0),
+    ], axis=-1)), 0, 255).astype(np.uint8).reshape(-1)
+    assert np.array_equal(got[0], exp)
+
+    # Huffman-NI twin of the same planes through OUR encoder: the two
+    # entropy layouts must land the same pixels
+    ones = np.ones(64)
+    huffs = [
+        encode_jpeg_baseline(
+            p.astype(np.uint8).reshape(-1), 24, 16, 1,
+            quant_luma=ones,
+            restart_interval=2 if k == 24 else 0,
+        )
+        for k, p in zip(ids, planes)
+    ]
+    hgot = _decode_jpeg_pixels(splice_jpeg_noninterleaved(huffs))
+    assert hgot is not None and np.array_equal(hgot[0], got[0])
+
+    # a 2-of-3 subset arithmetic scan stays metadata-only
+    blob = bytearray(spliced)
+    at = blob.find(b"\xff\xda")
+    blob[at + 4] = 2
+    assert _decode_jpeg_pixels(bytes(blob)) is None
