@@ -476,9 +476,14 @@ def encode_png(
 
 
 def _parse_jpeg(b: bytes) -> tuple[int, int]:
-    """JPEG segment walk to the SOFn frame header (dimensions)."""
+    """JPEG segment walk to the SOFn frame header (dimensions). A
+    hierarchical stream's DHP (0xDE) shares the SOF body layout and
+    declares the FULL image dimensions (T.81 B.3.2) — it precedes the
+    pyramid frames, whose own SOFs may be smaller levels, so it wins
+    the metadata row (r11, part of formally retiring the hierarchical
+    seam: correct metadata, no pixel decode)."""
     sof = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
-           0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+           0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF, 0xDE}
     i = 2
     while i + 4 <= len(b):
         if b[i] != 0xFF:
@@ -3180,8 +3185,16 @@ def _decode_payload(
     approximation), ARITHMETIC coding — sequential (SOF9) and
     progressive (SOF10), r9, T.81 QM-coder — and LOSSLESS (SOF3,
     r10: Annex H predictive decode at 2-16 bit precision, all seven
-    predictors; only hierarchical and arithmetic-lossless stay
-    metadata-only: channels=0, px=None); WAV decodes integer PCM at 8/16/24/32 bits and
+    predictors; non-interleaved Ns=1 scans decode for Huffman (r10)
+    AND arithmetic (r11) sequential frames. Hierarchical (SOF5-7/
+    13-15, DHP/EXP) and arithmetic-lossless (SOF11) are PERMANENT
+    retired seams (r11): metadata-only (channels=0, px=None, full
+    dims from DHP), never wrong pixels, never quarantined — no
+    third-party fixture generator exists in this environment
+    (libjpeg has no lossless mode) and the H.1.2 two-dimensional
+    context model cannot be honestly pinned without one, so the seam
+    is closed by contract rather than left open-ended; see SCALING.md
+    "JPEG codec boundary"); WAV decodes integer PCM at 8/16/24/32 bits and
     IEEE-float PCM at 32/64 bits, each at native width, mono/stereo,
     plus mono/stereo whole-block IMA-ADPCM (fmt tag 0x11 — r9).
     ``channels`` is 0 whenever px is None. Formats
