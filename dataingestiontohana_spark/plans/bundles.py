@@ -559,6 +559,10 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("canonical_url", "string"), ("n_variants", "bigint"),
         ("n_raw", "bigint"),
     ],
+    "q223_charset_distribution": [
+        ("charset", "string"), ("n_pages", "bigint"),
+        ("n_chars", "bigint"),
+    ],
     "q222_idn_host": [
         ("ace_host", "string"), ("n_urls", "bigint"),
     ],
@@ -990,6 +994,10 @@ BUNDLES: dict[str, list[str]] = {
         # round 10: IDN/punycode host folding (ASCII fast path +
         # Arrow-gated unicode residue)
         "q222_idn_host",
+        # round 11: corpus charset composition (the WHATWG resolution
+        # ladder as a monitored signal; decoded-character counts prove
+        # the multi-byte codecs really decoded)
+        "q223_charset_distribution",
     ],
     # round 5: the q20 single grew into a bundle with the hypertable
     # multi-grain rollup (one-scan grouping sets over time grains)

@@ -245,6 +245,81 @@ def q216_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q223_charset_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus charset composition (r11): pages per RESOLVED charset
+    with total decoded characters — the signal a curation pipeline
+    monitors to see what the crawl is actually made of (and whether a
+    decoder change silently shifted the mix). Resolution is the same
+    WHATWG ladder q216 gates; counting decoded CHARACTERS (not bytes)
+    proves the multi-byte codecs really decoded (a gbk page's char
+    count is roughly half its byte count; mojibake U+FFFD replacement
+    would preserve the byte-derived count and mismatch)."""
+    from dataingestiontohana_spark.sources.warc import (
+        decode_crawl_text,
+        warc_records,
+    )
+
+    rec = decode_crawl_text(
+        warc_records(_warc_corpus(spark)),
+        out_col="page_text", charset_col="charset",
+    )
+    return (
+        rec.where(
+            (F.col("warc_type") == "response")
+            & F.col("parse_error").isNull()
+        )
+        .groupBy("charset")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum(F.length("page_text")).alias("n_chars"),
+        )
+        .orderBy("charset")
+    )
+
+
+def _charset_dist_oracle() -> str:
+    """Per-record (charset, chars) VALUES for the planted non-UTF-8
+    docs (decoded-unicode lengths from the same constants the corpus
+    encodes with stdlib codecs), aggregated together with the ASCII
+    files 0-5 whose char count equals their byte count."""
+    rows = []
+    for fi, rj, ct, codec, meta, text in _WARC_CHARSET_DOCS:
+        _payload, body = _charset_doc_parts(ct, codec, meta, text)
+        html = body.decode(codec if codec != "utf-8-sig" else "utf-8-sig")
+        # the builder's codec name IS the resolved python codec name
+        # (corpus constants were chosen in normalized form)
+        rows.append(f"('{codec}', {len(html)})")
+    vals = ", ".join(rows)
+    return f"""
+        WITH wd AS (
+          SELECT f.i AS file_id, r.j AS rec_idx,
+                 string_agg(md5(f.i || ':warc:' || r.j || ':' || k.k),
+                            ' ' ORDER BY k.k) AS w
+          FROM range(6) f(i), range(2, 4) r(j), range(4) k(k)
+          WHERE k.k < 1 + (f.i + r.j) % 4
+          GROUP BY f.i, r.j
+        ),
+        ascii_chars AS (
+          SELECT 'utf-8' AS charset,
+                 length('<html><head><title>T</title>'
+                        || '<script>var x=1;</script></head><body><p>')
+                 + length(w) + length('</p></body></html>') AS chars
+          FROM wd
+          UNION ALL
+          SELECT 'utf-8',
+                 length('<html><body><p>gone</p></body></html>')
+          FROM range(6) f(i)
+        ),
+        planted(charset, chars) AS (VALUES {vals}),
+        all_rows AS (
+          SELECT * FROM ascii_chars UNION ALL SELECT * FROM planted
+        )
+        SELECT charset, CAST(COUNT(*) AS BIGINT) AS n_pages,
+               CAST(SUM(chars) AS BIGINT) AS n_chars
+        FROM all_rows GROUP BY charset ORDER BY charset
+    """
+
+
 def q217_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level dedup via canonicalization (r9; r10 adds the
     percent-encoding spellings): 80 planted crawl URLs — 20 pages,
@@ -384,6 +459,7 @@ QUERIES = {
     "q216_warc_ingest": q216_warc_ingest,
     "q217_url_dedup": q217_url_dedup,
     "q222_idn_host": q222_idn_host,
+    "q223_charset_distribution": q223_charset_distribution,
 }
 
 
@@ -577,6 +653,7 @@ ORACLES: dict[str, str] = {
     "q216_warc_ingest": _warc_oracle(),
     "q217_url_dedup": _url_dedup_oracle(),
     "q222_idn_host": _idn_oracle(),
+    "q223_charset_distribution": _charset_dist_oracle(),
     # q40 is an invariant audit (the q65 bounds-flag precedent): the
     # oracle states the contract — every generated row survives the
     # CSV encode/parse roundtrip and the counter stream is continuous.

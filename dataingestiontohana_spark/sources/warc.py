@@ -276,6 +276,7 @@ def decode_crawl_text(
     body_col: str = "body",
     content_type_col: str = "content_type",
     out_col: str = "text",
+    charset_col: str | None = None,
 ) -> DataFrame:
     """Append a charset-aware decoded-text column to a warc_records
     frame. One vectorized Arrow pass (pandas_udf) — the per-row work
@@ -285,33 +286,39 @@ def decode_crawl_text(
     100 TB this fuses into warc_records' own mapInPandas stage (same
     task, zero extra Arrow hop); it stays a separate operator here so
     the binary body column remains available to non-text consumers
-    (media extraction keeps raw bytes)."""
+    (media extraction keeps raw bytes). ``charset_col`` additionally
+    exposes the RESOLVED codec name (the corpus-composition signal a
+    curation pipeline monitors) at no extra decode cost — one struct
+    UDF either way."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     # no annotations: `from __future__ import annotations` stringifies
     # hints, which pandas_udf cannot infer — the bare signature takes
     # the default SCALAR eval type
-    @pandas_udf("string")
+    @pandas_udf("struct<text: string, charset: string>")
     def _decode(body, ctype):
-        out = []
+        texts, encs = [], []
         for b, ct in zip(body, ctype):
             if b is None:
-                out.append(None)
+                texts.append(None)
+                encs.append(None)
                 continue
             raw = bytes(b)
-            out.append(
-                raw.decode(
-                    resolve_charset(
-                        ct if isinstance(ct, str) else None, raw
-                    ),
-                    "replace",
-                )
+            enc = resolve_charset(
+                ct if isinstance(ct, str) else None, raw
             )
-        return pd.Series(out, dtype="object")
+            texts.append(raw.decode(enc, "replace"))
+            encs.append(enc)
+        return pd.DataFrame({"text": texts, "charset": encs})
 
-    return df.withColumn(out_col, _decode(F.col(body_col),
-                                          F.col(content_type_col)))
+    tmp = "_decoded_struct"
+    out = df.withColumn(
+        tmp, _decode(F.col(body_col), F.col(content_type_col))
+    ).withColumn(out_col, F.col(f"{tmp}.text"))
+    if charset_col:
+        out = out.withColumn(charset_col, F.col(f"{tmp}.charset"))
+    return out.drop(tmp)
 
 
 def warc_records(
