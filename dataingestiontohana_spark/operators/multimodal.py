@@ -797,8 +797,10 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
                     # Huffman path uses (r10 closed this boundary for
                     # Huffman; the QM-coder and its statistical
                     # models are shared with the interleaved path).
-                    # Partial-subset interleaved scans (1 < Ns < Nf)
-                    # stay metadata-only (exotic).
+                    # Partial-subset ARITHMETIC scans (1 < Ns < Nf)
+                    # stay metadata-only: with no QM encoder and no
+                    # codec library here there is no honest fixture
+                    # path for them (the Huffman twin IS closed, r11).
                     if body[0] != 1:
                         return None
                     _jpeg_ensure_coef_store(comps, w, h, coefs, geom)
@@ -823,20 +825,41 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
             if not progressive:
                 if body[0] != len(comps):
                     # r10: NON-INTERLEAVED sequential — per-component
-                    # full-band scans (T.81 A.2.2, Ns=1), routed
-                    # through the progressive coefficient accumulator
-                    # and reconstructed once at EOI. Partial-subset
-                    # interleaved scans (1 < Ns < Nf) stay
-                    # metadata-only (exotic).
-                    if body[0] != 1:
-                        return None
+                    # full-band scans (T.81 A.2.2, Ns=1) — and r11:
+                    # PARTIAL-SUBSET interleaved scans (1 < Ns < Nf,
+                    # T.81 A.2.3 over the frame-global MCU grid, the
+                    # same geometry the progressive DC-interleaved
+                    # walk uses). Both route through the progressive
+                    # coefficient accumulator, reconstructed at EOI.
                     _jpeg_ensure_coef_store(comps, w, h, coefs, geom)
-                    cid = body[1]
-                    td, ta = body[2] >> 4, body[2] & 0xF
-                    _jpeg_seq_scan_single(
-                        b, i + 2 + seg_len, cid, huff_dc[td],
-                        huff_ac[ta], restart, coefs, geom,
-                    )
+                    if body[0] == 1:
+                        cid = body[1]
+                        td, ta = body[2] >> 4, body[2] & 0xF
+                        _jpeg_seq_scan_single(
+                            b, i + 2 + seg_len, cid, huff_dc[td],
+                            huff_ac[ta], restart, coefs, geom,
+                        )
+                    else:
+                        # a declared Ns inconsistent with the SOS
+                        # segment length, or a component id outside
+                        # the frame, keeps the metadata-only fallback
+                        # (never a crash, never wrong pixels)
+                        if len(body) != 1 + 2 * body[0] + 3:
+                            return None
+                        scan_comps = [
+                            (
+                                body[1 + 2 * s],
+                                body[2 + 2 * s] >> 4,
+                                body[2 + 2 * s] & 0xF,
+                            )
+                            for s in range(body[0])
+                        ]
+                        if any(c not in geom for c, _t, _a in scan_comps):
+                            return None
+                        _jpeg_seq_scan_subset(
+                            b, i + 2 + seg_len, scan_comps, restart,
+                            coefs, geom, huff_dc, huff_ac,
+                        )
                     seq_ni = True
                     i = _skip_entropy(b, i + 2 + seg_len)
                     continue
@@ -1002,6 +1025,44 @@ def _jpeg_seq_scan_single(
         coefs[cid][by, bx], pred = _decode_huff_block(
             r, dc_lut, ac_lut, pred
         )
+
+
+def _jpeg_seq_scan_subset(
+    b: bytes,
+    start: int,
+    scan_comps: list[tuple[int, int, int]],
+    restart: int,
+    coefs: dict[int, np.ndarray],
+    geom: dict[int, tuple],
+    huff_dc: dict[int, dict],
+    huff_ac: dict[int, dict],
+) -> None:
+    """One PARTIAL-SUBSET interleaved sequential scan (r11,
+    1 < Ns < Nf): full-band blocks in MCU order over the SUBSET's
+    components — T.81 A.2.3, where the MCU grid is the FRAME's
+    (derived from the frame-wide Hmax/Vmax, exactly the geometry the
+    progressive DC-interleaved walk uses and libjpeg's 4:2:0
+    progressive fixtures pin) and each MCU carries hs*vs blocks per
+    member in SOF order. Restart intervals count MCUs; DC predictors
+    reset per segment. Coefficients accumulate into the shared store
+    for the one reconstruction at EOI."""
+    r = _BitReader(b, start)
+    cid0 = scan_comps[0][0]
+    mcx, mcy = geom[cid0][6], geom[cid0][7]
+    preds = {cid: 0 for cid, _td, _ta in scan_comps}
+    for m in range(mcx * mcy):
+        if restart and m and m % restart == 0:
+            r.skip_to_rst()
+            preds = {c: 0 for c in preds}
+        my, mx = divmod(m, mcx)
+        for cid, td, ta in scan_comps:
+            hs, vs = geom[cid][0], geom[cid][1]
+            for byy in range(vs):
+                for bxx in range(hs):
+                    block, preds[cid] = _decode_huff_block(
+                        r, huff_dc[td], huff_ac[ta], preds[cid]
+                    )
+                    coefs[cid][my * vs + byy, mx * hs + bxx] = block
 
 
 def _jpeg_progressive_scan(
@@ -1784,6 +1845,7 @@ def encode_jpeg_baseline(
     quant_chroma: np.ndarray | None = None,
     restart_interval: int = 0,
     non_interleaved: bool = False,
+    scan_groups: list[list[int]] | None = None,
 ) -> bytes:
     """Pure-stdlib baseline-sequential JFIF encoder — the inverse of
     `_decode_jpeg_pixels`, existing (like `encode_png`) so media tests
@@ -1802,13 +1864,31 @@ def encode_jpeg_baseline(
     (T.81 A.2.2 Ns=1) instead of one interleaved scan — the 3-scan
     sequential layout some encoders produce; 4:4:4 only (subsampled
     non-interleaved would need the component-grid traversal the
-    decoder has but this encoder does not), no restart intervals."""
+    decoder has but this encoder does not), no restart intervals.
+    ``scan_groups`` (r11) generalizes that to ANY partition of the
+    component ids into sequential scans in SOF order (e.g.
+    [[1, 2], [3]] — a partial-subset interleaved scan, T.81 A.2.3);
+    same 4:4:4 restriction, restart intervals allowed (RSTn every
+    ``restart_interval`` MCUs within each scan)."""
     if channels not in (1, 3):
         raise ValueError("encode_jpeg_baseline: channels must be 1 or 3")
+    if non_interleaved and scan_groups:
+        raise ValueError("pass either non_interleaved or scan_groups")
     if non_interleaved and (subsample or restart_interval):
         raise ValueError(
             "non_interleaved encoding is 4:4:4-only, without restarts"
         )
+    if scan_groups is not None:
+        if subsample:
+            raise ValueError("scan_groups encoding is 4:4:4-only")
+        if sorted(c for g in scan_groups for c in g) != list(
+            range(1, channels + 1)
+        ):
+            raise ValueError(
+                "scan_groups must partition the component ids"
+            )
+        if any(g != sorted(g) for g in scan_groups):
+            raise ValueError("scan components must keep SOF order")
     ql = (_Q_LUMA if quant_luma is None else quant_luma).astype(np.int32)
     qc = (_Q_CHROMA if quant_chroma is None else quant_chroma).astype(
         np.int32
@@ -1847,21 +1927,36 @@ def encode_jpeg_baseline(
     out += _dht_segment(1, 0, _ENC_AC_SYMS, 8)
     if restart_interval:
         out += b"\xff\xdd" + (4).to_bytes(2, "big") + restart_interval.to_bytes(2, "big")
-    if non_interleaved and len(comps_sof) > 1:
-        # one full-band scan per component, each its own entropy
-        # segment: re-encode per component (4:4:4 -> the component
-        # grid equals the MCU grid, so the padded planes reuse as-is)
-        for cid, pl, qzz, _hs, _vs in padded:
+    if (non_interleaved or scan_groups) and len(comps_sof) > 1:
+        # multi-scan layouts: one entropy segment per group, blocks in
+        # MCU order over the group's members (4:4:4 -> the component
+        # grid equals the MCU grid, so the padded planes reuse as-is;
+        # a 1-member group degenerates to the Ns=1 raster)
+        groups = scan_groups or [[cid] for cid, *_ in comps_sof]
+        by_cid = {cid: (pl, qzz) for cid, pl, qzz, _h, _v in padded}
+        for group in groups:
             cw = _BitWriter()
-            pred = 0
+            gpreds = {cid: 0 for cid in group}
+            rst_g = 0
             for m in range(mcx * mcy):
+                if restart_interval and m and m % restart_interval == 0:
+                    cw.byte_align()
+                    cw.out += bytes([0xFF, 0xD0 + rst_g])
+                    rst_g = (rst_g + 1) & 7
+                    gpreds = {cid: 0 for cid in gpreds}
                 my, mx = divmod(m, mcx)
-                pred = _encode_block(
-                    cw, pl[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
-                    qzz, pred,
-                )
+                for cid in group:
+                    pl, qzz = by_cid[cid]
+                    gpreds[cid] = _encode_block(
+                        cw,
+                        pl[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
+                        qzz, gpreds[cid],
+                    )
             cw.byte_align()
-            sos_body = bytes([1, cid, 0x00, 0, 63, 0])
+            sos_body = bytes([len(group)])
+            for cid in group:
+                sos_body += bytes([cid, 0x00])
+            sos_body += bytes([0, 63, 0])
             out += (b"\xff\xda" + (2 + len(sos_body)).to_bytes(2, "big")
                     + sos_body)
             out += cw.out

@@ -1572,8 +1572,10 @@ def test_jpeg_non_interleaved_sequential_decodes():
     """r10: the 3-scan sequential layout (one full-band Ns=1 scan per
     component, T.81 A.2.2) must decode BIT-IDENTICAL to the
     interleaved encoding of the same pixels — the two entropy layouts
-    share everything downstream of the scan walk. Partial-subset
-    interleaved scans (Ns=2 of 3) stay metadata-only."""
+    share everything downstream of the scan walk. A MALFORMED subset
+    header (Ns=2 spliced onto a one-component SOS) stays
+    metadata-only; well-formed partial-subset scans decode since r11
+    (test_jpeg_partial_subset_interleaved_scans_decode)."""
     import numpy as np
 
     from dataingestiontohana_spark.operators.multimodal import (
@@ -1593,7 +1595,8 @@ def test_jpeg_non_interleaved_sequential_decodes():
         ni = _decode_jpeg_pixels(ni_blob)
         assert ni is not None and ni[1] == 3
         assert np.array_equal(ni[0], il[0])
-    # a 2-of-3 subset scan is exotic: metadata-only, never wrong pixels
+    # Ns=2 spliced onto a 1-component SOS header is MALFORMED:
+    # metadata-only, never wrong pixels, never a crash
     blob = bytearray(ni_blob)
     at = blob.find(b"\xff\xda")
     # splice a fake Ns=2 SOS header in place of the first Ns=1 one
@@ -1841,3 +1844,50 @@ def test_hierarchical_and_arithmetic_lossless_are_retired_seams(spark):
     assert (rows[0]["width"], rows[0]["height"]) == (24, 16)
     assert rows[1]["decode_error"] is None and rows[1]["channels"] == 0
     assert (rows[1]["width"], rows[1]["height"]) == (48, 32)
+
+
+def test_jpeg_partial_subset_interleaved_scans_decode():
+    """r11: PARTIAL-SUBSET interleaved sequential scans (1 < Ns < Nf,
+    T.81 A.2.3 — e.g. Y+Cb interleaved in one scan, Cr in another)
+    decode bit-identical to the fully-interleaved encoding of the
+    same pixels, including restart intervals counted in MCUs within
+    each scan. The MCU geometry is the frame-global grid the
+    progressive DC-interleaved walk already uses. Malformed subset
+    headers (Ns disagreeing with the SOS length, unknown component
+    ids) stay metadata-only."""
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(223)
+    ones = np.ones(64)
+    for w, h in ((24, 16), (17, 9)):
+        px = rng.integers(0, 256, size=h * w * 3, dtype=np.uint8)
+        il = _decode_jpeg_pixels(encode_jpeg_baseline(
+            px, w, h, 3, quant_luma=ones, quant_chroma=ones))
+        for groups in ([[1, 2], [3]], [[1], [2, 3]]):
+            for rst in (0, 2):
+                blob = encode_jpeg_baseline(
+                    px, w, h, 3, quant_luma=ones, quant_chroma=ones,
+                    scan_groups=groups, restart_interval=rst)
+                got = _decode_jpeg_pixels(blob)
+                assert got is not None and got[1] == 3, (groups, rst)
+                assert np.array_equal(got[0], il[0]), (groups, rst)
+    # malformed: Ns says 2 but the SOS carries one component spec
+    blob = bytearray(encode_jpeg_baseline(
+        px, 17, 9, 3, quant_luma=ones, quant_chroma=ones,
+        scan_groups=[[1], [2, 3]]))
+    at = blob.find(b"\xff\xda")
+    blob[at + 4] = 2
+    assert _decode_jpeg_pixels(bytes(blob)) is None
+    # malformed: component id outside the frame
+    blob = bytearray(encode_jpeg_baseline(
+        px, 17, 9, 3, quant_luma=ones, quant_chroma=ones,
+        scan_groups=[[1, 2], [3]]))
+    at = blob.find(b"\xff\xda")
+    assert blob[at + 4] == 2
+    blob[at + 5] = 9  # cid 9 not in SOF
+    assert _decode_jpeg_pixels(bytes(blob)) is None
