@@ -114,6 +114,10 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("actual_lang", "string"), ("pred_lang", "string"),
         ("n", "bigint"),
     ],
+    "q224_nfc_audit": [
+        ("is_nfc", "boolean"), ("n_docs", "bigint"),
+        ("n_chars_nfc", "bigint"), ("chars_saved", "bigint"),
+    ],
     "q111_source_entropy": [
         ("source", "string"), ("types", "bigint"), ("n_tokens", "bigint"),
         ("ent_sum_q6", "bigint"), ("entropy", "double"),
@@ -893,6 +897,9 @@ BUNDLES: dict[str, list[str]] = {
     "q21_27_52_language": [
         "q21_lang_stats", "q27_lang_id", "q52_observe_audit",
         "q85_hash_embed", "q110_unigram_surprise", "q154_naive_bayes",
+        # round 11: NFC normalization audit (CPython unicodedata vs
+        # DuckDB utf8proc — two independent Unicode implementations)
+        "q224_nfc_audit",
     ],
     "q25_51_61_tokens": [
         "q25_token_stats", "q51_bpe_token_stats", "q61_token_topk",

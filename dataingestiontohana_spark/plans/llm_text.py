@@ -206,6 +206,97 @@ def q85_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q224_nfc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization audit (r11): the pass every curation
+    pipeline runs before dedup — combining-sequence spellings ("e" +
+    U+0301) and precomposed spellings ("é") of the same text
+    otherwise shingle differently and defeat exact/near dedup. The
+    corpus plants both spellings IN-ENGINE (doc_id % 7 == 3 appends a
+    combining sequence, % 7 == 5 the precomposed equivalent), so the
+    gate is load-bearing on ASCII test data too. Adjudicated per
+    normalization status: doc count, NFC char count, and chars saved
+    (combining pairs collapse). Cross-engine value: Spark normalizes
+    with CPython's unicodedata, the oracle with DuckDB's utf8proc
+    nfc_normalize — two INDEPENDENT Unicode implementations must
+    agree character-exactly. Scale shape: the q222 IDN discipline —
+    an ASCII codegen fast path keeps the Python/Arrow hop to the
+    non-ASCII residue only (on a real multilingual crawl that residue
+    is the minority; normalization is map-only either way)."""
+    from pyspark.sql.functions import pandas_udf
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 3,
+            # DECOMPOSED spellings: e + U+0301, i + U+0308
+            F.concat(F.col("text"), F.lit(" cafe\u0301 nai\u0308ve")),
+        )
+        .when(
+            F.col("doc_id") % 7 == 5,
+            # PRECOMPOSED spellings: U+00E9, U+00EF (NFC)
+            F.concat(F.col("text"), F.lit(" caf\u00e9 na\u00efve")),
+        )
+        .otherwise(F.col("text"))
+        .alias("tx"),
+    )
+
+    # no annotations: `from __future__ import annotations` stringifies
+    # hints, which pandas_udf cannot infer
+    @pandas_udf("string")
+    def nfc_udf(texts):
+        import unicodedata
+
+        return texts.map(
+            lambda t: unicodedata.normalize("NFC", t)
+            if t is not None else None
+        )
+
+    is_ascii = F.col("tx").rlike(r"^[\x00-\x7F]*$")
+    ascii_side = planted.where(is_ascii).select(
+        "doc_id", F.col("tx").alias("nx"), F.col("tx"),
+    )
+    unicode_side = planted.where(~is_ascii).select(
+        "doc_id", nfc_udf("tx").alias("nx"), F.col("tx"),
+    )
+    both = ascii_side.unionAll(unicode_side)
+    return (
+        both.select(
+            (F.col("tx") == F.col("nx")).alias("is_nfc"),
+            F.length("nx").alias("ln"),
+            (F.length("tx") - F.length("nx")).alias("saved"),
+        )
+        .groupBy("is_nfc")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ln").alias("n_chars_nfc"),
+            F.sum("saved").alias("chars_saved"),
+        )
+        .orderBy("is_nfc")
+    )
+
+
+_NFC_ORACLE = """
+    WITH t AS (
+      SELECT doc_id,
+             CASE
+               WHEN doc_id % 7 = 3 THEN text || ' cafe' || chr(769)
+                    || ' nai' || chr(776) || 've'
+               WHEN doc_id % 7 = 5 THEN text || ' caf' || chr(233)
+                    || ' na' || chr(239) || 've'
+               ELSE text
+             END AS tx
+      FROM documents
+    ),
+    n AS (SELECT doc_id, tx, nfc_normalize(tx) AS nx FROM t)
+    SELECT (tx = nx) AS is_nfc,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(nx)) AS BIGINT) AS n_chars_nfc,
+           CAST(SUM(length(tx) - length(nx)) AS BIGINT) AS chars_saved
+    FROM n GROUP BY 1 ORDER BY is_nfc
+"""
+
+
 QUERIES = {
     "q21_lang_stats": q21_lang_stats,
     "q22_exact_dedup_count": q22_exact_dedup_count,
@@ -214,6 +305,7 @@ QUERIES = {
     "q27_lang_id": q27_lang_id,
     "q28_fingerprint": q28_fingerprint,
     "q85_hash_embed": q85_hash_embed,
+    "q224_nfc_audit": q224_nfc_audit,
 }
 
 # feature-hash dimension: md5's leading 15 hex chars as a big-endian
@@ -304,6 +396,7 @@ ORACLES = {
 }
 
 ORACLES["q85_hash_embed"] = _HASH_EMBED_ORACLE
+ORACLES["q224_nfc_audit"] = _NFC_ORACLE
 
 
 def q110_unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
