@@ -724,23 +724,22 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
                     # restrictions
                     return None
             if progressive:
-                hmax = max(c[1] for c in comps)
-                vmax = max(c[2] for c in comps)
-                mcx = (w + 8 * hmax - 1) // (8 * hmax)
-                mcy = (h + 8 * vmax - 1) // (8 * vmax)
-                for cid, hs, vs, _tq in comps:
-                    cw = (w * hs + hmax - 1) // hmax
-                    ch = (h * vs + vmax - 1) // vmax
-                    geom[cid] = (
-                        hs, vs, mcx * hs, mcy * vs,
-                        (cw + 7) // 8, (ch + 7) // 8, mcx, mcy,
-                    )
-                    coefs[cid] = np.zeros(
-                        (mcy * vs, mcx * hs, 64), dtype=np.int32
-                    )
+                # a (malformed) second SOF re-declares the geometry:
+                # rebuild rather than keep a wrong-shape store (the
+                # pre-helper inline code rebuilt unconditionally)
+                coefs.clear()
+                geom.clear()
+                _jpeg_ensure_coef_store(comps, w, h, coefs, geom)
         elif marker in (0xC5, 0xC6, 0xC7,
-                        0xCB, 0xCD, 0xCE, 0xCF):
-            # hierarchical + arithmetic-lossless: not decoded
+                        0xCB, 0xCD, 0xCE, 0xCF, 0xDE):
+            # hierarchical + arithmetic-lossless: not decoded. DHP
+            # (0xDE) must gate here too (r11 review): T.81 requires a
+            # hierarchical stream's FIRST frame to be NON-differential
+            # (SOF0/1/2/9...), so without this gate the decoder would
+            # decode only the first pyramid LEVEL's pixels while
+            # _parse_jpeg reports the full DHP dimensions — a
+            # dims-vs-pixels contradiction that crashes reshape
+            # consumers downstream.
             return None
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             off = 0
@@ -841,9 +840,14 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
                         )
                     else:
                         # a declared Ns inconsistent with the SOS
-                        # segment length, or a component id outside
-                        # the frame, keeps the metadata-only fallback
-                        # (never a crash, never wrong pixels)
+                        # segment length, outside 2..Nf, with
+                        # duplicate or unknown component ids, keeps
+                        # the metadata-only fallback (never a crash,
+                        # never wrong pixels — r11 review: Ns=0
+                        # reached the walk and crashed; Ns>Nf and
+                        # [1, 1] decoded garbage)
+                        if not 1 < body[0] <= len(comps):
+                            return None
                         if len(body) != 1 + 2 * body[0] + 3:
                             return None
                         scan_comps = [
@@ -854,7 +858,10 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
                             )
                             for s in range(body[0])
                         ]
-                        if any(c not in geom for c, _t, _a in scan_comps):
+                        cids = [c for c, _t, _a in scan_comps]
+                        if len(set(cids)) != len(cids) or any(
+                            c not in geom for c in cids
+                        ):
                             return None
                         _jpeg_seq_scan_subset(
                             b, i + 2 + seg_len, scan_comps, restart,

@@ -285,7 +285,7 @@ def _charset_dist_oracle() -> str:
     rows = []
     for fi, rj, ct, codec, meta, text in _WARC_CHARSET_DOCS:
         _payload, body = _charset_doc_parts(ct, codec, meta, text)
-        html = body.decode(codec if codec != "utf-8-sig" else "utf-8-sig")
+        html = body.decode(codec)
         # the builder's codec name IS the resolved python codec name
         # (corpus constants were chosen in normalized form)
         rows.append(f"('{codec}', {len(html)})")

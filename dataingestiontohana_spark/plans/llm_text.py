@@ -252,7 +252,11 @@ def q224_nfc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             if t is not None else None
         )
 
-    is_ascii = F.col("tx").rlike(r"^[\x00-\x7F]*$")
+    # NULL text rides the ascii side (rlike(NULL) is NULL and would
+    # silently drop the row from BOTH filter branches — r11 review);
+    # nx stays NULL there, so is_nfc groups as NULL exactly like the
+    # oracle's nfc_normalize(NULL) row
+    is_ascii = F.col("tx").isNull() | F.col("tx").rlike(r"^[\x00-\x7F]*$")
     ascii_side = planted.where(is_ascii).select(
         "doc_id", F.col("tx").alias("nx"), F.col("tx"),
     )

@@ -265,7 +265,17 @@ def resolve_charset(content_type: str | None, body: bytes) -> str:
             return enc
     m = _META_CHARSET_RE.search(body[:1024])
     if m:
-        enc = _known_codec(m.group(1).decode("ascii", "replace"))
+        label = m.group(1).decode("ascii", "replace")
+        # WHATWG meta prescan: a <meta> could only be ASCII-sniffed
+        # because the document ISN'T UTF-16, so utf-16 labels remap to
+        # UTF-8 (r11 review — decoding an ASCII body as utf-16 turns
+        # every byte pair into a bogus CJK char with no U+FFFD, the
+        # silent mojibake this resolver exists to prevent)
+        if label.strip().lower() in (
+            "utf-16", "utf-16le", "utf-16be", "utf16",
+        ):
+            return "utf-8"
+        enc = _known_codec(label)
         if enc:
             return enc
     return "utf-8"

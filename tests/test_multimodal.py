@@ -1818,9 +1818,19 @@ def test_hierarchical_and_arithmetic_lossless_are_retired_seams(spark):
             + seg(0xC5, frame_body(24, 16))
             + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
             + b"\x55" * 32 + b"\xff\xd9")
+    # the LEGAL layout (r11 review): T.81 requires the FIRST frame of
+    # a hierarchical stream to be NON-differential — without the DHP
+    # gate the decoder would decode that SOF0 level's pixels while
+    # _parse_jpeg reports the full DHP dims (a reshape crash downstream)
+    hier_legal = (b"\xff\xd8" + seg(0xDE, frame_body(48, 32))
+                  + seg(0xDF, bytes([0x11]))
+                  + seg(0xC0, frame_body(24, 16))
+                  + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+                  + b"\x55" * 32 + b"\xff\xd9")
     assert _parse_jpeg(sof11) == (24, 16)
     assert _parse_jpeg(hier) == (48, 32)  # DHP wins, not the level
-    for blob in (sof11, hier):
+    assert _parse_jpeg(hier_legal) == (48, 32)
+    for blob in (sof11, hier, hier_legal):
         assert _decode_jpeg_pixels(blob) is None
         # truncation is deterministic: still metadata-only or raise,
         # identical across calls
@@ -1890,4 +1900,43 @@ def test_jpeg_partial_subset_interleaved_scans_decode():
     at = blob.find(b"\xff\xda")
     assert blob[at + 4] == 2
     blob[at + 5] = 9  # cid 9 not in SOF
+    assert _decode_jpeg_pixels(bytes(blob)) is None
+
+
+def test_jpeg_subset_scan_header_fuzz_stays_metadata_only():
+    """r11 review: degenerate subset SOS headers — Ns=0 with a
+    consistent length, Ns > Nf, duplicate component ids — must keep
+    the metadata-only fallback, never crash and never decode
+    garbage."""
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(224)
+    ones = np.ones(64)
+    px = rng.integers(0, 256, size=9 * 17 * 3, dtype=np.uint8)
+    base = encode_jpeg_baseline(
+        px, 17, 9, 3, quant_luma=ones, quant_chroma=ones,
+        scan_groups=[[1, 2], [3]])
+    at = base.find(b"\xff\xda")
+    assert base[at + 4] == 2
+    # Ns=0 with a length-consistent (empty) SOS header
+    blob = bytearray(base)
+    blob[at + 2 : at + 10] = b"\x00\x06\x00" + bytes([0, 63, 0]) + blob[at + 10 : at + 12]
+    blob = bytearray(base[:at] + b"\xff\xda\x00\x06\x00" + bytes([0, 63, 0])
+                     + base[at + 12:])
+    assert _decode_jpeg_pixels(bytes(blob)) is None
+    # duplicate component ids [1, 1]
+    blob = bytearray(base)
+    blob[at + 7] = 1  # second cid 2 -> 1
+    assert _decode_jpeg_pixels(bytes(blob)) is None
+    # Ns = 4 > Nf = 3 (header padded to stay length-consistent)
+    blob = bytearray(base[:at]
+                     + b"\xff\xda\x00\x0c\x04"
+                     + bytes([1, 0, 2, 0, 3, 0, 4, 0])
+                     + bytes([0, 63, 0])
+                     + base[at + 12:])
     assert _decode_jpeg_pixels(bytes(blob)) is None

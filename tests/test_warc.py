@@ -279,6 +279,17 @@ def test_charset_resolution_whatwg_order():
     assert resolve_charset("text/html; charset=iso-8859-1",
                            b"\xef\xbb\xbfabc") == "utf-8-sig"
     assert resolve_charset(None, b"\xff\xfea\x00") == "utf-16"
+    # WHATWG meta prescan: utf-16 meta labels remap to UTF-8 (a meta
+    # could only be ASCII-sniffed because the doc is NOT utf-16;
+    # r11 review — decoding ASCII as utf-16 makes silent CJK mojibake)
+    assert resolve_charset("text/html",
+                           b"<meta charset=utf-16>hello") == "utf-8"
+    assert resolve_charset(None,
+                           b'<meta charset="UTF-16LE">x') == "utf-8"
+    # ...but an HTTP-header utf-16 declaration is honored (transport
+    # knows the real encoding) and a BOM decides before either
+    assert resolve_charset("text/html; charset=utf-16",
+                           b"\xff\xfeh\x00") == "utf-16"
     # unknown labels fall through to the next rung
     assert resolve_charset("text/html; charset=klingon",
                            b"<meta charset=gbk>") == "gbk"

@@ -99,13 +99,14 @@ def build_scaled_dir(base_sf: str, k: int, root: str) -> str:
     return out
 
 
-def _stage_totals(app_id: str) -> tuple[int, int]:
+def _stage_totals(spark) -> tuple[int, int]:
     """(shuffle_read_bytes, shuffle_write_bytes) summed over completed
-    stages, from the UI REST API."""
-    url = (
-        f"http://localhost:{UI_PORT}/api/v1/applications/{app_id}"
-        "/stages?status=complete"
-    )
+    stages, from the UI REST API. The base URL comes from the session
+    (r11 review: a busy port makes Spark bind UI_PORT+1 and a
+    hardcoded URL would query the wrong or no app)."""
+    app_id = spark.sparkContext.applicationId
+    ui = spark.sparkContext.uiWebUrl
+    url = f"{ui}/api/v1/applications/{app_id}/stages?status=complete"
     with urllib.request.urlopen(url, timeout=10) as r:
         stages = json.load(r)
     rd = sum(s.get("shuffleReadBytes", 0) for s in stages)
@@ -119,15 +120,14 @@ def run_quartet(spark, sf_dir: str) -> dict:
     from dataingestiontohana_spark.plans import QUERIES as FINE
 
     clear_shared_caches()
-    app_id = spark.sparkContext.applicationId
     out = {}
     for bundle in QUARTET:
-        r0, w0 = _stage_totals(app_id)
+        r0, w0 = _stage_totals(spark)
         t0 = time.perf_counter()
         for fine in BUNDLES[bundle]:
             materialize(FINE[fine](spark, sf_dir))
         sec = round(time.perf_counter() - t0, 3)
-        r1, w1 = _stage_totals(app_id)
+        r1, w1 = _stage_totals(spark)
         out[bundle] = {
             "sec": sec,
             "shuffle_read_mb": round((r1 - r0) / 1e6, 2),
