@@ -371,3 +371,244 @@ def split_entropy_segments(b: bytes, start: int) -> tuple[list[bytes], int]:
         break
     segs.append(bytes(cur))
     return segs, i
+
+
+# -- encoder (round 11) ------------------------------------------------
+#
+# The QM ENCODER: the exact dual of QMDecoder above, derived from the
+# same Annex D interval arithmetic (Table D.3 state machine, MPS
+# subinterval at the bottom, conditional exchange when A - Qe < Qe,
+# CLEARBITS + two-byte FLUSH). Its existence unlocks HONEST fixtures
+# for arithmetic scan layouts no third-party generator here can emit
+# (libjpeg has no Ns-subset arithmetic mode): the encoder is pinned by
+# round-tripping through the decoder that is ITSELF pinned bit-exact
+# against committed libjpeg-turbo streams, and by the q204 value gate
+# (constant-block mosaics at unit quantization decode exactly, so the
+# DuckDB oracle adjudicates every encoded pixel).
+
+
+class QMEncoder:
+    """Annex D.1 arithmetic encoder emitting UNSTUFFED bytes — the
+    caller inserts the 0x00 after each 0xFF data byte when assembling
+    the JPEG stream (the inverse of `split_entropy_segments`). Carry
+    propagation rides the unstuffed buffer (a run of 0xFF wraps to
+    0x00 while the carry moves left), which is equivalent to the
+    spec's stacked-byte formulation."""
+
+    __slots__ = ("out", "c", "a", "ct")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.c = 0
+        self.a = 0x10000
+        self.ct = 11
+
+    def _carry(self) -> None:
+        j = len(self.out) - 1
+        while j >= 0 and self.out[j] == 0xFF:
+            self.out[j] = 0
+            j -= 1
+        if j < 0:
+            # cannot occur: C < 2^27 before the first BYTEOUT (CT
+            # starts at 11, so at most 16 interval bits precede it)
+            raise ValueError("QM encoder: carry before first byte")
+        self.out[j] += 1
+
+    def code(self, stats: bytearray, i: int, d: int) -> None:
+        """CODE(S, D): the dual of QMDecoder.decode — identical state
+        transitions, interval updates mirrored (the decoder SUBTRACTS
+        the low-interval size from C when the value lies in the upper
+        subinterval; the encoder ADDS it when coding a decision that
+        lives there)."""
+        s = stats[i]
+        idx = s >> 1
+        mps = s & 1
+        qe, nmps, nlps, sw = _ARITAB[idx]
+        a = self.a - qe
+        if d == mps:
+            if a & 0x8000:
+                self.a = a
+                return
+            if a < qe:  # conditional exchange: MPS takes the Qe slot
+                self.c += a
+                a = qe
+            stats[i] = (nmps << 1) | mps
+        else:
+            if a >= qe:  # no exchange: LPS takes the Qe slot on top
+                self.c += a
+                a = qe
+            if sw:
+                mps = 1 - mps
+            stats[i] = (nlps << 1) | mps
+        # RENORME + BYTEOUT (bits 19-26 emitted every 8 shifts)
+        c = self.c
+        ct = self.ct
+        out = self.out
+        while True:
+            a <<= 1
+            c <<= 1
+            ct -= 1
+            if ct == 0:
+                t = c >> 19
+                if t > 0xFF:
+                    self._carry()
+                    t &= 0xFF
+                out.append(t)
+                c &= 0x7FFFF
+                ct = 8
+            if a & 0x8000:
+                break
+        self.a = a
+        self.c = c
+        self.ct = ct
+
+    def flush(self) -> bytes:
+        """CLEARBITS + FLUSH (D.1.8): pick the code value with the
+        most trailing zeros inside the final interval [C, C+A), emit
+        the last two bytes, drop redundant trailing zeros (the decoder
+        zero-fills past the end anyway)."""
+        t = (self.c + self.a - 1) & ~0xFFFF
+        self.c = t + 0x8000 if t < self.c else t
+        c = self.c << self.ct
+        for _ in range(2):
+            t2 = c >> 19
+            if t2 > 0xFF:
+                self._carry()
+                t2 &= 0xFF
+            self.out.append(t2)
+            c = (c & 0x7FFFF) << 8
+        while self.out and self.out[-1] == 0:
+            self.out.pop()
+        return bytes(self.out)
+
+
+class ArithSequentialEncoder:
+    """Sequential-DCT statistical models (F.1.4.4) over a QMEncoder —
+    the decision-for-decision dual of ArithSequentialDecoder: same
+    statistics areas, same conditioning contexts, same category/
+    mantissa trees, so a decode of the emitted segment replays the
+    identical bin sequence. One instance per restart segment."""
+
+    def __init__(
+        self,
+        dc_cond: dict[int, tuple[int, int]],
+        ac_cond: dict[int, int],
+        comp_ids: list[int],
+    ) -> None:
+        self.qm = QMEncoder()
+        self.dc_stats = {t: bytearray(64) for t in dc_cond}
+        self.ac_stats = {t: bytearray(256) for t in ac_cond}
+        self.dc_cond = dc_cond
+        self.ac_cond = ac_cond
+        self.fixed = _fixed_bin()
+        self.dc_context = {cid: 0 for cid in comp_ids}
+        self.pred = {cid: 0 for cid in comp_ids}
+
+    def encode_dc_diff(self, cid: int, dc_tbl: int, diff: int) -> None:
+        qm = self.qm
+        st = self.dc_stats[dc_tbl]
+        base = self.dc_context[cid]
+        low, up = self.dc_cond[dc_tbl]
+        if diff == 0:
+            qm.code(st, base, 0)
+            self.dc_context[cid] = 0
+            return
+        qm.code(st, base, 1)
+        sign = 1 if diff < 0 else 0
+        qm.code(st, base + 1, sign)
+        sz = abs(diff) - 1
+        pos = base + 2 + sign
+        m = 0
+        if sz == 0:
+            qm.code(st, pos, 0)
+        else:
+            qm.code(st, pos, 1)
+            pos = 20
+            m = 1
+            while (m << 1) <= sz:
+                if (m << 1) == 0x8000:
+                    raise ValueError("arith JPEG: DC diff too large")
+                qm.code(st, pos, 1)
+                m <<= 1
+                pos += 1
+            qm.code(st, pos, 0)
+        if m < ((1 << low) >> 1):
+            self.dc_context[cid] = 0
+        elif m > ((1 << up) >> 1):
+            self.dc_context[cid] = 12 + (sign << 2)
+        else:
+            self.dc_context[cid] = 4 + (sign << 2)
+        pos += 14
+        bit = m >> 1
+        while bit:
+            qm.code(st, pos, 1 if (sz & bit) else 0)
+            bit >>= 1
+        self.pred[cid] += diff
+
+    def encode_ac_band(
+        self, coef: np.ndarray, ac_tbl: int, ss: int, se: int
+    ) -> None:
+        qm = self.qm
+        st = self.ac_stats[ac_tbl]
+        kx = self.ac_cond[ac_tbl]
+        last = ss - 1
+        for k in range(ss, se + 1):
+            if int(coef[k]) != 0:
+                last = k
+        k = ss
+        while k <= se:
+            pos = 3 * (k - 1)
+            if k > last:
+                qm.code(st, pos, 1)  # EOB
+                return
+            qm.code(st, pos, 0)
+            while int(coef[k]) == 0:
+                qm.code(st, pos + 1, 0)
+                k += 1
+                pos += 3
+            qm.code(st, pos + 1, 1)
+            v = int(coef[k])
+            qm.code(self.fixed, 0, 1 if v < 0 else 0)
+            sz = abs(v) - 1
+            pos += 2
+            m = 0
+            if sz == 0:
+                qm.code(st, pos, 0)
+            elif sz == 1:
+                qm.code(st, pos, 1)
+                qm.code(st, pos, 0)  # second decision, SAME bin
+                m = 1
+            else:
+                qm.code(st, pos, 1)
+                qm.code(st, pos, 1)
+                pos = 189 if k <= kx else 217
+                m = 2
+                while (m << 1) <= sz:
+                    if (m << 1) == 0x8000:
+                        raise ValueError("arith JPEG: AC coef too large")
+                    qm.code(st, pos, 1)
+                    m <<= 1
+                    pos += 1
+                qm.code(st, pos, 0)
+            pos += 14
+            bit = m >> 1
+            while bit:
+                qm.code(st, pos, 1 if (sz & bit) else 0)
+                bit >>= 1
+            k += 1
+
+    def encode_block(
+        self, cid: int, dc_tbl: int, ac_tbl: int, coef: np.ndarray
+    ) -> None:
+        """One 8x8 block of ZIGZAG-ordered quantized coefficients."""
+        self.encode_dc_diff(cid, dc_tbl, int(coef[0]) - self.pred[cid])
+        self.encode_ac_band(coef, ac_tbl, 1, 63)
+
+    def flush(self) -> bytes:
+        return self.qm.flush()
+
+
+def stuff_entropy(raw: bytes) -> bytes:
+    """Insert the 0x00 stuffing byte after each 0xFF data byte — the
+    inverse of `split_entropy_segments`' unstuffing."""
+    return raw.replace(b"\xff", b"\xff\x00")

@@ -793,22 +793,43 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
                     # r11: NON-INTERLEAVED sequential arithmetic —
                     # per-component full-band Ns=1 scans routed
                     # through the same coefficient accumulator the
-                    # Huffman path uses (r10 closed this boundary for
-                    # Huffman; the QM-coder and its statistical
-                    # models are shared with the interleaved path).
-                    # Partial-subset ARITHMETIC scans (1 < Ns < Nf)
-                    # stay metadata-only: with no QM encoder and no
-                    # codec library here there is no honest fixture
-                    # path for them (the Huffman twin IS closed, r11).
-                    if body[0] != 1:
-                        return None
+                    # Huffman path uses — and PARTIAL-SUBSET
+                    # interleaved arithmetic scans (1 < Ns < Nf, the
+                    # Huffman twin's MCU walk with the QM models;
+                    # fixtures come from encode_jpeg_arith, whose QM
+                    # encoder is the pinned decoder's dual). The same
+                    # degenerate-header fuzz rules as the Huffman
+                    # path keep metadata-only, never a crash.
                     _jpeg_ensure_coef_store(comps, w, h, coefs, geom)
-                    cid = body[1]
-                    td, ta = body[2] >> 4, body[2] & 0xF
-                    _jpeg_arith_scan_single(
-                        b, i + 2 + seg_len, cid, td, ta, restart,
-                        coefs, geom, dc_cond, ac_cond,
-                    )
+                    if body[0] == 1:
+                        cid = body[1]
+                        td, ta = body[2] >> 4, body[2] & 0xF
+                        _jpeg_arith_scan_single(
+                            b, i + 2 + seg_len, cid, td, ta, restart,
+                            coefs, geom, dc_cond, ac_cond,
+                        )
+                    else:
+                        if not 1 < body[0] <= len(comps):
+                            return None
+                        if len(body) != 1 + 2 * body[0] + 3:
+                            return None
+                        scan_comps = [
+                            (
+                                body[1 + 2 * s],
+                                body[2 + 2 * s] >> 4,
+                                body[2 + 2 * s] & 0xF,
+                            )
+                            for s in range(body[0])
+                        ]
+                        cids = [c for c, _t, _a in scan_comps]
+                        if len(set(cids)) != len(cids) or any(
+                            c not in geom for c in cids
+                        ):
+                            return None
+                        _jpeg_arith_scan_subset(
+                            b, i + 2 + seg_len, scan_comps, restart,
+                            coefs, geom, dc_cond, ac_cond,
+                        )
                     seq_ni = True
                     i = _skip_entropy(b, i + 2 + seg_len)
                     continue
@@ -1001,6 +1022,50 @@ def _jpeg_arith_scan_single(
             )
         by, bx = divmod(m, bw_ni)
         coefs[cid][by, bx] = dec.decode_block(cid, dc_tbl, ac_tbl)
+
+
+def _jpeg_arith_scan_subset(
+    b: bytes,
+    start: int,
+    scan_comps: list[tuple[int, int, int]],
+    restart: int,
+    coefs: dict[int, np.ndarray],
+    geom: dict[int, tuple],
+    dc_cond: dict[int, tuple[int, int]],
+    ac_cond: dict[int, int],
+) -> None:
+    """One PARTIAL-SUBSET interleaved ARITHMETIC scan (r11,
+    1 < Ns < Nf): the `_jpeg_seq_scan_subset` MCU walk with QM-coded
+    blocks — frame-global MCU grid, hs*vs blocks per member in SOF
+    order, fresh coder + statistics + predictors per restart
+    segment."""
+    from dataingestiontohana_spark.operators.jpeg_arith import (
+        ArithSequentialDecoder,
+        split_entropy_segments,
+    )
+
+    segments, _end = split_entropy_segments(b, start)
+    cid0 = scan_comps[0][0]
+    mcx, mcy = geom[cid0][6], geom[cid0][7]
+    comp_ids = [c for c, _t, _a in scan_comps]
+    dec = ArithSequentialDecoder(segments[0], dc_cond, ac_cond, comp_ids)
+    seg_at = 0
+    for m in range(mcx * mcy):
+        if restart and m and m % restart == 0:
+            seg_at += 1
+            if seg_at >= len(segments):
+                raise ValueError("arith JPEG: missing restart segment")
+            dec = ArithSequentialDecoder(
+                segments[seg_at], dc_cond, ac_cond, comp_ids
+            )
+        my, mx = divmod(m, mcx)
+        for cid, td, ta in scan_comps:
+            hs, vs = geom[cid][0], geom[cid][1]
+            for byy in range(vs):
+                for bxx in range(hs):
+                    coefs[cid][my * vs + byy, mx * hs + bxx] = (
+                        dec.decode_block(cid, td, ta)
+                    )
 
 
 def _jpeg_seq_scan_single(
@@ -1987,6 +2052,102 @@ _ENC_ACP_SYMS = sorted(
     | {(run << 4) | size for run in range(16) for size in range(1, 11)}
 )
 _ENC_ACP_CODE = {s: (8, i) for i, s in enumerate(_ENC_ACP_SYMS)}
+
+
+def encode_jpeg_arith(
+    pixels: np.ndarray,
+    width: int,
+    height: int,
+    channels: int = 1,
+    subsample: bool = False,
+    quant_luma: np.ndarray | None = None,
+    quant_chroma: np.ndarray | None = None,
+    restart_interval: int = 0,
+    scan_groups: list[list[int]] | None = None,
+) -> bytes:
+    """Pure-stdlib ARITHMETIC sequential (SOF9) encoder (r11) — the
+    entropy-layer sibling of `encode_jpeg_baseline` built on the new
+    QM encoder (`operators/jpeg_arith.py::QMEncoder`, the exact dual
+    of the decoder that is pinned bit-identical against committed
+    libjpeg-turbo streams). Same pixel semantics and options as the
+    baseline encoder: grayscale or RGB->YCbCr, 4:4:4 or 4:2:0
+    (interleaved scan only), restart intervals (fresh coder +
+    statistics + predictors per segment), and ``scan_groups`` (4:4:4
+    only) for non-interleaved / partial-subset scan scripts. Uses the
+    spec-default conditioning (no DAC segment; L=0, U=1, Kx=5) and
+    table destination 0 everywhere. Exists so arithmetic scan layouts
+    NO third-party generator here can emit (libjpeg has no subset-
+    scan arithmetic mode) still get honest fixtures: every stream
+    this encoder makes must decode bit-identical to the Huffman
+    baseline decode of the same pixels."""
+    from dataingestiontohana_spark.operators.jpeg_arith import (
+        ArithSequentialEncoder,
+        stuff_entropy,
+    )
+
+    if channels not in (1, 3):
+        raise ValueError("encode_jpeg_arith: channels must be 1 or 3")
+    if scan_groups is not None:
+        if subsample:
+            raise ValueError("scan_groups encoding is 4:4:4-only")
+        if sorted(c for g in scan_groups for c in g) != list(
+            range(1, channels + 1)
+        ):
+            raise ValueError("scan_groups must partition the component ids")
+        if any(g != sorted(g) for g in scan_groups):
+            raise ValueError("scan components must keep SOF order")
+    ql = (_Q_LUMA if quant_luma is None else quant_luma).astype(np.int32)
+    qc = (_Q_CHROMA if quant_chroma is None else quant_chroma).astype(
+        np.int32
+    )
+    ql_zz, qc_zz = ql.reshape(-1)[_ZIGZAG], qc.reshape(-1)[_ZIGZAG]
+    comps_sof, padded, hmax, vmax, mcx, mcy = _jpeg_planes(
+        pixels, width, height, channels, subsample, ql_zz, qc_zz
+    )
+    out = _jpeg_headers(
+        width, height, channels, comps_sof, ql_zz, qc_zz, b"\xff\xc9"
+    )
+    if restart_interval:
+        out += (b"\xff\xdd" + (4).to_bytes(2, "big")
+                + restart_interval.to_bytes(2, "big"))
+    dc_cond = dict.fromkeys(range(4), (0, 1))
+    ac_cond = dict.fromkeys(range(4), 5)
+
+    def qblock(pl: np.ndarray, qzz: np.ndarray, by: int, bx: int):
+        block = pl[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+        co = _DCT_C @ (block - 128.0) @ _DCT_C.T
+        return np.round(co.reshape(-1)[_ZIGZAG] / qzz).astype(np.int32)
+
+    groups = scan_groups or [[c[0] for c in comps_sof]]
+    for group in groups:
+        members = [p for p in padded if p[0] in group]
+        sos_body = bytes([len(group)])
+        for cid in group:
+            sos_body += bytes([cid, 0x00])
+        sos_body += bytes([0, 63, 0])
+        out += (b"\xff\xda" + (2 + len(sos_body)).to_bytes(2, "big")
+                + sos_body)
+        enc = ArithSequentialEncoder(dc_cond, ac_cond, list(group))
+        rst = 0
+        for m in range(mcx * mcy):
+            if restart_interval and m and m % restart_interval == 0:
+                out += stuff_entropy(enc.flush())
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                enc = ArithSequentialEncoder(
+                    dc_cond, ac_cond, list(group)
+                )
+            my, mx = divmod(m, mcx)
+            for cid, pl, qzz, hs, vs in members:
+                for by in range(vs):
+                    for bx in range(hs):
+                        enc.encode_block(
+                            cid, 0, 0,
+                            qblock(pl, qzz, my * vs + by, mx * hs + bx),
+                        )
+        out += stuff_entropy(enc.flush())
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def splice_jpeg_noninterleaved(planes: list[bytes]) -> bytes:

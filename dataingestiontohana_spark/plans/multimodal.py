@@ -478,6 +478,40 @@ def _jpeg_mosaic_corpus(spark: SparkSession) -> DataFrame:
     rows.append((34, KIND_IMAGE, splice_jpeg_noninterleaved(
         [ARITH_MOSAIC_JPEGS[k] for k in (24, 25, 26)]
     )))
+    # ids 35-37 (r11): the remaining scan-layout boundaries under the
+    # value gate. 35 = Huffman PARTIAL-SUBSET scans ([[Y,Cb],[Cr]],
+    # DRI 2); 36 = OUR QM ENCODER's interleaved arithmetic stream
+    # (gray, DRI 2 — the encoder is the pinned decoder's dual, and
+    # this clip adjudicates its output pixel-exactly); 37 = arithmetic
+    # PARTIAL-SUBSET scans ([[Y],[Cb,Cr]], DRI 2). 35/37 are
+    # GRAY-VALUED RGB mosaics (r=g=b=const): Cb/Cr quantize to
+    # exactly 0 and Y's DC is the exact integer 8*(v-128), so decode
+    # reproduces every pixel and the oracle is the same md5 block
+    # formula x3 channels — no float chain crosses engines.
+    from dataingestiontohana_spark.operators.multimodal import (
+        encode_jpeg_arith,
+    )
+
+    for mid, enc_fn, chans, groups in (
+        (35, encode_jpeg_baseline, 3, [[1, 2], [3]]),
+        (36, encode_jpeg_arith, 1, None),
+        (37, encode_jpeg_arith, 3, [[1], [2, 3]]),
+    ):
+        consts = hashlib.md5(f"{mid}:jpg:0".encode()).digest()[
+            : _JPEG_BW * _JPEG_BH
+        ]
+        grid = np.zeros((h, w), dtype=np.uint8)
+        for j, v in enumerate(consts):
+            by, bx = divmod(j, _JPEG_BW)
+            grid[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+        px = (np.repeat(grid.reshape(-1), 3) if chans == 3
+              else grid.reshape(-1))
+        kwargs = {"quant_luma": ones, "restart_interval": 2}
+        if chans == 3:
+            kwargs["quant_chroma"] = ones
+        if groups is not None:
+            kwargs["scan_groups"] = groups
+        rows.append((mid, KIND_IMAGE, enc_fn(px, w, h, chans, **kwargs)))
     df = (
         spark.createDataFrame(rows, "media_id long, kind int, content binary")
         .coalesce(2)
@@ -2091,7 +2125,8 @@ ORACLES = {
                  + (strpos('0123456789abcdef',
                       substr(md5(i || ':jpg:0'), CAST(2*j+2 AS INT), 1))-1)
                    AS v
-          FROM range(32) t(i), range({_JPEG_BW * _JPEG_BH}) u(j)
+          FROM range(38) t(i), range({_JPEG_BW * _JPEG_BH}) u(j)
+          WHERE i NOT IN (32, 33, 34)
         ),
         -- lossless clips 32-33 (r10): every pixel byte IS the md5
         -- expansion (SOF3 decode is exact, the round trip cancels)
@@ -2113,7 +2148,20 @@ ORACLES = {
                CAST(1 AS INTEGER) AS channels,
                CAST(64 * SUM(v) AS BIGINT) AS px_sum,
                CAST(64 * SUM(v*v) AS BIGINT) AS px_sqsum
-        FROM blocks
+        FROM blocks WHERE media_id NOT IN (35, 37)
+        GROUP BY media_id
+        UNION ALL
+        -- clips 35/37 (r11): gray-valued RGB mosaics through the
+        -- Huffman-subset / arithmetic-subset scan scripts — decode is
+        -- exact (Cb=Cr quantize to 0), so moments are the gray block
+        -- formula times 3 channels
+        SELECT media_id,
+               CAST({_JPEG_BW * 8} AS INTEGER),
+               CAST({_JPEG_BH * 8} AS INTEGER),
+               CAST(3 AS INTEGER),
+               CAST(3 * 64 * SUM(v) AS BIGINT),
+               CAST(3 * 64 * SUM(v*v) AS BIGINT)
+        FROM blocks WHERE media_id IN (35, 37)
         GROUP BY media_id
         UNION ALL
         SELECT media_id,

@@ -210,3 +210,102 @@ def test_non_interleaved_arithmetic_sequential_decodes():
     at = blob.find(b"\xff\xda")
     blob[at + 4] = 2
     assert _decode_jpeg_pixels(bytes(blob)) is None
+
+
+def test_qm_encoder_is_the_pinned_decoders_dual():
+    """r11: the QM ENCODER (Annex D.1) round-trips raw decisions and
+    whole streams through the decoder that is itself pinned
+    bit-identical against committed libjpeg-turbo streams — so an
+    encoder bug cannot cancel a decoder bug. Covers adaptive-bin
+    adaptation, carry propagation, stuffing, and FLUSH."""
+    import random
+
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.jpeg_arith import (
+        ArithSequentialDecoder,
+        ArithSequentialEncoder,
+        QMDecoder,
+        QMEncoder,
+    )
+
+    rng = random.Random(31)
+    for trial, p in enumerate((0.5, 0.95, 0.02)):
+        enc = QMEncoder()
+        stats = bytearray(4)
+        bits = [(1 if rng.random() < p else 0, rng.randrange(4))
+                for _ in range(4000)]
+        for d, i in bits:
+            enc.code(stats, i, d)
+        seg = enc.flush()
+        dec = QMDecoder(seg)
+        st2 = bytearray(4)
+        assert all(dec.decode(st2, i) == d for d, i in bits), trial
+
+    # model-level: extreme coefficients through the statistical models
+    nprng = np.random.default_rng(32)
+    dc_cond = dict.fromkeys(range(4), (0, 1))
+    ac_cond = dict.fromkeys(range(4), 5)
+    enc = ArithSequentialEncoder(dc_cond, ac_cond, [1, 2])
+    blocks = []
+    for i in range(40):
+        for cid in (1, 2):
+            b = np.zeros(64, np.int32)
+            # DC within +/-16000 keeps consecutive diffs inside
+            # the model's spec-bounded +/-32767 magnitude range
+            b[0] = int(nprng.integers(-16000, 16000))
+            nz = nprng.choice(63, size=int(nprng.integers(0, 12)),
+                              replace=False) + 1
+            b[nz] = nprng.integers(-32000, 32000, size=len(nz))
+            blocks.append((cid, b))
+            enc.encode_block(cid, 0, 0, b)
+    seg = enc.flush()
+    dec = ArithSequentialDecoder(seg, dc_cond, ac_cond, [1, 2])
+    for cid, b in blocks:
+        assert np.array_equal(dec.decode_block(cid, 0, 0), b)
+
+
+def test_encode_jpeg_arith_matches_huffman_decode_everywhere():
+    """r11: every stream encode_jpeg_arith emits — gray, 4:4:4 color,
+    4:2:0, restart intervals, and ALL scan scripts (interleaved,
+    non-interleaved Ns=1, PARTIAL-SUBSET 1<Ns<Nf) — must decode
+    bit-identical to the Huffman baseline decode of the same pixels.
+    This closes the last sequential-JPEG scan-layout boundary for the
+    arithmetic path (the Huffman twin closed earlier in r11)."""
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        encode_jpeg_arith,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(33)
+    ones = np.ones(64)
+    for w, h, ch, sub in ((24, 16, 1, False), (17, 9, 3, False),
+                          (24, 16, 3, True)):
+        px = rng.integers(0, 256, size=h * w * ch, dtype=np.uint8)
+        huff = _decode_jpeg_pixels(encode_jpeg_baseline(
+            px, w, h, ch, subsample=sub,
+            quant_luma=ones, quant_chroma=ones))
+        for rst in (0, 2):
+            got = _decode_jpeg_pixels(encode_jpeg_arith(
+                px, w, h, ch, subsample=sub, quant_luma=ones,
+                quant_chroma=ones, restart_interval=rst))
+            assert got is not None and np.array_equal(got[0], huff[0])
+    px = rng.integers(0, 256, size=16 * 24 * 3, dtype=np.uint8)
+    huff = _decode_jpeg_pixels(encode_jpeg_baseline(
+        px, 24, 16, 3, quant_luma=ones, quant_chroma=ones))
+    for groups in ([[1], [2], [3]], [[1, 2], [3]], [[1], [2, 3]]):
+        for rst in (0, 2):
+            got = _decode_jpeg_pixels(encode_jpeg_arith(
+                px, 24, 16, 3, quant_luma=ones, quant_chroma=ones,
+                scan_groups=groups, restart_interval=rst))
+            assert got is not None and np.array_equal(
+                got[0], huff[0]), (groups, rst)
+    # third-party interop, encoder side: re-encode the raw pixels of
+    # the committed libjpeg mosaic; constant blocks at unit quant
+    # decode exactly, so our arithmetic stream must reproduce them
+    raw = np.frombuffer(_load("gray_mosaic.raw"), np.uint8)
+    got = _decode_jpeg_pixels(encode_jpeg_arith(
+        raw, 24, 16, 1, quant_luma=ones))
+    assert np.array_equal(got[0], raw)
