@@ -775,9 +775,15 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
                     raise ValueError(
                         f"jpeg lossless predictor {pred_sel} outside 1-7"
                     )
-                if point_transform != 0 or restart:
-                    # legal-but-exotic scan shapes (point transform,
-                    # restart-interval lossless): metadata-only
+                if restart:
+                    # restart-interval lossless stays metadata-only:
+                    # the H.1.1 reset semantics (what the predictor of
+                    # each post-RST sample sees) cannot be honestly
+                    # pinned here without a reference decoder, and a
+                    # wrong-but-self-consistent choice would round-trip
+                    # undetected. Point transform (Pt > 0) DECODES
+                    # since r11 — its arithmetic is crisply specified
+                    # (downshifted domain + output << Pt).
                     return None
                 scan_tabs_l = {}
                 for s in range(ns):
@@ -786,7 +792,7 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
                     scan_tabs_l[cid] = huff_dc[td]
                 return _jpeg_lossless_scan(
                     b, i + 2 + seg_len, w, h, comps, scan_tabs_l,
-                    pred_sel, precision,
+                    pred_sel, precision, point_transform,
                 )
             if arith and not progressive:
                 if body[0] != len(comps):
@@ -1462,6 +1468,7 @@ def _jpeg_lossless_scan(
     scan_tabs: dict[int, dict],
     pred_sel: int,
     precision: int,
+    point_transform: int = 0,
 ) -> tuple[np.ndarray, int]:
     """LOSSLESS JPEG (SOF3, T.81 Annex H) single interleaved scan:
     per sample, a DC-table Huffman category SSSS (0-16; 16 means
@@ -1477,7 +1484,10 @@ def _jpeg_lossless_scan(
         raise ValueError("jpeg scan without frame dimensions")
     r = _BitReader(b, start)
     nc = len(comps)
-    default = 1 << (precision - 1)
+    # point transform Pt (r11): samples are coded in the downshifted
+    # (P - Pt)-bit domain — prediction default 2^(P-Pt-1) — and the
+    # OUTPUT is the decoded value << Pt (low bits zero), per H.1
+    default = 1 << (precision - point_transform - 1)
     planes = np.zeros((nc, h, w), dtype=np.int32)
     luts = [scan_tabs[cid] for cid, *_ in comps]
     for y in range(h):
@@ -1495,13 +1505,18 @@ def _jpeg_lossless_scan(
                 )
                 planes[ci][y, x] = (px_ + diff) & 0xFFFF
     out = planes.transpose(1, 2, 0).reshape(-1)
+    if point_transform:
+        out = out << point_transform
     if precision <= 8:
         return out.astype(np.uint8), nc
     return out.astype(np.uint16), nc
 
 
 def encode_jpeg_lossless(
-    samples: np.ndarray, predictor: int = 1, precision: int | None = None
+    samples: np.ndarray,
+    predictor: int = 1,
+    precision: int | None = None,
+    point_transform: int = 0,
 ) -> bytes:
     """Pure-stdlib LOSSLESS JPEG encoder (SOF3 — the
     `_jpeg_lossless_scan` inverse, so exact round trips pin the
@@ -1509,7 +1524,10 @@ def encode_jpeg_lossless(
     reproduces x BIT-EXACTLY, the strongest possible pin). ``samples``
     is (h, w) or (h, w, c) non-negative ints; ``precision`` defaults
     to 8 for uint8 input, 16 otherwise. One interleaved scan,
-    predictor 1-7, no point transform, no restarts. The Huffman table
+    predictor 1-7, optional POINT TRANSFORM (r11: samples are coded
+    downshifted by Pt and reconstruct as value << Pt, so the
+    round-trip law becomes decode(encode(x, pt)) == (x >> pt) << pt),
+    no restarts. The Huffman table
     assigns all 17 categories 5-bit codes (17 < 2^5, all-ones code
     unused — canonical per T.81 C.2)."""
     a = np.asarray(samples)
@@ -1520,6 +1538,8 @@ def encode_jpeg_lossless(
         precision = 8 if a.dtype == np.uint8 else 16
     if not 1 <= predictor <= 7:
         raise ValueError("predictor must be 1-7")
+    if not 0 <= point_transform < precision:
+        raise ValueError("point transform must be in [0, precision)")
     if int(a.max(initial=0)) >= (1 << precision):
         raise ValueError("sample exceeds declared precision")
     out = bytearray(b"\xff\xd8")
@@ -1540,11 +1560,11 @@ def encode_jpeg_lossless(
     sos = bytearray((nc,))
     for c in range(nc):
         sos += bytes((c + 1, 0x00))
-    sos += bytes((predictor, 0, 0))
+    sos += bytes((predictor, 0, point_transform))
     out += b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + sos
     wtr = _BitWriter()
-    default = 1 << (precision - 1)
-    planes = a.astype(np.int64).transpose(2, 0, 1)
+    default = 1 << (precision - point_transform - 1)
+    planes = (a.astype(np.int64) >> point_transform).transpose(2, 0, 1)
     for y in range(h):
         for x in range(w):
             for ci in range(nc):
@@ -3448,8 +3468,9 @@ def _decode_payload(
     approximation), ARITHMETIC coding — sequential (SOF9) and
     progressive (SOF10), r9, T.81 QM-coder — and LOSSLESS (SOF3,
     r10: Annex H predictive decode at 2-16 bit precision, all seven
-    predictors; non-interleaved Ns=1 scans decode for Huffman (r10)
-    AND arithmetic (r11) sequential frames. Hierarchical (SOF5-7/
+    predictors, and since r11 POINT-TRANSFORMED scans (Al > 0);
+    non-interleaved Ns=1 AND partial-subset 1<Ns<Nf scans decode
+    for Huffman and arithmetic sequential frames (r10-r11). Hierarchical (SOF5-7/
     13-15, DHP/EXP) and arithmetic-lossless (SOF11) are PERMANENT
     retired seams (r11): metadata-only (channels=0, px=None, full
     dims from DHP), never wrong pixels, never quarantined — no

@@ -461,6 +461,12 @@ def _jpeg_mosaic_corpus(spark: SparkSession) -> DataFrame:
 
     gray = np.frombuffer(jpgl_expand(32, w * h), np.uint8).reshape(h, w)
     rows.append((32, KIND_IMAGE, encode_jpeg_lossless(gray, predictor=4)))
+    # id 38 (r11): POINT-TRANSFORMED lossless (Al=2) — decode is
+    # (v >> 2) << 2, so the oracle is the same per-pixel expansion
+    # with the low bits masked
+    gray38 = np.frombuffer(jpgl_expand(38, w * h), np.uint8).reshape(h, w)
+    rows.append((38, KIND_IMAGE, encode_jpeg_lossless(
+        gray38, predictor=5, point_transform=2)))
     rgb = np.frombuffer(
         jpgl_expand(33, w * h * 3), np.uint8
     ).reshape(h, w, 3)
@@ -2141,6 +2147,20 @@ ORACLES = {
           FROM (VALUES (32, 1), (33, 3)) m(i, ch),
                range(72) c(j), range(16) g(j)
           WHERE c.j*16 + g.j < {_JPEG_BW * _JPEG_BH * 64} * m.ch
+        ),
+        -- clip 38 (r11): point-transformed lossless (Al=2) — every
+        -- decoded pixel is the expansion byte with the low 2 bits
+        -- masked ((b >> 2) << 2)
+        jl_pt AS (
+          SELECT CAST(38 AS BIGINT) AS media_id,
+                 ((16*(strpos('0123456789abcdef',
+                      substr(md5('38:jpgl:' || c.j),
+                             CAST(2*g.j+1 AS INT), 1))-1)
+                 + (strpos('0123456789abcdef',
+                      substr(md5('38:jpgl:' || c.j),
+                             CAST(2*g.j+2 AS INT), 1))-1)) // 4) * 4 AS v
+          FROM range(24) c(j), range(16) g(j)
+          WHERE c.j*16 + g.j < {_JPEG_BW * _JPEG_BH * 64}
         )
         SELECT media_id,
                CAST({_JPEG_BW * 8} AS INTEGER) AS width,
@@ -2172,6 +2192,15 @@ ORACLES = {
                CAST(SUM(v*v) AS BIGINT)
         FROM jl_bytes
         GROUP BY media_id, ch
+        UNION ALL
+        SELECT media_id,
+               CAST({_JPEG_BW * 8} AS INTEGER),
+               CAST({_JPEG_BH * 8} AS INTEGER),
+               CAST(1 AS INTEGER),
+               CAST(SUM(v) AS BIGINT),
+               CAST(SUM(v*v) AS BIGINT)
+        FROM jl_pt
+        GROUP BY media_id
         UNION ALL
         -- clip 34 (r11): NON-INTERLEAVED arithmetic color — the Y/Cb/
         -- Cr planes are the id-24/25/26 third-party QM streams spliced

@@ -98,10 +98,15 @@ def test_restrictions_and_corruption_contract():
         assert i >= 0
         return i
 
-    # point transform != 0: metadata-only
+    # point transform decodes since r11: relabeling Al on an
+    # existing stream is wrong-but-plausible (no CRC) — it must
+    # decode DETERMINISTICALLY in the downshifted domain, never crash
     pt = bytearray(good)
     pt[_find(0xDA) + 9] = 0x02  # AhAl byte of the 1-comp SOS
-    assert _decode_jpeg_pixels(bytes(pt)) is None
+    got1 = _decode_jpeg_pixels(bytes(pt))
+    got2 = _decode_jpeg_pixels(bytes(pt))
+    assert got1 is not None and np.array_equal(got1[0], got2[0])
+    assert int(got1[0].max()) % 4 == 0 or int(got1[0].max()) == 0
     # subsampled lossless component: metadata-only
     sub = bytearray(good)
     sub[_find(0xC3) + 11] = 0x22  # h/v sampling of component 1
@@ -142,3 +147,40 @@ def test_decode_media_routes_lossless(spark):
     assert row["channels"] == 1
     assert row["px_sum"] == int(a.astype(np.int64).sum())
     assert row["px_sqsum"] == int((a.astype(np.int64) ** 2).sum())
+
+
+def test_point_transform_round_trips_and_hand_pin():
+    """r11: lossless POINT TRANSFORM (Al = Pt > 0, T.81 H.1) —
+    samples code in the downshifted (P-Pt)-bit domain with prediction
+    default 2^(P-Pt-1) and reconstruct as value << Pt, so the
+    round-trip law is decode(encode(x, pt)) == (x >> pt) << pt.
+    Pinned two ways: the law over predictors/precisions, and a
+    HAND-ASSEMBLED 2x2 stream (predictor 1, Pt=1, pixels
+    [[100,101],[99,98]] -> downshifted [[50,50],[49,49]]):
+    (0,0) pred 2^(8-1-1)=64, diff -14 -> SSSS 4, bits -14+15=0001;
+    (0,1) Ra=50, diff 0 -> SSSS 0; (1,0) Rb=50, diff -1 -> SSSS 1,
+    bit 0; (1,1) Ra=49, diff 0 -> SSSS 0. Bit string 00100 0001
+    00000 00001 0 00000 + 1-padding = 0x20 0x80 0x20 0x7F; output
+    is the downshifted walk << 1 = [100, 100, 98, 98]."""
+    rng = np.random.default_rng(41)
+    for prec, dtype, hi in ((8, np.uint8, 256), (12, np.uint16, 4096),
+                            (16, np.uint16, 65536)):
+        for pt in (1, 3, prec - 1):
+            for pred in (1, 4, 7):
+                a = rng.integers(0, hi, size=(6, 5), dtype=dtype)
+                px, ch = _decode_jpeg_pixels(encode_jpeg_lossless(
+                    a, predictor=pred, precision=prec,
+                    point_transform=pt))
+                exp = (a.astype(np.int64) >> pt) << pt
+                assert ch == 1 and np.array_equal(
+                    px.reshape(6, 5).astype(np.int64), exp
+                ), (prec, pt, pred)
+    dht = (b"\xff\xc4" + (2 + 17 + 17).to_bytes(2, "big") + b"\x00"
+           + bytes([0, 0, 0, 0, 17] + [0] * 11) + bytes(range(17)))
+    sof = (b"\xff\xc3\x00\x0b" + bytes((8,)) + (2).to_bytes(2, "big")
+           + (2).to_bytes(2, "big") + bytes((1, 1, 0x11, 0)))
+    sos = b"\xff\xda\x00\x08" + bytes((1, 1, 0x00, 1, 0, 1))
+    blob = (b"\xff\xd8" + dht + sof + sos
+            + bytes((0x20, 0x80, 0x20, 0x7F)) + b"\xff\xd9")
+    got = _decode_jpeg_pixels(blob)
+    assert got is not None and got[0].tolist() == [100, 100, 98, 98]
