@@ -329,3 +329,51 @@ def test_png_gama_chunk_skipped_but_crc_enforced():
     bad[i + 8] ^= 0xFF
     kind, _ = _decode_or_outcome(bytes(bad))
     assert kind == "error"
+
+
+def test_ms_adpcm_and_subset_jpeg_mutations_never_escape():
+    """r11 mutation coverage for the round's new decode paths: every
+    single-byte mutation and truncation of (a) an MS-ADPCM WAV and
+    (b) a partial-subset arithmetic JPEG must land on the pinned
+    outcome set — samples/pixels, metadata-only, or a quarantined
+    corrupt error. Never an uncaught exception."""
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        _MS_ADPCM_COEF1,
+        _MS_ADPCM_COEF2,
+        encode_jpeg_arith,
+    )
+
+    # MS-ADPCM: one stereo block + a partial tail
+    hdr = (bytes([0, 3]) + struct.pack("<hh", 16, 40)
+           + struct.pack("<hh", 100, -5) + struct.pack("<hh", -5000, -6))
+    data = hdr + bytes([0x17, 0x9F, 0x80, 0x31]) + hdr + bytes([0x2C, 0x4D])
+    fmt = struct.pack("<HHIIHHHHH", 2, 2, 8000, 4000, 18, 4, 32, 6, 7)
+    fmt += b"".join(struct.pack("<hh", a, b)
+                    for a, b in zip(_MS_ADPCM_COEF1, _MS_ADPCM_COEF2))
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+           + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(data)) + data)
+    for i in range(4, len(wav)):
+        mutated = bytearray(wav)
+        mutated[i] ^= 0xA5
+        kind, _ = _decode_or_outcome(bytes(mutated))
+        assert kind in ("pixels", "metadata", "error"), i
+    for cut in range(12, len(wav)):
+        kind, _ = _decode_or_outcome(wav[:cut])
+        assert kind in ("pixels", "metadata", "error"), cut
+
+    # partial-subset arithmetic JPEG with restarts
+    rng = np.random.default_rng(61)
+    px = rng.integers(0, 256, size=16 * 16 * 3, dtype=np.uint8)
+    jpg = encode_jpeg_arith(px, 16, 16, 3, scan_groups=[[1, 2], [3]],
+                            restart_interval=2)
+    for i in range(2, len(jpg)):
+        mutated = bytearray(jpg)
+        mutated[i] ^= 0xA5
+        kind, _ = _decode_or_outcome(bytes(mutated))
+        assert kind in ("pixels", "metadata", "error"), i
+    for cut in range(2, len(jpg)):
+        kind, _ = _decode_or_outcome(jpg[:cut])
+        assert kind in ("pixels", "metadata", "error"), cut

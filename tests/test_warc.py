@@ -341,3 +341,39 @@ def test_charset_aware_decode_is_mojibake_free(spark):
         F.col("body").isNull()
     )
     assert all(r["text"] is None for r in null_rows.collect())
+
+
+def test_streaming_charset_decode_composes(spark, tmp_path):
+    """r11: `decode_crawl_text` (the charset-aware struct UDF) must
+    compose onto the STREAMING warc path too — a gbk page dropped
+    into the crawl directory arrives decoded mojibake-free with its
+    resolved charset, through a checkpointed micro-batch."""
+    from pyspark.sql import functions as F
+
+    from dataingestiontohana_spark.sources.warc import decode_crawl_text
+    from dataingestiontohana_spark.streaming.media import warc_file_stream
+
+    drop = tmp_path / "crawl"
+    drop.mkdir()
+    body = "<p>中文网页</p>".encode("gbk")
+    payload = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+               b"charset=gbk\r\n\r\n" + body)
+    (drop / "a.warc").write_bytes(
+        _rec("response", payload, "http://s.test/zh"))
+
+    rows: list = []
+    q = (
+        decode_crawl_text(warc_file_stream(spark, str(drop)),
+                          charset_col="charset")
+        .where(F.col("http_status") == 200)
+        .writeStream.foreachBatch(lambda b, _e: rows.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    assert len(rows) == 1
+    assert rows[0]["charset"] == "gbk"
+    assert rows[0]["text"] == "<p>中文网页</p>"
+    assert "�" not in rows[0]["text"]
