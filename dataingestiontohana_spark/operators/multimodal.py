@@ -808,6 +808,12 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
                     # path keep metadata-only, never a crash.
                     _jpeg_ensure_coef_store(comps, w, h, coefs, geom)
                     if body[0] == 1:
+                        # r12 ADVICE: mirror the subset-arm checks —
+                        # a truncated Ns=1 body or unknown component
+                        # id stays metadata-only like the Ns>1
+                        # degenerate headers, not a quarantine
+                        if len(body) != 6 or body[1] not in geom:
+                            return None
                         cid = body[1]
                         td, ta = body[2] >> 4, body[2] & 0xF
                         _jpeg_arith_scan_single(
@@ -859,6 +865,10 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
                     # coefficient accumulator, reconstructed at EOI.
                     _jpeg_ensure_coef_store(comps, w, h, coefs, geom)
                     if body[0] == 1:
+                        # r12 ADVICE: same degenerate-header fallback
+                        # as the subset arm (len + known cid)
+                        if len(body) != 6 or body[1] not in geom:
+                            return None
                         cid = body[1]
                         td, ta = body[2] >> 4, body[2] & 0xF
                         _jpeg_seq_scan_single(
@@ -2624,7 +2634,13 @@ def _ms_walk(
         pred = max(-32768, min(32767, pred))
         s2, s1 = s1, pred
         out.append(pred)
-        delta = max(16, (_MS_ADPCM_ADAPT[nib] * delta) >> 8)
+        # r12 ADVICE: the adaptation divides like the prediction term
+        # (C `/ 256`, truncation toward zero) — `>> 8` floors, which
+        # transiently differs when a crafted header plants a NEGATIVE
+        # initial idelta (int16, attacker-controlled) before the
+        # max(16,...) clamp re-syncs the walk
+        a = _MS_ADPCM_ADAPT[nib] * delta
+        delta = max(16, a // 256 if a >= 0 else -((-a) // 256))
     return out
 
 

@@ -236,16 +236,38 @@ _WHATWG_ALIASES = {
 
 def _known_codec(label: str | None) -> str | None:
     """Normalized python codec name for a charset label, or None when
-    the label is absent/unknown (the sniff falls through)."""
+    the label is absent/unknown/hostile (the sniff falls through).
+
+    codecs.lookup() resolves MORE than text encodings: bytes-to-bytes
+    transforms (zip/zlib/bz2/hex/base64/quopri/uu) and one-way text
+    codecs (rot13) match the charset-label regex but raise LookupError
+    or TypeError inside bytes.decode — and idna/punycode decode raises
+    UnicodeError regardless of errors='replace'. A crafted
+    `charset=zlib` header or <meta> must degrade to the UTF-8 default,
+    never fail the Spark task (untrusted-payload no-crash contract),
+    so a label only survives when (a) the codec self-identifies as a
+    text encoding, (b) it is not in the WHATWG-excluded set (utf-7 is
+    banned there for markup-smuggling; idna/punycode are RFC 3490
+    transforms, not page charsets), and (c) a probe decode with the
+    replace handler actually returns."""
     import codecs
 
     if not label:
         return None
     name = _WHATWG_ALIASES.get(label.strip().lower(), label.strip())
     try:
-        return codecs.lookup(name).name
+        info = codecs.lookup(name)
     except LookupError:
         return None
+    if not getattr(info, "_is_text_encoding", True):
+        return None
+    if info.name in ("idna", "punycode", "utf-7"):
+        return None
+    try:
+        b"\x80\x00ab".decode(info.name, "replace")
+    except Exception:
+        return None
+    return info.name
 
 
 def resolve_charset(content_type: str | None, body: bytes) -> str:
@@ -318,7 +340,14 @@ def decode_crawl_text(
             enc = resolve_charset(
                 ct if isinstance(ct, str) else None, raw
             )
-            texts.append(raw.decode(enc, "replace"))
+            # belt to _known_codec's suspenders: a codec that passed
+            # the probe but raises on THIS body (errors-handler-
+            # ignoring paths) still must not fail the task
+            try:
+                texts.append(raw.decode(enc, "replace"))
+            except Exception:
+                enc = "utf-8"
+                texts.append(raw.decode("utf-8", "replace"))
             encs.append(enc)
         return pd.DataFrame({"text": texts, "charset": encs})
 

@@ -1940,3 +1940,78 @@ def test_jpeg_subset_scan_header_fuzz_stays_metadata_only():
                      + bytes([0, 63, 0])
                      + base[at + 12:])
     assert _decode_jpeg_pixels(bytes(blob)) is None
+
+
+def test_jpeg_ns1_scan_header_fuzz_stays_metadata_only():
+    """r12 ADVICE: the Ns=1 arms (Huffman and arithmetic) get the
+    SAME degenerate-header fallback as the subset arms — a truncated
+    Ns=1 SOS body or an unknown component id is metadata-only (None
+    from the pixel walk), never an IndexError quarantined as
+    corrupt."""
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        encode_jpeg_arith,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(1225)
+    ones = np.ones(64)
+    px = rng.integers(0, 256, size=9 * 17 * 3, dtype=np.uint8)
+    for encode in (
+        lambda: encode_jpeg_baseline(
+            px, 17, 9, 3, quant_luma=ones, quant_chroma=ones,
+            scan_groups=[[1], [2], [3]]),
+        lambda: encode_jpeg_arith(
+            px, 17, 9, 3, quant_luma=ones, quant_chroma=ones,
+            scan_groups=[[1], [2], [3]]),
+    ):
+        base = encode()
+        at = base.find(b"\xff\xda")
+        assert base[at + 4] == 1  # first scan is Ns=1
+        # sanity: the unmutated stream decodes
+        assert _decode_jpeg_pixels(bytes(base)) is not None
+        # unknown component id (9 not in SOF)
+        blob = bytearray(base)
+        blob[at + 5] = 9
+        assert _decode_jpeg_pixels(bytes(blob)) is None
+        # truncated Ns=1 body: seg_len says 6 bytes of payload but a
+        # length-consistent header that omits the spectral trio
+        blob = bytearray(
+            base[:at] + b"\xff\xda\x00\x05" + bytes([1, 1, 0])
+            + base[at + 10:]
+        )
+        assert _decode_jpeg_pixels(bytes(blob)) is None
+
+
+def test_ms_adpcm_negative_idelta_truncates_toward_zero():
+    """r12 ADVICE: the idelta adaptation divides like the prediction
+    term — C `/256` truncation toward zero, not `>>8` floor. With a
+    crafted NEGATIVE initial idelta (int16, attacker-controlled) the
+    two differ before the max(16, .) clamp; the walk must match an
+    independent trunc-division replay sample-exactly (the same
+    arithmetic the DuckDB oracle's HUGEINT `//` uses)."""
+    from dataingestiontohana_spark.operators.multimodal import (
+        _MS_ADPCM_ADAPT,
+        _ms_walk,
+    )
+
+    def replay(c1, c2, delta, s1, s2, nibbles):
+        out = [s2, s1]
+        for nib in nibbles:
+            t = s1 * c1 + s2 * c2
+            # int(a/256) is exact trunc-division for |a| < 2**53
+            pred = int(t / 256) + (nib - 16 if nib >= 8 else nib) * delta
+            pred = max(-32768, min(32767, pred))
+            s2, s1 = s1, pred
+            out.append(pred)
+            delta = max(16, int((_MS_ADPCM_ADAPT[nib] * delta) / 256))
+        return out
+
+    nibbles = [7, 15, 0, 8, 3, 12, 1, 9, 14, 2, 5, 11]
+    for delta0 in (-32768, -1000, -257, -1, 16, 300):
+        for c1, c2 in ((256, 0), (460, -208), (512, -256)):
+            got = _ms_walk(c1, c2, delta0, -1234, 777, nibbles)
+            want = replay(c1, c2, delta0, -1234, 777, nibbles)
+            assert got == want, (delta0, c1, c2)

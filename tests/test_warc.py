@@ -297,6 +297,60 @@ def test_charset_resolution_whatwg_order():
     assert resolve_charset(None, b"plain") == "utf-8"
 
 
+def test_hostile_charset_labels_degrade_to_utf8():
+    """r12 ADVICE (high): codecs.lookup() resolves non-text codecs
+    (zip/zlib/rot13/hex/base64/quopri/uu/bz2) and errors-handler-
+    ignoring text codecs (idna/punycode) from the charset-label
+    regex; bytes.decode then raises LookupError/UnicodeError INSIDE
+    the pandas UDF, failing the whole ingest on one crafted page.
+    Every such label must fall through to the UTF-8 default — and
+    utf-7 (WHATWG-banned for markup smuggling) joins them."""
+    from dataingestiontohana_spark.sources.warc import resolve_charset
+
+    hostile = ("zip", "zlib", "rot13", "rot-13", "hex", "base64",
+               "base-64", "quopri", "uu", "bz2", "idna", "punycode",
+               "utf-7", "unicode-1-1-utf-7")
+    body = b"\x80 crafted page \xff"
+    for label in hostile:
+        enc = resolve_charset(f"text/html; charset={label}", body)
+        assert enc == "utf-8", (label, enc)
+        enc = resolve_charset(
+            "text/html", b"<meta charset=%s>x" % label.encode()
+        )
+        assert enc == "utf-8", ("meta", label, enc)
+        # the resolved codec must actually decode hostile bytes
+        body.decode(enc, "replace")
+
+
+def test_hostile_charset_labels_do_not_fail_spark_decode(spark):
+    """The full decode_crawl_text path survives a crafted
+    charset=zlib header (the exact ADVICE repro) and yields the
+    page's UTF-8-replace text instead of failing the task."""
+    from dataingestiontohana_spark.sources.warc import (
+        decode_crawl_text,
+        warc_records,
+    )
+
+    recs = []
+    for label in ("zlib", "punycode", "utf-7"):
+        payload = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+            f"charset={label}\r\n\r\n".encode()
+            + b"<p>hostile \x80 page</p>"
+        )
+        recs.append(_rec("response", payload, "http://evil.test/x"))
+    df = spark.createDataFrame(
+        [(1, bytearray(b"".join(recs)))], "file_id long, content binary"
+    ).coalesce(1)
+    rows = decode_crawl_text(
+        warc_records(df), charset_col="charset"
+    ).orderBy("rec_idx").collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["charset"] == "utf-8"
+        assert "hostile" in r["text"] and "page" in r["text"]
+
+
 def test_charset_aware_decode_is_mojibake_free(spark):
     """r11 verdict item 2: non-UTF-8 pages decode to their exact
     unicode text (stdlib-encoded bodies are the independent
