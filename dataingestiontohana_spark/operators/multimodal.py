@@ -3470,6 +3470,196 @@ def encode_gif_frames(
     return bytes(out)
 
 
+# -- AVI / MJPEG (r12): RIFF video container, every frame a complete
+# JPEG through the pinned decoder — the last major training-data
+# modality (video) gets real container plumbing. Reference scope:
+# the reference pipeline ingests opaque payload streams
+# (README.md:8-13); video columns are the engine's own extension.
+
+# decoded-output bomb cap, the GIF rule: a 56-byte header can declare
+# gigapixel frames; past the cap the file stays metadata-only (valid
+# container, refused decode) rather than allocating the output
+_AVI_MAX_OUT_BYTES = 1 << 28
+_MJPG_FOURCC = (b"MJPG", b"mjpg", b"dmb1")  # dmb1 = QuickTime MJPEG-A
+
+
+def _riff_walk(b: bytes, off: int, end: int):
+    """Yield (fourcc, body_start, body_len) over one RIFF chunk run
+    (word-aligned, T.ex msdn RIFF spec); a declared length past `end`
+    is a truncation/mutation -> ValueError (never a silent prefix
+    decode — the WAV malformed-record discipline)."""
+    while off + 8 <= end:
+        cid = b[off : off + 4]
+        (length,) = struct.unpack("<I", b[off + 4 : off + 8])
+        if off + 8 + length > end:
+            raise ValueError(f"AVI: truncated {cid!r} chunk")
+        yield cid, off + 8, length
+        off += 8 + length + (length & 1)
+
+
+def _parse_avi(b: bytes) -> tuple[int, int, int, int, np.ndarray | None]:
+    """RIFF/AVI walk -> (w, h, n_frames, channels, flat_bytes).
+
+    Parses hdrl (avih frame count + dims; per-stream strl with strh
+    fccType/fccHandler and strf BITMAPINFOHEADER biCompression) and
+    movi ('NNdc'/'NNdb' chunks of the first 'vids' stream, including
+    inside 'rec ' grouping lists), then decodes every MJPEG frame
+    with the pinned JPEG decoder — so the whole q204 scan-layout
+    surface (baseline/progressive/arithmetic, restarts, subset scans)
+    is reachable per frame. Frame geometry must stay constant and
+    match the avih declaration, and the avih frame count must equal
+    the movi chunk count — a mismatch is a mutation, ValueError
+    (quarantine), never a silently wrong frame list. A non-MJPEG
+    video codec (XVID, raw DIB, ...) is VALID-UNSUPPORTED: full
+    header metadata (dims + frame count), channels=0, px=None — the
+    WAV count-only contract, never quarantined. A frame whose JPEG
+    decodes metadata-only (a declared codec seam) degrades the whole
+    file to metadata-only the same way."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("AVI: bad RIFF/AVI header")
+    (riff_len,) = struct.unpack("<I", b[4:8])
+    if 8 + riff_len > len(b):
+        raise ValueError("AVI: RIFF length past end of payload")
+    end = 8 + riff_len
+    width = height = total_frames = None
+    vids_stream: int | None = None
+    handler_ok = False
+    stream_idx = 0
+    frames: list[tuple[int, int]] = []
+    for cid, start, length in _riff_walk(b, 12, end):
+        if cid != b"LIST":
+            continue  # idx1 and other top-level chunks: index only
+        ltype = b[start : start + 4]
+        if ltype == b"hdrl":
+            for c2, s2, l2 in _riff_walk(b, start + 4, start + length):
+                if c2 == b"avih":
+                    if l2 < 40:
+                        raise ValueError("AVI: avih shorter than 40")
+                    total_frames = struct.unpack(
+                        "<I", b[s2 + 16 : s2 + 20]
+                    )[0]
+                    width, height = struct.unpack(
+                        "<II", b[s2 + 32 : s2 + 40]
+                    )
+                elif c2 == b"LIST" and b[s2 : s2 + 4] == b"strl":
+                    fcc_type = fcc_handler = bi_comp = None
+                    for c3, s3, l3 in _riff_walk(b, s2 + 4, s2 + l2):
+                        if c3 == b"strh" and l3 >= 8:
+                            fcc_type = b[s3 : s3 + 4]
+                            fcc_handler = b[s3 + 4 : s3 + 8]
+                        elif c3 == b"strf" and l3 >= 20:
+                            bi_comp = b[s3 + 16 : s3 + 20]
+                    if fcc_type == b"vids" and vids_stream is None:
+                        vids_stream = stream_idx
+                        handler_ok = (
+                            fcc_handler in _MJPG_FOURCC
+                            or bi_comp in _MJPG_FOURCC
+                        )
+                    stream_idx += 1
+        elif ltype == b"movi":
+            if vids_stream is None:
+                raise ValueError("AVI: movi list before hdrl stream")
+            tag = b"%02d" % vids_stream
+            for c2, s2, l2 in _riff_walk(b, start + 4, start + length):
+                if c2 == b"LIST" and b[s2 : s2 + 4] == b"rec ":
+                    for c3, s3, l3 in _riff_walk(b, s2 + 4, s2 + l2):
+                        if c3[:2] == tag and c3[2:4] in (b"dc", b"db"):
+                            frames.append((s3, l3))
+                elif c2[:2] == tag and c2[2:4] in (b"dc", b"db"):
+                    frames.append((s2, l2))
+    if width is None or total_frames is None:
+        raise ValueError("AVI: missing avih main header")
+    nf = len(frames)
+    if nf != total_frames:
+        raise ValueError(
+            f"AVI: avih declares {total_frames} frames, movi has {nf}"
+        )
+    if not handler_ok or nf == 0:
+        return width, height, nf, 0, None
+    fw = fh = fch = None
+    planes: list[np.ndarray] = []
+    for s, l in frames:
+        fb = bytes(b[s : s + l])
+        if fb[:2] != b"\xff\xd8":
+            raise ValueError("AVI: MJPEG frame without JPEG SOI")
+        w2, h2 = _parse_jpeg(fb)
+        decoded = _decode_jpeg_pixels(fb)
+        if decoded is None:
+            # a declared JPEG codec seam inside a frame: the whole
+            # clip degrades to metadata-only, never a partial stack
+            return width, height, nf, 0, None
+        px, ch = decoded
+        if fw is None:
+            fw, fh, fch = w2, h2, ch
+            if (w2, h2) != (width, height):
+                raise ValueError(
+                    "AVI: frame geometry disagrees with avih"
+                )
+            if nf * fw * fh * fch > _AVI_MAX_OUT_BYTES:
+                return width, height, nf, 0, None  # bomb cap
+        elif (w2, h2, ch) != (fw, fh, fch):
+            raise ValueError("AVI: frame geometry changed mid-stream")
+        planes.append(np.ascontiguousarray(px).reshape(-1))
+    return width, height, nf, fch, np.concatenate(planes)
+
+
+def encode_avi_mjpeg(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    fps: int = 25,
+    handler: bytes = b"MJPG",
+    use_rec_list: bool = False,
+) -> bytes:
+    """Assemble a spec-shaped RIFF/AVI around complete JPEG frame
+    streams: avih + one vids strl (strh fccHandler + strf
+    BITMAPINFOHEADER biCompression both carry `handler`), movi with
+    word-aligned 00dc chunks (optionally grouped under a 'rec ' list
+    — the interleave shape DV-style writers emit), and a standard
+    idx1 index. Doubles as the mutation-sweep fixture builder and as
+    a real sink-side muxer for frame-sampled output."""
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<10I16x",
+        1000000 // max(fps, 1), 0, 0, 0x10,  # AVIF_HASINDEX
+        len(frames), 0, 1, 0, width, height,
+    )
+    strh = (
+        b"vids" + handler
+        + struct.pack("<IHHIIIIIIII4H", 0, 0, 0, 0, 1, fps, 0,
+                      len(frames), 0, 0xFFFFFFFF, 0,
+                      0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, handler,
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(
+            b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)
+        ),
+    )
+    movi_chunks, idx, off = [], [], 4
+    for fb in frames:
+        movi_chunks.append(chunk(b"00dc", fb))
+        idx.append(
+            b"00dc" + struct.pack("<III", 0x10, off, len(fb))
+        )  # AVIIF_KEYFRAME; offset from the 'movi' fourcc
+        off += 8 + len(fb) + (len(fb) & 1)
+    body = b"".join(movi_chunks)
+    movi = lst(b"movi", lst(b"rec ", body) if use_rec_list else body)
+    idx1 = chunk(b"idx1", b"".join(idx))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
 def _decode_payload(
     content: bytes,
 ) -> tuple[int, int, int, int, np.ndarray | None]:
@@ -3496,7 +3686,10 @@ def _decode_payload(
     is closed by contract rather than left open-ended; see SCALING.md
     "JPEG codec boundary"); WAV decodes integer PCM at 8/16/24/32 bits and
     IEEE-float PCM at 32/64 bits, each at native width, mono/stereo,
-    plus mono/stereo whole-block IMA-ADPCM (fmt tag 0x11 — r9).
+    plus mono/stereo whole-block IMA-ADPCM (fmt tag 0x11 — r9); AVI
+    decodes MJPEG video (r12 — `_parse_avi`: the RIFF hdrl/movi walk
+    with every frame through this same JPEG decoder; non-MJPEG codec
+    fourccs stay metadata-only).
     ``channels`` is 0 whenever px is None. Formats
     needing a real codec stack (MP4, compressed audio) raise — swapping
     in PIL/librosa later only changes this function."""
@@ -3516,6 +3709,8 @@ def _decode_payload(
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         n, px = _parse_wav(content)
         return n, 1, 1, (1 if px is not None else 0), px
+    if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+        return _parse_avi(content)
     if content[:6] in (b"GIF87a", b"GIF89a"):
         return _parse_gif(content)
     if content[:2] == b"BM" and len(content) >= 14:
@@ -3523,9 +3718,9 @@ def _decode_payload(
         return w, h, 1, ch, px
     if len(content) < _HEADER_SIZE or content[:4] != _MAGIC:
         raise NotImplementedError(
-            "unsupported media container: SGM1/PNG/JPEG/WAV/GIF/BMP are "
-            "parsed natively; codec-bound formats (MP4, MP3, ...) are "
-            "stubbed in this environment"
+            "unsupported media container: SGM1/PNG/JPEG/WAV/GIF/BMP/AVI "
+            "are parsed natively; codec-bound formats (MP4, MP3, ...) "
+            "are stubbed in this environment"
         )
     _, kind, w, h, nf = struct.unpack(_HEADER_FMT, content[:_HEADER_SIZE])
     px = np.frombuffer(content, dtype=np.uint8, offset=_HEADER_SIZE)
@@ -3731,6 +3926,12 @@ def sample_frames(df: DataFrame, every_k: int = 2) -> DataFrame:
                 if kind != KIND_VIDEO:
                     continue
                 w, h, nf, ch, px = _decode_payload(bytes(content))
+                if px is None:
+                    # metadata-only video (unsupported codec fourcc,
+                    # bomb-capped, or a frame in a declared JPEG
+                    # seam): nothing to slice — r12, AVI made this
+                    # reachable for KIND_VIDEO rows
+                    continue
                 frames = px.reshape(nf, h, w * ch)
                 for fi in range(0, nf, every_k):
                     payload = frames[fi].tobytes()

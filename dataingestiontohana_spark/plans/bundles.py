@@ -553,6 +553,15 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("media_id", "bigint"), ("frame_idx", "int"),
         ("frame_px_sum", "bigint"),
     ],
+    "q225_avi_mjpeg": [
+        ("media_id", "bigint"), ("width", "int"), ("height", "int"),
+        ("n_frames", "int"), ("channels", "int"),
+        ("px_sum", "bigint"), ("px_sqsum", "bigint"),
+    ],
+    "q226_avi_frames": [
+        ("media_id", "bigint"), ("frame_idx", "int"),
+        ("frame_px_sum", "bigint"),
+    ],
     "q216_warc_ingest": [
         ("file_id", "bigint"), ("rec_idx", "int"), ("url", "string"),
         ("status", "int"), ("content_type", "string"),
@@ -990,6 +999,11 @@ BUNDLES: dict[str, list[str]] = {
         # q215 (n_frames joins the gate) plus per-frame slice checksums
         # through the production sample_frames operator
         "q221_gif_frames",
+        # round 12: MJPEG-in-AVI video columns — the RIFF container
+        # walk + per-frame JPEG decode (baseline/progressive/
+        # arithmetic/RGB) under the whole-clip value gate, plus
+        # per-frame sampling checksums through sample_frames
+        "q225_avi_mjpeg", "q226_avi_frames",
     ],
     # round 9: WARC crawl-archive ingestion + URL canonicalization
     # dedup + eTLD+1 extraction + robots.txt filtering join the

@@ -1171,6 +1171,127 @@ def q221_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AVI_CACHE: dict[str, DataFrame] = {}
+# (media_id, n_frames, channels) of the DECODING clips; clip 5 is the
+# valid-unsupported XVID entry (metadata-only by contract)
+_AVI_SPECS: tuple[tuple[int, int, int], ...] = (
+    (0, 4, 1), (1, 3, 1), (2, 5, 1), (3, 4, 1), (4, 2, 3),
+)
+
+
+def _avi_corpus(spark: SparkSession) -> DataFrame:
+    """REAL RIFF/AVI MJPEG clips whose decode is EXACT (r12 — video
+    columns, the last major training-data modality): every frame is a
+    constant-block md5 mosaic at unit quantization (the q204
+    discipline — frame f of clip i takes its 6 block constants from
+    md5('{i}:avi:{f}')), so the pinned JPEG decoder reproduces every
+    pixel and the SQL oracle recomputes per-frame and whole-clip
+    moments from the seed. The five decoding clips walk the frame
+    codec surface: 0 = baseline; 1 = baseline + restart intervals
+    with the movi chunks grouped under a 'rec ' list (the DV-writer
+    interleave shape); 2 = progressive (full multi-scan script);
+    3 = ARITHMETIC (QM coder, restart reinit per frame); 4 =
+    gray-valued RGB baseline (Cb/Cr quantize to exactly 0 — the clip
+    35/37 trick — so 3-channel moments are the gray formula x3).
+    Clip 5 declares fourcc XVID over garbage frames: a VALID
+    UNSUPPORTED codec, full header metadata + NULL moments, never
+    quarantined."""
+    import hashlib
+
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        encode_jpeg_arith,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    key = spark.sparkContext.applicationId
+    df = _AVI_CACHE.get(key)
+    if df is not None:
+        return df
+    _AVI_CACHE.clear()
+    ones = np.ones(64, dtype=np.int32)
+    w, h = _JPEG_BW * 8, _JPEG_BH * 8
+
+    def mosaic(mid: int, f: int) -> np.ndarray:
+        consts = hashlib.md5(f"{mid}:avi:{f}".encode()).digest()[
+            : _JPEG_BW * _JPEG_BH
+        ]
+        grid = np.zeros((h, w), dtype=np.uint8)
+        for j, v in enumerate(consts):
+            by, bx = divmod(j, _JPEG_BW)
+            grid[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+        return grid.reshape(-1)
+
+    rows = []
+    for mid, nf, ch in _AVI_SPECS:
+        frames = []
+        for f in range(nf):
+            px = mosaic(mid, f)
+            if mid == 1:
+                frames.append(encode_jpeg_baseline(
+                    px, w, h, 1, quant_luma=ones, restart_interval=2))
+            elif mid == 2:
+                frames.append(encode_jpeg_progressive(
+                    px, w, h, 1, quant_luma=ones))
+            elif mid == 3:
+                frames.append(encode_jpeg_arith(
+                    px, w, h, 1, quant_luma=ones, restart_interval=2))
+            elif ch == 3:
+                frames.append(encode_jpeg_baseline(
+                    np.repeat(px, 3), w, h, 3,
+                    quant_luma=ones, quant_chroma=ones))
+            else:
+                frames.append(encode_jpeg_baseline(
+                    px, w, h, 1, quant_luma=ones))
+        rows.append((mid, KIND_VIDEO, encode_avi_mjpeg(
+            frames, w, h, use_rec_list=(mid == 1))))
+    rows.append((5, KIND_VIDEO, encode_avi_mjpeg(
+        [b"\x12\x34" * 8] * 3, w, h, handler=b"XVID")))
+    df = (
+        spark.createDataFrame(rows, "media_id long, kind int, content binary")
+        .coalesce(2)
+        .localCheckpoint(eager=False)
+    )
+    _AVI_CACHE[key] = df
+    return df
+
+
+def q225_avi_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MJPEG-in-AVI decode under the VALUE gate (r12): the whole
+    container walk (hdrl/strl/movi/'rec ' grouping) + per-frame JPEG
+    decode through the production `decode_media`; the oracle
+    recomputes every clip's exact integer moments from the md5 seed,
+    and the n_frames column adjudicates the movi chunk walk itself.
+    Clip 5 (XVID) pins the valid-unsupported contract: header
+    metadata with NULL moments."""
+    return (
+        decode_media(_avi_corpus(spark))
+        .select(
+            "media_id", "width", "height", "n_frames", "channels",
+            "px_sum", "px_sqsum",
+        )
+        .orderBy("media_id")
+    )
+
+
+def q226_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame SAMPLING on real AVI clips (r12): every_k=2
+    through the production `sample_frames` operator — one row per
+    kept frame with its exact byte-sum checksum, so the oracle
+    adjudicates the frame SLICES individually (q225 gates the
+    whole-clip aggregate). The metadata-only XVID clip must
+    contribute zero rows (the operator skips undecodable videos
+    instead of crashing)."""
+    return (
+        sample_frames(_avi_corpus(spark), every_k=2)
+        .select("media_id", "frame_idx", "frame_px_sum")
+        .orderBy("media_id", "frame_idx")
+    )
+
+
 def q38b_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature extraction: sample count + exact integer sample
     moments per audio payload (rms/FFT-band floats stay on the
@@ -1974,6 +2095,8 @@ QUERIES = {
     "q206_png16_native": q206_png16_native,
     "q215_gif_bmp": q215_gif_bmp,
     "q221_gif_frames": q221_gif_frames,
+    "q225_avi_mjpeg": q225_avi_mjpeg,
+    "q226_avi_frames": q226_avi_frames,
     "q209_audio_fingerprint": q209_audio_fingerprint,
     "q210_audio_neardup": q210_audio_neardup,
 }
@@ -2044,6 +2167,28 @@ _GB_CTES = """gb_media AS (
                         THEN NULL
                       ELSE i0 END
           FROM a9_grid
+        )"""
+
+
+# Shared DuckDB reconstruction of the AVI/MJPEG corpus (r12 — see
+# _avi_corpus): frame f of clip i is a 3x2 mosaic of constant 8x8
+# blocks, block j = byte j of md5('{i}:avi:{f}') — the q204 exactness
+# argument per frame, summed over frames for the whole-clip gate.
+_AVI_BLOCK_CTES = f"""avi_spec(media_id, nf, ch) AS (
+          VALUES (CAST(0 AS BIGINT), 4, 1), (1, 3, 1), (2, 5, 1),
+                 (3, 4, 1), (4, 2, 3)
+        ),
+        avi_blocks AS (
+          SELECT s.media_id, s.nf, s.ch, CAST(c.f AS INT) AS frame,
+                 16*(strpos('0123456789abcdef',
+                      substr(md5(s.media_id || ':avi:' || c.f),
+                             CAST(2*u.j+1 AS INT), 1))-1)
+                 + (strpos('0123456789abcdef',
+                      substr(md5(s.media_id || ':avi:' || c.f),
+                             CAST(2*u.j+2 AS INT), 1))-1) AS v
+          FROM avi_spec s, range(5) c(f),
+               range({_JPEG_BW * _JPEG_BH}) u(j)
+          WHERE c.f < s.nf
         )"""
 
 
@@ -2405,6 +2550,33 @@ ORACLES = {
         FROM f8
         UNION ALL
         SELECT CAST(9 AS BIGINT), frame_idx, CAST(s AS BIGINT) FROM f9
+        ORDER BY media_id, frame_idx
+    """,
+    "q225_avi_mjpeg": f"""
+        WITH {_AVI_BLOCK_CTES}
+        SELECT media_id,
+               CAST({_JPEG_BW * 8} AS INTEGER) AS width,
+               CAST({_JPEG_BH * 8} AS INTEGER) AS height,
+               CAST(nf AS INTEGER) AS n_frames,
+               CAST(ch AS INTEGER) AS channels,
+               CAST(ch * 64 * SUM(v) AS BIGINT) AS px_sum,
+               CAST(ch * 64 * SUM(v*v) AS BIGINT) AS px_sqsum
+        FROM avi_blocks
+        GROUP BY media_id, nf, ch
+        UNION ALL
+        -- clip 5: fourcc XVID, valid-unsupported — header metadata
+        -- (dims + declared frame count) with NULL moments
+        SELECT CAST(5 AS BIGINT), {_JPEG_BW * 8}, {_JPEG_BH * 8},
+               3, 0, NULL, NULL
+        ORDER BY media_id
+    """,
+    "q226_avi_frames": f"""
+        WITH {_AVI_BLOCK_CTES}
+        SELECT media_id, frame AS frame_idx,
+               CAST(ch * 64 * SUM(v) AS BIGINT) AS frame_px_sum
+        FROM avi_blocks
+        WHERE frame % 2 = 0
+        GROUP BY media_id, frame, ch
         ORDER BY media_id, frame_idx
     """,
     "q206_png16_native": f"""

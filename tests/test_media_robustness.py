@@ -377,3 +377,74 @@ def test_ms_adpcm_and_subset_jpeg_mutations_never_escape():
     for cut in range(2, len(jpg)):
         kind, _ = _decode_or_outcome(jpg[:cut])
         assert kind in ("pixels", "metadata", "error"), cut
+
+
+def test_avi_mutations_and_truncations_never_escape():
+    """r12 mutation coverage for the AVI/MJPEG container: every
+    single-byte mutation and every truncation of a 2-frame MJPEG AVI
+    (baseline + restart frames, idx1 included) must land on the
+    pinned outcome set — pixels, metadata-only, or a quarantined
+    corrupt error. Never an uncaught exception."""
+    import hashlib
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        encode_jpeg_baseline,
+    )
+
+    ones = np.ones(64)
+    g = np.zeros((16, 24), np.uint8)
+    for j, v in enumerate(hashlib.md5(b"avi-sweep").digest()[:6]):
+        by, bx = divmod(j, 3)
+        g[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+    px = g.reshape(-1)
+    frames = [
+        encode_jpeg_baseline(px, 24, 16, 1, quant_luma=ones),
+        encode_jpeg_baseline(px, 24, 16, 1, quant_luma=ones,
+                             restart_interval=2),
+    ]
+    avi = encode_avi_mjpeg(frames, 24, 16)
+    for i in range(4, len(avi)):
+        mutated = bytearray(avi)
+        mutated[i] ^= 0xA5
+        kind, _ = _decode_or_outcome(bytes(mutated))
+        assert kind in ("pixels", "metadata", "error"), i
+    for cut in range(len(avi)):
+        kind, _ = _decode_or_outcome(avi[:cut])
+        assert kind in ("pixels", "metadata", "error"), cut
+
+
+def test_decode_media_quarantines_corrupt_avi(spark):
+    """A corrupt AVI (frame-count mismatch) lands a quarantine row
+    through the full Spark decode_media path — the stream/batch never
+    dies on one bad clip — while a sibling good clip decodes."""
+    import hashlib
+    import struct as _s
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        KIND_VIDEO,
+        encode_avi_mjpeg,
+        encode_jpeg_baseline,
+    )
+
+    ones = np.ones(64)
+    g = np.zeros((16, 24), np.uint8)
+    for j, v in enumerate(hashlib.md5(b"avi-q").digest()[:6]):
+        by, bx = divmod(j, 3)
+        g[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+    jpg = encode_jpeg_baseline(g.reshape(-1), 24, 16, 1, quant_luma=ones)
+    good = encode_avi_mjpeg([jpg, jpg], 24, 16)
+    bad = bytearray(good)
+    at = good.find(b"avih") + 8 + 16
+    bad[at : at + 4] = _s.pack("<I", 7)  # declares 7 frames, movi has 2
+    df = spark.createDataFrame(
+        [(1, KIND_VIDEO, bytearray(good)), (2, KIND_VIDEO, bad)],
+        "media_id long, kind int, content binary",
+    ).coalesce(1)
+    rows = {r["media_id"]: r for r in decode_media(df).collect()}
+    assert rows[1]["decode_error"] is None and rows[1]["n_frames"] == 2
+    assert rows[1]["px_sum"] == 2 * 64 * int(
+        np.int64(0) + sum(hashlib.md5(b"avi-q").digest()[:6])
+    )
+    assert rows[2]["decode_error"] is not None
+    assert "frames" in rows[2]["decode_error"]

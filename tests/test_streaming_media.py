@@ -182,3 +182,47 @@ def test_media_key_is_the_collision_free_sink_identity(spark, tmp_path):
     ).fetchone()
     con.close()
     assert n == 2 and ids == 1  # both rows kept despite the id collision
+
+
+def test_streamed_avi_decodes_with_video_kind(spark, tmp_path):
+    """r12: an .avi dropped into the media directory flows through
+    the SAME decode path — KIND_VIDEO from the extension, whole-clip
+    moments from the MJPEG frame decode — and a corrupt sibling clip
+    quarantines without killing the stream."""
+    import hashlib
+    import struct
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        KIND_VIDEO,
+        encode_avi_mjpeg,
+        encode_jpeg_baseline,
+    )
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    ones = np.ones(64)
+    g = np.zeros((16, 24), np.uint8)
+    consts = hashlib.md5(b"stream-avi").digest()[:6]
+    for j, v in enumerate(consts):
+        by, bx = divmod(j, 3)
+        g[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+    jpg = encode_jpeg_baseline(g.reshape(-1), 24, 16, 1, quant_luma=ones)
+    good = encode_avi_mjpeg([jpg, jpg, jpg], 24, 16)
+    bad = bytearray(good)
+    at = good.find(b"avih") + 8 + 16
+    bad[at : at + 4] = struct.pack("<I", 9)
+    _write(src, "clip.avi", good)
+    _write(src, "broken.avi", bytes(bad))
+
+    rows: list = []
+    q = run_media_ingest(spark, str(src), str(tmp_path / "ck"), rows)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+
+    assert len(rows) == 2
+    by_path = {r["src_path"].rsplit("/", 1)[-1]: r for r in rows}
+    ok = by_path["clip.avi"]
+    assert ok["kind"] == KIND_VIDEO and ok["n_frames"] == 3
+    assert ok["px_sum"] == 3 * 64 * sum(consts)
+    assert by_path["broken.avi"]["decode_error"] is not None
