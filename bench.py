@@ -225,7 +225,7 @@ def main() -> None:
             write_baseline(out, path)
             print(f"baseline written: {path}", file=sys.stderr)
         write_sidecar(out)
-        print(json.dumps(out))
+        _print_line(out)
         return
     spark = get_spark("bench")
 
@@ -277,7 +277,7 @@ def main() -> None:
         write_baseline(out, path)
         print(f"baseline written: {path}", file=sys.stderr)
     write_sidecar(out)
-    print(json.dumps(out))
+    _print_line(out)
     spark.stop()
 
 
@@ -294,6 +294,28 @@ SHARED_COST_GROUPS = [
         "q66_141_graph",
     ],
 ]
+
+
+def _graph_warm(s: dict) -> dict:
+    """The graph leg's warm cell: nested shape (r12) or the legacy
+    flat duplicate."""
+    g = s["graph_pipeline"]
+    return g.get("warm") or g
+
+
+def _print_line(out: dict) -> None:
+    """Emit THE one JSON line, compact separators (r11 verdict: the
+    driver keeps only a 2000-char stdout tail — a pretty-printed line
+    at 50 entries overflows it and the artifact stops parsing
+    standalone; compact + no duplicated streaming cell fits)."""
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1990:
+        print(
+            f"WARNING: bench line {len(line)} chars exceeds the "
+            "driver's 2000-char window; sidecar recovery will engage",
+            file=sys.stderr,
+        )
+    print(line)
 
 
 def write_baseline(out: dict, path: str) -> None:
@@ -350,9 +372,9 @@ def write_baseline(out: dict, path: str) -> None:
             "warm_min_rows_per_sec": s["warm"].get(
                 "min_rows_per_sec", s["warm"]["rows_per_sec"]
             ),
-            "graph_rows_per_sec": s["graph_pipeline"]["rows_per_sec"],
-            "graph_min_rows_per_sec": s["graph_pipeline"].get(
-                "min_rows_per_sec", s["graph_pipeline"]["rows_per_sec"]
+            "graph_rows_per_sec": _graph_warm(s)["rows_per_sec"],
+            "graph_min_rows_per_sec": _graph_warm(s).get(
+                "min_rows_per_sec", _graph_warm(s)["rows_per_sec"]
             ),
         }
     with open(path, "w") as fh:

@@ -283,12 +283,15 @@ def run_streaming_bench(spark, n_rows: int | None = None,
             "micro_batches": n_files,
             "cold": cold,
             "warm": warm,
+            # r12: no flat back-compat duplicate of the warm cell —
+            # the duplicated ~230 chars pushed the one-line artifact
+            # past the driver's 2000-char stdout window (verdict item
+            # 8); check_bench reads graph_pipeline.warm first and has
+            # handled both shapes since r9
             "graph_pipeline": {
                 "rows": g_rows,
                 "cold": g_cold,
                 "warm": g_warm,
-                # back-compat headline fields = the warm median
-                **g_warm,
             },
         }
     finally:

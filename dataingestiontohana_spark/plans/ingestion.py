@@ -82,6 +82,14 @@ _WARC_CHARSET_DOCS: list[tuple[int, int, str, str, str, str]] = [
     (8, 1, "text/html; charset=iso-8859-1", "utf-8-sig", "",
      "naïve fiancée"),
     (8, 2, "text/html", "utf-8", "", "über straße"),
+    # r12 (verdict item 3): DECLARATION-LESS plants — no BOM, no
+    # header charset, no <meta>; the WHATWG ladder bottoms out and
+    # only the content sniffer (`sources/warc.py::sniff_charset`)
+    # can decode these mojibake-free. One per legacy family, spread
+    # across the three compression layouts.
+    (6, 3, "text/html", "cp1252", "", "smörgåsbord à la café €7"),
+    (7, 3, "text/html", "shift_jis", "", "宣言のない日本語ページ"),
+    (8, 3, "text/html", "gbk", "", "没有声明的中文页面"),
 ]
 
 

@@ -270,10 +270,119 @@ def _known_codec(label: str | None) -> str | None:
     return info.name
 
 
+# r12 (verdict item 3): content-sniffing fallback. The WHATWG ladder
+# ends at the UTF-8 default, so a legacy page that declares NOTHING
+# (no BOM, no header charset, no <meta>) still mojibaked. When the
+# bottom rung is reached and the bytes do not validate as UTF-8, a
+# deterministic validity + script-coherence classifier picks among
+# the three legacy families that dominate real crawls: shift_jis,
+# gbk, cp1252. The decision is exact and replayable (no ML model):
+# strict-decode validity eliminates structurally impossible codecs
+# (cp1252 text virtually never validates as shift_jis — accented
+# Latin high bytes make illegal lead/trail pairs), and the script
+# score separates the structurally ambiguous CJK pair: GBK-encoded
+# Chinese decoded as shift_jis turns its B0-F7 lead bytes into
+# HALF-width katakana spam (sjis single-byte A1-DF), while real
+# Japanese text carries FULL-width kana (sjis 82xx/83xx) — so full
+# kana score +3, half-width kana -1, ideographs +2, accented Latin
+# +2, C0/C1 controls and U+FFFD -4. Ties keep the earlier candidate
+# (fixed priority shift_jis > gbk > cp1252: a multi-byte structural
+# match is rarer by chance than the almost-total cp1252 byte map).
+_SNIFF_LIMIT = 4096  # bytes examined; WHATWG's prescan idea, wider
+_CP1252_PUNCT = frozenset(
+    ord(c) for c in "€‚ƒ„…†‡"
+    "ˆ‰Š‹ŒŽ‘’“”"
+    "•–—˜™š›œžŸ"
+)
+
+
+def _script_score(text: str) -> int:
+    score = 0
+    t = text[:2048]
+    for i, ch in enumerate(t):
+        o = ord(ch)
+        if 0x3040 <= o <= 0x30FF:
+            score += 3  # full-width kana: the Japanese tell
+        elif 0x4E00 <= o <= 0x9FFF or 0x3400 <= o <= 0x4DBF:
+            score += 2  # unified ideographs
+        elif 0x3000 <= o <= 0x303F or 0xFF01 <= o <= 0xFF60:
+            score += 1  # CJK punctuation / fullwidth forms
+        elif 0xFF61 <= o <= 0xFF9F:
+            score -= 1  # half-width katakana: the GBK-as-SJIS artifact
+        elif 0xC0 <= o <= 0x17F and o not in (0xD7, 0xF7):
+            # accented Latin scores by CONTEXT: real western text has
+            # sparse accents inside ASCII words ('café', 'straße') —
+            # +2 next to an ASCII letter; CJK-as-cp1252 mojibake is a
+            # DENSE run of accented capitals ('Ã»ÓÐÈÎ') — -1 in a run
+            prev_ascii = i > 0 and t[i - 1].isascii() and t[i - 1].isalpha()
+            next_ascii = (
+                i + 1 < len(t) and t[i + 1].isascii() and t[i + 1].isalpha()
+            )
+            score += 2 if (prev_ascii or next_ascii) else -1
+        elif o in _CP1252_PUNCT:
+            score += 1
+        elif o == 0xFFFD or 0x7F <= o <= 0x9F or (
+            o < 0x20 and ch not in "\t\r\n"
+        ):
+            score -= 4
+    return score
+
+
+def _strict_sample_decode(
+    sample: bytes, enc: str, truncated: bool
+) -> str | None:
+    """Strict decode of the sniff sample; a decode error inside the
+    last 3 bytes of a TRUNCATED sample is a cut multi-byte sequence,
+    not evidence against the codec — retry on the clean prefix."""
+    try:
+        return sample.decode(enc, "strict")
+    except UnicodeDecodeError as ex:
+        if truncated and ex.start >= len(sample) - 3:
+            try:
+                return sample[: ex.start].decode(enc, "strict")
+            except UnicodeDecodeError:
+                return None
+        return None
+
+
+def sniff_charset(body: bytes) -> str:
+    """Deterministic charset detection for a declaration-less body:
+    'utf-8' when the bytes validate (ASCII included — multi-byte
+    UTF-8 essentially never validates by accident), else the
+    best-scoring legacy candidate, else 'utf-8' (replace handler
+    upstream keeps the decodable majority)."""
+    if not body:
+        return "utf-8"
+    try:
+        body.decode("utf-8", "strict")
+        return "utf-8"
+    except UnicodeDecodeError:
+        pass
+    # window the sample AROUND the first non-ASCII byte (a long ASCII
+    # <head> would otherwise hide all the evidence): every byte before
+    # it is ASCII, so the window start is sequence-aligned for any
+    # candidate, and 32 leading ASCII bytes keep adjacency context
+    first_hi = next(i for i, x in enumerate(body) if x >= 0x80)
+    start = max(0, first_hi - 32)
+    sample = bytes(body[start : start + _SNIFF_LIMIT])
+    truncated = start + _SNIFF_LIMIT < len(body)
+    best, best_score = "utf-8", 0
+    for enc in ("shift_jis", "gbk", "cp1252"):
+        text = _strict_sample_decode(sample, enc, truncated)
+        if text is None:
+            continue
+        score = _script_score(text)
+        if score > best_score:
+            best, best_score = enc, score
+    return best
+
+
 def resolve_charset(content_type: str | None, body: bytes) -> str:
     """WHATWG-ordered charset resolution for one HTTP body:
     BOM > Content-Type charset= > <meta> sniff (first 1024 bytes) >
-    UTF-8 default. Always returns a decodable python codec name."""
+    content sniff (r12 — `sniff_charset`, only when nothing is
+    declared) > UTF-8 default. Always returns a decodable python
+    codec name."""
     if body[:3] == b"\xef\xbb\xbf":
         return "utf-8-sig"  # consumes the BOM
     if body[:2] in (b"\xff\xfe", b"\xfe\xff"):
@@ -300,7 +409,7 @@ def resolve_charset(content_type: str | None, body: bytes) -> str:
         enc = _known_codec(label)
         if enc:
             return enc
-    return "utf-8"
+    return sniff_charset(body)
 
 
 def decode_crawl_text(

@@ -347,8 +347,12 @@ def test_hostile_charset_labels_do_not_fail_spark_decode(spark):
     ).orderBy("rec_idx").collect()
     assert len(rows) == 3
     for r in rows:
-        assert r["charset"] == "utf-8"
+        # the hostile label falls through the ladder; the r12 content
+        # sniffer then classifies the \x80 byte as cp1252 (€) — the
+        # invariant is NO CRASH and readable text, not utf-8 per se
+        assert r["charset"] == "cp1252"
         assert "hostile" in r["text"] and "page" in r["text"]
+        assert "€" in r["text"]
 
 
 def test_charset_aware_decode_is_mojibake_free(spark):
@@ -431,3 +435,49 @@ def test_streaming_charset_decode_composes(spark, tmp_path):
     assert rows[0]["charset"] == "gbk"
     assert rows[0]["text"] == "<p>中文网页</p>"
     assert "�" not in rows[0]["text"]
+
+
+def test_content_sniffing_charset_fallback():
+    """r12 verdict item 3: when the WHATWG ladder bottoms out (no
+    BOM, no header charset, no <meta>) and the bytes do not validate
+    as UTF-8, the deterministic validity + script-coherence detector
+    classifies shift_jis / gbk / cp1252 — each pinned against the
+    stdlib codec as the independent encoder. Ambiguity rules: valid
+    UTF-8 (incl. pure ASCII) stays utf-8; a declaration always wins
+    over the sniff; unclassifiable bytes fall back to utf-8."""
+    from dataingestiontohana_spark.sources.warc import (
+        resolve_charset,
+        sniff_charset,
+    )
+
+    cases = [
+        ("宣言のない日本語ページです", "shift_jis"),
+        ("没有声明的中文页面内容", "gbk"),
+        ("smörgåsbord à la café — très bien €5", "cp1252"),
+        ("déjà vu naïveté", "cp1252"),
+        ("日本語と漢字の混在したページ", "shift_jis"),
+        ("plain ascii only", "utf-8"),
+        ("über straße 日本 — valid utf-8", "utf-8"),
+    ]
+    for text, enc in cases:
+        body = f"<html><body><p>{text}</p></body></html>".encode(enc)
+        assert resolve_charset("text/html", body) == enc, (text, enc)
+        assert body.decode(enc) == f"<html><body><p>{text}</p></body></html>"
+    # a long ASCII head must not hide the evidence window
+    body = (b"<head>" + b"x" * 5000 + b"</head>"
+            + "日本語の本文です".encode("shift_jis"))
+    assert sniff_charset(body) == "shift_jis"
+    # declarations still outrank the sniff
+    assert resolve_charset(
+        "text/html; charset=cp1251", "日本".encode("shift_jis")
+    ) == "cp1251"
+    assert resolve_charset(
+        "text/html", b"<meta charset=gbk>" + "texte français".encode("cp1252")
+    ) == "gbk"
+    # unclassifiable high-byte soup: utf-8/replace, never a crash
+    assert sniff_charset(bytes(range(0x80, 0xA0)) * 4) == "utf-8"
+    assert sniff_charset(b"") == "utf-8"
+    # truncation at the window edge never splits a sequence into a
+    # false rejection
+    body = ("x" * 20 + "あ" * 4000).encode("shift_jis")
+    assert sniff_charset(body) == "shift_jis"
