@@ -20,8 +20,9 @@ def test_streaming_bench_runs_and_audits(spark):
         audit = g[leg]["audit"]
         assert audit["rows"] == audit["uniq"] == audit["span"] == g["rows"]
         assert g[leg]["rows_per_sec"] > 0
-    # headline fields mirror the warm run (back-compat shape)
-    assert g["rows_per_sec"] == g["warm"]["rows_per_sec"]
+    # r12: no flat duplicate of the warm cell — the duplication pushed
+    # the one-line artifact past the driver's 2000-char stdout window
+    assert "rows_per_sec" not in g
     # r9: warm legs are MEDIAN-of-N cells with the spread recorded
     for warm in (r["warm"], g["warm"]):
         assert warm["runs"] >= 2
