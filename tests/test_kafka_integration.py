@@ -272,6 +272,7 @@ def test_fake_kafka_producer_consumer_upsert_pipeline(spark, tmp_path):
         key_cols=["counter"],
         dialect=SQLiteDialect(),
         connection_factory=functools.partial(sqlite3.connect, db),
+        write_mode="driver",  # single-writer SQLite file
     )
     sink.ensure_table(SENSOR_SQL_COLUMNS, with_pk=True)
 

@@ -44,6 +44,7 @@ def make_sink(db_path: str) -> UpsertSink:
         key_cols=["counter"],
         dialect=SQLiteDialect(),
         connection_factory=functools.partial(sqlite3.connect, db_path),
+        write_mode="driver",  # single-writer SQLite file
     )
 
 

@@ -167,6 +167,7 @@ def test_media_key_is_the_collision_free_sink_identity(spark, tmp_path):
         key_cols=["media_key"],
         dialect=SQLiteDialect(),
         connection_factory=functools.partial(sqlite3.connect, db),
+        write_mode="driver",  # single-writer SQLite file
     )
     sink.ensure_table([("media_key", "TEXT"), ("media_id", "BIGINT"),
                        ("px_sum", "BIGINT")])

@@ -203,6 +203,7 @@ def test_windowed_agg_upserts_exactly_once_across_crash(spark, tmp_path):
         key_cols=["ws", "event_type"],
         dialect=SQLiteDialect(),
         connection_factory=functools.partial(sqlite3.connect, db),
+        write_mode="driver",  # single-writer SQLite file
     )
     sink.ensure_table(
         [("ws", "TEXT"), ("event_type", "TEXT"), ("c", "INTEGER"),

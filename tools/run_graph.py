@@ -54,6 +54,7 @@ def _resolve_binding(value: str, work: str):
             key_cols=key.split(","),
             dialect=SQLiteDialect(),
             connection_factory=functools.partial(sqlite3.connect, db),
+        write_mode="driver",  # single-writer SQLite file
         )
     raise SystemExit(f"unknown binding value {value!r}")
 
