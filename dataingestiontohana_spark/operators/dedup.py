@@ -547,6 +547,80 @@ def simhash_fingerprints(
     return agg.select(id_col, F.array(*bit_cols).alias("bits"))
 
 
+def auto_band_bits(
+    n_docs: int, fp_bits: int = 64, margin_bits: int = 4
+) -> int:
+    """Corpus-size-derived SimHash band width (r12 verdict item 4).
+
+    A random (non-near-dup) pair collides in one b-bit band w.p.
+    2^-b, so the ACCIDENTAL candidate count is ~ bands * n^2 / 2^b —
+    the n^2/2^bits term behind the measured 1.24 shuffle exponent of
+    fixed 16-bit bands (SCALING.md, scale-curve r11). Requiring
+    2^b >= n * 2^margin caps it at bands * n / 2^margin = O(n) BY
+    CONSTRUCTION. The ladder keeps b a divisor of the 64-bit
+    fingerprint: b=16 (4 bands, hamming<=3 guaranteed caught) up to
+    n=4096; b=32 (2 bands, hamming<=1) up to n=2^28; b=64 past that —
+    at which point the honest mitigation is widening the FINGERPRINT
+    (Manku et al., WWW'07 sizes simhash tables to corpus for exactly
+    this reason), which `fp_bits` parameterizes. Narrower hamming
+    tolerance at wider bands is the deliberate tradeoff: at large n
+    the accidental collisions would otherwise swamp precision long
+    before recall matters. Integer thresholds (n <= 2^(b-margin)),
+    no float log — the DuckDB oracle replays the CASE exactly."""
+    need = max(1, n_docs) << margin_bits
+    b = 16
+    while b < fp_bits and (1 << b) < need:
+        b *= 2
+    return min(b, fp_bits)
+
+
+def simhash_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    band_bits: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup candidate pairs (id_a, id_b): docs sharing
+    any band of the 64-bit fingerprint. ``band_bits=None`` derives
+    the width from a corpus-count prepass (`auto_band_bits`) so the
+    accidental-collision shuffle term stays O(n) at any corpus size;
+    pass an explicit width to pin semantics (q31's oracle replays the
+    same count-based CASE, so auto stays oracle-exact). The bucket is
+    the band's ','-joined bits — a portable string identity the
+    DuckDB oracle rebuilds with string_agg, collision-free by
+    construction (unlike a rehash). One localCheckpoint pins the
+    token-vote fingerprint aggregation so the self-join's two sides
+    read a materialized frame instead of recomputing the scan."""
+    fp = simhash_fingerprints(docs, id_col, text_col)
+    if band_bits is None:
+        band_bits = auto_band_bits(docs.select(id_col).count())
+    n_bands = 64 // band_bits
+    banded = fp.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.concat_ws(
+                        ",", F.slice(F.col("bits"), b * band_bits + 1,
+                                     band_bits)
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    banded = banded.localCheckpoint(eager=False)
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def substring_dup_stats(
     docs: DataFrame,
     window: int = 48,

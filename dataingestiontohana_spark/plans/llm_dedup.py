@@ -26,7 +26,7 @@ from dataingestiontohana_spark.operators.dedup import (
     minhash_candidates,
     shingle_sets,
     shingle_string_rows,
-    simhash_fingerprints,
+    simhash_candidates,
 )
 
 
@@ -97,39 +97,15 @@ def q30_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q31_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates: docs sharing any 16-bit band of the
-    64-bit fingerprint (hamming-adjacent under <=3 differing bands)."""
+    """SimHash near-dup candidates: docs sharing any band of the
+    64-bit fingerprint, band width AUTO-DERIVED from a corpus-count
+    prepass (r12 — `operators/dedup.py::auto_band_bits`: 16-bit bands
+    / hamming<=3 up to 4096 docs, 32-bit / hamming<=1 past that, so
+    the accidental-collision shuffle term stays O(n) by construction
+    at any corpus size). The oracle replays the same integer CASE on
+    count(*), so the derivation itself is under the value gate."""
     d = load_table(spark, sf_dir, "documents")
-    fp = simhash_fingerprints(d)
-    # bucket = the band's 16 bits joined as "0,1,..." — a portable
-    # string identity the DuckDB oracle rebuilds with string_agg
-    # (31 B/row; collision-free by construction, unlike a rehash)
-    banded = fp.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.concat_ws(
-                        ",", F.slice(F.col("bits"), b * 16 + 1, 16)
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
-    # one materialization of the token-vote fingerprint aggregation —
-    # without it both sides of the self-join recompute the simhash scan
-    banded = banded.localCheckpoint(eager=False)
-    a = banded.select(F.col("doc_id").alias("id_a"), "band", "bucket")
-    b = banded.select(F.col("doc_id").alias("id_b"), "band", "bucket")
-    return (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-        .orderBy("id_a", "id_b")
-    )
+    return simhash_candidates(d).orderBy("id_a", "id_b")
 
 
 def q32_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -418,14 +394,22 @@ def _q30_oracle_sql(num_hashes: int = 16, bands: int = 4, cap: int = 256) -> str
     """
 
 
-def _q31_oracle_sql(bits: int = 64, band_bits: int = 16) -> str:
+def _q31_oracle_sql(bits: int = 64) -> str:
     """The SimHash pipeline in ANSI SQL: per-token md5, bit j of the
     hash = bit (j mod 4) of hex nibble (j div 4) (exactly the Spark
-    lane-packed arithmetic), majority vote per (doc, bit), bands as the
-    ','-joined 16-bit strings, bucket self-join to distinct pairs.
-    Pure integer arithmetic throughout — no float decision anywhere."""
+    lane-packed arithmetic), majority vote per (doc, bit), bands as
+    ','-joined bit strings at the AUTO-DERIVED width (r12: the same
+    integer ladder as `auto_band_bits` — 2^b >= n*2^4 over divisors
+    of 64, i.e. CASE on count(*) — so the width derivation is itself
+    adjudicated), bucket self-join to distinct pairs. Pure integer
+    arithmetic throughout — no float decision anywhere."""
     return f"""
-        WITH tok AS (
+        WITH params AS (
+          SELECT CASE WHEN COUNT(*) <= 4096 THEN 16
+                      WHEN COUNT(*) <= 268435456 THEN 32
+                      ELSE 64 END AS bpb
+          FROM documents),
+        tok AS (
           SELECT doc_id,
                  unnest(string_split(
                    {_nsql('text')}, ' '))
@@ -445,9 +429,9 @@ def _q31_oracle_sql(bits: int = 64, band_bits: int = 16) -> str:
                  CASE WHEN 2 * cnt > n THEN 1 ELSE 0 END AS b
           FROM votes),
         banded AS (
-          SELECT doc_id, j // {band_bits} AS band,
+          SELECT doc_id, j // p.bpb AS band,
                  string_agg(CAST(b AS VARCHAR), ',' ORDER BY j) AS bucket
-          FROM fp GROUP BY doc_id, j // {band_bits})
+          FROM fp, params p GROUP BY doc_id, j // p.bpb)
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.bucket = b.bucket

@@ -162,3 +162,54 @@ def test_substring_dup_stats_planted(spark):
     assert out[4]["dup_windows"] == 0 and out[4]["dup_frac"] == 0.0
     # doc 5's windows repeat only within itself: df counts DISTINCT docs
     assert out[5]["dup_windows"] == 0
+
+
+def test_auto_band_bits_ladder():
+    """r12 verdict item 4: band width derives from corpus size by the
+    integer ladder 2^b >= n * 2^4 over divisors of 64 — the collision
+    budget bands*n^2/2^b stays <= bands*n/16 at every rung."""
+    from dataingestiontohana_spark.operators.dedup import auto_band_bits
+
+    assert auto_band_bits(0) == 16
+    assert auto_band_bits(1) == 16
+    assert auto_band_bits(4096) == 16
+    assert auto_band_bits(4097) == 32
+    assert auto_band_bits(1 << 28) == 32
+    assert auto_band_bits((1 << 28) + 1) == 64
+    assert auto_band_bits(1 << 40) == 64
+    # the budget claim itself, at each rung's top
+    for n in (4096, 1 << 28):
+        b = auto_band_bits(n)
+        bands = 64 // b
+        assert bands * n * n / (1 << b) <= bands * n / 16 + 1e-9
+
+
+def test_simhash_auto_banding_scales_down_collisions(spark):
+    """On a >4096-doc corpus the auto width switches to 32-bit bands:
+    the result must equal the EXPLICIT band_bits=32 run (the prepass
+    changes nothing but the width), be a subset of the 16-bit
+    candidates (wider band = strictly tighter filter), and still
+    contain every EXACT duplicate pair (identical fingerprints share
+    every band at any width)."""
+    import pandas as pd
+
+    from dataingestiontohana_spark.operators.dedup import (
+        simhash_candidates,
+    )
+
+    # 4200 tiny docs: 50 exact-dup pairs (i and i+100000 share text),
+    # the rest distinct
+    rows = [(i, f"alpha beta w{i} w{i*7%997} gamma") for i in range(4150)]
+    rows += [(100000 + i, rows[i][1]) for i in range(50)]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    ).coalesce(4)
+    auto = {(r.id_a, r.id_b) for r in simhash_candidates(docs).collect()}
+    fixed32 = {(r.id_a, r.id_b)
+               for r in simhash_candidates(docs, band_bits=32).collect()}
+    fixed16 = {(r.id_a, r.id_b)
+               for r in simhash_candidates(docs, band_bits=16).collect()}
+    assert auto == fixed32  # n=4200 > 4096 -> 32-bit bands
+    assert auto <= fixed16  # wider bands only REMOVE candidates
+    dup_pairs = {(i, 100000 + i) for i in range(50)}
+    assert dup_pairs <= auto

@@ -44,6 +44,15 @@ QUARTET = (
     "q30_31_lsh_neardup",
     "q32_70_shingle_exact",
     "q66_141_graph",
+    # r12 (verdict item 4): the similarity and media families get
+    # measured curves too. q33_34/q35_36b scale over the sign-flipped
+    # embeddings copies (see build_scaled_dir); q37_38's synthetic
+    # codec fixtures are size-fixed, so like q66_141 its curve
+    # measures the document-driven members plus a fixed-cost floor —
+    # read the exponent accordingly.
+    "q33_34_similarity",
+    "q35_36b_ann",
+    "q37_38_media",
 )
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -63,7 +72,7 @@ def build_scaled_dir(base_sf: str, k: int, root: str) -> str:
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
         src = os.path.join(base_sf, f"{t}.parquet")
-        if t != "documents" and os.path.exists(src):
+        if t not in ("documents", "embeddings") and os.path.exists(src):
             shutil.copyfile(src, os.path.join(out, f"{t}.parquet"))
     con = duckdb.connect()
     # caesar-rotate a-z and A-Z by k per copy; digits/punct unchanged.
@@ -94,13 +103,42 @@ def build_scaled_dir(base_sf: str, k: int, root: str) -> str:
             dst=os.path.join(out, "documents.parquet"),
         )
     )
+    # embeddings scale by SIGN-FLIP copies (r12): copy k multiplies
+    # each vector element-wise by a deterministic ±1 pattern s_k —
+    # an ORTHOGONAL transform, so cos(s⊙a, s⊙b) == cos(a, b) exactly
+    # and every within-copy neighbor relation survives verbatim
+    # (per-copy result DENSITY matches the base corpus), while
+    # cross-copy pairs scramble like random directions. The honest
+    # embedding analog of the caesar rotation: result counts grow
+    # ~linearly in K, never ~K^2.
+    eparts = [
+        (
+            "SELECT vec_id + {off} AS vec_id, "
+            "list_transform(embedding, (x, i) -> CAST(x * (CASE WHEN "
+            "{k} = 0 OR (hash({k} * 1000003 + i) & 1) = 0 "
+            "THEN 1 ELSE -1 END) AS FLOAT)) AS embedding, label "
+            "FROM esrc"
+        ).format(off=i * 10_000_000, k=i)
+        for i in range(k)
+    ]
+    con.execute(
+        "CREATE VIEW esrc AS SELECT * FROM read_parquet('{p}')".format(
+            p=os.path.join(base_sf, "embeddings.parquet")
+        )
+    )
+    con.execute(
+        "COPY ({q}) TO '{dst}' (FORMAT PARQUET)".format(
+            q=" UNION ALL ".join(eparts),
+            dst=os.path.join(out, "embeddings.parquet"),
+        )
+    )
     with open(marker, "w") as fh:
         fh.write("ok\n")
     return out
 
 
-def _stage_totals(spark) -> tuple[int, int]:
-    """(shuffle_read_bytes, shuffle_write_bytes) summed over completed
+def _stage_totals(spark) -> tuple[int, int, int]:
+    """(shuffle_read, shuffle_write, input) bytes summed over completed
     stages, from the UI REST API. The base URL comes from the session
     (r11 review: a busy port makes Spark bind UI_PORT+1 and a
     hardcoded URL would query the wrong or no app)."""
@@ -111,7 +149,8 @@ def _stage_totals(spark) -> tuple[int, int]:
         stages = json.load(r)
     rd = sum(s.get("shuffleReadBytes", 0) for s in stages)
     wr = sum(s.get("shuffleWriteBytes", 0) for s in stages)
-    return rd, wr
+    inp = sum(s.get("inputBytes", 0) for s in stages)
+    return rd, wr, inp
 
 
 def run_quartet(spark, sf_dir: str) -> dict:
@@ -122,16 +161,19 @@ def run_quartet(spark, sf_dir: str) -> dict:
     clear_shared_caches()
     out = {}
     for bundle in QUARTET:
-        r0, w0 = _stage_totals(spark)
+        r0, w0, i0 = _stage_totals(spark)
         t0 = time.perf_counter()
         for fine in BUNDLES[bundle]:
             materialize(FINE[fine](spark, sf_dir))
         sec = round(time.perf_counter() - t0, 3)
-        r1, w1 = _stage_totals(spark)
+        r1, w1, i1 = _stage_totals(spark)
         out[bundle] = {
             "sec": sec,
             "shuffle_read_mb": round((r1 - r0) / 1e6, 2),
             "shuffle_write_mb": round((w1 - w0) / 1e6, 2),
+            # r12: input bytes prove a flat-shuffle bundle's SCAN
+            # really grew — the map-only claim needs both numbers
+            "input_read_mb": round((i1 - i0) / 1e6, 2),
         }
     return out
 
@@ -178,7 +220,8 @@ def main() -> None:
                 / math.log(ratio),
                 3,
             )
-            for m in ("sec", "shuffle_read_mb", "shuffle_write_mb")
+            for m in ("sec", "shuffle_read_mb", "shuffle_write_mb",
+                      "input_read_mb")
         }
     with open(out_path, "w") as fh:
         json.dump(doc, fh, indent=1)
