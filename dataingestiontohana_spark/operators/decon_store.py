@@ -136,3 +136,44 @@ def decontaminate_against_store(
             6,
         ).alias("maybe_frac"),
     )
+
+
+def compact_bloom_store(spark: SparkSession, path: str) -> dict:
+    """Store lifecycle (r12 verdict item 6): every appended epoch
+    lands its own position rows, so the store accumulates duplicates
+    of already-set bits (the probe's distinct-on-read hides the
+    waste but the broadcast build pays it on every ingest).
+    Compaction re-ORs the epochs at rest: one DISTINCT over the
+    position set, rewritten side-by-side and swapped in — the
+    resulting positions are EXACTLY the from-scratch build over the
+    union of splits (pytest-pinned), at most m_bits rows forever.
+    Bloom bits cannot be per-document retired (no per-doc ownership);
+    retention for a decon store means rebuilding from the surviving
+    benchmark corpus via `write_bloom_store`.
+
+    The params sidecar is untouched and keeps gating probe-ability
+    through the swap: a crash leaves either the intact old positions
+    or the complete compacted set, both matching the sidecar (the
+    distinct never changes (k, m_bits) semantics)."""
+    import os
+    import shutil
+
+    params = read_store_params(path)  # refuse mid-rewrite stores
+    pos_dir = os.path.join(path, "positions")
+    cur = spark.read.parquet(pos_dir)
+    rows_before = cur.count()
+    tmp = pos_dir + "__compact_tmp"
+    old = pos_dir + "__compact_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    cur.distinct().write.mode("overwrite").parquet(tmp)
+    rows_after = spark.read.parquet(tmp).count()
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(pos_dir, old)
+    os.rename(tmp, pos_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    assert params == read_store_params(path)
+    return {
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+        "rows_dropped": rows_before - rows_after,
+    }

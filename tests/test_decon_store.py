@@ -148,3 +148,37 @@ def test_incomplete_rewrite_refuses_to_probe(spark, tmp_path):
     # a completed rewrite with NEW params is probe-able again
     write_bloom_store(test_sh, store, k=4, m_bits=65536)
     assert read_store_params(store) == {"k": 4, "m_bits": 65536}
+
+
+def test_compact_bloom_store_equals_rebuild(spark, tmp_path):
+    """r12 verdict item 6: appended Bloom epochs accumulate duplicate
+    position rows; compaction re-ORs them into one distinct set that
+    must equal a from-scratch build over the union of splits — same
+    bits, same params, fewer rows — and the sidecar token survives so
+    the store stays probe-able throughout."""
+    from dataingestiontohana_spark.operators.decon_store import (
+        compact_bloom_store,
+        read_store_params,
+    )
+
+    store = str(tmp_path / "bloom")
+    rebuilt = str(tmp_path / "bloom2")
+    d = load_table(spark, SF0001, "documents")
+    sh = shingle_string_rows(d)
+    half = sh.where(F.col("doc_id") % 2 == 0).select("sh")
+    other = sh.where(F.col("doc_id") % 2 == 1).select("sh")
+    write_bloom_store(half, store, k=K, m_bits=M)
+    append_to_bloom_store(other, store)
+    append_to_bloom_store(other, store)  # replayed epoch
+    before = spark.read.parquet(store + "/positions").count()
+    stats = compact_bloom_store(spark, store)
+    after = spark.read.parquet(store + "/positions").count()
+    assert stats["rows_dropped"] == before - after > 0
+
+    write_bloom_store(sh.select("sh"), rebuilt, k=K, m_bits=M)
+    got = sorted(r["pos"] for r in
+                 spark.read.parquet(store + "/positions").collect())
+    want = sorted(r["pos"] for r in
+                  spark.read.parquet(rebuilt + "/positions").collect())
+    assert got == want and len(got) == len(set(got))
+    assert read_store_params(store) == {"k": K, "m_bits": M}

@@ -279,3 +279,73 @@ def test_store_side_never_sort_merge_joins(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_compact_store_equals_rebuild_on_mutated_corpus(spark, tmp_path):
+    """r12 verdict item 6 (store lifecycle): after appends, a
+    crash-REPLAYED duplicate append, and a deletion set, the
+    compacted store must be ROW-IDENTICAL to a store rebuilt from
+    scratch over the surviving corpus — the incremental==recompute
+    equivalence the other incremental operators carry."""
+    from dataingestiontohana_spark.operators.dedup_store import (
+        compact_store,
+    )
+
+    store = str(tmp_path / "sigstore")
+    rebuilt = str(tmp_path / "rebuilt")
+    d = load_table(spark, SF0001, "documents")
+    corpus = d.where(F.col("doc_id") % 3 == 0)
+    shard1 = d.where(F.col("doc_id") % 3 == 1)
+    shard2 = d.where(F.col("doc_id") % 3 == 2)
+
+    write_signature_store(corpus, store)
+    append_to_store(shard1, store)
+    append_to_store(shard1, store)  # crash replay: identical rows x2
+    append_to_store(shard2, store)
+    deleted = [r["doc_id"] for r in shard2.limit(5).collect()]
+    stats = compact_store(spark, store, deleted_ids=deleted)
+    assert stats["rows_dropped"] > 0
+
+    survivors = d.where(
+        (F.col("doc_id") % 3 != 2) | ~F.col("doc_id").isin(deleted)
+    )
+    write_signature_store(survivors, rebuilt)
+    got = sorted(
+        map(tuple, spark.read.parquet(store)
+            .select("doc_id", "band", "bucket").collect())
+    )
+    want = sorted(
+        map(tuple, spark.read.parquet(rebuilt)
+            .select("doc_id", "band", "bucket").collect())
+    )
+    assert got == want and len(got) > 0
+    # the compacted store still serves the incremental join, and the
+    # deleted docs no longer produce store pairs
+    probe = dedup_against_store(
+        spark, d.where(F.col("doc_id").isin(deleted)), store,
+        threshold=0.0,
+    )
+    reoffers = probe.where(F.col("id_a") == F.col("id_b")).collect()
+    assert reoffers == []  # deleted ids are really gone
+
+
+def test_compact_store_is_idempotent_and_band_partitioned(
+    spark, tmp_path
+):
+    """Compacting twice is a no-op the second time, and the store
+    keeps its band partitioning (the partition-pruned join layout)."""
+    import os
+
+    from dataingestiontohana_spark.operators.dedup_store import (
+        compact_store,
+    )
+
+    store = str(tmp_path / "s")
+    d = load_table(spark, SF0001, "documents")
+    write_signature_store(d, store)
+    append_to_store(d.limit(3), store)  # re-offer rows: exact dups
+    s1 = compact_store(spark, store)
+    assert s1["rows_dropped"] > 0
+    s2 = compact_store(spark, store)
+    assert s2["rows_dropped"] == 0
+    assert any(e.startswith("band=") for e in os.listdir(store))
