@@ -775,15 +775,29 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
                     raise ValueError(
                         f"jpeg lossless predictor {pred_sel} outside 1-7"
                     )
-                if restart:
-                    # restart-interval lossless stays metadata-only:
-                    # the H.1.1 reset semantics (what the predictor of
-                    # each post-RST sample sees) cannot be honestly
-                    # pinned here without a reference decoder, and a
-                    # wrong-but-self-consistent choice would round-trip
-                    # undetected. Point transform (Pt > 0) DECODES
-                    # since r11 — its arithmetic is crisply specified
-                    # (downshifted domain + output << Pt).
+                if restart and restart % max(w, 1) != 0:
+                    # MID-LINE restart lossless stays metadata-only
+                    # (r12 — the honest residue after the row-aligned
+                    # class below decodes): T.81 H.1.1 prescribes the
+                    # Ra predictor "for the first line of samples at
+                    # the start of the scan and at the beginning of
+                    # each restart interval" and the 2^(P-Pt-1)
+                    # default for the interval's first sample — but
+                    # when the restart lands mid-line, "the first
+                    # line of the restart interval" has two
+                    # incompatible readings (the REMAINDER of the
+                    # interrupted sample row vs the full row
+                    # containing the restart), implementations
+                    # disagree, and no reference lossless decoder
+                    # exists in this environment to adjudicate. A
+                    # wrong-but-self-consistent choice would
+                    # round-trip undetected, so the ambiguous class
+                    # is retired; see SCALING.md "Restart-interval
+                    # lossless JPEG". ROW-ALIGNED restarts (DRI a
+                    # multiple of the line width in MCUs) make both
+                    # readings coincide — the interval starts exactly
+                    # at a line start, H.1.1's rules apply verbatim —
+                    # and DECODE since r12.
                     return None
                 scan_tabs_l = {}
                 for s in range(ns):
@@ -793,6 +807,7 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
                 return _jpeg_lossless_scan(
                     b, i + 2 + seg_len, w, h, comps, scan_tabs_l,
                     pred_sel, precision, point_transform,
+                    restart_interval=restart,
                 )
             if arith and not progressive:
                 if body[0] != len(comps):
@@ -1440,15 +1455,22 @@ def _jpeg_reconstruct(
 
 
 def _jpeg_lossless_predict(
-    plane: np.ndarray, y: int, x: int, pred_sel: int, default: int
+    plane: np.ndarray, y: int, x: int, pred_sel: int, default: int,
+    first_line: bool | None = None,
 ) -> int:
     """T.81 H.1.1/H.1.2 prediction: the first sample of the scan uses
     the default 2^(P-1); the rest of the FIRST LINE uses Ra; the first
     sample of every other line uses Rb; everywhere else the selected
-    predictor 1-7 over (Ra, Rb, Rc). Shifts are arithmetic (Python's
+    predictor 1-7 over (Ra, Rb, Rc). ``first_line`` generalizes the
+    y==0 test for ROW-ALIGNED restart intervals (r12): H.1.1 applies
+    the same first-line rules "at the beginning of each restart
+    interval", and when the interval starts at a line start those
+    rules are unambiguous. Shifts are arithmetic (Python's
     >> floors), matching the spec's integer divide-by-2."""
-    if y == 0:
-        return default if x == 0 else int(plane[0, x - 1])
+    if first_line is None:
+        first_line = y == 0
+    if first_line:
+        return default if x == 0 else int(plane[y, x - 1])
     if x == 0:
         return int(plane[y - 1, 0])
     ra = int(plane[y, x - 1])
@@ -1479,6 +1501,7 @@ def _jpeg_lossless_scan(
     pred_sel: int,
     precision: int,
     point_transform: int = 0,
+    restart_interval: int = 0,
 ) -> tuple[np.ndarray, int]:
     """LOSSLESS JPEG (SOF3, T.81 Annex H) single interleaved scan:
     per sample, a DC-table Huffman category SSSS (0-16; 16 means
@@ -1500,7 +1523,20 @@ def _jpeg_lossless_scan(
     default = 1 << (precision - point_transform - 1)
     planes = np.zeros((nc, h, w), dtype=np.int32)
     luts = [scan_tabs[cid] for cid, *_ in comps]
+    # ROW-ALIGNED restart intervals (r12): the caller guarantees
+    # restart_interval % w == 0 (mid-line restarts stay metadata-only
+    # — see the SOS arm), so each interval starts at a line start and
+    # H.1.1's reset rules apply verbatim: consume the RSTn, then the
+    # interval's first line behaves exactly like the scan's first
+    # line (default-predicted first sample, Ra for the rest).
+    lines_per_rst = (
+        restart_interval // w if restart_interval and w else 0
+    )
     for y in range(h):
+        at_restart = bool(lines_per_rst) and y and y % lines_per_rst == 0
+        if at_restart:
+            r.skip_to_rst()
+        first_line = y == 0 or at_restart
         for x in range(w):
             for ci in range(nc):
                 t = _huff_decode(r, luts[ci])
@@ -1511,7 +1547,7 @@ def _jpeg_lossless_scan(
                 else:
                     diff = 0
                 px_ = _jpeg_lossless_predict(
-                    planes[ci], y, x, pred_sel, default
+                    planes[ci], y, x, pred_sel, default, first_line
                 )
                 planes[ci][y, x] = (px_ + diff) & 0xFFFF
     out = planes.transpose(1, 2, 0).reshape(-1)
@@ -1527,6 +1563,7 @@ def encode_jpeg_lossless(
     predictor: int = 1,
     precision: int | None = None,
     point_transform: int = 0,
+    restart_interval: int = 0,
 ) -> bytes:
     """Pure-stdlib LOSSLESS JPEG encoder (SOF3 — the
     `_jpeg_lossless_scan` inverse, so exact round trips pin the
@@ -1537,7 +1574,11 @@ def encode_jpeg_lossless(
     predictor 1-7, optional POINT TRANSFORM (r11: samples are coded
     downshifted by Pt and reconstruct as value << Pt, so the
     round-trip law becomes decode(encode(x, pt)) == (x >> pt) << pt),
-    no restarts. The Huffman table
+    and since r12 ROW-ALIGNED restart intervals (``restart_interval``
+    in MCUs, must be a multiple of the line width — the class whose
+    H.1.1 reset semantics are unambiguous: each interval starts at a
+    line start, its first line re-runs the scan-start rules, RSTn
+    cycle 0-7 after a 1-padded byte align). The Huffman table
     assigns all 17 categories 5-bit codes (17 < 2^5, all-ones code
     unused — canonical per T.81 C.2)."""
     a = np.asarray(samples)
@@ -1552,12 +1593,20 @@ def encode_jpeg_lossless(
         raise ValueError("point transform must be in [0, precision)")
     if int(a.max(initial=0)) >= (1 << precision):
         raise ValueError("sample exceeds declared precision")
+    if restart_interval and restart_interval % w != 0:
+        raise ValueError(
+            "lossless restart_interval must be row-aligned (a multiple "
+            "of the line width in MCUs) — mid-line reset semantics are "
+            "ambiguous in T.81 H.1.1 and stay unencoded/undecoded here"
+        )
     out = bytearray(b"\xff\xd8")
     # DHT: one DC table, all 17 categories at 5 bits
     counts = [0] * 16
     counts[4] = 17
     out += b"\xff\xc4" + (2 + 17 + 17).to_bytes(2, "big") + b"\x00"
     out += bytes(counts) + bytes(range(17))
+    if restart_interval:
+        out += b"\xff\xdd\x00\x04" + restart_interval.to_bytes(2, "big")
     # SOF3
     sof = bytearray()
     sof += precision.to_bytes(1, "big")
@@ -1575,11 +1624,19 @@ def encode_jpeg_lossless(
     wtr = _BitWriter()
     default = 1 << (precision - point_transform - 1)
     planes = (a.astype(np.int64) >> point_transform).transpose(2, 0, 1)
+    lines_per_rst = restart_interval // w if restart_interval else 0
+    rst_idx = 0
     for y in range(h):
+        at_restart = bool(lines_per_rst) and y and y % lines_per_rst == 0
+        if at_restart:
+            wtr.byte_align()
+            wtr.out += bytes((0xFF, 0xD0 + rst_idx))
+            rst_idx = (rst_idx + 1) & 7
+        first_line = y == 0 or at_restart
         for x in range(w):
             for ci in range(nc):
                 px_ = _jpeg_lossless_predict(
-                    planes[ci], y, x, predictor, default
+                    planes[ci], y, x, predictor, default, first_line
                 )
                 d = (int(planes[ci][y, x]) - px_) % 65536
                 if d > 32768:
@@ -3674,7 +3731,9 @@ def _decode_payload(
     approximation), ARITHMETIC coding — sequential (SOF9) and
     progressive (SOF10), r9, T.81 QM-coder — and LOSSLESS (SOF3,
     r10: Annex H predictive decode at 2-16 bit precision, all seven
-    predictors, and since r11 POINT-TRANSFORMED scans (Al > 0);
+    predictors, since r11 POINT-TRANSFORMED scans (Al > 0), and since
+    r12 ROW-ALIGNED restart intervals (mid-line restarts stay
+    metadata-only: the H.1.1 reset reading is ambiguous there);
     non-interleaved Ns=1 AND partial-subset 1<Ns<Nf scans decode
     for Huffman and arithmetic sequential frames (r10-r11). Hierarchical (SOF5-7/
     13-15, DHP/EXP) and arithmetic-lossless (SOF11) are PERMANENT

@@ -467,6 +467,13 @@ def _jpeg_mosaic_corpus(spark: SparkSession) -> DataFrame:
     gray38 = np.frombuffer(jpgl_expand(38, w * h), np.uint8).reshape(h, w)
     rows.append((38, KIND_IMAGE, encode_jpeg_lossless(
         gray38, predictor=5, point_transform=2)))
+    # id 39 (r12): ROW-ALIGNED restart-interval lossless — DRI = 4
+    # lines of MCUs, RSTn every 4 rows with the H.1.1 first-line
+    # reset (the unambiguous class; mid-line restarts stay retired).
+    # Decode is exact, so the oracle is the same per-pixel expansion.
+    gray39 = np.frombuffer(jpgl_expand(39, w * h), np.uint8).reshape(h, w)
+    rows.append((39, KIND_IMAGE, encode_jpeg_lossless(
+        gray39, predictor=6, restart_interval=w * 4)))
     rgb = np.frombuffer(
         jpgl_expand(33, w * h * 3), np.uint8
     ).reshape(h, w, 3)
@@ -2289,7 +2296,7 @@ ORACLES = {
                  + (strpos('0123456789abcdef',
                       substr(md5(m.i || ':jpgl:' || c.j),
                              CAST(2*g.j+2 AS INT), 1))-1) AS v
-          FROM (VALUES (32, 1), (33, 3)) m(i, ch),
+          FROM (VALUES (32, 1), (33, 3), (39, 1)) m(i, ch),
                range(72) c(j), range(16) g(j)
           WHERE c.j*16 + g.j < {_JPEG_BW * _JPEG_BH * 64} * m.ch
         ),

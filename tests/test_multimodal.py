@@ -2188,3 +2188,91 @@ def test_avi_bomb_cap_stays_metadata_only():
     # and with the real cap the same clip decodes
     w, h, nf, ch, px = _decode_payload(avi)
     assert nf == 2 and px is not None
+
+
+def test_lossless_restart_row_aligned_decodes_and_spec_pin():
+    """r12 verdict item 5: ROW-ALIGNED restart-interval lossless
+    decodes (both H.1.1 readings coincide when the interval starts at
+    a line start); mid-line restarts stay metadata-only (the
+    documented ambiguous class). The pin is a HAND-ASSEMBLED stream
+    built byte-by-byte from the T.81 rules — its bits are only
+    decodable to the planted pixels under the H.1.1 reset semantics
+    (a no-reset decoder would predict Rb=100 for sample (1,0) and
+    emit 52, not 80), so this is not a self-round-trip tautology."""
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        encode_jpeg_lossless,
+    )
+
+    # --- hand-assembled 2x2, predictor 2 (Rb), DRI = 2 MCUs (1 row)
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (2 + len(body)).to_bytes(2, "big") + body
+
+    dht = bytes([0x00]) + bytes(
+        [0, 0, 0, 0, 17] + [0] * 11
+    ) + bytes(range(17))  # all 17 categories at 5 bits (canonical)
+    sof3 = bytes([8]) + (2).to_bytes(2, "big") + (2).to_bytes(2, "big") \
+        + bytes([1, 1, 0x11, 0])
+    sos = bytes([1, 1, 0x00, 2, 0, 0])  # predictor 2 (Rb), Pt 0
+
+    bits = []
+    def put(v, n):
+        bits.extend((v >> (n - 1 - i)) & 1 for i in range(n))
+    def align():
+        while len(bits) % 8:
+            bits.append(1)
+    # row 0 (scan first line): (0,0) pred=128, diff=-28 -> cat 5,
+    # bits -28+31=3; (0,1) Ra=100, diff=+4 -> cat 3, bits 4
+    put(5, 5); put(3, 5)
+    put(3, 5); put(4, 3)
+    align()
+    entropy = bytearray(
+        int("".join(map(str, bits[i:i + 8])), 2)
+        for i in range(0, len(bits), 8)
+    )
+    entropy += bytes([0xFF, 0xD0])  # RST0 at the row boundary
+    bits = []
+    # row 1 (interval first line): (1,0) pred=DEFAULT 128, diff=-48
+    # -> cat 6, bits -48+63=15; (1,1) Ra=80, diff=-3 -> cat 2, bits 0
+    put(6, 5); put(15, 6)
+    put(2, 5); put(0, 2)
+    align()
+    entropy += bytes(
+        int("".join(map(str, bits[i:i + 8])), 2)
+        for i in range(0, len(bits), 8)
+    )
+    blob = (b"\xff\xd8" + seg(0xC4, dht)
+            + seg(0xDD, (2).to_bytes(2, "big"))
+            + seg(0xC3, sof3) + seg(0xDA, sos)
+            + bytes(entropy) + b"\xff\xd9")
+    decoded = _decode_jpeg_pixels(blob)
+    assert decoded is not None
+    px, ch = decoded
+    assert ch == 1 and px.reshape(2, 2).tolist() == [[100, 104], [80, 77]]
+
+    # --- round-trip law with restarts across predictors/precisions
+    rng = np.random.default_rng(125)
+    for pred, prec, rows in ((1, 8, 2), (4, 8, 4), (7, 12, 2)):
+        a = rng.integers(0, 1 << prec, size=(8, 6)).astype(np.uint16)
+        if prec <= 8:
+            a = a.astype(np.uint8)
+        blob = encode_jpeg_lossless(
+            a, predictor=pred, precision=prec,
+            restart_interval=6 * rows)
+        got, _ = _decode_jpeg_pixels(blob)
+        assert (got.reshape(8, 6) == a).all(), (pred, prec, rows)
+
+    # --- the ambiguous class: encoder refuses, crafted stream stays
+    # metadata-only (never wrong pixels)
+    import pytest
+
+    g = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    with pytest.raises(ValueError, match="row-aligned"):
+        encode_jpeg_lossless(g, restart_interval=12)
+    good = encode_jpeg_lossless(g, predictor=1, restart_interval=16)
+    at = good.find(b"\xff\xdd")
+    crafted = bytearray(good)
+    crafted[at + 4 : at + 6] = (12).to_bytes(2, "big")
+    assert _decode_jpeg_pixels(bytes(crafted)) is None

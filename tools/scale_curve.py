@@ -153,6 +153,22 @@ def _stage_totals(spark) -> tuple[int, int, int]:
     return rd, wr, inp
 
 
+def _settled_stage_totals(spark) -> tuple[int, int, int]:
+    """Stage totals after the UI listener DRAINS: the REST store lags
+    the action's return, so a snapshot taken immediately attributes a
+    bundle's tail stages to the NEXT bundle's delta (r12: q33_34's
+    input bytes showed up in q35_36b's cell). Poll until two
+    consecutive reads agree."""
+    prev = _stage_totals(spark)
+    for _ in range(20):
+        time.sleep(0.25)
+        cur = _stage_totals(spark)
+        if cur == prev:
+            return cur
+        prev = cur
+    return prev
+
+
 def run_quartet(spark, sf_dir: str) -> dict:
     from bench import clear_shared_caches, materialize
     from dataingestiontohana_spark.plans.bundles import BUNDLES
@@ -161,12 +177,12 @@ def run_quartet(spark, sf_dir: str) -> dict:
     clear_shared_caches()
     out = {}
     for bundle in QUARTET:
-        r0, w0, i0 = _stage_totals(spark)
+        r0, w0, i0 = _settled_stage_totals(spark)
         t0 = time.perf_counter()
         for fine in BUNDLES[bundle]:
             materialize(FINE[fine](spark, sf_dir))
         sec = round(time.perf_counter() - t0, 3)
-        r1, w1, i1 = _stage_totals(spark)
+        r1, w1, i1 = _settled_stage_totals(spark)
         out[bundle] = {
             "sec": sec,
             "shuffle_read_mb": round((r1 - r0) / 1e6, 2),
@@ -199,6 +215,12 @@ def main() -> None:
         extra_conf={
             "spark.ui.enabled": "true",
             "spark.ui.port": str(UI_PORT),
+            # r12: a full 7-bundle x 3-scale run passes ~2000 stages;
+            # the default retainedStages=1000 EVICTS early stages and
+            # the completed-stage totals go backwards — negative
+            # per-bundle deltas (seen live at x10). Retain them all.
+            "spark.ui.retainedStages": "100000",
+            "spark.ui.retainedJobs": "100000",
         },
     )
     doc = {"base_sf": base_sf, "scales": {}}
