@@ -90,6 +90,13 @@ _WARC_CHARSET_DOCS: list[tuple[int, int, str, str, str, str]] = [
     (6, 3, "text/html", "cp1252", "", "smörgåsbord à la café €7"),
     (7, 3, "text/html", "shift_jis", "", "宣言のない日本語ページ"),
     (8, 3, "text/html", "gbk", "", "没有声明的中文页面"),
+    # r12 second pass: the remaining major crawl families, still
+    # declaration-less — euc_jp (kana-gated vs GB2312), big5
+    # (low-trail statistic vs GBK), cp1251 (lowercase-dominance +
+    # word-run gates vs mojibake and vs Latin-accent pages)
+    (6, 4, "text/html", "cp1251", "", "русская страница без кодировки"),
+    (7, 4, "text/html", "euc_jp", "", "ひらがなの日本語ページ"),
+    (8, 4, "text/html", "big5", "", "繁體中文網頁測試內容"),
 ]
 
 

@@ -275,8 +275,9 @@ def _known_codec(label: str | None) -> str | None:
 # (no BOM, no header charset, no <meta>) still mojibaked. When the
 # bottom rung is reached and the bytes do not validate as UTF-8, a
 # deterministic validity + script-coherence classifier picks among
-# the three legacy families that dominate real crawls: shift_jis,
-# gbk, cp1252. The decision is exact and replayable (no ML model):
+# the legacy families that dominate real crawls: shift_jis, euc_jp,
+# gbk, big5, cp1252, cp1251. The decision is exact and replayable
+# (no ML model):
 # strict-decode validity eliminates structurally impossible codecs
 # (cp1252 text virtually never validates as shift_jis — accented
 # Latin high bytes make illegal lead/trail pairs), and the script
@@ -305,6 +306,8 @@ def _script_score(text: str) -> int:
             score += 3  # full-width kana: the Japanese tell
         elif 0x4E00 <= o <= 0x9FFF or 0x3400 <= o <= 0x4DBF:
             score += 2  # unified ideographs
+        elif 0x0400 <= o <= 0x045F:
+            score += 2  # Cyrillic letters (r12: cp1251 family)
         elif 0x3000 <= o <= 0x303F or 0xFF01 <= o <= 0xFF60:
             score += 1  # CJK punctuation / fullwidth forms
         elif 0xFF61 <= o <= 0xFF9F:
@@ -367,11 +370,67 @@ def sniff_charset(body: bytes) -> str:
     sample = bytes(body[start : start + _SNIFF_LIMIT])
     truncated = start + _SNIFF_LIMIT < len(body)
     best, best_score = "utf-8", 0
-    for enc in ("shift_jis", "gbk", "cp1252"):
+    for enc in ("shift_jis", "euc_jp", "gbk", "big5", "cp1252",
+                "cp1251"):
         text = _strict_sample_decode(sample, enc, truncated)
         if text is None:
             continue
         score = _script_score(text)
+        if enc == "euc_jp" and not any(
+            0x3040 <= ord(c) <= 0x30FF for c in text[:2048]
+        ):
+            # EUC-JP vs GB2312 is undecidable by structure alone
+            # (both are A1-FE x A1-FE grids, and GB2312 even copies
+            # the JIS kana rows) — but real Japanese text ALWAYS
+            # carries kana, while Chinese text never lands in the
+            # kana rows; a kana-free euc_jp parse is a GB2312 page
+            continue
+        if enc == "cp1251":
+            # cp1251 maps EVERY 0xC0-0xFF byte to a Cyrillic letter,
+            # so any CJK byte soup parses as dense Cyrillic. Two
+            # properties separate real Russian prose from that
+            # mojibake, both deterministic: (a) prose is LOWERCASE-
+            # dominant (mojibake draws upper/lower uniformly from the
+            # C0-DF/E0-FF halves), (b) Cyrillic words are unbroken
+            # runs of >=3 letters (Latin-script text with accents —
+            # café, naïve — never has even two adjacent high bytes).
+            # ... and (c) its letters are the CORE Russian alphabet
+            # (а-я А-Я Ёё): mojibake scatters into cp1251's 0x80-0xBF
+            # extension letters (Ђ Љ Њ ђ љ џ ...) — SJIS leads land
+            # there ~half the time — while real Russian prose almost
+            # never uses them (documented Russian-core bias: cp1251's
+            # dominant real-world use).
+            cyr = [ord(c) for c in text[:2048]
+                   if 0x0400 <= ord(c) <= 0x04FF]
+            core = [o for o in cyr
+                    if 0x0410 <= o <= 0x044F or o in (0x0401, 0x0451)]
+            low = sum(1 for o in core if o >= 0x0430)
+            run = best_run = 0
+            for c in text[:2048]:
+                run = run + 1 if 0x0400 <= ord(c) <= 0x04FF else 0
+                best_run = max(best_run, run)
+            if (
+                not core
+                or len(core) < 0.75 * len(cyr)
+                or low < 0.6 * len(core)
+                or best_run < 3
+            ):
+                continue
+        if enc == "big5":
+            # Big5 vs GBK: both cover nearly every 2-byte pattern,
+            # but HALF of real Big5 trails sit in 0x40-0x7E, a range
+            # GB2312 text never uses. Bonus per low-trail unit so
+            # genuine Big5 outscores its GBK mis-parse; pure-high
+            # trails tie and the earlier candidate (gbk) wins.
+            j, lowtrail = 0, 0
+            while j + 1 < len(sample):
+                if sample[j] >= 0x81:
+                    if 0x40 <= sample[j + 1] <= 0x7E:
+                        lowtrail += 1
+                    j += 2
+                else:
+                    j += 1
+            score += lowtrail
         if score > best_score:
             best, best_score = enc, score
     return best

@@ -481,3 +481,35 @@ def test_content_sniffing_charset_fallback():
     # false rejection
     body = ("x" * 20 + "あ" * 4000).encode("shift_jis")
     assert sniff_charset(body) == "shift_jis"
+
+
+def test_content_sniffing_all_six_families():
+    """r12 second pass: euc_jp / big5 / cp1251 join the sniffer, each
+    with its deterministic discriminator — euc_jp requires kana (a
+    kana-free euc parse is a GB2312 page: both are A1-FE grids and
+    GB2312 copies the JIS kana rows), big5 earns a bonus per
+    low-trail (0x40-0x7E) unit (absent from GB2312 text, ~half of
+    real Big5), cp1251 requires lowercase-dominant Cyrillic in runs
+    of >=3 (CJK-as-cp1251 mojibake draws case uniformly; Latin-accent
+    pages never have adjacent high bytes)."""
+    from dataingestiontohana_spark.sources.warc import resolve_charset
+
+    cases = [
+        ("日本語のページ、ひらがなとカタカナと漢字", "euc_jp"),
+        ("简体中文网页测试内容没有任何字符集声明", "gbk"),
+        ("繁體中文網頁測試內容完全沒有字符集聲明", "big5"),
+        ("這是一個使用傳統字符的頁面", "big5"),
+        ("русский текст без объявления кодировки", "cp1251"),
+        ("Новости дня: погода и курс валют", "cp1251"),
+        # the confusion set: each of these is structurally valid
+        # under several candidates and must still land right
+        ("宣言のない日本語ページです", "shift_jis"),
+        ("déjà vu naïveté", "cp1252"),
+    ]
+    for text, enc in cases:
+        body = f"<html><body><p>{text}</p></body></html>".encode(enc)
+        got = resolve_charset("text/html", body)
+        assert got == enc, (text, enc, got)
+        assert body.decode(got) == (
+            f"<html><body><p>{text}</p></body></html>"
+        )
