@@ -3580,7 +3580,8 @@ def _parse_avi(b: bytes) -> tuple[int, int, int, int, np.ndarray | None]:
     end = 8 + riff_len
     width = height = total_frames = None
     vids_stream: int | None = None
-    handler_ok = False
+    codec: str | None = None
+    raw_topdown = False
     stream_idx = 0
     frames: list[tuple[int, int]] = []
     for cid, start, length in _riff_walk(b, 12, end):
@@ -3600,18 +3601,39 @@ def _parse_avi(b: bytes) -> tuple[int, int, int, int, np.ndarray | None]:
                     )
                 elif c2 == b"LIST" and b[s2 : s2 + 4] == b"strl":
                     fcc_type = fcc_handler = bi_comp = None
+                    bitcount, topdown = 0, False
                     for c3, s3, l3 in _riff_walk(b, s2 + 4, s2 + l2):
                         if c3 == b"strh" and l3 >= 8:
                             fcc_type = b[s3 : s3 + 4]
                             fcc_handler = b[s3 + 4 : s3 + 8]
                         elif c3 == b"strf" and l3 >= 20:
                             bi_comp = b[s3 + 16 : s3 + 20]
+                            bitcount = struct.unpack(
+                                "<H", b[s3 + 14 : s3 + 16]
+                            )[0]
+                            topdown = struct.unpack(
+                                "<i", b[s3 + 8 : s3 + 12]
+                            )[0] < 0
                     if fcc_type == b"vids" and vids_stream is None:
                         vids_stream = stream_idx
-                        handler_ok = (
-                            fcc_handler in _MJPG_FOURCC
-                            or bi_comp in _MJPG_FOURCC
-                        )
+                        if (fcc_handler in _MJPG_FOURCC
+                                or bi_comp in _MJPG_FOURCC):
+                            codec = "mjpg"
+                        elif (
+                            bi_comp == b"\x00\x00\x00\x00"  # BI_RGB
+                            and fcc_handler in (
+                                b"DIB ", b"RGB ", b"\x00" * 4
+                            )
+                            and bitcount == 24
+                        ):
+                            # r12: RAW uncompressed frames — the
+                            # other dominant AVI layout. Same DIB
+                            # bits as BMP: BGR, 4-byte-padded rows,
+                            # bottom-up unless biHeight < 0.
+                            codec = "dib"
+                            raw_topdown = topdown
+                        else:
+                            codec = None  # valid-unsupported
                     stream_idx += 1
         elif ltype == b"movi":
             if vids_stream is None:
@@ -3631,8 +3653,27 @@ def _parse_avi(b: bytes) -> tuple[int, int, int, int, np.ndarray | None]:
         raise ValueError(
             f"AVI: avih declares {total_frames} frames, movi has {nf}"
         )
-    if not handler_ok or nf == 0:
+    if codec is None or nf == 0:
         return width, height, nf, 0, None
+    if codec == "dib":
+        if nf * width * height * 3 > _AVI_MAX_OUT_BYTES:
+            return width, height, nf, 0, None  # bomb cap
+        rowsz = (width * 3 + 3) & ~3
+        planes = []
+        for s, l in frames:
+            if l != rowsz * height:
+                raise ValueError(
+                    f"AVI: raw DIB frame is {l} bytes, geometry "
+                    f"needs {rowsz * height}"
+                )
+            rows = np.frombuffer(
+                b[s : s + l], np.uint8
+            ).reshape(height, rowsz)[:, : width * 3]
+            rgb = rows.reshape(height, width, 3)[:, :, ::-1]
+            if not raw_topdown:
+                rgb = rgb[::-1]
+            planes.append(np.ascontiguousarray(rgb).reshape(-1))
+        return width, height, nf, 3, np.concatenate(planes)
     fw = fh = fch = None
     planes: list[np.ndarray] = []
     for s, l in frames:
@@ -3675,7 +3716,48 @@ def encode_avi_mjpeg(
     — the interleave shape DV-style writers emit), and a standard
     idx1 index. Doubles as the mutation-sweep fixture builder and as
     a real sink-side muxer for frame-sampled output."""
+    return _encode_avi(
+        frames, width, height, fps, handler, handler, b"00dc",
+        height, use_rec_list,
+    )
 
+
+def encode_avi_dib(
+    frames_rgb: list, width: int, height: int, fps: int = 25,
+    topdown: bool = False,
+) -> bytes:
+    """RAW uncompressed AVI (r12): each frame an (h, w, 3) uint8 RGB
+    array, stored as BI_RGB DIB bits — BGR byte order, 4-byte-padded
+    rows, bottom-up unless ``topdown`` (negative strf biHeight), in
+    00db chunks. The lossless complement of the MJPEG muxer: decode
+    reproduces every byte, so value gates need no codec argument."""
+    rowsz = (width * 3 + 3) & ~3
+    payloads = []
+    for a in frames_rgb:
+        arr = np.asarray(a, dtype=np.uint8).reshape(height, width, 3)
+        bgr = arr[:, :, ::-1]
+        if not topdown:
+            bgr = bgr[::-1]
+        rows = np.zeros((height, rowsz), np.uint8)
+        rows[:, : width * 3] = bgr.reshape(height, width * 3)
+        payloads.append(rows.tobytes())
+    return _encode_avi(
+        payloads, width, height, fps, b"DIB ", b"\x00\x00\x00\x00",
+        b"00db", -height if topdown else height, False,
+    )
+
+
+def _encode_avi(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    fps: int,
+    handler: bytes,
+    bi_comp: bytes,
+    chunk_id: bytes,
+    bi_height: int,
+    use_rec_list: bool,
+) -> bytes:
     def chunk(cid: bytes, body: bytes) -> bytes:
         pad = b"\x00" if len(body) & 1 else b""
         return cid + struct.pack("<I", len(body)) + body + pad
@@ -3695,7 +3777,7 @@ def encode_avi_mjpeg(
                       0, 0, width, height)
     )
     strf = struct.pack(
-        "<IiiHH4sIiiII", 40, width, height, 1, 24, handler,
+        "<IiiHH4sIiiII", 40, width, bi_height, 1, 24, bi_comp,
         width * height * 3, 0, 0, 0, 0,
     )
     hdrl = lst(
@@ -3706,9 +3788,9 @@ def encode_avi_mjpeg(
     )
     movi_chunks, idx, off = [], [], 4
     for fb in frames:
-        movi_chunks.append(chunk(b"00dc", fb))
+        movi_chunks.append(chunk(chunk_id, fb))
         idx.append(
-            b"00dc" + struct.pack("<III", 0x10, off, len(fb))
+            chunk_id + struct.pack("<III", 0x10, off, len(fb))
         )  # AVIIF_KEYFRAME; offset from the 'movi' fourcc
         off += 8 + len(fb) + (len(fb) & 1)
     body = b"".join(movi_chunks)

@@ -1257,6 +1257,26 @@ def _avi_corpus(spark: SparkSession) -> DataFrame:
             frames, w, h, use_rec_list=(mid == 1))))
     rows.append((5, KIND_VIDEO, encode_avi_mjpeg(
         [b"\x12\x34" * 8] * 3, w, h, handler=b"XVID")))
+    # clip 6 (r12 second pass): RAW uncompressed BI_RGB frames — the
+    # other dominant AVI layout; decode is byte-lossless, so every
+    # pixel byte is the md5 expansion and the oracle recomputes the
+    # moments directly (the clip-32 lossless argument).
+    from dataingestiontohana_spark.operators.multimodal import (
+        encode_avi_dib,
+    )
+
+    def dib_frame(f: int) -> np.ndarray:
+        out = bytearray()
+        c = 0
+        while len(out) < w * h * 3:
+            out += hashlib.md5(f"6:avidib:{f}:{c}".encode()).digest()
+            c += 1
+        return np.frombuffer(
+            bytes(out[: w * h * 3]), np.uint8
+        ).reshape(h, w, 3)
+
+    rows.append((6, KIND_VIDEO, encode_avi_dib(
+        [dib_frame(0), dib_frame(1)], w, h, topdown=True)))
     df = (
         spark.createDataFrame(rows, "media_id long, kind int, content binary")
         .coalesce(2)
@@ -2196,6 +2216,21 @@ _AVI_BLOCK_CTES = f"""avi_spec(media_id, nf, ch) AS (
           FROM avi_spec s, range(5) c(f),
                range({_JPEG_BW * _JPEG_BH}) u(j)
           WHERE c.f < s.nf
+        ),
+        -- clip 6 (r12): raw-DIB frame bytes, md5-expanded per frame
+        -- ('6:avidib:{{f}}:{{chunk}}', 72 chunks x 16 hex pairs =
+        -- {_JPEG_BW * _JPEG_BH * 64 * 3} bytes/frame); decode is
+        -- byte-lossless so the moments are direct sums
+        avi_dib AS (
+          SELECT CAST(6 AS BIGINT) AS media_id, CAST(c.f AS INT) AS frame,
+                 16*(strpos('0123456789abcdef',
+                      substr(md5('6:avidib:' || c.f || ':' || k.c),
+                             CAST(2*g.j+1 AS INT), 1))-1)
+                 + (strpos('0123456789abcdef',
+                      substr(md5('6:avidib:' || c.f || ':' || k.c),
+                             CAST(2*g.j+2 AS INT), 1))-1) AS v
+          FROM range(2) c(f), range(72) k(c), range(16) g(j)
+          WHERE k.c*16 + g.j < {_JPEG_BW * _JPEG_BH * 64 * 3}
         )"""
 
 
@@ -2575,6 +2610,10 @@ ORACLES = {
         -- (dims + declared frame count) with NULL moments
         SELECT CAST(5 AS BIGINT), {_JPEG_BW * 8}, {_JPEG_BH * 8},
                3, 0, NULL, NULL
+        UNION ALL
+        SELECT media_id, {_JPEG_BW * 8}, {_JPEG_BH * 8}, 2, 3,
+               CAST(SUM(v) AS BIGINT), CAST(SUM(v*v) AS BIGINT)
+        FROM avi_dib GROUP BY media_id
         ORDER BY media_id
     """,
     "q226_avi_frames": f"""
@@ -2584,6 +2623,10 @@ ORACLES = {
         FROM avi_blocks
         WHERE frame % 2 = 0
         GROUP BY media_id, frame, ch
+        UNION ALL
+        SELECT media_id, frame, CAST(SUM(v) AS BIGINT)
+        FROM avi_dib WHERE frame % 2 = 0
+        GROUP BY media_id, frame
         ORDER BY media_id, frame_idx
     """,
     "q206_png16_native": f"""

@@ -2276,3 +2276,32 @@ def test_lossless_restart_row_aligned_decodes_and_spec_pin():
     crafted = bytearray(good)
     crafted[at + 4 : at + 6] = (12).to_bytes(2, "big")
     assert _decode_jpeg_pixels(bytes(crafted)) is None
+
+
+def test_avi_raw_dib_frames_round_trip():
+    """r12 second pass: RAW uncompressed BI_RGB AVI frames decode
+    byte-losslessly — BGR order, 4-byte row padding, bottom-up AND
+    top-down (negative biHeight) — and a frame whose byte count
+    disagrees with the geometry raises (quarantine)."""
+    import numpy as np
+    import pytest
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        _decode_payload,
+        encode_avi_dib,
+    )
+
+    rng = np.random.default_rng(612)
+    frames = [rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+              for _ in range(3)]
+    for topdown in (False, True):
+        avi = encode_avi_dib(frames, 5, 6, topdown=topdown)
+        w, h, nf, ch, px = _decode_payload(avi)
+        assert (w, h, nf, ch) == (5, 6, 3, 3)
+        assert (px == np.concatenate(
+            [f.reshape(-1) for f in frames])).all()
+    blob = bytearray(encode_avi_dib(frames, 5, 6))
+    at = blob.find(b"00db")
+    blob[at + 4 : at + 8] = (10).to_bytes(4, "little")
+    with pytest.raises((ValueError, IndexError)):
+        _decode_payload(bytes(blob))
