@@ -4347,6 +4347,108 @@ def dhash_images(df: DataFrame, hash_w: int = 8, hash_h: int = 8) -> DataFrame:
     return df.mapInPandas(batches, schema="media_id long, dhash string")
 
 
+def video_dhash(
+    df: DataFrame, hash_w: int = 8, hash_h: int = 8, every_k: int = 1
+) -> DataFrame:
+    """Per-frame dHash over VIDEO payloads (r12) ->
+    (media_id, frame_idx, dhash): each sampled frame reduces to luma
+    (exact integer Rec.601) and hashes with the same
+    gradient-structure gather as `dhash_images`, so a video's
+    fingerprint is the SEQUENCE of its frame hashes — the perceptual
+    primitive video-level dedup pairs on. Integer-exact end to end
+    (the oracle replays every hash verbatim for the value-gated
+    corpus). Map-only mapInPandas; undecodable / metadata-only /
+    too-small videos contribute no rows (the sample_frames skip
+    contract)."""
+    if (hash_w * hash_h) % 4:
+        raise ValueError("hash_w*hash_h must be a multiple of 4")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, kind, content in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"]
+            ):
+                if kind != KIND_VIDEO:
+                    continue
+                try:
+                    w, h, nf, ch, px = _decode_payload(bytes(content))
+                except (NotImplementedError, *_CORRUPT_ERRORS):
+                    continue
+                if px is None or h < hash_h or w < hash_w + 1:
+                    continue
+                frames = px.reshape(nf, h * w * ch)
+                rows = (np.arange(hash_h) * h) // hash_h
+                cols = (np.arange(hash_w + 1) * w) // (hash_w + 1)
+                for fi in range(0, nf, every_k):
+                    arr = _to_luma(frames[fi], w, h, ch)
+                    small = arr[rows][:, cols].astype(np.int32)
+                    bits = (
+                        small[:, 1:] > small[:, :-1]
+                    ).astype(np.uint8).reshape(-1)
+                    value = 0
+                    for b in bits:
+                        value = (value << 1) | int(b)
+                    out.append((
+                        mid, fi,
+                        format(value, f"0{hash_w * hash_h // 4}x"),
+                    ))
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "dhash"]
+            )
+
+    return df.mapInPandas(
+        batches, schema="media_id long, frame_idx int, dhash string"
+    )
+
+
+def video_neardup_pairs(
+    df: DataFrame, hash_w: int = 8, hash_h: int = 8, every_k: int = 1
+) -> DataFrame:
+    """Video-level near-duplicate candidates (r12):
+    (id_a, id_b, n_match, n_a, n_b) — pairs of videos whose sampled
+    frames hash IDENTICALLY at a majority of aligned positions
+    (2 * n_match >= least(n_a, n_b), exact integer
+    cross-multiplication). The banded-LSH family shape for video: one
+    map-only hash pass, one shuffle on (frame_idx, dhash) — a pair is
+    proposed only where a position's hashes already collide, never a
+    video x video comparison. Re-encodes, container swaps (MJPEG vs
+    raw DIB of the same pixels), and sparse pixel noise survive the
+    dHash; unrelated videos share essentially no (position, hash)
+    keys."""
+    hd = video_dhash(df, hash_w, hash_h, every_k)
+    hd = hd.localCheckpoint(eager=False)  # counts + both join sides
+    counts = hd.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames_hashed")
+    )
+    a = hd.select(
+        F.col("media_id").alias("id_a"), "frame_idx", "dhash"
+    )
+    bb = hd.select(
+        F.col("media_id").alias("id_b"), "frame_idx", "dhash"
+    )
+    matches = (
+        a.join(bb, ["frame_idx", "dhash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+    )
+    ca = counts.select(
+        F.col("media_id").alias("id_a"),
+        F.col("n_frames_hashed").alias("n_a"),
+    )
+    cb = counts.select(
+        F.col("media_id").alias("id_b"),
+        F.col("n_frames_hashed").alias("n_b"),
+    )
+    return (
+        matches.join(F.broadcast(ca), "id_a")
+        .join(F.broadcast(cb), "id_b")
+        .where(2 * F.col("n_match") >= F.least("n_a", "n_b"))
+        .select("id_a", "id_b", "n_match", "n_a", "n_b")
+    )
+
+
 def energy_hash_audio(df: DataFrame, n_blocks: int = 32) -> DataFrame:
     """Audio fingerprint: (media_id, ahash) with ahash an
     ``n_blocks``-bit hex string — the audio member of the perceptual-

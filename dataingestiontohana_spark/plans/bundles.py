@@ -562,6 +562,14 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("media_id", "bigint"), ("frame_idx", "int"),
         ("frame_px_sum", "bigint"),
     ],
+    "q227_video_dhash": [
+        ("media_id", "bigint"), ("frame_idx", "int"),
+        ("dhash", "string"),
+    ],
+    "q228_video_neardup": [
+        ("id_a", "bigint"), ("id_b", "bigint"),
+        ("n_match", "bigint"), ("n_a", "bigint"), ("n_b", "bigint"),
+    ],
     "q216_warc_ingest": [
         ("file_id", "bigint"), ("rec_idx", "int"), ("url", "string"),
         ("status", "int"), ("content_type", "string"),
@@ -1004,6 +1012,10 @@ BUNDLES: dict[str, list[str]] = {
         # arithmetic/RGB) under the whole-clip value gate, plus
         # per-frame sampling checksums through sample_frames
         "q225_avi_mjpeg", "q226_avi_frames",
+        # r12 second pass: per-frame perceptual fingerprints + the
+        # video-level near-dup pairing (planted noisy twin in the
+        # other container layout), hashes + pairing replayed in SQL
+        "q227_video_dhash", "q228_video_neardup",
     ],
     # round 9: WARC crawl-archive ingestion + URL canonicalization
     # dedup + eTLD+1 extraction + robots.txt filtering join the

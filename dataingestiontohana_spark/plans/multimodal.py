@@ -32,6 +32,8 @@ from dataingestiontohana_spark.operators.multimodal import (
     resize_images,
     sample_frames,
     synth_media_bytes,
+    video_dhash,
+    video_neardup_pairs,
     text_as_media,
 )
 
@@ -1277,6 +1279,19 @@ def _avi_corpus(spark: SparkSession) -> DataFrame:
 
     rows.append((6, KIND_VIDEO, encode_avi_dib(
         [dib_frame(0), dib_frame(1)], w, h, topdown=True)))
+    # clip 7 (r12): the PLANTED NEAR-DUP of clip 6 — same frames with
+    # +8 (mod 256) at every 37th byte position (the q82 probe
+    # discipline), muxed bottom-up instead of top-down: the video
+    # near-dup pair must survive both the pixel noise AND the
+    # container layout change.
+    def perturb(a: np.ndarray) -> np.ndarray:
+        flat = a.reshape(-1).astype(np.int32)
+        idx = np.arange(0, flat.size, 37)
+        flat[idx] = (flat[idx] + 8) % 256
+        return flat.astype(np.uint8).reshape(a.shape)
+
+    rows.append((7, KIND_VIDEO, encode_avi_dib(
+        [perturb(dib_frame(0)), perturb(dib_frame(1))], w, h)))
     df = (
         spark.createDataFrame(rows, "media_id long, kind int, content binary")
         .coalesce(2)
@@ -1316,6 +1331,35 @@ def q226_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames(_avi_corpus(spark), every_k=2)
         .select("media_id", "frame_idx", "frame_px_sum")
         .orderBy("media_id", "frame_idx")
+    )
+
+
+def q227_video_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame perceptual video fingerprints (r12): every decoding
+    corpus clip through the production `video_dhash` — the frame-hash
+    SEQUENCE a video-dedup pipeline keys on — with the oracle
+    recomputing every 64-bit hash verbatim from the md5 seeds (luma
+    gather + gradient bits + hex packing replayed in SQL for both the
+    mosaic MJPEG clips and the raw-DIB pair). The metadata-only XVID
+    clip contributes no rows."""
+    return (
+        video_dhash(_avi_corpus(spark))
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+def q228_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-level near-duplicate pairing (r12): clips whose frame
+    hashes agree at a majority of aligned positions, through the
+    production `video_neardup_pairs` — the planted pair (clip 7 =
+    clip 6 + sparse pixel noise, muxed in the OTHER container layout)
+    must surface. Mosaic-frame hashes are low-entropy by construction
+    (6 constant blocks -> 4 informative bits), so accidental mosaic
+    pairs are legitimate collisions the oracle replays exactly — the
+    gate adjudicates the MECHANISM, not a curated answer."""
+    return (
+        video_neardup_pairs(_avi_corpus(spark))
+        .orderBy("id_a", "id_b")
     )
 
 
@@ -2124,6 +2168,8 @@ QUERIES = {
     "q221_gif_frames": q221_gif_frames,
     "q225_avi_mjpeg": q225_avi_mjpeg,
     "q226_avi_frames": q226_avi_frames,
+    "q227_video_dhash": q227_video_dhash,
+    "q228_video_neardup": q228_video_neardup,
     "q209_audio_fingerprint": q209_audio_fingerprint,
     "q210_audio_neardup": q210_audio_neardup,
 }
@@ -2207,6 +2253,7 @@ _AVI_BLOCK_CTES = f"""avi_spec(media_id, nf, ch) AS (
         ),
         avi_blocks AS (
           SELECT s.media_id, s.nf, s.ch, CAST(c.f AS INT) AS frame,
+                 CAST(u.j AS INT) AS blk,
                  16*(strpos('0123456789abcdef',
                       substr(md5(s.media_id || ':avi:' || c.f),
                              CAST(2*u.j+1 AS INT), 1))-1)
@@ -2217,20 +2264,81 @@ _AVI_BLOCK_CTES = f"""avi_spec(media_id, nf, ch) AS (
                range({_JPEG_BW * _JPEG_BH}) u(j)
           WHERE c.f < s.nf
         ),
-        -- clip 6 (r12): raw-DIB frame bytes, md5-expanded per frame
-        -- ('6:avidib:{{f}}:{{chunk}}', 72 chunks x 16 hex pairs =
-        -- {_JPEG_BW * _JPEG_BH * 64 * 3} bytes/frame); decode is
-        -- byte-lossless so the moments are direct sums
+        -- clips 6-7 (r12): raw-DIB frame bytes, md5-expanded per
+        -- frame ('6:avidib:{{f}}:{{chunk}}', 72 chunks x 16 hex
+        -- pairs = {_JPEG_BW * _JPEG_BH * 64 * 3} bytes/frame); clip
+        -- 7 is clip 6's PLANTED NEAR-DUP: +8 mod 256 at every 37th
+        -- byte. Decode is byte-lossless so moments are direct sums.
         avi_dib AS (
-          SELECT CAST(6 AS BIGINT) AS media_id, CAST(c.f AS INT) AS frame,
-                 16*(strpos('0123456789abcdef',
-                      substr(md5('6:avidib:' || c.f || ':' || k.c),
-                             CAST(2*g.j+1 AS INT), 1))-1)
-                 + (strpos('0123456789abcdef',
-                      substr(md5('6:avidib:' || c.f || ':' || k.c),
-                             CAST(2*g.j+2 AS INT), 1))-1) AS v
-          FROM range(2) c(f), range(72) k(c), range(16) g(j)
+          SELECT CAST(m.i AS BIGINT) AS media_id,
+                 CAST(c.f AS INT) AS frame,
+                 CAST(k.c*16 + g.j AS INT) AS pos,
+                 CASE WHEN m.i = 7 AND (k.c*16 + g.j) % 37 = 0
+                      THEN (16*(strpos('0123456789abcdef',
+                             substr(md5('6:avidib:' || c.f || ':' || k.c),
+                                    CAST(2*g.j+1 AS INT), 1))-1)
+                          + (strpos('0123456789abcdef',
+                             substr(md5('6:avidib:' || c.f || ':' || k.c),
+                                    CAST(2*g.j+2 AS INT), 1))-1) + 8) % 256
+                      ELSE 16*(strpos('0123456789abcdef',
+                             substr(md5('6:avidib:' || c.f || ':' || k.c),
+                                    CAST(2*g.j+1 AS INT), 1))-1)
+                          + (strpos('0123456789abcdef',
+                             substr(md5('6:avidib:' || c.f || ':' || k.c),
+                                    CAST(2*g.j+2 AS INT), 1))-1)
+                 END AS v
+          FROM (VALUES (6), (7)) m(i), range(2) c(f),
+               range(72) k(c), range(16) g(j)
           WHERE k.c*16 + g.j < {_JPEG_BW * _JPEG_BH * 64 * 3}
+        )"""
+
+
+# Shared dHash replay over the AVI corpus (q227/q228): luma grid ->
+# gradient bits -> hex, all integer-exact. Composes after
+# _AVI_BLOCK_CTES (needs avi_blocks.blk and avi_dib.pos).
+_AVI_DHASH_CTES = """avi_grid AS (
+          SELECT CAST(y.yy AS INT) AS yy, CAST(x.xx AS INT) AS xx,
+                 CAST(2 * y.yy AS INT) AS ry,
+                 CAST((x.xx * 24) // 9 AS INT) AS cx
+          FROM range(8) y(yy), range(9) x(xx)
+        ),
+        avi_lum AS (
+          SELECT b.media_id, b.frame, g.yy, g.xx, b.v AS lum
+          FROM avi_grid g JOIN avi_blocks b
+            ON b.blk = (g.ry // 8) * 3 + (g.cx // 8)
+          UNION ALL
+          SELECT d.media_id, d.frame, g.yy, g.xx,
+                 (299 * MAX(CASE WHEN d.pos = (g.ry*24 + g.cx)*3
+                            THEN d.v END)
+                + 587 * MAX(CASE WHEN d.pos = (g.ry*24 + g.cx)*3 + 1
+                            THEN d.v END)
+                + 114 * MAX(CASE WHEN d.pos = (g.ry*24 + g.cx)*3 + 2
+                            THEN d.v END)) // 1000 AS lum
+          FROM avi_grid g JOIN avi_dib d
+            ON d.pos BETWEEN (g.ry*24 + g.cx)*3
+                         AND (g.ry*24 + g.cx)*3 + 2
+          GROUP BY d.media_id, d.frame, g.yy, g.xx
+        ),
+        avi_bits AS (
+          SELECT l.media_id, l.frame,
+                 CAST(l.yy * 8 + l.xx AS INT) AS i,
+                 CASE WHEN r.lum > l.lum THEN 1 ELSE 0 END AS b
+          FROM avi_lum l JOIN avi_lum r
+            ON r.media_id = l.media_id AND r.frame = l.frame
+           AND r.yy = l.yy AND r.xx = l.xx + 1
+          WHERE l.xx < 8
+        ),
+        avi_nib AS (
+          SELECT media_id, frame, i // 4 AS n,
+                 SUM(b * (8 >> CAST(i % 4 AS INT))) AS nv
+          FROM avi_bits GROUP BY media_id, frame, i // 4
+        ),
+        avi_hexes AS (
+          SELECT media_id, frame,
+                 string_agg(substr('0123456789abcdef',
+                                   CAST(nv + 1 AS INT), 1),
+                            '' ORDER BY n) AS dhash
+          FROM avi_nib GROUP BY media_id, frame
         )"""
 
 
@@ -2628,6 +2736,43 @@ ORACLES = {
         FROM avi_dib WHERE frame % 2 = 0
         GROUP BY media_id, frame
         ORDER BY media_id, frame_idx
+    """,
+    # r12: the video dHash replayed from the md5 seeds — 8x9 luma
+    # gather (rows 2*yy, cols (xx*24)//9), gradient bits, MSB-first
+    # hex packing. Mosaic clips gather the block constant at
+    # (ry//8, cx//8) (gray and gray-valued RGB both reduce to v:
+    # (299+587+114)*v//1000 == v); DIB clips compute exact Rec.601
+    # luma from the three expanded bytes at (ry*24+cx)*3.
+    "q227_video_dhash": f"""
+        WITH {_AVI_BLOCK_CTES},
+        {_AVI_DHASH_CTES}
+        SELECT media_id, CAST(frame AS INT) AS frame_idx, dhash
+        FROM avi_hexes
+        ORDER BY media_id, frame_idx
+    """,
+    "q228_video_neardup": f"""
+        WITH {_AVI_BLOCK_CTES},
+        {_AVI_DHASH_CTES},
+        vcounts AS (
+          SELECT media_id, COUNT(*) AS nfh FROM avi_hexes
+          GROUP BY media_id
+        ),
+        vmatch AS (
+          SELECT a.media_id AS id_a, b.media_id AS id_b,
+                 COUNT(*) AS n_match
+          FROM avi_hexes a JOIN avi_hexes b
+            ON a.frame = b.frame AND a.dhash = b.dhash
+           AND a.media_id < b.media_id
+          GROUP BY a.media_id, b.media_id
+        )
+        SELECT m.id_a, m.id_b, CAST(m.n_match AS BIGINT) AS n_match,
+               CAST(ca.nfh AS BIGINT) AS n_a,
+               CAST(cb.nfh AS BIGINT) AS n_b
+        FROM vmatch m
+        JOIN vcounts ca ON ca.media_id = m.id_a
+        JOIN vcounts cb ON cb.media_id = m.id_b
+        WHERE 2 * m.n_match >= LEAST(ca.nfh, cb.nfh)
+        ORDER BY id_a, id_b
     """,
     "q206_png16_native": f"""
         WITH {_PNG16_CTE}

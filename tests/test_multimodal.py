@@ -2305,3 +2305,61 @@ def test_avi_raw_dib_frames_round_trip():
     blob[at + 4 : at + 8] = (10).to_bytes(4, "little")
     with pytest.raises((ValueError, IndexError)):
         _decode_payload(bytes(blob))
+
+
+def test_video_dhash_and_neardup_pairing(spark):
+    """r12: the video perceptual-dedup pair — per-frame dHash
+    sequences survive sparse pixel noise AND a container-layout swap
+    (MJPEG vs raw DIB of the same pixels), and the majority-position
+    pairing surfaces the planted twin while unrelated videos with
+    full-entropy frames never pair."""
+    import hashlib
+
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        KIND_VIDEO,
+        encode_avi_dib,
+        video_dhash,
+        video_neardup_pairs,
+    )
+
+    def frame(seed, f):
+        out = bytearray()
+        c = 0
+        while len(out) < 16 * 24 * 3:
+            out += hashlib.md5(f"{seed}:{f}:{c}".encode()).digest()
+            c += 1
+        return np.frombuffer(
+            bytes(out[: 16 * 24 * 3]), np.uint8
+        ).reshape(16, 24, 3)
+
+    def noisy(a):
+        flat = a.reshape(-1).astype(np.int32)
+        flat[::41] = (flat[::41] + 6) % 256
+        return flat.astype(np.uint8).reshape(a.shape)
+
+    base = [frame("vid", f) for f in range(4)]
+    rows = [
+        (1, KIND_VIDEO, bytearray(encode_avi_dib(base, 24, 16))),
+        # the twin: sparse noise + the other row order
+        (2, KIND_VIDEO, bytearray(encode_avi_dib(
+            [noisy(f) for f in base], 24, 16, topdown=True))),
+        # unrelated full-entropy video
+        (3, KIND_VIDEO, bytearray(encode_avi_dib(
+            [frame("other", f) for f in range(4)], 24, 16))),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind int, content binary"
+    ).coalesce(1)
+    hashes = {(r["media_id"], r["frame_idx"]): r["dhash"]
+              for r in video_dhash(df).collect()}
+    assert len(hashes) == 12
+    # noise flips at most a few gradient bits: >= half the twin's
+    # frames hash identically
+    same = sum(hashes[(1, f)] == hashes[(2, f)] for f in range(4))
+    assert same >= 2
+    pairs = {(r["id_a"], r["id_b"]): r["n_match"]
+             for r in video_neardup_pairs(df).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == same
+    assert (1, 3) not in pairs and (2, 3) not in pairs
