@@ -2821,11 +2821,7 @@ def _parse_wav_ex(b: bytes) -> tuple[int, np.ndarray | None, str]:
     and other compressed codecs) stay count-only (px None) — valid
     unsupported layouts, never quarantined."""
     off = 12
-    bits = channels = 1
-    block_align = 0
-    is_float = is_adpcm = is_ms_adpcm = False
-    ms_coefs: list[tuple[int, int]] = []
-    g711 = ""
+    fmt_body = None
     data = None
     while off + 8 <= len(b):
         cid = b[off : off + 4]
@@ -2837,68 +2833,91 @@ def _parse_wav_ex(b: bytes) -> tuple[int, np.ndarray | None, str]:
             raise ValueError(f"WAV: truncated {cid!r} chunk")
         body = b[off + 8 : off + 8 + length]
         if cid == b"fmt ":
-            if length < 16:
-                raise ValueError("WAV: fmt chunk shorter than 16 bytes")
-            fmt_tag = struct.unpack("<H", body[0:2])[0]
-            channels = struct.unpack("<H", body[2:4])[0]
-            block_align = struct.unpack("<H", body[12:14])[0]
-            bits = struct.unpack("<H", body[14:16])[0]
-            # a later fmt chunk REDECLARES the codec: reset every
-            # codec flag so the last declaration wins outright (r10
-            # review: a stale g711/float/adpcm flag from an earlier
-            # fmt chunk would mis-route the decode of the final one)
-            is_float = is_adpcm = is_ms_adpcm = False
-            ms_coefs = []
-            g711 = ""
-            if fmt_tag == 3 and bits in (32, 64):
-                is_float = True
-            elif fmt_tag == 2 and bits == 4 and channels in (1, 2):
-                # MS-ADPCM (r11, closing the second-most-common
-                # compressed-WAV boundary after IMA). The fmt
-                # extension carries the coefficient table
-                # (wSamplesPerBlock, wNumCoef, then int16 pairs);
-                # a bare 16-byte fmt falls back to the 7 standard
-                # pairs every writer plants anyway. The format
-                # defines mono/stereo only — other channel counts
-                # stay count-only via the fmt_tag != 1 arm below.
-                if length >= 22:
-                    ncoef = struct.unpack("<H", body[20:22])[0]
-                    if length >= 22 + 4 * ncoef and ncoef >= 1:
-                        ms_coefs = [
-                            struct.unpack(
-                                "<hh", body[22 + 4 * k : 26 + 4 * k]
-                            )
-                            for k in range(ncoef)
-                        ]
-                if not ms_coefs:
-                    ms_coefs = list(
-                        zip(_MS_ADPCM_COEF1, _MS_ADPCM_COEF2)
-                    )
-                is_ms_adpcm = True
-                bits = -bits  # never a PCM width; gated below
-            elif fmt_tag == 17 and bits == 4 and channels >= 1:
-                # r10: any channel count — the block decode walks one
-                # state machine per channel over 4-byte interleaved
-                # groups and folds floor-of-mean, exactly the stereo
-                # shape generalized (closing the r9 >2ch boundary)
-                is_adpcm = True
-                bits = -bits  # never a PCM width; gated below
-            elif fmt_tag in (6, 7) and bits == 8:
-                # G.711 A-law (6) / mu-law (7) — r10: telephony audio,
-                # one byte per sample per channel, pure segment
-                # arithmetic (no codec stack needed)
-                g711 = "alaw" if fmt_tag == 6 else "ulaw"
-                bits = -bits
-            elif fmt_tag != 1:
-                # other codecs — and fmt tag 3 at any other declared
-                # width — are VALID unsupported layouts, not
-                # corruption: count-only below via bits < 0
-                bits = -bits
+            # a later fmt chunk REDECLARES the codec: last one wins
+            # outright (r10 review)
+            fmt_body = body
         elif cid == b"data":
             data = body
         off += 8 + length + (length & 1)
     if data is None:
         raise ValueError("WAV: no data chunk")
+    if fmt_body is None:
+        raise ValueError("WAV: no fmt chunk")
+    return _decode_wave_payload(fmt_body, data)
+
+
+def _decode_wave_payload(
+    fmt_body: bytes, data: bytes
+) -> tuple[int, np.ndarray | None, str]:
+    """WAVEFORMAT(EX) header bytes + raw sample data -> (count,
+    samples, codec tag) — the codec dispatch shared by the WAV reader
+    and the AVI 'auds' stream demux (r12: an AVI audio strf IS a
+    WAVEFORMATEX, and its NNwb chunks concatenate to exactly a data
+    chunk, so the two containers share one decode seam)."""
+    bits = channels = 1
+    block_align = 0
+    is_float = is_adpcm = is_ms_adpcm = False
+    ms_coefs: list[tuple[int, int]] = []
+    g711 = ""
+    body = fmt_body
+    length = len(body)
+    if length < 16:
+        raise ValueError("WAV: fmt chunk shorter than 16 bytes")
+    fmt_tag = struct.unpack("<H", body[0:2])[0]
+    channels = struct.unpack("<H", body[2:4])[0]
+    block_align = struct.unpack("<H", body[12:14])[0]
+    bits = struct.unpack("<H", body[14:16])[0]
+    # a later fmt chunk REDECLARES the codec: reset every
+    # codec flag so the last declaration wins outright (r10
+    # review: a stale g711/float/adpcm flag from an earlier
+    # fmt chunk would mis-route the decode of the final one)
+    is_float = is_adpcm = is_ms_adpcm = False
+    ms_coefs = []
+    g711 = ""
+    if fmt_tag == 3 and bits in (32, 64):
+        is_float = True
+    elif fmt_tag == 2 and bits == 4 and channels in (1, 2):
+        # MS-ADPCM (r11, closing the second-most-common
+        # compressed-WAV boundary after IMA). The fmt
+        # extension carries the coefficient table
+        # (wSamplesPerBlock, wNumCoef, then int16 pairs);
+        # a bare 16-byte fmt falls back to the 7 standard
+        # pairs every writer plants anyway. The format
+        # defines mono/stereo only — other channel counts
+        # stay count-only via the fmt_tag != 1 arm below.
+        if length >= 22:
+            ncoef = struct.unpack("<H", body[20:22])[0]
+            if length >= 22 + 4 * ncoef and ncoef >= 1:
+                ms_coefs = [
+                    struct.unpack(
+                        "<hh", body[22 + 4 * k : 26 + 4 * k]
+                    )
+                    for k in range(ncoef)
+                ]
+        if not ms_coefs:
+            ms_coefs = list(
+                zip(_MS_ADPCM_COEF1, _MS_ADPCM_COEF2)
+            )
+        is_ms_adpcm = True
+        bits = -bits  # never a PCM width; gated below
+    elif fmt_tag == 17 and bits == 4 and channels >= 1:
+        # r10: any channel count — the block decode walks one
+        # state machine per channel over 4-byte interleaved
+        # groups and folds floor-of-mean, exactly the stereo
+        # shape generalized (closing the r9 >2ch boundary)
+        is_adpcm = True
+        bits = -bits  # never a PCM width; gated below
+    elif fmt_tag in (6, 7) and bits == 8:
+        # G.711 A-law (6) / mu-law (7) — r10: telephony audio,
+        # one byte per sample per channel, pure segment
+        # arithmetic (no codec stack needed)
+        g711 = "alaw" if fmt_tag == 6 else "ulaw"
+        bits = -bits
+    elif fmt_tag != 1:
+        # other codecs — and fmt tag 3 at any other declared
+        # width — are VALID unsupported layouts, not
+        # corruption: count-only below via bits < 0
+        bits = -bits
     if channels < 1:
         raise ValueError("WAV: zero channels")
     # width/alignment validation applies to decodable layouts only:
@@ -3708,6 +3727,7 @@ def encode_avi_mjpeg(
     fps: int = 25,
     handler: bytes = b"MJPG",
     use_rec_list: bool = False,
+    audio: tuple[bytes, list[bytes]] | None = None,
 ) -> bytes:
     """Assemble a spec-shaped RIFF/AVI around complete JPEG frame
     streams: avih + one vids strl (strh fccHandler + strf
@@ -3715,16 +3735,19 @@ def encode_avi_mjpeg(
     word-aligned 00dc chunks (optionally grouped under a 'rec ' list
     — the interleave shape DV-style writers emit), and a standard
     idx1 index. Doubles as the mutation-sweep fixture builder and as
-    a real sink-side muxer for frame-sampled output."""
+    a real sink-side muxer for frame-sampled output. ``audio`` muxes
+    a second 'auds' stream: (WAVEFORMATEX bytes, list of 01wb chunk
+    payloads) — r12, the demux counterpart of `avi_audio_samples`."""
     return _encode_avi(
         frames, width, height, fps, handler, handler, b"00dc",
-        height, use_rec_list,
+        height, use_rec_list, audio,
     )
 
 
 def encode_avi_dib(
     frames_rgb: list, width: int, height: int, fps: int = 25,
     topdown: bool = False,
+    audio: tuple[bytes, list[bytes]] | None = None,
 ) -> bytes:
     """RAW uncompressed AVI (r12): each frame an (h, w, 3) uint8 RGB
     array, stored as BI_RGB DIB bits — BGR byte order, 4-byte-padded
@@ -3743,8 +3766,107 @@ def encode_avi_dib(
         payloads.append(rows.tobytes())
     return _encode_avi(
         payloads, width, height, fps, b"DIB ", b"\x00\x00\x00\x00",
-        b"00db", -height if topdown else height, False,
+        b"00db", -height if topdown else height, False, audio,
     )
+
+
+def _parse_avi_audio(b: bytes) -> tuple[int, np.ndarray | None, str]:
+    """RIFF/AVI 'auds' stream demux (r12) -> (count, samples, codec)
+    through the SAME codec dispatch as WAV: the audio strf is a
+    WAVEFORMATEX and the stream's NNwb chunks concatenate to exactly
+    a data payload, so every WAV codec (PCM all widths, float, IMA/
+    MS-ADPCM, G.711) decodes from inside an AVI for free. Returns
+    (0, None, 'none') when the container has no audio stream."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("AVI: bad RIFF/AVI header")
+    (riff_len,) = struct.unpack("<I", b[4:8])
+    if 8 + riff_len > len(b):
+        raise ValueError("AVI: RIFF length past end of payload")
+    end = 8 + riff_len
+    auds_stream: int | None = None
+    fmt_body: bytes | None = None
+    stream_idx = 0
+    parts: list[bytes] = []
+    for cid, start, length in _riff_walk(b, 12, end):
+        if cid != b"LIST":
+            continue
+        ltype = b[start : start + 4]
+        if ltype == b"hdrl":
+            for c2, s2, l2 in _riff_walk(b, start + 4, start + length):
+                if c2 == b"LIST" and b[s2 : s2 + 4] == b"strl":
+                    fcc_type = strf = None
+                    for c3, s3, l3 in _riff_walk(b, s2 + 4, s2 + l2):
+                        if c3 == b"strh" and l3 >= 4:
+                            fcc_type = b[s3 : s3 + 4]
+                        elif c3 == b"strf":
+                            strf = b[s3 : s3 + l3]
+                    if fcc_type == b"auds" and auds_stream is None:
+                        auds_stream = stream_idx
+                        fmt_body = strf
+                    stream_idx += 1
+        elif ltype == b"movi" and auds_stream is not None:
+            tag = b"%02d" % auds_stream
+            for c2, s2, l2 in _riff_walk(b, start + 4, start + length):
+                if c2 == b"LIST" and b[s2 : s2 + 4] == b"rec ":
+                    for c3, s3, l3 in _riff_walk(b, s2 + 4, s2 + l2):
+                        if c3[:2] == tag and c3[2:4] == b"wb":
+                            parts.append(b[s3 : s3 + l3])
+                elif c2[:2] == tag and c2[2:4] == b"wb":
+                    parts.append(b[s2 : s2 + l2])
+    if auds_stream is None:
+        return 0, None, "none"
+    if fmt_body is None:
+        raise ValueError("AVI: auds stream without strf")
+    return _decode_wave_payload(fmt_body, b"".join(parts))
+
+
+def avi_audio_samples(
+    df: DataFrame, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
+    """AVI audio demux + decode (r12) -> one row per clip that
+    carries an audio stream: (media_id, codec, n_samples, px_sum,
+    px_sqsum, decode_error) with the exact integer sample moments
+    (`_exact_moments` — the same mergeable, oracle-replayable state
+    decode_media emits for pixels). Map-only mapInPandas; corrupt
+    containers land a quarantine row, audio-less clips contribute
+    nothing, codec-unsupported streams keep the count-only
+    contract."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            extras = [pdf[c] for c in passthrough]
+            for i, (mid, content) in enumerate(
+                zip(pdf["media_id"], pdf["content"])
+            ):
+                thru = tuple(col.iloc[i] for col in extras)
+                try:
+                    n, px, codec = _parse_avi_audio(bytes(content))
+                except _CORRUPT_ERRORS as ex:
+                    rows.append(
+                        (mid, None, None, None, None,
+                         f"{type(ex).__name__}: {ex}"[:200]) + thru
+                    )
+                    continue
+                if codec == "none" and px is None and n == 0:
+                    continue  # no audio stream: no row
+                if px is None:
+                    rows.append((mid, codec, n, None, None, None) + thru)
+                    continue
+                s, sq = _exact_moments(px)
+                rows.append((mid, codec, n, s, sq, None) + thru)
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "codec", "n_samples", "px_sum",
+                         "px_sqsum", "decode_error", *passthrough],
+            )
+
+    schema = (
+        "media_id long, codec string, n_samples int, px_sum bigint, "
+        "px_sqsum bigint, decode_error string"
+        + "".join(f", {c} string" for c in passthrough)
+    )
+    return df.mapInPandas(batches, schema=schema)
 
 
 def _encode_avi(
@@ -3757,6 +3879,7 @@ def _encode_avi(
     chunk_id: bytes,
     bi_height: int,
     use_rec_list: bool,
+    audio: tuple[bytes, list[bytes]] | None = None,
 ) -> bytes:
     def chunk(cid: bytes, body: bytes) -> bytes:
         pad = b"\x00" if len(body) & 1 else b""
@@ -3768,7 +3891,7 @@ def _encode_avi(
     avih = struct.pack(
         "<10I16x",
         1000000 // max(fps, 1), 0, 0, 0x10,  # AVIF_HASINDEX
-        len(frames), 0, 1, 0, width, height,
+        len(frames), 0, 2 if audio else 1, 0, width, height,
     )
     strh = (
         b"vids" + handler
@@ -3780,12 +3903,19 @@ def _encode_avi(
         "<IiiHH4sIiiII", 40, width, bi_height, 1, 24, bi_comp,
         width * height * 3, 0, 0, 0, 0,
     )
-    hdrl = lst(
-        b"hdrl",
-        chunk(b"avih", avih) + lst(
-            b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)
-        ),
-    )
+    strls = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    if audio:
+        afmt, _achunks = audio
+        astrh = (
+            b"auds" + b"\x00" * 4
+            + struct.pack("<IHHIIIIIIII4H", 0, 0, 0, 0, 1, 8000, 0,
+                          sum(len(a) for a in _achunks), 0,
+                          0xFFFFFFFF, 0, 0, 0, 0, 0)
+        )
+        strls += lst(
+            b"strl", chunk(b"strh", astrh) + chunk(b"strf", afmt)
+        )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strls)
     movi_chunks, idx, off = [], [], 4
     for fb in frames:
         movi_chunks.append(chunk(chunk_id, fb))
@@ -3793,6 +3923,13 @@ def _encode_avi(
             chunk_id + struct.pack("<III", 0x10, off, len(fb))
         )  # AVIIF_KEYFRAME; offset from the 'movi' fourcc
         off += 8 + len(fb) + (len(fb) & 1)
+    if audio:
+        for ab in audio[1]:
+            movi_chunks.append(chunk(b"01wb", ab))
+            idx.append(
+                b"01wb" + struct.pack("<III", 0x10, off, len(ab))
+            )
+            off += 8 + len(ab) + (len(ab) & 1)
     body = b"".join(movi_chunks)
     movi = lst(b"movi", lst(b"rec ", body) if use_rec_list else body)
     idx1 = chunk(b"idx1", b"".join(idx))

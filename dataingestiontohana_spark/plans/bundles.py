@@ -570,6 +570,11 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("id_a", "bigint"), ("id_b", "bigint"),
         ("n_match", "bigint"), ("n_a", "bigint"), ("n_b", "bigint"),
     ],
+    "q229_avi_audio": [
+        ("media_id", "bigint"), ("codec", "string"),
+        ("n_samples", "int"), ("px_sum", "bigint"),
+        ("px_sqsum", "bigint"),
+    ],
     "q216_warc_ingest": [
         ("file_id", "bigint"), ("rec_idx", "int"), ("url", "string"),
         ("status", "int"), ("content_type", "string"),
@@ -1016,6 +1021,8 @@ BUNDLES: dict[str, list[str]] = {
         # video-level near-dup pairing (planted noisy twin in the
         # other container layout), hashes + pairing replayed in SQL
         "q227_video_dhash", "q228_video_neardup",
+        # r12: AVI 'auds' demux through the shared WAV codec dispatch
+        "q229_avi_audio",
     ],
     # round 9: WARC crawl-archive ingestion + URL canonicalization
     # dedup + eTLD+1 extraction + robots.txt filtering join the

@@ -32,6 +32,7 @@ from dataingestiontohana_spark.operators.multimodal import (
     resize_images,
     sample_frames,
     synth_media_bytes,
+    avi_audio_samples,
     video_dhash,
     video_neardup_pairs,
     text_as_media,
@@ -1234,6 +1235,30 @@ def _avi_corpus(spark: SparkSession) -> DataFrame:
             grid[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
         return grid.reshape(-1)
 
+    import struct as _struct
+
+    def audio_expand(mid: int, need: int) -> bytes:
+        out = bytearray()
+        c = 0
+        while len(out) < need:
+            out += hashlib.md5(f"{mid}:aviau:{c}".encode()).digest()
+            c += 1
+        return bytes(out[:need])
+
+    # clip 0 carries an int16-mono PCM audio stream (512 md5 bytes =
+    # 256 samples, split over TWO 01wb chunks — the demux must
+    # concatenate), clip 6 an 8-bit STEREO stream (600 bytes = 300
+    # frames, the (l+r)//2 fold) — r12, `avi_audio_samples`
+    au16 = audio_expand(0, 512)
+    audio0 = (
+        _struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16),
+        [au16[:200], au16[200:]],
+    )
+    au8 = audio_expand(6, 600)
+    audio6 = (
+        _struct.pack("<HHIIHH", 1, 2, 8000, 16000, 2, 8),
+        [au8],
+    )
     rows = []
     for mid, nf, ch in _AVI_SPECS:
         frames = []
@@ -1256,7 +1281,8 @@ def _avi_corpus(spark: SparkSession) -> DataFrame:
                 frames.append(encode_jpeg_baseline(
                     px, w, h, 1, quant_luma=ones))
         rows.append((mid, KIND_VIDEO, encode_avi_mjpeg(
-            frames, w, h, use_rec_list=(mid == 1))))
+            frames, w, h, use_rec_list=(mid == 1),
+            audio=audio0 if mid == 0 else None)))
     rows.append((5, KIND_VIDEO, encode_avi_mjpeg(
         [b"\x12\x34" * 8] * 3, w, h, handler=b"XVID")))
     # clip 6 (r12 second pass): RAW uncompressed BI_RGB frames — the
@@ -1278,7 +1304,8 @@ def _avi_corpus(spark: SparkSession) -> DataFrame:
         ).reshape(h, w, 3)
 
     rows.append((6, KIND_VIDEO, encode_avi_dib(
-        [dib_frame(0), dib_frame(1)], w, h, topdown=True)))
+        [dib_frame(0), dib_frame(1)], w, h, topdown=True,
+        audio=audio6)))
     # clip 7 (r12): the PLANTED NEAR-DUP of clip 6 — same frames with
     # +8 (mod 256) at every 37th byte position (the q82 probe
     # discipline), muxed bottom-up instead of top-down: the video
@@ -1360,6 +1387,21 @@ def q228_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         video_neardup_pairs(_avi_corpus(spark))
         .orderBy("id_a", "id_b")
+    )
+
+
+def q229_avi_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVI audio demux under the VALUE gate (r12): the 'auds' streams
+    planted in clips 0 (int16 mono, split across two 01wb chunks) and
+    6 (8-bit stereo, (l+r)//2 fold) through the production
+    `avi_audio_samples` — decoded via the SAME codec dispatch as WAV
+    — with the oracle recomputing every sample (and its exact
+    moments) from the md5 expansion. Audio-less clips contribute no
+    rows."""
+    return (
+        avi_audio_samples(_avi_corpus(spark))
+        .select("media_id", "codec", "n_samples", "px_sum", "px_sqsum")
+        .orderBy("media_id")
     )
 
 
@@ -2170,6 +2212,7 @@ QUERIES = {
     "q226_avi_frames": q226_avi_frames,
     "q227_video_dhash": q227_video_dhash,
     "q228_video_neardup": q228_video_neardup,
+    "q229_avi_audio": q229_avi_audio,
     "q209_audio_fingerprint": q209_audio_fingerprint,
     "q210_audio_neardup": q210_audio_neardup,
 }
@@ -2773,6 +2816,55 @@ ORACLES = {
         JOIN vcounts cb ON cb.media_id = m.id_b
         WHERE 2 * m.n_match >= LEAST(ca.nfh, cb.nfh)
         ORDER BY id_a, id_b
+    """,
+    # r12: the planted AVI audio streams replayed from the md5 seeds —
+    # clip 0: 256 int16-LE mono samples ('0:aviau:{chunk}' bytes, two
+    # bytes per sample, sign via the high byte); clip 6: 300 8-bit
+    # stereo frames folded (l+r)//2
+    "q229_avi_audio": """
+        WITH au0 AS (
+          SELECT CAST(k.c*16 + g.j AS INT) AS pos,
+                 16*(strpos('0123456789abcdef',
+                      substr(md5('0:aviau:' || k.c),
+                             CAST(2*g.j+1 AS INT), 1))-1)
+                 + (strpos('0123456789abcdef',
+                      substr(md5('0:aviau:' || k.c),
+                             CAST(2*g.j+2 AS INT), 1))-1) AS v
+          FROM range(32) k(c), range(16) g(j)
+        ),
+        s0 AS (
+          SELECT lo.pos // 2 AS i,
+                 lo.v + 256*hi.v
+                 - CASE WHEN hi.v >= 128 THEN 65536 ELSE 0 END AS s
+          FROM au0 lo JOIN au0 hi ON hi.pos = lo.pos + 1
+          WHERE lo.pos % 2 = 0
+        ),
+        au6 AS (
+          SELECT CAST(k.c*16 + g.j AS INT) AS pos,
+                 16*(strpos('0123456789abcdef',
+                      substr(md5('6:aviau:' || k.c),
+                             CAST(2*g.j+1 AS INT), 1))-1)
+                 + (strpos('0123456789abcdef',
+                      substr(md5('6:aviau:' || k.c),
+                             CAST(2*g.j+2 AS INT), 1))-1) AS v
+          FROM range(38) k(c), range(16) g(j)
+          WHERE k.c*16 + g.j < 600
+        ),
+        s6 AS (
+          SELECT l.pos // 2 AS i, (l.v + r.v) // 2 AS s
+          FROM au6 l JOIN au6 r ON r.pos = l.pos + 1
+          WHERE l.pos % 2 = 0
+        )
+        SELECT CAST(0 AS BIGINT) AS media_id, 'pcm' AS codec,
+               CAST(256 AS INT) AS n_samples,
+               CAST(SUM(s) AS BIGINT) AS px_sum,
+               CAST(SUM(s*s) AS BIGINT) AS px_sqsum
+        FROM s0
+        UNION ALL
+        SELECT CAST(6 AS BIGINT), 'pcm', 300,
+               CAST(SUM(s) AS BIGINT), CAST(SUM(s*s) AS BIGINT)
+        FROM s6
+        ORDER BY media_id
     """,
     "q206_png16_native": f"""
         WITH {_PNG16_CTE}

@@ -2363,3 +2363,51 @@ def test_video_dhash_and_neardup_pairing(spark):
              for r in video_neardup_pairs(df).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] == same
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_avi_audio_demux_all_codecs():
+    """r12: the 'auds' demux shares the WAV codec dispatch — int16
+    mono split across chunks, 8-bit stereo fold, G.711 mu-law, and
+    IMA-ADPCM all decode from inside an AVI; an audio-less clip emits
+    no row; a corrupt container quarantines through the operator."""
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        _parse_avi_audio,
+        encode_avi_mjpeg,
+        encode_jpeg_baseline,
+    )
+
+    ones = np.ones(64)
+    g = np.zeros((16, 24), np.uint8)
+    for j, v in enumerate(hashlib.md5(b"aud").digest()[:6]):
+        by, bx = divmod(j, 3)
+        g[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+    jpg = encode_jpeg_baseline(g.reshape(-1), 24, 16, 1, quant_luma=ones)
+
+    # int16 mono over 3 chunks
+    v = np.arange(-500, 500, 7, dtype=np.int16)
+    raw = v.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    n, px, codec = _parse_avi_audio(encode_avi_mjpeg(
+        [jpg], 24, 16, audio=(fmt, [raw[:64], raw[64:130], raw[130:]])))
+    assert codec == "pcm" and n == len(v) and (px == v).all()
+    # IMA-ADPCM mono (one 12-byte block: 4-byte header + 8 nibbles)
+    fmt_ima = struct.pack("<HHIIHH", 17, 1, 8000, 4000, 12, 4)
+    block = struct.pack("<hBB", 100, 20, 0) + bytes(
+        [0x17, 0x9F, 0x80, 0x31, 0x2C, 0x4D, 0x08, 0x71])
+    n, px, codec = _parse_avi_audio(encode_avi_mjpeg(
+        [jpg], 24, 16, audio=(fmt_ima, [block])))
+    assert codec == "adpcm" and n == 17 and px is not None
+    # no audio stream
+    assert _parse_avi_audio(encode_avi_mjpeg([jpg], 24, 16)) == (
+        0, None, "none")
+    # truncated container raises (quarantine upstream)
+    import pytest
+
+    blob = encode_avi_mjpeg([jpg], 24, 16, audio=(fmt, [raw]))
+    with pytest.raises(ValueError):
+        _parse_avi_audio(blob[: len(blob) - 5])
