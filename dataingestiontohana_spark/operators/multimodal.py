@@ -702,7 +702,13 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             ncomp = body[5]
-            if ncomp not in (1, 3):
+            if marker == 0xC3:
+                # lossless defines NO color transform — components
+                # emit as stored — so any T.81-legal count decodes
+                # (r12: 2-component subsampled fixtures)
+                if not 1 <= ncomp <= 4:
+                    return None
+            elif ncomp not in (1, 3):
                 return None  # CMYK etc.: metadata-only boundary
             comps = [
                 (
@@ -718,11 +724,19 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
                     raise ValueError(
                         f"jpeg lossless precision {precision} outside 2-16"
                     )
-                if any(hs != 1 or vs != 1 for _c, hs, vs, _t in comps):
-                    # subsampled lossless is legal but exotic;
-                    # metadata-only, mirroring the other scan-shape
-                    # restrictions
-                    return None
+                # SUBSAMPLED lossless decodes since r12 when every
+                # component's grid tiles into whole Hi x Vi MCUs
+                # (T.81 A.2.4 defines the lossless MCU as Hi x Vi
+                # samples; a partial-MCU grid would need a padding
+                # convention the spec leaves to the encoder, so that
+                # residue stays metadata-only)
+                hmax_l = max(hs for _c, hs, _v, _t in comps)
+                vmax_l = max(vs for _c, _h, vs, _t in comps)
+                for _c, hs, vs, _t in comps:
+                    wc = -(-w * hs // hmax_l)
+                    hc = -(-h * vs // vmax_l)
+                    if wc % hs or hc % vs:
+                        return None
             if progressive:
                 # a (malformed) second SOF re-declares the geometry:
                 # rebuild rather than keep a wrong-shape store (the
@@ -775,6 +789,13 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
                     raise ValueError(
                         f"jpeg lossless predictor {pred_sel} outside 1-7"
                     )
+                if restart and any(
+                    hs != 1 or vs != 1 for _c, hs, vs, _t in comps
+                ):
+                    # restart + subsampling compounds the reset
+                    # question with the MCU grid; no fixture source
+                    # exists to pin the combination — metadata-only
+                    return None
                 if restart and restart % max(w, 1) != 0:
                     # MID-LINE restart lossless stays metadata-only
                     # (r12 — the honest residue after the row-aligned
@@ -1521,8 +1542,55 @@ def _jpeg_lossless_scan(
     # (P - Pt)-bit domain — prediction default 2^(P-Pt-1) — and the
     # OUTPUT is the decoded value << Pt (low bits zero), per H.1
     default = 1 << (precision - point_transform - 1)
-    planes = np.zeros((nc, h, w), dtype=np.int32)
     luts = [scan_tabs[cid] for cid, *_ in comps]
+    hmax = max(hs for _c, hs, _v, _t in comps)
+    vmax = max(vs for _c, _h, vs, _t in comps)
+    if hmax > 1 or vmax > 1:
+        # SUBSAMPLED lossless (r12): per T.81 A.2.4 the interleaved
+        # MCU carries Hi x Vi raster-ordered samples per component,
+        # each component predicting over its OWN grid with the
+        # standard first-line/line-start rules; the caller guarantees
+        # whole-MCU grids (SOF gate) and no restarts. Output
+        # upsamples nearest-sample to (h, w) channel-last — the same
+        # mapping as the DCT path's chroma upsample; lossless defines
+        # no color transform, so components emit as stored.
+        dims = [
+            (-(-w * hs // hmax), -(-h * vs // vmax))
+            for _c, hs, vs, _t in comps
+        ]
+        splanes = [
+            np.zeros((hc, wc), dtype=np.int32) for wc, hc in dims
+        ]
+        for my in range(-(-h // vmax)):
+            for mx in range(-(-w // hmax)):
+                for ci, (_cid, hs, vs, _t) in enumerate(comps):
+                    for v in range(vs):
+                        yy = my * vs + v
+                        for hh in range(hs):
+                            xx = mx * hs + hh
+                            t = _huff_decode(r, luts[ci])
+                            if t == 16:
+                                diff = 32768
+                            elif t:
+                                diff = _extend(r.bits(t), t)
+                            else:
+                                diff = 0
+                            px_ = _jpeg_lossless_predict(
+                                splanes[ci], yy, xx, pred_sel, default
+                            )
+                            splanes[ci][yy, xx] = (px_ + diff) & 0xFFFF
+        ys, xs = np.arange(h), np.arange(w)
+        chans = [
+            splanes[ci][(ys * vs) // vmax][:, (xs * hs) // hmax]
+            for ci, (_cid, hs, vs, _t) in enumerate(comps)
+        ]
+        out = np.stack(chans, axis=-1).reshape(-1)
+        if point_transform:
+            out = out << point_transform
+        if precision <= 8:
+            return out.astype(np.uint8), nc
+        return out.astype(np.uint16), nc
+    planes = np.zeros((nc, h, w), dtype=np.int32)
     # ROW-ALIGNED restart intervals (r12): the caller guarantees
     # restart_interval % w == 0 (mid-line restarts stay metadata-only
     # — see the SOS arm), so each interval starts at a line start and
@@ -1564,6 +1632,7 @@ def encode_jpeg_lossless(
     precision: int | None = None,
     point_transform: int = 0,
     restart_interval: int = 0,
+    sampling: list[tuple[int, int]] | None = None,
 ) -> bytes:
     """Pure-stdlib LOSSLESS JPEG encoder (SOF3 — the
     `_jpeg_lossless_scan` inverse, so exact round trips pin the
@@ -1580,7 +1649,23 @@ def encode_jpeg_lossless(
     line start, its first line re-runs the scan-start rules, RSTn
     cycle 0-7 after a 1-padded byte align). The Huffman table
     assigns all 17 categories 5-bit codes (17 < 2^5, all-ones code
-    unused — canonical per T.81 C.2)."""
+    unused — canonical per T.81 C.2).
+
+    ``sampling`` (r12) encodes SUBSAMPLED components: ``samples``
+    must then be a LIST of per-component 2-D arrays, each at its own
+    ceil(dim * Hi/Hmax) grid, every grid a whole number of Hi x Vi
+    MCUs; the scan interleaves per T.81 A.2.4 (the decoder's exact
+    dual). Incompatible with restart_interval (the decoder keeps that
+    combination metadata-only)."""
+    if sampling is not None:
+        if restart_interval:
+            raise ValueError(
+                "subsampled lossless with restarts is a retired "
+                "combination (no fixture source to pin it)"
+            )
+        return _encode_jpeg_lossless_subsampled(
+            samples, sampling, predictor, precision, point_transform
+        )
     a = np.asarray(samples)
     if a.ndim == 2:
         a = a[:, :, None]
@@ -1648,6 +1733,93 @@ def encode_jpeg_lossless(
                 wtr.put(t, 5)
                 if t:
                     wtr.put(d if d >= 0 else d + (1 << t) - 1, t)
+    wtr.byte_align()
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_jpeg_lossless_subsampled(
+    planes_in: list,
+    sampling: list[tuple[int, int]],
+    predictor: int,
+    precision: int | None,
+    point_transform: int,
+) -> bytes:
+    """The subsampled arm of `encode_jpeg_lossless` (r12): one
+    interleaved scan in T.81 A.2.4 MCU order, each component
+    predicted over its own grid — byte-for-byte the decoder's dual so
+    round trips pin the MCU walk."""
+    planes = [np.asarray(p) for p in planes_in]
+    if len(planes) != len(sampling):
+        raise ValueError("one (H, V) pair per component plane")
+    hmax = max(hs for hs, _v in sampling)
+    vmax = max(vs for _h, vs in sampling)
+    h0, w0 = planes[0].shape
+    # full-image dims derive from component 0's grid
+    h = -(-h0 * vmax // sampling[0][1])
+    w = -(-w0 * hmax // sampling[0][0])
+    for p, (hs, vs) in zip(planes, sampling):
+        hc, wc = p.shape
+        if (wc, hc) != (-(-w * hs // hmax), -(-h * vs // vmax)):
+            raise ValueError(
+                f"plane {p.shape} inconsistent with sampling "
+                f"({hs},{vs}) at image {w}x{h}"
+            )
+        if wc % hs or hc % vs:
+            raise ValueError(
+                "component grid must tile into whole HxV MCUs"
+            )
+    if precision is None:
+        precision = 8 if planes[0].dtype == np.uint8 else 16
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1-7")
+    if not 0 <= point_transform < precision:
+        raise ValueError("point transform must be in [0, precision)")
+    out = bytearray(b"\xff\xd8")
+    counts = [0] * 16
+    counts[4] = 17
+    out += b"\xff\xc4" + (2 + 17 + 17).to_bytes(2, "big") + b"\x00"
+    out += bytes(counts) + bytes(range(17))
+    sof = bytearray()
+    sof += precision.to_bytes(1, "big")
+    sof += h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += len(planes).to_bytes(1, "big")
+    for c, (hs, vs) in enumerate(sampling):
+        sof += bytes((c + 1, (hs << 4) | vs, 0))
+    out += b"\xff\xc3" + (2 + len(sof)).to_bytes(2, "big") + sof
+    sos = bytearray((len(planes),))
+    for c in range(len(planes)):
+        sos += bytes((c + 1, 0x00))
+    sos += bytes((predictor, 0, point_transform))
+    out += b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + sos
+    wtr = _BitWriter()
+    default = 1 << (precision - point_transform - 1)
+    shifted = [
+        (p.astype(np.int64) >> point_transform) for p in planes
+    ]
+    for my in range(-(-h // vmax)):
+        for mx in range(-(-w // hmax)):
+            for ci, (hs, vs) in enumerate(sampling):
+                for v in range(vs):
+                    yy = my * vs + v
+                    for hh in range(hs):
+                        xx = mx * hs + hh
+                        px_ = _jpeg_lossless_predict(
+                            shifted[ci], yy, xx, predictor, default
+                        )
+                        d = (int(shifted[ci][yy, xx]) - px_) % 65536
+                        if d > 32768:
+                            d -= 65536
+                        if d == 32768:
+                            wtr.put(16, 5)
+                            continue
+                        t = abs(d).bit_length()
+                        wtr.put(t, 5)
+                        if t:
+                            wtr.put(
+                                d if d >= 0 else d + (1 << t) - 1, t
+                            )
     wtr.byte_align()
     out += wtr.out
     out += b"\xff\xd9"
@@ -3952,7 +4124,10 @@ def _decode_payload(
     r10: Annex H predictive decode at 2-16 bit precision, all seven
     predictors, since r11 POINT-TRANSFORMED scans (Al > 0), and since
     r12 ROW-ALIGNED restart intervals (mid-line restarts stay
-    metadata-only: the H.1.1 reset reading is ambiguous there);
+    metadata-only: the H.1.1 reset reading is ambiguous there) AND
+    SUBSAMPLED scans (A.2.4 MCU interleave over per-component grids,
+    2-4 components, nearest-upsampled channel-last; partial-MCU grids
+    and restart+subsampling stay metadata-only);
     non-interleaved Ns=1 AND partial-subset 1<Ns<Nf scans decode
     for Huffman and arithmetic sequential frames (r10-r11). Hierarchical (SOF5-7/
     13-15, DHP/EXP) and arithmetic-lossless (SOF11) are PERMANENT

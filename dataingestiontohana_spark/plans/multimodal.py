@@ -477,6 +477,26 @@ def _jpeg_mosaic_corpus(spark: SparkSession) -> DataFrame:
     gray39 = np.frombuffer(jpgl_expand(39, w * h), np.uint8).reshape(h, w)
     rows.append((39, KIND_IMAGE, encode_jpeg_lossless(
         gray39, predictor=6, restart_interval=w * 4)))
+    # id 40 (r12): SUBSAMPLED lossless — 2 components, c0 at H2V2
+    # full res and c1 at H1V1 half res (T.81 A.2.4 MCU interleave,
+    # per-component prediction grids). Decode is exact and the
+    # nearest upsample replicates each c1 sample 4x, so the moments
+    # are S0 + 4*S1 (seed ':jpgl:' for c0, ':jpglc:' for c1).
+    p40a = np.frombuffer(jpgl_expand(40, w * h), np.uint8).reshape(h, w)
+
+    def jpglc_expand(mid: int, need: int) -> bytes:
+        out = bytearray()
+        c = 0
+        while len(out) < need:
+            out += hashlib.md5(f"{mid}:jpglc:{c}".encode()).digest()
+            c += 1
+        return bytes(out[:need])
+
+    p40b = np.frombuffer(
+        jpglc_expand(40, (w // 2) * (h // 2)), np.uint8
+    ).reshape(h // 2, w // 2)
+    rows.append((40, KIND_IMAGE, encode_jpeg_lossless(
+        [p40a, p40b], predictor=4, sampling=[(2, 2), (1, 1)])))
     rgb = np.frombuffer(
         jpgl_expand(33, w * h * 3), np.uint8
     ).reshape(h, w, 3)
@@ -2499,6 +2519,26 @@ ORACLES = {
                              CAST(2*g.j+2 AS INT), 1))-1)) // 4) * 4 AS v
           FROM range(24) c(j), range(16) g(j)
           WHERE c.j*16 + g.j < {_JPEG_BW * _JPEG_BH * 64}
+        ),
+        jl40a AS (
+          SELECT 16*(strpos('0123456789abcdef',
+                      substr(md5('40:jpgl:' || c.j),
+                             CAST(2*g.j+1 AS INT), 1))-1)
+                 + (strpos('0123456789abcdef',
+                      substr(md5('40:jpgl:' || c.j),
+                             CAST(2*g.j+2 AS INT), 1))-1) AS v
+          FROM range(24) c(j), range(16) g(j)
+          WHERE c.j*16 + g.j < {_JPEG_BW * _JPEG_BH * 64}
+        ),
+        jl40b AS (
+          SELECT 16*(strpos('0123456789abcdef',
+                      substr(md5('40:jpglc:' || c.j),
+                             CAST(2*g.j+1 AS INT), 1))-1)
+                 + (strpos('0123456789abcdef',
+                      substr(md5('40:jpglc:' || c.j),
+                             CAST(2*g.j+2 AS INT), 1))-1) AS v
+          FROM range(6) c(j), range(16) g(j)
+          WHERE c.j*16 + g.j < {_JPEG_BW * _JPEG_BH * 16}
         )
         SELECT media_id,
                CAST({_JPEG_BW * 8} AS INTEGER) AS width,
@@ -2530,6 +2570,18 @@ ORACLES = {
                CAST(SUM(v*v) AS BIGINT)
         FROM jl_bytes
         GROUP BY media_id, ch
+        UNION ALL
+        -- clip 40 (r12): SUBSAMPLED lossless — c0 full-res bytes
+        -- (':jpgl:' expansion) plus c1 half-res bytes (':jpglc:'),
+        -- each c1 sample replicated 4x by the nearest upsample
+        SELECT CAST(40 AS BIGINT),
+               CAST({_JPEG_BW * 8} AS INTEGER),
+               CAST({_JPEG_BH * 8} AS INTEGER),
+               CAST(2 AS INTEGER),
+               CAST((SELECT SUM(v) FROM jl40a)
+                    + 4 * (SELECT SUM(v) FROM jl40b) AS BIGINT),
+               CAST((SELECT SUM(v*v) FROM jl40a)
+                    + 4 * (SELECT SUM(v*v) FROM jl40b) AS BIGINT)
         UNION ALL
         SELECT media_id,
                CAST({_JPEG_BW * 8} AS INTEGER),

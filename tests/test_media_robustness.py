@@ -448,3 +448,27 @@ def test_decode_media_quarantines_corrupt_avi(spark):
     )
     assert rows[2]["decode_error"] is not None
     assert "frames" in rows[2]["decode_error"]
+
+
+def test_subsampled_lossless_mutations_never_escape():
+    """r12: every single-byte mutation and truncation of a subsampled
+    lossless stream lands on the pinned outcome set — pixels,
+    metadata-only, or a quarantined error. Never an uncaught
+    exception."""
+    from dataingestiontohana_spark.operators.multimodal import (
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(63)
+    blob = encode_jpeg_lossless(
+        [rng.integers(0, 256, size=(8, 12), dtype=np.uint8),
+         rng.integers(0, 256, size=(4, 6), dtype=np.uint8)],
+        predictor=4, sampling=[(2, 2), (1, 1)])
+    for i in range(2, len(blob)):
+        mutated = bytearray(blob)
+        mutated[i] ^= 0xA5
+        kind, _ = _decode_or_outcome(bytes(mutated))
+        assert kind in ("pixels", "metadata", "error"), i
+    for cut in range(2, len(blob)):
+        kind, _ = _decode_or_outcome(blob[:cut])
+        assert kind in ("pixels", "metadata", "error"), cut

@@ -2411,3 +2411,103 @@ def test_avi_audio_demux_all_codecs():
     blob = encode_avi_mjpeg([jpg], 24, 16, audio=(fmt, [raw]))
     with pytest.raises(ValueError):
         _parse_avi_audio(blob[: len(blob) - 5])
+
+
+def test_lossless_subsampled_decodes_and_mcu_order_pin():
+    """r12: SUBSAMPLED lossless decodes — per-component prediction
+    grids, T.81 A.2.4 MCU interleave, nearest upsample to the full
+    grid. The pin is a HAND-ASSEMBLED 2x2 + 1x1 stream whose bits
+    only decode to the planted values under the spec's MCU sample
+    order (c0 raster Hi x Vi, then c1), plus the round-trip law over
+    sampling layouts/precisions; partial-MCU grids and the
+    restart+subsampling combination stay metadata-only."""
+    import numpy as np
+    import pytest
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        encode_jpeg_lossless,
+    )
+
+    def seg(marker, body):
+        return (bytes([0xFF, marker])
+                + (2 + len(body)).to_bytes(2, "big") + body)
+
+    dht = bytes([0x00]) + bytes([0, 0, 0, 0, 17] + [0] * 11) \
+        + bytes(range(17))
+    sof3 = (bytes([8]) + (2).to_bytes(2, "big") + (2).to_bytes(2, "big")
+            + bytes([2, 1, 0x22, 0, 2, 0x11, 0]))
+    sos = bytes([2, 1, 0x00, 2, 0x00, 1, 0, 0])  # predictor 1
+
+    bits = []
+    def put(v, n):
+        bits.extend((v >> (n - 1 - i)) & 1 for i in range(n))
+    # MCU order: c0(0,0) pred 128 diff -28; c0(0,1) Ra=100 diff +4;
+    # c0(1,0) Rb=100 diff -20; c0(1,1) Ra=80 diff -3;
+    # c1(0,0) pred 128 diff -68
+    put(5, 5); put(3, 5)
+    put(3, 5); put(4, 3)
+    put(5, 5); put(11, 5)
+    put(2, 5); put(0, 2)
+    put(7, 5); put(59, 7)
+    while len(bits) % 8:
+        bits.append(1)
+    entropy = bytes(
+        int("".join(map(str, bits[i:i + 8])), 2)
+        for i in range(0, len(bits), 8)
+    )
+    blob = (b"\xff\xd8" + seg(0xC4, dht) + seg(0xC3, sof3)
+            + seg(0xDA, sos) + entropy + b"\xff\xd9")
+    decoded = _decode_jpeg_pixels(blob)
+    assert decoded is not None
+    px, ch = decoded
+    g = px.reshape(2, 2, 2)
+    assert ch == 2
+    assert g[:, :, 0].tolist() == [[100, 104], [80, 77]]
+    assert g[:, :, 1].tolist() == [[60, 60], [60, 60]]
+
+    # round-trip law across layouts and precisions
+    rng = np.random.default_rng(126)
+    for sampling, shapes, prec in (
+        ([(2, 2), (1, 1)], [(16, 24), (8, 12)], 8),
+        ([(2, 1), (1, 1), (1, 1)], [(8, 16), (8, 8), (8, 8)], 8),
+        ([(1, 2), (1, 1)], [(8, 6), (4, 6)], 12),
+        ([(4, 1), (1, 1)], [(4, 16), (4, 4)], 8),
+    ):
+        planes = [
+            rng.integers(0, 1 << prec, size=s).astype(
+                np.uint8 if prec <= 8 else np.uint16)
+            for s in shapes
+        ]
+        blob = encode_jpeg_lossless(
+            planes, predictor=6, precision=prec, sampling=sampling)
+        px, ch = _decode_jpeg_pixels(blob)
+        h, w = shapes[0][0] * max(v for _h, v in sampling) // sampling[0][1], \
+            shapes[0][1] * max(hh for hh, _v in sampling) // sampling[0][0]
+        g = px.reshape(h, w, len(planes)).astype(np.int64)
+        hmax = max(hh for hh, _v in sampling)
+        vmax = max(v for _h, v in sampling)
+        for ci, ((hs, vs), p) in enumerate(zip(sampling, planes)):
+            up = p[(np.arange(h) * vs) // vmax][
+                :, (np.arange(w) * hs) // hmax]
+            assert (g[:, :, ci] == up).all(), (sampling, ci)
+
+    # retired residue
+    with pytest.raises(ValueError, match="whole HxV MCUs"):
+        encode_jpeg_lossless(
+            [rng.integers(0, 256, size=(5, 7), dtype=np.uint8),
+             rng.integers(0, 256, size=(3, 4), dtype=np.uint8)],
+            sampling=[(2, 2), (1, 1)])
+    with pytest.raises(ValueError, match="retired"):
+        encode_jpeg_lossless(
+            [rng.integers(0, 256, size=(8, 8), dtype=np.uint8),
+             rng.integers(0, 256, size=(4, 4), dtype=np.uint8)],
+            sampling=[(2, 2), (1, 1)], restart_interval=8)
+    # a crafted subsampled stream WITH a DRI stays metadata-only
+    good = encode_jpeg_lossless(
+        [rng.integers(0, 256, size=(8, 8), dtype=np.uint8),
+         rng.integers(0, 256, size=(4, 4), dtype=np.uint8)],
+        sampling=[(2, 2), (1, 1)])
+    at = good.find(b"\xff\xc3")
+    crafted = good[:at] + b"\xff\xdd\x00\x04\x00\x08" + good[at:]
+    assert _decode_jpeg_pixels(crafted) is None
