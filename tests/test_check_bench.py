@@ -191,15 +191,22 @@ def test_real_r9_artifact_adjudicates_exit_zero():
     BENCH_r09.json's tail starts mid-queries (q01-q07 cut). With no
     sidecar the 7 window-lost entries now FAIL by default (r10
     ADVICE); --allow-lost restores the r9-era adjudication, which
-    recovers 43 entries + streaming and exits 0 against the committed
-    baseline."""
+    recovers 43 entries + streaming and exits 0.
+
+    Adjudicated against the FROZEN r11-era baseline fixture: a
+    historical artifact paired with the live baseline turns into a
+    moving target — the r12 baseline regen raised the warm-graph
+    floor past what the r9-era code could reach (9.9k rows/s vs a
+    10.7k floor), which is genuine two-rounds-of-speedups progress,
+    not a recovery-path regression. The recovery mechanics are what
+    this test pins, so the baseline is pinned with it."""
     import os
 
     assert os.path.exists("BENCH_r09.json")
-    rc = main(["BENCH_r09.json", "BENCH_BASELINE.json",
-               "--sidecar", "/nonexistent"])
+    base = "tests/data/bench_baseline_r11.json"
+    rc = main(["BENCH_r09.json", base, "--sidecar", "/nonexistent"])
     assert rc == 1
-    rc = main(["BENCH_r09.json", "BENCH_BASELINE.json",
+    rc = main(["BENCH_r09.json", base,
                "--sidecar", "/nonexistent", "--allow-lost"])
     assert rc == 0
 

@@ -107,11 +107,26 @@ def test_restrictions_and_corruption_contract():
     got2 = _decode_jpeg_pixels(bytes(pt))
     assert got1 is not None and np.array_equal(got1[0], got2[0])
     assert int(got1[0].max()) % 4 == 0 or int(got1[0].max()) == 0
-    # subsampled lossless component: metadata-only
+    # subsampled lossless DECODES since r12 (whole-MCU grids):
+    # relabeling the sampling byte on an existing stream is another
+    # wrong-but-plausible no-CRC mutation — it must decode
+    # DETERMINISTICALLY (the same bits walked in A.2.4 MCU order),
+    # never crash
     sub = bytearray(good)
     sub[_find(0xC3) + 11] = 0x22  # h/v sampling of component 1
-    assert _decode_jpeg_pixels(bytes(sub)) is None
-    # DRI before the scan: metadata-only (restart lossless not decoded)
+    s1 = _decode_jpeg_pixels(bytes(sub))
+    s2 = _decode_jpeg_pixels(bytes(sub))
+    assert s1 is not None and np.array_equal(s1[0], s2[0])
+    # ...but a PARTIAL-MCU grid (4x4 at V=3) is the remaining
+    # metadata-only residue
+    rag = bytearray(good)
+    rag[_find(0xC3) + 11] = 0x33
+    rag2 = bytearray(rag)
+    rag2[_find(0xC3) + 11] = 0x23
+    assert _decode_jpeg_pixels(bytes(rag2)) is None
+    # DRI before the scan: MID-LINE restart (2 MCUs inside a 4-wide
+    # line) stays metadata-only — the remaining restart residue; a
+    # ROW-ALIGNED DRI decodes since r12 (own test module section)
     sos_at = _find(0xDA)
     dri = bytes((0xFF, 0xDD, 0x00, 0x04, 0x00, 0x02))
     withdri = bytes(good[:sos_at]) + dri + bytes(good[sos_at:])
