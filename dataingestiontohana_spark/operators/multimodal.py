@@ -3199,106 +3199,468 @@ def _decode_wave_payload(
     return n, None, "none"
 
 
-# -- BMP (r9): BITMAPINFOHEADER BI_RGB, 8-bit palette + 24-bit ------
+# -- BMP: BITMAPCORE/INFO headers, 1/4/8/16/24/32-bit, RLE4/8 -------
+# (r9 laid down INFO BI_RGB 8/24-bit; r12 closes the remaining
+# declared boundaries: BITMAPCOREHEADER, 1/4-bit packed palettes,
+# 16/32-bit masked pixels incl. BI_BITFIELDS, and BI_RLE4/BI_RLE8.)
+
+
+def _bmp_expand_mask(
+    px: np.ndarray, mask: int
+) -> np.ndarray:
+    """Expand one channel of masked 16/32-bit pixels to 8 bits via
+    BIT REPLICATION — the pinned convention (`(v << (8-n)) | (v >>
+    (2n-8))` for an n-bit field, the exact 5-bit `(v<<3)|(v>>2)` /
+    6-bit `(v<<2)|(v>>4)` expansions virtually every decoder uses).
+    The mask must be contiguous and 1..8 bits wide (callers gate)."""
+    shift = (mask & -mask).bit_length() - 1
+    width = mask.bit_count()
+    v = (px >> shift) & ((1 << width) - 1)
+    if width == 8:
+        return v.astype(np.uint8)
+    return ((v << (8 - width)) | (v >> max(0, 2 * width - 8))).astype(
+        np.uint8
+    )
+
+
+def _bmp_rle_decode(
+    data: bytes, w: int, h: int, four_bit: bool
+) -> np.ndarray | None:
+    """BI_RLE8 / BI_RLE4 decode -> (h, w) uint8 index grid in STORED
+    (bottom-up) row order, or None when the stream is VALID but
+    leaves pixels unpainted (delta escapes / early end-of-line or
+    end-of-bitmap): the spec declares skipped pixels undefined, so an
+    underpainted canvas is honestly metadata-only rather than decoded
+    with an invented fill. Structural violations (run past the row
+    end, missing end-of-bitmap, truncated escape) raise."""
+    out = np.zeros((h, w), np.uint8)
+    painted = np.zeros((h, w), bool)
+    x = y = 0
+    i = 0
+    ended = False
+    while i < len(data):
+        if i + 2 > len(data):
+            raise ValueError("BMP RLE: truncated opcode")
+        n, v = data[i], data[i + 1]
+        i += 2
+        if n > 0:  # encoded run: n pixels of v (RLE4: nibble pair)
+            if y >= h or x + n > w:
+                raise ValueError("BMP RLE: run past the row end")
+            if four_bit:
+                pair = np.array([v >> 4, v & 0xF], np.uint8)
+                out[y, x : x + n] = np.resize(pair, n)
+            else:
+                out[y, x : x + n] = v
+            painted[y, x : x + n] = True
+            x += n
+            continue
+        if v == 0:  # end of line
+            x, y = 0, y + 1
+            if y > h:
+                raise ValueError("BMP RLE: end-of-line past the canvas")
+            continue
+        if v == 1:  # end of bitmap
+            ended = True
+            break
+        if v == 2:  # delta: skipped pixels stay undefined
+            if i + 2 > len(data):
+                raise ValueError("BMP RLE: truncated delta")
+            x, y = x + data[i], y + data[i + 1]
+            i += 2
+            if x > w or y > h:
+                raise ValueError("BMP RLE: delta past the canvas")
+            continue
+        # absolute mode: v literal pixels, padded to a 16-bit boundary
+        count = v
+        nbytes = (count + 1) // 2 if four_bit else count
+        nbytes += nbytes & 1
+        if i + nbytes > len(data):
+            raise ValueError("BMP RLE: truncated absolute run")
+        if y >= h or x + count > w:
+            raise ValueError("BMP RLE: absolute run past the row end")
+        if four_bit:
+            raw = np.frombuffer(data, np.uint8, nbytes, i)
+            nib = np.empty(nbytes * 2, np.uint8)
+            nib[0::2] = raw >> 4
+            nib[1::2] = raw & 0xF
+            out[y, x : x + count] = nib[:count]
+        else:
+            out[y, x : x + count] = np.frombuffer(
+                data, np.uint8, count, i
+            )
+        painted[y, x : x + count] = True
+        x += count
+        i += nbytes
+    if not ended:
+        raise ValueError("BMP RLE: missing end-of-bitmap marker")
+    if not painted.all():
+        return None  # valid stream, undefined pixels: metadata-only
+    return out
 
 
 def _parse_bmp(b: bytes) -> tuple[int, int, int, np.ndarray | None]:
     """Windows BMP parse -> (w, h, channels, flat RGB bytes).
 
-    Decodes the layouts that cover virtually every BMP in a web crawl:
-    BITMAPINFOHEADER (or later headers with the same leading fields),
-    BI_RGB uncompressed, 8-bit palette and 24-bit BGR, bottom-up AND
-    top-down (negative height), 4-byte row padding, palette quads
-    expanded BGRA->RGB. Compressed (BI_RLE4/8) and 1/4/16/32-bit
-    layouts stay metadata-only (channels=0) — valid unsupported
-    layouts, not corruption. Structural violations (truncated pixel
-    array, data offset past the stream, palette shorter than the max
-    index) raise — the malformed-record discipline."""
-    if len(b) < 54:
+    r12 completes the format: BITMAPCOREHEADER (RGB-triple palette,
+    16-bit dims) AND BITMAPINFOHEADER-family headers; 1/4/8-bit
+    packed palette indices; 16-bit (X1R5G5B5 BI_RGB and contiguous
+    BI_BITFIELDS masks, e.g. 565) and 32-bit (BGRX BI_RGB and masked)
+    pixels expanded by the pinned bit-replication rule
+    (`_bmp_expand_mask`); 24-bit BGR; BI_RLE8/BI_RLE4 decompression
+    when the stream paints the whole canvas (`_bmp_rle_decode` —
+    delta-skipped pixels are spec-undefined, so underpainted RLE
+    canvases stay metadata-only rather than guessing a fill); bottom-up
+    AND top-down (negative height) row order; 4-byte row padding.
+    Still metadata-only (channels=0), each a VALID unsupported layout:
+    odd header sizes between CORE and INFO (OS/2 2.x), mask fields
+    wider than 8 bits (no published 8-bit expansion to pin), and
+    embedded BI_JPEG/BI_PNG payloads. Structural violations (truncated
+    pixel array, data offset past the stream, palette shorter than the
+    max index, RLE runs past row ends, non-contiguous or overlapping
+    bitfield masks, top-down RLE — the spec forbids compressed
+    top-down bitmaps) raise — the malformed-record discipline."""
+    if len(b) < 26:
         raise ValueError("BMP: truncated header")
     data_off = struct.unpack("<I", b[10:14])[0]
     hdr_size = struct.unpack("<I", b[14:18])[0]
-    if hdr_size < 40:
-        return 0, 0, 0, None  # BITMAPCOREHEADER etc.: metadata-only
-    w, h_raw = struct.unpack("<ii", b[18:26])
-    bits, comp = struct.unpack("<HI", b[28:34])
+    core = hdr_size == 12
+    if core:
+        w, h_raw, _planes, bits = struct.unpack("<hhHH", b[18:26])
+        comp = 0
+    elif hdr_size >= 40:
+        if len(b) < 54:
+            raise ValueError("BMP: truncated header")
+        w, h_raw = struct.unpack("<ii", b[18:26])
+        bits, comp = struct.unpack("<HI", b[28:34])
+    else:
+        return 0, 0, 0, None  # OS/2 2.x short headers: metadata-only
     top_down = h_raw < 0
     h = -h_raw if top_down else h_raw
     if not (0 < w <= 1 << 14 and 0 < h <= 1 << 14):
         raise ValueError(f"BMP: illegal dimensions {w}x{h_raw}")
-    if comp != 0 or bits not in (8, 24):
-        return w, h, 0, None  # valid unsupported layout: count-only
+    rle = comp in (1, 2)
+    if rle:
+        if (comp == 1 and bits != 8) or (comp == 2 and bits != 4):
+            raise ValueError("BMP: RLE compression/bit-depth mismatch")
+        if top_down:
+            raise ValueError("BMP: top-down RLE is illegal")
+    elif comp == 3:
+        if bits not in (16, 32):
+            raise ValueError("BMP: BI_BITFIELDS needs 16/32 bits")
+    elif comp != 0 or bits not in (1, 4, 8, 16, 24, 32):
+        return w, h, 0, None  # BI_JPEG/BI_PNG etc.: metadata-only
     if data_off > len(b):
         raise ValueError("BMP: pixel data offset past the stream")
-    stride = (w * (bits // 8) + 3) & ~3
-    if data_off + stride * h > len(b):
-        raise ValueError("BMP: truncated pixel array")
-    rows = np.frombuffer(
-        b, np.uint8, count=stride * h, offset=data_off
-    ).reshape(h, stride)
-    if not top_down:
-        rows = rows[::-1]
-    if bits == 24:
-        bgr = rows[:, : w * 3].reshape(h, w, 3)
-        rgb = bgr[:, :, ::-1]
+
+    # ---- masked 16/32-bit pixels ---------------------------------
+    if bits in (16, 32) and not core:
+        if comp == 3:
+            if len(b) < 66:
+                raise ValueError("BMP: truncated bitfield masks")
+            masks = struct.unpack("<III", b[54:66])
+        elif bits == 16:
+            masks = (0x7C00, 0x03E0, 0x001F)  # X1R5G5B5
+        else:
+            masks = (0xFF0000, 0x00FF00, 0x0000FF)  # BGRX
+        limit = (1 << bits) - 1
+        seen = 0
+        for m in masks:
+            width = m.bit_count()
+            if m == 0 or m > limit or (m & seen):
+                raise ValueError("BMP: missing or overlapping mask")
+            shift = (m & -m).bit_length() - 1
+            if (m >> shift) != (1 << width) - 1:
+                raise ValueError("BMP: non-contiguous bitfield mask")
+            seen |= m
+        if max(m.bit_count() for m in masks) > 8:
+            return w, h, 0, None  # >8-bit fields: metadata-only
+        stride = (w * (bits // 8) + 3) & ~3
+        if data_off + stride * h > len(b):
+            raise ValueError("BMP: truncated pixel array")
+        rows = np.frombuffer(
+            b, np.uint8, count=stride * h, offset=data_off
+        ).reshape(h, stride)
+        if not top_down:
+            rows = rows[::-1]
+        px16 = rows[:, : w * (bits // 8)].reshape(h * w, bits // 8)
+        vals = px16.astype(np.uint32) @ (
+            1 << (8 * np.arange(bits // 8, dtype=np.uint32))
+        )
+        rgb = np.stack(
+            [_bmp_expand_mask(vals, m) for m in masks], axis=-1
+        )
         return w, h, 3, np.ascontiguousarray(rgb).reshape(-1)
-    # 8-bit palette: clrUsed (0 -> 256) BGRA quads after the DIB header
-    n_colors = struct.unpack("<I", b[46:50])[0] or 256
+
+    # ---- 24-bit BGR ----------------------------------------------
+    if bits == 24:
+        stride = (w * 3 + 3) & ~3
+        if data_off + stride * h > len(b):
+            raise ValueError("BMP: truncated pixel array")
+        rows = np.frombuffer(
+            b, np.uint8, count=stride * h, offset=data_off
+        ).reshape(h, stride)
+        if not top_down:
+            rows = rows[::-1]
+        bgr = rows[:, : w * 3].reshape(h, w, 3)
+        return w, h, 3, np.ascontiguousarray(bgr[:, :, ::-1]).reshape(-1)
+    if bits in (16, 32):  # core header never carries 16/32
+        return w, h, 0, None
+
+    # ---- palette formats: 1/4/8-bit, uncompressed or RLE ----------
     pal_off = 14 + hdr_size
-    if pal_off + 4 * n_colors > data_off:
-        raise ValueError("BMP: palette overlaps the pixel array")
-    quads = np.frombuffer(
-        b, np.uint8, count=4 * n_colors, offset=pal_off
-    ).reshape(-1, 4)
-    idx = rows[:, :w]
+    if core:
+        n_colors = 1 << bits
+        if pal_off + 3 * n_colors > len(b):
+            raise ValueError("BMP: truncated core palette")
+        pal = np.frombuffer(
+            b, np.uint8, count=3 * n_colors, offset=pal_off
+        ).reshape(-1, 3)[:, ::-1]  # BGR triples -> RGB
+    else:
+        n_colors = struct.unpack("<I", b[46:50])[0] or (1 << bits)
+        if n_colors > 1 << bits:
+            raise ValueError("BMP: palette larger than the index space")
+        if comp == 3:
+            pal_off += 12  # masks precede the palette after an INFO hdr
+        if pal_off + 4 * n_colors > data_off:
+            raise ValueError("BMP: palette overlaps the pixel array")
+        pal = np.frombuffer(
+            b, np.uint8, count=4 * n_colors, offset=pal_off
+        ).reshape(-1, 4)[:, [2, 1, 0]]  # BGRA quads -> RGB
+    if rle:
+        grid = _bmp_rle_decode(b[data_off:], w, h, comp == 2)
+        if grid is None:
+            return w, h, 0, None  # underpainted canvas: metadata-only
+        idx = grid[::-1]  # RLE rows are stored bottom-up
+    else:
+        stride = ((w * bits + 31) // 32) * 4
+        if data_off + stride * h > len(b):
+            raise ValueError("BMP: truncated pixel array")
+        rows = np.frombuffer(
+            b, np.uint8, count=stride * h, offset=data_off
+        ).reshape(h, stride)
+        if not top_down:
+            rows = rows[::-1]
+        if bits == 8:
+            idx = rows[:, :w]
+        elif bits == 4:
+            nib = np.empty((h, rows.shape[1] * 2), np.uint8)
+            nib[:, 0::2] = rows >> 4
+            nib[:, 1::2] = rows & 0xF
+            idx = nib[:, :w]
+        else:  # 1-bit: MSB-first within each byte
+            idx = np.unpackbits(rows, axis=1)[:, :w]
     if int(idx.max(initial=0)) >= n_colors:
         raise ValueError("BMP: palette index out of range")
-    rgb = quads[idx.reshape(-1)][:, [2, 1, 0]]  # BGRA -> RGB
-    return w, h, 3, rgb.reshape(-1)
+    rgb = pal[idx.reshape(-1)]
+    return w, h, 3, np.ascontiguousarray(rgb).reshape(-1)
 
 
 def encode_bmp(
     arr: np.ndarray,
     palette: np.ndarray | None = None,
     top_down: bool = False,
+    bits: int | None = None,
+    core: bool = False,
+    masks: tuple[int, int, int] | None = None,
 ) -> bytes:
     """Pure-stdlib BMP encoder (the `_parse_bmp` inverse, for fixtures
-    and round-trip property tests): (h, w, 3) uint8 RGB -> 24-bit
-    BI_RGB, or (h, w) uint8 indices + (n<=256, 3) RGB palette ->
-    8-bit. Bottom-up by default; ``top_down`` emits negative height."""
+    and round-trip property tests). (h, w, 3) uint8 RGB -> 24-bit
+    BI_RGB, 16-bit X1R5G5B5 (``bits=16`` — channels are quantized by
+    truncation to the field width then bit-replicated back, so arrays
+    already on the replication grid round-trip exactly), 32-bit BGRX
+    (``bits=32``), or masked BI_BITFIELDS (``masks=(r,g,b)`` with
+    ``bits``); (h, w) uint8 indices + (n, 3) RGB palette -> 8-bit, or
+    packed 4-/1-bit with ``bits=4``/``bits=1``. ``core=True`` emits a
+    BITMAPCOREHEADER (BGR-triple palette, 16-bit dims — 1/4/8/24-bit
+    only, always bottom-up). Bottom-up by default; ``top_down`` emits
+    negative height."""
     a = np.asarray(arr, np.uint8)
-    if palette is None:
+    pal_entry = 3 if core else 4
+    if palette is None and masks is not None:
+        h, w, ch = a.shape
+        if ch != 3 or bits not in (16, 32):
+            raise ValueError("masked BMP needs (h, w, 3) RGB + bits")
+        nbytes = bits // 8
+        vals = np.zeros((h, w), np.uint64)
+        for m, chan in zip(masks, np.moveaxis(a, -1, 0)):
+            shift = (m & -m).bit_length() - 1
+            width = m.bit_count()
+            c = chan.astype(np.uint64)
+            field = c << (width - 8) if width >= 8 else c >> (8 - width)
+            vals |= field << shift
+        comp, pal_bytes = 3, b""
+        rows = (
+            vals[..., None] >> (8 * np.arange(nbytes, dtype=np.uint64))
+            & 0xFF
+        ).astype(np.uint8).reshape(h, w * nbytes)
+        bits_out = bits
+    elif palette is None and bits == 16:
+        return encode_bmp(
+            arr, top_down=top_down, bits=16,
+            masks=(0x7C00, 0x03E0, 0x001F),
+        )
+    elif palette is None and bits == 32:
+        h, w, ch = a.shape
+        if ch != 3:
+            raise ValueError("32-bit BMP needs (h, w, 3) RGB")
+        comp, pal_bytes, bits_out = 0, b"", 32
+        quad = np.zeros((h, w, 4), np.uint8)
+        quad[:, :, :3] = a[:, :, ::-1]  # RGB -> BGRX
+        rows = quad.reshape(h, w * 4)
+    elif palette is None:
         h, w, ch = a.shape
         if ch != 3:
             raise ValueError("24-bit BMP needs (h, w, 3) RGB")
-        bits, pal_bytes = 24, b""
+        comp, bits_out, pal_bytes = 0, 24, b""
         rows = a[:, :, ::-1].reshape(h, w * 3)  # RGB -> BGR
     else:
         h, w = a.shape
         pal = np.asarray(palette, np.uint8)
         if int(a.max(initial=0)) >= len(pal):
             raise ValueError("palette index out of range")
-        bits = 8
-        quads = np.zeros((len(pal), 4), np.uint8)
-        quads[:, :3] = pal[:, ::-1]  # RGB -> BGR quads
-        pal_bytes = quads.tobytes()
-        rows = a
-    stride = (w * (bits // 8) + 3) & ~3
+        comp, bits_out = 0, bits or 8
+        # core headers carry no clrUsed: the palette is always full
+        n_pal = (1 << bits_out) if core else len(pal)
+        entries = np.zeros((n_pal, pal_entry), np.uint8)
+        entries[: len(pal), :3] = pal[:, ::-1]  # RGB -> BGR(A)
+        pal_bytes = entries.tobytes()
+        if bits_out == 8:
+            rows = a
+        elif bits_out == 4:
+            padw = a if w % 2 == 0 else np.pad(a, ((0, 0), (0, 1)))
+            rows = (padw[:, 0::2] << 4) | padw[:, 1::2]
+        elif bits_out == 1:
+            rows = np.packbits(a, axis=1)
+        else:
+            raise ValueError("palette BMP bits must be 1/4/8")
+    stride = ((w * bits_out + 31) // 32) * 4
     padded = np.zeros((h, stride), np.uint8)
     padded[:, : rows.shape[1]] = rows
     if not top_down:
         padded = padded[::-1]
-    data_off = 14 + 40 + len(pal_bytes)
     pixel_bytes = padded.tobytes()
-    dib = struct.pack(
-        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, bits, 0,
-        len(pixel_bytes), 2835, 2835,
-        (len(pal_bytes) // 4) if pal_bytes else 0, 0,
-    )
+    if core:
+        if top_down or comp != 0 or bits_out not in (1, 4, 8, 24):
+            raise ValueError("core BMP: bottom-up BI_RGB 1/4/8/24 only")
+        dib = struct.pack("<IhhHH", 12, w, h, 1, bits_out)
+    else:
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1,
+            bits_out, comp, len(pixel_bytes), 2835, 2835,
+            (len(pal_bytes) // 4) if (pal_bytes and not core) else 0, 0,
+        )
+        if comp == 3:
+            dib += struct.pack("<III", *masks)
+    data_off = 14 + len(dib) + len(pal_bytes)
     head = b"BM" + struct.pack(
         "<IHHI", data_off + len(pixel_bytes), 0, 0, data_off
     )
     return head + dib + pal_bytes + pixel_bytes
+
+
+def encode_bmp_rle(
+    arr: np.ndarray,
+    palette: np.ndarray,
+    four_bit: bool = False,
+    delta_at: tuple[int, int, int, int] | None = None,
+) -> bytes:
+    """BI_RLE8 / BI_RLE4 BMP encoder (`_bmp_rle_decode` inverse):
+    (h, w) uint8 indices + (n, 3) RGB palette. Each row alternates an
+    encoded run (where >=3 equal pixels repeat) and absolute segments,
+    ends with the end-of-line escape, and the stream ends with
+    end-of-bitmap — a fully-painted canvas, so the production decoder
+    reproduces every pixel. ``delta_at=(y, x, dx, dy)`` injects a
+    delta escape at that position for the underpainted-canvas
+    (metadata-only) contract test."""
+    a = np.asarray(arr, np.uint8)
+    h, w = a.shape
+    if four_bit and int(a.max(initial=0)) > 0xF:
+        raise ValueError("RLE4 index above 15")
+    out = bytearray()
+    for y in range(h - 1, -1, -1):  # stored bottom-up
+        x = 0
+        row = a[y]
+        # segments never cross the delta injection point
+        brk = (
+            delta_at[1]
+            if delta_at is not None and delta_at[0] == y
+            else w
+        )
+        while x < w:
+            if x == brk:
+                out += bytes((0, 2, delta_at[2], delta_at[3]))
+                x += delta_at[2]
+                brk = w
+                continue
+            lim = min(w, brk) - x
+            run = 1
+            while run < lim and row[x + run] == row[x] and run < 255:
+                run += 1
+            if run >= 3:
+                v = (
+                    (int(row[x]) << 4) | int(row[x])
+                    if four_bit
+                    else int(row[x])
+                )
+                out += bytes((run, v))
+                x += run
+                continue
+            # absolute segment up to the next >=3 run (min length 3,
+            # short row tails fall back to length-1/2 encoded runs)
+            stop = min(w, brk)
+            end = x
+            while end < stop:
+                r = 1
+                while (
+                    end + r < stop
+                    and row[end + r] == row[end]
+                    and r < 255
+                ):
+                    r += 1
+                if r >= 3:
+                    break
+                end += r
+            count = end - x
+            if count < 3:
+                for k in range(count):
+                    v = (
+                        (int(row[x + k]) << 4) | int(row[x + k])
+                        if four_bit
+                        else int(row[x + k])
+                    )
+                    out += bytes((1, v))
+                x = end
+                continue
+            seg = row[x:end]
+            if four_bit:
+                padw = (
+                    seg
+                    if len(seg) % 2 == 0
+                    else np.append(seg, np.uint8(0))
+                )
+                body = bytes((padw[0::2] << 4) | padw[1::2])
+            else:
+                body = seg.tobytes()
+            if len(body) & 1:
+                body += b"\x00"
+            out += bytes((0, count)) + body
+            x = end
+        out += b"\x00\x00"  # end of line
+    out += b"\x00\x01"  # end of bitmap
+    n_colors = len(palette)
+    quads = np.zeros((n_colors, 4), np.uint8)
+    quads[:, :3] = np.asarray(palette, np.uint8)[:, ::-1]
+    pal_bytes = quads.tobytes()
+    bits, comp = (4, 2) if four_bit else (8, 1)
+    data_off = 14 + 40 + len(pal_bytes)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bits, comp, len(out), 2835, 2835,
+        n_colors, 0,
+    )
+    head = b"BM" + struct.pack(
+        "<IHHI", data_off + len(out), 0, 0, data_off
+    )
+    return head + dib + pal_bytes + bytes(out)
 
 
 # -- GIF (r9): 87a/89a first frame, full LZW, interlace, transparency

@@ -553,6 +553,11 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("media_id", "bigint"), ("frame_idx", "int"),
         ("frame_px_sum", "bigint"),
     ],
+    "q230_bmp_complete": [
+        ("media_id", "bigint"), ("width", "int"), ("height", "int"),
+        ("n_frames", "int"), ("channels", "int"),
+        ("px_sum", "bigint"), ("px_sqsum", "bigint"),
+    ],
     "q225_avi_mjpeg": [
         ("media_id", "bigint"), ("width", "int"), ("height", "int"),
         ("n_frames", "int"), ("channels", "int"),
@@ -1023,6 +1028,10 @@ BUNDLES: dict[str, list[str]] = {
         "q227_video_dhash", "q228_video_neardup",
         # r12: AVI 'auds' demux through the shared WAV codec dispatch
         "q229_avi_audio",
+        # r12: the completed BMP surface — RLE4/8, packed 1/4-bit
+        # palettes, masked 16/32-bit pixels, BITMAPCOREHEADER — every
+        # channel byte replayed from the md5 expansion
+        "q230_bmp_complete",
     ],
     # round 9: WARC crawl-archive ingestion + URL canonicalization
     # dedup + eTLD+1 extraction + robots.txt filtering join the

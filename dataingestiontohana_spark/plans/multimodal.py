@@ -1078,6 +1078,7 @@ def _gif_bmp_corpus(spark: SparkSession) -> DataFrame:
 
     from dataingestiontohana_spark.operators.multimodal import (
         encode_bmp,
+        encode_bmp_rle,
         encode_gif,
         encode_gif_frames,
     )
@@ -1101,7 +1102,7 @@ def _gif_bmp_corpus(spark: SparkSession) -> DataFrame:
         dtype=np.uint8,
     )
     rows = []
-    for i in range(10):
+    for i in range(18):
         kind = KIND_IMAGE
         if i < 4:  # GIF: plain/interlaced x opaque/transparent(idx 7)
             raw = md5_expand(i, _PNG_W * _PNG_H)
@@ -1132,6 +1133,67 @@ def _gif_bmp_corpus(spark: SparkSession) -> DataFrame:
                   0, 0, 1, -1) for f in range(3)],
                 pal,
             )
+        elif i == 10:  # r12: BI_RLE8 (runs + absolute segments)
+            raw = md5_expand(i, _PNG_W * _PNG_H)
+            idx = (np.frombuffer(raw, np.uint8) % 64).reshape(
+                _PNG_H, _PNG_W
+            )
+            blob = encode_bmp_rle(idx, pal)
+        elif i == 11:  # r12: BI_RLE4 (nibble runs)
+            raw = md5_expand(i, _PNG_W * _PNG_H)
+            idx = (np.frombuffer(raw, np.uint8) % 16).reshape(
+                _PNG_H, _PNG_W
+            )
+            blob = encode_bmp_rle(idx, pal[:16], four_bit=True)
+        elif i == 12:  # r12: 4-bit packed palette, top-down
+            raw = md5_expand(i, _PNG_W * _PNG_H)
+            idx = (np.frombuffer(raw, np.uint8) % 16).reshape(
+                _PNG_H, _PNG_W
+            )
+            blob = encode_bmp(
+                idx, palette=pal[:16], bits=4, top_down=True
+            )
+        elif i == 13:  # r12: 1-bit packed palette
+            raw = md5_expand(i, _PNG_W * _PNG_H)
+            idx = (np.frombuffer(raw, np.uint8) % 2).reshape(
+                _PNG_H, _PNG_W
+            )
+            blob = encode_bmp(idx, palette=pal[:2], bits=1)
+        elif i == 14:  # r12: 16-bit X1R5G5B5, top-down — channels on
+            # the 5-bit replication grid so quantization cancels
+            raw = md5_expand(i, _PNG_W * _PNG_H * 3)
+            v5 = np.frombuffer(raw, np.uint8) % 32
+            arr = ((v5 << 3) | (v5 >> 2)).reshape(_PNG_H, _PNG_W, 3)
+            blob = encode_bmp(arr, bits=16, top_down=True)
+        elif i == 15:  # r12: 16-bit 565 BI_BITFIELDS (G on the 6-bit
+            # grid, R/B on the 5-bit grid)
+            raw = md5_expand(i, _PNG_W * _PNG_H * 3)
+            bs = np.frombuffer(raw, np.uint8)
+            v5, v6 = bs % 32, bs % 64
+            arr = (
+                np.where(
+                    np.arange(bs.size) % 3 == 1,
+                    (v6 << 2) | (v6 >> 4),
+                    (v5 << 3) | (v5 >> 2),
+                )
+                .astype(np.uint8)
+                .reshape(_PNG_H, _PNG_W, 3)
+            )
+            blob = encode_bmp(
+                arr, bits=16, masks=(0xF800, 0x07E0, 0x001F)
+            )
+        elif i == 16:  # r12: 32-bit BGRX, top-down
+            raw = md5_expand(i, _PNG_W * _PNG_H * 3)
+            arr = np.frombuffer(raw, np.uint8).reshape(
+                _PNG_H, _PNG_W, 3
+            )
+            blob = encode_bmp(arr, bits=32, top_down=True)
+        elif i == 17:  # r12: BITMAPCOREHEADER, 8-bit triple palette
+            raw = md5_expand(i, _PNG_W * _PNG_H)
+            idx = (np.frombuffer(raw, np.uint8) % 64).reshape(
+                _PNG_H, _PNG_W
+            )
+            blob = encode_bmp(idx, palette=pal, core=True)
         else:  # ANIMATED GIF (r10): transparency + partial rects +
             # disposal 2 — the compositing model under the value gate.
             # Frame 0 full opaque; frame 1 an 8x4 rect at (4,2) with
@@ -1175,7 +1237,31 @@ def q215_gif_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_frames column joins the gate so the frame count itself is
     adjudicated."""
     return (
-        decode_media(_gif_bmp_corpus(spark))
+        decode_media(
+            _gif_bmp_corpus(spark).where(F.col("media_id") < 10)
+        )
+        .select(
+            "media_id", "width", "height", "n_frames", "channels",
+            "px_sum", "px_sqsum",
+        )
+        .orderBy("media_id")
+    )
+
+
+def q230_bmp_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The completed BMP surface under the VALUE gate (r12 — closing
+    the r9 declared boundaries): BI_RLE8 and BI_RLE4 decompression
+    (runs, absolute segments, end-of-line/bitmap escapes), packed
+    4-bit and 1-bit palettes, 16-bit X1R5G5B5 and 565 BI_BITFIELDS
+    masks expanded by the pinned bit-replication rule, 32-bit BGRX,
+    and BITMAPCOREHEADER triple palettes — corpus media 10-17, every
+    decoded channel byte recomputed by the oracle from the md5
+    expansion (the 16-bit fixtures sit on the replication grid so
+    encode-side quantization cancels exactly)."""
+    return (
+        decode_media(
+            _gif_bmp_corpus(spark).where(F.col("media_id") >= 10)
+        )
         .select(
             "media_id", "width", "height", "n_frames", "channels",
             "px_sum", "px_sqsum",
@@ -2227,6 +2313,7 @@ QUERIES = {
     "q205_wav_native": q205_wav_native,
     "q206_png16_native": q206_png16_native,
     "q215_gif_bmp": q215_gif_bmp,
+    "q230_bmp_complete": q230_bmp_complete,
     "q221_gif_frames": q221_gif_frames,
     "q225_avi_mjpeg": q225_avi_mjpeg,
     "q226_avi_frames": q226_avi_frames,
@@ -2773,6 +2860,69 @@ ORACLES = {
         FROM gb_px g JOIN gb_media m ON g.media_id = m.media_id
         GROUP BY g.media_id, g.channels, m.form
         ORDER BY g.media_id
+    """,
+    "q230_bmp_complete": """
+        WITH b2_media AS (
+          SELECT CAST(i AS BIGINT) AS media_id,
+                 CASE WHEN i IN (14, 15, 16) THEN 384 ELSE 128 END
+                   AS need,
+                 CASE WHEN i IN (10, 17) THEN 'bmp8'
+                      WHEN i IN (11, 12) THEN 'bmp4'
+                      WHEN i = 13 THEN 'bmp1'
+                      WHEN i = 14 THEN 'b555'
+                      WHEN i = 15 THEN 'b565'
+                      ELSE 'raw' END AS form,
+                 CASE WHEN i IN (10, 17) THEN 64
+                      WHEN i IN (11, 12) THEN 16
+                      WHEN i = 13 THEN 2 END AS pmod
+          FROM range(10, 18) t(i)
+        ),
+        b2_bytes AS (
+          SELECT m.media_id, m.form, m.pmod, c.j*16 + g.j AS pos,
+                 16*(strpos('0123456789abcdef',
+                      substr(md5(m.media_id || ':gb:' || c.j),
+                             CAST(2*g.j+1 AS INT), 1))-1)
+                   + (strpos('0123456789abcdef',
+                      substr(md5(m.media_id || ':gb:' || c.j),
+                             CAST(2*g.j+2 AS INT), 1))-1) AS b
+          FROM b2_media m, range(24) c(j), range(16) g(j)
+          WHERE c.j*16 + g.j < m.need
+        ),
+        -- decoded channel-byte streams: palette forms expand indices
+        -- through the shared 37/59/83 palette; the 16-bit forms
+        -- replay the pinned bit replication ((v<<3)|(v>>2) for 5-bit
+        -- fields = v*8 + v//4, (v<<2)|(v>>4) for the 565 green = v*4
+        -- + v//16); 32-bit BGRX pixels ARE the expansion bytes
+        b2_px AS (
+          SELECT media_id, ((b % pmod)*37)%256 AS v
+          FROM b2_bytes WHERE form IN ('bmp8', 'bmp4', 'bmp1')
+          UNION ALL
+          SELECT media_id, ((b % pmod)*59)%256
+          FROM b2_bytes WHERE form IN ('bmp8', 'bmp4', 'bmp1')
+          UNION ALL
+          SELECT media_id, ((b % pmod)*83)%256
+          FROM b2_bytes WHERE form IN ('bmp8', 'bmp4', 'bmp1')
+          UNION ALL
+          SELECT media_id, (b%32)*8 + (b%32)//4
+          FROM b2_bytes WHERE form = 'b555'
+          UNION ALL
+          SELECT media_id,
+                 CASE WHEN pos % 3 = 1 THEN (b%64)*4 + (b%64)//16
+                      ELSE (b%32)*8 + (b%32)//4 END
+          FROM b2_bytes WHERE form = 'b565'
+          UNION ALL
+          SELECT media_id, b FROM b2_bytes WHERE form = 'raw'
+        )
+        SELECT media_id,
+               CAST(16 AS INTEGER) AS width,
+               CAST(8 AS INTEGER) AS height,
+               CAST(1 AS INTEGER) AS n_frames,
+               CAST(3 AS INTEGER) AS channels,
+               CAST(SUM(v) AS BIGINT) AS px_sum,
+               CAST(SUM(v*v) AS BIGINT) AS px_sqsum
+        FROM b2_px
+        GROUP BY media_id
+        ORDER BY media_id
     """,
     "q221_gif_frames": f"""
         WITH {_GB_CTES},

@@ -18,6 +18,7 @@ from dataingestiontohana_spark.operators.multimodal import (
     _parse_bmp,
     _parse_gif,
     encode_bmp,
+    encode_bmp_rle,
     encode_gif,
 )
 
@@ -99,12 +100,18 @@ def test_bmp_roundtrip_orders_and_padding():
 
 
 def test_bmp_unsupported_layouts_count_only_violations_raise():
-    # RLE8 compression: valid unsupported layout -> metadata-only
+    # BI_JPEG embedded payload: valid unsupported layout ->
+    # metadata-only (r12: RLE4/8 decode now, so the old RLE example
+    # graduated — an RLE flag over a non-RLE body is CORRUPT below)
     b = bytearray(encode_bmp(np.zeros((2, 2), np.uint8),
                              palette=np.zeros((2, 3), np.uint8)))
-    b[30:34] = (1).to_bytes(4, "little")  # biCompression = BI_RLE8
+    b[30:34] = (4).to_bytes(4, "little")  # biCompression = BI_JPEG
     w, h, ch, px = _parse_bmp(bytes(b))
     assert (w, h, ch) == (2, 2, 0) and px is None
+    # RLE8 flag over an uncompressed body: structurally corrupt
+    b[30:34] = (1).to_bytes(4, "little")  # biCompression = BI_RLE8
+    with pytest.raises(ValueError):
+        _parse_bmp(bytes(b))
     # truncated pixel array: corrupt
     good = encode_bmp(np.zeros((4, 4, 3), np.uint8))
     with pytest.raises(ValueError, match="truncated pixel array"):
@@ -126,6 +133,84 @@ def _outcome(b: bytes) -> str:
     except NotImplementedError:
         return "error"  # mutated magic fell off the format: still caught
     return "pixels" if px is not None else "metadata"
+
+
+def test_bmp_completed_layouts_roundtrip_exactly():
+    """r12 closes the declared BMP boundaries: RLE8/RLE4, packed
+    1/4-bit palettes, masked 16/32-bit (X1R5G5B5, 565 BI_BITFIELDS,
+    BGRX), and BITMAPCOREHEADER — every layout byte-exact through the
+    encoder inverse; the 16-bit fixtures sit on the bit-replication
+    grid so quantization cancels."""
+    rng = np.random.default_rng(7)
+    pal = rng.integers(0, 256, size=(64, 3), dtype=np.uint8)
+    pal16, pal2 = pal[:16], pal[:2]
+    H, W = 8, 16
+
+    def rt(blob, want, w=W, h=H):
+        pw, ph, ch, px = _parse_bmp(blob)
+        assert (pw, ph, ch) == (w, h, 3)
+        assert np.array_equal(px.reshape(h, w, 3), want)
+
+    idx = rng.integers(0, 64, size=(H, W), dtype=np.uint8)
+    idx[2, 3:10] = 5  # force encoded runs next to absolute segments
+    rt(encode_bmp_rle(idx, pal), pal[idx])
+    idx4 = rng.integers(0, 16, size=(H, W), dtype=np.uint8)
+    idx4[5, 0:7] = 9
+    rt(encode_bmp_rle(idx4, pal16, four_bit=True), pal16[idx4])
+    idxo = rng.integers(0, 16, size=(5, 7), dtype=np.uint8)
+    rt(encode_bmp_rle(idxo, pal16, four_bit=True), pal16[idxo], 7, 5)
+    for td in (False, True):
+        rt(encode_bmp(idx4, pal16, bits=4, top_down=td), pal16[idx4])
+        idx1 = rng.integers(0, 2, size=(H, W), dtype=np.uint8)
+        rt(encode_bmp(idx1, pal2, bits=1, top_down=td), pal2[idx1])
+    v5 = rng.integers(0, 32, size=(H, W, 3), dtype=np.uint8)
+    rgb555 = (v5 << 3) | (v5 >> 2)
+    for td in (False, True):
+        rt(encode_bmp(rgb555, bits=16, top_down=td), rgb555)
+    v6 = rng.integers(0, 64, size=(H, W), dtype=np.uint8)
+    rgb565 = np.stack(
+        [rgb555[..., 0], (v6 << 2) | (v6 >> 4), rgb555[..., 2]],
+        axis=-1,
+    )
+    rt(
+        encode_bmp(rgb565, bits=16, masks=(0xF800, 0x07E0, 0x001F)),
+        rgb565,
+    )
+    rgb8 = rng.integers(0, 256, size=(H, W, 3), dtype=np.uint8)
+    for td in (False, True):
+        rt(encode_bmp(rgb8, bits=32, top_down=td), rgb8)
+    rt(encode_bmp(idx, pal, core=True), pal[idx])
+    rt(encode_bmp(rgb8, core=True), rgb8)
+    rt(encode_bmp(idx4, pal16, bits=4, core=True), pal16[idx4])
+    idx1o = rng.integers(0, 2, size=(3, 11), dtype=np.uint8)
+    rt(encode_bmp(idx1o, pal2, bits=1, core=True), pal2[idx1o], 11, 3)
+
+
+def test_bmp_rle_and_mask_contracts():
+    """The honesty edges of the r12 layouts: a delta escape leaves
+    spec-undefined pixels -> metadata-only, NOT an invented fill; a
+    truncated RLE stream is corrupt; overlapping bitfield masks are
+    corrupt; >8-bit mask fields have no pinnable byte expansion ->
+    metadata-only."""
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, size=(64, 3), dtype=np.uint8)
+    idx = rng.integers(0, 64, size=(8, 16), dtype=np.uint8)
+    blob = encode_bmp_rle(idx, pal, delta_at=(4, 2, 3, 0))
+    w, h, ch, px = _parse_bmp(blob)
+    assert (w, h, ch, px) == (16, 8, 0, None)
+    with pytest.raises(ValueError):
+        _parse_bmp(encode_bmp_rle(idx, pal)[:-4])
+    rgb = rng.integers(0, 256, size=(8, 16, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="overlapping"):
+        _parse_bmp(
+            encode_bmp(rgb, bits=16, masks=(0xF800, 0x0FE0, 0x001F))
+        )
+    # a 10-bit field: structurally valid, expansion unpinnable
+    ten = encode_bmp(
+        rgb, bits=32, masks=(0x3FF00000, 0x000FFC00, 0x000003FF)
+    )
+    w, h, ch, px = _parse_bmp(ten)
+    assert (w, h, ch, px) == (16, 8, 0, None)
 
 
 def test_gif_bmp_mutations_never_escape():
