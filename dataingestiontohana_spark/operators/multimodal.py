@@ -662,6 +662,7 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
     arith = False
     lossless = False
     seq_ni = False  # non-interleaved sequential scans seen
+    adobe: int | None = None  # APP14 color transform (r12: CMYK/YCCK)
     precision = 8
     coefs: dict[int, np.ndarray] = {}  # cid -> (bh_pad, bw_pad, 64) zigzag
     geom: dict[int, tuple] = {}
@@ -708,8 +709,19 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
                 # (r12: 2-component subsampled fixtures)
                 if not 1 <= ncomp <= 4:
                     return None
+            elif ncomp == 4:
+                # r12: Adobe 4-component CMYK/YCCK decodes when the
+                # APP14 marker declared transform 0 or 2 BEFORE the
+                # frame (where the Adobe writer puts it). Without
+                # APP14 the stored-value inversion convention is
+                # unknowable (Adobe inverts, rare non-Adobe writers
+                # do not), and transform 1 is illegal for 4
+                # components — both stay metadata-only rather than
+                # risking inverted pixels.
+                if adobe not in (0, 2):
+                    return None
             elif ncomp not in (1, 3):
-                return None  # CMYK etc.: metadata-only boundary
+                return None  # 2-component DCT etc.: metadata-only
             comps = [
                 (
                     body[6 + 3 * c],
@@ -776,6 +788,9 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
                 off += 17 + nval
         elif marker == 0xDD:  # DRI
             restart = int.from_bytes(body[0:2], "big")
+        elif marker == 0xEE:  # APP14: Adobe color-transform flag
+            if len(body) >= 12 and body[:5] == b"Adobe":
+                adobe = body[11]
         elif marker == 0xDA:  # SOS -> entropy-coded data follows
             if not comps:
                 return None
@@ -888,7 +903,7 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
                     arith_tabs[cid] = (td, ta)
                 return _jpeg_arith_scan(
                     b, i + 2 + seg_len, w, h, comps, qt, arith_tabs,
-                    restart, dc_cond, ac_cond,
+                    restart, dc_cond, ac_cond, adobe,
                 )
             if not progressive:
                 if body[0] != len(comps):
@@ -949,7 +964,8 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
                     td, ta = body[2 + 2 * s] >> 4, body[2 + 2 * s] & 0xF
                     scan_tabs[cid] = (huff_dc[td], huff_ac[ta])
                 return _jpeg_scan(
-                    b, i + 2 + seg_len, w, h, comps, qt, scan_tabs, restart
+                    b, i + 2 + seg_len, w, h, comps, qt, scan_tabs,
+                    restart, adobe,
                 )
             ns = body[0]
             scan_comps = []
@@ -973,7 +989,7 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[np.ndarray, int] | None:
             continue
         i += 2 + seg_len
     if (progressive or seq_ni) and coefs:
-        return _jpeg_reconstruct(w, h, comps, qt, coefs)
+        return _jpeg_reconstruct(w, h, comps, qt, coefs, adobe)
     return None
 
 
@@ -1443,6 +1459,7 @@ def _jpeg_reconstruct(
     comps: list[tuple[int, int, int, int]],
     qt: dict[int, np.ndarray],
     coefs: dict[int, np.ndarray],
+    adobe: int | None = None,
 ) -> tuple[np.ndarray, int]:
     """Dequantize + IDCT the accumulated progressive coefficients —
     the same reconstruction tail as the baseline scan."""
@@ -1464,15 +1481,7 @@ def _jpeg_reconstruct(
                 )
         p = plane + 128.0
         full[cid] = p[(ys * vs) // vmax][:, (xs * hs) // hmax]
-    if len(comps) == 1:
-        gray = np.clip(np.round(full[comps[0][0]]), 0, 255)
-        return gray.astype(np.uint8).reshape(-1), 1
-    y, cb, cr = (full[c[0]] for c in comps)
-    rch = y + 1.402 * (cr - 128.0)
-    gch = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    bch = y + 1.772 * (cb - 128.0)
-    rgb = np.clip(np.round(np.stack([rch, gch, bch], axis=-1)), 0, 255)
-    return rgb.astype(np.uint8).reshape(-1), 3
+    return _jpeg_full_to_pixels(full, comps, adobe)
 
 
 def _jpeg_lossless_predict(
@@ -1835,6 +1844,7 @@ def _jpeg_scan(
     qt: dict[int, np.ndarray],
     scan_tabs: dict[int, tuple[dict, dict]],
     restart: int,
+    adobe: int | None = None,
 ) -> tuple[np.ndarray, int]:
     if w <= 0 or h <= 0:
         # SOS arrived before (or without) a SOF: no dimensions — treat
@@ -1871,7 +1881,9 @@ def _jpeg_scan(
                     y0 = (my * vs + by) * 8
                     x0 = (mx * hs + bx) * 8
                     plane[y0 : y0 + 8, x0 : x0 + 8] = spatial
-    return _jpeg_planes_to_pixels(planes, comps, w, h, hmax, vmax)
+    return _jpeg_planes_to_pixels(
+        planes, comps, w, h, hmax, vmax, adobe
+    )
 
 
 def _jpeg_planes_to_pixels(
@@ -1881,9 +1893,11 @@ def _jpeg_planes_to_pixels(
     h: int,
     hmax: int,
     vmax: int,
+    adobe: int | None = None,
 ) -> tuple[np.ndarray, int]:
     """Shared decode tail (Huffman AND arithmetic scans): level shift,
-    nearest-sample chroma upsample, JFIF YCbCr->RGB."""
+    nearest-sample chroma upsample, color conversion
+    (`_jpeg_full_to_pixels`)."""
     # level shift + upsample every plane to full resolution via the
     # standard nearest sample mapping (works for any hs/vs ratio)
     ys, xs = np.arange(h), np.arange(w)
@@ -1891,9 +1905,44 @@ def _jpeg_planes_to_pixels(
     for cid, hs, vs, _tq in comps:
         p = planes[cid] + 128.0
         full[cid] = p[(ys * vs) // vmax][:, (xs * hs) // hmax]
+    return _jpeg_full_to_pixels(full, comps, adobe)
+
+
+def _jpeg_full_to_pixels(
+    full: dict[int, np.ndarray],
+    comps: list[tuple[int, int, int, int]],
+    adobe: int | None = None,
+) -> tuple[np.ndarray, int]:
+    """Full-resolution component planes -> (flat uint8 pixels,
+    channels): grayscale as-is, 3 components through JFIF YCbCr->RGB,
+    and (r12) 4 components through the Adobe APP14 transform — 0 =
+    components ARE the stored inverted-ink CMYK (the Adobe writer
+    convention: stored byte = 255 - ink), 2 = YCCK (YCbCr->RGB on the
+    first three planes yields the stored inverted CMY, K rides
+    untransformed). Both composite to RGB via the pinned exact-integer
+    rule ``channel = stored_c * stored_k // 255`` after the standard
+    round-clip, so 4-component decodes are replayable in integer SQL
+    like every other value-gated codec path."""
     if len(comps) == 1:
         gray = np.clip(np.round(full[comps[0][0]]), 0, 255)
         return gray.astype(np.uint8).reshape(-1), 1
+    if len(comps) == 4:
+        if adobe == 2:  # YCCK: YCC -> stored (inverted) CMY
+            y, cb, cr = (full[c[0]] for c in comps[:3])
+            c_ = y + 1.402 * (cr - 128.0)
+            m_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            y_ = y + 1.772 * (cb - 128.0)
+        else:  # transform 0: planes are the stored inverted CMYK
+            c_, m_, y_ = (full[c[0]] for c in comps[:3])
+        cmy = [
+            np.clip(np.round(v), 0, 255).astype(np.int64)
+            for v in (c_, m_, y_)
+        ]
+        k_ = np.clip(np.round(full[comps[3][0]]), 0, 255).astype(
+            np.int64
+        )
+        rgb = np.stack([(v * k_) // 255 for v in cmy], axis=-1)
+        return rgb.astype(np.uint8).reshape(-1), 3
     y, cb, cr = (full[c[0]] for c in comps)  # SOF order: Y, Cb, Cr
     rch = y + 1.402 * (cr - 128.0)
     gch = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
@@ -1913,6 +1962,7 @@ def _jpeg_arith_scan(
     restart: int,
     dc_cond: dict[int, tuple[int, int]],
     ac_cond: dict[int, int],
+    adobe: int | None = None,
 ) -> tuple[np.ndarray, int]:
     """Sequential ARITHMETIC scan (SOF9): the same MCU walk as
     `_jpeg_scan`, with coefficient decisions from the T.81 QM-coder
@@ -1960,7 +2010,9 @@ def _jpeg_arith_scan(
                     y0 = (my * vs + by) * 8
                     x0 = (mx * hs + bx) * 8
                     plane[y0 : y0 + 8, x0 : x0 + 8] = spatial
-    return _jpeg_planes_to_pixels(planes, comps, w, h, hmax, vmax)
+    return _jpeg_planes_to_pixels(
+        planes, comps, w, h, hmax, vmax, adobe
+    )
 
 
 # widely-published JPEG Annex-K example quantization tables (the de
@@ -2300,6 +2352,90 @@ def encode_jpeg_baseline(
     out += b"\xff\xda" + (2 + len(sos_body)).to_bytes(2, "big") + sos_body
     out += wtr.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_cmyk(
+    stored: np.ndarray,
+    width: int,
+    height: int,
+    transform: int = 0,
+    quant: np.ndarray | None = None,
+    non_interleaved: bool = False,
+    app14: bool = True,
+) -> bytes:
+    """4-component Adobe baseline encoder (r12 — the
+    `_decode_jpeg_pixels` CMYK/YCCK inverse, for fixtures and round
+    trips). ``stored`` is a flat uint8 array of height*width*4 STORED
+    component values — what the entropy coder carries: for
+    ``transform=0`` the Adobe inverted-ink CMYK bytes, for
+    ``transform=2`` the YCCK (Y, Cb, Cr, K) planes directly (callers
+    building exact fixtures pass Cb=Cr=128 so the chroma planes
+    quantize to all-zero coefficients and the YCC->CMY conversion
+    returns Y exactly). All components 1x1 sampling, one shared quant
+    table, one interleaved scan — or four Ns=1 scans with
+    ``non_interleaved`` (the A.2.2 layout through the coefficient
+    accumulator). ``app14=False`` omits the Adobe marker: the decoder
+    must then stay metadata-only (the inversion-unknowable contract)."""
+    if transform not in (0, 2):
+        raise ValueError("Adobe transform must be 0 (CMYK) or 2 (YCCK)")
+    qtab = (
+        np.ones(64, dtype=np.int32)
+        if quant is None
+        else np.asarray(quant, dtype=np.int32).reshape(-1)
+    )
+    q_zz = qtab[_ZIGZAG]
+    arr = np.asarray(stored, dtype=np.float64).reshape(
+        height, width, 4
+    )
+    mcx, mcy = (width + 7) // 8, (height + 7) // 8
+    planes = [
+        _pad_to(arr[:, :, c], mcy * 8, mcx * 8) for c in range(4)
+    ]
+    out = bytearray(b"\xff\xd8")
+    if app14:
+        out += (
+            b"\xff\xee" + (14).to_bytes(2, "big") + b"Adobe"
+            + (100).to_bytes(2, "big") + bytes(4)
+            + bytes([transform])
+        )
+    out += (
+        b"\xff\xdb" + (2 + 1 + 64).to_bytes(2, "big") + bytes([0])
+        + bytes(int(v) for v in q_zz)
+    )
+    sof_body = bytes([8]) + height.to_bytes(2, "big")
+    sof_body += width.to_bytes(2, "big") + bytes([4])
+    for cid in range(1, 5):
+        sof_body += bytes([cid, 0x11, 0])
+    out += b"\xff\xc0" + (2 + len(sof_body)).to_bytes(2, "big")
+    out += sof_body
+    out += _dht_segment(0, 0, _ENC_DC_SYMS, 4)
+    out += _dht_segment(1, 0, _ENC_AC_SYMS, 8)
+    scans = (
+        [[c] for c in range(4)] if non_interleaved else [range(4)]
+    )
+    for group in scans:
+        wtr = _BitWriter()
+        preds = dict.fromkeys(group, 0)
+        for m in range(mcx * mcy):
+            my, mx = divmod(m, mcx)
+            for c in group:
+                preds[c] = _encode_block(
+                    wtr,
+                    planes[c][
+                        my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8
+                    ],
+                    q_zz,
+                    preds[c],
+                )
+        wtr.byte_align()
+        sos_body = bytes([len(group)])
+        for c in group:
+            sos_body += bytes([c + 1, 0x00])
+        sos_body += bytes([0, 63, 0])
+        out += b"\xff\xda" + (2 + len(sos_body)).to_bytes(2, "big")
+        out += sos_body + wtr.out
+    out += b"\xff\xd9"
     return bytes(out)
 
 

@@ -558,6 +558,11 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("n_frames", "int"), ("channels", "int"),
         ("px_sum", "bigint"), ("px_sqsum", "bigint"),
     ],
+    "q231_jpeg_cmyk": [
+        ("media_id", "bigint"), ("width", "int"), ("height", "int"),
+        ("n_frames", "int"), ("channels", "int"),
+        ("px_sum", "bigint"), ("px_sqsum", "bigint"),
+    ],
     "q225_avi_mjpeg": [
         ("media_id", "bigint"), ("width", "int"), ("height", "int"),
         ("n_frames", "int"), ("channels", "int"),
@@ -1032,6 +1037,10 @@ BUNDLES: dict[str, list[str]] = {
         # palettes, masked 16/32-bit pixels, BITMAPCOREHEADER — every
         # channel byte replayed from the md5 expansion
         "q230_bmp_complete",
+        # r12: Adobe 4-component CMYK/YCCK JPEG (APP14 transform,
+        # pinned c*k//255 composite replayed per block in SQL; the
+        # APP14-less clip adjudicates the metadata-only contract)
+        "q231_jpeg_cmyk",
     ],
     # round 9: WARC crawl-archive ingestion + URL canonicalization
     # dedup + eTLD+1 extraction + robots.txt filtering join the

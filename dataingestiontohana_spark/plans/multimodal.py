@@ -1287,6 +1287,89 @@ def q221_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMYK_CACHE: dict[str, DataFrame] = {}
+
+
+def _cmyk_corpus(spark: SparkSession) -> DataFrame:
+    """REAL Adobe 4-component JPEG streams whose decode is EXACT
+    (r12 — closing the CMYK boundary): each clip is a 3x2 mosaic of
+    constant 8x8 blocks at unit quantization (the q204 discipline),
+    plane p of clip i taking its 6 block constants from
+    md5('{i}:cmyk:{p}'), so the decoder reproduces every stored
+    component byte and the SQL oracle recomputes the pinned
+    ``channel = c * k // 255`` composite per block. Clips: 0 =
+    transform-0 CMYK (stored inverted-ink planes); 1 = transform-2
+    YCCK with Cb = Cr = 128 (chroma planes quantize to zero, so the
+    YCC->CMY conversion returns Y exactly — stored c = m = y = Y);
+    2 = transform-0 in the NON-INTERLEAVED four-scan layout (A.2.2
+    through the coefficient accumulator); 3 = four components WITHOUT
+    an APP14 marker — the inversion convention is unknowable, so the
+    contract is header metadata + NULL moments, never guessed
+    pixels."""
+    import hashlib
+
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        encode_jpeg_cmyk,
+    )
+
+    key = spark.sparkContext.applicationId
+    df = _CMYK_CACHE.get(key)
+    if df is not None:
+        return df
+    _CMYK_CACHE.clear()
+
+    def plane(i: int, p: int) -> np.ndarray:
+        vals = np.frombuffer(
+            hashlib.md5(f"{i}:cmyk:{p}".encode()).digest()[:6],
+            np.uint8,
+        ).reshape(2, 3)
+        return np.kron(vals, np.ones((8, 8), np.uint8))
+
+    rows = []
+    for i in range(4):
+        if i == 1:  # YCCK: Y + flat chroma + K
+            y = plane(i, 0)
+            flat = np.full_like(y, 128)
+            stored = np.stack([y, flat, flat, plane(i, 3)], axis=-1)
+        else:
+            stored = np.stack([plane(i, p) for p in range(4)], axis=-1)
+        blob = encode_jpeg_cmyk(
+            stored.reshape(-1),
+            24,
+            16,
+            transform=2 if i == 1 else 0,
+            non_interleaved=i == 2,
+            app14=i != 3,
+        )
+        rows.append((i, KIND_IMAGE, blob))
+    df = (
+        spark.createDataFrame(rows, "media_id long, kind int, content binary")
+        .coalesce(1)
+        .localCheckpoint(eager=False)
+    )
+    _CMYK_CACHE[key] = df
+    return df
+
+
+def q231_jpeg_cmyk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adobe 4-component JPEG under the VALUE gate (r12): transform-0
+    CMYK, transform-2 YCCK, and the non-interleaved four-scan layout
+    decode through the production `decode_media`; the oracle
+    recomputes every composited channel from the md5 block seeds via
+    the pinned integer rule c*k//255. The APP14-less clip adjudicates
+    the metadata-only contract (dims + NULL moments)."""
+    return (
+        decode_media(_cmyk_corpus(spark))
+        .select(
+            "media_id", "width", "height", "n_frames", "channels",
+            "px_sum", "px_sqsum",
+        )
+        .orderBy("media_id")
+    )
+
+
 _AVI_CACHE: dict[str, DataFrame] = {}
 # (media_id, n_frames, channels) of the DECODING clips; clip 5 is the
 # valid-unsupported XVID entry (metadata-only by contract)
@@ -2314,6 +2397,7 @@ QUERIES = {
     "q206_png16_native": q206_png16_native,
     "q215_gif_bmp": q215_gif_bmp,
     "q230_bmp_complete": q230_bmp_complete,
+    "q231_jpeg_cmyk": q231_jpeg_cmyk,
     "q221_gif_frames": q221_gif_frames,
     "q225_avi_mjpeg": q225_avi_mjpeg,
     "q226_avi_frames": q226_avi_frames,
@@ -2922,6 +3006,54 @@ ORACLES = {
                CAST(SUM(v*v) AS BIGINT) AS px_sqsum
         FROM b2_px
         GROUP BY media_id
+        ORDER BY media_id
+    """,
+    "q231_jpeg_cmyk": """
+        WITH ck_blocks AS (
+          SELECT CAST(s.i AS BIGINT) AS media_id, u.j AS blk,
+                 p.p AS plane,
+                 16*(strpos('0123456789abcdef',
+                      substr(md5(s.i || ':cmyk:' || p.p),
+                             CAST(2*u.j+1 AS INT), 1))-1)
+                   + (strpos('0123456789abcdef',
+                      substr(md5(s.i || ':cmyk:' || p.p),
+                             CAST(2*u.j+2 AS INT), 1))-1) AS v
+          FROM (VALUES (0), (1), (2)) s(i), range(4) p(p),
+               range(6) u(j)
+        ),
+        ck_pivot AS (
+          SELECT media_id, blk,
+                 MAX(CASE WHEN plane = 0 THEN v END) AS c,
+                 MAX(CASE WHEN plane = 1 THEN v END) AS m,
+                 MAX(CASE WHEN plane = 2 THEN v END) AS y,
+                 MAX(CASE WHEN plane = 3 THEN v END) AS k
+          FROM ck_blocks GROUP BY media_id, blk
+        ),
+        -- the pinned composite channel = stored_c * stored_k // 255
+        -- (DuckDB // truncates; both factors are non-negative, so it
+        -- equals the decoder's floor). Clip 1 is YCCK with flat
+        -- chroma: stored c = m = y = the Y plane (plane 0).
+        ck_rgb AS (
+          SELECT media_id, blk,
+                 (c*k)//255 AS r,
+                 (CASE WHEN media_id = 1 THEN c ELSE m END * k)//255
+                   AS g,
+                 (CASE WHEN media_id = 1 THEN c ELSE y END * k)//255
+                   AS b
+          FROM ck_pivot
+        )
+        SELECT media_id,
+               CAST(24 AS INTEGER) AS width,
+               CAST(16 AS INTEGER) AS height,
+               CAST(1 AS INTEGER) AS n_frames,
+               CAST(3 AS INTEGER) AS channels,
+               CAST(64 * SUM(r + g + b) AS BIGINT) AS px_sum,
+               CAST(64 * SUM(r*r + g*g + b*b) AS BIGINT) AS px_sqsum
+        FROM ck_rgb
+        GROUP BY media_id
+        UNION ALL
+        -- clip 3: no APP14 — inversion unknowable, metadata-only
+        SELECT CAST(3 AS BIGINT), 24, 16, 1, 0, NULL, NULL
         ORDER BY media_id
     """,
     "q221_gif_frames": f"""

@@ -211,6 +211,90 @@ def test_jpeg_mutations_never_escape_decode_payload():
         assert kind in ("pixels", "metadata", "error")
 
 
+def test_jpeg_cmyk_decodes_exactly_and_contracts_hold():
+    """r12: Adobe 4-component JPEG. Constant-block mosaics at unit
+    quantization decode EXACTLY under the pinned c*k//255 composite —
+    transform-0 CMYK, transform-2 YCCK (flat chroma cancels the YCC
+    conversion), interleaved AND the non-interleaved four-scan layout
+    (bit-identical pixels). Contract edges: no APP14 -> metadata-only
+    (the stored-value inversion is unknowable); transform 1 with four
+    components -> metadata-only (illegal declaration)."""
+    from dataingestiontohana_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        encode_jpeg_cmyk,
+    )
+
+    rng = np.random.default_rng(23)
+    H, W = 16, 24
+
+    def mosaic():
+        vals = rng.integers(0, 256, size=(2, 3), dtype=np.uint8)
+        return np.kron(vals, np.ones((8, 8), np.uint8))
+
+    planes = [mosaic() for _ in range(4)]
+    stored = np.stack(planes, axis=-1)
+    px, ch = _decode_jpeg_pixels(
+        encode_jpeg_cmyk(stored.reshape(-1), W, H, transform=0)
+    )
+    assert ch == 3
+    c_, m_, y_, k_ = (p.astype(np.int64) for p in planes)
+    want = np.stack(
+        [c_ * k_ // 255, m_ * k_ // 255, y_ * k_ // 255], axis=-1
+    ).astype(np.uint8)
+    assert np.array_equal(px.reshape(H, W, 3), want)
+    # non-interleaved layout: bit-identical pixels
+    px_ni, _ = _decode_jpeg_pixels(
+        encode_jpeg_cmyk(
+            stored.reshape(-1), W, H, transform=0, non_interleaved=True
+        )
+    )
+    assert np.array_equal(px_ni, px)
+    # YCCK with flat chroma: stored c = m = y = Y exactly
+    yv, kv = mosaic(), mosaic()
+    flat = np.full_like(yv, 128)
+    st2 = np.stack([yv, flat, flat, kv], axis=-1)
+    px2, _ = _decode_jpeg_pixels(
+        encode_jpeg_cmyk(st2.reshape(-1), W, H, transform=2)
+    )
+    yk = yv.astype(np.int64) * kv.astype(np.int64) // 255
+    assert np.array_equal(
+        px2.reshape(H, W, 3), np.stack([yk] * 3, axis=-1).astype(np.uint8)
+    )
+    # no APP14: metadata-only, never guessed pixels
+    assert (
+        _decode_jpeg_pixels(
+            encode_jpeg_cmyk(stored.reshape(-1), W, H, app14=False)
+        )
+        is None
+    )
+    # APP14 transform=1 over 4 components: illegal -> metadata-only
+    bad = bytearray(encode_jpeg_cmyk(stored.reshape(-1), W, H))
+    at = bad.find(b"Adobe")
+    bad[at + 11] = 1
+    assert _decode_jpeg_pixels(bytes(bad)) is None
+
+
+def test_jpeg_cmyk_mutations_never_escape():
+    """The JPEG mutation contract extended to the 4-component path:
+    every single-byte mutation and truncation of a CMYK stream lands
+    in pixels / metadata / caught-error."""
+    from dataingestiontohana_spark.operators.multimodal import (
+        encode_jpeg_cmyk,
+    )
+
+    rng = np.random.default_rng(31)
+    stored = rng.integers(0, 256, size=16 * 16 * 4, dtype=np.uint8)
+    jpg = encode_jpeg_cmyk(stored, 16, 16, transform=0)
+    for i in range(2, len(jpg)):
+        mutated = bytearray(jpg)
+        mutated[i] ^= 0xA5
+        kind, _ = _decode_or_outcome(bytes(mutated))
+        assert kind in ("pixels", "metadata", "error")
+    for cut in range(2, len(jpg)):
+        kind, _ = _decode_or_outcome(jpg[:cut])
+        assert kind in ("pixels", "metadata", "error")
+
+
 def test_decode_media_quarantines_corrupt_rows(spark):
     """End-to-end: one Spark batch holding valid AND corrupted blobs
     completes; corrupt rows carry decode_error with nulled stats,
