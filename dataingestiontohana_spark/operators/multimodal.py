@@ -4606,6 +4606,305 @@ def _encode_avi(
     return chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
 
 
+# -- QuickTime/MOV (r12): MJPEG sample tables ----------------------
+
+# atom types legal as the FIRST top-level atom of a QuickTime/ISO
+# movie file — the container sniff (ftyp is the modern lead; bare
+# moov/mdat-first files are the classic QuickTime layout)
+_MOV_LEAD_ATOMS = (
+    b"ftyp", b"moov", b"mdat", b"free", b"skip", b"wide", b"pnot",
+)
+
+
+def _mov_atoms(b: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for the atoms in
+    [start, end): 32-bit sizes, the size==1 64-bit extension, and the
+    size==0 to-end convention. Structural violations (size under the
+    header, atom past the window) raise — the malformed-record
+    discipline."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(b[i : i + 4], "big")
+        typ = b[i + 4 : i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > end:
+                raise ValueError("MOV: truncated 64-bit atom size")
+            size = int.from_bytes(b[i + 8 : i + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - i
+        if size < hdr or i + size > end:
+            raise ValueError(f"MOV: atom {typ!r} size out of bounds")
+        yield typ, i + hdr, i + size
+        i += size
+    if i != end:
+        raise ValueError("MOV: trailing bytes after the last atom")
+
+
+def _mov_find(b: bytes, start: int, end: int, typ: bytes):
+    """First child atom of the given type -> (body_start, body_end)
+    or None."""
+    for t, s, e in _mov_atoms(b, start, end):
+        if t == typ:
+            return s, e
+    return None
+
+
+def _parse_mov(b: bytes) -> tuple[int, int, int, int, np.ndarray | None]:
+    """QuickTime/MOV walk -> (w, h, n_frames, channels, flat_bytes)
+    (r12 — the second video container, closing the .mov gap): moov ->
+    first 'vide' trak -> stbl sample tables (stsd format + dims, stsz
+    sizes, stsc sample-to-chunk runs, stco/co64 absolute chunk
+    offsets), then every 'jpeg' sample through the pinned JPEG
+    decoder — the same q204 scan-layout surface per frame as AVI.
+    Sample geometry must match the stsd declaration and stay constant
+    (mismatch = quarantine); a non-JPEG sample format (mjpa fielded
+    MJPEG, rle, raw, ...) is VALID-UNSUPPORTED — stsd dims + stsz
+    frame count, channels=0, px=None, never quarantined; a frame
+    whose JPEG decodes metadata-only degrades the file the same way.
+    Structural violations (sample table disagreement, samples past
+    the payload, missing mandatory atoms) raise. Audio-only movies
+    report 0x0 with the sound sample count as n_frames=0 residue —
+    they stay metadata-only."""
+    moov = _mov_find(b, 0, len(b), b"moov")
+    if moov is None:
+        raise ValueError("MOV: missing moov atom")
+    for t, ts, te in _mov_atoms(b, *moov):
+        if t != b"trak":
+            continue
+        mdia = _mov_find(b, ts, te, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _mov_find(b, *mdia, b"hdlr")
+        if hdlr is None or b[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        minf = _mov_find(b, *mdia, b"minf")
+        stbl = minf and _mov_find(b, *minf, b"stbl")
+        if not stbl:
+            raise ValueError("MOV: video trak without sample table")
+        stsd = _mov_find(b, *stbl, b"stsd")
+        stsz = _mov_find(b, *stbl, b"stsz")
+        stsc = _mov_find(b, *stbl, b"stsc")
+        stco = _mov_find(b, *stbl, b"stco")
+        co64 = _mov_find(b, *stbl, b"co64")
+        if stsd is None or stsz is None or stsc is None or (
+            stco is None and co64 is None
+        ):
+            raise ValueError("MOV: incomplete sample tables")
+        # stsd: first video sample description — format + pixel dims
+        ds, de = stsd
+        if de - ds < 16 or int.from_bytes(b[ds + 4 : ds + 8], "big") < 1:
+            raise ValueError("MOV: empty stsd")
+        fmt = b[ds + 12 : ds + 16]
+        if de - ds < 8 + 36:
+            raise ValueError("MOV: video sample description too short")
+        width = int.from_bytes(b[ds + 40 : ds + 42], "big")
+        height = int.from_bytes(b[ds + 42 : ds + 44], "big")
+        # stsz: per-sample byte sizes
+        zs, ze = stsz
+        uniform = int.from_bytes(b[zs + 4 : zs + 8], "big")
+        nf = int.from_bytes(b[zs + 8 : zs + 12], "big")
+        if uniform:
+            if nf * uniform > len(b):
+                # bound BEFORE allocating the size list: a crafted
+                # uniform stsz could otherwise declare 2^32 samples
+                raise ValueError("MOV: uniform samples exceed payload")
+            sizes = [uniform] * nf
+        else:
+            if ze - zs < 12 + 4 * nf:
+                raise ValueError("MOV: stsz table truncated")
+            sizes = [
+                int.from_bytes(b[zs + 12 + 4 * k : zs + 16 + 4 * k], "big")
+                for k in range(nf)
+            ]
+        if fmt != b"jpeg":
+            return width, height, nf, 0, None  # valid-unsupported
+        if nf == 0:
+            return width, height, 0, 0, None  # empty movie
+        # stco/co64: absolute chunk offsets
+        cs, ce = stco if stco is not None else co64
+        osz = 4 if stco is not None else 8
+        nchunks = int.from_bytes(b[cs + 4 : cs + 8], "big")
+        if ce - cs < 8 + osz * nchunks:
+            raise ValueError("MOV: chunk offset table truncated")
+        offsets = [
+            int.from_bytes(
+                b[cs + 8 + osz * k : cs + 8 + osz * (k + 1)], "big"
+            )
+            for k in range(nchunks)
+        ]
+        # stsc: (first_chunk, samples_per_chunk) runs -> per-chunk n
+        ss, se = stsc
+        nruns = int.from_bytes(b[ss + 4 : ss + 8], "big")
+        if se - ss < 8 + 12 * nruns or nruns == 0:
+            raise ValueError("MOV: stsc table truncated")
+        runs = [
+            (
+                int.from_bytes(b[ss + 8 + 12 * k : ss + 12 + 12 * k], "big"),
+                int.from_bytes(b[ss + 12 + 12 * k : ss + 16 + 12 * k], "big"),
+            )
+            for k in range(nruns)
+        ]
+        if runs[0][0] != 1:
+            raise ValueError("MOV: stsc must start at chunk 1")
+        per_chunk: list[int] = []
+        for k, (first, spc) in enumerate(runs):
+            last = runs[k + 1][0] - 1 if k + 1 < nruns else nchunks
+            if last < first:
+                raise ValueError("MOV: stsc runs out of order")
+            per_chunk += [spc] * (last - first + 1)
+        if sum(per_chunk) != nf:
+            raise ValueError(
+                f"MOV: sample tables disagree — stsc allocates "
+                f"{sum(per_chunk)} samples, stsz declares {nf}"
+            )
+        frames: list[tuple[int, int]] = []
+        si = 0
+        for off, spc in zip(offsets, per_chunk):
+            at = off
+            for _ in range(spc):
+                frames.append((at, sizes[si]))
+                at += sizes[si]
+                si += 1
+        if len(frames) != nf:
+            # zip() tolerates a short offset table; the walk must not
+            raise ValueError("MOV: chunk offsets shorter than stsc runs")
+        if any(s + l > len(b) for s, l in frames):
+            raise ValueError("MOV: sample past end of payload")
+        if nf == 0:
+            return width, height, 0, 0, None
+        fw = fh = fch = None
+        planes: list[np.ndarray] = []
+        for s, l in frames:
+            fb = bytes(b[s : s + l])
+            if fb[:2] != b"\xff\xd8":
+                raise ValueError("MOV: jpeg sample without SOI")
+            w2, h2 = _parse_jpeg(fb)
+            decoded = _decode_jpeg_pixels(fb)
+            if decoded is None:
+                return width, height, nf, 0, None  # declared seam
+            px, ch = decoded
+            if fw is None:
+                fw, fh, fch = w2, h2, ch
+                if (w2, h2) != (width, height):
+                    raise ValueError(
+                        "MOV: frame geometry disagrees with stsd"
+                    )
+                if nf * fw * fh * fch > _AVI_MAX_OUT_BYTES:
+                    return width, height, nf, 0, None  # bomb cap
+            elif (w2, h2, ch) != (fw, fh, fch):
+                raise ValueError("MOV: frame geometry changed mid-stream")
+            planes.append(np.ascontiguousarray(px).reshape(-1))
+        return width, height, nf, fch, np.concatenate(planes)
+    return 0, 0, 0, 0, None  # no video track: metadata-only
+
+
+def _mov_atom(typ: bytes, payload: bytes) -> bytes:
+    return (8 + len(payload)).to_bytes(4, "big") + typ + payload
+
+
+def encode_mov_mjpeg(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    fps: int = 25,
+    fmt: bytes = b"jpeg",
+    chunked: bool = False,
+) -> bytes:
+    """Assemble a spec-shaped QuickTime movie around complete JPEG
+    frame streams (the `_parse_mov` inverse, r12): ftyp('qt  ') +
+    mdat holding the samples + moov with one video trak whose stbl
+    carries real stsd/stts/stsc/stsz/stco tables. ``chunked`` packs
+    samples two-per-chunk (exercising the stsc run expansion);
+    otherwise one chunk per sample. ``fmt`` overrides the sample
+    format for valid-unsupported fixtures (e.g. b'mjpa')."""
+    ftyp = _mov_atom(b"ftyp", b"qt  " + bytes(4) + b"qt  ")
+    mdat_body = b"".join(frames)
+    base = len(ftyp) + 8  # samples start after the mdat header
+    offs = []
+    at = base
+    for f in frames:
+        offs.append(at)
+        at += len(f)
+    nf = len(frames)
+    if chunked and nf > 1:
+        chunk_offs = offs[0::2]
+        stsc_runs = [(1, 2, 1)]
+        if nf % 2:
+            stsc_runs.append(((nf + 1) // 2, 1, 1))
+    else:
+        chunk_offs = offs
+        stsc_runs = [(1, 1, 1)]
+    desc = (
+        (86).to_bytes(4, "big") + fmt + bytes(6) + (1).to_bytes(2, "big")
+        + bytes(2) * 2 + bytes(4) * 3
+        + width.to_bytes(2, "big") + height.to_bytes(2, "big")
+        + (0x00480000).to_bytes(4, "big") * 2 + bytes(4)
+        + (1).to_bytes(2, "big") + bytes(32)
+        + (24).to_bytes(2, "big") + (0xFFFF).to_bytes(2, "big")
+    )
+    stsd = _mov_atom(b"stsd", bytes(4) + (1).to_bytes(4, "big") + desc)
+    stts = _mov_atom(
+        b"stts",
+        bytes(4) + (1).to_bytes(4, "big")
+        + nf.to_bytes(4, "big") + (600 // fps).to_bytes(4, "big"),
+    )
+    stsc = _mov_atom(
+        b"stsc",
+        bytes(4) + len(stsc_runs).to_bytes(4, "big")
+        + b"".join(
+            f0.to_bytes(4, "big") + n.to_bytes(4, "big")
+            + d.to_bytes(4, "big")
+            for f0, n, d in stsc_runs
+        ),
+    )
+    stsz = _mov_atom(
+        b"stsz",
+        bytes(4) + bytes(4) + nf.to_bytes(4, "big")
+        + b"".join(len(f).to_bytes(4, "big") for f in frames),
+    )
+    stco = _mov_atom(
+        b"stco",
+        bytes(4) + len(chunk_offs).to_bytes(4, "big")
+        + b"".join(o.to_bytes(4, "big") for o in chunk_offs),
+    )
+    stbl = _mov_atom(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = _mov_atom(
+        b"vmhd", (1).to_bytes(4, "big") + bytes(8)
+    )
+    dref = _mov_atom(
+        b"dref",
+        bytes(4) + (1).to_bytes(4, "big")
+        + _mov_atom(b"alis", (1).to_bytes(4, "big")),
+    )
+    minf = _mov_atom(b"minf", vmhd + _mov_atom(b"dinf", dref) + stbl)
+    hdlr = _mov_atom(
+        b"hdlr", bytes(4) + b"mhlr" + b"vide" + bytes(12)
+    )
+    mdhd = _mov_atom(
+        b"mdhd",
+        bytes(4) + bytes(8) + (600).to_bytes(4, "big")
+        + (nf * (600 // fps)).to_bytes(4, "big") + bytes(4),
+    )
+    mdia = _mov_atom(b"mdia", mdhd + hdlr + minf)
+    tkhd = _mov_atom(
+        b"tkhd",
+        (0xF).to_bytes(4, "big") + bytes(8) + (1).to_bytes(4, "big")
+        + bytes(4) + (nf * (600 // fps)).to_bytes(4, "big") + bytes(52)
+        + (width << 16).to_bytes(4, "big")
+        + (height << 16).to_bytes(4, "big"),
+    )
+    trak = _mov_atom(b"trak", tkhd + mdia)
+    mvhd = _mov_atom(
+        b"mvhd",
+        bytes(4) + bytes(8) + (600).to_bytes(4, "big")
+        + (nf * (600 // fps)).to_bytes(4, "big") + bytes(80),
+    )
+    moov = _mov_atom(b"moov", mvhd + trak)
+    return ftyp + _mov_atom(b"mdat", mdat_body) + moov
+
+
 def _decode_payload(
     content: bytes,
 ) -> tuple[int, int, int, int, np.ndarray | None]:
@@ -4640,7 +4939,10 @@ def _decode_payload(
     plus mono/stereo whole-block IMA-ADPCM (fmt tag 0x11 — r9); AVI
     decodes MJPEG video (r12 — `_parse_avi`: the RIFF hdrl/movi walk
     with every frame through this same JPEG decoder; non-MJPEG codec
-    fourccs stay metadata-only).
+    fourccs stay metadata-only); QuickTime/MOV decodes MJPEG video
+    too (r12 — `_parse_mov`: the moov/trak/stbl sample-table walk,
+    'jpeg' samples through the same decoder; other sample formats
+    stay metadata-only).
     ``channels`` is 0 whenever px is None. Formats
     needing a real codec stack (MP4, compressed audio) raise — swapping
     in PIL/librosa later only changes this function."""
@@ -4662,6 +4964,8 @@ def _decode_payload(
         return n, 1, 1, (1 if px is not None else 0), px
     if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
         return _parse_avi(content)
+    if len(content) >= 12 and content[4:8] in _MOV_LEAD_ATOMS:
+        return _parse_mov(content)
     if content[:6] in (b"GIF87a", b"GIF89a"):
         return _parse_gif(content)
     if content[:2] == b"BM" and len(content) >= 14:

@@ -563,6 +563,11 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("n_frames", "int"), ("channels", "int"),
         ("px_sum", "bigint"), ("px_sqsum", "bigint"),
     ],
+    "q232_mov_mjpeg": [
+        ("media_id", "bigint"), ("width", "int"), ("height", "int"),
+        ("n_frames", "int"), ("channels", "int"),
+        ("px_sum", "bigint"), ("px_sqsum", "bigint"),
+    ],
     "q225_avi_mjpeg": [
         ("media_id", "bigint"), ("width", "int"), ("height", "int"),
         ("n_frames", "int"), ("channels", "int"),
@@ -1041,6 +1046,10 @@ BUNDLES: dict[str, list[str]] = {
         # pinned c*k//255 composite replayed per block in SQL; the
         # APP14-less clip adjudicates the metadata-only contract)
         "q231_jpeg_cmyk",
+        # r12: QuickTime/MOV MJPEG — the second video container
+        # (moov/trak/stbl sample-table walk, every 'jpeg' sample
+        # through the pinned JPEG decoder; 'mjpa' metadata-only)
+        "q232_mov_mjpeg",
     ],
     # round 9: WARC crawl-archive ingestion + URL canonicalization
     # dedup + eTLD+1 extraction + robots.txt filtering join the

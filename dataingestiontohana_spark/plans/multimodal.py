@@ -1370,6 +1370,100 @@ def q231_jpeg_cmyk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MOV_CACHE: dict[str, DataFrame] = {}
+
+
+def _mov_corpus(spark: SparkSession) -> DataFrame:
+    """REAL QuickTime/MOV MJPEG movies whose decode is EXACT (r12 —
+    the second video container): the q204 discipline again — frame f
+    of clip i is a 3x2 constant-block mosaic at unit quantization
+    seeded from md5('{i}:mov:{f}'), muxed through `encode_mov_mjpeg`
+    into genuine moov/trak/stbl sample tables. Clips: 0 = baseline,
+    one chunk per sample; 1 = progressive frames with TWO samples per
+    chunk (the stsc run expansion under the gate); 2 = sample format
+    'mjpa' (fielded MJPEG-A): VALID-UNSUPPORTED — stsd dims + stsz
+    frame count, NULL moments, never quarantined; 3 = gray-valued RGB
+    baseline (Cb/Cr quantize to exactly 0, the clip-35/37 trick) so
+    the 3-channel path is adjudicated in this container too."""
+    import hashlib
+
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+        encode_mov_mjpeg,
+    )
+
+    key = spark.sparkContext.applicationId
+    df = _MOV_CACHE.get(key)
+    if df is not None:
+        return df
+    _MOV_CACHE.clear()
+    ones = np.ones(64, dtype=np.int32)
+    w, h = _JPEG_BW * 8, _JPEG_BH * 8
+
+    def mosaic(mid: int, f: int) -> np.ndarray:
+        consts = hashlib.md5(f"{mid}:mov:{f}".encode()).digest()[
+            : _JPEG_BW * _JPEG_BH
+        ]
+        grid = np.zeros((h, w), dtype=np.uint8)
+        for j, v in enumerate(consts):
+            by, bx = divmod(j, _JPEG_BW)
+            grid[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+        return grid.reshape(-1)
+
+    rows = []
+    f0 = [
+        encode_jpeg_baseline(mosaic(0, f), w, h, 1, quant_luma=ones)
+        for f in range(3)
+    ]
+    rows.append((0, KIND_VIDEO, encode_mov_mjpeg(f0, w, h)))
+    f1 = [
+        encode_jpeg_progressive(mosaic(1, f), w, h, 1, quant_luma=ones)
+        for f in range(2)
+    ]
+    rows.append(
+        (1, KIND_VIDEO, encode_mov_mjpeg(f1, w, h, chunked=True))
+    )
+    rows.append(
+        (2, KIND_VIDEO, encode_mov_mjpeg(f0, w, h, fmt=b"mjpa"))
+    )
+    f3 = [
+        encode_jpeg_baseline(
+            np.repeat(mosaic(3, f), 3), w, h, 3,
+            quant_luma=ones, quant_chroma=ones,
+        )
+        for f in range(2)
+    ]
+    rows.append((3, KIND_VIDEO, encode_mov_mjpeg(f3, w, h)))
+    df = (
+        spark.createDataFrame(rows, "media_id long, kind int, content binary")
+        .coalesce(1)
+        .localCheckpoint(eager=False)
+    )
+    _MOV_CACHE[key] = df
+    return df
+
+
+def q232_mov_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QuickTime/MOV MJPEG under the VALUE gate (r12): baseline,
+    progressive (two-samples-per-chunk stsc layout), and gray-valued
+    RGB movies decode through the production `decode_media` — every
+    frame through the pinned JPEG decoder — with whole-clip moments
+    recomputed by the oracle from the md5 block seeds; the 'mjpa'
+    clip adjudicates the valid-unsupported contract (stsd dims + stsz
+    count, NULL moments)."""
+    return (
+        decode_media(_mov_corpus(spark))
+        .select(
+            "media_id", "width", "height", "n_frames", "channels",
+            "px_sum", "px_sqsum",
+        )
+        .orderBy("media_id")
+    )
+
+
 _AVI_CACHE: dict[str, DataFrame] = {}
 # (media_id, n_frames, channels) of the DECODING clips; clip 5 is the
 # valid-unsupported XVID entry (metadata-only by contract)
@@ -2398,6 +2492,7 @@ QUERIES = {
     "q215_gif_bmp": q215_gif_bmp,
     "q230_bmp_complete": q230_bmp_complete,
     "q231_jpeg_cmyk": q231_jpeg_cmyk,
+    "q232_mov_mjpeg": q232_mov_mjpeg,
     "q221_gif_frames": q221_gif_frames,
     "q225_avi_mjpeg": q225_avi_mjpeg,
     "q226_avi_frames": q226_avi_frames,
@@ -3006,6 +3101,38 @@ ORACLES = {
                CAST(SUM(v*v) AS BIGINT) AS px_sqsum
         FROM b2_px
         GROUP BY media_id
+        ORDER BY media_id
+    """,
+    "q232_mov_mjpeg": f"""
+        WITH mov_spec(media_id, nf, ch) AS (
+          VALUES (CAST(0 AS BIGINT), 3, 1), (1, 2, 1), (3, 2, 3)
+        ),
+        mov_blocks AS (
+          SELECT s.media_id, s.nf, s.ch, CAST(c.f AS INT) AS frame,
+                 16*(strpos('0123456789abcdef',
+                      substr(md5(s.media_id || ':mov:' || c.f),
+                             CAST(2*u.j+1 AS INT), 1))-1)
+                 + (strpos('0123456789abcdef',
+                      substr(md5(s.media_id || ':mov:' || c.f),
+                             CAST(2*u.j+2 AS INT), 1))-1) AS v
+          FROM mov_spec s, range(3) c(f),
+               range({_JPEG_BW * _JPEG_BH}) u(j)
+          WHERE c.f < s.nf
+        )
+        SELECT media_id,
+               CAST({_JPEG_BW * 8} AS INTEGER) AS width,
+               CAST({_JPEG_BH * 8} AS INTEGER) AS height,
+               CAST(nf AS INTEGER) AS n_frames,
+               CAST(ch AS INTEGER) AS channels,
+               CAST(ch * 64 * SUM(v) AS BIGINT) AS px_sum,
+               CAST(ch * 64 * SUM(v*v) AS BIGINT) AS px_sqsum
+        FROM mov_blocks
+        GROUP BY media_id, nf, ch
+        UNION ALL
+        -- clip 2: sample format mjpa, valid-unsupported — stsd dims
+        -- + stsz frame count with NULL moments
+        SELECT CAST(2 AS BIGINT), {_JPEG_BW * 8}, {_JPEG_BH * 8},
+               3, 0, NULL, NULL
         ORDER BY media_id
     """,
     "q231_jpeg_cmyk": """

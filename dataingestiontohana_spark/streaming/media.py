@@ -29,13 +29,15 @@ from dataingestiontohana_spark.operators.multimodal import (
 def _kind_by_ext() -> F.Column:
     """extension -> media kind; the decoder dispatches on MAGIC
     anyway, so this column only drives kind-gated downstream
-    operators (r12: .avi routes KIND_VIDEO so frame sampling sees
-    streamed clips). (A function, not a module constant: building a
-    Column needs an active session, and this module imports
+    operators (r12: .avi and .mov route KIND_VIDEO so frame sampling
+    sees streamed clips). (A function, not a module constant: building
+    a Column needs an active session, and this module imports
     session-free.)"""
     return (
         F.when(F.col("path").rlike(r"(?i)\.(wav)$"), F.lit(KIND_AUDIO))
-        .when(F.col("path").rlike(r"(?i)\.(avi)$"), F.lit(KIND_VIDEO))
+        .when(
+            F.col("path").rlike(r"(?i)\.(avi|mov)$"), F.lit(KIND_VIDEO)
+        )
         .otherwise(F.lit(KIND_IMAGE))
     )
 

@@ -498,6 +498,37 @@ def test_avi_mutations_and_truncations_never_escape():
         assert kind in ("pixels", "metadata", "error"), cut
 
 
+def test_mov_mutations_and_truncations_never_escape():
+    """r12 mutation coverage for the QuickTime/MOV container: every
+    single-byte mutation and every truncation of a 2-sample MJPEG
+    movie (real moov/trak/stbl tables) must land on the pinned
+    outcome set — pixels, metadata-only, or a quarantined corrupt
+    error. Never an uncaught exception."""
+    import hashlib
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        encode_jpeg_baseline,
+        encode_mov_mjpeg,
+    )
+
+    ones = np.ones(64)
+    g = np.zeros((16, 24), np.uint8)
+    for j, v in enumerate(hashlib.md5(b"mov-sweep").digest()[:6]):
+        by, bx = divmod(j, 3)
+        g[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+    px = g.reshape(-1)
+    jpg = encode_jpeg_baseline(px, 24, 16, 1, quant_luma=ones)
+    mov = encode_mov_mjpeg([jpg, jpg], 24, 16)
+    for i in range(len(mov)):
+        mutated = bytearray(mov)
+        mutated[i] ^= 0xA5
+        kind, _ = _decode_or_outcome(bytes(mutated))
+        assert kind in ("pixels", "metadata", "error"), i
+    for cut in range(len(mov)):
+        kind, _ = _decode_or_outcome(mov[:cut])
+        assert kind in ("pixels", "metadata", "error"), cut
+
+
 def test_decode_media_quarantines_corrupt_avi(spark):
     """A corrupt AVI (frame-count mismatch) lands a quarantine row
     through the full Spark decode_media path — the stream/batch never

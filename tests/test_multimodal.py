@@ -2511,3 +2511,137 @@ def test_lossless_subsampled_decodes_and_mcu_order_pin():
     at = good.find(b"\xff\xc3")
     crafted = good[:at] + b"\xff\xdd\x00\x04\x00\x08" + good[at:]
     assert _decode_jpeg_pixels(crafted) is None
+
+
+def _mov_mosaic(mid: int, f: int) -> "np.ndarray":
+    import hashlib
+
+    import numpy as np
+
+    g = np.zeros((16, 24), np.uint8)
+    for j, v in enumerate(
+        hashlib.md5(f"{mid}:mov:{f}".encode()).digest()[:6]
+    ):
+        by, bx = divmod(j, 3)
+        g[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+    return g.reshape(-1)
+
+
+def test_mov_mjpeg_round_trip_all_frame_codecs():
+    """r12: the QuickTime sample-table walk + per-frame JPEG decode
+    is EXACT on md5-mosaic frames — baseline, progressive, arithmetic,
+    gray-valued RGB — in the one-chunk-per-sample AND the
+    two-samples-per-chunk (stsc run) layouts."""
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        _decode_payload,
+        encode_jpeg_arith,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+        encode_mov_mjpeg,
+    )
+
+    ones = np.ones(64)
+    cases = [
+        ("baseline", lambda px: encode_jpeg_baseline(
+            px, 24, 16, 1, quant_luma=ones), 1),
+        ("progressive", lambda px: encode_jpeg_progressive(
+            px, 24, 16, 1, quant_luma=ones), 1),
+        ("arith", lambda px: encode_jpeg_arith(
+            px, 24, 16, 1, quant_luma=ones), 1),
+        ("rgb", lambda px: encode_jpeg_baseline(
+            np.repeat(px, 3), 24, 16, 3,
+            quant_luma=ones, quant_chroma=ones), 3),
+    ]
+    for mid, (label, enc, ch) in enumerate(cases):
+        for chunked in (False, True):
+            frames = [enc(_mov_mosaic(mid, f)) for f in range(3)]
+            mov = encode_mov_mjpeg(frames, 24, 16, chunked=chunked)
+            w, h, nf, got_ch, px = _decode_payload(mov)
+            assert (w, h, nf, got_ch) == (24, 16, 3, ch), (
+                label, chunked,
+            )
+            exp = np.concatenate([
+                np.repeat(_mov_mosaic(mid, f), ch) for f in range(3)
+            ])
+            assert (px == exp).all(), (label, chunked)
+
+
+def test_mov_container_contract():
+    """r12: the malformed/unsupported MOV taxonomy — sample-table
+    disagreement, geometry drift, non-SOI sample, samples past the
+    payload, missing mandatory atoms all RAISE (quarantine);
+    non-'jpeg' sample formats, zero samples, audio-only movies, and a
+    declared-seam frame codec stay METADATA-ONLY with stsd dims
+    intact (valid-unsupported, never wrong pixels)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        _decode_payload,
+        _parse_mov,
+        encode_jpeg_baseline,
+        encode_mov_mjpeg,
+    )
+
+    ones = np.ones(64)
+    jpg = encode_jpeg_baseline(_mov_mosaic(7, 0), 24, 16, 1,
+                               quant_luma=ones)
+    base = encode_mov_mjpeg([jpg, jpg], 24, 16)
+
+    # stsz count patched to disagree with the stsc allocation
+    at = base.find(b"stsz") + 4 + 8
+    blob = bytearray(base)
+    blob[at:at + 4] = struct.pack(">I", 5)
+    with pytest.raises(ValueError):
+        _parse_mov(bytes(blob))
+    # geometry drift mid-stream
+    jpg_small = encode_jpeg_baseline(
+        _mov_mosaic(7, 1)[: 8 * 8], 8, 8, 1, quant_luma=ones)
+    with pytest.raises(ValueError):
+        _parse_mov(encode_mov_mjpeg([jpg, jpg_small], 24, 16))
+    # stsd/frame geometry disagreement
+    with pytest.raises(ValueError):
+        _parse_mov(encode_mov_mjpeg([jpg, jpg], 48, 16))
+    # a sample without JPEG SOI
+    with pytest.raises(ValueError):
+        _parse_mov(encode_mov_mjpeg([b"\x00" * 32], 24, 16))
+    # truncation: atoms out of bounds
+    with pytest.raises(ValueError):
+        _parse_mov(base[: len(base) - 6])
+    # non-jpeg sample format: metadata-only with stsd dims
+    assert _decode_payload(encode_mov_mjpeg(
+        [jpg, jpg], 24, 16, fmt=b"mjpa"
+    )) == (24, 16, 2, 0, None)
+    # zero samples: metadata-only
+    assert _decode_payload(encode_mov_mjpeg([], 24, 16)) == (
+        24, 16, 0, 0, None)
+    # movie without a video track (hdlr != vide): metadata-only 0x0
+    novid = bytearray(base)
+    hat = novid.find(b"mhlr" + b"vide") + 4
+    novid[hat:hat + 4] = b"soun"
+    assert _parse_mov(bytes(novid)) == (0, 0, 0, 0, None)
+    # a frame in a declared JPEG seam (arithmetic-lossless SOF11):
+    # the whole movie degrades to metadata-only
+    def seg(marker, body):
+        return (bytes([0xFF, marker])
+                + (2 + len(body)).to_bytes(2, "big") + body)
+
+    frame_body = (bytes([8]) + struct.pack(">HH", 16, 24)
+                  + bytes([1, 1, 0x11, 0]))
+    seam = (b"\xff\xd8" + seg(0xCB, frame_body)
+            + seg(0xDA, bytes([1, 1, 0x00, 1, 0, 0]))
+            + b"\x55" * 32 + b"\xff\xd9")
+    assert _decode_payload(encode_mov_mjpeg([jpg, seam], 24, 16)) == (
+        24, 16, 2, 0, None)
+    # crafted uniform stsz declaring 2^28 samples: bounded BEFORE
+    # allocation, quarantined as structural
+    ub = bytearray(base)
+    zat = ub.find(b"stsz") + 4
+    ub[zat + 4 : zat + 8] = struct.pack(">I", 64)   # uniform size
+    ub[zat + 8 : zat + 12] = struct.pack(">I", 1 << 28)
+    with pytest.raises(ValueError):
+        _parse_mov(bytes(ub))

@@ -227,3 +227,47 @@ def test_streamed_avi_decodes_with_video_kind(spark, tmp_path):
     assert ok["kind"] == KIND_VIDEO and ok["n_frames"] == 3
     assert ok["px_sum"] == 3 * 64 * sum(consts)
     assert by_path["broken.avi"]["decode_error"] is not None
+
+
+def test_streamed_mov_decodes_with_video_kind(spark, tmp_path):
+    """r12: a .mov dropped into the media directory routes
+    KIND_VIDEO and decodes through the QuickTime sample-table walk;
+    a sibling with disagreeing sample tables quarantines without
+    killing the stream."""
+    import hashlib
+    import struct
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        KIND_VIDEO,
+        encode_jpeg_baseline,
+        encode_mov_mjpeg,
+    )
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    ones = np.ones(64)
+    g = np.zeros((16, 24), np.uint8)
+    consts = hashlib.md5(b"stream-mov").digest()[:6]
+    for j, v in enumerate(consts):
+        by, bx = divmod(j, 3)
+        g[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+    jpg = encode_jpeg_baseline(g.reshape(-1), 24, 16, 1, quant_luma=ones)
+    good = encode_mov_mjpeg([jpg, jpg, jpg], 24, 16)
+    bad = bytearray(good)
+    at = good.find(b"stsz") + 4 + 8
+    bad[at : at + 4] = struct.pack(">I", 9)
+    _write(src, "clip.mov", good)
+    _write(src, "broken.mov", bytes(bad))
+
+    rows: list = []
+    q = run_media_ingest(spark, str(src), str(tmp_path / "ck"), rows)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+
+    assert len(rows) == 2
+    by_path = {r["src_path"].rsplit("/", 1)[-1]: r for r in rows}
+    ok = by_path["clip.mov"]
+    assert ok["kind"] == KIND_VIDEO and ok["n_frames"] == 3
+    assert ok["px_sum"] == 3 * 64 * sum(consts)
+    assert by_path["broken.mov"]["decode_error"] is not None
