@@ -387,24 +387,27 @@ def cap_lsh_buckets(
     )
 
 
-def minhash_bands(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+def bands_from_signatures(
+    sig: DataFrame, id_col: str = "doc_id", bands: int = BANDS
 ) -> DataFrame:
-    """(id, sig, band, bucket) — the banded-LSH frame: one row per
-    (document, band), bucket = md5 of the band's '|'-joined min-hash
-    values (decimal-rendered) — a portable 32-char hex identity (the
-    DuckDB oracle rebuilds it verbatim) at a fixed 32 B/row shuffle
-    payload. This is also the SIGNATURE-STORE row format
-    (operators/dedup_store.py): persisting it lets a new shard dedup
-    against an existing corpus without recomputing corpus signatures.
-    """
-    sig = minhash_signatures(docs, id_col, text_col)
+    """Band an EXISTING (id, sig) signature frame -> (id, sig, band,
+    bucket) at any band count dividing the signature length (r12:
+    the store-migration primitive — re-banding persisted signatures
+    must not re-shingle documents). Bucket = md5 of the band's
+    '|'-joined min-hash values, identical expression whatever the
+    band count, so a migrated store is row-identical to one built
+    from scratch at the new geometry."""
+    if NUM_HASHES % bands:
+        raise ValueError(
+            f"bands={bands} must divide the {NUM_HASHES}-hash signature"
+        )
+    rows = NUM_HASHES // bands
     return sig.select(
         id_col,
         "sig",
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), F.lit(BANDS - 1)),
+                F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
                     F.md5(
@@ -413,8 +416,8 @@ def minhash_bands(
                             F.transform(
                                 F.slice(
                                     F.col("sig"),
-                                    b * ROWS_PER_BAND + 1,
-                                    ROWS_PER_BAND,
+                                    b * rows + 1,
+                                    rows,
                                 ),
                                 lambda h: h.cast("string"),
                             ),
@@ -424,6 +427,27 @@ def minhash_bands(
             )
         ).alias("bb"),
     ).select(id_col, "sig", "bb.band", "bb.bucket")
+
+
+def minhash_bands(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = BANDS,
+) -> DataFrame:
+    """(id, sig, band, bucket) — the banded-LSH frame: one row per
+    (document, band), bucket = md5 of the band's '|'-joined min-hash
+    values (decimal-rendered) — a portable 32-char hex identity (the
+    DuckDB oracle rebuilds it verbatim) at a fixed 32 B/row shuffle
+    payload. This is also the SIGNATURE-STORE row format
+    (operators/dedup_store.py): persisting it lets a new shard dedup
+    against an existing corpus without recomputing corpus signatures.
+    ``bands`` (r12) picks the geometry — more/narrower bands catch
+    lower-Jaccard pairs (J* ~ (1/b)^(1/r)); any divisor of
+    NUM_HASHES is legal and `bands_from_signatures` re-bands a
+    persisted store without re-shingling."""
+    sig = minhash_signatures(docs, id_col, text_col)
+    return bands_from_signatures(sig, id_col, bands)
 
 
 def signature_jaccard(

@@ -349,3 +349,59 @@ def test_compact_store_is_idempotent_and_band_partitioned(
     s2 = compact_store(spark, store)
     assert s2["rows_dropped"] == 0
     assert any(e.startswith("band=") for e in os.listdir(store))
+
+
+def test_migrate_store_bands_equals_rebuild(spark, tmp_path):
+    """r12 (store geometry lifecycle): re-banding a persisted store
+    from the stored signatures — no re-shingling — must be
+    ROW-IDENTICAL to a store built from scratch at the new band
+    count, including the changed-text-replay case where one id
+    carries two distinct signatures (both versions keep banding)."""
+    from dataingestiontohana_spark.operators.dedup_store import (
+        migrate_store_bands,
+    )
+
+    store = str(tmp_path / "sigstore")
+    rebuilt = str(tmp_path / "rebuilt8")
+    d = load_table(spark, SF0001, "documents").limit(40)
+    mutated = d.limit(4).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" CHANGED"))
+    )
+
+    write_signature_store(d, store)
+    append_to_store(mutated, store)  # same ids, different signatures
+    stats = migrate_store_bands(spark, store, 8)
+
+    from dataingestiontohana_spark.operators.dedup import minhash_bands
+
+    # the from-scratch twin: every distinct (id, sig) variant's full
+    # band set (two of the four mutated docs are too short for the
+    # suffix to change their shingles, so they re-sign identically
+    # and migration's (id, sig) distinct absorbs them)
+    minhash_bands(d, bands=8).unionByName(
+        minhash_bands(mutated, bands=8)
+    ).dropDuplicates(["doc_id", "sig", "band"]).write.mode(
+        "overwrite"
+    ).partitionBy("band").parquet(rebuilt)
+    cols = ["doc_id", "sig", "band", "bucket"]
+    got = sorted(
+        (r["doc_id"], tuple(r["sig"]), r["band"], r["bucket"])
+        for r in spark.read.parquet(store).select(*cols).collect()
+    )
+    want = sorted(
+        (r["doc_id"], tuple(r["sig"]), r["band"], r["bucket"])
+        for r in spark.read.parquet(rebuilt).select(*cols).collect()
+    )
+    assert got == want and len(got) > 40 * 8
+    assert stats["ids"] > 40  # some changed texts really re-signed
+    assert stats["rows_after"] == stats["ids"] * 8
+    # band partitioning preserved at the new geometry
+    import os
+
+    bands = {e for e in os.listdir(store) if e.startswith("band=")}
+    assert bands == {f"band={i}" for i in range(8)}
+    # an illegal band count is refused before any rewrite
+    import pytest
+
+    with pytest.raises(ValueError, match="must divide"):
+        migrate_store_bands(spark, store, 5)
