@@ -3154,6 +3154,12 @@ def _parse_wav_ex(b: bytes) -> tuple[int, np.ndarray | None, str]:
     return _decode_wave_payload(fmt_body, data)
 
 
+# the fixed KSDATAFORMAT_SUBTYPE media-GUID tail: SubFormat =
+# <classic fmt tag, 2 bytes LE> + this — WAVE_FORMAT_EXTENSIBLE's
+# codec identity (mmreg.h; the tail is identical for PCM/float/G.711)
+_KS_GUID_TAIL = bytes.fromhex("000000000010800000aa00389b71")
+
+
 def _decode_wave_payload(
     fmt_body: bytes, data: bytes
 ) -> tuple[int, np.ndarray | None, str]:
@@ -3175,6 +3181,21 @@ def _decode_wave_payload(
     channels = struct.unpack("<H", body[2:4])[0]
     block_align = struct.unpack("<H", body[12:14])[0]
     bits = struct.unpack("<H", body[14:16])[0]
+    if fmt_tag == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE (r12): the modern wrapper most
+        # multichannel/high-bit-depth writers emit. The real codec rides
+        # in the SubFormat GUID — the classic fmt tag in the first
+        # two bytes followed by the fixed KSDATAFORMAT media tail.
+        # Remap the tags whose decoders exist (PCM/float/G.711) and
+        # decode at the CONTAINER width (wValidBitsPerSample <= bits
+        # means low bits are zero-padded — what every reader does);
+        # any other SubFormat keeps the count-only contract below.
+        if length < 40:
+            raise ValueError("WAV: extensible fmt shorter than 40")
+        guid = body[24:40]
+        sub = struct.unpack("<H", guid[0:2])[0]
+        if guid[2:] == _KS_GUID_TAIL and sub in (1, 3, 6, 7):
+            fmt_tag = sub
     # a later fmt chunk REDECLARES the codec: reset every
     # codec flag so the last declaration wins outright (r10
     # review: a stale g711/float/adpcm flag from an earlier

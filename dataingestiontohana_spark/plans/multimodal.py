@@ -944,6 +944,46 @@ def _wav_native_corpus(spark: SparkSession) -> DataFrame:
             + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(data)) + data,
         ))
+    # WAVE_FORMAT_EXTENSIBLE clips 39-40 (r12 — the modern wrapper
+    # most multichannel/high-bit-depth writers emit, fmt tag 0xFFFE):
+    # the real codec rides in the SubFormat GUID (classic tag + the
+    # fixed KSDATAFORMAT tail). Clip 39 wraps 16-bit stereo integer
+    # PCM (the clip-1 data formula verbatim), clip 40 wraps 32-bit
+    # float mono (the clip-16 grid-planting math verbatim) — the
+    # oracle arms extend by ONE spec row each because the sample
+    # bytes are the same expansions; only the container header
+    # differs, and the dispatch remap is what's under test.
+    from dataingestiontohana_spark.operators.multimodal import (
+        _KS_GUID_TAIL,
+    )
+
+    def ext_container(
+        data: bytes, channels: int, bits: int, sub_tag: int
+    ) -> bytes:
+        width = bits // 8
+        fmt = struct.pack(
+            "<HHIIHH", 0xFFFE, channels, 8000,
+            8000 * width * channels, width * channels, bits,
+        ) + struct.pack("<HHI", 22, bits, (1 << channels) - 1) + (
+            struct.pack("<H", sub_tag) + _KS_GUID_TAIL
+        )
+        return (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    data39 = md5_expand(39, _WAV_FRAMES * 2 * 2)
+    rows.append((39, KIND_AUDIO, ext_container(data39, 2, 16, 1)))
+    raw40 = md5_expand(40, _WAV_FRAMES * 4)
+    us40 = [
+        int.from_bytes(raw40[j * 4 : (j + 1) * 4], "little")
+        for j in range(_WAV_FRAMES)
+    ]
+    ks40 = [(u % (1 << 24)) - (1 << 23) for u in us40]
+    vals40 = [k / float(1 << 23) for k in ks40]
+    data40 = struct.pack(f"<{len(vals40)}f", *vals40)
+    rows.append((40, KIND_AUDIO, ext_container(data40, 1, 32, 3)))
     df = (
         spark.createDataFrame(rows, "media_id long, kind int, content binary")
         .coalesce(2)
@@ -1922,6 +1962,10 @@ wav_media AS (
          CASE i WHEN 24 THEN 4 WHEN 25 THEN 4 WHEN 26 THEN 3
                 ELSE 6 END
   FROM range(24, 28) t(i)
+  UNION ALL
+  -- WAVE_FORMAT_EXTENSIBLE clip 39 (r12): 16-bit stereo PCM behind
+  -- the SubFormat GUID remap — same sample bytes as the classic clips
+  SELECT CAST(39 AS BIGINT), 16, 2
 ),
 wav_chunks AS (
   SELECT m.media_id, m.bits, m.channels,
@@ -1980,6 +2024,10 @@ wavf_media AS (
          CASE WHEN i = 29 THEN 51 ELSE 23 END,
          4
   FROM range(28, 30) t(i)
+  UNION ALL
+  -- WAVE_FORMAT_EXTENSIBLE clip 40 (r12): 32-bit float mono behind
+  -- the SubFormat GUID remap — the clip-16 grid math verbatim
+  SELECT CAST(40 AS BIGINT), 32, 4, 23, 1
 ),
 wavf_chunks AS (
   SELECT m.media_id, m.bits, m.stride, m.g, m.channels,

@@ -2645,3 +2645,75 @@ def test_mov_container_contract():
     ub[zat + 8 : zat + 12] = struct.pack(">I", 1 << 28)
     with pytest.raises(ValueError):
         _parse_mov(bytes(ub))
+
+
+def test_wav_extensible_remaps_subformat_guid():
+    """r12: WAVE_FORMAT_EXTENSIBLE (fmt tag 0xFFFE) — the modern
+    wrapper — remaps PCM/float/G.711 SubFormat GUIDs to the classic
+    decoders (sample bytes decode identically to the classic
+    container), keeps unknown GUID tails and unsupported subformats
+    count-only, and quarantines a truncated extensible fmt."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        _KS_GUID_TAIL,
+        _parse_wav_ex,
+    )
+
+    def ext(sub, channels, bits, data, tail=None):
+        guid = struct.pack("<H", sub) + (
+            _KS_GUID_TAIL if tail is None else tail
+        )
+        fmt = struct.pack(
+            "<HHIIHH", 0xFFFE, channels, 8000,
+            8000 * channels * bits // 8, channels * bits // 8, bits,
+        ) + struct.pack("<HHI", 22, bits, (1 << channels) - 1) + guid
+        return (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    def classic(tag, channels, bits, data):
+        fmt = struct.pack(
+            "<HHIIHH", tag, channels, 8000,
+            8000 * channels * bits // 8, channels * bits // 8, bits,
+        )
+        return (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    rng = np.random.default_rng(41)
+    s16 = rng.integers(-32768, 32767, size=128, dtype=np.int16).tobytes()
+    for sub, ch, bits, data in (
+        (1, 2, 16, s16),
+        (1, 1, 24, rng.integers(0, 256, 96, dtype=np.uint8).tobytes()),
+        (3, 1, 32, rng.integers(-9, 9, 32).astype("<f4").tobytes()),
+        (7, 2, 8, rng.integers(0, 256, 64, dtype=np.uint8).tobytes()),
+    ):
+        ne, pe, ce = _parse_wav_ex(ext(sub, ch, bits, data))
+        nc, pc, cc = _parse_wav_ex(classic(sub, ch, bits, data))
+        assert (ne, ce) == (nc, cc) and np.array_equal(pe, pc), (
+            sub, ch, bits,
+        )
+    # unknown GUID tail / unsupported subformat: count-only
+    n, px, _ = _parse_wav_ex(ext(1, 2, 16, s16, tail=b"\xde" * 14))
+    assert px is None and n == 64
+    n, px, _ = _parse_wav_ex(ext(2, 1, 4, b"\x00" * 32))
+    assert px is None
+    # truncated extensible fmt (cbSize present, GUID cut): corrupt
+    blob = ext(1, 2, 16, s16)
+    at = blob.find(b"fmt ")
+    short = blob[at + 8 : at + 8 + 20]
+    rebuilt = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + 20 + 8 + len(s16))
+        + b"WAVE" + b"fmt " + struct.pack("<I", 20) + short
+        + b"data" + struct.pack("<I", len(s16)) + s16
+    )
+    with pytest.raises(ValueError, match="extensible"):
+        _parse_wav_ex(rebuilt)
