@@ -568,6 +568,10 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("n_frames", "int"), ("channels", "int"),
         ("px_sum", "bigint"), ("px_sqsum", "bigint"),
     ],
+    "q233_mov_frames": [
+        ("media_id", "bigint"), ("frame_idx", "int"),
+        ("frame_px_sum", "bigint"),
+    ],
     "q225_avi_mjpeg": [
         ("media_id", "bigint"), ("width", "int"), ("height", "int"),
         ("n_frames", "int"), ("channels", "int"),
@@ -1048,8 +1052,9 @@ BUNDLES: dict[str, list[str]] = {
         "q231_jpeg_cmyk",
         # r12: QuickTime/MOV MJPEG — the second video container
         # (moov/trak/stbl sample-table walk, every 'jpeg' sample
-        # through the pinned JPEG decoder; 'mjpa' metadata-only)
-        "q232_mov_mjpeg",
+        # through the pinned JPEG decoder; 'mjpa' metadata-only) —
+        # whole-clip gate + per-frame sampling gate
+        "q232_mov_mjpeg", "q233_mov_frames",
     ],
     # round 9: WARC crawl-archive ingestion + URL canonicalization
     # dedup + eTLD+1 extraction + robots.txt filtering join the

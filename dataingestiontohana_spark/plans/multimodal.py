@@ -1486,6 +1486,20 @@ def _mov_corpus(spark: SparkSession) -> DataFrame:
     return df
 
 
+def q233_mov_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame SAMPLING on real MOV movies (r12): every_k=2
+    through the production `sample_frames` operator — one row per
+    kept frame with its exact byte-sum checksum, adjudicating the
+    frame SLICES individually across the QuickTime container (q232
+    gates the whole-clip aggregate); the metadata-only 'mjpa' movie
+    contributes zero rows."""
+    return (
+        sample_frames(_mov_corpus(spark), every_k=2)
+        .select("media_id", "frame_idx", "frame_px_sum")
+        .orderBy("media_id", "frame_idx")
+    )
+
+
 def q232_mov_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QuickTime/MOV MJPEG under the VALUE gate (r12): baseline,
     progressive (two-samples-per-chunk stsc layout), and gray-valued
@@ -2541,6 +2555,7 @@ QUERIES = {
     "q230_bmp_complete": q230_bmp_complete,
     "q231_jpeg_cmyk": q231_jpeg_cmyk,
     "q232_mov_mjpeg": q232_mov_mjpeg,
+    "q233_mov_frames": q233_mov_frames,
     "q221_gif_frames": q221_gif_frames,
     "q225_avi_mjpeg": q225_avi_mjpeg,
     "q226_avi_frames": q226_avi_frames,
@@ -3182,6 +3197,29 @@ ORACLES = {
         SELECT CAST(2 AS BIGINT), {_JPEG_BW * 8}, {_JPEG_BH * 8},
                3, 0, NULL, NULL
         ORDER BY media_id
+    """,
+    "q233_mov_frames": f"""
+        WITH mov_spec(media_id, nf, ch) AS (
+          VALUES (CAST(0 AS BIGINT), 3, 1), (1, 2, 1), (3, 2, 3)
+        ),
+        mov_blocks AS (
+          SELECT s.media_id, s.nf, s.ch, CAST(c.f AS INT) AS frame,
+                 16*(strpos('0123456789abcdef',
+                      substr(md5(s.media_id || ':mov:' || c.f),
+                             CAST(2*u.j+1 AS INT), 1))-1)
+                 + (strpos('0123456789abcdef',
+                      substr(md5(s.media_id || ':mov:' || c.f),
+                             CAST(2*u.j+2 AS INT), 1))-1) AS v
+          FROM mov_spec s, range(3) c(f),
+               range({_JPEG_BW * _JPEG_BH}) u(j)
+          WHERE c.f < s.nf
+        )
+        SELECT media_id, frame AS frame_idx,
+               CAST(ch * 64 * SUM(v) AS BIGINT) AS frame_px_sum
+        FROM mov_blocks
+        WHERE frame % 2 = 0
+        GROUP BY media_id, frame, ch
+        ORDER BY media_id, frame_idx
     """,
     "q231_jpeg_cmyk": """
         WITH ck_blocks AS (
