@@ -97,6 +97,11 @@ _WARC_CHARSET_DOCS: list[tuple[int, int, str, str, str, str]] = [
     (6, 4, "text/html", "cp1251", "", "русская страница без кодировки"),
     (7, 4, "text/html", "euc_jp", "", "ひらがなの日本語ページ"),
     (8, 4, "text/html", "big5", "", "繁體中文網頁測試內容"),
+    # r12 third pass: koi8_r (case-inversion vs cp1251 adjudicated by
+    # the lowercase gate; box-symbol gate vs CJK mojibake) and euc_kr
+    # (Hangul-dominance + spaced-run gates vs the GB level-1 overlap)
+    (6, 5, "text/html", "koi8_r", "", "страница в кодировке кои"),
+    (7, 5, "text/html", "euc_kr", "", "선언이 없는 한국어 페이지"),
 ]
 
 

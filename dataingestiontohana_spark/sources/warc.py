@@ -297,13 +297,23 @@ _CP1252_PUNCT = frozenset(
 )
 
 
-def _script_score(text: str) -> int:
+def _script_score(text: str, kana_weight: int = 3) -> int:
     score = 0
     t = text[:2048]
     for i, ch in enumerate(t):
         o = ord(ch)
         if 0x3040 <= o <= 0x30FF:
-            score += 3  # full-width kana: the Japanese tell
+            # full-width kana: the Japanese tell — but only as
+            # evidence FOR the Japanese candidates (r12: GB2312 rows
+            # A4/A5 and Big5's symbol area both contain kana, so a
+            # Chinese mis-parse can surface stray kana; a kana-heavy
+            # page is Japanese and the sjis/euc_jp candidates claim
+            # it with the full weight)
+            score += kana_weight
+        elif 0xAC00 <= o <= 0xD7A3:
+            score += 3  # Hangul syllables: the Korean tell (r12 —
+            # outweighs the +2/char a GBK mis-parse of the same
+            # bytes collects as ideograph soup)
         elif 0x4E00 <= o <= 0x9FFF or 0x3400 <= o <= 0x4DBF:
             score += 2  # unified ideographs
         elif 0x0400 <= o <= 0x045F:
@@ -370,12 +380,46 @@ def sniff_charset(body: bytes) -> str:
     sample = bytes(body[start : start + _SNIFF_LIMIT])
     truncated = start + _SNIFF_LIMIT < len(body)
     best, best_score = "utf-8", 0
-    for enc in ("shift_jis", "euc_jp", "gbk", "big5", "cp1252",
-                "cp1251"):
+    for enc in ("shift_jis", "euc_jp", "gbk", "big5", "euc_kr",
+                "cp1252", "cp1251", "koi8_r"):
         text = _strict_sample_decode(sample, enc, truncated)
         if text is None:
             continue
-        score = _script_score(text)
+        score = _script_score(
+            text,
+            kana_weight=3 if enc in ("shift_jis", "euc_jp") else 0,
+        )
+        if enc == "euc_kr":
+            # the kana-gate argument transposed (r12): EUC-KR shares
+            # the A1-FE x A1-FE grid with GB2312/EUC-JP, but real
+            # Korean text is HANGUL-DOMINANT (KS X 1001 rows B0-C8;
+            # modern Korean prose uses hanja sparingly), while a
+            # Chinese page mis-parsed under the KS grid scatters its
+            # B0-F7 leads ~1/3 into the Hangul rows and ~2/3 into
+            # the hanja rows — so requiring Hangul to outnumber
+            # ideographs 2:1 rejects the mis-parse deterministically,
+            # and a Hangul-free parse is not Korean at all
+            # ... and Korean is a SPACED language (the decisive
+            # structural tell): prose breaks every few syllables,
+            # while Chinese runs unspaced — GB level-1 hanzi rows
+            # (B0-D7, pinyin-sorted common characters) overlap the
+            # KS Hangul rows (B0-C8) so heavily that a ratio gate
+            # alone cannot reject a common-hanzi page. A mis-parse
+            # keeps the source's unspaced runs; cap them at 8.
+            hangul = ideo = run = best_run = 0
+            for c in text[:2048]:
+                o = ord(c)
+                cjk = False
+                if 0xAC00 <= o <= 0xD7A3:
+                    hangul += 1
+                    cjk = True
+                elif 0x4E00 <= o <= 0x9FFF or 0x3400 <= o <= 0x4DBF:
+                    ideo += 1
+                    cjk = True
+                run = run + 1 if cjk else 0
+                best_run = max(best_run, run)
+            if hangul == 0 or hangul < 2 * ideo or best_run > 8:
+                continue
         if enc == "euc_jp" and not any(
             0x3040 <= ord(c) <= 0x30FF for c in text[:2048]
         ):
@@ -385,7 +429,14 @@ def sniff_charset(body: bytes) -> str:
             # carries kana, while Chinese text never lands in the
             # kana rows; a kana-free euc_jp parse is a GB2312 page
             continue
-        if enc == "cp1251":
+        if enc in ("cp1251", "koi8_r"):
+            # (r12: the same three Russian-prose gates adjudicate
+            # koi8_r — the OTHER dominant Cyrillic encoding, whose
+            # case halves are INVERTED vs cp1251: lowercase at
+            # 0xC0-0xDF, uppercase at 0xE0-0xFF. Lowercase-dominant
+            # Russian prose in one encoding decodes UPPERCASE-
+            # dominant under the other, so the lowercase gate picks
+            # exactly the right one and the loser is rejected here.)
             # cp1251 maps EVERY 0xC0-0xFF byte to a Cyrillic letter,
             # so any CJK byte soup parses as dense Cyrillic. Two
             # properties separate real Russian prose from that
@@ -416,6 +467,20 @@ def sniff_charset(body: bytes) -> str:
                 or best_run < 3
             ):
                 continue
+            if enc == "koi8_r":
+                # koi8_r's own tell (r12): its 0x80-0xBF zone is box
+                # drawings and math symbols — exactly where GB/Big5
+                # TRAIL bytes (0xA1-0xBF) land — so CJK-as-koi8
+                # mojibake is ~1/3 box characters, while real Russian
+                # prose contains essentially none. (koi8_r has no
+                # extension letters, so gate (c) alone cannot reject
+                # it the way it rejects cp1251 mis-parses.)
+                boxes = sum(
+                    1 for c in text[:2048]
+                    if 0x2300 <= ord(c) <= 0x25FF
+                )
+                if boxes * 20 > len(cyr):
+                    continue
         if enc == "big5":
             # Big5 vs GBK: both cover nearly every 2-byte pattern,
             # but HALF of real Big5 trails sit in 0x40-0x7E, a range

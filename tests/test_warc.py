@@ -513,3 +513,44 @@ def test_content_sniffing_all_six_families():
         assert body.decode(got) == (
             f"<html><body><p>{text}</p></body></html>"
         )
+
+
+def test_content_sniffing_koi8r_and_euc_kr():
+    """r12 third pass: the sniffer covers all EIGHT major crawl
+    families. koi8_r joins via the shared Russian-prose gates (its
+    case halves are INVERTED vs cp1251, so the lowercase-dominance
+    gate picks exactly the right Cyrillic encoding) plus a
+    box-symbol gate (koi8's 0x80-0xBF zone is box drawings — where
+    CJK trail bytes land — and real Russian uses none). euc_kr joins
+    via Hangul dominance over ideographs AND the spaced-run gate
+    (Korean breaks every few syllables; Chinese mis-parses keep
+    their unspaced runs). Kana now counts only for the Japanese
+    candidates (GB2312 rows A4/A5 and Big5's symbol area contain
+    kana, which previously let a Chinese page's mis-parse steal the
+    +3 Japanese bonus)."""
+    from dataingestiontohana_spark.sources.warc import resolve_charset
+
+    cases = [
+        ("한국어 문서 선언 없는 페이지 내용입니다", "euc_kr"),
+        ("서울의 날씨와 교통 정보를 제공합니다", "euc_kr"),
+        ("대한민국 서울특별시의 오늘 주요 뉴스", "euc_kr"),
+        ("русский текст без объявления кодировки", "koi8_r"),
+        ("Новости дня: погода и курс валют сегодня", "koi8_r"),
+        # the confusion set: the same Russian text in cp1251 must
+        # still land cp1251 (case halves decide), common-hanzi
+        # Chinese must not become euc_kr or big5, and Japanese
+        # keeps beating the Chinese candidates
+        ("русский текст без объявления кодировки", "cp1251"),
+        ("中华人民共和国北京市今日新闻内容摘要", "gbk"),
+        ("北京上海广州深圳的天气预报信息", "gbk"),
+        ("繁體中文網頁測試內容完全沒有字符集聲明", "big5"),
+        ("日本語のページ、ひらがなとカタカナと漢字", "euc_jp"),
+        ("宣言のない日本語ページです", "shift_jis"),
+    ]
+    for text, enc in cases:
+        body = f"<html><body><p>{text}</p></body></html>".encode(enc)
+        got = resolve_charset("text/html", body)
+        assert got == enc, (text, enc, got)
+        assert body.decode(got) == (
+            f"<html><body><p>{text}</p></body></html>"
+        )
