@@ -4514,14 +4514,24 @@ def _parse_avi_audio(b: bytes) -> tuple[int, np.ndarray | None, str]:
 def avi_audio_samples(
     df: DataFrame, passthrough: tuple[str, ...] = ()
 ) -> DataFrame:
-    """AVI audio demux + decode (r12) -> one row per clip that
+    """Container audio demux + decode (r12) -> one row per clip that
     carries an audio stream: (media_id, codec, n_samples, px_sum,
     px_sqsum, decode_error) with the exact integer sample moments
     (`_exact_moments` — the same mergeable, oracle-replayable state
-    decode_media emits for pixels). Map-only mapInPandas; corrupt
+    decode_media emits for pixels). Dispatches on the container
+    magic: RIFF/AVI 'auds' streams through the shared WAV codec
+    dispatch, QuickTime/MOV 'soun' tracks through the sample-table
+    walk (sowt/twos/raw PCM). Map-only mapInPandas; corrupt
     containers land a quarantine row, audio-less clips contribute
     nothing, codec-unsupported streams keep the count-only
     contract."""
+
+    def demux(content: bytes) -> tuple[int, np.ndarray | None, str]:
+        if content[:4] == b"RIFF":
+            return _parse_avi_audio(content)
+        if len(content) >= 12 and content[4:8] in _MOV_LEAD_ATOMS:
+            return _parse_mov_audio(content)
+        raise ValueError("audio demux: not an AVI or MOV container")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -4532,7 +4542,7 @@ def avi_audio_samples(
             ):
                 thru = tuple(col.iloc[i] for col in extras)
                 try:
-                    n, px, codec = _parse_avi_audio(bytes(content))
+                    n, px, codec = demux(bytes(content))
                 except _CORRUPT_ERRORS as ex:
                     rows.append(
                         (mid, None, None, None, None,
@@ -4672,6 +4682,89 @@ def _mov_find(b: bytes, start: int, end: int, typ: bytes):
     return None
 
 
+def _mov_sample_sizes(
+    b: bytes, stsz: tuple[int, int]
+) -> tuple[int, list[int]]:
+    """stsz -> (sample count, per-sample byte sizes)."""
+    zs, ze = stsz
+    uniform = int.from_bytes(b[zs + 4 : zs + 8], "big")
+    nf = int.from_bytes(b[zs + 8 : zs + 12], "big")
+    if uniform:
+        if nf * uniform > len(b):
+            # bound BEFORE allocating the size list: a crafted
+            # uniform stsz could otherwise declare 2^32 samples
+            raise ValueError("MOV: uniform samples exceed payload")
+        return nf, [uniform] * nf
+    if ze - zs < 12 + 4 * nf:
+        raise ValueError("MOV: stsz table truncated")
+    return nf, [
+        int.from_bytes(b[zs + 12 + 4 * k : zs + 16 + 4 * k], "big")
+        for k in range(nf)
+    ]
+
+
+def _mov_sample_locations(
+    b: bytes,
+    stco: tuple[int, int] | None,
+    co64: tuple[int, int] | None,
+    stsc: tuple[int, int],
+    nf: int,
+    sizes: list[int],
+) -> list[tuple[int, int]]:
+    """stco/co64 + stsc + sizes -> [(offset, length)] per sample —
+    the shared chunk-run expansion for video AND audio tracks.
+    Table disagreement and out-of-payload samples raise."""
+    cs, ce = stco if stco is not None else co64
+    osz = 4 if stco is not None else 8
+    nchunks = int.from_bytes(b[cs + 4 : cs + 8], "big")
+    if ce - cs < 8 + osz * nchunks:
+        raise ValueError("MOV: chunk offset table truncated")
+    offsets = [
+        int.from_bytes(
+            b[cs + 8 + osz * k : cs + 8 + osz * (k + 1)], "big"
+        )
+        for k in range(nchunks)
+    ]
+    ss, se = stsc
+    nruns = int.from_bytes(b[ss + 4 : ss + 8], "big")
+    if se - ss < 8 + 12 * nruns or nruns == 0:
+        raise ValueError("MOV: stsc table truncated")
+    runs = [
+        (
+            int.from_bytes(b[ss + 8 + 12 * k : ss + 12 + 12 * k], "big"),
+            int.from_bytes(b[ss + 12 + 12 * k : ss + 16 + 12 * k], "big"),
+        )
+        for k in range(nruns)
+    ]
+    if runs[0][0] != 1:
+        raise ValueError("MOV: stsc must start at chunk 1")
+    per_chunk: list[int] = []
+    for k, (first, spc) in enumerate(runs):
+        last = runs[k + 1][0] - 1 if k + 1 < nruns else nchunks
+        if last < first:
+            raise ValueError("MOV: stsc runs out of order")
+        per_chunk += [spc] * (last - first + 1)
+    if sum(per_chunk) != nf:
+        raise ValueError(
+            f"MOV: sample tables disagree — stsc allocates "
+            f"{sum(per_chunk)} samples, stsz declares {nf}"
+        )
+    frames: list[tuple[int, int]] = []
+    si = 0
+    for off, spc in zip(offsets, per_chunk):
+        at = off
+        for _ in range(spc):
+            frames.append((at, sizes[si]))
+            at += sizes[si]
+            si += 1
+    if len(frames) != nf:
+        # zip() tolerates a short offset table; the walk must not
+        raise ValueError("MOV: chunk offsets shorter than stsc runs")
+    if any(s + l > len(b) for s, l in frames):
+        raise ValueError("MOV: sample past end of payload")
+    return frames
+
+
 def _parse_mov(b: bytes) -> tuple[int, int, int, int, np.ndarray | None]:
     """QuickTime/MOV walk -> (w, h, n_frames, channels, flat_bytes)
     (r12 — the second video container, closing the .mov gap): moov ->
@@ -4723,78 +4816,14 @@ def _parse_mov(b: bytes) -> tuple[int, int, int, int, np.ndarray | None]:
         width = int.from_bytes(b[ds + 40 : ds + 42], "big")
         height = int.from_bytes(b[ds + 42 : ds + 44], "big")
         # stsz: per-sample byte sizes
-        zs, ze = stsz
-        uniform = int.from_bytes(b[zs + 4 : zs + 8], "big")
-        nf = int.from_bytes(b[zs + 8 : zs + 12], "big")
-        if uniform:
-            if nf * uniform > len(b):
-                # bound BEFORE allocating the size list: a crafted
-                # uniform stsz could otherwise declare 2^32 samples
-                raise ValueError("MOV: uniform samples exceed payload")
-            sizes = [uniform] * nf
-        else:
-            if ze - zs < 12 + 4 * nf:
-                raise ValueError("MOV: stsz table truncated")
-            sizes = [
-                int.from_bytes(b[zs + 12 + 4 * k : zs + 16 + 4 * k], "big")
-                for k in range(nf)
-            ]
+        nf, sizes = _mov_sample_sizes(b, stsz)
         if fmt != b"jpeg":
             return width, height, nf, 0, None  # valid-unsupported
         if nf == 0:
             return width, height, 0, 0, None  # empty movie
-        # stco/co64: absolute chunk offsets
-        cs, ce = stco if stco is not None else co64
-        osz = 4 if stco is not None else 8
-        nchunks = int.from_bytes(b[cs + 4 : cs + 8], "big")
-        if ce - cs < 8 + osz * nchunks:
-            raise ValueError("MOV: chunk offset table truncated")
-        offsets = [
-            int.from_bytes(
-                b[cs + 8 + osz * k : cs + 8 + osz * (k + 1)], "big"
-            )
-            for k in range(nchunks)
-        ]
-        # stsc: (first_chunk, samples_per_chunk) runs -> per-chunk n
-        ss, se = stsc
-        nruns = int.from_bytes(b[ss + 4 : ss + 8], "big")
-        if se - ss < 8 + 12 * nruns or nruns == 0:
-            raise ValueError("MOV: stsc table truncated")
-        runs = [
-            (
-                int.from_bytes(b[ss + 8 + 12 * k : ss + 12 + 12 * k], "big"),
-                int.from_bytes(b[ss + 12 + 12 * k : ss + 16 + 12 * k], "big"),
-            )
-            for k in range(nruns)
-        ]
-        if runs[0][0] != 1:
-            raise ValueError("MOV: stsc must start at chunk 1")
-        per_chunk: list[int] = []
-        for k, (first, spc) in enumerate(runs):
-            last = runs[k + 1][0] - 1 if k + 1 < nruns else nchunks
-            if last < first:
-                raise ValueError("MOV: stsc runs out of order")
-            per_chunk += [spc] * (last - first + 1)
-        if sum(per_chunk) != nf:
-            raise ValueError(
-                f"MOV: sample tables disagree — stsc allocates "
-                f"{sum(per_chunk)} samples, stsz declares {nf}"
-            )
-        frames: list[tuple[int, int]] = []
-        si = 0
-        for off, spc in zip(offsets, per_chunk):
-            at = off
-            for _ in range(spc):
-                frames.append((at, sizes[si]))
-                at += sizes[si]
-                si += 1
-        if len(frames) != nf:
-            # zip() tolerates a short offset table; the walk must not
-            raise ValueError("MOV: chunk offsets shorter than stsc runs")
-        if any(s + l > len(b) for s, l in frames):
-            raise ValueError("MOV: sample past end of payload")
-        if nf == 0:
-            return width, height, 0, 0, None
+        frames = _mov_sample_locations(
+            b, stco, co64, stsc, nf, sizes
+        )
         fw = fh = fch = None
         planes: list[np.ndarray] = []
         for s, l in frames:
@@ -4819,6 +4848,178 @@ def _parse_mov(b: bytes) -> tuple[int, int, int, int, np.ndarray | None]:
             planes.append(np.ascontiguousarray(px).reshape(-1))
         return width, height, nf, fch, np.concatenate(planes)
     return 0, 0, 0, 0, None  # no video track: metadata-only
+
+
+def _parse_mov_audio(b: bytes) -> tuple[int, np.ndarray | None, str]:
+    """QuickTime 'soun' track demux (r12) -> (count, samples, codec):
+    the moov/trak/stbl walk shared with video, decoding the classic
+    uncompressed sample formats — 'sowt' (little-endian signed 16),
+    'twos' (big-endian signed, 8 or 16 bits), 'raw ' (8-bit offset
+    binary, the WAV 8-bit convention) — with the WAV integer-PCM
+    fold (multichannel -> floor of the per-frame channel mean in
+    exact integer arithmetic). Compressed/other sample formats keep
+    the count-only contract; a movie without a sound track returns
+    (0, None, 'none'); structural table violations raise."""
+    moov = _mov_find(b, 0, len(b), b"moov")
+    if moov is None:
+        raise ValueError("MOV: missing moov atom")
+    for t, ts, te in _mov_atoms(b, *moov):
+        if t != b"trak":
+            continue
+        mdia = _mov_find(b, ts, te, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _mov_find(b, *mdia, b"hdlr")
+        if hdlr is None or b[hdlr[0] + 8 : hdlr[0] + 12] != b"soun":
+            continue
+        minf = _mov_find(b, *mdia, b"minf")
+        stbl = minf and _mov_find(b, *minf, b"stbl")
+        if not stbl:
+            raise ValueError("MOV: sound trak without sample table")
+        stsd = _mov_find(b, *stbl, b"stsd")
+        stsz = _mov_find(b, *stbl, b"stsz")
+        stsc = _mov_find(b, *stbl, b"stsc")
+        stco = _mov_find(b, *stbl, b"stco")
+        co64 = _mov_find(b, *stbl, b"co64")
+        if stsd is None or stsz is None or stsc is None or (
+            stco is None and co64 is None
+        ):
+            raise ValueError("MOV: incomplete sound sample tables")
+        ds, de = stsd
+        if de - ds < 16 or int.from_bytes(b[ds + 4 : ds + 8], "big") < 1:
+            raise ValueError("MOV: empty sound stsd")
+        fmt = b[ds + 12 : ds + 16]
+        # v0 SoundDescription: after the 16-byte entry head and the
+        # 8-byte version/revision/vendor block — channels at
+        # entry+24, bits at entry+26 (absolute ds+32 / ds+34)
+        if de - ds < 8 + 28:
+            raise ValueError("MOV: sound description too short")
+        channels = int.from_bytes(b[ds + 32 : ds + 34], "big")
+        bits = int.from_bytes(b[ds + 34 : ds + 36], "big")
+        nf, sizes = _mov_sample_sizes(b, stsz)
+        legal = (
+            (fmt == b"sowt" and bits == 16)
+            or (fmt == b"twos" and bits in (8, 16))
+            or (fmt == b"raw " and bits == 8)
+        )
+        if not legal or channels < 1:
+            return nf, None, "none"  # valid-unsupported: count-only
+        if nf == 0:
+            return 0, None, "pcm"
+        frames = _mov_sample_locations(b, stco, co64, stsc, nf, sizes)
+        width = bits // 8
+        if any(l != width * channels for _s, l in frames):
+            raise ValueError(
+                "MOV: sound sample size disagrees with the "
+                "description's frame width"
+            )
+        data = b"".join(bytes(b[s : s + l]) for s, l in frames)
+        if bits == 16:
+            dt = "<i2" if fmt == b"sowt" else ">i2"
+            s = np.frombuffer(data, dt).astype(np.int64)
+        elif fmt == b"twos":  # 8-bit signed two's complement
+            s = np.frombuffer(data, np.int8).astype(np.int64)
+        else:  # 'raw ': 8-bit offset binary, the WAV convention
+            s = np.frombuffer(data, np.uint8).astype(np.int64)
+        if channels > 1:
+            s = s.reshape(-1, channels).sum(axis=1) // channels
+        out = (
+            s.astype(np.int16) if bits == 16
+            else s.astype(np.int16 if fmt == b"twos" else np.uint8)
+        )
+        return nf, out, "pcm"
+    return 0, None, "none"
+
+
+def encode_mov_audio(
+    data: bytes,
+    fmt: bytes,
+    channels: int,
+    bits: int,
+    sample_rate: int = 8000,
+    frames_per_chunk: int = 0,
+) -> bytes:
+    """Audio-only QuickTime movie (the `_parse_mov_audio` inverse):
+    one 'soun' trak whose v0 SoundDescription carries ``fmt``
+    ('sowt'/'twos'/'raw ' or anything for valid-unsupported
+    fixtures), uniform stsz of one PCM frame per sample, chunks of
+    ``frames_per_chunk`` frames (0 = everything in one chunk)."""
+    width = max(1, bits // 8)
+    frame_bytes = width * channels
+    if len(data) % frame_bytes:
+        raise ValueError("audio data not a whole number of frames")
+    nf = len(data) // frame_bytes
+    ftyp = _mov_atom(b"ftyp", b"qt  " + bytes(4) + b"qt  ")
+    base = len(ftyp) + 8
+    fpc = frames_per_chunk or nf or 1
+    chunk_offs = [
+        base + k * fpc * frame_bytes
+        for k in range((nf + fpc - 1) // fpc)
+    ] or [base]
+    desc = (
+        (36).to_bytes(4, "big") + fmt + bytes(6)
+        + (1).to_bytes(2, "big")
+        + bytes(2) * 2 + bytes(4)
+        + channels.to_bytes(2, "big") + bits.to_bytes(2, "big")
+        + bytes(4)
+        + (sample_rate << 16).to_bytes(4, "big")
+    )
+    stsd = _mov_atom(b"stsd", bytes(4) + (1).to_bytes(4, "big") + desc)
+    stts = _mov_atom(
+        b"stts",
+        bytes(4) + (1).to_bytes(4, "big")
+        + nf.to_bytes(4, "big") + (1).to_bytes(4, "big"),
+    )
+    runs = [(1, min(fpc, nf) if nf else 1, 1)]
+    if nf > fpc and nf % fpc:
+        runs.append((len(chunk_offs), nf % fpc, 1))
+    stsc = _mov_atom(
+        b"stsc",
+        bytes(4) + len(runs).to_bytes(4, "big")
+        + b"".join(
+            f0.to_bytes(4, "big") + n.to_bytes(4, "big")
+            + d.to_bytes(4, "big")
+            for f0, n, d in runs
+        ),
+    )
+    stsz = _mov_atom(
+        b"stsz",
+        bytes(4) + frame_bytes.to_bytes(4, "big")
+        + nf.to_bytes(4, "big"),
+    )
+    stco = _mov_atom(
+        b"stco",
+        bytes(4) + len(chunk_offs).to_bytes(4, "big")
+        + b"".join(o.to_bytes(4, "big") for o in chunk_offs),
+    )
+    stbl = _mov_atom(b"stbl", stsd + stts + stsc + stsz + stco)
+    smhd = _mov_atom(b"smhd", bytes(8))
+    dref = _mov_atom(
+        b"dref",
+        bytes(4) + (1).to_bytes(4, "big")
+        + _mov_atom(b"alis", (1).to_bytes(4, "big")),
+    )
+    minf = _mov_atom(b"minf", smhd + _mov_atom(b"dinf", dref) + stbl)
+    hdlr = _mov_atom(b"hdlr", bytes(4) + b"mhlr" + b"soun" + bytes(12))
+    mdhd = _mov_atom(
+        b"mdhd",
+        bytes(4) + bytes(8) + sample_rate.to_bytes(4, "big")
+        + nf.to_bytes(4, "big") + bytes(4),
+    )
+    mdia = _mov_atom(b"mdia", mdhd + hdlr + minf)
+    tkhd = _mov_atom(
+        b"tkhd",
+        (0xF).to_bytes(4, "big") + bytes(8) + (1).to_bytes(4, "big")
+        + bytes(4) + nf.to_bytes(4, "big") + bytes(60),
+    )
+    trak = _mov_atom(b"trak", tkhd + mdia)
+    mvhd = _mov_atom(
+        b"mvhd",
+        bytes(4) + bytes(8) + sample_rate.to_bytes(4, "big")
+        + nf.to_bytes(4, "big") + bytes(80),
+    )
+    moov = _mov_atom(b"moov", mvhd + trak)
+    return ftyp + _mov_atom(b"mdat", data) + moov
 
 
 def _mov_atom(typ: bytes, payload: bytes) -> bytes:

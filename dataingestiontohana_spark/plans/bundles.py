@@ -572,6 +572,11 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("media_id", "bigint"), ("frame_idx", "int"),
         ("frame_px_sum", "bigint"),
     ],
+    "q234_mov_audio": [
+        ("media_id", "bigint"), ("codec", "string"),
+        ("n_samples", "int"), ("px_sum", "bigint"),
+        ("px_sqsum", "bigint"),
+    ],
     "q225_avi_mjpeg": [
         ("media_id", "bigint"), ("width", "int"), ("height", "int"),
         ("n_frames", "int"), ("channels", "int"),
@@ -1055,6 +1060,9 @@ BUNDLES: dict[str, list[str]] = {
         # through the pinned JPEG decoder; 'mjpa' metadata-only) —
         # whole-clip gate + per-frame sampling gate
         "q232_mov_mjpeg", "q233_mov_frames",
+        # r12: QuickTime 'soun' track demux (sowt/twos/raw PCM; ima4
+        # count-only) through the shared container audio operator
+        "q234_mov_audio",
     ],
     # round 9: WARC crawl-archive ingestion + URL canonicalization
     # dedup + eTLD+1 extraction + robots.txt filtering join the

@@ -1486,6 +1486,75 @@ def _mov_corpus(spark: SparkSession) -> DataFrame:
     return df
 
 
+_MOVAU_CACHE: dict[str, DataFrame] = {}
+
+
+def _mov_audio_corpus(spark: SparkSession) -> DataFrame:
+    """QuickTime 'soun'-track clips whose demux is EXACT (r12): PCM
+    sample bytes md5-expanded from '{i}:movau:{c}', muxed by
+    `encode_mov_audio` into real sample tables. Clips: 4 = 'sowt'
+    16-bit stereo split across multi-frame chunks (the (l+r)//2
+    floor fold); 5 = 'twos' BIG-endian 16-bit mono; 6 = 'raw ' 8-bit
+    offset binary; 7 = 'ima4' compressed — VALID-UNSUPPORTED, sample
+    count with NULL moments."""
+    import hashlib
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        encode_mov_audio,
+    )
+
+    key = spark.sparkContext.applicationId
+    df = _MOVAU_CACHE.get(key)
+    if df is not None:
+        return df
+    _MOVAU_CACHE.clear()
+
+    def expand(mid: int, need: int) -> bytes:
+        out = bytearray()
+        c = 0
+        while len(out) < need:
+            out += hashlib.md5(f"{mid}:movau:{c}".encode()).digest()
+            c += 1
+        return bytes(out[:need])
+
+    rows = [
+        (4, KIND_AUDIO, encode_mov_audio(
+            expand(4, 400), b"sowt", 2, 16, frames_per_chunk=30)),
+        (5, KIND_AUDIO, encode_mov_audio(
+            expand(5, 200), b"twos", 1, 16)),
+        (6, KIND_AUDIO, encode_mov_audio(
+            expand(6, 200), b"raw ", 1, 8)),
+        (7, KIND_AUDIO, encode_mov_audio(
+            expand(7, 120), b"ima4", 1, 8)),
+    ]
+    df = (
+        spark.createDataFrame(rows, "media_id long, kind int, content binary")
+        .coalesce(1)
+        .localCheckpoint(eager=False)
+    )
+    _MOVAU_CACHE[key] = df
+    return df
+
+
+def q234_mov_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QuickTime sound-track demux under the VALUE gate (r12): the
+    production audio operator dispatches the MOV clips through the
+    sample-table walk — little-endian 'sowt' stereo (floor-of-mean
+    fold), big-endian 'twos', 8-bit 'raw ' — and the oracle
+    recomputes every decoded sample (and its exact moments) from the
+    md5 expansion; the compressed 'ima4' clip adjudicates the
+    count-only contract."""
+    from dataingestiontohana_spark.operators.multimodal import (
+        avi_audio_samples,
+    )
+
+    return (
+        avi_audio_samples(_mov_audio_corpus(spark))
+        .select("media_id", "codec", "n_samples", "px_sum", "px_sqsum")
+        .orderBy("media_id")
+    )
+
+
 def q233_mov_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame SAMPLING on real MOV movies (r12): every_k=2
     through the production `sample_frames` operator — one row per
@@ -2556,6 +2625,7 @@ QUERIES = {
     "q231_jpeg_cmyk": q231_jpeg_cmyk,
     "q232_mov_mjpeg": q232_mov_mjpeg,
     "q233_mov_frames": q233_mov_frames,
+    "q234_mov_audio": q234_mov_audio,
     "q221_gif_frames": q221_gif_frames,
     "q225_avi_mjpeg": q225_avi_mjpeg,
     "q226_avi_frames": q226_avi_frames,
@@ -3220,6 +3290,57 @@ ORACLES = {
         WHERE frame % 2 = 0
         GROUP BY media_id, frame, ch
         ORDER BY media_id, frame_idx
+    """,
+    "q234_mov_audio": """
+        WITH ma_media(media_id, need) AS (
+          VALUES (CAST(4 AS BIGINT), 400), (5, 200), (6, 200)
+        ),
+        ma_bytes AS (
+          SELECT m.media_id, c.j*16 + g.j AS pos,
+                 16*(strpos('0123456789abcdef',
+                      substr(md5(m.media_id || ':movau:' || c.j),
+                             CAST(2*g.j+1 AS INT), 1))-1)
+                   + (strpos('0123456789abcdef',
+                      substr(md5(m.media_id || ':movau:' || c.j),
+                             CAST(2*g.j+2 AS INT), 1))-1) AS b
+          FROM ma_media m, range(25) c(j), range(16) g(j)
+          WHERE c.j*16 + g.j < m.need
+        ),
+        -- clips 4/5: int16 samples — 4 is little-endian ('sowt'),
+        -- 5 is big-endian ('twos')
+        ma_s16 AS (
+          SELECT media_id, pos // 2 AS s,
+                 SUM(b * (CASE WHEN (media_id = 4) = (pos % 2 = 0)
+                               THEN 1 ELSE 256 END)) AS uv
+          FROM ma_bytes WHERE media_id IN (4, 5)
+          GROUP BY media_id, pos // 2
+        ),
+        ma_signed AS (
+          SELECT media_id, s,
+                 CASE WHEN uv >= 32768 THEN uv - 65536 ELSE uv END AS v
+          FROM ma_s16
+        ),
+        ma_samples AS (
+          -- clip 4 stereo: the WAV floor-of-mean fold
+          SELECT media_id,
+                 CAST(floor(SUM(v) / 2.0) AS BIGINT) AS v
+          FROM ma_signed WHERE media_id = 4
+          GROUP BY media_id, s // 2
+          UNION ALL
+          SELECT media_id, v FROM ma_signed WHERE media_id = 5
+          UNION ALL
+          SELECT media_id, b FROM ma_bytes WHERE media_id = 6
+        )
+        SELECT media_id, 'pcm' AS codec,
+               CAST(COUNT(*) AS INTEGER) AS n_samples,
+               CAST(SUM(v) AS BIGINT) AS px_sum,
+               CAST(SUM(v*v) AS BIGINT) AS px_sqsum
+        FROM ma_samples
+        GROUP BY media_id
+        UNION ALL
+        -- clip 7: 'ima4' compressed — count-only with NULL moments
+        SELECT CAST(7 AS BIGINT), 'none', 120, NULL, NULL
+        ORDER BY media_id
     """,
     "q231_jpeg_cmyk": """
         WITH ck_blocks AS (

@@ -2717,3 +2717,60 @@ def test_wav_extensible_remaps_subformat_guid():
     )
     with pytest.raises(ValueError, match="extensible"):
         _parse_wav_ex(rebuilt)
+
+
+def test_mov_audio_demux_all_formats():
+    """r12: QuickTime 'soun'-track demux — 'sowt' LE stereo across
+    multi-frame chunks (floor-of-mean fold), 'twos' BE 16-bit and
+    8-bit signed, 'raw ' 8-bit offset binary; compressed formats
+    count-only; video-only movies report no audio; truncated tables
+    raise; and the shared container audio operator dispatches MOV
+    next to AVI."""
+    import numpy as np
+    import pytest
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        _parse_mov_audio,
+        encode_jpeg_baseline,
+        encode_mov_audio,
+        encode_mov_mjpeg,
+    )
+
+    rng = np.random.default_rng(13)
+    s = rng.integers(-32768, 32767, size=200, dtype=np.int16)
+    mov = encode_mov_audio(
+        s.astype("<i2").tobytes(), b"sowt", 2, 16, frames_per_chunk=30
+    )
+    n, px, codec = _parse_mov_audio(mov)
+    want = s.reshape(-1, 2).astype(np.int64).sum(1) // 2
+    assert (n, codec) == (100, "pcm")
+    assert np.array_equal(px.astype(np.int64), want)
+    m = rng.integers(-32768, 32767, size=64, dtype=np.int16)
+    n, px, _ = _parse_mov_audio(
+        encode_mov_audio(m.astype(">i2").tobytes(), b"twos", 1, 16)
+    )
+    assert n == 64 and np.array_equal(px, m)
+    b8 = rng.integers(-128, 127, size=50, dtype=np.int8)
+    n, px, _ = _parse_mov_audio(
+        encode_mov_audio(b8.tobytes(), b"twos", 1, 8)
+    )
+    assert n == 50 and np.array_equal(
+        px.astype(np.int64), b8.astype(np.int64)
+    )
+    u8 = rng.integers(0, 256, size=80, dtype=np.uint8)
+    n, px, _ = _parse_mov_audio(
+        encode_mov_audio(u8.tobytes(), b"raw ", 1, 8)
+    )
+    assert n == 80 and np.array_equal(px, u8)
+    n, px, codec = _parse_mov_audio(
+        encode_mov_audio(u8.tobytes(), b"ima4", 1, 8)
+    )
+    assert (n, px, codec) == (80, None, "none")
+    jpg = encode_jpeg_baseline(np.zeros(16 * 24, np.uint8), 24, 16, 1)
+    assert _parse_mov_audio(encode_mov_mjpeg([jpg], 24, 16)) == (
+        0, None, "none",
+    )
+    with pytest.raises(ValueError):
+        _parse_mov_audio(
+            encode_mov_audio(u8.tobytes(), b"raw ", 1, 8)[:-10]
+        )
