@@ -353,6 +353,291 @@ def _png_filter_lines(
     return raw
 
 
+# -- APNG (r12): acTL/fcTL/fdAT animation over the shared decoder --
+
+
+def _png_has_actl(b: bytes) -> bool:
+    """Cheap pre-walk: does an acTL chunk precede IDAT/IEND? (The
+    APNG marker per spec; no CRC checks here — `_parse_apng` redoes
+    the walk with full validation.)"""
+    off = 8
+    while off + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[off : off + 4])
+        typ = b[off + 4 : off + 8]
+        if typ == b"acTL":
+            return True
+        if typ in (b"IDAT", b"IEND"):
+            return False
+        if off + 12 + length > len(b):
+            return False  # truncated pre-IDAT: let _parse_png raise
+        off += 12 + length
+    return False
+
+
+def _parse_apng(
+    b: bytes,
+) -> tuple[int, int, int, int, np.ndarray | None]:
+    """Animated PNG -> (w, h, n_frames, channels, stacked composited
+    frames) — r12, the animated-image modality PNG-side (the GIF
+    compositing model under APNG operations).
+
+    Full chunk walk with CRC verification; acTL/fcTL/fdAT share one
+    validated sequence-number space; each frame's fdAT concatenation
+    (or the IDAT stream when an fcTL precedes IDAT — the frame-0
+    rule) is its OWN complete zlib stream over the frame REGION's
+    filtered scanlines, decoded with the shared `_png_pass_samples`
+    and composited onto the canvas: blend SOURCE replaces the region
+    including alpha; blend OVER paints only where the source alpha
+    is 255 — FRACTIONAL-alpha OVER is implementation-defined
+    rounding across real decoders, so such files stay honestly
+    metadata-only; dispose none/background(clear to transparent
+    black)/previous per fcTL. 8-bit non-interlaced color types
+    0/2/3/4/6 decode (16-bit and sub-byte APNG are a declared
+    metadata-only residue — essentially absent in the wild);
+    palette expands through PLTE with per-entry tRNS alphas. Output
+    channels: 4 when any alpha can be non-opaque (alpha-bearing
+    color type, tRNS present, or a dispose left transparent canvas),
+    else 3 with gray replicated. Structural violations (sequence
+    gaps, regions outside the canvas, acTL/fcTL count disagreement,
+    stream-length mismatch) raise; the frame-count decompression
+    bomb returns metadata-only BEFORE allocating."""
+    w, h = struct.unpack(">II", b[16:24])
+    bit_depth, color_type, _comp, _filt, interlace = b[24:29]
+    if (
+        bit_depth != 8
+        or interlace != 0
+        or color_type not in (0, 2, 3, 4, 6)
+    ):
+        return w, h, 0, 0, None
+    if not (0 < w and 0 < h):
+        raise ValueError(f"PNG: illegal dimensions {w}x{h}")
+    import zlib
+
+    off = 8
+    plte = b""
+    trns = b""
+    num_frames = None
+    frames_meta: list[tuple[tuple, list[bytes]]] = []
+    idat_parts: list[bytes] = []
+    first_fctl_before_idat: bool | None = None
+    seq_expected = 0
+    saw_iend = False
+    while off + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[off : off + 4])
+        typ = b[off + 4 : off + 8]
+        if off + 12 + length > len(b):
+            raise ValueError(f"PNG: truncated {typ!r} chunk")
+        data = b[off + 8 : off + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", b[off + 8 + length : off + 12 + length]
+        )
+        if crc != (zlib.crc32(typ + data) & 0xFFFFFFFF):
+            raise ValueError(f"PNG: CRC mismatch in {typ!r} chunk")
+        if typ == b"acTL":
+            if len(data) != 8:
+                raise ValueError("APNG: acTL must be 8 bytes")
+            num_frames = struct.unpack(">I", data[0:4])[0]
+        elif typ == b"fcTL":
+            if len(data) != 26:
+                raise ValueError("APNG: fcTL must be 26 bytes")
+            seq = struct.unpack(">I", data[0:4])[0]
+            if seq != seq_expected:
+                raise ValueError("APNG: fcTL sequence out of order")
+            seq_expected += 1
+            fw, fh, fx, fy = struct.unpack(">IIII", data[4:20])
+            dispose, blend = data[24], data[25]
+            if fx + fw > w or fy + fh > h or fw == 0 or fh == 0:
+                raise ValueError("APNG: frame region outside canvas")
+            if dispose > 2 or blend > 1:
+                raise ValueError("APNG: illegal dispose/blend op")
+            frames_meta.append(
+                ((fw, fh, fx, fy, dispose, blend), [])
+            )
+        elif typ == b"fdAT":
+            if len(data) < 4:
+                raise ValueError("APNG: fdAT shorter than its sequence")
+            seq = struct.unpack(">I", data[0:4])[0]
+            if seq != seq_expected:
+                raise ValueError("APNG: fdAT sequence out of order")
+            seq_expected += 1
+            if not frames_meta:
+                raise ValueError("APNG: fdAT before any fcTL")
+            frames_meta[-1][1].append(data[4:])
+        elif typ == b"IDAT":
+            if first_fctl_before_idat is None:
+                first_fctl_before_idat = bool(frames_meta)
+            idat_parts.append(data)
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"tRNS":
+            trns = data
+        if typ == b"IEND":
+            saw_iend = True
+            break
+        off += 12 + length
+    if not saw_iend:
+        raise ValueError("PNG: missing IEND (truncated stream)")
+    if num_frames is None:
+        raise ValueError("APNG: missing acTL")
+    if len(frames_meta) != num_frames:
+        raise ValueError(
+            f"APNG: acTL declares {num_frames} frames, found "
+            f"{len(frames_meta)} fcTL chunks"
+        )
+    if num_frames == 0:
+        return w, h, 0, 0, None
+    if first_fctl_before_idat:
+        # the default image IS frame 0: its data is the IDAT stream
+        frames_meta[0] = (
+            frames_meta[0][0],
+            [bytes(p) for p in idat_parts] + frames_meta[0][1],
+        )
+    if color_type == 3 and (not plte or len(plte) % 3):
+        return w, h, 0, 0, None
+    nch = _PNG_BPP[color_type]
+    pal = (
+        np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        if color_type == 3
+        else None
+    )
+    alpha_lut = None
+    if color_type == 3 and trns:
+        if len(trns) > len(pal):
+            raise ValueError("PNG: tRNS longer than the palette")
+        alpha_lut = np.full(len(pal), 255, np.uint8)
+        alpha_lut[: len(trns)] = np.frombuffer(trns, np.uint8)
+    if num_frames * w * h * 4 > 1 << 28:
+        return w, h, num_frames, 0, None  # bomb cap, pre-allocation
+    canvas = np.zeros((h, w, 4), np.uint8)  # transparent black
+    out = []
+    any_alpha = False
+    for (fw, fh, fx, fy, dispose, blend), parts in frames_meta:
+        raw = zlib.decompress(b"".join(bytes(p) for p in parts))
+        sub, pos = _png_pass_samples(raw, 0, fw, fh, nch, 8)
+        if pos != len(raw):
+            raise ValueError(
+                f"APNG: frame stream {len(raw)} != expected {pos}"
+            )
+        if color_type == 3:
+            idx = sub[:, :, 0]
+            if int(idx.max(initial=0)) >= len(pal):
+                raise ValueError("PNG: palette index out of range")
+            rgba = np.zeros((fh, fw, 4), np.uint8)
+            rgba[:, :, :3] = pal[idx]
+            rgba[:, :, 3] = (
+                alpha_lut[idx] if alpha_lut is not None else 255
+            )
+        elif color_type == 0:
+            rgba = np.zeros((fh, fw, 4), np.uint8)
+            rgba[:, :, :3] = sub
+            rgba[:, :, 3] = 255
+        elif color_type == 2:
+            rgba = np.concatenate(
+                [sub, np.full((fh, fw, 1), 255, np.uint8)], axis=-1
+            )
+        elif color_type == 4:
+            rgba = np.zeros((fh, fw, 4), np.uint8)
+            rgba[:, :, :3] = sub[:, :, :1]
+            rgba[:, :, 3] = sub[:, :, 1]
+        else:
+            rgba = sub
+        region = canvas[fy : fy + fh, fx : fx + fw]
+        saved = region.copy() if dispose == 2 else None
+        if blend == 0:
+            region[:] = rgba
+        else:
+            a = rgba[:, :, 3]
+            if np.any((a != 0) & (a != 255)):
+                return w, h, num_frames, 0, None  # fractional OVER
+            m = a == 255
+            region[m] = rgba[m]
+        out.append(canvas.copy())
+        if np.any(canvas[:, :, 3] != 255):
+            any_alpha = True
+        if dispose == 1:
+            region[:] = 0
+        elif dispose == 2:
+            region[:] = saved
+    if any_alpha or color_type in (4, 6) or alpha_lut is not None:
+        return w, h, num_frames, 4, np.stack(out).reshape(-1)
+    stacked = np.stack([f[:, :, :3] for f in out])
+    return w, h, num_frames, 3, stacked.reshape(-1)
+
+
+def encode_apng(
+    size: tuple[int, int],
+    frames: list,
+    color_type: int = 6,
+    palette: np.ndarray | None = None,
+    trns: bytes = b"",
+    first_frame_in_idat: bool = True,
+) -> bytes:
+    """APNG encoder (the `_parse_apng` inverse, for fixtures and
+    round trips): ``frames`` is a list of (array, x, y, dispose,
+    blend) where the array is (fh, fw[, nch]) for the declared color
+    type (palette indices for type 3). The first frame rides in IDAT
+    when ``first_frame_in_idat`` (the standard layout, fcTL before
+    IDAT), else every frame is fdAT and a hidden full-canvas zero
+    default image occupies IDAT (emitted BEFORE the first fcTL, the
+    spec position for a non-animation default image)."""
+    import zlib
+
+    w, h = size
+    nch = _PNG_BPP[color_type]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    def region_stream(arr: np.ndarray, fw: int, fh: int) -> bytes:
+        rows = np.asarray(arr, np.uint8).reshape(fh, fw * nch)
+        return zlib.compress(
+            b"".join(b"\x00" + rows[y].tobytes() for y in range(fh))
+        )
+
+    out = bytearray(b"\x89PNG\r\n\x1a\n")
+    out += chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    )
+    out += chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    if palette is not None:
+        out += chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes())
+    if trns:
+        out += chunk(b"tRNS", trns)
+    if not first_frame_in_idat:
+        hidden = np.zeros((h, w * nch), np.uint8)
+        out += chunk(
+            b"IDAT",
+            zlib.compress(
+                b"".join(
+                    b"\x00" + hidden[y].tobytes() for y in range(h)
+                )
+            ),
+        )
+    seq = 0
+    for k, (arr, fx, fy, dispose, blend) in enumerate(frames):
+        a = np.asarray(arr, np.uint8)
+        fh, fw = a.shape[0], a.shape[1]
+        out += chunk(
+            b"fcTL",
+            struct.pack(
+                ">IIIIIHHBB", seq, fw, fh, fx, fy, 1, 10, dispose,
+                blend,
+            ),
+        )
+        seq += 1
+        z = region_stream(a, fw, fh)
+        if k == 0 and first_frame_in_idat:
+            out += chunk(b"IDAT", z)
+        else:
+            out += chunk(b"fdAT", struct.pack(">I", seq) + z)
+            seq += 1
+    out += chunk(b"IEND", b"")
+    return bytes(out)
+
+
 def encode_png(
     arr: np.ndarray,
     color_type: int = 0,
@@ -5169,6 +5454,8 @@ def _decode_payload(
     needing a real codec stack (MP4, compressed audio) raise — swapping
     in PIL/librosa later only changes this function."""
     if content[: len(_PNG_MAGIC)] == _PNG_MAGIC:
+        if len(content) >= 29 and _png_has_actl(content):
+            return _parse_apng(content)  # r12: animated PNG
         w, h, ch, px = _parse_png(content)
         return w, h, 1, ch, px
     if content[:2] == b"\xff\xd8":

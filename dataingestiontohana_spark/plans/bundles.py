@@ -577,6 +577,11 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("n_samples", "int"), ("px_sum", "bigint"),
         ("px_sqsum", "bigint"),
     ],
+    "q235_apng": [
+        ("media_id", "bigint"), ("width", "int"), ("height", "int"),
+        ("n_frames", "int"), ("channels", "int"),
+        ("px_sum", "bigint"), ("px_sqsum", "bigint"),
+    ],
     "q225_avi_mjpeg": [
         ("media_id", "bigint"), ("width", "int"), ("height", "int"),
         ("n_frames", "int"), ("channels", "int"),
@@ -1063,6 +1068,10 @@ BUNDLES: dict[str, list[str]] = {
         # r12: QuickTime 'soun' track demux (sowt/twos/raw PCM; ima4
         # count-only) through the shared container audio operator
         "q234_mov_audio",
+        # r12: animated PNG — acTL/fcTL/fdAT compositing (SOURCE +
+        # binary-alpha OVER, dispose background/previous, hidden
+        # default image; fractional-alpha OVER metadata-only)
+        "q235_apng",
     ],
     # round 9: WARC crawl-archive ingestion + URL canonicalization
     # dedup + eTLD+1 extraction + robots.txt filtering join the

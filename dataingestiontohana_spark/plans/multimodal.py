@@ -1486,6 +1486,103 @@ def _mov_corpus(spark: SparkSession) -> DataFrame:
     return df
 
 
+_APNG_CACHE: dict[str, DataFrame] = {}
+
+
+def _apng_corpus(spark: SparkSession) -> DataFrame:
+    """REAL APNG streams whose decode is EXACT (r12): md5-seeded
+    frames through `encode_apng` (real zlib streams, acTL/fcTL/fdAT
+    sequence numbers). Media: 0 = RGBA, two full-canvas SOURCE-blend
+    frames (frame 0 in IDAT — every canvas byte incl. alpha IS the
+    expansion); 1 = palette + binary tRNS with OVER blending, a
+    dispose-BACKGROUND rect and a second partial rect (the GIF
+    media-9 compositing model transposed to APNG operations); 2 =
+    fractional-alpha OVER — implementation-defined rounding across
+    real decoders, so the file is honestly metadata-only; 3 =
+    grayscale full-canvas pair in the hidden-default-image layout
+    (every frame in fdAT, the IDAT default image NOT part of the
+    animation)."""
+    import hashlib
+
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        encode_apng,
+    )
+
+    key = spark.sparkContext.applicationId
+    df = _APNG_CACHE.get(key)
+    if df is not None:
+        return df
+    _APNG_CACHE.clear()
+
+    def md5_expand(mid: int, need: int) -> bytes:
+        out = bytearray()
+        c = 0
+        while len(out) < need:
+            out += hashlib.md5(f"{mid}:apng:{c}".encode()).digest()
+            c += 1
+        return bytes(out[:need])
+
+    W, H = 16, 8
+    rows = []
+    raw = np.frombuffer(md5_expand(0, 2 * W * H * 4), np.uint8)
+    f0 = raw[: W * H * 4].reshape(H, W, 4)
+    f1 = raw[W * H * 4 :].reshape(H, W, 4)
+    rows.append((0, KIND_VIDEO, encode_apng(
+        (W, H), [(f0, 0, 0, 0, 0), (f1, 0, 0, 0, 0)])))
+    pal = np.array(
+        [[(k * 37) % 256, (k * 59) % 256, (k * 83) % 256]
+         for k in range(16)],
+        dtype=np.uint8,
+    )
+    raw = np.frombuffer(md5_expand(1, 192), np.uint8)
+    base = (raw[:128] % 15 + 1).reshape(H, W).astype(np.uint8)
+    r1 = (raw[128:160] % 16).reshape(4, 8).astype(np.uint8)
+    r2 = (raw[160:192] % 16).reshape(4, 8).astype(np.uint8)
+    rows.append((1, KIND_VIDEO, encode_apng(
+        (W, H),
+        [(base, 0, 0, 0, 0), (r1, 4, 2, 1, 1), (r2, 0, 4, 0, 1)],
+        color_type=3, palette=pal, trns=b"\x00",
+    )))
+    fa = np.array(f0)
+    fa[:, :, 3] = 128
+    rows.append((2, KIND_VIDEO, encode_apng(
+        (W, H), [(f0, 0, 0, 0, 0), (fa, 0, 0, 0, 1)])))
+    raw = np.frombuffer(md5_expand(3, 2 * W * H), np.uint8)
+    g0 = raw[: W * H].reshape(H, W)
+    g1 = raw[W * H :].reshape(H, W)
+    rows.append((3, KIND_VIDEO, encode_apng(
+        (W, H), [(g0, 0, 0, 0, 0), (g1, 0, 0, 0, 0)],
+        color_type=0, first_frame_in_idat=False,
+    )))
+    df = (
+        spark.createDataFrame(rows, "media_id long, kind int, content binary")
+        .coalesce(1)
+        .localCheckpoint(eager=False)
+    )
+    _APNG_CACHE[key] = df
+    return df
+
+
+def q235_apng(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated PNG under the VALUE gate (r12): RGBA source-blend,
+    palette/tRNS OVER compositing with a dispose-background restore
+    (the oracle replays the effective index per pixel per frame, the
+    q215 media-9 discipline under APNG operations), and the
+    hidden-default-image grayscale layout — through the production
+    `decode_media`; the fractional-alpha clip adjudicates the
+    metadata-only contract."""
+    return (
+        decode_media(_apng_corpus(spark))
+        .select(
+            "media_id", "width", "height", "n_frames", "channels",
+            "px_sum", "px_sqsum",
+        )
+        .orderBy("media_id")
+    )
+
+
 _MOVAU_CACHE: dict[str, DataFrame] = {}
 
 
@@ -2626,6 +2723,7 @@ QUERIES = {
     "q232_mov_mjpeg": q232_mov_mjpeg,
     "q233_mov_frames": q233_mov_frames,
     "q234_mov_audio": q234_mov_audio,
+    "q235_apng": q235_apng,
     "q221_gif_frames": q221_gif_frames,
     "q225_avi_mjpeg": q225_avi_mjpeg,
     "q226_avi_frames": q226_avi_frames,
@@ -3290,6 +3388,95 @@ ORACLES = {
         WHERE frame % 2 = 0
         GROUP BY media_id, frame, ch
         ORDER BY media_id, frame_idx
+    """,
+    "q235_apng": """
+        WITH ap_bytes AS (
+          SELECT CAST(m.i AS BIGINT) AS media_id, c.j*16 + g.j AS pos,
+                 16*(strpos('0123456789abcdef',
+                      substr(md5(m.i || ':apng:' || c.j),
+                             CAST(2*g.j+1 AS INT), 1))-1)
+                   + (strpos('0123456789abcdef',
+                      substr(md5(m.i || ':apng:' || c.j),
+                             CAST(2*g.j+2 AS INT), 1))-1) AS b
+          FROM (VALUES (0), (1), (3)) m(i), range(64) c(j),
+               range(16) g(j)
+          WHERE c.j*16 + g.j <
+                CASE m.i WHEN 0 THEN 1024 WHEN 1 THEN 192 ELSE 256 END
+        ),
+        -- media 1 compositing grid (the q215 media-9 pattern under
+        -- APNG ops): i0 = base index (b%15+1, never transparent);
+        -- i1/i2 = rect indices (b%16, 0 = transparent) where covered
+        ap_grid AS (
+          SELECT b0.pos // 16 AS y, b0.pos % 16 AS x,
+                 b0.b % 15 + 1 AS i0, b1.b % 16 AS i1, b2.b % 16 AS i2
+          FROM ap_bytes b0
+          LEFT JOIN ap_bytes b1
+            ON b1.media_id = 1
+           AND (b0.pos // 16) BETWEEN 2 AND 5
+           AND (b0.pos % 16) BETWEEN 4 AND 11
+           AND b1.pos = 128 + ((b0.pos // 16) - 2)*8 + ((b0.pos % 16) - 4)
+          LEFT JOIN ap_bytes b2
+            ON b2.media_id = 1
+           AND (b0.pos // 16) BETWEEN 4 AND 7
+           AND (b0.pos % 16) BETWEEN 0 AND 7
+           AND b2.pos = 160 + ((b0.pos // 16) - 4)*8 + (b0.pos % 16)
+          WHERE b0.media_id = 1 AND b0.pos < 128
+        ),
+        -- effective palette index per (pixel, frame): OVER keeps the
+        -- canvas under transparent (index 0) source pixels; frame
+        -- 1's dispose=BACKGROUND clears its rect to transparent
+        -- black before frame 2 (NULL = no bytes, alpha 0)
+        ap_eff AS (
+          SELECT y, x, 0 AS f, i0 AS eff FROM ap_grid
+          UNION ALL
+          SELECT y, x, 1,
+                 CASE WHEN i1 IS NOT NULL AND i1 <> 0 THEN i1 ELSE i0 END
+          FROM ap_grid
+          UNION ALL
+          SELECT y, x, 2,
+                 CASE WHEN i2 IS NOT NULL AND i2 <> 0 THEN i2
+                      WHEN y BETWEEN 2 AND 5 AND x BETWEEN 4 AND 11
+                        THEN NULL
+                      ELSE i0 END
+          FROM ap_grid
+        ),
+        ap_px AS (
+          -- media 0: SOURCE blend — every canvas byte IS the
+          -- expansion byte (both frames, all four channels)
+          SELECT media_id, b AS v FROM ap_bytes WHERE media_id = 0
+          UNION ALL
+          -- media 3: gray replicated into RGB x3 (hidden IDAT
+          -- default image excluded from the animation)
+          SELECT media_id, b FROM ap_bytes WHERE media_id = 3
+          UNION ALL
+          SELECT media_id, b FROM ap_bytes WHERE media_id = 3
+          UNION ALL
+          SELECT media_id, b FROM ap_bytes WHERE media_id = 3
+          UNION ALL
+          -- media 1: palette expansion + opaque alpha per composited
+          -- pixel; NULL (transparent canvas) contributes no bytes
+          SELECT 1, ((eff*37)%256) FROM ap_eff WHERE eff IS NOT NULL
+          UNION ALL
+          SELECT 1, ((eff*59)%256) FROM ap_eff WHERE eff IS NOT NULL
+          UNION ALL
+          SELECT 1, ((eff*83)%256) FROM ap_eff WHERE eff IS NOT NULL
+          UNION ALL
+          SELECT 1, 255 FROM ap_eff WHERE eff IS NOT NULL
+        )
+        SELECT media_id,
+               CAST(16 AS INTEGER) AS width,
+               CAST(8 AS INTEGER) AS height,
+               CAST(CASE media_id WHEN 1 THEN 3 ELSE 2 END AS INTEGER)
+                 AS n_frames,
+               CAST(CASE media_id WHEN 3 THEN 3 ELSE 4 END AS INTEGER)
+                 AS channels,
+               CAST(SUM(v) AS BIGINT) AS px_sum,
+               CAST(SUM(v*v) AS BIGINT) AS px_sqsum
+        FROM ap_px GROUP BY media_id
+        UNION ALL
+        -- media 2: fractional-alpha OVER — metadata-only
+        SELECT CAST(2 AS BIGINT), 16, 8, 2, 0, NULL, NULL
+        ORDER BY media_id
     """,
     "q234_mov_audio": """
         WITH ma_media(media_id, need) AS (

@@ -94,12 +94,25 @@ def test_frame_checksums_match_slices(media):
 
 
 def test_codec_bound_formats_are_stubbed(spark):
+    # a container NO parser claims (MP3 frame sync): still the loud
+    # NotImplementedError stub contract
+    mp3ish = spark.createDataFrame(
+        [(9, KIND_VIDEO, b"\xff\xfb\x90\x00 not decodable here")],
+        "media_id long, kind int, content binary",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|stubbed"):
+        decode_media(mp3ish).collect()
+    # r12 contract change: 'ftyp' leads route to the QuickTime walk —
+    # a degenerate moov-less blob is CORRUPT (quarantined), while a
+    # REAL MP4 with a non-jpeg codec is valid-unsupported
+    # metadata-only via the stsd format gate (test_mov_container_
+    # contract covers that arm)
     mp4ish = spark.createDataFrame(
         [(9, KIND_VIDEO, b"\x00\x00\x00\x18ftypmp42 not decodable here")],
         "media_id long, kind int, content binary",
     )
-    with pytest.raises(Exception, match="NotImplementedError|stubbed"):
-        decode_media(mp4ish).collect()
+    rows = decode_media(mp4ish).collect()
+    assert len(rows) == 1 and rows[0]["decode_error"] is not None
 
 
 # --- real-format fixtures, built with stdlib only ---------------------------
@@ -2774,3 +2787,128 @@ def test_mov_audio_demux_all_formats():
         _parse_mov_audio(
             encode_mov_audio(u8.tobytes(), b"raw ", 1, 8)[:-10]
         )
+
+
+def test_apng_compositing_and_layouts():
+    """r12: animated PNG — acTL/fcTL/fdAT sequence validation, frame
+    regions through the shared pass decoder, SOURCE and binary-alpha
+    OVER blending, dispose none/background/previous, frame 0 in IDAT
+    or all-fdAT with a hidden default image; fractional-alpha OVER is
+    implementation-defined rounding -> metadata-only; forged acTL
+    counts and mutations never escape (PNG CRCs catch them)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        _decode_payload,
+        _parse_apng,
+        encode_apng,
+    )
+
+    rng = np.random.default_rng(17)
+    W, H = 16, 8
+    f0 = rng.integers(0, 256, size=(H, W, 4), dtype=np.uint8)
+    f1 = rng.integers(0, 256, size=(H, W, 4), dtype=np.uint8)
+    w, h, nf, ch, px = _decode_payload(
+        encode_apng((W, H), [(f0, 0, 0, 0, 0), (f1, 0, 0, 0, 0)])
+    )
+    assert (w, h, nf, ch) == (W, H, 2, 4)
+    fr = px.reshape(2, H, W, 4)
+    assert np.array_equal(fr[0], f0) and np.array_equal(fr[1], f1)
+
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    base = rng.integers(1, 16, size=(H, W), dtype=np.uint8)
+    patch = rng.integers(0, 16, size=(3, 6), dtype=np.uint8)
+    m = patch != 0
+    w, h, nf, ch, px = _parse_apng(encode_apng(
+        (W, H),
+        [(base, 0, 0, 0, 0), (patch, 5, 2, 2, 1), (patch, 0, 0, 1, 1)],
+        color_type=3, palette=pal, trns=b"\x00",
+    ))
+    assert (nf, ch) == (3, 4)
+    fr = px.reshape(3, H, W, 4)
+    assert np.array_equal(fr[0][:, :, :3], pal[base])
+    exp = pal[base].copy()
+    exp[2:5, 5:11][m] = pal[patch][m]
+    assert np.array_equal(fr[1][:, :, :3], exp)
+    exp2 = pal[base].copy()
+    exp2[0:3, 0:6][m] = pal[patch][m]
+    assert np.array_equal(fr[2][:, :, :3], exp2)
+
+    # dispose=background clears the rect to TRANSPARENT black: frame
+    # 3 pixels the next frame does not repaint have alpha 0
+    w, h, nf, ch, px = _parse_apng(encode_apng(
+        (W, H),
+        [(base, 0, 0, 0, 0), (patch, 5, 2, 1, 1), (patch, 0, 0, 0, 1)],
+        color_type=3, palette=pal, trns=b"\x00",
+    ))
+    fr = px.reshape(3, H, W, 4)
+    assert (fr[2][3:5, 6:11, 3] == 0).all()
+
+    g0 = rng.integers(0, 256, size=(H, W), dtype=np.uint8)
+    g1 = rng.integers(0, 256, size=(H, W), dtype=np.uint8)
+    w, h, nf, ch, px = _parse_apng(encode_apng(
+        (W, H), [(g0, 0, 0, 0, 0), (g1, 0, 0, 0, 0)],
+        color_type=0, first_frame_in_idat=False,
+    ))
+    assert (nf, ch) == (2, 3)
+    assert np.array_equal(
+        px.reshape(2, H, W, 3)[0], np.repeat(g0[..., None], 3, axis=-1)
+    )
+
+    fa = f1.copy()
+    fa[:, :, 3] = 128
+    assert _parse_apng(encode_apng(
+        (W, H), [(f0, 0, 0, 0, 0), (fa, 0, 0, 0, 1)]
+    ))[3] == 0
+
+    # forged acTL frame count: resealed CRC, structural raise
+    good = encode_apng((W, H), [(f0, 0, 0, 0, 0), (f1, 0, 0, 0, 0)])
+    at = good.find(b"acTL")
+    forged = bytearray(good)
+    forged[at + 4 : at + 8] = (5).to_bytes(4, "big")
+    body = bytes(forged[at : at + 12])
+    forged[at + 12 : at + 16] = struct.pack(
+        ">I", zlib.crc32(body) & 0xFFFFFFFF
+    )
+    with pytest.raises(ValueError, match="acTL declares"):
+        _parse_apng(bytes(forged))
+
+
+def test_apng_mutations_never_escape():
+    """Every single-byte mutation and truncation of an APNG lands in
+    pixels/metadata/caught-error — PNG CRCs make nearly all of them
+    loud errors."""
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        _CORRUPT_ERRORS,
+        _decode_payload,
+        encode_apng,
+    )
+
+    rng = np.random.default_rng(19)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    base = rng.integers(1, 16, size=(8, 16), dtype=np.uint8)
+    patch = rng.integers(0, 16, size=(3, 6), dtype=np.uint8)
+    apng = encode_apng(
+        (16, 8), [(base, 0, 0, 0, 0), (patch, 5, 2, 1, 1)],
+        color_type=3, palette=pal, trns=b"\x00",
+    )
+
+    def probe(p):
+        try:
+            _w, _h, _nf, _ch, px = _decode_payload(p)
+        except (*_CORRUPT_ERRORS, NotImplementedError):
+            return "error"
+        return "pixels" if px is not None else "metadata"
+
+    for i in range(8, len(apng)):
+        mutated = bytearray(apng)
+        mutated[i] ^= 0xA5
+        assert probe(bytes(mutated)) in ("pixels", "metadata", "error")
+    for cut in range(len(apng)):
+        assert probe(apng[:cut]) in ("pixels", "metadata", "error")
