@@ -94,8 +94,17 @@ def test_unsupported_file_quarantines_stream_alive(spark, tmp_path):
     bad = {r["src_path"].rsplit("/", 1)[-1]: r for r in rows
            if r["decode_error"] is not None}
     assert set(bad) == {"clip.mp4", "notes.txt"}
+    # r12: 'ftyp' leads route to the QuickTime walk, so the moov-less
+    # .mp4 stub quarantines as a structural ValueError; the .txt
+    # still hits the NotImplementedError capability boundary — both
+    # are quarantine rows, the stream stays alive either way
+    assert bad["notes.txt"]["decode_error"].startswith(
+        "NotImplementedError"
+    )
+    assert bad["clip.mp4"]["decode_error"].startswith(
+        ("NotImplementedError", "ValueError")
+    )
     for r in bad.values():
-        assert r["decode_error"].startswith("NotImplementedError")
         assert r["width"] is None and r["px_sum"] is None
     ok = [r for r in rows if r["decode_error"] is None]
     assert len(ok) == 1 and ok[0]["px_sum"] == int(arr.astype(np.int64).sum())
@@ -112,16 +121,26 @@ def test_unsupported_file_quarantines_stream_alive(spark, tmp_path):
 
 def test_batch_decode_media_still_raises_on_unsupported(spark):
     """The batch default is unchanged: an unsupported container is a
-    declared capability boundary and raises loudly."""
+    declared capability boundary and raises loudly. (r12: 'ftyp'
+    leads are CLAIMED by the QuickTime walk now — a moov-less stub
+    is a quarantined structural error, not this boundary — so the
+    pin uses a container no parser claims.)"""
     import pytest
     from dataingestiontohana_spark.operators.multimodal import decode_media
 
     df = spark.createDataFrame(
-        [(1, 0, bytearray(b"\x00\x00\x00\x18ftypmp42" + bytes(32)))],
+        [(1, 0, bytearray(b"\xff\xfb\x90\x00 mp3-ish, undecodable"))],
         "media_id long, kind int, content binary",
     )
     with pytest.raises(Exception, match="NotImplementedError|unsupported"):
         decode_media(df).collect()
+    # the ftyp stub: quarantined (corrupt MOV), never a task death
+    df2 = spark.createDataFrame(
+        [(1, 0, bytearray(b"\x00\x00\x00\x18ftypmp42" + bytes(32)))],
+        "media_id long, kind int, content binary",
+    )
+    rows = decode_media(df2).collect()
+    assert len(rows) == 1 and rows[0]["decode_error"] is not None
 
 
 def test_media_key_is_the_collision_free_sink_identity(spark, tmp_path):
