@@ -4105,6 +4105,301 @@ def encode_bmp_rle(
     return head + dib + pal_bytes + bytes(out)
 
 
+# -- TIFF (r12): baseline strips, both byte orders, PackBits --------
+
+
+def _tiff_packbits(data: bytes, need: int) -> bytes:
+    """PackBits (RLE) decompression -> exactly ``need`` bytes; runs
+    past the expected size or a truncated literal raise."""
+    out = bytearray()
+    i = 0
+    while len(out) < need:
+        if i >= len(data):
+            raise ValueError("TIFF: PackBits stream exhausted")
+        n = data[i]
+        i += 1
+        if n < 128:  # literal run of n+1 bytes
+            if i + n + 1 > len(data):
+                raise ValueError("TIFF: PackBits literal truncated")
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            if i >= len(data):
+                raise ValueError("TIFF: PackBits repeat truncated")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op per spec
+    if len(out) != need:
+        raise ValueError("TIFF: PackBits run past the strip size")
+    return bytes(out)
+
+
+def _parse_tiff(b: bytes) -> tuple[int, int, int, np.ndarray | None]:
+    """Baseline TIFF parse -> (w, h, channels, flat bytes) — r12, the
+    last common still-image container.
+
+    Decodes stripped images in BOTH byte orders (II/MM): 8-bit
+    grayscale (PhotometricInterpretation 1 BlackIsZero and 0
+    WhiteIsZero — inverted per spec), 8-bit RGB, 8-bit palette
+    (ColorMap's 16-bit entries reduced >>8, the convention every
+    writer uses), and 1-bit bilevel (MSB-first rows, byte-aligned,
+    scaled to 0/255), each uncompressed (Compression 1) or PackBits
+    (32773), chunky PlanarConfiguration, any RowsPerStrip split.
+    VALID-UNSUPPORTED layouts stay metadata-only with dims intact:
+    other compressions (LZW/Deflate/JPEG-in-TIFF), tiled layout,
+    planar configuration 2, other bit depths, extra samples.
+    Structural violations (IFD past the stream, strip
+    offsets/byte-counts disagreeing with the geometry, PackBits
+    desync, missing mandatory tags) raise — the malformed-record
+    discipline."""
+    if len(b) < 8 or b[:2] not in (b"II", b"MM"):
+        raise ValueError("TIFF: bad byte-order mark")
+    little = b[:2] == b"II"
+    end = "<" if little else ">"
+    if struct.unpack(end + "H", b[2:4])[0] != 42:
+        raise ValueError("TIFF: bad magic number")
+    (ifd_off,) = struct.unpack(end + "I", b[4:8])
+    if ifd_off + 2 > len(b):
+        raise ValueError("TIFF: IFD offset past the stream")
+    (n_entries,) = struct.unpack(end + "H", b[ifd_off : ifd_off + 2])
+    if ifd_off + 2 + 12 * n_entries + 4 > len(b):
+        raise ValueError("TIFF: IFD table past the stream")
+    _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+    def entry_values(at: int) -> tuple[int, list[int]]:
+        tag, typ, count = struct.unpack(
+            end + "HHI", b[at : at + 8]
+        )
+        if typ not in _TYPE_SIZE:
+            return tag, []  # unknown type: ignore the entry
+        size = _TYPE_SIZE[typ] * count
+        if size <= 4:
+            src = at + 8
+        else:
+            (src,) = struct.unpack(end + "I", b[at + 8 : at + 12])
+            if src + size > len(b):
+                raise ValueError(f"TIFF: tag {tag} data past stream")
+        if typ == 3:
+            vals = list(
+                struct.unpack(end + f"{count}H", b[src : src + size])
+            )
+        elif typ == 4:
+            vals = list(
+                struct.unpack(end + f"{count}I", b[src : src + size])
+            )
+        elif typ in (1, 2):
+            vals = list(b[src : src + count])
+        else:  # RATIONAL: numerators only (resolution tags, unused)
+            vals = []
+        return tag, vals
+
+    tags: dict[int, list[int]] = {}
+    for k in range(n_entries):
+        tag, vals = entry_values(ifd_off + 2 + 12 * k)
+        tags[tag] = vals
+
+    w = tags.get(256, [0])[0]
+    h = tags.get(257, [0])[0]
+    if not (0 < w <= 1 << 14 and 0 < h <= 1 << 14):
+        raise ValueError(f"TIFF: illegal dimensions {w}x{h}")
+    comp = tags.get(259, [1])[0]
+    photo = tags.get(262, [1])[0]
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [1] * spp)
+    planar = tags.get(284, [1])[0]
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if 322 in tags or 323 in tags or 324 in tags:
+        return w, h, 0, None  # tiled layout: metadata-only
+    supported = (
+        planar == 1
+        and comp in (1, 32773)
+        and (
+            (photo in (0, 1) and spp == 1 and bits in ([1], [8]))
+            or (photo == 2 and spp == 3 and bits == [8, 8, 8])
+            or (photo == 3 and spp == 1 and bits == [8] and 320 in tags)
+        )
+    )
+    if not supported:
+        return w, h, 0, None  # valid-unsupported: metadata-only
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF: missing or mismatched strip tables")
+    rps = tags.get(278, [h])[0] or h
+    n_strips = (h + rps - 1) // rps
+    if len(offsets) != n_strips:
+        raise ValueError(
+            f"TIFF: {len(offsets)} strips for {n_strips}-strip geometry"
+        )
+    row_bytes = (w + 7) // 8 if bits == [1] else w * spp
+    rows = bytearray()
+    for s, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(b):
+            raise ValueError("TIFF: strip past end of stream")
+        strip_rows = min(rps, h - s * rps)
+        need = strip_rows * row_bytes
+        raw = bytes(b[off : off + cnt])
+        if comp == 32773:
+            raw = _tiff_packbits(raw, need)
+        elif len(raw) != need:
+            raise ValueError(
+                f"TIFF: strip {s} is {len(raw)} bytes, geometry "
+                f"needs {need}"
+            )
+        rows += raw
+    if bits == [1]:
+        grid = np.unpackbits(
+            np.frombuffer(bytes(rows), np.uint8).reshape(h, row_bytes),
+            axis=1,
+        )[:, :w]
+        if photo == 0:  # WhiteIsZero: 0 = white
+            grid = 1 - grid
+        return w, h, 1, (grid * np.uint8(255)).reshape(-1)
+    flat = np.frombuffer(bytes(rows), np.uint8)
+    if photo == 0:  # WhiteIsZero grayscale: invert per spec
+        return w, h, 1, (255 - flat)
+    if photo == 1:
+        return w, h, 1, flat.copy()
+    if photo == 3:
+        cmap = tags[320]
+        if len(cmap) != 3 * 256:
+            return w, h, 0, None  # short colormap: metadata-only
+        lut = (
+            np.array(cmap, np.uint16).reshape(3, 256).T >> 8
+        ).astype(np.uint8)
+        return w, h, 3, lut[flat].reshape(-1)
+    return w, h, 3, flat.copy()  # RGB chunky
+
+
+def encode_tiff(
+    arr: np.ndarray,
+    photometric: int = 1,
+    compression: int = 1,
+    rows_per_strip: int = 0,
+    big_endian: bool = False,
+    colormap: np.ndarray | None = None,
+) -> bytes:
+    """Baseline TIFF encoder (the `_parse_tiff` inverse, for fixtures
+    and round trips): (h, w) uint8 gray / 0-1 bilevel (``photometric``
+    0/1 picks White/BlackIsZero; bilevel when the array max is <= 1
+    and photometric declares 1 bit via ``colormap is None`` and
+    values in {0,1}), (h, w, 3) RGB (``photometric=2``), or (h, w)
+    palette indices + (256, 3) ``colormap`` (``photometric=3``, the
+    16-bit ColorMap entries built as v << 8). ``compression`` 1 or
+    32773 (PackBits, real row-wise compression); ``rows_per_strip``
+    0 = single strip."""
+    a = np.asarray(arr, np.uint8)
+    end = ">" if big_endian else "<"
+    bilevel = photometric in (0, 1) and colormap is None and a.ndim == 2 \
+        and int(a.max(initial=0)) <= 1
+    if a.ndim == 3:
+        h, w, spp = a.shape
+        bits = [8, 8, 8]
+        row_bytes = w * 3
+        rows = a.reshape(h, row_bytes)
+    elif bilevel:
+        h, w = a.shape
+        spp, bits = 1, [1]
+        rows = np.packbits(a, axis=1)
+        row_bytes = rows.shape[1]
+    else:
+        h, w = a.shape
+        spp, bits = 1, [8]
+        row_bytes = w
+        rows = a
+    rps = rows_per_strip or h
+    strips = []
+    for s in range(0, h, rps):
+        chunk = rows[s : s + rps].tobytes()
+        if compression == 32773:
+            out = bytearray()
+            # one literal run per row slice of <=128 bytes plus a
+            # trivial repeat to exercise both opcodes
+            i = 0
+            while i < len(chunk):
+                n = min(128, len(chunk) - i)
+                out += bytes([n - 1]) + chunk[i : i + n]
+                i += n
+            strips.append(bytes(out))
+        else:
+            strips.append(chunk)
+    entries: list[tuple[int, int, int, list[int]]] = []
+    entries.append((256, 3, 1, [w]))
+    entries.append((257, 3, 1, [h]))
+    entries.append((258, 3, len(bits), bits))
+    entries.append((259, 3, 1, [compression]))
+    entries.append((262, 3, 1, [photometric]))
+    entries.append((277, 3, 1, [spp]))
+    entries.append((278, 3, 1, [rps]))
+    cmap_vals: list[int] = []
+    if colormap is not None:
+        cm = np.asarray(colormap, np.uint8)
+        cmap_vals = [
+            int(v) << 8 for v in cm.T.reshape(-1)
+        ]
+        entries.append((320, 3, len(cmap_vals), cmap_vals))
+    # layout: header(8) + IFD + external tag data + strips
+    n_e = len(entries) + 2  # + StripOffsets + StripByteCounts
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * n_e + 4
+    ext = bytearray()
+
+    def value_field(typ: int, vals: list[int]) -> bytes:
+        nonlocal ext
+        size = {3: 2, 4: 4}[typ] * len(vals)
+        packed = struct.pack(
+            end + ("H" if typ == 3 else "I") * len(vals), *vals
+        )
+        if size <= 4:
+            return packed + bytes(4 - size)
+        at = data_off + len(ext)
+        ext.extend(packed)
+        if len(ext) & 1:
+            ext.append(0)
+        return struct.pack(end + "I", at)
+
+    # first pass: external sizes for strip placement need the ext
+    # block; append strip tables LAST so their offsets are computed
+    # after all other external data
+    body = bytearray()
+    all_entries = sorted(entries) + [
+        (273, 4, len(strips), None),
+        (279, 4, len(strips), None),
+    ]
+    all_entries.sort()
+    # pre-place external data for the static entries
+    fields: dict[int, bytes] = {}
+    for tag, typ, count, vals in all_entries:
+        if vals is not None:
+            fields[tag] = value_field(typ, vals)
+    # strips start after the ext block, which still grows by the two
+    # strip tables when they do not fit inline (multi-strip only)
+    table_ext = 0 if len(strips) == 1 else 8 * len(strips)
+    strips_at = data_off + len(ext) + table_ext
+    offs, cnts = [], []
+    at = strips_at
+    for sdata in strips:
+        offs.append(at)
+        cnts.append(len(sdata))
+        at += len(sdata) + (len(sdata) & 1)
+    fields[273] = value_field(4, offs)
+    fields[279] = value_field(4, cnts)
+    for tag, typ, count, _vals in all_entries:
+        body += struct.pack(end + "HHI", tag, typ, count)
+        body += fields[tag]
+    header = (
+        (b"II" if not big_endian else b"MM")
+        + struct.pack(end + "H", 42)
+        + struct.pack(end + "I", ifd_off)
+    )
+    ifd = struct.pack(end + "H", n_e) + bytes(body) + bytes(4)
+    strip_blob = bytearray()
+    for sdata in strips:
+        strip_blob += sdata
+        if len(sdata) & 1:
+            strip_blob.append(0)
+    return header + ifd + bytes(ext) + bytes(strip_blob)
+
+
 # -- GIF (r9): 87a/89a first frame, full LZW, interlace, transparency
 
 
@@ -5479,6 +5774,9 @@ def _decode_payload(
         return _parse_gif(content)
     if content[:2] == b"BM" and len(content) >= 14:
         w, h, ch, px = _parse_bmp(content)
+        return w, h, 1, ch, px
+    if content[:4] in (b"II*\x00", b"MM\x00*"):
+        w, h, ch, px = _parse_tiff(content)
         return w, h, 1, ch, px
     if len(content) < _HEADER_SIZE or content[:4] != _MAGIC:
         raise NotImplementedError(

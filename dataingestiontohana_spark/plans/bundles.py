@@ -582,6 +582,11 @@ FINE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("n_frames", "int"), ("channels", "int"),
         ("px_sum", "bigint"), ("px_sqsum", "bigint"),
     ],
+    "q236_tiff": [
+        ("media_id", "bigint"), ("width", "int"), ("height", "int"),
+        ("n_frames", "int"), ("channels", "int"),
+        ("px_sum", "bigint"), ("px_sqsum", "bigint"),
+    ],
     "q225_avi_mjpeg": [
         ("media_id", "bigint"), ("width", "int"), ("height", "int"),
         ("n_frames", "int"), ("channels", "int"),
@@ -1072,6 +1077,10 @@ BUNDLES: dict[str, list[str]] = {
         # binary-alpha OVER, dispose background/previous, hidden
         # default image; fractional-alpha OVER metadata-only)
         "q235_apng",
+        # r12: baseline TIFF — strips in both byte orders, PackBits,
+        # gray both polarities / RGB / palette / bilevel; LZW and
+        # tiled layouts metadata-only
+        "q236_tiff",
     ],
     # round 9: WARC crawl-archive ingestion + URL canonicalization
     # dedup + eTLD+1 extraction + robots.txt filtering join the

@@ -1486,6 +1486,97 @@ def _mov_corpus(spark: SparkSession) -> DataFrame:
     return df
 
 
+_TIFF_CACHE: dict[str, DataFrame] = {}
+
+
+def _tiff_corpus(spark: SparkSession) -> DataFrame:
+    """REAL baseline TIFF streams whose decode is EXACT (r12): every
+    sample byte md5-expanded from '{i}:tiff:{c}', written by
+    `encode_tiff` with real IFDs and strip tables. Media: 0 = 8-bit
+    grayscale BlackIsZero, PackBits, multi-strip, little-endian; 1 =
+    8-bit grayscale WHITEISZERO, big-endian (stored bytes are the
+    expansion — decode inverts per spec); 2 = 8-bit RGB, multi-strip,
+    little-endian; 3 = palette through the 37/59/83 ColorMap,
+    PackBits, big-endian; 4 = 1-bit bilevel (MSB-first packed rows
+    ARE the expansion bytes); 5 = the LZW compression flag — a VALID
+    UNSUPPORTED layout, dims + metadata-only."""
+    import hashlib
+
+    import numpy as np
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        encode_tiff,
+    )
+
+    key = spark.sparkContext.applicationId
+    df = _TIFF_CACHE.get(key)
+    if df is not None:
+        return df
+    _TIFF_CACHE.clear()
+
+    def md5_expand(mid: int, need: int) -> bytes:
+        out = bytearray()
+        c = 0
+        while len(out) < need:
+            out += hashlib.md5(f"{mid}:tiff:{c}".encode()).digest()
+            c += 1
+        return bytes(out[:need])
+
+    W, H = 16, 8
+    rows = []
+    g0 = np.frombuffer(md5_expand(0, W * H), np.uint8).reshape(H, W)
+    rows.append((0, KIND_IMAGE, encode_tiff(g0, 1, 32773, 3)))
+    g1 = np.frombuffer(md5_expand(1, W * H), np.uint8).reshape(H, W)
+    rows.append((1, KIND_IMAGE, encode_tiff(g1, 0, 1, 0, True)))
+    rgb = np.frombuffer(md5_expand(2, W * H * 3), np.uint8).reshape(
+        H, W, 3
+    )
+    rows.append((2, KIND_IMAGE, encode_tiff(rgb, 2, 1, 2)))
+    pal = np.array(
+        [[(k * 37) % 256, (k * 59) % 256, (k * 83) % 256]
+         for k in range(256)],
+        dtype=np.uint8,
+    )
+    idx = np.frombuffer(md5_expand(3, W * H), np.uint8).reshape(H, W)
+    rows.append((3, KIND_IMAGE, encode_tiff(
+        idx, 3, 32773, 0, True, colormap=pal)))
+    packed = np.frombuffer(md5_expand(4, H * (W // 8)), np.uint8)
+    bil = np.unpackbits(packed.reshape(H, W // 8), axis=1)
+    rows.append((4, KIND_IMAGE, encode_tiff(bil, 1, 1)))
+    blob5 = bytearray(encode_tiff(g0, 1))
+    import struct as _s
+
+    at = blob5.find(_s.pack("<HHI", 259, 3, 1))
+    blob5[at + 8 : at + 10] = _s.pack("<H", 5)  # Compression = LZW
+    rows.append((5, KIND_IMAGE, bytes(blob5)))
+    df = (
+        spark.createDataFrame(rows, "media_id long, kind int, content binary")
+        .coalesce(1)
+        .localCheckpoint(eager=False)
+    )
+    _TIFF_CACHE[key] = df
+    return df
+
+
+def q236_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline TIFF under the VALUE gate (r12 — the last common
+    still-image container): grayscale in BOTH photometric polarities,
+    RGB, palette, and bilevel strips in both byte orders with real
+    PackBits compression through the production `decode_media`; the
+    oracle recomputes every decoded channel byte from the md5
+    expansion (WhiteIsZero replays the 255-b inversion, bilevel
+    replays the MSB-first bit unpack, palette the 37/59/83 map); the
+    LZW-flagged clip adjudicates the metadata-only contract."""
+    return (
+        decode_media(_tiff_corpus(spark))
+        .select(
+            "media_id", "width", "height", "n_frames", "channels",
+            "px_sum", "px_sqsum",
+        )
+        .orderBy("media_id")
+    )
+
+
 _APNG_CACHE: dict[str, DataFrame] = {}
 
 
@@ -2724,6 +2815,7 @@ QUERIES = {
     "q233_mov_frames": q233_mov_frames,
     "q234_mov_audio": q234_mov_audio,
     "q235_apng": q235_apng,
+    "q236_tiff": q236_tiff,
     "q221_gif_frames": q221_gif_frames,
     "q225_avi_mjpeg": q225_avi_mjpeg,
     "q226_avi_frames": q226_avi_frames,
@@ -3388,6 +3480,59 @@ ORACLES = {
         WHERE frame % 2 = 0
         GROUP BY media_id, frame, ch
         ORDER BY media_id, frame_idx
+    """,
+    "q236_tiff": """
+        WITH tf_media(media_id, need) AS (
+          VALUES (CAST(0 AS BIGINT), 128), (1, 128), (2, 384),
+                 (3, 128), (4, 16)
+        ),
+        tf_bytes AS (
+          SELECT m.media_id, c.j*16 + g.j AS pos,
+                 16*(strpos('0123456789abcdef',
+                      substr(md5(m.media_id || ':tiff:' || c.j),
+                             CAST(2*g.j+1 AS INT), 1))-1)
+                   + (strpos('0123456789abcdef',
+                      substr(md5(m.media_id || ':tiff:' || c.j),
+                             CAST(2*g.j+2 AS INT), 1))-1) AS b
+          FROM tf_media m, range(24) c(j), range(16) g(j)
+          WHERE c.j*16 + g.j < m.need
+        ),
+        tf_px AS (
+          -- 0: gray BlackIsZero — bytes ARE the samples
+          SELECT media_id, b AS v FROM tf_bytes WHERE media_id = 0
+          UNION ALL
+          -- 1: gray WHITEISZERO — decode inverts the stored byte
+          SELECT media_id, 255 - b FROM tf_bytes WHERE media_id = 1
+          UNION ALL
+          -- 2: RGB chunky — bytes ARE the channel stream
+          SELECT media_id, b FROM tf_bytes WHERE media_id = 2
+          UNION ALL
+          -- 3: palette through the 37/59/83 ColorMap (16-bit
+          -- entries v<<8 reduced back >>8 — the identity round trip)
+          SELECT media_id, (b*37)%256 FROM tf_bytes WHERE media_id = 3
+          UNION ALL
+          SELECT media_id, (b*59)%256 FROM tf_bytes WHERE media_id = 3
+          UNION ALL
+          SELECT media_id, (b*83)%256 FROM tf_bytes WHERE media_id = 3
+          UNION ALL
+          -- 4: bilevel — each packed byte expands MSB-first to eight
+          -- 0/255 samples
+          SELECT media_id, 255 * ((b >> CAST(7 - k.k AS INT)) & 1)
+          FROM tf_bytes, range(8) k(k) WHERE media_id = 4
+        )
+        SELECT media_id,
+               CAST(16 AS INTEGER) AS width,
+               CAST(8 AS INTEGER) AS height,
+               CAST(1 AS INTEGER) AS n_frames,
+               CAST(CASE WHEN media_id IN (2, 3) THEN 3 ELSE 1 END
+                    AS INTEGER) AS channels,
+               CAST(SUM(v) AS BIGINT) AS px_sum,
+               CAST(SUM(v*v) AS BIGINT) AS px_sqsum
+        FROM tf_px GROUP BY media_id
+        UNION ALL
+        -- 5: LZW compression flag — valid-unsupported, dims intact
+        SELECT CAST(5 AS BIGINT), 16, 8, 1, 0, NULL, NULL
+        ORDER BY media_id
     """,
     "q235_apng": """
         WITH ap_bytes AS (

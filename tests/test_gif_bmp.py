@@ -508,3 +508,82 @@ def test_gif_bomb_and_oversize_degrade_to_metadata_only():
     blob[6:10] = np.uint16(9000).tobytes() * 2
     w, h, nf, ch, px = _decode_payload(bytes(blob))
     assert (w, h, nf, ch, px) == (9000, 9000, 1, 0, None)
+
+
+def test_tiff_baseline_roundtrips_and_contracts():
+    """r12: baseline TIFF — 8-bit gray (both photometric polarities),
+    RGB, palette, 1-bit bilevel, each uncompressed AND PackBits, in
+    both byte orders, single- and multi-strip — byte-exact through
+    the encoder inverse. LZW/tiled/planar layouts stay metadata-only
+    with dims; truncated strips and PackBits desync raise."""
+    import struct
+
+    from dataingestiontohana_spark.operators.multimodal import (
+        _parse_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(21)
+    H, W = 8, 16
+    g = rng.integers(0, 256, size=(H, W), dtype=np.uint8)
+    rgb = rng.integers(0, 256, size=(H, W, 3), dtype=np.uint8)
+    bil = rng.integers(0, 2, size=(H, W), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, size=(H, W), dtype=np.uint8)
+
+    def rt(blob, want, ch):
+        pw, ph, pch, px = _parse_tiff(blob)
+        assert (pw, ph, pch) == (W, H, ch)
+        assert np.array_equal(
+            px.reshape(-1), np.asarray(want, np.uint8).reshape(-1)
+        )
+
+    for be in (False, True):
+        for comp in (1, 32773):
+            for rps in (0, 3):
+                rt(encode_tiff(g, 1, comp, rps, be), g, 1)
+                # WhiteIsZero: stored bytes invert on decode
+                rt(encode_tiff(255 - g, 0, comp, rps, be), g, 1)
+                rt(encode_tiff(rgb, 2, comp, rps, be), rgb, 3)
+                rt(
+                    encode_tiff(idx, 3, comp, rps, be, colormap=pal),
+                    pal[idx], 3,
+                )
+                rt(encode_tiff(bil, 1, comp, rps, be), bil * 255, 1)
+                rt(encode_tiff(1 - bil, 0, comp, rps, be), bil * 255, 1)
+    # LZW flag: valid-unsupported, dims intact
+    blob = bytearray(encode_tiff(g, 1))
+    at = blob.find(struct.pack("<HHI", 259, 3, 1))
+    blob[at + 8 : at + 10] = struct.pack("<H", 5)
+    assert _parse_tiff(bytes(blob)) == (W, H, 0, None)
+    # tiled layout (TileWidth tag): metadata-only
+    blob = bytearray(encode_tiff(g, 1))
+    at = blob.find(struct.pack("<HHI", 278, 3, 1))
+    blob[at : at + 2] = struct.pack("<H", 322)
+    assert _parse_tiff(bytes(blob))[2] == 0
+    # truncated strip: corrupt
+    with pytest.raises(ValueError, match="strip past"):
+        _parse_tiff(encode_tiff(rgb, 2)[:-20])
+
+
+def test_tiff_mutations_never_escape():
+    """No integrity words in TIFF either: the GIF/BMP mutation
+    contract — every single-byte mutation and truncation lands in
+    pixels / metadata / caught-error."""
+    rng = np.random.default_rng(23)
+    rgb = rng.integers(0, 256, size=(8, 16, 3), dtype=np.uint8)
+    from dataingestiontohana_spark.operators.multimodal import (
+        encode_tiff,
+    )
+
+    tif = encode_tiff(rgb, 2, 32773, 3)
+    for i in range(len(tif)):
+        mutated = bytearray(tif)
+        mutated[i] ^= 0xA5
+        assert _outcome(bytes(mutated)) in (
+            "pixels", "metadata", "error",
+        ), i
+    for cut in range(len(tif)):
+        assert _outcome(tif[:cut]) in (
+            "pixels", "metadata", "error",
+        ), cut
