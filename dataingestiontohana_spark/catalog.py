@@ -35,6 +35,27 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def local_rows(
+    spark: SparkSession, rows: list, schema: str, slices: int = 1
+) -> DataFrame:
+    """Small driver-built row list -> DataFrame with ``slices``
+    partitions.
+
+    NOT a bare ``spark.createDataFrame(rows, schema)``: that slices
+    the pickled rows into defaultParallelism partitions, so every
+    materialization runs a defaultParallelism-task Python stage for a
+    handful of rows (~1.3 s cold at local[32]) — and a downstream
+    ``coalesce(k)`` makes it far worse, because the coalesced task
+    then pays one Python-runner round trip per parent partition
+    SERIALLY (measured 7.6 s to materialize a 4-row frame).
+    ``parallelize(rows, slices)`` feeds the identical row-conversion
+    path with one round trip per slice. Driver-small fixtures and
+    collected aggregates only — real tables come from parquet."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, max(1, slices)), schema
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one parquet table, normalizing nanosecond timestamps.
 

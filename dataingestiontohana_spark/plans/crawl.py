@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dataingestiontohana_spark.catalog import local_rows
+
 # Public-suffix snapshot (publicsuffix.org format, plain rules only):
 # enough of the real list to exercise multi-label suffixes ("co.uk"
 # must beat "uk"), private-section entries ("github.io" must beat
@@ -77,8 +79,8 @@ def q218_registrable_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("host")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_urls"))
     )
-    psl = spark.createDataFrame(
-        [(s,) for s in PUBLIC_SUFFIXES], "suffix string"
+    psl = local_rows(
+        spark, [(s,) for s in PUBLIC_SUFFIXES], "suffix string"
     )
     cand = hosts.select(
         "host",
@@ -182,8 +184,8 @@ def q219_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "host", "path",
         F.expr("'http://' || host || path").alias("url"),
     )
-    rules = spark.createDataFrame(
-        list(ROBOTS_RULES), "host string, pattern string, is_allow int"
+    rules = local_rows(
+        spark, list(ROBOTS_RULES), "host string, pattern string, is_allow int"
     ).select("host", "pattern", "is_allow", F.expr(_LIKE_OF_PATTERN).alias("like_pat"))
     scored = (
         urls.join(

@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dataingestiontohana_spark.catalog import local_rows
+
 from dataingestiontohana_spark.sources.csv_envelope import parse_sensor_csv
 from dataingestiontohana_spark.sources.generator import (
     sensor_csv_lines,
@@ -213,11 +215,15 @@ def _warc_corpus(spark: SparkSession) -> DataFrame:
         else:
             blob = b"".join(recs)
         rows.append((fi, bytearray(blob)))
-    df = (
-        spark.createDataFrame(rows, "file_id long, content binary")
-        .coalesce(2)
-        .localCheckpoint(eager=False)
-    )
+    # parallelize(rows, 2), NOT createDataFrame(rows).coalesce(2): the
+    # latter slices the pickled rows into defaultParallelism Python
+    # partitions and each coalesced task then pays one Python-runner
+    # round trip PER PARENT PARTITION serially (~0.23 s each at
+    # local[32] — measured 3.7 s to materialize this 9-row corpus)
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2),
+        "file_id long, content binary",
+    ).localCheckpoint(eager=False)
     _WARC_CACHE[key] = df
     return df
 
@@ -453,8 +459,8 @@ def q222_idn_host(spark: SparkSession, sf_dir: str) -> DataFrame:
     def ace_udf(hosts):
         return hosts.map(ace_host)
 
-    urls = spark.createDataFrame(
-        [(u,) for u in _idn_corpus_urls()], "u string"
+    urls = local_rows(
+        spark, [(u,) for u in _idn_corpus_urls()], "u string"
     )
     host = F.regexp_extract("u", r"^[^:/?#]+://([^/?#]*)", 1)
     with_host = urls.select(host.alias("host"))

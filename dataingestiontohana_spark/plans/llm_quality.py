@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dataingestiontohana_spark.catalog import load_table
+from dataingestiontohana_spark.catalog import load_table, local_rows
 from dataingestiontohana_spark.functions.text import tokens
 
 
@@ -815,7 +815,8 @@ def q108_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
             w[v] += r["cnt"]
             deg[v] += 1
     rank = fixed_point_pagerank(nodes, adj, w)
-    out = spark.createDataFrame(
+    out = local_rows(
+        spark,
         [
             (v, int(freq[v]), int(deg[v]), int(w[v]), int(rank[v]))
             for v in nodes

@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dataingestiontohana_spark.catalog import load_table
+from dataingestiontohana_spark.catalog import load_table, local_rows
 from dataingestiontohana_spark.functions.vector import cosine_similarity
 
 DIM = 64
@@ -493,7 +493,8 @@ def q83_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    norms = spark.createDataFrame(
+    norms = local_rows(
+        spark,
         [
             (cid, int(sum(int(round(c * 1e6)) ** 2 for c in cents[cid])))
             for cid in range(KMEANS_K)
@@ -1316,7 +1317,8 @@ def q116_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         _, c, ms, score = best
         chosen.append(c)
         selected.append((step, c, rel[c], ms, score))
-    out = spark.createDataFrame(
+    out = local_rows(
+        spark,
         selected,
         "sel_order int, vec_id bigint, rel bigint, maxsim bigint,"
         " score bigint",

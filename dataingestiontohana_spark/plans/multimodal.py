@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dataingestiontohana_spark.catalog import load_table
+from dataingestiontohana_spark.catalog import load_table, local_rows
 from dataingestiontohana_spark.operators.multimodal import (
     _IMA_STEP_TABLE,
     KIND_AUDIO,
@@ -57,6 +57,16 @@ def q36_media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MEDIA_CACHE: dict[tuple[str, int], DataFrame] = {}
 
 
+def _local_rows(spark: SparkSession, rows: list, slices: int) -> DataFrame:
+    """Driver-built media corpus -> DataFrame with ``slices``
+    partitions; see catalog.local_rows for why this is NOT
+    ``spark.createDataFrame(rows).coalesce(k)`` (measured 7.6 s -> 0.2 s
+    to materialize a 4-row corpus at local[32])."""
+    return local_rows(
+        spark, rows, "media_id long, kind int, content binary", slices
+    )
+
+
 def _synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
     key = (spark.sparkContext.applicationId, n)
     df = _MEDIA_CACHE.get(key)
@@ -85,8 +95,7 @@ def _synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
     # size-based partitioning; this is fixture plumbing, not the
     # operator's scale shape.
     df = (
-        spark.createDataFrame(rows, "media_id long, kind int, content binary")
-        .coalesce(4)
+        _local_rows(spark, rows, 4)
         .localCheckpoint(eager=False)
     )
     _MEDIA_CACHE[key] = df
@@ -155,9 +164,7 @@ def _probe_media(spark: SparkSession) -> DataFrame:
             payload[p] = (payload[p] + 8) % 256
         header = _s.pack(_HEADER_FMT, _MAGIC, KIND_IMAGE, 32, 16, 1)
         rows.append((i + 1000, KIND_IMAGE, header + bytes(payload)))
-    return spark.createDataFrame(
-        rows, "media_id long, kind int, content binary"
-    ).coalesce(2)
+    return _local_rows(spark, rows, 2)
 
 
 # like _MEDIA_CACHE: q81 emits the hashes, q82 pairs them, and q82's
@@ -225,9 +232,7 @@ def _audio_probe_media(spark: SparkSession) -> DataFrame:
             payload[p] = (payload[p] + 4) % 256
         header = _s.pack(_HEADER_FMT, _MAGIC, KIND_AUDIO, 256, 1, 1)
         rows.append((i + 2000, KIND_AUDIO, header + bytes(payload)))
-    return spark.createDataFrame(
-        rows, "media_id long, kind int, content binary"
-    ).coalesce(2)
+    return _local_rows(spark, rows, 2)
 
 
 _AHASH_CACHE: dict[str, DataFrame] = {}
@@ -363,8 +368,7 @@ def _png_color_corpus(spark: SparkSession) -> DataFrame:
             )
         rows.append((i, KIND_IMAGE, png))
     df = (
-        spark.createDataFrame(rows, "media_id long, kind int, content binary")
-        .coalesce(2)
+        _local_rows(spark, rows, 2)
         .localCheckpoint(eager=False)
     )
     _PNG_CACHE[key] = df
@@ -549,8 +553,7 @@ def _jpeg_mosaic_corpus(spark: SparkSession) -> DataFrame:
             kwargs["scan_groups"] = groups
         rows.append((mid, KIND_IMAGE, enc_fn(px, w, h, chans, **kwargs)))
     df = (
-        spark.createDataFrame(rows, "media_id long, kind int, content binary")
-        .coalesce(2)
+        _local_rows(spark, rows, 2)
         .localCheckpoint(eager=False)
     )
     _JPEG_CACHE[key] = df
@@ -985,8 +988,7 @@ def _wav_native_corpus(spark: SparkSession) -> DataFrame:
     data40 = struct.pack(f"<{len(vals40)}f", *vals40)
     rows.append((40, KIND_AUDIO, ext_container(data40, 1, 32, 3)))
     df = (
-        spark.createDataFrame(rows, "media_id long, kind int, content binary")
-        .coalesce(2)
+        _local_rows(spark, rows, 2)
         .localCheckpoint(eager=False)
     )
     _WAV_CACHE[key] = df
@@ -1075,8 +1077,7 @@ def _png16_corpus(spark: SparkSession) -> DataFrame:
             )
         rows.append((i, KIND_IMAGE, png))
     df = (
-        spark.createDataFrame(rows, "media_id long, kind int, content binary")
-        .coalesce(2)
+        _local_rows(spark, rows, 2)
         .localCheckpoint(eager=False)
     )
     _PNG16_CACHE[key] = df
@@ -1253,8 +1254,7 @@ def _gif_bmp_corpus(spark: SparkSession) -> DataFrame:
             )
         rows.append((i, kind, blob))
     df = (
-        spark.createDataFrame(rows, "media_id long, kind int, content binary")
-        .coalesce(2)
+        _local_rows(spark, rows, 2)
         .localCheckpoint(eager=False)
     )
     _GIFBMP_CACHE[key] = df
@@ -1385,8 +1385,7 @@ def _cmyk_corpus(spark: SparkSession) -> DataFrame:
         )
         rows.append((i, KIND_IMAGE, blob))
     df = (
-        spark.createDataFrame(rows, "media_id long, kind int, content binary")
-        .coalesce(1)
+        _local_rows(spark, rows, 1)
         .localCheckpoint(eager=False)
     )
     _CMYK_CACHE[key] = df
@@ -1478,8 +1477,7 @@ def _mov_corpus(spark: SparkSession) -> DataFrame:
     ]
     rows.append((3, KIND_VIDEO, encode_mov_mjpeg(f3, w, h)))
     df = (
-        spark.createDataFrame(rows, "media_id long, kind int, content binary")
-        .coalesce(1)
+        _local_rows(spark, rows, 1)
         .localCheckpoint(eager=False)
     )
     _MOV_CACHE[key] = df
@@ -1550,8 +1548,7 @@ def _tiff_corpus(spark: SparkSession) -> DataFrame:
     blob5[at + 8 : at + 10] = _s.pack("<H", 5)  # Compression = LZW
     rows.append((5, KIND_IMAGE, bytes(blob5)))
     df = (
-        spark.createDataFrame(rows, "media_id long, kind int, content binary")
-        .coalesce(1)
+        _local_rows(spark, rows, 1)
         .localCheckpoint(eager=False)
     )
     _TIFF_CACHE[key] = df
@@ -1648,8 +1645,7 @@ def _apng_corpus(spark: SparkSession) -> DataFrame:
         color_type=0, first_frame_in_idat=False,
     )))
     df = (
-        spark.createDataFrame(rows, "media_id long, kind int, content binary")
-        .coalesce(1)
+        _local_rows(spark, rows, 1)
         .localCheckpoint(eager=False)
     )
     _APNG_CACHE[key] = df
@@ -1716,8 +1712,7 @@ def _mov_audio_corpus(spark: SparkSession) -> DataFrame:
             expand(7, 120), b"ima4", 1, 8)),
     ]
     df = (
-        spark.createDataFrame(rows, "media_id long, kind int, content binary")
-        .coalesce(1)
+        _local_rows(spark, rows, 1)
         .localCheckpoint(eager=False)
     )
     _MOVAU_CACHE[key] = df
@@ -1914,8 +1909,7 @@ def _avi_corpus(spark: SparkSession) -> DataFrame:
     rows.append((7, KIND_VIDEO, encode_avi_dib(
         [perturb(dib_frame(0)), perturb(dib_frame(1))], w, h)))
     df = (
-        spark.createDataFrame(rows, "media_id long, kind int, content binary")
-        .coalesce(2)
+        _local_rows(spark, rows, 2)
         .localCheckpoint(eager=False)
     )
     _AVI_CACHE[key] = df

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from dataingestiontohana_spark.catalog import load_table
+from dataingestiontohana_spark.catalog import load_table, local_rows
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -279,7 +279,7 @@ def q17_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_regionkey") == 0)
         .select(F.col("n_nationkey").alias("k"))
     )
-    nine = spark.createDataFrame([(999,)], "k int")
+    nine = local_rows(spark, [(999,)], "k int")
     return c.intersect(s).union(n).distinct().subtract(nine).orderBy("k")
 
 

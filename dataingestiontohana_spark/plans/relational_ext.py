@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from dataingestiontohana_spark.catalog import load_table
+from dataingestiontohana_spark.catalog import load_table, local_rows
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -110,7 +110,8 @@ def q45_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast banding table — the non-equi condition never shuffles the
     fact side because the band table broadcasts."""
     e = _t(spark, sf_dir, "events")
-    bands = spark.createDataFrame(
+    bands = local_rows(
+        spark,
         [("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 1e9)],
         "band string, lo double, hi double",
     )
