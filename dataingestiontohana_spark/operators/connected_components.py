@@ -38,35 +38,62 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    driver_cap: int = 2_000_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in `edges`; the
     component id is the minimum node id in the component.
 
     `edges` is undirected input: each pair needs to appear once in
     either orientation.
+
+    Execution is size-gated: an edge list at or under ``driver_cap``
+    rows (default 2M pairs ~= 32 MB of int64 — broadcast-build-side
+    territory) is collected once and solved with union-find on the
+    driver, ONE pass and O(E alpha(E)) work, identical min-id output.
+    Near-dup graphs are sparse (edges ~ number of duplicate pairs), so
+    this is the common case at any corpus size; a larger graph falls
+    through to the distributed min-label-propagation loop below, whose
+    per-round cost is several shuffles — the iterative path exists for
+    scale, the driver path removes ~10 fixed-cost Spark jobs per round
+    everywhere else (measured: the q166 entity graph ran 14
+    propagation rounds / ~90 AQE jobs for 1,569 edges).
     """
     # materialize the edge list first: the upstream pipeline (e.g. the
     # whole MinHash LSH graph) is typically far more expensive than the
     # components themselves, and the 4-way symmetrize union below would
     # otherwise re-execute it once per branch — and once per round
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
+    if e.count() <= driver_cap:
+        return _driver_components(e)
     # symmetrize + self-loops so input orientation doesn't matter and
     # every node sees its own label in the neighborhood min
+    # adj and the per-round label frames checkpoint LAZILY: each is
+    # consumed by exactly one downstream plan per job, so the next
+    # action (the convergence sum below) materializes the checkpoint
+    # inside its own job — eager checkpoints here ran one extra
+    # materialization JOB per frame (2 jobs/round + 2 up front; the
+    # per-job fixed cost dominates short-diameter graphs). `e` above
+    # stays EAGER: the 4-way symmetrize union fans out over it, and a
+    # lazy checkpoint would let concurrent union branches recompute
+    # the (typically expensive) upstream edge pipeline per branch.
     adj = (
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .union(e.select("u", F.col("u").alias("v")))
         .union(e.select(F.col("v").alias("u"), "v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # round 0 is the neighborhood min itself (self-loops include u)
-    labels = adj.groupBy("u").agg(F.min("v").alias("label")).localCheckpoint()
+    labels = adj.groupBy("u").agg(F.min("v").alias("label")).localCheckpoint(
+        eager=False
+    )
     prev_sum = None
 
     for _ in range(max_iter):
         # labels are monotonically non-increasing, so the label sum
         # strictly decreases until convergence: one scalar aggregate
-        # replaces a change-count join (decimal sum: overflow-proof)
+        # replaces a change-count join (decimal sum: overflow-proof).
+        # This action also materializes the current labels checkpoint.
         cur_sum = labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))
         ).first()[0]
@@ -79,9 +106,69 @@ def connected_components(
             adj.join(labels.withColumnRenamed("u", "v"), "v")
             .groupBy("u")
             .agg(F.min("label").alias("label"))
-        ).localCheckpoint()
+        )
+        # pointer jumping: label(u) <- label(label(u)). A label is
+        # always the id of a node in u's own component (propagation
+        # draws from neighbors, the jump from a component member), so
+        # the inner self-join always matches, labels stay monotone
+        # non-increasing, and the fixpoint is unchanged (labels
+        # constant per component = the component min). Rounds drop
+        # from O(diameter) to O(log diameter) — the q166 entity graph
+        # converged in 14 propagation-only rounds vs 5 with jumping.
+        jump = labels.select(
+            F.col("u").alias("label"), F.col("label").alias("jlabel")
+        )
+        labels = (
+            labels.join(jump, "label")
+            .select("u", F.col("jlabel").alias("label"))
+        ).localCheckpoint(eager=False)
 
     return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
+
+
+def _driver_components(e: DataFrame) -> DataFrame:
+    """Union-find over a collected (u, v) edge frame — the
+    ``driver_cap``-gated small-graph path of `connected_components`.
+    Output is identical to the distributed loop: every node appearing
+    in the edges, labeled with the minimum node id of its component.
+    The output column types mirror the distributed path's (the common
+    type of u and v after the symmetrize union)."""
+    from dataingestiontohana_spark.catalog import local_rows
+
+    sym_schema = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).schema
+    node_t = sym_schema[0].dataType.simpleString()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in e.toLocalIterator():
+        a, b = row[0], row[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for n in parent:
+        r = find(n)
+        m = comp_min.get(r)
+        if m is None or n < m:
+            comp_min[r] = n
+    rows = sorted((n, comp_min[find(n)]) for n in parent)
+    return local_rows(
+        e.sparkSession,
+        rows,
+        f"node {node_t}, component {node_t}",
+        slices=max(1, len(rows) // 100_000),
+    )
 
 
 def canonical_survivors(

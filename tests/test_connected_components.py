@@ -76,3 +76,36 @@ def test_canonical_survivors_keep_min_and_singletons(spark):
     )
     # 4 and 5 fold into 1 and 2; 0 and 3 untouched
     assert kept == [0, 1, 2, 3]
+
+
+def test_distributed_path_matches_driver_path(spark):
+    """driver_cap gates a driver union-find fast path; forcing the cap
+    to 0 exercises the distributed min-label-propagation loop (with
+    pointer jumping) on the same edges — both must emit the identical
+    (node, min-id component) map with the identical schema."""
+    edges = (
+        # two long chains (pointer jumping must converge), a triangle
+        # with a chord, singleton self-loop, and a star
+        [(i, i + 1) for i in range(15)]
+        + [(100 + i, 101 + i) for i in range(7)]
+        + [(200, 201), (201, 202), (202, 200), (200, 202)]
+        + [(300, 300)]
+        + [(400, 401), (400, 402), (400, 403)]
+    )
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = connected_components(df)
+    dist = connected_components(df, driver_cap=0)
+    assert fast.schema == dist.schema
+    got_fast = {r.node: r.component for r in fast.collect()}
+    got_dist = {r.node: r.component for r in dist.collect()}
+    assert got_fast == got_dist == _union_find(edges)
+
+
+def test_distributed_path_int_types_preserved(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3)], "id_a int, id_b int")
+    fast = connected_components(df)
+    dist = connected_components(df, driver_cap=0)
+    assert fast.schema == dist.schema
+    assert {r.node: r.component for r in fast.collect()} == {
+        1: 1, 2: 1, 3: 1
+    }
