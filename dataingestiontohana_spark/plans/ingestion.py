@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dataingestiontohana_spark.catalog import local_rows
+from dataingestiontohana_spark.catalog import local_rows, locked_frame_builder
 
 from dataingestiontohana_spark.sources.csv_envelope import parse_sensor_csv
 from dataingestiontohana_spark.sources.generator import (
@@ -147,6 +147,7 @@ def _warc_html(i: int, j: int) -> str:
     )
 
 
+@locked_frame_builder
 def _warc_corpus(spark: SparkSession) -> DataFrame:
     """Six synthetic crawl files, five records each: warcinfo, a
     request, two content responses (md5-derived words, so DuckDB

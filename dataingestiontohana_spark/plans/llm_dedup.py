@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dataingestiontohana_spark.catalog import load_table
+from dataingestiontohana_spark.catalog import load_table, locked_frame_builder
 from dataingestiontohana_spark.functions.text import normalize_text
 from dataingestiontohana_spark.operators.connected_components import (
     connected_components,
@@ -41,6 +41,7 @@ from dataingestiontohana_spark.operators.dedup import (
 _EDGE_CACHE: dict[tuple[str, str, float], DataFrame] = {}
 
 
+@locked_frame_builder
 def _exact_pairs_cached(
     spark: SparkSession, sf_dir: str, threshold: float = 0.5
 ) -> DataFrame:
@@ -62,6 +63,7 @@ def _exact_pairs_cached(
 _LSH_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+@locked_frame_builder
 def _lsh_candidates_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _LSH_CACHE.get(key)
@@ -1112,6 +1114,7 @@ WINNOW_HOT_DOC_CAP = 50
 _WINNOW_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+@locked_frame_builder
 def _winnow_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_shingles, c) — the winnowing fingerprint selection
     (Schleimer, Wilkerson & Aiken, SIGMOD 2003; the MOSS algorithm):

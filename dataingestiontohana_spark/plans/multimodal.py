@@ -20,7 +20,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dataingestiontohana_spark.catalog import load_table, local_rows
+from dataingestiontohana_spark.catalog import (
+    load_table,
+    local_rows,
+    locked_frame_builder,
+)
 from dataingestiontohana_spark.operators.multimodal import (
     _IMA_STEP_TABLE,
     KIND_AUDIO,
@@ -67,6 +71,7 @@ def _local_rows(spark: SparkSession, rows: list, slices: int) -> DataFrame:
     )
 
 
+@locked_frame_builder
 def _synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
     key = (spark.sparkContext.applicationId, n)
     df = _MEDIA_CACHE.get(key)
@@ -173,6 +178,7 @@ def _probe_media(spark: SparkSession) -> DataFrame:
 _DHASH_CACHE: dict[str, DataFrame] = {}
 
 
+@locked_frame_builder
 def _dhash_frame(spark: SparkSession) -> DataFrame:
     from dataingestiontohana_spark.operators.multimodal import dhash_images
 
@@ -238,6 +244,7 @@ def _audio_probe_media(spark: SparkSession) -> DataFrame:
 _AHASH_CACHE: dict[str, DataFrame] = {}
 
 
+@locked_frame_builder
 def _ahash_frame(spark: SparkSession) -> DataFrame:
     from dataingestiontohana_spark.operators.multimodal import (
         energy_hash_audio,
@@ -295,6 +302,7 @@ _PNG_CACHE: dict[str, DataFrame] = {}
 _PNG_W, _PNG_H = 16, 8
 
 
+@locked_frame_builder
 def _png_color_corpus(spark: SparkSession) -> DataFrame:
     import hashlib
 
@@ -396,6 +404,7 @@ _JPEG_CACHE: dict[str, DataFrame] = {}
 _JPEG_BW, _JPEG_BH = 3, 2  # mosaic of 3x2 constant 8x8 blocks (24x16 px)
 
 
+@locked_frame_builder
 def _jpeg_mosaic_corpus(spark: SparkSession) -> DataFrame:
     """REAL JPEG streams whose decode is EXACT: each image is a mosaic
     of constant 8x8 blocks (block j = byte j of md5('{id}:jpg:0')) at
@@ -588,6 +597,7 @@ _WAV_FRAMES = 64
 _ADPCM_BLOCKS = 2  # clips 20-23: 2 x 132-byte blocks, 257 samples each
 
 
+@locked_frame_builder
 def _wav_native_corpus(spark: SparkSession) -> DataFrame:
     import hashlib
     import struct
@@ -1022,6 +1032,7 @@ _PNG16_CACHE: dict[str, DataFrame] = {}
 _PNG16_CH = (1, 3, 2, 4)  # color types 0 / 2 / 4 / 6
 
 
+@locked_frame_builder
 def _png16_corpus(spark: SparkSession) -> DataFrame:
     import hashlib
 
@@ -1104,6 +1115,7 @@ def q206_png16_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GIFBMP_CACHE: dict[str, DataFrame] = {}
 
 
+@locked_frame_builder
 def _gif_bmp_corpus(spark: SparkSession) -> DataFrame:
     """REAL GIF + BMP streams whose decode is exact (r9): GIFs carry
     md5-derived palette indices through genuine LZW compression
@@ -1330,6 +1342,7 @@ def q221_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CMYK_CACHE: dict[str, DataFrame] = {}
 
 
+@locked_frame_builder
 def _cmyk_corpus(spark: SparkSession) -> DataFrame:
     """REAL Adobe 4-component JPEG streams whose decode is EXACT
     (r12 — closing the CMYK boundary): each clip is a 3x2 mosaic of
@@ -1412,6 +1425,7 @@ def q231_jpeg_cmyk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MOV_CACHE: dict[str, DataFrame] = {}
 
 
+@locked_frame_builder
 def _mov_corpus(spark: SparkSession) -> DataFrame:
     """REAL QuickTime/MOV MJPEG movies whose decode is EXACT (r12 —
     the second video container): the q204 discipline again — frame f
@@ -1487,6 +1501,7 @@ def _mov_corpus(spark: SparkSession) -> DataFrame:
 _TIFF_CACHE: dict[str, DataFrame] = {}
 
 
+@locked_frame_builder
 def _tiff_corpus(spark: SparkSession) -> DataFrame:
     """REAL baseline TIFF streams whose decode is EXACT (r12): every
     sample byte md5-expanded from '{i}:tiff:{c}', written by
@@ -1577,6 +1592,7 @@ def q236_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
 _APNG_CACHE: dict[str, DataFrame] = {}
 
 
+@locked_frame_builder
 def _apng_corpus(spark: SparkSession) -> DataFrame:
     """REAL APNG streams whose decode is EXACT (r12): md5-seeded
     frames through `encode_apng` (real zlib streams, acTL/fcTL/fdAT
@@ -1673,6 +1689,7 @@ def q235_apng(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MOVAU_CACHE: dict[str, DataFrame] = {}
 
 
+@locked_frame_builder
 def _mov_audio_corpus(spark: SparkSession) -> DataFrame:
     """QuickTime 'soun'-track clips whose demux is EXACT (r12): PCM
     sample bytes md5-expanded from '{i}:movau:{c}', muxed by
@@ -1778,6 +1795,7 @@ _AVI_SPECS: tuple[tuple[int, int, int], ...] = (
 )
 
 
+@locked_frame_builder
 def _avi_corpus(spark: SparkSession) -> DataFrame:
     """REAL RIFF/AVI MJPEG clips whose decode is EXACT (r12 — video
     columns, the last major training-data modality): every frame is a

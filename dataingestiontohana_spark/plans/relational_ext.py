@@ -18,7 +18,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from dataingestiontohana_spark.catalog import load_table, local_rows
+from dataingestiontohana_spark.catalog import (
+    load_table,
+    local_rows,
+    locked_frame_builder,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -667,6 +671,7 @@ ORACLES = {
 _BASKET_CACHE: dict = {}
 
 
+@locked_frame_builder
 def _basket_items_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _BASKET_CACHE.get(key)

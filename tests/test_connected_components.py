@@ -101,6 +101,22 @@ def test_distributed_path_matches_driver_path(spark):
     assert got_fast == got_dist == _union_find(edges)
 
 
+def test_null_edges_dropped_on_both_paths(spark):
+    """Edges with a NULL endpoint are dropped before the size gate, so
+    the driver union-find (which sorts node ids — TypeError on None)
+    and the distributed loop (whose joins ignore NULLs) agree: NULL is
+    not a node id on either path."""
+    edges = [(1, 2), (None, 3), (4, None), (None, None), (5, 6)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    want = {1: 1, 2: 1, 5: 5, 6: 5}
+    got_fast = {r.node: r.component for r in connected_components(df).collect()}
+    got_dist = {
+        r.node: r.component
+        for r in connected_components(df, driver_cap=0).collect()
+    }
+    assert got_fast == got_dist == want
+
+
 def test_distributed_path_int_types_preserved(spark):
     df = spark.createDataFrame([(1, 2), (2, 3)], "id_a int, id_b int")
     fast = connected_components(df)

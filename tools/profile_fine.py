@@ -27,6 +27,8 @@ def main() -> None:
     out_path = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            raise SystemExit("--json requires an output path argument")
         out_path = argv[i + 1]
         del argv[i : i + 2]
     args = [a for a in argv if not a.startswith("--")]
@@ -47,6 +49,7 @@ def main() -> None:
         "overwrite"
     ).save()
     timings: dict[str, float] = {}
+    failed: dict[str, str] = {}
     for name in names:
         spark.sparkContext.setJobDescription(name)
         t0 = time.perf_counter()
@@ -57,13 +60,16 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 3)
             print(f"{timings[name]:8.3f}  {name}", file=sys.stderr)
         except Exception as ex:  # noqa: BLE001
+            failed[name] = f"{type(ex).__name__}: {ex}"[:200]
             print(f"  FAIL {name}: {ex}", file=sys.stderr)
     spark.sparkContext.setJobDescription(None)
-    print(json.dumps({"total": round(sum(timings.values()), 3),
-                      "fine": timings}))
+    out = {"total": round(sum(timings.values()), 3), "fine": timings}
+    if failed:
+        out["failed"] = failed
+    print(json.dumps(out))
     if out_path:
         with open(out_path, "w") as fh:
-            json.dump(timings, fh, indent=1)
+            json.dump(out, fh, indent=1)
     spark.stop()
 
 
