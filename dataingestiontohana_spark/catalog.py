@@ -15,25 +15,23 @@ import threading
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# One process-wide lock for every shared-frame cache getter in the
-# package. Bundle parts build on a driver thread pool
-# (plans/bundles.py::_bundle_fn), and an unguarded get-or-build getter
-# racing on a cold cache would construct — and at action time
-# MATERIALIZE — the same checkpointed frame once per thread. Re-entrant
-# because getters nest (e.g. _dhash_frame -> _synthetic_media).
-FRAME_CACHE_LOCK = threading.RLock()
-
-
 def locked_frame_builder(fn):
-    """Decorator: run a shared-frame cache getter under
-    FRAME_CACHE_LOCK (see above). Getter bodies only construct lazy
-    plans (or, for the eager edge caches, materialize once), so the
-    serialization cost is the build itself — exactly the part that
-    must not be duplicated."""
+    """Decorator: serialize a shared-frame cache getter on its own
+    re-entrant lock. Bundle parts build on a driver thread pool
+    (plans/bundles.py::_bundle_fn), and an unguarded get-or-build
+    getter racing on a cold cache would construct — and at action time
+    MATERIALIZE — the same checkpointed frame once per thread. The
+    lock is PER GETTER (not global): different caches' builds — each
+    a lazy localCheckpoint whose physical planning costs real JVM
+    time — may overlap across threads; only same-cache callers
+    serialize. Re-entrant because getters nest one-directionally
+    (e.g. _dhash_frame -> _synthetic_media): nested acquisition of a
+    DIFFERENT getter's lock cannot cycle."""
+    lock = threading.RLock()
 
     @functools.wraps(fn)
     def wrapped(*args, **kwargs):
-        with FRAME_CACHE_LOCK:
+        with lock:
             return fn(*args, **kwargs)
 
     return wrapped

@@ -1276,7 +1276,7 @@ def _sql_normalize(part: str, widths: dict[str, int]) -> str:
 # execute for q20_84_timegrain at sf0.1 (guide §5: the driver should
 # do almost no data work; §2.6 sanctions driver thread pools). Part
 # construction is independent (immutable DataFrames; shared-frame
-# cache getters serialize on catalog.FRAME_CACHE_LOCK), so a small
+# cache getters serialize on per-getter locks), so a small
 # pool overlaps the analysis: measured 8.1 s -> 3.1 s for the same
 # bundle. The union fold stays ordered — pool.map preserves part
 # order, so the bundle's rows and the oracle's UNION ALL agree.

@@ -686,6 +686,56 @@ def _basket_items_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+# The basket PAIR COUNTS (pa < pb, c_ab) and the per-item supports are
+# recomputed identically by q125 (pair mining), q165 (item-item CF)
+# and q189 (the apriori item prune) — the pair self-join + aggregation
+# is the most expensive stage of both pair consumers. Same sharing
+# discipline as _BASKET_CACHE: one lazily-localCheckpointed frame per
+# (application, sf_dir), materialized by whichever part acts first.
+_BASKET_PAIRS_CACHE: dict = {}
+_ITEM_SUPPORT_CACHE: dict = {}
+
+
+@locked_frame_builder
+def _basket_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pa, pb, c_ab) with pa < pb over the distinct basket items."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _BASKET_PAIRS_CACHE.get(key)
+    if df is None:
+        items = _basket_items_cached(spark, sf_dir)
+        a = items.select(
+            F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa")
+        )
+        b = items.select(
+            F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb")
+        )
+        df = (
+            a.join(b, "k")
+            .where(F.col("pa") < F.col("pb"))
+            .groupBy("pa", "pb")
+            .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+            .localCheckpoint(eager=False)
+        )
+        _BASKET_PAIRS_CACHE[key] = df
+    return df
+
+
+@locked_frame_builder
+def _item_support_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_partkey, c) — distinct-basket support per item."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _ITEM_SUPPORT_CACHE.get(key)
+    if df is None:
+        df = (
+            _basket_items_cached(spark, sf_dir)
+            .groupBy("l_partkey")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .localCheckpoint(eager=False)
+        )
+        _ITEM_SUPPORT_CACHE[key] = df
+    return df
+
+
 def q125_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket pair mining: the 30 most co-purchased part pairs
     across orders, with per-item supports and lift — the co-occurrence
@@ -705,22 +755,13 @@ def q125_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the q96 PQ pattern).
     """
     items = _basket_items_cached(spark, sf_dir)
-    a = items.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa")
-    )
-    b = items.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb")
-    )
     pairs = (
-        a.join(b, "k")
-        .where(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        _basket_pairs_cached(spark, sf_dir)
         .orderBy(F.col("c_ab").desc(), "pa", "pb")
         .limit(30)
     )
-    item_support = items.groupBy(F.col("l_partkey").alias("p")).agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    item_support = _item_support_cached(spark, sf_dir).select(
+        F.col("l_partkey").alias("p"), "c"
     )
     nb = items.agg(
         F.countDistinct("l_orderkey").cast("long").alias("n_baskets")
@@ -1533,19 +1574,8 @@ def q165_item_cf_recommendations(
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    basket = _basket_items_cached(spark, sf_dir)
-    c_item = basket.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    )
-    a = basket.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
-    b = basket.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
-    pairs = (
-        a.join(b, "k")
-        .where(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
-        .where(F.col("c_ab") >= 2)
-    )
+    c_item = _item_support_cached(spark, sf_dir)
+    pairs = _basket_pairs_cached(spark, sf_dir).where(F.col("c_ab") >= 2)
     ca = c_item.select(F.col("l_partkey").alias("pa"), F.col("c").alias("c_a"))
     cb = c_item.select(F.col("l_partkey").alias("pb"), F.col("c").alias("c_b"))
     sims = (
@@ -2166,8 +2196,7 @@ def q189_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = _basket_items_cached(spark, sf_dir)
     min_support = 2
     freq = (
-        items.groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        _item_support_cached(spark, sf_dir)
         .where(F.col("c") >= min_support)
         .select("l_partkey")
     )

@@ -46,6 +46,15 @@ def get_spark(
         # files.maxPartitionBytes default 128MB is right for the 100TB
         # target; local parquet is far smaller than one partition anyway.
         .config("spark.ui.enabled", "false")
+        # PySpark's DataFrame-debugging hook (default on) walks the
+        # Python stack and makes two extra py4j calls on EVERY
+        # DataFrame operation, purely to enrich error messages with
+        # the user call site. This package issues tens of thousands of
+        # DataFrame ops per suite pass — measured 68 s -> 42 s of
+        # driver-side plan-construction time at sf0.1 with it off
+        # (guide §5: keep the driver out of the hot path). Purely
+        # diagnostic metadata; no plan or result changes.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     for k, v in (extra_conf or {}).items():
